@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import graft.rdf._
+import graft.rdf.Terms._
+import graft.sparql._
+import graft.sparql.Ast._
+
+/** Jupyter-friendly error with the reference's caret rendering: the
+  * offending line is echoed with a `^` under the error column
+  * (gastrodon/__init__.py:130-159, 536-594). */
+class GraftException(msg: String) extends RuntimeException(msg)
+
+object GraftException {
+  def fromParse(query: String, e: SparqlParseException): GraftException = {
+    val lines = query.split("\n", -1)
+    val ctx = if (e.line >= 1 && e.line <= lines.length) {
+      val line = lines(e.line - 1)
+      val caret = " " * math.max(0, e.column - 1) + "^"
+      s"\n$line\n$caret"
+    } else ""
+    new GraftException(s"Failed to parse query: ${e.msg} " +
+      s"(line ${e.line}, column ${e.column})$ctx")
+  }
+}
+
+/** The user-facing endpoint: SPARQL in, DataFrame out — the Spark-native
+  * re-imagining of gastrodon's `Endpoint`/`LocalEndpoint`
+  * (gastrodon/__init__.py:487-623). Differences by design:
+  *
+  *  - execution is our own Spark compiler (graft.sparql.Compiler), not an
+  *    external store;
+  *  - Python stack-frame variable capture (`_filter_frame`,
+  *    gastrodon/__init__.py:625-631) is replaced with an explicit
+  *    `bindings` map — the reference supports that path too
+  *    (kwargs["bindings"], gastrodon/__init__.py:550-553). Variables named
+  *    `?_x` substitute the value bound to "x" as a constant BEFORE
+  *    compilation, so Catalyst plans with literals (constant folding +
+  *    pushdown), mirroring `_substitute_arguments`
+  *    (gastrodon/__init__.py:348-356) but at AST level — no text injection.
+  */
+class Engine(initial: RdfGraph) {
+
+  /** Current graph version (UPDATE swaps it — SURVEY.md §2C). */
+  @volatile var graph: RdfGraph = initial
+
+  def spark: SparkSession = graph.spark
+
+  // parse cache: the reference lru_caches parseQuery (gastrodon/__init__.py:905-911)
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ParsedQuery]()
+
+  def bindNamespace(prefix: String, ns: String): Unit =
+    graph = graph.withPrefix(prefix, ns)
+
+  /** prefix → namespace table, sorted by prefix (namespaces(),
+    * gastrodon/__init__.py:179-204). */
+  def namespaces(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = graph.prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => Row(p, ns) }
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("prefix", StringType), StructField("namespace", StringType))))
+  }
+
+  private def parse(sparql: String): ParsedQuery =
+    parseCache.computeIfAbsent(sparql, { q =>
+      try new Parser(graph.prefixes).parseQuery(q)
+      catch { case e: SparqlParseException => throw GraftException.fromParse(q, e) }
+    })
+
+  private def compiler = new Compiler(graph.triples, spark)
+
+  /** SELECT → display DataFrame (typed native columns, QName-shortened
+    * IRIs) — `Endpoint.select` (gastrodon/__init__.py:487-511). Returns the
+    * frame with GROUP BY variables first (the reference sets them as the
+    * pandas index — gastrodon/__init__.py:505-511). */
+  def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
+    Display.toDisplay(selectRaw(sparql, bindings), graph.prefixes)
+
+  /** SELECT without display conversion: term-struct columns
+    * (`select_raw`, gastrodon/__init__.py:513-523). This is the 100 TB
+    * path — no per-column type sniffing pass. */
+  def selectRaw(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
+    val parsed = parse(sparql)
+    val q = parsed.query match {
+      case s: SelectQuery => Substitute(s, Engine.toTerms(bindings))
+      case _ => throw new GraftException("select() requires a SELECT query")
+    }
+    compiler.compileSelect(q)
+  }
+
+  /** GROUP BY variables of a query, when all group conditions are plain
+    * variables (the reference's indexing rule — _extract_group_by,
+    * gastrodon/__init__.py:913-921 returns [] for expression conditions). */
+  def groupKeys(sparql: String): Seq[String] = parse(sparql).query match {
+    case s: SelectQuery =>
+      val all = s.mods.groupBy
+      if (all.nonEmpty && all.forall(_.isInstanceOf[GroupVar]))
+        all.collect { case GroupVar(v) => v }
+      else Nil
+    case _ => Nil
+  }
+
+  /** CONSTRUCT → new graph (gastrodon/__init__.py:525-534). */
+  def construct(sparql: String, bindings: Map[String, Any] = Map.empty): RdfGraph = {
+    val parsed = parse(sparql)
+    parsed.query match {
+      case c: ConstructQuery =>
+        val c2 = Substitute(c, Engine.toTerms(bindings))
+        RdfGraph(compiler.compileConstruct(c2), graph.prefixes)
+      case _ => throw new GraftException("construct() requires a CONSTRUCT query")
+    }
+  }
+
+  def ask(sparql: String): Boolean = parse(sparql).query match {
+    case a: AskQuery => compiler.compileAsk(a)
+    case _ => throw new GraftException("ask() requires an ASK query")
+  }
+
+  /** SPARQL UPDATE: INSERT/DELETE (DATA|WHERE) — swaps in a new graph
+    * version (gastrodon/__init__.py:596-623; set semantics make repeated
+    * rule application idempotent, which the reference's forward-chaining
+    * inference loops rely on). */
+  def update(sparql: String, bindings: Map[String, Any] = Map.empty): Unit = {
+    val parsed =
+      try new Parser(graph.prefixes).parseUpdate(sparql)
+      catch { case e: SparqlParseException => throw GraftException.fromParse(sparql, e) }
+    val terms = Engine.toTerms(bindings)
+    parsed.ops.foreach { op => applyUpdate(Substitute(op, terms)) }
+  }
+
+  private def applyUpdate(op: UpdateOp): Unit = op match {
+    case InsertData(ts) =>
+      graph = graph.insert(groundTriples(ts))
+    case DeleteData(ts) =>
+      graph = graph.delete(groundTriples(ts))
+    case DeleteWhere(tmpl) =>
+      val inst = instantiate(tmpl, compiler.compile(Bgp(tmpl)))
+      graph = graph.delete(inst)
+    case Modify(del, ins, where) =>
+      val bindingsDf = compiler.compile(where)
+      // evaluate both templates against the SAME pre-update graph
+      val delT = if (del.nonEmpty) Some(instantiate(del, bindingsDf)) else None
+      val insT = if (ins.nonEmpty) Some(instantiate(ins, bindingsDf)) else None
+      var g = graph
+      delT.foreach(d => g = g.delete(d))
+      insT.foreach(i => g = g.insert(i))
+      graph = g
+    case ClearAll =>
+      graph = RdfGraph.empty(spark).copy(prefixes = graph.prefixes)
+  }
+
+  private def groundTriples(ts: Seq[TriplePattern]): DataFrame = {
+    val terms = ts.map { tp =>
+      (tp.s, tp.p, tp.o) match {
+        case (TermNode(s), VerbNode(TermNode(p)), TermNode(o)) => (s, p, o)
+        case _ => throw new GraftException("INSERT/DELETE DATA requires ground triples")
+      }
+    }
+    RdfGraph.fromTriples(spark, terms).triples
+  }
+
+  /** Template instantiation over a bindings frame (INSERT/DELETE WHERE —
+    * SURVEY.md §2C: matches.select(tmpl) → union/except). */
+  private def instantiate(tmpl: Seq[TriplePattern], bindings: DataFrame): DataFrame = {
+    val rowId = "__row"
+    val withId = bindings.withColumn(rowId, F.monotonically_increasing_id())
+    def inst(n: Node): Column = n match {
+      case TermNode(t) => termCol(t)
+      case VarNode(v) if v.startsWith("_:") =>
+        F.struct(F.lit(KIND_BLANK).cast(ByteType).as("kind"),
+          F.concat(F.lit(v.substring(2) + "_"), F.col(rowId)).as("value"),
+          nullStr.as("dt"), nullStr.as("lang"))
+      case VarNode(v) if withId.columns.contains(v) => F.col(v)
+      case VarNode(_) => F.lit(null).cast(Terms.termType)
+    }
+    tmpl.map { tp =>
+      val p = tp.p match {
+        case VerbNode(n) => inst(n)
+        case VerbPath(_) => throw new GraftException("path in UPDATE template")
+      }
+      withId.select(inst(tp.s).as("s"), p.as("p"), inst(tp.o).as("o"))
+    }.reduce(_ union _)
+      .where(F.col("s").isNotNull && F.col("p").isNotNull && F.col("o").isNotNull)
+      .where(F.col("s.kind") =!= KIND_LIT)
+      .dropDuplicates("s", "p", "o")
+  }
+
+  // ---------------------------------------------------------- containers
+
+  /** Flatten an rdf:Seq/Bag/Alt container (decollect,
+    * gastrodon/__init__.py:403-463): Seq → ordered List by rdf:_N index,
+    * Bag/Alt → value→count Map. Dispatches on the container's rdf:type
+    * (the reference probes with a VALUES query). */
+  def decollect(node: RdfTerm): Any = {
+    val t = graph.triples
+    val typeRow = t.where(F.col("s") === termCol(node) &&
+        F.col("p") === termCol(Iri(RDF.typ)))
+      .select(F.col("o.value")).collect()
+    val typ = typeRow.headOption.map(_.getString(0)).getOrElse(RDF.Seq_)
+    val members = t.where(F.col("s") === termCol(node) &&
+        F.col("p.value").startsWith(RDF.memberPrefix))
+      // SUBSTR(STR(?p), 45) — 1-based, prefix length 44 (gastrodon/__init__.py:427)
+      .withColumn("__idx",
+        F.col("p.value").substr(F.lit(RDF.memberPrefix.length + 1), F.lit(18))
+          .cast(IntegerType))
+    if (typ == RDF.Bag || typ == RDF.Alt) {
+      members.groupBy(F.col("o")).agg(F.count(F.lit(1)).as("n"))
+        .collect()
+        .map(r => Display.termToScala(r.getStruct(0), graph.prefixes) -> r.getLong(1))
+        .toMap
+    } else {
+      members.orderBy(F.col("__idx"))
+        .select(F.col("o")).collect()
+        .map(r => Display.termToScala(r.getStruct(0), graph.prefixes)).toSeq
+    }
+  }
+
+  /** Copy the blank-node closure reachable from `node` into a standalone
+    * graph (peel, gastrodon/__init__.py:688-743). The reference walks one
+    * node per HTTP round-trip; here each BFS level is ONE distributed join
+    * over the whole frontier. */
+  def peel(node: RdfTerm): RdfGraph = {
+    val t = graph.triples
+    var frontier = spark.range(1).select(termCol(node).as("n"))
+    var seen = frontier
+    var acc: DataFrame = null
+    var i = 0
+    while (i < 100 && !frontier.isEmpty) {
+      val level = t.join(frontier, t("s") === frontier("n")).select("s", "p", "o")
+        .localCheckpoint(true)
+      acc = if (acc == null) level else acc.union(level)
+      val next = level.where(F.col("o.kind") === KIND_BLANK)
+        .select(F.col("o").as("n")).distinct()
+        .join(seen, Seq("n"), "left_anti")
+        .localCheckpoint(true)
+      seen = seen.union(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    val triples = if (acc == null)
+      RdfGraph.empty(spark).triples else acc.dropDuplicates("s", "p", "o")
+    RdfGraph(triples, graph.prefixes)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  /** All URIs in the graph as a Scala Set (all_uri,
+    * gastrodon/__init__.py:821-834) — explicit collect API. */
+  def allUri(): Set[String] =
+    graph.allUris.collect().map(_.getString(0)).toSet
+
+  /** Graph → Turtle text (ttl, gastrodon/__init__.py:811-819). */
+  def ttl(): String = sources.Turtle.serialize(graph)
+}
+
+object Engine {
+
+  /** Turtle text → engine (inline, gastrodon/__init__.py:848-857). */
+  def inline(turtle: String)(implicit spark: SparkSession): Engine =
+    new Engine(sources.Turtle.parse(turtle, spark))
+
+  def fromGraph(g: RdfGraph): Engine = new Engine(g)
+
+  /** Scala value → RDF term (_toRDF, gastrodon/__init__.py:358-372,
+    * 807-809). */
+  def anyToTerm(v: Any): RdfTerm = v match {
+    case t: RdfTerm => t
+    case i: Int => Lit.typed(i.toString, XSD.integer)
+    case l: Long => Lit.typed(l.toString, XSD.integer)
+    case d: Double => Lit.typed(d.toString, XSD.double)
+    case f: Float => Lit.typed(f.toString, XSD.double)
+    case b: Boolean => Lit.typed(b.toString, XSD.boolean)
+    case d: BigDecimal => Lit.typed(d.toString, XSD.decimal)
+    case s: String if s.startsWith("http://") || s.startsWith("https://") ||
+        s.startsWith("urn:") => Iri(s)
+    case s: String => Lit.plain(s)
+    case ts: java.sql.Timestamp =>
+      Lit.typed(ts.toInstant.toString, XSD.dateTime)
+    case other => Lit.plain(String.valueOf(other))
+  }
+
+  def toTerms(bindings: Map[String, Any]): Map[String, RdfTerm] =
+    bindings.map { case (k, v) => k -> anyToTerm(v) }
+
+  /** Assert a 1×1 result and return the scalar (one,
+    * gastrodon/__init__.py:859-883). */
+  def one(df: DataFrame): Any = {
+    val rows = df.limit(2).collect()
+    require(rows.length == 1, s"expected exactly 1 row, got ${rows.length}")
+    require(rows.head.length == 1,
+      s"expected exactly 1 column, got ${rows.head.length}")
+    rows.head.get(0)
+  }
+}

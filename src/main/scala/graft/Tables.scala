@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import graft.rdf._
+
+/** Relational → RDF mapping for the driver's TESTDATA tables (a direct
+  * R2RML-style "direct mapping"): each row becomes a resource
+  * `urn:graft:<table>/<key>`, each column a triple with predicate
+  * `urn:graft:p/<column>`, each foreign key an object-property triple
+  * linking to the target resource, plus one rdf:type triple.
+  *
+  * This is how the SPARQL operator surface is exercised (and DuckDB-oracle
+  * checked) over the same parquet the oracle reads.
+  *
+  * Scale posture: the conversion is a single narrow projection + explode —
+  * no shuffle, no driver materialization; at 100 TB it runs as a streaming
+  * scan and would be written back partitioned by predicate (S2RDF vertical
+  * partitioning) so per-predicate BGP scans prune to one partition.
+  */
+object Tables {
+  val base = "urn:graft:"
+  def cls(table: String): String = base + "class/" + table
+  def pred(column: String): String = base + "p/" + column
+  def subj(table: String): String = base + table + "/"
+
+  /** key columns per table; composite for lineitem. */
+  val keys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"))
+
+  /** FK column → referenced table. */
+  val fks: Map[String, Map[String, String]] = Map(
+    "nation" -> Map("n_regionkey" -> "region"),
+    "customer" -> Map("c_nationkey" -> "nation"),
+    "supplier" -> Map("s_nationkey" -> "nation"),
+    "orders" -> Map("o_custkey" -> "customer"),
+    "lineitem" -> Map("l_orderkey" -> "orders", "l_partkey" -> "part",
+      "l_suppkey" -> "supplier")
+  ).withDefaultValue(Map.empty)
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Subject-IRI string expression for a row of `table`. */
+  def subjectCol(table: String): Column = {
+    val ks = keys(table).map(k => F.col(k).cast(StringType))
+    val parts = ks.tail.foldLeft(ks.head)((a, b) => F.concat(a, F.lit("-"), b))
+    F.concat(F.lit(subj(table)), parts)
+  }
+
+  /** Lexical form used for literal objects (stable across engines). */
+  private def lexical(c: Column, t: DataType): Column = t match {
+    case TimestampType => F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    case _             => c.cast(StringType)
+  }
+
+  /** One table → triples DataFrame with schema Terms.tripleType. */
+  def triples(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    import Terms._
+    val df = read(spark, sfDir, table)
+    val s = iri(subjectCol(table))
+    val fkMap = fks(table)
+    val colTriples: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      val obj = f.dataType match {
+        case TimestampType => lit(lexical(F.col(f.name), TimestampType), XSD.dateTime)
+        case t             => fromNative(F.col(f.name), t)
+      }
+      val litTriple = F.struct(s.as("s"), iri(pred(f.name)).as("p"), obj.as("o"))
+      val fkTriple = fkMap.get(f.name).map { target =>
+        F.struct(s.as("s"), iri(pred(f.name.stripSuffix("key") + "_ref")).as("p"),
+          iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o"))
+      }
+      Seq(litTriple) ++ fkTriple
+    }
+    val typeTriple = F.struct(s.as("s"), iri(RDF.typ).as("p"),
+      iri(cls(table)).as("o"))
+    df.select(F.explode(F.array((colTriples :+ typeTriple): _*)).as("t"))
+      .select(F.col("t.s").as("s"), F.col("t.p").as("p"), F.col("t.o").as("o"))
+      .where(F.col("o").isNotNull && F.col("o.value").isNotNull)
+  }
+
+  /** Union of several tables as one graph. */
+  def graph(spark: SparkSession, sfDir: String, tables: String*): RdfGraph = {
+    val df = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
+    RdfGraph(df, RdfGraph.defaultPrefixes + ("g" -> base) + ("gp" -> (base + "p/")))
+  }
+}

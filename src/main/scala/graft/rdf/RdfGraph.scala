@@ -1,0 +1,82 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** A versioned RDF graph: an immutable triples DataFrame with set semantics
+  * (duplicate insertion is idempotent — the reference demonstrates this at
+  * notebooks/local/RDFContainers.ipynb cell 15 where asserting the same
+  * triple three times leaves len(graph)==1), plus the prefix/namespace
+  * environment (rdflib NamespaceManager parity,
+  * gastrodon/__init__.py:179-204).
+  *
+  * SPARQL UPDATE produces a NEW RdfGraph (DataFrames are immutable); the
+  * endpoint holds the current version in a var so notebook-style
+  * forward-chaining inference loops (Inference_Over_RDF_Containers cells
+  * 17-33) stay cheap: union + dropDuplicates, optionally cached.
+  *
+  * Scale posture: triples stay distributed; `size` is the only action.
+  * At 100 TB the DataFrame would be parquet-backed and partitioned by
+  * predicate (S2RDF-style vertical partitioning) — see Tables.scala.
+  */
+final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String]) {
+
+  def spark: SparkSession = triples.sparkSession
+
+  /** Number of triples (set cardinality). */
+  def size: Long = triples.count()
+
+  /** Insert triples (set semantics). */
+  def insert(newTriples: DataFrame): RdfGraph =
+    copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"))
+
+  /** Delete triples. */
+  def delete(gone: DataFrame): RdfGraph =
+    copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"))
+
+  def withPrefix(prefix: String, ns: String): RdfGraph =
+    copy(prefixes = prefixes + (prefix -> ns))
+
+  def cache(): RdfGraph = { triples.cache(); this }
+  def unpersist(): RdfGraph = { triples.unpersist(); this }
+
+  /** All IRIs appearing in any position (all_uri,
+    * gastrodon/__init__.py:821-834). */
+  def allUris: DataFrame = {
+    import Terms._
+    triples
+      .select(F.explode(F.array(F.col("s"), F.col("p"), F.col("o"))).as("t"))
+      .where(isIri(F.col("t")))
+      .select(value(F.col("t")).as("uri"))
+      .distinct()
+  }
+}
+
+object RdfGraph {
+  /** Well-known prefixes bound by default (rdflib binds rdf/rdfs/xsd/owl). */
+  val defaultPrefixes: Map[String, String] = Map(
+    "rdf" -> RDF.ns,
+    "rdfs" -> RDFS.ns,
+    "xsd" -> XSD.ns,
+    "owl" -> "http://www.w3.org/2002/07/owl#")
+
+  def empty(spark: SparkSession): RdfGraph =
+    RdfGraph(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Terms.tripleType),
+      defaultPrefixes)
+
+  /** Build a graph from local Scala triples (tests, tiny fixtures). */
+  def fromTriples(spark: SparkSession, ts: Seq[(RdfTerm, RdfTerm, RdfTerm)],
+      prefixes: Map[String, String] = Map.empty): RdfGraph = {
+    import org.apache.spark.sql.Row
+    def row(t: RdfTerm): Row = t match {
+      case Iri(v)             => Row(Terms.KIND_IRI, v, null, null)
+      case Blank(l)           => Row(Terms.KIND_BLANK, l, null, null)
+      case Lit(lex, dt, lang) => Row(Terms.KIND_LIT, lex, dt, lang)
+    }
+    val rows = ts.map { case (s, p, o) => Row(row(s), row(p), row(o)) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Terms.tripleType)
+      .dropDuplicates("s", "p", "o")
+    RdfGraph(df, defaultPrefixes ++ prefixes)
+  }
+}

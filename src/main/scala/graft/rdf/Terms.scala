@@ -1,0 +1,222 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.types._
+
+/** RDF term model for the graft engine.
+  *
+  * The scalar type system mirrors the reference's rdflib terms
+  * (gastrodon/__init__.py:21,28 — URIRef/BNode/Literal with optional
+  * datatype and language tag) re-expressed as a Spark struct column so the
+  * whole engine stays columnar / codegen-friendly:
+  *
+  * {{{
+  *   struct(kind: byte, value: string, dt: string, lang: string)
+  * }}}
+  *
+  *  - kind:  0 = IRI, 1 = blank node, 2 = literal
+  *  - value: full IRI / blank label / lexical form
+  *  - dt:    datatype IRI, ALWAYS set for literals (plain literals are
+  *           xsd:string per RDF 1.1, lang-tagged are rdf:langString) so term
+  *           equality is plain struct equality; null for IRI/blank.
+  *  - lang:  language tag or null.
+  */
+sealed trait RdfTerm extends Serializable {
+  def n3(): String
+}
+final case class Iri(value: String) extends RdfTerm {
+  def n3(): String = s"<$value>"
+}
+final case class Blank(label: String) extends RdfTerm {
+  def n3(): String = s"_:$label"
+}
+final case class Lit(lex: String, dt: String, lang: String) extends RdfTerm {
+  def n3(): String = {
+    val esc = Lit.escape(lex)
+    if (lang != null) s""""$esc"@$lang"""
+    else if (dt == XSD.string) s""""$esc""""
+    else s""""$esc"^^<$dt>"""
+  }
+}
+object Lit {
+  def plain(lex: String): Lit = Lit(lex, XSD.string, null)
+  def tagged(lex: String, lang: String): Lit = Lit(lex, RDF.langString, lang)
+  def typed(lex: String, dt: String): Lit = Lit(lex, dt, null)
+  def escape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c    => c.toString
+  }
+}
+
+object XSD {
+  val ns = "http://www.w3.org/2001/XMLSchema#"
+  val string = ns + "string"
+  val integer = ns + "integer"
+  val int = ns + "int"
+  val long = ns + "long"
+  val short = ns + "short"
+  val byte_ = ns + "byte"
+  val nonNegativeInteger = ns + "nonNegativeInteger"
+  val decimal = ns + "decimal"
+  val double = ns + "double"
+  val float = ns + "float"
+  val boolean = ns + "boolean"
+  val dateTime = ns + "dateTime"
+  val date = ns + "date"
+  /** Datatypes whose values compare numerically (SPARQL operator mapping). */
+  val numeric: Set[String] =
+    Set(integer, int, long, short, byte_, nonNegativeInteger, decimal,
+      double, float)
+  val integral: Set[String] =
+    Set(integer, int, long, short, byte_, nonNegativeInteger)
+}
+
+object RDF {
+  val ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val langString = ns + "langString"
+  val typ = ns + "type"
+  val Seq_ = ns + "Seq"
+  val Bag = ns + "Bag"
+  val Alt = ns + "Alt"
+  val first = ns + "first"
+  val rest = ns + "rest"
+  val nil = ns + "nil"
+  /** Container membership predicate prefix rdf:_1, rdf:_2, … (the reference
+    * extracts the index with SUBSTR(STR(?p), 45) — gastrodon/__init__.py:427;
+    * 44 = ns.length, SPARQL SUBSTR is 1-based). */
+  val memberPrefix = ns + "_"
+  /** member(i): 0-based index → rdf:_{i+1} (gastrodon/__init__.py:885-893) */
+  def member(i: Int): Iri = Iri(memberPrefix + (i + 1))
+}
+
+object RDFS {
+  val ns = "http://www.w3.org/2000/01/rdf-schema#"
+  val label = ns + "label"
+  val member = ns + "member"
+  val subClassOf = ns + "subClassOf"
+  val ContainerMembershipProperty = ns + "ContainerMembershipProperty"
+}
+
+object Terms {
+  final val KIND_IRI: Byte = 0
+  final val KIND_BLANK: Byte = 1
+  final val KIND_LIT: Byte = 2
+
+  /** Columnar representation of one RDF term. */
+  val termType: StructType = StructType(Seq(
+    StructField("kind", ByteType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("dt", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  /** Triple table schema T(s, p, o). */
+  val tripleType: StructType = StructType(Seq(
+    StructField("s", termType, nullable = false),
+    StructField("p", termType, nullable = false),
+    StructField("o", termType, nullable = false)))
+
+  // ---- column constructors -------------------------------------------------
+
+  private def mk(kind: Column, value: Column, dt: Column, lang: Column): Column =
+    F.struct(kind.cast(ByteType).as("kind"), value.as("value"),
+      dt.cast(StringType).as("dt"), lang.cast(StringType).as("lang"))
+
+  val nullStr: Column = F.lit(null).cast(StringType)
+
+  /** IRI term from a string column (or literal). */
+  def iri(value: Column): Column = mk(F.lit(KIND_IRI), value, nullStr, nullStr)
+  def iri(value: String): Column = iri(F.lit(value))
+
+  def blank(label: Column): Column = mk(F.lit(KIND_BLANK), label, nullStr, nullStr)
+
+  /** Typed literal from a lexical column. */
+  def lit(lex: Column, dt: String): Column =
+    mk(F.lit(KIND_LIT), lex.cast(StringType), F.lit(dt), nullStr)
+  def plainLit(lex: Column): Column = lit(lex, XSD.string)
+  def langLit(lex: Column, lang: Column): Column =
+    mk(F.lit(KIND_LIT), lex.cast(StringType), F.lit(RDF.langString), lang)
+
+  /** Literal term from a native-typed column, choosing the xsd datatype
+    * from the Spark type (mirrors _castPythonToLiteral,
+    * gastrodon/__init__.py:807-809). */
+  def fromNative(c: Column, t: DataType): Column = t match {
+    case ByteType | ShortType | IntegerType | LongType => lit(c, XSD.integer)
+    case FloatType | DoubleType  => lit(c, XSD.double)
+    case _: DecimalType          => lit(c, XSD.decimal)
+    case BooleanType             => lit(c, XSD.boolean)
+    case TimestampType           => lit(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS"), XSD.dateTime)
+    case DateType                => lit(c, XSD.date)
+    case _                       => plainLit(c)
+  }
+
+  /** Scala term value → Column (for constants in compiled plans). */
+  def termCol(t: RdfTerm): Column = t match {
+    case Iri(v)        => iri(v)
+    case Blank(l)      => blank(F.lit(l))
+    case Lit(lex, dt, null) => lit(F.lit(lex), dt)
+    case Lit(lex, _, lang)  => langLit(F.lit(lex), F.lit(lang))
+  }
+
+  // ---- field accessors -----------------------------------------------------
+
+  def kind(c: Column): Column = c.getField("kind")
+  def value(c: Column): Column = c.getField("value")
+  def dt(c: Column): Column = c.getField("dt")
+  def lang(c: Column): Column = c.getField("lang")
+
+  def isIri(c: Column): Column = kind(c) === KIND_IRI
+  def isBlank(c: Column): Column = kind(c) === KIND_BLANK
+  def isLiteral(c: Column): Column = kind(c) === KIND_LIT
+
+  /** True when the term is a literal with a numeric xsd datatype. */
+  def isNumeric(c: Column): Column =
+    isLiteral(c) && dt(c).isin(XSD.numeric.toSeq.map(F.lit): _*)
+
+  /** Numeric value of a term (null when not numeric). */
+  def numValue(c: Column): Column =
+    F.when(isNumeric(c), value(c).cast(DoubleType))
+
+  // ---- SPARQL operator semantics -------------------------------------------
+
+  /** SPARQL `=`: numeric literals compare by value, everything else by
+    * RDF-term identity (struct equality — dt canonicalization makes plain
+    * literal == xsd:string literal hold by construction). */
+  def termEq(a: Column, b: Column): Column =
+    F.when(isNumeric(a) && isNumeric(b), numValue(a) === numValue(b))
+      .otherwise(a === b)
+
+  def termNe(a: Column, b: Column): Column = !termEq(a, b)
+
+  def termLt(a: Column, b: Column): Column =
+    F.when(isNumeric(a) && isNumeric(b), numValue(a) < numValue(b))
+      .otherwise(value(a) < value(b))
+  def termLe(a: Column, b: Column): Column =
+    F.when(isNumeric(a) && isNumeric(b), numValue(a) <= numValue(b))
+      .otherwise(value(a) <= value(b))
+  def termGt(a: Column, b: Column): Column = termLt(b, a)
+  def termGe(a: Column, b: Column): Column = termLe(b, a)
+
+  /** Effective boolean value (SPARQL 17.2.2): boolean literal → its value,
+    * numeric → != 0, string → non-empty; other terms → null (type error,
+    * row is dropped by FILTER). */
+  def ebv(c: Column): Column = {
+    val d = dt(c)
+    F.when(!isLiteral(c), F.lit(null).cast(BooleanType))
+      .when(d === XSD.boolean, value(c) === "true")
+      .when(isNumeric(c), value(c).cast(DoubleType) =!= 0.0)
+      .when(d === XSD.string || d === RDF.langString, F.length(value(c)) > 0)
+      .otherwise(F.lit(null).cast(BooleanType))
+  }
+
+  /** ORDER BY total order (SPARQL 15.1): unbound < blank < IRI < literal;
+    * numeric literals by value, others by lexical form. Returned as a list
+    * of sort-key columns to pass to orderBy. */
+  def orderKeys(c: Column): Seq[Column] = Seq(
+    F.when(c.isNull, -1).otherwise(kind(c)), // unbound first
+    F.when(isNumeric(c), numValue(c)),       // numerics by value (nulls first)
+    value(c))
+}

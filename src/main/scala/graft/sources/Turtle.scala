@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import graft.rdf._
+import graft.sparql.{Parser => SparqlParser}
+import graft.sparql.Ast._
+
+/** Turtle reader/writer.
+  *
+  * The reader reuses the SPARQL grammar's triples productions (Turtle is a
+  * syntactic subset once variables are excluded) and runs driver-side —
+  * Turtle is not line-splittable, and the reference's Turtle inputs are
+  * small inline documents (inline(), gastrodon/__init__.py:848-857).
+  * Large-scale loads go through the distributed N-Triples reader
+  * (NTriples.scala) instead — same posture as the reference, which uses
+  * NT.gz for its 30k-triple fixture.
+  */
+object Turtle {
+
+  private class TurtleParser(prefixes: Map[String, String])
+      extends SparqlParser(prefixes) {
+    def directive: Parser[Unit] =
+      ("@prefix" ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef <~ ".") ^^ {
+        case pc ~ i => addPrefix(pc.dropRight(1), i)
+      } |
+      ("@base" ~> iriRef <~ ".") ^^ { i => setBase(i) } |
+      (kwPub("PREFIX") ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef) ^^ {
+        case pc ~ i => addPrefix(pc.dropRight(1), i)
+      } |
+      (kwPub("BASE") ~> iriRef) ^^ { i => setBase(i) }
+
+    def statement: Parser[Seq[TriplePattern]] =
+      directive ^^ (_ => Nil) | triplesSameSubject <~ "."
+
+    def turtleDoc: Parser[Seq[TriplePattern]] = rep(statement) ^^ (_.flatten)
+
+    def parseDoc(text: String): Seq[TriplePattern] = {
+      parseAll(turtleDoc, text) match {
+        case Success(r, _) => r
+        case f: NoSuccess =>
+          throw new graft.sparql.SparqlParseException(f.msg, f.next.pos.line,
+            f.next.pos.column, f.msg + "\n" + f.next.pos.longString)
+      }
+    }
+  }
+
+  /** Parse a Turtle document into an RdfGraph (set semantics applied). */
+  def parse(text: String, spark: SparkSession,
+      extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
+    val p = new TurtleParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    val patterns = p.parseDoc(text)
+    def toTerm(n: Node): RdfTerm = n match {
+      case TermNode(t) => t
+      case VarNode(v) if v.startsWith("_:") => Blank(v.substring(2))
+      case VarNode(v) =>
+        throw new IllegalArgumentException(s"variable ?$v not allowed in Turtle")
+    }
+    val triples = patterns.map { tp =>
+      val pred = tp.p match {
+        case VerbNode(n) => toTerm(n)
+        case VerbPath(_) =>
+          throw new IllegalArgumentException("property path not allowed in Turtle")
+      }
+      (toTerm(tp.s), pred, toTerm(tp.o))
+    }
+    RdfGraph.fromTriples(spark, triples, p.declaredPrefixes)
+  }
+
+  /** Serialize a graph to Turtle text, grouped by subject, prefix-aware
+    * (ttl, gastrodon/__init__.py:811-819). Driver-side display/export path:
+    * collects the graph — for distributed export use NTriples.write. */
+  def serialize(g: RdfGraph): String = {
+    val sb = new StringBuilder
+    val prefixOrder = g.prefixes.toSeq.sortBy(_._1)
+    prefixOrder.foreach { case (p, ns) => sb.append(s"@prefix $p: <$ns> .\n") }
+    if (prefixOrder.nonEmpty) sb.append("\n")
+    def fmt(r: org.apache.spark.sql.Row): String = {
+      val kind = r.getByte(0); val v = r.getString(1)
+      val dt = r.getString(2); val lang = r.getString(3)
+      kind match {
+        case Terms.KIND_IRI =>
+          val short = graft.Display.shorten(v, g.prefixes)
+          if (short == v) s"<$v>" else short
+        case Terms.KIND_BLANK => s"_:$v"
+        case _ => Lit(v, dt, lang).n3() match {
+          // shorten datatype IRIs too
+          case s if dt != null && dt != XSD.string && lang == null =>
+            val sdt = graft.Display.shorten(dt, g.prefixes)
+            if (sdt == dt) s else "\"" + Lit.escape(v) + "\"^^" + sdt
+          case s => s
+        }
+      }
+    }
+    val rows = g.triples
+      .orderBy("s.value", "p.value", "o.value").collect()
+    rows.groupBy(r => fmt(r.getStruct(0))).toSeq.sortBy(_._1).foreach {
+      case (subj, ts) =>
+        val body = ts.sortBy(r => (r.getStruct(1).getString(1), r.getStruct(2).getString(1)))
+          .map(r => s"  ${fmt(r.getStruct(1))} ${fmt(r.getStruct(2))}")
+          .mkString(" ;\n")
+        sb.append(s"$subj\n$body .\n")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,175 @@
+package graft.sparql
+
+import graft.rdf.RdfTerm
+
+/** SPARQL 1.1 abstract syntax.
+  *
+  * The surface covered is everything the reference corpus exercises
+  * (SURVEY.md §2B: BGP/FILTER/BIND/VALUES/OPTIONAL/MINUS/UNION/subquery,
+  * property paths, GROUP BY + aggregates, ORDER/LIMIT/OFFSET, UPDATE
+  * INSERT/DELETE WHERE) plus the standard builtins.
+  */
+object Ast {
+
+  // ---- pattern positions ---------------------------------------------------
+
+  sealed trait Node
+  final case class VarNode(name: String) extends Node
+  final case class TermNode(term: RdfTerm) extends Node
+
+  /** Triple pattern; predicate may be a var, a term, or a property path. */
+  final case class TriplePattern(s: Node, p: Verb, o: Node)
+
+  sealed trait Verb
+  final case class VerbNode(n: Node) extends Verb
+  final case class VerbPath(p: Path) extends Verb
+
+  // ---- property paths ------------------------------------------------------
+
+  sealed trait Path
+  final case class PLink(iri: String) extends Path
+  final case class PInv(p: Path) extends Path
+  final case class PSeq(a: Path, b: Path) extends Path
+  final case class PAlt(a: Path, b: Path) extends Path
+  final case class PZeroOrMore(p: Path) extends Path
+  final case class POneOrMore(p: Path) extends Path
+  final case class PZeroOrOne(p: Path) extends Path
+  /** !(iri|...|^iri|...) — forward and inverse excluded predicate sets. */
+  final case class PNeg(fwd: Seq[String], inv: Seq[String]) extends Path
+
+  // ---- expressions ---------------------------------------------------------
+
+  sealed trait Expr
+  final case class ExVar(name: String) extends Expr
+  final case class ExTerm(term: RdfTerm) extends Expr
+  final case class ExOr(l: Expr, r: Expr) extends Expr
+  final case class ExAnd(l: Expr, r: Expr) extends Expr
+  final case class ExNot(e: Expr) extends Expr
+  /** op ∈ =, !=, <, >, <=, >= */
+  final case class ExCmp(op: String, l: Expr, r: Expr) extends Expr
+  /** op ∈ +, -, *, / */
+  final case class ExArith(op: String, l: Expr, r: Expr) extends Expr
+  final case class ExNegNum(e: Expr) extends Expr
+  final case class ExIn(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  /** Builtin call or xsd cast; name is upper-cased for builtins, full IRI
+    * for casts/custom functions. */
+  final case class ExCall(name: String, args: Seq[Expr]) extends Expr
+  final case class ExExists(pattern: GraphPattern, negated: Boolean) extends Expr
+  final case class ExAgg(fn: String, distinct: Boolean, arg: Option[Expr],
+      separator: Option[String]) extends Expr
+
+  // ---- graph patterns (algebra-ish, folded during parse) --------------------
+
+  sealed trait GraphPattern
+  case object Unit0 extends GraphPattern
+  final case class Bgp(triples: Seq[TriplePattern]) extends GraphPattern
+  final case class Join(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class LeftJoin(l: GraphPattern, r: GraphPattern, filters: Seq[Expr])
+      extends GraphPattern
+  final case class Minus(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class Union(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class Filter(p: GraphPattern, exprs: Seq[Expr]) extends GraphPattern
+  final case class Extend(p: GraphPattern, v: String, expr: Expr) extends GraphPattern
+  /** VALUES: vars + rows (None = UNDEF). */
+  final case class TableData(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]])
+      extends GraphPattern
+  final case class SubSelect(q: SelectQuery) extends GraphPattern
+
+  // ---- queries ---------------------------------------------------------------
+
+  sealed trait Projection
+  case object SelectAll extends Projection
+  final case class SelectVars(items: Seq[ProjItem]) extends Projection
+  final case class ProjItem(expr: Expr, alias: Option[String]) {
+    /** Output column name. */
+    def name: String = alias.getOrElse(expr match {
+      case ExVar(v) => v
+      case _ => throw new IllegalArgumentException(
+        "non-variable projection requires AS alias")
+    })
+  }
+
+  sealed trait GroupCond
+  final case class GroupVar(name: String) extends GroupCond
+  final case class GroupExpr(expr: Expr, alias: Option[String]) extends GroupCond
+
+  final case class Modifiers(
+      groupBy: Seq[GroupCond] = Nil,
+      having: Seq[Expr] = Nil,
+      orderBy: Seq[(Expr, Boolean)] = Nil, // (expr, ascending)
+      limit: Option[Long] = None,
+      offset: Option[Long] = None)
+
+  sealed trait Query
+  final case class SelectQuery(
+      distinct: Boolean,
+      reduced: Boolean,
+      projection: Projection,
+      where: GraphPattern,
+      mods: Modifiers,
+      values: Option[TableData] = None) extends Query
+  final case class ConstructQuery(template: Seq[TriplePattern],
+      where: GraphPattern, mods: Modifiers) extends Query
+  final case class AskQuery(where: GraphPattern) extends Query
+
+  final case class Prologue(base: Option[String], prefixes: Map[String, String])
+
+  final case class ParsedQuery(prologue: Prologue, query: Query)
+
+  // ---- updates ---------------------------------------------------------------
+
+  sealed trait UpdateOp
+  final case class InsertData(triples: Seq[TriplePattern]) extends UpdateOp
+  final case class DeleteData(triples: Seq[TriplePattern]) extends UpdateOp
+  /** DELETE {t} INSERT {t} WHERE {p}; either template may be empty. */
+  final case class Modify(delete: Seq[TriplePattern], insert: Seq[TriplePattern],
+      where: GraphPattern) extends UpdateOp
+  final case class DeleteWhere(template: Seq[TriplePattern]) extends UpdateOp
+  case object ClearAll extends UpdateOp
+
+  final case class ParsedUpdate(prologue: Prologue, ops: Seq[UpdateOp])
+
+  // ---- helpers ---------------------------------------------------------------
+
+  /** In-scope variables of a pattern (for join-key computation: MINUS
+    * disjoint-domain rule, OPTIONAL shared vars, EXISTS correlation). */
+  def inScopeVars(p: GraphPattern): Set[String] = p match {
+    case Unit0 => Set.empty
+    case Bgp(ts) => ts.flatMap(tripleVars).toSet
+    case Join(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case LeftJoin(l, r, _) => inScopeVars(l) ++ inScopeVars(r)
+    case Minus(l, _) => inScopeVars(l)
+    case Union(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case Filter(q, _) => inScopeVars(q)
+    case Extend(q, v, _) => inScopeVars(q) + v
+    case TableData(vars, _) => vars.toSet
+    case SubSelect(q) => q.projection match {
+      case SelectAll => inScopeVars(q.where)
+      case SelectVars(items) => items.map(_.name).toSet
+    }
+  }
+
+  def tripleVars(t: TriplePattern): Seq[String] = {
+    def nv(n: Node): Seq[String] = n match {
+      case VarNode(v) => Seq(v); case _ => Nil
+    }
+    nv(t.s) ++ (t.p match {
+      case VerbNode(n) => nv(n); case VerbPath(_) => Nil
+    }) ++ nv(t.o)
+  }
+
+  def exprVars(e: Expr): Set[String] = e match {
+    case ExVar(v) => Set(v)
+    case ExTerm(_) => Set.empty
+    case ExOr(l, r) => exprVars(l) ++ exprVars(r)
+    case ExAnd(l, r) => exprVars(l) ++ exprVars(r)
+    case ExNot(x) => exprVars(x)
+    case ExCmp(_, l, r) => exprVars(l) ++ exprVars(r)
+    case ExArith(_, l, r) => exprVars(l) ++ exprVars(r)
+    case ExNegNum(x) => exprVars(x)
+    case ExIn(x, list, _) => exprVars(x) ++ list.flatMap(exprVars)
+    case ExCall(_, args) => args.flatMap(exprVars).toSet
+    case ExExists(p, _) => inScopeVars(p)
+    case ExAgg(_, _, arg, _) => arg.map(exprVars).getOrElse(Set.empty)
+  }
+}

@@ -1,0 +1,432 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import graft.rdf._
+import graft.rdf.Terms._
+import Ast._
+import scala.collection.mutable
+
+/** SPARQL algebra → DataFrame compiler.
+  *
+  * The design commitment (SURVEY.md §1.4/§2B): declare everything with the
+  * DataFrame API and let Catalyst/AQE pick physical strategies. BGPs become
+  * chains of equi-joins over per-pattern scans of the triples table; the
+  * triple-pattern filters (constant s/p/o) are plain struct-field predicates
+  * that push down to the parquet scan. The only operator evaluated with a
+  * driver-side loop is the transitive property path (`*`/`+`) — a fixpoint
+  * with `localCheckpoint()` per iteration to cut lineage (same skeleton the
+  * reference uses for `peel`, gastrodon/__init__.py:704-743).
+  *
+  * Variable bindings table: one term-struct column per SPARQL variable;
+  * unbound = null (gastrodon/__init__.py:761). Internal variables from
+  * anonymous blank nodes are named "_:bN" and dropped at projection.
+  */
+final class Compiler(graph: DataFrame, spark: SparkSession) {
+
+  private var synCounter = 0
+  private def syn(prefix: String): String = {
+    synCounter += 1; s"__${prefix}$synCounter"
+  }
+
+  // ------------------------------------------------------------ patterns
+
+  def compile(p: GraphPattern): DataFrame = p match {
+    case Unit0 => oneRowDf
+    case Bgp(ts) => compileBgp(ts)
+    case Join(l, r) => joinBindings(compile(l), compile(r))
+    case LeftJoin(l, r, filters) => leftJoin(compile(l), compile(r), filters)
+    case Minus(l, r) => minusJoin(compile(l), compile(r))
+    case Union(l, r) =>
+      val (a, b) = (compile(l), compile(r))
+      unionByNamePadded(a, b)
+    case Filter(q, exprs) => applyFilters(compile(q), exprs)
+    case Extend(q, v, e) =>
+      val df = compile(q)
+      df.withColumn(v, exprC(df).term(e))
+    case td: TableData => tableDataDf(td)
+    case SubSelect(q) => compileSelect(q)
+  }
+
+  private def oneRowDf: DataFrame = {
+    val marker = syn("unit")
+    spark.range(1).select(F.lit(1).as(marker))
+  }
+
+  private def exprC(df: DataFrame): ExprCompiler = {
+    val cols = df.columns.toSet
+    new ExprCompiler(v => if (cols(v)) Some(df(v)) else None)
+  }
+
+  /** Name-based equi-join on shared variable columns; cross join when
+    * disjoint. Internal marker columns (__unitN) never join. */
+  private def joinBindings(l: DataFrame, r: DataFrame): DataFrame = {
+    val shared = sharedVars(l, r)
+    if (shared.isEmpty) l.crossJoin(r)
+    else l.join(r, shared, "inner")
+  }
+
+  private def sharedVars(l: DataFrame, r: DataFrame): Seq[String] =
+    l.columns.filterNot(_.startsWith("__"))
+      .filter(r.columns.toSet).toSeq
+
+  private def unionByNamePadded(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** SPARQL LeftJoin: OPTIONAL's inner FILTER participates in the join
+    * condition (references left vars), not as a post-filter —
+    * SURVEY.md §2B Joins. */
+  private def leftJoin(l: DataFrame, r: DataFrame, filters: Seq[Expr]): DataFrame = {
+    val shared = sharedVars(l, r)
+    if (filters.isEmpty) {
+      if (shared.isEmpty) l.join(r, F.lit(true), "left_outer")
+      else l.join(r, shared, "left_outer")
+    } else {
+      // rename right columns so the join condition can reference both sides
+      val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
+      val ren = rCols.map(c => c -> s"__R_$c").toMap
+      val r2 = r.select(rCols.map(c => r(c).as(ren(c))): _*)
+      val eqCond = shared.map(v => l(v) === r2(ren(v)))
+        .reduceOption(_ && _).getOrElse(F.lit(true))
+      // filter env: right vars resolve to renamed right cols, else left
+      val fEnv = new ExprCompiler(v =>
+        if (ren.contains(v)) Some(r2(ren(v)))
+        else if (l.columns.contains(v)) Some(l(v))
+        else None)
+      val cond = filters.map(fEnv.bool).foldLeft(eqCond)(_ && _)
+      val joined = l.join(r2, cond, "left_outer")
+      val keep = l.columns.map(c => joined(c).as(c)) ++
+        rCols.filterNot(shared.contains).map(c => joined(ren(c)).as(c))
+      joined.select(keep.toSeq: _*)
+    }
+  }
+
+  /** SPARQL MINUS with the disjoint-domain rule: when the two sides share
+    * no variables nothing is removed (SURVEY.md §2B — the corpus exercises
+    * partially-shared and no-shared-var MINUS). */
+  private def minusJoin(l: DataFrame, r: DataFrame): DataFrame = {
+    val shared = sharedVars(l, r)
+    if (shared.isEmpty) l
+    else l.join(r.select(shared.map(r(_)): _*), shared, "left_anti")
+  }
+
+  private def applyFilters(df0: DataFrame, exprs: Seq[Expr]): DataFrame = {
+    var df = df0
+    exprs.foreach {
+      case ExExists(p, neg) => df = existsJoin(df, p, neg)
+      case ExNot(ExExists(p, neg)) => df = existsJoin(df, p, !neg)
+      case e =>
+        val c = exprC(df).bool(e)
+        df = df.where(c <=> F.lit(true)) // 3-valued: null → drop
+    }
+    df
+  }
+
+  /** FILTER (NOT) EXISTS — correlated on all shared variables via
+    * left_semi / left_anti join. */
+  private def existsJoin(l: DataFrame, p: GraphPattern, negated: Boolean): DataFrame = {
+    val r = compile(p)
+    val shared = sharedVars(l, r)
+    val how = if (negated) "left_anti" else "left_semi"
+    if (shared.isEmpty) {
+      // uncorrelated: keep all or none depending on emptiness of r
+      val marker = syn("ex")
+      val probe = r.limit(1).select(F.lit(1).as(marker))
+      if (negated) l.join(probe, F.lit(true), "left_anti")
+      else l.join(probe, F.lit(true), "left_semi")
+    } else l.join(r.select(shared.map(r(_)): _*), shared, how)
+  }
+
+  private def tableDataDf(td: TableData): DataFrame = {
+    def termRow(t: RdfTerm): Row = t match {
+      case Iri(v) => Row(KIND_IRI, v, null, null)
+      case Blank(b) => Row(KIND_BLANK, b, null, null)
+      case Lit(lex, dt, lang) => Row(KIND_LIT, lex, dt, lang)
+    }
+    val schema = StructType(td.vars.map(v => StructField(v, Terms.termType, nullable = true)))
+    val rows = td.rows.map(r => Row(r.map(_.map(termRow).orNull): _*))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  // ------------------------------------------------------------------ BGP
+
+  private def compileBgp(ts: Seq[TriplePattern]): DataFrame =
+    if (ts.isEmpty) oneRowDf
+    else ts.map(compileTriple).reduce(joinBindings)
+
+  private def nodeFilter(c: Column, n: Node): Option[Column] = n match {
+    case TermNode(t) => Some(c === termCol(t))
+    case VarNode(_) => None
+  }
+
+  private def compileTriple(tp: TriplePattern): DataFrame = tp.p match {
+    case VerbNode(pn) =>
+      var df = graph
+      val conds = nodeFilter(F.col("s"), tp.s) ++ nodeFilter(F.col("p"), pn) ++
+        nodeFilter(F.col("o"), tp.o)
+      conds.foreach(c => df = df.where(c))
+      // repeated-variable equality within one pattern (?x ?p ?x)
+      val positions = Seq("s" -> tp.s, "p" -> pn, "o" -> tp.o)
+      val varPos = positions.collect { case (pos, VarNode(v)) => (v, pos) }
+      varPos.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+        dup.map(_._2).sliding(2).foreach {
+          case Seq(a, b) => df = df.where(F.col(a) === F.col(b))
+          case _ =>
+        }
+      }
+      val proj = varPos.map(_._1).distinct.map { v =>
+        F.col(varPos.find(_._1 == v).get._2).as(v)
+      }
+      if (proj.isEmpty) df.limit(1).select(F.lit(1).as(syn("ask")))
+      else df.select(proj: _*)
+    case VerbPath(path) => compilePathTriple(tp.s, path, tp.o)
+  }
+
+  // ------------------------------------------------------------ paths
+
+  /** One-step relation of a (non-transitive) path as (s,o) term pairs. */
+  private def pathEdges(p: Path): DataFrame = p match {
+    case PLink(i) =>
+      graph.where(F.col("p") === termCol(Iri(i)))
+        .select(F.col("s").as("ps"), F.col("o").as("po"))
+    case PInv(q) =>
+      pathEdges(q).select(F.col("po").as("ps"), F.col("ps").as("po"))
+    case PSeq(a, b) =>
+      val l = pathEdges(a)
+      val r = pathEdges(b).select(F.col("ps").as("mid"), F.col("po").as("po2"))
+      l.join(r, l("po") === r("mid"))
+        .select(l("ps").as("ps"), F.col("po2").as("po"))
+    case PAlt(a, b) => pathEdges(a).union(pathEdges(b)).distinct()
+    case PNeg(fwd, inv) =>
+      val fwdDf = graph
+        .where(!F.col("p.value").isin(fwd.map(F.lit(_)): _*) || F.lit(fwd.isEmpty))
+        .select(F.col("s").as("ps"), F.col("o").as("po"))
+      if (inv.isEmpty) fwdDf
+      else {
+        val invDf = graph
+          .where(!F.col("p.value").isin(inv.map(F.lit(_)): _*))
+          .select(F.col("o").as("ps"), F.col("s").as("po"))
+        if (fwd.isEmpty) invDf else fwdDf.union(invDf)
+      }
+    case PZeroOrMore(_) | POneOrMore(_) | PZeroOrOne(_) =>
+      throw new IllegalStateException("transitive path handled separately")
+  }
+
+  /** All nodes of the graph (for zero-length path endpoints). */
+  private def graphNodes: DataFrame =
+    graph.select(F.col("s").as("n"))
+      .union(graph.select(F.col("o").as("n"))).distinct()
+
+  private def compilePathTriple(s: Node, path: Path, o: Node): DataFrame = {
+    val pairs: DataFrame = path match {
+      case PZeroOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = true)
+      case POneOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = false)
+      case PZeroOrOne(inner) =>
+        val one = pathEdges(inner)
+        val zero = (s, o) match {
+          case (TermNode(t), _) =>
+            spark.range(1).select(termCol(t).as("ps"), termCol(t).as("po"))
+          case (_, TermNode(t)) =>
+            spark.range(1).select(termCol(t).as("ps"), termCol(t).as("po"))
+          case _ => graphNodes.select(F.col("n").as("ps"), F.col("n").as("po"))
+        }
+        one.union(zero).distinct()
+      case other => pathEdges(other)
+    }
+    bindEndpoints(pairs, s, o)
+  }
+
+  private def bindEndpoints(pairs: DataFrame, s: Node, o: Node): DataFrame = {
+    var df = pairs
+    nodeFilter(F.col("ps"), s).foreach(c => df = df.where(c))
+    nodeFilter(F.col("po"), o).foreach(c => df = df.where(c))
+    (s, o) match {
+      case (VarNode(a), VarNode(b)) if a == b =>
+        df.where(F.col("ps") === F.col("po")).select(F.col("ps").as(a))
+      case (VarNode(a), VarNode(b)) =>
+        df.select(F.col("ps").as(a), F.col("po").as(b))
+      case (VarNode(a), _) => df.select(F.col("ps").as(a)).distinct()
+      case (_, VarNode(b)) => df.select(F.col("po").as(b)).distinct()
+      case _ => df.limit(1).select(F.lit(1).as(syn("ask")))
+    }
+  }
+
+  /** Transitive closure fixpoint. When one endpoint is a constant the
+    * closure is seeded from it (frontier BFS — strictly better than the
+    * reference's one-query-per-node loop, gastrodon/__init__.py:736-743);
+    * with two variable endpoints the full pair closure is computed.
+    * localCheckpoint() per iteration cuts lineage growth. */
+  private def closure(edges0: DataFrame, s: Node, o: Node,
+      includeZero: Boolean): DataFrame = {
+    val maxIter = 50
+    // Orient so a constant endpoint (if any) is the source.
+    val (edges, seedTerm, reversed) = (s, o) match {
+      case (TermNode(t), _) => (edges0, Some(t), false)
+      case (_, TermNode(t)) =>
+        (edges0.select(F.col("po").as("ps"), F.col("ps").as("po")), Some(t), true)
+      case _ => (edges0, None, false)
+    }
+    val result: DataFrame = seedTerm match {
+      case Some(t) =>
+        val e = edges.localCheckpoint(true)
+        val seed = spark.range(1).select(termCol(t).as("n"))
+        var reached = if (includeZero) seed else seed.limit(0)
+        var frontier = seed
+        var i = 0
+        while (i < maxIter && !frontier.isEmpty) {
+          val next = frontier.join(e, frontier("n") === e("ps"))
+            .select(e("po").as("n")).distinct()
+            .join(reached, Seq("n"), "left_anti")
+            .localCheckpoint(true)
+          reached = reached.union(next).localCheckpoint(true)
+          frontier = next
+          i += 1
+        }
+        reached.select(termCol(t).as("ps"), F.col("n").as("po"))
+      case None =>
+        val e = edges.localCheckpoint(true)
+        var closure = e.distinct().localCheckpoint(true)
+        var delta = closure
+        var i = 0
+        while (i < maxIter && !delta.isEmpty) {
+          val stepped = delta.alias("d")
+            .join(e.alias("e"), F.col("d.po") === F.col("e.ps"))
+            .select(F.col("d.ps").as("ps"), F.col("e.po").as("po")).distinct()
+          val next = stepped.join(closure, Seq("ps", "po"), "left_anti")
+            .localCheckpoint(true)
+          closure = closure.union(next).localCheckpoint(true)
+          delta = next
+          i += 1
+        }
+        if (includeZero) {
+          val zero = graphNodes.select(F.col("n").as("ps"), F.col("n").as("po"))
+          closure.union(zero).distinct()
+        } else closure
+    }
+    if (reversed) result.select(F.col("po").as("ps"), F.col("ps").as("po"))
+    else result
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def compileSelect(q: SelectQuery): DataFrame = {
+    var df = compile(q.where)
+
+    val projItems: Seq[ProjItem] = q.projection match {
+      case SelectAll =>
+        df.columns.filterNot(c => c.startsWith("__") || c.startsWith("_:"))
+          .map(v => ProjItem(ExVar(v), None)).toSeq
+      case SelectVars(items) => items
+    }
+
+    val needsAgg = q.mods.groupBy.nonEmpty || q.mods.having.nonEmpty ||
+      projItems.exists(i => ExprCompiler.hasAgg(i.expr))
+
+    // Aggregate-rewritten expressions reference computed agg columns.
+    val aggMap = mutable.LinkedHashMap.empty[ExAgg, String]
+    def rewriteAggs(e: Expr): Expr = e match {
+      case a: ExAgg => ExVar(aggMap.getOrElseUpdate(a, syn("agg")))
+      case ExOr(l, r) => ExOr(rewriteAggs(l), rewriteAggs(r))
+      case ExAnd(l, r) => ExAnd(rewriteAggs(l), rewriteAggs(r))
+      case ExNot(x) => ExNot(rewriteAggs(x))
+      case ExCmp(op, l, r) => ExCmp(op, rewriteAggs(l), rewriteAggs(r))
+      case ExArith(op, l, r) => ExArith(op, rewriteAggs(l), rewriteAggs(r))
+      case ExNegNum(x) => ExNegNum(rewriteAggs(x))
+      case ExIn(x, list, n) => ExIn(rewriteAggs(x), list.map(rewriteAggs), n)
+      case ExCall(n, args) => ExCall(n, args.map(rewriteAggs))
+      case other => other
+    }
+
+    var finalItems = projItems
+    var having = q.mods.having
+    var orderExprs = q.mods.orderBy
+
+    if (needsAgg) {
+      finalItems = projItems.map(i => ProjItem(rewriteAggs(i.expr), Some(i.name)))
+      having = having.map(rewriteAggs)
+      orderExprs = orderExprs.map { case (e, asc) => (rewriteAggs(e), asc) }
+      // group keys: plain vars keep their name; expressions get bound first
+      val preEc = exprC(df)
+      val keyCols: Seq[Column] = q.mods.groupBy.map {
+        case GroupVar(v) => df(v)
+        case GroupExpr(e, alias) =>
+          preEc.term(e).as(alias.getOrElse(syn("gkey")))
+      }
+      val aggCols = aggMap.map { case (a, name) => preEc.agg(a).as(name) }.toSeq
+      val safeAggs = if (aggCols.isEmpty)
+        Seq(F.count(F.lit(1)).as(syn("dropme"))) else aggCols
+      df = df.groupBy(keyCols: _*).agg(safeAggs.head, safeAggs.tail: _*)
+      if (having.nonEmpty) {
+        val ec = exprC(df)
+        having.foreach(h => df = df.where(ec.bool(h) <=> F.lit(true)))
+      }
+    }
+
+    // materialize computed projections (keeping original columns so ORDER BY
+    // can reference non-projected variables)
+    val ec1 = exprC(df)
+    val computed: Seq[(String, Column)] = finalItems.flatMap { i =>
+      i.expr match {
+        case ExVar(v) if v == i.name && df.columns.contains(v) => None
+        case e => Some(i.name -> ec1.term(e))
+      }
+    }
+    var work = computed.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val names = finalItems.map(_.name)
+
+    def orderCols(d: DataFrame): Seq[Column] = orderExprs.flatMap { case (e, asc) =>
+      val keys = Terms.orderKeys(exprC(d).term(e))
+      if (asc) keys.map(_.asc_nulls_first) else keys.map(_.desc_nulls_last)
+    }
+
+    var out: DataFrame =
+      if (q.distinct || q.reduced) {
+        var o = work.select(names.map(n => F.col(n)): _*).dropDuplicates()
+        if (orderExprs.nonEmpty) o = o.orderBy(orderCols(o): _*)
+        o
+      } else {
+        if (orderExprs.nonEmpty) work = work.orderBy(orderCols(work): _*)
+        work.select(names.map(n => F.col(n)): _*)
+      }
+
+    q.values.foreach(td => out = joinBindings(out, tableDataDf(td)))
+    q.mods.offset.foreach(n => out = out.offset(n.toInt))
+    q.mods.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  /** CONSTRUCT: instantiate the template per solution; blank nodes in the
+    * template get per-solution labels. Result is a triples DataFrame
+    * (deduplicated — graphs are sets). */
+  def compileConstruct(q: ConstructQuery): DataFrame = {
+    var bindings = compile(q.where)
+    q.mods.limit.foreach(n => bindings = bindings.limit(n.toInt))
+    val rowId = syn("row")
+    val withId = bindings.withColumn(rowId, F.monotonically_increasing_id())
+    def inst(n: Node): Column = n match {
+      case TermNode(t) => termCol(t)
+      case VarNode(v) if v.startsWith("_:") =>
+        F.struct(F.lit(KIND_BLANK).cast(ByteType).as("kind"),
+          F.concat(F.lit(v.substring(2) + "_"), F.col(rowId)).as("value"),
+          nullStr.as("dt"), nullStr.as("lang"))
+      case VarNode(v) if withId.columns.contains(v) => F.col(v)
+      case VarNode(_) => F.lit(null).cast(Terms.termType)
+    }
+    val parts = q.template.map { tp =>
+      val p = tp.p match {
+        case VerbNode(n) => inst(n)
+        case VerbPath(_) =>
+          throw new UnsupportedOperationException("path in CONSTRUCT template")
+      }
+      withId.select(inst(tp.s).as("s"), p.as("p"), inst(tp.o).as("o"))
+    }
+    val all = parts.reduce(_ union _)
+    all
+      .where(F.col("s").isNotNull && F.col("p").isNotNull && F.col("o").isNotNull)
+      .where(F.col("s.kind") =!= KIND_LIT) // no literal subjects
+      .dropDuplicates("s", "p", "o")
+  }
+
+  def compileAsk(q: AskQuery): Boolean =
+    !compile(q.where).isEmpty
+}

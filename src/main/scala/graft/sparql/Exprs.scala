@@ -1,0 +1,298 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+import graft.rdf._
+import graft.rdf.Terms._
+import Ast._
+
+/** SPARQL expression → Spark Column compiler.
+  *
+  * Two value domains: `asTerm` yields a term-struct Column (for
+  * BIND/projection), `asBool` yields a three-valued BooleanType Column (for
+  * FILTER / IF / logical connectives). Boolean-returning builtins compile
+  * straight to native booleans so Catalyst can push them down; a
+  * term-valued expression used in boolean context goes through the SPARQL
+  * effective-boolean-value rules (Terms.ebv).
+  *
+  * Everything here is `org.apache.spark.sql.functions` composition — no
+  * UDFs — so the whole FILTER/BIND surface stays inside whole-stage codegen.
+  */
+final class ExprCompiler(env: String => Option[Column]) {
+
+  private def nullTerm: Column = F.lit(null).cast(Terms.termType)
+
+  def term(e: Expr): Column = e match {
+    case ExVar(v) => env(v).getOrElse(nullTerm)
+    case ExTerm(t) => termCol(t)
+    case ExOr(_, _) | ExAnd(_, _) | ExNot(_) | ExCmp(_, _, _) |
+         ExIn(_, _, _) => boolTerm(bool(e))
+    case ExArith(op, l, r) => arith(op, term(l), term(r))
+    case ExNegNum(x) =>
+      arith("-", termCol(Lit.typed("0", XSD.integer)), term(x))
+    case ExCall(name, args) => call(name, args)
+    case ExAgg(_, _, _, _) =>
+      throw new IllegalStateException(
+        "aggregate must be rewritten before expression compilation")
+    case ExExists(_, _) =>
+      throw new UnsupportedOperationException(
+        "EXISTS is only supported at FILTER top level")
+  }
+
+  def bool(e: Expr): Column = e match {
+    case ExOr(l, r) => bool(l) || bool(r)
+    case ExAnd(l, r) => bool(l) && bool(r)
+    case ExNot(x) => !bool(x)
+    case ExCmp(op, l, r) =>
+      val (a, b) = (term(l), term(r))
+      op match {
+        case "=" => termEq(a, b)
+        case "!=" => termNe(a, b)
+        case "<" => termLt(a, b)
+        case "<=" => termLe(a, b)
+        case ">" => termGt(a, b)
+        case ">=" => termGe(a, b)
+      }
+    case ExIn(x, list, neg) =>
+      val t = term(x)
+      val anyEq = list.map(i => termEq(t, term(i))).reduceOption(_ || _)
+        .getOrElse(F.lit(false))
+      if (neg) !anyEq else anyEq
+    case ExCall(name, args) if ExprCompiler.boolBuiltins(name) =>
+      boolCall(name, args)
+    case other => ebv(term(other))
+  }
+
+  private def boolTerm(b: Column): Column =
+    F.when(b.isNull, nullTerm).otherwise(
+      mkLit(F.when(b, "true").otherwise("false"), XSD.boolean))
+
+  private def mkLit(lex: Column, dt: String): Column =
+    F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+      lex.cast(StringType).as("value"), F.lit(dt).as("dt"), nullStr.as("lang"))
+
+  private def mkLitKeepLang(lex: Column, src: Column): Column =
+    F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+      lex.cast(StringType).as("value"), dt(src).as("dt"), lang(src).as("lang"))
+
+  private def mkIri(v: Column): Column = Terms.iri(v)
+
+  private def intTerm(c: Column): Column = mkLit(c.cast(LongType), XSD.integer)
+  private def dblTerm(c: Column): Column = mkLit(c.cast(DoubleType), XSD.double)
+  private def strTerm(c: Column): Column = mkLit(c, XSD.string)
+
+  /** Numeric arithmetic with integer preservation: when both operands are
+    * integral literals and the op is not division, stay in LongType
+    * (exact); otherwise compute in DoubleType (SPARQL numeric promotion). */
+  private def arith(op: String, a: Column, b: Column): Column = {
+    val bothInt = dt(a).isin(XSD.integral.toSeq.map(F.lit): _*) &&
+      dt(b).isin(XSD.integral.toSeq.map(F.lit): _*)
+    val la = value(a).cast(LongType); val lb = value(b).cast(LongType)
+    val da = numValue(a); val db = numValue(b)
+    def applyL(x: Column, y: Column) = op match {
+      case "+" => x + y; case "-" => x - y; case "*" => x * y
+    }
+    def applyD(x: Column, y: Column) = op match {
+      case "+" => x + y; case "-" => x - y; case "*" => x * y
+      case "/" => x / y
+    }
+    val invalid = !isNumeric(a) || !isNumeric(b)
+    val result =
+      if (op == "/") dblTerm(applyD(da, db))
+      else F.when(bothInt, intTerm(applyL(la, lb)))
+        .otherwise(dblTerm(applyD(da, db)))
+    F.when(invalid, nullTerm).otherwise(result)
+  }
+
+  private def str(e: Expr): Column = value(term(e))
+
+  private def boolCall(name: String, args: Seq[Expr]): Column = name match {
+    case "BOUND" => term(args.head).isNotNull
+    case "ISIRI" | "ISURI" => isIri(term(args.head))
+    case "ISBLANK" => Terms.isBlank(term(args.head))
+    case "ISLITERAL" => isLiteral(term(args.head))
+    case "ISNUMERIC" => isNumeric(term(args.head))
+    case "SAMETERM" => term(args.head) === term(args(1))
+    case "CONTAINS" => str(args.head).contains(str(args(1)))
+    case "STRSTARTS" => str(args.head).startsWith(str(args(1)))
+    case "STRENDS" => str(args.head).endsWith(str(args(1)))
+    case "REGEX" =>
+      val pat = if (args.length > 2)
+        F.concat(F.lit("(?"), str(args(2)), F.lit(")"), str(args(1)))
+      else str(args(1))
+      F.regexp_like(str(args.head), pat)
+    case "LANGMATCHES" =>
+      val l = F.lower(str(args.head)); val range = F.lower(str(args(1)))
+      F.when(range === "*", l =!= "").otherwise(
+        l === range || l.startsWith(F.concat(range, F.lit("-"))))
+  }
+
+  private def call(name: String, args: Seq[Expr]): Column = name match {
+    case b if ExprCompiler.boolBuiltins(b) => boolTerm(boolCall(b, args))
+    case "STR" => strTerm(str(args.head))
+    case "LANG" =>
+      strTerm(F.coalesce(lang(term(args.head)), F.lit("")))
+    case "DATATYPE" => mkIri(dt(term(args.head)))
+    case "IRI" | "URI" => mkIri(str(args.head))
+    case "BNODE" =>
+      F.struct(F.lit(KIND_BLANK).cast(ByteType).as("kind"),
+        F.concat(F.lit("fb"), F.expr("uuid()")).as("value"),
+        nullStr.as("dt"), nullStr.as("lang"))
+    case "STRLEN" => intTerm(F.length(str(args.head)))
+    case "UCASE" => mkLitKeepLang(F.upper(str(args.head)), term(args.head))
+    case "LCASE" => mkLitKeepLang(F.lower(str(args.head)), term(args.head))
+    case "CONCAT" => strTerm(F.concat(args.map(str): _*))
+    case "SUBSTR" =>
+      val s = str(args.head)
+      val start = numValue(term(args(1))).cast(IntegerType)
+      val len = if (args.length > 2)
+        numValue(term(args(2))).cast(IntegerType) else F.lit(Int.MaxValue)
+      mkLitKeepLang(s.substr(start, len), term(args.head))
+    case "STRBEFORE" =>
+      val s = str(args.head); val sub = str(args(1))
+      val pos = F.instr(s, sub) // 1-based, 0 = absent
+      mkLitKeepLang(F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(F.lit("")), term(args.head))
+    case "STRAFTER" =>
+      val s = str(args.head); val sub = str(args(1))
+      val pos = F.instr(s, sub)
+      mkLitKeepLang(
+        F.when(pos > 0, s.substr(pos + F.length(sub), F.length(s)))
+          .otherwise(F.lit("")), term(args.head))
+    case "REPLACE" =>
+      val flags = if (args.length > 3)
+        F.concat(F.lit("(?"), str(args(3)), F.lit(")"), str(args(1)))
+      else str(args(1))
+      mkLitKeepLang(F.regexp_replace(str(args.head), flags, str(args(2))),
+        term(args.head))
+    case "ENCODE_FOR_URI" =>
+      strTerm(F.regexp_replace(F.url_encode(str(args.head)), F.lit("\\+"), F.lit("%20")))
+    case "ABS" => numUnary(args.head, F.abs, F.abs)
+    case "CEIL" => numUnary(args.head, identity, c => F.ceil(c).cast(DoubleType))
+    case "FLOOR" => numUnary(args.head, identity, c => F.floor(c).cast(DoubleType))
+    case "ROUND" => numUnary(args.head, identity, c => F.round(c, 0))
+    case "YEAR" => intTerm(F.year(ts(args.head)))
+    case "MONTH" => intTerm(F.month(ts(args.head)))
+    case "DAY" => intTerm(F.dayofmonth(ts(args.head)))
+    case "HOURS" => intTerm(F.hour(ts(args.head)))
+    case "MINUTES" => intTerm(F.minute(ts(args.head)))
+    case "SECONDS" => intTerm(F.second(ts(args.head)))
+    case "TZ" => strTerm(F.lit("Z"))
+    case "NOW" =>
+      mkLit(F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        XSD.dateTime)
+    case "UUID" => mkIri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+    case "STRUUID" => strTerm(F.expr("uuid()"))
+    case "MD5" => strTerm(F.md5(str(args.head).cast(BinaryType)))
+    case "SHA1" => strTerm(F.sha1(str(args.head).cast(BinaryType)))
+    case "SHA256" => strTerm(F.sha2(str(args.head).cast(BinaryType), 256))
+    case "SHA384" => strTerm(F.sha2(str(args.head).cast(BinaryType), 384))
+    case "SHA512" => strTerm(F.sha2(str(args.head).cast(BinaryType), 512))
+    case "COALESCE" => F.coalesce(args.map(term): _*)
+    case "IF" =>
+      F.when(bool(args.head), term(args(1))).otherwise(term(args(2)))
+    case "STRLANG" =>
+      F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+        str(args.head).as("value"), F.lit(RDF.langString).as("dt"),
+        str(args(1)).as("lang"))
+    case "STRDT" =>
+      F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+        str(args.head).as("value"), str(args(1)).as("dt"), nullStr.as("lang"))
+    case "RAND" => dblTerm(F.rand())
+    // xsd casts (ExCall with full datatype IRI)
+    case XSD.integer | XSD.int | XSD.long =>
+      intTerm(value(term(args.head)).cast(DoubleType).cast(LongType))
+    case XSD.double | XSD.float => dblTerm(numOrParse(args.head))
+    case XSD.decimal => mkLit(numOrParse(args.head), XSD.decimal)
+    case XSD.string => strTerm(str(args.head))
+    case XSD.boolean =>
+      boolTerm(F.when(str(args.head).isin("true", "1"), F.lit(true))
+        .when(str(args.head).isin("false", "0"), F.lit(false)))
+    case XSD.dateTime => mkLit(str(args.head), XSD.dateTime)
+    case other =>
+      throw new UnsupportedOperationException(s"function <$other> not implemented")
+  }
+
+  private def numOrParse(e: Expr): Column = value(term(e)).cast(DoubleType)
+
+  private def ts(e: Expr): Column =
+    F.to_timestamp(F.regexp_replace(str(e), F.lit("T"), F.lit(" ")))
+
+  /** Numeric unary preserving integer-ness: intF applied when integral,
+    * dblF otherwise. */
+  private def numUnary(e: Expr, intF: Column => Column,
+      dblF: Column => Column): Column = {
+    val t = term(e)
+    val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
+    F.when(!isNumeric(t), nullTerm)
+      .when(integral, intTerm(intF(value(t).cast(LongType))))
+      .otherwise(dblTerm(dblF(numValue(t))))
+  }
+
+  // ------------------------------------------------------------- aggregates
+
+  /** Compile an aggregate to a single (possibly composite) agg Column
+    * producing a term struct. Integer exactness: SUM/MIN/MAX over all-
+    * integral groups stay in LongType. */
+  def agg(a: ExAgg): Column = {
+    def t = term(a.arg.get)
+    a.fn match {
+      case "COUNT" =>
+        val c = a.arg match {
+          case None => F.count(F.lit(1))
+          case Some(e) =>
+            if (a.distinct) F.countDistinct(term(e)) else F.count(term(e))
+        }
+        intTerm(c)
+      case "SUM" =>
+        val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
+        if (a.distinct) dblTerm(F.sum_distinct(numValue(t)))
+        else {
+          val sumL = F.sum(F.when(integral, value(t).cast(LongType)).otherwise(0L))
+          val sumD = F.sum(F.when(isNumeric(t) && !integral, numValue(t)).otherwise(0.0))
+          val anyNonInt = F.max(F.when(isNumeric(t) && !integral, 1).otherwise(0))
+          F.when(anyNonInt === 1, dblTerm(sumD + sumL.cast(DoubleType)))
+            .otherwise(intTerm(sumL))
+        }
+      case "AVG" =>
+        dblTerm(F.avg(numValue(t)))
+      case "MIN" | "MAX" =>
+        val isMin = a.fn == "MIN"
+        val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
+        def pick(c: Column) = if (isMin) F.min(c) else F.max(c)
+        val numL = pick(F.when(integral, value(t).cast(LongType)))
+        val numD = pick(F.when(isNumeric(t), numValue(t)))
+        val anyNonInt = F.max(F.when(isNumeric(t) && !integral, 1).otherwise(0))
+        val s = pick(F.when(!isNumeric(t) && t.isNotNull, value(t)))
+        F.when(anyNonInt === 0 && numL.isNotNull, intTerm(numL))
+          .when(numD.isNotNull, dblTerm(numD))
+          .when(s.isNotNull, strTerm(s))
+          .otherwise(F.lit(null).cast(Terms.termType))
+      case "SAMPLE" => F.first(t, ignoreNulls = true)
+      case "GROUP_CONCAT" =>
+        val sep = a.separator.getOrElse(" ")
+        val vals =
+          if (a.distinct) F.collect_set(value(t)) else F.collect_list(value(t))
+        strTerm(F.array_join(F.array_sort(vals), sep))
+    }
+  }
+}
+
+object ExprCompiler {
+  val boolBuiltins: Set[String] = Set("BOUND", "ISIRI", "ISURI", "ISBLANK",
+    "ISLITERAL", "ISNUMERIC", "SAMETERM", "CONTAINS", "STRSTARTS", "STRENDS",
+    "REGEX", "LANGMATCHES")
+
+  /** Does the expression (transitively) contain an aggregate? */
+  def hasAgg(e: Expr): Boolean = e match {
+    case ExAgg(_, _, _, _) => true
+    case ExOr(l, r) => hasAgg(l) || hasAgg(r)
+    case ExAnd(l, r) => hasAgg(l) || hasAgg(r)
+    case ExNot(x) => hasAgg(x)
+    case ExCmp(_, l, r) => hasAgg(l) || hasAgg(r)
+    case ExArith(_, l, r) => hasAgg(l) || hasAgg(r)
+    case ExNegNum(x) => hasAgg(x)
+    case ExIn(x, list, _) => hasAgg(x) || list.exists(hasAgg)
+    case ExCall(_, args) => args.exists(hasAgg)
+    case _ => false
+  }
+}

@@ -1,0 +1,545 @@
+package graft.sparql
+
+import scala.util.parsing.combinator.RegexParsers
+import graft.rdf._
+import Ast._
+
+/** Recursive-descent SPARQL 1.1 parser (query + update).
+  *
+  * Built with scala-parser-combinators; covers the full surface the
+  * reference corpus exercises (SURVEY.md §2B) plus the standard builtin
+  * library. Prefixes known to the endpoint are passed in so bare QNames
+  * resolve without text-level prefix injection (the reference instead
+  * prepends PREFIX declarations to the query text —
+  * gastrodon/__init__.py:317-346; resolving inside the parser is the
+  * cleaner equivalent).
+  *
+  * Parse errors carry line/column so the endpoint can render the
+  * reference's caret convention (gastrodon/__init__.py:584-588).
+  */
+class SparqlParseException(val msg: String, val line: Int, val column: Int,
+    val longString: String) extends RuntimeException(msg)
+
+class Parser(initialPrefixes: Map[String, String] = Map.empty,
+    initialBase: Option[String] = None) extends RegexParsers {
+
+  override val skipWhitespace = true
+  /** whitespace + '#' line comments */
+  override val whiteSpace = """(\s|#[^\n\r]*)+""".r
+
+  protected var prefixes: Map[String, String] = initialPrefixes
+  protected var base: Option[String] = initialBase
+  protected def addPrefix(p: String, ns: String): Unit = prefixes += (p -> ns)
+  protected def setBase(b: String): Unit = base = Some(b)
+  def declaredPrefixes: Map[String, String] = prefixes
+  protected def kwPub(s: String): Parser[String] = kw(s)
+  private var bnodeCounter = 0
+  private def freshBnodeVar(): VarNode = {
+    bnodeCounter += 1
+    VarNode(s"_:b$bnodeCounter")
+  }
+
+  // ---------------------------------------------------------------- tokens
+
+  protected def kw(s: String): Parser[String] =
+    ("""(?i)\b""" + s + """\b""").r ^^ (_.toUpperCase)
+
+  private val IRIREF = """<[^<>"{}|^`\\\x00-\x20]*>""".r
+  private val PNAME = """([A-Za-z][A-Za-z0-9_.\-]*)?:([A-Za-z0-9_][A-Za-z0-9_.\-]*)?""".r
+  private val VAR = """[?$][A-Za-z0-9_]+""".r
+  private val BNODE_LABEL = """_:[A-Za-z0-9][A-Za-z0-9_.\-]*""".r
+  private val LANGTAG = """@[a-zA-Z]+(-[a-zA-Z0-9]+)*""".r
+  private val INTEGER = """[+-]?[0-9]+""".r
+  private val DECIMAL = """[+-]?[0-9]*\.[0-9]+""".r
+  private val DOUBLE = """[+-]?([0-9]+\.[0-9]*[eE][+-]?[0-9]+|\.?[0-9]+[eE][+-]?[0-9]+)""".r
+  private val STRING_D = ("\"" + """([^"\\\n\r]|\\.)*""" + "\"").r
+  private val STRING_S = ("'" + """([^'\\\n\r]|\\.)*""" + "'").r
+  private val STRING_LONG_D = "(?s)\"\"\".*?\"\"\"".r
+  private val STRING_LONG_S = "(?s)'''.*?'''".r
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'b' => sb += '\b'; case 'f' => sb += '\f'
+          case '"' => sb += '"'; case '\'' => sb += '\''; case '\\' => sb += '\\'
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case 'U' =>
+            sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 8
+          case other => sb += other
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  def iriRef: Parser[String] = IRIREF ^^ { raw =>
+    val inner = raw.substring(1, raw.length - 1)
+    resolveIri(inner)
+  }
+
+  private def resolveIri(inner: String): String = base match {
+    case Some(b) if !inner.contains("://") && !inner.startsWith("urn:") &&
+        !inner.startsWith("mailto:") =>
+      try new java.net.URI(b).resolve(inner).toString
+      catch { case _: Exception => inner }
+    case _ => inner
+  }
+
+  def pname: Parser[String] = PNAME ^^ { raw =>
+    val idx = raw.indexOf(':')
+    val (pfx, local) = (raw.substring(0, idx), raw.substring(idx + 1))
+    prefixes.get(pfx) match {
+      case Some(ns) => ns + local
+      case None => throw new SparqlParseException(
+        s"Unknown prefix '$pfx:'", 0, 0, s"Unknown prefix '$pfx:' in '$raw'")
+    }
+  }
+
+  def iri: Parser[String] = iriRef | pname
+
+  def varName: Parser[String] = VAR ^^ (_.substring(1))
+
+  def rdfLiteral: Parser[Lit] = {
+    val str: Parser[String] =
+      STRING_LONG_D ^^ (s => unescape(s.substring(3, s.length - 3))) |
+      STRING_LONG_S ^^ (s => unescape(s.substring(3, s.length - 3))) |
+      STRING_D ^^ (s => unescape(s.substring(1, s.length - 1))) |
+      STRING_S ^^ (s => unescape(s.substring(1, s.length - 1)))
+    str ~ opt(LANGTAG ^^ (_.substring(1)) ^^ Left.apply | "^^" ~> iri ^^ Right.apply) ^^ {
+      case lex ~ None => Lit.plain(lex)
+      case lex ~ Some(Left(lang)) => Lit.tagged(lex, lang)
+      case lex ~ Some(Right(dt)) => Lit.typed(lex, dt)
+    }
+  }
+
+  def numericLiteral: Parser[Lit] =
+    DOUBLE ^^ (s => Lit.typed(s, XSD.double)) |
+    DECIMAL ^^ (s => Lit.typed(s, XSD.decimal)) |
+    INTEGER ^^ (s => Lit.typed(s, XSD.integer))
+
+  def booleanLiteral: Parser[Lit] =
+    kw("true") ^^ (_ => Lit.typed("true", XSD.boolean)) |
+    kw("false") ^^ (_ => Lit.typed("false", XSD.boolean))
+
+  def literal: Parser[Lit] = rdfLiteral | numericLiteral | booleanLiteral
+
+  // ------------------------------------------------------------- prologue
+
+  def prologue: Parser[Prologue] =
+    rep(prefixDecl | baseDecl) ^^ { _ => Prologue(base, prefixes) }
+
+  private def prefixDecl: Parser[Unit] =
+    kw("PREFIX") ~> ("""([A-Za-z][A-Za-z0-9_.\-]*)?:""".r) ~ IRIREF ^^ {
+      case pc ~ i =>
+        prefixes += (pc.dropRight(1) -> resolveIri(i.substring(1, i.length - 1)))
+    }
+  private def baseDecl: Parser[Unit] =
+    kw("BASE") ~> IRIREF ^^ { i => base = Some(i.substring(1, i.length - 1)) }
+
+  // --------------------------------------------------------------- nodes
+
+  def graphNode: Parser[(Node, Seq[TriplePattern])] =
+    varName ^^ (v => (VarNode(v), Nil)) |
+    iri ^^ (i => (TermNode(Iri(i)): Node, Nil)) |
+    literal ^^ (l => (TermNode(l): Node, Nil)) |
+    BNODE_LABEL ^^ (b => (VarNode("_:" + b.substring(2)): Node, Nil)) |
+    "[" ~ "]" ^^ (_ => (freshBnodeVar(): Node, Nil)) |
+    blankNodePropertyList |
+    collection
+
+  def blankNodePropertyList: Parser[(Node, Seq[TriplePattern])] =
+    "[" ~> propertyList <~ "]" ^^ { pl =>
+      val node = freshBnodeVar()
+      val triples = pl.flatMap { case (verb, objs) =>
+        objs.flatMap { case (o, extra) => TriplePattern(node, verb, o) +: extra }
+      }
+      (node, triples)
+    }
+
+  def collection: Parser[(Node, Seq[TriplePattern])] =
+    "(" ~ ")" ^^ (_ => (TermNode(Iri(RDF.nil)): Node, Nil)) |
+    "(" ~> rep1(graphNode) <~ ")" ^^ { items =>
+      val nodes = items.map(_._1)
+      val extras = items.flatMap(_._2)
+      val cells = nodes.map(_ => freshBnodeVar())
+      val links = cells.zip(nodes).zipWithIndex.flatMap { case ((cell, item), i) =>
+        val restNode: Node =
+          if (i == cells.length - 1) TermNode(Iri(RDF.nil)) else cells(i + 1)
+        Seq(TriplePattern(cell, VerbNode(TermNode(Iri(RDF.first))), item),
+          TriplePattern(cell, VerbNode(TermNode(Iri(RDF.rest))), restNode))
+      }
+      (cells.head, extras ++ links)
+    }
+
+  // --------------------------------------------------------------- paths
+
+  def path: Parser[Path] = pathSequence ~ rep("|" ~> pathSequence) ^^ {
+    case p ~ rest => rest.foldLeft(p)(PAlt.apply)
+  }
+  def pathSequence: Parser[Path] = pathEltOrInverse ~ rep("/" ~> pathEltOrInverse) ^^ {
+    case p ~ rest => rest.foldLeft(p)(PSeq.apply)
+  }
+  def pathEltOrInverse: Parser[Path] =
+    "^" ~> pathElt ^^ PInv.apply | pathElt
+  // NB: a bare `?` modifier must not swallow a following variable's sigil
+  // (`:p ?x` vs `:p? :x`) — negative lookahead on var-name chars.
+  def pathElt: Parser[Path] =
+    pathPrimary ~ opt("*" | "+" | """\?(?![A-Za-z0-9_])""".r) ^^ {
+      case p ~ Some("*") => PZeroOrMore(p)
+      case p ~ Some("+") => POneOrMore(p)
+      case p ~ Some(_) => PZeroOrOne(p)
+      case p ~ None => p
+    }
+  def pathPrimary: Parser[Path] =
+    "a\\b".r ^^ (_ => PLink(RDF.typ)) |
+    iri ^^ PLink.apply |
+    "!" ~> pathNegatedSet |
+    "(" ~> path <~ ")"
+  def pathNegatedSet: Parser[Path] = {
+    val one: Parser[Either[String, String]] =
+      "^" ~> (("a\\b".r ^^ (_ => RDF.typ)) | iri) ^^ Right.apply |
+      (("a\\b".r ^^ (_ => RDF.typ)) | iri) ^^ Left.apply
+    (one ^^ (Seq(_)) | "(" ~> repsep(one, "|") <~ ")") ^^ { items =>
+      PNeg(items.collect { case Left(i) => i },
+        items.collect { case Right(i) => i })
+    }
+  }
+
+  // ------------------------------------------------------------- triples
+
+  /** verb: 'a', var, iri, or full property path. Plain iri/'a' parse as a
+    * path link so the compiler sees a uniform Verb. */
+  def verb: Parser[Verb] =
+    varName ^^ (v => VerbNode(VarNode(v))) |
+    path ^^ {
+      case PLink(i) => VerbNode(TermNode(Iri(i)))
+      case p => VerbPath(p)
+    }
+
+  def objectList: Parser[Seq[(Node, Seq[TriplePattern])]] =
+    rep1sep(graphNode, ",")
+
+  def propertyList: Parser[Seq[(Verb, Seq[(Node, Seq[TriplePattern])])]] =
+    rep1sep(verb ~ objectList ^^ { case v ~ os => (v, os) }, ";" ~ opt(";"))
+
+  def triplesSameSubject: Parser[Seq[TriplePattern]] = {
+    def expand(s: Node, pl: Seq[(Verb, Seq[(Node, Seq[TriplePattern])])]) =
+      pl.flatMap { case (v, objs) =>
+        objs.flatMap { case (o, oExtra) => TriplePattern(s, v, o) +: oExtra }
+      }
+    // bnode property lists / collections may stand alone; a plain subject
+    // REQUIRES a property list (otherwise garbage silently parses as empty)
+    (blankNodePropertyList | collection) ~ opt(propertyList) ^^ {
+      case (s, extra) ~ plOpt => extra ++ expand(s, plOpt.getOrElse(Nil))
+    } |
+    graphNode ~ propertyList ^^ { case (s, extra) ~ pl => extra ++ expand(s, pl) }
+  }
+
+  def triplesBlock: Parser[Seq[TriplePattern]] =
+    rep1sep(triplesSameSubject, rep1(".")) <~ opt(".") ^^ (_.flatten)
+
+  // --------------------------------------------------------- expressions
+
+  def expression: Parser[Expr] = conditionalOr
+
+  def conditionalOr: Parser[Expr] =
+    conditionalAnd ~ rep("||" ~> conditionalAnd) ^^ {
+      case e ~ rest => rest.foldLeft(e)(ExOr.apply)
+    }
+  def conditionalAnd: Parser[Expr] =
+    valueLogical ~ rep("&&" ~> valueLogical) ^^ {
+      case e ~ rest => rest.foldLeft(e)(ExAnd.apply)
+    }
+  def valueLogical: Parser[Expr] = {
+    val tail: Parser[Expr => Expr] =
+      ("<=" | ">=" | "!=" | "=" | "<" | ">") ~ numericExpr ^^ {
+        case op ~ r => (e: Expr) => ExCmp(op, e, r)
+      } |
+      kw("NOT") ~> kw("IN") ~> exprList ^^ (list => (e: Expr) => ExIn(e, list, negated = true)) |
+      kw("IN") ~> exprList ^^ (list => (e: Expr) => ExIn(e, list, negated = false))
+    numericExpr ~ opt(tail) ^^ { case e ~ t => t.map(_(e)).getOrElse(e) }
+  }
+  private def exprList: Parser[Seq[Expr]] =
+    "(" ~> repsep(expression, ",") <~ ")"
+
+  def numericExpr: Parser[Expr] =
+    multiplicative ~ rep(("+" | "-") ~ multiplicative) ^^ {
+      case e ~ rest => rest.foldLeft(e) { case (acc, op ~ r) => ExArith(op, acc, r) }
+    }
+  def multiplicative: Parser[Expr] =
+    unary ~ rep(("*" | "/") ~ unary) ^^ {
+      case e ~ rest => rest.foldLeft(e) { case (acc, op ~ r) => ExArith(op, acc, r) }
+    }
+  def unary: Parser[Expr] =
+    "!" ~> unary ^^ ExNot.apply |
+    "+" ~> unary |
+    "-" ~> unary ^^ ExNegNum.apply |
+    primary
+
+  def primary: Parser[Expr] =
+    bracketted | builtInCall | aggregate | existsExpr | iriOrFunction |
+    literal ^^ ExTerm.apply |
+    varName ^^ ExVar.apply
+
+  def bracketted: Parser[Expr] = "(" ~> expression <~ ")"
+
+  private val zeroArg = Set("RAND", "NOW", "UUID", "STRUUID", "BNODE")
+  private val builtinNames = Seq(
+    "STRLEN", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "STRLANG",
+    "STRDT", "STR", "LANGMATCHES", "LANG", "DATATYPE", "BOUND", "IRI", "URI",
+    "BNODE", "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "YEAR", "MONTH", "DAY", "HOURS",
+    "MINUTES", "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5",
+    "SHA1", "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "SAMETERM",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR",
+    "REPLACE")
+
+  def builtInCall: Parser[Expr] = {
+    val name: Parser[String] = builtinNames.map(kw).reduce(_ | _)
+    name ~ opt("(" ~> repsep(expression, ",") <~ ")") ^? ({
+      case n ~ Some(args) => ExCall(n, args)
+      case n ~ None if zeroArg(n) => ExCall(n, Nil)
+    }, { case n ~ _ => s"builtin $n requires arguments" })
+  }
+
+  def aggregate: Parser[Expr] = {
+    val distinctP = opt(kw("DISTINCT")) ^^ (_.isDefined)
+    kw("COUNT") ~> "(" ~> distinctP ~ ("*" ^^ (_ => None) | expression ^^ (Some(_))) <~ ")" ^^ {
+      case d ~ arg => ExAgg("COUNT", d, arg, None)
+    } |
+    (kw("SUM") | kw("MIN") | kw("MAX") | kw("AVG") | kw("SAMPLE")) ~
+      ("(" ~> distinctP ~ expression <~ ")") ^^ {
+      case fn ~ (d ~ e) => ExAgg(fn, d, Some(e), None)
+    } |
+    kw("GROUP_CONCAT") ~> "(" ~> distinctP ~ expression ~
+      opt(";" ~> kw("SEPARATOR") ~> "=" ~> rdfLiteral) <~ ")" ^^ {
+      case d ~ e ~ sep => ExAgg("GROUP_CONCAT", d, Some(e), sep.map(_.lex))
+    }
+  }
+
+  def existsExpr: Parser[Expr] =
+    kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (p => ExExists(p, negated = true)) |
+    kw("EXISTS") ~> groupGraphPattern ^^ (p => ExExists(p, negated = false))
+
+  /** iri optionally applied to args → cast / custom function. */
+  def iriOrFunction: Parser[Expr] =
+    iri ~ opt("(" ~> repsep(expression, ",") <~ ")") ^^ {
+      case i ~ Some(args) => ExCall(i, args)
+      case i ~ None => ExTerm(Iri(i))
+    }
+
+  // ------------------------------------------------------ graph patterns
+
+  def groupGraphPattern: Parser[GraphPattern] =
+    "{" ~> (subSelect | groupGraphPatternSub) <~ "}"
+
+  def subSelect: Parser[GraphPattern] =
+    selectClause ~ whereClause ~ solutionModifier ~ opt(valuesClause) ^^ {
+      case (d, r, proj) ~ where ~ mods ~ values =>
+        SubSelect(SelectQuery(d, r, proj, where, mods, values))
+    }
+
+  private sealed trait GgpElem
+  private case class ETriples(ts: Seq[TriplePattern]) extends GgpElem
+  private case class EFilter(e: Expr) extends GgpElem
+  private case class EOptional(p: GraphPattern) extends GgpElem
+  private case class EMinus(p: GraphPattern) extends GgpElem
+  private case class EUnionGroup(p: GraphPattern) extends GgpElem
+  private case class EBind(v: String, e: Expr) extends GgpElem
+  private case class EValues(t: TableData) extends GgpElem
+  private case class ESub(p: GraphPattern) extends GgpElem
+
+  def groupGraphPatternSub: Parser[GraphPattern] = rep(ggpElem <~ opt(".")) ^^ fold
+
+  private def ggpElem: Parser[GgpElem] =
+    kw("OPTIONAL") ~> groupGraphPattern ^^ EOptional.apply |
+    kw("MINUS") ~> groupGraphPattern ^^ EMinus.apply |
+    kw("FILTER") ~> constraint ^^ EFilter.apply |
+    kw("BIND") ~> "(" ~> expression ~ (kw("AS") ~> varName) <~ ")" ^^ {
+      case e ~ v => EBind(v, e)
+    } |
+    kw("VALUES") ~> inlineData ^^ EValues.apply |
+    kw("GRAPH") ~> (varName | iri) ~> groupGraphPattern ^^ ESub.apply |
+    groupOrUnion |
+    triplesBlock ^^ ETriples.apply
+
+  private def groupOrUnion: Parser[GgpElem] =
+    groupGraphPattern ~ rep(kw("UNION") ~> groupGraphPattern) ^^ {
+      case p ~ Nil => ESub(p)
+      case p ~ rest => EUnionGroup(rest.foldLeft(p)(Union.apply))
+    }
+
+  def constraint: Parser[Expr] = bracketted | builtInCall | existsExpr | iriOrFunction
+
+  private def fold(elems: Seq[GgpElem]): GraphPattern = {
+    var g: GraphPattern = Unit0
+    var filters = Vector.empty[Expr]
+    def join(r: GraphPattern): Unit = g = if (g == Unit0) r else Join(g, r)
+    elems.foreach {
+      case ETriples(ts) => join(Bgp(ts))
+      case EOptional(p) => p match {
+        case Filter(inner, fs) => g = LeftJoin(g, inner, fs)
+        case _ => g = LeftJoin(g, p, Nil)
+      }
+      case EMinus(p) => g = Minus(g, p)
+      case EUnionGroup(p) => join(p)
+      case EBind(v, e) => g = Extend(g, v, e)
+      case EValues(t) => join(t)
+      case ESub(p) => join(p)
+      case EFilter(e) => filters :+= e
+    }
+    if (filters.nonEmpty) Filter(g, filters) else g
+  }
+
+  def inlineData: Parser[TableData] = {
+    val dataValue: Parser[Option[RdfTerm]] =
+      kw("UNDEF") ^^ (_ => None) |
+      iri ^^ (i => Some(Iri(i))) |
+      literal ^^ (l => Some(l: RdfTerm))
+    varName ~ ("{" ~> rep(dataValue) <~ "}") ^^ {
+      case v ~ vals => TableData(Seq(v), vals.map(Seq(_)))
+    } |
+    ("(" ~> rep(varName) <~ ")") ~
+      ("{" ~> rep("(" ~> rep(dataValue) <~ ")") <~ "}") ^^ {
+      case vars ~ rows => TableData(vars, rows)
+    }
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** (distinct, reduced, projection) */
+  def selectClause: Parser[(Boolean, Boolean, Projection)] =
+    kw("SELECT") ~> opt(kw("DISTINCT") | kw("REDUCED")) ~ projection ^^ {
+      case mod ~ proj =>
+        (mod.contains("DISTINCT"), mod.contains("REDUCED"), proj)
+    }
+
+  def projection: Parser[Projection] =
+    "*" ^^ (_ => SelectAll) |
+    rep1(
+      "(" ~> expression ~ (kw("AS") ~> varName) <~ ")" ^^ {
+        case e ~ v => ProjItem(e, Some(v))
+      } |
+      varName ^^ (v => ProjItem(ExVar(v), None))
+    ) ^^ SelectVars.apply
+
+  def whereClause: Parser[GraphPattern] =
+    opt(kw("WHERE")) ~> groupGraphPattern
+
+  def datasetClause: Parser[Unit] =
+    kw("FROM") ~> opt(kw("NAMED")) ~> iri ^^ (_ => ())
+
+  def solutionModifier: Parser[Modifiers] =
+    opt(groupClause) ~ opt(havingClause) ~ opt(orderClause) ~ limitOffset ^^ {
+      case g ~ h ~ o ~ ((lim, off)) =>
+        Modifiers(g.getOrElse(Nil), h.getOrElse(Nil), o.getOrElse(Nil), lim, off)
+    }
+
+  def groupClause: Parser[Seq[GroupCond]] =
+    kw("GROUP") ~> kw("BY") ~> rep1(
+      "(" ~> expression ~ opt(kw("AS") ~> varName) <~ ")" ^^ {
+        case e ~ a => GroupExpr(e, a)
+      } |
+      varName ^^ GroupVar.apply |
+      (builtInCall | iriOrFunction) ^^ (e => GroupExpr(e, None))
+    )
+
+  def havingClause: Parser[Seq[Expr]] = kw("HAVING") ~> rep1(constraint)
+
+  def orderClause: Parser[Seq[(Expr, Boolean)]] =
+    kw("ORDER") ~> kw("BY") ~> rep1(
+      kw("ASC") ~> bracketted ^^ ((_, true)) |
+      kw("DESC") ~> bracketted ^^ ((_, false)) |
+      constraint ^^ ((_, true)) |
+      varName ^^ (v => (ExVar(v): Expr, true))
+    )
+
+  def limitOffset: Parser[(Option[Long], Option[Long])] =
+    opt(kw("LIMIT") ~> INTEGER ^^ (_.toLong)) ~
+      opt(kw("OFFSET") ~> INTEGER ^^ (_.toLong)) ~
+      opt(kw("LIMIT") ~> INTEGER ^^ (_.toLong)) ^^ {
+      case l1 ~ off ~ l2 => (l1.orElse(l2), off)
+    }
+
+  def valuesClause: Parser[TableData] = kw("VALUES") ~> inlineData
+
+  def selectQuery: Parser[SelectQuery] =
+    selectClause ~ rep(datasetClause) ~ whereClause ~ solutionModifier ~
+      opt(valuesClause) ^^ {
+      case (d, r, proj) ~ _ ~ where ~ mods ~ values =>
+        SelectQuery(d, r, proj, where, mods, values)
+    }
+
+  def constructQuery: Parser[ConstructQuery] =
+    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~ rep(datasetClause) ~
+      whereClause ~ solutionModifier ^^ {
+      case tmpl ~ _ ~ where ~ mods =>
+        ConstructQuery(tmpl.getOrElse(Nil), where, mods)
+    } |
+    // CONSTRUCT WHERE { pattern } shorthand
+    kw("CONSTRUCT") ~> kw("WHERE") ~> ("{" ~> opt(triplesBlock) <~ "}") ~
+      solutionModifier ^^ {
+      case tmpl ~ mods => ConstructQuery(tmpl.getOrElse(Nil),
+        Bgp(tmpl.getOrElse(Nil)), mods)
+    }
+
+  def askQuery: Parser[AskQuery] =
+    kw("ASK") ~> rep(datasetClause) ~> groupGraphPattern ^^ AskQuery.apply
+
+  def query: Parser[ParsedQuery] =
+    prologue ~ (selectQuery | constructQuery | askQuery) ^^ {
+      case p ~ q => ParsedQuery(p, q)
+    }
+
+  // ------------------------------------------------------------- updates
+
+  def update: Parser[ParsedUpdate] =
+    prologue ~ repsep(update1, ";") <~ opt(";") ^^ {
+      case p ~ ops => ParsedUpdate(p, ops)
+    }
+
+  def update1: Parser[UpdateOp] =
+    kw("INSERT") ~> kw("DATA") ~> "{" ~> opt(triplesBlock) <~ "}" ^^ (t => InsertData(t.getOrElse(Nil))) |
+    kw("DELETE") ~> kw("DATA") ~> "{" ~> opt(triplesBlock) <~ "}" ^^ (t => DeleteData(t.getOrElse(Nil))) |
+    kw("DELETE") ~> kw("WHERE") ~> ("{" ~> opt(triplesBlock) <~ "}") ^^ (t => DeleteWhere(t.getOrElse(Nil))) |
+    kw("CLEAR") ~> opt(kw("SILENT")) ~> (kw("ALL") | kw("DEFAULT")) ^^ (_ => ClearAll) |
+    modify
+
+  def modify: Parser[UpdateOp] = {
+    val del = kw("DELETE") ~> "{" ~> opt(triplesBlock) <~ "}"
+    val ins = kw("INSERT") ~> "{" ~> opt(triplesBlock) <~ "}"
+    del ~ opt(ins) ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case d ~ i ~ w => Modify(d.getOrElse(Nil), i.flatten.getOrElse(Nil), w)
+    } |
+    ins ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case i ~ w => Modify(Nil, i.getOrElse(Nil), w)
+    }
+  }
+
+  // ------------------------------------------------------------ entrypoints
+
+  private def run[T](p: Parser[T], text: String): T =
+    parseAll(p, text) match {
+      case Success(result, _) => result
+      case Failure(msg, next) =>
+        throw new SparqlParseException(msg, next.pos.line, next.pos.column,
+          s"$msg at line ${next.pos.line} column ${next.pos.column}\n" +
+            next.pos.longString)
+      case Error(msg, next) =>
+        throw new SparqlParseException(msg, next.pos.line, next.pos.column,
+          s"$msg at line ${next.pos.line} column ${next.pos.column}\n" +
+            next.pos.longString)
+    }
+
+  def parseQuery(text: String): ParsedQuery = run(query, text)
+  def parseUpdate(text: String): ParsedUpdate = run(update, text)
+}

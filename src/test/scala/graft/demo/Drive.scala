@@ -1,0 +1,54 @@
+package graft.demo
+
+import org.apache.spark.sql.SparkSession
+import graft._
+import graft.rdf._
+
+/** Manual drive of the public API (what a user of the library does) —
+  * used by /verify-style runtime checks: `sbt "Test/runMain graft.demo.Drive"`. */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val engine = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :New_York_City :boro :Manhattan , :Brooklyn , :The_Bronx , :Queens , :Staten_Island .
+        :Manhattan :pop 1628706 . :Brooklyn :pop 2576771 .
+        :Queens :pop 2270976 . :The_Bronx :pop 1418207 . :Staten_Island :pop 476143 .
+      """)
+    engine.bindNamespace("", "http://example.com/")
+
+    println("=== graph size: " + engine.graph.size)
+
+    println("=== boroughs by population desc:")
+    engine.select(
+      """SELECT ?boro ?pop {
+           :New_York_City :boro ?boro . ?boro :pop ?pop
+         } ORDER BY DESC(?pop)""").show(false)
+
+    println("=== total population (agg):")
+    engine.select(
+      "SELECT (SUM(?pop) AS ?total) (COUNT(*) AS ?n) { ?b :pop ?pop }").show(false)
+
+    println("=== INSERT WHERE (forward chaining) then re-query:")
+    engine.update(
+      "INSERT { ?b a :BigBoro } WHERE { ?b :pop ?p FILTER(?p > 2000000) }")
+    engine.select("SELECT ?b { ?b a :BigBoro } ORDER BY ?b").show(false)
+
+    println("=== ttl round-trip:")
+    println(engine.ttl().take(400))
+
+    println("=== probe: parse error rendering:")
+    try engine.select("SELECT ?x { ?x :boro ")
+    catch { case e: GraftException => println(e.getMessage) }
+
+    spark.stop()
+  }
+}
