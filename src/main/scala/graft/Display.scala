@@ -50,7 +50,9 @@ object Display {
     else if (allLit && dts.forall(XSD.numeric)) value(c).cast(DoubleType)
     else if (allLit && dts.forall(_ == XSD.boolean)) value(c) === "true"
     else if (allLit && dts.forall(_ == XSD.dateTime))
-      F.to_timestamp(F.regexp_replace(value(c), F.lit("T"), F.lit(" ")))
+      // NTZ: the TESTDATA timestamps are tz-naive; writing tz-adjusted
+      // timestamps would break oracle comparison
+      value(c).cast(TimestampNTZType)
     else if (allLit && dts.forall(_ == XSD.date)) value(c).cast(DateType)
     else // strings / IRIs / mixed → display string
       F.when(isIri(c), shortenExpr(value(c), prefixes))

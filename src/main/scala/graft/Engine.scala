@@ -70,14 +70,20 @@ class Engine(initial: RdfGraph) {
       catch { case e: SparqlParseException => throw GraftException.fromParse(q, e) }
     })
 
-  private def compiler = new Compiler(graph.triples, spark)
+  private def compiler = new Compiler(graph, spark)
 
   /** SELECT → display DataFrame (typed native columns, QName-shortened
     * IRIs) — `Endpoint.select` (gastrodon/__init__.py:487-511). Returns the
     * frame with GROUP BY variables first (the reference sets them as the
     * pandas index — gastrodon/__init__.py:505-511). */
-  def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
-    Display.toDisplay(selectRaw(sparql, bindings), graph.prefixes)
+  def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
+    // cache the bindings: the display projection makes one type-sniffing
+    // aggregate pass before the caller's action — without this the whole
+    // query would execute twice (selectRaw is the no-extra-pass API)
+    val raw = selectRaw(sparql, bindings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Display.toDisplay(raw, graph.prefixes)
+  }
 
   /** SELECT without display conversion: term-struct columns
     * (`select_raw`, gastrodon/__init__.py:513-523). This is the 100 TB

@@ -1,13 +1,506 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.rdf._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.streaming.EventStreams
+
+/** Driver contract: one queries-map entry per implemented operator from
+  * SURVEY.md §2, each paired with equivalent DuckDB SQL in oracleSql. The
+  * SPARQL entries run over the direct-mapped RDF view of the same parquet
+  * the oracle reads (Tables.scala); pipeline entries run the DataFrame API
+  * directly. Entries without an oracle (hash-based near-dup, ANN, stubs)
+  * get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val P =
+    """PREFIX gp: <urn:graft:p/>
+      |PREFIX g: <urn:graft:>
+      |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |""".stripMargin
+
+  private def eng(s: SparkSession, dir: String, tables: String*): Engine =
+    Engine.fromGraph(Tables.graph(s, dir, tables: _*))
+
+  private def sel(tables: String*)(sparql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => eng(s, dir, tables: _*).select(P + sparql)
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    Tables.read(s, dir, t)
+
+  /** Flagship query on sf=0.001: SPARQL join+agg over the direct-mapped
+    * graph (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    eng(spark, "/root/testdata/sf0.001", "customer", "nation").select(P +
+      """SELECT ?nname (COUNT(*) AS ?cnt) {
+           ?c gp:c_nation_ref ?n . ?n gp:n_name ?nname
+         } GROUP BY ?nname ORDER BY DESC(?cnt) ?nname""")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / BGP / joins (SURVEY §2B "Projection/filter", "Joins")
+    "q_bgp_scan" -> sel("region")(
+      "SELECT ?name { ?s gp:r_name ?name }"),
+    "q_bgp_join" -> sel("customer", "nation")(
+      """SELECT ?cname ?nname {
+           ?c gp:c_nation_ref ?n . ?c gp:c_name ?cname . ?n gp:n_name ?nname }"""),
+    "q_filter_cmp" -> sel("customer")(
+      """SELECT ?name ?bal {
+           ?c gp:c_name ?name . ?c gp:c_acctbal ?bal . ?c gp:c_mktsegment ?seg
+           FILTER(?bal > 9000.0 && ?seg = "BUILDING") }"""),
+    "q_filter_in" -> sel("nation")(
+      """SELECT ?name { ?n gp:n_name ?name
+           FILTER(?name IN ("NATION_3", "NATION_7", "NATION_11")) }"""),
+    "q_filter_not" -> sel("part")(
+      """SELECT ?name { ?p gp:p_name ?name . ?p gp:p_type ?t
+           FILTER(!STRSTARTS(?t, "ECO")) }"""),
+    "q_bind_arith" -> sel("nation")(
+      """SELECT ?name ?x { ?n gp:n_name ?name . ?n gp:n_nationkey ?k
+           BIND(?k * 2 + 1 AS ?x) }"""),
+    "q_values" -> sel("region")(
+      """SELECT ?name { VALUES ?k { 0 2 4 }
+           ?r gp:r_regionkey ?k . ?r gp:r_name ?name }"""),
+
+    // --- OPTIONAL / MINUS / EXISTS (SURVEY §2B "Joins")
+    "q_optional" -> sel("customer", "orders")(
+      """SELECT ?cname ?okey {
+           ?c gp:c_name ?cname
+           OPTIONAL { ?o gp:o_cust_ref ?c . ?o gp:o_orderkey ?okey .
+                      ?o gp:o_totalprice ?tp FILTER(?tp > 400000.0) } }"""),
+    "q_minus" -> sel("customer", "orders")(
+      """SELECT ?cname { ?c gp:c_name ?cname
+           MINUS { ?o gp:o_cust_ref ?c . ?o gp:o_totalprice ?tp
+                   FILTER(?tp > 400000.0) } }"""),
+    "q_not_exists" -> sel("customer", "orders")(
+      """SELECT ?cname { ?c gp:c_name ?cname
+           FILTER NOT EXISTS { ?o gp:o_cust_ref ?c .
+             ?o gp:o_orderpriority ?pr FILTER(?pr = "1-URGENT") } }"""),
+    "q_exists" -> sel("customer", "orders")(
+      """SELECT ?cname { ?c gp:c_name ?cname
+           FILTER EXISTS { ?o gp:o_cust_ref ?c .
+             ?o gp:o_totalprice ?tp FILTER(?tp > 450000.0) } }"""),
+    "q_union" -> sel("customer", "supplier")(
+      "SELECT ?name { { ?c gp:c_name ?name } UNION { ?s gp:s_name ?name } }"),
+
+    // --- aggregation (SURVEY §2B "Aggregations")
+    "q_groupby_count" -> sel("customer", "nation")(
+      """SELECT ?nname (COUNT(*) AS ?cnt) {
+           ?c gp:c_nation_ref ?n . ?n gp:n_name ?nname } GROUP BY ?nname"""),
+    "q_group_expr" -> sel("customer")(
+      """SELECT ?pre (COUNT(*) AS ?cnt) { ?c gp:c_mktsegment ?seg }
+           GROUP BY (SUBSTR(?seg, 1, 3) AS ?pre)"""),
+    "q_count_distinct" -> sel("customer")(
+      "SELECT (COUNT(DISTINCT ?seg) AS ?n) { ?c gp:c_mktsegment ?seg }"),
+    "q_agg_suite" -> sel("lineitem")(
+      """SELECT ?flag (SUM(?q) AS ?sum_qty) (AVG(?q) AS ?avg_qty)
+                (MIN(?q) AS ?min_qty) (MAX(?q) AS ?max_qty) (COUNT(*) AS ?n) {
+           ?l gp:l_returnflag ?flag . ?l gp:l_quantity ?q } GROUP BY ?flag"""),
+    "q_having" -> sel("customer")(
+      """SELECT ?seg (COUNT(*) AS ?cnt) { ?c gp:c_mktsegment ?seg }
+           GROUP BY ?seg HAVING(COUNT(*) > 250)"""),
+
+    // --- sort / limit / distinct (SURVEY §2B "Sorts/limits")
+    "q_topk" -> sel("orders")(
+      """SELECT ?okey ?price { ?o gp:o_orderkey ?okey . ?o gp:o_totalprice ?price }
+           ORDER BY DESC(?price) ?okey LIMIT 10"""),
+    "q_offset" -> sel("nation")(
+      "SELECT ?name { ?n gp:n_name ?name } ORDER BY ?name OFFSET 5 LIMIT 5"),
+    "q_distinct" -> sel("customer")(
+      "SELECT DISTINCT ?seg { ?c gp:c_mktsegment ?seg }"),
+    "q_orderby_multi" -> sel("customer")(
+      """SELECT ?seg ?name { ?c gp:c_mktsegment ?seg . ?c gp:c_name ?name }
+           ORDER BY ?seg DESC(?name)"""),
+
+    // --- subqueries (SURVEY §2B "Subqueries")
+    "q_subquery_agg" -> sel("customer", "nation")(
+      """SELECT ?nname ?cnt { ?n gp:n_name ?nname
+           { SELECT ?n (COUNT(*) AS ?cnt) { ?c gp:c_nation_ref ?n } GROUP BY ?n } }"""),
+    "q_subquery_filter" -> sel("customer", "nation")(
+      """SELECT ?nname ?cnt { ?n gp:n_name ?nname
+           { SELECT ?n (COUNT(*) AS ?cnt) { ?c gp:c_nation_ref ?n } GROUP BY ?n }
+           FILTER(?cnt > 60) }"""),
+
+    // --- property paths (SURVEY §2B "Property paths")
+    "q_path_seq" -> sel("lineitem", "orders", "customer")(
+      """SELECT ?cname (COUNT(*) AS ?cnt) {
+           ?l gp:l_order_ref/gp:o_cust_ref/gp:c_name ?cname } GROUP BY ?cname"""),
+    "q_path_inverse" -> sel("customer", "nation")(
+      """SELECT ?nname (COUNT(*) AS ?cnt) {
+           ?n gp:n_name ?nname . ?n ^gp:c_nation_ref ?c } GROUP BY ?nname"""),
+    "q_path_alt" -> sel("customer", "supplier")(
+      "SELECT ?name { ?x gp:c_name|gp:s_name ?name }"),
+    "q_path_star" -> sel("nation")(
+      "SELECT ?x { <urn:graft:nation/7> gp:n_region_ref* ?x }"),
+    "q_path_plus" -> sel("customer", "nation")(
+      "SELECT ?x { <urn:graft:customer/42> (gp:c_nation_ref|gp:n_region_ref)+ ?x }"),
+
+    // --- CONSTRUCT / UPDATE (SURVEY §2A construct, §2C)
+    "q_construct" -> ((s, dir) => {
+      val g = eng(s, dir, "customer", "nation").construct(P +
+        """CONSTRUCT { ?c <urn:graft:p/in_nation> ?nname }
+           WHERE { ?c gp:c_nation_ref ?n . ?n gp:n_name ?nname }""")
+      g.triples.select(F.col("s.value").as("s"), F.col("p.value").as("p"),
+        F.col("o.value").as("o"))
+    }),
+    "q_update_insert" -> ((s, dir) => {
+      val e = eng(s, dir, "customer")
+      e.update(P +
+        """INSERT { ?c a <urn:graft:class/rich> }
+           WHERE { ?c gp:c_acctbal ?b FILTER(?b > 9000.0) }""")
+      e.select(P + "SELECT (COUNT(*) AS ?n) { ?c a <urn:graft:class/rich> }")
+    }),
+    "q_update_delete" -> ((s, dir) => {
+      val e = eng(s, dir, "region")
+      e.update(P +
+        """DELETE { ?r gp:r_name ?n }
+           WHERE { ?r gp:r_regionkey ?k . ?r gp:r_name ?n FILTER(?k = 0) }""")
+      e.select(P + "SELECT ?name { ?r gp:r_name ?name }")
+    }),
+
+    // --- RDF containers: rdf:Seq recipe (SURVEY §2A decollect; the
+    //     reference's SUBSTR(STR(?p),45) index extraction)
+    "q_container_seq" -> ((s, dir) => {
+      val e = Engine.fromGraph(containerGraph(s, dir))
+      e.select(P +
+        """SELECT ?okey ?idx ?pkey {
+             ?o ?p ?item .
+             FILTER(STRSTARTS(STR(?p), "http://www.w3.org/1999/02/22-rdf-syntax-ns#_"))
+             BIND(xsd:integer(SUBSTR(STR(?p), 45)) AS ?idx)
+             BIND(xsd:integer(SUBSTR(STR(?o), 18)) AS ?okey)
+             BIND(xsd:integer(SUBSTR(STR(?item), 16)) AS ?pkey) }""")
+    }),
+
+    // --- scalar function library (SURVEY §2B "Scalar functions")
+    "q_scalar_strings" -> sel("part")(
+      """SELECT ?name ?len ?uname ?pre {
+           ?p gp:p_name ?name
+           BIND(STRLEN(?name) AS ?len) BIND(UCASE(?name) AS ?uname)
+           BIND(SUBSTR(?name, 1, 3) AS ?pre)
+           FILTER(CONTAINS(?name, " ") && REGEX(?name, "^[a-z]+ [a-z]+$")) }"""),
+    "q_scalar_funcs" -> sel("part")(
+      """SELECT ?name ?brandnum ?cat {
+           ?p gp:p_name ?name . ?p gp:p_brand ?brand . ?p gp:p_size ?sz
+           BIND(xsd:integer(STRAFTER(?brand, "#")) AS ?brandnum)
+           BIND(IF(?sz < 25, "small", "large") AS ?cat) }"""),
+    "q_dates" -> sel("orders")(
+      """SELECT ?okey ?od ?yr ?mo {
+           ?o gp:o_orderkey ?okey . ?o gp:o_orderdate ?od
+           BIND(YEAR(?od) AS ?yr) BIND(MONTH(?od) AS ?mo)
+           FILTER(?mo <= 6) }"""),
+
+    // --- money aggregates, decimal-exact (DataFrame API extension surface)
+    "q_money_sum" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(F.col("l_returnflag").as("flag"))
+        .agg(
+          F.sum(F.col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"),
+          F.count(F.lit(1)).as("n"))),
+
+    // --- window functions (pandas cumsum idiom parity, SURVEY §2B)
+    "q_window_cumsum" -> ((s, dir) => {
+      val hist = read(s, dir, "orders")
+        .groupBy(F.col("o_orderpriority").as("pri"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val w = Window.orderBy(F.col("n").desc, F.col("pri"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", F.sum("n").over(w))
+    }),
+
+    // --- events: windowed agg (batch twin of the streaming pipeline)
+    "q_events_window" -> ((s, dir) =>
+      EventStreams.windowedAgg(read(s, dir, "events"), "1 hour")),
+    "q_events_sliding" -> ((s, dir) =>
+      EventStreams.slidingUserActivity(read(s, dir, "events"), "1 hour", "30 minutes")
+        .where(F.col("n") > 2)),
+    "q_events_props" -> ((s, dir) =>
+      read(s, dir, "events").select(
+        F.col("event_id"),
+        F.regexp_extract(F.col("props"), "\"k\": ([0-9]+)", 1)
+          .cast(LongType).as("k"))),
+
+    // --- text analysis (documents)
+    "q_text_stats" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        F.col("doc_id"),
+        TextAnalysis.tokenCount(F.col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(F.col("text")).cast(LongType).as("n_bpe"),
+        TextAnalysis.charCount(F.col("text")).cast(LongType).as("n_chars2"))),
+    "q_text_quality" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        F.col("doc_id"),
+        F.round(TextAnalysis.punctRatio(F.col("text")), 6).as("punct_ratio"),
+        F.round(TextAnalysis.stopwordRatio(F.col("text")), 6).as("stopword_ratio"),
+        F.round(TextAnalysis.avgWordLen(F.col("text")), 6).as("avg_word_len"))),
+    "q_lang_id" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.langId(F.col("text")).as("lang_pred"))),
+    "q_quality_score" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.qualityScore(F.col("text")).as("quality"))),
+    "q_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.fingerprint(F.col("text")).as("fp"))),
+
+    // --- dedup family (documents)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(read(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(read(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3, numHashes = 32, bands = 8)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashGroups(read(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3)),
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(read(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, planes = 4)),
+
+    // --- similarity search (embeddings)
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.bruteForceTopK(emb.where(F.col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.lshTopK(emb.where(F.col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10, planes = 4, probes = 2)
+    }),
+
+    // --- multimodal plumbing (stubbed decode, real dataflow)
+    "q_multimodal_meta" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("media", Multimodal.syntheticMedia(F.col("text")))
+      val withMeta = Multimodal.withDecodedMeta(docs, "media")
+      withMeta.select(
+        F.col("doc_id"),
+        F.col("meta.width").as("width"),
+        F.col("meta.height").as("height"),
+        Multimodal.resizePlan(F.col("meta"), 256).getField("width").as("rw"),
+        F.size(Multimodal.sampleFrameIndexes(F.col("meta"), 4)).as("n_sampled"))
+    })
+  )
+
+  /** rdf:Seq container fixture: each order is a Seq whose rdf:_N members
+    * (N = linenumber) are part IRIs — the RDFContainers notebook shape over
+    * TESTDATA. */
+  private def containerGraph(s: SparkSession, dir: String): RdfGraph = {
+    import Terms._
+    val li = read(s, dir, "lineitem")
+    val t = li.select(
+      iri(F.concat(F.lit("urn:graft:orders/"), F.col("l_orderkey"))).as("s"),
+      iri(F.concat(F.lit(RDF.memberPrefix), F.col("l_linenumber"))).as("p"),
+      iri(F.concat(F.lit("urn:graft:part/"), F.col("l_partkey"))).as("o"))
+    RdfGraph(t, RdfGraph.defaultPrefixes)
+  }
+
+  /** Headline benchmark subset (Bench.scala): mixed SPARQL + pipeline. */
+  val benchQueries: Seq[String] = Seq(
+    "q_agg_suite", "q_bgp_join", "q_groupby_count", "q_path_seq", "q_topk",
+    "q_minus", "q_money_sum", "q_events_window", "q_text_stats",
+    "q_dedup_exact", "q_dedup_minhash", "q_knn_brute")
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bgp_scan" -> "SELECT r_name AS name FROM region",
+    "q_bgp_join" ->
+      """SELECT c_name AS cname, n_name AS nname
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q_filter_cmp" ->
+      """SELECT c_name AS name, c_acctbal AS bal FROM customer
+         WHERE c_acctbal > 9000.0 AND c_mktsegment = 'BUILDING'""",
+    "q_filter_in" ->
+      """SELECT n_name AS name FROM nation
+         WHERE n_name IN ('NATION_3','NATION_7','NATION_11')""",
+    "q_filter_not" ->
+      "SELECT p_name AS name FROM part WHERE p_type NOT LIKE 'ECO%'",
+    "q_bind_arith" ->
+      """SELECT n_name AS name, CAST(n_nationkey * 2 + 1 AS BIGINT) AS x
+         FROM nation""",
+    "q_values" ->
+      "SELECT r_name AS name FROM region WHERE r_regionkey IN (0, 2, 4)",
+    "q_optional" ->
+      """SELECT c_name AS cname, o.o_orderkey AS okey
+         FROM customer c LEFT JOIN
+           (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+           ON o.o_custkey = c.c_custkey""",
+    "q_minus" ->
+      """SELECT c_name AS cname FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""",
+    "q_not_exists" ->
+      """SELECT c_name AS cname FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')""",
+    "q_exists" ->
+      """SELECT c_name AS cname FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 450000.0)""",
+    "q_union" ->
+      """SELECT c_name AS name FROM customer
+         UNION ALL SELECT s_name AS name FROM supplier""",
+    "q_groupby_count" ->
+      """SELECT n_name AS nname, COUNT(*) AS cnt FROM customer
+         JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""",
+    "q_group_expr" ->
+      """SELECT substr(c_mktsegment, 1, 3) AS pre, COUNT(*) AS cnt
+         FROM customer GROUP BY 1""",
+    "q_count_distinct" ->
+      "SELECT COUNT(DISTINCT c_mktsegment) AS n FROM customer",
+    "q_agg_suite" ->
+      """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty,
+                AVG(l_quantity) AS avg_qty, MIN(l_quantity) AS min_qty,
+                MAX(l_quantity) AS max_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_having" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer
+         GROUP BY 1 HAVING COUNT(*) > 250""",
+    "q_topk" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_offset" ->
+      "SELECT n_name AS name FROM nation ORDER BY 1 LIMIT 5 OFFSET 5",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    "q_orderby_multi" ->
+      """SELECT c_mktsegment AS seg, c_name AS name FROM customer
+         ORDER BY 1 ASC, 2 DESC""",
+    "q_subquery_agg" ->
+      """SELECT n_name AS nname, cnt FROM nation JOIN
+         (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer GROUP BY 1) t
+         ON t.k = n_nationkey""",
+    "q_subquery_filter" ->
+      """SELECT n_name AS nname, cnt FROM nation JOIN
+         (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer GROUP BY 1) t
+         ON t.k = n_nationkey WHERE cnt > 60""",
+    "q_path_seq" ->
+      """SELECT c_name AS cname, COUNT(*) AS cnt FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "q_path_inverse" ->
+      """SELECT n_name AS nname, COUNT(*) AS cnt FROM nation
+         JOIN customer ON c_nationkey = n_nationkey GROUP BY 1""",
+    "q_path_alt" ->
+      """SELECT c_name AS name FROM customer
+         UNION ALL SELECT s_name AS name FROM supplier""",
+    "q_path_star" ->
+      """SELECT 'urn:graft:nation/7' AS x
+         UNION SELECT 'urn:graft:region/' || CAST(n_regionkey AS VARCHAR)
+         FROM nation WHERE n_nationkey = 7""",
+    "q_path_plus" ->
+      """SELECT 'urn:graft:nation/' || CAST(c_nationkey AS VARCHAR) AS x
+           FROM customer WHERE c_custkey = 42
+         UNION
+         SELECT 'urn:graft:region/' || CAST(n_regionkey AS VARCHAR)
+           FROM nation JOIN customer ON c_nationkey = n_nationkey
+           WHERE c_custkey = 42""",
+    "q_construct" ->
+      """SELECT 'urn:graft:customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                'urn:graft:p/in_nation' AS p, n_name AS o
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q_update_insert" ->
+      "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > 9000.0",
+    "q_update_delete" ->
+      "SELECT r_name AS name FROM region WHERE r_regionkey <> 0",
+    "q_container_seq" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                CAST(l_linenumber AS BIGINT) AS idx,
+                CAST(l_partkey AS BIGINT) AS pkey FROM lineitem""",
+    "q_scalar_strings" ->
+      """SELECT p_name AS name, CAST(length(p_name) AS BIGINT) AS len,
+                upper(p_name) AS uname, substr(p_name, 1, 3) AS pre
+         FROM part WHERE contains(p_name, ' ')
+           AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')""",
+    "q_scalar_funcs" ->
+      """SELECT p_name AS name,
+                CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brandnum,
+                CASE WHEN p_size < 25 THEN 'small' ELSE 'large' END AS cat
+         FROM part""",
+    "q_dates" ->
+      """SELECT o_orderkey AS okey, o_orderdate AS od,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo
+         FROM orders WHERE month(o_orderdate) <= 6""",
+    "q_money_sum" ->
+      """SELECT l_returnflag AS flag,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_window_cumsum" ->
+      """SELECT pri, n, CAST(SUM(n) OVER (ORDER BY n DESC, pri
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM (SELECT o_orderpriority AS pri, COUNT(*) AS n
+               FROM orders GROUP BY 1) h""",
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+    "q_events_sliding" ->
+      """WITH base AS (SELECT user_id, date_trunc('hour', ts) +
+             to_minutes(CASE WHEN extract(minute FROM ts) >= 30 THEN 30 ELSE 0 END)
+             AS t30 FROM events),
+         win AS (SELECT user_id, t30 AS wstart FROM base
+                 UNION ALL
+                 SELECT user_id, t30 - to_minutes(30) FROM base)
+         SELECT wstart, user_id, COUNT(*) AS n FROM win
+         GROUP BY 1, 2 HAVING COUNT(*) > 2""",
+    "q_events_props" ->
+      """SELECT event_id,
+                CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         FROM events""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+                CAST(length(text) AS BIGINT) AS n_chars2
+         FROM documents""",
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           round(CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS avg_word_len
+         FROM t""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','pas','une','pour','avec','dans'))) AS s_fr,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','los','las','es','no','una','para','con','por'))) AS s_es
+           FROM t)
+         SELECT doc_id, CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+         FROM s""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
+         FROM documents GROUP BY 1"""
+    // q_quality_score / q_fingerprint / q_dedup_minhash / q_dedup_simhash /
+    // q_dedup_ngram / q_dedup_embed / q_knn_* / q_multimodal_meta:
+    // xxhash64/LSH/stub-based → no SQL oracle; driver rows-only check.
+  )
 }

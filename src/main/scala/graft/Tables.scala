@@ -32,7 +32,10 @@ object Tables {
     "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"),
     "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // the 4-tuple is — row identity must be collision-free or BGP joins
+    // over per-column triples fan out
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
     "events" -> Seq("event_id"),
     "documents" -> Seq("doc_id"))
 
@@ -46,8 +49,18 @@ object Tables {
       "l_suppkey" -> "supplier")
   ).withDefaultValue(Map.empty)
 
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Read one TESTDATA table. `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark refuses natively: read it as long (legacy conf) and
+    * convert ns → µs with integer division (a double division would lose
+    * precision above 2^53). */
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    if (table == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        // NTZ so downstream parquet output stays tz-naive like the source
+        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    } else spark.read.parquet(s"$sfDir/$table.parquet")
+  }
 
   /** Subject-IRI string expression for a row of `table`. */
   def subjectCol(table: String): Column = {
@@ -58,8 +71,9 @@ object Tables {
 
   /** Lexical form used for literal objects (stable across engines). */
   private def lexical(c: Column, t: DataType): Column = t match {
-    case TimestampType => F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS")
-    case _             => c.cast(StringType)
+    case TimestampType | TimestampNTZType =>
+      F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    case _ => c.cast(StringType)
   }
 
   /** One table → triples DataFrame with schema Terms.tripleType. */
@@ -70,8 +84,9 @@ object Tables {
     val fkMap = fks(table)
     val colTriples: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       val obj = f.dataType match {
-        case TimestampType => lit(lexical(F.col(f.name), TimestampType), XSD.dateTime)
-        case t             => fromNative(F.col(f.name), t)
+        case t @ (TimestampType | TimestampNTZType) =>
+          lit(lexical(F.col(f.name), t), XSD.dateTime)
+        case t => fromNative(F.col(f.name), t)
       }
       val litTriple = F.struct(s.as("s"), iri(pred(f.name)).as("p"), obj.as("o"))
       val fkTriple = fkMap.get(f.name).map { target =>
@@ -87,9 +102,42 @@ object Tables {
       .where(F.col("o").isNotNull && F.col("o.value").isNotNull)
   }
 
-  /** Union of several tables as one graph. */
+  /** Vertical-partition index for one table: predicate IRI → (s,o)
+    * relation, each a direct two-column projection of the parquet scan —
+    * Catalyst prunes the read to exactly the columns used (S2RDF
+    * partitioning, the 100 TB layout). */
+  def predIndex(spark: SparkSession, sfDir: String, table: String)
+      : Seq[(String, DataFrame)] = {
+    import Terms._
+    val df = read(spark, sfDir, table)
+    val s = iri(subjectCol(table))
+    val fkMap = fks(table)
+    val colRels = df.schema.fields.toSeq.flatMap { f =>
+      val obj = f.dataType match {
+        case t @ (TimestampType | TimestampNTZType) =>
+          lit(lexical(F.col(f.name), t), XSD.dateTime)
+        case t => fromNative(F.col(f.name), t)
+      }
+      val colRel = pred(f.name) ->
+        df.select(s.as("s"), obj.as("o")).where(F.col("o.value").isNotNull)
+      val fkRel = fkMap.get(f.name).map { target =>
+        pred(f.name.stripSuffix("key") + "_ref") ->
+          df.select(s.as("s"),
+            iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o"))
+      }
+      Seq(colRel) ++ fkRel
+    }
+    colRels :+ (RDF.typ -> df.select(s.as("s"), iri(cls(table)).as("o")))
+  }
+
+  /** Union of several tables as one graph, with the vertical-partition
+    * index attached. rdf:type relations from multiple tables are unioned. */
   def graph(spark: SparkSession, sfDir: String, tables: String*): RdfGraph = {
     val df = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
-    RdfGraph(df, RdfGraph.defaultPrefixes + ("g" -> base) + ("gp" -> (base + "p/")))
+    val idx = tables.flatMap(predIndex(spark, sfDir, _))
+      .groupBy(_._1).map { case (p, rels) =>
+        p -> rels.map(_._2).reduce(_ unionByName _)
+      }
+    RdfGraph(df, RdfGraph.defaultPrefixes, idx)
   }
 }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // hash/fingerprint ops rely on wraparound; casts must null not throw
+      .config("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as long, convert in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed as a
+  * distributed dataflow that survives 100× scale-up:
+  *
+  *  - exact:        hash-groupBy — one shuffle on a 128-bit digest
+  *  - MinHash+LSH:  shingle → signature (narrow) → band explode → bucket
+  *                  groupBy (shuffle on band key) → in-bucket candidate
+  *                  pairs → exact-Jaccard verify. Never computes O(n²).
+  *  - SimHash:      64-bit locality hash (narrow map) → bucket on hash
+  *  - n-gram Jaccard: common-shingle blocking join → exact verify
+  *  - embedding cosine: sign-bit LSH bucketing → in-bucket cosine verify
+  *
+  * All hash functions are Spark's xxhash64 (seeded per-row deterministic),
+  * so results are stable across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup groups: digest the key column, keep the minimum id as the
+    * canonical representative. One shuffle; group count == distinct count. */
+  def exactGroups(df: DataFrame, id: String, key: String): DataFrame =
+    df.groupBy(F.md5(F.col(key)).as("digest"))
+      .agg(F.count(F.lit(1)).as("n"), F.min(F.col(id)).as("keep_id"))
+
+  /** Drop exact duplicates of `key`, keeping the row with the smallest id.
+    * (dropDuplicates would keep an arbitrary row — not reproducible.) */
+  def exactDedup(df: DataFrame, id: String, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(key)).orderBy(F.col(id))
+    df.withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1).drop("__rn")
+  }
+
+  /** k-word shingles of a text column (distinct). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = TextAnalysis.tokens(text)
+    F.array_distinct(
+      F.when(F.size(t) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(t) - k),
+          i => F.array_join(F.slice(t, i + 1, F.lit(k)), " ")))
+        .otherwise(F.array(F.array_join(t, " "))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. Single aggregate pass over the
+    * shingles (not one transform per hash function) — pure narrow map. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    F.aggregate(shingleCol,
+      F.array_repeat(F.lit(Long.MaxValue), numHashes),
+      (acc, s) => F.zip_with(acc,
+        F.sequence(F.lit(0), F.lit(numHashes - 1)),
+        (m, i) => F.least(m, F.xxhash64(i, s))))
+
+  /** Candidate duplicate pairs via MinHash LSH banding: rows sharing any
+    * band of the signature land in one bucket; pairs are generated only
+    * within buckets (groupBy on the band key — the one shuffle). */
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(F.col(text), k), numHashes)
+    // materialize the banded form once — both sides of the self-join read
+    // it, and recomputing the signature pipeline would double the work
+    val banded = df.select(F.col(id).as("rid"), sig.as("sig"))
+      .select(F.col("rid"), F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+          b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
+      .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
+      .localCheckpoint(true)
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r, F.col("l.band") === F.col("r.band") &&
+        F.col("l.bucket") === F.col("r.bucket") &&
+        F.col("l.rid") < F.col("r.rid"))
+      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = F.size(F.array_intersect(a, b)).cast(DoubleType)
+    val union = F.size(F.array_union(a, b)).cast(DoubleType)
+    F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+  }
+
+  /** MinHash LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
+    * Returns (id1, id2, jaccard). */
+  def minhashDedupPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, id, text, k, numHashes, bands)
+    val sh = df.select(F.col(id).as("rid"), shingles(F.col(text), k).as("sh"))
+      .localCheckpoint(true)
+    cands
+      .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
+      .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+      .where(F.col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-bit vote of token hashes, sign →
+    * bit. Near-dups share the hash (or differ in few bits). Narrow map. */
+  def simhash(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    val votes = F.aggregate(t,
+      F.array_repeat(F.lit(0L), 64),
+      (acc, tok) => {
+        val h = F.xxhash64(tok)
+        F.zip_with(acc, F.sequence(F.lit(0), F.lit(63)),
+          (v, b) => v + F.when(
+            F.call_function("shiftright", h, b.cast(IntegerType))
+              .bitwiseAND(F.lit(1L)) === 1L,
+            F.lit(1L)).otherwise(F.lit(-1L)))
+      })
+    F.aggregate(
+      F.zip_with(votes, F.sequence(F.lit(0), F.lit(63)),
+        (v, b) => F.when(v > 0,
+          F.call_function("shiftleft", F.lit(1L), b.cast(IntegerType)))
+          .otherwise(F.lit(0L))),
+      F.lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash dedup groups: rows with identical simhash. */
+  def simhashGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(F.col(id).as("rid"), simhash(F.col(text)).as("simhash"))
+      .groupBy("simhash")
+      .agg(F.count(F.lit(1)).as("n"), F.min("rid").as("keep_id"))
+
+  /** n-gram Jaccard near-dup pairs with common-shingle blocking: pairs are
+    * only generated for rows sharing ≥1 shingle (explode + self-join on the
+    * shingle), then exact-verified. For corpora with very hot shingles the
+    * MinHash path bounds the blow-up; this one is exact. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.6, k: Int = 3): DataFrame = {
+    val sh = df.select(F.col(id).as("rid"), shingles(F.col(text), k).as("sh"))
+      .localCheckpoint(false)
+    val inverted = sh.select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
+    val cands = inverted.alias("a")
+      .join(inverted.alias("b"),
+        F.col("a.shingle") === F.col("b.shingle") && F.col("a.rid") < F.col("b.rid"))
+      .select(F.col("a.rid").as("id1"), F.col("b.rid").as("id2"))
+      .distinct()
+    cands
+      .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
+      .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+      .where(F.col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Near-dup pairs over an embedding column by cosine ≥ threshold,
+    * candidate-bucketed by sign-bit LSH (Similarity.signBits): only rows
+    * agreeing on all `planes` sign bits are compared. */
+  /** Near-dup pairs over an embedding column by cosine ≥ threshold.
+    * Candidates come from sign-bit LSH buckets with 1-bit multi-probe:
+    * the left side also emits each Hamming-1 neighbor bucket, so pairs
+    * whose signatures differ in one plane are still compared (recall at
+    * cosθ≈0.5 roughly triples vs exact-bucket matching). */
+  def embeddingCosinePairs(df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val withBits = df.select(F.col(id).as("rid"), F.col(vec).as("v"))
+      .withColumn("bucket", Similarity.signBits(F.col("v"), planes))
+      .localCheckpoint(false)
+    val probeBuckets = F.array(
+      (F.col("bucket") +: (0 until planes).map(p =>
+        F.col("bucket").bitwiseXOR(F.lit(1L << p)))): _*)
+    val l = withBits
+      .select(F.col("rid"), F.col("v"), F.explode(probeBuckets).as("bucket"))
+      .alias("l")
+    val r = withBits.alias("r")
+    l.join(r, F.col("l.bucket") === F.col("r.bucket") &&
+        F.col("l.rid") < F.col("r.rid"))
+      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"),
+        F.col("l.v").as("v1"), F.col("r.v").as("v2"))
+      .distinct()
+      .withColumn("cosine", Similarity.cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * The data model: media is an opaque `binary` column plus typed metadata
+  * (mime, width/height/duration, …). Decode / feature-extract / resize /
+  * frame-sample run as *batched* per-partition functions (the Scala
+  * equivalent of `mapInPandas`): rows are processed in fixed-size batches
+  * inside `mapPartitions` so a real codec would amortize model/codec init
+  * per batch, exactly like an Arrow-batched UDF.
+  *
+  * STUB NOTICE: the image/audio codecs are not available in this
+  * container, so `decodeBatch` below produces a DETERMINISTIC FAKE
+  * (xxhash64-derived dimensions + per-pixel-ish stats). The Spark-side
+  * plumbing — schema, batching, partitioning, null handling — is real and
+  * tested; swap `fakeDecode` for a real codec call to productionize.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("ok", BooleanType)))
+
+  /** Synthesize an opaque media binary from any string column (test
+    * fixture: deterministic bytes). */
+  def syntheticMedia(seed: Column): Column =
+    F.sha2(seed.cast(StringType).cast(BinaryType), 256).cast(BinaryType)
+
+  /** DETERMINISTIC FAKE decode of one media blob — stands in for a real
+    * codec (PIL/ffmpeg equivalent). Pure function of the bytes. */
+  private def fakeDecode(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) Row(null, null, null, null, false)
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val frames = 1 + math.floorMod(h >> 20, 64).toInt
+      Row("image/x-fake", w, ht, frames, true)
+    }
+  }
+
+  /** Batched decode: binary column → metadata struct, processed in
+    * `batchSize` chunks per partition (mapInPandas-shaped plumbing). */
+  def withDecodedMeta(df: DataFrame, binCol: String, out: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(out, mediaMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real impl would init the codec once per batch here
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ fakeDecode(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: n evenly-spaced frame indexes from the decoded frame
+    * count (metadata-only op — columnar, no stub needed). */
+  def sampleFrameIndexes(meta: Column, n: Int): Column =
+    F.when(meta.getField("n_frames").isNotNull && meta.getField("n_frames") > 0,
+      F.transform(F.sequence(F.lit(0), F.lit(n - 1)),
+        i => (i * meta.getField("n_frames") / n).cast(IntegerType)))
+
+  /** "Resize" planning: target dims preserving aspect ratio (pure
+    * arithmetic on metadata; the pixel op itself is the stubbed part). */
+  def resizePlan(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width").cast(DoubleType)
+    val h = meta.getField("height").cast(DoubleType)
+    val scale = F.least(F.lit(maxSide) / F.greatest(w, h), F.lit(1.0))
+    F.struct(
+      F.round(w * scale).cast(IntegerType).as("width"),
+      F.round(h * scale).cast(IntegerType).as("height"))
+  }
+
+  /** Feature extraction stub: binary → fixed-dim embedding, derived
+    * deterministically (stands in for a vision encoder). Columnar. */
+  def fakeEmbedding(bin: Column, dim: Int = 16): Column =
+    F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+      i => (F.pmod(F.xxhash64(bin, i), F.lit(1000L)).cast(DoubleType) / 500.0) - 1.0)
+}

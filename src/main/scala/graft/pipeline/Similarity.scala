@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single narrow scan + TakeOrdered,
+  * exact, O(n·d) per query. Scale path: sign-bit LSH bucketing (random
+  * hyperplanes derived deterministically from xxhash64, no RNG state to
+  * ship) or IVF-style seed partitioning — both turn top-k into a bucket
+  * scan, trading recall for a ~buckets× scan reduction.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+  }
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * `orderBy(desc).limit(k)` plans as TakeOrderedAndProject: per-partition
+    * top-k then a k-row merge on the driver — no full sort, no shuffle of
+    * the corpus. */
+  def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = F.typedlit(query)
+    corpus.select(F.col(id), cosine(F.col(vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(id))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `d` → value in [-0.5, 0.5). xxhash64-derived, so every
+    * executor materializes identical planes with zero coordination. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (F.pmod(F.xxhash64(F.lit(p), d), F.lit(1000000L)).cast(DoubleType) /
+      1000000.0) - 0.5
+
+  /** Sign-bit LSH bucket id: for each of `planes` hyperplanes, the sign of
+    * the projection; packed into a long. Vectors in the same bucket are
+    * likely cosine-close (random-hyperplane LSH). */
+  def signBits(vec: Column, planes: Int): Column = {
+    val proj = (0 until planes).map { p =>
+      val s = F.aggregate(
+        F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+        F.lit(0.0), (acc, x) => acc + x)
+      F.when(s >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+    }
+    proj.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: scan only the query's bucket (and
+    * optionally Hamming-1 neighbor buckets via `probes`). Recall < 1,
+    * corpus scan ÷ 2^planes. */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int, planes: Int = 6, probes: Int = 1): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", signBits(F.col(vec), planes))
+    val qdf = corpus.sparkSession.range(1)
+      .select(F.typedlit(query).as("qv"))
+      .select(signBits(F.col("qv"), planes).as("qb")).collect()
+    val qBucket = qdf(0).getLong(0)
+    val targets: Seq[Long] =
+      if (probes <= 1) Seq(qBucket)
+      else qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+    val q = F.typedlit(query)
+    bucketed.where(F.col("__bucket").isin(targets: _*))
+      .select(F.col(id), cosine(F.col(vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(id))
+      .limit(k)
+  }
+
+  /** All-pairs k-NN join (each left row → top-k right rows by cosine)
+    * via LSH co-bucketing; exact within bucket. For the exact small-side
+    * case broadcast the right side and use bruteForce per-row instead. */
+  def knnJoin(left: DataFrame, right: DataFrame, idL: String, idR: String,
+      vecL: String, vecR: String, k: Int, planes: Int = 4): DataFrame = {
+    val l = left.select(F.col(idL).as("lid"), F.col(vecL).as("lv"))
+      .withColumn("bucket", signBits(F.col("lv"), planes))
+    val r = right.select(F.col(idR).as("rid"), F.col(vecR).as("rv"))
+      .withColumn("bucket", signBits(F.col("rv"), planes))
+    val joined = l.join(r, "bucket")
+      .withColumn("cosine", cosine(F.col("lv"), F.col("rv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lid").orderBy(F.col("cosine").desc, F.col("rid"))
+    joined.withColumn("__rank", F.row_number().over(w))
+      .where(F.col("__rank") <= k)
+      .select(F.col("lid"), F.col("rid"), F.col("cosine"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything is `org.apache.spark.sql.functions` composition over a string
+  * column — no UDFs, fully inside whole-stage codegen, linear scans with no
+  * shuffle — so each scales to 100 TB as a narrow map stage.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(text, " "), t => F.length(t) > 0)
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + punctuation marks, the usual
+    * pre-tokenizer regex (≈ GPT-2's splitter simplified). */
+  def bpeTokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), F.lit(0)))
+
+  def charCount(text: Column): Column = F.length(text)
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    F.when(F.size(t) > 0,
+      F.aggregate(t, F.lit(0L), (acc, x) => acc + F.length(x))
+        .cast(DoubleType) / F.size(t).cast(DoubleType))
+      .otherwise(F.lit(0.0))
+  }
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "or",
+    "to", "in", "is", "it", "that", "this", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val t = tokens(text)
+    val sw = F.size(F.filter(t, x => x.isInCollection(stopwords)))
+    F.when(F.size(t) > 0, sw.cast(DoubleType) / F.size(t).cast(DoubleType))
+      .otherwise(F.lit(0.0))
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    F.when(F.length(text) > 0,
+      (F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        .cast(DoubleType) / F.length(text).cast(DoubleType))
+      .otherwise(F.lit(0.0))
+
+  /** Heuristic quality score in [0,1]: length sweet-spot, moderate word
+    * length, some-but-not-too-many stopwords, low punctuation noise.
+    * Deterministic (single divisions, no float accumulation ordering). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = F.least(charCount(text).cast(DoubleType) / 200.0, F.lit(1.0))
+    val wordScore = {
+      val a = avgWordLen(text)
+      F.when(a >= 3.0 && a <= 8.0, 1.0).otherwise(0.5)
+    }
+    val swScore = {
+      val r = stopwordRatio(text)
+      F.when(r >= 0.05 && r <= 0.5, 1.0).otherwise(0.5)
+    }
+    val punctScore = F.lit(1.0) - F.least(punctRatio(text) * 4.0, F.lit(1.0))
+    F.round((lenScore * 0.3 + wordScore * 0.2 + swScore * 0.3 + punctScore * 0.2), 6)
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "avec", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "no", "una", "para", "con", "por"))
+
+  /** Language-ID: argmax of stopword hits per language profile; "und"
+    * (undetermined) when no profile scores. Ties break by profile order
+    * (deterministic). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, F.size(F.filter(t, x => F.lower(x).isInCollection(words))))
+    }
+    // fold: keep (bestScore, bestLang); strict > keeps first-listed on ties
+    val init = F.struct(F.lit(0).as("score"), F.lit("und").as("lang"))
+    val best = scored.foldLeft(init) { case (acc, (lang, score)) =>
+      F.when(score > acc.getField("score"),
+        F.struct(score.as("score"), F.lit(lang).as("lang"))).otherwise(acc)
+    }
+    best.getField("lang")
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over token
+    * xxhash64s — order-sensitive (unlike a bag-of-words hash), one pass,
+    * no shuffle. */
+  def fingerprint(text: Column): Column =
+    F.aggregate(tokens(text), F.lit(0L),
+      (acc, x) => acc * F.lit(1000003L) + F.xxhash64(x))
+}

@@ -18,7 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * At 100 TB the DataFrame would be parquet-backed and partitioned by
   * predicate (S2RDF-style vertical partitioning) — see Tables.scala.
   */
-final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String]) {
+final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
+    /** S2RDF-style vertical partitioning: predicate IRI → (s,o) DataFrame.
+      * When present, constant-predicate triple patterns scan ONLY the
+      * relevant two-column relation (filters/projection push to the
+      * source), instead of filtering the full exploded triple table. The
+      * index is dropped on UPDATE (it describes the pre-update state). */
+    predIndex: Map[String, DataFrame] = Map.empty) {
 
   def spark: SparkSession = triples.sparkSession
 
@@ -27,11 +33,13 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String]) {
 
   /** Insert triples (set semantics). */
   def insert(newTriples: DataFrame): RdfGraph =
-    copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"))
+    copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"),
+      predIndex = Map.empty)
 
   /** Delete triples. */
   def delete(gone: DataFrame): RdfGraph =
-    copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"))
+    copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"),
+      predIndex = Map.empty)
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))

@@ -22,7 +22,19 @@ import scala.collection.mutable
   * unbound = null (gastrodon/__init__.py:761). Internal variables from
   * anonymous blank nodes are named "_:bN" and dropped at projection.
   */
-final class Compiler(graph: DataFrame, spark: SparkSession) {
+final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
+
+  private val graph: DataFrame = rdfGraph.triples
+
+  /** Constant-predicate scan via the vertical-partition index when
+    * available (predicate-pruned two-column relation; the 100 TB path),
+    * else the full triple table filtered on p. */
+  private def predScan(predIri: String): DataFrame =
+    rdfGraph.predIndex.get(predIri) match {
+      case Some(so) => so
+      case None => graph.where(F.col("p") === termCol(Iri(predIri)))
+        .select(F.col("s"), F.col("o"))
+    }
 
   private var synCounter = 0
   private def syn(prefix: String): String = {
@@ -160,6 +172,20 @@ final class Compiler(graph: DataFrame, spark: SparkSession) {
   }
 
   private def compileTriple(tp: TriplePattern): DataFrame = tp.p match {
+    case VerbNode(TermNode(Iri(p))) =>
+      // constant predicate → vertical-partition scan (no predicate column)
+      var df = predScan(p)
+      nodeFilter(F.col("s"), tp.s).foreach(c => df = df.where(c))
+      nodeFilter(F.col("o"), tp.o).foreach(c => df = df.where(c))
+      (tp.s, tp.o) match {
+        case (VarNode(a), VarNode(b)) if a == b =>
+          df.where(F.col("s") === F.col("o")).select(F.col("s").as(a))
+        case (VarNode(a), VarNode(b)) =>
+          df.select(F.col("s").as(a), F.col("o").as(b))
+        case (VarNode(a), _) => df.select(F.col("s").as(a))
+        case (_, VarNode(b)) => df.select(F.col("o").as(b))
+        case _ => df.limit(1).select(F.lit(1).as(syn("ask")))
+      }
     case VerbNode(pn) =>
       var df = graph
       val conds = nodeFilter(F.col("s"), tp.s) ++ nodeFilter(F.col("p"), pn) ++
@@ -187,8 +213,7 @@ final class Compiler(graph: DataFrame, spark: SparkSession) {
   /** One-step relation of a (non-transitive) path as (s,o) term pairs. */
   private def pathEdges(p: Path): DataFrame = p match {
     case PLink(i) =>
-      graph.where(F.col("p") === termCol(Iri(i)))
-        .select(F.col("s").as("ps"), F.col("o").as("po"))
+      predScan(i).select(F.col("s").as("ps"), F.col("o").as("po"))
     case PInv(q) =>
       pathEdges(q).select(F.col("po").as("ps"), F.col("ps").as("po"))
     case PSeq(a, b) =>

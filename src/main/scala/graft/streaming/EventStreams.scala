@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY.md §2B) — this is the green-field
+  * extension: the same windowed-aggregation dataflow is exposed twice, once
+  * over a batch DataFrame (oracle-checkable) and once as a readStream
+  * pipeline with watermarking (late-data bound) — identical logic, so batch
+  * results validate the streaming plan.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type. Works on batch or
+    * streaming input unchanged. */
+  def windowedAgg(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), window).as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(F.col("w.start").as("wstart"), F.col("event_type"),
+        F.col("n"), F.col("total"))
+
+  /** Sliding-window per-user activity. */
+  def slidingUserActivity(events: DataFrame, window: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), window, slide).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("w.start").as("wstart"), F.col("user_id"), F.col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("total"))
+      .select(F.col("w.start").as("session_start"),
+        F.col("w.end").as("session_end"), F.col("user_id"), F.col("n"),
+        F.col("total"))
+
+  /** The streaming variant: parquet dir → watermarked windowed agg →
+    * in-memory sink (synchronous for tests via processAllAvailable).
+    * In production the sink would be a parquet/Kafka writeStream. */
+  def startWindowedStream(spark: SparkSession, dir: String,
+      queryName: String, window: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = windowedAgg(stream.withWatermark("ts", watermark), window)
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,241 @@
+package graft
+
+import graft.rdf._
+
+/** Golden tests for the SPARQL operator surface, derived from the
+  * reference's notebooks (SURVEY.md §2B citations on each test). */
+class OperatorSpec extends SparkSpec {
+
+  // Inference_Over_RDF_Containers.ipynb fixture: horse races as containers
+  val racesTtl: String =
+    """
+      @prefix : <http://example.com/> .
+      @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+      @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+      :monticello_3 a rdf:Seq ;
+        rdf:_1 :saratoga_snacks ; rdf:_2 :fast_money ; rdf:_3 :boston_red .
+      :tioga_2 a rdf:Seq ;
+        rdf:_1 :fast_money ; rdf:_2 :im_a_swift ; rdf:_3 :saratoga_snacks .
+      :bag_race a rdf:Bag ;
+        rdf:_1 :fast_money ; rdf:_2 :fast_money ; rdf:_3 :boston_red .
+    """
+
+  def fresh(): Engine = {
+    val e = Engine.inline(racesTtl)
+    e.bindNamespace("", "http://example.com/")
+    e
+  }
+  lazy val engine: Engine = fresh()
+
+  test("OPTIONAL: left join keeps unmatched rows with nulls") {
+    // DBpedia_Schema_Queries.ipynb:2862-2865 shape
+    val df = engine.select(
+      """SELECT ?race ?w {
+           ?race a rdf:Seq
+           OPTIONAL { ?race rdf:_1 ?w . FILTER(?w = :saratoga_snacks) }
+         } ORDER BY ?race""")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      (":monticello_3", ":saratoga_snacks"), (":tioga_2", null)))
+  }
+
+  test("MINUS removes compatible rows") {
+    // RDFContainers.ipynb:798 — subjects that are not containers
+    val df = engine.select(
+      "SELECT DISTINCT ?s { ?s ?p ?o MINUS { ?s a ?t } }")
+    // every subject here has rdf:type → MINUS removes all
+    assert(df.count() == 0)
+  }
+
+  test("MINUS disjoint-domain rule: no shared vars → keep everything") {
+    // DBpedia_Schema_Queries.ipynb:6591 semantics corner
+    val df = engine.select(
+      "SELECT DISTINCT ?s { ?s a rdf:Seq MINUS { ?x rdf:_9 ?y } }")
+    assert(df.count() == 2) // nothing removed: {?x,?y} disjoint from {?s}
+  }
+
+  test("NOT EXISTS correlates on shared vars") {
+    // DBpedia_Schema_Queries.ipynb:1799-1802 shape
+    val df = engine.select(
+      """SELECT ?race { ?race a rdf:Seq
+           FILTER NOT EXISTS { ?race rdf:_1 :saratoga_snacks } }""")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(":tioga_2"))
+  }
+
+  test("UNION with disjoint branch vars null-fills") {
+    val df = engine.select(
+      """SELECT ?a ?b {
+           { :monticello_3 rdf:_1 ?a } UNION { :tioga_2 rdf:_1 ?b } }""")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set((":saratoga_snacks", null), (null, ":fast_money")))
+  }
+
+  test("property path sequence rdf:_3/rdf:_1-style joins") {
+    // Inference notebook :1631/:1743 — seq path composition
+    val df = engine.select(
+      "SELECT ?x { :monticello_3 rdf:_2|rdf:_3 ?x } ORDER BY ?x")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq(":boston_red", ":fast_money"))
+  }
+
+  test("inverse path ^") {
+    // Inference notebook :1767 — "?horse ^rdf:_1 ?race"
+    val df = engine.select(
+      "SELECT ?race { :fast_money ^rdf:_1 ?race } ORDER BY ?race")
+    // both :tioga_2 and :bag_race list :fast_money first
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(":bag_race", ":tioga_2"))
+  }
+
+  test("transitive closure p* and p+ via fixpoint") {
+    // DBpedia_Schema_Queries.ipynb:4127 — subClassOf* shape, deeper chain
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        :A rdfs:subClassOf :B . :B rdfs:subClassOf :C .
+        :C rdfs:subClassOf :D . :X rdfs:subClassOf :D .
+      """)
+    e.bindNamespace("", "http://example.com/")
+    val star = e.select("SELECT ?x { :A rdfs:subClassOf* ?x } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(star == Seq(":A", ":B", ":C", ":D"))
+    val plus = e.select("SELECT ?x { :A rdfs:subClassOf+ ?x } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(plus == Seq(":B", ":C", ":D"))
+    // inverse star from the constant end
+    val inv = e.select("SELECT ?x { ?x rdfs:subClassOf* :D } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(inv == Seq(":A", ":B", ":C", ":D", ":X"))
+  }
+
+  test("subquery: aggregate-of-subquery") {
+    // remote notebook :614 — COUNT over SELECT DISTINCT
+    val n = Engine.one(engine.select(
+      """SELECT (COUNT(*) AS ?n) { { SELECT DISTINCT ?p { ?s ?p ?o } } }"""))
+    // rdf:type, rdf:_1, rdf:_2, rdf:_3
+    assert(n == 4L)
+  }
+
+  test("VALUES dispatch (decollect probe shape)") {
+    // gastrodon/__init__.py:411
+    val df = engine.select(
+      """SELECT ?s ?type { ?s a ?type
+           VALUES (?type) { (rdf:Seq) (rdf:Bag) (rdf:Alt) } } ORDER BY ?s""")
+    assert(df.count() == 3)
+  }
+
+  test("decollect Seq returns ordered list") {
+    // RDFContainers.ipynb cell 48 assertion shape
+    val got = engine.decollect(Iri("http://example.com/monticello_3"))
+    assert(got == Seq(":saratoga_snacks", ":fast_money", ":boston_red"))
+  }
+
+  test("decollect Bag returns counts") {
+    // RDFContainers cell 56 — Counter output
+    val got = engine.decollect(Iri("http://example.com/bag_race"))
+    assert(got == Map(":fast_money" -> 2L, ":boston_red" -> 1L))
+  }
+
+  test("CONSTRUCT instantiates template with dedup") {
+    val g = engine.construct(
+      """CONSTRUCT { ?h :ran_in ?race } WHERE { ?race a rdf:Seq . ?race ?p ?h .
+           FILTER(STRSTARTS(STR(?p), "http://www.w3.org/1999/02/22-rdf-syntax-ns#_")) }""")
+    assert(g.size == 6)
+  }
+
+  test("INSERT WHERE forward chaining is idempotent (rule_1 shape)") {
+    // Inference_Over_RDF_Containers.ipynb:451-459, 823-833
+    val e = fresh()
+    val rule =
+      """INSERT { ?race rdfs:member ?h } WHERE { ?race a rdf:Seq . ?race ?p ?h .
+           FILTER(STRSTARTS(STR(?p), "http://www.w3.org/1999/02/22-rdf-syntax-ns#_")) }"""
+    e.update(rule)
+    val n1 = e.graph.size
+    e.update(rule) // re-application must not grow the graph
+    assert(e.graph.size == n1)
+    val members = e.select(
+      "SELECT (COUNT(*) AS ?n) { ?r rdfs:member ?h }")
+    assert(Engine.one(members) == 6L)
+  }
+
+  test("peel copies blank-node closure") {
+    // gastrodon/__init__.py:688-743
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :thing :part [ :name "wheel" ; :sub [ :name "spoke" ] ] ;
+               :label "cart" .
+        :other :label "nope" .
+      """)
+    val peeled = e.peel(Iri("http://example.com/thing"))
+    // :thing{part,label} + bnode1{name,sub} + bnode2{name} = 5 triples
+    assert(peeled.size == 5)
+    val other = peeled.triples.where(
+      org.apache.spark.sql.functions.col("s.value") === "http://example.com/other")
+    assert(other.count() == 0)
+  }
+
+  test("GROUP BY + HAVING + ORDER BY DESC(count)") {
+    // DBpedia_Schema_Queries.ipynb:309/2872 shapes
+    val df = engine.select(
+      """SELECT ?h (COUNT(*) AS ?cnt) { ?race ?p ?h .
+           FILTER(STRSTARTS(STR(?p), "http://www.w3.org/1999/02/22-rdf-syntax-ns#_")) }
+         GROUP BY ?h HAVING(COUNT(*) >= 2) ORDER BY DESC(?cnt) ?h""")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // fast_money: monticello _2 + tioga _1 + bag _1,_2 = 4;
+    // boston_red: monticello _3 + bag _3 = 2; saratoga: monticello _1 + tioga _3 = 2
+    assert(rows == Seq((":fast_money", 4L), (":boston_red", 2L),
+      (":saratoga_snacks", 2L)))
+  }
+
+  test("BIND + xsd:integer + SUBSTR index extraction (decollect recipe)") {
+    // gastrodon/__init__.py:452-463
+    val df = engine.select(
+      """SELECT ?i ?h { :monticello_3 ?p ?h .
+           FILTER(STRSTARTS(STR(?p), "http://www.w3.org/1999/02/22-rdf-syntax-ns#_"))
+           BIND(xsd:integer(SUBSTR(STR(?p), 45)) AS ?i) } ORDER BY ?i""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, ":saratoga_snacks"), (2L, ":fast_money"),
+      (3L, ":boston_red")))
+  }
+
+  test("ORDER BY numeric vs lexical (rdf:_10 pitfall)") {
+    // RDFContainers.ipynb:1438 vs :1562
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :l :v "2" . :m :v "10" .
+      """)
+    e.bindNamespace("", "http://example.com/")
+    val lex = e.select("SELECT ?x { ?s :v ?x } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(lex == Seq("10", "2")) // plain literals sort lexically
+    val num = e.select(
+      "SELECT ?n { ?s :v ?x BIND(xsd:integer(?x) AS ?n) } ORDER BY ?n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(num == Seq(2L, 10L))
+  }
+
+  test("term equality: numeric value compare across datatypes") {
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        :a :v 42 . :b :v "42.0"^^xsd:double . :c :v "x" .
+      """)
+    e.bindNamespace("", "http://example.com/")
+    val df = e.select("SELECT ?s { ?s :v ?x FILTER(?x = 42) } ORDER BY ?s")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(":a", ":b"))
+  }
+
+  test("ASK / BOUND / IF / COALESCE") {
+    assert(engine.ask("ASK { :monticello_3 a rdf:Seq }"))
+    val df = engine.select(
+      """SELECT ?race ?label {
+           ?race a rdf:Seq
+           OPTIONAL { ?race rdf:_9 ?w }
+           BIND(IF(BOUND(?w), "has9", COALESCE(?w, "no9")) AS ?label)
+         } ORDER BY ?race""")
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("no9", "no9"))
+  }
+}
