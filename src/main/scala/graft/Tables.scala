@@ -130,14 +130,46 @@ object Tables {
     colRels :+ (RDF.typ -> df.select(s.as("s"), iri(cls(table)).as("o")))
   }
 
+  /** Property table for star-join elimination: ONE wide relation per
+    * source table — subject + a term-struct column per predicate. A
+    * subject-star BGP whose predicates all come from this table compiles
+    * to a single parquet scan (Catalyst prunes to the referenced columns)
+    * with no self-joins at all. */
+  def starTable(spark: SparkSession, sfDir: String, table: String): StarTable = {
+    import Terms._
+    val df = read(spark, sfDir, table)
+    val s = iri(subjectCol(table))
+    val fkMap = fks(table)
+    val cols = scala.collection.mutable.LinkedHashMap[String, Column]()
+    df.schema.fields.foreach { f =>
+      val obj = f.dataType match {
+        case t @ (TimestampType | TimestampNTZType) =>
+          lit(lexical(F.col(f.name), t), XSD.dateTime)
+        case t => fromNative(F.col(f.name), t)
+      }
+      cols(pred(f.name)) = obj
+      fkMap.get(f.name).foreach { target =>
+        cols(pred(f.name.stripSuffix("key") + "_ref")) =
+          iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType)))
+      }
+    }
+    cols(RDF.typ) = iri(cls(table))
+    val names = cols.keys.zipWithIndex.map { case (p, i) => p -> s"c$i" }.toMap
+    val wide = df.select(
+      (s.as("s") +: cols.map { case (p, c) => c.as(names(p)) }.toSeq): _*)
+    StarTable(names, wide)
+  }
+
   /** Union of several tables as one graph, with the vertical-partition
-    * index attached. rdf:type relations from multiple tables are unioned. */
+    * index and property tables attached. rdf:type relations from multiple
+    * tables are unioned. */
   def graph(spark: SparkSession, sfDir: String, tables: String*): RdfGraph = {
     val df = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
     val idx = tables.flatMap(predIndex(spark, sfDir, _))
       .groupBy(_._1).map { case (p, rels) =>
         p -> rels.map(_._2).reduce(_ unionByName _)
       }
-    RdfGraph(df, RdfGraph.defaultPrefixes, idx)
+    val stars = tables.map(starTable(spark, sfDir, _))
+    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars)
   }
 }

@@ -44,15 +44,35 @@ object Dedup {
         .otherwise(F.array(F.array_join(t, " "))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Single aggregate pass over the
-    * shingles (not one transform per hash function) — pure narrow map. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
-    F.aggregate(shingleCol,
-      F.array_repeat(F.lit(Long.MaxValue), numHashes),
-      (acc, s) => F.zip_with(acc,
-        F.sequence(F.lit(0), F.lit(numHashes - 1)),
-        (m, i) => F.least(m, F.xxhash64(i, s))))
+  /** MinHash signature of a shingle-set column (narrow map). Kept as a
+    * Column recipe for composability; the candidates pipeline uses the
+    * faster explode+aggregate form in [[minhashSignatures]]. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column = {
+    val base = F.transform(shingleCol, s => F.xxhash64(s))
+    F.transform(F.sequence(F.lit(0), F.lit(numHashes - 1)),
+      i => F.coalesce(F.array_min(F.transform(base, h => F.xxhash64(i, h))),
+        F.lit(Long.MaxValue)))
+  }
+
+  /** (rid, sig) MinHash signatures via explode + plain aggregates: each
+    * shingle is string-hashed ONCE, the seeded family is derived from the
+    * 8-byte base hash, and the 32 per-document minima are codegen'd MIN
+    * aggregates with map-side partial aggregation — the shuffle carries
+    * only numHashes longs per document. This shape survives 100× scale-up
+    * where per-row lambda pipelines (aggregate/zip_with over arrays)
+    * choke codegen and get re-inlined by CollapseProject. */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(F.col(id).as("rid"), F.explode(shingles(F.col(text), k)).as("s"))
+      .select(F.col("rid"), F.xxhash64(F.col("s")).as("h"))
+    val aggs = (0 until numHashes)
+      .map(i => F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i"))
+    exploded.groupBy("rid").agg(aggs.head, aggs.tail: _*)
+      .select(F.col("rid"), F.array(
+        (0 until numHashes).map(i =>
+          F.coalesce(F.col(s"m$i"), F.lit(Long.MaxValue))): _*).as("sig"))
+  }
 
   /** Candidate duplicate pairs via MinHash LSH banding: rows sharing any
     * band of the signature land in one bucket; pairs are generated only
@@ -60,15 +80,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: String, text: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(F.col(text), k), numHashes)
-    // materialize the banded form once — both sides of the self-join read
-    // it, and recomputing the signature pipeline would double the work
-    val banded = df.select(F.col(id).as("rid"), sig.as("sig"))
+    val banded = minhashSignatures(df, id, text, k, numHashes)
       .select(F.col("rid"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
           b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
       .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
-      .localCheckpoint(true)
+      // lazy checkpoint: computed once at first action, shared by both
+      // sides of the self-join, lineage cut; not billed to plan time
+      .localCheckpoint(false)
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r, F.col("l.band") === F.col("r.band") &&
@@ -91,8 +110,12 @@ object Dedup {
       threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, id, text, k, numHashes, bands)
-    val sh = df.select(F.col(id).as("rid"), shingles(F.col(text), k).as("sh"))
-      .localCheckpoint(true)
+    // verify over HASHED shingle sets: Jaccard of 64-bit hashes equals
+    // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
+    // candidate join then shuffles longs instead of shingle strings
+    val sh = df.select(F.col(id).as("rid"),
+        F.transform(shingles(F.col(text), k), s => F.xxhash64(s)).as("sh"))
+      .localCheckpoint(false)
     cands
       .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
       .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
@@ -135,7 +158,8 @@ object Dedup {
     * MinHash path bounds the blow-up; this one is exact. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3): DataFrame = {
-    val sh = df.select(F.col(id).as("rid"), shingles(F.col(text), k).as("sh"))
+    val sh = df.select(F.col(id).as("rid"),
+        F.transform(shingles(F.col(text), k), s => F.xxhash64(s)).as("sh"))
       .localCheckpoint(false)
     val inverted = sh.select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
     val cands = inverted.alias("a")

@@ -18,13 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * At 100 TB the DataFrame would be parquet-backed and partitioned by
   * predicate (S2RDF-style vertical partitioning) — see Tables.scala.
   */
+/** Property-table ("star") relation: one wide DataFrame with a subject
+  * column "s" plus one term-struct column per predicate. Subject-star BGPs
+  * whose constant predicates all live in one star table compile to a
+  * SINGLE scan with zero joins — the classic property-table optimization
+  * for RDF on columnar stores. `preds` maps predicate IRI → column name. */
+final case class StarTable(preds: Map[String, String], df: DataFrame)
+
 final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** S2RDF-style vertical partitioning: predicate IRI → (s,o) DataFrame.
       * When present, constant-predicate triple patterns scan ONLY the
       * relevant two-column relation (filters/projection push to the
       * source), instead of filtering the full exploded triple table. The
       * index is dropped on UPDATE (it describes the pre-update state). */
-    predIndex: Map[String, DataFrame] = Map.empty) {
+    predIndex: Map[String, DataFrame] = Map.empty,
+    /** Property tables for star-join elimination (one per source table
+      * when the graph is a relational direct mapping). Dropped on UPDATE
+      * like predIndex. */
+    starTables: Seq[StarTable] = Nil) {
 
   def spark: SparkSession = triples.sparkSession
 
@@ -34,12 +45,12 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   /** Insert triples (set semantics). */
   def insert(newTriples: DataFrame): RdfGraph =
     copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"),
-      predIndex = Map.empty)
+      predIndex = Map.empty, starTables = Nil)
 
   /** Delete triples. */
   def delete(gone: DataFrame): RdfGraph =
     copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"),
-      predIndex = Map.empty)
+      predIndex = Map.empty, starTables = Nil)
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))

@@ -162,9 +162,54 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   // ------------------------------------------------------------------ BGP
 
-  private def compileBgp(ts: Seq[TriplePattern]): DataFrame =
-    if (ts.isEmpty) oneRowDf
-    else ts.map(compileTriple).reduce(joinBindings)
+  /** BGP compilation with star-join elimination: patterns sharing a
+    * subject variable whose constant predicates all live in ONE property
+    * table (RdfGraph.starTables) compile to a single wide scan — zero
+    * self-joins, and Catalyst prunes the parquet read to exactly the
+    * referenced columns. Anything not covered falls back to per-pattern
+    * vertical scans chained with equi-joins. */
+  private def compileBgp(ts: Seq[TriplePattern]): DataFrame = {
+    if (ts.isEmpty) return oneRowDf
+    val covered = mutable.HashSet[Int]()
+    val starDfs = mutable.ArrayBuffer[DataFrame]()
+    if (rdfGraph.starTables.nonEmpty) {
+      val bySubj = ts.zipWithIndex.collect {
+        case (TriplePattern(VarNode(sv), VerbNode(TermNode(Iri(p))), o), i) =>
+          (sv, p, o, i)
+      }.groupBy(_._1)
+      bySubj.foreach { case (sv, pats) =>
+        val preds = pats.map(_._2)
+        // Sound only when the table covers ALL the group's predicates and
+        // at least one predicate is table-unique (rdf:type appears in
+        // every table, so a type-only group must use the generic path).
+        val candidate = rdfGraph.starTables.find { st =>
+          preds.forall(st.preds.contains) && preds.exists(_ != RDF.typ)
+        }
+        if (pats.size >= 2) candidate.foreach { st =>
+          var df = st.df
+          val sel = mutable.ArrayBuffer[Column](F.col("s").as(sv))
+          val bound = mutable.HashMap[String, String](sv -> "s")
+          pats.foreach { case (_, p, o, i) =>
+            val cn = st.preds(p)
+            df = df.where(F.col(cn + ".value").isNotNull)
+            o match {
+              case TermNode(t) => df = df.where(F.col(cn) === termCol(t))
+              case VarNode(v) => bound.get(v) match {
+                case Some(prev) => df = df.where(F.col(cn) === F.col(prev))
+                case None => bound(v) = cn; sel += F.col(cn).as(v)
+              }
+            }
+            covered += i
+          }
+          starDfs += df.select(sel.toSeq: _*)
+        }
+      }
+    }
+    val restDfs = ts.zipWithIndex.collect {
+      case (tp, i) if !covered(i) => compileTriple(tp)
+    }
+    (starDfs.toSeq ++ restDfs).reduce(joinBindings)
+  }
 
   private def nodeFilter(c: Column, n: Node): Option[Column] = n match {
     case TermNode(t) => Some(c === termCol(t))
