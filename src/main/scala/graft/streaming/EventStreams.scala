@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -40,6 +40,29 @@ object EventStreams {
       .select(F.col("w.start").as("session_start"),
         F.col("w.end").as("session_end"), F.col("user_id"), F.col("n"),
         F.col("total"))
+
+  /** Typed view for custom-state operators. */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Per-user running totals with EXPLICIT state (mapGroupsWithState) —
+    * the custom-state path for logic window aggregation can't express.
+    * State is one (n, total) pair per user: O(users) state, no timeline
+    * buffering, so it scales with key cardinality not event volume. On a
+    * batch Dataset the same code degenerates to a per-group fold. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserTotals](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          evs.foreach { e => n += 1; t += e.value }
+          state.update((n, t))
+          UserTotals(user, n, t)
+      }
+  }
 
   /** The streaming variant: parquet dir → watermarked windowed agg →
     * in-memory sink (synchronous for tests via processAllAvailable).

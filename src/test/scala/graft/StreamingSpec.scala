@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{UserEvent, UserTotals}
+
+/** Structured Streaming behavior: the batch/stream twin property (same
+  * windowedAgg logic, identical results), watermarked file-source
+  * streaming, and explicit state via mapGroupsWithState. */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val events =
+    Tables.read(spark, "/root/testdata/sf0.001", "events")
+
+  test("windowed agg: streaming over file source matches batch result") {
+    val dir = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    // watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    // cast is stable
+    events.withColumn("ts", F.col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.startWindowedStream(spark, dir, "winstream",
+      window = "1 hour", watermark = "2 hours")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("winstream")
+    val batch = EventStreams.windowedAgg(spark.read.parquet(dir), "1 hour")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("totals")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(UserEvent(1, 2.0), UserEvent(1, 3.0), UserEvent(2, 10.0))
+    q.processAllAvailable()
+    input.addData(UserEvent(1, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in Update mode appends each update; take the latest per user
+    val rows = spark.table("totals").as[UserTotals].collect()
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n) }
+    assert(rows(1L).n == 3 && math.abs(rows(1L).total - 10.0) < 1e-9)
+    assert(rows(2L).n == 1 && math.abs(rows(2L).total - 10.0) < 1e-9)
+  }
+
+  test("session windows (batch twin) group by gap") {
+    val s = EventStreams.sessionized(events, "30 minutes")
+    assert(s.count() > 0)
+    // sessions never overlap per user
+    val overlaps = s.alias("a").join(s.alias("b"),
+      F.col("a.user_id") === F.col("b.user_id") &&
+        F.col("a.session_start") < F.col("b.session_start") &&
+        F.col("b.session_start") < F.col("a.session_end")).count()
+    assert(overlaps == 0)
+  }
+}
