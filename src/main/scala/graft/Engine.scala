@@ -291,6 +291,14 @@ object Engine {
   def toTerms(bindings: Map[String, Any]): Map[String, RdfTerm] =
     bindings.map { case (k, v) => k -> anyToTerm(v) }
 
+  /** Single-column result → Set (the reference's `_set`,
+    * gastrodon/__init__.py:465-473) — explicit collect API. */
+  def toSet(df: DataFrame): Set[Any] = {
+    require(df.columns.length == 1,
+      s"expected exactly 1 column, got ${df.columns.length}")
+    df.collect().map(_.get(0)).toSet
+  }
+
   /** Assert a 1×1 result and return the scalar (one,
     * gastrodon/__init__.py:859-883). */
   def one(df: DataFrame): Any = {

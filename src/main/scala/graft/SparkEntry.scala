@@ -218,6 +218,14 @@ object SparkEntry {
     "q_events_sliding" -> ((s, dir) =>
       EventStreams.slidingUserActivity(read(s, dir, "events"), "1 hour", "30 minutes")
         .where(F.col("n") > 2)),
+    "q_events_sessions" -> ((s, dir) =>
+      EventStreams.sessionized(read(s, dir, "events"), "30 minutes")),
+    "q_user_totals" -> ((s, dir) =>
+      // batch twin of the mapGroupsWithState running-totals operator
+      read(s, dir, "events").groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))),
     "q_events_props" -> ((s, dir) =>
       read(s, dir, "events").select(
         F.col("event_id"),
@@ -455,6 +463,29 @@ object SparkEntry {
                  SELECT user_id, t30 - to_minutes(30) FROM base)
          SELECT wstart, user_id, COUNT(*) AS n FROM win
          GROUP BY 1, 2 HAVING COUNT(*) > 2""",
+    "q_events_sessions" ->
+      // gaps-and-islands twin of Spark's session_window: a session breaks
+      // when the gap to the previous event is >= 30 min; session_end is
+      // last event + gap (Spark's [start, end) convention)
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM o)
+         SELECT MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM g GROUP BY user_id, grp""",
+    "q_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1""",
     "q_events_props" ->
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

@@ -36,7 +36,9 @@ object EventStreams {
   def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
-      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("total"))
+      .agg(F.count(F.lit(1)).as("n"),
+        // decimal-exact sum (stable across engines), surfaced as double
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(F.col("w.start").as("session_start"),
         F.col("w.end").as("session_end"), F.col("user_id"), F.col("n"),
         F.col("total"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rdf._
+
+/** Property-style tests the reference implies (SURVEY.md §5c): graph-set
+  * semantics, QName round-trips, N-Triples round-trips — seeded random
+  * generation (deterministic across runs). */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def local(): String =
+    ('a' + rnd.nextInt(26)).toChar.toString +
+      Seq.fill(5)(('a' + rnd.nextInt(26)).toChar).mkString
+  private def iri(): Iri = Iri("http://example.com/" + local())
+  private def term(): RdfTerm = rnd.nextInt(3) match {
+    case 0 => iri()
+    case 1 => Lit.plain(local())
+    case _ => Lit.typed((rnd.nextInt(2000000) - 1000000).toString, XSD.integer)
+  }
+
+  test("set semantics: re-asserting triples never changes the triple count") {
+    for (_ <- 1 to 3) {
+      val ts = Seq.fill(12)((iri(): RdfTerm, iri(): RdfTerm, term()))
+      val g = RdfGraph.fromTriples(spark, ts)
+      val n = g.size
+      val g2 = g.insert(RdfGraph.fromTriples(spark, ts).triples)
+      assert(g2.size == n)
+    }
+  }
+
+  test("QName round-trip: shortName is inverted by UriResolver.anyToUri") {
+    val prefixes = Map("ex" -> "http://example.com/")
+    val resolver = UriResolver(prefixes, "http://unused/")
+    for (_ <- 1 to 50) {
+      val uri = "http://example.com/" + local()
+      QNames.shortName(uri, prefixes) match {
+        case Some(q) => assert(resolver.anyToUri(q) == uri)
+        case None => fail(s"alphabetic local part must be QName-safe: $uri")
+      }
+    }
+  }
+
+  test("nsPart + localPart partition the URI") {
+    for (_ <- 1 to 30; sep <- Seq("#", "/")) {
+      val l = local()
+      val uri = "http://example.com/x" + sep + l
+      assert(QNames.nsPart(uri) + QNames.localPart(uri) == uri)
+      assert(QNames.localPart(uri) == l)
+    }
+  }
+
+  test("is_ok_qname rejects special-character tails, accepts plain ones") {
+    val ns = Set("http://example.com/")
+    assert(QNames.isOkQname("http://example.com/Fishbone", ns))
+    assert(!QNames.isOkQname("http://example.com/a(b)", ns))
+    assert(!QNames.isOkQname("http://other.com/Fishbone", ns))
+    // trailing dot is not a valid PN_LOCAL ending
+    assert(!QNames.isOkQname("http://example.com/abc.", ns))
+  }
+
+  test("term n3 round-trips through the N-Triples line parser") {
+    for (_ <- 1 to 50) {
+      val (s, p, o) = (iri(), iri(), term())
+      val line = s"${s.n3()} ${p.n3()} ${o.n3()} ."
+      assert(sources.NTriples.parseLine(line).isDefined, s"unparseable: $line")
+    }
+  }
+
+  test("Engine.toSet on a single-column result") {
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (Iri("http://example.com/a"), Iri("http://example.com/p"), Lit.typed("1", XSD.integer)),
+      (Iri("http://example.com/b"), Iri("http://example.com/p"), Lit.typed("2", XSD.integer))))
+    val e = Engine.fromGraph(g.withPrefix("ex", "http://example.com/"))
+    val df = e.select("SELECT ?v { ?s <http://example.com/p> ?v }")
+    assert(Engine.toSet(df) == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Engine.toSet(e.select("SELECT ?s ?v { ?s <http://example.com/p> ?v }"))
+    }
+  }
+}
