@@ -278,6 +278,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.where(F.col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10)
     }),
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopK(emb.where(F.col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10, nlist = 8, nprobe = 3)
+    }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)

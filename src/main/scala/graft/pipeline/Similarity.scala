@@ -78,6 +78,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the scale path for large
+    * corpora: k-means coarse quantizer (fit once, reusable), every vector
+    * assigned to its nearest centroid list, a query scans only the
+    * `nprobe` nearest lists (corpus scan ÷ nlist·nprobe⁻¹). At 100 TB the
+    * quantizer is fit on a sample and persisted; assignment is a narrow
+    * map and the lists are the partition keys, so a probe is a
+    * partition-pruned scan. */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vectors
+    val fv = corpus
+      .select(F.col(id), F.col(vec))
+      .withColumn("__fv", array_to_vector(F.col(vec)))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("__fv").setPredictionCol("__list")
+      .fit(fv.select("__fv"))
+    val assigned = model.transform(fv)
+    val qv = Vectors.dense(query.map(_.toDouble).toArray)
+    val probeLists = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
+      .take(nprobe).map(_._2.toLong)
+    val q = F.typedlit(query)
+    assigned.where(F.col("__list").isin(probeLists: _*))
+      .select(F.col(id), cosine(F.col(vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(id))
+      .limit(k)
+  }
+
   /** All-pairs k-NN join (each left row → top-k right rows by cosine)
     * via LSH co-bucketing; exact within bucket. For the exact small-side
     * case broadcast the right side and use bruteForce per-row instead. */
