@@ -278,8 +278,37 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           .select(F.col("o").as("ps"), F.col("s").as("po"))
         if (fwd.isEmpty) invDf else fwdDf.union(invDf)
       }
-    case PZeroOrMore(_) | POneOrMore(_) | PZeroOrOne(_) =>
-      throw new IllegalStateException("transitive path handled separately")
+    // nested transitive path (inside a sequence/alternative): full pair
+    // closure with both endpoints open — correct, at closure cost
+    case PZeroOrMore(inner) =>
+      closure(pathEdges(inner), VarNode("__a"), VarNode("__b"), includeZero = true)
+    case POneOrMore(inner) =>
+      closure(pathEdges(inner), VarNode("__a"), VarNode("__b"), includeZero = false)
+    case PZeroOrOne(inner) =>
+      pathEdges(inner)
+        .union(graphNodes.select(F.col("n").as("ps"), F.col("n").as("po")))
+        .distinct()
+  }
+
+  /** Push inverses through composite paths so `^(p*) = (^p)*` etc. — the
+    * transitive cases are handled by endpoint-seeded closures which must
+    * see the transitive node at the top. */
+  private def normalizePath(p: Path): Path = p match {
+    case PInv(PInv(q)) => normalizePath(q)
+    case PInv(PSeq(a, b)) =>
+      PSeq(normalizePath(PInv(b)), normalizePath(PInv(a)))
+    case PInv(PAlt(a, b)) =>
+      PAlt(normalizePath(PInv(a)), normalizePath(PInv(b)))
+    case PInv(PZeroOrMore(q)) => PZeroOrMore(normalizePath(PInv(q)))
+    case PInv(POneOrMore(q)) => POneOrMore(normalizePath(PInv(q)))
+    case PInv(PZeroOrOne(q)) => PZeroOrOne(normalizePath(PInv(q)))
+    case PInv(q) => PInv(normalizePath(q))
+    case PSeq(a, b) => PSeq(normalizePath(a), normalizePath(b))
+    case PAlt(a, b) => PAlt(normalizePath(a), normalizePath(b))
+    case PZeroOrMore(q) => PZeroOrMore(normalizePath(q))
+    case POneOrMore(q) => POneOrMore(normalizePath(q))
+    case PZeroOrOne(q) => PZeroOrOne(normalizePath(q))
+    case other => other
   }
 
   /** All nodes of the graph (for zero-length path endpoints). */
@@ -287,7 +316,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     graph.select(F.col("s").as("n"))
       .union(graph.select(F.col("o").as("n"))).distinct()
 
-  private def compilePathTriple(s: Node, path: Path, o: Node): DataFrame = {
+  private def compilePathTriple(s: Node, path0: Path, o: Node): DataFrame = {
+    val path = normalizePath(path0)
     val pairs: DataFrame = path match {
       case PZeroOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = true)
       case POneOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = false)
@@ -412,15 +442,44 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     var orderExprs = q.mods.orderBy
 
     if (needsAgg) {
-      finalItems = projItems.map(i => ProjItem(rewriteAggs(i.expr), Some(i.name)))
-      having = having.map(rewriteAggs)
-      orderExprs = orderExprs.map { case (e, asc) => (rewriteAggs(e), asc) }
-      // group keys: plain vars keep their name; expressions get bound first
+      // group keys: plain vars keep their name; expressions get bound to a
+      // key column. Any occurrence of a group expression in projection /
+      // HAVING / ORDER BY must reference that key column (the source vars
+      // no longer exist after aggregation).
       val preEc = exprC(df)
-      val keyCols: Seq[Column] = q.mods.groupBy.map {
-        case GroupVar(v) => df(v)
-        case GroupExpr(e, alias) =>
-          preEc.term(e).as(alias.getOrElse(syn("gkey")))
+      val groupKeys: Seq[(GroupCond, String)] = q.mods.groupBy.map {
+        case g @ GroupVar(v) => g -> v
+        case g @ GroupExpr(e, alias) => g -> alias.getOrElse(syn("gkey"))
+      }
+      val gmap: Map[Expr, String] = groupKeys.collect {
+        case (GroupExpr(e, _), n) => (e, n)
+      }.toMap ++ groupKeys.collect { // alias itself is also in scope
+        case (GroupExpr(_, Some(a)), n) => (ExVar(a): Expr, n)
+      }.toMap
+      def rewriteGroupRefs(e: Expr): Expr = gmap.get(e) match {
+        case Some(n) => ExVar(n)
+        case None => e match {
+          case ExOr(l, r) => ExOr(rewriteGroupRefs(l), rewriteGroupRefs(r))
+          case ExAnd(l, r) => ExAnd(rewriteGroupRefs(l), rewriteGroupRefs(r))
+          case ExNot(x) => ExNot(rewriteGroupRefs(x))
+          case ExCmp(op, l, r) => ExCmp(op, rewriteGroupRefs(l), rewriteGroupRefs(r))
+          case ExArith(op, l, r) => ExArith(op, rewriteGroupRefs(l), rewriteGroupRefs(r))
+          case ExNegNum(x) => ExNegNum(rewriteGroupRefs(x))
+          case ExIn(x, list, neg) => ExIn(rewriteGroupRefs(x), list.map(rewriteGroupRefs), neg)
+          case ExCall(n, args) => ExCall(n, args.map(rewriteGroupRefs))
+          case a: ExAgg => a // group refs never rewrite inside aggregates
+          case other => other
+        }
+      }
+      finalItems = projItems.map(i =>
+        ProjItem(rewriteAggs(rewriteGroupRefs(i.expr)), Some(i.name)))
+      having = having.map(h => rewriteAggs(rewriteGroupRefs(h)))
+      orderExprs = orderExprs.map { case (e, asc) =>
+        (rewriteAggs(rewriteGroupRefs(e)), asc)
+      }
+      val keyCols: Seq[Column] = groupKeys.map {
+        case (GroupVar(v), _) => df(v)
+        case (GroupExpr(e, _), n) => preEc.term(e).as(n)
       }
       val aggCols = aggMap.map { case (a, name) => preEc.agg(a).as(name) }.toSeq
       val safeAggs = if (aggCols.isEmpty)
