@@ -155,9 +155,18 @@ object Tables {
     }
     cols(RDF.typ) = iri(cls(table))
     val names = cols.keys.zipWithIndex.map { case (p, i) => p -> s"c$i" }.toMap
+    // keep the raw literal columns in the wide relation: filters the
+    // compiler can translate onto them push down to the parquet scan
+    // (min/max + dictionary skipping), which the lexical term struct
+    // blocks (double->string->double cast chain)
+    val natives = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[StructType] => pred(f.name) -> f.name
+    }.toMap
     val wide = df.select(
-      (s.as("s") +: cols.map { case (p, c) => c.as(names(p)) }.toSeq): _*)
-    StarTable(names, wide)
+      (s.as("s") +:
+        cols.map { case (p, c) => c.as(names(p)) }.toSeq) ++
+        df.schema.fields.map(f => F.col(f.name)).toSeq: _*)
+    StarTable(names, wide, natives)
   }
 
   /** Union of several tables as one graph, with the vertical-partition

@@ -22,8 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * column "s" plus one term-struct column per predicate. Subject-star BGPs
   * whose constant predicates all live in one star table compile to a
   * SINGLE scan with zero joins — the classic property-table optimization
-  * for RDF on columnar stores. `preds` maps predicate IRI → column name. */
-final case class StarTable(preds: Map[String, String], df: DataFrame)
+  * for RDF on columnar stores. `preds` maps predicate IRI → column name.
+  *
+  * `natives` maps predicate IRI → the RAW source column (also present in
+  * `df`) for literal-valued predicates. Filters translated onto a native
+  * column are data-source-pushable (parquet min/max + dictionary skip),
+  * which the string-lexical term struct never is. */
+final case class StarTable(preds: Map[String, String], df: DataFrame,
+    natives: Map[String, String] = Map.empty)
 
 final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** S2RDF-style vertical partitioning: predicate IRI → (s,o) DataFrame.

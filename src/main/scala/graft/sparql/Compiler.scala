@@ -52,6 +52,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case Union(l, r) =>
       val (a, b) = (compile(l), compile(r))
       unionByNamePadded(a, b)
+    case Filter(Bgp(ts), exprs) =>
+      // push translatable predicates into the star scans (parquet
+      // row-group skipping), then apply full SPARQL semantics on top
+      applyFilters(compileBgp(ts, exprs), exprs)
     case Filter(q, exprs) => applyFilters(compile(q), exprs)
     case Extend(q, v, e) =>
       val df = compile(q)
@@ -168,7 +172,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * self-joins, and Catalyst prunes the parquet read to exactly the
     * referenced columns. Anything not covered falls back to per-pattern
     * vertical scans chained with equi-joins. */
-  private def compileBgp(ts: Seq[TriplePattern]): DataFrame = {
+  private def compileBgp(ts: Seq[TriplePattern],
+      pushFilters: Seq[Expr] = Nil): DataFrame = {
     if (ts.isEmpty) return oneRowDf
     val covered = mutable.HashSet[Int]()
     val starDfs = mutable.ArrayBuffer[DataFrame]()
@@ -189,6 +194,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           var df = st.df
           val sel = mutable.ArrayBuffer[Column](F.col("s").as(sv))
           val bound = mutable.HashMap[String, String](sv -> "s")
+          val natives = mutable.HashMap[String, String]() // var → raw col
           pats.foreach { case (_, p, o, i) =>
             val cn = st.preds(p)
             df = df.where(F.col(cn + ".value").isNotNull)
@@ -196,10 +202,17 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
               case TermNode(t) => df = df.where(F.col(cn) === termCol(t))
               case VarNode(v) => bound.get(v) match {
                 case Some(prev) => df = df.where(F.col(cn) === F.col(prev))
-                case None => bound(v) = cn; sel += F.col(cn).as(v)
+                case None =>
+                  bound(v) = cn; sel += F.col(cn).as(v)
+                  st.natives.get(p).foreach(natives(v) = _)
               }
             }
             covered += i
+          }
+          // data-source pushdown: translate predicates onto raw columns
+          // (conservative — full SPARQL filter still applies after)
+          pushFilters.foreach { e =>
+            nativePredicate(e, natives.toMap).foreach(c => df = df.where(c))
           }
           starDfs += df.select(sel.toSeq: _*)
         }
@@ -209,6 +222,68 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case (tp, i) if !covered(i) => compileTriple(tp)
     }
     (starDfs.toSeq ++ restDfs).reduce(joinBindings)
+  }
+
+  /** Translate a SPARQL filter onto RAW source columns when that is
+    * provably implied by the term-level semantics: numeric comparisons
+    * and string equality/IN/STRSTARTS/CONTAINS between a native-bound
+    * variable and a constant. Returns None when not translatable (the
+    * term-level filter still runs — this is purely a scan-pruning aid). */
+  private def nativePredicate(e: Expr, nat: Map[String, String]): Option[Column] = {
+    def natVar(x: Expr): Option[Column] = x match {
+      case ExVar(v) => nat.get(v).map(F.col)
+      case ExCall("STR", Seq(ExVar(v))) => nat.get(v).map(F.col)
+      case _ => None
+    }
+    def const(x: Expr): Option[Lit] = x match {
+      case ExTerm(l: Lit) => Some(l)
+      case _ => None
+    }
+    def cmp(op: String, c: Column, l: Lit): Option[Column] = {
+      val rhs: Option[Column] =
+        if (XSD.numeric(l.dt)) Some(F.lit(l.lex.toDouble))
+        else if (l.dt == XSD.string && (op == "=" || op == "!=")) Some(F.lit(l.lex))
+        else None
+      rhs.map { r =>
+        op match {
+          case "=" => c === r
+          case "!=" => c =!= r
+          case "<" => c < r
+          case "<=" => c <= r
+          case ">" => c > r
+          case ">=" => c >= r
+        }
+      }
+    }
+    e match {
+      case ExAnd(l, r) =>
+        (nativePredicate(l, nat), nativePredicate(r, nat)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // partial conjunct is still implied
+        }
+      case ExOr(l, r) =>
+        for (a <- nativePredicate(l, nat); b <- nativePredicate(r, nat))
+          yield a || b
+      case ExCmp(op, a, b) =>
+        natVar(a).flatMap(c => const(b).flatMap(l => cmp(op, c, l)))
+          .orElse(natVar(b).flatMap(c => const(a).flatMap(l =>
+            cmp(op match {
+              case "<" => ">"; case "<=" => ">="
+              case ">" => "<"; case ">=" => "<="; case x => x
+            }, c, l))))
+      case ExIn(x, list, false) =>
+        natVar(x).flatMap { c =>
+          val lits = list.flatMap(const)
+          if (lits.size == list.size && lits.forall(_.dt == XSD.string))
+            Some(c.isin(lits.map(_.lex): _*))
+          else None
+        }
+      case ExCall("STRSTARTS", Seq(a, b)) =>
+        natVar(a).flatMap(c => const(b).map(l => c.startsWith(l.lex)))
+      case ExCall("CONTAINS", Seq(a, b)) =>
+        natVar(a).flatMap(c => const(b).map(l => c.contains(l.lex)))
+      case _ => None
+    }
   }
 
   private def nodeFilter(c: Column, n: Node): Option[Column] = n match {
