@@ -218,10 +218,37 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         }
       }
     }
-    val restDfs = ts.zipWithIndex.collect {
-      case (tp, i) if !covered(i) => compileTriple(tp)
+    // Join-order heuristic (SURVEY §7.9): most-constrained patterns
+    // first so intermediate results stay small. Constants in s/o are the
+    // strongest signal; a constant predicate prunes via the vertical
+    // index; var-only patterns scan everything and go last. Star groups
+    // are highly constrained (several predicates at once) → first.
+    // Within equal scores the query's original order is kept (stable
+    // sort), and only adjacent relations sharing variables are joined
+    // before disjoint ones (joinBindings cross-joins disjoint inputs).
+    def score(tp: TriplePattern): Int = {
+      def c(n: Node): Int = n match { case TermNode(_) => 4; case _ => 0 }
+      val pc = tp.p match {
+        case VerbNode(TermNode(_)) => 2
+        case VerbPath(_) => 1
+        case _ => 0
+      }
+      c(tp.s) + pc + c(tp.o)
     }
-    (starDfs.toSeq ++ restDfs).reduce(joinBindings)
+    val rest = ts.zipWithIndex.collect {
+      case (tp, i) if !covered(i) => (tp, score(tp))
+    }.sortBy(-_._2).map { case (tp, _) => compileTriple(tp) }
+    val parts = starDfs.toSeq ++ rest
+    // greedy connected-join: always join the next relation that shares a
+    // variable with the accumulated bindings; cross-join only when forced
+    val remaining = mutable.ArrayBuffer(parts: _*)
+    var acc = remaining.remove(0)
+    while (remaining.nonEmpty) {
+      val i = remaining.indexWhere(r => sharedVars(acc, r).nonEmpty)
+      val next = remaining.remove(if (i >= 0) i else 0)
+      acc = joinBindings(acc, next)
+    }
+    acc
   }
 
   /** Translate a SPARQL filter onto RAW source columns when that is
