@@ -44,6 +44,25 @@ object Dedup {
         .otherwise(F.array(F.array_join(t, " "))))
   }
 
+  /** 64-bit hashes of the k-word shingle set WITHOUT materializing the
+    * shingle strings: each token is hashed once, a shingle hash combines
+    * the k token hashes. Equal shingles ⇒ equal hashes; collisions are
+    * ~n²/2⁶⁴. This is the pipeline-internal form — the string shingles
+    * above exist for explainability and tests. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val th = F.transform(TextAnalysis.tokens(text), t => F.xxhash64(t))
+    // combine k consecutive token hashes via zip_with against shifted
+    // views — each shift evaluates the token-hash array once per ROW.
+    // (Indexing th inside a per-element lambda would re-inline the whole
+    // tokenization per element: O(tokens²).)
+    val windowed = (2 to k).foldLeft(th)((acc, j) =>
+      F.zip_with(acc, F.slice(th, F.lit(j), F.size(th)), (a, b) => F.xxhash64(a, b)))
+    F.array_distinct(
+      F.when(F.size(th) >= k,
+        F.slice(windowed, F.lit(1), F.size(th) - (k - 1)))
+        .otherwise(F.array(F.xxhash64(th))))
+  }
+
   /** MinHash signature of a shingle-set column (narrow map). Kept as a
     * Column recipe for composability; the candidates pipeline uses the
     * faster explode+aggregate form in [[minhashSignatures]]. */
@@ -64,8 +83,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, id: String, text: String,
       k: Int, numHashes: Int): DataFrame = {
     val exploded = df
-      .select(F.col(id).as("rid"), F.explode(shingles(F.col(text), k)).as("s"))
-      .select(F.col("rid"), F.xxhash64(F.col("s")).as("h"))
+      .select(F.col(id).as("rid"), F.explode(shingleHashes(F.col(text), k)).as("h"))
     val aggs = (0 until numHashes)
       .map(i => F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i"))
     exploded.groupBy("rid").agg(aggs.head, aggs.tail: _*)
@@ -114,7 +132,7 @@ object Dedup {
     // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
     // candidate join then shuffles longs instead of shingle strings
     val sh = df.select(F.col(id).as("rid"),
-        F.transform(shingles(F.col(text), k), s => F.xxhash64(s)).as("sh"))
+        shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
     cands
       .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
@@ -159,7 +177,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3): DataFrame = {
     val sh = df.select(F.col(id).as("rid"),
-        F.transform(shingles(F.col(text), k), s => F.xxhash64(s)).as("sh"))
+        shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
     val inverted = sh.select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
     val cands = inverted.alias("a")
