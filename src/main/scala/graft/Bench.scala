@@ -29,6 +29,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     SparkEntry.queries("q_filter_in")(spark, sfDir).count()
     SparkEntry.queries("q_groupby_count")(spark, sfDir).count()
+    SparkEntry.warmGraphs(spark, sfDir)
     // warm the pipeline path (array/lambda codegen) on a 50-doc slice
     graft.pipeline.Dedup.minhashDedupPairs(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(50),

@@ -34,6 +34,13 @@ object SparkEntry {
     Engine.fromGraph(graphCache.computeIfAbsent((s, dir, tables.toSeq),
       _ => Tables.graph(s, dir, tables: _*)))
 
+  /** Pre-build the memoized graphs the bench queries use: schema reads +
+    * plan construction only — no query executes, results stay cold. */
+  def warmGraphs(s: SparkSession, dir: String): Unit =
+    Seq(Seq("lineitem"), Seq("lineitem", "orders", "customer"),
+      Seq("customer", "orders"), Seq("customer", "nation"), Seq("orders"))
+      .foreach(ts => eng(s, dir, ts: _*))
+
   private def sel(tables: String*)(sparql: String): (SparkSession, String) => DataFrame =
     (s, dir) => eng(s, dir, tables: _*).select(P + sparql)
 
