@@ -118,6 +118,13 @@ object SparkEntry {
     "q_having" -> sel("customer")(
       """SELECT ?seg (COUNT(*) AS ?cnt) { ?c gp:c_mktsegment ?seg }
            GROUP BY ?seg HAVING(COUNT(*) > 250)"""),
+    "q_group_concat" -> sel("region")(
+      """SELECT (GROUP_CONCAT(?name; separator=",") AS ?names) {
+           ?r gp:r_name ?name }"""),
+    "q_approx_distinct" -> ((s, dir) =>
+      // scale variant of COUNT(DISTINCT): HLL sketch, no exact shuffle
+      read(s, dir, "customer").agg(
+        F.approx_count_distinct("c_mktsegment").as("n"))),
 
     // --- sort / limit / distinct (SURVEY §2B "Sorts/limits")
     "q_topk" -> sel("orders")(
@@ -396,6 +403,8 @@ object SparkEntry {
     "q_having" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer
          GROUP BY 1 HAVING COUNT(*) > 250""",
+    "q_group_concat" ->
+      "SELECT string_agg(r_name, ',' ORDER BY r_name) AS names FROM region",
     "q_topk" ->
       """SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
