@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.pipeline.Multimodal
+
+/** Multimodal plumbing: the decode stub is deterministic, batching
+  * preserves rows, and the metadata-only ops (resize plan, frame
+  * sampling) compute correct shapes. */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    .withColumn("media", Multimodal.syntheticMedia(F.col("text")))
+
+  test("batched decode preserves row count and is deterministic") {
+    val a = Multimodal.withDecodedMeta(docs, "media")
+    val b = Multimodal.withDecodedMeta(docs, "media", batchSize = 7)
+    assert(a.count() == docs.count())
+    val metaA = a.select("doc_id", "meta").collect().map(r => r.get(0) -> r.get(1)).toMap
+    val metaB = b.select("doc_id", "meta").collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(metaA == metaB) // batch size never changes results
+  }
+
+  test("decoded metadata is well-formed") {
+    val m = Multimodal.withDecodedMeta(docs, "media")
+      .select("meta.width", "meta.height", "meta.n_frames", "meta.ok")
+    assert(m.where(!F.col("ok")).count() == 0)
+    assert(m.where(F.col("width") < 64 || F.col("height") < 64).count() == 0)
+  }
+
+  test("resize plan preserves aspect ratio within rounding") {
+    val planned = Multimodal.withDecodedMeta(docs, "media")
+      .select(F.col("meta"), Multimodal.resizePlan(F.col("meta"), 256).as("r"))
+      .select(
+        F.col("meta.width").as("w"), F.col("meta.height").as("h"),
+        F.col("r.width").as("rw"), F.col("r.height").as("rh"))
+    // relative tolerance: integer rounding on a 15-pixel side shifts the
+    // ratio far more than on a 256-pixel side
+    val bad = planned.where(
+      F.greatest(F.col("rw"), F.col("rh")) > 256 ||
+        F.abs(F.col("rw") / F.col("rh") - F.col("w") / F.col("h")) /
+          (F.col("w") / F.col("h")) > 0.1)
+    assert(bad.count() == 0)
+  }
+
+  test("frame sampling returns n evenly spaced in-range indexes") {
+    val s = Multimodal.withDecodedMeta(docs, "media")
+      .select(F.col("meta.n_frames").as("nf"),
+        Multimodal.sampleFrameIndexes(F.col("meta"), 4).as("idx"))
+    assert(s.where(F.size(F.col("idx")) =!= 4).count() == 0)
+    assert(s.where(F.exists(F.col("idx"),
+      i => i < 0 || i >= F.col("nf"))).count() == 0)
+  }
+
+  test("fake embedding has fixed dim and bounded values") {
+    val e = docs.select(Multimodal.fakeEmbedding(F.col("media"), 16).as("v"))
+    assert(e.where(F.size(F.col("v")) =!= 16).count() == 0)
+    assert(e.where(F.exists(F.col("v"),
+      x => x < -1.0 || x > 1.0)).count() == 0)
+  }
+}
