@@ -460,7 +460,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * localCheckpoint() per iteration cuts lineage growth. */
   private def closure(edges0: DataFrame, s: Node, o: Node,
       includeZero: Boolean): DataFrame = {
-    val maxIter = 50
+    // Sanity bound only — loops terminate on an empty frontier/delta. A
+    // graph needing more than this many BFS levels (seeded) or doubling
+    // rounds (pair closure: log₂ diameter) would be degenerate.
+    val maxIter = 100000
     // Orient so a constant endpoint (if any) is the source.
     val (edges, seedTerm, reversed) = (s, o) match {
       case (TermNode(t), _) => (edges0, Some(t), false)
@@ -486,18 +489,29 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         }
         reached.select(termCol(t).as("ps"), F.col("n").as("po"))
       case None =>
+        // full pair closure by path DOUBLING: each round joins the
+        // accumulated closure with itself, so a diameter-d graph
+        // converges in ⌈log₂ d⌉ rounds instead of d — the difference
+        // between 10 and 1000 Spark jobs on a deep chain.
         val e = edges.localCheckpoint(true)
         var closure = e.distinct().localCheckpoint(true)
-        var delta = closure
         var i = 0
-        while (i < maxIter && !delta.isEmpty) {
-          val stepped = delta.alias("d")
-            .join(e.alias("e"), F.col("d.po") === F.col("e.ps"))
-            .select(F.col("d.ps").as("ps"), F.col("e.po").as("po")).distinct()
-          val next = stepped.join(closure, Seq("ps", "po"), "left_anti")
-            .localCheckpoint(true)
-          closure = closure.union(next).localCheckpoint(true)
-          delta = next
+        var grew = true
+        while (i < maxIter && grew) {
+          val doubled = closure.alias("a")
+            .join(closure.alias("b"), F.col("a.po") === F.col("b.ps"))
+            .select(F.col("a.ps").as("ps"), F.col("b.po").as("po"))
+          val next0 = doubled.join(closure, Seq("ps", "po"), "left_anti")
+            .distinct().localCheckpoint(true)
+          // fresh attribute ids BEFORE the union: `next` derives from a
+          // self-join of `closure`, so closure's attributes appear on
+          // both union branches and trip Catalyst's constraint rewrite
+          val next = spark.createDataFrame(next0.rdd, next0.schema)
+          grew = !next0.isEmpty
+          if (grew) {
+            val unioned = closure.union(next).localCheckpoint(true)
+            closure = spark.createDataFrame(unioned.rdd, unioned.schema)
+          }
           i += 1
         }
         if (includeZero) {

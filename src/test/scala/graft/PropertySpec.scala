@@ -67,6 +67,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("transitive closure survives a 120-deep chain (fixpoint not capped)") {
+    val p = Iri("http://example.com/next")
+    val n = 120
+    val chain = (0 until n).map(i =>
+      (Iri(s"http://example.com/n$i"): RdfTerm, p: RdfTerm,
+        Iri(s"http://example.com/n${i + 1}"): RdfTerm))
+    val e = Engine.fromGraph(RdfGraph.fromTriples(spark, chain)
+      .withPrefix("ex", "http://example.com/"))
+    // seeded BFS from the head reaches all n nodes strictly below
+    val fromHead = e.select(
+      "SELECT ?x { <http://example.com/n0> <http://example.com/next>+ ?x }")
+    assert(fromHead.count() == n)
+    // full pair closure via doubling (log₂ n rounds): n*(n+1)/2 pairs
+    val pairs = e.selectRaw(
+      "SELECT ?a ?b { ?a <http://example.com/next>+ ?b }")
+    assert(pairs.count() == n.toLong * (n + 1) / 2)
+  }
+
   test("Engine.toSet on a single-column result") {
     val g = RdfGraph.fromTriples(spark, Seq(
       (Iri("http://example.com/a"), Iri("http://example.com/p"), Lit.typed("1", XSD.integer)),
