@@ -234,7 +234,7 @@ class Engine(initial: RdfGraph) {
     var seen = frontier
     var acc: DataFrame = null
     var i = 0
-    while (i < 100 && !frontier.isEmpty) {
+    while (i < 100000 && !frontier.isEmpty) {
       val level = t.join(frontier, t("s") === frontier("n")).select("s", "p", "o")
         .localCheckpoint(true)
       acc = if (acc == null) level else acc.union(level)

@@ -152,7 +152,7 @@ class RemoteEndpoint(
     val seen = scala.collection.mutable.HashSet[String](node.n3())
     var acc: DataFrame = null
     var i = 0
-    while (i < 100 && frontier.nonEmpty) {
+    while (i < 100000 && frontier.nonEmpty) {
       // Virtuoso round-trips bnodes as <nodeID://…> IRIs; plain `_:x` in a
       // query is a fresh variable, so re-query store-scoped labels as IRIs
       // (the reference's _bnode_to_sparql hack, gastrodon/__init__.py:667-668)

@@ -66,6 +66,25 @@ object EventStreams {
       }
   }
 
+  /** Streaming session windows: parquet dir → watermark → session_window
+    * aggregation. State is the set of open merged windows per user,
+    * bounded by the gap and evicted as the watermark passes. */
+  def startSessionStream(spark: SparkSession, dir: String,
+      queryName: String, gap: String = "30 minutes",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = sessionized(stream.withWatermark("ts", watermark), gap)
+    // session-window streaming aggregations support append (finalized
+    // sessions only) or complete; complete mirrors the batch twin
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The streaming variant: parquet dir → watermarked windowed agg →
     * in-memory sink (synchronous for tests via processAllAvailable).
     * In production the sink would be a parquet/Kafka writeStream. */

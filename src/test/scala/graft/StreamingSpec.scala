@@ -52,6 +52,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L).n == 1 && math.abs(rows(2L).total - 10.0) < 1e-9)
   }
 
+  test("streaming session windows match the batch twin") {
+    val dir = Files.createTempDirectory("graft-sess").toFile.getAbsolutePath
+    events.withColumn("ts", F.col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.startSessionStream(spark, dir, "sessstream",
+      gap = "30 minutes", watermark = "2 hours")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessstream")
+    val batch = EventStreams.sessionized(spark.read.parquet(dir), "30 minutes")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("session windows (batch twin) group by gap") {
     val s = EventStreams.sessionized(events, "30 minutes")
     assert(s.count() > 0)
