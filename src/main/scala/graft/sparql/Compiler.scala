@@ -525,7 +525,170 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   // ------------------------------------------------------------- queries
 
+  /** Native scan-aggregate fast path: a GROUP BY + aggregates over a
+    * single-subject star BGP (optionally filtered) runs entirely on the
+    * RAW source columns — no term structs are built per row, so the
+    * double→string→double casts of the lexical term model never run.
+    * Term structs are produced once per GROUP at the end. Bails to the
+    * general path on anything it can't prove equivalent. */
+  private def tryStarAggregate(q: SelectQuery): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (q.distinct || q.reduced || q.values.nonEmpty) return None
+    if (q.mods.having.nonEmpty || q.mods.orderBy.nonEmpty) return None
+    if (rdfGraph.starTables.isEmpty) return None
+    val (ts, filters) = q.where match {
+      case Bgp(t) => (t, Seq.empty[Expr])
+      case Filter(Bgp(t), fs) => (t, fs)
+      case _ => return None
+    }
+    if (ts.isEmpty) return None
+    val pats = ts.map {
+      case TriplePattern(VarNode(sv), VerbNode(TermNode(Iri(p))), o) => (sv, p, o)
+      case _ => return None
+    }
+    val sv = pats.head._1
+    if (!pats.forall(_._1 == sv)) return None
+    val preds = pats.map(_._2)
+    val st = rdfGraph.starTables.find(s =>
+      preds.forall(s.preds.contains) && preds.exists(_ != RDF.typ))
+      .getOrElse(return None)
+    val natTypes: Map[String, DataType] =
+      st.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // bind object vars to native columns (types known); subject stays a struct
+    val nat = mutable.LinkedHashMap[String, String]()
+    var df = st.df
+    pats.foreach { case (_, p, o) =>
+      val cn = st.preds(p)
+      df = df.where(F.col(cn + ".value").isNotNull)
+      o match {
+        case TermNode(t) => df = df.where(F.col(cn) === termCol(t))
+        case VarNode(v) =>
+          if (v == sv || nat.contains(v)) return None
+          nat(v) = st.natives.getOrElse(p, return None)
+      }
+    }
+    def isNum(t: DataType) = t match {
+      case _: NumericType => true; case _ => false
+    }
+    def isIntegral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+    }
+    // STRICT filter translation (must be equivalent, not just implied)
+    def strict(e: Expr): Option[Column] = e match {
+      case ExAnd(l, r) => for (a <- strict(l); b <- strict(r)) yield a && b
+      case ExOr(l, r) => for (a <- strict(l); b <- strict(r)) yield a || b
+      case ExCmp(op, ExVar(v), ExTerm(l: Lit)) if nat.contains(v) =>
+        val t = natTypes(nat(v))
+        if (isNum(t) && XSD.numeric(l.dt)) {
+          val c = F.col(nat(v)); val r = F.lit(l.lex.toDouble)
+          Some(op match {
+            case "=" => c === r; case "!=" => c =!= r
+            case "<" => c < r; case "<=" => c <= r
+            case ">" => c > r; case ">=" => c >= r
+          })
+        } else if (t == StringType && l.dt == XSD.string && (op == "=" || op == "!="))
+          Some(if (op == "=") F.col(nat(v)) === l.lex else F.col(nat(v)) =!= l.lex)
+        else None
+      case ExCmp(op, lt @ ExTerm(_), ExVar(v)) =>
+        strict(ExCmp(op match {
+          case "<" => ">"; case "<=" => ">="
+          case ">" => "<"; case ">=" => "<="; case x => x
+        }, ExVar(v), lt))
+      case ExIn(ExVar(v), list, false)
+          if nat.contains(v) && natTypes(nat(v)) == StringType =>
+        val lits = list.collect { case ExTerm(l: Lit) if l.dt == XSD.string => l.lex }
+        if (lits.size == list.size) Some(F.col(nat(v)).isin(lits: _*)) else None
+      case ExCall("STRSTARTS", Seq(ExVar(v), ExTerm(l: Lit)))
+          if nat.contains(v) && natTypes(nat(v)) == StringType =>
+        Some(F.col(nat(v)).startsWith(l.lex))
+      case ExCall("CONTAINS", Seq(ExVar(v), ExTerm(l: Lit)))
+          if nat.contains(v) && natTypes(nat(v)) == StringType =>
+        Some(F.col(nat(v)).contains(l.lex))
+      case ExNot(x) => strict(x).map(c => !c)
+      case _ => None
+    }
+    filters.foreach(f => df = df.where(strict(f).getOrElse(return None)))
+    // group keys: plain vars only, native-bound or the subject
+    val groupCols: Seq[(String, Column)] = q.mods.groupBy.map {
+      case GroupVar(v) if nat.contains(v) => v -> F.col(nat(v))
+      case GroupVar(v) if v == sv => v -> F.col("s")
+      case _ => return None
+    }
+    // projections: group vars pass through; aggregates translate natively
+    val items = q.projection match {
+      case SelectVars(is) => is
+      case SelectAll => return None
+    }
+    def intT(c: Column) = Terms.lit(c.cast(LongType), XSD.integer)
+    def dblT(c: Column) = Terms.lit(c.cast(DoubleType), XSD.double)
+    def strT(c: Column) = Terms.lit(c, XSD.string)
+    val aggCols = mutable.ArrayBuffer[Column]()
+    items.foreach { i =>
+      i.expr match {
+        case ExVar(v) if groupCols.exists(_._1 == v) => // group key pass-through
+        case a: ExAgg =>
+          val col: Column = (a.fn, a.arg) match {
+            case ("COUNT", None) => intT(F.count(F.lit(1)))
+            case ("COUNT", Some(ExVar(v))) if nat.contains(v) =>
+              val c = F.col(nat(v))
+              intT(if (a.distinct) F.countDistinct(c) else F.count(c))
+            case (fn @ ("SUM" | "AVG" | "MIN" | "MAX"), Some(ExVar(v)))
+                if nat.contains(v) && isNum(natTypes(nat(v))) =>
+              val t = natTypes(nat(v)); val c = F.col(nat(v))
+              fn match {
+                case "SUM" =>
+                  if (a.distinct) dblT(F.sum_distinct(c.cast(DoubleType)))
+                  else if (isIntegral(t)) intT(F.sum(c.cast(LongType)))
+                  else dblT(F.sum(c.cast(DoubleType)))
+                case "AVG" => dblT(F.avg(c.cast(DoubleType)))
+                case _ =>
+                  val m = if (fn == "MIN") F.min(c) else F.max(c)
+                  if (isIntegral(t)) intT(m.cast(LongType))
+                  else dblT(m.cast(DoubleType))
+              }
+            case ("MIN" | "MAX", Some(ExVar(v)))
+                if nat.contains(v) && natTypes(nat(v)) == StringType =>
+              val c = F.col(nat(v))
+              strT(if (a.fn == "MIN") F.min(c) else F.max(c))
+            case ("GROUP_CONCAT", Some(ExVar(v)))
+                if nat.contains(v) && natTypes(nat(v)) == StringType =>
+              val c = F.col(nat(v))
+              val vals = if (a.distinct) F.collect_set(c) else F.collect_list(c)
+              strT(F.array_join(F.array_sort(vals), a.separator.getOrElse(" ")))
+            case _ => return None
+          }
+          aggCols += col.as(i.name)
+        case _ => return None
+      }
+    }
+    if (aggCols.isEmpty) return None
+    var out = df.groupBy(groupCols.map(_._2): _*)
+      .agg(aggCols.head, aggCols.tail.toSeq: _*)
+    // re-select in projection order, wrapping native group keys into
+    // term structs (once per group — the cheap place to do it)
+    val named = items.map { i =>
+      i.expr match {
+        case ExVar(v) if v == sv => F.col("s").as(v)
+        case ExVar(v) =>
+          Terms.fromNative(F.col(nat(v)), natTypes(nat(v))).as(i.name)
+        case _ => F.col(i.name)
+      }
+    }
+    out = out.select(named: _*)
+    q.mods.offset.foreach(n => out = out.offset(n.toInt))
+    q.mods.limit.foreach(n => out = out.limit(n.toInt))
+    Some(out)
+  }
+
   def compileSelect(q: SelectQuery): DataFrame = {
+    val needsAggQ = q.mods.groupBy.nonEmpty || (q.projection match {
+      case SelectVars(items) => items.exists(i => ExprCompiler.hasAgg(i.expr))
+      case _ => false
+    })
+    if (needsAggQ) tryStarAggregate(q) match {
+      case Some(fast) => return fast
+      case None =>
+    }
     var df = compile(q.where)
 
     val projItems: Seq[ProjItem] = q.projection match {
