@@ -35,16 +35,42 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
       "doc_id", "text", threshold = 0.8, k = 3, numHashes = 32, bands = 8).count()
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // A failing query must surface as an error entry, never as a fast time:
+    // a benchmark that silently converts crashes into good numbers is
+    // measuring nothing.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(results, sfDir))
     spark.stop()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The one-line result JSON: successful queries under "queries" with
+    * their seconds; failed ones under "errors" with the exception — never
+    * as a (meaningless) time. */
+  def renderJson(results: Seq[(String, Double, Option[String])],
+      sfDir: String): String = {
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + f":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":${jstr(sfDir)}}"""
   }
 }

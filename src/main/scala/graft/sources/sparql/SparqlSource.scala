@@ -109,13 +109,14 @@ class SparqlScan(schema: StructType, opts: Map[String, String]) extends Scan wit
   override def planInputPartitions(): Array[InputPartition] = {
     val n = opts.getOrElse("partitions", "1").toInt
     val query = opts("query")
-    if (n <= 1) Array(SparqlPartition(query))
+    if (n <= 1) Array(SparqlPartition(query, 0, 1, 0L))
     else {
       val page = opts.getOrElse("pagesize",
         throw new IllegalArgumentException("partitions > 1 requires pageSize")).toLong
-      (0 until n).map { i =>
-        SparqlPartition(s"SELECT * { { $query } } LIMIT $page OFFSET ${i * page}")
-      }.toArray
+      // Partition i fetches pages i, i+n, i+2n, … until a short/empty page —
+      // NOT a single page each: capping every partition at one page would
+      // silently drop all rows beyond partitions*pageSize.
+      (0 until n).map(i => SparqlPartition(query, i, n, page)).toArray
     }
   }
 
@@ -127,26 +128,59 @@ class SparqlScan(schema: StructType, opts: Map[String, String]) extends Scan wit
       defaultGraph = opts.get("defaultgraph"),
       timeoutMs = opts.getOrElse("timeoutms", "60000").toInt)
     val vars = schema.fieldNames
-    (partition: InputPartition) => new SparqlPartitionReader(
-      partition.asInstanceOf[SparqlPartition].query, conf, vars)
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[SparqlPartition]
+      new SparqlPartitionReader(p.query, p.index, p.stride, p.pageSize, conf, vars)
+    }
   }
 }
 
-case class SparqlPartition(query: String) extends InputPartition
+/** `pageSize <= 0` means a single unwrapped request (partitions=1). */
+case class SparqlPartition(query: String, index: Int, stride: Int,
+    pageSize: Long) extends InputPartition
 
 /** Streaming SPARQL-JSON decode → InternalRow. Term decode mirrors
   * `_jsonToNode` (gastrodon/__init__.py:651-662): uri / bnode / literal
   * (plain, @lang, ^^datatype, legacy "typed-literal"); a variable absent
-  * from a binding object is null (unbound, :758-761). */
-class SparqlPartitionReader(query: String, conf: SparqlHttp.Config,
+  * from a binding object is null (unbound, :758-761).
+  *
+  * Paged mode (`pageSize > 0`): this reader owns pages index, index+stride,
+  * index+2·stride, … wrapping the base query as
+  * `SELECT * { { q } } LIMIT pageSize OFFSET page·pageSize` and fetching
+  * until a page comes back short (fewer than pageSize rows) — so the full
+  * result is read no matter how many pages it spans. */
+class SparqlPartitionReader(baseQuery: String, index: Int, stride: Int,
+    pageSize: Long, conf: SparqlHttp.Config,
     vars: Array[String]) extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 
-  private val stream = SparqlHttp.execute(conf, query)
-  private val parser: JsonParser = new JsonFactory().createParser(stream)
+  def this(query: String, conf: SparqlHttp.Config, vars: Array[String]) =
+    this(query, 0, 1, 0L, conf, vars)
+
+  private var pageNo: Long = index.toLong
+  private var rowsInPage: Long = 0L
+  private var stream: java.io.InputStream = _
+  private var parser: JsonParser = _
   private var row: InternalRow = _
   private var inBindings = false
   private var done = false
+
+  private def pageQuery: String =
+    if (pageSize <= 0) baseQuery
+    else s"SELECT * { { $baseQuery } } LIMIT $pageSize OFFSET ${pageNo * pageSize}"
+
+  private def openPage(): Unit = {
+    closePage()
+    stream = SparqlHttp.execute(conf, pageQuery)
+    parser = new JsonFactory().createParser(stream)
+    inBindings = false
+    rowsInPage = 0L
+  }
+
+  private def closePage(): Unit = {
+    if (parser != null) { parser.close(); parser = null }
+    if (stream != null) { stream.close(); stream = null }
+  }
 
   /** Advance to the start of the results.bindings array on first call. */
   private def seekBindings(): Unit = {
@@ -170,10 +204,20 @@ class SparqlPartitionReader(query: String, conf: SparqlHttp.Config,
 
   override def next(): Boolean = {
     if (done) return false
+    if (stream == null) openPage()
     if (!inBindings) seekBindings()
     if (done) return false
     val t = parser.nextToken()
-    if (t == JsonToken.END_ARRAY || t == null) { done = true; return false }
+    if (t == JsonToken.END_ARRAY || t == null) {
+      // page exhausted: a full page means more may follow at the next
+      // stride offset; a short page means the result set has ended
+      if (pageSize > 0 && rowsInPage == pageSize) {
+        pageNo += stride
+        openPage()
+        return next()
+      }
+      done = true; return false
+    }
     // t == START_OBJECT: one binding row {var: {type:…, value:…}, …}
     val byVar = scala.collection.mutable.HashMap[String, InternalRow]()
     var tok = parser.nextToken()
@@ -199,11 +243,12 @@ class SparqlPartitionReader(query: String, conf: SparqlHttp.Config,
       tok = parser.nextToken()
     }
     row = InternalRow.fromSeq(vars.toSeq.map(v => byVar.getOrElse(v, null)))
+    rowsInPage += 1
     true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = { parser.close(); stream.close() }
+  override def close(): Unit = closePage()
 }
 
 object SparqlPartitionReader {

@@ -192,6 +192,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         }
         if (pats.size >= 2) candidate.foreach { st =>
           var df = st.df
+          val natTypes: Map[String, DataType] =
+            st.df.schema.fields.map(f => f.name -> f.dataType).toMap
           val sel = mutable.ArrayBuffer[Column](F.col("s").as(sv))
           val bound = mutable.HashMap[String, String](sv -> "s")
           val natives = mutable.HashMap[String, String]() // var → raw col
@@ -212,7 +214,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           // data-source pushdown: translate predicates onto raw columns
           // (conservative — full SPARQL filter still applies after)
           pushFilters.foreach { e =>
-            nativePredicate(e, natives.toMap).foreach(c => df = df.where(c))
+            nativePredicate(e, natives.toMap, natTypes).foreach(c => df = df.where(c))
           }
           starDfs += df.select(sel.toSeq: _*)
         }
@@ -252,24 +254,34 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   }
 
   /** Translate a SPARQL filter onto RAW source columns when that is
-    * provably implied by the term-level semantics: numeric comparisons
-    * and string equality/IN/STRSTARTS/CONTAINS between a native-bound
-    * variable and a constant. Returns None when not translatable (the
-    * term-level filter still runs — this is purely a scan-pruning aid). */
-  private def nativePredicate(e: Expr, nat: Map[String, String]): Option[Column] = {
-    def natVar(x: Expr): Option[Column] = x match {
-      case ExVar(v) => nat.get(v).map(F.col)
-      case ExCall("STR", Seq(ExVar(v))) => nat.get(v).map(F.col)
+    * provably implied by the term-level semantics: numeric comparisons on
+    * NUMERIC native columns and string equality/IN/STRSTARTS/CONTAINS on
+    * STRING native columns, between a native-bound variable and a constant.
+    * The type gate matters: pushing a string `!=` onto an integer column
+    * would let Spark coerce and prune rows that SPARQL term inequality
+    * (cross-datatype → terms differ → keep) retains — and the reapplied
+    * full filter can't restore pruned rows. Returns None when not
+    * translatable (the term-level filter still runs — this is purely a
+    * scan-pruning aid). */
+  private def nativePredicate(e: Expr, nat: Map[String, String],
+      natTypes: Map[String, DataType]): Option[Column] = {
+    def natVar(x: Expr): Option[(Column, DataType)] = x match {
+      case ExVar(v) => nat.get(v).map(c => (F.col(c), natTypes(c)))
+      case ExCall("STR", Seq(ExVar(v))) => nat.get(v).map(c => (F.col(c), natTypes(c)))
       case _ => None
+    }
+    def isNumType(t: DataType) = t match {
+      case _: NumericType => true; case _ => false
     }
     def const(x: Expr): Option[Lit] = x match {
       case ExTerm(l: Lit) => Some(l)
       case _ => None
     }
-    def cmp(op: String, c: Column, l: Lit): Option[Column] = {
+    def cmp(op: String, c: Column, t: DataType, l: Lit): Option[Column] = {
       val rhs: Option[Column] =
-        if (XSD.numeric(l.dt)) Some(F.lit(l.lex.toDouble))
-        else if (l.dt == XSD.string && (op == "=" || op == "!=")) Some(F.lit(l.lex))
+        if (XSD.numeric(l.dt) && isNumType(t)) Some(F.lit(l.lex.toDouble))
+        else if (l.dt == XSD.string && t == StringType && (op == "=" || op == "!="))
+          Some(F.lit(l.lex))
         else None
       rhs.map { r =>
         op match {
@@ -284,31 +296,36 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     }
     e match {
       case ExAnd(l, r) =>
-        (nativePredicate(l, nat), nativePredicate(r, nat)) match {
+        (nativePredicate(l, nat, natTypes), nativePredicate(r, nat, natTypes)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) => a.orElse(b) // partial conjunct is still implied
         }
       case ExOr(l, r) =>
-        for (a <- nativePredicate(l, nat); b <- nativePredicate(r, nat))
+        for (a <- nativePredicate(l, nat, natTypes); b <- nativePredicate(r, nat, natTypes))
           yield a || b
       case ExCmp(op, a, b) =>
-        natVar(a).flatMap(c => const(b).flatMap(l => cmp(op, c, l)))
-          .orElse(natVar(b).flatMap(c => const(a).flatMap(l =>
+        natVar(a).flatMap { case (c, t) => const(b).flatMap(l => cmp(op, c, t, l)) }
+          .orElse(natVar(b).flatMap { case (c, t) => const(a).flatMap(l =>
             cmp(op match {
               case "<" => ">"; case "<=" => ">="
               case ">" => "<"; case ">=" => "<="; case x => x
-            }, c, l))))
+            }, c, t, l)) })
       case ExIn(x, list, false) =>
-        natVar(x).flatMap { c =>
+        natVar(x).flatMap { case (c, t) =>
           val lits = list.flatMap(const)
-          if (lits.size == list.size && lits.forall(_.dt == XSD.string))
+          if (t == StringType && lits.size == list.size &&
+              lits.forall(_.dt == XSD.string))
             Some(c.isin(lits.map(_.lex): _*))
           else None
         }
       case ExCall("STRSTARTS", Seq(a, b)) =>
-        natVar(a).flatMap(c => const(b).map(l => c.startsWith(l.lex)))
+        natVar(a).flatMap { case (c, t) =>
+          if (t == StringType) const(b).map(l => c.startsWith(l.lex)) else None
+        }
       case ExCall("CONTAINS", Seq(a, b)) =>
-        natVar(a).flatMap(c => const(b).map(l => c.contains(l.lex)))
+        natVar(a).flatMap { case (c, t) =>
+          if (t == StringType) const(b).map(l => c.contains(l.lex)) else None
+        }
       case _ => None
     }
   }

@@ -238,4 +238,35 @@ class OperatorSpec extends SparkSpec {
          } ORDER BY ?race""")
     assert(df.collect().map(_.getString(1)).toSeq == Seq("no9", "no9"))
   }
+
+  test("star-scan pushdown: string != on a numeric column must not prune") {
+    // FILTER(?k != "5"): SPARQL term inequality between xsd:integer and
+    // xsd:string is TRUE for every row (different datatypes ⇒ different
+    // terms), so all 25 nations survive. A type-blind pushdown would let
+    // Spark coerce "5" to 5 on the raw int column and prune k=5 — a row
+    // the reapplied term-level filter can never restore.
+    val dir = "/root/testdata/sf0.001"
+    val q = """PREFIX gp: <urn:graft:p/>
+      SELECT ?name ?k { ?n gp:n_name ?name . ?n gp:n_nationkey ?k
+        FILTER(?k != "5") }"""
+    val star = Engine.fromGraph(Tables.graph(spark, dir, "nation"))
+    val starRows = star.select(q).count()
+    // generic path (no star tables) as the semantic baseline
+    val plain = Engine.fromGraph(
+      rdf.RdfGraph(Tables.graph(spark, dir, "nation").triples,
+        rdf.RdfGraph.defaultPrefixes))
+    assert(starRows == plain.select(q).count())
+    assert(starRows == 25)
+  }
+
+  test("bench JSON reports failures as errors, not times") {
+    val json = Bench.renderJson(Seq(
+      ("q_ok", 1.234, None),
+      ("q_boom", 0.001, Some("""AnalysisException: "col" not found"""))),
+      "/tmp/sf")
+    assert(json.contains(""""q_ok":1.234"""))
+    assert(json.contains(""""errors":{"q_boom":"AnalysisException: \"col\" not found"}"""))
+    assert(!json.contains(""""q_boom":0.001"""))
+    assert(json.contains(""""value":1.234"""))
+  }
 }
