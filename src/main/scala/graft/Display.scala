@@ -10,12 +10,32 @@ import graft.rdf.Terms._
   *
   * Mirrors the reference's `_dataframe` + `to_python` +
   * `_normalize_column_type` (gastrodon/__init__.py:389-401, 262-293,
-  * 374-387): the reference tries int then float per all-string column; we
-  * inspect the datatype signature of each column in ONE aggregate pass and
-  * cast columnar-ly. This pass is a display-boundary cost by design — the
-  * 100 TB path is `selectRaw`, which skips it entirely.
+  * 374-387). Column typing is a per-column `Decision`, obtained one of two
+  * ways:
+  *
+  *  - statically from the query AST + source schema metadata
+  *    (sparql.TypeInfer) — zero data passes; the default for schema-typed
+  *    sources and the only acceptable behavior at 100 TB;
+  *  - by sniffing the datatype signatures actually present in ONE
+  *    aggregate pass (`toDisplay`) — the fallback for untyped graphs
+  *    (inline Turtle, post-UPDATE), costing one extra execution of the
+  *    query. Both paths share `displayDecision`/`displayCol`, so they
+  *    decide identically whenever the static path applies.
   */
 object Display {
+
+  /** How one bindings column is rendered for display. */
+  sealed trait Decision
+  case object DLong extends Decision
+  case object DDouble extends Decision
+  case object DBool extends Decision
+  case object DTs extends Decision
+  case object DDate extends Decision
+  /** QName-shortened IRIs / blank labels / lexical forms as strings. */
+  case object DStr extends Decision
+  /** Inference-only marker: signature not statically derivable — forces
+    * the sniffing fallback (sparql.TypeInfer). Never reaches displayCol. */
+  private[graft] case object DUnknown extends Decision
 
   private val SIG_CAP = 32
 
@@ -40,30 +60,54 @@ object Display {
     hit.getOrElse(uri)
   }
 
-  /** One term column → display column given the column's datatype
-    * signature set. */
-  private def displayCol(c: Column, sigs: Seq[String],
-      prefixes: Map[String, String]): Column = {
+  /** Decision from a column's sniffed `kind:dt` signature set. */
+  private def displayDecision(sigs: Seq[String]): Decision = {
     val dts = sigs.filter(_.startsWith("2:")).map(_.substring(2))
     val allLit = sigs.nonEmpty && sigs.forall(_.startsWith("2:"))
-    if (allLit && dts.forall(XSD.integral)) value(c).cast(LongType)
-    else if (allLit && dts.forall(XSD.numeric)) value(c).cast(DoubleType)
-    else if (allLit && dts.forall(_ == XSD.boolean)) value(c) === "true"
-    else if (allLit && dts.forall(_ == XSD.dateTime))
-      // NTZ: the TESTDATA timestamps are tz-naive; writing tz-adjusted
-      // timestamps would break oracle comparison
-      value(c).cast(TimestampNTZType)
-    else if (allLit && dts.forall(_ == XSD.date)) value(c).cast(DateType)
-    else // strings / IRIs / mixed → display string
+    if (allLit && dts.forall(XSD.integral)) DLong
+    else if (allLit && dts.forall(XSD.numeric)) DDouble
+    else if (allLit && dts.forall(_ == XSD.boolean)) DBool
+    else if (allLit && dts.forall(_ == XSD.dateTime)) DTs
+    else if (allLit && dts.forall(_ == XSD.date)) DDate
+    else DStr
+  }
+
+  /** One term column → display column for a given decision. */
+  private def displayCol(c: Column, d: Decision,
+      prefixes: Map[String, String]): Column = d match {
+    case DLong => value(c).cast(LongType)
+    case DDouble => value(c).cast(DoubleType)
+    case DBool => value(c) === "true"
+    // NTZ: the TESTDATA timestamps are tz-naive; writing tz-adjusted
+    // timestamps would break oracle comparison
+    case DTs => value(c).cast(TimestampNTZType)
+    case DDate => value(c).cast(DateType)
+    case DStr => // strings / IRIs / mixed → display string
       F.when(isIri(c), shortenExpr(value(c), prefixes))
         .when(Terms.isBlank(c), F.concat(F.lit("_:"), value(c)))
         .otherwise(value(c))
   }
 
+  /** Statically-typed display projection: a pure column rewrite, no data
+    * pass. Columns without a decision (never for TypeInfer-produced maps)
+    * fall back to string display. */
+  def toDisplayStatic(bindings: DataFrame, decisions: Map[String, Decision],
+      prefixes: Map[String, String]): DataFrame = {
+    val cols = bindings.columns.toSeq
+    if (cols.isEmpty) return bindings
+    bindings.select(cols.map { n =>
+      displayCol(F.col(n), decisions.getOrElse(n, DStr), prefixes).as(n)
+    }: _*)
+  }
+
+  /** Sniffing display projection: ONE aggregate pass collects the distinct
+    * (kind:dt) signatures per column, then types columnar-ly. The pass
+    * executes the query once before the caller's own action — acceptable
+    * for the untyped interactive graphs it serves; schema-typed sources
+    * take the static path above. */
   def toDisplay(bindings: DataFrame, prefixes: Map[String, String]): DataFrame = {
     val cols = bindings.columns.toSeq
     if (cols.isEmpty) return bindings
-    // one aggregate pass: per column the distinct (kind:dt) signatures
     val sigAggs = cols.map { n =>
       val c = F.col(n)
       F.slice(F.collect_set(F.when(c.isNotNull,
@@ -73,7 +117,7 @@ object Display {
     val sigRow = bindings.agg(sigAggs.head, sigAggs.tail: _*).collect()(0)
     val out = cols.zipWithIndex.map { case (n, i) =>
       val sigs = sigRow.getSeq[String](i)
-      displayCol(F.col(n), sigs, prefixes).as(n)
+      displayCol(F.col(n), displayDecision(sigs), prefixes).as(n)
     }
     bindings.select(out: _*)
   }

@@ -169,6 +169,33 @@ object Tables {
     StarTable(names, wide, natives)
   }
 
+  /** The xsd datatype `fromNative` will stamp on literals of this Spark
+    * type (Timestamps go through `lexical` with xsd:dateTime). */
+  private def nativeDt(t: DataType): String = t match {
+    case ByteType | ShortType | IntegerType | LongType => XSD.integer
+    case FloatType | DoubleType => XSD.double
+    case _: DecimalType => XSD.decimal
+    case BooleanType => XSD.boolean
+    case TimestampType | TimestampNTZType => XSD.dateTime
+    case DateType => XSD.date
+    case _ => XSD.string
+  }
+
+  /** Predicate → exact object types for one table (schema metadata — lets
+    * the display boundary type columns statically, Display.toDisplay). */
+  def predObjTypes(spark: SparkSession, sfDir: String, table: String)
+      : Map[String, Set[PredObjType]] = {
+    val df = read(spark, sfDir, table)
+    val fkMap = fks(table)
+    val cols = df.schema.fields.flatMap { f =>
+      val lit = pred(f.name) -> Set[PredObjType](LitObj(nativeDt(f.dataType)))
+      val fk = fkMap.get(f.name).map(_ =>
+        pred(f.name.stripSuffix("key") + "_ref") -> Set[PredObjType](IriObj))
+      Seq(lit) ++ fk
+    }
+    (cols :+ (RDF.typ -> Set[PredObjType](IriObj))).toMap
+  }
+
   /** Union of several tables as one graph, with the vertical-partition
     * index and property tables attached. rdf:type relations from multiple
     * tables are unioned. */
@@ -179,6 +206,11 @@ object Tables {
         p -> rels.map(_._2).reduce(_ unionByName _)
       }
     val stars = tables.map(starTable(spark, sfDir, _))
-    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars)
+    val objTypes = tables.map(predObjTypes(spark, sfDir, _))
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap
+      }
+    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars, objTypes)
   }
 }

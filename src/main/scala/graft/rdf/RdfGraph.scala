@@ -31,6 +31,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 final case class StarTable(preds: Map[String, String], df: DataFrame,
     natives: Map[String, String] = Map.empty)
 
+/** Static description of the objects a predicate can have — schema
+  * metadata a relational direct mapping knows exactly (each source column
+  * maps to ONE datatype, each FK to IRIs). Lets the display boundary
+  * derive column types from the query plan instead of running a
+  * type-sniffing pass over the data (Display.toDisplay). */
+sealed trait PredObjType extends Serializable
+case object IriObj extends PredObjType
+final case class LitObj(dt: String) extends PredObjType
+
 final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** S2RDF-style vertical partitioning: predicate IRI → (s,o) DataFrame.
       * When present, constant-predicate triple patterns scan ONLY the
@@ -41,7 +50,12 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** Property tables for star-join elimination (one per source table
       * when the graph is a relational direct mapping). Dropped on UPDATE
       * like predIndex. */
-    starTables: Seq[StarTable] = Nil) {
+    starTables: Seq[StarTable] = Nil,
+    /** Predicate IRI → exact set of object types (see PredObjType). Only
+      * populated by schema-typed sources (Tables direct mapping), where
+      * subjects are guaranteed to be IRIs. Dropped on UPDATE — an INSERT
+      * may introduce objects the schema didn't promise. */
+    predObjTypes: Map[String, Set[PredObjType]] = Map.empty) {
 
   def spark: SparkSession = triples.sparkSession
 
@@ -51,12 +65,12 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   /** Insert triples (set semantics). */
   def insert(newTriples: DataFrame): RdfGraph =
     copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"),
-      predIndex = Map.empty, starTables = Nil)
+      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty)
 
   /** Delete triples. */
   def delete(gone: DataFrame): RdfGraph =
     copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"),
-      predIndex = Map.empty, starTables = Nil)
+      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty)
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))
