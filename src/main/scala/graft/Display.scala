@@ -82,7 +82,7 @@ object Display {
     // timestamps would break oracle comparison
     case DTs => value(c).cast(TimestampNTZType)
     case DDate => value(c).cast(DateType)
-    case DStr => // strings / IRIs / mixed → display string
+    case _ => // strings / IRIs / mixed (and defensive DUnknown) → display string
       F.when(isIri(c), shortenExpr(value(c), prefixes))
         .when(Terms.isBlank(c), F.concat(F.lit("_:"), value(c)))
         .otherwise(value(c))

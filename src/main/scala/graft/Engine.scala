@@ -77,25 +77,33 @@ class Engine(initial: RdfGraph) {
     * frame with GROUP BY variables first (the reference sets them as the
     * pandas index — gastrodon/__init__.py:505-511). */
   def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
-    // cache the bindings: the display projection makes one type-sniffing
-    // aggregate pass before the caller's action — without this the whole
-    // query would execute twice (selectRaw is the no-extra-pass API)
-    val raw = selectRaw(sparql, bindings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Display.toDisplay(raw, graph.prefixes)
+    val q = parseSelect(sparql, bindings)
+    val raw = compiler.compileSelect(q)
+    // Static path: column types derived from the query AST + schema
+    // metadata — a pure projection rewrite, zero extra data passes (the
+    // only acceptable default at 100 TB). Fallback for untyped graphs:
+    // one sniffing aggregate pass over a transiently-cached result.
+    TypeInfer.selectDecisions(q, graph) match {
+      case Some(decisions) =>
+        Display.toDisplayStatic(raw, decisions, graph.prefixes)
+      case None =>
+        val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try Display.toDisplay(cached, graph.prefixes)
+        finally cached.unpersist(false) // sniff materialized; don't leak blocks
+    }
   }
 
   /** SELECT without display conversion: term-struct columns
     * (`select_raw`, gastrodon/__init__.py:513-523). This is the 100 TB
     * path — no per-column type sniffing pass. */
-  def selectRaw(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
-    val parsed = parse(sparql)
-    val q = parsed.query match {
+  def selectRaw(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
+    compiler.compileSelect(parseSelect(sparql, bindings))
+
+  private def parseSelect(sparql: String, bindings: Map[String, Any]): SelectQuery =
+    parse(sparql).query match {
       case s: SelectQuery => Substitute(s, Engine.toTerms(bindings))
       case _ => throw new GraftException("select() requires a SELECT query")
     }
-    compiler.compileSelect(q)
-  }
 
   /** GROUP BY variables of a query, when all group conditions are plain
     * variables (the reference's indexing rule — _extract_group_by,

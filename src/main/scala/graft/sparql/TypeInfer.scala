@@ -1,5 +1,6 @@
 package graft.sparql
 
+import graft.Display
 import graft.rdf._
 import Ast._
 
@@ -188,7 +189,6 @@ object TypeInfer {
       case "COALESCE" => args.map(exprSigs(_, env)).reduce(_ ++ _)
       case "IF" => exprSigs(args(1), env) ++ exprSigs(args(2), env)
       case "STRDT" => args(1) match {
-        case ExTerm(Lit(lex, _, _)) => Set(dtDecision(lex))
         case ExTerm(Iri(v)) => Set(dtDecision(v))
         case _ => U
       }
