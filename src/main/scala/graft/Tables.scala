@@ -103,31 +103,53 @@ object Tables {
   }
 
   /** Vertical-partition index for one table: predicate IRI → (s,o)
-    * relation, each a direct two-column projection of the parquet scan —
-    * Catalyst prunes the read to exactly the columns used (S2RDF
-    * partitioning, the 100 TB layout). */
+    * relation, each a direct projection of the parquet scan — Catalyst
+    * prunes the read to exactly the columns used (S2RDF partitioning,
+    * the 100 TB layout).
+    *
+    * Single-key tables additionally expose the RAW key columns `__sk`
+    * (subject key) and, for FK predicates, `__ok` (object key) as
+    * LongType, described by the returned PredNat — BGP joins run on these
+    * longs instead of the synthesized IRI strings, so join shuffles carry
+    * 8-byte keys and broadcast/pushdown work on the original parquet
+    * columns. rdf:type relations stay native-free (they union across
+    * tables with different keys). */
   def predIndex(spark: SparkSession, sfDir: String, table: String)
-      : Seq[(String, DataFrame)] = {
+      : Seq[(String, DataFrame, PredNat)] = {
     import Terms._
     val df = read(spark, sfDir, table)
     val s = iri(subjectCol(table))
     val fkMap = fks(table)
+    // raw subject key only for single-column keys (composite keys would
+    // need a synthesized combined key — not worth it: nothing FK-references
+    // the composite-key table, so its subjects never join natively)
+    val sKey: Option[Column] = keys(table) match {
+      case Seq(k) => Some(F.col(k).cast(LongType).as("__sk"))
+      case _ => None
+    }
+    val sNat = sKey.map(_ => subj(table))
     val colRels = df.schema.fields.toSeq.flatMap { f =>
       val obj = f.dataType match {
         case t @ (TimestampType | TimestampNTZType) =>
           lit(lexical(F.col(f.name), t), XSD.dateTime)
         case t => fromNative(F.col(f.name), t)
       }
-      val colRel = pred(f.name) ->
-        df.select(s.as("s"), obj.as("o")).where(F.col("o.value").isNotNull)
+      val colRel = (pred(f.name),
+        df.select(Seq(s.as("s")) ++ sKey ++ Seq(obj.as("o")): _*)
+          .where(F.col("o.value").isNotNull),
+        PredNat(sNat, None))
       val fkRel = fkMap.get(f.name).map { target =>
-        pred(f.name.stripSuffix("key") + "_ref") ->
-          df.select(s.as("s"),
-            iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o"))
+        (pred(f.name.stripSuffix("key") + "_ref"),
+          df.select(Seq(s.as("s")) ++ sKey ++ Seq(
+            iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o"),
+            F.col(f.name).cast(LongType).as("__ok")): _*)
+            .where(F.col(f.name).isNotNull),
+          PredNat(sNat, Some(subj(target))))
       }
       Seq(colRel) ++ fkRel
     }
-    colRels :+ (RDF.typ -> df.select(s.as("s"), iri(cls(table)).as("o")))
+    colRels :+ ((RDF.typ, df.select(s.as("s"), iri(cls(table)).as("o")),
+      PredNat(None, None)))
   }
 
   /** Property table for star-join elimination: ONE wide relation per
@@ -166,7 +188,14 @@ object Tables {
       (s.as("s") +:
         cols.map { case (p, c) => c.as(names(p)) }.toSeq) ++
         df.schema.fields.map(f => F.col(f.name)).toSeq: _*)
-    StarTable(names, wide, natives)
+    val keyNat = keys(table) match {
+      case Seq(k) => Some(k -> subj(table))
+      case _ => None
+    }
+    val fkNat = fkMap.map { case (col, target) =>
+      pred(col.stripSuffix("key") + "_ref") -> (col, subj(target))
+    }
+    StarTable(names, wide, natives, keyNat, fkNat)
   }
 
   /** The xsd datatype `fromNative` will stamp on literals of this Spark
@@ -201,16 +230,24 @@ object Tables {
     * tables are unioned. */
   def graph(spark: SparkSession, sfDir: String, tables: String*): RdfGraph = {
     val df = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
-    val idx = tables.flatMap(predIndex(spark, sfDir, _))
-      .groupBy(_._1).map { case (p, rels) =>
-        p -> rels.map(_._2).reduce(_ unionByName _)
-      }
+    val rels = tables.flatMap(predIndex(spark, sfDir, _))
+    // Native keys only survive for predicates from exactly one table: a
+    // multi-table predicate (rdf:type) unions relations with different key
+    // columns, so the raw-key invariant doesn't hold across branches.
+    val idx = rels.groupBy(_._1).map {
+      case (p, Seq((_, rel, _))) => p -> rel
+      case (p, group) => p -> group.map(_._2.select("s", "o")).reduce(_ unionByName _)
+    }
+    val nat = rels.groupBy(_._1).collect {
+      case (p, Seq((_, _, pn))) if pn.sTmpl.isDefined || pn.oTmpl.isDefined =>
+        p -> pn
+    }
     val stars = tables.map(starTable(spark, sfDir, _))
     val objTypes = tables.map(predObjTypes(spark, sfDir, _))
       .reduce { (a, b) =>
         (a.keySet ++ b.keySet).map(k =>
           k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap
       }
-    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars, objTypes)
+    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars, objTypes, nat)
   }
 }

@@ -29,7 +29,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * column are data-source-pushable (parquet min/max + dictionary skip),
   * which the string-lexical term struct never is. */
 final case class StarTable(preds: Map[String, String], df: DataFrame,
-    natives: Map[String, String] = Map.empty)
+    natives: Map[String, String] = Map.empty,
+    /** Raw single-column subject key (col name, IRI template): subjects of
+      * every row are `tmpl + key`. Lets BGP joins run on the raw key and
+      * build the IRI struct post-join. None for composite-key tables. */
+    keyNat: Option[(String, String)] = None,
+    /** FK predicate IRI → (raw FK column, target IRI template): objects
+      * are `tmpl + col`. Same native-join purpose as keyNat. */
+    fkNat: Map[String, (String, String)] = Map.empty)
+
+/** Native-key metadata of one vertical-partition relation: when set, the
+  * relation's DataFrame carries raw key columns `__sk` / `__ok` (LongType)
+  * such that s.value == sTmpl + __sk and o.value == oTmpl + __ok. BGP
+  * joins on such variables run on the longs — the term struct is built
+  * after the join, so the shuffle never carries synthesized IRI strings. */
+final case class PredNat(sTmpl: Option[String], oTmpl: Option[String])
 
 /** Static description of the objects a predicate can have — schema
   * metadata a relational direct mapping knows exactly (each source column
@@ -55,7 +69,11 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
       * populated by schema-typed sources (Tables direct mapping), where
       * subjects are guaranteed to be IRIs. Dropped on UPDATE — an INSERT
       * may introduce objects the schema didn't promise. */
-    predObjTypes: Map[String, Set[PredObjType]] = Map.empty) {
+    predObjTypes: Map[String, Set[PredObjType]] = Map.empty,
+    /** Native-key metadata for predIndex relations (see PredNat). Only
+      * predicates whose relation carries `__sk`/`__ok` columns appear.
+      * Dropped on UPDATE with the rest of the source metadata. */
+    predNat: Map[String, PredNat] = Map.empty) {
 
   def spark: SparkSession = triples.sparkSession
 
@@ -65,12 +83,14 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   /** Insert triples (set semantics). */
   def insert(newTriples: DataFrame): RdfGraph =
     copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"),
-      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty)
+      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
+      predNat = Map.empty)
 
   /** Delete triples. */
   def delete(gone: DataFrame): RdfGraph =
     copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"),
-      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty)
+      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
+      predNat = Map.empty)
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))
