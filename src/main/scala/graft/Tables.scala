@@ -120,11 +120,14 @@ object Tables {
     val df = read(spark, sfDir, table)
     val s = iri(subjectCol(table))
     val fkMap = fks(table)
-    // raw subject key only for single-column keys (composite keys would
-    // need a synthesized combined key — not worth it: nothing FK-references
-    // the composite-key table, so its subjects never join natively)
+    // raw subject key only for single-column INTEGRAL keys (composite keys
+    // would need a synthesized combined key — not worth it: nothing
+    // FK-references the composite-key table, so its subjects never join
+    // natively; non-integral keys don't round-trip through the cast, so
+    // the s.value == sTmpl + __sk invariant would silently break)
     val sKey: Option[Column] = keys(table) match {
-      case Seq(k) => Some(F.col(k).cast(LongType).as("__sk"))
+      case Seq(k) if isIntegral(df.schema(k).dataType) =>
+        Some(F.col(k).cast(LongType).as("__sk"))
       case _ => None
     }
     val sNat = sKey.map(_ => subj(table))
@@ -139,12 +142,15 @@ object Tables {
           .where(F.col("o.value").isNotNull),
         PredNat(sNat, None))
       val fkRel = fkMap.get(f.name).map { target =>
+        val oKey =
+          if (isIntegral(f.dataType))
+            Seq(F.col(f.name).cast(LongType).as("__ok")) else Nil
         (pred(f.name.stripSuffix("key") + "_ref"),
           df.select(Seq(s.as("s")) ++ sKey ++ Seq(
-            iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o"),
-            F.col(f.name).cast(LongType).as("__ok")): _*)
+            iri(F.concat(F.lit(subj(target)), F.col(f.name).cast(StringType))).as("o")) ++
+            oKey: _*)
             .where(F.col(f.name).isNotNull),
-          PredNat(sNat, Some(subj(target))))
+          PredNat(sNat, if (oKey.nonEmpty) Some(subj(target)) else None))
       }
       Seq(colRel) ++ fkRel
     }
@@ -189,13 +195,21 @@ object Tables {
         cols.map { case (p, c) => c.as(names(p)) }.toSeq) ++
         df.schema.fields.map(f => F.col(f.name)).toSeq: _*)
     val keyNat = keys(table) match {
-      case Seq(k) => Some(k -> subj(table))
+      case Seq(k) if isIntegral(df.schema(k).dataType) => Some(k -> subj(table))
       case _ => None
     }
-    val fkNat = fkMap.map { case (col, target) =>
-      pred(col.stripSuffix("key") + "_ref") -> (col, subj(target))
+    val fkNat = fkMap.collect {
+      case (col, target) if isIntegral(df.schema(col).dataType) =>
+        pred(col.stripSuffix("key") + "_ref") -> (col, subj(target))
     }
     StarTable(names, wide, natives, keyNat, fkNat)
+  }
+
+  /** Integral Spark types whose long cast round-trips through the string
+    * form (the native-key invariant s.value == tmpl + key requires it). */
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   /** The xsd datatype `fromNative` will stamp on literals of this Spark

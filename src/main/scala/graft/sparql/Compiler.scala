@@ -41,6 +41,43 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     synCounter += 1; s"__${prefix}$synCounter"
   }
 
+  // ------------------------------------------- native-key companion columns
+  //
+  // When a scan's subject/object IRIs are synthesized as `tmpl + key` from
+  // an integral source column (Tables.predIndex → RdfGraph.predNat), the
+  // scan carries a hidden companion column `__nk:<tmplId>:<var>` holding
+  // the RAW 8-byte key. Two bindings tables sharing a variable with the
+  // SAME companion name (same template) join on the long instead of the
+  // 4-field struct-of-strings — the join shuffle carries 8 bytes per key
+  // instead of ~40, and constant-IRI filters rewrite to pushable native
+  // predicates. Soundness: within one template, key → IRI is injective
+  // (long → canonical string), so long equality ⟺ struct equality, and a
+  // companion is null exactly when its term column is null.
+
+  private val tmplIds = mutable.HashMap[String, Int]()
+  private def nkName(tmpl: String, v: String): String =
+    s"__nk:${tmplIds.getOrElseUpdate(tmpl, tmplIds.size)}:$v"
+  /** Template id of a companion column name. */
+  private def nkId(c: String): String = c.substring(5).takeWhile(_ != ':')
+  /** The companion's variable, renamed: same template, new var. */
+  private def nkRename(c: String, newVar: String): String =
+    s"__nk:${nkId(c)}:$newVar"
+  /** The companion column of variable `v` in `df`, if any. */
+  private def nkOf(df: DataFrame, v: String): Option[String] =
+    df.columns.find(c => c.startsWith("__nk:") &&
+      c.substring(5).dropWhile(_ != ':').drop(1) == v)
+  private def nkCols(df: DataFrame): Seq[String] =
+    df.columns.filter(_.startsWith("__nk:")).toSeq
+
+  /** Parse `iri` as `tmpl + <canonical long>`; None when it doesn't match
+    * (then no synthesized-subject row can equal it). */
+  private def iriKey(tmpl: String, iri: String): Option[Long] =
+    if (iri.startsWith(tmpl)) {
+      val sfx = iri.substring(tmpl.length)
+      try { val k = sfx.toLong; if (k.toString == sfx) Some(k) else None }
+      catch { case _: NumberFormatException => None }
+    } else None
+
   // ------------------------------------------------------------ patterns
 
   def compile(p: GraphPattern): DataFrame = p match {
@@ -75,19 +112,47 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   }
 
   /** Name-based equi-join on shared variable columns; cross join when
-    * disjoint. Internal marker columns (__unitN) never join. */
+    * disjoint. Internal marker columns (__unitN) never join. Shared vars
+    * whose BOTH sides carry the same native-key companion join on the
+    * 8-byte long; the right side's (equal) term struct is dropped. */
   private def joinBindings(l: DataFrame, r: DataFrame): DataFrame = {
     val shared = sharedVars(l, r)
     if (shared.isEmpty) l.crossJoin(r)
-    else l.join(r, shared, "inner")
+    else {
+      val (keys, dropRight) = nativeJoinKeys(l, r, shared)
+      l.join(r.drop(dropRight: _*), keys, "inner")
+    }
+  }
+
+  /** Join-key plan for shared vars: vars with a matching companion on both
+    * sides join on the companion (first element of the result) and their
+    * struct column is dropped from the right side (second element — it
+    * equals the left's after the join); the rest join by struct name. */
+  private def nativeJoinKeys(l: DataFrame, r: DataFrame,
+      shared: Seq[String]): (Seq[String], Seq[String]) = {
+    val native = shared.flatMap { v =>
+      (nkOf(l, v), nkOf(r, v)) match {
+        case (Some(a), Some(b)) if a == b => Some(v -> a)
+        case _ => None
+      }
+    }
+    val natVars = native.map(_._1)
+    (native.map(_._2) ++ shared.filterNot(natVars.contains), natVars)
   }
 
   private def sharedVars(l: DataFrame, r: DataFrame): Seq[String] =
     l.columns.filterNot(_.startsWith("__"))
       .filter(r.columns.toSet).toSeq
 
-  private def unionByNamePadded(a: DataFrame, b: DataFrame): DataFrame =
+  /** UNION: pad missing vars with null. Companions survive only when BOTH
+    * branches carry the same one — null-padding a companion that the other
+    * branch binds as a struct would make later native joins drop rows. */
+  private def unionByNamePadded(a0: DataFrame, b0: DataFrame): DataFrame = {
+    val common = nkCols(a0).toSet intersect nkCols(b0).toSet
+    val a = a0.drop(nkCols(a0).filterNot(common): _*)
+    val b = b0.drop(nkCols(b0).filterNot(common): _*)
     a.unionByName(b, allowMissingColumns = true)
+  }
 
   /** SPARQL LeftJoin: OPTIONAL's inner FILTER participates in the join
     * condition (references left vars), not as a post-filter —
@@ -96,7 +161,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val shared = sharedVars(l, r)
     if (filters.isEmpty) {
       if (shared.isEmpty) l.join(r, F.lit(true), "left_outer")
-      else l.join(r, shared, "left_outer")
+      else {
+        val (keys, dropRight) = nativeJoinKeys(l, r, shared)
+        l.join(r.drop(dropRight: _*), keys, "left_outer")
+      }
     } else {
       // rename right columns so the join condition can reference both sides
       val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
@@ -123,7 +191,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   private def minusJoin(l: DataFrame, r: DataFrame): DataFrame = {
     val shared = sharedVars(l, r)
     if (shared.isEmpty) l
-    else l.join(r.select(shared.map(r(_)): _*), shared, "left_anti")
+    else {
+      val (keys, _) = nativeJoinKeys(l, r, shared)
+      l.join(r.select(keys.map(r(_)): _*), keys, "left_anti")
+    }
   }
 
   private def applyFilters(df0: DataFrame, exprs: Seq[Expr]): DataFrame = {
@@ -150,7 +221,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val probe = r.limit(1).select(F.lit(1).as(marker))
       if (negated) l.join(probe, F.lit(true), "left_anti")
       else l.join(probe, F.lit(true), "left_semi")
-    } else l.join(r.select(shared.map(r(_)): _*), shared, how)
+    } else {
+      val (keys, _) = nativeJoinKeys(l, r, shared)
+      l.join(r.select(keys.map(r(_)): _*), keys, how)
+    }
   }
 
   private def tableDataDf(td: TableData): DataFrame = {
@@ -195,18 +269,32 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           val natTypes: Map[String, DataType] =
             st.df.schema.fields.map(f => f.name -> f.dataType).toMap
           val sel = mutable.ArrayBuffer[Column](F.col("s").as(sv))
+          // subject's raw key rides along → later joins on ?sv run native
+          st.keyNat.foreach { case (kcol, tmpl) =>
+            sel += F.col(kcol).cast(LongType).as(nkName(tmpl, sv))
+          }
           val bound = mutable.HashMap[String, String](sv -> "s")
           val natives = mutable.HashMap[String, String]() // var → raw col
           pats.foreach { case (_, p, o, i) =>
             val cn = st.preds(p)
             df = df.where(F.col(cn + ".value").isNotNull)
             o match {
+              case TermNode(Iri(v)) if st.fkNat.contains(p) =>
+                val (fcol, tmpl) = st.fkNat(p)
+                df = iriKey(tmpl, v) match {
+                  case Some(k) => df.where(F.col(fcol) === k)
+                  case None => df.limit(0)
+                }
               case TermNode(t) => df = df.where(F.col(cn) === termCol(t))
               case VarNode(v) => bound.get(v) match {
                 case Some(prev) => df = df.where(F.col(cn) === F.col(prev))
                 case None =>
                   bound(v) = cn; sel += F.col(cn).as(v)
                   st.natives.get(p).foreach(natives(v) = _)
+                  // FK object's raw key → native joins on ?v downstream
+                  st.fkNat.get(p).foreach { case (fcol, tmpl) =>
+                    sel += F.col(fcol).cast(LongType).as(nkName(tmpl, v))
+                  }
               }
             }
             covered += i
@@ -339,15 +427,35 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case VerbNode(TermNode(Iri(p))) =>
       // constant predicate → vertical-partition scan (no predicate column)
       var df = predScan(p)
-      nodeFilter(F.col("s"), tp.s).foreach(c => df = df.where(c))
-      nodeFilter(F.col("o"), tp.o).foreach(c => df = df.where(c))
+      val nat = if (rdfGraph.predIndex.contains(p))
+        rdfGraph.predNat.get(p) else None
+      // constant endpoints: when the relation has a raw key and the IRI
+      // matches its template, filter the LONG instead of the synthesized
+      // struct — Catalyst unwraps the cast and pushes it to the parquet scan
+      def endpointFilter(n: Node, col: String, tmpl: Option[String],
+          keyCol: String): Unit = n match {
+        case TermNode(Iri(v)) if tmpl.isDefined =>
+          df = iriKey(tmpl.get, v) match {
+            case Some(k) => df.where(F.col(keyCol) === k)
+            case None => df.limit(0) // no synthesized IRI can equal it
+          }
+        case TermNode(t) => df = df.where(F.col(col) === termCol(t))
+        case VarNode(_) =>
+      }
+      endpointFilter(tp.s, "s", nat.flatMap(_.sTmpl), "__sk")
+      endpointFilter(tp.o, "o", nat.flatMap(_.oTmpl), "__ok")
+      def sComp(v: String) = nat.flatMap(_.sTmpl)
+        .map(t => F.col("__sk").as(nkName(t, v))).toSeq
+      def oComp(v: String) = nat.flatMap(_.oTmpl)
+        .map(t => F.col("__ok").as(nkName(t, v))).toSeq
       (tp.s, tp.o) match {
         case (VarNode(a), VarNode(b)) if a == b =>
           df.where(F.col("s") === F.col("o")).select(F.col("s").as(a))
         case (VarNode(a), VarNode(b)) =>
-          df.select(F.col("s").as(a), F.col("o").as(b))
-        case (VarNode(a), _) => df.select(F.col("s").as(a))
-        case (_, VarNode(b)) => df.select(F.col("o").as(b))
+          df.select(F.col("s").as(a) +: F.col("o").as(b) +:
+            (sComp(a) ++ oComp(b)): _*)
+        case (VarNode(a), _) => df.select(F.col("s").as(a) +: sComp(a): _*)
+        case (_, VarNode(b)) => df.select(F.col("o").as(b) +: oComp(b): _*)
         case _ => df.limit(1).select(F.lit(1).as(syn("ask")))
       }
     case VerbNode(pn) =>
@@ -374,18 +482,47 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   // ------------------------------------------------------------ paths
 
-  /** One-step relation of a (non-transitive) path as (s,o) term pairs. */
+  /** One-step relation of a (non-transitive) path as (s,o) term pairs,
+    * with native-key companions for ps/po when the scans provide them —
+    * sequence joins then run on 8-byte longs instead of term structs.
+    * Bag semantics per SPARQL 1.1 §18.5: seq/alt/inv/neg preserve
+    * duplicates; only the ALP-based `*`/`+`/`?` are set-valued. */
   private def pathEdges(p: Path): DataFrame = p match {
     case PLink(i) =>
-      predScan(i).select(F.col("s").as("ps"), F.col("o").as("po"))
+      val df = predScan(i)
+      val nat = if (rdfGraph.predIndex.contains(i))
+        rdfGraph.predNat.get(i) else None
+      val comps = nat.toSeq.flatMap(n =>
+        n.sTmpl.map(t => F.col("__sk").as(nkName(t, "ps"))).toSeq ++
+          n.oTmpl.map(t => F.col("__ok").as(nkName(t, "po"))).toSeq)
+      df.select(F.col("s").as("ps") +: F.col("o").as("po") +: comps: _*)
     case PInv(q) =>
-      pathEdges(q).select(F.col("po").as("ps"), F.col("ps").as("po"))
+      val e = pathEdges(q)
+      e.select(e("po").as("ps") +: e("ps").as("po") +:
+        (nkOf(e, "ps").map(c => e(c).as(nkRename(c, "po"))).toSeq ++
+          nkOf(e, "po").map(c => e(c).as(nkRename(c, "ps"))).toSeq): _*)
     case PSeq(a, b) =>
       val l = pathEdges(a)
-      val r = pathEdges(b).select(F.col("ps").as("mid"), F.col("po").as("po2"))
-      l.join(r, l("po") === r("mid"))
-        .select(l("ps").as("ps"), F.col("po2").as("po"))
-    case PAlt(a, b) => pathEdges(a).union(pathEdges(b)).distinct()
+      val r0 = pathEdges(b)
+      val r = r0.select(r0("ps").as("mid") +: r0("po").as("po2") +:
+        (nkOf(r0, "ps").map(c => r0(c).as(nkRename(c, "mid"))).toSeq ++
+          nkOf(r0, "po").map(c => r0(c).as(nkRename(c, "po2"))).toSeq): _*)
+      // join the chain link on raw longs when both sides carry the key
+      val cond = (nkOf(l, "po"), nkOf(r, "mid")) match {
+        case (Some(x), Some(y)) if nkId(x) == nkId(y) => l(x) === r(y)
+        case _ => l("po") === r("mid")
+      }
+      l.join(r, cond)
+        .select(l("ps").as("ps") +: r("po2").as("po") +:
+          (nkOf(l, "ps").map(c => l(c)).toSeq ++
+            nkOf(r, "po2").map(c => r(c).as(nkRename(c, "po"))).toSeq): _*)
+    case PAlt(a, b) =>
+      // bag union (NOT distinct — a pair matching both branches yields two
+      // solutions); companions survive only when identical on both sides
+      val (l, r0) = (pathEdges(a), pathEdges(b))
+      val common = nkCols(l).toSet intersect nkCols(r0).toSet
+      val order = Seq("ps", "po") ++ common.toSeq.sorted
+      l.select(order.map(l(_)): _*).union(r0.select(order.map(r0(_)): _*))
     case PNeg(fwd, inv) =>
       val fwdDf = graph
         .where(!F.col("p.value").isin(fwd.map(F.lit(_)): _*) || F.lit(fwd.isEmpty))
@@ -404,7 +541,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case POneOrMore(inner) =>
       closure(pathEdges(inner), VarNode("__a"), VarNode("__b"), includeZero = false)
     case PZeroOrOne(inner) =>
-      pathEdges(inner)
+      val one = pathEdges(inner)
+      one.select(one("ps"), one("po"))
         .union(graphNodes.select(F.col("n").as("ps"), F.col("n").as("po")))
         .distinct()
   }
@@ -441,7 +579,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case PZeroOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = true)
       case POneOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = false)
       case PZeroOrOne(inner) =>
-        val one = pathEdges(inner)
+        val one0 = pathEdges(inner)
+        val one = one0.select(one0("ps"), one0("po"))
         val zero = (s, o) match {
           case (TermNode(t), _) =>
             spark.range(1).select(termCol(t).as("ps"), termCol(t).as("po"))
@@ -455,17 +594,39 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     bindEndpoints(pairs, s, o)
   }
 
+  /** Bind path-pair endpoints to the pattern's s/o nodes. Non-transitive
+    * paths are BAG-semantics (SPARQL 1.1 §18.5 translates seq/alt/inv to
+    * join/union — no duplicate elimination), so constant endpoints filter
+    * WITHOUT a distinct; the transitive cases arrive here already
+    * set-valued from `closure`. Companions are renamed to the variables
+    * they accompany; constant-IRI endpoint filters run on the raw key. */
   private def bindEndpoints(pairs: DataFrame, s: Node, o: Node): DataFrame = {
     var df = pairs
-    nodeFilter(F.col("ps"), s).foreach(c => df = df.where(c))
-    nodeFilter(F.col("po"), o).foreach(c => df = df.where(c))
+    def endpointFilter(n: Node, col: String): Unit = n match {
+      case TermNode(Iri(v)) if nkOf(df, col).isDefined =>
+        val nk = nkOf(df, col).get
+        val tmpl = tmplIds.collectFirst {
+          case (t, id) if id.toString == nkId(nk) => t
+        }.get
+        df = iriKey(tmpl, v) match {
+          case Some(k) => df.where(df(nk) === k)
+          case None => df.limit(0)
+        }
+      case TermNode(t) => df = df.where(df(col) === termCol(t))
+      case VarNode(_) =>
+    }
+    endpointFilter(s, "ps")
+    endpointFilter(o, "po")
+    def comp(pc: String, v: String): Seq[Column] =
+      nkOf(df, pc).map(c => df(c).as(nkRename(c, v))).toSeq
     (s, o) match {
       case (VarNode(a), VarNode(b)) if a == b =>
         df.where(F.col("ps") === F.col("po")).select(F.col("ps").as(a))
       case (VarNode(a), VarNode(b)) =>
-        df.select(F.col("ps").as(a), F.col("po").as(b))
-      case (VarNode(a), _) => df.select(F.col("ps").as(a)).distinct()
-      case (_, VarNode(b)) => df.select(F.col("po").as(b)).distinct()
+        df.select(F.col("ps").as(a) +: F.col("po").as(b) +:
+          (comp("ps", a) ++ comp("po", b)): _*)
+      case (VarNode(a), _) => df.select(F.col("ps").as(a) +: comp("ps", a): _*)
+      case (_, VarNode(b)) => df.select(F.col("po").as(b) +: comp("po", b): _*)
       case _ => df.limit(1).select(F.lit(1).as(syn("ask")))
     }
   }
@@ -475,8 +636,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * reference's one-query-per-node loop, gastrodon/__init__.py:736-743);
     * with two variable endpoints the full pair closure is computed.
     * localCheckpoint() per iteration cuts lineage growth. */
-  private def closure(edges0: DataFrame, s: Node, o: Node,
+  private def closure(edges1: DataFrame, s: Node, o: Node,
       includeZero: Boolean): DataFrame = {
+    // ALP evaluation is set-based and joins on full terms; companions
+    // would be wrong after multi-hop composition — strip them.
+    val edges0 = edges1.drop(nkCols(edges1): _*)
     // Sanity bound only — loops terminate on an empty frontier/delta. A
     // graph needing more than this many BFS levels (seeded) or doubling
     // rounds (pair closure: log₂ diameter) would be degenerate.
