@@ -62,10 +62,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   /** The companion's variable, renamed: same template, new var. */
   private def nkRename(c: String, newVar: String): String =
     s"__nk:${nkId(c)}:$newVar"
+  /** The variable a companion column accompanies. */
+  private def nkVar(c: String): String =
+    c.substring(5).dropWhile(_ != ':').drop(1)
   /** The companion column of variable `v` in `df`, if any. */
   private def nkOf(df: DataFrame, v: String): Option[String] =
-    df.columns.find(c => c.startsWith("__nk:") &&
-      c.substring(5).dropWhile(_ != ':').drop(1) == v)
+    df.columns.find(c => c.startsWith("__nk:") && nkVar(c) == v)
   private def nkCols(df: DataFrame): Seq[String] =
     df.columns.filter(_.startsWith("__nk:")).toSeq
 
@@ -83,9 +85,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   def compile(p: GraphPattern): DataFrame = p match {
     case Unit0 => oneRowDf
     case Bgp(ts) => compileBgp(ts)
-    case Join(l, r) => joinBindings(compile(l), compile(r))
-    case LeftJoin(l, r, filters) => leftJoin(compile(l), compile(r), filters)
-    case Minus(l, r) => minusJoin(compile(l), compile(r))
+    case Join(l, r) =>
+      joinCompat(compile(l), compile(r), maybeUnbound(l), maybeUnbound(r))
+    case LeftJoin(l, r, filters) =>
+      leftJoin(compile(l), compile(r), filters,
+        maybeUnbound(l) ++ maybeUnbound(r))
+    case Minus(l, r) =>
+      minusJoin(compile(l), compile(r), maybeUnbound(l) ++ maybeUnbound(r))
     case Union(l, r) =>
       val (a, b) = (compile(l), compile(r))
       unionByNamePadded(a, b)
@@ -109,6 +115,83 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   private def exprC(df: DataFrame): ExprCompiler = {
     val cols = df.columns.toSet
     new ExprCompiler(v => if (cols(v)) Some(df(v)) else None)
+  }
+
+  /** Vars that may be UNBOUND (null) in some solution of `p` — the
+    * trigger for SPARQL compatible-join semantics (unbound matches
+    * anything, the result takes the bound side's value), which Spark's
+    * null-dropping equi-join does not implement. Plain BGPs bind all
+    * their vars; nulls enter via OPTIONAL's right side, UNION branch
+    * padding, BIND evaluation errors, and VALUES UNDEF. */
+  private def maybeUnbound(p: GraphPattern): Set[String] = p match {
+    case Unit0 => Set.empty
+    case Bgp(_) => Set.empty
+    case Join(l, r) =>
+      val (ml, mr) = (maybeUnbound(l), maybeUnbound(r))
+      val certL = inScopeVars(l) -- ml
+      val certR = inScopeVars(r) -- mr
+      (ml -- certR) ++ (mr -- certL) // coalesce: bound side wins
+    case LeftJoin(l, r, _) =>
+      maybeUnbound(l) ++
+        (inScopeVars(r) -- (inScopeVars(l) -- maybeUnbound(l)))
+    case Minus(l, _) => maybeUnbound(l)
+    case Union(l, r) =>
+      maybeUnbound(l) ++ maybeUnbound(r) ++
+        (inScopeVars(l) -- inScopeVars(r)) ++
+        (inScopeVars(r) -- inScopeVars(l))
+    case Filter(q, _) => maybeUnbound(q)
+    case Extend(q, v, _) => maybeUnbound(q) + v
+    case TableData(vars, rows) =>
+      vars.zipWithIndex.collect {
+        case (v, i) if rows.exists(_(i).isEmpty) => v
+      }.toSet
+    case SubSelect(q) => selectMaybeUnbound(q)
+  }
+
+  private def selectMaybeUnbound(q: SelectQuery): Set[String] =
+    q.projection match {
+      case SelectAll => maybeUnbound(q.where)
+      case SelectVars(items) => items.collect {
+        case i if (i.expr match {
+          case ExVar(v) => maybeUnbound(q.where)(v)
+          case _ => true // computed/aggregate projections may be null
+        }) => i.name
+      }.toSet
+    }
+
+  /** SPARQL compatible-join. Vars provably bound on both sides (the
+    * common case — plain BGP conjunction) take the equi-join fast path
+    * below (native-key aware, shuffle-hash/SMJ plannable). Only shared
+    * vars that may be unbound (OPTIONAL/UNION padding) pay the
+    * condition join: `unbound matches anything` is not an equi-join, so
+    * Spark plans BNLJ — correctness over speed on a shape the corpus
+    * only uses with small inputs. */
+  private def joinCompat(l: DataFrame, r: DataFrame,
+      mUl: Set[String], mUr: Set[String]): DataFrame = {
+    val shared = sharedVars(l, r)
+    val unsafe = shared.filter(v => mUl(v) || mUr(v))
+    if (unsafe.isEmpty) return joinBindings(l, r)
+    val pre = "__JR_"
+    val r2 = r.select(r.columns.map(c => r(c).as(pre + c)).toSeq: _*)
+    def rc(c: String) = F.col(pre + c)
+    val safe = shared.filterNot(unsafe.contains)
+    val cond = (safe.map(v => F.col(v) === rc(v)) ++
+      unsafe.map(v => F.col(v).isNull || rc(v).isNull || F.col(v) === rc(v)))
+      .reduce(_ && _)
+    val joined = l.join(r2, cond, "inner")
+    val unsafeSet = unsafe.toSet
+    // coalesced vars can take either side's value → their companions die
+    val lCols = l.columns.toSeq.flatMap { c =>
+      if (unsafeSet(c)) Some(F.coalesce(F.col(c), rc(c)).as(c))
+      else if (c.startsWith("__nk:") && unsafeSet(nkVar(c))) None
+      else Some(F.col(c))
+    }
+    val rCols = r.columns.toSeq.flatMap { c =>
+      if (l.columns.contains(c)) None // shared var/companion — left wins
+      else if (c.startsWith("__nk:") && unsafeSet(nkVar(c))) None
+      else Some(rc(c).as(c))
+    }
+    joined.select(lCols ++ rCols: _*)
   }
 
   /** Name-based equi-join on shared variable columns; cross join when
@@ -156,10 +239,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   /** SPARQL LeftJoin: OPTIONAL's inner FILTER participates in the join
     * condition (references left vars), not as a post-filter —
-    * SURVEY.md §2B Joins. */
-  private def leftJoin(l: DataFrame, r: DataFrame, filters: Seq[Expr]): DataFrame = {
+    * SURVEY.md §2B Joins. Shared vars in `unsafe` (maybe-unbound on
+    * either side) use the compatible-join condition + coalesce. */
+  private def leftJoin(l: DataFrame, r: DataFrame, filters: Seq[Expr],
+      unsafe0: Set[String]): DataFrame = {
     val shared = sharedVars(l, r)
-    if (filters.isEmpty) {
+    val unsafe = shared.filter(unsafe0).toSet
+    if (filters.isEmpty && unsafe.isEmpty) {
       if (shared.isEmpty) l.join(r, F.lit(true), "left_outer")
       else {
         val (keys, dropRight) = nativeJoinKeys(l, r, shared)
@@ -170,8 +256,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
       val ren = rCols.map(c => c -> s"__R_$c").toMap
       val r2 = r.select(rCols.map(c => r(c).as(ren(c))): _*)
-      val eqCond = shared.map(v => l(v) === r2(ren(v)))
-        .reduceOption(_ && _).getOrElse(F.lit(true))
+      val eqCond = shared.map { v =>
+        if (unsafe(v)) l(v).isNull || r2(ren(v)).isNull || l(v) === r2(ren(v))
+        else l(v) === r2(ren(v))
+      }.reduceOption(_ && _).getOrElse(F.lit(true))
       // filter env: right vars resolve to renamed right cols, else left
       val fEnv = new ExprCompiler(v =>
         if (ren.contains(v)) Some(r2(ren(v)))
@@ -179,21 +267,37 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         else None)
       val cond = filters.map(fEnv.bool).foldLeft(eqCond)(_ && _)
       val joined = l.join(r2, cond, "left_outer")
-      val keep = l.columns.map(c => joined(c).as(c)) ++
-        rCols.filterNot(shared.contains).map(c => joined(ren(c)).as(c))
-      joined.select(keep.toSeq: _*)
+      val keep = l.columns.toSeq.flatMap { c =>
+        if (unsafe(c)) Some(F.coalesce(joined(c), joined(ren(c))).as(c))
+        else if (c.startsWith("__nk:") && unsafe(nkVar(c))) None
+        else Some(joined(c).as(c))
+      } ++ rCols.filterNot(shared.contains).map(c => joined(ren(c)).as(c))
+      joined.select(keep: _*)
     }
   }
 
   /** SPARQL MINUS with the disjoint-domain rule: when the two sides share
     * no variables nothing is removed (SURVEY.md §2B — the corpus exercises
-    * partially-shared and no-shared-var MINUS). */
-  private def minusJoin(l: DataFrame, r: DataFrame): DataFrame = {
+    * partially-shared and no-shared-var MINUS). With maybe-unbound shared
+    * vars the spec's per-solution rule applies: remove μ1 when some μ2 is
+    * compatible AND their bound domains overlap. */
+  private def minusJoin(l: DataFrame, r: DataFrame,
+      unsafe0: Set[String]): DataFrame = {
     val shared = sharedVars(l, r)
+    val unsafe = shared.filter(unsafe0)
     if (shared.isEmpty) l
-    else {
+    else if (unsafe.isEmpty) {
       val (keys, _) = nativeJoinKeys(l, r, shared)
       l.join(r.select(keys.map(r(_)): _*), keys, "left_anti")
+    } else {
+      val pre = "__MR_"
+      val r2 = r.select(shared.map(v => r(v).as(pre + v)): _*)
+      def rc(v: String) = F.col(pre + v)
+      val compat = shared.map(v => l(v).isNull || rc(v).isNull || l(v) === rc(v))
+        .reduce(_ && _)
+      val overlap = shared.map(v => l(v).isNotNull && rc(v).isNotNull)
+        .reduce(_ || _)
+      l.join(r2, compat && overlap, "left_anti")
     }
   }
 
@@ -978,7 +1082,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         work.select(names.map(n => F.col(n)): _*)
       }
 
-    q.values.foreach(td => out = joinBindings(out, tableDataDf(td)))
+    q.values.foreach(td =>
+      out = joinCompat(out, tableDataDf(td),
+        selectMaybeUnbound(q), maybeUnbound(td)))
     q.mods.offset.foreach(n => out = out.offset(n.toInt))
     q.mods.limit.foreach(n => out = out.limit(n.toInt))
     out
