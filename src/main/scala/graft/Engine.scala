@@ -10,7 +10,8 @@ import graft.sparql.Ast._
 /** Jupyter-friendly error with the reference's caret rendering: the
   * offending line is echoed with a `^` under the error column
   * (gastrodon/__init__.py:130-159, 536-594). */
-class GraftException(msg: String) extends RuntimeException(msg)
+class GraftException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
 object GraftException {
   def fromParse(query: String, e: SparqlParseException): GraftException = {
@@ -72,36 +73,72 @@ class Engine(initial: RdfGraph) {
 
   private def compiler = new Compiler(graph, spark)
 
+  /** Wrap query-time engine/Spark failures with the query text — the
+    * reference renders ALL query errors notebook-friendly
+    * (gastrodon/__init__.py:536-594), not just parse errors. */
+  private def wrapRuntime[T](sparql: String)(f: => T): T =
+    try f catch {
+      case e: GraftException => throw e
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new GraftException(
+          s"Query failed: ${e.getMessage}\nIn query:\n$sparql", e)
+      case e: UnsupportedOperationException =>
+        throw new GraftException(
+          s"Query not supported: ${e.getMessage}\nIn query:\n$sparql", e)
+    }
+
+  /** Scala value → RDF term, resolving QName-shaped strings against the
+    * engine's prefix map — a pasted display value like `gp:c_name` or
+    * `:Brooklyn` round-trips to the full IRI it was shortened from (the
+    * reference's GastrodonURI, gastrodon/__init__.py:54-75). Unbound
+    * prefixes fall back to plain literals (a ratio like "12:30" is not a
+    * QName). */
+  def toTerm(v: Any): RdfTerm = v match {
+    case s: String if !s.startsWith("http://") && !s.startsWith("https://") &&
+        !s.startsWith("urn:") && s.indexOf(':') >= 0 =>
+      val i = s.indexOf(':')
+      graph.prefixes.get(s.substring(0, i)) match {
+        case Some(ns) => Iri(ns + s.substring(i + 1))
+        case None => Engine.anyToTerm(s)
+      }
+    case other => Engine.anyToTerm(other)
+  }
+
+  private def toTerms(bindings: Map[String, Any]): Map[String, RdfTerm] =
+    bindings.map { case (k, v) => k -> toTerm(v) }
+
   /** SELECT → display DataFrame (typed native columns, QName-shortened
     * IRIs) — `Endpoint.select` (gastrodon/__init__.py:487-511). Returns the
     * frame with GROUP BY variables first (the reference sets them as the
     * pandas index — gastrodon/__init__.py:505-511). */
-  def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
-    val q = parseSelect(sparql, bindings)
-    val raw = compiler.compileSelect(q)
-    // Static path: column types derived from the query AST + schema
-    // metadata — a pure projection rewrite, zero extra data passes (the
-    // only acceptable default at 100 TB). Fallback for untyped graphs:
-    // one sniffing aggregate pass over a transiently-cached result.
-    TypeInfer.selectDecisions(q, graph) match {
-      case Some(decisions) =>
-        Display.toDisplayStatic(raw, decisions, graph.prefixes)
-      case None =>
-        val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try Display.toDisplay(cached, graph.prefixes)
-        finally cached.unpersist(false) // sniff materialized; don't leak blocks
+  def select(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
+    wrapRuntime(sparql) {
+      val q = parseSelect(sparql, bindings)
+      val raw = compiler.compileSelect(q)
+      // Static path: column types derived from the query AST + schema
+      // metadata — a pure projection rewrite, zero extra data passes (the
+      // only acceptable default at 100 TB). Fallback for untyped graphs:
+      // a sniffing aggregate pass, so the query executes once for the
+      // sniff and once for the caller's action. (A persist here is a
+      // trap: unpersisting before the caller acts discards the blocks,
+      // and leaving it persisted leaks them — the double execution is
+      // the honest cost of a schema-free graph.)
+      TypeInfer.selectDecisions(q, graph) match {
+        case Some(decisions) =>
+          Display.toDisplayStatic(raw, decisions, graph.prefixes)
+        case None => Display.toDisplay(raw, graph.prefixes)
+      }
     }
-  }
 
   /** SELECT without display conversion: term-struct columns
     * (`select_raw`, gastrodon/__init__.py:513-523). This is the 100 TB
     * path — no per-column type sniffing pass. */
   def selectRaw(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
-    compiler.compileSelect(parseSelect(sparql, bindings))
+    wrapRuntime(sparql) { compiler.compileSelect(parseSelect(sparql, bindings)) }
 
   private def parseSelect(sparql: String, bindings: Map[String, Any]): SelectQuery =
     parse(sparql).query match {
-      case s: SelectQuery => Substitute(s, Engine.toTerms(bindings))
+      case s: SelectQuery => Substitute(s, toTerms(bindings))
       case _ => throw new GraftException("select() requires a SELECT query")
     }
 
@@ -118,32 +155,35 @@ class Engine(initial: RdfGraph) {
   }
 
   /** CONSTRUCT → new graph (gastrodon/__init__.py:525-534). */
-  def construct(sparql: String, bindings: Map[String, Any] = Map.empty): RdfGraph = {
-    val parsed = parse(sparql)
-    parsed.query match {
-      case c: ConstructQuery =>
-        val c2 = Substitute(c, Engine.toTerms(bindings))
-        RdfGraph(compiler.compileConstruct(c2), graph.prefixes)
-      case _ => throw new GraftException("construct() requires a CONSTRUCT query")
+  def construct(sparql: String, bindings: Map[String, Any] = Map.empty): RdfGraph =
+    wrapRuntime(sparql) {
+      parse(sparql).query match {
+        case c: ConstructQuery =>
+          val c2 = Substitute(c, toTerms(bindings))
+          RdfGraph(compiler.compileConstruct(c2), graph.prefixes)
+        case _ => throw new GraftException("construct() requires a CONSTRUCT query")
+      }
     }
-  }
 
-  def ask(sparql: String): Boolean = parse(sparql).query match {
-    case a: AskQuery => compiler.compileAsk(a)
-    case _ => throw new GraftException("ask() requires an ASK query")
+  def ask(sparql: String): Boolean = wrapRuntime(sparql) {
+    parse(sparql).query match {
+      case a: AskQuery => compiler.compileAsk(a)
+      case _ => throw new GraftException("ask() requires an ASK query")
+    }
   }
 
   /** SPARQL UPDATE: INSERT/DELETE (DATA|WHERE) — swaps in a new graph
     * version (gastrodon/__init__.py:596-623; set semantics make repeated
     * rule application idempotent, which the reference's forward-chaining
     * inference loops rely on). */
-  def update(sparql: String, bindings: Map[String, Any] = Map.empty): Unit = {
-    val parsed =
-      try new Parser(graph.prefixes).parseUpdate(sparql)
-      catch { case e: SparqlParseException => throw GraftException.fromParse(sparql, e) }
-    val terms = Engine.toTerms(bindings)
-    parsed.ops.foreach { op => applyUpdate(Substitute(op, terms)) }
-  }
+  def update(sparql: String, bindings: Map[String, Any] = Map.empty): Unit =
+    wrapRuntime(sparql) {
+      val parsed =
+        try new Parser(graph.prefixes).parseUpdate(sparql)
+        catch { case e: SparqlParseException => throw GraftException.fromParse(sparql, e) }
+      val terms = toTerms(bindings)
+      parsed.ops.foreach { op => applyUpdate(Substitute(op, terms)) }
+    }
 
   private def applyUpdate(op: UpdateOp): Unit = op match {
     case InsertData(ts) =>

@@ -94,15 +94,29 @@ object Dedup {
 
   /** Candidate duplicate pairs via MinHash LSH banding: rows sharing any
     * band of the signature land in one bucket; pairs are generated only
-    * within buckets (groupBy on the band key — the one shuffle). */
+    * within buckets (groupBy on the band key — the one shuffle).
+    *
+    * `maxBucket` caps a bucket's population before the self-join: a
+    * degenerate corpus (thousands of identical documents) would otherwise
+    * emit |bucket|²/2 pairs from ONE bucket. Only the first `maxBucket`
+    * members by id generate pairs; the overflow rows are counted in the
+    * pipeline's Spark metrics (the window filter) rather than silently
+    * vanishing — identical docs beyond the cap are still caught by
+    * [[exactGroups]], which is the right tool for exact mass duplicates. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
     val rows = numHashes / bands
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("rid")
     val banded = minhashSignatures(df, id, text, k, numHashes)
       .select(F.col("rid"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
           b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
       .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
+      // cap shares the bucket-key shuffle the self-join needs anyway
+      .withColumn("__bn", F.row_number().over(w))
+      .where(F.col("__bn") <= maxBucket).drop("__bn")
       // lazy checkpoint: computed once at first action, shared by both
       // sides of the self-join, lineage cut; not billed to plan time
       .localCheckpoint(false)
@@ -126,8 +140,8 @@ object Dedup {
     * Returns (id1, id2, jaccard). */
   def minhashDedupPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.8, k: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = minhashCandidates(df, id, text, k, numHashes, bands)
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val cands = minhashCandidates(df, id, text, k, numHashes, bands, maxBucket)
     // verify over HASHED shingle sets: Jaccard of 64-bit hashes equals
     // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
     // candidate join then shuffles longs instead of shingle strings
@@ -164,22 +178,71 @@ object Dedup {
       F.lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash dedup groups: rows with identical simhash. */
+  /** SimHash dedup groups: rows with IDENTICAL simhash — the cheap exact
+    * bucket. Near-dups that differ in a few bits need the banded variant
+    * [[simhashNearDupPairs]]. */
   def simhashGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.select(F.col(id).as("rid"), simhash(F.col(text)).as("simhash"))
       .groupBy("simhash")
       .agg(F.count(F.lit(1)).as("n"), F.min("rid").as("keep_id"))
 
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxBits`, found by
+    * 4×16-bit band blocking: two 64-bit hashes within Hamming distance 3
+    * must agree EXACTLY on at least one of the four bands (pigeonhole), so
+    * candidates come from four band-bucket self-joins (one shuffle on the
+    * band key, never all-pairs) and are verified with a popcount of the
+    * XOR. `maxBucket` caps degenerate buckets like the MinHash path. */
+  def simhashNearDupPairs(df: DataFrame, id: String, text: String,
+      maxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val hashed = df.select(F.col(id).as("rid"), simhash(F.col(text)).as("sh"))
+    val banded = hashed
+      .select(F.col("rid"), F.col("sh"), F.explode(F.array(
+        (0 until 4).map(b => F.struct(
+          F.lit(b).as("band"),
+          F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFFL))
+            .as("bits"))): _*)).as("bb"))
+      .select(F.col("rid"), F.col("sh"),
+        F.col("bb.band").as("band"), F.col("bb.bits").as("bits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bits").orderBy("rid")
+    val capped = banded
+      .withColumn("__bn", F.row_number().over(w))
+      .where(F.col("__bn") <= maxBucket).drop("__bn")
+      .localCheckpoint(false)
+    val l = capped.alias("l")
+    val r = capped.alias("r")
+    l.join(r, F.col("l.band") === F.col("r.band") &&
+        F.col("l.bits") === F.col("r.bits") &&
+        F.col("l.rid") < F.col("r.rid"))
+      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"),
+        F.call_function("bit_count",
+          F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("int").as("hamming"))
+      .where(F.col("hamming") <= maxBits)
+      .distinct()
+  }
+
   /** n-gram Jaccard near-dup pairs with common-shingle blocking: pairs are
     * only generated for rows sharing ≥1 shingle (explode + self-join on the
-    * shingle), then exact-verified. For corpora with very hot shingles the
-    * MinHash path bounds the blow-up; this one is exact. */
+    * shingle), then exact-verified.
+    *
+    * `maxDocsPerShingle` caps the blocking fan-out: a stopword-ish shingle
+    * shared by d documents would otherwise emit d²/2 candidate pairs by
+    * itself. Only the first cap members (by id) of each shingle's posting
+    * list block on it — exactly a document-frequency cut, the standard
+    * guard for inverted-index blocking; near-dup pairs sharing ANY rarer
+    * shingle are unaffected. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-      threshold: Double = 0.6, k: Int = 3): DataFrame = {
+      threshold: Double = 0.6, k: Int = 3,
+      maxDocsPerShingle: Int = 256): DataFrame = {
     val sh = df.select(F.col(id).as("rid"),
         shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shingle").orderBy("rid")
     val inverted = sh.select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
+      .withColumn("__dn", F.row_number().over(w))
+      .where(F.col("__dn") <= maxDocsPerShingle).drop("__dn")
+      .localCheckpoint(false)
     val cands = inverted.alias("a")
       .join(inverted.alias("b"),
         F.col("a.shingle") === F.col("b.shingle") && F.col("a.rid") < F.col("b.rid"))

@@ -78,34 +78,72 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) approximate top-k — the scale path for large
-    * corpora: k-means coarse quantizer (fit once, reusable), every vector
-    * assigned to its nearest centroid list, a query scans only the
-    * `nprobe` nearest lists (corpus scan ÷ nlist·nprobe⁻¹). At 100 TB the
-    * quantizer is fit on a sample and persisted; assignment is a narrow
-    * map and the lists are the partition keys, so a probe is a
-    * partition-pruned scan. */
-  def ivfTopK(corpus: DataFrame, id: String, vec: String,
-      query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** IVF (inverted-file) approximate top-k against a PRE-FIT [[IvfIndex]]:
+    * the query runs zero fitting jobs — it ranks the quantizer centroids
+    * driver-side (nlist tiny) and scans only the `nprobe` nearest lists
+    * (corpus scan ÷ nlist·nprobe⁻¹, or a partition-pruned read when the
+    * assignment is stored partitioned by list — see [[IvfIndex.fit]]). */
+  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int,
+      nprobe: Int = 4): DataFrame = {
     import org.apache.spark.ml.linalg.Vectors
-    val fv = corpus
-      .select(F.col(id), F.col(vec))
-      .withColumn("__fv", array_to_vector(F.col(vec)))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("__fv").setPredictionCol("__list")
-      .fit(fv.select("__fv"))
-    val assigned = model.transform(fv)
     val qv = Vectors.dense(query.map(_.toDouble).toArray)
-    val probeLists = model.clusterCenters.zipWithIndex
+    val probeLists = index.centers.zipWithIndex
       .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
-      .take(nprobe).map(_._2.toLong)
+      .take(nprobe).map(_._2.toLong).toSeq
     val q = F.typedlit(query)
-    assigned.where(F.col("__list").isin(probeLists: _*))
-      .select(F.col(id), cosine(F.col(vec), q).as("cosine"))
-      .orderBy(F.col("cosine").desc, F.col(id))
+    index.assigned.where(F.col("__list").isin(probeLists: _*))
+      .select(F.col(index.id), cosine(F.col(index.vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(index.id))
       .limit(k)
+  }
+
+  /** One-shot convenience: fit + single query. For repeated queries fit
+    * the index once ([[IvfIndex.fit]]) — refitting the quantizer per
+    * query is the one thing an IVF index must never do. */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int, nlist: Int, nprobe: Int): DataFrame =
+    ivfTopK(IvfIndex.fit(corpus, id, vec, nlist), query, k, nprobe)
+
+  /** Fit-once IVF index (queried via [[ivfTopK]]). Holds the centroid
+    * list assignment of every corpus vector plus the quantizer centroids;
+    * queries never re-fit. */
+  final class IvfIndex private[pipeline] (
+      /** corpus + `__list` (long) — the coarse-quantizer cell id. */
+      val assigned: DataFrame,
+      val centers: Array[org.apache.spark.ml.linalg.Vector],
+      val id: String, val vec: String) {
+    /** Pin the assignment (local/bench analogue of writing it out
+      * partitioned by `__list`). */
+    def persist(): IvfIndex = { assigned.persist(); this }
+    def unpersist(): IvfIndex = { assigned.unpersist(); this }
+  }
+
+  object IvfIndex {
+    /** Observability for tests: total quantizer fits ever run — queries
+      * against a fitted index must not move it. */
+    val fits = new java.util.concurrent.atomic.AtomicLong
+
+    /** Fit the coarse quantizer ONCE (optionally on a sample — at 100 TB
+      * k-means never sees the full corpus) and assign every vector to its
+      * nearest centroid list in one narrow map. The scale deployment
+      * writes `assigned` out partitioned by `__list` so a probe becomes a
+      * partition-pruned scan; locally `persist()` serves the same role. */
+    def fit(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
+        sampleFraction: Double = 1.0, seed: Long = 42): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      fits.incrementAndGet()
+      val fv = corpus.select(F.col(id), F.col(vec))
+        .withColumn("__fv", array_to_vector(F.col(vec)))
+      val train =
+        if (sampleFraction >= 1.0) fv
+        else fv.sample(withReplacement = false, sampleFraction, seed)
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("__fv").setPredictionCol("__list")
+        .fit(train.select("__fv"))
+      new IvfIndex(model.transform(fv).drop("__fv"),
+        model.clusterCenters, id, vec)
+    }
   }
 
   /** All-pairs k-NN join (each left row → top-k right rows by cosine)

@@ -54,6 +54,78 @@ class PipelineSpec extends SparkSpec {
     assert((dupGroups > 0) == (distinctTexts < total))
   }
 
+  test("IVF index fits once; queries run zero additional fits") {
+    val idx = Similarity.IvfIndex.fit(corpus, "vec_id", "embedding", nlist = 4)
+    val before = Similarity.IvfIndex.fits.get()
+    val r1 = Similarity.ivfTopK(idx, qVec, 5, nprobe = 4).collect()
+    val r2 = Similarity.ivfTopK(idx, qVec, 5, nprobe = 4).collect()
+    assert(Similarity.IvfIndex.fits.get() == before,
+      "querying a fitted IVF index must not re-fit the quantizer")
+    assert(r1.map(_.getLong(0)).toSeq == r2.map(_.getLong(0)).toSeq)
+    assert(r1.length == 5)
+  }
+
+  test("minhash hot-bucket cap bounds identical-document blow-up") {
+    import spark.implicits._
+    val n = 1000
+    val degenerate = (1 to n)
+      .map(i => (i.toLong, "the exact same document text repeated many times over"))
+      .toDF("doc_id", "text")
+    val cap = 64
+    val pairs = Dedup.minhashCandidates(degenerate, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = cap)
+    val cnt = pairs.count()
+    // without the cap this is n(n-1)/2 ≈ 500k; capped ≤ cap(cap-1)/2
+    assert(cnt <= cap.toLong * (cap - 1) / 2, s"got $cnt pairs")
+    assert(cnt > 0)
+  }
+
+  test("ngram document-frequency cap bounds hot-shingle blow-up") {
+    import spark.implicits._
+    val n = 500
+    val degenerate = (1 to n)
+      .map(i => (i.toLong, s"unique token $i but sharing one common tail phrase here"))
+      .toDF("doc_id", "text")
+    val cap = 32
+    val pairs = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      threshold = 0.0, k = 3, maxDocsPerShingle = cap)
+    // every doc shares the hot tail shingles; the df-cut keeps each
+    // posting list ≤ cap, so candidates stay far below n²/2
+    assert(pairs.count() < n.toLong * cap)
+  }
+
+  test("simhash banding finds EXACTLY the pairs within the Hamming bound") {
+    import spark.implicits._
+    // base text + single-token variants: some land within a few simhash
+    // bits of the base, some further — the expectation is derived from
+    // the measured hashes, so the test pins the banding CONTRACT
+    // (4×16-bit bands ⇒ every pair with hamming ≤ 3 shares a band) and
+    // the popcount verify, not hash luck.
+    val words = (1 to 120).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val docs2 = ((1 to 40).map { i =>
+      (i.toLong, words.updated(i % words.size, s"CHANGED$i").mkString(" "))
+    } :+ (0L, base)).toDF("doc_id", "text")
+    val hashes = docs2
+      .select(F.col("doc_id"), Dedup.simhash(F.col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDupPairs(docs2, "doc_id", "text", maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"banding recall/precision mismatch: got=$got expected=$expected")
+    // the hamming column reflects the true distance
+    val withD = Dedup.simhashNearDupPairs(docs2, "doc_id", "text", maxBits = 3)
+      .collect()
+    withD.foreach { r =>
+      val d = java.lang.Long.bitCount(hashes(r.getLong(0)) ^ hashes(r.getLong(1)))
+      assert(r.getInt(2) == d)
+    }
+  }
+
   test("minhash near-dup pairs include exact duplicates") {
     val dupPair = docs.groupBy("text").agg(
         F.min("doc_id").as("a"), F.max("doc_id").as("b"), F.count(F.lit(1)).as("n"))
