@@ -107,15 +107,21 @@ object Dedup {
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 256): DataFrame = {
     val rows = numHashes / bands
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bucket").orderBy("rid")
     val banded = minhashSignatures(df, id, text, k, numHashes)
       .select(F.col("rid"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
           b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
       .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
-      // cap shares the bucket-key shuffle the self-join needs anyway
-      .withColumn("__bn", F.row_number().over(w))
+      // cap each bucket to its `maxBucket` smallest ids BEFORE the
+      // self-join: a degenerate bucket (thousands of identical docs)
+      // would otherwise emit |bucket|²/2 pairs by itself. The window
+      // sort costs one exchange on the healthy path (~20% of this
+      // operator's bench time) — the price of never being quadratic;
+      // exact mass-duplicates beyond the cap are still caught by
+      // [[exactGroups]], the right tool for them.
+      .withColumn("__bn", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("rid")))
       .where(F.col("__bn") <= maxBucket).drop("__bn")
       // lazy checkpoint: computed once at first action, shared by both
       // sides of the self-join, lineage cut; not billed to plan time
@@ -128,6 +134,15 @@ object Dedup {
       .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"))
       .distinct()
   }
+
+  /** Expand each capped, sorted posting list into its ordered id pairs
+    * (local, no shuffle) and dedup pairs found via multiple buckets. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.where(F.size(F.col("rids")) >= 2)
+      .select(F.posexplode(F.col("rids")).as(Seq("i", "id1")), F.col("rids"))
+      .select(F.col("id1"),
+        F.explode(F.slice(F.col("rids"), F.col("i") + 2, F.size(F.col("rids")))).as("id2"))
+      .distinct()
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -203,20 +218,20 @@ object Dedup {
             .as("bits"))): _*)).as("bb"))
       .select(F.col("rid"), F.col("sh"),
         F.col("bb.band").as("band"), F.col("bb.bits").as("bits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bits").orderBy("rid")
-    val capped = banded
-      .withColumn("__bn", F.row_number().over(w))
-      .where(F.col("__bn") <= maxBucket).drop("__bn")
-      .localCheckpoint(false)
-    val l = capped.alias("l")
-    val r = capped.alias("r")
-    l.join(r, F.col("l.band") === F.col("r.band") &&
-        F.col("l.bits") === F.col("r.bits") &&
-        F.col("l.rid") < F.col("r.rid"))
-      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"),
+    // one shuffle to band buckets; pairs expand locally from the capped
+    // member list (sorted by rid — array_sort on structs orders by the
+    // leading field), then popcount-verified
+    banded.groupBy("band", "bits")
+      .agg(F.slice(F.array_sort(
+        F.collect_list(F.struct(F.col("rid"), F.col("sh")))), 1, maxBucket)
+        .as("ms"))
+      .where(F.size(F.col("ms")) >= 2)
+      .select(F.posexplode(F.col("ms")).as(Seq("i", "m1")), F.col("ms"))
+      .select(F.col("m1"), F.explode(
+        F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))).as("m2"))
+      .select(F.col("m1.rid").as("id1"), F.col("m2.rid").as("id2"),
         F.call_function("bit_count",
-          F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("int").as("hamming"))
+          F.col("m1.sh").bitwiseXOR(F.col("m2.sh"))).cast("int").as("hamming"))
       .where(F.col("hamming") <= maxBits)
       .distinct()
   }
@@ -237,17 +252,13 @@ object Dedup {
     val sh = df.select(F.col(id).as("rid"),
         shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shingle").orderBy("rid")
-    val inverted = sh.select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
-      .withColumn("__dn", F.row_number().over(w))
-      .where(F.col("__dn") <= maxDocsPerShingle).drop("__dn")
-      .localCheckpoint(false)
-    val cands = inverted.alias("a")
-      .join(inverted.alias("b"),
-        F.col("a.shingle") === F.col("b.shingle") && F.col("a.rid") < F.col("b.rid"))
-      .select(F.col("a.rid").as("id1"), F.col("b.rid").as("id2"))
-      .distinct()
+    // one shuffle: per-shingle posting list, sorted + df-capped, pairs
+    // expanded locally (see bucketPairs)
+    val cands = bucketPairs(sh
+      .select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(F.slice(F.array_sort(F.collect_list("rid")), 1, maxDocsPerShingle)
+        .as("rids")))
     cands
       .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
       .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
