@@ -98,13 +98,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case Filter(Bgp(ts), exprs) =>
       // push translatable predicates into the star scans (parquet
       // row-group skipping), then apply full SPARQL semantics on top
-      applyFilters(compileBgp(ts, exprs), exprs)
-    case Filter(q, exprs) => applyFilters(compile(q), exprs)
+      applyFilters(compileBgp(ts, exprs), exprs, Set.empty)
+    case Filter(q, exprs) => applyFilters(compile(q), exprs, maybeUnbound(q))
     case Extend(q, v, e) =>
       val df = compile(q)
       df.withColumn(v, exprC(df).term(e))
     case td: TableData => tableDataDf(td)
-    case SubSelect(q) => compileSelect(q)
+    case SubSelect(q) => compileSelect(q, keepCompanions = true)
   }
 
   private def oneRowDf: DataFrame = {
@@ -301,11 +301,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     }
   }
 
-  private def applyFilters(df0: DataFrame, exprs: Seq[Expr]): DataFrame = {
+  private def applyFilters(df0: DataFrame, exprs: Seq[Expr],
+      mU: Set[String]): DataFrame = {
     var df = df0
     exprs.foreach {
-      case ExExists(p, neg) => df = existsJoin(df, p, neg)
-      case ExNot(ExExists(p, neg)) => df = existsJoin(df, p, !neg)
+      case ExExists(p, neg) => df = existsJoin(df, p, neg, mU)
+      case ExNot(ExExists(p, neg)) => df = existsJoin(df, p, !neg, mU)
       case e =>
         val c = exprC(df).bool(e)
         df = df.where(c <=> F.lit(true)) // 3-valued: null → drop
@@ -314,20 +315,33 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   }
 
   /** FILTER (NOT) EXISTS — correlated on all shared variables via
-    * left_semi / left_anti join. */
-  private def existsJoin(l: DataFrame, p: GraphPattern, negated: Boolean): DataFrame = {
+    * left_semi / left_anti join. Substitution semantics for maybe-unbound
+    * outer vars: an UNBOUND outer var is not substituted, so it leaves
+    * the inner pattern's var free — the condition treats null-on-the-
+    * outer-side as matching anything. */
+  private def existsJoin(l: DataFrame, p: GraphPattern, negated: Boolean,
+      mU: Set[String]): DataFrame = {
     val r = compile(p)
     val shared = sharedVars(l, r)
     val how = if (negated) "left_anti" else "left_semi"
+    val unsafe = shared.filter(mU)
     if (shared.isEmpty) {
       // uncorrelated: keep all or none depending on emptiness of r
       val marker = syn("ex")
       val probe = r.limit(1).select(F.lit(1).as(marker))
       if (negated) l.join(probe, F.lit(true), "left_anti")
       else l.join(probe, F.lit(true), "left_semi")
-    } else {
+    } else if (unsafe.isEmpty) {
       val (keys, _) = nativeJoinKeys(l, r, shared)
       l.join(r.select(keys.map(r(_)): _*), keys, how)
+    } else {
+      val pre = "__ER_"
+      val r2 = r.select(shared.map(v => r(v).as(pre + v)): _*)
+      val cond = shared.map { v =>
+        if (unsafe.contains(v)) l(v).isNull || l(v) === r2(pre + v)
+        else l(v) === r2(pre + v)
+      }.reduce(_ && _)
+      l.join(r2, cond, how)
     }
   }
 
@@ -791,6 +805,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           // fresh attribute ids BEFORE the union: `next` derives from a
           // self-join of `closure`, so closure's attributes appear on
           // both union branches and trip Catalyst's constraint rewrite
+          // (UnionBase.rewriteConstraints NoSuchElementException — an
+          // alias projection does NOT isolate the constraints; only a
+          // fresh LogicalRDD does). The RDD round-trip is applied to an
+          // already-checkpointed RDD, so the re-encoding is bounded by
+          // the (small) closure delta, once per doubling round.
           val next = spark.createDataFrame(next0.rdd, next0.schema)
           grew = !next0.isEmpty
           if (grew) {
@@ -965,7 +984,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     Some(out)
   }
 
-  def compileSelect(q: SelectQuery): DataFrame = {
+  /** `keepCompanions` (subquery position only): native-key companions of
+    * projected plain variables survive the projection (renamed to the
+    * output name), so an aggregate-then-join shape — the classic
+    * `{ SELECT ?x (COUNT(*)…) GROUP BY ?x } ?x :p ?y` — still joins on
+    * the raw long downstream. The top-level call never leaks them. */
+  def compileSelect(q: SelectQuery, keepCompanions: Boolean = false): DataFrame = {
     val needsAggQ = q.mods.groupBy.nonEmpty || (q.projection match {
       case SelectVars(items) => items.exists(i => ExprCompiler.hasAgg(i.expr))
       case _ => false
@@ -1041,9 +1065,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       orderExprs = orderExprs.map { case (e, asc) =>
         (rewriteAggs(rewriteGroupRefs(e)), asc)
       }
-      val keyCols: Seq[Column] = groupKeys.map {
-        case (GroupVar(v), _) => df(v)
-        case (GroupExpr(e, _), n) => preEc.term(e).as(n)
+      val keyCols: Seq[Column] = groupKeys.flatMap {
+        // a group var's companion joins the grouping keys (it determines
+        // the var, so the groups are unchanged) and thereby survives the
+        // aggregate for downstream native joins
+        case (GroupVar(v), _) => df(v) +: nkOf(df, v).map(df(_)).toSeq
+        case (GroupExpr(e, _), n) => Seq(preEc.term(e).as(n))
       }
       val aggCols = aggMap.map { case (a, name) => preEc.agg(a).as(name) }.toSeq
       val safeAggs = if (aggCols.isEmpty)
@@ -1067,6 +1094,20 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     var work = computed.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val names = finalItems.map(_.name)
 
+    // companions of projected plain vars, renamed to the output name
+    // (subquery position only — equal var ⟹ equal companion, so carrying
+    // them through DISTINCT/ORDER BY cannot change the solution set)
+    val workCols = work.columns.toSet
+    val compCols: Seq[Column] =
+      if (!keepCompanions) Nil
+      else finalItems.flatMap { i =>
+        i.expr match {
+          case ExVar(v) if workCols(v) =>
+            nkOf(work, v).map(c => F.col(c).as(nkRename(c, i.name)))
+          case _ => None
+        }
+      }
+
     def orderCols(d: DataFrame): Seq[Column] = orderExprs.flatMap { case (e, asc) =>
       val keys = Terms.orderKeys(exprC(d).term(e))
       if (asc) keys.map(_.asc_nulls_first) else keys.map(_.desc_nulls_last)
@@ -1074,12 +1115,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
     var out: DataFrame =
       if (q.distinct || q.reduced) {
-        var o = work.select(names.map(n => F.col(n)): _*).dropDuplicates()
+        var o = work.select(names.map(n => F.col(n)) ++ compCols: _*)
+          .dropDuplicates(names)
         if (orderExprs.nonEmpty) o = o.orderBy(orderCols(o): _*)
         o
       } else {
         if (orderExprs.nonEmpty) work = work.orderBy(orderCols(work): _*)
-        work.select(names.map(n => F.col(n)): _*)
+        work.select(names.map(n => F.col(n)) ++ compCols: _*)
       }
 
     q.values.foreach(td =>

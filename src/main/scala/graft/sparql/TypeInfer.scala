@@ -51,7 +51,15 @@ object TypeInfer {
 
   /** Per-column display decisions for a SELECT, or None when any projected
     * column cannot be typed statically. Only meaningful for graphs with
-    * predObjTypes metadata (whose subjects are guaranteed IRIs). */
+    * predObjTypes metadata (whose subjects are guaranteed IRIs).
+    *
+    * Documented cosmetic divergence from the sniffing fallback: a column
+    * whose rows are ALL null at runtime (an OPTIONAL that never matches, a
+    * cast failing on every row) keeps its statically-derived dtype here,
+    * while the sniff — seeing an empty signature set — would render it as
+    * a string column. The two paths never both run for one query, every
+    * value is null either way, and the static dtype is the more faithful
+    * one, so this is accepted rather than papered over. */
   def selectDecisions(q: SelectQuery, g: RdfGraph): Option[Map[String, Decision]] = {
     if (g.predObjTypes.isEmpty) return None
     val meta = g.predObjTypes

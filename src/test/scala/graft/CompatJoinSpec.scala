@@ -75,6 +75,29 @@ class CompatJoinSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("EXISTS with a maybe-unbound outer var uses substitution semantics") {
+    // outer ?x unbound on the :b branch → not substituted → the inner
+    // pattern's ?x is free, and { ?s :r ?x } matches for :b → EXISTS true
+    val df = fresh().select(
+      """SELECT ?s {
+           { ?s :p ?x } UNION { ?s :q ?z }
+           FILTER EXISTS { ?s :r ?x }
+         } ORDER BY ?s""")
+    val rows = df.collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(":a", ":b"))
+  }
+
+  test("NOT EXISTS with a maybe-unbound outer var") {
+    val df = fresh().select(
+      """SELECT ?s {
+           { ?s :p ?x } UNION { ?s :q ?z }
+           FILTER NOT EXISTS { ?s :r ?x }
+         }""")
+    // both :a (x bound, matches) and :b (x free, pattern matches) have a
+    // witness → nothing survives
+    assert(df.count() == 0)
+  }
+
   test("VALUES with UNDEF joins compatibly") {
     val df = fresh().select(
       """SELECT ?s ?x {

@@ -97,6 +97,25 @@ class NativeJoinSpec extends SparkSpec {
     assert(df.count() == exp)
   }
 
+  test("subquery aggregate keeps its group key native for the outer join") {
+    val df = eng("customer", "nation").selectRaw(P +
+      """SELECT ?nname ?cnt { ?n gp:n_name ?nname
+           { SELECT ?n (COUNT(*) AS ?cnt) { ?c gp:c_nation_ref ?n } GROUP BY ?n } }""")
+    val plan = joinPlan(df)
+    assert(plan.contains("__nk:"),
+      s"aggregate-then-join should run on the raw key:\n$plan")
+    val expected = Tables.read(spark, dir, "customer")
+      .groupBy("c_nationkey").count()
+      .join(Tables.read(spark, dir, "nation"),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .select("n_name", "count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = df.collect()
+      .map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1).toLong))
+      .toMap
+    assert(got == expected)
+  }
+
   test("OPTIONAL keeps native keys for the matched side") {
     val df = eng("customer", "orders").selectRaw(P +
       """SELECT ?cname ?okey {

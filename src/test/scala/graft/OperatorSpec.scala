@@ -99,6 +99,13 @@ class OperatorSpec extends SparkSpec {
     val star = e.select("SELECT ?x { :A rdfs:subClassOf* ?x } ORDER BY ?x")
       .collect().map(_.getString(0)).toSeq
     assert(star == Seq(":A", ":B", ":C", ":D"))
+    // pair closure (both endpoints open) — exercises the doubling loop
+    val pairs = e.select(
+      "SELECT ?a ?b { ?a rdfs:subClassOf+ ?b } ORDER BY ?a ?b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == Seq(
+      (":A", ":B"), (":A", ":C"), (":A", ":D"),
+      (":B", ":C"), (":B", ":D"), (":C", ":D"), (":X", ":D")))
     val plus = e.select("SELECT ?x { :A rdfs:subClassOf+ ?x } ORDER BY ?x")
       .collect().map(_.getString(0)).toSeq
     assert(plus == Seq(":B", ":C", ":D"))
