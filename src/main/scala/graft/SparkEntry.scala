@@ -303,6 +303,11 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(read(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 4)),
+    "q_dedup_groups" -> ((s, dir) =>
+      // pairs → canonical components (keep-min-id), the pipeline's last
+      // dedup stage before filtering the corpus
+      Dedup.dedupGroups(Dedup.minhashDedupPairs(read(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8, k = 3, numHashes = 32, bands = 8))),
 
     // --- similarity search (embeddings)
     "q_knn_brute" -> ((s, dir) => {

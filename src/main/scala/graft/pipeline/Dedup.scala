@@ -267,6 +267,47 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Collapse verified near-dup PAIRS into canonical GROUPS: connected
+    * components of the pair graph by iterative min-label propagation.
+    * Returns (rid, grp) for every id appearing in a pair, grp = the
+    * component's smallest id (the canonical representative to keep).
+    *
+    * Scale posture: each round is one join + min-aggregate (both on the
+    * id — a long), converging in O(component diameter) rounds; near-dup
+    * components are shallow (stars/cliques from bucket co-membership),
+    * so a handful of rounds suffices even at 100 TB. localCheckpoint per
+    * round cuts the lineage like the SPARQL transitive closure; the RDD
+    * re-wrap mints fresh attribute ids (Catalyst union constraint-rewrite
+    * limitation, see Compiler.closure). */
+  def dedupGroups(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(F.col(id1).as("a"), F.col(id2).as("b"))
+      .union(pairs.select(F.col(id2).as("a"), F.col(id1).as("b")))
+      .localCheckpoint(false)
+    var labels = edges
+      .select(F.col("a").as("rid"), F.least(F.col("a"), F.col("b")).as("grp"))
+      .groupBy("rid").agg(F.min("grp").as("grp"))
+      .localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed && i < 1000) {
+      val viaNeighbor = edges.join(labels, edges("b") === labels("rid"))
+        .select(edges("a").as("rid"), F.col("grp"))
+      val next0 = labels.union(viaNeighbor)
+        .groupBy("rid").agg(F.min("grp").as("grp"))
+        .localCheckpoint(true)
+      val next = spark.createDataFrame(next0.rdd, next0.schema)
+      changed = !next.alias("n")
+        .join(labels.alias("o"), F.col("n.rid") === F.col("o.rid") &&
+          F.col("n.grp") =!= F.col("o.grp"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Near-dup pairs over an embedding column by cosine ≥ threshold,
     * candidate-bucketed by sign-bit LSH (Similarity.signBits): only rows
     * agreeing on all `planes` sign bits are compared. */

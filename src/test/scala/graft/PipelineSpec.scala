@@ -126,6 +126,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupGroups collapses pair chains into min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton
+    // ids never appear (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L))
+      .toDF("id1", "id2")
+    val groups = Dedup.dedupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L))
+  }
+
+  test("dedupGroups over minhash pairs groups the known exact duplicates") {
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      threshold = 0.99, k = 3, numHashes = 32, bands = 8)
+    val groups = Dedup.dedupGroups(pairs)
+    if (pairs.count() > 0) {
+      // every member's group label is the min id of its component
+      val bad = groups.alias("g")
+        .join(groups.alias("h"), F.col("g.grp") === F.col("h.grp"))
+        .where(F.col("g.grp") > F.col("h.rid")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("minhash near-dup pairs include exact duplicates") {
     val dupPair = docs.groupBy("text").agg(
         F.min("doc_id").as("a"), F.max("doc_id").as("b"), F.count(F.lit(1)).as("n"))

@@ -49,6 +49,24 @@ object Drive {
     try engine.select("SELECT ?x { ?x :boro ")
     catch { case e: GraftException => println(e.getMessage) }
 
+    println("=== display round-trip: paste a shortened QName back in:")
+    val displayed = Engine.one(engine.select(
+      "SELECT ?b { ?b :pop ?p } ORDER BY DESC(?p) LIMIT 1")).toString
+    println(s"displayed value: $displayed")
+    engine.select("SELECT ?p { ?_b :pop ?p }", Map("b" -> displayed)).show(false)
+
+    println("=== compatible join: UNION-padded var still joins:")
+    engine.select(
+      """SELECT ?b ?pop {
+           { ?b :pop ?pop } UNION { :New_York_City :boro ?b }
+           ?b :pop ?pop
+         } ORDER BY DESC(?pop) LIMIT 3""").show(false)
+
+    println("=== dedup pairs -> canonical groups:")
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
+    graft.pipeline.Dedup.dedupGroups(pairs).orderBy("rid").show(false)
+
     spark.stop()
   }
 }
