@@ -66,6 +66,33 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming twin of a training pipeline's
+    * exact dedup stage. `dropDuplicatesWithinWatermark` bounds the state
+    * to keys newer than the horizon (plain dropDuplicates on a stream
+    * would grow state forever); duplicates arriving later than the
+    * horizon are by contract possible, which is the standard
+    * at-least-once-dedup tradeoff. Batch twin: Dedup.exactDedup. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming dedup pipeline: parquet dir → watermarked key dedup →
+    * in-memory sink (append — each surviving event exactly once). */
+  def startDedupStream(spark: SparkSession, dir: String,
+      queryName: String, keyCols: Seq[String],
+      watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    dedupWithinWatermark(stream, keyCols, watermark).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming session windows: parquet dir → watermark → session_window
     * aggregation. State is the set of open merged windows per user,
     * bounded by the gap and evicted as the watermark passes. */

@@ -66,6 +66,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming dedup within watermark drops in-horizon duplicates") {
+    val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
+    val base = events.withColumn("ts", F.col("ts").cast("timestamp")).limit(200)
+    // duplicate every event once (same key), all within the horizon
+    base.union(base).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.startDedupStream(spark, dir, "dedupstream",
+      keyCols = Seq("event_id"), watermark = "10 days")
+    q.processAllAvailable()
+    q.stop()
+    val survived = spark.table("dedupstream")
+    val distinctKeys = base.select("event_id").distinct().count()
+    assert(survived.count() == distinctKeys)
+    assert(survived.groupBy("event_id").count()
+      .where(F.col("count") > 1).count() == 0)
+  }
+
   test("session windows (batch twin) group by gap") {
     val s = EventStreams.sessionized(events, "30 minutes")
     assert(s.count() > 0)
