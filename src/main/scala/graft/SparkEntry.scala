@@ -83,6 +83,11 @@ object SparkEntry {
     "q_values" -> sel("region")(
       """SELECT ?name { VALUES ?k { 0 2 4 }
            ?r gp:r_regionkey ?k . ?r gp:r_name ?name }"""),
+    "q_values_undef" -> sel("region")(
+      // UNDEF leaves ?name unbound in the VALUES row — the compatible
+      // join must fill it from the pattern side (oracle-checked)
+      """SELECT ?name { VALUES (?k ?name) { (0 UNDEF) (2 UNDEF) }
+           ?r gp:r_regionkey ?k . ?r gp:r_name ?name }"""),
 
     // --- OPTIONAL / MINUS / EXISTS (SURVEY §2B "Joins")
     "q_optional" -> sel("customer", "orders")(
@@ -167,6 +172,8 @@ object SparkEntry {
       "SELECT ?name { ?x gp:c_name|gp:s_name ?name }"),
     "q_path_star" -> sel("nation")(
       "SELECT ?x { <urn:graft:nation/7> gp:n_region_ref* ?x }"),
+    "q_path_opt" -> sel("nation")(
+      "SELECT ?x { <urn:graft:nation/7> gp:n_region_ref? ?x }"),
     "q_path_plus" -> sel("customer", "nation")(
       "SELECT ?x { <urn:graft:customer/42> (gp:c_nation_ref|gp:n_region_ref)+ ?x }"),
 
@@ -459,6 +466,12 @@ object SparkEntry {
       """SELECT 'urn:graft:nation/7' AS x
          UNION SELECT 'urn:graft:region/' || CAST(n_regionkey AS VARCHAR)
          FROM nation WHERE n_nationkey = 7""",
+    "q_path_opt" ->
+      """SELECT 'urn:graft:nation/7' AS x
+         UNION SELECT 'urn:graft:region/' || CAST(n_regionkey AS VARCHAR)
+         FROM nation WHERE n_nationkey = 7""",
+    "q_values_undef" ->
+      "SELECT r_name AS name FROM region WHERE r_regionkey IN (0, 2)",
     "q_path_plus" ->
       """SELECT 'urn:graft:nation/' || CAST(c_nationkey AS VARCHAR) AS x
            FROM customer WHERE c_custkey = 42
