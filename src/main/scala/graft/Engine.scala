@@ -94,6 +94,7 @@ class Engine(initial: RdfGraph) {
     * prefixes fall back to plain literals (a ratio like "12:30" is not a
     * QName). */
   def toTerm(v: Any): RdfTerm = v match {
+    case s: String if s.startsWith("_:") => Blank(s.substring(2))
     case s: String if !s.startsWith("http://") && !s.startsWith("https://") &&
         !s.startsWith("urn:") && s.indexOf(':') >= 0 =>
       val i = s.indexOf(':')

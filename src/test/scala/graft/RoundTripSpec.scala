@@ -44,6 +44,8 @@ class RoundTripSpec extends SparkSpec {
     assert(e.toTerm("12:30") == Lit.plain("12:30"))
     assert(e.toTerm("urn:other:thing") == Iri("urn:other:thing"))
     assert(e.toTerm("http://x.org/y") == Iri("http://x.org/y"))
+    // displayed blank-node labels round-trip as blank nodes
+    assert(e.toTerm("_:b0") == Blank("b0"))
   }
 
   test("unknown IRI function surfaces as GraftException with query text") {
