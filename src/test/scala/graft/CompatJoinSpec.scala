@@ -98,6 +98,23 @@ class CompatJoinSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("path alternation is bag semantics: both-branch matches count twice") {
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :a :p :x . :a :q :x . :b :p :y .
+      """)
+    e.bindNamespace("", "http://example.com/")
+    // (:a,:x) matches via :p AND via :q → 2 solutions; (:b,:y) → 1
+    val n = Engine.one(e.select(
+      "SELECT (COUNT(*) AS ?n) { ?s :p|:q ?o }"))
+    assert(n == 3L)
+    // ...while the transitive forms stay set-valued
+    val star = Engine.one(e.select(
+      "SELECT (COUNT(*) AS ?n) { :a (:p|:q)+ ?o }"))
+    assert(star == 1L)
+  }
+
   test("VALUES with UNDEF joins compatibly") {
     val df = fresh().select(
       """SELECT ?s ?x {
