@@ -292,6 +292,20 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.fingerprint(F.col("text")).as("fp"))),
+    "q_redact_pii" -> ((s, dir) =>
+      // synthetic PII appended per doc so the scrub regexes actually fire
+      read(s, dir, "documents").select(
+        F.col("doc_id"),
+        TextAnalysis.redactPii(F.concat(F.col("text"),
+          F.lit(" contact user"), F.col("doc_id"),
+          F.lit("@example.com at 10.0.0.1"))).as("clean"))),
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(read(s, dir, "documents"), "text", 20)),
+    "q_split" -> ((s, dir) =>
+      // deterministic hash split: stable across runs/cluster sizes
+      TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
 
     // --- dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
@@ -595,7 +609,20 @@ object SparkEntry {
          FROM s""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+    "q_redact_pii" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.1',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean
+         FROM documents""",
+    "q_vocab" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+           FROM documents) t
+         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
     // q_quality_score / q_fingerprint / q_dedup_minhash / q_dedup_simhash /
     // q_dedup_ngram / q_dedup_embed / q_knn_* / q_multimodal_meta:
     // xxhash64/LSH/stub-based → no SQL oracle; driver rows-only check.

@@ -97,4 +97,52 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L),
       (acc, x) => acc * F.lit(1000003L) + F.xxhash64(x))
+
+  /** PII pattern → replacement tag, applied in order. Regexes stay in the
+    * RE2-compatible subset (no backrefs/lookaround) so the same patterns
+    * run identically in Java regex (Spark) and RE2 engines (oracles,
+    * sibling pipelines). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}""" -> "<PHONE>",
+    """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""" -> "<IP>")
+
+  /** Redact PII spans (emails, phone-shaped numbers, IPv4) with typed
+    * tags — the standard scrubbing pass before training. Narrow map,
+    * codegen'd regexp_replace chain, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      F.regexp_replace(c, pat, tag)
+    }
+
+  /** Corpus vocabulary: the `k` most frequent tokens with counts
+    * (count desc, token asc — fully deterministic). One explode + one
+    * count shuffle with map-side partial aggregation; top-k via
+    * TakeOrderedAndProject, no full sort. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("token"))
+      .limit(k)
+
+  /** Deterministic train/val/test-style split assignment: bucket by
+    * xxhash64 of the id column — stable across runs, cluster sizes, and
+    * re-partitioning (never `rand()`, which re-deals on retry and breaks
+    * exactly-once semantics in pipelines). `weights` need not sum to 1;
+    * they are normalized. Returns df + `split` column with the name of
+    * the assigned slice. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val buckets = 1000000L
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => (f * buckets).toLong)
+    val h = F.pmod(F.xxhash64(F.lit(seed), F.col(idCol)), F.lit(buckets))
+    val expr = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(F.lit(weights.last._1)) { case (acc, (name, cut)) =>
+        F.when(h < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
 }

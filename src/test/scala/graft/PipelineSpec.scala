@@ -151,6 +151,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction replaces emails, phones, and IPs with tags") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      "write to alice.smith+x@mail.example.org today",
+      "call +1 (555) 123-4567 or 555 987 6543 now",
+      "server at 192.168.0.12 responded",
+      "nothing sensitive here"
+    ).toDF("text").select(TextAnalysis.redactPii(F.col("text")).as("clean"))
+    val out = df.collect().map(_.getString(0)).toSeq
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2) == "server at <IP> responded")
+    assert(out(3) == "nothing sensitive here")
+  }
+
+  test("vocabulary returns deterministic top-k (count desc, token asc)") {
+    import graft.pipeline.TextAnalysis
+    val vocab = TextAnalysis.vocabulary(docs, "text", 10).collect()
+    assert(vocab.length == 10)
+    val counts = vocab.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    // rerun is byte-identical (stable tie-break)
+    val again = TextAnalysis.vocabulary(docs, "text", 10).collect()
+    assert(vocab.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("deterministic split is stable and respects weight proportions") {
+    import graft.pipeline.TextAnalysis
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = TextAnalysis.deterministicSplit(docs, "doc_id", w)
+    val b = TextAnalysis.deterministicSplit(docs.repartition(7), "doc_id", w)
+    // identical assignment regardless of partitioning
+    assert(a.select("doc_id", "split").except(b.select("doc_id", "split")).isEmpty)
+    val bysplit = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(bysplit.getOrElse("train", 0L) / n - 0.8) < 0.1)
+    assert(bysplit.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("minhash near-dup pairs include exact duplicates") {
     val dupPair = docs.groupBy("text").agg(
         F.min("doc_id").as("a"), F.max("doc_id").as("b"), F.count(F.lit(1)).as("n"))
