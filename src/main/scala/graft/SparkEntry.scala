@@ -306,6 +306,14 @@ object SparkEntry {
       TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
+    "q_pack" -> ((s, dir) =>
+      // greedy per-partition sequence packing into 512-token bins
+      graft.pipeline.Packing.packSequences(
+        read(s, dir, "documents").select(F.col("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", maxTokens = 512)
+        .select(F.col("seq_id"), F.size(F.col("doc_ids")).as("n_docs"),
+          F.col("total_tokens"))),
 
     // --- dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>

@@ -193,6 +193,30 @@ class PipelineSpec extends SparkSpec {
     assert(bysplit.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("sequence packing respects the token budget and covers every doc") {
+    import graft.pipeline.{Packing, TextAnalysis}
+    val budget = 500L
+    val withTokens = docs.select(F.col("doc_id"),
+      TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tokens"))
+    val bins = Packing.packSequences(withTokens, "doc_id", "n_tokens", budget)
+    val rows = bins.collect()
+    // every bin within budget unless it is an oversized singleton
+    rows.foreach { r =>
+      val n = r.getSeq[Long](1).size
+      assert(r.getLong(2) <= budget || n == 1,
+        s"bin ${r.getLong(0)} over budget with $n docs")
+    }
+    // exact cover: every doc packed exactly once
+    val packedIds = rows.flatMap(_.getSeq[Long](1))
+    assert(packedIds.length == docs.count())
+    assert(packedIds.toSet.size == packedIds.length)
+    // deterministic under re-partitioning
+    val again = Packing.packSequences(
+      withTokens.repartition(3), "doc_id", "n_tokens", budget).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet ==
+      again.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+  }
+
   test("minhash near-dup pairs include exact duplicates") {
     val dupPair = docs.groupBy("text").agg(
         F.min("doc_id").as("a"), F.max("doc_id").as("b"), F.count(F.lit(1)).as("n"))
