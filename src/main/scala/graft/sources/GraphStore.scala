@@ -20,12 +20,16 @@ object GraphStore {
   private val PRED_COL = "__pred"
   private val PREFIX_FILE = "_prefixes.json"
 
-  /** Write the graph predicate-partitioned. One shuffle-free pass: the
-    * partition column is a projection of `p.value`; Spark splits files
-    * per predicate directory. */
+  /** Write the graph predicate-partitioned. One shuffle (repartition on
+    * the predicate) keeps each predicate's rows together — without it
+    * every write task emits a sliver file into every predicate directory
+    * — and the within-partition sort on subject gives parquet row-group
+    * min/max stats that skip on subject lookups. */
   def save(g: RdfGraph, path: String, mode: String = "overwrite"): Unit = {
     g.triples
       .withColumn(PRED_COL, F.col("p.value"))
+      .repartition(F.col(PRED_COL))
+      .sortWithinPartitions(F.col(PRED_COL), F.col("s.value"))
       .write.mode(mode).partitionBy(PRED_COL).parquet(path)
     val json = g.prefixes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\": \"" + esc(v) + "\""
