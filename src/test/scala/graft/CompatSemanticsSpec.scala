@@ -158,4 +158,114 @@ class CompatSemanticsSpec extends SparkSpec {
           s"got:      $got\nexpected: $expected")
     }
   }
+
+  // ---- the same harness over the REAL direct-mapped graph, where the
+  // native-key companions, star tables, and vertical index engage ----
+
+  test("native-key plans over the direct-mapped graph match the reference") {
+    val graph = Tables.graph(spark, "/root/testdata/sf0.001", "nation", "region")
+    val g: Seq[(RdfTerm, RdfTerm, RdfTerm)] = graph.triples.collect().toSeq
+      .map { r =>
+        def term(i: Int): RdfTerm = {
+          val st = r.getStruct(i)
+          st.getByte(0) match {
+            case Terms.KIND_IRI => Iri(st.getString(1))
+            case Terms.KIND_BLANK => Blank(st.getString(1))
+            case _ => Lit(st.getString(1), st.getString(2), st.getString(3))
+          }
+        }
+        (term(0), term(1), term(2))
+      }
+    val predPool = g.map(_._2).distinct.toVector
+    val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
+    val rnd = new Random(42L)
+    def node(): Node =
+      if (rnd.nextInt(4) == 0) TermNode(termPool(rnd.nextInt(termPool.size)))
+      else VarNode(vars(rnd.nextInt(vars.size)))
+    def tp(): TriplePattern =
+      TriplePattern(node(),
+        VerbNode(TermNode(predPool(rnd.nextInt(predPool.size)))), node())
+    def pat(depth: Int): GraphPattern =
+      if (depth <= 0) Bgp(Seq.fill(1 + rnd.nextInt(2))(tp()))
+      else rnd.nextInt(5) match {
+        case 0 => Join(pat(depth - 1), pat(depth - 1))
+        case 1 => Union(pat(depth - 1), pat(depth - 1))
+        case 2 => LeftJoin(pat(depth - 1), pat(depth - 1), Nil)
+        case 3 => Minus(pat(depth - 1), pat(depth - 1))
+        case _ => Bgp(Seq.fill(1 + rnd.nextInt(2))(tp()))
+      }
+    for (case_ <- 1 to 25) {
+      val p = pat(1 + rnd.nextInt(2))
+      val expected = canon(evalRef(p, g))
+      val df = new Compiler(graph, spark).compile(p)
+      val got = canon(df.collect().toSeq.map(rowToSol(_, df.columns.toSeq)))
+      assert(got == expected,
+        s"case $case_ mismatch\npattern: $p\ngot: $got\nexpected: $expected")
+    }
+  }
+
+  // ---- non-transitive property paths (bag semantics + native chain) ----
+
+  private def evalPathPairs(p: graft.sparql.Ast.Path,
+      g: Seq[(RdfTerm, RdfTerm, RdfTerm)]): Seq[(RdfTerm, RdfTerm)] = p match {
+    case PLink(i) => g.collect { case (s, pr, o) if pr == Iri(i) => (s, o) }
+    case PInv(q) => evalPathPairs(q, g).map(_.swap)
+    case PSeq(a, b) =>
+      val bs = evalPathPairs(b, g)
+      for ((s, m) <- evalPathPairs(a, g); (m2, o) <- bs if m == m2) yield (s, o)
+    case PAlt(a, b) => evalPathPairs(a, g) ++ evalPathPairs(b, g)
+    case other => sys.error(s"not in test subset: $other")
+  }
+
+  test("non-transitive path plans match the reference (bag semantics)") {
+    val graph = Tables.graph(spark, "/root/testdata/sf0.001", "nation", "region")
+    val g: Seq[(RdfTerm, RdfTerm, RdfTerm)] = graph.triples.collect().toSeq
+      .map { r =>
+        def term(i: Int): RdfTerm = {
+          val st = r.getStruct(i)
+          st.getByte(0) match {
+            case Terms.KIND_IRI => Iri(st.getString(1))
+            case _ => Lit(st.getString(1), st.getString(2), st.getString(3))
+          }
+        }
+        (term(0), term(1), term(2))
+      }
+    val predPool = g.map(_._2).distinct.collect {
+      case Iri(v) => v
+    }.toVector
+    val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
+    val rnd = new Random(7L)
+    def path(depth: Int): Path =
+      if (depth <= 0) PLink(predPool(rnd.nextInt(predPool.size)))
+      else rnd.nextInt(4) match {
+        case 0 => PSeq(path(depth - 1), path(depth - 1))
+        case 1 => PAlt(path(depth - 1), path(depth - 1))
+        case 2 => PInv(path(depth - 1))
+        case _ => PLink(predPool(rnd.nextInt(predPool.size)))
+      }
+    def node(): Node =
+      if (rnd.nextInt(3) == 0) TermNode(termPool(rnd.nextInt(termPool.size)))
+      else VarNode(vars(rnd.nextInt(vars.size)))
+    for (case_ <- 1 to 25) {
+      val pth = path(1 + rnd.nextInt(2))
+      var (s, o) = (node(), node())
+      // both-const endpoints are ASK-position (existence) semantics in
+      // the compiler — out of this bag-comparison's scope
+      if (s.isInstanceOf[TermNode] && o.isInstanceOf[TermNode])
+        o = VarNode("zz")
+      // reference: evaluate pairs, bind endpoints (bag — no distinct)
+      val expected = canon(evalPathPairs(pth, g).flatMap { case (sv, ov) =>
+        for {
+          s1 <- matchNode(s, sv, Map.empty: Sol).toSeq
+          s2 <- matchNode(o, ov, s1).toSeq
+        } yield s2
+      })
+      val p = Bgp(Seq(TriplePattern(s, VerbPath(pth), o)))
+      val df = new Compiler(graph, spark).compile(p)
+      val got = canon(df.collect().toSeq.map(rowToSol(_, df.columns.toSeq)))
+      assert(got == expected,
+        s"case $case_ mismatch\npath: $pth s=$s o=$o\n" +
+          s"got: $got\nexpected: $expected")
+    }
+  }
 }
