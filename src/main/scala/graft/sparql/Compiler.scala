@@ -65,9 +65,14 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   /** The variable a companion column accompanies. */
   private def nkVar(c: String): String =
     c.substring(5).dropWhile(_ != ':').drop(1)
-  /** The companion column of variable `v` in `df`, if any. */
+  /** The companion column of variable `v` in `df`, if any. A variable
+    * can carry SEVERAL companions (one per template it was scanned
+    * under — e.g. a var asserted as both a nation and a region subject);
+    * `nkAll` returns them all, `nkOf` the first. */
   private def nkOf(df: DataFrame, v: String): Option[String] =
     df.columns.find(c => c.startsWith("__nk:") && nkVar(c) == v)
+  private def nkAll(df: DataFrame, v: String): Seq[String] =
+    df.columns.filter(c => c.startsWith("__nk:") && nkVar(c) == v).toSeq
   private def nkCols(df: DataFrame): Seq[String] =
     df.columns.filter(_.startsWith("__nk:")).toSeq
 
@@ -207,20 +212,24 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     }
   }
 
-  /** Join-key plan for shared vars: vars with a matching companion on both
+  /** Join-key plan for shared vars: vars with a common companion on both
     * sides join on the companion (first element of the result) and their
     * struct column is dropped from the right side (second element — it
-    * equals the left's after the join); the rest join by struct name. */
+    * equals the left's after the join); the rest join by struct name.
+    * Any OTHER same-named companion of a shared var on the right is also
+    * dropped: same name ⟹ same (template, var), and the var's values
+    * coincide after the join, so the copies are equal — keeping both
+    * would make the name ambiguous downstream. */
   private def nativeJoinKeys(l: DataFrame, r: DataFrame,
       shared: Seq[String]): (Seq[String], Seq[String]) = {
     val native = shared.flatMap { v =>
-      (nkOf(l, v), nkOf(r, v)) match {
-        case (Some(a), Some(b)) if a == b => Some(v -> a)
-        case _ => None
-      }
+      (nkAll(l, v) intersect nkAll(r, v)).headOption.map(v -> _)
     }
     val natVars = native.map(_._1)
-    (native.map(_._2) ++ shared.filterNot(natVars.contains), natVars)
+    val keys = native.map(_._2) ++ shared.filterNot(natVars.contains)
+    val dupNk = l.columns.toSet.intersect(r.columns.toSet)
+      .filter(_.startsWith("__nk:")).diff(keys.toSet).toSeq
+    (keys, natVars ++ dupNk)
   }
 
   private def sharedVars(l: DataFrame, r: DataFrame): Seq[String] =

@@ -13,6 +13,11 @@ import scala.util.Random
   * and patterns. Multiset (bag) comparison — duplicates matter. */
 class CompatSemanticsSpec extends SparkSpec {
 
+  // fuzz knobs: GRAFT_FUZZ_N multiplies case counts, GRAFT_FUZZ_DEPTH
+  // adds nesting depth (local deep-fuzz runs; CI uses the defaults)
+  private val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "1").toInt
+  private val fuzzD = sys.env.getOrElse("GRAFT_FUZZ_DEPTH", "0").toInt
+
   type Sol = Map[String, RdfTerm]
 
   // ---- reference evaluator (executable spec §18.5) ----
@@ -145,9 +150,9 @@ class CompatSemanticsSpec extends SparkSpec {
 
   test("compiled plans match the reference evaluator on random patterns") {
     val rnd = new Random(20260812L)
-    for (case_ <- 1 to 40) {
+    for (case_ <- 1 to 40 * fuzzN) {
       val g = randGraph(rnd)
-      val p = randPattern(rnd, 1 + rnd.nextInt(2))
+      val p = randPattern(rnd, 1 + rnd.nextInt(2) + fuzzD)
       val expected = canon(evalRef(p, g))
       val graph = RdfGraph.fromTriples(spark, g)
       val df = new Compiler(graph, spark).compile(p)
@@ -194,11 +199,16 @@ class CompatSemanticsSpec extends SparkSpec {
         case 3 => Minus(pat(depth - 1), pat(depth - 1))
         case _ => Bgp(Seq.fill(1 + rnd.nextInt(2))(tp()))
       }
-    for (case_ <- 1 to 25) {
-      val p = pat(1 + rnd.nextInt(2))
+    for (case_ <- 1 to 25 * fuzzN) {
+      val p = pat(1 + rnd.nextInt(2) + fuzzD)
       val expected = canon(evalRef(p, g))
-      val df = new Compiler(graph, spark).compile(p)
-      val got = canon(df.collect().toSeq.map(rowToSol(_, df.columns.toSeq)))
+      val got = try {
+        val df = new Compiler(graph, spark).compile(p)
+        canon(df.collect().toSeq.map(rowToSol(_, df.columns.toSeq)))
+      } catch {
+        case e: Exception =>
+          fail(s"case $case_ compile/exec error on pattern:\n$p\n${e.getMessage}")
+      }
       assert(got == expected,
         s"case $case_ mismatch\npattern: $p\ngot: $got\nexpected: $expected")
     }
@@ -246,8 +256,8 @@ class CompatSemanticsSpec extends SparkSpec {
     def node(): Node =
       if (rnd.nextInt(3) == 0) TermNode(termPool(rnd.nextInt(termPool.size)))
       else VarNode(vars(rnd.nextInt(vars.size)))
-    for (case_ <- 1 to 25) {
-      val pth = path(1 + rnd.nextInt(2))
+    for (case_ <- 1 to 25 * fuzzN) {
+      val pth = path(1 + rnd.nextInt(2) + fuzzD)
       var (s, o) = (node(), node())
       // both-const endpoints are ASK-position (existence) semantics in
       // the compiler — out of this bag-comparison's scope
