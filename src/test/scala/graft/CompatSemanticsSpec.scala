@@ -63,9 +63,30 @@ class CompatSemanticsSpec extends SparkSpec {
       val rs = evalRef(r, g)
       evalRef(l, g).filterNot(a => rs.exists(b =>
         compatible(a, b) && (a.keySet & b.keySet).nonEmpty))
+    case Filter(q, Seq(ExExists(p2, neg))) =>
+      // substitution semantics: bound vars become constants, unbound
+      // stay free; EXISTS = the substituted pattern has ≥1 solution
+      evalRef(q, g).filter { sol =>
+        val sub = substitute(p2, sol)
+        evalRef(sub, g).nonEmpty != neg
+      }
     case Filter(q, exprs) =>
       evalRef(q, g).filter(sol => exprs.forall(evalFilter(_, sol)))
     case other => sys.error(s"not in test subset: $other")
+  }
+
+  private def substitute(p: GraphPattern, sol: Sol): GraphPattern = {
+    def n(x: Node): Node = x match {
+      case VarNode(v) if sol.contains(v) => TermNode(sol(v))
+      case other => other
+    }
+    p match {
+      case Bgp(ts) => Bgp(ts.map(tp => TriplePattern(n(tp.s), tp.p match {
+        case VerbNode(vn) => VerbNode(n(vn))
+        case other => other
+      }, n(tp.o))))
+      case other => sys.error(s"substitution only over BGPs here: $other")
+    }
   }
 
   private def evalFilter(e: Expr, sol: Sol): Boolean = e match {
@@ -192,11 +213,13 @@ class CompatSemanticsSpec extends SparkSpec {
         VerbNode(TermNode(predPool(rnd.nextInt(predPool.size)))), node())
     def pat(depth: Int): GraphPattern =
       if (depth <= 0) Bgp(Seq.fill(1 + rnd.nextInt(2))(tp()))
-      else rnd.nextInt(5) match {
+      else rnd.nextInt(6) match {
         case 0 => Join(pat(depth - 1), pat(depth - 1))
         case 1 => Union(pat(depth - 1), pat(depth - 1))
         case 2 => LeftJoin(pat(depth - 1), pat(depth - 1), Nil)
         case 3 => Minus(pat(depth - 1), pat(depth - 1))
+        case 4 => Filter(pat(depth - 1),
+          Seq(ExExists(Bgp(Seq(tp())), rnd.nextBoolean())))
         case _ => Bgp(Seq.fill(1 + rnd.nextInt(2))(tp()))
       }
     for (case_ <- 1 to 25 * fuzzN) {
