@@ -250,6 +250,97 @@ class CompatSemanticsSpec extends SparkSpec {
     case other => sys.error(s"not in test subset: $other")
   }
 
+  // ---- transitive paths: ALP set semantics per spec §18.4 ----
+
+  private def reach(from: RdfTerm, adj: Map[RdfTerm, Seq[RdfTerm]],
+      includeSelf: Boolean): Set[RdfTerm] = {
+    var seen = Set.empty[RdfTerm]
+    var frontier: Seq[RdfTerm] =
+      if (includeSelf) Seq(from) else adj.getOrElse(from, Nil).distinct
+    seen ++= frontier
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(seen)
+      seen ++= next
+      frontier = next
+    }
+    seen
+  }
+
+  /** Spec evaluation of a TOP-LEVEL transitive path triple: ALP from a
+    * constant endpoint (including the endpoint itself for `*`, even when
+    * it does not occur in the graph); node×reach for var-var. */
+  private def evalTransitive(s: Node, inner: graft.sparql.Ast.Path,
+      includeZero: Boolean, o: Node,
+      g: Seq[(RdfTerm, RdfTerm, RdfTerm)]): Seq[Sol] = {
+    val edges = evalPathPairs(inner, g).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val radj = edges.map(_.swap).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = g.flatMap(t => Seq(t._1, t._3)).distinct
+    val pairs: Seq[(RdfTerm, RdfTerm)] = (s, o) match {
+      case (TermNode(t), _) =>
+        reach(t, adj, includeZero).toSeq.map(t -> _)
+      case (_, TermNode(t)) =>
+        reach(t, radj, includeZero).toSeq.map(_ -> t)
+      case _ =>
+        nodes.flatMap(n => reach(n, adj, includeZero).toSeq.map(n -> _))
+    }
+    pairs.flatMap { case (sv, ov) =>
+      for {
+        s1 <- matchNode(s, sv, Map.empty: Sol).toSeq
+        s2 <- matchNode(o, ov, s1).toSeq
+      } yield s2
+    }
+  }
+
+  test("transitive path plans match the spec's ALP evaluation") {
+    val graph = Tables.graph(spark, "/root/testdata/sf0.001", "nation", "region")
+    val g: Seq[(RdfTerm, RdfTerm, RdfTerm)] = graph.triples.collect().toSeq
+      .map { r =>
+        def term(i: Int): RdfTerm = {
+          val st = r.getStruct(i)
+          st.getByte(0) match {
+            case Terms.KIND_IRI => Iri(st.getString(1))
+            case _ => Lit(st.getString(1), st.getString(2), st.getString(3))
+          }
+        }
+        (term(0), term(1), term(2))
+      }
+    val predPool = g.map(_._2).distinct.collect { case Iri(v) => v }.toVector
+    val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
+    val rnd = new Random(99L)
+    def innerPath(depth: Int): Path =
+      if (depth <= 0) PLink(predPool(rnd.nextInt(predPool.size)))
+      else rnd.nextInt(3) match {
+        case 0 => PAlt(innerPath(depth - 1), innerPath(depth - 1))
+        case 1 => PInv(innerPath(depth - 1))
+        case _ => PLink(predPool(rnd.nextInt(predPool.size)))
+      }
+    def node(): Node =
+      if (rnd.nextInt(3) == 0) TermNode(termPool(rnd.nextInt(termPool.size)))
+      else VarNode(vars(rnd.nextInt(2))) // a or b
+    for (case_ <- 1 to 15 * fuzzN) {
+      val inner = innerPath(1)
+      val star = rnd.nextBoolean()
+      var (s, o) = (node(), node())
+      if (s.isInstanceOf[TermNode] && o.isInstanceOf[TermNode])
+        o = VarNode("zz")
+      val expected = canon(evalTransitive(s, inner, star, o, g))
+      val pth = if (star) PZeroOrMore(inner) else POneOrMore(inner)
+      val p = Bgp(Seq(TriplePattern(s, VerbPath(pth), o)))
+      val got = try {
+        val df = new Compiler(graph, spark).compile(p)
+        canon(df.collect().toSeq.map(rowToSol(_, df.columns.toSeq)))
+      } catch {
+        case e: Exception =>
+          fail(s"case $case_ error on $pth s=$s o=$o\n${e.getMessage}")
+      }
+      assert(got == expected,
+        s"case $case_ mismatch\npath: $pth s=$s o=$o\n" +
+          s"got: $got\nexpected: $expected")
+    }
+  }
+
   test("non-transitive path plans match the reference (bag semantics)") {
     val graph = Tables.graph(spark, "/root/testdata/sf0.001", "nation", "region")
     val g: Seq[(RdfTerm, RdfTerm, RdfTerm)] = graph.triples.collect().toSeq
