@@ -842,9 +842,14 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * single-subject star BGP (optionally filtered) runs entirely on the
     * RAW source columns — no term structs are built per row, so the
     * double→string→double casts of the lexical term model never run.
-    * Term structs are produced once per GROUP at the end. Bails to the
-    * general path on anything it can't prove equivalent. */
-  private def tryStarAggregate(q: SelectQuery): Option[DataFrame] = {
+    * Term structs are produced once per GROUP at the end. FK-object
+    * group vars (`GROUP BY ?fk` — the canonical star-schema rollup)
+    * group on the raw key and synthesize the IRI once per group; with
+    * `keepCompanions` the raw key also survives as a companion so an
+    * enclosing query still joins natively. Bails to the general path on
+    * anything it can't prove equivalent. */
+  private def tryStarAggregate(q: SelectQuery,
+      keepCompanions: Boolean): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     if (q.distinct || q.reduced || q.values.nonEmpty) return None
     if (q.mods.having.nonEmpty || q.mods.orderBy.nonEmpty) return None
@@ -867,8 +872,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       .getOrElse(return None)
     val natTypes: Map[String, DataType] =
       st.df.schema.fields.map(f => f.name -> f.dataType).toMap
-    // bind object vars to native columns (types known); subject stays a struct
+    // bind object vars to native columns (types known); subject stays a
+    // struct; FK objects bind to the raw key with their IRI template
     val nat = mutable.LinkedHashMap[String, String]()
+    val natIri = mutable.LinkedHashMap[String, (String, String)]()
     var df = st.df
     pats.foreach { case (_, p, o) =>
       val cn = st.preds(p)
@@ -876,8 +883,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       o match {
         case TermNode(t) => df = df.where(F.col(cn) === termCol(t))
         case VarNode(v) =>
-          if (v == sv || nat.contains(v)) return None
-          nat(v) = st.natives.getOrElse(p, return None)
+          if (v == sv || nat.contains(v) || natIri.contains(v)) return None
+          st.natives.get(p) match {
+            case Some(c) => nat(v) = c
+            case None => natIri(v) = st.fkNat.getOrElse(p, return None)
+          }
       }
     }
     def isNum(t: DataType) = t match {
@@ -920,10 +930,15 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case ExNot(x) => strict(x).map(c => !c)
       case _ => None
     }
+    // bail when a filter references an FK-IRI var: its SPARQL semantics
+    // are term comparisons, which strict() models only for literals
+    filters.foreach(f =>
+      if ((exprVars(f) & natIri.keySet).nonEmpty) return None)
     filters.foreach(f => df = df.where(strict(f).getOrElse(return None)))
-    // group keys: plain vars only, native-bound or the subject
+    // group keys: plain vars only — native-bound, FK keys, or the subject
     val groupCols: Seq[(String, Column)] = q.mods.groupBy.map {
       case GroupVar(v) if nat.contains(v) => v -> F.col(nat(v))
+      case GroupVar(v) if natIri.contains(v) => v -> F.col(natIri(v)._1)
       case GroupVar(v) if v == sv => v -> F.col("s")
       case _ => return None
     }
@@ -944,6 +959,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
             case ("COUNT", None) => intT(F.count(F.lit(1)))
             case ("COUNT", Some(ExVar(v))) if nat.contains(v) =>
               val c = F.col(nat(v))
+              intT(if (a.distinct) F.countDistinct(c) else F.count(c))
+            case ("COUNT", Some(ExVar(v))) if natIri.contains(v) =>
+              val c = F.col(natIri(v)._1)
               intT(if (a.distinct) F.countDistinct(c) else F.count(c))
             case (fn @ ("SUM" | "AVG" | "MIN" | "MAX"), Some(ExVar(v)))
                 if nat.contains(v) && isNum(natTypes(nat(v))) =>
@@ -978,16 +996,29 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     var out = df.groupBy(groupCols.map(_._2): _*)
       .agg(aggCols.head, aggCols.tail.toSeq: _*)
     // re-select in projection order, wrapping native group keys into
-    // term structs (once per group — the cheap place to do it)
+    // term structs (once per group — the cheap place to do it); FK keys
+    // synthesize their IRI here and, for subqueries, keep the raw key
+    // as a companion so the enclosing join stays native
     val named = items.map { i =>
       i.expr match {
         case ExVar(v) if v == sv => F.col("s").as(v)
+        case ExVar(v) if natIri.contains(v) =>
+          val (c, tmpl) = natIri(v)
+          Terms.iri(F.concat(F.lit(tmpl), F.col(c).cast(StringType))).as(i.name)
         case ExVar(v) =>
           Terms.fromNative(F.col(nat(v)), natTypes(nat(v))).as(i.name)
         case _ => F.col(i.name)
       }
     }
-    out = out.select(named: _*)
+    val comps = if (!keepCompanions) Nil else items.flatMap { i =>
+      i.expr match {
+        case ExVar(v) if natIri.contains(v) =>
+          val (c, tmpl) = natIri(v)
+          Some(F.col(c).cast(LongType).as(nkName(tmpl, i.name)))
+        case _ => None
+      }
+    }
+    out = out.select(named ++ comps: _*)
     q.mods.offset.foreach(n => out = out.offset(n.toInt))
     q.mods.limit.foreach(n => out = out.limit(n.toInt))
     Some(out)
@@ -1003,7 +1034,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case SelectVars(items) => items.exists(i => ExprCompiler.hasAgg(i.expr))
       case _ => false
     })
-    if (needsAggQ) tryStarAggregate(q) match {
+    if (needsAggQ) tryStarAggregate(q, keepCompanions) match {
       case Some(fast) => return fast
       case None =>
     }
