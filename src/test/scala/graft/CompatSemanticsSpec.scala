@@ -17,6 +17,7 @@ class CompatSemanticsSpec extends SparkSpec {
   // adds nesting depth (local deep-fuzz runs; CI uses the defaults)
   private val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "1").toInt
   private val fuzzD = sys.env.getOrElse("GRAFT_FUZZ_DEPTH", "0").toInt
+  private val fuzzSeed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "0").toLong
 
   type Sol = Map[String, RdfTerm]
 
@@ -170,7 +171,7 @@ class CompatSemanticsSpec extends SparkSpec {
       .mkString("|")).sorted
 
   test("compiled plans match the reference evaluator on random patterns") {
-    val rnd = new Random(20260812L)
+    val rnd = new Random(20260812L + fuzzSeed)
     for (case_ <- 1 to 40 * fuzzN) {
       val g = randGraph(rnd)
       val p = randPattern(rnd, 1 + rnd.nextInt(2) + fuzzD)
@@ -204,7 +205,7 @@ class CompatSemanticsSpec extends SparkSpec {
       }
     val predPool = g.map(_._2).distinct.toVector
     val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
-    val rnd = new Random(42L)
+    val rnd = new Random(42L + fuzzSeed)
     def node(): Node =
       if (rnd.nextInt(4) == 0) TermNode(termPool(rnd.nextInt(termPool.size)))
       else VarNode(vars(rnd.nextInt(vars.size)))
@@ -308,7 +309,7 @@ class CompatSemanticsSpec extends SparkSpec {
       }
     val predPool = g.map(_._2).distinct.collect { case Iri(v) => v }.toVector
     val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
-    val rnd = new Random(99L)
+    val rnd = new Random(99L + fuzzSeed)
     def innerPath(depth: Int): Path =
       if (depth <= 0) PLink(predPool(rnd.nextInt(predPool.size)))
       else rnd.nextInt(3) match {
@@ -358,7 +359,7 @@ class CompatSemanticsSpec extends SparkSpec {
       case Iri(v) => v
     }.toVector
     val termPool = (g.map(_._1) ++ g.map(_._3)).distinct.toVector
-    val rnd = new Random(7L)
+    val rnd = new Random(7L + fuzzSeed)
     def path(depth: Int): Path =
       if (depth <= 0) PLink(predPool(rnd.nextInt(predPool.size)))
       else rnd.nextInt(4) match {
