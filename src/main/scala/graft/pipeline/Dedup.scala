@@ -105,9 +105,25 @@ object Dedup {
     * [[exactGroups]], which is the right tool for exact mass duplicates. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    minhashCandidatesFromShingles(
+      df.select(F.col(id).as("rid"), shingleHashes(F.col(text), k).as("sh")),
+      numHashes, bands, maxBucket)
+
+  /** Candidates from a precomputed (rid, sh) shingle-hash relation — lets
+    * the full dedup pipeline tokenize/shingle each document ONCE and share
+    * the (checkpointed) result between banding and verification. */
+  def minhashCandidatesFromShingles(sh: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
     val rows = numHashes / bands
-    val banded = minhashSignatures(df, id, text, k, numHashes)
+    val exploded = sh.select(F.col("rid"), F.explode(F.col("sh")).as("h"))
+    val aggs = (0 until numHashes)
+      .map(i => F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i"))
+    val sigs = exploded.groupBy("rid").agg(aggs.head, aggs.tail: _*)
+      .select(F.col("rid"), F.array(
+        (0 until numHashes).map(i =>
+          F.coalesce(F.col(s"m$i"), F.lit(Long.MaxValue))): _*).as("sig"))
+    val banded = sigs
       .select(F.col("rid"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
           b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
@@ -156,13 +172,15 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
-    val cands = minhashCandidates(df, id, text, k, numHashes, bands, maxBucket)
-    // verify over HASHED shingle sets: Jaccard of 64-bit hashes equals
-    // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
-    // candidate join then shuffles longs instead of shingle strings
+    // ONE tokenization/shingling pass, checkpoint-shared by the banding
+    // side and both verification joins
     val sh = df.select(F.col(id).as("rid"),
         shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
+    val cands = minhashCandidatesFromShingles(sh, numHashes, bands, maxBucket)
+    // verify over HASHED shingle sets: Jaccard of 64-bit hashes equals
+    // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
+    // candidate join then shuffles longs instead of shingle strings
     cands
       .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
       .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
