@@ -332,6 +332,13 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(read(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 4)),
+    "q_contamination" -> ((s, dir) => {
+      // decontamination against a pseudo-benchmark (every 20th doc):
+      // flags at least those docs themselves plus true n-gram overlaps
+      val docs = read(s, dir, "documents")
+      Dedup.contamination(docs, "doc_id", "text",
+        docs.where(F.col("doc_id") % 20 === 0), "text", k = 13)
+    }),
     "q_dedup_groups" -> ((s, dir) =>
       // pairs → canonical components (keep-min-id), the pipeline's last
       // dedup stage before filtering the corpus

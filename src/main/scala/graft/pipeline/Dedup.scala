@@ -326,6 +326,27 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minHits` k-gram shingles with ANY benchmark/eval document
+    * (the standard 13-gram overlap procedure). Returns (rid, hits).
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus,
+    * so it broadcasts; the corpus side is one explode + semi-join +
+    * count — a narrow scan per corpus partition, no corpus shuffle
+    * except the final per-doc count (map-side combined). */
+  def contamination(corpus: DataFrame, id: String, text: String,
+      benchmark: DataFrame, benchText: String, k: Int = 13,
+      minHits: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(F.explode(shingleHashes(F.col(benchText), k)).as("h"))
+      .distinct()
+    corpus.select(F.col(id).as("rid"),
+        F.explode(shingleHashes(F.col(text), k)).as("h"))
+      .join(F.broadcast(benchShingles), Seq("h"), "left_semi")
+      .groupBy("rid").agg(F.count(F.lit(1)).as("hits"))
+      .where(F.col("hits") >= minHits)
+  }
+
   /** Near-dup pairs over an embedding column by cosine ≥ threshold,
     * candidate-bucketed by sign-bit LSH (Similarity.signBits): only rows
     * agreeing on all `planes` sign bits are compared. */

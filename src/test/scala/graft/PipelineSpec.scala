@@ -217,6 +217,21 @@ class PipelineSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
   }
 
+  test("contamination flags docs overlapping the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different content with no overlap whatsoever here"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      Tuple1("alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("text")
+    val hits = Dedup.contamination(corpus, "doc_id", "text", bench, "text",
+      k = 5).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 3L), s"got $hits")
+  }
+
   test("minhash near-dup pairs include exact duplicates") {
     val dupPair = docs.groupBy("text").agg(
         F.min("doc_id").as("a"), F.max("doc_id").as("b"), F.count(F.lit(1)).as("n"))
