@@ -93,17 +93,7 @@ class Engine(initial: RdfGraph) {
     * reference's GastrodonURI, gastrodon/__init__.py:54-75). Unbound
     * prefixes fall back to plain literals (a ratio like "12:30" is not a
     * QName). */
-  def toTerm(v: Any): RdfTerm = v match {
-    case s: String if s.startsWith("_:") => Blank(s.substring(2))
-    case s: String if !s.startsWith("http://") && !s.startsWith("https://") &&
-        !s.startsWith("urn:") && s.indexOf(':') >= 0 =>
-      val i = s.indexOf(':')
-      graph.prefixes.get(s.substring(0, i)) match {
-        case Some(ns) => Iri(ns + s.substring(i + 1))
-        case None => Engine.anyToTerm(s)
-      }
-    case other => Engine.anyToTerm(other)
-  }
+  def toTerm(v: Any): RdfTerm = Engine.resolveTerm(v, graph.prefixes)
 
   private def toTerms(bindings: Map[String, Any]): Map[String, RdfTerm] =
     bindings.map { case (k, v) => k -> toTerm(v) }
@@ -339,6 +329,22 @@ object Engine {
 
   def toTerms(bindings: Map[String, Any]): Map[String, RdfTerm] =
     bindings.map { case (k, v) => k -> anyToTerm(v) }
+
+  /** anyToTerm plus display round-trip: QName-shaped strings resolve
+    * against `prefixes` (gastrodon's GastrodonURI behavior,
+    * gastrodon/__init__.py:54-75), `_:label` becomes a blank node.
+    * Shared by the local engine and the remote text-level substitution. */
+  def resolveTerm(v: Any, prefixes: Map[String, String]): RdfTerm = v match {
+    case s: String if s.startsWith("_:") => Blank(s.substring(2))
+    case s: String if !s.startsWith("http://") && !s.startsWith("https://") &&
+        !s.startsWith("urn:") && s.indexOf(':') >= 0 =>
+      val i = s.indexOf(':')
+      prefixes.get(s.substring(0, i)) match {
+        case Some(ns) => Iri(ns + s.substring(i + 1))
+        case None => anyToTerm(s)
+      }
+    case other => anyToTerm(other)
+  }
 
   /** Single-column result → Set (the reference's `_set`,
     * gastrodon/__init__.py:465-473) — explicit collect API. */

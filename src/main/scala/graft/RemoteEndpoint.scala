@@ -77,7 +77,9 @@ class RemoteEndpoint(
       while (m.find()) {
         val name = m.group(1)
         val rep = bindings.get(name) match {
-          case Some(v) => Engine.anyToTerm(v).n3()
+          // QName-shaped display values resolve against the endpoint's
+          // prefix map — same round-trip the local engine gives
+          case Some(v) => Engine.resolveTerm(v, prefixes).n3()
           case None => m.group(0)
         }
         m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
