@@ -301,6 +301,15 @@ object SparkEntry {
           F.lit("@example.com at 10.0.0.1"))).as("clean"))),
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(read(s, dir, "documents"), "text", 20)),
+    "q_boilerplate" -> ((s, dir) => {
+      // a synthesized footer on every doc is corpus-hot → stripped; the
+      // docs' own (line-unique) text survives byte-identically, which the
+      // oracle checks exactly
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(F.col("text"), F.lit("\nVisit our site for more!")).as("text"))
+      TextAnalysis.stripBoilerplate(docs, "doc_id", "text")
+        .select(F.col("doc_id"), F.col("clean_text"))
+    }),
     "q_split" -> ((s, dir) =>
       // deterministic hash split: stable across runs/cluster sizes
       TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
@@ -637,7 +646,9 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
            FROM documents) t
-         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q_boilerplate" ->
+      "SELECT doc_id, text AS clean_text FROM documents"
     // q_quality_score / q_fingerprint / q_dedup_minhash / q_dedup_simhash /
     // q_dedup_ngram / q_dedup_embed / q_knn_* / q_multimodal_meta:
     // xxhash64/LSH/stub-based → no SQL oracle; driver rows-only check.

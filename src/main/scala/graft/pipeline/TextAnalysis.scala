@@ -125,6 +125,36 @@ object TextAnalysis {
       .orderBy(F.col("n").desc, F.col("token"))
       .limit(k)
 
+  /** Boilerplate removal: drop lines whose DOCUMENT frequency exceeds
+    * `maxDocFrac` of the corpus (and at least `minDocs` documents) —
+    * navigation/footer/cookie-banner text in crawled corpora. Documents
+    * are rebuilt from their surviving lines in original order.
+    *
+    * Shape: one line explode, one doc-frequency aggregate (map-side
+    * combined on the line hash), a broadcast anti-join against the small
+    * hot-line set, and one per-doc regroup — no O(n²), no driver
+    * materialization (the corpus size joins in as a 1-row broadcast). */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDocFrac: Double = 0.5, minDocs: Int = 2): DataFrame = {
+    val lines = df.select(F.col(idCol).as("__id"),
+      F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("__idx", "__line")))
+    val total = df.agg(F.count(F.lit(1)).as("__n"))
+    val hot = lines.groupBy("__line")
+      .agg(F.count_distinct(F.col("__id")).as("__df"))
+      .crossJoin(F.broadcast(total))
+      .where(F.col("__df") >= F.greatest(F.lit(minDocs),
+        F.ceil(F.col("__n") * maxDocFrac)))
+      .select("__line")
+    val kept = lines.join(F.broadcast(hot), Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(F.array_join(F.transform(F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),
+        s => s.getField("__line")), "\n").as("__clean"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
+      .select(df.columns.map(df(_)) :+
+        F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"): _*)
+  }
+
   /** Deterministic train/val/test-style split assignment: bucket by
     * xxhash64 of the id column — stable across runs, cluster sizes, and
     * re-partitioning (never `rand()`, which re-deals on retry and breaks

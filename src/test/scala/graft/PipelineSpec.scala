@@ -217,6 +217,25 @@ class PipelineSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
   }
 
+  test("boilerplate lines are stripped corpus-wide, order preserved") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val footer = "subscribe to our newsletter"
+    val corpus = Seq(
+      (1L, s"unique article one\n$footer\nmore body text"),
+      (2L, s"$footer\nsecond doc content"),
+      (3L, s"third doc alpha\nthird doc beta\n$footer"),
+      (4L, footer)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(corpus, "doc_id", "text",
+      maxDocFrac = 0.5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out(1L) == "unique article one\nmore body text")
+    assert(out(2L) == "second doc content")
+    assert(out(3L) == "third doc alpha\nthird doc beta")
+    assert(out(4L) == "") // pure boilerplate → empty survivor
+  }
+
   test("contamination flags docs overlapping the benchmark set") {
     import spark.implicits._
     val corpus = Seq(
