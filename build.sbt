@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the one-line JSON that Bench/Verify print.
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] " and appends a "[success] Total time …" line, which breaks a
+// last-line JSON parse — pass program stdout through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exclude it
+// from the unused-key lint so batch runs stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

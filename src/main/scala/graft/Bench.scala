@@ -22,7 +22,12 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // FATAL: a late task from an early-terminated job (limit/top-k) can log
+    // a benign "non-existent accumulator" ERROR after its job's accumulators
+    // are GC'd; real failures still surface through the per-query catch
+    // below as JSON "errors" entries. Keeping the log quiet keeps the one
+    // JSON line the only thing this main prints.
+    spark.sparkContext.setLogLevel("FATAL")
     // Warm up the session through the engine code path (file listing,
     // whole-stage codegen for term structs, shuffle exchange init) on the
     // smallest table so JVM startup isn't billed to the first timed query.
