@@ -313,6 +313,7 @@ object Engine {
     * 807-809). */
   def anyToTerm(v: Any): RdfTerm = v match {
     case t: RdfTerm => t
+    case u: GraftUri => Iri(u.uri)
     case i: Int => Lit.typed(i.toString, XSD.integer)
     case l: Long => Lit.typed(l.toString, XSD.integer)
     case d: Double => Lit.typed(d.toString, XSD.double)
@@ -333,15 +334,24 @@ object Engine {
   /** anyToTerm plus display round-trip: QName-shaped strings resolve
     * against `prefixes` (gastrodon's GastrodonURI behavior,
     * gastrodon/__init__.py:54-75), `_:label` becomes a blank node.
-    * Shared by the local engine and the remote text-level substitution. */
+    * Shared by the local engine and the remote text-level substitution.
+    *
+    * The heuristic only fires for strings the display layer could actually
+    * have produced: `pfx:local` where `pfx` is a DECLARED prefix and
+    * `local` matches the same PN_LOCAL-derived shape `Display.shorten`
+    * requires before shortening an IRI. A genuine literal that merely
+    * contains a colon ("label: value", "12:30", "a:b/c") stays a literal.
+    * Escape hatches for the ambiguous residue: bind [[graft.rdf.GraftUri]]
+    * to force an IRI, or `Lit.plain(s)` to force a literal. */
   def resolveTerm(v: Any, prefixes: Map[String, String]): RdfTerm = v match {
     case s: String if s.startsWith("_:") => Blank(s.substring(2))
     case s: String if !s.startsWith("http://") && !s.startsWith("https://") &&
         !s.startsWith("urn:") && s.indexOf(':') >= 0 =>
       val i = s.indexOf(':')
+      val local = s.substring(i + 1)
       prefixes.get(s.substring(0, i)) match {
-        case Some(ns) => Iri(ns + s.substring(i + 1))
-        case None => anyToTerm(s)
+        case Some(ns) if rdf.QNames.isValidLocal(local) => Iri(ns + local)
+        case _ => anyToTerm(s)
       }
     case other => anyToTerm(other)
   }

@@ -30,8 +30,29 @@ object SparkEntry {
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Seq[String]), RdfGraph]()
 
+  /** Fit-once IVF indexes, keyed by (session, data dir). Bounded LRU:
+    * past `IvfCacheMax` entries the least-recently-used index is evicted
+    * AND unpersisted, so a long-lived session iterating over many data
+    * dirs can't accumulate pinned cache blocks. (Stopping the session
+    * frees its blocks regardless — this bounds the within-session case.) */
+  private val IvfCacheMax = 4
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
+    new java.util.LinkedHashMap[(SparkSession, String), Similarity.IvfIndex](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), Similarity.IvfIndex])
+          : Boolean =
+        if (size > IvfCacheMax) { e.getValue.unpersist(); true } else false
+    }
+
+  private def ivfIndex(s: SparkSession, dir: String)(
+      fit: => Similarity.IvfIndex): Similarity.IvfIndex =
+    ivfCache.synchronized {
+      val k = (s, dir)
+      val hit = ivfCache.get(k)
+      if (hit != null) hit
+      else { val idx = fit; ivfCache.put(k, idx); idx }
+    }
 
   private def eng(s: SparkSession, dir: String, tables: String*): Engine =
     Engine.fromGraph(graphCache.computeIfAbsent((s, dir, tables.toSeq),
@@ -367,7 +388,7 @@ object SparkEntry {
       val q = emb.where(F.col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       // fit-once index, memoized: repeated queries run zero KMeans jobs
-      val idx = ivfCache.computeIfAbsent((s, dir), _ =>
+      val idx = ivfIndex(s, dir)(
         Similarity.IvfIndex.fit(emb.where(F.col("vec_id") =!= 0),
           "vec_id", "embedding", nlist = 8).persist())
       Similarity.ivfTopK(idx, q, 10, nprobe = 3)

@@ -220,20 +220,35 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("n"), F.min("rid").as("keep_id"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxBits`, found by
-    * 4×16-bit band blocking: two 64-bit hashes within Hamming distance 3
-    * must agree EXACTLY on at least one of the four bands (pigeonhole), so
-    * candidates come from four band-bucket self-joins (one shuffle on the
+    * band blocking with `maxBits + 1` bands (pigeonhole: fewer differing
+    * bits than bands forces EXACT agreement on at least one band), so
+    * candidates come from band-bucket self-joins (one shuffle on the
     * band key, never all-pairs) and are verified with a popcount of the
-    * XOR. `maxBucket` caps degenerate buckets like the MinHash path. */
+    * XOR. The default `maxBits = 3` gives the classic 4×16-bit split;
+    * larger radii derive more, narrower bands (recall stays complete,
+    * buckets get coarser). `maxBucket` caps degenerate buckets like the
+    * MinHash path. */
   def simhashNearDupPairs(df: DataFrame, id: String, text: String,
       maxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(maxBits >= 0 && maxBits < 32,
+      s"maxBits must be in [0, 32), got $maxBits")
+    val nBands = maxBits + 1
+    // band i covers bits [i*64/nBands, (i+1)*64/nBands) — an even split
+    // of the 64 bits with the remainder spread across bands
+    val bands = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      (b, lo, mask)
+    }
     val hashed = df.select(F.col(id).as("rid"), simhash(F.col(text)).as("sh"))
     val banded = hashed
       .select(F.col("rid"), F.col("sh"), F.explode(F.array(
-        (0 until 4).map(b => F.struct(
+        bands.map { case (b, lo, mask) => F.struct(
           F.lit(b).as("band"),
-          F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFFL))
-            .as("bits"))): _*)).as("bb"))
+          F.shiftright(F.col("sh"), lo).bitwiseAND(F.lit(mask))
+            .as("bits"))
+        }: _*)).as("bb"))
       .select(F.col("rid"), F.col("sh"),
         F.col("bb.band").as("band"), F.col("bb.bits").as("bits"))
     // one shuffle to band buckets; pairs expand locally from the capped

@@ -18,6 +18,11 @@ object QNames {
   private[rdf] val validTail =
     java.util.regex.Pattern.compile(s"[${pncb}0-9]([$pnc.]*[$pnc])?")
 
+  /** Is `s` a valid QName local part (the shape the display layer emits
+    * after `prefix:`)? Used by the round-trip heuristic to keep literals
+    * that merely contain a colon from being mistaken for QNames. */
+  def isValidLocal(s: String): Boolean = validTail.matcher(s).matches()
+
   /** Namespace part: everything through the LAST `#` or `/`
     * (syntax-based, gastrodon/__init__.py:224-241). */
   def nsPart(url: String): String =

@@ -52,6 +52,18 @@ object Lit {
   }
 }
 
+/** Explicit URI wrapper for query bindings — the analogue of the
+  * reference's `GastrodonURI` (gastrodon/__init__.py:54-75), which wraps a
+  * shortened display string around the full URI so pasting a displayed
+  * value back into a query substitutes the URI, not a string literal.
+  * Binding a `GraftUri` always substitutes an IRI, bypassing the
+  * QName-shape heuristic in `Engine.resolveTerm`; binding `Lit.plain(s)`
+  * is the symmetric escape hatch that forces a literal for strings that
+  * happen to look like QNames. */
+final case class GraftUri(uri: String) {
+  override def toString: String = uri
+}
+
 object XSD {
   val ns = "http://www.w3.org/2001/XMLSchema#"
   val string = ns + "string"

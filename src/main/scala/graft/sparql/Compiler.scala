@@ -261,10 +261,14 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         l.join(r.drop(dropRight: _*), keys, "left_outer")
       }
     } else {
-      // rename right columns so the join condition can reference both sides
+      // rename right columns so the join condition can reference both
+      // sides; right-exclusive vars keep their native-key companions so
+      // downstream joins on those vars stay on raw longs
       val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
-      val ren = rCols.map(c => c -> s"__R_$c").toMap
-      val r2 = r.select(rCols.map(c => r(c).as(ren(c))): _*)
+      val rNk = r.columns
+        .filter(c => c.startsWith("__nk:") && !shared.contains(nkVar(c))).toSeq
+      val ren = (rCols ++ rNk).map(c => c -> s"__R_$c").toMap
+      val r2 = r.select((rCols ++ rNk).map(c => r(c).as(ren(c))): _*)
       val eqCond = shared.map { v =>
         if (unsafe(v)) l(v).isNull || r2(ren(v)).isNull || l(v) === r2(ren(v))
         else l(v) === r2(ren(v))
@@ -280,7 +284,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         if (unsafe(c)) Some(F.coalesce(joined(c), joined(ren(c))).as(c))
         else if (c.startsWith("__nk:") && unsafe(nkVar(c))) None
         else Some(joined(c).as(c))
-      } ++ rCols.filterNot(shared.contains).map(c => joined(ren(c)).as(c))
+      } ++ (rCols.filterNot(shared.contains) ++ rNk)
+        .map(c => joined(ren(c)).as(c))
       joined.select(keep: _*)
     }
   }
@@ -325,15 +330,22 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   /** FILTER (NOT) EXISTS — correlated on all shared variables via
     * left_semi / left_anti join. Substitution semantics for maybe-unbound
-    * outer vars: an UNBOUND outer var is not substituted, so it leaves
-    * the inner pattern's var free — the condition treats null-on-the-
-    * outer-side as matching anything. */
+    * vars on EITHER side: an UNBOUND outer var is not substituted, so it
+    * leaves the inner pattern's var free (outer null matches anything);
+    * an inner solution that binds a shared var only optionally imposes no
+    * constraint on it after substitution (inner null matches anything).
+    * Known residual divergence from strict substitution semantics (a
+    * contested spec-errata corner): an inner OPTIONAL that binds the var
+    * to a CONFLICTING value suppresses the match here, whereas
+    * substituting the outer constant into the OPTIONAL would let the
+    * OPTIONAL fail and the solution survive. */
   private def existsJoin(l: DataFrame, p: GraphPattern, negated: Boolean,
       mU: Set[String]): DataFrame = {
     val r = compile(p)
+    val rU = maybeUnbound(p)
     val shared = sharedVars(l, r)
     val how = if (negated) "left_anti" else "left_semi"
-    val unsafe = shared.filter(mU)
+    val unsafe = shared.filter(v => mU(v) || rU(v))
     if (shared.isEmpty) {
       // uncorrelated: keep all or none depending on emptiness of r
       val marker = syn("ex")
@@ -347,8 +359,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val pre = "__ER_"
       val r2 = r.select(shared.map(v => r(v).as(pre + v)): _*)
       val cond = shared.map { v =>
-        if (unsafe.contains(v)) l(v).isNull || l(v) === r2(pre + v)
-        else l(v) === r2(pre + v)
+        var c = l(v) === r2(pre + v)
+        if (mU(v)) c = l(v).isNull || c
+        if (rU(v)) c = c || r2(pre + v).isNull
+        c
       }.reduce(_ && _)
       l.join(r2, cond, how)
     }

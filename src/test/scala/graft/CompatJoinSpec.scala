@@ -87,6 +87,19 @@ class CompatJoinSpec extends SparkSpec {
     assert(rows == Seq(":a", ":b"))
   }
 
+  test("EXISTS whose inner pattern binds a shared var only optionally") {
+    // inner solution for :a is { o=:x } with ?x UNBOUND (:a has no :q);
+    // substituting the outer ?x = :x into the inner pattern leaves the
+    // OPTIONAL free to fail while the required part matches → EXISTS true.
+    // Before inner-side null compatibility this solution was lost.
+    val df = fresh().select(
+      """SELECT ?s {
+           ?s :p ?x
+           FILTER EXISTS { ?s :r ?o OPTIONAL { ?s :q ?x } }
+         }""")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(":a"))
+  }
+
   test("NOT EXISTS with a maybe-unbound outer var") {
     val df = fresh().select(
       """SELECT ?s {

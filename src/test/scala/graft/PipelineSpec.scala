@@ -126,6 +126,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("derived band count keeps recall complete for wider Hamming radii") {
+    import spark.implicits._
+    // maxBits = 6 ⇒ 7 bands of 9-10 bits; pigeonhole still guarantees
+    // every pair within the radius agrees exactly on some band — the
+    // recall contract must hold for ANY maxBits, not just the 4×16 split
+    val words = (1 to 100).map(i => s"t$i")
+    val docs2 = ((1 to 30).map { i =>
+      (i.toLong, words.updated(i % words.size, s"DIFF$i")
+        .updated((i * 7) % words.size, s"ALT$i").mkString(" "))
+    } :+ (0L, words.mkString(" "))).toDF("doc_id", "text")
+    val hashes = docs2
+      .select(F.col("doc_id"), Dedup.simhash(F.col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 6
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDupPairs(docs2, "doc_id", "text", maxBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"derived-band recall mismatch: got=$got expected=$expected")
+  }
+
   test("dedupGroups collapses pair chains into min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton

@@ -48,6 +48,26 @@ class RoundTripSpec extends SparkSpec {
     assert(e.toTerm("_:b0") == Blank("b0"))
   }
 
+  test("bound-prefix strings that display could not have produced stay literals") {
+    val e = fresh()
+    e.bindNamespace("label", "http://example.com/label/")
+    // local part not PN_LOCAL-shaped → a genuine literal, not a QName
+    assert(e.toTerm("label: value") == Lit.plain("label: value"))
+    assert(e.toTerm("label:a/b") == Lit.plain("label:a/b"))
+    assert(e.toTerm("label:") == Lit.plain("label:"))
+    // the same prefix with a QName-shaped local still resolves
+    assert(e.toTerm("label:v1") == Iri("http://example.com/label/v1"))
+  }
+
+  test("GraftUri forces an IRI and Lit.plain forces a literal (escape hatches)") {
+    val e = fresh()
+    // not QName-shaped and not http/urn — the wrapper still makes it an IRI
+    assert(e.toTerm(GraftUri("mailto:a@b.c")) == Iri("mailto:a@b.c"))
+    // QName-shaped string a user wants bound as a literal
+    e.bindNamespace("ex", "http://example.com/")
+    assert(e.toTerm(Lit.plain("ex:Queens")) == Lit.plain("ex:Queens"))
+  }
+
   test("unknown IRI function surfaces as GraftException with query text") {
     val q = "SELECT ?x { ?b :pop ?p BIND(<http://no.such/fn>(?p) AS ?x) }"
     val err = intercept[GraftException] { fresh().select(q) }
