@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = args(0)
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    df.explain("formatted")
+    spark.stop()
+  }
+}

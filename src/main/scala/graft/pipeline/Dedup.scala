@@ -128,27 +128,15 @@ object Dedup {
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
           b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
       .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
-      // cap each bucket to its `maxBucket` smallest ids BEFORE the
-      // self-join: a degenerate bucket (thousands of identical docs)
-      // would otherwise emit |bucket|²/2 pairs by itself. The window
-      // sort costs one exchange on the healthy path (~20% of this
-      // operator's bench time) — the price of never being quadratic;
-      // exact mass-duplicates beyond the cap are still caught by
-      // [[exactGroups]], the right tool for them.
-      .withColumn("__bn", F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket").orderBy("rid")))
-      .where(F.col("__bn") <= maxBucket).drop("__bn")
-      // lazy checkpoint: computed once at first action, shared by both
-      // sides of the self-join, lineage cut; not billed to plan time
-      .localCheckpoint(false)
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r, F.col("l.band") === F.col("r.band") &&
-        F.col("l.bucket") === F.col("r.bucket") &&
-        F.col("l.rid") < F.col("r.rid"))
-      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"))
-      .distinct()
+    // ONE shuffle to per-bucket posting lists, sorted and capped to the
+    // `maxBucket` smallest ids, pairs expanded locally (bucketPairs) —
+    // the same shape as the ngram/simhash paths. The cap bounds a
+    // degenerate bucket's pair fan-out at maxBucket²/2 (never |bucket|²);
+    // exact mass-duplicates beyond the cap are still caught by
+    // [[exactGroups]], the right tool for them.
+    bucketPairs(banded.groupBy("band", "bucket")
+      .agg(F.slice(F.array_sort(F.collect_list(F.col("rid"))), 1, maxBucket)
+        .as("rids")))
   }
 
   /** Expand each capped, sorted posting list into its ordered id pairs
