@@ -380,8 +380,10 @@ object SparkEntry {
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
+      // rounded so the DuckDB oracle's double arithmetic hash-matches
       Similarity.bruteForceTopK(emb.where(F.col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10)
+        .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
     "q_knn_ivf" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -669,9 +671,60 @@ object SparkEntry {
            FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "q_boilerplate" ->
-      "SELECT doc_id, text AS clean_text FROM documents"
-    // q_quality_score / q_fingerprint / q_dedup_minhash / q_dedup_simhash /
-    // q_dedup_ngram / q_dedup_embed / q_knn_* / q_multimodal_meta:
-    // xxhash64/LSH/stub-based → no SQL oracle; driver rows-only check.
+      "SELECT doc_id, text AS clean_text FROM documents",
+    "q_quality_score" ->
+      // same primitive recipes as q_text_quality, composed with the same
+      // operation order as TextAnalysis.qualityScore so the IEEE-double
+      // results round identically
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+           CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awl,
+           least(length(text) / 200.0, 1.0) AS len_score
+           FROM t)
+         SELECT doc_id, round(
+             len_score * 0.3
+             + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
+         FROM m""",
+    "q_knn_brute" ->
+      // exact top-10 by cosine; both sides compute the dot/norms in
+      // double precision and round to 6 decimals
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) AS cos
+               FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, round(cos, 6) AS cosine
+         FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_contamination" ->
+      // hash equality in Dedup.contamination ⟺ 13-token-gram string
+      // equality (xxhash collisions ~n²/2⁶⁴), so the flagged set and the
+      // per-doc distinct-overlap counts are SQL-expressible
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 13
+             THEN list_distinct(list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i:i+12], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+         eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM eg WHERE doc_id % 20 = 0)
+         SELECT eg.doc_id AS rid, CAST(COUNT(*) AS BIGINT) AS hits
+         FROM eg JOIN bench USING (gram) GROUP BY 1"""
   )
 }
