@@ -331,6 +331,21 @@ object SparkEntry {
       TextAnalysis.stripBoilerplate(docs, "doc_id", "text")
         .select(F.col("doc_id"), F.col("clean_text"))
     }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters; a duplicated footer on every 3rd
+      // doc makes the signals fire on known rows
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 === 0,
+          F.concat(F.col("text"), F.lit("\nCLICK HERE\nCLICK HERE")))
+          .otherwise(F.col("text")).as("text"))
+      docs.select(F.col("doc_id"),
+          TextAnalysis.duplicateLineStats(F.col("text")).as("st"),
+          TextAnalysis.topBigramFrac(F.col("text")).as("top_bigram_frac"))
+        .select(F.col("doc_id"), F.col("st.n_lines").as("n_lines"),
+          F.col("st.dup_line_frac").as("dup_line_frac"),
+          F.col("st.dup_line_char_frac").as("dup_line_char_frac"),
+          F.col("top_bigram_frac"))
+    }),
     "q_split" -> ((s, dir) =>
       // deterministic hash split: stable across runs/cluster sizes
       TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
@@ -710,6 +725,38 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_repetition" ->
+      // integer-sum ratios with single divisions → bit-identical doubles
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || chr(10) || 'CLICK HERE' || chr(10) || 'CLICK HERE'
+             ELSE text END AS text FROM documents),
+         e AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                 x -> x <> '')) AS line FROM d),
+         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         a AS (SELECT doc_id, SUM(c) AS n_lines,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+                 SUM(c * length(line)) AS tot_chars,
+                 SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+               FROM lc GROUP BY 1),
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM d),
+         ge AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE [] END) AS gram FROM t),
+         gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM ge GROUP BY 1, 2),
+         ga AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS n_grams
+                FROM gc GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+           round(COALESCE(a.dup_lines / CAST(a.n_lines AS DOUBLE), 0.0), 6)
+             AS dup_line_frac,
+           round(COALESCE(a.dup_chars / CAST(a.tot_chars AS DOUBLE), 0.0), 6)
+             AS dup_line_char_frac,
+           round(COALESCE(ga.best / CAST(ga.n_grams AS DOUBLE), 0.0), 6)
+             AS top_bigram_frac
+         FROM d LEFT JOIN a USING (doc_id) LEFT JOIN ga USING (doc_id)""",
     "q_contamination" ->
       // hash equality in Dedup.contamination ⟺ 13-token-gram string
       // equality (xxhash collisions ~n²/2⁶⁴), so the flagged set and the

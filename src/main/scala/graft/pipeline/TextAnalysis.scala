@@ -155,6 +155,73 @@ object TextAnalysis {
         F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"): _*)
   }
 
+  /** Repetition quality signals (the Gopher/MassiveText repetition-filter
+    * family, Rae et al. 2021 §A1.1): fraction of duplicated lines,
+    * fraction of characters in duplicated lines, and the share of word
+    * bigrams taken by the single most frequent bigram. High values mark
+    * boilerplate-heavy or degenerately repetitive documents that the
+    * pipeline filters before training.
+    *
+    * All three are NARROW per-row column recipes (sort + neighbor
+    * comparison over the line / bigram arrays) — no explode, no shuffle;
+    * at 100 TB the filter runs entirely inside the scan stage. Single
+    * integer-ratio divisions, so a SQL oracle reproduces the doubles
+    * bit-exactly. */
+  def duplicateLineStats(text: Column): Column = {
+    val lines = F.filter(F.split(text, "\n"), l => F.length(l) > 0)
+    val sorted = F.array_sort(lines)
+    val n = F.size(sorted)
+    // same(i) = sorted(i+1) == sorted(i), length n-1
+    val same = F.zip_with(
+      F.slice(sorted, F.lit(2), F.greatest(n - 1, F.lit(0))),
+      F.slice(sorted, F.lit(1), F.greatest(n - 1, F.lit(0))),
+      (a, b) => a === b)
+    val fFalse = F.array(F.lit(false))
+    // an occurrence is duplicated iff it equals its sorted predecessor OR
+    // successor
+    val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
+      (a, b) => a || b)
+    val dupLines = F.aggregate(inDup, F.lit(0L),
+      (acc, x) => acc + F.when(x, 1L).otherwise(0L))
+    val dupChars = F.aggregate(
+      F.zip_with(inDup, sorted, (f, l) => F.when(f, F.length(l).cast(LongType))
+        .otherwise(F.lit(0L))),
+      F.lit(0L), (acc, x) => acc + x)
+    val totChars = F.aggregate(sorted, F.lit(0L),
+      (acc, l) => acc + F.length(l).cast(LongType))
+    F.struct(
+      n.cast(LongType).as("n_lines"),
+      F.round(F.when(n > 0, dupLines.cast(DoubleType) / n.cast(DoubleType))
+        .otherwise(0.0), 6).as("dup_line_frac"),
+      F.round(F.when(totChars > 0,
+        dupChars.cast(DoubleType) / totChars.cast(DoubleType))
+        .otherwise(0.0), 6).as("dup_line_char_frac"))
+  }
+
+  /** Share of word-bigram occurrences taken by the most frequent bigram
+    * (1.0 = the document is one phrase repeated). Narrow: sort the bigram
+    * array, longest equal-run via one fold. */
+  def topBigramFrac(text: Column): Column = {
+    val t = tokens(text)
+    // zip_with pads the shorter side with null (and concat_ws would turn
+    // the padded tail into a bogus 1-gram) → slice to the n-1 true bigrams
+    val pairs = F.zip_with(t, F.slice(t, F.lit(2), F.greatest(F.size(t) - 1, F.lit(0))),
+      (a, b) => F.concat_ws(" ", a, b))
+    val sorted = F.array_sort(
+      F.slice(pairs, F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))))
+    val n = F.size(sorted)
+    val best = F.aggregate(sorted,
+      F.struct(F.lit("").as("prev"), F.lit(0L).as("run"), F.lit(0L).as("best")),
+      (st, g) => {
+        val run = F.when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(F.lit(1L))
+        F.struct(g.as("prev"), run.as("run"),
+          F.greatest(st.getField("best"), run).as("best"))
+      }).getField("best")
+    F.round(F.when(n > 0, best.cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(0.0), 6)
+  }
+
   /** Deterministic train/val/test-style split assignment: bucket by
     * xxhash64 of the id column — stable across runs, cluster sizes, and
     * re-partitioning (never `rand()`, which re-deals on retry and breaks

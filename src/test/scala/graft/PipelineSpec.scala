@@ -149,6 +149,26 @@ class PipelineSpec extends SparkSpec {
       s"derived-band recall mismatch: got=$got expected=$expected")
   }
 
+  test("repetition stats match hand-computed Gopher signals") {
+    import spark.implicits._
+    val df = Seq((1L, "x\ny y\nx\nzz"), (2L, ""), (3L, "a b a b a"))
+      .toDF("doc_id", "text")
+      .select(F.col("doc_id"),
+        pipeline.TextAnalysis.duplicateLineStats(F.col("text")).as("st"),
+        pipeline.TextAnalysis.topBigramFrac(F.col("text")).as("tb"))
+      .select(F.col("doc_id"), F.col("st.n_lines"), F.col("st.dup_line_frac"),
+        F.col("st.dup_line_char_frac"), F.col("tb"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1: lines [x, "y y", x, zz] → 2 of 4 duplicated; dup chars 2 of
+    // 7; tokens split on spaces only → 2 tokens → 1 bigram → top frac 1.0
+    assert(rows(1L) == ((4L, 0.5, 0.285714, 1.0)))
+    // doc 2: empty → all zero
+    assert(rows(2L) == ((0L, 0.0, 0.0, 0.0)))
+    // doc 3: bigrams [a b, b a, a b, b a] → top takes 2 of 4
+    assert(rows(3L)._4 == 0.5)
+  }
+
   test("dedupGroups collapses pair chains into min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton
