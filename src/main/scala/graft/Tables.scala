@@ -52,15 +52,70 @@ object Tables {
   /** Read one TESTDATA table. `events.ts` is parquet TIMESTAMP(NANOS),
     * which Spark refuses natively: read it as long (legacy conf) and
     * convert ns → µs with integer division (a double division would lose
-    * precision above 2^53). */
+    * precision above 2^53). A bucketized copy registered by [[bucketize]]
+    * takes precedence — its scan reports HashPartitioning on the bucket
+    * key, so downstream native-key joins co-locate with no exchange. */
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    if (table == "events") {
+    val bt = bucketTableName(sfDir, table)
+    if (bucketized.contains((spark, sfDir, table))) spark.table(bt)
+    else if (table == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$table.parquet")
         // NTZ so downstream parquet output stays tz-naive like the source
         .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     } else spark.read.parquet(s"$sfDir/$table.parquet")
   }
+
+  // --------------------------------------------------- bucketed co-location
+  //
+  // At 100 TB the dim side of a fact⋈dim chain can outgrow broadcast; the
+  // remaining strategy is sort-merge, and the shuffle it implies is avoided
+  // only when both sides are PRE-BUCKETED on their join keys (the classic
+  // TPC-H physical design: lineitem by l_orderkey, orders by o_orderkey).
+  // `bucketize` registers bucketed+sorted catalog copies; `read` then
+  // prefers them, and because the engine's native-key companions (`__nk:`)
+  // are plain aliases of these raw key columns, Spark's alias-aware output
+  // partitioning carries the bucketing through the vertical projections to
+  // the join — zero Exchange (BucketedJoinSpec pins this).
+
+  /** The one physical bucket key per table — each table's hottest
+    * equi-join column (primary key for dims, the orders FK for the
+    * composite-keyed lineitem). */
+  val bucketKey: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id")
+
+  private val bucketized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+
+  private def bucketTableName(sfDir: String, table: String): String = {
+    // the name carries the data dir so two dirs never alias one table
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_bucketed_${dirTag}_$table"
+  }
+
+  /** Write + register bucketed copies of `tables` (same `buckets` count
+    * everywhere so any pair co-locates). One-time shuffle per table;
+    * every subsequent `read` resolves to the bucketed scan. */
+  def bucketize(spark: SparkSession, sfDir: String, buckets: Int,
+      tables: String*): Unit =
+    tables.foreach { t =>
+      val key = bucketKey(t)
+      val bt = bucketTableName(sfDir, t)
+      if (!spark.catalog.tableExists(bt)) {
+        read(spark, sfDir, t).write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key).saveAsTable(bt)
+      }
+      bucketized.add((spark, sfDir, t))
+    }
+
+  /** Deregister (the catalog tables stay until the session ends). */
+  def unbucketize(spark: SparkSession, sfDir: String, tables: String*): Unit =
+    tables.foreach(t => bucketized.remove((spark, sfDir, t)))
 
   /** Subject-IRI string expression for a row of `table`. */
   def subjectCol(table: String): Column = {

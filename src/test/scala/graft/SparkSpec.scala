@@ -15,6 +15,10 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketized catalog tables (Tables.bucketize) land here, not in
+      // a spark-warehouse/ dir inside the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toUri.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
