@@ -290,6 +290,19 @@ object SparkEntry {
         F.col("event_id"),
         F.regexp_extract(F.col("props"), "\"k\": ([0-9]+)", 1)
           .cast(LongType).as("k"))),
+    "q_events_enriched" -> ((s, dir) =>
+      // stream-static enrichment, batch twin (user_id keys into customer)
+      streaming.EventStreams.enrich(read(s, dir, "events"),
+        read(s, dir, "customer").select(F.col("c_custkey"), F.col("c_name")),
+        "user_id", "c_custkey")
+        .select(F.col("event_id"), F.col("user_id"), F.col("c_name"))),
+    "q_events_attributed" -> ((s, dir) => {
+      // stream-stream interval join, batch twin
+      val ev = read(s, dir, "events")
+      streaming.EventStreams.attributed(
+        ev.where(F.col("event_type") === "click"),
+        ev.where(F.col("event_type") === "purchase"))
+    }),
 
     // --- text analysis (documents)
     "q_text_stats" -> ((s, dir) =>
@@ -632,6 +645,16 @@ object SparkEntry {
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
          FROM events""",
+    "q_events_enriched" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "q_events_attributed" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                c.user_id, p.value
+         FROM events c JOIN events p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
     "q_text_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -66,6 +66,41 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: attach dimension attributes to each event
+    * by key. Identical code runs on batch or streaming input — on a
+    * stream, the static side is re-planned per micro-batch at its current
+    * snapshot, and Catalyst broadcasts it when small (the standard
+    * pattern for slowly-changing dimensions). Left join keeps events with
+    * no dimension row. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "left_outer")
+      .drop(dim(dimKey))
+
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * same user's clicks from the preceding `horizon` (click-through
+    * attribution). Both sides carry watermarks and the join condition
+    * bounds event time on BOTH sides, so each side's buffered state is
+    * evicted once the watermark passes `horizon` — bounded state, the
+    * requirement for an unbounded 100 TB/day stream. On batch inputs the
+    * watermark is a no-op and this is a plain interval join (the oracle
+    * twin, q_events_attributed). */
+  def attributed(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(F.col("event_id").as("click_id"),
+        F.col("user_id").as("cu"), F.col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(F.col("event_id").as("purchase_id"),
+        F.col("user_id").as("pu"), F.col("ts").as("purchase_ts"),
+        F.col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, F.col("cu") === F.col("pu") &&
+        F.col("purchase_ts") >= F.col("click_ts") &&
+        F.col("purchase_ts") <= F.col("click_ts") + F.expr(s"INTERVAL $horizon"))
+      .select(F.col("click_id"), F.col("purchase_id"),
+        F.col("cu").as("user_id"), F.col("value"))
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming twin of a training pipeline's
     * exact dedup stage. `dropDuplicatesWithinWatermark` bounds the state

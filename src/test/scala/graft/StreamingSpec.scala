@@ -82,6 +82,46 @@ class StreamingSpec extends SparkSpec {
       .where(F.col("count") > 1).count() == 0)
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val dir = Files.createTempDirectory("graft-enrich").toFile.getAbsolutePath
+    events.withColumn("ts", F.col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val dim = Tables.read(spark, "/root/testdata/sf0.001", "customer")
+      .select(F.col("c_custkey"), F.col("c_name"))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.enrich(stream, dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_name")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+    val batch = EventStreams.enrich(spark.read.parquet(dir), dim,
+      "user_id", "c_custkey").select("event_id", "user_id", "c_name")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("watermarked stream-stream attribution matches the batch interval join") {
+    val dir = Files.createTempDirectory("graft-attr").toFile.getAbsolutePath
+    events.withColumn("ts", F.col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def sideStream(t: String) = spark.readStream.schema(schema).parquet(dir)
+      .where(F.col("event_type") === t)
+    val q = EventStreams.attributed(sideStream("click"), sideStream("purchase"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attributed").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attributed")
+    def sideBatch(t: String) = spark.read.parquet(dir)
+      .where(F.col("event_type") === t)
+    val batch = EventStreams.attributed(sideBatch("click"), sideBatch("purchase"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("session windows (batch twin) group by gap") {
     val s = EventStreams.sessionized(events, "30 minutes")
     assert(s.count() > 0)
