@@ -748,6 +748,17 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_split" ->
+      // the md5-bucket split is engine-reproducible by design; cuts are
+      // (0.8, 0.9) of 1e6 buckets for the 0.8/0.1/0.1 weights
+      """WITH b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000 AS h
+           FROM documents)
+         SELECT CASE WHEN h < 800000 THEN 'train'
+                     WHEN h < 900000 THEN 'val' ELSE 'test' END AS split,
+                COUNT(*) AS n
+         FROM b GROUP BY 1""",
     "q_repetition" ->
       // integer-sum ratios with single divisions → bit-identical doubles
       """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0

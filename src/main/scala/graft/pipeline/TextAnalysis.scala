@@ -222,12 +222,14 @@ object TextAnalysis {
       .otherwise(0.0), 6)
   }
 
-  /** Deterministic train/val/test-style split assignment: bucket by
-    * xxhash64 of the id column — stable across runs, cluster sizes, and
+  /** Deterministic train/val/test-style split assignment: bucket by a
+    * 60-bit md5 prefix of `seed:id` — stable across runs, cluster sizes,
     * re-partitioning (never `rand()`, which re-deals on retry and breaks
-    * exactly-once semantics in pipelines). `weights` need not sum to 1;
-    * they are normalized. Returns df + `split` column with the name of
-    * the assigned slice. */
+    * exactly-once semantics), AND across engines: md5 of the decimal id
+    * string is reproducible in any SQL dialect, so a sibling pipeline can
+    * regenerate the identical split (and the DuckDB oracle checks it).
+    * `weights` need not sum to 1; they are normalized. Returns df +
+    * `split` column with the name of the assigned slice. */
   def deterministicSplit(df: DataFrame, idCol: String,
       weights: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0))
@@ -235,7 +237,10 @@ object TextAnalysis {
     val buckets = 1000000L
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => (f * buckets).toLong)
-    val h = F.pmod(F.xxhash64(F.lit(seed), F.col(idCol)), F.lit(buckets))
+    // 15 hex chars = 60 bits, always positive in a long
+    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
+      F.col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType) % buckets
     val expr = weights.map(_._1).zip(cuts).reverse
       .foldLeft(F.lit(weights.last._1)) { case (acc, (name, cut)) =>
         F.when(h < cut, name).otherwise(acc)
