@@ -160,6 +160,21 @@ object SparkEntry {
         .select(F.col("n"),
           (F.abs(F.col("approx") - F.col("n")) <=
             F.lit(0.05) * F.col("n")).as("ok"))),
+    "q_approx_quantile" -> ((s, dir) =>
+      // scale variant of exact percentiles: one-pass mergeable sketch
+      // (approx_percentile), flagged against the exact interpolated
+      // percentile so the oracle hash-checks the estimate to ±2%
+      read(s, dir, "lineitem").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)")
+          .as("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"))
+        .select(
+          F.round(F.element_at(F.col("ex"), 1), 4).as("p50"),
+          F.round(F.element_at(F.col("ex"), 2), 4).as("p95"),
+          (F.abs(F.element_at(F.col("ap"), 1) - F.element_at(F.col("ex"), 1))
+            <= F.lit(0.02) * F.abs(F.element_at(F.col("ex"), 1))).as("ok50"),
+          (F.abs(F.element_at(F.col("ap"), 2) - F.element_at(F.col("ex"), 2))
+            <= F.lit(0.02) * F.abs(F.element_at(F.col("ex"), 2))).as("ok95"))),
 
     // --- sort / limit / distinct (SURVEY §2B "Sorts/limits")
     "q_topk" -> sel("orders")(
@@ -513,6 +528,11 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT c_mktsegment) AS n FROM customer",
     "q_approx_distinct" ->
       "SELECT COUNT(DISTINCT c_mktsegment) AS n, TRUE AS ok FROM customer",
+    "q_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                TRUE AS ok50, TRUE AS ok95
+         FROM lineitem""",
     "q_agg_suite" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty,
                 AVG(l_quantity) AS avg_qty, MIN(l_quantity) AS min_qty,
