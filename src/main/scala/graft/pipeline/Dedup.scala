@@ -155,6 +155,26 @@ object Dedup {
     F.when(union > 0, inter / union).otherwise(F.lit(0.0))
   }
 
+  /** Exact-Jaccard verification of candidate pairs against a (rid, sh)
+    * shingle relation: pair ids explode to rows, ONE join attaches each
+    * side's shingle set, a per-pair regroup computes the Jaccard. One
+    * join instead of two keeps the build side the (small, array-free)
+    * pair list — never the array-carrying corpus relation — and at scale
+    * degrades to a single co-partitioned join + a pair-keyed regroup. */
+  private def verifiedJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sides = cands.select(F.col("id1"), F.col("id2"),
+      F.explode(F.array(F.col("id1"), F.col("id2"))).as("rid"))
+    sides.join(sh, "rid")
+      .groupBy("id1", "id2")
+      // exactly one non-null per role per pair → max is a plain pick
+      .agg(F.max(F.when(F.col("rid") === F.col("id1"), F.col("sh"))).as("sh1"),
+        F.max(F.when(F.col("rid") === F.col("id2"), F.col("sh"))).as("sh2"))
+      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+      .where(F.col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** MinHash LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
     * Returns (id1, id2, jaccard). */
   def minhashDedupPairs(df: DataFrame, id: String, text: String,
@@ -168,13 +188,8 @@ object Dedup {
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands, maxBucket)
     // verify over HASHED shingle sets: Jaccard of 64-bit hashes equals
     // Jaccard of the strings up to hash collisions (~n²/2⁶⁴), and the
-    // candidate join then shuffles longs instead of shingle strings
-    cands
-      .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
-      .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
-      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
-      .where(F.col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    // verification join shuffles longs instead of shingle strings
+    verifiedJaccard(cands, sh, threshold)
   }
 
   /** 64-bit SimHash over tokens: per-bit vote of token hashes, sign →
@@ -280,12 +295,7 @@ object Dedup {
       .groupBy("shingle")
       .agg(F.slice(F.array_sort(F.collect_list("rid")), 1, maxDocsPerShingle)
         .as("rids")))
-    cands
-      .join(sh.select(F.col("rid").as("id1"), F.col("sh").as("sh1")), "id1")
-      .join(sh.select(F.col("rid").as("id2"), F.col("sh").as("sh2")), "id2")
-      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
-      .where(F.col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    verifiedJaccard(cands, sh, threshold)
   }
 
   /** Collapse verified near-dup PAIRS into canonical GROUPS: connected
