@@ -318,6 +318,18 @@ object SparkEntry {
         ev.where(F.col("event_type") === "click"),
         ev.where(F.col("event_type") === "purchase"))
     }),
+    "q_events_asof" -> ((s, dir) => {
+      // point-in-time join: each click sees the latest prior purchase
+      val ev = read(s, dir, "events")
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"))
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value")).as("purchase_value"))
+      pipeline.AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_value"))
+        .select(F.col("event_id"), F.col("user_id"), F.col("purchase_value"))
+    }),
 
     // --- text analysis (documents)
     "q_text_stats" -> ((s, dir) =>
@@ -675,6 +687,15 @@ object SparkEntry {
            ON c.event_type = 'click' AND p.event_type = 'purchase'
           AND c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+    "q_events_asof" ->
+      // DuckDB's native ASOF JOIN is the oracle for the windowed encoding
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, MAX(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, p.purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_text_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,

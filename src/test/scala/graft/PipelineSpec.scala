@@ -169,6 +169,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3L)._4 == 0.5)
   }
 
+  test("as-of join attaches the latest at-or-before state, never later") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 3L, "early"),
+      (2L, 50L, "other")).toDF("k", "ts", "x")
+    val right = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (1L, 25L, 300.0))
+      .toDF("k", "ts", "v")
+    val got = pipeline.AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 10L, 100.0), // latest prior (ts=5)
+      (1L, 20L, 200.0), // same-instant state is visible (inclusive)
+      (1L, 3L, null),   // nothing at-or-before
+      (2L, 50L, null))) // no right rows for the key
+  }
+
   test("dedupGroups collapses pair chains into min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton
