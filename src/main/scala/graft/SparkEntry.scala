@@ -386,6 +386,11 @@ object SparkEntry {
           F.col("st.dup_line_char_frac").as("dup_line_char_frac"),
           F.col("top_bigram_frac"))
     }),
+    "q_sample" -> ((s, dir) =>
+      // source rebalancing: halve English, keep German, quarter the rest
+      TextAnalysis.stratifiedSample(read(s, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.25)
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n"))),
     "q_split" -> ((s, dir) =>
       // deterministic hash split: stable across runs/cluster sizes
       TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
@@ -789,6 +794,15 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_sample" ->
+      """WITH b AS (SELECT lang,
+             CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000 AS h
+           FROM documents)
+         SELECT lang, COUNT(*) AS n FROM b
+         WHERE h < CASE lang WHEN 'en' THEN 500000
+                             WHEN 'de' THEN 1000000 ELSE 250000 END
+         GROUP BY 1""",
     "q_split" ->
       // the md5-bucket split is engine-reproducible by design; cuts are
       // (0.8, 0.9) of 1e6 buckets for the 0.8/0.1/0.1 weights

@@ -222,6 +222,31 @@ object TextAnalysis {
       .otherwise(0.0), 6)
   }
 
+  /** Deterministic stratified sample: keep each row with probability
+    * `fractions(stratum)` (default `defaultFraction`), decided by the
+    * same engine-reproducible md5 bucket as [[deterministicSplit]] —
+    * never `rand()`, so retries, re-partitioning, and sibling pipelines
+    * keep the identical sample. The per-stratum fractions are how a
+    * pipeline rebalances sources (e.g. downsample crawl, keep all
+    * curated text). Narrow map, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f =>
+      f >= 0.0 && f <= 1.0))
+    val buckets = 1000000L
+    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
+      F.col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType) % buckets
+    val cut = fractions.toSeq.sortBy(_._1)
+      .foldLeft(F.lit((defaultFraction * buckets).toLong)) {
+        case (acc, (name, frac)) =>
+          F.when(F.col(stratumCol) === name, (frac * buckets).toLong)
+            .otherwise(acc)
+      }
+    df.where(h < cut)
+  }
+
   /** Deterministic train/val/test-style split assignment: bucket by a
     * 60-bit md5 prefix of `seed:id` — stable across runs, cluster sizes,
     * re-partitioning (never `rand()`, which re-deals on retry and breaks
