@@ -73,6 +73,17 @@ class CompatSemanticsSpec extends SparkSpec {
       }
     case Filter(q, exprs) =>
       evalRef(q, g).filter(sol => exprs.forall(evalFilter(_, sol)))
+    case Extend(q, v, expr) =>
+      // BIND: an error (unbound source var) leaves v unbound (spec §10.1)
+      evalRef(q, g).map { sol =>
+        expr match {
+          case ExVar(src) => sol.get(src).fold(sol)(t => sol + (v -> t))
+          case ExTerm(t) => sol + (v -> t)
+          case other => sys.error(s"not in test subset: $other")
+        }
+      }
+    case TableData(vs, rows) =>
+      rows.map(r => vs.zip(r).collect { case (v, Some(t)) => v -> t }.toMap)
     case other => sys.error(s"not in test subset: $other")
   }
 
@@ -130,9 +141,18 @@ class CompatSemanticsSpec extends SparkSpec {
   private def randBgp(rnd: Random): GraphPattern =
     Bgp(Seq.fill(1 + rnd.nextInt(2))(randTriplePattern(rnd)))
 
+  private def randValues(rnd: Random): GraphPattern = {
+    // VALUES over 1-2 of the shared vars, rows with UNDEF holes — the
+    // maybe-unbound source that stresses compatible joins
+    val vs = rnd.shuffle(vars).take(1 + rnd.nextInt(2))
+    TableData(vs, Seq.fill(1 + rnd.nextInt(3))(vs.map(_ =>
+      if (rnd.nextInt(3) == 0) None
+      else Some(terms(rnd.nextInt(terms.size))))))
+  }
+
   private def randPattern(rnd: Random, depth: Int): GraphPattern =
     if (depth <= 0) randBgp(rnd)
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(8) match {
       case 0 => Join(randPattern(rnd, depth - 1), randPattern(rnd, depth - 1))
       case 1 => Union(randPattern(rnd, depth - 1), randPattern(rnd, depth - 1))
       case 2 => LeftJoin(randPattern(rnd, depth - 1),
@@ -141,8 +161,22 @@ class CompatSemanticsSpec extends SparkSpec {
       case 4 => Filter(randPattern(rnd, depth - 1),
         Seq(ExCmp("=", ExVar(vars(rnd.nextInt(3))),
           ExTerm(terms(rnd.nextInt(terms.size))))))
+      case 5 => Join(randPattern(rnd, depth - 1), randValues(rnd))
+      case 6 =>
+        // BIND of a var (maybe unbound → target stays unbound) or a term.
+        // The grammar forbids BIND-ing a var already in scope, so each
+        // Extend gets a FRESH target (the first generated double-Extend
+        // was an illegal pattern, not an engine bug).
+        extendId += 1
+        val name = s"d$extendId" // capture BEFORE recursing (nested
+        // Extends bump the counter; late interpolation collided names)
+        val src = if (rnd.nextBoolean()) ExVar(vars(rnd.nextInt(3)))
+          else ExTerm(terms(rnd.nextInt(terms.size)))
+        Extend(randPattern(rnd, depth - 1), name, src)
       case _ => randBgp(rnd)
     }
+
+  private var extendId = 0
 
   private def randGraph(rnd: Random): Seq[(RdfTerm, RdfTerm, RdfTerm)] =
     (0 until (3 + rnd.nextInt(5))).map { _ =>
