@@ -67,6 +67,21 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graph round-trips through the distributed N-Triples sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt")
+      .toFile.getAbsolutePath + "/out.nt"
+    val ts = Seq.fill(25)((iri(): RdfTerm, iri(): RdfTerm, term())) ++
+      // escaping edge cases through the full write→read cycle
+      Seq((iri(): RdfTerm, iri(): RdfTerm,
+        Lit.plain("line\nbreak \"quoted\" tab\t\\slash"): RdfTerm),
+        (iri(): RdfTerm, iri(): RdfTerm, Lit.tagged("bonjour", "fr"): RdfTerm))
+    val g = RdfGraph.fromTriples(spark, ts)
+    sources.NTriples.write(g, dir)
+    val back = sources.NTriples.read(spark, dir)
+    def setOf(x: RdfGraph) = x.triples.collect().map(_.toString).toSet
+    assert(setOf(back) == setOf(g))
+  }
+
   test("transitive closure survives a 120-deep chain (fixpoint not capped)") {
     val p = Iri("http://example.com/next")
     val n = 120
