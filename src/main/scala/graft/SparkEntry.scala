@@ -386,6 +386,13 @@ object SparkEntry {
           F.col("st.dup_line_char_frac").as("dup_line_char_frac"),
           F.col("top_bigram_frac"))
     }),
+    "q_chunks" -> ((s, dir) =>
+      // 64-token windows, stride 48 — md5 keeps the oracle row compact
+      TextAnalysis.chunk(read(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 48)
+        .select(F.col("doc_id"), F.col("chunk_id").cast(LongType),
+          F.md5(F.col("chunk_text")).as("chunk_md5"),
+          F.col("n_chunk_tokens"))),
     "q_sample" -> ((s, dir) =>
       // source rebalancing: halve English, keep German, quarter the rest
       TextAnalysis.stratifiedSample(read(s, dir, "documents"), "doc_id",
@@ -794,6 +801,20 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+           FROM t)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+           md5(array_to_string(toks[(i-1)*48+1 : (i-1)*48+64], ' '))
+             AS chunk_md5,
+           CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
+             AS n_chunk_tokens
+         FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
     "q_sample" ->
       """WITH b AS (SELECT lang,
              CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))

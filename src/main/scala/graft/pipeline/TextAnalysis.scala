@@ -222,6 +222,30 @@ object TextAnalysis {
       .otherwise(0.0), 6)
   }
 
+  /** Split each document into overlapping token-window chunks (training
+    * context-window prep): chunk i covers tokens
+    * [i*stride, i*stride + size). Every token is covered; the final
+    * chunk may be short. Narrow transform + explode — no shuffle, the
+    * standard pre-tokenization pass before packing. Returns
+    * (id, chunk_id, chunk_text, n_chunk_tokens). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val t = tokens(F.col(textCol))
+    val n = F.size(t)
+    // Column `/` is double division; operands are positive here, so the
+    // int cast truncates = floor → ceil((n-size)/stride) + 1 chunks
+    val nChunks = F.when(n <= size, F.lit(1))
+      .otherwise(((n - size + (stride - 1)) / stride).cast(IntegerType) + 1)
+    df.select(F.col(idCol),
+        F.posexplode(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.slice(t, i * stride + 1, F.lit(size)))).as(Seq("chunk_id", "toks")))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.array_join(F.col("toks"), " ").as("chunk_text"),
+        F.size(F.col("toks")).cast(LongType).as("n_chunk_tokens"))
+  }
+
   /** Deterministic stratified sample: keep each row with probability
     * `fractions(stratum)` (default `defaultFraction`), decided by the
     * same engine-reproducible md5 bucket as [[deterministicSplit]] —

@@ -169,6 +169,18 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3L)._4 == 0.5)
   }
 
+  test("chunking covers every token with the configured overlap") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = pipeline.TextAnalysis.chunk(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0, "t1 t2 t3 t4"), (1L, 1, "t4 t5 t6 t7"), (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "a b"), // short doc → one short chunk
+      (3L, 0, "")))   // empty doc → one empty chunk
+  }
+
   test("as-of join attaches the latest at-or-before state, never later") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 3L, "early"),
