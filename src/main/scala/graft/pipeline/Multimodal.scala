@@ -87,4 +87,31 @@ object Multimodal {
   def fakeEmbedding(bin: Column, dim: Int = 16): Column =
     F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
       i => (F.pmod(F.xxhash64(bin, i), F.lit(1000L)).cast(DoubleType) / 500.0) - 1.0)
+
+  /** REAL (not stubbed) header-level image metadata: container format
+    * and pixel dimensions parsed from the leading bytes — PNG (IHDR
+    * width/height, big-endian at offsets 17-24) and GIF87a/89a (logical
+    * screen size, little-endian at offsets 7-10). No codec needed:
+    * byte-slice + hex + conv, fully columnar and codegen'd, so a 100 TB
+    * media scan gets sizes/filtering without decoding a single pixel
+    * (how real lakehouse media pipelines triage before the GPU stage).
+    * Returns struct(mime, width, height); null for other formats. */
+  def headerImageMeta(bin: Column): Column = {
+    def be(start: Int, len: Int): Column =
+      F.conv(F.hex(F.substring(bin, start, len)), 16, 10).cast(IntegerType)
+    // little-endian 16-bit: swap the two bytes before the hex decode
+    def le16(start: Int): Column =
+      F.conv(F.hex(F.concat(F.substring(bin, start + 1, 1),
+        F.substring(bin, start, 1))), 16, 10).cast(IntegerType)
+    val isPng = F.hex(F.substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = F.substring(bin, 1, 6).cast(StringType)
+      .isin("GIF87a", "GIF89a")
+    F.when(isPng, F.struct(F.lit("image/png").as("mime"),
+        be(17, 4).as("width"), be(21, 4).as("height")))
+      .when(isGif, F.struct(F.lit("image/gif").as("mime"),
+        le16(7).as("width"), le16(9).as("height")))
+      .otherwise(F.lit(null).cast(StructType(Seq(
+        StructField("mime", StringType), StructField("width", IntegerType),
+        StructField("height", IntegerType)))))
+  }
 }

@@ -57,4 +57,25 @@ class MultimodalSpec extends SparkSpec {
     assert(e.where(F.exists(F.col("v"),
       x => x < -1.0 || x > 1.0)).count() == 0)
   }
+
+  test("header metadata parses real PNG and GIF bytes without a codec") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a real 1x1 transparent PNG (signature + IHDR 1x1) and a GIF89a
+    // header with logical screen 3x5 (little-endian 0300 0500)
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "0000000100000001" + "0806000000")
+    val gif = "GIF89a".getBytes("US-ASCII") ++ hexBytes("03000500")
+    val other = "not an image".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, gif), (3L, other)).toDF("id", "content")
+      .select(F.col("id"),
+        graft.pipeline.Multimodal.headerImageMeta(F.col("content")).as("m"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(rows(1L).contains(("image/png", 1, 1)))
+    assert(rows(2L).contains(("image/gif", 3, 5)))
+    assert(rows(3L).isEmpty)
+  }
 }
