@@ -386,6 +386,17 @@ object SparkEntry {
           F.col("st.dup_line_char_frac").as("dup_line_char_frac"),
           F.col("top_bigram_frac"))
     }),
+    "q_quantize" -> ((s, dir) => {
+      // int8 storage quantization: exact integer checksums + the scale
+      val qv = Similarity.quantizeInt8(F.col("embedding"))
+      read(s, dir, "embeddings").select(F.col("vec_id"), qv.as("qv"))
+        .select(F.col("vec_id"),
+          F.round(F.col("qv.scale"), 6).as("scale"),
+          F.aggregate(F.col("qv.q"), F.lit(0L),
+            (acc, x) => acc + x.cast(LongType)).as("qsum"),
+          F.array_max(F.col("qv.q")).cast(IntegerType).as("qmax"),
+          F.array_min(F.col("qv.q")).cast(IntegerType).as("qmin"))
+    }),
     "q_chunks" -> ((s, dir) =>
       // 64-token windows, stride 48 — md5 keeps the oracle row compact
       TextAnalysis.chunk(read(s, dir, "documents"), "doc_id", "text",
@@ -801,6 +812,22 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale > 0 THEN list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS qs
+           FROM s)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_sum(qs) AS BIGINT) AS qsum,
+           CAST(list_max(qs) AS INTEGER) AS qmax,
+           CAST(list_min(qs) AS INTEGER) AS qmin
+         FROM q""",
     "q_chunks" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks

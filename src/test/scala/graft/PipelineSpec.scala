@@ -169,6 +169,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3L)._4 == 0.5)
   }
 
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    val qv = Similarity.quantizeInt8(F.col("embedding"))
+    val checked = emb.select(F.col("embedding").as("v"), qv.as("qv"))
+      .select(F.col("v"), F.col("qv.scale").as("scale"),
+        Similarity.dequantizeInt8(F.col("qv")).as("rec"))
+      .select(F.array_max(F.zip_with(F.col("v"), F.col("rec"),
+        (a, b) => F.abs(a.cast("double") - b))).as("maxerr"),
+        F.col("scale"))
+    // every component within half a quantization step
+    assert(checked.where(F.col("maxerr") > F.col("scale") / 2 + 1e-12)
+      .count() == 0)
+  }
+
   test("chunking covers every token with the configured overlap") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
