@@ -193,8 +193,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: per-bit vote of token hashes, sign →
-    * bit. Near-dups share the hash (or differ in few bits). Narrow map. */
-  def simhash(text: Column): Column = {
+    * bit. Near-dups share the hash (or differ in few bits). Narrow map,
+    * evaluated by the native [[graft.expressions.SimHash64]] Catalyst
+    * expression (a tight JVM loop inside whole-stage codegen — the
+    * functions-composed form below allocates two 64-element arrays per
+    * TOKEN). Both forms produce identical hashes (PipelineSpec pins it). */
+  def simhash(text: Column): Column =
+    // child is a bare split (codegen'd); the expression skips the empty
+    // slots itself, so no filter-HOF (CodegenFallback) enters the plan
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.SimHash64(
+        graft.expressions.ColumnBridge.expression(F.split(text, " "))))
+
+  /** The `functions._`-composed reference form of [[simhash]] — kept for
+    * the native-vs-composed parity test. */
+  private[graft] def simhashComposed(text: Column): Column = {
     val t = TextAnalysis.tokens(text)
     val votes = F.aggregate(t,
       F.array_repeat(F.lit(0L), 64),

@@ -169,6 +169,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3L)._4 == 0.5)
   }
 
+  test("native SimHash64 expression matches the functions-composed form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(
+        s"w${rnd.nextInt(50)}${if (rnd.nextBoolean()) "é" else ""}")
+        .mkString(" "))
+    } :+ ((0L, ""))
+    val df = texts.toDF("id", "text")
+    val mismatches = df.select(
+        Dedup.simhash(F.col("text")).as("native"),
+        Dedup.simhashComposed(F.col("text")).as("composed"))
+      .where(F.col("native") =!= F.col("composed")).count()
+    assert(mismatches == 0,
+      "native SimHash64 must be bit-identical to the composed recipe")
+    // and over a file source the projection stays inside whole-stage
+    // codegen ("*(n)" marker; a filter-HOF child would evict it)
+    val plan = docs.select(Dedup.simhash(F.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val qv = Similarity.quantizeInt8(F.col("embedding"))
     val checked = emb.select(F.col("embedding").as("v"), qv.as("qv"))
