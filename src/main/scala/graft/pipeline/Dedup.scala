@@ -47,9 +47,18 @@ object Dedup {
   /** 64-bit hashes of the k-word shingle set WITHOUT materializing the
     * shingle strings: each token is hashed once, a shingle hash combines
     * the k token hashes. Equal shingles ⇒ equal hashes; collisions are
-    * ~n²/2⁶⁴. This is the pipeline-internal form — the string shingles
-    * above exist for explainability and tests. */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
+    * ~n²/2⁶⁴. Evaluated by the native
+    * [[graft.expressions.ShingleHashes]] expression (one JVM loop inside
+    * whole-stage codegen); bit-identical to the composed reference form
+    * below (PipelineSpec pins it). */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ShingleHashes(
+        graft.expressions.ColumnBridge.expression(F.split(text, " ")), k))
+
+  /** The `functions._`-composed reference form of [[shingleHashes]] —
+    * kept for the native-vs-composed parity test. */
+  private[graft] def shingleHashesComposed(text: Column, k: Int = 3): Column = {
     val th = F.transform(TextAnalysis.tokens(text), t => F.xxhash64(t))
     // combine k consecutive token hashes via zip_with against shifted
     // views — each shift evaluates the token-hash array once per ROW.

@@ -191,6 +191,23 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("native ShingleHashes expression matches the functions-composed form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val texts = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(s"tok${rnd.nextInt(40)}")
+        .mkString("  ")) // double separators → empty split slots
+    } ++ Seq((0L, ""), (-1L, "a b")) // < k fallback cases
+    val df = texts.toDF("id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val mismatches = df.select(
+          Dedup.shingleHashes(F.col("text"), k).as("native"),
+          Dedup.shingleHashesComposed(F.col("text"), k).as("composed"))
+        .where(F.col("native") =!= F.col("composed")).count()
+      assert(mismatches == 0, s"k=$k: native must equal composed")
+    }
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val qv = Similarity.quantizeInt8(F.col("embedding"))
     val checked = emb.select(F.col("embedding").as("v"), qv.as("qv"))
