@@ -82,15 +82,27 @@ object Dedup {
         F.lit(Long.MaxValue)))
   }
 
-  /** (rid, sig) MinHash signatures via explode + plain aggregates: each
-    * shingle is string-hashed ONCE, the seeded family is derived from the
-    * 8-byte base hash, and the 32 per-document minima are codegen'd MIN
-    * aggregates with map-side partial aggregation — the shuffle carries
-    * only numHashes longs per document. This shape survives 100× scale-up
-    * where per-row lambda pipelines (aggregate/zip_with over arrays)
-    * choke codegen and get re-inlined by CollapseProject. */
+  /** MinHash signature column over a shingle-hash array — NARROW: the
+    * native [[graft.expressions.MinHashSig]] loop computes all seeded
+    * minima per row, no explode and no per-document reassembly shuffle
+    * (the previous explode+MIN-aggregate shape paid one exchange to work
+    * around codegen-hostile lambda pipelines; a native expression needs
+    * neither). Hash family is bit-identical (PipelineSpec parity). */
+  def minhashSigColumn(sh: Column, numHashes: Int): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.MinHashSig(
+        graft.expressions.ColumnBridge.expression(sh), numHashes))
+
+  /** (rid, sig) MinHash signatures — narrow map, zero shuffles. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-      k: Int, numHashes: Int): DataFrame = {
+      k: Int, numHashes: Int): DataFrame =
+    df.select(F.col(id).as("rid"),
+      minhashSigColumn(shingleHashes(F.col(text), k), numHashes).as("sig"))
+
+  /** The explode + MIN-aggregate reference form — kept for the
+    * native-vs-aggregate parity test. */
+  private[graft] def minhashSignaturesAgg(df: DataFrame, id: String,
+      text: String, k: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(F.col(id).as("rid"), F.explode(shingleHashes(F.col(text), k)).as("h"))
     val aggs = (0 until numHashes)
@@ -125,13 +137,10 @@ object Dedup {
   def minhashCandidatesFromShingles(sh: DataFrame,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
     val rows = numHashes / bands
-    val exploded = sh.select(F.col("rid"), F.explode(F.col("sh")).as("h"))
-    val aggs = (0 until numHashes)
-      .map(i => F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i"))
-    val sigs = exploded.groupBy("rid").agg(aggs.head, aggs.tail: _*)
-      .select(F.col("rid"), F.array(
-        (0 until numHashes).map(i =>
-          F.coalesce(F.col(s"m$i"), F.lit(Long.MaxValue))): _*).as("sig"))
+    // narrow signature computation — the banding groupBy below is the
+    // pipeline's ONLY shuffle
+    val sigs = sh.select(F.col("rid"),
+      minhashSigColumn(F.col("sh"), numHashes).as("sig"))
     val banded = sigs
       .select(F.col("rid"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -191,6 +191,19 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("narrow MinHash signatures match the explode+aggregate form") {
+    val narrow = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(narrow == agg,
+      "narrow native signatures must be bit-identical to the agg form")
+    // narrow means narrow: no exchange anywhere in the signature plan
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("native ShingleHashes expression matches the functions-composed form") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
