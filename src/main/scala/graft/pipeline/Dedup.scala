@@ -72,9 +72,10 @@ object Dedup {
         .otherwise(F.array(F.xxhash64(th))))
   }
 
-  /** MinHash signature of a shingle-set column (narrow map). Kept as a
-    * Column recipe for composability; the candidates pipeline uses the
-    * faster explode+aggregate form in [[minhashSignatures]]. */
+  /** MinHash signature of a STRING shingle-set column via `functions._`
+    * composition — kept for explainability and ad-hoc use over string
+    * shingles; the pipeline path is [[minhashSigColumn]] (native, over
+    * hashed shingles). */
   def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column = {
     val base = F.transform(shingleCol, s => F.xxhash64(s))
     F.transform(F.sequence(F.lit(0), F.lit(numHashes - 1)),
