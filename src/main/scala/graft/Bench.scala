@@ -14,6 +14,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // fact⋈dim joins: dim vertical relations (orders/customer refs) are
       // tens of MB at sf0.1 — broadcast them instead of shuffling the fact

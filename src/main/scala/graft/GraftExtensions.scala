@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import graft.expressions.{MinHashSig, ShingleHashes, SimHash64}
+
+/** Session extensions registering the engine's native expressions as SQL
+  * functions, so `spark.sql` users get the same codegen'd hot loops the
+  * DataFrame pipeline uses:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions   // session config
+  *   SELECT simhash64(split(text, ' ')) FROM docs
+  *   SELECT shingle_hashes(split(text, ' '), 3) FROM docs
+  *   SELECT minhash_sig(shingle_hashes(split(text, ' '), 3), 32) FROM docs
+  * }}}
+  *
+  * This is the standard `SparkSessionExtensions` injection path — the
+  * mechanism production sessions already use for custom rules/strategies,
+  * so no internal registry access is needed. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens) takes 1 argument")
+        SimHash64(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, k) - hashes of the k-token shingle set"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes(tokens, k) takes 2 arguments")
+        ShingleHashes(args.head, litInt(args(1), "shingle size k"))
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(hashes, n) - n-minima MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(hashes, n) takes 2 arguments")
+        MinHashSig(args.head, litInt(args(1), "signature size n"))
+      }))
+  }
+}
