@@ -20,7 +20,18 @@ object Similarity {
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — evaluated by the native
+    * [[graft.expressions.CosineSim]] expression (one allocation-free
+    * pass over both vectors inside whole-stage codegen); bit-identical
+    * to the composed form below (PipelineSpec parity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.CosineSim(
+        graft.expressions.ColumnBridge.expression(a),
+        graft.expressions.ColumnBridge.expression(b)))
+
+  /** The `functions._`-composed reference form of [[cosine]]. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
   }

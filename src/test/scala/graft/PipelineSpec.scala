@@ -191,6 +191,19 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("native CosineSim matches the functions-composed form") {
+    val both = emb.select(F.col("embedding").as("v"))
+      .crossJoin(emb.select(F.col("embedding").as("w")).limit(3))
+      .select(Similarity.cosine(F.col("v"), F.col("w")).as("native"),
+        Similarity.cosineComposed(F.col("v"), F.col("w")).as("composed"))
+    assert(both.where(F.col("native") =!= F.col("composed")).count() == 0)
+    // zero vector → 0.0 in both forms
+    import spark.implicits._
+    val z = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(F.col("a"), F.col("b")).as("c")).collect()(0)
+    assert(z.getDouble(0) == 0.0)
+  }
+
   test("narrow MinHash signatures match the explode+aggregate form") {
     val narrow = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
