@@ -21,8 +21,8 @@ import graft.expressions.{MinHashSig, ShingleHashes, SimHash64}
   * so no internal registry access is needed. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   private def litInt(e: Expression, what: String): Int = e match {
     case IntegerLiteral(v) => v
@@ -32,20 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      info(classOf[SimHash64], "simhash64",
+        "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(tokens) takes 1 argument")
         SimHash64(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes",
+      info(classOf[ShingleHashes], "shingle_hashes",
         "shingle_hashes(tokens, k) - hashes of the k-token shingle set"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingle_hashes(tokens, k) takes 2 arguments")
         ShingleHashes(args.head, litInt(args(1), "shingle size k"))
       }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig",
+      info(classOf[MinHashSig], "minhash_sig",
         "minhash_sig(hashes, n) - n-minima MinHash signature"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig(hashes, n) takes 2 arguments")

@@ -56,8 +56,8 @@ object Tables {
     * takes precedence — its scan reports HashPartitioning on the bucket
     * key, so downstream native-key joins co-locate with no exchange. */
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val bt = bucketTableName(sfDir, table)
-    if (bucketized.contains((spark, sfDir, table))) spark.table(bt)
+    val bt = bucketized.get((spark, sfDir, table))
+    if (bt != null) spark.table(bt)
     else if (table == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$table.parquet")
@@ -88,14 +88,18 @@ object Tables {
     "lineitem" -> "l_orderkey", "events" -> "event_id",
     "documents" -> "doc_id")
 
-  private val bucketized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+  /** (session, dir, table) → active bucketed catalog table name. */
+  private val bucketized = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
 
-  private def bucketTableName(sfDir: String, table: String): String = {
-    // the name carries the data dir so two dirs never alias one table
+  private def bucketTableName(sfDir: String, table: String,
+      buckets: Int): String = {
+    // the name carries the data dir AND the bucket count, so neither a
+    // different dir nor a re-bucketize with a new count silently reuses
+    // a stale copy
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_bucketed_${dirTag}_$table"
+    s"graft_bucketed_${dirTag}_b${buckets}_$table"
   }
 
   /** Write + register bucketed copies of `tables` (same `buckets` count
@@ -105,12 +109,15 @@ object Tables {
       tables: String*): Unit =
     tables.foreach { t =>
       val key = bucketKey(t)
-      val bt = bucketTableName(sfDir, t)
+      val bt = bucketTableName(sfDir, t, buckets)
       if (!spark.catalog.tableExists(bt)) {
+        // deregister first so the write reads the parquet source, not a
+        // previously bucketized copy of itself
+        bucketized.remove((spark, sfDir, t))
         read(spark, sfDir, t).write.mode("overwrite")
           .bucketBy(buckets, key).sortBy(key).saveAsTable(bt)
       }
-      bucketized.add((spark, sfDir, t))
+      bucketized.put((spark, sfDir, t), bt)
     }
 
   /** Deregister (the catalog tables stay until the session ends). */

@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
   * arrays — the ANN family's inner loop (brute-force/LSH/IVF top-k,
   * kNN join, embedding near-dup verify).
   *
-  * Bit-identical to the composed form (`aggregate(zip_with(...))`): the
-  * same sequential double accumulation for dot and norms, 0.0 when
-  * either norm is zero, NULL on length mismatch or a null element (a
-  * null-padded zip poisons the composed fold the same way).
+  * Bit-identical to the composed form (`aggregate(zip_with(...))`) on
+  * well-formed inputs: the same sequential double accumulation for dot
+  * and norms, 0.0 when either norm is zero, and 0.0 when an element is
+  * null (the composed form's null element poisons its norm, so
+  * `when(d > 0)` falls through to the 0.0 branch there too). One
+  * DELIBERATE divergence: for a length MISMATCH the composed form
+  * returns NULL (norms fine, dot null); this expression returns 0.0 —
+  * a total function ("different dimensionality is never similar") that
+  * keeps the default nullable contract (null only for a null input
+  * array), so codegen needs no isNull override.
   *
   * Why native: the composed form runs three CodegenFallback folds (dot
   * + two norms), each allocating a zipped array per row; this loop reads
@@ -41,22 +47,13 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val r = CosineSim.cosine(a.asInstanceOf[ArrayData], leftIsFloat,
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(a.asInstanceOf[ArrayData], leftIsFloat,
       b.asInstanceOf[ArrayData], rightIsFloat)
-    if (r == null) null else r
-  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val code = nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-         |java.lang.Double r = graft.expressions.CosineSim.cosine(
-         |  $a, $leftIsFloat, $b, $rightIsFloat);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-       """.stripMargin
-    })
-    code
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.CosineSim.cosine($a, $leftIsFloat, $b, $rightIsFloat)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -64,15 +61,16 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Null result encodes SQL NULL (length mismatch / null element). */
+  /** 0.0 for length mismatch / null elements (matching the composed
+    * form's null-poisoned fold falling through `when(d > 0)`). */
   def cosine(a: ArrayData, aFloat: Boolean,
-      b: ArrayData, bFloat: Boolean): java.lang.Double = {
+      b: ArrayData, bFloat: Boolean): Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
+    if (b.numElements() != n) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.isNullAt(i) || b.isNullAt(i)) return 0.0
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y

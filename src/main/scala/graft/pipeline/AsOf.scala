@@ -34,7 +34,12 @@ object AsOf {
     val l = valueCols.foldLeft(left.withColumn("__side", F.lit(1))) {
       (df, c) => df.withColumn(c, F.lit(null).cast(right.schema(c).dataType))
     }
+    // NULL keys/timestamps never match under join semantics, but
+    // Window.partitionBy groups NULL keys into one partition — drop
+    // such right rows so null-keyed left rows keep null values (the
+    // DuckDB ASOF oracle's behavior)
     val r = right.select((key +: ts +: valueCols).map(F.col): _*)
+      .where(F.col(key).isNotNull && F.col(ts).isNotNull)
       .withColumn("__side", F.lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(F.col(ts), F.col("__side"))

@@ -114,6 +114,20 @@ object Dedup {
           F.coalesce(F.col(s"m$i"), F.lit(Long.MaxValue))): _*).as("sig"))
   }
 
+  /** Per-group "smallest `cap` ids" aggregation column: the native
+    * bounded-buffer aggregate for long ids ([[
+    * graft.expressions.CollectSmallest]] — O(cap) memory per group no
+    * matter the skew), sort+slice for other id types (whole-group
+    * buffer; fine at moderate skew). */
+  private def smallestRids(ridType: org.apache.spark.sql.types.DataType,
+      rid: Column, cap: Int): Column = ridType match {
+    case LongType => graft.expressions.ColumnBridge.column(
+      graft.expressions.CollectSmallest(
+        graft.expressions.ColumnBridge.expression(rid), cap)
+        .toAggregateExpression())
+    case _ => F.slice(F.array_sort(F.collect_list(rid)), 1, cap)
+  }
+
   /** Candidate duplicate pairs via MinHash LSH banding: rows sharing any
     * band of the signature land in one bucket; pairs are generated only
     * within buckets (groupBy on the band key — the one shuffle).
@@ -154,8 +168,8 @@ object Dedup {
     // exact mass-duplicates beyond the cap are still caught by
     // [[exactGroups]], the right tool for them.
     bucketPairs(banded.groupBy("band", "bucket")
-      .agg(F.slice(F.array_sort(F.collect_list(F.col("rid"))), 1, maxBucket)
-        .as("rids")))
+      .agg(smallestRids(banded.schema("rid").dataType, F.col("rid"),
+        maxBucket).as("rids")))
   }
 
   /** Expand each capped, sorted posting list into its ordered id pairs
@@ -325,8 +339,8 @@ object Dedup {
     val cands = bucketPairs(sh
       .select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
       .groupBy("shingle")
-      .agg(F.slice(F.array_sort(F.collect_list("rid")), 1, maxDocsPerShingle)
-        .as("rids")))
+      .agg(smallestRids(sh.schema("rid").dataType, F.col("rid"),
+        maxDocsPerShingle).as("rids")))
     verifiedJaccard(cands, sh, threshold)
   }
 

@@ -123,7 +123,16 @@ object Similarity {
     * instead of 100). The per-vector scale rides along; reconstruction
     * error is bounded by scale/2 per component. Narrow map, no shuffle.
     * Returns struct(q: array<tinyint>, scale: double). */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.QuantizeInt8(
+        graft.expressions.ColumnBridge.expression(vec)))
+
+  /** The `functions._`-composed reference form of [[quantizeInt8]] —
+    * kept for the parity test. NOTE its lambda embeds the array_max
+    * subtree, re-evaluating the scale per ELEMENT (O(d²) per row) —
+    * the reason the pipeline path is the native expression. */
+  private[graft] def quantizeInt8Composed(vec: Column): Column = {
     val scale =
       F.array_max(F.transform(vec, x => F.abs(x.cast(DoubleType)))) / 127.0
     F.struct(

@@ -246,6 +246,16 @@ object TextAnalysis {
         F.size(F.col("toks")).cast(LongType).as("n_chunk_tokens"))
   }
 
+  /** Engine-reproducible bucket in [0, 1e6): 60-bit md5 prefix of
+    * "seed:id" — the ONE hashing recipe shared by the split and the
+    * stratified sample (and mirrored by their SQL oracles); change it in
+    * lockstep everywhere or sampled/split corpora silently diverge. */
+  private val Md5Buckets = 1000000L
+  private def md5Bucket(idCol: String, seed: Long): Column =
+    F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
+      F.col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType) % Md5Buckets
+
   /** Deterministic stratified sample: keep each row with probability
     * `fractions(stratum)` (default `defaultFraction`), decided by the
     * same engine-reproducible md5 bucket as [[deterministicSplit]] —
@@ -258,14 +268,11 @@ object TextAnalysis {
       seed: Long = 0L): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f =>
       f >= 0.0 && f <= 1.0))
-    val buckets = 1000000L
-    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
-      F.col(idCol).cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType) % buckets
+    val h = md5Bucket(idCol, seed)
     val cut = fractions.toSeq.sortBy(_._1)
-      .foldLeft(F.lit((defaultFraction * buckets).toLong)) {
+      .foldLeft(F.lit((defaultFraction * Md5Buckets).toLong)) {
         case (acc, (name, frac)) =>
-          F.when(F.col(stratumCol) === name, (frac * buckets).toLong)
+          F.when(F.col(stratumCol) === name, (frac * Md5Buckets).toLong)
             .otherwise(acc)
       }
     df.where(h < cut)
@@ -283,13 +290,9 @@ object TextAnalysis {
       weights: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0))
     val total = weights.map(_._2).sum
-    val buckets = 1000000L
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
-      .tail.map(f => (f * buckets).toLong)
-    // 15 hex chars = 60 bits, always positive in a long
-    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
-      F.col(idCol).cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType) % buckets
+      .tail.map(f => (f * Md5Buckets).toLong)
+    val h = md5Bucket(idCol, seed)
     val expr = weights.map(_._1).zip(cuts).reverse
       .foldLeft(F.lit(weights.last._1)) { case (acc, (name, cut)) =>
         F.when(h < cut, name).otherwise(acc)

@@ -191,6 +191,26 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("bounded smallest-cap aggregate equals sort+slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // includes a hot key with many rows and duplicate ids
+    val rows = (1 to 5000).map(i =>
+      (if (i % 3 == 0) "hot" else s"k${rnd.nextInt(20)}",
+        rnd.nextInt(300).toLong)) ++ (1 to 2000).map(_ => ("hot", 7L))
+    val df = rows.toDF("k", "rid").repartition(7)
+    val native = df.groupBy("k").agg(
+      graft.expressions.ColumnBridge.column(
+        graft.expressions.CollectSmallest(
+          graft.expressions.ColumnBridge.expression(F.col("rid")), 16)
+          .toAggregateExpression()).as("rids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val composed = df.groupBy("k").agg(
+      F.slice(F.array_sort(F.collect_list(F.col("rid"))), 1, 16).as("rids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(native == composed)
+  }
+
   test("native CosineSim matches the functions-composed form") {
     val both = emb.select(F.col("embedding").as("v"))
       .crossJoin(emb.select(F.col("embedding").as("w")).limit(3))
@@ -273,6 +293,19 @@ class PipelineSpec extends SparkSpec {
       (1L, 20L, 200.0), // same-instant state is visible (inclusive)
       (1L, 3L, null),   // nothing at-or-before
       (2L, 50L, null))) // no right rows for the key
+  }
+
+  test("as-of join never matches NULL keys (equi-join semantics)") {
+    import spark.implicits._
+    val left = Seq((Option.empty[Long], 10L, "nullkey"), (Some(1L), 10L, "ok"))
+      .toDF("k", "ts", "x")
+    val right = Seq((Option.empty[Long], 5L, 100.0), (Some(1L), 5L, 7.0))
+      .toDF("k", "ts", "v")
+    val got = pipeline.AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    // the null-keyed left row must NOT adopt the null-keyed right value
+    assert(got == Set(("nullkey", null), ("ok", 7.0)))
   }
 
   test("dedupGroups collapses pair chains into min-id components") {
