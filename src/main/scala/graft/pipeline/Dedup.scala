@@ -301,12 +301,20 @@ object Dedup {
       .select(F.col("rid"), F.col("sh"),
         F.col("bb.band").as("band"), F.col("bb.bits").as("bits"))
     // one shuffle to band buckets; pairs expand locally from the capped
-    // member list (sorted by rid — array_sort on structs orders by the
-    // leading field), then popcount-verified
-    banded.groupBy("band", "bits")
-      .agg(F.slice(F.array_sort(
+    // member list (ascending by rid), then popcount-verified. Long ids
+    // use the bounded-buffer aggregate (O(cap) memory under any skew);
+    // other id types fall back to sort+slice of the whole group.
+    val members = hashed.schema("rid").dataType match {
+      case LongType => graft.expressions.ColumnBridge.column(
+        graft.expressions.CollectSmallestPairs(
+          graft.expressions.ColumnBridge.expression(F.col("rid")),
+          graft.expressions.ColumnBridge.expression(F.col("sh")),
+          maxBucket).toAggregateExpression())
+      case _ => F.slice(F.array_sort(
         F.collect_list(F.struct(F.col("rid"), F.col("sh")))), 1, maxBucket)
-        .as("ms"))
+    }
+    banded.groupBy("band", "bits")
+      .agg(members.as("ms"))
       .where(F.size(F.col("ms")) >= 2)
       .select(F.posexplode(F.col("ms")).as(Seq("i", "m1")), F.col("ms"))
       .select(F.col("m1"), F.explode(

