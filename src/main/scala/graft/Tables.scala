@@ -92,14 +92,29 @@ object Tables {
   private val bucketized = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), String]()
 
-  private def bucketTableName(sfDir: String, table: String,
-      buckets: Int): String = {
-    // the name carries the data dir AND the bucket count, so neither a
-    // different dir nor a re-bucketize with a new count silently reuses
-    // a stale copy
-    val dirTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_bucketed_${dirTag}_b${buckets}_$table"
+  private def bucketTableName(spark: SparkSession, sfDir: String,
+      table: String, buckets: Int): String = {
+    // the name carries the data dir, the bucket count AND a source
+    // content tag (per-file length + mtime), so a different dir, a
+    // re-bucketize with a new count, or a REGENERATED source file never
+    // silently reuses a stale catalog copy
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val contentTag =
+      if (!fs.exists(src)) "missing"
+      else {
+        val it = fs.listFiles(src, true)
+        var acc = new StringBuilder(sfDir)
+        while (it.hasNext) {
+          val f = it.next()
+          acc.append('|').append(f.getPath.getName).append(':')
+            .append(f.getLen).append(':').append(f.getModificationTime)
+        }
+        acc.toString
+      }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(contentTag.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_bucketed_${tag}_b${buckets}_$table"
   }
 
   /** Write + register bucketed copies of `tables` (same `buckets` count
@@ -109,7 +124,7 @@ object Tables {
       tables: String*): Unit =
     tables.foreach { t =>
       val key = bucketKey(t)
-      val bt = bucketTableName(sfDir, t, buckets)
+      val bt = bucketTableName(spark, sfDir, t, buckets)
       if (!spark.catalog.tableExists(bt)) {
         // deregister first so the write reads the parquet source, not a
         // previously bucketized copy of itself

@@ -41,8 +41,13 @@ case class CollectSmallestPairs(
   override def createAggregationBuffer(): java.util.TreeMap[Long, Long] =
     new java.util.TreeMap[Long, Long]()
 
+  // duplicate keys are a no-op (first payload wins) — a duplicate
+  // arriving at a full buffer must not evict an unrelated key; the
+  // sort+slice fallback path keeps duplicate rows instead (noted at its
+  // call site), but under the unique-key contract both behave identically
   private def add(b: java.util.TreeMap[Long, Long], k: Long, v: Long): Unit = {
-    if (b.size() < cap) b.put(k, v)
+    if (b.containsKey(k)) ()
+    else if (b.size() < cap) b.put(k, v)
     else if (k < b.lastKey()) { b.remove(b.lastKey()); b.put(k, v) }
   }
 

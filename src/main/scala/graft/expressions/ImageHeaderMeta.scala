@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for header-level image metadata: container
+  * format and pixel dimensions parsed from the raw leading bytes of a
+  * binary column — NO codec.
+  *
+  *  - PNG:  8-byte signature, IHDR width/height big-endian at 16/20
+  *  - GIF:  GIF87a/GIF89a, logical screen size little-endian at 6/8
+  *  - JPEG: FFD8 SOI, then a segment walk to the first SOFn frame header
+  *    (C0–CF minus C4/C8/CC) whose payload carries height/width
+  *    big-endian — position varies per file (EXIF/JFIF/comment segments
+  *    precede it), which is why this is a tight JVM loop rather than
+  *    fixed-offset column arithmetic.
+  *
+  * Returns struct(mime, width, height); NULL for anything that isn't a
+  * recognizable image header. This is the triage an actual 100 TB media
+  * scan runs before any GPU decode stage: size/format filtering at
+  * full scan speed inside whole-stage codegen. */
+case class ImageHeaderMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_header_meta needs binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ImageHeaderMeta.metaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_header_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageHeaderMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageHeaderMeta.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageHeaderMeta =
+    copy(child = newChild)
+}
+
+object ImageHeaderMeta {
+  val metaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  private val MimePng = UTF8String.fromString("image/png")
+  private val MimeGif = UTF8String.fromString("image/gif")
+  private val MimeJpeg = UTF8String.fromString("image/jpeg")
+
+  /** (mime, width, height) of a recognized image header, else null. */
+  def parseDims(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return null
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def be32(i: Int): Int =
+      (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    // PNG: signature + IHDR (always the first chunk per spec)
+    if (n >= 24 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e &&
+        u(3) == 0x47 && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a &&
+        u(7) == 0x0a)
+      return ("image/png", be32(16), be32(20))
+    // GIF87a / GIF89a logical screen descriptor
+    if (n >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
+      return ("image/gif", le16(6), le16(8))
+    // JPEG: SOI then segment walk to the first SOFn
+    if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < n && u(i) == 0xff) {
+        val marker = u(i + 1)
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i += 2 // standalone marker, no payload
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null // EOI / start-of-scan before any SOF: give up
+        } else {
+          val segLen = be16(i + 2)
+          if (segLen < 2) return null // corrupt length
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 8 >= n) return null
+            return ("image/jpeg", be16(i + 7), be16(i + 5))
+          }
+          i += 2 + segLen
+        }
+      }
+    }
+    null
+  }
+
+  /** InternalRow form for expression eval/codegen. */
+  def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
+    case null => null
+    case ("image/png", w, h) => InternalRow(MimePng, w, h)
+    case ("image/gif", w, h) => InternalRow(MimeGif, w, h)
+    case (_, w, h) => InternalRow(MimeJpeg, w, h)
+  }
+}

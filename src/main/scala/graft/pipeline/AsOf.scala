@@ -30,6 +30,8 @@ object AsOf {
     require(valueCols.nonEmpty, "valueCols must not be empty")
     require(valueCols.forall(!left.columns.contains(_)),
       s"valueCols ${valueCols.mkString(",")} collide with left columns")
+    require(!left.columns.contains("__side") && !valueCols.contains("__side"),
+      "left/valueCols must not contain the internal marker column __side")
     val lCols = left.columns.toSeq
     val l = valueCols.foldLeft(left.withColumn("__side", F.lit(1))) {
       (df, c) => df.withColumn(c, F.lit(null).cast(right.schema(c).dataType))

@@ -88,7 +88,13 @@ object Dedup {
     * minima per row, no explode and no per-document reassembly shuffle
     * (the previous explode+MIN-aggregate shape paid one exchange to work
     * around codegen-hostile lambda pipelines; a native expression needs
-    * neither). Hash family is bit-identical (PipelineSpec parity). */
+    * neither). Hash family is bit-identical (PipelineSpec parity).
+    *
+    * Input contract: `sh` elements non-null, array non-empty (what
+    * [[shingleHashes]] produces). Null elements are skipped; an empty
+    * array yields the all-Long.MaxValue sentinel signature — callers that
+    * band signatures must drop empty sets first (as
+    * [[minhashCandidatesFromShingles]] does). */
   def minhashSigColumn(sh: Column, numHashes: Int): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.MinHashSig(
@@ -119,7 +125,7 @@ object Dedup {
     * graft.expressions.CollectSmallest]] — O(cap) memory per group no
     * matter the skew), sort+slice for other id types (whole-group
     * buffer; fine at moderate skew). */
-  private def smallestRids(ridType: org.apache.spark.sql.types.DataType,
+  private[pipeline] def smallestIds(ridType: org.apache.spark.sql.types.DataType,
       rid: Column, cap: Int): Column = ridType match {
     case LongType => graft.expressions.ColumnBridge.column(
       graft.expressions.CollectSmallest(
@@ -148,13 +154,18 @@ object Dedup {
 
   /** Candidates from a precomputed (rid, sh) shingle-hash relation — lets
     * the full dedup pipeline tokenize/shingle each document ONCE and share
-    * the (checkpointed) result between banding and verification. */
+    * the (checkpointed) result between banding and verification.
+    *
+    * Input contract: `sh` elements are non-null ([[shingleHashes]] never
+    * emits null slots). Empty shingle sets are filtered out here — an
+    * empty set has no content to match on, and its all-sentinel signature
+    * would otherwise band every empty document into one shared bucket. */
   def minhashCandidatesFromShingles(sh: DataFrame,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
     val rows = numHashes / bands
     // narrow signature computation — the banding groupBy below is the
     // pipeline's ONLY shuffle
-    val sigs = sh.select(F.col("rid"),
+    val sigs = sh.where(F.size(F.col("sh")) > 0).select(F.col("rid"),
       minhashSigColumn(F.col("sh"), numHashes).as("sig"))
     val banded = sigs
       .select(F.col("rid"), F.posexplode(
@@ -168,7 +179,7 @@ object Dedup {
     // exact mass-duplicates beyond the cap are still caught by
     // [[exactGroups]], the right tool for them.
     bucketPairs(banded.groupBy("band", "bucket")
-      .agg(smallestRids(banded.schema("rid").dataType, F.col("rid"),
+      .agg(smallestIds(banded.schema("rid").dataType, F.col("rid"),
         maxBucket).as("rids")))
   }
 
@@ -310,6 +321,9 @@ object Dedup {
           graft.expressions.ColumnBridge.expression(F.col("rid")),
           graft.expressions.ColumnBridge.expression(F.col("sh")),
           maxBucket).toAggregateExpression())
+      // NOTE: unlike the native aggregate (duplicate key = no-op), this
+      // fallback keeps duplicate rids; identical under the banding
+      // invariant of one row per rid per bucket
       case _ => F.slice(F.array_sort(
         F.collect_list(F.struct(F.col("rid"), F.col("sh")))), 1, maxBucket)
     }
@@ -347,7 +361,7 @@ object Dedup {
     val cands = bucketPairs(sh
       .select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
       .groupBy("shingle")
-      .agg(smallestRids(sh.schema("rid").dataType, F.col("rid"),
+      .agg(smallestIds(sh.schema("rid").dataType, F.col("rid"),
         maxDocsPerShingle).as("rids")))
     verifiedJaccard(cands, sh, threshold)
   }
@@ -357,13 +371,17 @@ object Dedup {
     * Returns (rid, grp) for every id appearing in a pair, grp = the
     * component's smallest id (the canonical representative to keep).
     *
-    * Scale posture: each round is one join + min-aggregate (both on the
-    * id — a long), converging in O(component diameter) rounds; near-dup
-    * components are shallow (stars/cliques from bucket co-membership),
-    * so a handful of rounds suffices even at 100 TB. localCheckpoint per
-    * round cuts the lineage like the SPARQL transitive closure; the RDD
-    * re-wrap mints fresh attribute ids (Catalyst union constraint-rewrite
-    * limitation, see Compiler.closure). */
+    * Scale posture: each round is two joins + a min-aggregate on the id —
+    * neighbor propagation PLUS pointer doubling (inherit the label of
+    * one's current label), so convergence takes O(log diameter) rounds,
+    * not O(diameter) — a chain of 1000 closes in ~10 rounds (PipelineSpec
+    * pins the job count with a listener). Convergence is detected by a
+    * monotone checksum: labels only ever DECREASE, so the per-rid label
+    * sum strictly decreases until the fixpoint — one tiny aggregate per
+    * round replaces the old change-detection join (half the driver-side
+    * jobs). localCheckpoint per round cuts the lineage like the SPARQL
+    * transitive closure; the RDD re-wrap mints fresh attribute ids
+    * (Catalyst union constraint-rewrite limitation, see Compiler.closure). */
   def dedupGroups(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2"): DataFrame = {
     val spark = pairs.sparkSession
@@ -374,19 +392,34 @@ object Dedup {
       .select(F.col("a").as("rid"), F.least(F.col("a"), F.col("b")).as("grp"))
       .groupBy("rid").agg(F.min("grp").as("grp"))
       .localCheckpoint(true)
+    // strictly-decreasing convergence metric: exact (decimal sum of the
+    // labels) for numeric ids; a 64-bit hash sum otherwise (collision on
+    // a changing round ~2⁻⁶⁴ — documented residual risk for string ids)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val m = df.schema("grp").dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          F.sum(F.col("grp").cast(DecimalType(38, 0)))
+        case _ => F.sum(F.xxhash64(F.col("grp")).cast(DecimalType(38, 0)))
+      }
+      df.agg(F.coalesce(m, F.lit(java.math.BigDecimal.ZERO)
+        .cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+    }
+    var prev = checksum(labels)
     var changed = true
     var i = 0
-    while (changed && i < 1000) {
+    while (changed && i < 64) {
       val viaNeighbor = edges.join(labels, edges("b") === labels("rid"))
         .select(edges("a").as("rid"), F.col("grp"))
-      val next0 = labels.union(viaNeighbor)
+      val viaLabel = labels.alias("x").join(labels.alias("y"),
+          F.col("x.grp") === F.col("y.rid"))
+        .select(F.col("x.rid").as("rid"), F.col("y.grp").as("grp"))
+      val next0 = labels.union(viaNeighbor).union(viaLabel)
         .groupBy("rid").agg(F.min("grp").as("grp"))
         .localCheckpoint(true)
       val next = spark.createDataFrame(next0.rdd, next0.schema)
-      changed = !next.alias("n")
-        .join(labels.alias("o"), F.col("n.rid") === F.col("o.rid") &&
-          F.col("n.grp") =!= F.col("o.grp"))
-        .isEmpty
+      val cur = checksum(next)
+      changed = cur.compareTo(prev) != 0
+      prev = cur
       labels = next
       i += 1
     }
@@ -414,31 +447,52 @@ object Dedup {
       .where(F.col("hits") >= minHits)
   }
 
-  /** Near-dup pairs over an embedding column by cosine ≥ threshold,
-    * candidate-bucketed by sign-bit LSH (Similarity.signBits): only rows
-    * agreeing on all `planes` sign bits are compared. */
   /** Near-dup pairs over an embedding column by cosine ≥ threshold.
-    * Candidates come from sign-bit LSH buckets with 1-bit multi-probe:
-    * the left side also emits each Hamming-1 neighbor bucket, so pairs
-    * whose signatures differ in one plane are still compared (recall at
-    * cosθ≈0.5 roughly triples vs exact-bucket matching). */
+    * Candidates come from multi-table sign-bit LSH through the SAME capped
+    * posting-list shape as the MinHash/n-gram paths — never a bucket
+    * self-join:
+    *
+    *  1. each row emits, per hash table t (independent hyperplane family,
+    *     `Similarity.signBits` offset 64·t), its bucket plus every
+    *     Hamming-1 neighbor bucket (symmetric 1-bit multi-probe — two
+    *     signatures within Hamming distance 2 still co-occur somewhere);
+    *  2. ONE shuffle groups postings into per-(table, bucket) lists of at
+    *     most `maxBucket` ids (bounded-memory [[
+    *     graft.expressions.CollectSmallest]]), so a degenerate corpus
+    *     (everything in one bucket) emits O(tables·planes·maxBucket²)
+    *     pairs, never O(n²);
+    *  3. pairs expand locally ([[bucketPairs]], deduped across tables and
+    *     probes), vectors re-attach with ONE join (the array-free pair
+    *     list is the build side), exact cosine filters to ≥ threshold.
+    *
+    * Recall/cost knobs: `tables` buys recall linearly in cost, `planes`
+    * shrinks buckets (finer candidates, lower per-table recall) —
+    * RecallSpec pins measured recall vs the brute-force ground truth.
+    * Mass exact duplicates beyond the cap remain [[exactGroups]]' job. */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val withBits = df.select(F.col(id).as("rid"), F.col(vec).as("v"))
-      .withColumn("bucket", Similarity.signBits(F.col("v"), planes))
+      threshold: Double = 0.95, planes: Int = 16, tables: Int = 4,
+      maxBucket: Int = 256): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+    val base = df.select(F.col(id).as("rid"), F.col(vec).as("v"))
       .localCheckpoint(false)
-    val probeBuckets = F.array(
-      (F.col("bucket") +: (0 until planes).map(p =>
-        F.col("bucket").bitwiseXOR(F.lit(1L << p)))): _*)
-    val l = withBits
-      .select(F.col("rid"), F.col("v"), F.explode(probeBuckets).as("bucket"))
-      .alias("l")
-    val r = withBits.alias("r")
-    l.join(r, F.col("l.bucket") === F.col("r.bucket") &&
-        F.col("l.rid") < F.col("r.rid"))
-      .select(F.col("l.rid").as("id1"), F.col("r.rid").as("id2"),
-        F.col("l.v").as("v1"), F.col("r.v").as("v2"))
-      .distinct()
+    val postings = (0 until tables).map { t =>
+      val b = Similarity.signBits(F.col("v"), planes, 64 * t)
+      val probeBuckets = F.array((b +: (0 until planes).map(p =>
+        b.bitwiseXOR(F.lit(1L << p)))): _*)
+      base.select(F.col("rid"), F.lit(t).as("tbl"),
+        F.explode(probeBuckets).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = bucketPairs(postings.groupBy("tbl", "bucket")
+      .agg(smallestIds(base.schema("rid").dataType, F.col("rid"),
+        maxBucket).as("rids")))
+    // one join attaches both vectors (exactly one non-null per role per
+    // pair → max picks it), same shape as verifiedJaccard
+    cands.select(F.col("id1"), F.col("id2"),
+        F.explode(F.array(F.col("id1"), F.col("id2"))).as("rid"))
+      .join(base, "rid")
+      .groupBy("id1", "id2")
+      .agg(F.max(F.when(F.col("rid") === F.col("id1"), F.col("v"))).as("v1"),
+        F.max(F.when(F.col("rid") === F.col("id2"), F.col("v"))).as("v2"))
       .withColumn("cosine", Similarity.cosine(F.col("v1"), F.col("v2")))
       .where(F.col("cosine") >= threshold)
       .select("id1", "id2", "cosine")

@@ -12,11 +12,17 @@ import org.apache.spark.sql.types._
   * inside `mapPartitions` so a real codec would amortize model/codec init
   * per batch, exactly like an Arrow-batched UDF.
   *
-  * STUB NOTICE: the image/audio codecs are not available in this
-  * container, so `decodeBatch` below produces a DETERMINISTIC FAKE
-  * (xxhash64-derived dimensions + per-pixel-ish stats). The Spark-side
-  * plumbing — schema, batching, partitioning, null handling — is real and
-  * tested; swap `fakeDecode` for a real codec call to productionize.
+  * Header metadata (format + pixel dimensions for PNG/GIF/JPEG) is REAL —
+  * parsed from the raw bytes by [[graft.expressions.ImageHeaderMeta]],
+  * both columnar ([[headerImageMeta]]) and on the batched decode path
+  * ([[withDecodedMeta]]).
+  *
+  * STUB NOTICE: the PIXEL-level codecs (image decode, audio/video) are
+  * not available in this container, so unrecognized formats fall back to
+  * `fakeDecode` — a DETERMINISTIC FAKE (hash-derived dimensions). The
+  * Spark-side plumbing — schema, batching, partitioning, null handling —
+  * is real and tested; swap `fakeDecode` for a real codec call to
+  * productionize.
   */
 object Multimodal {
 
@@ -48,7 +54,11 @@ object Multimodal {
   }
 
   /** Batched decode: binary column → metadata struct, processed in
-    * `batchSize` chunks per partition (mapInPandas-shaped plumbing). */
+    * `batchSize` chunks per partition (mapInPandas-shaped plumbing).
+    * Recognized image containers (PNG/GIF/JPEG) take the REAL header
+    * path — format + pixel dimensions parsed from the bytes, no codec,
+    * still images reported as one frame; only unrecognized formats fall
+    * back to the deterministic fake (the stubbed pixel-codec stand-in). */
   def withDecodedMeta(df: DataFrame, binCol: String, out: String = "meta",
       batchSize: Int = 64): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(out, mediaMetaType))
@@ -58,7 +68,13 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // a real impl would init the codec once per batch here
         batch.iterator.map { r =>
-          Row.fromSeq(r.toSeq :+ fakeDecode(r.getAs[Array[Byte]](binIdx)))
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val meta =
+            graft.expressions.ImageHeaderMeta.parseDims(bytes) match {
+              case (mime, w, h) => Row(mime, w, h, 1, true)
+              case null => fakeDecode(bytes)
+            }
+          Row.fromSeq(r.toSeq :+ meta)
         }
       }
     }(enc)
@@ -89,14 +105,24 @@ object Multimodal {
       i => (F.pmod(F.xxhash64(bin, i), F.lit(1000L)).cast(DoubleType) / 500.0) - 1.0)
 
   /** REAL (not stubbed) header-level image metadata: container format
-    * and pixel dimensions parsed from the leading bytes — PNG (IHDR
-    * width/height, big-endian at offsets 17-24) and GIF87a/89a (logical
-    * screen size, little-endian at offsets 7-10). No codec needed:
-    * byte-slice + hex + conv, fully columnar and codegen'd, so a 100 TB
-    * media scan gets sizes/filtering without decoding a single pixel
-    * (how real lakehouse media pipelines triage before the GPU stage).
-    * Returns struct(mime, width, height); null for other formats. */
-  def headerImageMeta(bin: Column): Column = {
+    * and pixel dimensions parsed from the leading bytes — PNG (IHDR),
+    * GIF87a/89a (logical screen descriptor) and JPEG (segment walk to
+    * the first SOFn frame header, whose file position varies). No codec
+    * needed: one native codegen'd expression
+    * ([[graft.expressions.ImageHeaderMeta]]), so a 100 TB media scan
+    * gets sizes/filtering without decoding a single pixel (how real
+    * lakehouse media pipelines triage before the GPU stage). Returns
+    * struct(mime, width, height); null for unrecognized formats. */
+  def headerImageMeta(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ImageHeaderMeta(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** The `functions._`-composed PNG/GIF-only reference form of
+    * [[headerImageMeta]] — kept for the native-vs-composed parity test
+    * (JPEG needs a segment walk that fixed-offset column arithmetic
+    * can't express, which is why the pipeline path is native). */
+  private[graft] def headerImageMetaComposed(bin: Column): Column = {
     def be(start: Int, len: Int): Column =
       F.conv(F.hex(F.substring(bin, start, len)), 16, 10).cast(IntegerType)
     // little-endian 16-bit: swap the two bytes before the hex decode

@@ -57,33 +57,44 @@ object Similarity {
 
   /** Sign-bit LSH bucket id: for each of `planes` hyperplanes, the sign of
     * the projection; packed into a long. Vectors in the same bucket are
-    * likely cosine-close (random-hyperplane LSH). */
-  def signBits(vec: Column, planes: Int): Column = {
+    * likely cosine-close (random-hyperplane LSH). `planeOffset` selects an
+    * independent hyperplane family — offset by 64·t for hash table t, so
+    * multi-table LSH (the standard recall lever: OR across L independent
+    * tables) needs no RNG state, just a different offset. */
+  def signBits(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     val proj = (0 until planes).map { p =>
       val s = F.aggregate(
         F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+          (x, i) => x.cast(DoubleType) * planeComponent(planeOffset + p, i)),
         F.lit(0.0), (acc, x) => acc + x)
       F.when(s >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
     }
     proj.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: scan only the query's bucket (and
-    * optionally Hamming-1 neighbor buckets via `probes`). Recall < 1,
-    * corpus scan ÷ 2^planes. */
+  /** LSH-bucketed approximate top-k: scan only the query's buckets (plus
+    * Hamming-1 neighbor buckets when `probes > 1`) across `tables`
+    * independent hyperplane families. Recall ≈ 1 − (1 − p_table)^tables;
+    * corpus scan cost ≈ tables · (1 + planes·[probes>1]) / 2^planes of a
+    * full scan — ONE pass either way (the per-table bucket predicates OR
+    * together into a single filter, no unions, no shuffle). */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
-      query: Seq[Float], k: Int, planes: Int = 6, probes: Int = 1): DataFrame = {
-    val bucketed = corpus.withColumn("__bucket", signBits(F.col(vec), planes))
-    val qdf = corpus.sparkSession.range(1)
-      .select(F.typedlit(query).as("qv"))
-      .select(signBits(F.col("qv"), planes).as("qb")).collect()
-    val qBucket = qdf(0).getLong(0)
-    val targets: Seq[Long] =
-      if (probes <= 1) Seq(qBucket)
-      else qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+      query: Seq[Float], k: Int, planes: Int = 6, probes: Int = 1,
+      tables: Int = 1): DataFrame = {
+    // query-side buckets for every table in one 1-row job
+    val qRow = corpus.sparkSession.range(1)
+      .select((0 until tables).map(t =>
+        signBits(F.typedlit(query), planes, 64 * t).as(s"b$t")): _*)
+      .collect()(0)
+    val pred = (0 until tables).map { t =>
+      val qb = qRow.getLong(t)
+      val targets: Seq[Long] =
+        if (probes <= 1) Seq(qb)
+        else qb +: (0 until planes).map(p => qb ^ (1L << p))
+      signBits(F.col(vec), planes, 64 * t).isin(targets: _*)
+    }.reduce(_ || _)
     val q = F.typedlit(query)
-    bucketed.where(F.col("__bucket").isin(targets: _*))
+    corpus.where(pred)
       .select(F.col(id), cosine(F.col(vec), q).as("cosine"))
       .orderBy(F.col("cosine").desc, F.col(id))
       .limit(k)
@@ -129,16 +140,20 @@ object Similarity {
         graft.expressions.ColumnBridge.expression(vec)))
 
   /** The `functions._`-composed reference form of [[quantizeInt8]] —
-    * kept for the parity test. NOTE its lambda embeds the array_max
-    * subtree, re-evaluating the scale per ELEMENT (O(d²) per row) —
-    * the reason the pipeline path is the native expression. */
+    * kept for the native-vs-composed parity test (PipelineSpec). NOTE its
+    * lambda embeds the array_max subtree, re-evaluating the scale per
+    * ELEMENT (O(d²) per row) — the reason the pipeline path is the native
+    * expression. Null elements stay null and an empty/all-null vector
+    * gets scale 0.0, matching the native expression exactly. */
   private[graft] def quantizeInt8Composed(vec: Column): Column = {
-    val scale =
-      F.array_max(F.transform(vec, x => F.abs(x.cast(DoubleType)))) / 127.0
+    val scale = F.coalesce(
+      F.array_max(F.transform(vec, x => F.abs(x.cast(DoubleType)))) / 127.0,
+      F.lit(0.0))
     F.struct(
       F.when(scale > 0, F.transform(vec,
           x => F.round(x.cast(DoubleType) / scale, 0).cast(ByteType)))
-        .otherwise(F.transform(vec, _ => F.lit(0).cast(ByteType))).as("q"),
+        .otherwise(F.transform(vec,
+          x => F.when(x.isNotNull, F.lit(0).cast(ByteType)))).as("q"),
       scale.as("scale"))
   }
 
@@ -152,13 +167,45 @@ object Similarity {
       val assigned: DataFrame,
       val centers: Array[org.apache.spark.ml.linalg.Vector],
       val id: String, val vec: String) {
-    /** Pin the assignment (local/bench analogue of writing it out
-      * partitioned by `__list`). */
+    /** Pin the assignment (in-memory analogue of [[save]]). */
     def persist(): IvfIndex = { assigned.persist(); this }
     def unpersist(): IvfIndex = { assigned.unpersist(); this }
+
+    /** Persist the index: the assignment written PARTITIONED BY `__list`
+      * (one directory per inverted list), plus a JSON sidecar with the
+      * quantizer centroids and column names. A probe against the loaded
+      * index is then a partition-pruned read — `nprobe` directories'
+      * row groups, not a corpus scan (IvfSpec pins PartitionFilters). */
+    def save(path: String): Unit = {
+      assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
+      val cs = centers.map(_.toArray.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, IvfIndex.SIDECAR),
+        s"""{"id": "$id", "vec": "$vec", "centers": $cs}""")
+    }
   }
 
   object IvfIndex {
+    private[pipeline] val SIDECAR = "_ivf_centers.json"
+
+    /** Load a [[save]]d index. The assignment scan stays lazy and
+      * partition-aware; centroids come from the sidecar. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      import org.apache.spark.ml.linalg.Vectors
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, SIDECAR))
+      val meta = """\{"id": "([^"]*)", "vec": "([^"]*)", "centers": \[(.*)\]\}""".r
+      text match {
+        case meta(id, vec, inner) =>
+          val centers = inner.stripPrefix("[").stripSuffix("]")
+            .split("\\],\\s*\\[").filter(_.nonEmpty)
+            .map(s => Vectors.dense(s.split(",").map(_.toDouble)))
+          new IvfIndex(spark.read.parquet(path), centers, id, vec)
+        case _ => throw new IllegalArgumentException(
+          s"not an IVF index (bad $SIDECAR): $path")
+      }
+    }
     /** Observability for tests: total quantizer fits ever run — queries
       * against a fitted index must not move it. */
     val fits = new java.util.concurrent.atomic.AtomicLong
@@ -186,20 +233,56 @@ object Similarity {
     }
   }
 
-  /** All-pairs k-NN join (each left row → top-k right rows by cosine)
-    * via LSH co-bucketing; exact within bucket. For the exact small-side
-    * case broadcast the right side and use bruteForce per-row instead. */
+  /** All-pairs k-NN join (each left row → top-k right rows by cosine) via
+    * multi-table LSH co-bucketing with CAPPED right-side posting lists —
+    * never a bucket×bucket join. Shape:
+    *
+    *  1. right side: per table, exact bucket → posting list of at most
+    *     `maxBucket` ids (the bounded-memory [[
+    *     graft.expressions.CollectSmallest]] aggregate), so a degenerate
+    *     bucket contributes O(maxBucket) candidates, not O(|bucket|²);
+    *  2. left side: per table, own bucket + each Hamming-1 neighbor
+    *     (1-bit multi-probe — the recall lever on the query side);
+    *  3. candidates = postings ⋈ lists on (table, bucket), exploded and
+    *     deduped — per left row at most tables·(planes+1)·maxBucket,
+    *     a constant independent of corpus size;
+    *  4. exact cosine on candidates, window top-k per left id (bounded
+    *     input per key — no quadratic intermediate).
+    *
+    * Recall/cost knobs: more `tables` buys recall linearly in cost; more
+    * `planes` shrinks buckets (finer candidates, lower recall per table).
+    * For the exact small-side case broadcast the right side and use
+    * bruteForce per-row instead. */
   def knnJoin(left: DataFrame, right: DataFrame, idL: String, idR: String,
-      vecL: String, vecR: String, k: Int, planes: Int = 4): DataFrame = {
+      vecL: String, vecR: String, k: Int, planes: Int = 12,
+      tables: Int = 4, maxBucket: Int = 256): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
     val l = left.select(F.col(idL).as("lid"), F.col(vecL).as("lv"))
-      .withColumn("bucket", signBits(F.col("lv"), planes))
+      .localCheckpoint(false)
     val r = right.select(F.col(idR).as("rid"), F.col(vecR).as("rv"))
-      .withColumn("bucket", signBits(F.col("rv"), planes))
-    val joined = l.join(r, "bucket")
-      .withColumn("cosine", cosine(F.col("lv"), F.col("rv")))
+      .localCheckpoint(false)
+    val rLists = (0 until tables).map { t =>
+      r.select(F.col("rid"), F.lit(t).as("tbl"),
+        signBits(F.col("rv"), planes, 64 * t).as("bucket"))
+    }.reduce(_ unionByName _)
+      .groupBy("tbl", "bucket")
+      .agg(Dedup.smallestIds(r.schema("rid").dataType, F.col("rid"),
+        maxBucket).as("rids"))
+    val lPost = (0 until tables).map { t =>
+      val b = signBits(F.col("lv"), planes, 64 * t)
+      val probeBuckets = F.array((b +: (0 until planes).map(p =>
+        b.bitwiseXOR(F.lit(1L << p)))): _*)
+      l.select(F.col("lid"), F.lit(t).as("tbl"),
+        F.explode(probeBuckets).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = lPost.join(rLists, Seq("tbl", "bucket"))
+      .select(F.col("lid"), F.explode(F.col("rids")).as("rid"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lid").orderBy(F.col("cosine").desc, F.col("rid"))
-    joined.withColumn("__rank", F.row_number().over(w))
+    cands.join(l, "lid").join(r, "rid")
+      .withColumn("cosine", cosine(F.col("lv"), F.col("rv")))
+      .withColumn("__rank", F.row_number().over(w))
       .where(F.col("__rank") <= k)
       .select(F.col("lid"), F.col("rid"), F.col("cosine"))
   }

@@ -111,6 +111,10 @@ object Ast {
   final case class ConstructQuery(template: Seq[TriplePattern],
       where: GraphPattern, mods: Modifiers) extends Query
   final case class AskQuery(where: GraphPattern) extends Query
+  /** DESCRIBE: targets are IRIs (TermNode) and/or variables (VarNode)
+    * bound by the optional WHERE pattern. */
+  final case class DescribeQuery(targets: Seq[Node],
+      where: Option[GraphPattern]) extends Query
 
   final case class Prologue(base: Option[String], prefixes: Map[String, String])
 
@@ -126,6 +130,11 @@ object Ast {
       where: GraphPattern) extends UpdateOp
   final case class DeleteWhere(template: Seq[TriplePattern]) extends UpdateOp
   case object ClearAll extends UpdateOp
+  /** LOAD <url> [INTO GRAPH <g>] — the engine unions the parsed document
+    * into the (single) default graph; the INTO GRAPH target is parsed for
+    * grammar completeness (the reference has no named-graph store either,
+    * gastrodon/__init__.py:905-907). */
+  final case class Load(url: String, intoGraph: Option[String]) extends UpdateOp
 
   final case class ParsedUpdate(prologue: Prologue, ops: Seq[UpdateOp])
 

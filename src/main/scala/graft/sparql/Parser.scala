@@ -495,8 +495,15 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def askQuery: Parser[AskQuery] =
     kw("ASK") ~> rep(datasetClause) ~> groupGraphPattern ^^ AskQuery.apply
 
+  def describeQuery: Parser[DescribeQuery] =
+    kw("DESCRIBE") ~> rep1(
+      varName ^^ (VarNode(_): Node) | iri ^^ (i => TermNode(Iri(i)): Node)) ~
+      (rep(datasetClause) ~> opt(whereClause)) ^^ {
+      case ts ~ w => DescribeQuery(ts, w)
+    }
+
   def query: Parser[ParsedQuery] =
-    prologue ~ (selectQuery | constructQuery | askQuery) ^^ {
+    prologue ~ (selectQuery | constructQuery | askQuery | describeQuery) ^^ {
       case p ~ q => ParsedQuery(p, q)
     }
 
@@ -512,6 +519,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     kw("DELETE") ~> kw("DATA") ~> "{" ~> opt(triplesBlock) <~ "}" ^^ (t => DeleteData(t.getOrElse(Nil))) |
     kw("DELETE") ~> kw("WHERE") ~> ("{" ~> opt(triplesBlock) <~ "}") ^^ (t => DeleteWhere(t.getOrElse(Nil))) |
     kw("CLEAR") ~> opt(kw("SILENT")) ~> (kw("ALL") | kw("DEFAULT")) ^^ (_ => ClearAll) |
+    kw("LOAD") ~> opt(kw("SILENT")) ~> iri ~
+      opt(kw("INTO") ~> kw("GRAPH") ~> iri) ^^ {
+      case url ~ g => Load(url, g)
+    } |
     modify
 
   def modify: Parser[UpdateOp] = {

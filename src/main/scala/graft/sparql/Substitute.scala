@@ -30,6 +30,7 @@ object Substitute {
         case Modify(d, i, w) =>
           Modify(d.map(triple(_, m)), i.map(triple(_, m)), pattern(w, m))
         case ClearAll => ClearAll
+        case l: Load => l
       }
     }
 
