@@ -163,6 +163,51 @@ class Engine(initial: RdfGraph) {
     }
   }
 
+  /** DESCRIBE → concise bounded description graph. SPARQL 1.1 leaves the
+    * result form to the implementation; this returns, for every target
+    * node (explicit IRIs plus each variable's bindings from the optional
+    * WHERE pattern), the outbound triples and the blank-node closure —
+    * exactly the walk the reference's `peel` performs one HTTP round-trip
+    * at a time (gastrodon/__init__.py:688-743), here one distributed join
+    * per BFS level over the WHOLE target set at once, so `DESCRIBE ?x
+    * WHERE {...}` with a million bindings is still O(depth) jobs. */
+  def describe(sparql: String, bindings: Map[String, Any] = Map.empty): RdfGraph =
+    wrapRuntime(sparql) {
+      parse(sparql).query match {
+        case d: DescribeQuery =>
+          // the reference's `?_x` convention (gastrodon/__init__.py:45)
+          val terms = toTerms(bindings).map { case (k, v) => ("_" + k, v) }
+          val targets = d.targets.map {
+            case VarNode(v) if terms.contains(v) => TermNode(terms(v))
+            case n => n
+          }
+          val iriTargets = targets.collect { case TermNode(t) => t }
+          val varTargets = targets.collect { case VarNode(v) => v }
+          val iriDf =
+            if (iriTargets.isEmpty) None
+            else Some(iriTargets.map(t =>
+              spark.range(1).select(termCol(t).as("n"))).reduce(_ union _))
+          val varDf = (d.where, varTargets) match {
+            case (Some(w), vs) if vs.nonEmpty =>
+              val bound = compiler.compile(Substitute.pattern(w, terms))
+              val cols = vs.filter(bound.columns.contains)
+              if (cols.isEmpty) None
+              else Some(cols.map(v => bound.select(F.col(v).as("n"))
+                .where(F.col("n").isNotNull)).reduce(_ union _))
+            case _ => None
+          }
+          val frontier = (iriDf, varDf) match {
+            case (Some(a), Some(b)) => a.union(b)
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case (None, None) =>
+              throw new GraftException("DESCRIBE requires at least one target")
+          }
+          cbd(frontier)
+        case _ => throw new GraftException("describe() requires a DESCRIBE query")
+      }
+    }
+
   /** SPARQL UPDATE: INSERT/DELETE (DATA|WHERE) — swaps in a new graph
     * version (gastrodon/__init__.py:596-623; set semantics make repeated
     * rule application idempotent, which the reference's forward-chaining
@@ -195,6 +240,19 @@ class Engine(initial: RdfGraph) {
       graph = g
     case ClearAll =>
       graph = RdfGraph.empty(spark).copy(prefixes = graph.prefixes)
+    case Load(url, _) =>
+      // LOAD <doc> [INTO GRAPH <g>] (gastrodon/__init__.py:905-907). The
+      // store is single-graph, so the INTO target is accepted and merged
+      // into the default graph. N-Triples (.nt/.nt.gz) reads distributed;
+      // Turtle parses driver-side (same split as the standalone sources).
+      val path = url.stripPrefix("file://")
+      val loaded =
+        if (path.endsWith(".ttl"))
+          sources.Turtle.parse(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8"), spark)
+        else sources.NTriples.read(spark, path)
+      graph = graph.insert(loaded.triples)
+        .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }
 
   private def groundTriples(ts: Seq[TriplePattern]): DataFrame = {
@@ -267,9 +325,15 @@ class Engine(initial: RdfGraph) {
     * graph (peel, gastrodon/__init__.py:688-743). The reference walks one
     * node per HTTP round-trip; here each BFS level is ONE distributed join
     * over the whole frontier. */
-  def peel(node: RdfTerm): RdfGraph = {
+  def peel(node: RdfTerm): RdfGraph =
+    cbd(spark.range(1).select(termCol(node).as("n")))
+
+  /** Concise bounded description of every node in `frontier0` (one
+    * term-struct column `n`): outbound triples plus the blank-node
+    * closure — the shared walk behind [[peel]] and [[describe]]. */
+  private def cbd(frontier0: DataFrame): RdfGraph = {
     val t = graph.triples
-    var frontier = spark.range(1).select(termCol(node).as("n"))
+    var frontier = frontier0.distinct()
     var seen = frontier
     var acc: DataFrame = null
     var i = 0

@@ -182,6 +182,71 @@ class OperatorSpec extends SparkSpec {
     assert(other.count() == 0)
   }
 
+  test("DESCRIBE <iri> returns the concise bounded description (peel semantics)") {
+    // gastrodon/__init__.py:688-743 — DESCRIBE reuses the peel walk
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :thing :part [ :name "wheel" ; :sub [ :name "spoke" ] ] ;
+               :label "cart" .
+        :other :label "nope" .
+      """)
+    val d = e.describe("DESCRIBE <http://example.com/thing>")
+    assert(d.size == 5) // same closure the peel test pins
+    val peeled = e.peel(Iri("http://example.com/thing"))
+    assert(d.triples.except(peeled.triples).isEmpty &&
+      peeled.triples.except(d.triples).isEmpty)
+    // multiple targets union their descriptions
+    val both = e.describe(
+      "DESCRIBE <http://example.com/thing> <http://example.com/other>")
+    assert(both.size == 6)
+  }
+
+  test("DESCRIBE ?x WHERE binds targets from the pattern") {
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :a a :Widget ; :name "a" ; :part [ :name "a-sub" ] .
+        :b a :Widget ; :name "b" .
+        :c a :Gadget ; :name "c" .
+      """)
+    e.bindNamespace("", "http://example.com/")
+    val d = e.describe("DESCRIBE ?x WHERE { ?x a <http://example.com/Widget> }")
+    // :a{type,name,part} + bnode{name} + :b{type,name} = 6; :c excluded
+    assert(d.size == 6)
+    assert(d.triples.where(
+      org.apache.spark.sql.functions.col("s.value") === "http://example.com/c")
+      .count() == 0)
+    // ?_binding substitution narrows the target like any other query
+    val one = e.describe("DESCRIBE ?_x", Map("x" -> Iri("http://example.com/b")))
+    assert(one.size == 2)
+  }
+
+  test("UPDATE LOAD unions a document into the graph (idempotent)") {
+    // gastrodon/__init__.py:905-907 parses LOAD in update()
+    val e = Engine.inline(
+      """
+        @prefix : <http://example.com/> .
+        :x :label "seed" .
+      """)
+    val dir = java.nio.file.Files.createTempDirectory("graft_load").toFile
+    dir.deleteOnExit()
+    val nt = new java.io.File(dir, "doc.nt")
+    java.nio.file.Files.writeString(nt.toPath,
+      "<http://example.com/x> <http://example.com/label> \"seed\" .\n" +
+      "<http://example.com/y> <http://example.com/label> \"loaded\" .\n")
+    e.update(s"LOAD <file://${nt.getAbsolutePath}>")
+    assert(e.graph.size == 2) // set semantics: the seed triple dedups
+    e.update(s"LOAD <file://${nt.getAbsolutePath}> INTO GRAPH <http://example.com/g>")
+    assert(e.graph.size == 2) // idempotent re-load, INTO GRAPH accepted
+    val ttl = new java.io.File(dir, "doc.ttl")
+    java.nio.file.Files.writeString(ttl.toPath,
+      "@prefix ex: <http://example.com/> .\nex:z ex:label \"turtle\" .\n")
+    e.update(s"LOAD <file://${ttl.getAbsolutePath}>")
+    assert(e.graph.size == 3)
+    assert(e.graph.prefixes.get("ex").contains("http://example.com/"))
+  }
+
   test("GROUP BY + HAVING + ORDER BY DESC(count)") {
     // DBpedia_Schema_Queries.ipynb:309/2872 shapes
     val df = engine.select(

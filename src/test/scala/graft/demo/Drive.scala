@@ -62,6 +62,21 @@ object Drive {
            ?b :pop ?pop
          } ORDER BY DESC(?pop) LIMIT 3""").show(false)
 
+    println("=== DESCRIBE <iri> (concise bounded description):")
+    println(Engine.fromGraph(engine.describe(
+      "DESCRIBE <http://example.com/Manhattan>")).ttl())
+
+    println("=== DESCRIBE ?x WHERE (targets bound by pattern):")
+    println("describe size = " + engine.describe(
+      "DESCRIBE ?x WHERE { ?x a :BigBoro }").size)
+
+    println("=== UPDATE LOAD from an N-Triples file:")
+    val tmp = java.nio.file.Files.createTempFile("drive", ".nt")
+    java.nio.file.Files.writeString(tmp,
+      "<http://example.com/Hoboken> <http://example.com/pop> \"60419\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n")
+    engine.update(s"LOAD <file://$tmp>")
+    engine.select("SELECT ?b ?pop { ?b :pop ?pop } ORDER BY ?pop LIMIT 2").show(false)
+
     println("=== dedup pairs -> canonical groups:")
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
