@@ -38,6 +38,38 @@ class GraphStoreSpec extends SparkSpec {
     assert(got == want && got == 150)
   }
 
+  test("Zipf-hot predicate splits across write tasks (no straggler file)") {
+    // rdf:type-style skew: one predicate holds ~99% of the rows. The
+    // range shuffle on (predicate, subject) must spread it over several
+    // tasks — one giant single-task file is the 100 TB straggler the
+    // r6 verdict flagged.
+    import graft.rdf._
+    val hot = (0 until 4000).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/type"): RdfTerm,
+        Iri(s"urn:c/${i % 7}"): RdfTerm))
+    val cold = (0 until 50).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri(s"urn:p/cold${i % 5}"): RdfTerm,
+        Lit.plain(s"v$i"): RdfTerm))
+    val g = RdfGraph.fromTriples(spark, hot ++ cold)
+    val out = Files.createTempDirectory("graft-store-skew").toFile
+    // AQE rightly coalesces a ~100 KB shuffle to one partition; disable
+    // coalescing so the test observes the RANGE boundaries themselves
+    // (at real scale the size-based coalesce never merges past the
+    // advisory partition size, so hot predicates still split)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try GraphStore.save(g, out.getAbsolutePath)
+    finally spark.conf.set(key, old)
+    val hotDir = new java.io.File(out, "__pred=urn%3Ap%2Ftype")
+    assert(hotDir.isDirectory, s"missing ${hotDir} in ${out.list.toSeq}")
+    val parts = hotDir.listFiles.count(_.getName.startsWith("part-"))
+    assert(parts > 1, s"hot predicate written by a single task ($parts file)")
+    // and the layout still round-trips
+    val loaded = GraphStore.load(spark, out.getAbsolutePath)
+    assert(loaded.size == g.size)
+  }
+
   test("constant-predicate scans are partition-pruned") {
     val out = Files.createTempDirectory("graft-store3").toFile.getAbsolutePath
     GraphStore.save(Tables.graph(spark, dir, "nation"), out)

@@ -78,4 +78,59 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).contains(("image/gif", 3, 5)))
     assert(rows(3L).isEmpty)
   }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // SOI + APP0(JFIF) + comment + SOFn(height 30, width 40) — the SOF
+  // segment sits at a file-dependent offset, which is what the segment
+  // walk handles (fixed-offset column arithmetic cannot)
+  private def jpegBytes(sofMarker: String): Array[Byte] = hexBytes(
+    "FFD8" +
+    "FFE000104A46494600010100004800480000" + // APP0, len 16
+    "FFFE0004ABCD" +                          // COM, len 4
+    "FF" + sofMarker + "001108" + "001E" + "0028" +
+    "03012200021101031101")                   // SOF, len 17, h=30 w=40
+
+  test("header metadata parses JPEG baseline and progressive SOF segments") {
+    import spark.implicits._
+    val truncated = hexBytes("FFD8FFE000104A4649") // dies mid-APP0
+    val scanFirst = hexBytes("FFD8FFDA0002")       // SOS before any SOF
+    val df = Seq(
+      (1L, jpegBytes("C0")), (2L, jpegBytes("C2")),
+      (3L, truncated), (4L, scanFirst))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        graft.pipeline.Multimodal.headerImageMeta(F.col("content")).as("m"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(rows(1L).contains(("image/jpeg", 40, 30)))
+    assert(rows(2L).contains(("image/jpeg", 40, 30))) // progressive SOF2
+    assert(rows(3L).isEmpty)
+    assert(rows(4L).isEmpty)
+  }
+
+  test("native header expression matches the composed PNG/GIF form") {
+    import spark.implicits._
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "0000004000000030" + "0806000000")
+    val gif = "GIF87a".getBytes("US-ASCII") ++ hexBytes("0A001400")
+    val junk = "GIF8".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, gif), (3L, junk)).toDF("id", "content")
+    val both = df.select(
+      graft.pipeline.Multimodal.headerImageMeta(F.col("content")).as("n"),
+      graft.pipeline.Multimodal.headerImageMetaComposed(F.col("content")).as("c"))
+    assert(both.where(F.col("n") =!= F.col("c") ||
+      F.col("n").isNull =!= F.col("c").isNull).count() == 0)
+  }
+
+  test("batched decode takes the REAL header path for recognized formats") {
+    import spark.implicits._
+    val df = Seq((1L, jpegBytes("C0"))).toDF("id", "media")
+    val m = Multimodal.withDecodedMeta(df, "media").select("meta.*").collect()(0)
+    // real parse: JPEG mime + exact SOF dimensions + single frame
+    assert(m.getString(0) == "image/jpeg")
+    assert(m.getInt(1) == 40 && m.getInt(2) == 30)
+  }
 }

@@ -267,6 +267,25 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("native int8 quantization matches the functions-composed form") {
+    import spark.implicits._
+    // fixture vectors plus the corners: empty array, null elements,
+    // all-zero (scale 0)
+    val corners = Seq(
+      Seq.empty[java.lang.Float],
+      Seq[java.lang.Float](null, 1.0f, -2.0f),
+      Seq[java.lang.Float](0.0f, 0.0f),
+      Seq[java.lang.Float](null, null))
+      .toDF("embedding")
+    val all = emb.select(F.col("embedding").cast("array<float>"))
+      .unionByName(corners.select(F.col("embedding").cast("array<float>")))
+    val both = all.select(
+      Similarity.quantizeInt8(F.col("embedding")).as("n"),
+      Similarity.quantizeInt8Composed(F.col("embedding")).as("c"))
+    assert(both.where(F.col("n") =!= F.col("c") ||
+      F.col("n").isNull =!= F.col("c").isNull).count() == 0)
+  }
+
   test("chunking covers every token with the configured overlap") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
