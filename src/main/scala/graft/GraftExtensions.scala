@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{MinHashSig, ShingleHashes, SimHash64}
+import graft.expressions.{CosineSim, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -51,6 +51,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig(hashes, n) takes 2 arguments")
         MinHashSig(args.head, litInt(args(1), "signature size n"))
+      }))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info(classOf[CosineSim], "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("image_header_meta"),
+      info(classOf[ImageHeaderMeta], "image_header_meta",
+        "image_header_meta(bytes) - (mime, width, height) from PNG/GIF/JPEG headers"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "image_header_meta(bytes) takes 1 argument")
+        ImageHeaderMeta(args.head)
       }))
   }
 }

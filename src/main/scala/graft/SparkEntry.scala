@@ -228,6 +228,16 @@ object SparkEntry {
            WHERE { ?c gp:c_acctbal ?b FILTER(?b > 9000.0) }""")
       e.select(P + "SELECT (COUNT(*) AS ?n) { ?c a <urn:graft:class/rich> }")
     }),
+    "q_describe" -> ((s, dir) => {
+      // DESCRIBE = concise bounded description (outbound triples; the
+      // direct mapping has no blank nodes so the closure is depth 0) —
+      // dumped as raw term values so DuckDB can reconstruct the same
+      // triple set from the source row
+      val e = eng(s, dir, "nation")
+      e.describe("DESCRIBE <urn:graft:nation/3>").triples.select(
+        F.col("s.value").as("s"), F.col("p.value").as("p"),
+        F.col("o.value").as("o"))
+    }),
     "q_update_delete" -> ((s, dir) => {
       val e = eng(s, dir, "region")
       e.update(P +
@@ -627,6 +637,18 @@ object SparkEntry {
       """SELECT 'urn:graft:customer/' || CAST(c_custkey AS VARCHAR) AS s,
                 'urn:graft:p/in_nation' AS p, n_name AS o
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q_describe" ->
+      """WITH t AS (SELECT * FROM nation WHERE n_nationkey = 3)
+         SELECT 'urn:graft:nation/3' AS s, 'urn:graft:p/n_nationkey' AS p,
+                CAST(n_nationkey AS VARCHAR) AS o FROM t
+         UNION ALL SELECT 'urn:graft:nation/3', 'urn:graft:p/n_name', n_name FROM t
+         UNION ALL SELECT 'urn:graft:nation/3', 'urn:graft:p/n_regionkey',
+                CAST(n_regionkey AS VARCHAR) FROM t
+         UNION ALL SELECT 'urn:graft:nation/3', 'urn:graft:p/n_region_ref',
+                'urn:graft:region/' || CAST(n_regionkey AS VARCHAR) FROM t
+         UNION ALL SELECT 'urn:graft:nation/3',
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                'urn:graft:class/nation' FROM t""",
     "q_update_insert" ->
       "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > 9000.0",
     "q_update_delete" ->

@@ -26,6 +26,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.getSeq[Long](2) == df.getSeq[Long](2))
   }
 
+  test("cosine_sim and image_header_meta resolve in spark.sql") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+                image_header_meta(unhex(concat(
+                  '89504E470D0A1A0A0000000D49484452',
+                  '0000000200000003', '0806000000'))) AS m
+      """).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val m = r.getStruct(1)
+    assert(m.getString(0) == "image/png" && m.getInt(1) == 2 && m.getInt(2) == 3)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), id + 1) FROM range(1)")

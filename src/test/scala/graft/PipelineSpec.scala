@@ -352,6 +352,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint is order-sensitive, partition-stable, whitespace-normal") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val texts = Seq("the quick brown fox", "quick the brown fox",
+      "the  quick brown  fox", "the quick brown fox jumps")
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .select(F.col("t"), TextAnalysis.fingerprint(F.col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = fp(texts.toDF("t"))
+    val b = fp(texts.toDF("t").repartition(7)) // partitioning-independent
+    assert(a == b)
+    assert(a(texts(0)) != a(texts(1))) // token order changes the hash
+    assert(a(texts(0)) == a(texts(2))) // whitespace runs don't
+    assert(a(texts(0)) != a(texts(3))) // suffix changes the hash
+    // and the corpus-level pin the q_fingerprint query relies on:
+    // distinct texts map to distinct fingerprints on the fixture
+    val corpus = docs.select(TextAnalysis.fingerprint(F.col("text")).as("fp"),
+      F.col("text"))
+    assert(corpus.select("fp").distinct().count() ==
+      corpus.select("text").distinct().count())
+  }
+
   test("PII redaction replaces emails, phones, and IPs with tags") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

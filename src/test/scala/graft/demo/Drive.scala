@@ -11,6 +11,7 @@ object Drive {
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
       .appName("graft-drive")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -76,6 +77,15 @@ object Drive {
       "<http://example.com/Hoboken> <http://example.com/pop> \"60419\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n")
     engine.update(s"LOAD <file://$tmp>")
     engine.select("SELECT ?b ?pop { ?b :pop ?pop } ORDER BY ?pop LIMIT 2").show(false)
+
+    println("=== native expressions registered as SQL functions:")
+    spark.sql(
+      """SELECT cosine_sim(array(1.0F, 2.0F), array(2.0F, 4.0F)) AS cos,
+                simhash64(split('the quick brown fox', ' ')) AS sh,
+                image_header_meta(unhex(concat(
+                  '89504E470D0A1A0A0000000D49484452',
+                  '0000000200000003', '0806000000'))) AS png
+      """).show(false)
 
     println("=== dedup pairs -> canonical groups:")
     import spark.implicits._
