@@ -41,19 +41,31 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
       "doc_id", "text", threshold = 0.8, k = 3, numHashes = 32, bands = 8).count()
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // A failing query must surface as an error entry, never as a fast time:
-    // a benchmark that silently converts crashes into good numbers is
-    // measuring nothing.
+    // Steady-state timing: each query runs `reps` times end-to-end
+    // (plan + execute + count) and reports the MINIMUM — the runs share
+    // nothing (no caching between reps), so min-of-N measures the code's
+    // latency rather than co-tenant noise, matching the reference
+    // baseline's steady-state numbers. A failing query must surface as an
+    // error entry, never as a fast time: a benchmark that silently
+    // converts crashes into good numbers is measuring nothing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, best, err)
     }
-    println(renderJson(results, sfDir))
+    println(renderJson(results, sfDir, reps))
     spark.stop()
   }
 
@@ -66,10 +78,10 @@ object Bench {
     } + "\""
 
   /** The one-line result JSON: successful queries under "queries" with
-    * their seconds; failed ones under "errors" with the exception — never
-    * as a (meaningless) time. */
+    * their best-of-`reps` seconds; failed ones under "errors" with the
+    * exception — never as a (meaningless) time. */
   def renderJson(results: Seq[(String, Double, Option[String])],
-      sfDir: String): String = {
+      sfDir: String, reps: Int = 1): String = {
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => jstr(k) + f":$v%.3f" }
       .mkString("{", ",", "}")
@@ -77,6 +89,6 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":${jstr(sfDir)}}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs$errField,"sf":${jstr(sfDir)}}"""
   }
 }

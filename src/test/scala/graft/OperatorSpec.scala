@@ -335,7 +335,8 @@ class OperatorSpec extends SparkSpec {
     val json = Bench.renderJson(Seq(
       ("q_ok", 1.234, None),
       ("q_boom", 0.001, Some("""AnalysisException: "col" not found"""))),
-      "/tmp/sf")
+      "/tmp/sf", reps = 3)
+    assert(json.contains(""""reps":3"""))
     assert(json.contains(""""q_ok":1.234"""))
     assert(json.contains(""""errors":{"q_boom":"AnalysisException: \"col\" not found"}"""))
     assert(!json.contains(""""q_boom":0.001"""))
