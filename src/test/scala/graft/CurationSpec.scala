@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.pipeline.{Curation, TextAnalysis}
+
+/** The composed curation flow: each stage drops exactly the rows its
+  * contract says, in the documented order (gate → exact dedup →
+  * decontamination → chunking). */
+class CurationSpec extends SparkSpec {
+
+  // quality ≥ 0.7 and lang 'en' need enough length + stopword ratio;
+  // build texts whose gate outcome is unambiguous
+  private val good =
+    "the cat sat on the mat and it was happy with that state of affairs " +
+      "for the rest of the day in the sun by the window with a warm blanket"
+  private val short_ = "tiny"                      // len_score kills quality
+  private val german =
+    "der hund ist nicht mit der katze und das haus ist auf dem berg " +
+      "und die sonne ist mit den wolken auf dem himmel für den tag"
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, good),            // survives
+      (2L, good),            // exact dup of 1 → dropped (keep min id)
+      (3L, short_),          // quality gate drops
+      (4L, german),          // lang gate drops when langs = en only
+      (5L, good + " extra distinct tail words here for unique content")
+    ).toDF("doc_id", "text")
+  }
+
+  test("gate, dedup, and chunk compose in order") {
+    val out = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4)
+    val byDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 survives (not 2 — min id wins), 3 and 4 gated out, 5 survives
+    assert(byDoc.keySet == Set(1L, 5L))
+    // chunk arithmetic: ceil((n-8)/4)+1 windows over the token count
+    val n1 = good.trim.split("\\s+").length
+    assert(byDoc(1L) == ((n1 - 8 + 3) / 4) + 1)
+  }
+
+  test("widening the language set admits the German doc") {
+    val out = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en", "de"), benchmark = None,
+      chunkSize = 8, chunkStride = 4)
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+  }
+
+  test("decontamination drops docs overlapping the benchmark") {
+    import spark.implicits._
+    // benchmark shares a 13-gram with doc 5's tail but not doc 1
+    val bench = Seq(good + " extra distinct tail words here for unique content")
+      .toDF("text")
+    val out = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"),
+      benchmark = Some((bench, "text")), contaminationK = 13,
+      chunkSize = 8, chunkStride = 4)
+    // doc 5 is contaminated; doc 1 is a PREFIX of the benchmark doc, so
+    // its 13-grams all appear there too → both dropped... unless doc 1's
+    // grams differ. They don't (prefix ⊂ benchmark grams): empty result.
+    assert(out.select("doc_id").distinct().collect().isEmpty)
+    // a benchmark with no overlap keeps both
+    val far = Seq("completely unrelated benchmark content with none of " +
+      "those words appearing anywhere in the corpus documents at all " +
+      "zebra quartz fjord").toDF("text")
+    val out2 = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"),
+      benchmark = Some((far, "text")), contaminationK = 13,
+      chunkSize = 8, chunkStride = 4)
+    assert(out2.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
+  test("the composed plan keeps the gate in the scan stage") {
+    val out = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None)
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly one exchange from the dedup window — the narrow stages
+    // (gate, chunk) must not add shuffles of their own
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+}
