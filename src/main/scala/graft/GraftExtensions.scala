@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSim, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
+import graft.expressions.{AudioHeaderMeta, CosineSim, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "image_header_meta(bytes) takes 1 argument")
         ImageHeaderMeta(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("audio_header_meta"),
+      info(classOf[AudioHeaderMeta], "audio_header_meta",
+        "audio_header_meta(bytes) - (mime, channels, sample_rate, " +
+          "bits_per_sample, duration_ms) from WAV/FLAC headers"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "audio_header_meta(bytes) takes 1 argument")
+        AudioHeaderMeta(args.head)
       }))
   }
 }

@@ -118,6 +118,19 @@ object Multimodal {
       graft.expressions.ImageHeaderMeta(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Header-level AUDIO metadata from the raw leading bytes of a binary
+    * column — the audio sibling of [[headerImageMeta]]: WAV (RIFF chunk
+    * walk to `fmt `/`data`) and FLAC (STREAMINFO bit-field). Returns
+    * struct(mime, channels, sample_rate, bits_per_sample, duration_ms);
+    * null for unrecognized formats, null duration when the header doesn't
+    * pin it (FLAC total_samples = 0). Native codegen'd expression
+    * ([[graft.expressions.AudioHeaderMeta]]) — rate/length triage at scan
+    * speed, no decode. */
+  def headerAudioMeta(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.AudioHeaderMeta(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** The `functions._`-composed PNG/GIF-only reference form of
     * [[headerImageMeta]] — kept for the native-vs-composed parity test
     * (JPEG needs a segment walk that fixed-offset column arithmetic

@@ -26,6 +26,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.getSeq[Long](2) == df.getSeq[Long](2))
   }
 
+  test("audio_header_meta resolves in spark.sql") {
+    // minimal canonical WAV: mono 8-bit 8 kHz, 8000-byte data = 1 s
+    val r = spark.sql(
+      """SELECT audio_header_meta(unhex(concat(
+           '52494646', '24000000', '57415645',
+           '666D7420', '10000000', '0100', '0100', '401F0000', '401F0000',
+           '0100', '0800', '64617461', '401F0000'))) AS m""").collect()(0)
+    val m = r.getStruct(0)
+    assert(m.getString(0) == "audio/wav" && m.getInt(1) == 1 &&
+      m.getInt(2) == 8000 && m.getInt(3) == 8 && m.getLong(4) == 1000L)
+  }
+
   test("cosine_sim and image_header_meta resolve in spark.sql") {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,

@@ -125,6 +125,57 @@ class MultimodalSpec extends SparkSpec {
       F.col("n").isNull =!= F.col("c").isNull).count() == 0)
   }
 
+  // canonical WAV: stereo 16-bit 44.1 kHz, 1 s of data, with an extra
+  // odd-length LIST chunk before fmt to exercise the aligned chunk walk
+  private def wavBytes(withListChunk: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val list = if (withListChunk)
+      "LIST".getBytes("US-ASCII") ++ le32(5) ++
+        Array[Byte]('I', 'N', 'F', 'O', 'x', 0) // odd size → pad byte
+    else Array.emptyByteArray
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(176400) ++
+      Array.fill[Byte](8)(0) // payload truncated: size field is the truth
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  // FLAC STREAMINFO: 44.1 kHz stereo 16-bit, 441000 samples = 10 s
+  private def flacBytes(totalSamples: Boolean): Array[Byte] =
+    "fLaC".getBytes("US-ASCII") ++ hexBytes(
+      "00000022" +               // last=0, type=0 (STREAMINFO), len 34
+      "10001000" + "000000000000" +          // block/frame size bounds
+      "0AC442" + (if (totalSamples) "F00006BAA8" else "F000000000") +
+      "00000000000000000000000000000000")    // md5 of the stream
+
+  test("audio header metadata parses WAV and FLAC bytes without a codec") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, wavBytes(withListChunk = false)),
+      (2L, wavBytes(withListChunk = true)),
+      (3L, flacBytes(totalSamples = true)),
+      (4L, flacBytes(totalSamples = false)),
+      (5L, "RIFFxxxxAVI ".getBytes("US-ASCII")), // RIFF but not WAVE
+      (6L, Array[Byte](1, 2, 3)))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.headerAudioMeta(F.col("content")).as("m"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      Option(r.getStruct(1)).map(s => (s.getString(0), s.getInt(1),
+        s.getInt(2), s.getInt(3),
+        if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    assert(rows(1L).contains(("audio/wav", 2, 44100, 16, 1000L)))
+    assert(rows(2L).contains(("audio/wav", 2, 44100, 16, 1000L)))
+    assert(rows(3L).contains(("audio/flac", 2, 44100, 16, 10000L)))
+    assert(rows(4L).contains(("audio/flac", 2, 44100, 16, -1L))) // unknown
+    assert(rows(5L).isEmpty)
+    assert(rows(6L).isEmpty)
+  }
+
   test("batched decode takes the REAL header path for recognized formats") {
     import spark.implicits._
     val df = Seq((1L, jpegBytes("C0"))).toDF("id", "media")

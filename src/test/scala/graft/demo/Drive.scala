@@ -84,7 +84,11 @@ object Drive {
                 simhash64(split('the quick brown fox', ' ')) AS sh,
                 image_header_meta(unhex(concat(
                   '89504E470D0A1A0A0000000D49484452',
-                  '0000000200000003', '0806000000'))) AS png
+                  '0000000200000003', '0806000000'))) AS png,
+                audio_header_meta(unhex(concat(
+                  '52494646', '24000000', '57415645',
+                  '666D7420', '10000000', '0100', '0100', '401F0000',
+                  '401F0000', '0100', '0800', '64617461', '401F0000'))) AS wav
       """).show(false)
 
     println("=== dedup pairs -> canonical groups:")
