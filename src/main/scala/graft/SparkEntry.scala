@@ -514,6 +514,39 @@ object SparkEntry {
         F.col("meta.height").as("height"),
         Multimodal.resizePlan(F.col("meta"), 256).getField("width").as("rw"),
         F.size(Multimodal.sampleFrameIndexes(F.col("meta"), 4)).as("n_sampled"))
+    }),
+    "q_audio_meta" -> ((s, dir) => {
+      // oracle-verified audio parse: synthesize a VALID per-doc WAV header
+      // whose fields derive from doc_id, parse it back with the native
+      // expression — the oracle recomputes the fields arithmetically, so
+      // the byte-level parser is checked against ground truth per row
+      def le16(v: org.apache.spark.sql.Column) = {
+        val h = F.lpad(F.hex(v), 4, "0")
+        F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+      }
+      def le32(v: org.apache.spark.sql.Column) = {
+        val h = F.lpad(F.hex(v), 8, "0")
+        F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+          F.substring(h, 3, 2), F.substring(h, 1, 2))
+      }
+      val docs = read(s, dir, "documents")
+      val rate = F.lit(8000) + (F.col("doc_id") % 8).cast(IntegerType) * 4000
+      val ch = F.lit(1) + (F.col("doc_id") % 2).cast(IntegerType)
+      val bits = F.lit(8) * (F.lit(1) + (F.col("doc_id") % 2).cast(IntegerType))
+      val byteRate = rate * ch * (bits / 8).cast(IntegerType)
+      val dataSize = byteRate * 2 // exactly two seconds of samples
+      val media = F.unhex(F.concat(
+        F.lit("52494646"), le32(dataSize + 36), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), le16(ch),
+        le32(rate), le32(byteRate), le16(ch * (bits / 8).cast(IntegerType)),
+        le16(bits), F.lit("64617461"), le32(dataSize)))
+      docs.select(F.col("doc_id"),
+          Multimodal.headerAudioMeta(media).as("m"))
+        .select(F.col("doc_id"), F.col("m.mime").as("mime"),
+          F.col("m.channels").as("channels"),
+          F.col("m.sample_rate").as("sample_rate"),
+          F.col("m.bits_per_sample").as("bits_per_sample"),
+          F.col("m.duration_ms").as("duration_ms"))
     })
   )
 
@@ -1009,6 +1042,80 @@ object SparkEntry {
              AS chunk_md5,
            CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
              AS n_chunk_tokens
-         FROM c, unnest(range(1, n_chunks + 1)) AS u(i)"""
+         FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
+    "q_audio_meta" ->
+      // ground truth for the WAV-header synth/parse round trip: the
+      // engine builds the header bytes from these same formulas, so the
+      // parsed fields must equal the direct arithmetic
+      """SELECT doc_id, 'audio/wav' AS mime,
+                CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS sample_rate,
+                CAST(8 * (1 + doc_id % 2) AS INTEGER) AS bits_per_sample,
+                CAST(2000 AS BIGINT) AS duration_ms
+         FROM documents""",
+    "q_dedup_ngram" ->
+      // exact all-pairs Jaccard ≥ 0.8 over distinct 3-token grams: the
+      // engine's df-capped inverted-index blocking misses a pair only if
+      // EVERY shared shingle is hotter than the cap — impossible for
+      // near-dups on this corpus, so blocked output == exhaustive truth
+      // (verified: identical pair sets AND bit-identical int/int-division
+      // jaccard doubles). Gram-string equality ⟺ shingle-hash equality,
+      // the same identification q_contamination's oracle relies on.
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.grams, b.grams)) /
+             CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams)) /
+           CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
+    "q_dedup_minhash" ->
+      // the SAME exhaustive truth as q_dedup_ngram: every true pair on
+      // this corpus has jaccard ≥ 0.9, where 8-band×4-row banding recall
+      // is complete, and the engine's hashing is deterministic (no RNG) —
+      // so LSH output == exact all-pairs, with identical verified
+      // jaccard doubles
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.grams, b.grams)) /
+             CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams)) /
+           CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
+    "q_dedup_groups" ->
+      // connected components of the exact pair graph by transitive
+      // closure (the corpus' duplicate clusters are tiny, so the
+      // recursive closure is cheap for the oracle; the engine computes
+      // the same components by distributed label propagation)
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams)) /
+             CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         SELECT a AS rid, least(a, MIN(b)) AS grp FROM reach GROUP BY a"""
   )
 }
