@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioHeaderMeta, CosineSim, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
+import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, ImageFeatures, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -73,6 +73,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "audio_header_meta(bytes) takes 1 argument")
         AudioHeaderMeta(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("audio_features"),
+      info(classOf[AudioFeatures], "audio_features",
+        "audio_features(bytes) - (n_samples, rms, peak, zcr) decoded " +
+          "from PCM WAV samples"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "audio_features(bytes) takes 1 argument")
+        AudioFeatures(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("image_features"),
+      info(classOf[ImageFeatures], "image_features",
+        "image_features(bytes) - (width, height, mean_r, mean_g, mean_b) " +
+          "decoded from 24-bit BMP pixels"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "image_features(bytes) takes 1 argument")
+        ImageFeatures(args.head)
       }))
   }
 }

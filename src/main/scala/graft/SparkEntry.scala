@@ -547,6 +547,48 @@ object SparkEntry {
           F.col("m.sample_rate").as("sample_rate"),
           F.col("m.bits_per_sample").as("bits_per_sample"),
           F.col("m.duration_ms").as("duration_ms"))
+    }),
+    "q_audio_features" -> ((s, dir) => {
+      // REAL PCM decode, oracle-verified: per-doc 16-bit square wave at
+      // amplitude (1+doc_id%127)·256 → every feature is exact dyadic
+      // arithmetic (rms = peak = k/128 bit-exactly, zcr = 1), so DuckDB
+      // recomputes the decoded features from doc_id directly
+      val k = (F.col("doc_id") % 127).cast(IntegerType) + 1
+      val hx = (v: org.apache.spark.sql.Column) => F.lpad(F.hex(v), 2, "0")
+      val media = F.unhex(F.concat(
+        F.lit("52494646" + "A4000000" + "57415645"),
+        F.lit("666D7420" + "10000000" + "0100" + "0100" +
+          "401F0000" + "803E0000" + "0200" + "1000"),
+        F.lit("64617461" + "80000000"),
+        F.repeat(F.concat(F.lit("00"), hx(k), F.lit("00"),
+          hx(F.lit(256) - k)), 32)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.audioFeatures(media).as("f"))
+        .select(F.col("doc_id"), F.col("f.n_samples").as("n_samples"),
+          F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
+          F.col("f.zcr").as("zcr"))
+    }),
+    "q_image_features" -> ((s, dir) => {
+      // REAL BMP pixel decode, oracle-verified: per-doc solid-color 2×2
+      // 24bpp bitmap (channel values derived from doc_id) → per-channel
+      // means equal the source colors exactly
+      val hx = (v: org.apache.spark.sql.Column) => F.lpad(F.hex(v), 2, "0")
+      val r = F.col("doc_id") % 256
+      val g = (F.col("doc_id") * 7) % 256
+      val b = (F.col("doc_id") * 13) % 256
+      val row = F.concat(hx(b), hx(g), hx(r), hx(b), hx(g), hx(r),
+        F.lit("0000")) // 2 px BGR + stride padding to 8 bytes
+      val media = F.unhex(F.concat(
+        F.lit("424D" + "46000000" + "00000000" + "36000000"),
+        F.lit("28000000" + "02000000" + "02000000" + "0100" + "1800" +
+          "00000000" + "10000000" + "00000000" + "00000000" +
+          "00000000" + "00000000"),
+        F.repeat(row, 2)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.imageFeatures(media).as("f"))
+        .select(F.col("doc_id"), F.col("f.width").as("width"),
+          F.col("f.height").as("height"), F.col("f.mean_r").as("mean_r"),
+          F.col("f.mean_g").as("mean_g"), F.col("f.mean_b").as("mean_b"))
     })
   )
 
@@ -1116,6 +1158,24 @@ object SparkEntry {
                UNION ALL SELECT id2, id1 FROM pairs),
          reach(a, b) AS (SELECT a, b FROM e
                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT a AS rid, least(a, MIN(b)) AS grp FROM reach GROUP BY a"""
+         SELECT a AS rid, least(a, MIN(b)) AS grp FROM reach GROUP BY a""",
+    "q_audio_features" ->
+      // the engine decodes a synthesized ±k·256 square wave; with dyadic
+      // amplitudes every decoded feature is exact, so the ground truth
+      // is direct arithmetic on doc_id
+      """SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+                (1 + doc_id % 127) / 128.0 AS rms,
+                (1 + doc_id % 127) / 128.0 AS peak,
+                1.0 AS zcr
+         FROM documents""",
+    "q_image_features" ->
+      // solid-color bitmap: per-channel means equal the synthesized
+      // colors exactly (integer sums, exact division by the pixel count)
+      """SELECT doc_id, CAST(2 AS INTEGER) AS width,
+                CAST(2 AS INTEGER) AS height,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+         FROM documents"""
   )
 }

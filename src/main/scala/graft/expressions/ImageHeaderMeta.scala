@@ -57,6 +57,7 @@ object ImageHeaderMeta {
   private val MimePng = UTF8String.fromString("image/png")
   private val MimeGif = UTF8String.fromString("image/gif")
   private val MimeJpeg = UTF8String.fromString("image/jpeg")
+  private val MimeBmp = UTF8String.fromString("image/bmp")
 
   /** (mime, width, height) of a recognized image header, else null. */
   def parseDims(b: Array[Byte]): (String, Int, Int) = {
@@ -67,6 +68,8 @@ object ImageHeaderMeta {
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
     def be32(i: Int): Int =
       (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def le32(i: Int): Int =
+      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
     // PNG: signature + IHDR (always the first chunk per spec)
     if (n >= 24 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e &&
         u(3) == 0x47 && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a &&
@@ -76,6 +79,19 @@ object ImageHeaderMeta {
     if (n >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
         u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
       return ("image/gif", le16(6), le16(8))
+    // BMP: BITMAPINFOHEADER (and later) or the legacy BITMAPCOREHEADER;
+    // negative height = top-down row order, dims sanity-bounded since
+    // "BM" alone is a weak signature
+    if (n >= 26 && u(0) == 'B' && u(1) == 'M') {
+      val dib = le32(14)
+      val (w, h) =
+        if (dib >= 40 && n >= 26) (le32(18), math.abs(le32(22)))
+        else if (dib == 12 && n >= 22) (le16(18), le16(20))
+        else (0, 0)
+      if (w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20))
+        return ("image/bmp", w, h)
+      return null
+    }
     // JPEG: SOI then segment walk to the first SOFn
     if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
       var i = 2
@@ -107,6 +123,7 @@ object ImageHeaderMeta {
     case null => null
     case ("image/png", w, h) => InternalRow(MimePng, w, h)
     case ("image/gif", w, h) => InternalRow(MimeGif, w, h)
+    case ("image/bmp", w, h) => InternalRow(MimeBmp, w, h)
     case (_, w, h) => InternalRow(MimeJpeg, w, h)
   }
 }

@@ -12,17 +12,22 @@ import org.apache.spark.sql.types._
   * inside `mapPartitions` so a real codec would amortize model/codec init
   * per batch, exactly like an Arrow-batched UDF.
   *
-  * Header metadata (format + pixel dimensions for PNG/GIF/JPEG) is REAL —
-  * parsed from the raw bytes by [[graft.expressions.ImageHeaderMeta]],
-  * both columnar ([[headerImageMeta]]) and on the batched decode path
-  * ([[withDecodedMeta]]).
+  * What is REAL here, parsed/decoded straight from the bytes:
+  *  - header metadata for PNG/GIF/JPEG/BMP ([[headerImageMeta]]) and
+  *    WAV/FLAC ([[headerAudioMeta]]) — format, dimensions, channels,
+  *    sample rate, duration;
+  *  - FULL sample/pixel decode for the uncompressed containers:
+  *    PCM WAV → signal features ([[audioFeatures]]: rms/peak/zcr over
+  *    every decoded sample) and 24-bit BMP → channel statistics
+  *    ([[imageFeatures]]: per-channel means over every pixel). No codec
+  *    library needed precisely because these formats are uncompressed.
   *
-  * STUB NOTICE: the PIXEL-level codecs (image decode, audio/video) are
-  * not available in this container, so unrecognized formats fall back to
-  * `fakeDecode` — a DETERMINISTIC FAKE (hash-derived dimensions). The
-  * Spark-side plumbing — schema, batching, partitioning, null handling —
-  * is real and tested; swap `fakeDecode` for a real codec call to
-  * productionize.
+  * STUB NOTICE: COMPRESSED codecs (JPEG/PNG pixel decode, FLAC/MP3
+  * samples, video) are not available in this container, so unrecognized
+  * formats fall back to `fakeDecode` — a DETERMINISTIC FAKE
+  * (hash-derived dimensions). The Spark-side plumbing — schema,
+  * batching, partitioning, null handling — is real and tested; swap
+  * `fakeDecode` for a real codec call to productionize.
   */
 object Multimodal {
 
@@ -129,6 +134,26 @@ object Multimodal {
   def headerAudioMeta(bin: Column): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.AudioHeaderMeta(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** REAL sample decode + signal features for uncompressed PCM WAV:
+    * struct(n_samples, rms, peak, zcr) computed from every decoded
+    * sample ([[graft.expressions.AudioFeatures]] — 8/16-bit PCM needs no
+    * codec). Null for compressed/unrecognized audio (that's the stubbed
+    * codec stage's job). Narrow, codegen'd — the features fold inside
+    * the decode loop, no sample array in the row. */
+  def audioFeatures(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.AudioFeatures(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** REAL pixel decode + channel statistics for uncompressed 24-bit BMP:
+    * struct(width, height, mean_r, mean_g, mean_b) from every pixel
+    * ([[graft.expressions.ImageFeatures]]). Null for compressed formats.
+    * Same narrow/codegen posture as [[audioFeatures]]. */
+  def imageFeatures(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ImageFeatures(
         graft.expressions.ColumnBridge.expression(bin)))
 
   /** The `functions._`-composed PNG/GIF-only reference form of

@@ -176,6 +176,89 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(6L).isEmpty)
   }
 
+  // 24bpp BI_RGB BMP, given pixel rows TOP-down (the builder flips to the
+  // bottom-up disk order); width 3 → row stride pads 9 → 12 bytes
+  private def bmpBytes(pixels: Seq[Seq[(Int, Int, Int)]],
+      topDown: Boolean = false): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val h = pixels.length; val w = pixels.head.length
+    val stride = (w * 3 + 3) & ~3
+    val rowsOnDisk = if (topDown) pixels else pixels.reverse
+    val pix = rowsOnDisk.flatMap { row =>
+      row.flatMap { case (r, g, b) =>
+        Array[Byte](b.toByte, g.toByte, r.toByte) } ++
+        Array.fill[Byte](stride - w * 3)(0)
+    }.toArray
+    "BM".getBytes("US-ASCII") ++ le32(54 + pix.length) ++ le32(0) ++
+      le32(54) ++ // pixel offset
+      le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(pix.length) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ pix
+  }
+
+  // 16-bit PCM mono WAV with the given raw sample values
+  private def pcmWav(samples: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = samples.flatMap(le16(_).toSeq).toArray
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("audio features REALLY decode PCM samples (square wave analytics)") {
+    import spark.implicits._
+    // alternating ±8192 = ±0.25 normalized: rms = peak = 0.25, zcr = 1
+    val square = pcmWav(Seq.fill(32)(Seq(8192, -8192)).flatten)
+    // constant positive 16384 = 0.5: rms = peak = 0.5, no crossings
+    val dc = pcmWav(Seq.fill(64)(16384))
+    // silence → all-zero features
+    val silence = pcmWav(Seq.fill(64)(0))
+    val rows = Seq((1L, square), (2L, dc), (3L, silence),
+      (4L, flacBytes(totalSamples = true))) // compressed → null
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))).toMap
+    assert(rows(1L).contains((64L, 0.25, 0.25, 1.0))) // exact: ±2^-2
+    assert(rows(2L).contains((64L, 0.5, 0.5, 0.0)))
+    assert(rows(3L).contains((64L, 0.0, 0.0, 0.0)))
+    assert(rows(4L).isEmpty) // FLAC needs a real codec: stub stage
+  }
+
+  test("image features REALLY decode BMP pixels (means, padding, row order)") {
+    import spark.implicits._
+    val redBlue = Seq( // top row red, bottom row blue; 3 wide → padded rows
+      Seq((255, 0, 0), (255, 0, 0), (255, 0, 0)),
+      Seq((0, 0, 255), (0, 0, 255), (0, 0, 255)))
+    val rows = Seq(
+      (1L, bmpBytes(redBlue)),
+      (2L, bmpBytes(redBlue, topDown = true)), // same mean either order
+      (3L, bmpBytes(Seq(Seq((10, 20, 30))))),
+      (4L, hexBytes("89504E470D0A1A0A0000000D49484452" +
+        "0000000200000003" + "0806000000"))) // PNG → null (compressed)
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.imageFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getInt(1), s.getDouble(2), s.getDouble(3),
+          s.getDouble(4)))).toMap
+    assert(rows(1L).contains((3, 2, 127.5, 0.0, 127.5)))
+    assert(rows(2L).contains((3, 2, 127.5, 0.0, 127.5)))
+    assert(rows(3L).contains((1, 1, 10.0, 20.0, 30.0)))
+    assert(rows(4L).isEmpty)
+    // and the header triage recognizes BMP dims without the decode
+    val hm = Seq(Tuple1(bmpBytes(redBlue))).toDF("content")
+      .select(Multimodal.headerImageMeta(F.col("content")).as("m"))
+      .collect()(0).getStruct(0)
+    assert(hm.getString(0) == "image/bmp" && hm.getInt(1) == 3 &&
+      hm.getInt(2) == 2)
+  }
+
   test("batched decode takes the REAL header path for recognized formats") {
     import spark.implicits._
     val df = Seq((1L, jpegBytes("C0"))).toDF("id", "media")
