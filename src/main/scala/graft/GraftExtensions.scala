@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, ImageFeatures, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64}
+import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, ImageFeatures, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "audio_features(bytes) takes 1 argument")
         AudioFeatures(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("video_header_meta"),
+      info(classOf[VideoHeaderMeta], "video_header_meta",
+        "video_header_meta(bytes) - (mime, width, height, n_frames, " +
+          "duration_ms) from AVI headers"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "video_header_meta(bytes) takes 1 argument")
+        VideoHeaderMeta(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",

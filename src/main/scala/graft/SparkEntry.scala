@@ -568,6 +568,33 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_video_meta" -> ((s, dir) => {
+      // oracle-verified AVI parse: synthesize a valid per-doc avih header
+      // (25 fps, doc_id-derived frame count and dims), parse it back —
+      // ground truth is direct arithmetic
+      def le32h(v: org.apache.spark.sql.Column) = {
+        val h = F.lpad(F.hex(v), 8, "0")
+        F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+          F.substring(h, 3, 2), F.substring(h, 1, 2))
+      }
+      val frames = (F.col("doc_id") % 1000).cast(IntegerType) + 1
+      val w = (F.lit(160) + (F.col("doc_id") % 16).cast(IntegerType) * 16)
+      val h = (F.lit(120) + (F.col("doc_id") % 9).cast(IntegerType) * 16)
+      val media = F.unhex(F.concat(
+        F.lit("52494646" + "50000000" + "41564920"), // RIFF size 80
+        F.lit("4C495354" + "44000000" + "6864726C"), // LIST 68 hdrl
+        F.lit("61766968" + "38000000"),              // avih 56
+        F.lit("409C0000"), F.lit("00000000"), F.lit("00000000"),
+        F.lit("00000000"), le32h(frames), F.lit("00000000"),
+        F.lit("01000000"), F.lit("00000000"), le32h(w), le32h(h),
+        F.repeat(F.lit("00"), 16)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.headerVideoMeta(media).as("m"))
+        .select(F.col("doc_id"), F.col("m.mime").as("mime"),
+          F.col("m.width").as("width"), F.col("m.height").as("height"),
+          F.col("m.n_frames").as("n_frames"),
+          F.col("m.duration_ms").as("duration_ms"))
+    }),
     "q_image_features" -> ((s, dir) => {
       // REAL BMP pixel decode, oracle-verified: per-doc solid-color 2×2
       // 24bpp bitmap (channel values derived from doc_id) → per-channel
@@ -1159,6 +1186,15 @@ object SparkEntry {
          reach(a, b) AS (SELECT a, b FROM e
                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          SELECT a AS rid, least(a, MIN(b)) AS grp FROM reach GROUP BY a""",
+    "q_video_meta" ->
+      // the avih fields are synthesized from these same formulas; 25 fps
+      // (40000 µs/frame) → duration_ms = frames · 40
+      """SELECT doc_id, 'video/x-msvideo' AS mime,
+                CAST(160 + (doc_id % 16) * 16 AS INTEGER) AS width,
+                CAST(120 + (doc_id % 9) * 16 AS INTEGER) AS height,
+                CAST(1 + doc_id % 1000 AS INTEGER) AS n_frames,
+                CAST((1 + doc_id % 1000) * 40 AS BIGINT) AS duration_ms
+         FROM documents""",
     "q_audio_features" ->
       // the engine decodes a synthesized ±k·256 square wave; with dyadic
       // amplitudes every decoded feature is exact, so the ground truth

@@ -136,6 +136,17 @@ object Multimodal {
       graft.expressions.AudioHeaderMeta(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Header-level VIDEO metadata from the raw leading bytes — the third
+    * triage leg after [[headerImageMeta]] and [[headerAudioMeta]]: AVI
+    * (RIFF chunk walk to the `LIST hdrl` → `avih` main header). Returns
+    * struct(mime, width, height, n_frames, duration_ms); null for
+    * unrecognized formats, null duration when the header doesn't pin it.
+    * Native codegen'd ([[graft.expressions.VideoHeaderMeta]]). */
+  def headerVideoMeta(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.VideoHeaderMeta(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL sample decode + signal features for uncompressed PCM WAV:
     * struct(n_samples, rms, peak, zcr) computed from every decoded
     * sample ([[graft.expressions.AudioFeatures]] — 8/16-bit PCM needs no

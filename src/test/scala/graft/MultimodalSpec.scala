@@ -211,6 +211,45 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  // minimal AVI: RIFF/AVI + an extra JUNK chunk before LIST hdrl (walks),
+  // hdrl holds avih with 25 fps (40000 µs/frame), 250 frames, 320×240
+  private def aviBytes(frames: Int, withJunk: Boolean = true): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(320) ++ le32(240) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val junk = if (withJunk)
+      "JUNK".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    else Array.emptyByteArray
+    val body = "AVI ".getBytes("US-ASCII") ++ junk ++ hdrl
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("video header metadata parses AVI avih fields without a codec") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, aviBytes(250)),
+      (2L, aviBytes(250, withJunk = false)),
+      (3L, aviBytes(0)),                          // no frames → null dur
+      (4L, wavBytes(withListChunk = false)),      // RIFF but WAVE, not AVI
+      (5L, Array[Byte](1, 2, 3)))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.headerVideoMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3),
+          if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    // 250 frames × 40 ms = 10 s
+    assert(rows(1L).contains(("video/x-msvideo", 320, 240, 250, 10000L)))
+    assert(rows(2L).contains(("video/x-msvideo", 320, 240, 250, 10000L)))
+    assert(rows(3L).contains(("video/x-msvideo", 320, 240, 0, -1L)))
+    assert(rows(4L).isEmpty)
+    assert(rows(5L).isEmpty)
+  }
+
   test("audio features REALLY decode PCM samples (square wave analytics)") {
     import spark.implicits._
     // alternating ±8192 = ±0.25 normalized: rms = peak = 0.25, zcr = 1

@@ -88,7 +88,13 @@ object Drive {
                 audio_header_meta(unhex(concat(
                   '52494646', '24000000', '57415645',
                   '666D7420', '10000000', '0100', '0100', '401F0000',
-                  '401F0000', '0100', '0800', '64617461', '401F0000'))) AS wav
+                  '401F0000', '0100', '0800', '64617461', '401F0000'))) AS wav,
+                video_header_meta(unhex(concat(
+                  '52494646', '50000000', '41564920',
+                  '4C495354', '44000000', '6864726C', '61766968', '38000000',
+                  '409C0000', '00000000', '00000000', '00000000', 'FA000000',
+                  '00000000', '01000000', '00000000', '40010000', 'F0000000',
+                  repeat('00', 16)))) AS avi
       """).show(false)
 
     println("=== dedup pairs -> canonical groups:")
