@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, ImageFeatures, ImageHeaderMeta, MinHashSig, ShingleHashes, SimHash64, VideoHeaderMeta}
+import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -89,6 +89,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "video_header_meta(bytes) takes 1 argument")
         VideoHeaderMeta(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("image_decode"),
+      info(classOf[DecodeImage], "image_decode",
+        "image_decode(bytes) - REAL pixel decode (PNG/JPEG/GIF/BMP/TIFF " +
+          "via JDK codecs): (mime, width, height, mean_r, mean_g, mean_b)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "image_decode(bytes) takes 1 argument")
+        DecodeImage(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("resize_image"),
+      info(classOf[ResizeImage], "resize_image",
+        "resize_image(bytes, maxSide) - decode, bilinear-scale the long " +
+          "side to maxSide (never upscale), re-encode as PNG"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "resize_image(bytes, maxSide) takes 2 arguments")
+        ResizeImage(args.head, litInt(args(1), "maxSide"))
+      }))
+    ext.injectFunction((FunctionIdentifier("image_embedding"),
+      info(classOf[ImageEmbedding], "image_embedding",
+        "image_embedding(bytes, bins) - L1-normalized per-channel color " +
+          "histogram (array<float> of 3*bins) over the decoded pixels"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "image_embedding(bytes, bins) takes 2 arguments")
+        ImageEmbedding(args.head, litInt(args(1), "bins"))
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",

@@ -503,13 +503,21 @@ object SparkEntry {
         "vec_id", "embedding", q, 10, planes = 4, probes = 2)
     }),
 
-    // --- multimodal plumbing (stubbed decode, real dataflow)
+    // --- multimodal: real decode end-to-end
     "q_multimodal_meta" -> ((s, dir) => {
+      // batched decode plumbing over REAL bytes: per-doc solid-color BMP
+      // synthesized in SQL (dims doc_id-derived), so header parse, resize
+      // plan and frame sampling are all checked against arithmetic
+      val m = (F.col("doc_id") % 3).cast(IntegerType) + 1
+      val k = (F.col("doc_id") % 13).cast(IntegerType) + 4
       val docs = read(s, dir, "documents")
-        .withColumn("media", Multimodal.syntheticMedia(F.col("text")))
+        .withColumn("media", synthBmp(m * 16, m * k,
+          F.col("doc_id") % 256, (F.col("doc_id") * 7) % 256,
+          (F.col("doc_id") * 13) % 256))
       val withMeta = Multimodal.withDecodedMeta(docs, "media")
       withMeta.select(
         F.col("doc_id"),
+        F.col("meta.mime").as("mime"),
         F.col("meta.width").as("width"),
         F.col("meta.height").as("height"),
         Multimodal.resizePlan(F.col("meta"), 256).getField("width").as("rw"),
@@ -616,8 +624,79 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("f.width").as("width"),
           F.col("f.height").as("height"), F.col("f.mean_r").as("mean_r"),
           F.col("f.mean_g").as("mean_g"), F.col("f.mean_b").as("mean_b"))
+    }),
+    "q_image_decode" -> ((s, dir) => {
+      // REAL COMPRESSED decode, oracle-verified: a valid per-doc 1×1 PNG
+      // synthesized in SQL — stored-DEFLATE zlib blocks need no
+      // compressor, crc32 is a Spark builtin, and adler32 over the
+      // 4-byte scanline is closed-form — then inflated/decoded by the
+      // JDK reader; ground truth is doc_id arithmetic
+      val hx2 = (v: Column) => F.lpad(F.hex(v), 2, "0")
+      val be32h = (v: Column) => F.lpad(F.hex(v), 8, "0")
+      val r = F.col("doc_id") % 256
+      val g = (F.col("doc_id") * 7) % 256
+      val b = (F.col("doc_id") * 13) % 256
+      // IHDR: 1×1, bit depth 8, color type 2 (truecolor)
+      val ihdrBody = F.lit("49484452" + "00000001" + "00000001" + "0802000000")
+      // zlib: header 78 01, stored block (01, LEN=4, NLEN), raw scanline
+      // (filter 0 + RGB), adler32 with A = 1+r+g+b, B = 4+3r+2g+b
+      val idatBody = F.concat(
+        F.lit("49444154" + "7801" + "01" + "0400" + "FBFF"),
+        F.lit("00"), hx2(r), hx2(g), hx2(b),
+        be32h((F.lit(4L) + r * 3 + g * 2 + b) * 65536 + r + g + b + 1))
+      val media = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A"), F.lit("0000000D"), ihdrBody,
+        be32h(F.crc32(F.unhex(ihdrBody))),
+        F.lit("0000000F"), idatBody, be32h(F.crc32(F.unhex(idatBody))),
+        F.lit("00000000" + "49454E44" + "AE426082")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.decodeImage(media).as("d"))
+        .select(F.col("doc_id"), F.col("d.mime").as("mime"),
+          F.col("d.width").as("width"), F.col("d.height").as("height"),
+          F.col("d.mean_r").as("mean_r"), F.col("d.mean_g").as("mean_g"),
+          F.col("d.mean_b").as("mean_b"))
+    }),
+    "q_thumbnail" -> ((s, dir) => {
+      // REAL resize chain, oracle-verified: BMP decode → bilinear scale →
+      // PNG encode → PNG decode. Source dims (16m × km) are built so the
+      // target collapses to (16, k) under the documented integer
+      // rounding, and solid color survives every stage exactly
+      val m = (F.col("doc_id") % 3).cast(IntegerType) + 1
+      val k = (F.col("doc_id") % 13).cast(IntegerType) + 4
+      val media = synthBmp(m * 16, m * k, F.col("doc_id") % 256,
+        (F.col("doc_id") * 7) % 256, (F.col("doc_id") * 13) % 256)
+      val thumb = Multimodal.resizeImage(media, 16)
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.decodeImage(thumb).as("d"))
+        .select(F.col("doc_id"), F.col("d.mime").as("mime"),
+          F.col("d.width").as("width"), F.col("d.height").as("height"),
+          F.col("d.mean_r").as("mean_r"), F.col("d.mean_g").as("mean_g"),
+          F.col("d.mean_b").as("mean_b"))
+    }),
+    "q_image_embed" -> ((s, dir) => {
+      // REAL image embedding, oracle-verified: a solid-color image's
+      // per-channel histogram is one-hot per block, so the embedding is
+      // pinned exactly by three scalars — dimension, L1 mass (3.0), and
+      // the index-weighted sum (recovers all three hot bin positions)
+      val media = synthBmp(F.lit(4), F.lit(2), F.col("doc_id") % 256,
+        (F.col("doc_id") * 7) % 256, (F.col("doc_id") * 13) % 256)
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.imageEmbedding(media, 8).as("v"))
+        .select(F.col("doc_id"),
+          F.size(F.col("v")).as("dim"),
+          F.aggregate(F.col("v"), F.lit(0.0),
+            (a, x) => a + x.cast(DoubleType)).as("l1"),
+          F.aggregate(F.zip_with(F.col("v"),
+              F.sequence(F.lit(0), F.lit(23)),
+              (x, i) => x.cast(DoubleType) * i.cast(DoubleType)),
+            F.lit(0.0), (a, x) => a + x).as("hot_bins"))
     })
   )
+
+  /** Solid-color 24bpp BMP synthesized in SQL ([[Multimodal.syntheticBmp]]). */
+  private def synthBmp(w: Column, h: Column,
+      r: Column, g: Column, b: Column): Column =
+    Multimodal.syntheticBmp(w, h, r, g, b)
 
   /** rdf:Seq container fixture: each order is a Seq whose rdf:_N members
     * (N = linenumber) are part IRIs — the RDFContainers notebook shape over
@@ -1212,6 +1291,43 @@ object SparkEntry {
                 CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                 CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
                 CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_image_decode" ->
+      // the engine inflates a real DEFLATE stream and decodes the PNG;
+      // a 1×1 truecolor image makes every decoded value exact
+      """SELECT doc_id, 'image/png' AS mime,
+                CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_thumbnail" ->
+      // source 16m × km scales to (16, k) under half-up integer
+      // rounding for every m; solid color is bilinear-invariant and PNG
+      // is lossless, so the re-decoded means equal the source colors
+      """SELECT doc_id, 'image/png' AS mime,
+                CAST(16 AS INTEGER) AS width,
+                CAST(4 + doc_id % 13 AS INTEGER) AS height,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_multimodal_meta" ->
+      // the decoded meta is a real BMP header parse; rw = width because
+      // every synthesized image is already under the 256 resize cap
+      """SELECT doc_id, 'image/bmp' AS mime,
+                CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+                CAST((4 + doc_id % 13) * (1 + doc_id % 3) AS INTEGER) AS height,
+                CAST(16 * (1 + doc_id % 3) AS INTEGER) AS rw,
+                CAST(4 AS INTEGER) AS n_sampled
+         FROM documents""",
+    "q_image_embed" ->
+      // one-hot per 8-bin channel block: hot_bins = r_bin + (8 + g_bin)
+      // + (16 + b_bin) with bin = color // 32
+      """SELECT doc_id, CAST(24 AS INTEGER) AS dim,
+                CAST(3.0 AS DOUBLE) AS l1,
+                CAST((doc_id % 256) // 32 + 8 + ((doc_id * 7) % 256) // 32
+                     + 16 + ((doc_id * 13) % 256) // 32 AS DOUBLE) AS hot_bins
          FROM documents"""
   )
 }

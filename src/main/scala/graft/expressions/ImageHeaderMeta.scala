@@ -118,6 +118,14 @@ object ImageHeaderMeta {
     null
   }
 
+  /** Interned UTF8String for a mime string returned by [[parseDims]]. */
+  private[expressions] def mimeUtf8(mime: String): UTF8String = mime match {
+    case "image/png" => MimePng
+    case "image/gif" => MimeGif
+    case "image/bmp" => MimeBmp
+    case _ => MimeJpeg
+  }
+
   /** InternalRow form for expression eval/codegen. */
   def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
     case null => null

@@ -22,12 +22,21 @@ import org.apache.spark.sql.types._
   *    ([[imageFeatures]]: per-channel means over every pixel). No codec
   *    library needed precisely because these formats are uncompressed.
   *
-  * STUB NOTICE: COMPRESSED codecs (JPEG/PNG pixel decode, FLAC/MP3
-  * samples, video) are not available in this container, so unrecognized
-  * formats fall back to `fakeDecode` — a DETERMINISTIC FAKE
-  * (hash-derived dimensions). The Spark-side plumbing — schema,
-  * batching, partitioning, null handling — is real and tested; swap
-  * `fakeDecode` for a real codec call to productionize.
+  *  - FULL pixel decode for the COMPRESSED image formats as well
+  *    ([[decodeImage]]): PNG (DEFLATE), JPEG (DCT), GIF (LZW), TIFF and
+  *    non-trivial BMP variants via the JDK's own `javax.imageio`
+  *    readers — headless, in-memory, no external codec library; and a
+  *    REAL resize stage ([[resizeImage]]): decode → bilinear scale →
+  *    PNG re-encode.
+  *
+  *  - a REAL image embedding ([[imageEmbedding]]): per-channel color
+  *    histogram over the decoded pixels, ready for the cosine/LSH
+  *    machinery — image near-dup detection end to end.
+  *
+  * STUB NOTICE (what remains): compressed AUDIO samples (FLAC/MP3) and
+  * VIDEO frame decode have no JDK codec, so those stop at header
+  * triage. Everything else — every metadata field, pixel statistic and
+  * embedding — is parsed or decoded from the real bytes.
   */
 object Multimodal {
 
@@ -39,31 +48,39 @@ object Multimodal {
     StructField("ok", BooleanType)))
 
   /** Synthesize an opaque media binary from any string column (test
-    * fixture: deterministic bytes). */
+    * fixture: deterministic bytes that no decoder recognizes). */
   def syntheticMedia(seed: Column): Column =
     F.sha2(seed.cast(StringType).cast(BinaryType), 256).cast(BinaryType)
 
-  /** DETERMINISTIC FAKE decode of one media blob — stands in for a real
-    * codec (PIL/ffmpeg equivalent). Pure function of the bytes. */
-  private def fakeDecode(bytes: Array[Byte]): Row = {
-    if (bytes == null || bytes.isEmpty) Row(null, null, null, null, false)
-    else {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val frames = 1 + math.floorMod(h >> 20, 64).toInt
-      Row("image/x-fake", w, ht, frames, true)
+  /** Synthesize a VALID solid-color 24bpp BMP from dim/color columns —
+    * the fixture the oracle queries use, because the result of decoding
+    * it is plain arithmetic. Keep `w` a multiple of 4 so rows need no
+    * stride padding (the repeat-pixel trick assumes it). */
+  def syntheticBmp(w: Column, h: Column,
+      r: Column, g: Column, b: Column): Column = {
+    val hx2 = (v: Column) => F.lpad(F.hex(v), 2, "0")
+    def le32h(v: Column) = {
+      val x = F.lpad(F.hex(v), 8, "0")
+      F.concat(F.substring(x, 7, 2), F.substring(x, 5, 2),
+        F.substring(x, 3, 2), F.substring(x, 1, 2))
     }
+    val px = F.concat(hx2(b), hx2(g), hx2(r)) // BGR on disk
+    F.unhex(F.concat(
+      F.lit("424D"), le32h(w * h * 3 + 54), F.lit("00000000" + "36000000"),
+      F.lit("28000000"), le32h(w), le32h(h),
+      F.lit("0100" + "1800" + "00000000"), le32h(w * h * 3),
+      F.lit("00000000" + "00000000" + "00000000" + "00000000"),
+      F.call_function("repeat", px, w * h)))
   }
 
   /** Batched decode: binary column → metadata struct, processed in
     * `batchSize` chunks per partition (mapInPandas-shaped plumbing).
-    * Recognized image containers (PNG/GIF/JPEG) take the REAL header
-    * path — format + pixel dimensions parsed from the bytes, no codec,
-    * still images reported as one frame; only unrecognized formats fall
-    * back to the deterministic fake (the stubbed pixel-codec stand-in). */
+    * Every field is REAL, parsed from the bytes across all three
+    * modalities: image containers (PNG/GIF/JPEG/BMP) report format +
+    * pixel dimensions (one frame), AVI video reports dimensions + frame
+    * count, WAV/FLAC audio reports its container (no pixel dims).
+    * Unrecognized bytes get `ok = false` with null fields — a crawl
+    * corpus is full of them and they must degrade, not fake. */
   def withDecodedMeta(df: DataFrame, binCol: String, out: String = "meta",
       batchSize: Int = 64): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(out, mediaMetaType))
@@ -74,16 +91,25 @@ object Multimodal {
         // a real impl would init the codec once per batch here
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          val meta =
-            graft.expressions.ImageHeaderMeta.parseDims(bytes) match {
-              case (mime, w, h) => Row(mime, w, h, 1, true)
-              case null => fakeDecode(bytes)
-            }
+          val meta = decodeMeta(bytes)
           Row.fromSeq(r.toSeq :+ meta)
         }
       }
     }(enc)
   }
+
+  /** One blob → `mediaMetaType` Row, all fields from the real bytes. */
+  private def decodeMeta(bytes: Array[Byte]): Row =
+    graft.expressions.ImageHeaderMeta.parseDims(bytes) match {
+      case (mime, w, h) => Row(mime, w, h, 1, true)
+      case null => graft.expressions.VideoHeaderMeta.parseFields(bytes) match {
+        case (w, h, frames, _) => Row("video/x-msvideo", w, h, frames, true)
+        case null => graft.expressions.AudioHeaderMeta.parseFields(bytes) match {
+          case (mime, _, _, _, _) => Row(mime, null, null, null, true)
+          case null => Row(null, null, null, null, false)
+        }
+      }
+    }
 
   /** Frame sampling: n evenly-spaced frame indexes from the decoded frame
     * count (metadata-only op — columnar, no stub needed). */
@@ -103,11 +129,16 @@ object Multimodal {
       F.round(h * scale).cast(IntegerType).as("height"))
   }
 
-  /** Feature extraction stub: binary → fixed-dim embedding, derived
-    * deterministically (stands in for a vision encoder). Columnar. */
-  def fakeEmbedding(bin: Column, dim: Int = 16): Column =
-    F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-      i => (F.pmod(F.xxhash64(bin, i), F.lit(1000L)).cast(DoubleType) / 500.0) - 1.0)
+  /** REAL image embedding: per-channel color histogram over every
+    * decoded pixel (Swain–Ballard color indexing), `array<float>` of
+    * length 3·bins, L1-normalized per channel — plugs straight into the
+    * embedding pipeline (cosine near-dup pairs, kNN, IVF), so
+    * decode → embed → LSH is a fully real image near-dup path. NULL for
+    * undecodable bytes ([[graft.expressions.ImageEmbedding]]). */
+  def imageEmbedding(bin: Column, bins: Int = 8): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ImageEmbedding(
+        graft.expressions.ColumnBridge.expression(bin), bins))
 
   /** REAL (not stubbed) header-level image metadata: container format
     * and pixel dimensions parsed from the leading bytes — PNG (IHDR),
@@ -166,6 +197,26 @@ object Multimodal {
     graft.expressions.ColumnBridge.column(
       graft.expressions.ImageFeatures(
         graft.expressions.ColumnBridge.expression(bin)))
+
+  /** REAL pixel decode for COMPRESSED images too — the codec stage:
+    * struct(mime, width, height, mean_r, mean_g, mean_b) for
+    * PNG/JPEG/GIF/BMP/TIFF via the JDK's own readers (24bpp BMP keeps
+    * the zero-allocation native loop); null for unrecognized or corrupt
+    * bytes ([[graft.expressions.DecodeImage]]). */
+  def decodeImage(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.DecodeImage(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** REAL resize: decode any JDK-readable image, bilinear-scale the long
+    * side down to `maxSide` (aspect preserved, never upscales), return
+    * PNG bytes; null for undecodable input
+    * ([[graft.expressions.ResizeImage]]). Target dims are integer
+    * half-up arithmetic, so downstream checks can recompute them. */
+  def resizeImage(bin: Column, maxSide: Int): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ResizeImage(
+        graft.expressions.ColumnBridge.expression(bin), maxSide))
 
   /** The `functions._`-composed PNG/GIF-only reference form of
     * [[headerImageMeta]] — kept for the native-vs-composed parity test

@@ -50,6 +50,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(m.getString(0) == "image/png" && m.getInt(1) == 2 && m.getInt(2) == 3)
   }
 
+  test("image_decode and resize_image resolve in spark.sql") {
+    // the 1×1 stored-DEFLATE PNG (rgb 10,20,30) from the Drive demo:
+    // decode it, and resize it (identity at maxSide 8, PNG re-encode)
+    val png =
+      "'89504E470D0A1A0A', '0000000D'," +
+      "'494844520000000100000001', '0802000000', '907753DE'," +
+      "'0000000F', '49444154', '7801', '010400FBFF', '000A141E'," +
+      "'0068003D', 'E80CBB83', '0000000049454E44AE426082'"
+    val r = spark.sql(
+      s"""SELECT image_decode(unhex(concat($png))) AS d,
+                 image_decode(resize_image(unhex(concat($png)), 8)) AS t
+       """).collect()(0)
+    for (i <- 0 to 1) {
+      val d = r.getStruct(i)
+      assert(d.getString(0) == "image/png" && d.getInt(1) == 1 &&
+        d.getInt(2) == 1 && d.getDouble(3) == 10.0 &&
+        d.getDouble(4) == 20.0 && d.getDouble(5) == 30.0)
+    }
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), id + 1) FROM range(1)")

@@ -3,13 +3,20 @@ package graft
 import org.apache.spark.sql.{functions => F}
 import graft.pipeline.Multimodal
 
-/** Multimodal plumbing: the decode stub is deterministic, batching
-  * preserves rows, and the metadata-only ops (resize plan, frame
-  * sampling) compute correct shapes. */
+/** Multimodal plumbing and REAL decode: batching preserves rows, every
+  * metadata field comes from the actual bytes, the JDK-codec pixel
+  * decode matches ground truth, and the metadata-only ops (resize plan,
+  * frame sampling) compute correct shapes. */
 class MultimodalSpec extends SparkSpec {
 
+  // real media: per-doc solid-color BMPs with doc_id-derived dims
   private lazy val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
-    .withColumn("media", Multimodal.syntheticMedia(F.col("text")))
+    .withColumn("media", Multimodal.syntheticBmp(
+      ((F.col("doc_id") % 3).cast("int") + 1) * 16,
+      ((F.col("doc_id") % 3).cast("int") + 1) *
+        ((F.col("doc_id") % 13).cast("int") + 4),
+      F.col("doc_id") % 256, (F.col("doc_id") * 7) % 256,
+      (F.col("doc_id") * 13) % 256))
 
   test("batched decode preserves row count and is deterministic") {
     val a = Multimodal.withDecodedMeta(docs, "media")
@@ -20,11 +27,37 @@ class MultimodalSpec extends SparkSpec {
     assert(metaA == metaB) // batch size never changes results
   }
 
-  test("decoded metadata is well-formed") {
+  test("decoded metadata is real: BMP header fields, not a fake") {
     val m = Multimodal.withDecodedMeta(docs, "media")
-      .select("meta.width", "meta.height", "meta.n_frames", "meta.ok")
-    assert(m.where(!F.col("ok")).count() == 0)
-    assert(m.where(F.col("width") < 64 || F.col("height") < 64).count() == 0)
+      .select(F.col("meta.mime").as("mime"), F.col("meta.width").as("w"),
+        F.col("meta.height").as("h"), F.col("meta.ok").as("ok"),
+        (((F.col("doc_id") % 3).cast("int") + 1) * 16).as("ew"),
+        (((F.col("doc_id") % 3).cast("int") + 1) *
+          ((F.col("doc_id") % 13).cast("int") + 4)).as("eh"))
+    assert(m.where(!F.col("ok") || F.col("mime") =!= "image/bmp" ||
+      F.col("w") =!= F.col("ew") || F.col("h") =!= F.col("eh")).count() == 0)
+  }
+
+  test("decode routes all three modalities and degrades on junk") {
+    import spark.implicits._
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "0000000300000005" + "0802000000")
+    val df = Seq(
+      (1L, png), (2L, aviBytes(250)),
+      (3L, wavBytes(withListChunk = false)),
+      (4L, "junk bytes".getBytes("US-ASCII")))
+      .toDF("id", "media")
+    val rows = Multimodal.withDecodedMeta(df, "media").select("id", "meta")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows(1L).getString(0) == "image/png" &&
+      rows(1L).getInt(1) == 3 && rows(1L).getInt(2) == 5 &&
+      rows(1L).getInt(3) == 1 && rows(1L).getBoolean(4))
+    assert(rows(2L).getString(0) == "video/x-msvideo" &&
+      rows(2L).getInt(1) == 320 && rows(2L).getInt(3) == 250 &&
+      rows(2L).getBoolean(4))
+    assert(rows(3L).getString(0) == "audio/wav" &&
+      rows(3L).isNullAt(1) && rows(3L).getBoolean(4))
+    assert(rows(4L).isNullAt(0) && !rows(4L).getBoolean(4))
   }
 
   test("resize plan preserves aspect ratio within rounding") {
@@ -51,11 +84,34 @@ class MultimodalSpec extends SparkSpec {
       i => i < 0 || i >= F.col("nf"))).count() == 0)
   }
 
-  test("fake embedding has fixed dim and bounded values") {
-    val e = docs.select(Multimodal.fakeEmbedding(F.col("media"), 16).as("v"))
-    assert(e.where(F.size(F.col("v")) =!= 16).count() == 0)
-    assert(e.where(F.exists(F.col("v"),
-      x => x < -1.0 || x > 1.0)).count() == 0)
+  test("image embedding is a REAL color histogram over decoded pixels") {
+    import spark.implicits._
+    // solid color → exactly one hot bin per channel block, value 1.0
+    val solid = bmpBytes(Seq(Seq((64, 128, 255), (64, 128, 255))))
+    // half red / half blue → two 0.5 bins in R and B, G all in bin 0
+    val halves = bmpBytes(Seq(Seq((255, 0, 0), (0, 0, 255))))
+    val rows = Seq((1L, solid), (2L, halves),
+      (3L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.imageEmbedding(F.col("content"), 8).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Float](1))).toMap
+    val v1 = rows(1L).get
+    assert(v1.length == 24)
+    assert(v1(64 / 32) == 1.0f && v1(8 + 128 / 32) == 1.0f &&
+      v1(16 + 255 / 32) == 1.0f && v1.sum == 3.0f)
+    val v2 = rows(2L).get
+    assert(v2(7) == 0.5f && v2(0) == 0.5f && // R: one px hot, one cold
+      v2(8) == 1.0f &&                       // G: all pixels in bin 0
+      v2(16) == 0.5f && v2(23) == 0.5f)      // B: mirror of R
+    assert(rows(3L).isEmpty)
+    // compressed path agrees with the raw-BMP loop: same image, PNG bytes
+    val img = solidImg(2, 1, (64 << 16) | (128 << 8) | 255)
+    val png = Seq(Tuple1(encode(img, "png"))).toDF("content")
+      .select(Multimodal.imageEmbedding(F.col("content"), 8))
+      .collect()(0).getSeq[Float](0)
+    assert(png == v1)
   }
 
   test("header metadata parses real PNG and GIF bytes without a codec") {
@@ -305,5 +361,138 @@ class MultimodalSpec extends SparkSpec {
     // real parse: JPEG mime + exact SOF dimensions + single frame
     assert(m.getString(0) == "image/jpeg")
     assert(m.getInt(1) == 40 && m.getInt(2) == 30)
+  }
+
+  // JDK-encoded fixtures for the compressed-codec decode tests
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def solidImg(w: Int, h: Int, rgb: Int,
+      imgType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB) = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("image_decode REALLY decodes compressed PNG/GIF/TIFF/JPEG pixels") {
+    import spark.implicits._
+    // pattern PNG: 2×1 red + blue → exact means after DEFLATE round trip
+    val pat = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    pat.setRGB(0, 0, 0xFF0000); pat.setRGB(1, 0, 0x0000FF)
+    // corrupt: a valid PNG signature/IHDR followed by garbage IDAT
+    val corrupt = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "0000000200000001" + "0802000000" + "DEADBEEF" +
+      "0000000449444154" + "01020304" + "DEADBEEF")
+    val rows = Seq(
+      (1L, encode(pat, "png")),
+      (2L, encode(solidImg(3, 2, 0x1E3C5A), "gif")),
+      (3L, encode(solidImg(3, 2, 0x1E3C5A), "tiff")),
+      (4L, encode(solidImg(8, 8, 0x6496C8), "jpg")),
+      (5L, corrupt),
+      (6L, "not media".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.decodeImage(F.col("content")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getDouble(3),
+          s.getDouble(4), s.getDouble(5)))).toMap
+    assert(rows(1L).contains(("image/png", 2, 1, 127.5, 0.0, 127.5)))
+    assert(rows(2L).contains(("image/gif", 3, 2, 0x1E.toDouble,
+      0x3C.toDouble, 0x5A.toDouble)))
+    assert(rows(3L).contains(("image/tiff", 3, 2, 0x1E.toDouble,
+      0x3C.toDouble, 0x5A.toDouble)))
+    val jpeg = rows(4L).get // DCT is lossy: solid color lands within ~2
+    assert(jpeg._1 == "image/jpeg" && jpeg._2 == 8 && jpeg._3 == 8)
+    assert(math.abs(jpeg._4 - 0x64) <= 2.0 &&
+      math.abs(jpeg._5 - 0x96) <= 2.0 && math.abs(jpeg._6 - 0xC8) <= 2.0)
+    assert(rows(5L).isEmpty) // corrupt bytes degrade to NULL, not a crash
+    assert(rows(6L).isEmpty)
+  }
+
+  test("image_decode BMP fast path agrees with the JDK reader route") {
+    import spark.implicits._
+    val truecolor = Seq( // hand-built 24bpp: native loop territory
+      Seq((255, 0, 0), (255, 0, 0), (255, 0, 0)),
+      Seq((0, 0, 255), (0, 0, 255), (0, 0, 255)))
+    val rows = Seq(
+      (1L, bmpBytes(truecolor)),
+      // palette BMP: the native loop refuses (not 24bpp), the JDK
+      // reader decodes it — same struct out
+      (2L, encode(solidImg(4, 4, 0xFF0000,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED), "bmp")))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.decodeImage(F.col("content")).as("d"),
+        Multimodal.imageFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> (Option(r.getStruct(1)),
+        Option(r.getStruct(2)))).toMap
+    val (d1, f1) = rows(1L)
+    assert(d1.map(s => (s.getString(0), s.getInt(1), s.getInt(2),
+      s.getDouble(3), s.getDouble(4), s.getDouble(5)))
+      .contains(("image/bmp", 3, 2, 127.5, 0.0, 127.5)))
+    // fast path and the narrow feature expression agree bit-for-bit
+    assert(f1.map(s => (s.getDouble(2), s.getDouble(3), s.getDouble(4)))
+      .contains((d1.get.getDouble(3), d1.get.getDouble(4), d1.get.getDouble(5))))
+    val (d2, f2) = rows(2L)
+    assert(f2.isEmpty) // native loop: 8bpp is not its format
+    assert(d2.map(s => (s.getString(0), s.getInt(1), s.getInt(2),
+      s.getDouble(3), s.getDouble(4), s.getDouble(5)))
+      .contains(("image/bmp", 4, 4, 255.0, 0.0, 0.0)))
+  }
+
+  test("resize_image really rescales, re-encodes PNG, never upscales") {
+    import spark.implicits._
+    // 100×40 split red|blue → 10×4: dims from integer rounding, green
+    // stays exactly 0 and red/blue stay balanced through bilinear
+    val split = new java.awt.image.BufferedImage(100, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 100)
+      split.setRGB(x, y, if (x < 50) 0xFF0000 else 0x0000FF)
+    val rows = Seq(
+      (1L, encode(split, "png")),
+      (2L, encode(solidImg(9, 5, 0x1E3C5A), "png")), // under cap: identity
+      (3L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.decodeImage(
+          Multimodal.resizeImage(F.col("content"), 10)).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getDouble(3),
+          s.getDouble(4), s.getDouble(5)))).toMap
+    val t = rows(1L).get
+    assert(t._1 == "image/png" && t._2 == 10 && t._3 == 4)
+    assert(t._5 == 0.0 && math.abs(t._4 - 127.5) <= 26 &&
+      math.abs(t._4 - t._6) <= 1e-9) // red/blue symmetric
+    // identity resize still re-encodes (PNG out), pixels exact
+    assert(rows(2L).contains(("image/png", 9, 5, 0x1E.toDouble,
+      0x3C.toDouble, 0x5A.toDouble)))
+    assert(rows(3L).isEmpty)
+    // rounding contract of the target-dim arithmetic
+    import graft.expressions.ResizeImage.targetDims
+    assert(targetDims(100, 40, 10) == (10, 4))
+    assert(targetDims(40, 100, 10) == (4, 10))
+    assert(targetDims(5, 5, 10) == (5, 5))
+    assert(targetDims(3000, 1, 16) == (16, 1)) // floor at 1
+    assert(targetDims(48, 12, 16) == (16, 4))  // exact quotient unchanged
+    assert(targetDims(32, 9, 16) == (16, 5))   // 4.5 rounds half-up
+  }
+
+  test("image near-dup end to end: decode, histogram embed, cosine pairs") {
+    import spark.implicits._
+    // same color in different formats AND sizes → identical histograms
+    // → cosine 1; a different color shares no bins → no pair
+    val red1 = encode(solidImg(8, 8, 0xFF0000), "png")
+    val red2 = bmpBytes(Seq.fill(2)(Seq.fill(3)((255, 0, 0))))
+    val blue = encode(solidImg(8, 8, 0x0000FF), "png")
+    val emb = Seq((1L, red1), (2L, red2), (3L, blue)).toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.imageEmbedding(F.col("content"), 8).as("v"))
+    val pairs = graft.pipeline.Dedup
+      .embeddingCosinePairs(emb, "id", "v", threshold = 0.95)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
   }
 }

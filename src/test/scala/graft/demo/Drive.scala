@@ -97,6 +97,15 @@ object Drive {
                   repeat('00', 16)))) AS avi
       """).show(false)
 
+    println("=== REAL compressed-image decode (JDK codecs, no library):")
+    spark.sql(
+      """SELECT image_decode(unhex(concat(
+           '89504E470D0A1A0A', '0000000D',
+           '494844520000000100000001', '0802000000', '907753DE',
+           '0000000F', '49444154', '7801', '010400FBFF', '000A141E',
+           '0068003D', 'E80CBB83', '0000000049454E44AE426082'))) AS png_pixels
+      """).show(false)
+
     println("=== dedup pairs -> canonical groups:")
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
