@@ -576,6 +576,29 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_audio_g711" -> ((s, dir) => {
+      // REAL COMPRESSED-audio decode, oracle-verified: constant-valued
+      // ITU-T G.711 µ-law and A-law streams expand to one constant
+      // linear sample, so rms = peak = mag/32768 is exact arithmetic
+      // that DuckDB recomputes from doc_id via the expansion formulas
+      val hx = (v: Column) => F.lpad(F.hex(v), 2, "0")
+      val v = F.col("doc_id") % 256
+      def wav(fmtCode: String) = F.unhex(F.concat(
+        F.lit("52494646" + "64000000" + "57415645"),
+        F.lit("666D7420" + "10000000" + fmtCode + "0100" +
+          "401F0000" + "401F0000" + "0100" + "0800"),
+        F.lit("64617461" + "40000000"),
+        F.repeat(hx(v), 64)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Multimodal.audioFeatures(wav("0700")).as("u"),
+          Multimodal.audioFeatures(wav("0600")).as("a"))
+        .select(F.col("doc_id"),
+          F.col("u.n_samples").as("n_samples"),
+          F.col("u.rms").as("ulaw_rms"), F.col("u.peak").as("ulaw_peak"),
+          F.col("u.zcr").as("ulaw_zcr"),
+          F.col("a.rms").as("alaw_rms"), F.col("a.peak").as("alaw_peak"))
+    }),
     "q_video_meta" -> ((s, dir) => {
       // oracle-verified AVI parse: synthesize a valid per-doc avih header
       // (25 fps, doc_id-derived frame count and dims), parse it back —
@@ -1283,6 +1306,26 @@ object SparkEntry {
                 (1 + doc_id % 127) / 128.0 AS peak,
                 1.0 AS zcr
          FROM documents""",
+    "q_audio_g711" ->
+      // G.711 expansion recomputed in SQL: µ-law over the complemented
+      // byte (mag = 132·(2^e−1) + m·2^(e+3)), A-law over the 0x55-xored
+      // byte (seg 0 → 16m+8, else (16m+264)·2^(seg−1)); constant streams
+      // make rms = peak = mag/32768 exact and zcr 0
+      """WITH g AS (SELECT doc_id, 255 - doc_id % 256 AS uc,
+                           xor(doc_id % 256, 85) AS ac FROM documents)
+         SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+           (132 * ((1 << ((uc // 16) % 8)) - 1)
+              + (uc % 16) * (1 << (((uc // 16) % 8) + 3))) / 32768.0 AS ulaw_rms,
+           (132 * ((1 << ((uc // 16) % 8)) - 1)
+              + (uc % 16) * (1 << (((uc // 16) % 8) + 3))) / 32768.0 AS ulaw_peak,
+           0.0 AS ulaw_zcr,
+           (CASE WHEN (ac // 16) % 8 = 0 THEN (ac % 16) * 16 + 8
+                 ELSE ((ac % 16) * 16 + 264) * (1 << ((ac // 16) % 8 - 1))
+            END) / 32768.0 AS alaw_rms,
+           (CASE WHEN (ac // 16) % 8 = 0 THEN (ac % 16) * 16 + 8
+                 ELSE ((ac % 16) * 16 + 264) * (1 << ((ac // 16) % 8 - 1))
+            END) / 32768.0 AS alaw_peak
+         FROM g""",
     "q_image_features" ->
       // solid-color bitmap: per-channel means equal the synthesized
       // colors exactly (integer sums, exact division by the pixel count)

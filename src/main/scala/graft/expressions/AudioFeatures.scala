@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL audio decode for uncompressed WAV: PCM samples read straight from
-  * the `data` chunk bytes (8-bit unsigned or 16-bit signed little-endian,
-  * any channel count) and folded into the standard signal features —
+/** REAL audio decode for WAV — uncompressed PCM and the G.711 companded
+  * (compressed) encodings: samples read straight from the `data` chunk
+  * bytes and folded into the standard signal features —
   *
   *   - n_samples: decoded sample count (all channels interleaved),
   *   - rms:  sqrt(mean(x²)) of samples normalized to [-1, 1),
@@ -16,12 +16,18 @@ import org.apache.spark.sql.types._
   *   - zcr:  sign-change fraction over consecutive samples
   *           (crossings / (n-1); zero samples carry the previous sign).
   *
+  * Format coverage by WAV fmt code:
+  *   - 1 (PCM): 8-bit unsigned or 16-bit signed little-endian;
+  *   - 7 (µ-law) and 6 (A-law): the ITU-T G.711 logarithmic codecs —
+  *     genuinely compressed audio, decoded with the standard
+  *     expand-to-linear arithmetic (no codec library needed; the
+  *     256-entry expansion tables are built once per JVM).
+  *
   * Unlike the metadata-only [[AudioHeaderMeta]], this expression actually
-  * decodes every sample — possible without any codec library precisely
-  * because PCM WAV is uncompressed. Features are computed inside the
-  * decode loop, so the plan stays narrow (no sample array materializes in
-  * the row). Compressed containers return NULL here and belong to the
-  * (stubbed) codec stage. */
+  * decodes every sample. Features are computed inside the decode loop, so
+  * the plan stays narrow (no sample array materializes in the row).
+  * Block/perceptual codecs (ADPCM, MP3, FLAC) return NULL here and belong
+  * to the codec stage. */
 case class AudioFeatures(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -54,7 +60,28 @@ object AudioFeatures {
     StructField("peak", DoubleType, nullable = false),
     StructField("zcr", DoubleType, nullable = false)))
 
-  /** Decode PCM and compute (n, rms, peak, zcr); null if not PCM WAV. */
+  // ITU-T G.711 expansion to 16-bit linear, normalized to [-1, 1).
+  // µ-law: mag = 132·(2^e − 1) + m·2^(e+3) over the complemented byte.
+  private val UlawTable: Array[Double] = Array.tabulate(256) { v =>
+    val u = ~v & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = 132 * ((1 << e) - 1) + (m << (e + 3))
+    (if ((u & 0x80) != 0) -mag else mag) / 32768.0
+  }
+
+  // A-law: seg 0 → 16m+8, else (16m+264)·2^(seg−1), over the 0x55-xored
+  // byte; bit 7 set = positive.
+  private val AlawTable: Array[Double] = Array.tabulate(256) { v =>
+    val a = v ^ 0x55
+    val m = a & 0x0f
+    val seg = (a >> 4) & 7
+    val t = if (seg == 0) (m << 4) + 8 else ((m << 4) + 264) << (seg - 1)
+    (if ((a & 0x80) != 0) t else -t) / 32768.0
+  }
+
+  /** Decode PCM / µ-law / A-law WAV and compute (n, rms, peak, zcr);
+    * null for anything else. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null) return null
     val n = b.length
@@ -82,17 +109,28 @@ object AudioFeatures {
       }
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    if (fmtCode != 1 || dataOff < 0) return null // PCM only
-    val bytesPer = bits match { case 8 => 1; case 16 => 2; case _ => return null }
+    if (dataOff < 0) return null
+    // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law
+    val mode = (fmtCode, bits) match {
+      case (1, 8) => 0
+      case (1, 16) => 1
+      case (7, 8) => 2
+      case (6, 8) => 3
+      case _ => return null
+    }
+    val bytesPer = if (mode == 1) 2 else 1
     val count = dataLen / bytesPer
     if (count == 0) return InternalRow(0L, 0.0, 0.0, 0.0)
     var sumSq = 0.0; var peak = 0.0
     var crossings = 0; var prevSign = 0
     var k = 0
     while (k < count) {
-      val x =
-        if (bytesPer == 1) (u(dataOff + k) - 128) / 128.0
-        else le16(dataOff + 2 * k).toShort / 32768.0
+      val x = mode match {
+        case 0 => (u(dataOff + k) - 128) / 128.0
+        case 1 => le16(dataOff + 2 * k).toShort / 32768.0
+        case 2 => UlawTable(u(dataOff + k))
+        case _ => AlawTable(u(dataOff + k))
+      }
       sumSq += x * x
       val ax = if (x < 0) -x else x
       if (ax > peak) peak = ax

@@ -267,6 +267,45 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  // G.711 WAV: fmtCode 7 = µ-law, 6 = A-law; one byte per sample
+  private def g711Wav(fmtCode: Int, bytes: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = bytes.map(_.toByte).toArray
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(fmtCode) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("audio features REALLY expand compressed G.711 ulaw/alaw samples") {
+    import spark.implicits._
+    val rows = Seq(
+      // µ-law 0x00 = the codec's most-negative code → |x| = 32124/32768;
+      // constant stream → rms = peak, zcr 0
+      (1L, g711Wav(7, Seq.fill(16)(0x00))),
+      // µ-law 0xFF decodes to exactly 0
+      (2L, g711Wav(7, Seq.fill(16)(0xFF))),
+      // µ-law alternating ±max → zcr 1
+      (3L, g711Wav(7, (0 until 16).map(i => if (i % 2 == 0) 0x00 else 0x80))),
+      // A-law 0x55 = −8 and 0xD5 = +8 (the classic silence codes)
+      (4L, g711Wav(6, Seq.fill(16)(0x55))),
+      (5L, g711Wav(6, Seq.fill(16)(0xD5))))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))).toMap
+    val big = 32124.0 / 32768
+    assert(rows(1L).contains((16L, big, big, 0.0)))
+    assert(rows(2L).contains((16L, 0.0, 0.0, 0.0)))
+    assert(rows(3L).contains((16L, big, big, 1.0)))
+    val tiny = 8.0 / 32768
+    assert(rows(4L).contains((16L, tiny, tiny, 0.0)))
+    assert(rows(5L).contains((16L, tiny, tiny, 0.0)))
+  }
+
   // minimal AVI: RIFF/AVI + an extra JUNK chunk before LIST hdrl (walks),
   // hdrl holds avih with 25 fps (40000 µs/frame), 250 frames, 320×240
   private def aviBytes(frames: Int, withJunk: Boolean = true): Array[Byte] = {
