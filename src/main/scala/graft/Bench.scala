@@ -49,6 +49,9 @@ object Bench {
     // error entry, never as a fast time: a benchmark that silently
     // converts crashes into good numbers is measuring nothing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1,
+      s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps — zero reps would " +
+        "report Double.MaxValue as every query's time")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var best = Double.MaxValue

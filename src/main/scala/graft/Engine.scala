@@ -245,12 +245,23 @@ class Engine(initial: RdfGraph) {
       // store is single-graph, so the INTO target is accepted and merged
       // into the default graph. N-Triples (.nt/.nt.gz) reads distributed;
       // Turtle parses driver-side (same split as the standalone sources).
+      // Only local documents (file:// or a bare path) are supported —
+      // remote schemes fail with a clear error, not an opaque IO one.
+      val scheme = url.takeWhile(c => c.isLetter || c == '+').toLowerCase
+      if (url.contains("://") && scheme != "file")
+        throw new GraftException(
+          s"LOAD supports file:// or local-path documents, got <$url>")
       val path = url.stripPrefix("file://")
+      val lower = path.toLowerCase
       val loaded =
-        if (path.endsWith(".ttl"))
+        if (lower.endsWith(".ttl") || lower.endsWith(".turtle"))
           sources.Turtle.parse(new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8"), spark)
-        else sources.NTriples.read(spark, path)
+        else if (lower.endsWith(".nt") || lower.endsWith(".nt.gz"))
+          sources.NTriples.read(spark, path)
+        else throw new GraftException(
+          s"LOAD cannot infer the RDF format of <$url> " +
+            "(expected .ttl/.turtle or .nt/.nt.gz)")
       graph = graph.insert(loaded.triples)
         .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }

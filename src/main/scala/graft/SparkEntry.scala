@@ -528,15 +528,7 @@ object SparkEntry {
       // whose fields derive from doc_id, parse it back with the native
       // expression — the oracle recomputes the fields arithmetically, so
       // the byte-level parser is checked against ground truth per row
-      def le16(v: org.apache.spark.sql.Column) = {
-        val h = F.lpad(F.hex(v), 4, "0")
-        F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
-      }
-      def le32(v: org.apache.spark.sql.Column) = {
-        val h = F.lpad(F.hex(v), 8, "0")
-        F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
-          F.substring(h, 3, 2), F.substring(h, 1, 2))
-      }
+      import SqlHex.{le16h, le32h}
       val docs = read(s, dir, "documents")
       val rate = F.lit(8000) + (F.col("doc_id") % 8).cast(IntegerType) * 4000
       val ch = F.lit(1) + (F.col("doc_id") % 2).cast(IntegerType)
@@ -544,10 +536,10 @@ object SparkEntry {
       val byteRate = rate * ch * (bits / 8).cast(IntegerType)
       val dataSize = byteRate * 2 // exactly two seconds of samples
       val media = F.unhex(F.concat(
-        F.lit("52494646"), le32(dataSize + 36), F.lit("57415645"),
-        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), le16(ch),
-        le32(rate), le32(byteRate), le16(ch * (bits / 8).cast(IntegerType)),
-        le16(bits), F.lit("64617461"), le32(dataSize)))
+        F.lit("52494646"), le32h(dataSize + 36), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), le16h(ch),
+        le32h(rate), le32h(byteRate), le16h(ch * (bits / 8).cast(IntegerType)),
+        le16h(bits), F.lit("64617461"), le32h(dataSize)))
       docs.select(F.col("doc_id"),
           Multimodal.headerAudioMeta(media).as("m"))
         .select(F.col("doc_id"), F.col("m.mime").as("mime"),
@@ -562,14 +554,13 @@ object SparkEntry {
       // arithmetic (rms = peak = k/128 bit-exactly, zcr = 1), so DuckDB
       // recomputes the decoded features from doc_id directly
       val k = (F.col("doc_id") % 127).cast(IntegerType) + 1
-      val hx = (v: org.apache.spark.sql.Column) => F.lpad(F.hex(v), 2, "0")
       val media = F.unhex(F.concat(
         F.lit("52494646" + "A4000000" + "57415645"),
         F.lit("666D7420" + "10000000" + "0100" + "0100" +
           "401F0000" + "803E0000" + "0200" + "1000"),
         F.lit("64617461" + "80000000"),
-        F.repeat(F.concat(F.lit("00"), hx(k), F.lit("00"),
-          hx(F.lit(256) - k)), 32)))
+        F.repeat(F.concat(F.lit("00"), SqlHex.hx2(k), F.lit("00"),
+          SqlHex.hx2(F.lit(256) - k)), 32)))
       read(s, dir, "documents")
         .select(F.col("doc_id"), Multimodal.audioFeatures(media).as("f"))
         .select(F.col("doc_id"), F.col("f.n_samples").as("n_samples"),
@@ -581,14 +572,13 @@ object SparkEntry {
       // ITU-T G.711 µ-law and A-law streams expand to one constant
       // linear sample, so rms = peak = mag/32768 is exact arithmetic
       // that DuckDB recomputes from doc_id via the expansion formulas
-      val hx = (v: Column) => F.lpad(F.hex(v), 2, "0")
       val v = F.col("doc_id") % 256
       def wav(fmtCode: String) = F.unhex(F.concat(
         F.lit("52494646" + "64000000" + "57415645"),
         F.lit("666D7420" + "10000000" + fmtCode + "0100" +
           "401F0000" + "401F0000" + "0100" + "0800"),
         F.lit("64617461" + "40000000"),
-        F.repeat(hx(v), 64)))
+        F.repeat(SqlHex.hx2(v), 64)))
       read(s, dir, "documents")
         .select(F.col("doc_id"),
           Multimodal.audioFeatures(wav("0700")).as("u"),
@@ -603,11 +593,7 @@ object SparkEntry {
       // oracle-verified AVI parse: synthesize a valid per-doc avih header
       // (25 fps, doc_id-derived frame count and dims), parse it back —
       // ground truth is direct arithmetic
-      def le32h(v: org.apache.spark.sql.Column) = {
-        val h = F.lpad(F.hex(v), 8, "0")
-        F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
-          F.substring(h, 3, 2), F.substring(h, 1, 2))
-      }
+      import SqlHex.le32h
       val frames = (F.col("doc_id") % 1000).cast(IntegerType) + 1
       val w = (F.lit(160) + (F.col("doc_id") % 16).cast(IntegerType) * 16)
       val h = (F.lit(120) + (F.col("doc_id") % 9).cast(IntegerType) * 16)
@@ -630,11 +616,11 @@ object SparkEntry {
       // REAL BMP pixel decode, oracle-verified: per-doc solid-color 2×2
       // 24bpp bitmap (channel values derived from doc_id) → per-channel
       // means equal the source colors exactly
-      val hx = (v: org.apache.spark.sql.Column) => F.lpad(F.hex(v), 2, "0")
+      import SqlHex.hx2
       val r = F.col("doc_id") % 256
       val g = (F.col("doc_id") * 7) % 256
       val b = (F.col("doc_id") * 13) % 256
-      val row = F.concat(hx(b), hx(g), hx(r), hx(b), hx(g), hx(r),
+      val row = F.concat(hx2(b), hx2(g), hx2(r), hx2(b), hx2(g), hx2(r),
         F.lit("0000")) // 2 px BGR + stride padding to 8 bytes
       val media = F.unhex(F.concat(
         F.lit("424D" + "46000000" + "00000000" + "36000000"),
@@ -654,8 +640,7 @@ object SparkEntry {
       // compressor, crc32 is a Spark builtin, and adler32 over the
       // 4-byte scanline is closed-form — then inflated/decoded by the
       // JDK reader; ground truth is doc_id arithmetic
-      val hx2 = (v: Column) => F.lpad(F.hex(v), 2, "0")
-      val be32h = (v: Column) => F.lpad(F.hex(v), 8, "0")
+      import SqlHex.{hx2, be32h}
       val r = F.col("doc_id") % 256
       val g = (F.col("doc_id") * 7) % 256
       val b = (F.col("doc_id") * 13) % 256

@@ -94,10 +94,13 @@ object AudioFeatures {
         u(8) != 'W' || u(9) != 'A' || u(10) != 'V' || u(11) != 'E') return null
     var fmtCode = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
-    var i = 12
-    while (i + 8 <= n && (fmtCode < 0 || dataOff < 0)) {
+    // Long walk offset: a crafted 32-bit chunk size must advance past the
+    // end of the blob (ending the loop), never overflow Int into a
+    // negative index — poison rows degrade to NULL, they don't throw
+    var iL = 12L
+    while (iL + 8 <= n && (fmtCode < 0 || dataOff < 0)) {
+      val i = iL.toInt
       val size = le32(i + 4)
-      if (size > Int.MaxValue - 16) return null
       if (u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > n) return null
         fmtCode = le16(i + 8)
@@ -105,9 +108,9 @@ object AudioFeatures {
       } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
           u(i + 3) == 'a') {
         dataOff = i + 8
-        dataLen = math.min(size.toInt, n - dataOff) // tolerate truncation
+        dataLen = math.min(size, (n - dataOff).toLong).toInt // tolerate truncation
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      iL += 8 + size + (size & 1)
     }
     if (dataOff < 0) return null
     // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law

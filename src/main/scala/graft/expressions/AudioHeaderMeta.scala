@@ -79,8 +79,12 @@ object AudioHeaderMeta {
         u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E') {
       var channels = -1; var rate = -1; var bits = -1
       var byteRate = 0L; var dataSize = -1L
-      var i = 12
-      while (i + 8 <= n && (channels < 0 || dataSize < 0)) {
+      // Long walk offset: crafted chunk sizes advance past the end (loop
+      // ends), never overflow Int into a negative index — poison rows
+      // degrade to NULL, they don't throw
+      var iL = 12L
+      while (iL + 8 <= n && (channels < 0 || dataSize < 0)) {
+        val i = iL.toInt
         val size = le32(i + 4)
         if (u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' &&
             u(i + 3) == ' ') {
@@ -93,8 +97,7 @@ object AudioHeaderMeta {
             u(i + 3) == 'a') {
           dataSize = size
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size > Int.MaxValue - 16) return null
+        iL += 8 + size + (size & 1) // chunks are word-aligned
       }
       if (channels <= 0 || rate <= 0) return null
       val dur =

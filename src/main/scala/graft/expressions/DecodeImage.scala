@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -65,15 +63,9 @@ object DecodeImage {
     StructField("mean_g", DoubleType, nullable = false),
     StructField("mean_b", DoubleType, nullable = false)))
 
-  // in-memory ImageIO streams: executors must not write codec spill files
-  locally {
-    System.setProperty("java.awt.headless", "true")
-    javax.imageio.ImageIO.setUseCache(false)
-  }
-
   private val MimeTiff = UTF8String.fromString("image/tiff")
 
-  private def isTiff(b: Array[Byte]): Boolean =
+  private[expressions] def isTiff(b: Array[Byte]): Boolean =
     b.length >= 4 &&
       ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
@@ -98,30 +90,14 @@ object DecodeImage {
     }
   }
 
-  private def viaImageIO(b: Array[Byte], mime: UTF8String): InternalRow =
-    try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
-      if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0) return null
-      val row = new Array[Int](w)
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val p = row(x)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      val count = w.toLong * h
-      InternalRow(mime, w, h, sr.toDouble / count, sg.toDouble / count,
-        sb.toDouble / count)
-    } catch {
-      case _: Exception => null // corrupt/truncated bytes degrade to NULL
+  private def viaImageIO(b: Array[Byte], mime: UTF8String): InternalRow = {
+    val sums = new ImageFeatures.MeanSink
+    Pixels.walkImageIO(b, sums) match {
+      case null => null
+      case (w, h) =>
+        val count = w.toLong * h
+        InternalRow(mime, w, h, sums.r.toDouble / count,
+          sums.g.toDouble / count, sums.b.toDouble / count)
     }
+  }
 }

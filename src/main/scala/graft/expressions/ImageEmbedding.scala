@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -51,92 +49,41 @@ case class ImageEmbedding(child: Expression, bins: Int)
 }
 
 object ImageEmbedding {
-  locally {
-    System.setProperty("java.awt.headless", "true")
-    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Histogram sink over the shared pixel walks ([[Pixels]]). */
+  private final class HistSink(bins: Int) extends Pixels.Sink {
+    val counts = new Array[Long](3 * bins)
+    def accept(r: Int, g: Int, b: Int): Unit = {
+      counts(r * bins / 256) += 1
+      counts(bins + g * bins / 256) += 1
+      counts(2 * bins + b * bins / 256) += 1
+    }
   }
 
   /** 3·bins L1-normalized RGB histogram of any decodable image. */
   def embed(b: Array[Byte], bins: Int): ArrayData = {
     if (b == null) return null
-    val counts = new Array[Long](3 * bins)
-    val pixels = ImageHeaderMeta.parseDims(b) match {
+    val sink = new HistSink(bins)
+    val dims = ImageHeaderMeta.parseDims(b) match {
       case ("image/bmp", _, _) =>
-        val fast = countBmp24(b, counts, bins)
-        if (fast > 0) fast else countViaImageIO(b, counts, bins)
-      case null => null
-      case _ => countViaImageIO(b, counts, bins)
+        // fast path: raw 24bpp loop; other BMP variants → JDK reader
+        val fast = Pixels.walkBmp24(b, sink)
+        if (fast != null) fast else Pixels.walkImageIO(b, sink)
+      case null =>
+        if (DecodeImage.isTiff(b)) Pixels.walkImageIO(b, sink) else null
+      case _ => Pixels.walkImageIO(b, sink)
     }
-    pixels match {
+    dims match {
       case null => null
-      case n =>
+      case (w, h) =>
+        val n = w.toLong * h
         val out = new Array[Float](3 * bins)
         var i = 0
         while (i < out.length) {
-          out(i) = (counts(i).toDouble / n.toDouble).toFloat
+          out(i) = (sink.counts(i).toDouble / n.toDouble).toFloat
           i += 1
         }
         new GenericArrayData(out)
     }
   }
-
-  /** Raw-loop histogram for 24bpp BI_RGB BMP; 0 when not that format. */
-  private def countBmp24(b: Array[Byte], counts: Array[Long],
-      bins: Int): java.lang.Long = {
-    val n = b.length
-    def u(i: Int): Int = b(i) & 0xff
-    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
-    def le32(i: Int): Int =
-      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
-    if (n < 54) return 0L
-    val pixOff = le32(10)
-    val width = le32(18)
-    val heightRaw = le32(22)
-    val height = math.abs(heightRaw)
-    if (le16(28) != 24 || le32(30) != 0) return 0L
-    if (width <= 0 || height <= 0 || width > (1 << 20) ||
-        height > (1 << 20)) return 0L
-    val rowBytes = (width * 3 + 3) & ~3
-    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * height > n) return 0L
-    var row = 0
-    while (row < height) {
-      var p = pixOff + row * rowBytes
-      var col = 0
-      while (col < width) { // BGR on disk
-        counts(2 * bins + u(p) * bins / 256) += 1
-        counts(bins + u(p + 1) * bins / 256) += 1
-        counts(u(p + 2) * bins / 256) += 1
-        p += 3; col += 1
-      }
-      row += 1
-    }
-    width.toLong * height
-  }
-
-  private def countViaImageIO(b: Array[Byte], counts: Array[Long],
-      bins: Int): java.lang.Long =
-    try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
-      if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0) return null
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val p = row(x)
-          counts(((p >> 16) & 0xff) * bins / 256) += 1
-          counts(bins + ((p >> 8) & 0xff) * bins / 256) += 1
-          counts(2 * bins + (p & 0xff) * bins / 256) += 1
-          x += 1
-        }
-        y += 1
-      }
-      w.toLong * h
-    } catch {
-      case _: Exception => null
-    }
 }

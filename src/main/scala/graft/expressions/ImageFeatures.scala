@@ -51,40 +51,24 @@ object ImageFeatures {
     StructField("mean_g", DoubleType, nullable = false),
     StructField("mean_b", DoubleType, nullable = false)))
 
-  /** Decode 24bpp BI_RGB BMP and compute per-channel means; else null. */
+  /** Decode 24bpp BI_RGB BMP and compute per-channel means; else null.
+    * The validated byte loop lives in [[Pixels.walkBmp24]] (shared with
+    * the histogram embedding). */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null) return null
-    val n = b.length
-    def u(i: Int): Int = b(i) & 0xff
-    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
-    def le32(i: Int): Int =
-      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
-    if (n < 54 || u(0) != 'B' || u(1) != 'M') return null
-    val pixOff = le32(10)
-    val width = le32(18)
-    val heightRaw = le32(22)           // negative = top-down
-    val height = if (heightRaw < 0) -heightRaw else heightRaw
-    val bpp = le16(28)
-    val compression = le32(30)
-    if (bpp != 24 || compression != 0) return null
-    if (width <= 0 || height <= 0 || width > (1 << 20) ||
-        height > (1 << 20)) return null
-    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * height > n)
-      return null
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var row = 0
-    while (row < height) {
-      var p = pixOff + row * rowBytes
-      var col = 0
-      while (col < width) {            // BGR order on disk
-        sb += u(p); sg += u(p + 1); sr += u(p + 2)
-        p += 3; col += 1
-      }
-      row += 1
+    val sums = new MeanSink
+    Pixels.walkBmp24(b, sums) match {
+      case null => null
+      case (width, height) =>
+        val count = width.toLong * height
+        InternalRow(width, height, sums.r.toDouble / count,
+          sums.g.toDouble / count, sums.b.toDouble / count)
     }
-    val count = width.toLong * height
-    InternalRow(width, height,
-      sr.toDouble / count, sg.toDouble / count, sb.toDouble / count)
+  }
+
+  /** Channel-sum sink shared by the BMP and JDK-reader walks. */
+  private[expressions] final class MeanSink extends Pixels.Sink {
+    var r = 0L; var g = 0L; var b = 0L
+    def accept(pr: Int, pg: Int, pb: Int): Unit = { r += pr; g += pg; b += pb }
   }
 }

@@ -1,0 +1,96 @@
+package graft.expressions
+
+import java.io.ByteArrayInputStream
+
+/** Shared, validated pixel walks for the media expressions — ONE copy of
+  * the 24bpp-BMP byte loop and of the JDK-reader (`javax.imageio`) row
+  * loop, parameterized by a per-pixel sink. [[ImageFeatures]] folds
+  * channel means through it, [[ImageEmbedding]] folds histograms,
+  * [[DecodeImage]] routes between the two walks. The sink is a trait
+  * (not a Function3) so the per-pixel call stays unboxed. */
+private[expressions] object Pixels {
+
+  trait Sink { def accept(r: Int, g: Int, b: Int): Unit }
+
+  /** ImageIO must run headless and never spill codec temp files on an
+    * executor; idempotent, triggered by this object's first use (callers
+    * that need it without walking, e.g. [[ResizeImage]], call this). */
+  def ensureInit(): Unit = Init
+
+  private object Init {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Walk every pixel of an uncompressed 24bpp BI_RGB BMP
+    * (BITMAPINFOHEADER or later — the legacy BITMAPCOREHEADER has its
+    * fields at different offsets and belongs to the JDK reader).
+    * Returns (width, height), or null when the bytes are not that
+    * format (nothing fed to the sink in that case: all validation
+    * happens before the loop). */
+  def walkBmp24(b: Array[Byte], sink: Sink): (Int, Int) = {
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Int =
+      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (n < 54 || u(0) != 'B' || u(1) != 'M') return null
+    if (le32(14) < 40) return null // core header: different field layout
+    val pixOff = le32(10)
+    val width = le32(18)
+    val heightRaw = le32(22)           // negative = top-down
+    val height = if (heightRaw < 0) -heightRaw else heightRaw
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0) return null
+    if (width <= 0 || height <= 0 || width > (1 << 20) ||
+        height > (1 << 20)) return null
+    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * height > n)
+      return null
+    var row = 0
+    while (row < height) {
+      var p = pixOff + row * rowBytes
+      var col = 0
+      while (col < width) {            // BGR order on disk
+        sink.accept(u(p + 2), u(p + 1), u(p))
+        p += 3; col += 1
+      }
+      row += 1
+    }
+    (width, height)
+  }
+
+  /** Walk every pixel of any JDK-readable image (PNG/JPEG/GIF/TIFF/BMP
+    * variants) row by row through a reused one-row buffer — peak extra
+    * memory O(width) on top of the decoded raster. Returns
+    * (width, height), or null when no reader recognizes the bytes or
+    * the decode throws (corrupt/truncated input degrades, the sink may
+    * have seen a partial image only if the reader itself threw
+    * mid-raster — callers treat null as "discard everything"). */
+  def walkImageIO(b: Array[Byte], sink: Sink): (Int, Int) = {
+    ensureInit()
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return null
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sink.accept((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h)
+    } catch {
+      case _: Exception => null // corrupt/truncated bytes degrade to NULL
+    }
+  }
+}

@@ -52,10 +52,7 @@ case class ResizeImage(child: Expression, maxSide: Int)
 }
 
 object ResizeImage {
-  locally {
-    System.setProperty("java.awt.headless", "true")
-    javax.imageio.ImageIO.setUseCache(false)
-  }
+  Pixels.ensureInit() // headless + in-memory ImageIO streams
 
   /** Integer-exact target dims: long side capped at `maxSide`, short
     * side half-up rounded, floor 1; identity when already small. */

@@ -71,16 +71,19 @@ object VideoHeaderMeta {
       u(i) == t.charAt(0) && u(i + 1) == t.charAt(1) &&
         u(i + 2) == t.charAt(2) && u(i + 3) == t.charAt(3)
     if (n < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return null
-    var i = 12 // top-level chunk walk for LIST hdrl
-    while (i + 12 <= n) {
+    // Long walk offsets: crafted 32-bit chunk sizes advance past the end
+    // (loop ends), never overflow Int into a negative index — poison
+    // rows degrade to NULL, they don't throw
+    var iL = 12L // top-level chunk walk for LIST hdrl
+    while (iL + 12 <= n) {
+      val i = iL.toInt
       val size = le32(i + 4)
-      if (size > Int.MaxValue - 16) return null
       if (tag(i, "LIST") && tag(i + 8, "hdrl")) {
-        var j = i + 12 // children of hdrl; avih is mandatory (walk anyway)
-        val end = math.min(i + 8 + size.toInt, n)
-        while (j + 8 <= end) {
+        var jL = i + 12L // children of hdrl; avih is mandatory (walk anyway)
+        val end = math.min(i + 8L + size, n.toLong)
+        while (jL + 8 <= end) {
+          val j = jL.toInt
           val csize = le32(j + 4)
-          if (csize > Int.MaxValue - 16) return null
           if (tag(j, "avih")) {
             if (csize < 40 || j + 8 + 40 > n) return null
             val usPerFrame = le32(j + 8)
@@ -94,11 +97,11 @@ object VideoHeaderMeta {
               else -1L
             return (width.toInt, height.toInt, frames.toInt, dur)
           }
-          j += 8 + csize.toInt + (csize.toInt & 1)
+          jL += 8 + csize + (csize & 1)
         }
         return null // hdrl without avih: corrupt
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      iL += 8 + size + (size & 1)
     }
     null
   }

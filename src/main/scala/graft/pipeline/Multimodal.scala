@@ -49,23 +49,13 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("ok", BooleanType)))
 
-  /** Synthesize an opaque media binary from any string column (test
-    * fixture: deterministic bytes that no decoder recognizes). */
-  def syntheticMedia(seed: Column): Column =
-    F.sha2(seed.cast(StringType).cast(BinaryType), 256).cast(BinaryType)
-
   /** Synthesize a VALID solid-color 24bpp BMP from dim/color columns —
     * the fixture the oracle queries use, because the result of decoding
     * it is plain arithmetic. Keep `w` a multiple of 4 so rows need no
     * stride padding (the repeat-pixel trick assumes it). */
   def syntheticBmp(w: Column, h: Column,
       r: Column, g: Column, b: Column): Column = {
-    val hx2 = (v: Column) => F.lpad(F.hex(v), 2, "0")
-    def le32h(v: Column) = {
-      val x = F.lpad(F.hex(v), 8, "0")
-      F.concat(F.substring(x, 7, 2), F.substring(x, 5, 2),
-        F.substring(x, 3, 2), F.substring(x, 1, 2))
-    }
+    import graft.SqlHex.{hx2, le32h}
     val px = F.concat(hx2(b), hx2(g), hx2(r)) // BGR on disk
     F.unhex(F.concat(
       F.lit("424D"), le32h(w * h * 3 + 54), F.lit("00000000" + "36000000"),

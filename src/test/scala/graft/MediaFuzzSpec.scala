@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions._
+
+/** Poison-row fuzz for every media parser/decoder: random bytes and
+  * bit-flipped mutations of valid headers must return null (or a value)
+  * — never throw. A 100 TB crawl corpus is full of truncated and
+  * corrupt files, and one poison row must not kill a task (the review
+  * of the RIFF walkers found exactly this class of bug: crafted chunk
+  * sizes overflowing an Int walk offset into a negative array index).
+  * Direct static calls — no Spark session, so the corpus can be large. */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(7116L)
+
+  private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+    "AudioFeatures" -> (AudioFeatures.parse(_)),
+    "AudioHeaderMeta" -> (AudioHeaderMeta.parse(_)),
+    "VideoHeaderMeta" -> (VideoHeaderMeta.parse(_)),
+    "ImageHeaderMeta" -> (ImageHeaderMeta.parse(_)),
+    "ImageFeatures" -> (ImageFeatures.parse(_)),
+    "DecodeImage" -> (DecodeImage.parse(_)),
+    "ImageEmbedding" -> (ImageEmbedding.embed(_, 8)),
+    "ResizeImage" -> (ResizeImage.resize(_, 16)))
+
+  private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =
+    parsers.foreach { case (name, p) =>
+      try p(bytes)
+      catch {
+        case e: Throwable => fail(
+          s"$name threw on $tag input (${bytes.length} bytes): $e")
+      }
+    }
+
+  test("random bytes never throw from any media parser") {
+    for (i <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(b)
+      assertNoThrow(s"random#$i", b)
+    }
+  }
+
+  test("mutated valid headers never throw from any media parser") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // valid seeds: WAV (PCM), AVI avih, PNG (real 1×1), BMP 2×2, GIF
+    val seeds = Seq(
+      hexBytes("52494646" + "64000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+        "401F0000" + "0100" + "0800" + "64617461" + "40000000" +
+        "80" * 64),
+      hexBytes("52494646" + "50000000" + "41564920" +
+        "4C495354" + "44000000" + "6864726C" + "61766968" + "38000000" +
+        "409C0000" + "00000000" * 3 + "FA000000" + "00000000" +
+        "01000000" + "00000000" + "40010000" + "F0000000" + "00" * 16),
+      hexBytes("89504E470D0A1A0A" + "0000000D" +
+        "494844520000000100000001" + "0802000000" + "907753DE" +
+        "0000000F" + "49444154" + "7801" + "010400FBFF" + "000A141E" +
+        "0068003D" + "E80CBB83" + "0000000049454E44AE426082"),
+      hexBytes("424D" + "46000000" + "00000000" + "36000000" +
+        "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+        "00000000" + "10000000" + "00000000" * 4 +
+        "0A141E" * 2 + "0000" + "0A141E" * 2 + "0000"),
+      "GIF89a".getBytes("US-ASCII") ++ hexBytes("0300050000FF"))
+    for (seed <- seeds; i <- 0 until 120) {
+      val b = seed.clone()
+      // flip 1-4 random bytes (sizes, tags, payload — anything)
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = rnd.nextInt(b.length)
+        b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      assertNoThrow(s"mutated#$i", b)
+      // and truncate at a random point
+      assertNoThrow(s"truncated#$i", b.take(rnd.nextInt(b.length + 1)))
+    }
+  }
+}

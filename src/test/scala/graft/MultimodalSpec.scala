@@ -518,6 +518,28 @@ class MultimodalSpec extends SparkSpec {
     assert(targetDims(32, 9, 16) == (16, 5))   // 4.5 rounds half-up
   }
 
+  test("crafted RIFF chunk sizes degrade to NULL instead of crashing") {
+    import spark.implicits._
+    // a chunk size of 0x7FFFFFEC passes a naive size guard but would
+    // overflow an Int walk offset into a negative array index; every
+    // RIFF walker must treat it as end-of-blob and return NULL
+    def poison(kind: String): Array[Byte] =
+      ("RIFF".getBytes("US-ASCII") :+ 0x14.toByte) ++ Array[Byte](0, 0, 0) ++
+        kind.getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+        Array[Byte](0xEC.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte) ++
+        Array[Byte](1, 2, 3, 4)
+    val rows = Seq((1L, poison("WAVE")), (2L, poison("AVI ")))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.audioFeatures(F.col("content")).as("af"),
+        Multimodal.headerAudioMeta(F.col("content")).as("am"),
+        Multimodal.headerVideoMeta(F.col("content")).as("vm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows(1L) == ((true, true, true)))
+    assert(rows(2L) == ((true, true, true)))
+  }
+
   test("image near-dup end to end: decode, histogram embed, cosine pairs") {
     import spark.implicits._
     // same color in different formats AND sizes → identical histograms

@@ -245,6 +245,16 @@ class OperatorSpec extends SparkSpec {
     e.update(s"LOAD <file://${ttl.getAbsolutePath}>")
     assert(e.graph.size == 3)
     assert(e.graph.prefixes.get("ex").contains("http://example.com/"))
+    // remote schemes and unknown formats fail with a clear error, not an
+    // opaque filesystem one
+    val remote = intercept[GraftException] {
+      e.update("LOAD <http://example.com/data.ttl>")
+    }
+    assert(remote.getMessage.contains("file://"))
+    val unknown = intercept[GraftException] {
+      e.update(s"LOAD <file://${dir.getAbsolutePath}/doc.rdf>")
+    }
+    assert(unknown.getMessage.contains("format"))
   }
 
   test("GROUP BY + HAVING + ORDER BY DESC(count)") {
