@@ -8,7 +8,7 @@ import java.io.ByteArrayInputStream
   * channel means through it, [[ImageEmbedding]] folds histograms,
   * [[DecodeImage]] routes between the two walks. The sink is a trait
   * (not a Function3) so the per-pixel call stays unboxed. */
-private[expressions] object Pixels {
+private[graft] object Pixels {
 
   trait Sink { def accept(r: Int, g: Int, b: Int): Unit }
 
@@ -59,6 +59,25 @@ private[expressions] object Pixels {
       row += 1
     }
     (width, height)
+  }
+
+  /** Frame count of a multi-frame container (animated GIF, multi-page
+    * TIFF) via the JDK reader's full-scan count; -1 when no reader
+    * recognizes the bytes or counting fails. */
+  def frameCount(b: Array[Byte]): Int = {
+    ensureInit()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return -1
+        val r = readers.next()
+        try { r.setInput(iis); r.getNumImages(true) } finally r.dispose()
+      } finally iis.close()
+    } catch {
+      case _: Exception => -1
+    }
   }
 
   /** Walk every pixel of any JDK-readable image (PNG/JPEG/GIF/TIFF/BMP

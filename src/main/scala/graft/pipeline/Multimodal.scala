@@ -90,10 +90,18 @@ object Multimodal {
     }(enc)
   }
 
-  /** One blob → `mediaMetaType` Row, all fields from the real bytes. */
+  /** One blob → `mediaMetaType` Row, all fields from the real bytes.
+    * GIF gets a REAL frame count (animated GIFs are multi-frame); other
+    * still formats report one frame. */
   private def decodeMeta(bytes: Array[Byte]): Row =
     graft.expressions.ImageHeaderMeta.parseDims(bytes) match {
-      case (mime, w, h) => Row(mime, w, h, 1, true)
+      case (mime, w, h) =>
+        val frames =
+          if (mime == "image/gif") {
+            val n = graft.expressions.Pixels.frameCount(bytes)
+            if (n > 0) n else 1
+          } else 1
+        Row(mime, w, h, frames, true)
       case null => graft.expressions.VideoHeaderMeta.parseFields(bytes) match {
         case (w, h, frames, _) => Row("video/x-msvideo", w, h, frames, true)
         case null => graft.expressions.AudioHeaderMeta.parseFields(bytes) match {

@@ -518,6 +518,35 @@ class MultimodalSpec extends SparkSpec {
     assert(targetDims(32, 9, 16) == (16, 5))   // 4.5 rounds half-up
   }
 
+  private def animatedGif(frames: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until frames)
+      writer.writeToSequence(
+        new IIOImage(solidImg(4, 4, 0x102030 + i), null, null), null)
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("animated GIF frame count is real, and frame sampling spans it") {
+    import spark.implicits._
+    val df = Seq((1L, animatedGif(5)), (2L, animatedGif(1)))
+      .toDF("id", "media")
+    val rows = Multimodal.withDecodedMeta(df, "media")
+      .select(F.col("id"), F.col("meta.mime").as("mime"),
+        F.col("meta.n_frames").as("nf"),
+        Multimodal.sampleFrameIndexes(F.col("meta"), 4).as("idx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getSeq[Int](3))).toMap
+    assert(rows(1L) == (("image/gif", 5, Seq(0, 1, 2, 3))))
+    assert(rows(2L) == (("image/gif", 1, Seq(0, 0, 0, 0))))
+  }
+
   test("crafted RIFF chunk sizes degrade to NULL instead of crashing") {
     import spark.implicits._
     // a chunk size of 0x7FFFFFEC passes a naive size guard but would
