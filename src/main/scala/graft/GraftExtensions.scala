@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -106,6 +106,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "resize_image(bytes, maxSide) takes 2 arguments")
         ResizeImage(args.head, litInt(args(1), "maxSide"))
+      }))
+    ext.injectFunction((FunctionIdentifier("audio_embedding"),
+      info(classOf[AudioEmbedding], "audio_embedding",
+        "audio_embedding(bytes, bands) - L1-normalized Goertzel band " +
+          "energies (array<float>, DC..Nyquist) over the decoded samples"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "audio_embedding(bytes, bands) takes 2 arguments")
+        AudioEmbedding(args.head, litInt(args(1), "bands"))
       }))
     ext.injectFunction((FunctionIdentifier("image_embedding"),
       info(classOf[ImageEmbedding], "image_embedding",

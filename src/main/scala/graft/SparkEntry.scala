@@ -589,6 +589,31 @@ object SparkEntry {
           F.col("u.zcr").as("ulaw_zcr"),
           F.col("a.rms").as("alaw_rms"), F.col("a.peak").as("alaw_peak"))
     }),
+    "q_audio_embed" -> ((s, dir) => {
+      // REAL audio embedding, oracle-verified: a pure DC stream puts all
+      // band energy at band 0 and a pure Nyquist (alternating) stream at
+      // the last band; normalized shares are amplitude-invariant, so the
+      // rounded shares are constants DuckDB states directly
+      val k = (F.col("doc_id") % 127).cast(IntegerType) + 1
+      def wav(dataHex: Column) = F.unhex(F.concat(
+        F.lit("52494646" + "A4000000" + "57415645"),
+        F.lit("666D7420" + "10000000" + "0100" + "0100" +
+          "401F0000" + "803E0000" + "0200" + "1000"),
+        F.lit("64617461" + "80000000"), dataHex))
+      // 64 16-bit samples: constant +k·256 (DC) / alternating ±k·256
+      val dc = wav(F.repeat(F.concat(F.lit("00"), SqlHex.hx2(k)), 64))
+      val nyq = wav(F.repeat(F.concat(F.lit("00"), SqlHex.hx2(k),
+        F.lit("00"), SqlHex.hx2(F.lit(256) - k)), 32))
+      val d = Multimodal.audioEmbedding(dc, 16)
+      val q = Multimodal.audioEmbedding(nyq, 16)
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), d.as("d"), q.as("q"))
+        .select(F.col("doc_id"),
+          F.size(F.col("d")).as("dim"),
+          F.round(F.element_at(F.col("d"), 1).cast(DoubleType), 1).as("dc_share"),
+          F.round(F.element_at(F.col("q"), 16).cast(DoubleType), 1).as("nyq_share"),
+          F.round(F.element_at(F.col("q"), 1).cast(DoubleType), 1).as("dc_in_nyq"))
+    }),
     "q_video_meta" -> ((s, dir) => {
       // oracle-verified AVI parse: synthesize a valid per-doc avih header
       // (25 fps, doc_id-derived frame count and dims), parse it back —
@@ -1311,6 +1336,13 @@ object SparkEntry {
                  ELSE ((ac % 16) * 16 + 264) * (1 << ((ac // 16) % 8 - 1))
             END) / 32768.0 AS alaw_peak
          FROM g""",
+    "q_audio_embed" ->
+      // normalized band shares of a pure tone are amplitude-invariant
+      // constants: all energy at band 0 (DC stream) / band 15 (Nyquist
+      // stream), none of the Nyquist energy leaks to DC (exact zero)
+      """SELECT doc_id, CAST(16 AS INTEGER) AS dim, 1.0 AS dc_share,
+                1.0 AS nyq_share, 0.0 AS dc_in_nyq
+         FROM documents""",
     "q_image_features" ->
       // solid-color bitmap: per-channel means equal the synthesized
       // colors exactly (integer sums, exact division by the pixel count)

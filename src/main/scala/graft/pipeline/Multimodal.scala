@@ -140,6 +140,16 @@ object Multimodal {
       graft.expressions.ImageEmbedding(
         graft.expressions.ColumnBridge.expression(bin), bins))
 
+  /** REAL audio embedding: L1-normalized Goertzel band energies over
+    * every decoded WAV sample (PCM or G.711) — `array<float>` of
+    * `bands` entries from DC to Nyquist, the audio twin of
+    * [[imageEmbedding]] for the cosine/LSH near-dup machinery. NULL for
+    * unsupported bytes ([[graft.expressions.AudioEmbedding]]). */
+  def audioEmbedding(bin: Column, bands: Int = 16): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.AudioEmbedding(
+        graft.expressions.ColumnBridge.expression(bin), bands))
+
   /** REAL (not stubbed) header-level image metadata: container format
     * and pixel dimensions parsed from the leading bytes — PNG (IHDR),
     * GIF87a/89a (logical screen descriptor) and JPEG (segment walk to

@@ -22,6 +22,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "ImageFeatures" -> (ImageFeatures.parse(_)),
     "DecodeImage" -> (DecodeImage.parse(_)),
     "ImageEmbedding" -> (ImageEmbedding.embed(_, 8)),
+    "AudioEmbedding" -> (AudioEmbedding.embed(_, 8)),
     "ResizeImage" -> (ResizeImage.resize(_, 16)))
 
   private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =

@@ -547,6 +547,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) == (("image/gif", 1, Seq(0, 0, 0, 0))))
   }
 
+  test("audio embedding is a REAL band-energy spectrum over decoded samples") {
+    import spark.implicits._
+    val bands = 9 // centers at k/16 cycles per sample
+    // sine at 0.25 cycles/sample: period 4 → [0, A, 0, -A] repeating
+    val sine = pcmWav((0 until 64).map(t => Seq(0, 16384, 0, -16384)(t % 4)))
+    val rows = Seq(
+      (1L, pcmWav(Seq.fill(64)(16384))),                        // DC
+      (2L, pcmWav((0 until 64).map(t => if (t % 2 == 0) 16384 else -16384))),
+      (3L, sine),
+      (4L, pcmWav(Seq.fill(64)(0))),                            // silence
+      (5L, g711Wav(7, Seq.fill(64)(0x00))),                     // µ-law DC
+      (6L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.audioEmbedding(F.col("content"), bands).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Float](1))).toMap
+    def argmax(v: Seq[Float]) = v.indexOf(v.max)
+    assert(rows(1L).exists(v => argmax(v) == 0 && v(0) > 0.9f))
+    assert(rows(2L).exists(v => argmax(v) == 8 && v(8) > 0.9f))
+    assert(rows(3L).exists(v => argmax(v) == 4 && v(4) > 0.8f))
+    assert(rows(4L).exists(v => v.forall(_ == 0.0f)))           // zero vector
+    assert(rows(5L).exists(v => argmax(v) == 0 && v(0) > 0.9f)) // compressed DC
+    assert(rows(6L).isEmpty)
+  }
+
+  test("audio near-dup end to end: decode, band embed, cosine pairs") {
+    import spark.implicits._
+    // the same tone at different amplitudes and encodings → cosine 1;
+    // a different tone shares no band → no pair
+    val emb = Seq(
+      (1L, pcmWav(Seq.fill(64)(16384))),         // DC, loud, PCM
+      (2L, g711Wav(7, Seq.fill(64)(0x90))),      // DC, quiet, µ-law
+      (3L, pcmWav((0 until 64).map(t => if (t % 2 == 0) 8192 else -8192))))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.audioEmbedding(F.col("content"), 9).as("v"))
+    val pairs = graft.pipeline.Dedup
+      .embeddingCosinePairs(emb, "id", "v", threshold = 0.95)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("crafted RIFF chunk sizes degrade to NULL instead of crashing") {
     import spark.implicits._
     // a chunk size of 0x7FFFFFEC passes a naive size guard but would
