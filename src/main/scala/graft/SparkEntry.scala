@@ -589,6 +589,24 @@ object SparkEntry {
           F.col("u.zcr").as("ulaw_zcr"),
           F.col("a.rms").as("alaw_rms"), F.col("a.peak").as("alaw_peak"))
     }),
+    "q_audio_adpcm" -> ((s, dir) => {
+      // REAL block-compressed decode, oracle-verified: an IMA ADPCM
+      // block whose header predictor is k·256 at step index 0 with all
+      // nibbles 0 never moves the predictor (step 7 >> 3 = 0), so all
+      // 65 samples equal k·256 exactly — rms = peak = k/128
+      val k = (F.col("doc_id") % 127).cast(IntegerType) + 1
+      val media = F.unhex(F.concat(
+        F.lit("52494646" + "4C000000" + "57415645"),
+        F.lit("666D7420" + "14000000" + "1100" + "0100" + "401F0000" +
+          "A00F0000" + "2400" + "0400" + "0200" + "4100"),
+        F.lit("64617461" + "24000000"),
+        F.lit("00"), SqlHex.hx2(k), F.lit("0000"), F.repeat(F.lit("00"), 32)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.audioFeatures(media).as("f"))
+        .select(F.col("doc_id"), F.col("f.n_samples").as("n_samples"),
+          F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
+          F.col("f.zcr").as("zcr"))
+    }),
     "q_audio_embed" -> ((s, dir) => {
       // REAL audio embedding, oracle-verified: a pure DC stream puts all
       // band energy at band 0 and a pure Nyquist (alternating) stream at
@@ -1336,6 +1354,14 @@ object SparkEntry {
                  ELSE ((ac % 16) * 16 + 264) * (1 << ((ac // 16) % 8 - 1))
             END) / 32768.0 AS alaw_peak
          FROM g""",
+    "q_audio_adpcm" ->
+      // constant-predictor ADPCM block: every decoded sample is k·256,
+      // so the features are exact dyadic arithmetic on doc_id
+      """SELECT doc_id, CAST(65 AS BIGINT) AS n_samples,
+                (1 + doc_id % 127) / 128.0 AS rms,
+                (1 + doc_id % 127) / 128.0 AS peak,
+                0.0 AS zcr
+         FROM documents""",
     "q_audio_embed" ->
       // normalized band shares of a pure tone are amplitude-invariant
       // constants: all energy at band 0 (DC stream) / band 15 (Nyquist

@@ -21,13 +21,15 @@ import org.apache.spark.sql.types._
   *   - 7 (µ-law) and 6 (A-law): the ITU-T G.711 logarithmic codecs —
   *     genuinely compressed audio, decoded with the standard
   *     expand-to-linear arithmetic (no codec library needed; the
-  *     256-entry expansion tables are built once per JVM).
+  *     256-entry expansion tables are built once per JVM);
+  *   - 0x11 (mono IMA/DVI ADPCM): true block compression, decoded with
+  *     the standard step/index adaption.
   *
   * Unlike the metadata-only [[AudioHeaderMeta]], this expression actually
   * decodes every sample. Features are computed inside the decode loop, so
   * the plan stays narrow (no sample array materializes in the row).
-  * Block/perceptual codecs (ADPCM, MP3, FLAC) return NULL here and belong
-  * to the codec stage. */
+  * Perceptual codecs (MP3, FLAC) return NULL here and belong to the
+  * codec stage. */
 case class AudioFeatures(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

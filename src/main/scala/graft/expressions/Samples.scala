@@ -7,9 +7,10 @@ package graft.expressions
   * it, [[AudioEmbedding]] folds Goertzel band energies.
   *
   * Coverage by WAV fmt code: 1 (PCM, 8-bit unsigned / 16-bit signed
-  * LE) and the ITU-T G.711 companded codecs 7 (µ-law) / 6 (A-law),
-  * expanded via 256-entry tables built once per JVM. Samples are
-  * normalized to [-1, 1). */
+  * LE), the ITU-T G.711 companded codecs 7 (µ-law) / 6 (A-law)
+  * expanded via 256-entry tables built once per JVM, and 0x11 (mono
+  * IMA/DVI ADPCM — true block compression, decoded with the standard
+  * step/index adaption). Samples are normalized to [-1, 1). */
 private[graft] object Samples {
 
   trait Sink { def accept(x: Double): Unit }
@@ -34,6 +35,19 @@ private[graft] object Samples {
     (if ((a & 0x80) != 0) t else -t) / 32768.0
   }
 
+  // IMA/DVI ADPCM quantizer step sizes (89 entries) and index adaption.
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[graft] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
   /** Decode every sample of a supported WAV into `sink`; returns the
     * sample count (0 for an empty data chunk — nothing fed), or -1 when
     * the bytes are not a supported WAV. All validation happens before
@@ -48,6 +62,7 @@ private[graft] object Samples {
     if (n < 12 || u(0) != 'R' || u(1) != 'I' || u(2) != 'F' || u(3) != 'F' ||
         u(8) != 'W' || u(9) != 'A' || u(10) != 'V' || u(11) != 'E') return -1L
     var fmtCode = -1; var bits = -1
+    var channels = -1; var blockAlign = -1
     var dataOff = -1; var dataLen = -1
     // Long walk offset: a crafted 32-bit chunk size must advance past the
     // end of the blob (ending the loop), never overflow Int into a
@@ -59,6 +74,8 @@ private[graft] object Samples {
       if (u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > n) return -1L
         fmtCode = le16(i + 8)
+        channels = le16(i + 10)
+        blockAlign = le16(i + 20)
         bits = le16(i + 22)
       } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
           u(i + 3) == 'a') {
@@ -68,6 +85,12 @@ private[graft] object Samples {
       iL += 8 + size + (size & 1)
     }
     if (dataOff < 0) return -1L
+    // IMA/DVI ADPCM (fmt 0x11, mono): block-compressed, decoded with the
+    // standard step/index adaption — no codec library needed
+    if (fmtCode == 0x11)
+      return if (bits == 4 && channels == 1 && blockAlign > 4)
+        walkImaAdpcm(b, dataOff, dataLen, blockAlign, sink)
+      else -1L
     // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law
     val mode = (fmtCode, bits) match {
       case (1, 8) => 0
@@ -90,5 +113,47 @@ private[graft] object Samples {
       k += 1
     }
     count.toLong
+  }
+
+  /** Decode mono IMA ADPCM blocks: 4-byte header (int16 predictor,
+    * uint8 step index, reserved) then two 4-bit nibbles per byte, low
+    * nibble first. A truncated final block decodes as far as the bytes
+    * go. Returns the decoded sample count. */
+  private def walkImaAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
+      blockAlign: Int, sink: Sink): Long = {
+    def u(i: Int): Int = b(i) & 0xff
+    var count = 0L
+    var block = dataOff
+    val dataEnd = dataOff + dataLen
+    while (block + 4 <= dataEnd) {
+      var pred = ((u(block) | (u(block + 1) << 8)).toShort).toInt
+      var index = math.max(0, math.min(88, u(block + 2)))
+      sink.accept(pred / 32768.0) // the header carries sample 0 verbatim
+      count += 1
+      val end = math.min(block + blockAlign, dataEnd)
+      var p = block + 4
+      while (p < end) {
+        val byte = u(p)
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte & 0x0f else byte >> 4
+          val step = ImaStepTable(index)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          index += ImaIndexTable(nib & 7)
+          if (index < 0) index = 0 else if (index > 88) index = 88
+          sink.accept(pred / 32768.0)
+          count += 1
+          half += 1
+        }
+        p += 1
+      }
+      block += blockAlign
+    }
+    count
   }
 }

@@ -33,12 +33,12 @@ import org.apache.spark.sql.types._
   *    histogram over the decoded pixels, ready for the cosine/LSH
   *    machinery — image near-dup detection end to end.
   *
-  * STUB NOTICE (what remains): perceptual/block AUDIO codecs
-  * (FLAC/MP3/ADPCM) and VIDEO frame decode have no JDK codec, so those
-  * stop at header triage (G.711 µ-law/A-law — compressed audio with an
-  * arithmetic expansion — IS decoded, in [[audioFeatures]]). Everything
-  * else — every metadata field, pixel statistic and embedding — is
-  * parsed or decoded from the real bytes.
+  * STUB NOTICE (what remains): perceptual AUDIO codecs (FLAC/MP3) and
+  * VIDEO frame decode have no JDK codec, so those stop at header triage
+  * (G.711 µ-law/A-law and mono IMA ADPCM — genuinely compressed audio
+  * with arithmetic decodes — ARE decoded, in [[audioFeatures]] /
+  * [[audioEmbedding]]). Everything else — every metadata field, pixel
+  * statistic and embedding — is parsed or decoded from the real bytes.
   */
 object Multimodal {
 
@@ -189,13 +189,13 @@ object Multimodal {
         graft.expressions.ColumnBridge.expression(bin)))
 
   /** REAL sample decode + signal features for WAV — uncompressed PCM
-    * (8/16-bit) AND the compressed G.711 µ-law/A-law encodings (ITU-T
-    * arithmetic expansion, no codec library):
+    * (8/16-bit) AND the compressed G.711 µ-law/A-law and mono IMA ADPCM
+    * encodings (arithmetic decodes, no codec library):
     * struct(n_samples, rms, peak, zcr) computed from every decoded
-    * sample ([[graft.expressions.AudioFeatures]]). Null for
-    * block/perceptual codecs (ADPCM/MP3/FLAC — the remaining stub).
-    * Narrow, codegen'd — the features fold inside the decode loop, no
-    * sample array in the row. */
+    * sample ([[graft.expressions.AudioFeatures]]). Null for perceptual
+    * codecs (MP3/FLAC — the remaining stub). Narrow, codegen'd — the
+    * features fold inside the decode loop, no sample array in the
+    * row. */
   def audioFeatures(bin: Column): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.AudioFeatures(

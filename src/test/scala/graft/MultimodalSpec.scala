@@ -547,6 +547,82 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) == (("image/gif", 1, Seq(0, 0, 0, 0))))
   }
 
+  // IMA ADPCM WAV: mono, one or more blocks of `blockAlign` bytes
+  private def adpcmWav(blockAlign: Int, data: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val spb = (blockAlign - 4) * 2 + 1
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(1) ++
+      le32(8000) ++ le32(4000) ++ le16(blockAlign) ++ le16(4) ++
+      le16(2) ++ le16(spb) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  // the standard IMA encoder (inverse of the decoder's adaption)
+  private def imaEncode(samples: Seq[Int], blockAlign: Int): Array[Byte] = {
+    import graft.expressions.Samples.{ImaIndexTable, ImaStepTable}
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    var i = 0
+    var index = 0
+    while (i < samples.length) {
+      var pred = samples(i)
+      out ++= Seq(pred.toByte, (pred >> 8).toByte, index.toByte, 0.toByte)
+      i += 1
+      var nibbles = new scala.collection.mutable.ArrayBuffer[Int]
+      for (_ <- 0 until (blockAlign - 4) * 2) {
+        val target = if (i < samples.length) samples(i) else pred
+        i += 1
+        val step = ImaStepTable(index)
+        var delta = target - pred
+        var nib = 0
+        if (delta < 0) { nib = 8; delta = -delta }
+        if (delta >= step) { nib |= 4; delta -= step }
+        if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) { nib |= 1 }
+        // replay the decoder update to stay in lockstep
+        var diff = step >> 3
+        if ((nib & 1) != 0) diff += step >> 2
+        if ((nib & 2) != 0) diff += step >> 1
+        if ((nib & 4) != 0) diff += step
+        pred = if ((nib & 8) != 0) pred - diff else pred + diff
+        pred = math.max(-32768, math.min(32767, pred))
+        index = math.max(0, math.min(88, index + ImaIndexTable(nib & 7)))
+        nibbles += nib
+      }
+      nibbles.grouped(2).foreach(p => out += ((p(0) | (p(1) << 4)).toByte))
+    }
+    out.toArray
+  }
+
+  test("audio features REALLY decode block-compressed IMA ADPCM") {
+    import spark.implicits._
+    // constant nibble 0 at step index 0: step 7 >> 3 = 0, so the
+    // predictor never moves — 65 samples all equal the header predictor
+    val flat = adpcmWav(36,
+      Array[Byte](0, 0x20, 0, 0) ++ Array.fill[Byte](32)(0)) // pred 8192
+    // encoder round trip: a sine decoded back must track the original
+    // (130 samples = exactly two 65-sample blocks)
+    val sine = (0 until 130).map(t =>
+      (16384 * math.sin(2 * math.Pi * t / 32)).toInt)
+    val tracked = adpcmWav(36, imaEncode(sine, 36))
+    val rows = Seq((1L, flat), (2L, tracked))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))).toMap
+    assert(rows(1L).contains((65L, 0.25, 0.25, 0.0))) // 8192/32768 exact
+    val (n, rms, peak, zcr) = rows(2L).get
+    assert(n == 130L)
+    // sine: rms = A/sqrt(2), peak = A, zcr = 1/16 — ADPCM is lossy but
+    // must track within a few percent once the step size adapts
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.03)
+    assert(math.abs(peak - 0.5) < 0.05)
+    assert(math.abs(zcr - 4.0 / 64) < 0.02)
+  }
+
   test("audio embedding is a REAL band-energy spectrum over decoded samples") {
     import spark.implicits._
     val bands = 9 // centers at k/16 cycles per sample
