@@ -10,7 +10,9 @@ import org.apache.spark.sql.types._
   * (compressed) encodings: samples read straight from the `data` chunk
   * bytes and folded into the standard signal features —
   *
-  *   - n_samples: decoded sample count (all channels interleaved),
+  *   - n_samples: decoded frame count (multi-channel input downmixes
+  *     to mono by averaging each frame, so a stereo clip's features
+  *     match its mono twin),
   *   - rms:  sqrt(mean(x²)) of samples normalized to [-1, 1),
   *   - peak: max |x|,
   *   - zcr:  sign-change fraction over consecutive samples
@@ -66,7 +68,7 @@ object AudioFeatures {
   private final class FeatureSink extends Samples.Sink {
     var n = 0L
     var sumSq = 0.0; var peak = 0.0
-    var crossings = 0; private var prevSign = 0
+    var crossings = 0L; private var prevSign = 0
     def accept(x: Double): Unit = {
       sumSq += x * x
       val ax = if (x < 0) -x else x

@@ -61,9 +61,10 @@ private[graft] object Pixels {
     (width, height)
   }
 
-  /** Frame count of a multi-frame container (animated GIF, multi-page
-    * TIFF) via the JDK reader's full-scan count; -1 when no reader
-    * recognizes the bytes or counting fails. */
+  /** Frame count of a multi-frame container via the JDK reader's
+    * full-scan count (works for any multi-image format the JDK reads;
+    * [[graft.pipeline.Multimodal]] currently routes only GIF here);
+    * -1 when no reader recognizes the bytes or counting fails. */
   def frameCount(b: Array[Byte]): Int = {
     ensureInit()
     try {

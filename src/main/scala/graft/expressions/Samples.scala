@@ -63,6 +63,7 @@ private[graft] object Samples {
         u(8) != 'W' || u(9) != 'A' || u(10) != 'V' || u(11) != 'E') return -1L
     var fmtCode = -1; var bits = -1
     var channels = -1; var blockAlign = -1
+    var spbExt = -1 // fmt extension: ADPCM samples per block
     var dataOff = -1; var dataLen = -1
     // Long walk offset: a crafted 32-bit chunk size must advance past the
     // end of the blob (ending the loop), never overflow Int into a
@@ -77,6 +78,7 @@ private[graft] object Samples {
         channels = le16(i + 10)
         blockAlign = le16(i + 20)
         bits = le16(i + 22)
+        if (size >= 20 && i + 8 + 20 <= n) spbExt = le16(i + 26)
       } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
           u(i + 3) == 'a') {
         dataOff = i + 8
@@ -84,12 +86,12 @@ private[graft] object Samples {
       }
       iL += 8 + size + (size & 1)
     }
-    if (dataOff < 0) return -1L
+    if (dataOff < 0 || channels < 1) return -1L
     // IMA/DVI ADPCM (fmt 0x11, mono): block-compressed, decoded with the
     // standard step/index adaption — no codec library needed
     if (fmtCode == 0x11)
       return if (bits == 4 && channels == 1 && blockAlign > 4)
-        walkImaAdpcm(b, dataOff, dataLen, blockAlign, sink)
+        walkImaAdpcm(b, dataOff, dataLen, blockAlign, spbExt, sink)
       else -1L
     // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law
     val mode = (fmtCode, bits) match {
@@ -100,28 +102,42 @@ private[graft] object Samples {
       case _ => return -1L
     }
     val bytesPer = if (mode == 1) 2 else 1
-    val count = dataLen / bytesPer
-    var k = 0
-    while (k < count) {
-      val x = mode match {
-        case 0 => (u(dataOff + k) - 128) / 128.0
-        case 1 => le16(dataOff + 2 * k).toShort / 32768.0
-        case 2 => UlawTable(u(dataOff + k))
-        case _ => AlawTable(u(dataOff + k))
+    // multi-channel input downmixes to mono, one averaged sample per
+    // frame — rms/zcr/band energies of a stereo clip must match its
+    // mono twin, not an interleaved zigzag of the channels
+    val frames = dataLen / bytesPer / channels
+    var f = 0
+    while (f < frames) {
+      var sum = 0.0
+      var c = 0
+      while (c < channels) {
+        val k = f * channels + c
+        sum += (mode match {
+          case 0 => (u(dataOff + k) - 128) / 128.0
+          case 1 => le16(dataOff + 2 * k).toShort / 32768.0
+          case 2 => UlawTable(u(dataOff + k))
+          case _ => AlawTable(u(dataOff + k))
+        })
+        c += 1
       }
-      sink.accept(x)
-      k += 1
+      sink.accept(sum / channels)
+      f += 1
     }
-    count.toLong
+    frames.toLong
   }
 
   /** Decode mono IMA ADPCM blocks: 4-byte header (int16 predictor,
     * uint8 step index, reserved) then two 4-bit nibbles per byte, low
-    * nibble first. A truncated final block decodes as far as the bytes
-    * go. Returns the decoded sample count. */
+    * nibble first. Per-block output is capped at the fmt extension's
+    * samplesPerBlock (when present and sane), so encoder pad nibbles in
+    * a partially-filled final block are not decoded as samples. A
+    * truncated final block decodes as far as the bytes go. Returns the
+    * decoded sample count. */
   private def walkImaAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
-      blockAlign: Int, sink: Sink): Long = {
+      blockAlign: Int, spbExt: Int, sink: Sink): Long = {
     def u(i: Int): Int = b(i) & 0xff
+    val spbMax = (blockAlign - 4) * 2 + 1
+    val spb = if (spbExt >= 1 && spbExt <= spbMax) spbExt else spbMax
     var count = 0L
     var block = dataOff
     val dataEnd = dataOff + dataLen
@@ -130,12 +146,13 @@ private[graft] object Samples {
       var index = math.max(0, math.min(88, u(block + 2)))
       sink.accept(pred / 32768.0) // the header carries sample 0 verbatim
       count += 1
+      var blockSamples = 1
       val end = math.min(block + blockAlign, dataEnd)
       var p = block + 4
-      while (p < end) {
+      while (p < end && blockSamples < spb) {
         val byte = u(p)
         var half = 0
-        while (half < 2) {
+        while (half < 2 && blockSamples < spb) {
           val nib = if (half == 0) byte & 0x0f else byte >> 4
           val step = ImaStepTable(index)
           var diff = step >> 3
@@ -148,6 +165,7 @@ private[graft] object Samples {
           if (index < 0) index = 0 else if (index > 88) index = 88
           sink.accept(pred / 32768.0)
           count += 1
+          blockSamples += 1
           half += 1
         }
         p += 1

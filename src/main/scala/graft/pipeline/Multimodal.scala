@@ -69,8 +69,10 @@ object Multimodal {
     * `batchSize` chunks per partition (mapInPandas-shaped plumbing).
     * Every field is REAL, parsed from the bytes across all three
     * modalities: image containers (PNG/GIF/JPEG/BMP) report format +
-    * pixel dimensions (one frame), AVI video reports dimensions + frame
-    * count, WAV/FLAC audio reports its container (no pixel dims).
+    * pixel dimensions — with the ACTUAL frame count for GIF (animated
+    * GIFs are multi-frame; other stills are one frame) — AVI video
+    * reports dimensions + frame count, WAV/FLAC audio reports its
+    * container (no pixel dims).
     * Unrecognized bytes get `ok = false` with null fields — a crawl
     * corpus is full of them and they must degrade, not fake. */
   def withDecodedMeta(df: DataFrame, binCol: String, out: String = "meta",

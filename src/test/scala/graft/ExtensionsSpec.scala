@@ -70,6 +70,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("image_embedding and audio_embedding resolve in spark.sql") {
+    // 1×1 stored-DEFLATE PNG (10,20,30) → one-hot bins 0/0/0 at bins=4;
+    // constant-sample µ-law WAV → all band energy at DC
+    val r = spark.sql(
+      """SELECT image_embedding(unhex(concat(
+           '89504E470D0A1A0A', '0000000D',
+           '494844520000000100000001', '0802000000', '907753DE',
+           '0000000F', '49444154', '7801', '010400FBFF', '000A141E',
+           '0068003D', 'E80CBB83', '0000000049454E44AE426082')), 4) AS iv,
+                audio_embedding(unhex(concat(
+           '52494646', '64000000', '57415645',
+           '666D7420', '10000000', '0700', '0100', '401F0000', '401F0000',
+           '0100', '0800', '64617461', '40000000', repeat('90', 64))), 5) AS av
+      """).collect()(0)
+    val iv = r.getSeq[Float](0)
+    assert(iv.length == 12 && iv(0) == 1.0f && iv(4) == 1.0f && iv(8) == 1.0f)
+    val av = r.getSeq[Float](1)
+    assert(av.length == 5 && av(0) > 0.9f)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), id + 1) FROM range(1)")

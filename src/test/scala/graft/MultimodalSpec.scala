@@ -547,12 +547,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) == (("image/gif", 1, Seq(0, 0, 0, 0))))
   }
 
-  // IMA ADPCM WAV: mono, one or more blocks of `blockAlign` bytes
-  private def adpcmWav(blockAlign: Int, data: Array[Byte]): Array[Byte] = {
+  // IMA ADPCM WAV: mono, one or more blocks of `blockAlign` bytes;
+  // spbOverride forces a samplesPerBlock below the block capacity
+  private def adpcmWav(blockAlign: Int, data: Array[Byte],
+      spbOverride: Int = -1): Array[Byte] = {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
-    val spb = (blockAlign - 4) * 2 + 1
+    val spb =
+      if (spbOverride > 0) spbOverride else (blockAlign - 4) * 2 + 1
     val body = "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(1) ++
       le32(8000) ++ le32(4000) ++ le16(blockAlign) ++ le16(4) ++
@@ -597,6 +600,34 @@ class MultimodalSpec extends SparkSpec {
     out.toArray
   }
 
+  // stereo 16-bit PCM WAV (L/R interleaved frames)
+  private def stereoPcmWav(frames: Seq[(Int, Int)]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = frames.flatMap(f => le16(f._1).toSeq ++ le16(f._2).toSeq).toArray
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("stereo WAV downmixes to mono frames, matching its mono twin") {
+    import spark.implicits._
+    val rows = Seq(
+      // L = +A, R = -A: opposite channels cancel → digital silence
+      (1L, stereoPcmWav(Seq.fill(16)((16384, -16384)))),
+      // L = R = A: identical channels → same features as mono DC
+      (2L, stereoPcmWav(Seq.fill(16)((16384, 16384)))))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))).toMap
+    assert(rows(1L).contains((16L, 0.0, 0.0, 0.0))) // frames, not samples
+    assert(rows(2L).contains((16L, 0.5, 0.5, 0.0)))
+  }
+
   test("audio features REALLY decode block-compressed IMA ADPCM") {
     import spark.implicits._
     // constant nibble 0 at step index 0: step 7 >> 3 = 0, so the
@@ -621,6 +652,24 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.03)
     assert(math.abs(peak - 0.5) < 0.05)
     assert(math.abs(zcr - 4.0 / 64) < 0.02)
+  }
+
+  test("ADPCM honors samplesPerBlock: pad nibbles are not decoded") {
+    import spark.implicits._
+    // fmt declares 10 samples per 36-byte block (capacity 65): the
+    // decoder must emit the header sample + 9 nibbles and skip the
+    // remaining 55 pad nibbles — a blockAlign-derived count would
+    // report 65 and skew every feature with pad content
+    val wav = adpcmWav(36,
+      Array[Byte](0, 0x20, 0, 0) ++ Array.fill[Byte](32)(0x44), // nib 4s
+      spbOverride = 10)
+    val f = Seq(Tuple1(wav)).toDF("content")
+      .select(Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect()(0).getStruct(0)
+    assert(f.getLong(0) == 10L)
+    // nibble 4 keeps adding the growing step: the 10th sample is well
+    // above the 8192 start, but the capped decode must stop there
+    assert(f.getDouble(2) > 0.25 && f.getDouble(2) < 1.0)
   }
 
   test("audio embedding is a REAL band-energy spectrum over decoded samples") {
