@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -124,6 +124,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "image_embedding(bytes, bins) takes 2 arguments")
         ImageEmbedding(args.head, litInt(args(1), "bins"))
+      }))
+    ext.injectFunction((FunctionIdentifier("video_features"),
+      info(classOf[VideoFeatures], "video_features",
+        "video_features(bytes) - decode uncompressed AVI frames: " +
+          "(n_frames, width, height, mean_r, mean_g, mean_b, motion)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "video_features(bytes) takes 1 argument")
+        VideoFeatures(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",

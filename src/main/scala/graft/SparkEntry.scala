@@ -655,6 +655,34 @@ object SparkEntry {
           F.col("m.n_frames").as("n_frames"),
           F.col("m.duration_ms").as("duration_ms"))
     }),
+    "q_video_features" -> ((s, dir) => {
+      // REAL uncompressed-video decode, oracle-verified: a 4-frame AVI
+      // whose solid 4×2 frames step +1 per channel per frame — decoded
+      // means are c0 + 1.5 and the per-frame mean deltas make motion
+      // exactly 1.0, all doc_id arithmetic
+      import SqlHex.hx2
+      val r = F.col("doc_id") % 200
+      val g = (F.col("doc_id") * 7) % 200
+      val b = (F.col("doc_id") * 13) % 200
+      val frames = (0 until 4).map { f =>
+        F.concat(F.lit("30306462" + "18000000"), // 00db, 24 bytes
+          F.repeat(F.concat(hx2(b + f), hx2(g + f), hx2(r + f)), 8))
+      }
+      val media = F.unhex(F.concat(Seq(
+        F.lit("52494646" + "DC000000" + "41564920"),
+        F.lit("4C495354" + "44000000" + "6864726C"),
+        F.lit("61766968" + "38000000" + "409C0000"),
+        F.lit("00000000" + "00000000" + "00000000" + "04000000"),
+        F.lit("00000000" + "01000000" + "00000000"),
+        F.lit("04000000" + "02000000"), F.repeat(F.lit("00"), 16),
+        F.lit("4C495354" + "84000000" + "6D6F7669")) ++ frames: _*))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.videoFeatures(media).as("f"))
+        .select(F.col("doc_id"), F.col("f.n_frames").as("n_frames"),
+          F.col("f.width").as("width"), F.col("f.height").as("height"),
+          F.col("f.mean_r").as("mean_r"), F.col("f.mean_g").as("mean_g"),
+          F.col("f.mean_b").as("mean_b"), F.col("f.motion").as("motion"))
+    }),
     "q_image_features" -> ((s, dir) => {
       // REAL BMP pixel decode, oracle-verified: per-doc solid-color 2×2
       // 24bpp bitmap (channel values derived from doc_id) → per-channel
@@ -1368,6 +1396,16 @@ object SparkEntry {
       // stream), none of the Nyquist energy leaks to DC (exact zero)
       """SELECT doc_id, CAST(16 AS INTEGER) AS dim, 1.0 AS dc_share,
                 1.0 AS nyq_share, 0.0 AS dc_in_nyq
+         FROM documents""",
+    "q_video_features" ->
+      // 4 solid frames stepping +1 per channel: means are c0 + (0+1+2+3)/4
+      // and each consecutive-frame mean delta is exactly 1
+      """SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
+                CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+                CAST(doc_id % 200 + 1.5 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7) % 200 + 1.5 AS DOUBLE) AS mean_g,
+                CAST((doc_id * 13) % 200 + 1.5 AS DOUBLE) AS mean_b,
+                1.0 AS motion
          FROM documents""",
     "q_image_features" ->
       // solid-color bitmap: per-channel means equal the synthesized

@@ -33,12 +33,14 @@ import org.apache.spark.sql.types._
   *    histogram over the decoded pixels, ready for the cosine/LSH
   *    machinery — image near-dup detection end to end.
   *
-  * STUB NOTICE (what remains): perceptual AUDIO codecs (FLAC/MP3) and
-  * VIDEO frame decode have no JDK codec, so those stop at header triage
-  * (G.711 µ-law/A-law and mono IMA ADPCM — genuinely compressed audio
-  * with arithmetic decodes — ARE decoded, in [[audioFeatures]] /
-  * [[audioEmbedding]]). Everything else — every metadata field, pixel
-  * statistic and embedding — is parsed or decoded from the real bytes.
+  * STUB NOTICE (what remains): perceptual codecs — FLAC/MP3 audio and
+  * inter-frame video (H.26x etc.) — have no JDK codec, so those stop at
+  * header triage. Compressed formats with arithmetic decodes ARE
+  * decoded: G.711 µ-law/A-law and mono IMA ADPCM audio
+  * ([[audioFeatures]]/[[audioEmbedding]]) and uncompressed-DIB AVI
+  * frames ([[videoFeatures]]). Everything else — every metadata field,
+  * pixel statistic and embedding — is parsed or decoded from the real
+  * bytes.
   */
 object Multimodal {
 
@@ -201,6 +203,18 @@ object Multimodal {
   def audioFeatures(bin: Column): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.AudioFeatures(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** REAL video frame decode for uncompressed AVI (`00db` DIB frames —
+    * raw BGR24 rasters, no codec needed): struct(n_frames, width,
+    * height, mean_r, mean_g, mean_b, motion) folded over every pixel of
+    * every frame; `motion` is the mean absolute frame-to-frame change
+    * of the per-frame channel means (scene-change/static triage). Null
+    * for non-AVI, compressed-only, or corrupt containers
+    * ([[graft.expressions.VideoFeatures]]). O(1) state, narrow. */
+  def videoFeatures(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.VideoFeatures(
         graft.expressions.ColumnBridge.expression(bin)))
 
   /** REAL pixel decode + channel statistics for uncompressed 24-bit BMP:

@@ -18,6 +18,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "AudioFeatures" -> (AudioFeatures.parse(_)),
     "AudioHeaderMeta" -> (AudioHeaderMeta.parse(_)),
     "VideoHeaderMeta" -> (VideoHeaderMeta.parse(_)),
+    "VideoFeatures" -> (VideoFeatures.parse(_)),
     "ImageHeaderMeta" -> (ImageHeaderMeta.parse(_)),
     "ImageFeatures" -> (ImageFeatures.parse(_)),
     "DecodeImage" -> (DecodeImage.parse(_)),

@@ -324,6 +324,64 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  // AVI with REAL uncompressed frames: header (via aviBytes' layout) +
+  // LIST movi of 00db chunks, each a raw bottom-up BGR24 raster
+  private def aviWithFrames(w: Int, h: Int,
+      frames: Seq[Seq[Seq[(Int, Int, Int)]]], extraChunk: Boolean = false)
+      : Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val rowBytes = (w * 3 + 3) & ~3
+    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val frameChunks = frames.flatMap { rows =>
+      val raster = rows.reverse.flatMap { row => // bottom-up on disk
+        row.flatMap { case (r, g, b) =>
+          Seq(b.toByte, g.toByte, r.toByte) } ++
+          Array.fill[Byte](rowBytes - w * 3)(0)
+      }.toArray
+      "00db".getBytes("US-ASCII") ++ le32(raster.length) ++ raster
+    }
+    val skipped = if (extraChunk)
+      "01wb".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    else Array.emptyByteArray
+    val movi = "LIST".getBytes("US-ASCII") ++
+      le32(4 + skipped.length + frameChunks.length) ++
+      "movi".getBytes("US-ASCII") ++ skipped ++ frameChunks
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("video features REALLY decode uncompressed AVI frames") {
+    import spark.implicits._
+    def solid(r: Int, g: Int, b: Int, w: Int, h: Int) =
+      Seq.fill(h)(Seq.fill(w)((r, g, b)))
+    // 3 solid frames stepping +1 per channel → means are the middle
+    // frame's colors exactly, motion = 1.0; w=3 exercises row padding
+    val stepped = aviWithFrames(3, 2, (0 until 3).map(f =>
+      solid(10 + f, 20 + f, 30 + f, 3, 2)), extraChunk = true)
+    // top row red, bottom blue (bottom-up raster order must flip)
+    val single = aviWithFrames(2, 2, Seq(Seq(
+      Seq((255, 0, 0), (255, 0, 0)), Seq((0, 0, 255), (0, 0, 255)))))
+    val rows = Seq(
+      (1L, stepped), (2L, single),
+      (3L, aviBytes(250)),                  // header-only AVI: no frames
+      (4L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.videoFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getInt(1), s.getInt(2), s.getDouble(3),
+          s.getDouble(4), s.getDouble(5), s.getDouble(6)))).toMap
+    assert(rows(1L).contains((3, 3, 2, 11.0, 21.0, 31.0, 1.0)))
+    assert(rows(2L).contains((1, 2, 2, 127.5, 0.0, 127.5, 0.0)))
+    assert(rows(3L).isEmpty)
+    assert(rows(4L).isEmpty)
+  }
+
   test("video header metadata parses AVI avih fields without a codec") {
     import spark.implicits._
     val rows = Seq(
