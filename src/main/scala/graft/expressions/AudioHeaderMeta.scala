@@ -79,27 +79,27 @@ object AudioHeaderMeta {
         u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E') {
       var channels = -1; var rate = -1; var bits = -1
       var byteRate = 0L; var dataSize = -1L
-      // Long walk offset: crafted chunk sizes advance past the end (loop
-      // ends), never overflow Int into a negative index — poison rows
+      var badFmt = false
+      // shared Riff walk: Long offsets, so crafted chunk sizes end the
+      // loop instead of overflowing into a negative index — poison rows
       // degrade to NULL, they don't throw
-      var iL = 12L
-      while (iL + 8 <= n && (channels < 0 || dataSize < 0)) {
-        val i = iL.toInt
-        val size = le32(i + 4)
+      Riff.eachChunk(b, 12, n.toLong) { (i, size) =>
         if (u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' &&
             u(i + 3) == ' ') {
-          if (size < 16 || i + 8 + 16 > n) return null
-          channels = le16(i + 10)
-          rate = le32(i + 12).toInt
-          byteRate = le32(i + 16)
-          bits = le16(i + 22)
+          if (size < 16 || i + 8 + 16 > n) { badFmt = true }
+          else {
+            channels = le16(i + 10)
+            rate = le32(i + 12).toInt
+            byteRate = le32(i + 16)
+            bits = le16(i + 22)
+          }
         } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
             u(i + 3) == 'a') {
           dataSize = size
         }
-        iL += 8 + size + (size & 1) // chunks are word-aligned
+        !badFmt && (channels < 0 || dataSize < 0)
       }
-      if (channels <= 0 || rate <= 0) return null
+      if (badFmt || channels <= 0 || rate <= 0) return null
       val dur =
         if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate
         else -1L

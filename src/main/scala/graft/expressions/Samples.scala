@@ -56,37 +56,37 @@ private[graft] object Samples {
     val n = b.length
     def u(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
-    def le32(i: Int): Long =
-      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) |
-        (u(i + 3).toLong << 24)) & 0xffffffffL
     if (n < 12 || u(0) != 'R' || u(1) != 'I' || u(2) != 'F' || u(3) != 'F' ||
         u(8) != 'W' || u(9) != 'A' || u(10) != 'V' || u(11) != 'E') return -1L
     var fmtCode = -1; var bits = -1
     var channels = -1; var blockAlign = -1
     var spbExt = -1 // fmt extension: ADPCM samples per block
     var dataOff = -1; var dataLen = -1
-    // Long walk offset: a crafted 32-bit chunk size must advance past the
-    // end of the blob (ending the loop), never overflow Int into a
-    // negative index — poison rows degrade to NULL, they don't throw
-    var iL = 12L
-    while (iL + 8 <= n && (fmtCode < 0 || dataOff < 0)) {
-      val i = iL.toInt
-      val size = le32(i + 4)
+    var badFmt = false
+    // shared Riff walk: Long offsets, so a crafted 32-bit chunk size
+    // ends the loop instead of overflowing into a negative index —
+    // poison rows degrade to NULL, they don't throw
+    Riff.eachChunk(b, 12, n.toLong) { (i, size) =>
       if (u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' ') {
-        if (size < 16 || i + 8 + 16 > n) return -1L
-        fmtCode = le16(i + 8)
-        channels = le16(i + 10)
-        blockAlign = le16(i + 20)
-        bits = le16(i + 22)
-        if (size >= 20 && i + 8 + 20 <= n) spbExt = le16(i + 26)
+        if (size < 16 || i + 8 + 16 > n) { badFmt = true }
+        else {
+          fmtCode = le16(i + 8)
+          channels = le16(i + 10)
+          blockAlign = le16(i + 20)
+          bits = le16(i + 22)
+          // the extension is only present when cbSize says so — junk
+          // trailing bytes must not be misread as a sample cap
+          if (size >= 20 && i + 8 + 20 <= n && le16(i + 24) >= 2)
+            spbExt = le16(i + 26)
+        }
       } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
           u(i + 3) == 'a') {
         dataOff = i + 8
         dataLen = math.min(size, (n - dataOff).toLong).toInt // tolerate truncation
       }
-      iL += 8 + size + (size & 1)
+      !badFmt && (fmtCode < 0 || dataOff < 0)
     }
-    if (dataOff < 0 || channels < 1) return -1L
+    if (badFmt || dataOff < 0 || channels < 1) return -1L
     // IMA/DVI ADPCM (fmt 0x11, mono): block-compressed, decoded with the
     // standard step/index adaption — no codec library needed
     if (fmtCode == 0x11)

@@ -67,64 +67,64 @@ object VideoFeatures {
     val dims = VideoHeaderMeta.parseFields(b)
     if (dims == null) return null
     val (width, height, _, _) = dims
-    val n = b.length
     def u(i: Int): Int = b(i) & 0xff
-    def le32(i: Int): Long =
-      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) |
-        (u(i + 3).toLong << 24)) & 0xffffffffL
-    def tag(i: Int, t: String): Boolean =
-      u(i) == t.charAt(0) && u(i + 1) == t.charAt(1) &&
-        u(i + 2) == t.charAt(2) && u(i + 3) == t.charAt(3)
     val rowBytes = (width * 3 + 3) & ~3
     val frameBytes = rowBytes.toLong * height
     var frames = 0
     var sr = 0L; var sg = 0L; var sb = 0L
     var prevR = 0.0; var prevG = 0.0; var prevB = 0.0
     var motionSum = 0.0
-    // top-level walk to LIST movi (Long offsets: crafted sizes end the
-    // walk, never overflow into a negative index)
-    var iL = 12L
-    while (iL + 12 <= n) {
-      val i = iL.toInt
-      val size = le32(i + 4)
-      if (tag(i, "LIST") && tag(i + 8, "movi")) {
-        var jL = i + 12L
-        val end = math.min(i + 8L + size, n.toLong)
-        while (jL + 8 <= end) {
-          val j = jL.toInt
-          val csize = le32(j + 4)
-          if (tag(j, "00db")) {
-            // uncompressed DIB frame: must match the raster geometry
-            // exactly and fit in the blob, else the container is corrupt
-            if (csize != frameBytes || j + 8 + frameBytes > n) return null
-            var fr = 0L; var fg = 0L; var fb = 0L
-            var row = 0
-            while (row < height) {
-              var p = j + 8 + row * rowBytes
-              var col = 0
-              while (col < width) { // BGR order, like BMP
-                fb += u(p); fg += u(p + 1); fr += u(p + 2)
-                p += 3; col += 1
-              }
-              row += 1
-            }
-            val px = width.toLong * height
-            val mr = fr.toDouble / px
-            val mg = fg.toDouble / px
-            val mb = fb.toDouble / px
-            if (frames > 0)
-              motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
-                math.abs(mb - prevB)) / 3.0
-            prevR = mr; prevG = mg; prevB = mb
-            sr += fr; sg += fg; sb += fb
-            frames += 1
-          }
-          jL += 8 + csize + (csize & 1)
+    var corrupt = false
+
+    def decodeFrame(off: Int): Unit = {
+      var fr = 0L; var fg = 0L; var fb = 0L
+      var row = 0
+      while (row < height) {
+        var p = off + row * rowBytes
+        var col = 0
+        while (col < width) { // BGR order, like BMP
+          fb += u(p); fg += u(p + 1); fr += u(p + 2)
+          p += 3; col += 1
         }
+        row += 1
       }
-      iL += 8 + size + (size & 1)
+      val px = width.toLong * height
+      val mr = fr.toDouble / px
+      val mg = fg.toDouble / px
+      val mb = fb.toDouble / px
+      if (frames > 0)
+        motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
+          math.abs(mb - prevB)) / 3.0
+      prevR = mr; prevG = mg; prevB = mb
+      sr += fr; sg += fg; sb += fb
+      frames += 1
     }
-    if (frames == 0) return null
+
+    // frame chunks sit either directly under movi or (interleaved AVIs)
+    // one level down inside 'LIST rec ' groups
+    def visitMovi(from: Int, end: Long): Unit =
+      Riff.eachChunk(b, from, end) { (j, csize) =>
+        if (Riff.tag(b, j, "00db")) {
+          // uncompressed DIB frame: must match the raster geometry
+          // exactly and stay inside its enclosing list, else the
+          // container is corrupt (payload bleeding into idx1/JUNK bytes
+          // must not be folded into the features)
+          if (csize != frameBytes || j + 8 + frameBytes > end) corrupt = true
+          else decodeFrame(j + 8)
+          !corrupt
+        } else if (j + 12 <= end && Riff.tag(b, j, "LIST") &&
+            Riff.tag(b, j + 8, "rec ")) {
+          visitMovi(j + 12, math.min(j + 8 + csize, end))
+          !corrupt
+        } else true
+      }
+
+    Riff.eachChunk(b, 12, b.length.toLong, minHeader = 12) { (i, size) =>
+      if (Riff.tag(b, i, "LIST") && Riff.tag(b, i + 8, "movi"))
+        visitMovi(i + 12, math.min(i + 8L + size, b.length.toLong))
+      !corrupt
+    }
+    if (corrupt || frames == 0) return null
     val total = width.toLong * height * frames
     InternalRow(frames, width, height,
       sr.toDouble / total, sg.toDouble / total, sb.toDouble / total,

@@ -59,51 +59,44 @@ object VideoHeaderMeta {
   private val MimeAvi = UTF8String.fromString("video/x-msvideo")
 
   /** (width, height, frames, durationMs or -1) of an AVI header, else
-    * null. */
+    * null. Chunk traversal is the shared [[Riff]] walk (Long offsets:
+    * crafted sizes end the loop, never overflow into a negative
+    * index). */
   def parseFields(b: Array[Byte]): (Int, Int, Int, Long) = {
     if (b == null) return null
     val n = b.length
-    def u(i: Int): Int = b(i) & 0xff
-    def le32(i: Int): Long =
-      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) |
-        (u(i + 3).toLong << 24)) & 0xffffffffL
-    def tag(i: Int, t: String): Boolean =
-      u(i) == t.charAt(0) && u(i + 1) == t.charAt(1) &&
-        u(i + 2) == t.charAt(2) && u(i + 3) == t.charAt(3)
-    if (n < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return null
-    // Long walk offsets: crafted 32-bit chunk sizes advance past the end
-    // (loop ends), never overflow Int into a negative index — poison
-    // rows degrade to NULL, they don't throw
-    var iL = 12L // top-level chunk walk for LIST hdrl
-    while (iL + 12 <= n) {
-      val i = iL.toInt
-      val size = le32(i + 4)
-      if (tag(i, "LIST") && tag(i + 8, "hdrl")) {
-        var jL = i + 12L // children of hdrl; avih is mandatory (walk anyway)
+    if (n < 12 || !Riff.tag(b, 0, "RIFF") || !Riff.tag(b, 8, "AVI "))
+      return null
+    var out: (Int, Int, Int, Long) = null
+    var sawHdrl = false
+    Riff.eachChunk(b, 12, n.toLong, minHeader = 12) { (i, size) =>
+      if (Riff.tag(b, i, "LIST") && Riff.tag(b, i + 8, "hdrl")) {
+        sawHdrl = true
         val end = math.min(i + 8L + size, n.toLong)
-        while (jL + 8 <= end) {
-          val j = jL.toInt
-          val csize = le32(j + 4)
-          if (tag(j, "avih")) {
-            if (csize < 40 || j + 8 + 40 > n) return null
-            val usPerFrame = le32(j + 8)
-            val frames = le32(j + 8 + 16)
-            val width = le32(j + 8 + 32)
-            val height = le32(j + 8 + 36)
-            if (width <= 0 || height <= 0 || width > (1 << 20) ||
-                height > (1 << 20) || frames > Int.MaxValue) return null
-            val dur =
-              if (frames > 0 && usPerFrame > 0) frames * usPerFrame / 1000L
-              else -1L
-            return (width.toInt, height.toInt, frames.toInt, dur)
-          }
-          jL += 8 + csize + (csize & 1)
+        Riff.eachChunk(b, i + 12, end) { (j, csize) =>
+          if (Riff.tag(b, j, "avih")) {
+            if (csize >= 40 && j + 8 + 40 <= n) {
+              val usPerFrame = Riff.le32(b, j + 8)
+              val frames = Riff.le32(b, j + 8 + 16)
+              val width = Riff.le32(b, j + 8 + 32)
+              val height = Riff.le32(b, j + 8 + 36)
+              if (width > 0 && height > 0 && width <= (1 << 20) &&
+                  height <= (1 << 20) && frames <= Int.MaxValue) {
+                val dur =
+                  if (frames > 0 && usPerFrame > 0)
+                    frames * usPerFrame / 1000L
+                  else -1L
+                out = (width.toInt, height.toInt, frames.toInt, dur)
+              }
+            }
+            false // avih found (valid or not): stop
+          } else true
         }
-        return null // hdrl without avih: corrupt
-      }
-      iL += 8 + size + (size & 1)
+        false // hdrl found: stop the top-level walk
+      } else true
     }
-    null
+    if (!sawHdrl) return null // no header list: not a parseable AVI
+    out // null when hdrl lacked a sane avih: corrupt
   }
 
   /** InternalRow form for expression eval/codegen; -1 duration → NULL. */

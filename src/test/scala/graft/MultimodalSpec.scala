@@ -327,8 +327,8 @@ class MultimodalSpec extends SparkSpec {
   // AVI with REAL uncompressed frames: header (via aviBytes' layout) +
   // LIST movi of 00db chunks, each a raw bottom-up BGR24 raster
   private def aviWithFrames(w: Int, h: Int,
-      frames: Seq[Seq[Seq[(Int, Int, Int)]]], extraChunk: Boolean = false)
-      : Array[Byte] = {
+      frames: Seq[Seq[Seq[(Int, Int, Int)]]], extraChunk: Boolean = false,
+      inRecList: Boolean = false): Array[Byte] = {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
     val rowBytes = (w * 3 + 3) & ~3
@@ -338,14 +338,19 @@ class MultimodalSpec extends SparkSpec {
       le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
     val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
       "hdrl".getBytes("US-ASCII") ++ avih
-    val frameChunks = frames.flatMap { rows =>
+    val frameChunks0: Array[Byte] = frames.flatMap { rows =>
       val raster = rows.reverse.flatMap { row => // bottom-up on disk
         row.flatMap { case (r, g, b) =>
           Seq(b.toByte, g.toByte, r.toByte) } ++
           Array.fill[Byte](rowBytes - w * 3)(0)
       }.toArray
       "00db".getBytes("US-ASCII") ++ le32(raster.length) ++ raster
-    }
+    }.toArray
+    // interleaved AVIs group frame chunks inside 'LIST rec ' children
+    val frameChunks = if (inRecList)
+      "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunks0.length) ++
+        "rec ".getBytes("US-ASCII") ++ frameChunks0
+    else frameChunks0
     val skipped = if (extraChunk)
       "01wb".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
     else Array.emptyByteArray
@@ -367,10 +372,14 @@ class MultimodalSpec extends SparkSpec {
     // top row red, bottom blue (bottom-up raster order must flip)
     val single = aviWithFrames(2, 2, Seq(Seq(
       Seq((255, 0, 0), (255, 0, 0)), Seq((0, 0, 255), (0, 0, 255)))))
+    // interleaved layout: the same frames grouped in a 'LIST rec '
+    val interleaved = aviWithFrames(3, 2, (0 until 3).map(f =>
+      solid(10 + f, 20 + f, 30 + f, 3, 2)), inRecList = true)
     val rows = Seq(
       (1L, stepped), (2L, single),
       (3L, aviBytes(250)),                  // header-only AVI: no frames
-      (4L, "junk".getBytes("US-ASCII")))
+      (4L, "junk".getBytes("US-ASCII")),
+      (5L, interleaved))
       .toDF("id", "content")
       .select(F.col("id"), Multimodal.videoFeatures(F.col("content")).as("f"))
       .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
@@ -380,6 +389,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).contains((1, 2, 2, 127.5, 0.0, 127.5, 0.0)))
     assert(rows(3L).isEmpty)
     assert(rows(4L).isEmpty)
+    assert(rows(5L) == rows(1L)) // rec grouping must not change results
   }
 
   test("video header metadata parses AVI avih fields without a codec") {
@@ -606,9 +616,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   // IMA ADPCM WAV: mono, one or more blocks of `blockAlign` bytes;
-  // spbOverride forces a samplesPerBlock below the block capacity
+  // spbOverride forces a samplesPerBlock below the block capacity,
+  // cbSizeZero declares NO extension (the spb bytes become junk the
+  // decoder must ignore)
   private def adpcmWav(blockAlign: Int, data: Array[Byte],
-      spbOverride: Int = -1): Array[Byte] = {
+      spbOverride: Int = -1, cbSizeZero: Boolean = false): Array[Byte] = {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
@@ -617,7 +629,7 @@ class MultimodalSpec extends SparkSpec {
     val body = "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(1) ++
       le32(8000) ++ le32(4000) ++ le16(blockAlign) ++ le16(4) ++
-      le16(2) ++ le16(spb) ++
+      le16(if (cbSizeZero) 0 else 2) ++ le16(spb) ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
@@ -728,6 +740,15 @@ class MultimodalSpec extends SparkSpec {
     // nibble 4 keeps adding the growing step: the 10th sample is well
     // above the 8192 start, but the capped decode must stop there
     assert(f.getDouble(2) > 0.25 && f.getDouble(2) < 1.0)
+    // cbSize = 0 declares NO extension: the same two bytes are junk and
+    // must not be misread as a 10-sample cap — full capacity decodes
+    val junkExt = adpcmWav(36,
+      Array[Byte](0, 0x20, 0, 0) ++ Array.fill[Byte](32)(0),
+      spbOverride = 10, cbSizeZero = true)
+    val n2 = Seq(Tuple1(junkExt)).toDF("content")
+      .select(Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect()(0).getStruct(0).getLong(0)
+    assert(n2 == 65L)
   }
 
   test("audio embedding is a REAL band-energy spectrum over decoded samples") {
