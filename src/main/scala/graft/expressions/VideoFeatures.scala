@@ -6,12 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL video frame decode for uncompressed AVI — the video leg of the
-  * decode family ([[ImageFeatures]]/[[DecodeImage]] for images,
-  * [[AudioFeatures]] for audio): every `00db` (uncompressed DIB) frame
-  * in the `movi` list is decoded pixel by pixel — raw bottom-up BGR24
-  * rows, 4-byte-aligned, exactly the BMP raster layout, which is why no
-  * codec library is needed — and folded into
+/** REAL video frame decode for AVI — the video leg of the decode family
+  * ([[ImageFeatures]]/[[DecodeImage]] for images, [[AudioFeatures]] for
+  * audio). Two codecs cover the decodable AVI corpus:
+  *
+  *  - `00db` (uncompressed DIB) frames are decoded pixel by pixel — raw
+  *    bottom-up BGR24 rows, 4-byte-aligned, exactly the BMP raster
+  *    layout, so no codec library is needed;
+  *  - `00dc` frames whose payload is a complete JPEG (MJPEG — each frame
+  *    an independent JPEG, by far the most common intra-only AVI codec)
+  *    are decoded through the JDK's own JPEG reader
+  *    ([[Pixels.walkImageIO]]), the same zero-dependency path
+  *    [[DecodeImage]] uses for still JPEGs.
+  *
+  * Every decoded frame folds into
   *
   *   struct(n_frames, width, height, mean_r, mean_g, mean_b, motion)
   *
@@ -19,12 +27,16 @@ import org.apache.spark.sql.types._
   * is the mean absolute frame-to-frame change of the per-frame channel
   * means (averaged over R/G/B) — the cheap temporal signal used for
   * scene-change/static-clip triage. State is O(1): sums fold inside the
-  * decode loop, no frame or pixel array materializes in the row.
+  * decode loop, no frame or pixel array materializes in the row (the
+  * MJPEG path materializes one frame's JPEG slice + one decoded row at a
+  * time).
   *
-  * Frames with other codecs (`00dc` compressed, audio `01wb`, index
-  * chunks) are skipped; NULL when the container isn't AVI, carries no
-  * decodable frame, or a `00db` chunk's size doesn't match the raster
-  * geometry (corrupt rows degrade, they don't throw). */
+  * Chunks with other codecs (`00dc` that isn't JPEG — inter-frame codecs
+  * need a real video library — audio `01wb`, index chunks) are skipped;
+  * NULL when the container isn't AVI, carries no decodable frame, a
+  * `00db` chunk's size doesn't match the raster geometry, or a JPEG
+  * frame fails to decode or disagrees with the avih dimensions (corrupt
+  * rows degrade, they don't throw). */
 case class VideoFeatures(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -76,6 +88,19 @@ object VideoFeatures {
     var motionSum = 0.0
     var corrupt = false
 
+    def foldFrame(fr: Long, fg: Long, fb: Long): Unit = {
+      val px = width.toLong * height
+      val mr = fr.toDouble / px
+      val mg = fg.toDouble / px
+      val mb = fb.toDouble / px
+      if (frames > 0)
+        motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
+          math.abs(mb - prevB)) / 3.0
+      prevR = mr; prevG = mg; prevB = mb
+      sr += fr; sg += fg; sb += fb
+      frames += 1
+    }
+
     def decodeFrame(off: Int): Unit = {
       var fr = 0L; var fg = 0L; var fb = 0L
       var row = 0
@@ -88,16 +113,20 @@ object VideoFeatures {
         }
         row += 1
       }
-      val px = width.toLong * height
-      val mr = fr.toDouble / px
-      val mg = fg.toDouble / px
-      val mb = fb.toDouble / px
-      if (frames > 0)
-        motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
-          math.abs(mb - prevB)) / 3.0
-      prevR = mr; prevG = mg; prevB = mb
-      sr += fr; sg += fg; sb += fb
-      frames += 1
+      foldFrame(fr, fg, fb)
+    }
+
+    def decodeJpegFrame(off: Int, len: Int): Unit = {
+      var fr = 0L; var fg = 0L; var fb = 0L
+      val slice = java.util.Arrays.copyOfRange(b, off, off + len)
+      val dims = Pixels.walkImageIO(slice, new Pixels.Sink {
+        def accept(r: Int, g: Int, bl: Int): Unit = { fr += r; fg += g; fb += bl }
+      })
+      // a frame that fails to decode or disagrees with the avih geometry
+      // poisons the means — treat the container as corrupt, like a
+      // wrong-sized 00db raster
+      if (dims == null || dims._1 != width || dims._2 != height) corrupt = true
+      else foldFrame(fr, fg, fb)
     }
 
     // frame chunks sit either directly under movi or (interleaved AVIs)
@@ -111,6 +140,12 @@ object VideoFeatures {
           // must not be folded into the features)
           if (csize != frameBytes || j + 8 + frameBytes > end) corrupt = true
           else decodeFrame(j + 8)
+          !corrupt
+        } else if (Riff.tag(b, j, "00dc") && csize >= 2 &&
+            j + 8 + csize <= end &&
+            u(j + 8) == 0xff && u(j + 9) == 0xd8) {
+          // MJPEG frame: the payload is a complete JPEG (SOI-led)
+          decodeJpegFrame(j + 8, csize.toInt)
           !corrupt
         } else if (j + 12 <= end && Riff.tag(b, j, "LIST") &&
             Riff.tag(b, j + 8, "rec ")) {

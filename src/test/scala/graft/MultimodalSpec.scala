@@ -392,6 +392,66 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L) == rows(1L)) // rec grouping must not change results
   }
 
+  // MJPEG AVI: same header layout, movi list of 00dc chunks, each a
+  // complete JPEG encoded through the JDK's own writer
+  private def aviWithJpegFrames(w: Int, h: Int,
+      colors: Seq[(Int, Int, Int)],
+      mangle: Array[Byte] => Array[Byte] = identity): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(colors.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val frameChunks: Array[Byte] = colors.flatMap { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b))
+      gr.fillRect(0, 0, w, h)
+      gr.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      val jpeg = mangle(baos.toByteArray)
+      "00dc".getBytes("US-ASCII") ++ le32(jpeg.length) ++ jpeg ++
+        (if (jpeg.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }.toArray
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunks.length) ++
+      "movi".getBytes("US-ASCII") ++ frameChunks
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("video features decode MJPEG frames through the JDK JPEG reader") {
+    import spark.implicits._
+    // 3 solid frames stepping +32 per channel: JPEG is lossy, so pin
+    // means/motion within a small tolerance instead of exactly
+    val mjpeg = aviWithJpegFrames(8, 6,
+      (0 until 3).map(f => (64 + 32 * f, 96 + 32 * f, 128 + 32 * f)))
+    // one frame whose JPEG bytes are truncated mid-stream → corrupt
+    val truncated = aviWithJpegFrames(8, 6, Seq((10, 20, 30)),
+      mangle = j => j.take(j.length / 2))
+    // non-JPEG 00dc payloads (inter-frame codec) are skipped, and with
+    // no decodable frame at all the result is NULL
+    val foreign = aviWithJpegFrames(8, 6, Seq((10, 20, 30)),
+      mangle = _ => Array[Byte](0x12, 0x34, 0x56, 0x78))
+    val rows = Seq((1L, mjpeg), (2L, truncated), (3L, foreign))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.videoFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getInt(1), s.getInt(2), s.getDouble(3),
+          s.getDouble(4), s.getDouble(5), s.getDouble(6)))).toMap
+    val Some((n, w, h, mr, mg, mb, motion)) = rows(1L)
+    assert((n, w, h) == ((3, 8, 6)))
+    assert(math.abs(mr - 96.0) < 3 && math.abs(mg - 128.0) < 3 &&
+      math.abs(mb - 160.0) < 3)
+    assert(math.abs(motion - 32.0) < 3)
+    assert(rows(2L).isEmpty) // truncated JPEG → corrupt container
+    assert(rows(3L).isEmpty) // nothing decodable
+  }
+
   test("video header metadata parses AVI avih fields without a codec") {
     import spark.implicits._
     val rows = Seq(

@@ -106,6 +106,41 @@ object Drive {
            '0068003D', 'E80CBB83', '0000000049454E44AE426082'))) AS png_pixels
       """).show(false)
 
+    println("=== MJPEG AVI frame decode (JDK JPEG reader, no library):")
+    locally {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val jpegs = (0 until 3).map { f =>
+        val img = new java.awt.image.BufferedImage(8, 6,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(60 + 40 * f, 100, 180))
+        g.fillRect(0, 0, 8, 6); g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      }
+      val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++ le32(40000) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(jpegs.length) ++ le32(0) ++
+        le32(1) ++ le32(0) ++ le32(8) ++ le32(6) ++ Array.fill[Byte](16)(0)
+      val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
+        "hdrl".getBytes("US-ASCII") ++ avih
+      val chunks = jpegs.flatMap(j =>
+        "00dc".getBytes("US-ASCII") ++ le32(j.length) ++ j ++
+          (if (j.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)).toArray
+      val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        "movi".getBytes("US-ASCII") ++ chunks
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      import spark.implicits._
+      Seq((1L, avi)).toDF("id", "content")
+        .select($"id",
+          graft.pipeline.Multimodal.videoFeatures($"content").as("f"))
+        .select("id", "f.n_frames", "f.width", "f.height",
+          "f.mean_r", "f.mean_g", "f.mean_b", "f.motion")
+        .show(false)
+    }
+
     println("=== dedup pairs -> canonical groups:")
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
