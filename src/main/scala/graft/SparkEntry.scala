@@ -607,6 +607,28 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_audio_flac" -> ((s, dir) => {
+      // REAL lossless-FLAC decode, oracle-verified: a one-frame stream
+      // whose CONSTANT subframe holds k·256 decodes to 192 identical
+      // samples — rms = peak = k/128 is exact dyadic arithmetic DuckDB
+      // recomputes from doc_id (frame CRCs are parsed but unverified by
+      // design, so the synthesized stream needs no CRC arithmetic)
+      val k = (F.col("doc_id") % 127).cast(IntegerType) + 1
+      val media = F.unhex(F.concat(
+        F.lit("664C6143"),                            // fLaC magic
+        F.lit("80" + "000022"),                       // last block, STREAMINFO, 34
+        F.lit("00C0" + "00C0" + "000000" + "000000"), // block/frame size bounds
+        F.lit("01F400F0" + "000000C0"),               // 8 kHz mono 16-bit, 192 samples
+        F.lit("00000000000000000000000000000000"),    // md5 (unchecked)
+        F.lit("FFF8" + "10" + "08" + "00" + "00"),    // frame hdr: 192, mono, 16-bit
+        F.lit("00"), SqlHex.hx2(k), F.lit("00"),      // CONSTANT subframe, k·256
+        F.lit("0000")))                               // frame crc16 (unchecked)
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.audioFeatures(media).as("f"))
+        .select(F.col("doc_id"), F.col("f.n_samples").as("n_samples"),
+          F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
+          F.col("f.zcr").as("zcr"))
+    }),
     "q_audio_embed" -> ((s, dir) => {
       // REAL audio embedding, oracle-verified: a pure DC stream puts all
       // band energy at band 0 and a pure Nyquist (alternating) stream at
@@ -1386,6 +1408,14 @@ object SparkEntry {
       // constant-predictor ADPCM block: every decoded sample is k·256,
       // so the features are exact dyadic arithmetic on doc_id
       """SELECT doc_id, CAST(65 AS BIGINT) AS n_samples,
+                (1 + doc_id % 127) / 128.0 AS rms,
+                (1 + doc_id % 127) / 128.0 AS peak,
+                0.0 AS zcr
+         FROM documents""",
+    "q_audio_flac" ->
+      // one CONSTANT-subframe FLAC frame: every decoded sample is k·256,
+      // so the features are exact dyadic arithmetic on doc_id
+      """SELECT doc_id, CAST(192 AS BIGINT) AS n_samples,
                 (1 + doc_id % 127) / 128.0 AS rms,
                 (1 + doc_id % 127) / 128.0 AS peak,
                 0.0 AS zcr

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * under the cosine/dot machinery the embedding pipeline already has —
   * decode → embed → LSH is a fully real audio near-dup path.
   *
-  * Decode reuses [[Samples.walkWav]] (PCM 8/16-bit, G.711 µ-law/A-law);
+  * Decode reuses [[Samples.walkAudio]] (WAV PCM 8/16-bit, G.711
+  * µ-law/A-law, IMA ADPCM, and the full lossless FLAC decoder);
   * all `bands` Goertzel recurrences fold inside the single sample loop
   * (O(bands) state, no sample array), so the plan stays narrow. NULL
   * for unsupported/corrupt bytes; an all-silence clip embeds as the
@@ -69,11 +70,12 @@ object AudioEmbedding {
       s1(k) * s1(k) + s2(k) * s2(k) - c(k) * s1(k) * s2(k)
   }
 
-  /** `bands` L1-normalized Goertzel band powers of a supported WAV. */
+  /** `bands` L1-normalized Goertzel band powers of a supported WAV or
+    * FLAC. */
   def embed(b: Array[Byte], bands: Int): ArrayData = {
     if (b == null) return null
     val sink = new GoertzelSink(bands)
-    val count = Samples.walkWav(b, sink)
+    val count = Samples.walkAudio(b, sink)
     if (count < 0) return null
     val p = new Array[Double](bands)
     var total = 0.0

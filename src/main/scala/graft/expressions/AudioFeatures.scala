@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL audio decode for WAV — uncompressed PCM and the G.711 companded
-  * (compressed) encodings: samples read straight from the `data` chunk
-  * bytes and folded into the standard signal features —
+/** REAL audio decode for WAV and FLAC — uncompressed PCM, the G.711 and
+  * ADPCM compressed encodings, and the full lossless FLAC codec:
+  * samples decoded straight from the bytes and folded into the standard
+  * signal features —
   *
   *   - n_samples: decoded frame count (multi-channel input downmixes
   *     to mono by averaging each frame, so a stereo clip's features
@@ -25,13 +26,16 @@ import org.apache.spark.sql.types._
   *     expand-to-linear arithmetic (no codec library needed; the
   *     256-entry expansion tables are built once per JVM);
   *   - 0x11 (mono IMA/DVI ADPCM): true block compression, decoded with
-  *     the standard step/index adaption.
+  *     the standard step/index adaption;
+  *   - FLAC: a complete lossless decoder ([[Flac]]) — every subframe
+  *     type (CONSTANT/VERBATIM/FIXED/LPC), Rice residuals, stereo
+  *     decorrelation — pure integer arithmetic, no codec library.
   *
   * Unlike the metadata-only [[AudioHeaderMeta]], this expression actually
   * decodes every sample. Features are computed inside the decode loop, so
   * the plan stays narrow (no sample array materializes in the row).
-  * Perceptual codecs (MP3, FLAC) return NULL here and belong to the
-  * codec stage. */
+  * Perceptual codecs (MP3, Vorbis) return NULL here — lossy
+  * transform decode needs a real codec library. */
 case class AudioFeatures(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -81,14 +85,14 @@ object AudioFeatures {
     }
   }
 
-  /** Decode PCM / µ-law / A-law WAV and compute (n, rms, peak, zcr);
-    * null for anything else. The validated chunk walk and per-sample
-    * decode live in [[Samples.walkWav]] (shared with the band-energy
-    * embedding). */
+  /** Decode WAV (PCM / G.711 / ADPCM) or FLAC and compute
+    * (n, rms, peak, zcr); null for anything else. The validated
+    * container walk and per-sample decode live in [[Samples.walkAudio]]
+    * (shared with the band-energy embedding). */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null) return null
     val sink = new FeatureSink
-    Samples.walkWav(b, sink) match {
+    Samples.walkAudio(b, sink) match {
       case -1L => null
       case 0L => InternalRow(0L, 0.0, 0.0, 0.0)
       case count =>

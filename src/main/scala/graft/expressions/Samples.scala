@@ -1,10 +1,11 @@
 package graft.expressions
 
-/** Shared, validated WAV sample walk for the audio expressions — ONE
-  * copy of the RIFF chunk walk, format dispatch and per-sample decode,
-  * parameterized by a sink (a trait, not Function1, so the per-sample
-  * call stays unboxed). [[AudioFeatures]] folds rms/peak/zcr through
-  * it, [[AudioEmbedding]] folds Goertzel band energies.
+/** Shared, validated audio sample walk for the audio expressions — ONE
+  * copy of the container dispatch (WAV here, FLAC in [[Flac]]) and
+  * per-sample decode, parameterized by a sink (a trait, not Function1,
+  * so the per-sample call stays unboxed). [[AudioFeatures]] folds
+  * rms/peak/zcr through it, [[AudioEmbedding]] folds Goertzel band
+  * energies.
   *
   * Coverage by WAV fmt code: 1 (PCM, 8-bit unsigned / 16-bit signed
   * LE), the ITU-T G.711 companded codecs 7 (µ-law) / 6 (A-law)
@@ -14,6 +15,16 @@ package graft.expressions
 private[graft] object Samples {
 
   trait Sink { def accept(x: Double): Unit }
+
+  /** Container dispatch: WAV ([[walkWav]]) else FLAC ([[Flac.walk]] — a
+    * full lossless decoder, every subframe type). Both walks validate
+    * before the first sink call, so trying them in sequence never feeds
+    * a sink from a rejected container. Returns the decoded (downmixed)
+    * frame count, or -1 when neither container recognizes the bytes. */
+  def walkAudio(b: Array[Byte], sink: Sink): Long = {
+    val w = walkWav(b, sink)
+    if (w >= 0) w else Flac.walk(b, sink)
+  }
 
   // ITU-T G.711 expansion to 16-bit linear, normalized to [-1, 1).
   // µ-law: mag = 132·(2^e − 1) + m·2^(e+3) over the complemented byte.

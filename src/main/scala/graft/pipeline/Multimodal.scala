@@ -33,14 +33,15 @@ import org.apache.spark.sql.types._
   *    histogram over the decoded pixels, ready for the cosine/LSH
   *    machinery — image near-dup detection end to end.
   *
-  * STUB NOTICE (what remains): perceptual codecs — FLAC/MP3 audio and
-  * inter-frame video (H.26x etc.) — have no JDK codec, so those stop at
-  * header triage. Compressed formats with arithmetic decodes ARE
-  * decoded: G.711 µ-law/A-law and mono IMA ADPCM audio
-  * ([[audioFeatures]]/[[audioEmbedding]]) and uncompressed-DIB AVI
-  * frames ([[videoFeatures]]). Everything else — every metadata field,
-  * pixel statistic and embedding — is parsed or decoded from the real
-  * bytes.
+  * STUB NOTICE (what remains): perceptual codecs — MP3/Vorbis audio
+  * and inter-frame video (H.26x etc.) — have no JDK codec, so those
+  * stop at header triage. Compressed formats with deterministic
+  * integer decodes ARE decoded: the full lossless FLAC codec
+  * ([[graft.expressions.Flac]]), G.711 µ-law/A-law and mono IMA ADPCM
+  * audio ([[audioFeatures]]/[[audioEmbedding]]), and uncompressed-DIB
+  * plus MJPEG AVI frames ([[videoFeatures]]). Everything else — every
+  * metadata field, pixel statistic and embedding — is parsed or
+  * decoded from the real bytes.
   */
 object Multimodal {
 
@@ -192,12 +193,13 @@ object Multimodal {
       graft.expressions.VideoHeaderMeta(
         graft.expressions.ColumnBridge.expression(bin)))
 
-  /** REAL sample decode + signal features for WAV — uncompressed PCM
-    * (8/16-bit) AND the compressed G.711 µ-law/A-law and mono IMA ADPCM
-    * encodings (arithmetic decodes, no codec library):
-    * struct(n_samples, rms, peak, zcr) computed from every decoded
-    * sample ([[graft.expressions.AudioFeatures]]). Null for perceptual
-    * codecs (MP3/FLAC — the remaining stub). Narrow, codegen'd — the
+  /** REAL sample decode + signal features for WAV and FLAC —
+    * uncompressed PCM (8/16-bit), the compressed G.711 µ-law/A-law and
+    * mono IMA ADPCM encodings, and the full lossless FLAC codec
+    * (no codec library anywhere): struct(n_samples, rms, peak, zcr)
+    * computed from every decoded sample
+    * ([[graft.expressions.AudioFeatures]]). Null for perceptual codecs
+    * (MP3/Vorbis — the remaining stub). Narrow, codegen'd — the
     * features fold inside the decode loop, no sample array in the
     * row. */
   def audioFeatures(bin: Column): Column =

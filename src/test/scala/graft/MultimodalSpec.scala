@@ -482,7 +482,7 @@ class MultimodalSpec extends SparkSpec {
     // silence → all-zero features
     val silence = pcmWav(Seq.fill(64)(0))
     val rows = Seq((1L, square), (2L, dc), (3L, silence),
-      (4L, flacBytes(totalSamples = true))) // compressed → null
+      (4L, flacBytes(totalSamples = true))) // truncated FLAC (no frames) → null
       .toDF("id", "content")
       .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
       .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
@@ -490,7 +490,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L).contains((64L, 0.25, 0.25, 1.0))) // exact: ±2^-2
     assert(rows(2L).contains((64L, 0.5, 0.5, 0.0)))
     assert(rows(3L).contains((64L, 0.0, 0.0, 0.0)))
-    assert(rows(4L).isEmpty) // FLAC needs a real codec: stub stage
+    assert(rows(4L).isEmpty) // truncated FLAC: declared samples, no frames
   }
 
   test("image features REALLY decode BMP pixels (means, padding, row order)") {
