@@ -108,8 +108,22 @@ private[graft] object Flac {
     val r = new BitReader(b, off, n)
     var decoded = 0L
     var chBuf = Array.fill(streamCh)(new Array[Long](0))
+    // decompression-bomb guard: a crafted stream of ~14-byte CONSTANT
+    // frames can declare 65536 samples each (~5000 samples/byte), so
+    // crafted megabytes would otherwise amplify into billions of sink
+    // calls. Real encoders stay far below 4096 samples/byte (libFLAC
+    // blocks are ≤4608, streamable-subset ≤16384 → ≤1200/byte even for
+    // pure silence); only a hand-built stream of back-to-back
+    // 65535-sample CONSTANT frames exceeds it, and such a stream is
+    // indistinguishable from an attack. The floor admits small
+    // single-frame files, the absolute ceiling (~5.8 h of 48 kHz mono)
+    // bounds any row's decode work outright. totalSamples can't serve
+    // as the cap — it is itself attacker-controlled. Hitting the cap
+    // truncates like a short read (the decoded prefix is kept).
+    val maxDecoded =
+      math.min(math.max(4096L * n, 1L << 20), 1000000000L)
     try {
-      while (r.bitsLeft >= 16 &&
+      while (r.bitsLeft >= 16 && decoded < maxDecoded &&
           (totalSamples == 0L || decoded < totalSamples)) {
         // frame header: 14-bit sync (11111111111110) + reserved 0 +
         // blocking-strategy bit
@@ -231,7 +245,9 @@ private[graft] object Flac {
       while (r.readBit() == 0) wasted += 1
     }
     val eff = bits - wasted
-    if (eff <= 0 || eff > 32) throw Bail
+    // 33 covers the side channel of 32-bit decorrelated stereo (side
+    // samples carry one extra bit); all arithmetic below is Long-wide
+    if (eff <= 0 || eff > 33) throw Bail
     if (t == 0) { // CONSTANT
       java.util.Arrays.fill(out, 0, blockSize, r.readSigned(eff) << wasted)
     } else if (t == 1) { // VERBATIM

@@ -10,14 +10,17 @@ import org.apache.spark.sql.types._
   * ([[ImageFeatures]]/[[DecodeImage]] for images, [[AudioFeatures]] for
   * audio). Two codecs cover the decodable AVI corpus:
   *
-  *  - `00db` (uncompressed DIB) frames are decoded pixel by pixel — raw
+  *  - `NNdb` (uncompressed DIB) frames are decoded pixel by pixel — raw
   *    bottom-up BGR24 rows, 4-byte-aligned, exactly the BMP raster
   *    layout, so no codec library is needed;
-  *  - `00dc` frames whose payload is a complete JPEG (MJPEG — each frame
+  *  - `NNdc` frames whose payload is a complete JPEG (MJPEG — each frame
   *    an independent JPEG, by far the most common intra-only AVI codec)
   *    are decoded through the JDK's own JPEG reader
   *    ([[Pixels.walkImageIO]]), the same zero-dependency path
   *    [[DecodeImage]] uses for still JPEGs.
+  *
+  * (`NN` is the two-digit stream number — the video stream need not be
+  * stream 00.)
   *
   * Every decoded frame folds into
   *
@@ -31,7 +34,7 @@ import org.apache.spark.sql.types._
   * MJPEG path materializes one frame's JPEG slice + one decoded row at a
   * time).
   *
-  * Chunks with other codecs (`00dc` that isn't JPEG — inter-frame codecs
+  * Chunks with other codecs (`NNdc` that isn't JPEG — inter-frame codecs
   * need a real video library — audio `01wb`, index chunks) are skipped;
   * NULL when the container isn't AVI, carries no decodable frame, a
   * `00db` chunk's size doesn't match the raster geometry, or a JPEG
@@ -129,11 +132,25 @@ object VideoFeatures {
       else foldFrame(fr, fg, fb)
     }
 
+    // video frame chunks are '<2-digit stream>db' (uncompressed DIB) or
+    // '<2-digit stream>dc' (compressed; MJPEG when the payload is a
+    // JPEG) — the video stream is usually but not always stream 00
+    def frameTag(j: Int): Char = {
+      if (u(j) < '0' || u(j) > '9' || u(j + 1) < '0' || u(j + 1) > '9' ||
+          u(j + 2) != 'd') return ' '
+      val t = u(j + 3)
+      if (t == 'b' || t == 'c') t.toChar else ' '
+    }
+
     // frame chunks sit either directly under movi or (interleaved AVIs)
-    // one level down inside 'LIST rec ' groups
-    def visitMovi(from: Int, end: Long): Unit =
+    // one level down inside 'LIST rec ' groups; the AVI spec allows only
+    // that single level, and capping the depth keeps crafted deep 'rec '
+    // nesting from overflowing the stack (poison rows degrade, never
+    // throw)
+    def visitMovi(from: Int, end: Long, depth: Int): Unit =
       Riff.eachChunk(b, from, end) { (j, csize) =>
-        if (Riff.tag(b, j, "00db")) {
+        val tag = frameTag(j)
+        if (tag == 'b') {
           // uncompressed DIB frame: must match the raster geometry
           // exactly and stay inside its enclosing list, else the
           // container is corrupt (payload bleeding into idx1/JUNK bytes
@@ -141,22 +158,21 @@ object VideoFeatures {
           if (csize != frameBytes || j + 8 + frameBytes > end) corrupt = true
           else decodeFrame(j + 8)
           !corrupt
-        } else if (Riff.tag(b, j, "00dc") && csize >= 2 &&
-            j + 8 + csize <= end &&
+        } else if (tag == 'c' && csize >= 2 && j + 8 + csize <= end &&
             u(j + 8) == 0xff && u(j + 9) == 0xd8) {
           // MJPEG frame: the payload is a complete JPEG (SOI-led)
           decodeJpegFrame(j + 8, csize.toInt)
           !corrupt
-        } else if (j + 12 <= end && Riff.tag(b, j, "LIST") &&
+        } else if (depth == 0 && j + 12 <= end && Riff.tag(b, j, "LIST") &&
             Riff.tag(b, j + 8, "rec ")) {
-          visitMovi(j + 12, math.min(j + 8 + csize, end))
+          visitMovi(j + 12, math.min(j + 8 + csize, end), depth + 1)
           !corrupt
         } else true
       }
 
     Riff.eachChunk(b, 12, b.length.toLong, minHeader = 12) { (i, size) =>
       if (Riff.tag(b, i, "LIST") && Riff.tag(b, i + 8, "movi"))
-        visitMovi(i + 12, math.min(i + 8L + size, b.length.toLong))
+        visitMovi(i + 12, math.min(i + 8L + size, b.length.toLong), 0)
       !corrupt
     }
     if (corrupt || frames == 0) return null

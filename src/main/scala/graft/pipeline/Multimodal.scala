@@ -146,10 +146,11 @@ object Multimodal {
         graft.expressions.ColumnBridge.expression(bin), bins))
 
   /** REAL audio embedding: L1-normalized Goertzel band energies over
-    * every decoded WAV sample (PCM or G.711) — `array<float>` of
-    * `bands` entries from DC to Nyquist, the audio twin of
-    * [[imageEmbedding]] for the cosine/LSH near-dup machinery. NULL for
-    * unsupported bytes ([[graft.expressions.AudioEmbedding]]). */
+    * every decoded sample (same coverage as [[audioFeatures]]: WAV
+    * PCM/G.711/ADPCM and lossless FLAC) — `array<float>` of `bands`
+    * entries from DC to Nyquist, the audio twin of [[imageEmbedding]]
+    * for the cosine/LSH near-dup machinery. NULL for unsupported bytes
+    * ([[graft.expressions.AudioEmbedding]]). */
   def audioEmbedding(bin: Column, bands: Int = 16): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.AudioEmbedding(

@@ -140,10 +140,14 @@ class FlacSpec extends SparkSpec {
     framesStored.zipWithIndex.foreach { case (stored, fi) =>
       val bs = stored.head.length
       val bsCode = if (bs == 192) 1 else if (bs <= 256) 6 else 7
+      val ssCode = bps match {
+        case 8 => 1; case 12 => 2; case 16 => 4
+        case 20 => 5; case 24 => 6; case 32 => 7
+      }
       w.bits(0xff, 8); w.bits(0xf8, 8) // sync + fixed-blocksize strategy
       w.bits(bsCode, 4); w.bits(0, 4)  // block size code, rate from STREAMINFO
-      w.bits(chAsgn, 4); w.bits(4, 3); w.bit(0) // 16-bit sample size
-      w.bits(fi, 8)                    // coded frame number (< 128)
+      w.bits(chAsgn, 4); w.bits(ssCode, 3); w.bit(0)
+      w.bits(fi & 0x7f, 8)             // coded frame number (1-byte form)
       if (bsCode == 6) w.bits(bs - 1, 8)
       else if (bsCode == 7) w.bits(bs - 1, 16)
       w.bits(0, 8)                     // header CRC-8 (unchecked)
@@ -258,6 +262,27 @@ class FlacSpec extends SparkSpec {
     assert(decode(headerOnly).isEmpty)
     // header-only with zero declared samples: legitimately empty
     assert(decode(flac(0, 16, Seq.empty)).contains(Vector.empty))
+  }
+
+  test("32-bit stereo side channels decode (33-bit side width)") {
+    val l = walkSamples(48, 61)
+    val r = walkSamples(48, 62)
+    val side = l.indices.map(i => l(i) - r(i)).toArray
+    val expected =
+      l.indices.map(i => (l(i) + r(i)) / 2.0 / 2147483648.0).toVector
+    assert(decode(flac(8, 32, Seq(Seq(l, side)))).contains(expected))
+  }
+
+  test("decompression bomb: decoded output is capped, linear in input") {
+    // back-to-back 65535-sample CONSTANT frames (~14 bytes each) with
+    // unknown totalSamples: ~5000 samples/byte amplification must stop
+    // at the 4096/byte cap, keeping the decoded prefix
+    val silent = new Array[Int](65535)
+    val bomb = flac(0, 16, Seq.fill(300)(Seq(silent)),
+      (_, _) => Const, totalOverride = 0)
+    val got = decode(bomb).get
+    assert(got.nonEmpty && got.length < 300 * 65535)
+    assert(got.length <= 4096L * bomb.length + 65535)
   }
 
   test("junk, non-FLAC, and mutated streams never throw") {

@@ -324,41 +324,48 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
-  // AVI with REAL uncompressed frames: header (via aviBytes' layout) +
-  // LIST movi of 00db chunks, each a raw bottom-up BGR24 raster
+  private def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+
+  // ONE copy of the AVI container framing (avih + hdrl + movi): the
+  // frame builders below differ only in the movi payload
+  private def aviContainer(w: Int, h: Int, nFrames: Int,
+      moviPayload: Array[Byte]): Array[Byte] = {
+    val avih = "avih".getBytes("US-ASCII") ++ le32b(56) ++
+      le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(nFrames) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(w) ++ le32b(h) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32b(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val movi = "LIST".getBytes("US-ASCII") ++ le32b(4 + moviPayload.length) ++
+      "movi".getBytes("US-ASCII") ++ moviPayload
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  // AVI with REAL uncompressed frames: LIST movi of NNdb chunks, each a
+  // raw bottom-up BGR24 raster
   private def aviWithFrames(w: Int, h: Int,
       frames: Seq[Seq[Seq[(Int, Int, Int)]]], extraChunk: Boolean = false,
-      inRecList: Boolean = false): Array[Byte] = {
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-      (v >> 16).toByte, (v >> 24).toByte)
+      inRecList: Boolean = false, stream: String = "00"): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
-    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
-      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
-    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
-      "hdrl".getBytes("US-ASCII") ++ avih
     val frameChunks0: Array[Byte] = frames.flatMap { rows =>
       val raster = rows.reverse.flatMap { row => // bottom-up on disk
         row.flatMap { case (r, g, b) =>
           Seq(b.toByte, g.toByte, r.toByte) } ++
           Array.fill[Byte](rowBytes - w * 3)(0)
       }.toArray
-      "00db".getBytes("US-ASCII") ++ le32(raster.length) ++ raster
+      (stream + "db").getBytes("US-ASCII") ++ le32b(raster.length) ++ raster
     }.toArray
     // interleaved AVIs group frame chunks inside 'LIST rec ' children
     val frameChunks = if (inRecList)
-      "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunks0.length) ++
+      "LIST".getBytes("US-ASCII") ++ le32b(4 + frameChunks0.length) ++
         "rec ".getBytes("US-ASCII") ++ frameChunks0
     else frameChunks0
     val skipped = if (extraChunk)
-      "01wb".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+      "01wb".getBytes("US-ASCII") ++ le32b(4) ++ Array[Byte](1, 2, 3, 4)
     else Array.emptyByteArray
-    val movi = "LIST".getBytes("US-ASCII") ++
-      le32(4 + skipped.length + frameChunks.length) ++
-      "movi".getBytes("US-ASCII") ++ skipped ++ frameChunks
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    aviContainer(w, h, frames.length, skipped ++ frameChunks)
   }
 
   test("video features REALLY decode uncompressed AVI frames") {
@@ -392,19 +399,11 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L) == rows(1L)) // rec grouping must not change results
   }
 
-  // MJPEG AVI: same header layout, movi list of 00dc chunks, each a
+  // MJPEG AVI: same container framing, movi list of 00dc chunks, each a
   // complete JPEG encoded through the JDK's own writer
   private def aviWithJpegFrames(w: Int, h: Int,
       colors: Seq[(Int, Int, Int)],
       mangle: Array[Byte] => Array[Byte] = identity): Array[Byte] = {
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-      (v >> 16).toByte, (v >> 24).toByte)
-    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
-      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(colors.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
-    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
-      "hdrl".getBytes("US-ASCII") ++ avih
     val frameChunks: Array[Byte] = colors.flatMap { case (r, g, b) =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -415,13 +414,41 @@ class MultimodalSpec extends SparkSpec {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", baos)
       val jpeg = mangle(baos.toByteArray)
-      "00dc".getBytes("US-ASCII") ++ le32(jpeg.length) ++ jpeg ++
+      "00dc".getBytes("US-ASCII") ++ le32b(jpeg.length) ++ jpeg ++
         (if (jpeg.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
     }.toArray
-    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunks.length) ++
-      "movi".getBytes("US-ASCII") ++ frameChunks
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    aviContainer(w, h, colors.length, frameChunks)
+  }
+
+  test("video frames on a non-zero stream number still decode") {
+    import spark.implicits._
+    def solid(r: Int, g: Int, b: Int) = Seq.fill(2)(Seq.fill(3)((r, g, b)))
+    val onStream1 = aviWithFrames(3, 2,
+      (0 until 3).map(f => solid(10 + f, 20 + f, 30 + f)), stream = "01")
+    val rows = Seq((1L, onStream1)).toDF("id", "content")
+      .select(F.col("id"), Multimodal.videoFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getDouble(3), s.getDouble(6)))).toMap
+    assert(rows(1L).contains((3, 11.0, 1.0)))
+  }
+
+  test("crafted deep 'rec ' nesting degrades to NULL, no stack overflow") {
+    import spark.implicits._
+    // 100k nested 'LIST <size> rec ' headers: a recursive walk would
+    // overflow the stack; the depth cap (the AVI spec allows one level)
+    // must make this degrade like any other junk container
+    val levels = 100000
+    val out = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until levels) {
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(le32b((levels - i) * 12 - 8))
+      out.write("rec ".getBytes("US-ASCII"))
+    }
+    val deep = aviContainer(3, 2, 0, out.toByteArray)
+    val rows = Seq((1L, deep)).toDF("id", "content")
+      .select(F.col("id"), Multimodal.videoFeatures(F.col("content")).as("f"))
+      .collect()
+    assert(rows.head.isNullAt(1)) // no frames → NULL, and no throw
   }
 
   test("video features decode MJPEG frames through the JDK JPEG reader") {
