@@ -607,6 +607,40 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_audio_triage" -> ((s, dir) => {
+      // oracle-verified MP3 + Ogg Vorbis header triage: per-doc MPEG1
+      // Layer III headers (bitrate index from doc_id; CBR duration =
+      // payloadBytes·8/kbps) and Ogg BOS+EOS pages (channels/rate/
+      // granule from doc_id; duration = granule·1000/rate) — all
+      // recomputed as direct arithmetic in DuckDB
+      import SqlHex.{hx2, le32h}
+      val brIdx = (F.col("doc_id") % 14).cast(IntegerType) + 1
+      val mp3 = F.unhex(F.concat(F.lit("FFFB"), hx2(brIdx * 16),
+        F.lit("00"), F.repeat(F.lit("00"), 3996)))
+      val ch = (F.col("doc_id") % 7).cast(IntegerType) + 1
+      val rate = (F.col("doc_id") % 5).cast(IntegerType) * 1000 + 8000
+      val granule = rate * ((F.col("doc_id") % 10).cast(IntegerType) + 1)
+      val ogg = F.unhex(F.concat(
+        F.lit("4F676753" + "00" + "02" + "0000000000000000" +
+          "07000000" + "00000000" + "00000000" + "01" + "1E"),
+        F.lit("01" + "766F72626973" + "00000000"), hx2(ch), le32h(rate),
+        F.lit("00" * 12 + "B8" + "01"),
+        F.lit("4F676753" + "00" + "04"), le32h(granule), F.lit("00000000"),
+        F.lit("07000000" + "01000000" + "00000000" + "00")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Multimodal.headerAudioMeta(mp3).as("m"),
+          Multimodal.headerAudioMeta(ogg).as("o"))
+        .select(F.col("doc_id"),
+          F.col("m.mime").as("mp3_mime"),
+          F.col("m.channels").as("mp3_channels"),
+          F.col("m.sample_rate").as("mp3_rate"),
+          F.col("m.duration_ms").as("mp3_dur_ms"),
+          F.col("o.mime").as("ogg_mime"),
+          F.col("o.channels").as("ogg_channels"),
+          F.col("o.sample_rate").as("ogg_rate"),
+          F.col("o.duration_ms").as("ogg_dur_ms"))
+    }),
     "q_audio_flac" -> ((s, dir) => {
       // REAL lossless-FLAC decode, oracle-verified: a one-frame stream
       // whose CONSTANT subframe holds k·256 decodes to 192 identical
@@ -1412,6 +1446,23 @@ object SparkEntry {
                 (1 + doc_id % 127) / 128.0 AS peak,
                 0.0 AS zcr
          FROM documents""",
+    "q_audio_triage" ->
+      // MP3 CBR duration and Ogg granule duration are direct arithmetic
+      // on doc_id (4000-byte MPEG1-L3 stream; granule = rate·secs)
+      """WITH t AS (SELECT doc_id,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [CAST(doc_id % 14 AS INTEGER) + 1] AS kbps,
+             CAST(doc_id % 7 + 1 AS INTEGER) AS och,
+             CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS orate,
+             CAST(doc_id % 10 + 1 AS BIGINT) AS osecs
+           FROM documents)
+         SELECT doc_id,
+           'audio/mpeg' AS mp3_mime, CAST(2 AS INTEGER) AS mp3_channels,
+           CAST(44100 AS INTEGER) AS mp3_rate,
+           CAST(32000 // kbps AS BIGINT) AS mp3_dur_ms,
+           'audio/ogg' AS ogg_mime, och AS ogg_channels,
+           orate AS ogg_rate, osecs * 1000 AS ogg_dur_ms
+         FROM t""",
     "q_audio_flac" ->
       // one CONSTANT-subframe FLAC frame: every decoded sample is k·256,
       // so the features are exact dyadic arithmetic on doc_id

@@ -21,12 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    sample rate (20 bits), channels−1 (3 bits), bits-per-sample−1
   *    (5 bits), total samples (36 bits → duration; 0 = unknown → NULL
   *    duration).
+  *  - MP3: optional ID3v2 tag (sync-safe length) skipped, then the
+  *    MPEG audio frame header at the stream start — version/layer →
+  *    bitrate and sample-rate tables, channel mode; duration is the
+  *    CBR estimate payloadBytes·8/kbps (a trailing ID3v1 tag is
+  *    excluded), NULL for free-format bitrate.
+  *  - Ogg Vorbis: `OggS` BOS page whose first packet is the vorbis
+  *    identification header (channels, rate); duration from the last
+  *    page's granule position (total PCM samples), found by a bounded
+  *    backward scan of the final 64 KiB.
   *
   * Returns struct(mime, channels, sample_rate, bits_per_sample,
-  * duration_ms); NULL for anything that isn't a recognizable audio
-  * header. Same 100 TB role as the image path: format/rate/length triage
-  * at full scan speed inside whole-stage codegen, long before any decode
-  * stage. */
+  * duration_ms); bits_per_sample is 0 for the perceptual formats
+  * (MP3/Ogg — no fixed linear bit depth); NULL for anything that isn't
+  * a recognizable audio header. Same 100 TB role as the image path:
+  * format/rate/length triage at full scan speed inside whole-stage
+  * codegen, long before any decode stage. */
 case class AudioHeaderMeta(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -62,6 +72,22 @@ object AudioHeaderMeta {
 
   private val MimeWav = UTF8String.fromString("audio/wav")
   private val MimeFlac = UTF8String.fromString("audio/flac")
+  private val MimeMp3 = UTF8String.fromString("audio/mpeg")
+  private val MimeOgg = UTF8String.fromString("audio/ogg")
+
+  // MPEG audio bitrate (kbps) and sample-rate tables, indexed by
+  // [version group][layer]: v1 = MPEG1, v2 = MPEG2/2.5
+  private val BitrateV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // L3
+  private val BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))         // L3
+  private val RateMpeg1 = Array(44100, 48000, 32000)
+  private val RateMpeg2 = Array(22050, 24000, 16000)
+  private val RateMpeg25 = Array(11025, 12000, 8000)
 
   /** (mime, channels, sampleRate, bits, durationMs or -1) of a recognized
     * audio header, else null. */
@@ -124,6 +150,75 @@ object AudioHeaderMeta {
         if (totalSamples > 0) totalSamples * 1000L / rate else -1L
       return ("audio/flac", channels, rate, bits, dur)
     }
+    // MP3: optional ID3v2 tag, then an MPEG audio frame header at the
+    // stream start (no mid-stream scan — triage reads file heads, and a
+    // sync search over arbitrary bytes invites false positives)
+    locally {
+      var p = 0
+      if (n >= 10 && u(0) == 'I' && u(1) == 'D' && u(2) == '3') {
+        // ID3v2 size is 4 sync-safe (7-bit) bytes after version+flags
+        val tagLen = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+        val skip = 10L + tagLen
+        if (skip < n) p = skip.toInt else return null
+      }
+      if (p + 4 <= n && u(p) == 0xff && (u(p + 1) & 0xe0) == 0xe0) {
+        val versionBits = (u(p + 1) >> 3) & 3 // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (u(p + 1) >> 1) & 3   // 3=L1, 2=L2, 1=L3
+        val brIdx = (u(p + 2) >> 4) & 15
+        val srIdx = (u(p + 2) >> 2) & 3
+        val channels = if (((u(p + 3) >> 6) & 3) == 3) 1 else 2
+        if (versionBits != 1 && layerBits != 0 && brIdx != 15 && srIdx != 3) {
+          val layer = 3 - layerBits // 0-based L1/L2/L3
+          val kbps =
+            (if (versionBits == 3) BitrateV1 else BitrateV2)(layer)(brIdx)
+          val rate = (versionBits match {
+            case 3 => RateMpeg1
+            case 2 => RateMpeg2
+            case _ => RateMpeg25
+          })(srIdx)
+          // CBR estimate over the audio payload; drop a trailing ID3v1
+          // tag ("TAG", 128 bytes) from the byte count
+          val payloadEnd =
+            if (n >= p + 128 + 4 && u(n - 128) == 'T' && u(n - 127) == 'A' &&
+              u(n - 126) == 'G') n - 128
+            else n
+          val dur =
+            if (kbps > 0) (payloadEnd - p).toLong * 8L / kbps else -1L
+          return ("audio/mpeg", channels, rate, 0, dur)
+        }
+      }
+    }
+    // Ogg Vorbis: BOS page whose first packet is the vorbis
+    // identification header; duration from the LAST page's granule
+    // position (total PCM samples), found by a bounded backward scan
+    if (n >= 27 + 1 + 30 && u(0) == 'O' && u(1) == 'g' && u(2) == 'g' &&
+        u(3) == 'S' && u(4) == 0) {
+      val nsegs = u(26)
+      val pk = 27 + nsegs // first packet of the first page
+      if (pk + 30 <= n && u(pk) == 1 && u(pk + 1) == 'v' &&
+          u(pk + 2) == 'o' && u(pk + 3) == 'r' && u(pk + 4) == 'b' &&
+          u(pk + 5) == 'i' && u(pk + 6) == 's') {
+        val channels = u(pk + 11)
+        val rate = le32(pk + 12).toInt
+        if (channels > 0 && rate > 0) {
+          var granule = -1L
+          var q = n - 27 // last possible page header start
+          val stop = math.max(0, n - 65536)
+          while (granule < 0 && q > stop) {
+            if (u(q) == 'O' && u(q + 1) == 'g' && u(q + 2) == 'g' &&
+                u(q + 3) == 'S' && u(q + 4) == 0 && q != 0) {
+              var g = 0L
+              var i = 7
+              while (i >= 0) { g = (g << 8) | u(q + 6 + i); i -= 1 }
+              if (g > 0) granule = g
+            }
+            q -= 1
+          }
+          val dur = if (granule > 0) granule * 1000L / rate else -1L
+          return ("audio/ogg", channels, rate, 0, dur)
+        }
+      }
+    }
     null
   }
 
@@ -131,7 +226,13 @@ object AudioHeaderMeta {
   def parse(b: Array[Byte]): InternalRow = parseFields(b) match {
     case null => null
     case (mime, ch, rate, bits, dur) =>
-      InternalRow(if (mime == "audio/wav") MimeWav else MimeFlac,
-        ch, rate, bits, if (dur < 0) null else java.lang.Long.valueOf(dur))
+      val m = mime match {
+        case "audio/wav" => MimeWav
+        case "audio/flac" => MimeFlac
+        case "audio/mpeg" => MimeMp3
+        case _ => MimeOgg
+      }
+      InternalRow(m, ch, rate, bits,
+        if (dur < 0) null else java.lang.Long.valueOf(dur))
   }
 }

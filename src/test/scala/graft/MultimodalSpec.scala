@@ -280,6 +280,87 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  // MP3: optional ID3v2, one MPEG1 Layer III header, zero payload,
+  // optional trailing ID3v1
+  private def mp3Bytes(brIdx: Int, payload: Int, id3v2: Int = 0,
+      id3v1: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2 > 0) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(Array[Byte](4, 0, 0)) // version + flags
+      // sync-safe 28-bit length
+      out.write(Array[Byte](((id3v2 >> 21) & 0x7f).toByte,
+        ((id3v2 >> 14) & 0x7f).toByte, ((id3v2 >> 7) & 0x7f).toByte,
+        (id3v2 & 0x7f).toByte))
+      out.write(new Array[Byte](id3v2))
+    }
+    // FF FB: MPEG1 Layer III no CRC; brIdx<<4, srIdx 0 (44100); stereo
+    out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((brIdx << 4) | 0).toByte, 0x00))
+    out.write(new Array[Byte](payload))
+    if (id3v1) {
+      out.write("TAG".getBytes("US-ASCII"))
+      out.write(new Array[Byte](125))
+    }
+    out.toByteArray
+  }
+
+  // Ogg Vorbis: BOS page with the 30-byte identification header, then
+  // an EOS page carrying the final granule position
+  private def oggBytes(channels: Int, rate: Int,
+      granule: Long): Array[Byte] = {
+    def le32(v: Int) = le32b(v)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 2)) // version, BOS
+    out.write(new Array[Byte](8)) // granule 0
+    out.write(le32(7)); out.write(le32(0)); out.write(le32(0)) // serial/seq/crc
+    out.write(Array[Byte](1, 30)) // one 30-byte segment
+    out.write(1); out.write("vorbis".getBytes("US-ASCII"))
+    out.write(le32(0)) // vorbis version
+    out.write(channels)
+    out.write(le32(rate))
+    out.write(new Array[Byte](12)) // bitrates
+    out.write(0xb8); out.write(1) // blocksizes + framing bit
+    // EOS page, no packets, granule = total samples
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 4))
+    val g = new Array[Byte](8)
+    for (i <- 0 until 8) g(i) = ((granule >> (8 * i)) & 0xff).toByte
+    out.write(g)
+    out.write(le32(7)); out.write(le32(1)); out.write(le32(0))
+    out.write(0) // zero segments
+    out.toByteArray
+  }
+
+  test("audio header metadata triages MP3 and Ogg Vorbis headers") {
+    import spark.implicits._
+    val rows = Seq(
+      // 128 kbps (brIdx 9): (4+3996)·8/128 = 250 ms
+      (1L, mp3Bytes(brIdx = 9, payload = 3996)),
+      // ID3v2 skipped, ID3v1 subtracted: same 250 ms
+      (2L, mp3Bytes(brIdx = 9, payload = 3996, id3v2 = 64, id3v1 = true)),
+      // free-format bitrate: recognized, duration unknown
+      (3L, mp3Bytes(brIdx = 0, payload = 4000)),
+      // stereo 44.1 kHz Vorbis, 44100 samples → exactly 1 s
+      (4L, oggBytes(2, 44100, 44100L)),
+      // OggS page whose first packet isn't a vorbis id header
+      (5L, oggBytes(2, 44100, 0L).patch(28, "Xorbis".getBytes("US-ASCII"), 6)),
+      (6L, "ID3".getBytes("US-ASCII"))) // truncated ID3: junk
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.headerAudioMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3),
+          if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    assert(rows(1L).contains(("audio/mpeg", 2, 44100, 0, 250L)))
+    assert(rows(2L).contains(("audio/mpeg", 2, 44100, 0, 250L)))
+    assert(rows(3L).contains(("audio/mpeg", 2, 44100, 0, -1L)))
+    assert(rows(4L).contains(("audio/ogg", 2, 44100, 0, 1000L)))
+    assert(rows(5L).isEmpty)
+    assert(rows(6L).isEmpty)
+  }
+
   test("audio features REALLY expand compressed G.711 ulaw/alaw samples") {
     import spark.implicits._
     val rows = Seq(
