@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -132,6 +132,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "video_features(bytes) takes 1 argument")
         VideoFeatures(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("html_text"),
+      info(classOf[HtmlText], "html_text",
+        "html_text(html) - main-content extraction: strip tags/script/" +
+          "style, decode entities, collapse whitespace"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "html_text(html) takes 1 argument")
+        HtmlText(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",

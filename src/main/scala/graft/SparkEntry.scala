@@ -607,6 +607,25 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_html_text" -> ((s, dir) => {
+      // oracle-verified HTML main-content extraction: per-doc HTML
+      // assembled from doc_id-derived strings (title, heading, body,
+      // entity, comment, script/style noise, table cells); DuckDB
+      // restates the extracted text by direct concatenation
+      val t = F.concat(F.lit("Doc "), F.col("doc_id"))
+      val p1 = F.concat(F.lit("Body "), F.col("doc_id") * 7)
+      val html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>"), t,
+        F.lit("</title><script>var x = 1 < 2;</script>" +
+          "<style>p{color:red}</style></head><body  class=\"m\"><h1>"), t,
+        F.lit("</h1>\n  <p>"), p1,
+        F.lit(" &amp; more.</p><!-- hidden --><table><tr><td>"),
+        F.col("doc_id") % 10, F.lit("</td><td>"),
+        (F.col("doc_id") + 1) % 10,
+        F.lit("</td></tr></table></body></html>"))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), TextAnalysis.htmlText(html).as("text"))
+    }),
     "q_audio_triage" -> ((s, dir) => {
       // oracle-verified MP3 + Ogg Vorbis header triage: per-doc MPEG1
       // Layer III headers (bitrate index from doc_id; CBR duration =
@@ -1445,6 +1464,15 @@ object SparkEntry {
                 (1 + doc_id % 127) / 128.0 AS rms,
                 (1 + doc_id % 127) / 128.0 AS peak,
                 0.0 AS zcr
+         FROM documents""",
+    "q_html_text" ->
+      // the extractor's output on the synthesized page is pure string
+      // concatenation: title, heading, paragraph (entity decoded),
+      // table cells space-separated — block boundaries become newlines
+      """SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+           'Body ' || (doc_id * 7) || ' & more.' || chr(10) ||
+           (doc_id % 10) || ' ' || ((doc_id + 1) % 10) AS text
          FROM documents""",
     "q_audio_triage" ->
       // MP3 CBR duration and Ogg granule duration are direct arithmetic

@@ -11,6 +11,17 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Main-content text extraction from HTML — the stage a crawl corpus
+    * runs before any of the operators below: drops script/style/
+    * comments, strips tags (block tags break lines, cells space-
+    * separate, inline tags join), decodes entities, collapses
+    * whitespace ([[graft.expressions.HtmlText]] — narrow, codegen'd,
+    * one pass, no parse tree). Non-HTML text passes through. */
+  def htmlText(html: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.HtmlText(
+        graft.expressions.ColumnBridge.expression(html)))
+
   /** Non-empty whitespace tokens. */
   def tokens(text: Column): Column =
     F.filter(F.split(text, " "), t => F.length(t) > 0)
