@@ -607,6 +607,22 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_webp_meta" -> ((s, dir) => {
+      // oracle-verified WebP triage: per-doc VP8L chunks whose packed
+      // 14-bit dims come straight from doc_id arithmetic
+      import SqlHex.le32h
+      val w = (F.col("doc_id") % 300).cast(IntegerType) + 1
+      val h = ((F.col("doc_id") * 3) % 200).cast(IntegerType) + 1
+      val packed = (w - 1) + (h - 1) * F.lit(16384)
+      val media = F.unhex(F.concat(
+        F.lit("52494646"), le32h(F.lit(18)), F.lit("57454250"),
+        F.lit("5650384C"), le32h(F.lit(5)), F.lit("2F"), le32h(packed),
+        F.lit("00")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.headerImageMeta(media).as("m"))
+        .select(F.col("doc_id"), F.col("m.mime").as("mime"),
+          F.col("m.width").as("width"), F.col("m.height").as("height"))
+    }),
     "q_html_text" -> ((s, dir) => {
       // oracle-verified HTML main-content extraction: per-doc HTML
       // assembled from doc_id-derived strings (title, heading, body,
@@ -1464,6 +1480,12 @@ object SparkEntry {
                 (1 + doc_id % 127) / 128.0 AS rms,
                 (1 + doc_id % 127) / 128.0 AS peak,
                 0.0 AS zcr
+         FROM documents""",
+    "q_webp_meta" ->
+      // the packed VP8L fields decode back to the same doc_id arithmetic
+      """SELECT doc_id, 'image/webp' AS mime,
+           CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+           CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height
          FROM documents""",
     "q_html_text" ->
       // the extractor's output on the synthesized page is pure string

@@ -18,6 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    big-endian — position varies per file (EXIF/JFIF/comment segments
   *    precede it), which is why this is a tight JVM loop rather than
   *    fixed-offset column arithmetic.
+  *  - WebP: RIFF/WEBP chunk walk to the first VP8 (lossy: start-code +
+  *    14-bit dims), VP8L (lossless: packed 14-bit fields) or VP8X
+  *    (extended: 24-bit canvas fields) chunk.
   *
   * Returns struct(mime, width, height); NULL for anything that isn't a
   * recognizable image header. This is the triage an actual 100 TB media
@@ -58,6 +61,7 @@ object ImageHeaderMeta {
   private val MimeGif = UTF8String.fromString("image/gif")
   private val MimeJpeg = UTF8String.fromString("image/jpeg")
   private val MimeBmp = UTF8String.fromString("image/bmp")
+  private val MimeWebp = UTF8String.fromString("image/webp")
 
   /** (mime, width, height) of a recognized image header, else null. */
   def parseDims(b: Array[Byte]): (String, Int, Int) = {
@@ -92,6 +96,35 @@ object ImageHeaderMeta {
         return ("image/bmp", w, h)
       return null
     }
+    // WebP: RIFF/WEBP container; dims live in the first VP8 (lossy
+    // frame tag + start code), VP8L (lossless, packed 14-bit fields) or
+    // VP8X (extended, 24-bit canvas fields) chunk — shared Riff walk
+    if (n >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == 'F' && u(8) == 'W' && u(9) == 'E' && u(10) == 'B' &&
+        u(11) == 'P') {
+      var out: (String, Int, Int) = null
+      Riff.eachChunk(b, 12, n.toLong) { (i, size) =>
+        val body = i + 8
+        if (Riff.tag(b, i, "VP8 ") && size >= 10 && body + 10 <= n &&
+            u(body + 3) == 0x9d && u(body + 4) == 0x01 &&
+            u(body + 5) == 0x2a) {
+          out = ("image/webp",
+            le16(body + 6) & 0x3fff, le16(body + 8) & 0x3fff)
+        } else if (Riff.tag(b, i, "VP8L") && size >= 5 && body + 5 <= n &&
+            u(body) == 0x2f) {
+          val bits = le32(body + 1)
+          out = ("image/webp",
+            (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+        } else if (Riff.tag(b, i, "VP8X") && size >= 10 && body + 10 <= n) {
+          val w = (u(body + 4) | (u(body + 5) << 8) | (u(body + 6) << 16)) + 1
+          val h = (u(body + 7) | (u(body + 8) << 8) | (u(body + 9) << 16)) + 1
+          out = ("image/webp", w, h)
+        }
+        out == null // stop at the first dims-bearing chunk
+      }
+      if (out != null && out._2 > 0 && out._3 > 0) return out
+      return null
+    }
     // JPEG: SOI then segment walk to the first SOFn
     if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
       var i = 2
@@ -123,15 +156,13 @@ object ImageHeaderMeta {
     case "image/png" => MimePng
     case "image/gif" => MimeGif
     case "image/bmp" => MimeBmp
+    case "image/webp" => MimeWebp
     case _ => MimeJpeg
   }
 
   /** InternalRow form for expression eval/codegen. */
   def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
     case null => null
-    case ("image/png", w, h) => InternalRow(MimePng, w, h)
-    case ("image/gif", w, h) => InternalRow(MimeGif, w, h)
-    case ("image/bmp", w, h) => InternalRow(MimeBmp, w, h)
-    case (_, w, h) => InternalRow(MimeJpeg, w, h)
+    case (mime, w, h) => InternalRow(mimeUtf8(mime), w, h)
   }
 }

@@ -7,11 +7,14 @@ package graft.expressions
   * rms/peak/zcr through it, [[AudioEmbedding]] folds Goertzel band
   * energies.
   *
-  * Coverage by WAV fmt code: 1 (PCM, 8-bit unsigned / 16-bit signed
-  * LE), the ITU-T G.711 companded codecs 7 (µ-law) / 6 (A-law)
-  * expanded via 256-entry tables built once per JVM, and 0x11 (mono
+  * Coverage by WAV fmt code: 1 (PCM — 8-bit unsigned, 16/24/32-bit
+  * signed LE), 3 (IEEE float32/float64, non-finite samples degraded to
+  * silence), the ITU-T G.711 companded codecs 7 (µ-law) / 6 (A-law)
+  * expanded via 256-entry tables built once per JVM, 0x11 (mono
   * IMA/DVI ADPCM — true block compression, decoded with the standard
-  * step/index adaption). Samples are normalized to [-1, 1). */
+  * step/index adaption), and 0xFFFE (WAVE_FORMAT_EXTENSIBLE, unwrapped
+  * to the real code from the GUID). Samples are normalized to
+  * [-1, 1). */
 private[graft] object Samples {
 
   trait Sink { def accept(x: Double): Unit }
@@ -67,6 +70,10 @@ private[graft] object Samples {
     val n = b.length
     def u(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32i(i: Int): Int =
+      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def le64(i: Int): Long =
+      (le32i(i) & 0xffffffffL) | (le32i(i + 4).toLong << 32)
     if (n < 12 || u(0) != 'R' || u(1) != 'I' || u(2) != 'F' || u(3) != 'F' ||
         u(8) != 'W' || u(9) != 'A' || u(10) != 'V' || u(11) != 'E') return -1L
     var fmtCode = -1; var bits = -1
@@ -89,6 +96,11 @@ private[graft] object Samples {
           // trailing bytes must not be misread as a sample cap
           if (size >= 20 && i + 8 + 20 <= n && le16(i + 24) >= 2)
             spbExt = le16(i + 26)
+          // WAVE_FORMAT_EXTENSIBLE wraps the real format code in the
+          // first two GUID bytes of the 22-byte extension — the usual
+          // container for >16-bit PCM and float WAVs
+          if (fmtCode == 0xfffe && size >= 40 && i + 8 + 40 <= n)
+            fmtCode = le16(i + 32)
         }
       } else if (u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' &&
           u(i + 3) == 'a') {
@@ -104,15 +116,26 @@ private[graft] object Samples {
       return if (bits == 4 && channels == 1 && blockAlign > 4)
         walkImaAdpcm(b, dataOff, dataLen, blockAlign, spbExt, sink)
       else -1L
-    // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law
+    // mode: 0 = PCM8, 1 = PCM16, 2 = µ-law, 3 = A-law, 4 = PCM24,
+    // 5 = PCM32, 6 = float32, 7 = float64
     val mode = (fmtCode, bits) match {
       case (1, 8) => 0
       case (1, 16) => 1
       case (7, 8) => 2
       case (6, 8) => 3
+      case (1, 24) => 4
+      case (1, 32) => 5
+      case (3, 32) => 6
+      case (3, 64) => 7
       case _ => return -1L
     }
-    val bytesPer = if (mode == 1) 2 else 1
+    val bytesPer = mode match {
+      case 1 => 2
+      case 4 => 3
+      case 5 | 6 => 4
+      case 7 => 8
+      case _ => 1
+    }
     // multi-channel input downmixes to mono, one averaged sample per
     // frame — rms/zcr/band energies of a stereo clip must match its
     // mono twin, not an interleaved zigzag of the channels
@@ -122,12 +145,23 @@ private[graft] object Samples {
       var sum = 0.0
       var c = 0
       while (c < channels) {
-        val k = f * channels + c
+        val p = dataOff + (f * channels + c) * bytesPer
         sum += (mode match {
-          case 0 => (u(dataOff + k) - 128) / 128.0
-          case 1 => le16(dataOff + 2 * k).toShort / 32768.0
-          case 2 => UlawTable(u(dataOff + k))
-          case _ => AlawTable(u(dataOff + k))
+          case 0 => (u(p) - 128) / 128.0
+          case 1 => le16(p).toShort / 32768.0
+          case 2 => UlawTable(u(p))
+          case 3 => AlawTable(u(p))
+          case 4 => // sign-extend the 24-bit little-endian sample
+            (((u(p) | (u(p + 1) << 8) | (u(p + 2) << 16)) << 8) >> 8) /
+              8388608.0
+          case 5 => le32i(p) / 2147483648.0
+          case 6 => // crafted NaN/Inf bit patterns would poison every
+            // fold downstream — degrade them to silence
+            val v = java.lang.Float.intBitsToFloat(le32i(p))
+            if (java.lang.Float.isFinite(v)) v.toDouble else 0.0
+          case _ =>
+            val v = java.lang.Double.longBitsToDouble(le64(p))
+            if (java.lang.Double.isFinite(v)) v else 0.0
         })
         c += 1
       }

@@ -333,6 +333,91 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("image header metadata parses WebP VP8/VP8L/VP8X dims") {
+    import spark.implicits._
+    def webp(chunk: Array[Byte]): Array[Byte] = {
+      val body = "WEBP".getBytes("US-ASCII") ++ chunk
+      "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+    }
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit dims
+    val vp8 = webp("VP8 ".getBytes("US-ASCII") ++ le32b(10) ++
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        (320 & 0xff).toByte, (320 >> 8).toByte,
+        (240 & 0xff).toByte, (240 >> 8).toByte))
+    // VP8L lossless: 2F signature then packed 14-bit (w-1, h-1)
+    val dims = (99) | (149 << 14) // 100×150
+    val vp8l = webp("VP8L".getBytes("US-ASCII") ++ le32b(5) ++
+      Array[Byte](0x2f, (dims & 0xff).toByte, ((dims >> 8) & 0xff).toByte,
+        ((dims >> 16) & 0xff).toByte, ((dims >> 24) & 0xff).toByte) ++
+      Array[Byte](0)) // odd chunk pads
+    // VP8X extended: 4 flag bytes then 24-bit (w-1, h-1)
+    val vp8x = webp("VP8X".getBytes("US-ASCII") ++ le32b(10) ++
+      Array[Byte](0, 0, 0, 0,
+        (639 & 0xff).toByte, ((639 >> 8) & 0xff).toByte, 0,
+        (479 & 0xff).toByte, ((479 >> 8) & 0xff).toByte, 0))
+    val rows = Seq((1L, vp8), (2L, vp8l), (3L, vp8x),
+      (4L, webp("JUNK".getBytes("US-ASCII") ++ le32b(2) ++
+        Array[Byte](0, 0))))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.headerImageMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(rows(1L).contains(("image/webp", 320, 240)))
+    assert(rows(2L).contains(("image/webp", 100, 150)))
+    assert(rows(3L).contains(("image/webp", 640, 480)))
+    assert(rows(4L).isEmpty) // WEBP container without a dims chunk
+  }
+
+  test("audio features decode 24/32-bit PCM, float, and extensible WAVs") {
+    import spark.implicits._
+    def wav(fmtCode: Int, bits: Int, data: Array[Byte],
+        extensibleSub: Int = -1): Array[Byte] = {
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      val fmtBody =
+        if (extensibleSub < 0)
+          le16(fmtCode) ++ le16(1) ++ le32b(8000) ++
+            le32b(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits)
+        else // WAVE_FORMAT_EXTENSIBLE: real code in the GUID head
+          le16(0xfffe) ++ le16(1) ++ le32b(8000) ++
+            le32b(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits) ++
+            le16(22) ++ le16(bits) ++ le32b(0) ++ le16(extensibleSub) ++
+            le16(0) ++ new Array[Byte](12)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32b(fmtBody.length) ++ fmtBody ++
+        "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+    }
+    // constant 24-bit 2^22/2^23 = 0.5; constant 32-bit 2^29/2^31 = 0.25
+    val pcm24 = wav(1, 24, Array.fill(16)(
+      Array[Byte](0, 0, 0x40)).flatten)
+    val pcm32 = wav(1, 32, Array.fill(16)(
+      Array[Byte](0, 0, 0, 0x20)).flatten)
+    // float32 constant 0.5; float64 constant 0.25
+    val f32bits = java.lang.Float.floatToIntBits(0.5f)
+    val f32 = wav(3, 32, Array.fill(16)(le32b(f32bits)).flatten)
+    val f64bits = java.lang.Double.doubleToLongBits(0.25)
+    val f64 = wav(3, 64, Array.fill(16)(
+      le32b(f64bits.toInt) ++ le32b((f64bits >> 32).toInt)).flatten)
+    // 24-bit PCM wrapped in WAVE_FORMAT_EXTENSIBLE
+    val ext24 = wav(0, 24, Array.fill(16)(
+      Array[Byte](0, 0, 0x40)).flatten, extensibleSub = 1)
+    // float WAV with NaN samples: degraded to silence, not poison
+    val nan = wav(3, 32, Array.fill(16)(
+      le32b(java.lang.Float.floatToIntBits(Float.NaN))).flatten)
+    val rows = Seq((1L, pcm24), (2L, pcm32), (3L, f32), (4L, f64),
+      (5L, ext24), (6L, nan))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.audioFeatures(F.col("content")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))).toMap
+    assert(rows(1L).contains((16L, 0.5, 0.5, 0.0)))
+    assert(rows(2L).contains((16L, 0.25, 0.25, 0.0)))
+    assert(rows(3L).contains((16L, 0.5, 0.5, 0.0)))
+    assert(rows(4L).contains((16L, 0.25, 0.25, 0.0)))
+    assert(rows(5L).contains((16L, 0.5, 0.5, 0.0)))
+    assert(rows(6L).contains((16L, 0.0, 0.0, 0.0)))
+  }
+
   test("audio header metadata triages MP3 and Ogg Vorbis headers") {
     import spark.implicits._
     val rows = Seq(
