@@ -15,6 +15,8 @@ class MediaFuzzSpec extends AnyFunSuite {
   private val rnd = new scala.util.Random(7116L)
 
   private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+    "HtmlText" -> ((b: Array[Byte]) => HtmlText.extract(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(b))),
     "AudioFeatures" -> (AudioFeatures.parse(_)),
     "AudioHeaderMeta" -> (AudioHeaderMeta.parse(_)),
     "VideoHeaderMeta" -> (VideoHeaderMeta.parse(_)),
@@ -64,7 +66,24 @@ class MediaFuzzSpec extends AnyFunSuite {
         "28000000" + "02000000" + "02000000" + "0100" + "1800" +
         "00000000" + "10000000" + "00000000" * 4 +
         "0A141E" * 2 + "0000" + "0A141E" * 2 + "0000"),
-      "GIF89a".getBytes("US-ASCII") ++ hexBytes("0300050000FF"))
+      "GIF89a".getBytes("US-ASCII") ++ hexBytes("0300050000FF"),
+      // WebP VP8L, MP3 (MPEG1 L3 + ID3v2), Ogg Vorbis BOS, float WAV,
+      // FLAC with one CONSTANT frame
+      hexBytes("52494646" + "12000000" + "57454250" +
+        "5650384C" + "05000000" + "2F" + "63804A02" + "00"),
+      hexBytes("494433" + "0400" + "00" + "00000000" +
+        "FFFB" + "9000" + "0000" + "00" * 32),
+      hexBytes("4F676753" + "00" + "02" + "00" * 8 + "07000000" +
+        "00000000" + "00000000" + "01" + "1E" +
+        "01" + "766F72626973" + "00000000" + "02" + "44AC0000" +
+        "00" * 12 + "B8" + "01"),
+      hexBytes("52494646" + "34000000" + "57415645" +
+        "666D7420" + "10000000" + "0300" + "0100" + "401F0000" +
+        "007D0000" + "0400" + "2000" + "64617461" + "10000000" +
+        "0000003F" * 4),
+      hexBytes("664C6143" + "80" + "000022" + "00C0" + "00C0" +
+        "000000" + "000000" + "01F400F0" + "000000C0" + "00" * 16 +
+        "FFF8" + "10" + "08" + "00" + "00" + "00" + "1000" + "0000"))
     for (seed <- seeds; i <- 0 until 120) {
       val b = seed.clone()
       // flip 1-4 random bytes (sizes, tags, payload — anything)
