@@ -23,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    duration).
   *  - MP3: optional ID3v2 tag (sync-safe length) skipped, then the
   *    MPEG audio frame header at the stream start — version/layer →
-  *    bitrate and sample-rate tables, channel mode; duration is the
+  *    bitrate and sample-rate tables, channel mode; duration from the
+  *    Xing/Info VBR tag's frame count when present (exact), else the
   *    CBR estimate payloadBytes·8/kbps (a trailing ID3v1 tag is
-  *    excluded), NULL for free-format bitrate.
+  *    excluded), NULL for free-format bitrate without a VBR tag.
   *  - Ogg Vorbis: `OggS` BOS page whose first packet is the vorbis
   *    identification header (channels, rate); duration from the last
   *    page's granule position (total PCM samples), found by a bounded
@@ -176,14 +177,39 @@ object AudioHeaderMeta {
             case 2 => RateMpeg2
             case _ => RateMpeg25
           })(srIdx)
-          // CBR estimate over the audio payload; drop a trailing ID3v1
-          // tag ("TAG", 128 bytes) from the byte count
-          val payloadEnd =
-            if (n >= p + 128 + 4 && u(n - 128) == 'T' && u(n - 127) == 'A' &&
-              u(n - 126) == 'G') n - 128
-            else n
-          val dur =
-            if (kbps > 0) (payloadEnd - p).toLong * 8L / kbps else -1L
+          val mono = channels == 1
+          // a VBR file carries a Xing/Info tag in the first frame, at a
+          // fixed offset past the side info; its frame count gives the
+          // exact duration (frames · samplesPerFrame / rate) where the
+          // CBR byte estimate would be wrong
+          val xingOff = p + 4 +
+            (if (versionBits == 3) { if (mono) 17 else 32 }
+            else { if (mono) 9 else 17 })
+          var dur = -1L
+          if (xingOff + 12 <= n &&
+              ((u(xingOff) == 'X' && u(xingOff + 1) == 'i' &&
+                u(xingOff + 2) == 'n' && u(xingOff + 3) == 'g') ||
+               (u(xingOff) == 'I' && u(xingOff + 1) == 'n' &&
+                u(xingOff + 2) == 'f' && u(xingOff + 3) == 'o')) &&
+              (u(xingOff + 7) & 1) == 1) { // frames-field-present flag
+            val frames = ((u(xingOff + 8) << 24) | (u(xingOff + 9) << 16) |
+              (u(xingOff + 10) << 8) | u(xingOff + 11)).toLong & 0xffffffffL
+            val samplesPerFrame =
+              if (layer == 0) 384
+              else if (layer == 1) 1152
+              else if (versionBits == 3) 1152
+              else 576 // Layer III halves for MPEG2/2.5
+            if (frames > 0) dur = frames * samplesPerFrame * 1000L / rate
+          }
+          if (dur < 0 && kbps > 0) {
+            // CBR estimate over the audio payload; drop a trailing
+            // ID3v1 tag ("TAG", 128 bytes) from the byte count
+            val payloadEnd =
+              if (n >= p + 128 + 4 && u(n - 128) == 'T' &&
+                u(n - 127) == 'A' && u(n - 126) == 'G') n - 128
+              else n
+            dur = (payloadEnd - p).toLong * 8L / kbps
+          }
           return ("audio/mpeg", channels, rate, 0, dur)
         }
       }

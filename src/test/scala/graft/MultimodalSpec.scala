@@ -283,7 +283,7 @@ class MultimodalSpec extends SparkSpec {
   // MP3: optional ID3v2, one MPEG1 Layer III header, zero payload,
   // optional trailing ID3v1
   private def mp3Bytes(brIdx: Int, payload: Int, id3v2: Int = 0,
-      id3v1: Boolean = false): Array[Byte] = {
+      id3v1: Boolean = false, xingFrames: Long = -1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2 > 0) {
       out.write("ID3".getBytes("US-ASCII"))
@@ -297,7 +297,18 @@ class MultimodalSpec extends SparkSpec {
     // FF FB: MPEG1 Layer III no CRC; brIdx<<4, srIdx 0 (44100); stereo
     out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
       ((brIdx << 4) | 0).toByte, 0x00))
-    out.write(new Array[Byte](payload))
+    var pay = payload
+    if (xingFrames >= 0) {
+      // MPEG1 stereo: Xing sits 32 side-info bytes past the header
+      out.write(new Array[Byte](32))
+      out.write("Xing".getBytes("US-ASCII"))
+      out.write(Array[Byte](0, 0, 0, 1)) // flags: frames present
+      out.write(Array[Byte]((xingFrames >> 24).toByte,
+        (xingFrames >> 16).toByte, (xingFrames >> 8).toByte,
+        xingFrames.toByte))
+      pay -= 32 + 12
+    }
+    out.write(new Array[Byte](math.max(0, pay)))
     if (id3v1) {
       out.write("TAG".getBytes("US-ASCII"))
       out.write(new Array[Byte](125))
@@ -427,6 +438,9 @@ class MultimodalSpec extends SparkSpec {
       (2L, mp3Bytes(brIdx = 9, payload = 3996, id3v2 = 64, id3v1 = true)),
       // free-format bitrate: recognized, duration unknown
       (3L, mp3Bytes(brIdx = 0, payload = 4000)),
+      // VBR: Xing frame count beats the CBR byte estimate —
+      // 1000 frames · 1152 / 44100 Hz = 26122 ms (≠ 250 ms CBR)
+      (7L, mp3Bytes(brIdx = 9, payload = 3996, xingFrames = 1000L)),
       // stereo 44.1 kHz Vorbis, 44100 samples → exactly 1 s
       (4L, oggBytes(2, 44100, 44100L)),
       // OggS page whose first packet isn't a vorbis id header
@@ -441,6 +455,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L).contains(("audio/mpeg", 2, 44100, 0, 250L)))
     assert(rows(2L).contains(("audio/mpeg", 2, 44100, 0, 250L)))
     assert(rows(3L).contains(("audio/mpeg", 2, 44100, 0, -1L)))
+    assert(rows(7L).contains(("audio/mpeg", 2, 44100, 0,
+      1000L * 1152 * 1000 / 44100)))
     assert(rows(4L).contains(("audio/ogg", 2, 44100, 0, 1000L)))
     assert(rows(5L).isEmpty)
     assert(rows(6L).isEmpty)
