@@ -5,6 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 /** End-to-end training-corpus curation: the canonical composition of the
   * pipeline stages a pretraining data run applies before tokenization —
   *
+  *   0. (optional) HTML main-content extraction
+  *      ([[TextAnalysis.htmlText]]) — narrow, shuffle-free, so raw
+  *      crawl pages feed the same pipeline as plain text;
   *   1. quality + language gate  ([[TextAnalysis.qualityScore]],
   *      [[TextAnalysis.langId]]) — narrow, shuffle-free;
   *   2. exact dedup keeping the smallest id ([[Dedup.exactDedup]] over an
@@ -35,16 +38,24 @@ object Curation {
     * @param langs       keep docs whose [[TextAnalysis.langId]] is in this set
     * @param benchmark   optional (frame, textCol) to decontaminate against;
     *                    docs sharing ≥1 `contaminationK`-gram are dropped
+    * @param htmlInput   when true, the text column holds raw HTML and is
+    *                    run through [[TextAnalysis.htmlText]] first — every
+    *                    later stage (gate, digest, shingles, chunking)
+    *                    sees the extracted text
     */
   def curate(docs: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en"),
       benchmark: Option[(DataFrame, String)] = None,
       contaminationK: Int = 13,
-      chunkSize: Int = 64, chunkStride: Int = 48): DataFrame = {
+      chunkSize: Int = 64, chunkStride: Int = 48,
+      htmlInput: Boolean = false): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
-    val gated = docs.where(
+    val input =
+      if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
+      else docs
+    val gated = input.where(
       TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
         TextAnalysis.langId(F.col(text)).isInCollection(langs))
     val deduped = Dedup

@@ -83,4 +83,25 @@ class CurationSpec extends SparkSpec {
     // (gate, chunk) must not add shuffles of their own
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("htmlInput extracts raw crawl pages to the same curated chunks") {
+    import spark.implicits._
+    // wrap every fixture text in markup (plus script noise a quality
+    // gate must never see); curation over the HTML must equal curation
+    // over the plain text — and stay a one-exchange plan
+    val pages = fixture.select(F.col("doc_id"), F.concat(
+      F.lit("<html><head><script>junk() < gate;</script></head><body><p>"),
+      F.col("text"), F.lit("</p></body></html>")).as("text"))
+    val fromHtml = Curation.curate(pages, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4, htmlInput = true)
+    val fromText = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4)
+    // plan shape first (pre-execution — a collected AQE plan prints its
+    // initial plan too, double-counting the exchange)
+    val plan = fromHtml.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(fromHtml.collect().toSet == fromText.collect().toSet)
+  }
 }

@@ -141,6 +141,22 @@ object Drive {
         .show(false)
     }
 
+    println("=== curate raw HTML pages (extract -> gate -> dedup -> chunk):")
+    locally {
+      import spark.implicits._
+      val prose = "the cat sat on the mat and it was happy with that " +
+        "state of affairs for the rest of the day in the sun by the window"
+      val pages = Seq(
+        (1L, s"<html><head><script>var a = 1 < 2;</script></head>" +
+          s"<body><p>$prose</p></body></html>"),
+        (2L, s"<html><body><p>$prose</p></body></html>"), // dup of 1
+        (3L, "<html><body><p>tiny</p></body></html>"))    // gated out
+        .toDF("doc_id", "text")
+      graft.pipeline.Curation.curate(pages, "doc_id", "text",
+        minQuality = 0.7, chunkSize = 8, chunkStride = 4,
+        htmlInput = true).show(5, false)
+    }
+
     println("=== dedup pairs -> canonical groups:")
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
