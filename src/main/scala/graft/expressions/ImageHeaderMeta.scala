@@ -21,6 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - WebP: RIFF/WEBP chunk walk to the first VP8 (lossy: start-code +
   *    14-bit dims), VP8L (lossless: packed 14-bit fields) or VP8X
   *    (extended: 24-bit canvas fields) chunk.
+  *  - TIFF: either byte order; first-IFD entry walk for the
+  *    ImageWidth/ImageLength tags (SHORT or LONG valued).
   *
   * Returns struct(mime, width, height); NULL for anything that isn't a
   * recognizable image header. This is the triage an actual 100 TB media
@@ -62,6 +64,7 @@ object ImageHeaderMeta {
   private val MimeJpeg = UTF8String.fromString("image/jpeg")
   private val MimeBmp = UTF8String.fromString("image/bmp")
   private val MimeWebp = UTF8String.fromString("image/webp")
+  private val MimeTiff = UTF8String.fromString("image/tiff")
 
   /** (mime, width, height) of a recognized image header, else null. */
   def parseDims(b: Array[Byte]): (String, Int, Int) = {
@@ -125,6 +128,41 @@ object ImageHeaderMeta {
       if (out != null && out._2 > 0 && out._3 > 0) return out
       return null
     }
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian) header, then
+    // the first IFD's entry walk for ImageWidth (256) / ImageLength
+    // (257) — SHORT or LONG valued, inline in the 12-byte entry
+    if (n >= 8 && ((u(0) == 'I' && u(1) == 'I' && u(2) == 42 && u(3) == 0) ||
+        (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 42))) {
+      val bigEndian = u(0) == 'M'
+      def v16(i: Int): Int = if (bigEndian) be16(i) else le16(i)
+      def v32(i: Int): Long =
+        if (bigEndian) be32(i).toLong & 0xffffffffL
+        else le32(i).toLong & 0xffffffffL
+      val ifd = v32(4)
+      if (ifd < 8 || ifd + 2 > n) return null
+      val count = v16(ifd.toInt)
+      var w = 0L; var h = 0L
+      var e = 0
+      while (e < count && (w == 0 || h == 0)) {
+        val entry = ifd.toInt + 2 + e * 12
+        if (entry + 12 > n) return null
+        val tag = v16(entry)
+        if (tag == 256 || tag == 257) {
+          val typ = v16(entry + 2)
+          // SHORT (3) sits in the value field's first 2 bytes in file
+          // byte order; LONG (4) fills all 4
+          val value =
+            if (typ == 3) v16(entry + 8).toLong
+            else if (typ == 4) v32(entry + 8)
+            else -1L
+          if (tag == 256) w = value else h = value
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20))
+        return ("image/tiff", w.toInt, h.toInt)
+      return null
+    }
     // JPEG: SOI then segment walk to the first SOFn
     if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
       var i = 2
@@ -157,6 +195,7 @@ object ImageHeaderMeta {
     case "image/gif" => MimeGif
     case "image/bmp" => MimeBmp
     case "image/webp" => MimeWebp
+    case "image/tiff" => MimeTiff
     case _ => MimeJpeg
   }
 

@@ -429,6 +429,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(6L).contains((16L, 0.0, 0.0, 0.0)))
   }
 
+  test("image header metadata parses TIFF IFDs in either byte order") {
+    import spark.implicits._
+    // a REAL little-endian TIFF from the JDK's own writer
+    val img = new java.awt.image.BufferedImage(5, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", baos)
+    val jdkTiff = baos.toByteArray
+    // hand-built big-endian TIFF: SHORT width 21, LONG height 13
+    val mm = hexBytes("4D4D002A" + "00000008" + "0002" +
+      "0100" + "0003" + "00000001" + "00150000" +
+      "0101" + "0004" + "00000001" + "0000000D" +
+      "00000000")
+    val rows = Seq((1L, jdkTiff), (2L, mm),
+      (3L, hexBytes("49492A00" + "FFFFFFFF"))) // IFD points past EOF
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.headerImageMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(rows(1L).contains(("image/tiff", 5, 7)))
+    assert(rows(2L).contains(("image/tiff", 21, 13)))
+    assert(rows(3L).isEmpty)
+  }
+
   test("audio header metadata triages MP3 and Ogg Vorbis headers") {
     import spark.implicits._
     val rows = Seq(
