@@ -607,6 +607,35 @@ object SparkEntry {
           F.col("f.rms").as("rms"), F.col("f.peak").as("peak"),
           F.col("f.zcr").as("zcr"))
     }),
+    "q_video_mp4" -> ((s, dir) => {
+      // oracle-verified MP4 triage: a minimal fixed-layout ISO-BMFF
+      // stream (ftyp + moov{mvhd, trak{tkhd, mdia/minf/stbl/stts}})
+      // whose dims, frame count, and duration are doc_id arithmetic
+      import SqlHex.{be16h, be32h}
+      val w = ((F.col("doc_id") % 80).cast(IntegerType) + 1) * 16
+      val h = ((F.col("doc_id") % 45).cast(IntegerType) + 1) * 16
+      val frames = (F.col("doc_id") % 500).cast(IntegerType) + 1
+      val secs = (F.col("doc_id") % 60).cast(IntegerType) + 1
+      val media = F.unhex(F.concat(
+        F.lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+        F.lit("00000108" + "6D6F6F76"),                // moov (264)
+        F.lit("0000006C" + "6D766864" + "00000000" * 3 +
+          "000003E8"), be32h(secs * 1000),             // mvhd: ts 1000
+        F.lit("00" * 80),
+        F.lit("00000094" + "7472616B"),                // trak (148)
+        F.lit("0000005C" + "746B6864" + "00000000" * 3 + "00000001" +
+          "00000000" * 2 + "00" * 52),                 // tkhd to matrix
+        be16h(w), F.lit("0000"), be16h(h), F.lit("0000"),
+        F.lit("00000030" + "6D646961" + "00000028" + "6D696E66" +
+          "00000020" + "7374626C" + "00000018" + "73747473" +
+          "00000000" + "00000001"), be32h(frames), F.lit("00000064")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.headerVideoMeta(media).as("m"))
+        .select(F.col("doc_id"), F.col("m.mime").as("mime"),
+          F.col("m.width").as("width"), F.col("m.height").as("height"),
+          F.col("m.n_frames").as("n_frames"),
+          F.col("m.duration_ms").as("duration_ms"))
+    }),
     "q_webp_meta" -> ((s, dir) => {
       // oracle-verified WebP triage: per-doc VP8L chunks whose packed
       // 14-bit dims come straight from doc_id arithmetic
@@ -1480,6 +1509,14 @@ object SparkEntry {
                 (1 + doc_id % 127) / 128.0 AS rms,
                 (1 + doc_id % 127) / 128.0 AS peak,
                 0.0 AS zcr
+         FROM documents""",
+    "q_video_mp4" ->
+      // the parsed MP4 fields restate the synthesis arithmetic
+      """SELECT doc_id, 'video/mp4' AS mime,
+           CAST((doc_id % 80 + 1) * 16 AS INTEGER) AS width,
+           CAST((doc_id % 45 + 1) * 16 AS INTEGER) AS height,
+           CAST(doc_id % 500 + 1 AS INTEGER) AS n_frames,
+           CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
          FROM documents""",
     "q_webp_meta" ->
       // the packed VP8L fields decode back to the same doc_id arithmetic

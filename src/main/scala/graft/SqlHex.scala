@@ -12,6 +12,9 @@ private[graft] object SqlHex {
   /** One byte, zero-padded: 10 → "0A". */
   def hx2(v: Column): Column = F.lpad(F.hex(v), 2, "0")
 
+  /** Big-endian 16-bit: 320 → "0140". */
+  def be16h(v: Column): Column = F.lpad(F.hex(v), 4, "0")
+
   /** Big-endian 32-bit: 1 → "00000001". */
   def be32h(v: Column): Column = F.lpad(F.hex(v), 8, "0")
 

@@ -17,6 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    block, whose mandatory `avih` main header carries
   *    dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight at fixed
   *    offsets in its body. duration = frames · µs/frame.
+  *  - MP4 (ISO-BMFF): `ftyp` leading box, then a bounded box walk into
+  *    `moov` — `mvhd` timescale+duration, the video `trak`'s `tkhd`
+  *    16.16-fixed dimensions, and its `stts` sample table's exact
+  *    frame count.
   *
   * Returns struct(mime, width, height, n_frames, duration_ms); NULL for
   * anything that isn't a recognizable video header, and NULL duration
@@ -57,11 +61,21 @@ object VideoHeaderMeta {
     StructField("duration_ms", LongType, nullable = true)))
 
   private val MimeAvi = UTF8String.fromString("video/x-msvideo")
+  private val MimeMp4 = UTF8String.fromString("video/mp4")
+
+  /** (mime, width, height, frames, durationMs or -1) of an AVI or MP4
+    * header, else null. AVI traversal is the shared [[Riff]] walk (Long
+    * offsets: crafted sizes end the loop, never overflow into a
+    * negative index); MP4 is an ISO-BMFF box walk. */
+  def parseTagged(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val avi = parseFields(b)
+    if (avi != null)
+      return ("video/x-msvideo", avi._1, avi._2, avi._3, avi._4)
+    parseMp4(b)
+  }
 
   /** (width, height, frames, durationMs or -1) of an AVI header, else
-    * null. Chunk traversal is the shared [[Riff]] walk (Long offsets:
-    * crafted sizes end the loop, never overflow into a negative
-    * index). */
+    * null. */
   def parseFields(b: Array[Byte]): (Int, Int, Int, Long) = {
     if (b == null) return null
     val n = b.length
@@ -99,11 +113,96 @@ object VideoHeaderMeta {
     out // null when hdrl lacked a sane avih: corrupt
   }
 
+  /** MP4 (ISO-BMFF): `ftyp` leading box, then a bounded box walk into
+    * `moov` — `mvhd` gives timescale+duration, the video `trak`'s
+    * `tkhd` gives 16.16-fixed width/height, and its `stbl/stts` sample
+    * table gives the exact frame count. Handles 64-bit box sizes and
+    * version-1 (64-bit time) mvhd/tkhd. Returns
+    * (mime, w, h, frames (0 = unknown), durMs or -1), or null. */
+  def parseMp4(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null) return null
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def be32(i: Int): Long =
+      ((u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) |
+        u(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    if (n < 12 || !Riff.tag(b, 4, "ftyp")) return null
+    var timescale = 0L; var duration = -1L
+    var w = 0; var h = 0
+    var frames = 0L
+    var inVideoTrak = false // the trak whose tkhd carried the dims
+    // visit boxes in b[from,to); descend into the container types that
+    // lead to mvhd/tkhd/stts; depth-capped, forward-only (crafted sizes
+    // terminate the walk, they never loop or recurse unboundedly)
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = be32(i.toInt)
+        val boxEnd =
+          if (size0 == 1 && i + 16 <= to) {
+            val s = be64(i.toInt + 8)
+            if (s < 16) to else math.min(i + s, to)
+          }
+          else if (size0 == 0) to // box extends to end of enclosing span
+          else if (size0 < 8) return // corrupt: stop
+          else math.min(i + size0, to)
+        val t = i.toInt + 4
+        val body = i + (if (size0 == 1) 16 else 8)
+        def tag(s: String): Boolean = Riff.tag(b, t, s)
+        if (depth < 6 && (tag("moov") || tag("trak") || tag("mdia") ||
+            tag("minf") || tag("stbl"))) {
+          if (tag("trak")) inVideoTrak = false
+          walk(body, boxEnd, depth + 1)
+        } else if (tag("mvhd") && body + 4 <= boxEnd) {
+          val ver = u(body.toInt)
+          if (ver == 1 && body + 28 + 4 <= boxEnd) {
+            timescale = be32(body.toInt + 20)
+            duration = be64(body.toInt + 24)
+          } else if (ver == 0 && body + 20 <= boxEnd) {
+            timescale = be32(body.toInt + 12)
+            duration = be32(body.toInt + 16)
+          }
+        } else if (tag("tkhd") && body + 4 <= boxEnd) {
+          val ver = u(body.toInt)
+          val dimsOff = body + (if (ver == 1) 88 else 76)
+          if (dimsOff + 8 <= boxEnd) {
+            val tw = be16(dimsOff.toInt)     // 16.16 fixed: integer part
+            val th = be16(dimsOff.toInt + 4)
+            if (tw > 0 && th > 0 && w == 0) {
+              w = tw; h = th; inVideoTrak = true
+            }
+          }
+        } else if (tag("stts") && inVideoTrak && body + 8 <= boxEnd) {
+          // sum of entry sample counts = this track's frame count
+          val entries = be32(body.toInt + 4)
+          var e = 0L
+          var total = 0L
+          while (e < entries && body + 8 + e * 8 + 8 <= boxEnd) {
+            total += be32((body + 8 + e * 8).toInt)
+            e += 1
+          }
+          if (frames == 0) frames = total
+        }
+        i = boxEnd
+      }
+    }
+    walk(0, n.toLong, 0)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
+    val durMs =
+      if (timescale > 0 && duration > 0) duration * 1000L / timescale
+      else -1L
+    ("video/mp4", w, h,
+      if (frames > Int.MaxValue) 0 else frames.toInt, durMs)
+  }
+
   /** InternalRow form for expression eval/codegen; -1 duration → NULL. */
-  def parse(b: Array[Byte]): InternalRow = parseFields(b) match {
+  def parse(b: Array[Byte]): InternalRow = parseTagged(b) match {
     case null => null
-    case (w, h, frames, dur) =>
-      InternalRow(MimeAvi, w, h, frames,
+    case (mime, w, h, frames, dur) =>
+      InternalRow(if (mime == "video/mp4") MimeMp4 else MimeAvi,
+        w, h, frames,
         if (dur < 0) null else java.lang.Long.valueOf(dur))
   }
 }

@@ -107,8 +107,8 @@ object Multimodal {
             if (n > 0) n else 1
           } else 1
         Row(mime, w, h, frames, true)
-      case null => graft.expressions.VideoHeaderMeta.parseFields(bytes) match {
-        case (w, h, frames, _) => Row("video/x-msvideo", w, h, frames, true)
+      case null => graft.expressions.VideoHeaderMeta.parseTagged(bytes) match {
+        case (mime, w, h, frames, _) => Row(mime, w, h, frames, true)
         case null => graft.expressions.AudioHeaderMeta.parseFields(bytes) match {
           case (mime, _, _, _, _) => Row(mime, null, null, null, true)
           case null => Row(null, null, null, null, false)

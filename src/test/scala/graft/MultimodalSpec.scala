@@ -453,6 +453,54 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L).isEmpty)
   }
 
+  // minimal ISO-BMFF: ftyp + moov{mvhd, trak{tkhd, mdia{minf{stbl{
+  // stts}}}}}; an optional zero-dim (audio) trak precedes the video one
+  private def mp4Bytes(w: Int, h: Int, frames: Int, timescale: Int,
+      duration: Long, audioTrakFirst: Boolean = false): Array[Byte] = {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ new Array[Byte](80))
+    def tkhd(tw: Int, th: Int) = box("tkhd", be32(0) ++ be32(0) ++
+      be32(0) ++ be32(1) ++ be32(0) ++ be32(0) ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ new Array[Byte](36) ++
+      be16(tw) ++ be16(0) ++ be16(th) ++ be16(0))
+    def sttsBox(counts: Seq[(Int, Int)]) = box("stts",
+      be32(0) ++ be32(counts.length) ++
+        counts.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+    def trak(tw: Int, th: Int, counts: Seq[(Int, Int)]) =
+      box("trak", tkhd(tw, th) ++
+        box("mdia", box("minf", box("stbl", sttsBox(counts)))))
+    val vtrak = trak(w, h, Seq((frames - 2, 100), (2, 50)))
+    val atrak = trak(0, 0, Seq((9999, 10)))
+    val moov = box("moov", mvhd ++
+      (if (audioTrakFirst) atrak ++ vtrak else vtrak ++ atrak))
+    ftyp ++ moov
+  }
+
+  test("video header metadata parses MP4 moov/tkhd/stts boxes") {
+    import spark.implicits._
+    val rows = Seq(
+      // 640×360, 250 frames, 10 s (timescale 1000, duration 10000)
+      (1L, mp4Bytes(640, 360, 250, 1000, 10000L)),
+      // the audio trak's 9999-sample stts must not win over video
+      (2L, mp4Bytes(320, 240, 48, 90000, 180000L, audioTrakFirst = true)),
+      (3L, "....ftypcorrupt".getBytes("US-ASCII")))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.headerVideoMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3),
+          if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    assert(rows(1L).contains(("video/mp4", 640, 360, 250, 10000L)))
+    assert(rows(2L).contains(("video/mp4", 320, 240, 48, 2000L)))
+    assert(rows(3L).isEmpty)
+  }
+
   test("audio header metadata triages MP3 and Ogg Vorbis headers") {
     import spark.implicits._
     val rows = Seq(
