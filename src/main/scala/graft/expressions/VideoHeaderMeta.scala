@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `moov` — `mvhd` timescale+duration, the video `trak`'s `tkhd`
   *    16.16-fixed dimensions, and its `stts` sample table's exact
   *    frame count.
+  *  - WebM/Matroska (EBML): element walk to Segment/Info
+  *    (TimestampScale, Duration) and the video TrackEntry's
+  *    PixelWidth/PixelHeight; DocType picks webm vs x-matroska.
   *
   * Returns struct(mime, width, height, n_frames, duration_ms); NULL for
   * anything that isn't a recognizable video header, and NULL duration
@@ -71,7 +74,9 @@ object VideoHeaderMeta {
     val avi = parseFields(b)
     if (avi != null)
       return ("video/x-msvideo", avi._1, avi._2, avi._3, avi._4)
-    parseMp4(b)
+    val mp4 = parseMp4(b)
+    if (mp4 != null) return mp4
+    parseWebm(b)
   }
 
   /** (width, height, frames, durationMs or -1) of an AVI header, else
@@ -197,12 +202,111 @@ object VideoHeaderMeta {
       if (frames > Int.MaxValue) 0 else frames.toInt, durMs)
   }
 
+  /** WebM/Matroska (EBML): `1A 45 DF A3` magic, then a bounded element
+    * walk — DocType decides the mime, Segment/Info gives
+    * TimestampScale + Duration (float ticks → ms), Segment/Tracks'
+    * video TrackEntry gives PixelWidth/PixelHeight. Unknown-size
+    * elements (streamed/live Segments) extend to the enclosing span.
+    * Frame counts aren't header data in Matroska → 0. Returns
+    * (mime, w, h, 0, durMs or -1), or null. */
+  def parseWebm(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null) return null
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xff
+    if (n < 8 || u(0) != 0x1a || u(1) != 0x45 || u(2) != 0xdf ||
+        u(3) != 0xa3) return null
+    // EBML varint width = leading-zero count of the first byte + 1
+    def width(first: Int): Int = {
+      var w = 1
+      var mask = 0x80
+      while (mask != 0 && (first & mask) == 0) { w += 1; mask >>= 1 }
+      if (mask == 0) -1 else w
+    }
+    def uintAt(i: Int, len: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < len) { v = (v << 8) | u(i + k); k += 1 }
+      v
+    }
+    var scale = 1000000L // ns per tick (spec default)
+    var durTicks = -1.0
+    var w0 = 0; var h0 = 0
+    var mime = "video/webm"
+    var trackType = -1
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var i = from
+      var go = true
+      while (go && i + 2 <= to) {
+        // element ID (marker kept), then size (marker stripped;
+        // all-ones = unknown → the element runs to the parent's end)
+        val iw = width(u(i.toInt))
+        if (iw < 1 || iw > 4 || i + iw > to) return
+        val id = uintAt(i.toInt, iw)
+        val si = (i + iw).toInt
+        if (si >= to) return
+        val sw = width(u(si))
+        if (sw < 1 || sw > 8 || si + sw > to) return
+        var sz = (u(si) & (0xff >> sw)).toLong
+        var k = 1
+        while (k < sw) { sz = (sz << 8) | u(si + k); k += 1 }
+        val unknown = sz == (1L << (7 * sw)) - 1
+        val body = i + iw + sw
+        val end = if (unknown) to else math.min(body + sz, to)
+        if (end < body) return
+        val len = (end - body).toInt
+        id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
+               0xAEL | 0xE0L => // header, Segment, Info, Tracks,
+            // TrackEntry, Video: descend
+            if (id == 0xAEL) trackType = -1
+            if (depth < 8) walk(body, end, depth + 1)
+          case 0x4282L => // DocType
+            val s = new String(b, body.toInt, math.min(len, 16), "US-ASCII")
+            if (s.startsWith("matroska")) mime = "video/x-matroska"
+          case 0x2AD7B1L => // TimestampScale
+            if (len >= 1 && len <= 8) scale = uintAt(body.toInt, len)
+          case 0x4489L => // Duration (float ticks)
+            if (len == 4) durTicks =
+              java.lang.Float.intBitsToFloat(uintAt(body.toInt, 4).toInt)
+            else if (len == 8) durTicks =
+              java.lang.Double.longBitsToDouble(uintAt(body.toInt, 8))
+          case 0x83L => // TrackType (1 = video)
+            if (len >= 1) trackType = u(body.toInt)
+          case 0xB0L => // PixelWidth
+            if (trackType == 1 && w0 == 0 && len >= 1 && len <= 4)
+              w0 = uintAt(body.toInt, len).toInt
+          case 0xBAL => // PixelHeight
+            if (trackType == 1 && h0 == 0 && len >= 1 && len <= 4)
+              h0 = uintAt(body.toInt, len).toInt
+          case _ => ()
+        }
+        go = !unknown // an unknown-size element consumed the rest
+        i = end
+      }
+    }
+    walk(0, n.toLong, 0)
+    if (w0 <= 0 || h0 <= 0 || w0 > (1 << 20) || h0 > (1 << 20)) return null
+    val durMs =
+      if (durTicks > 0 && scale > 0)
+        (durTicks * scale / 1e6).toLong
+      else -1L
+    (mime, w0, h0, 0, durMs)
+  }
+
+  private val MimeWebm = UTF8String.fromString("video/webm")
+  private val MimeMkv = UTF8String.fromString("video/x-matroska")
+
   /** InternalRow form for expression eval/codegen; -1 duration → NULL. */
   def parse(b: Array[Byte]): InternalRow = parseTagged(b) match {
     case null => null
     case (mime, w, h, frames, dur) =>
-      InternalRow(if (mime == "video/mp4") MimeMp4 else MimeAvi,
-        w, h, frames,
+      val m = mime match {
+        case "video/mp4" => MimeMp4
+        case "video/webm" => MimeWebm
+        case "video/x-matroska" => MimeMkv
+        case _ => MimeAvi
+      }
+      InternalRow(m, w, h, frames,
         if (dur < 0) null else java.lang.Long.valueOf(dur))
   }
 }

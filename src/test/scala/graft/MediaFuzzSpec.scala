@@ -83,7 +83,17 @@ class MediaFuzzSpec extends AnyFunSuite {
         "0000003F" * 4),
       hexBytes("664C6143" + "80" + "000022" + "00C0" + "00C0" +
         "000000" + "000000" + "01F400F0" + "000000C0" + "00" * 16 +
-        "FFF8" + "10" + "08" + "00" + "00" + "00" + "1000" + "0000"))
+        "FFF8" + "10" + "08" + "00" + "00" + "00" + "1000" + "0000"),
+      // WebM (EBML header + Segment/Info/Tracks) and MP4 (ftyp + moov)
+      hexBytes("1A45DFA3874282847765626D18538067A71549A9668E2AD7B183" +
+        "0F4240448984463B80001654AE6B8FAE8D838101E088B0820500BA8202D0"),
+      hexBytes("000000186674797069736F6D0000020069736F6D69736F32" +
+        "000001086D6F6F760000006C6D766864" + "00" * 12 + "000003E8" +
+        "00002710" + "00" * 80 + "000000947472616B0000005C746B6864" +
+        "00" * 12 + "00000001" + "00" * 60 + "0280000001680000" +
+        "000000306D646961000000286D696E66000000207374626C" +
+        "0000001873747473" + "00000000" + "00000001" + "000000FA" +
+        "00000064"))
     for (seed <- seeds; i <- 0 until 120) {
       val b = seed.clone()
       // flip 1-4 random bytes (sizes, tags, payload — anything)

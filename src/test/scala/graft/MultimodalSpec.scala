@@ -483,6 +483,61 @@ class MultimodalSpec extends SparkSpec {
     ftyp ++ moov
   }
 
+  // minimal EBML: header{DocType} + Segment{Info{scale, duration},
+  // Tracks{TrackEntry{type, Video{w, h}}}}
+  private def webmBytes(w: Int, h: Int, durTicks: Float,
+      docType: String = "webm", trackType: Int = 1,
+      unknownSegmentSize: Boolean = false): Array[Byte] = {
+    def uint(v: Long): Array[Byte] = { // shortest big-endian form
+      var len = 1
+      while (len < 8 && (v >> (8 * len)) != 0) len += 1
+      (0 until len).reverse.map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    }
+    def size(v: Int): Array[Byte] = Array[Byte]((0x80 | v).toByte) // 1-byte
+    def el(idHex: String, body: Array[Byte]): Array[Byte] =
+      hexBytes(idHex) ++ size(body.length) ++ body
+    val header = el("1A45DFA3", el("4282", docType.getBytes("US-ASCII")))
+    val info = el("1549A966",
+      el("2AD7B1", uint(1000000L)) ++
+        el("4489", {
+          val bits = java.lang.Float.floatToIntBits(durTicks)
+          Array[Byte]((bits >> 24).toByte, (bits >> 16).toByte,
+            (bits >> 8).toByte, bits.toByte)
+        }))
+    val tracks = el("1654AE6B", el("AE",
+      el("83", Array[Byte](trackType.toByte)) ++
+        el("E0", el("B0", uint(w)) ++ el("BA", uint(h)))))
+    val segBody = info ++ tracks
+    val segment =
+      if (unknownSegmentSize) // streamed form: all-ones 1-byte size
+        hexBytes("18538067") ++ Array[Byte](0xff.toByte) ++ segBody
+      else el("18538067", segBody)
+    header ++ segment
+  }
+
+  test("video header metadata parses WebM/Matroska EBML elements") {
+    import spark.implicits._
+    val rows = Seq(
+      // 1280×720, 12000 ticks at the default 1 ms tick → 12 s
+      (1L, webmBytes(1280, 720, 12000f)),
+      (2L, webmBytes(640, 480, 500f, docType = "matroska")),
+      // streamed segment with unknown size still parses
+      (3L, webmBytes(320, 240, 1000f, unknownSegmentSize = true)),
+      // audio-only track: no video dims → null
+      (4L, webmBytes(0, 0, 1000f, trackType = 2)),
+      (5L, hexBytes("1A45DFA3FFFFFFFF"))) // magic then garbage
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.headerVideoMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3),
+          if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    assert(rows(1L).contains(("video/webm", 1280, 720, 0, 12000L)))
+    assert(rows(2L).contains(("video/x-matroska", 640, 480, 0, 500L)))
+    assert(rows(3L).contains(("video/webm", 320, 240, 0, 1000L)))
+    assert(rows(4L).isEmpty)
+    assert(rows(5L).isEmpty)
+  }
+
   test("video header metadata parses MP4 moov/tkhd/stts boxes") {
     import spark.implicits._
     val rows = Seq(
