@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -140,6 +140,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "html_text(html) takes 1 argument")
         HtmlText(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("gunzip"),
+      info(classOf[Gunzip], "gunzip",
+        "gunzip(bytes) - decompress a gzip member (bomb-capped; " +
+          "corrupt input -> NULL)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gunzip(bytes) takes 1 argument")
+        Gunzip(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",

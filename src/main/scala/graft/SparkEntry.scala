@@ -652,6 +652,24 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("m.mime").as("mime"),
           F.col("m.width").as("width"), F.col("m.height").as("height"))
     }),
+    "q_gunzip" -> ((s, dir) => {
+      // oracle-verified gzip decompression: a stored-DEFLATE gzip
+      // member assembled in SQL (header, LEN/~LEN, Spark crc32, ISIZE);
+      // the real inflate path runs and DuckDB restates the text
+      import SqlHex.{le16h, le32h}
+      val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
+        F.lit(" gz payload"))
+      val data = F.encode(payload, "UTF-8")
+      val len = F.length(payload).cast(IntegerType)
+      val gz = F.unhex(F.concat(
+        F.lit("1F8B0800" + "00000000" + "0003" + "01"),
+        le16h(len), le16h(F.lit(65535) - len),
+        F.hex(data),
+        le32h(F.crc32(data)), le32h(len)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.decode(Multimodal.gunzip(gz), "UTF-8").as("text"))
+    }),
     "q_html_text" -> ((s, dir) => {
       // oracle-verified HTML main-content extraction: per-doc HTML
       // assembled from doc_id-derived strings (title, heading, body,
@@ -1523,6 +1541,10 @@ object SparkEntry {
       """SELECT doc_id, 'image/webp' AS mime,
            CAST(doc_id % 300 + 1 AS INTEGER) AS width,
            CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height
+         FROM documents""",
+    "q_gunzip" ->
+      // the decompressed stored-DEFLATE payload restates directly
+      """SELECT doc_id, 'Doc ' || doc_id || ' gz payload' AS text
          FROM documents""",
     "q_html_text" ->
       // the extractor's output on the synthesized page is pure string

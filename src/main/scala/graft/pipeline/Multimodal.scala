@@ -194,6 +194,16 @@ object Multimodal {
       graft.expressions.VideoHeaderMeta(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Per-row gzip decompression ([[graft.expressions.Gunzip]]) — the
+    * unwrap stage for WARC-style corpora whose records arrive gzipped;
+    * bomb-capped (≤256× input, 256 MiB ceiling), corrupt → NULL.
+    * Composes with [[TextAnalysis.htmlText]]:
+    * `gunzip → html_text → curate` is the raw-crawl ingestion chain. */
+  def gunzip(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.Gunzip(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL sample decode + signal features for WAV and FLAC —
     * uncompressed PCM (8/16-bit), the compressed G.711 µ-law/A-law and
     * mono IMA ADPCM encodings, and the full lossless FLAC codec

@@ -17,6 +17,7 @@ class MediaFuzzSpec extends AnyFunSuite {
   private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
     "HtmlText" -> ((b: Array[Byte]) => HtmlText.extract(
       org.apache.spark.unsafe.types.UTF8String.fromBytes(b))),
+    "Gunzip" -> (Gunzip.inflate(_)),
     "AudioFeatures" -> (AudioFeatures.parse(_)),
     "AudioHeaderMeta" -> (AudioHeaderMeta.parse(_)),
     "VideoHeaderMeta" -> (VideoHeaderMeta.parse(_)),
