@@ -697,8 +697,11 @@ object SparkEntry {
       // recomputed as direct arithmetic in DuckDB
       import SqlHex.{hx2, le32h}
       val brIdx = (F.col("doc_id") % 14).cast(IntegerType) + 1
+      // one short frame fragment (100 bytes < any MPEG1-L3 frame
+      // length, so the decoder's second-sync validation is vacuous,
+      // like any truncated-but-valid head)
       val mp3 = F.unhex(F.concat(F.lit("FFFB"), hx2(brIdx * 16),
-        F.lit("00"), F.repeat(F.lit("00"), 3996)))
+        F.lit("00"), F.repeat(F.lit("00"), 96)))
       val ch = (F.col("doc_id") % 7).cast(IntegerType) + 1
       val rate = (F.col("doc_id") % 5).cast(IntegerType) * 1000 + 8000
       val granule = rate * ((F.col("doc_id") % 10).cast(IntegerType) + 1)
@@ -1568,7 +1571,7 @@ object SparkEntry {
          SELECT doc_id,
            'audio/mpeg' AS mp3_mime, CAST(2 AS INTEGER) AS mp3_channels,
            CAST(44100 AS INTEGER) AS mp3_rate,
-           CAST(32000 // kbps AS BIGINT) AS mp3_dur_ms,
+           CAST(800 // kbps AS BIGINT) AS mp3_dur_ms,
            'audio/ogg' AS ogg_mime, och AS ogg_channels,
            orate AS ogg_rate, osecs * 1000 AS ogg_dur_ms
          FROM t""",

@@ -157,16 +157,19 @@ object AudioHeaderMeta {
     locally {
       var p = 0
       if (n >= 10 && u(0) == 'I' && u(1) == 'D' && u(2) == '3') {
-        // ID3v2 size is 4 sync-safe (7-bit) bytes after version+flags
+        // ID3v2 size is 4 sync-safe (7-bit) bytes after version+flags;
+        // the v2.4 footer flag adds a trailing 10-byte copy
         val tagLen = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
-        val skip = 10L + tagLen
+        val skip = 10L + tagLen + (if ((u(5) & 0x10) != 0) 10L else 0L)
         if (skip < n) p = skip.toInt else return null
       }
       if (p + 4 <= n && u(p) == 0xff && (u(p + 1) & 0xe0) == 0xe0) {
         val versionBits = (u(p + 1) >> 3) & 3 // 0=2.5, 2=MPEG2, 3=MPEG1
         val layerBits = (u(p + 1) >> 1) & 3   // 3=L1, 2=L2, 1=L3
+        val crcPresent = (u(p + 1) & 1) == 0  // protection bit 0 = CRC-16
         val brIdx = (u(p + 2) >> 4) & 15
         val srIdx = (u(p + 2) >> 2) & 3
+        val padBit = (u(p + 2) >> 1) & 1
         val channels = if (((u(p + 3) >> 6) & 3) == 3) 1 else 2
         if (versionBits != 1 && layerBits != 0 && brIdx != 15 && srIdx != 3) {
           val layer = 3 - layerBits // 0-based L1/L2/L3
@@ -179,38 +182,58 @@ object AudioHeaderMeta {
           })(srIdx)
           val mono = channels == 1
           // a VBR file carries a Xing/Info tag in the first frame, at a
-          // fixed offset past the side info; its frame count gives the
-          // exact duration (frames · samplesPerFrame / rate) where the
-          // CBR byte estimate would be wrong
-          val xingOff = p + 4 +
+          // fixed offset past the (optional CRC and) side info; its
+          // frame count gives the exact duration where the CBR byte
+          // estimate would be wrong
+          val xingOff = p + 4 + (if (crcPresent) 2 else 0) +
             (if (versionBits == 3) { if (mono) 17 else 32 }
             else { if (mono) 9 else 17 })
+          var xing = false
           var dur = -1L
           if (xingOff + 12 <= n &&
               ((u(xingOff) == 'X' && u(xingOff + 1) == 'i' &&
                 u(xingOff + 2) == 'n' && u(xingOff + 3) == 'g') ||
                (u(xingOff) == 'I' && u(xingOff + 1) == 'n' &&
-                u(xingOff + 2) == 'f' && u(xingOff + 3) == 'o')) &&
-              (u(xingOff + 7) & 1) == 1) { // frames-field-present flag
-            val frames = ((u(xingOff + 8) << 24) | (u(xingOff + 9) << 16) |
-              (u(xingOff + 10) << 8) | u(xingOff + 11)).toLong & 0xffffffffL
-            val samplesPerFrame =
-              if (layer == 0) 384
-              else if (layer == 1) 1152
-              else if (versionBits == 3) 1152
-              else 576 // Layer III halves for MPEG2/2.5
-            if (frames > 0) dur = frames * samplesPerFrame * 1000L / rate
+                u(xingOff + 2) == 'f' && u(xingOff + 3) == 'o'))) {
+            xing = true
+            if ((u(xingOff + 7) & 1) == 1) { // frames-field-present flag
+              val frames = ((u(xingOff + 8) << 24) | (u(xingOff + 9) << 16) |
+                (u(xingOff + 10) << 8) | u(xingOff + 11)).toLong & 0xffffffffL
+              val samplesPerFrame =
+                if (layer == 0) 384
+                else if (layer == 1) 1152
+                else if (versionBits == 3) 1152
+                else 576 // Layer III halves for MPEG2/2.5
+              if (frames > 0) dur = frames * samplesPerFrame * 1000L / rate
+            }
           }
-          if (dur < 0 && kbps > 0) {
-            // CBR estimate over the audio payload; drop a trailing
-            // ID3v1 tag ("TAG", 128 bytes) from the byte count
-            val payloadEnd =
-              if (n >= p + 128 + 4 && u(n - 128) == 'T' &&
-                u(n - 127) == 'A' && u(n - 126) == 'G') n - 128
-              else n
-            dur = (payloadEnd - p).toLong * 8L / kbps
+          // 11 sync bits alone misfire on ordinary binary text (a
+          // UTF-16LE BOM is FF FE): unless a VBR tag vouches for the
+          // stream, require the NEXT frame's sync at the computed frame
+          // boundary whenever enough bytes exist to check
+          val frameLen =
+            if (kbps <= 0) -1 // free format: length not computable
+            else if (layer == 0) (12000 * kbps / rate + padBit) * 4
+            else {
+              val spf = if (layer == 1 || versionBits == 3) 144000 else 72000
+              spf * kbps / rate + padBit
+            }
+          val secondSyncOk =
+            xing || frameLen <= 0 || p + frameLen + 2 > n ||
+              (u(p + frameLen) == 0xff &&
+                (u(p + frameLen + 1) & 0xe0) == 0xe0)
+          if (secondSyncOk) {
+            if (dur < 0 && kbps > 0) {
+              // CBR estimate over the audio payload; drop a trailing
+              // ID3v1 tag ("TAG", 128 bytes) from the byte count
+              val payloadEnd =
+                if (n >= p + 128 + 4 && u(n - 128) == 'T' &&
+                  u(n - 127) == 'A' && u(n - 126) == 'G') n - 128
+                else n
+              dur = (payloadEnd - p).toLong * 8L / kbps
+            }
+            return ("audio/mpeg", channels, rate, 0, dur)
           }
-          return ("audio/mpeg", channels, rate, 0, dur)
         }
       }
     }
@@ -240,7 +263,11 @@ object AudioHeaderMeta {
             }
             q -= 1
           }
-          val dur = if (granule > 0) granule * 1000L / rate else -1L
+          // crafted huge granules would overflow ·1000 — degrade
+          val dur =
+            if (granule > 0 && granule < Long.MaxValue / 1000)
+              granule * 1000L / rate
+            else -1L
           return ("audio/ogg", channels, rate, 0, dur)
         }
       }

@@ -156,10 +156,11 @@ object HtmlText {
           if (!closing && !selfClosed &&
               (name == "script" || name == "style")) {
             // drop the element body up to its case-insensitive close tag
+            val close = "</" + name
             var k = end
             var stop = -1
             while (stop < 0 && k < n) {
-              if (s.charAt(k) == '<' && lowerAt(k, "</" + name)) stop = k
+              if (s.charAt(k) == '<' && lowerAt(k, close)) stop = k
               k += 1
             }
             i = if (stop < 0) n else tagEnd(stop + 2 + name.length)
@@ -191,6 +192,8 @@ object HtmlText {
               if (cp >= 0x20 && cp <= 0x10ffff &&
                 !(cp >= 0xd800 && cp <= 0xdfff))
                 new String(Character.toChars(cp))
+              else if (cp == 9 || cp == 10 || cp == 12 || cp == 13)
+                " " // numeric whitespace entities separate, not leak
               else null
             } else Entities.getOrElse(body, null)
           if (decoded != null) { emit(decoded); i = j + 1 }

@@ -101,8 +101,9 @@ object VideoHeaderMeta {
               val height = Riff.le32(b, j + 8 + 36)
               if (width > 0 && height > 0 && width <= (1 << 20) &&
                   height <= (1 << 20) && frames <= Int.MaxValue) {
-                val dur =
-                  if (frames > 0 && usPerFrame > 0)
+                val dur = // both fields are ≤2³²: guard the product
+                  if (frames > 0 && usPerFrame > 0 &&
+                    frames <= Long.MaxValue / usPerFrame)
                     frames * usPerFrame / 1000L
                   else -1L
                 out = (width.toInt, height.toInt, frames.toInt, dur)
@@ -137,7 +138,11 @@ object VideoHeaderMeta {
     var timescale = 0L; var duration = -1L
     var w = 0; var h = 0
     var frames = 0L
-    var inVideoTrak = false // the trak whose tkhd carried the dims
+    // per-trak collection: box order inside trak is NOT fixed (mdia can
+    // precede tkhd), so dims and the sample count accumulate
+    // independently and commit together when the trak box closes
+    var pw = 0; var ph = 0
+    var pf = 0L
     // visit boxes in b[from,to); descend into the container types that
     // lead to mvhd/tkhd/stts; depth-capped, forward-only (crafted sizes
     // terminate the walk, they never loop or recurse unboundedly)
@@ -158,8 +163,11 @@ object VideoHeaderMeta {
         def tag(s: String): Boolean = Riff.tag(b, t, s)
         if (depth < 6 && (tag("moov") || tag("trak") || tag("mdia") ||
             tag("minf") || tag("stbl"))) {
-          if (tag("trak")) inVideoTrak = false
+          if (tag("trak")) { pw = 0; ph = 0; pf = 0L }
           walk(body, boxEnd, depth + 1)
+          if (tag("trak") && pw > 0 && ph > 0 && w == 0) {
+            w = pw; h = ph; frames = pf // first video trak wins
+          }
         } else if (tag("mvhd") && body + 4 <= boxEnd) {
           val ver = u(body.toInt)
           if (ver == 1 && body + 28 + 4 <= boxEnd) {
@@ -175,11 +183,9 @@ object VideoHeaderMeta {
           if (dimsOff + 8 <= boxEnd) {
             val tw = be16(dimsOff.toInt)     // 16.16 fixed: integer part
             val th = be16(dimsOff.toInt + 4)
-            if (tw > 0 && th > 0 && w == 0) {
-              w = tw; h = th; inVideoTrak = true
-            }
+            if (tw > 0 && th > 0 && pw == 0) { pw = tw; ph = th }
           }
-        } else if (tag("stts") && inVideoTrak && body + 8 <= boxEnd) {
+        } else if (tag("stts") && body + 8 <= boxEnd) {
           // sum of entry sample counts = this track's frame count
           val entries = be32(body.toInt + 4)
           var e = 0L
@@ -188,15 +194,17 @@ object VideoHeaderMeta {
             total += be32((body + 8 + e * 8).toInt)
             e += 1
           }
-          if (frames == 0) frames = total
+          if (pf == 0L) pf = total
         }
         i = boxEnd
       }
     }
     walk(0, n.toLong, 0)
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
+    // crafted 64-bit durations would overflow ·1000 — degrade instead
     val durMs =
-      if (timescale > 0 && duration > 0) duration * 1000L / timescale
+      if (timescale > 0 && duration > 0 &&
+        duration < Long.MaxValue / 1000) duration * 1000L / timescale
       else -1L
     ("video/mp4", w, h,
       if (frames > Int.MaxValue) 0 else frames.toInt, durMs)
@@ -232,7 +240,11 @@ object VideoHeaderMeta {
     var durTicks = -1.0
     var w0 = 0; var h0 = 0
     var mime = "video/webm"
-    var trackType = -1
+    // per-TrackEntry collection: Matroska fixes no child order (Video
+    // can precede TrackType), so the entry's fields accumulate and
+    // commit together when the TrackEntry element closes
+    var teType = -1
+    var teW = 0; var teH = 0
     def walk(from: Long, to: Long, depth: Int): Unit = {
       var i = from
       var go = true
@@ -258,8 +270,12 @@ object VideoHeaderMeta {
           case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
                0xAEL | 0xE0L => // header, Segment, Info, Tracks,
             // TrackEntry, Video: descend
-            if (id == 0xAEL) trackType = -1
+            if (id == 0xAEL) { teType = -1; teW = 0; teH = 0 }
             if (depth < 8) walk(body, end, depth + 1)
+            if (id == 0xAEL && teType == 1 && teW > 0 && teH > 0 &&
+                w0 == 0) {
+              w0 = teW; h0 = teH // first video TrackEntry wins
+            }
           case 0x4282L => // DocType
             val s = new String(b, body.toInt, math.min(len, 16), "US-ASCII")
             if (s.startsWith("matroska")) mime = "video/x-matroska"
@@ -271,13 +287,13 @@ object VideoHeaderMeta {
             else if (len == 8) durTicks =
               java.lang.Double.longBitsToDouble(uintAt(body.toInt, 8))
           case 0x83L => // TrackType (1 = video)
-            if (len >= 1) trackType = u(body.toInt)
+            if (len >= 1) teType = u(body.toInt)
           case 0xB0L => // PixelWidth
-            if (trackType == 1 && w0 == 0 && len >= 1 && len <= 4)
-              w0 = uintAt(body.toInt, len).toInt
+            if (teW == 0 && len >= 1 && len <= 4)
+              teW = uintAt(body.toInt, len).toInt
           case 0xBAL => // PixelHeight
-            if (trackType == 1 && h0 == 0 && len >= 1 && len <= 4)
-              h0 = uintAt(body.toInt, len).toInt
+            if (teH == 0 && len >= 1 && len <= 4)
+              teH = uintAt(body.toInt, len).toInt
           case _ => ()
         }
         go = !unknown // an unknown-size element consumed the rest
@@ -287,9 +303,11 @@ object VideoHeaderMeta {
     walk(0, n.toLong, 0)
     if (w0 <= 0 || h0 <= 0 || w0 > (1 << 20) || h0 > (1 << 20)) return null
     val durMs =
-      if (durTicks > 0 && scale > 0)
-        (durTicks * scale / 1e6).toLong
-      else -1L
+      if (durTicks > 0 && scale > 0) {
+        val d = durTicks * scale / 1e6
+        // crafted huge floats would saturate toLong — degrade instead
+        if (java.lang.Double.isFinite(d) && d < 1e13) d.toLong else -1L
+      } else -1L
     (mime, w0, h0, 0, durMs)
   }
 

@@ -45,6 +45,8 @@ class HtmlTextSpec extends SparkSpec {
     assert(ext("&bogus; &noSemicolonEver and &#xZZ;") ==
       "&bogus; &noSemicolonEver and &#xZZ;")
     assert(ext("one&nbsp;space") == "one space")
+    // numeric whitespace entities separate instead of leaking literally
+    assert(ext("line1&#10;line2 tab&#9;ped") == "line1 line2 tab ped")
   }
 
   test("whitespace collapses like a renderer; output is trimmed") {

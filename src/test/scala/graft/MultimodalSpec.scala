@@ -282,33 +282,52 @@ class MultimodalSpec extends SparkSpec {
 
   // MP3: optional ID3v2, one MPEG1 Layer III header, zero payload,
   // optional trailing ID3v1
+  private val Mpeg1L3Kbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
   private def mp3Bytes(brIdx: Int, payload: Int, id3v2: Int = 0,
-      id3v1: Boolean = false, xingFrames: Long = -1): Array[Byte] = {
+      id3v1: Boolean = false, xingFrames: Long = -1,
+      v24Footer: Boolean = false, crc: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2 > 0) {
       out.write("ID3".getBytes("US-ASCII"))
-      out.write(Array[Byte](4, 0, 0)) // version + flags
+      out.write(4); out.write(0)
+      out.write(if (v24Footer) 0x10 else 0) // flags
       // sync-safe 28-bit length
       out.write(Array[Byte](((id3v2 >> 21) & 0x7f).toByte,
         ((id3v2 >> 14) & 0x7f).toByte, ((id3v2 >> 7) & 0x7f).toByte,
         (id3v2 & 0x7f).toByte))
       out.write(new Array[Byte](id3v2))
+      if (v24Footer) { // 10-byte trailing footer copy
+        out.write("3DI".getBytes("US-ASCII"))
+        out.write(new Array[Byte](7))
+      }
     }
-    // FF FB: MPEG1 Layer III no CRC; brIdx<<4, srIdx 0 (44100); stereo
-    out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
-      ((brIdx << 4) | 0).toByte, 0x00))
-    var pay = payload
+    // MPEG1 Layer III (FF FB no CRC / FF FA with CRC); srIdx 0 (44100);
+    // stereo. CBR streams chain full frames so the decoder's
+    // second-sync validation holds, like a real encoder's output.
+    val header = Array[Byte](0xff.toByte,
+      (if (crc) 0xfa else 0xfb).toByte, (brIdx << 4).toByte, 0x00)
+    val audio = new Array[Byte](4 + payload)
+    val kbps = Mpeg1L3Kbps(brIdx)
+    val frameLen = if (kbps > 0) 144000 * kbps / 44100 else audio.length
+    var off = 0
+    while (off + 4 <= audio.length) {
+      System.arraycopy(header, 0, audio, off, 4)
+      off += math.max(4, frameLen)
+    }
     if (xingFrames >= 0) {
-      // MPEG1 stereo: Xing sits 32 side-info bytes past the header
-      out.write(new Array[Byte](32))
-      out.write("Xing".getBytes("US-ASCII"))
-      out.write(Array[Byte](0, 0, 0, 1)) // flags: frames present
-      out.write(Array[Byte]((xingFrames >> 24).toByte,
-        (xingFrames >> 16).toByte, (xingFrames >> 8).toByte,
-        xingFrames.toByte))
-      pay -= 32 + 12
+      // MPEG1 stereo: Xing sits (CRC +) 32 side-info bytes past the
+      // header
+      val xo = 4 + (if (crc) 2 else 0) + 32
+      System.arraycopy("Xing".getBytes("US-ASCII"), 0, audio, xo, 4)
+      audio(xo + 7) = 1 // flags: frames present
+      audio(xo + 8) = (xingFrames >> 24).toByte
+      audio(xo + 9) = (xingFrames >> 16).toByte
+      audio(xo + 10) = (xingFrames >> 8).toByte
+      audio(xo + 11) = xingFrames.toByte
     }
-    out.write(new Array[Byte](math.max(0, pay)))
+    out.write(audio)
     if (id3v1) {
       out.write("TAG".getBytes("US-ASCII"))
       out.write(new Array[Byte](125))
@@ -456,7 +475,8 @@ class MultimodalSpec extends SparkSpec {
   // minimal ISO-BMFF: ftyp + moov{mvhd, trak{tkhd, mdia{minf{stbl{
   // stts}}}}}; an optional zero-dim (audio) trak precedes the video one
   private def mp4Bytes(w: Int, h: Int, frames: Int, timescale: Int,
-      duration: Long, audioTrakFirst: Boolean = false): Array[Byte] = {
+      duration: Long, audioTrakFirst: Boolean = false,
+      mdiaFirstLayout: Boolean = false): Array[Byte] = {
     def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
@@ -473,9 +493,13 @@ class MultimodalSpec extends SparkSpec {
     def sttsBox(counts: Seq[(Int, Int)]) = box("stts",
       be32(0) ++ be32(counts.length) ++
         counts.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
-    def trak(tw: Int, th: Int, counts: Seq[(Int, Int)]) =
-      box("trak", tkhd(tw, th) ++
-        box("mdia", box("minf", box("stbl", sttsBox(counts)))))
+    def trak(tw: Int, th: Int, counts: Seq[(Int, Int)]) = {
+      val mdia = box("mdia", box("minf", box("stbl", sttsBox(counts))))
+      // ISO-BMFF fixes no order inside trak — exercise both
+      box("trak",
+        if (mdiaFirstLayout) mdia ++ tkhd(tw, th)
+        else tkhd(tw, th) ++ mdia)
+    }
     val vtrak = trak(w, h, Seq((frames - 2, 100), (2, 50)))
     val atrak = trak(0, 0, Seq((9999, 10)))
     val moov = box("moov", mvhd ++
@@ -487,7 +511,8 @@ class MultimodalSpec extends SparkSpec {
   // Tracks{TrackEntry{type, Video{w, h}}}}
   private def webmBytes(w: Int, h: Int, durTicks: Float,
       docType: String = "webm", trackType: Int = 1,
-      unknownSegmentSize: Boolean = false): Array[Byte] = {
+      unknownSegmentSize: Boolean = false,
+      videoBeforeType: Boolean = false): Array[Byte] = {
     def uint(v: Long): Array[Byte] = { // shortest big-endian form
       var len = 1
       while (len < 8 && (v >> (8 * len)) != 0) len += 1
@@ -504,9 +529,11 @@ class MultimodalSpec extends SparkSpec {
           Array[Byte]((bits >> 24).toByte, (bits >> 16).toByte,
             (bits >> 8).toByte, bits.toByte)
         }))
+    val typeEl = el("83", Array[Byte](trackType.toByte))
+    val videoEl = el("E0", el("B0", uint(w)) ++ el("BA", uint(h)))
+    // Matroska fixes no child order — exercise both
     val tracks = el("1654AE6B", el("AE",
-      el("83", Array[Byte](trackType.toByte)) ++
-        el("E0", el("B0", uint(w)) ++ el("BA", uint(h)))))
+      if (videoBeforeType) videoEl ++ typeEl else typeEl ++ videoEl))
     val segBody = info ++ tracks
     val segment =
       if (unknownSegmentSize) // streamed form: all-ones 1-byte size
@@ -523,6 +550,8 @@ class MultimodalSpec extends SparkSpec {
       (2L, webmBytes(640, 480, 500f, docType = "matroska")),
       // streamed segment with unknown size still parses
       (3L, webmBytes(320, 240, 1000f, unknownSegmentSize = true)),
+      // element order inside TrackEntry is free: Video before TrackType
+      (6L, webmBytes(854, 480, 2000f, videoBeforeType = true)),
       // audio-only track: no video dims → null
       (4L, webmBytes(0, 0, 1000f, trackType = 2)),
       (5L, hexBytes("1A45DFA3FFFFFFFF"))) // magic then garbage
@@ -534,6 +563,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L).contains(("video/webm", 1280, 720, 0, 12000L)))
     assert(rows(2L).contains(("video/x-matroska", 640, 480, 0, 500L)))
     assert(rows(3L).contains(("video/webm", 320, 240, 0, 1000L)))
+    assert(rows(6L).contains(("video/webm", 854, 480, 0, 2000L)))
     assert(rows(4L).isEmpty)
     assert(rows(5L).isEmpty)
   }
@@ -545,6 +575,8 @@ class MultimodalSpec extends SparkSpec {
       (1L, mp4Bytes(640, 360, 250, 1000, 10000L)),
       // the audio trak's 9999-sample stts must not win over video
       (2L, mp4Bytes(320, 240, 48, 90000, 180000L, audioTrakFirst = true)),
+      // box order inside trak is free: mdia (with stts) before tkhd
+      (4L, mp4Bytes(640, 360, 250, 1000, 10000L, mdiaFirstLayout = true)),
       (3L, "....ftypcorrupt".getBytes("US-ASCII")))
       .toDF("id", "content")
       .select(F.col("id"), Multimodal.headerVideoMeta(F.col("content")).as("m"))
@@ -553,6 +585,7 @@ class MultimodalSpec extends SparkSpec {
           if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
     assert(rows(1L).contains(("video/mp4", 640, 360, 250, 10000L)))
     assert(rows(2L).contains(("video/mp4", 320, 240, 48, 2000L)))
+    assert(rows(4L).contains(("video/mp4", 640, 360, 250, 10000L)))
     assert(rows(3L).isEmpty)
   }
 
@@ -568,6 +601,17 @@ class MultimodalSpec extends SparkSpec {
       // VBR: Xing frame count beats the CBR byte estimate —
       // 1000 frames · 1152 / 44100 Hz = 26122 ms (≠ 250 ms CBR)
       (7L, mp3Bytes(brIdx = 9, payload = 3996, xingFrames = 1000L)),
+      // CRC-protected frame (FF FA): Xing sits 2 bytes later
+      (8L, mp3Bytes(brIdx = 9, payload = 3996, xingFrames = 1000L,
+        crc = true)),
+      // ID3v2.4 footer flag adds 10 bytes before the first frame
+      (9L, mp3Bytes(brIdx = 9, payload = 3996, id3v2 = 64,
+        v24Footer = true)),
+      // UTF-16LE BOM'd text passes the loose 11-bit sync but must NOT
+      // triage as audio (no frame sync at the computed boundary)
+      (10L, Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        ("plain text that happens to follow a BOM " * 30)
+          .getBytes("UTF-16LE")),
       // stereo 44.1 kHz Vorbis, 44100 samples → exactly 1 s
       (4L, oggBytes(2, 44100, 44100L)),
       // OggS page whose first packet isn't a vorbis id header
@@ -584,6 +628,10 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L).contains(("audio/mpeg", 2, 44100, 0, -1L)))
     assert(rows(7L).contains(("audio/mpeg", 2, 44100, 0,
       1000L * 1152 * 1000 / 44100)))
+    assert(rows(8L).contains(("audio/mpeg", 2, 44100, 0,
+      1000L * 1152 * 1000 / 44100)))
+    assert(rows(9L).contains(("audio/mpeg", 2, 44100, 0, 250L)))
+    assert(rows(10L).isEmpty) // BOM'd text is not audio
     assert(rows(4L).contains(("audio/ogg", 2, 44100, 0, 1000L)))
     assert(rows(5L).isEmpty)
     assert(rows(6L).isEmpty)
