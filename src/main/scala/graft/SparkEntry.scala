@@ -652,6 +652,17 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("m.mime").as("mime"),
           F.col("m.width").as("width"), F.col("m.height").as("height"))
     }),
+    "q_mojibake" -> ((s, dir) => {
+      // oracle-verified encoding-damage scoring: per-doc text with a
+      // known count of mojibake sequences; the ratio is exact
+      // arithmetic DuckDB restates (4 chars per wreck, 3 per clean run)
+      val text = F.expr(
+        "repeat('â€™x', CAST(doc_id % 5 AS INT) + 1) || " +
+          "repeat(' ok', CAST(doc_id % 7 AS INT) + 3)")
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.round(TextAnalysis.mojibakeRatio(text), 6).as("mojibake_ratio"))
+    }),
     "q_gunzip" -> ((s, dir) => {
       // oracle-verified gzip decompression: a stored-DEFLATE gzip
       // member assembled in SQL (header, LEN/~LEN, Spark crc32, ISIZE);
@@ -1545,6 +1556,12 @@ object SparkEntry {
            CAST(doc_id % 300 + 1 AS INTEGER) AS width,
            CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height
          FROM documents""",
+    "q_mojibake" ->
+      // k wrecks of 4 chars + m clean runs of 3 chars → ratio k/(4k+3m)
+      """WITH t AS (SELECT doc_id, doc_id % 5 + 1 AS k,
+                           doc_id % 7 + 3 AS m FROM documents)
+         SELECT doc_id, round(k / (4.0 * k + 3.0 * m), 6) AS mojibake_ratio
+         FROM t""",
     "q_gunzip" ->
       // the decompressed stored-DEFLATE payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' gz payload' AS text

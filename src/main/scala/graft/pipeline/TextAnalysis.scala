@@ -78,6 +78,19 @@ object TextAnalysis {
     F.round((lenScore * 0.3 + wordScore * 0.2 + swScore * 0.3 + punctScore * 0.2), 6)
   }
 
+  /** Encoding-damage ratio — the fraction of characters caught up in
+    * the classic decode failures a crawl corpus is full of:
+    * U+FFFD replacement characters (decoder gave up) and mojibake
+    * (UTF-8 bytes re-decoded as Latin-1: `Ã` followed by a C1/Latin-1
+    * supplement char, the `â€`/`Â ` punctuation wrecks). Pure
+    * codegen'd builtins (`regexp_count`), no UDF; filter rows where
+    * this exceeds ~0.01 before training. */
+  def mojibakeRatio(text: Column): Column = {
+    val bad = F.regexp_count(text, F.lit(
+      "\uFFFD|\u00C3[\u0080-\u00BF]|\u00E2\u20AC|\u00C2[\u00A0-\u00BF]"))
+    bad.cast(DoubleType) / F.greatest(F.length(text), F.lit(1)).cast(DoubleType)
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),

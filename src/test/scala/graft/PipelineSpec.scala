@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{functions => F}
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Pipeline operators over the driver's documents/embeddings fixtures:
   * ANN variants agree with the exact baseline on easy queries; dedup
@@ -372,6 +372,27 @@ class PipelineSpec extends SparkSpec {
       F.col("text"))
     assert(corpus.select("fp").distinct().count() ==
       corpus.select("text").distinct().count())
+  }
+
+  test("mojibake ratio flags encoding damage, passes clean text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean english text with no damage at all"),
+      (2L, "bad�replacement�chars"),
+      (3L, "donâ€™t â€œquoteâ€ me"), // cp1252 wrecks
+      (4L, "cafÃ© naÃ¯ve"),           // UTF-8-as-Latin-1
+      (5L, "priceÂ 100"),                       // C2 A0 wreck
+      (6L, ""))
+      .toDF("id", "text")
+      .select(F.col("id"),
+        TextAnalysis.mojibakeRatio(F.col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) == 0.0)
+    assert(rows(2L) > 0.05)
+    assert(rows(3L) > 0.05)
+    assert(rows(4L) > 0.05)
+    assert(rows(5L) > 0.05)
+    assert(rows(6L) == 0.0) // empty text divides safely
   }
 
   test("PII redaction replaces emails, phones, and IPs with tags") {
