@@ -42,6 +42,10 @@ object Curation {
     *                    run through [[TextAnalysis.htmlText]] first — every
     *                    later stage (gate, digest, shingles, chunking)
     *                    sees the extracted text
+    * @param maxMojibake when set, drop docs whose
+    *                    [[TextAnalysis.mojibakeRatio]] exceeds it (the
+    *                    standard crawl encoding filter; stays in the
+    *                    same narrow scan stage as the quality gate)
     */
   def curate(docs: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
@@ -49,13 +53,18 @@ object Curation {
       benchmark: Option[(DataFrame, String)] = None,
       contaminationK: Int = 13,
       chunkSize: Int = 64, chunkStride: Int = 48,
-      htmlInput: Boolean = false): DataFrame = {
+      htmlInput: Boolean = false,
+      maxMojibake: Option[Double] = None): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
     val input =
       if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
       else docs
-    val gated = input.where(
+    val encodingOk = maxMojibake match {
+      case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
+      case None => F.lit(true)
+    }
+    val gated = input.where(encodingOk &&
       TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
         TextAnalysis.langId(F.col(text)).isInCollection(langs))
     val deduped = Dedup

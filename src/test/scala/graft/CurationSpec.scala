@@ -84,6 +84,19 @@ class CurationSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("the encoding gate drops mojibake-damaged docs, in the same scan") {
+    import spark.implicits._
+    val damaged = good.replace("the cat", "donâ€™t â€œcatâ€")
+    val df = fixture.union(Seq((6L, damaged)).toDF("doc_id", "text"))
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4, maxMojibake = Some(0.01))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L)) // 6 gated by encoding
+  }
+
   test("htmlInput extracts raw crawl pages to the same curated chunks") {
     import spark.implicits._
     // wrap every fixture text in markup (plus script noise a quality
