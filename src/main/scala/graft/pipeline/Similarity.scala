@@ -60,8 +60,21 @@ object Similarity {
     * likely cosine-close (random-hyperplane LSH). `planeOffset` selects an
     * independent hyperplane family — offset by 64·t for hash table t, so
     * multi-table LSH (the standard recall lever: OR across L independent
-    * tables) needs no RNG state, just a different offset. */
-  def signBits(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
+    * tables) needs no RNG state, just a different offset.
+    *
+    * Evaluated by the native [[graft.expressions.SignBits]] expression —
+    * one read of the vector, `planes` accumulators, whole-stage codegen;
+    * bit-identical to [[signBitsComposed]] (PipelineSpec parity). */
+  def signBits(vec: Column, planes: Int, planeOffset: Int = 0): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.SignBits(
+        graft.expressions.ColumnBridge.expression(vec), planes, planeOffset))
+
+  /** The `functions._`-composed reference form of [[signBits]] — planes
+    * nested HOF folds, each re-hashing every component per row. Kept for
+    * the native-vs-composed parity test (PipelineSpec). */
+  private[graft] def signBitsComposed(vec: Column, planes: Int,
+      planeOffset: Int = 0): Column = {
     val proj = (0 until planes).map { p =>
       val s = F.aggregate(
         F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
@@ -72,32 +85,133 @@ object Similarity {
     proj.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: scan only the query's buckets (plus
-    * Hamming-1 neighbor buckets when `probes > 1`) across `tables`
-    * independent hyperplane families. Recall ≈ 1 − (1 − p_table)^tables;
-    * corpus scan cost ≈ tables · (1 + planes·[probes>1]) / 2^planes of a
-    * full scan — ONE pass either way (the per-table bucket predicates OR
-    * together into a single filter, no unions, no shuffle). */
+  /** Query-side LSH buckets, computed ON THE DRIVER — the same native
+    * [[graft.expressions.SignBits.pack]] loop the corpus side runs, on a
+    * float ArrayData wrapper, so buckets match bit-for-bit with zero
+    * Spark jobs (the query vector is a handful of floats). */
+  private[graft] def queryBuckets(query: Seq[Float], planes: Int,
+      tables: Int): Array[Long] = {
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      query.toArray)
+    Array.tabulate(tables)(t =>
+      graft.expressions.SignBits.pack(ad, isFloat = true, planes, 64 * t))
+  }
+
+  /** Probe target buckets for one table: the query's own bucket plus each
+    * Hamming-1 neighbor when `probes > 1` (1-bit multi-probe). */
+  private def probeTargets(qb: Long, planes: Int, probes: Int): Seq[Long] =
+    if (probes <= 1) Seq(qb)
+    else qb +: (0 until planes).map(p => qb ^ (1L << p))
+
+  /** LSH-bucketed approximate top-k WITHOUT an index: one pass over the
+    * corpus that computes all tables·planes projections per row (native
+    * [[graft.expressions.SignBits]]) to decide bucket membership, then
+    * exact cosine + TakeOrdered on the survivors. The hash stage is the
+    * dominant cost — ~tables·planes/d of a brute-force scan per row —
+    * so this form only beats [[bruteForceTopK]] when d ≫ tables·planes;
+    * for repeated queries build an [[LshIndex]] once and probe it
+    * partition-pruned instead. Recall ≈ 1 − (1 − p_table)^tables. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
       query: Seq[Float], k: Int, planes: Int = 6, probes: Int = 1,
       tables: Int = 1): DataFrame = {
-    // query-side buckets for every table in one 1-row job
-    val qRow = corpus.sparkSession.range(1)
-      .select((0 until tables).map(t =>
-        signBits(F.typedlit(query), planes, 64 * t).as(s"b$t")): _*)
-      .collect()(0)
+    val qb = queryBuckets(query, planes, tables)
     val pred = (0 until tables).map { t =>
-      val qb = qRow.getLong(t)
-      val targets: Seq[Long] =
-        if (probes <= 1) Seq(qb)
-        else qb +: (0 until planes).map(p => qb ^ (1L << p))
-      signBits(F.col(vec), planes, 64 * t).isin(targets: _*)
+      signBits(F.col(vec), planes, 64 * t)
+        .isin(probeTargets(qb(t), planes, probes): _*)
     }.reduce(_ || _)
     val q = F.typedlit(query)
     corpus.where(pred)
       .select(F.col(id), cosine(F.col(vec), q).as("cosine"))
       .orderBy(F.col("cosine").desc, F.col(id))
       .limit(k)
+  }
+
+  /** LSH top-k against a PRE-FIT [[LshIndex]]: the query hashes on the
+    * driver ([[queryBuckets]], zero jobs) and the scan touches only the
+    * probed (table, bucket) partitions of a [[LshIndex.save]]d index — a
+    * partition-pruned read of ~tables·probes buckets, NOT a corpus scan
+    * (RecallSpec pins PartitionFilters). Candidates dedupe across tables
+    * (a tiny shuffle over the survivors), then exact cosine + top-k.
+    * Results are identical to the index-free [[lshTopK]] at equal
+    * (planes, tables, probes). */
+  def lshTopK(index: LshIndex, query: Seq[Float], k: Int,
+      probes: Int): DataFrame = {
+    val qb = queryBuckets(query, index.planes, index.tables)
+    val pred = (0 until index.tables).map { t =>
+      F.col("__tbl") === t &&
+        F.col("__bucket").isin(probeTargets(qb(t), index.planes, probes): _*)
+    }.reduce(_ || _)
+    val q = F.typedlit(query)
+    index.bucketed.where(pred)
+      .select(F.col(index.id), F.col(index.vec))
+      .dropDuplicates(index.id) // a row may surface from several tables
+      .select(F.col(index.id), cosine(F.col(index.vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(index.id))
+      .limit(k)
+  }
+
+  /** Fit-once multi-table LSH index for [[lshTopK]]: the corpus with its
+    * per-table sign-bit bucket materialized ONCE (one row per row×table),
+    * so queries never recompute hyperplane projections over the corpus —
+    * the write-time analogue the IVF path already had ([[IvfIndex]]).
+    *
+    * Storage is tables× the corpus (inherent to multi-table LSH — each
+    * table IS an independent hash table); [[save]] partitions by
+    * (table, bucket), i.e. at most tables·2^planes directories — sized
+    * for the moderate-planes regime (planes ≲ 12). A probe reads
+    * tables·probes directories. */
+  final class LshIndex private[pipeline] (
+      /** id, vec, `__tbl` (int), `__bucket` (long) — one row per table. */
+      val bucketed: DataFrame,
+      val id: String, val vec: String, val planes: Int, val tables: Int) {
+    /** Pin the bucketed corpus (in-memory analogue of [[save]]). */
+    def persist(): LshIndex = { bucketed.persist(); this }
+    def unpersist(): LshIndex = { bucketed.unpersist(); this }
+
+    /** Persist the index partitioned by (table, bucket) plus a JSON
+      * sidecar, so a loaded probe is a partition-pruned read. */
+    def save(path: String): Unit = {
+      bucketed.write.mode("overwrite").partitionBy("__tbl", "__bucket")
+        .parquet(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, LshIndex.SIDECAR),
+        s"""{"id": "$id", "vec": "$vec", "planes": $planes, "tables": $tables}""")
+    }
+  }
+
+  object LshIndex {
+    private[pipeline] val SIDECAR = "_lsh_meta.json"
+
+    /** Hash every corpus row into its per-table bucket — one narrow map
+      * per table, no shuffle; the projections run once here instead of
+      * once per query. */
+    def fit(corpus: DataFrame, id: String, vec: String, planes: Int = 6,
+        tables: Int = 1): LshIndex = {
+      require(planes >= 1 && planes <= 62,
+        s"planes must be in [1,62], got $planes")
+      require(tables >= 1, s"tables must be >= 1, got $tables")
+      val bucketed = (0 until tables).map { t =>
+        corpus.select(F.col(id), F.col(vec), F.lit(t).as("__tbl"),
+          signBits(F.col(vec), planes, 64 * t).as("__bucket"))
+      }.reduce(_ unionByName _)
+      new LshIndex(bucketed, id, vec, planes, tables)
+    }
+
+    /** Load a [[LshIndex#save]]d index; the scan stays lazy and
+      * partition-aware. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, SIDECAR))
+      val meta =
+        """\{"id": "([^"]*)", "vec": "([^"]*)", "planes": (\d+), "tables": (\d+)\}""".r
+      text match {
+        case meta(id, vec, planes, tables) =>
+          new LshIndex(spark.read.parquet(path), id, vec,
+            planes.toInt, tables.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"not an LSH index (bad $SIDECAR): $path")
+      }
+    }
   }
 
   /** IVF (inverted-file) approximate top-k against a PRE-FIT [[IvfIndex]]:

@@ -224,6 +224,32 @@ class PipelineSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0)
   }
 
+  test("native SignBits matches the HOF-composed form") {
+    import spark.implicits._
+    for ((planes, offset) <- Seq((6, 0), (16, 64), (12, 192))) {
+      val mismatches = emb.select(
+          Similarity.signBits(F.col("embedding"), planes, offset).as("native"),
+          Similarity.signBitsComposed(F.col("embedding"), planes, offset)
+            .as("composed"))
+        .where(F.col("native") =!= F.col("composed")).count()
+      assert(mismatches == 0, s"planes=$planes offset=$offset")
+    }
+    // edge cases: empty vector and null-element vector both bucket to 0L
+    // in the composed form (null-poisoned folds) — native must match
+    val edges = Seq(
+      (1L, Seq.empty[java.lang.Float]),
+      (2L, Seq[java.lang.Float](1.0f, null, 3.0f))).toDF("id", "v")
+    val got = edges.select(F.col("id"),
+        Similarity.signBits(F.col("v"), 6).as("n"),
+        Similarity.signBitsComposed(F.col("v"), 6).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (n, c) => n == c && n == 0L }, got.toSeq)
+    // null vector stays null
+    val nv = Seq(Tuple1(null: Seq[Float])).toDF("v")
+      .select(Similarity.signBits(F.col("v"), 6)).collect()(0)
+    assert(nv.isNullAt(0))
+  }
+
   test("narrow MinHash signatures match the explode+aggregate form") {
     val narrow = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

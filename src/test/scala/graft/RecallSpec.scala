@@ -159,6 +159,39 @@ class RecallSpec extends SparkSpec {
       s"probe not partition-pruned:\n$plan")
   }
 
+  test("LSH index save/load: identical to the index-free path, partition-pruned probe") {
+    val planted = plantedVectors(100, 0.3).localCheckpoint()
+    val q = planted.where(F.col("vec_id") === 3)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val corpus = planted.where(F.col("vec_id") =!= 3)
+    val (planes, tables, probes) = (8, 4, 2)
+    val free = Similarity.lshTopK(corpus, "vec_id", "embedding", q, 10,
+      planes = planes, probes = probes, tables = tables)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val idx = Similarity.LshIndex.fit(corpus, "vec_id", "embedding",
+      planes = planes, tables = tables)
+    val mem = Similarity.lshTopK(idx, q, 10, probes = probes)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mem == free, "fitted index must reproduce the index-free results")
+
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    idx.save(path)
+    val loaded = Similarity.LshIndex.load(spark, path)
+    assert(loaded.planes == planes && loaded.tables == tables)
+    val probe = Similarity.lshTopK(loaded, q, 10, probes = probes)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == free)
+    // the probe plan must prune partitions (read the probed buckets'
+    // directories, not the corpus) — the write-time fix for the r7
+    // full-scan finding
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"),
+      s"LSH probe not partition-pruned:\n$plan")
+    // recall held: the planted near-copy of vec 3 is found
+    assert(free.map(_._1).contains(10003L))
+  }
+
   // ---- text near-dup candidate recall vs exact all-pairs Jaccard ----
 
   /** 40 fixture docs + a mutated copy each (every 33rd token replaced →
