@@ -66,6 +66,13 @@ object ImageHeaderMeta {
   private val MimeWebp = UTF8String.fromString("image/webp")
   private val MimeTiff = UTF8String.fromString("image/tiff")
 
+  /** Uniform sanity bound on header-declared dims (matches the BMP/TIFF
+    * walks and the AVI/MP4/WebM video parsers): absurd-dimension headers
+    * triage to null instead of flowing downstream, where they'd demand
+    * multi-GB rasters from the decode stage. */
+  private def bounded(w: Int, h: Int): Boolean =
+    w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20)
+
   /** (mime, width, height) of a recognized image header, else null. */
   def parseDims(b: Array[Byte]): (String, Int, Int) = {
     if (b == null) return null
@@ -80,12 +87,16 @@ object ImageHeaderMeta {
     // PNG: signature + IHDR (always the first chunk per spec)
     if (n >= 24 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e &&
         u(3) == 0x47 && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a &&
-        u(7) == 0x0a)
-      return ("image/png", be32(16), be32(20))
+        u(7) == 0x0a) {
+      val (w, h) = (be32(16), be32(20))
+      return if (bounded(w, h)) ("image/png", w, h) else null
+    }
     // GIF87a / GIF89a logical screen descriptor
     if (n >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
-        u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
-      return ("image/gif", le16(6), le16(8))
+        u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a') {
+      val (w, h) = (le16(6), le16(8))
+      return if (bounded(w, h)) ("image/gif", w, h) else null
+    }
     // BMP: BITMAPINFOHEADER (and later) or the legacy BITMAPCOREHEADER;
     // negative height = top-down row order, dims sanity-bounded since
     // "BM" alone is a weak signature
@@ -125,7 +136,7 @@ object ImageHeaderMeta {
         }
         out == null // stop at the first dims-bearing chunk
       }
-      if (out != null && out._2 > 0 && out._3 > 0) return out
+      if (out != null && bounded(out._2, out._3)) return out
       return null
     }
     // TIFF: II*\0 (little-endian) or MM\0* (big-endian) header, then
@@ -180,7 +191,8 @@ object ImageHeaderMeta {
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
             if (i + 8 >= n) return null
-            return ("image/jpeg", be16(i + 7), be16(i + 5))
+            val (w, h) = (be16(i + 7), be16(i + 5))
+            return if (bounded(w, h)) ("image/jpeg", w, h) else null
           }
           i += 2 + segLen
         }

@@ -61,6 +61,37 @@ private[graft] object Pixels {
     (width, height)
   }
 
+  /** Max side accepted from a header before any raster is allocated. */
+  private val MaxSide = 1 << 20
+  /** Max total pixels a decode may allocate (TYPE_INT_RGB rasters run
+    * 4 bytes/pixel → ≤ 256 MiB), so a ~100-byte header declaring e.g.
+    * 46000×46000 can never OOM an executor — the poison-row contract
+    * the FLAC `maxDecoded` and Gunzip caps already enforce. */
+  private val MaxPixels = 1L << 26
+
+  /** Decode via the JDK readers with the dims checked HEADER-ONLY first
+    * (`ImageReader.getWidth/getHeight` parse metadata without touching
+    * pixel data): null when no reader matches or the declared raster
+    * exceeds [[MaxSide]]/[[MaxPixels]] — the allocation never happens. */
+  private[graft] def readCapped(b: Array[Byte]): java.awt.image.BufferedImage = {
+    ensureInit()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val w = r.getWidth(0)
+        val h = r.getHeight(0)
+        if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+            w.toLong * h > MaxPixels) return null
+        r.read(0)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
   /** Frame count of a multi-frame container via the JDK reader's
     * full-scan count (works for any multi-image format the JDK reads;
     * [[graft.pipeline.Multimodal]] currently routes only GIF here);
@@ -77,7 +108,8 @@ private[graft] object Pixels {
         try { r.setInput(iis); r.getNumImages(true) } finally r.dispose()
       } finally iis.close()
     } catch {
-      case _: Exception => -1
+      case e: InterruptedException => throw e
+      case _: Throwable => -1 // incl. OOM from a pathological reader
     }
   }
 
@@ -89,13 +121,11 @@ private[graft] object Pixels {
     * have seen a partial image only if the reader itself threw
     * mid-raster — callers treat null as "discard everything"). */
   def walkImageIO(b: Array[Byte], sink: Sink): (Int, Int) = {
-    ensureInit()
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
+      val img = readCapped(b) // header-only dims gate before allocation
       if (img == null) return null
       val w = img.getWidth
       val h = img.getHeight
-      if (w <= 0 || h <= 0) return null
       val row = new Array[Int](w)
       var y = 0
       while (y < h) {
@@ -110,7 +140,11 @@ private[graft] object Pixels {
       }
       (w, h)
     } catch {
-      case _: Exception => null // corrupt/truncated bytes degrade to NULL
+      // corrupt/truncated bytes degrade to NULL; Throwable (not just
+      // Exception) so an OOM thrown despite the cap degrades too
+      // instead of killing the task
+      case e: InterruptedException => throw e
+      case _: Throwable => null
     }
   }
 }

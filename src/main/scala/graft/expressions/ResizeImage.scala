@@ -2,7 +2,7 @@ package graft.expressions
 
 import java.awt.RenderingHints
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -67,10 +67,12 @@ object ResizeImage {
     }
   }
 
-  /** Decode → scale → PNG bytes; null when nothing decodes the input. */
+  /** Decode → scale → PNG bytes; null when nothing decodes the input or
+    * the header declares a raster beyond the [[Pixels.readCapped]]
+    * allocation caps (poison rows degrade, never OOM). */
   def resize(b: Array[Byte], maxSide: Int): Array[Byte] =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
+      val img = Pixels.readCapped(b)
       if (img == null) return null
       val (tw, th) = targetDims(img.getWidth, img.getHeight, maxSide)
       val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
@@ -84,6 +86,7 @@ object ResizeImage {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     } catch {
-      case _: Exception => null
+      case e: InterruptedException => throw e
+      case _: Throwable => null // incl. OOM despite the caps
     }
 }

@@ -52,6 +52,29 @@ class GunzipSpec extends SparkSpec {
     assert(rows.values.forall(_.isEmpty))
   }
 
+  test("undecodable bytes after a valid member degrade to NULL, not truncation") {
+    // GZIPInputStream silently treats unparseable trailing bytes as EOF
+    // and would return the first member's bytes — a silent truncation.
+    // The strict member walk must return NULL for the whole row instead.
+    import spark.implicits._
+    val good = gz("first member".getBytes("UTF-8"))
+    val garbageTail = good ++ "NOT A MEMBER".getBytes("UTF-8")
+    val corruptSecond = {
+      val second = gz("second member".getBytes("UTF-8"))
+      second(12) = (second(12) ^ 0x7f).toByte // damage the deflate body
+      good ++ second
+    }
+    val truncatedSecond = good ++ gz("second".getBytes("UTF-8")).take(9)
+    val rows = Seq((1L, garbageTail), (2L, corruptSecond),
+        (3L, truncatedSecond), (4L, good))
+      .toDF("id", "content")
+      .select(F.col("id"), Multimodal.gunzip(F.col("content")).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty && rows(3L).isEmpty)
+    assert(new String(rows(4L).get.asInstanceOf[Array[Byte]], "UTF-8") ==
+      "first member")
+  }
+
   test("gunzip -> html_text unwraps a compressed crawl page") {
     import spark.implicits._
     val page = "<html><body><h1>Hi</h1><p>a &amp; b</p></body></html>"

@@ -46,6 +46,34 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("absurd-dimension headers triage to null and never reach a raster allocation") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a ~100-byte PNG whose IHDR declares 46000×46000 (≈ 8.5 GB raster):
+    // triage reports the declared dims (plausible header — that's how a
+    // filter drops it), but decode/resize must return null from the
+    // header-only pixel-count gate, never attempting the allocation
+    val huge = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "0000B3B0" + "0000B3B0" + "0802000000" + "00000000" +
+      "0000000F" + "49444154" + "7801" + "010400FBFF" + "000A141E" +
+      "0068003D" + "E80CBB83" + "0000000049454E44AE426082")
+    assert(ImageHeaderMeta.parseDims(huge) == ("image/png", 46000, 46000))
+    assert(DecodeImage.parse(huge) == null)
+    assert(ResizeImage.resize(huge, 16) == null)
+    // beyond the per-side sanity bound (2^21 > 2^20): triage rejects too
+    val absurd = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00200000" + "00200000" + "0802000000" + "00000000" +
+      "0000000F" + "49444154" + "7801" + "010400FBFF" + "000A141E" +
+      "0068003D" + "E80CBB83" + "0000000049454E44AE426082")
+    assert(ImageHeaderMeta.parse(absurd) == null)
+    assert(DecodeImage.parse(absurd) == null)
+    // GIF logical screen maxes at 65535×65535 — accepted (within bound)
+    val gifMax = "GIF89a".getBytes("US-ASCII") ++
+      hexBytes("FFFFFFFF00FF")
+    val m = ImageHeaderMeta.parseDims(gifMax)
+    assert(m == ("image/gif", 65535, 65535))
+  }
+
   test("mutated valid headers never throw from any media parser") {
     def hexBytes(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
