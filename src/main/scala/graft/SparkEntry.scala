@@ -259,6 +259,30 @@ object SparkEntry {
              BIND(xsd:integer(SUBSTR(STR(?item), 16)) AS ?pkey) }""")
     }),
 
+    // --- named graphs: GRAPH binding/scoping + FROM / FROM NAMED over
+    //     the quad model (VERDICT r7 task 6)
+    "q_graph" -> ((s, dir) => {
+      val e = Engine.fromGraph(quadGraph(s, dir))
+      e.select(P +
+        """SELECT ?rname ?nname {
+             ?g gp:r_name ?rname .
+             GRAPH ?g { ?n gp:n_name ?nname } }""")
+    }),
+    "q_graph_from" -> ((s, dir) => {
+      val e = Engine.fromGraph(quadGraph(s, dir))
+      e.select(P +
+        """SELECT ?nname
+           FROM <urn:graft:g/0> FROM <urn:graft:g/1>
+           WHERE { ?n gp:n_name ?nname }""")
+    }),
+    "q_graph_named" -> ((s, dir) => {
+      val e = Engine.fromGraph(quadGraph(s, dir))
+      e.select(P +
+        """SELECT ?g ?nname
+           FROM NAMED <urn:graft:g/2> FROM NAMED <urn:graft:g/3>
+           WHERE { GRAPH ?g { ?n gp:n_name ?nname } }""")
+    }),
+
     // --- scalar function library (SURVEY §2B "Scalar functions")
     "q_scalar_strings" -> sel("part")(
       """SELECT ?name ?len ?uname ?pre {
@@ -942,6 +966,30 @@ object SparkEntry {
     RdfGraph(t, RdfGraph.defaultPrefixes)
   }
 
+  /** Quad-store fixture: nation names live in ONE NAMED GRAPH PER REGION
+    * (<urn:graft:g/REGIONKEY>), while the region's display name sits in
+    * the default graph as a triple ABOUT the graph IRI — the standard
+    * graph-metadata shape (VERDICT r7 task 6). Reads the same parquet
+    * tables as every other fixture; the `g` term column makes it a quad
+    * store for GRAPH / FROM / FROM NAMED. */
+  private def quadGraph(s: SparkSession, dir: String): RdfGraph = {
+    import Terms._
+    val nation = read(s, dir, "nation")
+    val region = read(s, dir, "region")
+    val named = nation.select(
+      iri(F.concat(F.lit("urn:graft:nation/"), F.col("n_nationkey"))).as("s"),
+      iri("urn:graft:p/n_name").as("p"),
+      plainLit(F.col("n_name")).as("o"),
+      iri(F.concat(F.lit("urn:graft:g/"), F.col("n_regionkey"))).as("g"))
+    val dflt = region.select(
+      iri(F.concat(F.lit("urn:graft:g/"), F.col("r_regionkey"))).as("s"),
+      iri("urn:graft:p/r_name").as("p"),
+      plainLit(F.col("r_name")).as("o"),
+      F.lit(null).cast(Terms.termType).as("g"))
+    RdfGraph.fromQuadFrame(named.unionByName(dflt),
+      RdfGraph.defaultPrefixes + ("gp" -> "urn:graft:p/"))
+  }
+
   /** Headline benchmark subset (Bench.scala): mixed SPARQL + pipeline. */
   val benchQueries: Seq[String] = Seq(
     "q_agg_suite", "q_bgp_join", "q_groupby_count", "q_path_seq", "q_topk",
@@ -1061,6 +1109,15 @@ object SparkEntry {
       """SELECT 'urn:graft:customer/' || CAST(c_custkey AS VARCHAR) AS s,
                 'urn:graft:p/in_nation' AS p, n_name AS o
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q_graph" ->
+      """SELECT r_name AS rname, n_name AS nname
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "q_graph_from" ->
+      "SELECT n_name AS nname FROM nation WHERE n_regionkey IN (0, 1)",
+    "q_graph_named" ->
+      """SELECT 'urn:graft:g/' || CAST(n_regionkey AS VARCHAR) AS g,
+                n_name AS nname
+         FROM nation WHERE n_regionkey IN (2, 3)""",
     "q_describe" ->
       """WITH t AS (SELECT * FROM nation WHERE n_nationkey = 3)
          SELECT 'urn:graft:nation/3' AS s, 'urn:graft:p/n_nationkey' AS p,

@@ -77,20 +77,40 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
 
   def spark: SparkSession = triples.sparkSession
 
+  /** A quad store: triples carry a `g` term-struct column naming the
+    * graph (null = default graph). Built by [[RdfGraph.fromQuads]]; the
+    * compiler scopes scans by `g` for GRAPH / FROM / FROM NAMED. */
+  def isQuads: Boolean = triples.columns.contains("g")
+
   /** Number of triples (set cardinality). */
   def size: Long = triples.count()
 
-  /** Insert triples (set semantics). */
-  def insert(newTriples: DataFrame): RdfGraph =
-    copy(triples = triples.unionByName(newTriples).dropDuplicates("s", "p", "o"),
+  /** Insert triples (set semantics). Incoming triples without a `g`
+    * column land in a quad store's DEFAULT graph (g null). */
+  def insert(newTriples: DataFrame): RdfGraph = {
+    val merged =
+      if (!isQuads) triples.unionByName(newTriples).dropDuplicates("s", "p", "o")
+      else triples.unionByName(newTriples, allowMissingColumns = true)
+        .dropDuplicates("s", "p", "o", "g")
+    copy(triples = merged,
       predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
       predNat = Map.empty)
+  }
 
-  /** Delete triples. */
-  def delete(gone: DataFrame): RdfGraph =
-    copy(triples = triples.join(gone, Seq("s", "p", "o"), "left_anti"),
+  /** Delete triples. On a quad store a `g`-less delete removes from the
+    * DEFAULT graph only (SPARQL UPDATE's unnamed-graph semantics). */
+  def delete(gone: DataFrame): RdfGraph = {
+    val remaining =
+      if (!isQuads) triples.join(gone, Seq("s", "p", "o"), "left_anti")
+      else if (gone.columns.contains("g"))
+        triples.join(gone, Seq("s", "p", "o", "g"), "left_anti")
+      else triples.join(gone,
+        triples("s") === gone("s") && triples("p") === gone("p") &&
+          triples("o") === gone("o") && triples("g").isNull, "left_anti")
+    copy(triples = remaining,
       predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
       predNat = Map.empty)
+  }
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))
@@ -99,12 +119,16 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   def unpersist(): RdfGraph = { triples.unpersist(); this }
 
   /** All IRIs appearing in any position (all_uri,
-    * gastrodon/__init__.py:821-834). */
+    * gastrodon/__init__.py:821-834) — including graph names on a quad
+    * store. */
   def allUris: DataFrame = {
     import Terms._
+    val positions =
+      if (isQuads) F.array(F.col("s"), F.col("p"), F.col("o"), F.col("g"))
+      else F.array(F.col("s"), F.col("p"), F.col("o"))
     triples
-      .select(F.explode(F.array(F.col("s"), F.col("p"), F.col("o"))).as("t"))
-      .where(isIri(F.col("t")))
+      .select(F.explode(positions).as("t"))
+      .where(F.col("t").isNotNull && isIri(F.col("t")))
       .select(value(F.col("t")).as("uri"))
       .distinct()
   }
@@ -136,6 +160,40 @@ object RdfGraph {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Terms.tripleType)
       .dropDuplicates("s", "p", "o")
+    RdfGraph(df, defaultPrefixes ++ prefixes)
+  }
+
+  /** Quad store from a DataFrame of term structs `s, p, o, g` (g null =
+    * default graph) — e.g. four columns built with `Terms.termCol` /
+    * IRI-synthesis over any relational source, or a quads parquet read.
+    * GRAPH / FROM / FROM NAMED then scope queries by `g`. */
+  def fromQuadFrame(quads: DataFrame,
+      prefixes: Map[String, String] = Map.empty): RdfGraph = {
+    require(Seq("s", "p", "o", "g").forall(quads.columns.contains),
+      s"quad frame needs s, p, o, g columns, got ${quads.columns.mkString(", ")}")
+    RdfGraph(quads.select("s", "p", "o", "g").dropDuplicates("s", "p", "o", "g"),
+      defaultPrefixes ++ prefixes)
+  }
+
+  /** Build a quad store from local Scala quads (tests, tiny fixtures);
+    * graph name None = default graph. */
+  def fromQuads(spark: SparkSession,
+      qs: Seq[(RdfTerm, RdfTerm, RdfTerm, Option[RdfTerm])],
+      prefixes: Map[String, String] = Map.empty): RdfGraph = {
+    import org.apache.spark.sql.Row
+    def row(t: RdfTerm): Row = t match {
+      case Iri(v)             => Row(Terms.KIND_IRI, v, null, null)
+      case Blank(l)           => Row(Terms.KIND_BLANK, l, null, null)
+      case Lit(lex, dt, lang) => Row(Terms.KIND_LIT, lex, dt, lang)
+    }
+    val rows = qs.map { case (s, p, o, g) =>
+      Row(row(s), row(p), row(o), g.map(row).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Terms.tripleType.fields :+ org.apache.spark.sql.types.StructField(
+        "g", Terms.termType, nullable = true))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .dropDuplicates("s", "p", "o", "g")
     RdfGraph(df, defaultPrefixes ++ prefixes)
   }
 }

@@ -74,6 +74,9 @@ object Ast {
   final case class TableData(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]])
       extends GraphPattern
   final case class SubSelect(q: SelectQuery) extends GraphPattern
+  /** GRAPH ?g { p } / GRAPH <iri> { p } — scope `p` to one named graph
+    * (binding ?g per solution when the graph name is a variable). */
+  final case class GraphPat(g: Node, p: GraphPattern) extends GraphPattern
 
   // ---- queries ---------------------------------------------------------------
 
@@ -107,14 +110,31 @@ object Ast {
       projection: Projection,
       where: GraphPattern,
       mods: Modifiers,
-      values: Option[TableData] = None) extends Query
+      values: Option[TableData] = None,
+      dataset: DatasetClause = DatasetClause.empty) extends Query
   final case class ConstructQuery(template: Seq[TriplePattern],
-      where: GraphPattern, mods: Modifiers) extends Query
-  final case class AskQuery(where: GraphPattern) extends Query
+      where: GraphPattern, mods: Modifiers,
+      dataset: DatasetClause = DatasetClause.empty) extends Query
+  final case class AskQuery(where: GraphPattern,
+      dataset: DatasetClause = DatasetClause.empty) extends Query
   /** DESCRIBE: targets are IRIs (TermNode) and/or variables (VarNode)
     * bound by the optional WHERE pattern. */
   final case class DescribeQuery(targets: Seq[Node],
       where: Option[GraphPattern]) extends Query
+
+  /** FROM / FROM NAMED clauses: the query's RDF dataset description.
+    * `defaults` merge into the pattern-matching default graph; `named`
+    * restricts the graphs GRAPH patterns range over. An empty clause
+    * means "use the store's own dataset". */
+  final case class DatasetClause(defaults: Seq[String], named: Seq[String]) {
+    def isEmpty: Boolean = defaults.isEmpty && named.isEmpty
+  }
+  object DatasetClause {
+    val empty: DatasetClause = DatasetClause(Nil, Nil)
+    def of(clauses: Seq[(Boolean, String)]): DatasetClause = DatasetClause(
+      clauses.collect { case (false, i) => i },
+      clauses.collect { case (true, i) => i })
+  }
 
   final case class Prologue(base: Option[String], prefixes: Map[String, String])
 
@@ -156,6 +176,10 @@ object Ast {
       case SelectAll => inScopeVars(q.where)
       case SelectVars(items) => items.map(_.name).toSet
     }
+    case GraphPat(g, q) => inScopeVars(q) ++ (g match {
+      case VarNode(v) => Set(v)
+      case _ => Set.empty[String]
+    })
   }
 
   def tripleVars(t: TriplePattern): Seq[String] = {

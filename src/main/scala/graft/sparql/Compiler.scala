@@ -26,13 +26,64 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   private val graph: DataFrame = rdfGraph.triples
 
+  // ------------------------------------------------- named-graph scoping
+  //
+  // A QUAD store carries an extra term-struct column `g` (null = default
+  // graph). Scans then route through [[scanBase]], which applies the
+  // active-graph scope (set while compiling a GRAPH pattern) and the
+  // query's FROM / FROM NAMED dataset clause. A plain triple store with
+  // no dataset clause never pays any of this — scanBase IS the raw table
+  // and the vertical/star fast paths stay on.
+
+  private val hasQuads = graph.columns.contains("g")
+  /** Node of the enclosing GRAPH pattern, while compiling inside one. */
+  private var activeGraph: Option[Node] = None
+  /** FROM / FROM NAMED of the query being compiled (top level only). */
+  private var dataset: DatasetClause = DatasetClause.empty
+
+  /** True when scans cannot use the single-graph fast paths (vertical
+    * index, star tables): the store has quads, a GRAPH scope is active,
+    * or a dataset clause redefines the default graph. */
+  private def quadScoped: Boolean =
+    hasQuads || activeGraph.isDefined || !dataset.isEmpty
+
+  /** The triples visible to a scan under the current graph scope:
+    *  - no scope (default graph): g IS NULL, or g ∈ FROM set when the
+    *    query redefines the default graph (RDF merge of those graphs);
+    *  - GRAPH <iri>: g = iri, and iri must be in FROM NAMED when given;
+    *  - GRAPH ?var: any named graph, restricted to FROM NAMED when given.
+    * A triple-only store has no named graphs: GRAPH patterns and FROM
+    * clauses over it match nothing (the dataset has no such graphs). */
+  private def scanBase: DataFrame =
+    if (!hasQuads) {
+      if (activeGraph.isEmpty && dataset.isEmpty) graph else graph.limit(0)
+    } else activeGraph match {
+      case None =>
+        if (dataset.isEmpty) graph.where(F.col("g").isNull)
+        else if (dataset.defaults.isEmpty) graph.limit(0)
+        else graph.where(F.col("g").isNotNull &&
+          F.col("g.kind") === KIND_IRI &&
+          F.col("g.value").isin(dataset.defaults.map(F.lit(_)): _*))
+      case Some(TermNode(Iri(iri))) =>
+        if (!dataset.isEmpty && !dataset.named.contains(iri)) graph.limit(0)
+        else graph.where(F.col("g").isNotNull &&
+          F.col("g.kind") === KIND_IRI && F.col("g.value") === iri)
+      case Some(TermNode(_)) => graph.limit(0) // graph names are IRIs
+      case Some(VarNode(_)) =>
+        val named = graph.where(F.col("g").isNotNull)
+        if (dataset.isEmpty) named
+        else if (dataset.named.isEmpty) graph.limit(0)
+        else named.where(F.col("g.kind") === KIND_IRI &&
+          F.col("g.value").isin(dataset.named.map(F.lit(_)): _*))
+    }
+
   /** Constant-predicate scan via the vertical-partition index when
     * available (predicate-pruned two-column relation; the 100 TB path),
-    * else the full triple table filtered on p. */
+    * else the scope-filtered triple table filtered on p. */
   private def predScan(predIri: String): DataFrame =
     rdfGraph.predIndex.get(predIri) match {
-      case Some(so) => so
-      case None => graph.where(F.col("p") === termCol(Iri(predIri)))
+      case Some(so) if !quadScoped => so
+      case _ => scanBase.where(F.col("p") === termCol(Iri(predIri)))
         .select(F.col("s"), F.col("o"))
     }
 
@@ -110,6 +161,10 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       df.withColumn(v, exprC(df).term(e))
     case td: TableData => tableDataDf(td)
     case SubSelect(q) => compileSelect(q, keepCompanions = true)
+    case GraphPat(g, p) =>
+      val prev = activeGraph
+      activeGraph = Some(g)
+      try compile(p) finally activeGraph = prev
   }
 
   private def oneRowDf: DataFrame = {
@@ -151,6 +206,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         case (v, i) if rows.exists(_(i).isEmpty) => v
       }.toSet
     case SubSelect(q) => selectMaybeUnbound(q)
+    case GraphPat(_, p) => maybeUnbound(p) // ?g itself always binds
   }
 
   private def selectMaybeUnbound(q: SelectQuery): Set[String] =
@@ -392,7 +448,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     if (ts.isEmpty) return oneRowDf
     val covered = mutable.HashSet[Int]()
     val starDfs = mutable.ArrayBuffer[DataFrame]()
-    if (rdfGraph.starTables.nonEmpty) {
+    // star tables describe the single default graph only
+    if (rdfGraph.starTables.nonEmpty && !quadScoped) {
       val bySubj = ts.zipWithIndex.collect {
         case (TriplePattern(VarNode(sv), VerbNode(TermNode(Iri(p))), o), i) =>
           (sv, p, o, i)
@@ -564,7 +621,45 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case VarNode(_) => None
   }
 
+  /** Triple pattern scan under a quad scope: the (filtered) [[scanBase]]
+    * with the GRAPH variable — when the enclosing scope names one —
+    * treated as a fourth pattern position, so repeated-variable equality
+    * (`GRAPH ?g { ?g ?p ?o }`) and the projection fall out of the same
+    * logic as s/p/o. All patterns inside one GRAPH ?g co-bind ?g, so the
+    * BGP's joins keep every pattern in the same graph per solution. */
+  private def quadTriple(s: Node, pn: Node, o: Node): DataFrame = {
+    var df = scanBase
+    // the g position participates only on a real quad store; a triple
+    // store under GRAPH ?v scans empty (scanBase) but must still put ?v
+    // in scope — projected as a typed null below
+    val gPos: Seq[(String, Node)] = activeGraph match {
+      case Some(v: VarNode) if hasQuads => Seq("g" -> (v: Node))
+      case _ => Nil
+    }
+    val positions = Seq("s" -> s, "p" -> pn, "o" -> o) ++ gPos
+    positions.foreach { case (pos, n) =>
+      nodeFilter(F.col(pos), n).foreach(c => df = df.where(c))
+    }
+    val varPos = positions.collect { case (pos, VarNode(v)) => (v, pos) }
+    varPos.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+      dup.map(_._2).sliding(2).foreach {
+        case Seq(a, b) => df = df.where(F.col(a) === F.col(b))
+        case _ =>
+      }
+    }
+    val proj = varPos.map(_._1).distinct.map { v =>
+      F.col(varPos.find(_._1 == v).get._2).as(v)
+    } ++ (activeGraph match {
+      case Some(VarNode(v)) if !hasQuads && !varPos.exists(_._1 == v) =>
+        Seq(F.lit(null).cast(Terms.termType).as(v))
+      case _ => Nil
+    })
+    if (proj.isEmpty) df.limit(1).select(F.lit(1).as(syn("ask")))
+    else df.select(proj: _*)
+  }
+
   private def compileTriple(tp: TriplePattern): DataFrame = tp.p match {
+    case VerbNode(pn) if quadScoped => quadTriple(tp.s, pn, tp.o)
     case VerbNode(TermNode(Iri(p))) =>
       // constant predicate → vertical-partition scan (no predicate column)
       var df = predScan(p)
@@ -665,12 +760,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val order = Seq("ps", "po") ++ common.toSeq.sorted
       l.select(order.map(l(_)): _*).union(r0.select(order.map(r0(_)): _*))
     case PNeg(fwd, inv) =>
-      val fwdDf = graph
+      val fwdDf = scanBase
         .where(!F.col("p.value").isin(fwd.map(F.lit(_)): _*) || F.lit(fwd.isEmpty))
         .select(F.col("s").as("ps"), F.col("o").as("po"))
       if (inv.isEmpty) fwdDf
       else {
-        val invDf = graph
+        val invDf = scanBase
           .where(!F.col("p.value").isin(inv.map(F.lit(_)): _*))
           .select(F.col("o").as("ps"), F.col("s").as("po"))
         if (fwd.isEmpty) invDf else fwdDf.union(invDf)
@@ -709,12 +804,22 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case other => other
   }
 
-  /** All nodes of the graph (for zero-length path endpoints). */
+  /** All nodes of the active-scope graph (zero-length path endpoints). */
   private def graphNodes: DataFrame =
-    graph.select(F.col("s").as("n"))
-      .union(graph.select(F.col("o").as("n"))).distinct()
+    scanBase.select(F.col("s").as("n"))
+      .union(scanBase.select(F.col("o").as("n"))).distinct()
 
   private def compilePathTriple(s: Node, path0: Path, o: Node): DataFrame = {
+    // Inside GRAPH <iri> every edge scan is already scope-filtered, so
+    // paths compose soundly. Inside GRAPH ?var a multi-hop path would
+    // need per-graph edge composition (each solution's hops confined to
+    // ONE graph) — not expressible as a single pre-filtered edge set.
+    activeGraph match {
+      case Some(VarNode(v)) => throw new UnsupportedOperationException(
+        s"property path inside GRAPH ?$v (variable graph scope); " +
+          "name the graph or join GRAPH ?g { ... } patterns instead")
+      case _ =>
+    }
     val path = normalizePath(path0)
     val pairs: DataFrame = path match {
       case PZeroOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = true)
@@ -867,7 +972,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     import org.apache.spark.sql.types._
     if (q.distinct || q.reduced || q.values.nonEmpty) return None
     if (q.mods.having.nonEmpty || q.mods.orderBy.nonEmpty) return None
-    if (rdfGraph.starTables.isEmpty) return None
+    if (rdfGraph.starTables.isEmpty || quadScoped) return None
     val (ts, filters) = q.where match {
       case Bgp(t) => (t, Seq.empty[Expr])
       case Filter(Bgp(t), fs) => (t, fs)
@@ -1044,6 +1149,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * `{ SELECT ?x (COUNT(*)…) GROUP BY ?x } ?x :p ?y` — still joins on
     * the raw long downstream. The top-level call never leaks them. */
   def compileSelect(q: SelectQuery, keepCompanions: Boolean = false): DataFrame = {
+    // FROM / FROM NAMED apply to the whole query; subselects never carry
+    // their own clause (grammar), so an empty one inherits the outer's
+    if (!q.dataset.isEmpty) dataset = q.dataset
     val needsAggQ = q.mods.groupBy.nonEmpty || (q.projection match {
       case SelectVars(items) => items.exists(i => ExprCompiler.hasAgg(i.expr))
       case _ => false
@@ -1190,6 +1298,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * template get per-solution labels. Result is a triples DataFrame
     * (deduplicated — graphs are sets). */
   def compileConstruct(q: ConstructQuery): DataFrame = {
+    if (!q.dataset.isEmpty) dataset = q.dataset
     var bindings = compile(q.where)
     q.mods.limit.foreach(n => bindings = bindings.limit(n.toInt))
     val rowId = syn("row")
@@ -1218,6 +1327,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       .dropDuplicates("s", "p", "o")
   }
 
-  def compileAsk(q: AskQuery): Boolean =
+  def compileAsk(q: AskQuery): Boolean = {
+    if (!q.dataset.isEmpty) dataset = q.dataset
     !compile(q.where).isEmpty
+  }
 }

@@ -368,7 +368,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
       case e ~ v => EBind(v, e)
     } |
     kw("VALUES") ~> inlineData ^^ EValues.apply |
-    kw("GRAPH") ~> (varName | iri) ~> groupGraphPattern ^^ ESub.apply |
+    kw("GRAPH") ~> (varName ^^ (VarNode(_): Node) |
+        iri ^^ (i => TermNode(Iri(i)): Node)) ~ groupGraphPattern ^^ {
+      case g ~ p => ESub(GraphPat(g, p))
+    } |
     groupOrUnion |
     triplesBlock ^^ ETriples.apply
 
@@ -435,8 +438,11 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def whereClause: Parser[GraphPattern] =
     opt(kw("WHERE")) ~> groupGraphPattern
 
-  def datasetClause: Parser[Unit] =
-    kw("FROM") ~> opt(kw("NAMED")) ~> iri ^^ (_ => ())
+  /** FROM [NAMED] <iri> → (isNamed, iri). */
+  def datasetClause: Parser[(Boolean, String)] =
+    kw("FROM") ~> opt(kw("NAMED")) ~ iri ^^ {
+      case named ~ i => (named.isDefined, i)
+    }
 
   def solutionModifier: Parser[Modifiers] =
     opt(groupClause) ~ opt(havingClause) ~ opt(orderClause) ~ limitOffset ^^ {
@@ -475,15 +481,15 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def selectQuery: Parser[SelectQuery] =
     selectClause ~ rep(datasetClause) ~ whereClause ~ solutionModifier ~
       opt(valuesClause) ^^ {
-      case (d, r, proj) ~ _ ~ where ~ mods ~ values =>
-        SelectQuery(d, r, proj, where, mods, values)
+      case (d, r, proj) ~ ds ~ where ~ mods ~ values =>
+        SelectQuery(d, r, proj, where, mods, values, DatasetClause.of(ds))
     }
 
   def constructQuery: Parser[ConstructQuery] =
     kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~ rep(datasetClause) ~
       whereClause ~ solutionModifier ^^ {
-      case tmpl ~ _ ~ where ~ mods =>
-        ConstructQuery(tmpl.getOrElse(Nil), where, mods)
+      case tmpl ~ ds ~ where ~ mods =>
+        ConstructQuery(tmpl.getOrElse(Nil), where, mods, DatasetClause.of(ds))
     } |
     // CONSTRUCT WHERE { pattern } shorthand
     kw("CONSTRUCT") ~> kw("WHERE") ~> ("{" ~> opt(triplesBlock) <~ "}") ~
@@ -493,7 +499,9 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     }
 
   def askQuery: Parser[AskQuery] =
-    kw("ASK") ~> rep(datasetClause) ~> groupGraphPattern ^^ AskQuery.apply
+    kw("ASK") ~> rep(datasetClause) ~ groupGraphPattern ^^ {
+      case ds ~ p => AskQuery(p, DatasetClause.of(ds))
+    }
 
   def describeQuery: Parser[DescribeQuery] =
     kw("DESCRIBE") ~> rep1(

@@ -73,6 +73,7 @@ object Substitute {
     case Extend(q, v, e) => Extend(pattern(q, m), v, expr(e, m))
     case t: TableData => t
     case SubSelect(q) => SubSelect(selectQ(q, m))
+    case GraphPat(g, q) => GraphPat(node(g, m), pattern(q, m))
   }
 
   def expr(e: Expr, m: Map[String, RdfTerm]): Expr = e match {

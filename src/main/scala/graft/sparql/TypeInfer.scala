@@ -100,6 +100,13 @@ object TypeInfer {
         v -> rows.flatMap(_(i)).map(termDecision).toSet
       }.toMap
     case SubSelect(q) => selectSigs(q, meta)
+    case GraphPat(g, q) =>
+      // graph names are IRIs → string display
+      val gs = g match {
+        case VarNode(v) => Map(v -> Set[Decision](DStr))
+        case _ => Map.empty[String, Set[Decision]]
+      }
+      merge(gs, patternSigs(q, meta))
   }
 
   private def tripleSigs(tp: TriplePattern,
