@@ -498,6 +498,20 @@ object SparkEntry {
           F.md5(F.col("chunk_text")).as("chunk_md5"),
           F.col("n_chunk_tokens"))
     }),
+    "q_curate_fuzzy" -> ((s, dir) => {
+      // the full curation with the fuzzy near-dup stage wired in:
+      // gate → exact dedup → minhash near-dup groups (keep min id) →
+      // decontamination → chunking, still one composed plan
+      val docs = read(s, dir, "documents")
+      graft.pipeline.Curation.curate(docs, "doc_id", "text",
+        minQuality = 0.7, langs = Seq("en", "de"),
+        benchmark = Some((docs.where(F.col("doc_id") % 20 === 0), "text")),
+        contaminationK = 13, chunkSize = 64, chunkStride = 48,
+        nearDupJaccard = Some(0.8), nearDupK = 3)
+        .select(F.col("doc_id"), F.col("chunk_id").cast(LongType),
+          F.md5(F.col("chunk_text")).as("chunk_md5"),
+          F.col("n_chunk_tokens"))
+    }),
 
     // --- similarity search (embeddings)
     "q_knn_brute" -> ((s, dir) => {
@@ -1468,6 +1482,91 @@ object SparkEntry {
            JOIN bench USING (gram)
            WHERE eg.doc_id IN (SELECT doc_id FROM dd)),
          clean AS (SELECT doc_id, toks FROM dd
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+           FROM clean)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+           md5(array_to_string(toks[(i-1)*48+1 : (i-1)*48+64], ' '))
+             AS chunk_md5,
+           CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
+             AS n_chunk_tokens
+         FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
+    "q_curate_fuzzy" ->
+      // q_curate's stage oracle with the FUZZY near-dup stage spliced in
+      // after exact dedup: exact all-pairs Jaccard ≥ 0.8 over 3-token
+      // grams among the dedup survivors (the same exhaustive truth the
+      // q_dedup_minhash oracle justifies), connected components by
+      // recursive closure, keep each component's min id
+      """WITH RECURSIVE t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+           CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awl,
+           least(length(text) / 200.0, 1.0) AS len_score
+           FROM t),
+         q AS (SELECT doc_id, round(
+             len_score * 0.3
+             + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
+           FROM m),
+         s AS (SELECT doc_id,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','pas','une','pour','avec','dans'))) AS s_fr,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','los','las','es','no','una','para','con','por'))) AS s_es
+           FROM t),
+         l AS (SELECT doc_id, CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM s),
+         gated AS (SELECT t.doc_id, t.text, t.toks
+           FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)
+           WHERE q.quality >= 0.7 AND l.lang_pred IN ('en', 'de')),
+         dd AS (SELECT doc_id, text, toks FROM (
+             SELECT g.*, row_number() OVER
+               (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM gated g) WHERE rn = 1),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM dd),
+         fpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams)) /
+             CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8),
+         e AS (SELECT id1 AS a, id2 AS b FROM fpairs
+               UNION ALL SELECT id2, id1 FROM fpairs),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS rid, least(a, MIN(b)) AS grp
+           FROM reach GROUP BY a),
+         fuzzy AS (SELECT doc_id, text, toks FROM dd
+           WHERE doc_id NOT IN (SELECT rid FROM comp WHERE grp <> rid)),
+         g2 AS (SELECT doc_id, CASE WHEN len(toks) >= 13
+             THEN list_distinct(list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i:i+12], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+         eg AS (SELECT doc_id, unnest(grams) AS gram FROM g2),
+         bench AS (SELECT DISTINCT gram FROM eg WHERE doc_id % 20 = 0),
+         contam AS (SELECT DISTINCT eg.doc_id FROM eg
+           JOIN bench USING (gram)
+           WHERE eg.doc_id IN (SELECT doc_id FROM fuzzy)),
+         clean AS (SELECT doc_id, toks FROM fuzzy
            WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
          c AS (SELECT doc_id, toks,
              CASE WHEN len(toks) <= 64 THEN 1

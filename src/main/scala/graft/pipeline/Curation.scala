@@ -13,19 +13,28 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   *   2. exact dedup keeping the smallest id ([[Dedup.exactDedup]] over an
   *      md5 digest, so the one shuffle keys on 32 hex chars, never the
   *      document body);
-  *   3. benchmark decontamination ([[Dedup.contamination]] 13-gram
+  *   3. (optional) FUZZY near-dup removal ([[Dedup.minhashDedupPairs]]
+  *      at a Jaccard threshold → [[Dedup.dedupGroups]] connected
+  *      components → keep each group's min id) — what a real
+  *      pretraining run does after exact dedup;
+  *   4. benchmark decontamination ([[Dedup.contamination]] 13-gram
   *      overlap, broadcast benchmark shingles, anti-join);
-  *   4. context-window chunking ([[TextAnalysis.chunk]]) — narrow.
+  *   5. context-window chunking ([[TextAnalysis.chunk]]) — narrow.
   *
   * One composed plan: Catalyst sees the whole flow, so the quality/lang
   * filters are evaluated in the first scan stage and only survivors reach
   * the dedup shuffle. Total cost at any scale = one digest-keyed shuffle
-  * + one broadcast semi-join; everything else stays in the scan's
+  * + one broadcast semi-join (+ with the fuzzy stage: one capped
+  * posting-list shuffle, the verify join, and the O(log n)
+  * pointer-doubling rounds over just the PAIRS — pairs are a tiny
+  * fraction of the corpus, so the added cost is dominated by the
+  * signature scan); everything else stays in the scan's
   * whole-stage-codegen span.
   *
-  * Stage ORDER is part of the contract (and of the `q_curate` oracle):
-  * dedup sees only gate survivors, contamination sees only dedup
-  * survivors, and the benchmark side is the caller's frame, unfiltered.
+  * Stage ORDER is part of the contract (and of the `q_curate` /
+  * `q_curate_fuzzy` oracles): dedup sees only gate survivors, the fuzzy
+  * stage only exact-dedup survivors, contamination only fuzzy survivors,
+  * and the benchmark side is the caller's frame, unfiltered.
   */
 object Curation {
 
@@ -46,6 +55,12 @@ object Curation {
     *                    [[TextAnalysis.mojibakeRatio]] exceeds it (the
     *                    standard crawl encoding filter; stays in the
     *                    same narrow scan stage as the quality gate)
+    * @param nearDupJaccard when set, remove FUZZY near-duplicates after
+    *                    exact dedup: MinHash-LSH candidate pairs at this
+    *                    Jaccard threshold (`nearDupK`-token shingles)
+    *                    collapse into connected components and only each
+    *                    group's smallest id survives
+    * @param nearDupK    shingle width for the fuzzy stage
     */
   def curate(docs: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
@@ -54,7 +69,9 @@ object Curation {
       contaminationK: Int = 13,
       chunkSize: Int = 64, chunkStride: Int = 48,
       htmlInput: Boolean = false,
-      maxMojibake: Option[Double] = None): DataFrame = {
+      maxMojibake: Option[Double] = None,
+      nearDupJaccard: Option[Double] = None,
+      nearDupK: Int = 3): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
     val input =
@@ -71,12 +88,24 @@ object Curation {
       .exactDedup(gated.withColumn("__digest", F.md5(F.col(text))),
         id, "__digest")
       .drop("__digest")
+    val fuzzy = nearDupJaccard match {
+      case Some(t) =>
+        // near-dup groups among the exact-dedup survivors; each group's
+        // min id is the keeper, every other member anti-joins away
+        val pairs = Dedup.minhashDedupPairs(deduped, id, text,
+          threshold = t, k = nearDupK)
+        val losers = Dedup.dedupGroups(pairs)
+          .where(F.col("grp") =!= F.col("rid"))
+          .select(F.col("rid").as(id))
+        deduped.join(losers, Seq(id), "left_anti")
+      case None => deduped
+    }
     val clean = benchmark match {
       case Some((bench, btext)) =>
-        val hits = Dedup.contamination(deduped, id, text, bench, btext,
+        val hits = Dedup.contamination(fuzzy, id, text, bench, btext,
           k = contaminationK)
-        deduped.join(hits.select(F.col("rid").as(id)), Seq(id), "left_anti")
-      case None => deduped
+        fuzzy.join(hits.select(F.col("rid").as(id)), Seq(id), "left_anti")
+      case None => fuzzy
     }
     TextAnalysis.chunk(clean, id, text, chunkSize, chunkStride)
   }

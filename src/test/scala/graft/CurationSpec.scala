@@ -97,6 +97,30 @@ class CurationSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 5L)) // 6 gated by encoding
   }
 
+  test("fuzzy stage removes near-dups after exact dedup, keeping min id") {
+    import spark.implicits._
+    // doc 7 is a NEAR-dup of doc 1 (one token changed → 3-gram Jaccard
+    // far above 0.8 on this length); exact dedup cannot catch it
+    val near = good.replace("warm blanket", "cozy blanket")
+    val df = fixture.union(Seq((7L, near)).toDF("doc_id", "text"))
+    val without = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4)
+    assert(without.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L, 7L))
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4, nearDupJaccard = Some(0.8))
+    // 7 collapses into 1's group; 1 (min id) survives, 5 is unrelated
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    // the stage runs AFTER exact dedup: pairs are computed among
+    // dedup survivors, so the exact-dup doc 2 never feeds the LSH
+    // (order contract); and the base one-exchange shape only grows by
+    // the documented posting/verify/group machinery, not a full-corpus
+    // self-join — pinned by the bounded candidate design in RecallSpec
+  }
+
   test("htmlInput extracts raw crawl pages to the same curated chunks") {
     import spark.implicits._
     // wrap every fixture text in markup (plus script noise a quality
