@@ -42,19 +42,46 @@ object GraphStore {
 
   /** Load a saved graph. The vertical index maps every predicate to a
     * partition-pruned (s, o) scan; the full triple view stays available
-    * for var-predicate patterns. */
+    * for var-predicate patterns.
+    *
+    * The index is LAZY: loading runs zero Spark jobs and materializes
+    * zero per-predicate plans — a real graph has 10⁴–10⁵ predicates
+    * (DBpedia: 60,649), and eagerly building one DataFrame per predicate
+    * at load made `load` O(|predicates|) driver work before the first
+    * query. Each predicate's pruned scan is built (and cached) on first
+    * lookup instead. */
   def load(spark: SparkSession, path: String): RdfGraph = {
     val df = spark.read.parquet(path)
-    // partition values come from the directory listing — no data scan
-    val preds = df.select(PRED_COL).distinct().collect()
-      .map(_.getString(0)).toSeq
-    val idx = preds.map { p =>
-      p -> df.where(F.col(PRED_COL) === p)
-        .select(F.col("s"), F.col("o"))
-    }.toMap
     val triples = df.select(F.col("s"), F.col("p"), F.col("o"))
     RdfGraph(triples, RdfGraph.defaultPrefixes ++ readPrefixes(path),
-      predIndex = idx)
+      predIndex = new LazyPredIndex(df))
+  }
+
+  /** On-demand vertical index over the predicate-partitioned layout.
+    * `get` needs NO predicate listing: a lookup of a predicate with no
+    * partition directory prunes to an empty scan, which IS that
+    * predicate's (empty) extension — so every lookup is answerable
+    * without a job, and `load` never runs the distinct the eager build
+    * paid. Iteration (diagnostics/tests only) derives the key set from
+    * the partition column — a listing-only scan, no row data. */
+  private final class LazyPredIndex(df: DataFrame)
+      extends scala.collection.immutable.Map[String, DataFrame] {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    private def scan(p: String): DataFrame =
+      cache.computeIfAbsent(p, p2 =>
+        df.where(F.col(PRED_COL) === p2).select(F.col("s"), F.col("o")))
+
+    override def get(p: String): Option[DataFrame] = Some(scan(p))
+    override def contains(p: String): Boolean = true
+    override def iterator: Iterator[(String, DataFrame)] =
+      df.select(PRED_COL).distinct().collect().iterator
+        .map { r => val p = r.getString(0); p -> scan(p) }
+    override def removed(key: String): Map[String, DataFrame] =
+      iterator.filter(_._1 != key).toMap
+    override def updated[V1 >: DataFrame](key: String,
+        value: V1): Map[String, V1] =
+      iterator.toMap.updated(key, value)
   }
 
   private def esc(s: String): String =

@@ -70,6 +70,35 @@ class GraphStoreSpec extends SparkSpec {
     assert(loaded.size == g.size)
   }
 
+  test("load is lazy: zero Spark jobs, zero per-predicate plans up front") {
+    val out = Files.createTempDirectory("graft-store4").toFile.getAbsolutePath
+    GraphStore.save(Tables.graph(spark, dir, "nation"), out)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val loaded = GraphStore.load(spark, out)
+      // a DBpedia-scale store has ~60k predicates; load must not pay a
+      // predicate-listing distinct (or build 60k frames) before the
+      // first query. The one job the reader itself runs is parquet
+      // schema inference — a single-footer read, O(1) in the number of
+      // predicates — so the budget is ≤1, not the old 1 + distinct.
+      Thread.sleep(500)
+      assert(jobs <= 1, s"load ran $jobs Spark jobs")
+      // first constant-predicate use builds exactly that scan, pruned
+      val one = loaded.predIndex("urn:graft:p/n_name")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__pred"), plan)
+      assert(one.count() == 25)
+      // unknown predicates answer empty without a listing
+      assert(loaded.predIndex("urn:graft:p/no_such").isEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("constant-predicate scans are partition-pruned") {
     val out = Files.createTempDirectory("graft-store3").toFile.getAbsolutePath
     GraphStore.save(Tables.graph(spark, dir, "nation"), out)
