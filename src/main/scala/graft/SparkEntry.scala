@@ -775,6 +775,47 @@ object SparkEntry {
           F.col("o.sample_rate").as("ogg_rate"),
           F.col("o.duration_ms").as("ogg_dur_ms"))
     }),
+    "q_audio_aac" -> ((s, dir) => {
+      // oracle-verified AAC (ADTS) + Ogg Opus header triage: two ADTS
+      // frames (srIdx/channel-config from doc_id; 23-byte frames, one
+      // 1024-sample raw block each → duration = 2048·1000/rate) and an
+      // OggS BOS page carrying OpusHead (channels/input-rate from
+      // doc_id; 48 kHz granule minus the 312-sample pre-skip) — all
+      // recomputed as direct arithmetic in DuckDB
+      import SqlHex.{hx2, le32h}
+      val srIdx = (F.col("doc_id") % 13).cast(IntegerType)
+      val chanCfg = (F.col("doc_id") % 6).cast(IntegerType) + 1
+      // one 23-byte frame: FF F1 | profile 01 + srIdx + chanCfg(3b) |
+      // frame length 23 packed over b3..b5 | fullness/rdb 0 | 16B payload
+      val adtsFrame = F.concat(
+        F.lit("FFF1"), hx2(F.lit(0x40) + srIdx * 4 + chanCfg.divide(4).cast(IntegerType)),
+        hx2((chanCfg % 4) * 64), F.lit("02" + "E0" + "00"),
+        F.repeat(F.lit("00"), 16))
+      val aac = F.unhex(F.concat(adtsFrame, adtsFrame))
+      val ch = (F.col("doc_id") % 2).cast(IntegerType) + 1
+      val inRate = ((F.col("doc_id") % 4).cast(IntegerType) + 1) * 12000
+      val granule = (F.col("doc_id") % 100).cast(IntegerType) * 48 + 480
+      val opus = F.unhex(F.concat(
+        F.lit("4F676753" + "00" + "02" + "0000000000000000" +
+          "07000000" + "00000000" + "00000000" + "01" + "13"),
+        F.lit("4F70757348656164" + "01"), hx2(ch), F.lit("3801"), // pre-skip 312
+        le32h(inRate), F.lit("0000" + "00"),
+        F.lit("4F676753" + "00" + "04"), le32h(granule), F.lit("00000000"),
+        F.lit("07000000" + "01000000" + "00000000" + "00")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Multimodal.headerAudioMeta(aac).as("a"),
+          Multimodal.headerAudioMeta(opus).as("o"))
+        .select(F.col("doc_id"),
+          F.col("a.mime").as("aac_mime"),
+          F.col("a.channels").as("aac_channels"),
+          F.col("a.sample_rate").as("aac_rate"),
+          F.col("a.duration_ms").as("aac_dur_ms"),
+          F.col("o.mime").as("opus_mime"),
+          F.col("o.channels").as("opus_channels"),
+          F.col("o.sample_rate").as("opus_rate"),
+          F.col("o.duration_ms").as("opus_dur_ms"))
+    }),
     "q_audio_flac" -> ((s, dir) => {
       // REAL lossless-FLAC decode, oracle-verified: a one-frame stream
       // whose CONSTANT subframe holds k·256 decodes to 192 identical
@@ -1578,6 +1619,30 @@ object SparkEntry {
            CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
              AS n_chunk_tokens
          FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
+    "q_audio_aac" ->
+      // ADTS fields mirror the synthesis arithmetic: srIdx → rate
+      // table, channel config 1..6, two 1-raw-block frames → 2048
+      // samples; Opus: 48 kHz granule minus the 312-sample pre-skip
+      """SELECT doc_id, 'audio/aac' AS aac_mime,
+                CAST(doc_id % 6 + 1 AS INTEGER) AS aac_channels,
+                CAST(CASE doc_id % 13
+                  WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                  WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                  WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                  WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                  ELSE 7350 END AS INTEGER) AS aac_rate,
+                CAST(2048000 // (CASE doc_id % 13
+                  WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                  WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                  WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                  WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                  ELSE 7350 END) AS BIGINT) AS aac_dur_ms,
+                'audio/opus' AS opus_mime,
+                CAST(doc_id % 2 + 1 AS INTEGER) AS opus_channels,
+                CAST((doc_id % 4 + 1) * 12000 AS INTEGER) AS opus_rate,
+                CAST(((doc_id % 100) * 48 + 480 - 312) * 1000 // 48000
+                  AS BIGINT) AS opus_dur_ms
+         FROM documents""",
     "q_audio_meta" ->
       // ground truth for the WAV-header synth/parse round trip: the
       // engine builds the header bytes from these same formulas, so the

@@ -31,13 +31,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    identification header (channels, rate); duration from the last
   *    page's granule position (total PCM samples), found by a bounded
   *    backward scan of the final 64 KiB.
+  *  - Ogg Opus: same container, first packet `OpusHead` (channels,
+  *    pre-skip, input sample rate); duration from the last granule
+  *    position MINUS pre-skip, in the 48 kHz units Opus granules use.
+  *  - AAC (ADTS): 0xFFF sync with layer 00, sampling-frequency-index
+  *    and channel-configuration tables from the fixed header; duration
+  *    by walking the 13-bit frame lengths (1024 samples per raw data
+  *    block). Like the MP3 path, sync alone is too weak a signature —
+  *    the frame walk must consume the input exactly (a truncated tail
+  *    or trailing ID3v1 tag excepted) or the bytes are not ADTS.
   *
   * Returns struct(mime, channels, sample_rate, bits_per_sample,
   * duration_ms); bits_per_sample is 0 for the perceptual formats
-  * (MP3/Ogg — no fixed linear bit depth); NULL for anything that isn't
-  * a recognizable audio header. Same 100 TB role as the image path:
-  * format/rate/length triage at full scan speed inside whole-stage
-  * codegen, long before any decode stage. */
+  * (MP3/AAC/Ogg — no fixed linear bit depth); NULL for anything that
+  * isn't a recognizable audio header. Same 100 TB role as the image
+  * path: format/rate/length triage at full scan speed inside
+  * whole-stage codegen, long before any decode stage. */
 case class AudioHeaderMeta(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -75,6 +84,12 @@ object AudioHeaderMeta {
   private val MimeFlac = UTF8String.fromString("audio/flac")
   private val MimeMp3 = UTF8String.fromString("audio/mpeg")
   private val MimeOgg = UTF8String.fromString("audio/ogg")
+  private val MimeAac = UTF8String.fromString("audio/aac")
+  private val MimeOpus = UTF8String.fromString("audio/opus")
+
+  /** ADTS sampling_frequency_index table (ISO/IEC 14496-3). */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
 
   // MPEG audio bitrate (kbps) and sample-rate tables, indexed by
   // [version group][layer]: v1 = MPEG1, v2 = MPEG2/2.5
@@ -237,38 +252,109 @@ object AudioHeaderMeta {
         }
       }
     }
-    // Ogg Vorbis: BOS page whose first packet is the vorbis
-    // identification header; duration from the LAST page's granule
-    // position (total PCM samples), found by a bounded backward scan
-    if (n >= 27 + 1 + 30 && u(0) == 'O' && u(1) == 'g' && u(2) == 'g' &&
+    // AAC in ADTS framing: optional ID3v2 tag, then the 12-bit 0xFFF
+    // sync with layer 00 (which the MP3 branch above rejects, so the
+    // two framings never shadow each other)
+    locally {
+      var p = 0
+      if (n >= 10 && u(0) == 'I' && u(1) == 'D' && u(2) == '3') {
+        val tagLen = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+        val skip = 10L + tagLen + (if ((u(5) & 0x10) != 0) 10L else 0L)
+        if (skip < n) p = skip.toInt else return null
+      }
+      if (p + 7 <= n && u(p) == 0xff && (u(p + 1) & 0xf0) == 0xf0 &&
+          ((u(p + 1) >> 1) & 3) == 0) {
+        val srIdx = (u(p + 2) >> 2) & 0x0f
+        val chanCfg = ((u(p + 2) & 1) << 2) | ((u(p + 3) >> 6) & 3)
+        if (srIdx < AdtsRates.length && chanCfg > 0) {
+          val rate = AdtsRates(srIdx)
+          val channels = if (chanCfg == 7) 8 else chanCfg
+          // frame walk: each frame's 13-bit length chains to the next
+          // sync; raw-data-block count accumulates 1024-sample blocks
+          var q = p
+          var blocks = 0L
+          var frames = 0
+          var bad = false
+          while (!bad && q + 7 <= n && u(q) == 0xff &&
+              (u(q + 1) & 0xf0) == 0xf0 && ((u(q + 1) >> 1) & 3) == 0) {
+            val flen = ((u(q + 3) & 3) << 11) | (u(q + 4) << 3) | (u(q + 5) >> 5)
+            if (flen < 7) bad = true
+            else {
+              blocks += (u(q + 6) & 3) + 1
+              frames += 1
+              q += flen
+            }
+          }
+          // the walk must land exactly at the end (or a truncated final
+          // frame past it, or a trailing ID3v1 tag) — bare sync bits on
+          // arbitrary bytes are not ADTS
+          val tailOk = q >= n ||
+            (q + 3 <= n && u(q) == 'T' && u(q + 1) == 'A' && u(q + 2) == 'G')
+          if (!bad && frames > 0 && tailOk) {
+            val dur = blocks * 1024L * 1000L / rate
+            return ("audio/aac", channels, rate, 0, dur)
+          }
+        }
+      }
+    }
+    // Ogg container: BOS page whose first packet identifies the codec —
+    // vorbis identification header or OpusHead; duration from the LAST
+    // page's granule position, found by a bounded backward scan
+    if (n >= 27 + 1 + 19 && u(0) == 'O' && u(1) == 'g' && u(2) == 'g' &&
         u(3) == 'S' && u(4) == 0) {
       val nsegs = u(26)
       val pk = 27 + nsegs // first packet of the first page
+      // last granule position in the final 64 KiB (total samples)
+      def lastGranule(): Long = {
+        var granule = -1L
+        var q = n - 27 // last possible page header start
+        val stop = math.max(0, n - 65536)
+        while (granule < 0 && q > stop) {
+          if (u(q) == 'O' && u(q + 1) == 'g' && u(q + 2) == 'g' &&
+              u(q + 3) == 'S' && u(q + 4) == 0 && q != 0) {
+            var g = 0L
+            var i = 7
+            while (i >= 0) { g = (g << 8) | u(q + 6 + i); i -= 1 }
+            if (g > 0) granule = g
+          }
+          q -= 1
+        }
+        granule
+      }
       if (pk + 30 <= n && u(pk) == 1 && u(pk + 1) == 'v' &&
           u(pk + 2) == 'o' && u(pk + 3) == 'r' && u(pk + 4) == 'b' &&
           u(pk + 5) == 'i' && u(pk + 6) == 's') {
         val channels = u(pk + 11)
         val rate = le32(pk + 12).toInt
         if (channels > 0 && rate > 0) {
-          var granule = -1L
-          var q = n - 27 // last possible page header start
-          val stop = math.max(0, n - 65536)
-          while (granule < 0 && q > stop) {
-            if (u(q) == 'O' && u(q + 1) == 'g' && u(q + 2) == 'g' &&
-                u(q + 3) == 'S' && u(q + 4) == 0 && q != 0) {
-              var g = 0L
-              var i = 7
-              while (i >= 0) { g = (g << 8) | u(q + 6 + i); i -= 1 }
-              if (g > 0) granule = g
-            }
-            q -= 1
-          }
+          val granule = lastGranule()
           // crafted huge granules would overflow ·1000 — degrade
           val dur =
             if (granule > 0 && granule < Long.MaxValue / 1000)
               granule * 1000L / rate
             else -1L
           return ("audio/ogg", channels, rate, 0, dur)
+        }
+      }
+      // OpusHead: magic(8) version(1) channels(1) preskip LE16
+      // inputRate LE32 gain LE16 mapping(1) = 19 bytes. Opus granules
+      // tick at 48 kHz regardless of the input rate; playback length
+      // excludes the pre-skip samples (RFC 7845 §4).
+      if (pk + 19 <= n && u(pk) == 'O' && u(pk + 1) == 'p' &&
+          u(pk + 2) == 'u' && u(pk + 3) == 's' && u(pk + 4) == 'H' &&
+          u(pk + 5) == 'e' && u(pk + 6) == 'a' && u(pk + 7) == 'd' &&
+          (u(pk + 8) >> 4) == 0) { // major version 0 (value 1 = v0.1)
+        val channels = u(pk + 9)
+        val preSkip = le16(pk + 10)
+        val inputRate = le32(pk + 12).toInt // informational; 0 = unknown
+        if (channels > 0) {
+          val granule = lastGranule()
+          val dur =
+            if (granule > preSkip && granule < Long.MaxValue / 1000)
+              (granule - preSkip) * 1000L / 48000L
+            else -1L
+          return ("audio/opus", channels,
+            if (inputRate > 0) inputRate else 48000, 0, dur)
         }
       }
     }
@@ -283,6 +369,8 @@ object AudioHeaderMeta {
         case "audio/wav" => MimeWav
         case "audio/flac" => MimeFlac
         case "audio/mpeg" => MimeMp3
+        case "audio/aac" => MimeAac
+        case "audio/opus" => MimeOpus
         case _ => MimeOgg
       }
       InternalRow(m, ch, rate, bits,

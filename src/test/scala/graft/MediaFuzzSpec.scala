@@ -113,6 +113,14 @@ class MediaFuzzSpec extends AnyFunSuite {
       hexBytes("664C6143" + "80" + "000022" + "00C0" + "00C0" +
         "000000" + "000000" + "01F400F0" + "000000C0" + "00" * 16 +
         "FFF8" + "10" + "08" + "00" + "00" + "00" + "1000" + "0000"),
+      // AAC ADTS (two 23-byte frames) and Ogg Opus (OpusHead BOS + EOS)
+      hexBytes("FFF15080" + "02E000" + "00" * 16 +
+        "FFF15080" + "02E000" + "00" * 16),
+      hexBytes("4F676753" + "00" + "02" + "00" * 8 + "07000000" +
+        "00000000" + "00000000" + "01" + "13" +
+        "4F70757348656164" + "01" + "02" + "3801" + "80BB0000" + "0000" + "00" +
+        "4F676753" + "00" + "04" + "E02E000000000000" + "07000000" +
+        "01000000" + "00000000" + "00"),
       // WebM (EBML header + Segment/Info/Tracks) and MP4 (ftyp + moov)
       hexBytes("1A45DFA3874282847765626D18538067A71549A9668E2AD7B183" +
         "0F4240448984463B80001654AE6B8FAE8D838101E088B0820500BA8202D0"),

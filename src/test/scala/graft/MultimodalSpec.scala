@@ -637,6 +637,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(6L).isEmpty)
   }
 
+  test("audio header metadata triages AAC (ADTS) and Ogg Opus headers") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // two 23-byte ADTS frames: srIdx 4 (44100), chanCfg 2, one raw
+    // block each → 2048 samples → 2048000/44100 = 46 ms
+    val frame = "FFF15080" + "02E000" + "00" * 16
+    val aac = hexBytes(frame + frame)
+    // Opus: 48000 input rate LE, pre-skip 312, EOS granule 12000 →
+    // (12000-312)*1000/48000 = 243 ms
+    val opus = hexBytes(
+      "4F676753" + "00" + "02" + "00" * 8 + "07000000" +
+        "00000000" + "00000000" + "01" + "13" +
+        "4F70757348656164" + "01" + "02" + "3801" + "80BB0000" + "0000" + "00" +
+        "4F676753" + "00" + "04" + "E02E000000000000" + "07000000" +
+        "01000000" + "00000000" + "00")
+    // ADTS frame walk must consume the input exactly: a sync followed
+    // by garbage (wrong chained length) is NOT AAC
+    val junkTail = hexBytes(frame) ++ "not an adts frame".getBytes("US-ASCII")
+    val rows = Seq((1L, aac), (2L, opus), (3L, junkTail))
+      .toDF("id", "content")
+      .select(F.col("id"),
+        Multimodal.headerAudioMeta(F.col("content")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3),
+          if (s.isNullAt(4)) -1L else s.getLong(4)))).toMap
+    assert(rows(1L).contains(("audio/aac", 2, 44100, 0, 2048000L / 44100)))
+    assert(rows(2L).contains(("audio/opus", 2, 48000, 0,
+      (12000L - 312) * 1000 / 48000)))
+    assert(rows(3L).isEmpty)
+  }
+
   test("audio features REALLY expand compressed G.711 ulaw/alaw samples") {
     import spark.implicits._
     val rows = Seq(
