@@ -54,7 +54,7 @@ object Bench {
         "report Double.MaxValue as every query's time")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      var best = Double.MaxValue
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var r = 0
       while (r < reps && err.isEmpty) {
@@ -63,13 +63,20 @@ object Bench {
           case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        times += (System.nanoTime() - t0) / 1e9
         r += 1
       }
-      (name, best, err)
+      (name, times.toSeq, err)
     }
     println(renderJson(results, sfDir, reps))
     spark.stop()
+  }
+
+  /** Median of the recorded rep times (even count → mean of middle two). */
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   private def jstr(s: String): String =
@@ -81,17 +88,22 @@ object Bench {
     } + "\""
 
   /** The one-line result JSON: successful queries under "queries" with
-    * their best-of-`reps` seconds; failed ones under "errors" with the
-    * exception — never as a (meaningless) time. */
-  def renderJson(results: Seq[(String, Double, Option[String])],
+    * their best-of-`reps` seconds PLUS a "medians" object with the
+    * median-of-reps, so the artifact itself shows run-to-run variance
+    * (this box swings ±35-70% between identical runs — a min that is
+    * far below its median is noise, not a regression). Failed queries
+    * land under "errors" with the exception — never as a time. */
+  def renderJson(results: Seq[(String, Seq[Double], Option[String])],
       sfDir: String, reps: Int = 1): String = {
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + f":$v%.3f" }
+    val ok = results.filter(r => r._3.isEmpty && r._2.nonEmpty)
+    val qs = ok.map { case (k, ts, _) => jstr(k) + f":${ts.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val meds = ok.map { case (k, ts, _) => jstr(k) + f":${median(ts)}%.3f" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2.min).sum
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs$errField,"sf":${jstr(sfDir)}}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"medians":$meds$errField,"sf":${jstr(sfDir)}}"""
   }
 }

@@ -343,11 +343,14 @@ class OperatorSpec extends SparkSpec {
 
   test("bench JSON reports failures as errors, not times") {
     val json = Bench.renderJson(Seq(
-      ("q_ok", 1.234, None),
-      ("q_boom", 0.001, Some("""AnalysisException: "col" not found"""))),
+      ("q_ok", Seq(2.0, 1.234, 1.8), None),
+      ("q_boom", Seq(0.001), Some("""AnalysisException: "col" not found"""))),
       "/tmp/sf", reps = 3)
     assert(json.contains(""""reps":3"""))
-    assert(json.contains(""""q_ok":1.234"""))
+    // min under "queries", median under "medians" — the artifact itself
+    // shows run-to-run variance
+    assert(json.contains(""""queries":{"q_ok":1.234}"""))
+    assert(json.contains(""""medians":{"q_ok":1.800}"""))
     assert(json.contains(""""errors":{"q_boom":"AnalysisException: \"col\" not found"}"""))
     assert(!json.contains(""""q_boom":0.001"""))
     assert(json.contains(""""value":1.234"""))
