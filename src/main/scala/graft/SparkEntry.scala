@@ -456,6 +456,50 @@ object SparkEntry {
         "doc_id", "n_tokens", maxTokens = 512)
         .select(F.col("seq_id"), F.size(F.col("doc_ids")).as("n_docs"),
           F.col("total_tokens"))),
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet-style corpus-wide line dedup: synthesized multi-line docs
+      // (unique line + corpus-hot footer + group line + body) so the
+      // first doc keeps the shared lines and every later one loses them
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat_ws("\n",
+          F.concat(F.lit("doc "), F.col("doc_id")),
+          F.lit("common footer line"),
+          F.concat(F.lit("group "), F.col("doc_id") % 7),
+          F.col("text")).as("text"))
+      TextAnalysis.dedupLines(docs, "doc_id", "text")
+        .select(F.col("doc_id"), F.col("clean_text"))
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      // crawl URL dedup: messy synthesized URLs (case, www, default port,
+      // tracking params, fragment, trailing slash) canonicalize into
+      // doc_id%40 groups with arithmetic keepers
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(F.lit("HTTPS://WWW.Example.COM:443/Docs/"),
+          F.col("doc_id") % 40,
+          F.lit("/?utm_source=feed&id="), F.col("doc_id") % 40,
+          F.lit("&utm_campaign=c"), F.col("doc_id") % 3,
+          F.lit("#frag")).as("url"))
+      TextAnalysis.urlDedup(docs, "doc_id", "url")
+        .select(F.col("doc_id"), F.col("url_canon"), F.col("keep_id"))
+    }),
+    "q_bm25" -> ((s, dir) =>
+      // Okapi BM25 against a fixed keyword query; one corpus-stats
+      // aggregate broadcasts back into a narrow scoring pass
+      graft.pipeline.Relevance.bm25(
+        read(s, dir, "documents").select(F.col("doc_id"), F.col("text")),
+        "text", Seq("spark", "join", "window"))
+        .select(F.col("doc_id"), F.col("bm25"))),
+    "q_unigram_nll" -> ((s, dir) =>
+      // add-one-smoothed unigram LM trained on the corpus itself
+      // (top-16 vocab → some tokens OOV); per-doc NLL quality gate
+      graft.pipeline.Relevance.unigramNll(
+        read(s, dir, "documents"), "doc_id", "text", vocabSize = 16)),
+    "q_mixture" -> ((s, dir) =>
+      // resample to a 50/30/20 source recipe; md5 buckets keep it
+      // deterministic and engine-reproducible
+      TextAnalysis.resampleToMixture(read(s, dir, "documents"), "doc_id",
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy("source").agg(F.count(F.lit(1)).as("n"))),
 
     // --- dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
@@ -1452,6 +1496,106 @@ object SparkEntry {
            round(COALESCE(ga.best / CAST(ga.n_grams AS DOUBLE), 0.0), 6)
              AS top_bigram_frac
          FROM d LEFT JOIN a USING (doc_id) LEFT JOIN ga USING (doc_id)""",
+    "q_line_dedup" ->
+      // first occurrence in (doc_id, position) order keeps each distinct
+      // line; row_number restates the engine's min-(id,idx) aggregate
+      """WITH d AS (SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             'common footer line' || chr(10) ||
+             'group ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text AS text
+           FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+         e AS (SELECT doc_id, i, ls[i] AS line
+               FROM l, unnest(range(1, len(ls) + 1)) AS u(i)),
+         r AS (SELECT doc_id, i, line,
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+               FROM e),
+         k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean
+               FROM r WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(k.clean, '') AS clean_text
+         FROM d LEFT JOIN k USING (doc_id)""",
+    "q_url_dedup" ->
+      // the canonicalization chain collapses the messy synthesized URL to
+      // pure doc_id arithmetic; keeper = min id in the canonical group
+      """WITH c AS (SELECT doc_id,
+             'https://example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+             '?id=' || CAST(doc_id % 40 AS VARCHAR) AS url_canon
+           FROM documents)
+         SELECT doc_id, url_canon,
+           MIN(doc_id) OVER (PARTITION BY url_canon) AS keep_id
+         FROM c""",
+    "q_bm25" ->
+      // same operation order as Relevance.bm25: per-term
+      // idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl)), summed in
+      // query order, k1=1.2 b=0.75
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         s AS (SELECT COUNT(*) AS n, SUM(dl) AS tot,
+                 SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+               FROM d)
+         SELECT doc_id, round(
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))),
+           6) AS bm25
+         FROM d, s""",
+    "q_unigram_nll" ->
+      // same model: top-16 vocab by (count desc, token), add-one
+      // smoothing over total+16+1; per-token ln p summed in document
+      // order (ordered list aggregate) like the engine's sequential fold
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT token, COUNT(*) AS n FROM
+                 (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         v AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 16),
+         e AS (SELECT doc_id, i, toks[i] AS token
+               FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         j AS (SELECT e.doc_id, e.i,
+                 ln((CAST(COALESCE(v.n, 0) AS DOUBLE) + 1.0)
+                    / (CAST(total AS DOUBLE) + 17.0)) AS lp
+               FROM e LEFT JOIN v USING (token), tot),
+         sm AS (SELECT doc_id, list_sum(list(lp ORDER BY i)) AS slp
+                FROM j GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+             THEN -(sm.slp) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS nll
+         FROM t LEFT JOIN sm USING (doc_id)""",
+    "q_mixture" ->
+      // T = min(ns/w) caps the total so no stratum upsamples; stratum
+      // cut = floor(w*T/ns*1e6) md5 buckets, same bucket recipe as
+      // q_split/q_sample
+      """WITH c AS (SELECT source, COUNT(*) AS ns FROM documents
+                    WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+         w AS (SELECT source, ns, CASE source WHEN 'src0' THEN 0.5
+                 WHEN 'src1' THEN 0.3 ELSE 0.2 END AS w FROM c),
+         t AS (SELECT MIN(CAST(ns AS DOUBLE) / w) AS T FROM w),
+         cut AS (SELECT source,
+                   CAST(floor(w * T / CAST(ns AS DOUBLE) * 1000000.0) AS BIGINT)
+                     AS cut
+                 FROM w, t),
+         b AS (SELECT d.source,
+                 CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 AS h, cut
+               FROM documents d JOIN cut USING (source))
+         SELECT source, COUNT(*) AS n FROM b WHERE h < cut GROUP BY 1""",
     "q_contamination" ->
       // hash equality in Dedup.contamination ⟺ 13-token-gram string
       // equality (xxhash collisions ~n²/2⁶⁴), so the flagged set and the

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Corpus-statistics relevance / quality scoring for training-data
+  * pipelines: Okapi BM25 keyword relevance and a smoothed unigram
+  * language-model negative-log-likelihood — the standard "does this
+  * document look like language / match this topic" signals a curation
+  * pipeline runs between the cheap heuristics ([[TextAnalysis]]) and
+  * expensive model-based scoring.
+  *
+  * Both operators follow the same 100-TB shape: ONE corpus-level
+  * aggregate produces the (tiny) global statistics — document count,
+  * average length, per-term document frequencies, top-V token counts —
+  * which then broadcast back into a NARROW, codegen'd scoring pass over
+  * the corpus. The scoring stage never shuffles; scoring cost is linear
+  * in corpus bytes regardless of cluster size.
+  *
+  * Determinism: every per-document score folds over the document's
+  * tokens in document order (sequential left fold), so the same input
+  * always produces the bit-identical double, and a SQL oracle can
+  * restate the arithmetic exactly.
+  */
+object Relevance {
+
+  /** Okapi BM25 score of each document against a fixed bag of query
+    * terms (Robertson & Walker; the Lucene `(1 + (N - df + 0.5)/(df + 0.5))`
+    * log-idf variant, which keeps idf positive for terms in more than
+    * half the corpus).
+    *
+    * Plan shape: one aggregate over the corpus computes `N`, total token
+    * count, and one document-frequency counter per query term — a single
+    * row, map-side combined — which cross-joins back as a broadcast.
+    * Scoring is then a narrow column recipe: per-term tf via
+    * `size(filter(tokens, = term))`, summed in query-term order.
+    *
+    * Returns df's columns plus `bm25` (rounded to 6 decimals). */
+  def bm25(df: DataFrame, textCol: String, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val withToks = df.withColumn("__toks", toks)
+      .withColumn("__dl", F.size(F.col("__toks")))
+    val aggs =
+      F.count(F.lit(1)).as("__n") +:
+      F.sum(F.col("__dl").cast(LongType)).as("__tot") +:
+      query.zipWithIndex.map { case (t, i) =>
+        F.sum(F.when(F.array_contains(F.col("__toks"), t), 1L)
+          .otherwise(0L)).as(s"__df_$i")
+      }
+    val stats = withToks.agg(aggs.head, aggs.tail: _*)
+    val scored = withToks.crossJoin(F.broadcast(stats))
+    val avgdl = F.col("__tot").cast(DoubleType) / F.col("__n").cast(DoubleType)
+    // per-term contributions added in query order: deterministic doubles
+    val score = query.zipWithIndex.map { case (t, i) =>
+      val dfT = F.col(s"__df_$i").cast(DoubleType)
+      val idf = F.log(F.lit(1.0) +
+        (F.col("__n").cast(DoubleType) - dfT + 0.5) / (dfT + 0.5))
+      val tf = F.size(F.filter(F.col("__toks"), x => x === t)).cast(DoubleType)
+      val norm = tf + F.lit(k1) * (F.lit(1.0 - b) +
+        F.lit(b) * F.col("__dl").cast(DoubleType) / avgdl)
+      idf * (tf * (k1 + 1.0)) / norm
+    }.reduceLeft(_ + _)
+    scored.withColumn("bm25", F.round(score, 6))
+      .select(df.columns.map(F.col) :+ F.col("bm25"): _*)
+  }
+
+  /** Per-document negative log-likelihood under an add-one-smoothed
+    * unigram language model trained on the corpus itself — the classic
+    * CCNet/KenLM-style "perplexity" quality gate, unigram order.
+    * High `nll` marks gibberish / non-language documents; low marks
+    * degenerate repetition of corpus-common tokens.
+    *
+    * Training is one explode + count shuffle (map-side combined), from
+    * which the top-`vocabSize` tokens (count desc, token asc — fully
+    * deterministic, ties included by token order) and the corpus token
+    * total are taken; everything else is out-of-vocabulary with count 0.
+    * `p(t) = (count(t) + 1) / (total + vocabSize + 1)`.
+    *
+    * The trained model is `vocabSize` (token, count) pairs — small by
+    * construction — and ships to the scoring stage as a broadcast map
+    * literal, so scoring is a NARROW fold over each document's tokens in
+    * document order: no join, no shuffle, whole-stage codegen. This is
+    * the same collect-the-tiny-model pattern as
+    * [[Similarity.IvfIndex]]'s centroids.
+    *
+    * Returns (idCol, n_tokens, nll) with `nll` = -(1/n)·Σ ln p(tᵢ)
+    * rounded to 6 decimals (0.0 for empty documents). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1024): DataFrame = {
+    require(vocabSize > 0)
+    val spark = df.sparkSession
+    val counts = df
+      .select(F.explode(TextAnalysis.tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = counts.agg(F.sum(F.col("n")).cast(LongType)).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      val top = counts
+        .orderBy(F.col("n").desc, F.col("token"))
+        .limit(vocabSize)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      val denom = (total + vocabSize + 1).toDouble
+      // empty corpus → every token OOV (count 0); typedlit rejects Map()
+      val cnt: Column => Column =
+        if (top.isEmpty) _ => F.lit(0L)
+        else { val m = F.typedlit(top); x => F.coalesce(F.element_at(m, x), F.lit(0L)) }
+      val toks = TextAnalysis.tokens(F.col(textCol))
+      val lpSum = F.aggregate(toks, F.lit(0.0), (acc, x) =>
+        acc + F.log((cnt(x).cast(DoubleType) + 1.0) / denom))
+      val n = F.size(toks)
+      df.select(F.col(idCol), n.cast(LongType).as("n_tokens"),
+        F.round(F.when(n > 0, -lpSum / n.cast(DoubleType)).otherwise(0.0), 6)
+          .as("nll"))
+    } finally counts.unpersist(blocking = false)
+  }
+}

@@ -179,6 +179,118 @@ object TextAnalysis {
         F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"): _*)
   }
 
+  /** CCNet-style cross-document line deduplication: every distinct line
+    * is kept exactly ONCE corpus-wide — at its first occurrence in
+    * (id, line-position) order — and every later occurrence is dropped.
+    * This is the shard-level dedup CCNet (Wenzek et al. 2020) runs on
+    * Common Crawl, where boilerplate lines repeat across millions of
+    * pages; unlike [[stripBoilerplate]] (which drops hot lines from ALL
+    * documents) the first document keeps its copy. Documents are rebuilt
+    * from their surviving lines in original order (empty string when
+    * nothing survives).
+    *
+    * Shape: one line posexplode → per-line min-occurrence aggregate
+    * (map-side combined: the hottest line still reduces to one (id, idx)
+    * pair per map task) → self-equi-join on the line back to the
+    * exploded rows (sort-merge on the same key the aggregate shuffled
+    * on, so AQE reuses the partitioning) → one per-doc regroup. No
+    * O(n²), no driver state; the heaviest key (the corpus's most common
+    * line) costs one shuffle record per map task, not per occurrence. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(F.col(idCol).as("__id"),
+      F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("__idx", "__line")))
+    val first = lines.groupBy(F.col("__line").as("__l"))
+      .agg(F.min(F.struct(F.col("__id"), F.col("__idx"))).as("__first"))
+    val kept = lines.join(first,
+      F.col("__line") === F.col("__l") &&
+        F.struct(F.col("__id"), F.col("__idx")) === F.col("__first"))
+      .select(F.col("__id"), F.col("__idx"), F.col("__line"))
+    val rebuilt = kept.groupBy("__id")
+      .agg(F.array_join(F.transform(F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),
+        s => s.getField("__line")), "\n").as("__clean"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
+      .select(df.columns.map(df(_)) :+
+        F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"): _*)
+  }
+
+  /** URL canonicalization for crawl dedup — the normalizations that make
+    * two spellings of the same resource compare equal: scheme+authority
+    * lowercased (path/query case preserved — they are case-sensitive),
+    * fragment dropped, `www.` and default ports (`:80` http, `:443`
+    * https) stripped, tracking parameters (`utm_*`, `gclid`, `fbclid`,
+    * `ref`) removed with separator repair, and the trailing slash before
+    * end/query dropped. Pure codegen'd `regexp_replace` chain in the
+    * RE2-compatible subset (no lookaround/backrefs in patterns), so the
+    * identical regexes run in sibling engines and oracles. Narrow map,
+    * no shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    // drop fragment first so later [^&#] classes need not re-guard it
+    val noFrag = F.regexp_replace(url, "#.*", "")
+    // lowercase scheme://authority, preserve the rest byte-for-byte
+    val head = F.regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = F.concat(F.lower(head),
+      noFrag.substr(F.length(head) + 1, F.length(noFrag)))
+    val noWww = F.regexp_replace(lowered, "://www\\.", "://")
+    val noPort = F.regexp_replace(
+      F.regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val trackers = "utm_[A-Za-z0-9_]*|gclid|fbclid|ref"
+    // non-first params (&k=v), then a first param promoting its successor,
+    // then a sole/last first param
+    val noTrack = F.regexp_replace(F.regexp_replace(F.regexp_replace(noPort,
+      s"&($trackers)=[^&#]*", ""),
+      s"\\?($trackers)=[^&#]*&", "?"),
+      s"\\?($trackers)=[^&#]*$$", "")
+    F.regexp_replace(noTrack, "/(\\?|$)", "$1")
+  }
+
+  /** URL-keyed crawl dedup: canonicalize, then group — each row gains
+    * `url_canon` and `keep_id` (the minimum id sharing its canonical
+    * URL; a row is the keeper iff `keep_id == id`). One aggregate
+    * shuffle on the canonical string + a join back on the same key
+    * (partitioning reused). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.withColumn("url_canon", canonicalizeUrl(F.col(urlCol)))
+    val keepers = canon.groupBy(F.col("url_canon").as("__k"))
+      .agg(F.min(F.col(idCol)).as("keep_id"))
+    canon.join(keepers, canon("url_canon") === keepers("__k"))
+      .select(df.columns.map(df(_)) :+ F.col("url_canon") :+ F.col("keep_id"): _*)
+  }
+
+  /** Resample a corpus to a target source mixture — the "data recipe"
+    * step of a pretraining pipeline (e.g. 50% curated, 30% crawl,
+    * 20% code). Strata absent from `targets` are dropped; no stratum is
+    * upsampled: the achievable total is maxed subject to every kept
+    * stratum hitting its normalized share, i.e. T = min_s(n_s / w_s),
+    * then stratum s keeps floor(w_s·T/n_s·1e6) of the 1e6 md5 buckets —
+    * the same engine-reproducible bucket as [[deterministicSplit]], so
+    * the resample is stable across runs, cluster sizes, and engines.
+    *
+    * Fully declarative: one tiny per-stratum count aggregate → a 1-row
+    * min reduce → broadcast back; the corpus-side pass is a narrow
+    * filter. No driver-side state. */
+  def resampleToMixture(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0))
+    val wTot = targets.values.sum
+    val inTargets = df.where(F.col(stratumCol).isInCollection(targets.keys.toSeq))
+    val counts = inTargets.groupBy(F.col(stratumCol).as("__s"))
+      .agg(F.count(F.lit(1)).as("__ns"))
+      .withColumn("__w", targets.toSeq.sortBy(_._1)
+        .foldLeft(F.lit(0.0)) { case (acc, (s, w)) =>
+          F.when(F.col("__s") === s, F.lit(w / wTot)).otherwise(acc) })
+    val t = counts.agg(F.min(F.col("__ns").cast(DoubleType) / F.col("__w"))
+      .as("__T"))
+    val cuts = counts.crossJoin(F.broadcast(t))
+      .select(F.col("__s"),
+        F.floor(F.col("__w") * F.col("__T") / F.col("__ns").cast(DoubleType)
+          * 1000000.0).as("__cut"))
+    inTargets.join(F.broadcast(cuts), F.col(stratumCol) === F.col("__s"))
+      .where(md5Bucket(idCol, seed) < F.col("__cut"))
+      .select(df.columns.map(df(_)): _*)
+  }
+
   /** Repetition quality signals (the Gopher/MassiveText repetition-filter
     * family, Rae et al. 2021 §A1.1): fraction of duplicated lines,
     * fraction of characters in duplicated lines, and the share of word

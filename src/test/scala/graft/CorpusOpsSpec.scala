@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.pipeline.{Relevance, TextAnalysis}
+
+/** Corpus-level curation operators: CCNet-style line dedup, URL
+  * canonicalization/dedup, BM25 relevance, unigram-LM NLL, and
+  * target-mixture resampling. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ dedupLines
+
+  test("dedupLines keeps each line's first (id, position) occurrence only") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),
+      (3L, "gamma\nshared\ndelta\ndelta")).toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text")
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\nshared\nbeta") // first doc keeps everything
+    assert(out(2L) == "gamma")               // lost 'shared' to doc 1
+    // lost 'gamma' to doc 2 and 'shared' to doc 1; intra-doc repeat of
+    // 'delta' keeps only its first position
+    assert(out(3L) == "delta")
+  }
+
+  test("dedupLines: a doc losing every line survives with empty text") {
+    val docs = Seq((1L, "x\ny"), (2L, "x\ny")).toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text")
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "x\ny" && out(2L) == "")
+  }
+
+  // ------------------------------------------------------ canonicalizeUrl
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(TextAnalysis.canonicalizeUrl(F.col("u")))
+      .as[String].head()
+
+  test("canonicalizeUrl: case, www, default ports, fragment, slash") {
+    assert(canon("HTTP://WWW.Example.COM:80/A/b/#frag") ==
+      "http://example.com/A/b")
+    assert(canon("HTTPS://Example.COM:443/") == "https://example.com")
+    // non-default port survives; path/query case preserved
+    assert(canon("https://example.com:8080/Path?Q=V") ==
+      "https://example.com:8080/Path?Q=V")
+  }
+
+  test("canonicalizeUrl: tracking params at every position") {
+    assert(canon("https://x.com/p?utm_source=a&id=1") == "https://x.com/p?id=1")
+    assert(canon("https://x.com/p?id=1&utm_source=a") == "https://x.com/p?id=1")
+    assert(canon("https://x.com/p?a=1&gclid=g&b=2") == "https://x.com/p?a=1&b=2")
+    assert(canon("https://x.com/p?utm_a=1&utm_b=2") == "https://x.com/p")
+    assert(canon("https://x.com/p?fbclid=f") == "https://x.com/p")
+    // utm-ish value inside another param's VALUE is untouched
+    assert(canon("https://x.com/p?q=utm_source") == "https://x.com/p?q=utm_source")
+  }
+
+  test("urlDedup groups by canonical form with min-id keeper") {
+    val docs = Seq(
+      (10L, "http://www.a.com:80/x/"),
+      (20L, "HTTP://A.com/x"),
+      (30L, "http://a.com/y")).toDF("id", "url")
+    val rows = TextAnalysis.urlDedup(docs, "id", "url")
+      .select("id", "url_canon", "keep_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(10L) == (("http://a.com/x", 10L)))
+    assert(rows(20L) == (("http://a.com/x", 10L)))
+    assert(rows(30L) == (("http://a.com/y", 30L)))
+  }
+
+  // ------------------------------------------------------------------ bm25
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("id", "text")
+    val out = Relevance.bm25(docs, "text", Seq("cat"), k1 = 1.2, b = 0.75)
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    // N=3, df=1, avgdl=8/3; idf = ln(1 + (3-1+0.5)/1.5) = ln(8/3)
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    val tf = 2.0; val dl = 3.0; val avgdl = 8.0 / 3.0
+    val exp = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(out(1L) - exp) < 1e-6)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
+  test("bm25 is higher for rarer matched terms (idf ordering)") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, if (i == 1) "rare common" else "common filler"))
+      .toDF("id", "text")
+    val out = Relevance.bm25(docs, "text", Seq("rare", "common"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L)) // doc 1 matches both; rare contributes more
+  }
+
+  // ------------------------------------------------------------ unigramNll
+
+  test("unigramNll matches hand-computed add-one smoothed NLL") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c")).toDF("id", "text")
+    // counts: a=3, b=1, c=1; total=5; vocab=4 (all in); denom=5+4+1=10
+    val out = Relevance.unigramNll(docs, "id", "text", vocabSize = 4)
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    val lpA = math.log(4.0 / 10.0); val lpB = math.log(2.0 / 10.0)
+    val lpC = math.log(2.0 / 10.0)
+    assert(math.abs(out(1L) - (-(lpA + lpA + lpB) / 3.0)) < 1e-6)
+    assert(math.abs(out(2L) - (-(lpA + lpC) / 2.0)) < 1e-6)
+  }
+
+  test("unigramNll: OOV tokens score below any in-vocab token") {
+    val docs = Seq(
+      (1L, "x x x x y"), // x dominates; y falls outside vocabSize=1
+      (2L, "x x x x x")).toDF("id", "text")
+    val out = Relevance.unigramNll(docs, "id", "text", vocabSize = 1)
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L)) // the OOV 'y' raises doc 1's NLL
+  }
+
+  test("unigramNll: empty document scores 0.0 with 0 tokens") {
+    val docs = Seq((1L, ""), (2L, "a b")).toDF("id", "text")
+    val out = Relevance.unigramNll(docs, "id", "text", vocabSize = 4)
+      .select("id", "n_tokens", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0.0)))
+    assert(out(2L)._1 == 2L && out(2L)._2 > 0.0)
+  }
+
+  // ------------------------------------------------------ resampleToMixture
+
+  test("resampleToMixture hits the target recipe without upsampling") {
+    // srcA huge, srcB the binding constraint, srcC dropped (no target)
+    val docs = ((1 to 4000).map(i => (i.toLong, "srcA")) ++
+      (4001 to 4300).map(i => (i.toLong, "srcB")) ++
+      (4301 to 4400).map(i => (i.toLong, "srcC"))).toDF("id", "src")
+    val out = TextAnalysis.resampleToMixture(docs, "id", "src",
+      Map("srcA" -> 0.5, "srcB" -> 0.5))
+      .groupBy("src").agg(F.count(F.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // T = min(4000/0.5, 300/0.5) = 600 → each stratum targets 300 rows
+    assert(!out.contains("srcC"))
+    assert(out("srcB") == 300L)           // binding stratum keeps all
+    val a = out("srcA").toDouble
+    assert(a > 240 && a < 360, s"srcA=$a") // md5 buckets ≈ 300 of 4000
+  }
+
+  test("resampleToMixture is deterministic across runs") {
+    val docs = (1 to 1000).map(i =>
+      (i.toLong, if (i % 3 == 0) "x" else "y")).toDF("id", "src")
+    def ids() = TextAnalysis.resampleToMixture(docs, "id", "src",
+      Map("x" -> 0.5, "y" -> 0.5), seed = 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() == ids())
+  }
+}

@@ -162,6 +162,32 @@ object Drive {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
     graft.pipeline.Dedup.dedupGroups(pairs).orderBy("rid").show(false)
 
+    println("=== corpus ops: line dedup, URL dedup, BM25, unigram NLL, mixture:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val crawl = Seq(
+        (1L, "unique headline one\ncookie banner text\nreal article body",
+          "HTTP://WWW.News.COM:80/a/1/?utm_source=rss"),
+        (2L, "unique headline two\ncookie banner text\nmore real prose here",
+          "http://news.com/a/1"), // same page as doc 1 after canon
+        (3L, "spark join window article about query engines",
+          "https://news.com/a/3")).toDF("doc_id", "text", "url")
+      graft.pipeline.TextAnalysis.dedupLines(crawl, "doc_id", "text")
+        .select("doc_id", "clean_text").orderBy("doc_id").show(false)
+      graft.pipeline.TextAnalysis.urlDedup(crawl, "doc_id", "url")
+        .select("doc_id", "url_canon", "keep_id").orderBy("doc_id").show(false)
+      graft.pipeline.Relevance.bm25(crawl, "text", Seq("spark", "query"))
+        .select("doc_id", "bm25").orderBy("doc_id").show(false)
+      graft.pipeline.Relevance.unigramNll(crawl, "doc_id", "text", vocabSize = 8)
+        .orderBy("doc_id").show(false)
+      val sources = (1 to 40).map(i => (i.toLong,
+        if (i % 4 == 0) "curated" else "crawl")).toDF("doc_id", "source")
+      graft.pipeline.TextAnalysis.resampleToMixture(sources, "doc_id",
+        "source", Map("curated" -> 0.5, "crawl" -> 0.5))
+        .groupBy("source").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("source").show(false)
+    }
+
     spark.stop()
   }
 }
