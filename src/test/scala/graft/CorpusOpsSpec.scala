@@ -129,6 +129,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 2L && out(2L)._2 > 0.0)
   }
 
+  // ------------------------------------------------------------ plan shape
+
+  test("bm25 scoring is narrow: broadcast stats, zero scoring shuffles") {
+    val docs = (1 to 100).map(i => (i.toLong, s"token doc $i")).toDF("id", "text")
+    val plan = Relevance.bm25(docs, "text", Seq("token", "doc"))
+      .queryExecution.executedPlan.toString
+    // the only exchanges feed the 1-row stats aggregate + its broadcast;
+    // no hashpartitioning on the corpus-sized scoring side
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("unigramNll scoring is a narrow fold: no shuffle in the scored plan") {
+    val docs = (1 to 100).map(i => (i.toLong, s"token doc $i")).toDF("id", "text")
+    val plan = Relevance.unigramNll(docs, "id", "text", vocabSize = 8)
+      .queryExecution.executedPlan.toString
+    // the model collapsed to a map literal at fit time; scoring never
+    // exchanges
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("resampleToMixture corpus pass is filter + broadcast join only") {
+    val docs = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "x" else "y")).toDF("id", "src")
+    val plan = TextAnalysis.resampleToMixture(docs, "id", "src",
+      Map("x" -> 0.5, "y" -> 0.5)).queryExecution.executedPlan.toString
+    // the corpus side never hash-exchanges; cuts arrive by broadcast
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the tiny counts aggregate is allowed its exchange; the corpus scan
+    // side joins broadcast
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(corpusExchanges <= 2, plan)
+  }
+
   // ------------------------------------------------------ resampleToMixture
 
   test("resampleToMixture hits the target recipe without upsampling") {
