@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, VideoFeatures, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingle_hashes(tokens, k) takes 2 arguments")
         ShingleHashes(args.head, litInt(args(1), "shingle size k"))
+      }))
+    ext.injectFunction((FunctionIdentifier("span_hashes"),
+      info(classOf[SpanHashes], "span_hashes",
+        "span_hashes(tokens, k) - positional k-token window hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "span_hashes(tokens, k) takes 2 arguments")
+        SpanHashes(args.head, litInt(args(1), "span window size k"))
       }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info(classOf[MinHashSig], "minhash_sig",

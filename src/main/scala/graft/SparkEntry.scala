@@ -71,6 +71,10 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.read(s, dir, t)
 
+  /** 24-token paragraph planted by q_span_dedup (shared between the
+    * Spark query and its oracle SQL). */
+  private val SharedPara: String = (0 until 24).map(i => s"p$i").mkString(" ")
+
   /** Flagship query on sf=0.001: SPARQL join+agg over the direct-mapped
     * graph (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
@@ -500,6 +504,27 @@ object SparkEntry {
       TextAnalysis.resampleToMixture(read(s, dir, "documents"), "doc_id",
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .groupBy("source").agg(F.count(F.lit(1)).as("n"))),
+    "q_span_dedup" -> ((s, dir) => {
+      // exact-substring span dedup (Lee et al. 2022): a 24-token
+      // paragraph planted on every 5th doc; only its first host keeps
+      // it, later hosts get exactly tokens [0,24) cut (window starts
+      // 0..4 at minLen=20 cover [0,24); boundary windows stay unique)
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 5 === 0,
+          F.concat(F.lit(SharedPara + " "), F.col("text")))
+          .otherwise(F.col("text")).as("text"))
+      Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
+        .select(F.col("doc_id"), F.col("clean_text"))
+    }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target model = src0 documents, source
+      // model = the whole corpus; hashed-unigram buckets, add-half
+      val docs = read(s, dir, "documents")
+      graft.pipeline.Relevance.dsirLogWeight(
+        docs.select(F.col("doc_id"), F.col("text")), "doc_id", "text",
+        docs.where(F.col("source") === "src0").select(F.col("text")),
+        "text", buckets = 256)
+    }),
 
     // --- dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
@@ -1596,6 +1621,68 @@ object SparkEntry {
                    AS BIGINT) % 1000000 AS h, cut
                FROM documents d JOIN cut USING (source))
          SELECT source, COUNT(*) AS n FROM b WHERE h < cut GROUP BY 1""",
+    "q_span_dedup" ->
+      // window-hash equality in dedupSpans ⟺ 20-token-gram string
+      // equality (xxhash collisions ~n²/2⁶⁴, same argument as
+      // q_contamination); rn>1 restates the min-(id,pos) first keeper
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN '$SharedPara ' || text ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM d),
+         w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+19], ' ') AS gram
+               FROM t, unnest(range(1, greatest(len(toks) - 18, 1))) AS u(i)),
+         f AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt
+               FROM w),
+         s AS (SELECT doc_id, pos FROM f WHERE cnt > 1 AND rn > 1),
+         e AS (SELECT doc_id, j - 1 AS idx, toks[j] AS tok
+               FROM t, unnest(range(1, len(toks) + 1)) AS u(j)),
+         kept AS (SELECT e.doc_id, e.idx, e.tok FROM e
+                  WHERE NOT EXISTS (SELECT 1 FROM s
+                    WHERE s.doc_id = e.doc_id
+                      AND s.pos <= e.idx AND e.idx < s.pos + 20)),
+         r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean
+               FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
+         FROM d LEFT JOIN r USING (doc_id)""",
+    "q_dsir" ->
+      // both bucket models restated from scratch: md5-bucketed unigram
+      // counts (target = src0 docs, source = all docs), add-half
+      // smoothing, per-token log ratio summed in document order
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         e AS (SELECT unnest(toks) AS tok FROM t),
+         sb AS (SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256
+                  AS b, COUNT(*) AS c FROM e GROUP BY 1),
+         st AS (SELECT CAST(SUM(c) AS DOUBLE) AS ts FROM sb),
+         t2 AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                  AS toks FROM documents WHERE source = 'src0'),
+         e2 AS (SELECT unnest(toks) AS tok FROM t2),
+         tb AS (SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256
+                  AS b, COUNT(*) AS c FROM e2 GROUP BY 1),
+         tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM tb),
+         q AS (SELECT doc_id, i, toks[i] AS tok
+               FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         j AS (SELECT q.doc_id, q.i,
+                 ln(((CAST(COALESCE(tb.c, 0) AS DOUBLE) + 0.5) / (tt.tt + 128.0))
+                    / ((CAST(COALESCE(sb.c, 0) AS DOUBLE) + 0.5) / (st.ts + 128.0)))
+                   AS r
+               FROM q
+               LEFT JOIN sb ON sb.b =
+                 CAST(('0x' || substr(md5(q.tok), 1, 15)) AS BIGINT) % 256
+               LEFT JOIN tb ON tb.b =
+                 CAST(('0x' || substr(md5(q.tok), 1, 15)) AS BIGINT) % 256,
+               st, tt),
+         g AS (SELECT doc_id, list_sum(list(r ORDER BY i)) AS lw
+               FROM j GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(COALESCE(g.lw, 0.0), 6) AS dsir_logw
+         FROM t LEFT JOIN g USING (doc_id)""",
     "q_contamination" ->
       // hash equality in Dedup.contamination ⟺ 13-token-gram string
       // equality (xxhash collisions ~n²/2⁶⁴), so the flagged set and the

@@ -447,6 +447,64 @@ object Dedup {
       .where(F.col("hits") >= minHits)
   }
 
+  /** Positional k-token window hashes (one per window START, no dedup) —
+    * [[graft.expressions.SpanHashes]], the positional sibling of
+    * [[shingleHashes]]. */
+  def spanHashes(text: Column, k: Int): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.SpanHashes(
+        graft.expressions.ColumnBridge.expression(F.split(text, " ")), k))
+
+  /** Span-level exact-substring deduplication (the ExactSubstr procedure
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): any token span of at least `minLen` tokens that
+    * occurs elsewhere in the corpus is removed, keeping only its FIRST
+    * occurrence in (id, position) order. Unlike document-level dedup
+    * this cuts the duplicated PASSAGE out of otherwise-distinct
+    * documents — boilerplate paragraphs, licence blocks, syndicated
+    * article bodies. Documents rebuild from their surviving tokens
+    * (single-space joined); `clean_text` is appended to df's columns.
+    *
+    * Dataflow (the distributed form of the paper's suffix array): every
+    * window start emits (hash, id, pos) — [[spanHashes]] is one
+    * allocation-free native loop, O(n·minLen) long ops, no strings —
+    * then ONE corpus-wide aggregate on the window hash finds each
+    * window's first occurrence (map-side combined; only hashes seen
+    * twice survive the filter), the join back reuses that partitioning,
+    * and a per-doc regroup collects duplicated starts. The rebuild is a
+    * narrow filter: token `i` survives unless a duplicated start `p`
+    * covers it (`p ≤ i < p+minLen`). A pathologically self-repetitive
+    * document (every window duplicated) is capped at `maxSpans`
+    * duplicated starts per doc — removal degrades (extra copies may
+    * survive) but the rebuild stays O(n·maxSpans), never O(n²).
+    *
+    * Window-hash equality stands in for span equality exactly as in
+    * [[contamination]]: xxhash64 collisions at ~n²/2⁶⁴ are negligible
+    * next to the dedup's own approximation. */
+  def dedupSpans(df: DataFrame, id: String, text: String,
+      minLen: Int = 50, maxSpans: Int = 8192): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val occ = df.select(F.col(id).as("__id"),
+      F.posexplode(spanHashes(F.col(text), minLen)).as(Seq("__pos", "__h")))
+    val firstOcc = occ.groupBy(F.col("__h").as("__hh"))
+      .agg(F.min(F.struct(F.col("__id"), F.col("__pos"))).as("__first"),
+        F.count(F.lit(1)).as("__cnt"))
+      .where(F.col("__cnt") > 1)
+    val dupStarts = occ.join(firstOcc, F.col("__h") === F.col("__hh"))
+      .where(F.struct(F.col("__id"), F.col("__pos")) =!= F.col("__first"))
+      .groupBy("__id")
+      .agg(F.slice(F.array_sort(F.collect_set(F.col("__pos"))),
+        1, maxSpans).as("__starts"))
+    val joined = df.join(dupStarts, df(id) === dupStarts("__id"), "left_outer")
+    val starts = F.coalesce(F.col("__starts"),
+      F.array().cast(ArrayType(IntegerType)))
+    val toks = TextAnalysis.tokens(F.col(text))
+    val kept = F.filter(toks, (_, i) =>
+      !F.exists(starts, p => p <= i && i < p + minLen))
+    joined.select(df.columns.map(df(_)) :+
+      F.array_join(kept, " ").as("clean_text"): _*)
+  }
+
   /** Near-dup pairs over an embedding column by cosine ≥ threshold.
     * Candidates come from multi-table sign-bit LSH through the SAME capped
     * posting-list shape as the MinHash/n-gram paths — never a bucket

@@ -120,4 +120,79 @@ object Relevance {
           .as("nll"))
     } finally counts.unpersist(blocking = false)
   }
+
+  /** Engine-reproducible hashed-n-gram feature bucket in [0, buckets):
+    * 60-bit md5 prefix of the token — the md5-bucket recipe of
+    * `TextAnalysis.deterministicSplit`, applied to tokens, so sibling
+    * engines (and SQL oracles) regenerate identical features. */
+  private def tokenBucket(tok: Column, buckets: Int): Column =
+    F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+      .cast(LongType) % buckets
+
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each corpus
+    * document by the log-likelihood ratio of two hashed-unigram bucket
+    * models — one fit on a small TARGET corpus (the distribution you
+    * want more of), one on the source corpus itself:
+    * `log w(x) = Σᵢ ln(p_target(bucket(tᵢ)) / p_source(bucket(tᵢ)))`,
+    * add-half smoothed. High `dsir_logw` = looks like the target.
+    *
+    * Both models are `buckets` counters — two explode+count aggregates
+    * (map-side combined), collected once into a per-bucket log-ratio
+    * array literal — so scoring is a NARROW in-order fold over each
+    * document's tokens: per token one md5 bucket + one array lookup, no
+    * join, no shuffle, whole-stage codegen. Returns (idCol, n_tokens,
+    * dsir_logw rounded to 6). Resample with [[dsirSample]] or feed the
+    * weight to `TextAnalysis.resampleToMixture`-style gating. */
+  def dsirLogWeight(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2)
+    def model(df: DataFrame, col: String): (Array[Long], Long) = {
+      val rows = df.select(F.explode(TextAnalysis.tokens(F.col(col))).as("tok"))
+        .groupBy(tokenBucket(F.col("tok"), buckets).as("b"))
+        .agg(F.count(F.lit(1)).as("n")).collect()
+      val cs = new Array[Long](buckets)
+      var tot = 0L
+      rows.foreach { r =>
+        cs(r.getLong(0).toInt) = r.getLong(1); tot += r.getLong(1) }
+      (cs, tot)
+    }
+    val (srcCnt, srcTot) = model(corpus, textCol)
+    val (tgtCnt, tgtTot) = model(target, targetTextCol)
+    val half = buckets * 0.5
+    val ratio: Seq[Double] = (0 until buckets).map { b =>
+      math.log(((tgtCnt(b) + 0.5) / (tgtTot + half)) /
+        ((srcCnt(b) + 0.5) / (srcTot + half)))
+    }
+    val rLit = F.typedlit(ratio)
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val logw = F.aggregate(toks, F.lit(0.0), (acc, x) =>
+      acc + F.element_at(rLit, (tokenBucket(x, buckets) + 1).cast(IntegerType)))
+    corpus.select(F.col(idCol),
+      F.size(toks).cast(LongType).as("n_tokens"),
+      F.round(logw, 6).as("dsir_logw"))
+  }
+
+  /** Deterministic DSIR selection: Gumbel-top-k over the importance
+    * weights (sampling without replacement ∝ w, Xie et al. §2), with the
+    * Gumbel noise derived from the SAME md5 bucket recipe as the
+    * deterministic split — `g = -ln(-ln((h + 0.5)/10⁶))` — so the
+    * selected subset is stable across runs, cluster sizes, and engines.
+    * One TakeOrdered top-k, no full sort. */
+  def dsirSample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      buckets: Int = 1024, seed: Long = 0L): DataFrame = {
+    val scored = dsirLogWeight(corpus, idCol, textCol, target, targetTextCol,
+      buckets)
+    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
+      F.col(idCol).cast(org.apache.spark.sql.types.StringType))), 1, 15), 16, 10)
+      .cast(LongType) % 1000000L
+    val gumbel = -F.log(-F.log((h.cast(DoubleType) + 0.5) / 1000000.0))
+    scored
+      .withColumn("__key", F.col("dsir_logw") + gumbel)
+      .orderBy(F.col("__key").desc, F.col(idCol))
+      .limit(k)
+      .select(F.col(idCol), F.col("dsir_logw"))
+  }
 }

@@ -129,6 +129,79 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 2L && out(2L)._2 > 0.0)
   }
 
+  // ------------------------------------------------------------ dedupSpans
+
+  test("spanHashes: distinct positional hashes equal the shingle set") {
+    val texts = Seq("a b c d e f g", "x y x y x y", "one two three",
+      "a a a a a", "p q r s t u v w")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select(
+      F.array_distinct(pipeline.Dedup.spanHashes(F.col("text"), 3)).as("sp"),
+      pipeline.Dedup.shingleHashes(F.col("text"), 3).as("sh"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (sp, sh) => assert(sp == sh) }
+  }
+
+  test("spanHashes: short docs yield no windows (unlike shingle fallback)") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val n = df.select(F.size(pipeline.Dedup.spanHashes(F.col("text"), 3)))
+      .as[Int].head()
+    assert(n == 0)
+  }
+
+  test("dedupSpans cuts later occurrences of a shared span, keeps first") {
+    val shared = "s1 s2 s3 s4 s5 s6" // 6 tokens, minLen 5 → starts 0,1
+    val docs = Seq(
+      (1L, s"$shared tail one two"),
+      (2L, s"head $shared x y z"),
+      (3L, "no overlap here at all")).toDF("id", "text")
+    val out = pipeline.Dedup.dedupSpans(docs, "id", "text", minLen = 5)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == s"$shared tail one two")   // first host untouched
+    assert(out(2L) == "head x y z")              // shared span excised
+    assert(out(3L) == "no overlap here at all")
+  }
+
+  test("dedupSpans handles intra-doc repetition and the maxSpans cap") {
+    // 'w1..w5' repeated 4 times: windows at every start are duplicated;
+    // only the first copy's tokens survive
+    val rep = (1 to 4).flatMap(_ => Seq("w1", "w2", "w3", "w4", "w5"))
+      .mkString(" ")
+    val docs = Seq((1L, rep)).toDF("id", "text")
+    val out = pipeline.Dedup.dedupSpans(docs, "id", "text", minLen = 5)
+      .select("clean_text").as[String].head()
+    assert(out == "w1 w2 w3 w4 w5")
+    // capped variant still returns and stays bounded
+    val capped = pipeline.Dedup.dedupSpans(docs, "id", "text", minLen = 5,
+      maxSpans = 2).select("clean_text").as[String].head()
+    assert(capped.startsWith("w1 w2 w3 w4 w5"))
+  }
+
+  // ------------------------------------------------------------------ dsir
+
+  test("dsirLogWeight ranks target-like documents above source-like") {
+    val corpus = ((1 to 10).map(i => (i.toLong, "alpha beta gamma")) ++
+      (11 to 20).map(i => (i.toLong, "delta epsilon zeta"))).toDF("id", "text")
+    val target = Seq.fill(5)("alpha beta gamma").map(Tuple1(_)).toDF("text")
+    val out = Relevance.dsirLogWeight(corpus, "id", "text", target, "text",
+      buckets = 64).select("id", "dsir_logw").as[(Long, Double)]
+      .collect().toMap
+    assert(out(1L) > out(11L))
+    assert(out(1L) > 0.0 && out(11L) < 0.0)
+  }
+
+  test("dsirSample is deterministic and prefers target-like docs") {
+    val corpus = ((1 to 20).map(i => (i.toLong, "alpha beta gamma")) ++
+      (21 to 40).map(i => (i.toLong, "delta epsilon zeta"))).toDF("id", "text")
+    val target = Seq(Tuple1("alpha beta gamma")).toDF("text")
+    def pick() = Relevance.dsirSample(corpus, "id", "text", target, "text",
+      k = 10, buckets = 64, seed = 3L).select("id").as[Long].collect().toSeq
+    val a = pick()
+    assert(a == pick())                       // deterministic
+    assert(a.count(_ <= 20L) >= 8, a.toString) // mostly target-like
+  }
+
   // ------------------------------------------------------------ plan shape
 
   test("bm25 scoring is narrow: broadcast stats, zero scoring shuffles") {
