@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -155,6 +155,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "gunzip(bytes) takes 1 argument")
         Gunzip(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("warc_records"),
+      info(classOf[WarcRecords], "warc_records",
+        "warc_records(bytes) - split an uncompressed WARC segment into " +
+          "record structs (warc_type, target_uri, date, record_id, " +
+          "content_type, payload)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "warc_records(bytes) takes 1 argument")
+        WarcRecords(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("http_message"),
+      info(classOf[HttpMessage], "http_message",
+        "http_message(bytes) - parse an HTTP/1.x response: (status, " +
+          "content_type, content_encoding, body); chunked bodies " +
+          "de-chunked"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "http_message(bytes) takes 1 argument")
+        HttpMessage(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_features"),
       info(classOf[ImageFeatures], "image_features",
