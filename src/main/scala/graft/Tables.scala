@@ -49,20 +49,30 @@ object Tables {
       "l_suppkey" -> "supplier")
   ).withDefaultValue(Map.empty)
 
-  /** Read one TESTDATA table. `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark refuses natively: read it as long (legacy conf) and
-    * convert ns → µs with integer division (a double division would lose
-    * precision above 2^53). A bucketized copy registered by [[bucketize]]
-    * takes precedence — its scan reports HashPartitioning on the bucket
-    * key, so downstream native-key joins co-locate with no exchange. */
+  /** Read one TESTDATA table. `events.ts` has shipped as both parquet
+    * TIMESTAMP(NANOS) (which Spark only reads as long via the legacy
+    * conf) and plain TIMESTAMP(MICROS); normalize whatever the file
+    * carries to TIMESTAMP_NTZ by inspecting the read schema — nanos come
+    * in as long and convert with integer division (a double division
+    * would lose precision above 2^53), tz-adjusted timestamps cast to
+    * NTZ, NTZ passes through. A bucketized copy registered by
+    * [[bucketize]] takes precedence — its scan reports HashPartitioning
+    * on the bucket key, so downstream native-key joins co-locate with no
+    * exchange. */
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val bt = bucketized.get((spark, sfDir, table))
     if (bt != null) spark.table(bt)
     else if (table == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        // NTZ so downstream parquet output stays tz-naive like the source
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      df.schema("ts").dataType match {
+        case LongType => // NANOS read as raw long: ns → µs → tz-naive
+          df.withColumn("ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case TimestampType => // tz-adjusted: keep wall-clock, drop the tz
+          df.withColumn("ts", F.col("ts").cast(TimestampNTZType))
+        case _ => df // already TIMESTAMP_NTZ (or a future compatible type)
+      }
     } else spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
