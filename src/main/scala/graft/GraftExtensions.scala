@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -147,6 +147,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "html_text(html) takes 1 argument")
         HtmlText(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("hashed_tf"),
+      info(classOf[HashedTf], "hashed_tf",
+        "hashed_tf(tokens, dim) - hashing-trick term-frequency vector " +
+          "(array<double> of dim md5-bucket counts)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hashed_tf(tokens, dim) takes 2 arguments")
+        HashedTf(args.head, litInt(args(1), "dim"))
       }))
     ext.injectFunction((FunctionIdentifier("gunzip"),
       info(classOf[Gunzip], "gunzip",

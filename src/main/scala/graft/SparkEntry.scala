@@ -516,6 +516,17 @@ object SparkEntry {
       Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
         .select(F.col("doc_id"), F.col("clean_text"))
     }),
+    "q_tfidf" -> ((s, dir) => {
+      // hashing-trick TF-IDF: the full vector oracle-checked sparsely —
+      // every nonzero (doc, bucket) weight restated in SQL (md5 buckets,
+      // integer tf, smooth idf, in-order L2 fold)
+      graft.pipeline.Relevance
+        .tfidfVector(read(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .select(F.col("doc_id"), F.posexplode(F.col("tfidf")))
+        .where(F.col("col") =!= 0.0)
+        .select(F.col("doc_id"), F.col("pos").cast(LongType).as("bucket"),
+          F.round(F.col("col"), 6).as("w"))
+    }),
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: target model = src0 documents, source
       // model = the whole corpus; hashed-unigram buckets, add-half
@@ -1649,6 +1660,28 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
          FROM d LEFT JOIN r USING (doc_id)""",
+    "q_tfidf" ->
+      // the whole embedding restated: same md5 buckets, tf counts,
+      // smooth idf ln((N+1)/(df+1))+1, L2 fold in bucket order
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         e AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS b
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         tf AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM e GROUP BY 1, 2),
+         dfc AS (SELECT b, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS c
+                 FROM e GROUP BY 1),
+         w AS (SELECT tf.doc_id, tf.b,
+                 tf.tf * (ln((nn.n + 1) / (dfc.c + 1)) + 1) AS w
+               FROM tf JOIN dfc USING (b), nn),
+         l2 AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY b))) AS l2
+                FROM w GROUP BY doc_id)
+         SELECT w.doc_id, CAST(w.b AS BIGINT) AS bucket,
+                round(w.w / l2.l2, 6) AS w
+         FROM w JOIN l2 USING (doc_id)""",
     "q_dsir" ->
       // both bucket models restated from scratch: md5-bucketed unigram
       // counts (target = src0 docs, source = all docs), add-half

@@ -195,4 +195,59 @@ object Relevance {
       .limit(k)
       .select(F.col(idCol), F.col("dsir_logw"))
   }
+
+  // ------------------------------------------------ hashed TF-IDF vectors
+
+  /** Hashing-trick TF-IDF document vector (full double precision):
+    * tokens hash into `dim` md5 buckets (the pipeline's
+    * engine-reproducible bucket recipe, [[graft.expressions.HashedTf]]),
+    * weighted `tf · (ln((N + 1)/(df_b + 1)) + 1)` (the sklearn
+    * smooth-idf variant, never zero), then L2-normalized per document —
+    * the classic sparse-text twin of the dense embeddings the ANN stack
+    * consumes.
+    *
+    * Plan shape (the 100-TB posture): document frequencies are ONE
+    * explode+count aggregate over per-document DISTINCT buckets — at
+    * most `dim` counters, map-side combined — collected once into an
+    * idf array literal. Scoring is then a NARROW pass: one native
+    * O(tokens + dim) counting loop per document plus three O(dim) HOFs
+    * (idf scale, L2 fold in index order, divide); no join, no shuffle,
+    * whole-stage codegen. A SQL oracle restates every weight exactly
+    * (md5 buckets, integer tf, in-order L2 fold).
+    *
+    * Returns (idCol, `tfidf` array<double> of length dim); documents
+    * with no tokens get the zero vector. [[tfidfEmbedding]] is the
+    * float32 cast that feeds cosine/LSH. */
+  def tfidfVector(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val n = df.count()
+    val dfRows = df
+      .select(F.explode(F.array_distinct(
+        F.transform(toks, t => tokenBucket(t, dim)))).as("b"))
+      .groupBy("b").agg(F.count(F.lit(1)).as("c")).collect()
+    val dfCnt = new Array[Long](dim)
+    dfRows.foreach(r => dfCnt(r.getLong(0).toInt) = r.getLong(1))
+    val idf: Seq[Double] =
+      (0 until dim).map(b => math.log((n + 1.0) / (dfCnt(b) + 1.0)) + 1.0)
+    val idfLit = F.typedlit(idf)
+    val tf = graft.expressions.ColumnBridge.column(
+      graft.expressions.HashedTf(
+        graft.expressions.ColumnBridge.expression(toks), dim))
+    val w = F.zip_with(tf, idfLit, (t, i) => t * i)
+    // L2 fold runs in bucket-index order → deterministic doubles the
+    // oracle reproduces with list_sum(list(x*x ORDER BY b))
+    val l2 = F.sqrt(F.aggregate(w, F.lit(0.0), (acc, x) => acc + x * x))
+    val unit = F.when(l2 > 0.0, F.transform(w, x => x / l2))
+      .otherwise(F.array_repeat(F.lit(0.0), dim))
+    df.select(F.col(idCol), unit.as("tfidf"))
+  }
+
+  /** [[tfidfVector]] cast to the `array<float>` shape the ANN machinery
+    * (cosine pairs, LSH/IVF top-k, kNN join) consumes. */
+  def tfidfEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    tfidfVector(df, idCol, textCol, dim)
+      .withColumn("tfidf", F.col("tfidf").cast(ArrayType(FloatType)))
 }

@@ -263,4 +263,61 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids() == ids())
   }
+
+  // --------------------------------------------------------- hashed TF-IDF
+
+  test("HashedTf bucket is bit-identical to the conv(md5) recipe") {
+    // 200 varied tokens (unicode, empty-adjacent, long), dim not a power
+    // of two — the native bucket must equal the SQL-composed one
+    val toks = (0 until 200).map(i => s"tok$i-é中${"x" * (i % 17)}")
+    val df = toks.toDF("tok")
+    val composed = df.select(
+      (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType) % 97).as("b"))
+      .as[Long].collect()
+    val native = toks.map(t => graft.expressions.HashedTf.bucket(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), 97).toLong)
+    assert(composed.toSeq == native.toSeq)
+  }
+
+  test("tfidfVector matches a hand-computed tiny corpus") {
+    // dim 4; find two tokens in distinct buckets, one shared, one rare
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("id", "text")
+    val out = Relevance.tfidfVector(docs, "id", "text", dim = 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    def bucket(t: String) = graft.expressions.HashedTf.bucket(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), 64)
+    val (ba, bb, bc) = (bucket("a"), bucket("b"), bucket("c"))
+    assert(Set(ba, bb, bc).size == 3) // no collision at dim 64 for these
+    val n = 3.0
+    def idf(df: Int) = math.log((n + 1) / (df + 1.0)) + 1.0
+    // doc 1: tf(a)=2, tf(b)=1; df(a)=2, df(b)=1
+    val w1a = 2.0 * idf(2); val w1b = 1.0 * idf(1)
+    val l21 = math.sqrt(w1a * w1a + w1b * w1b)
+    assert(math.abs(out(1L)(ba) - w1a / l21) < 1e-12)
+    assert(math.abs(out(1L)(bb) - w1b / l21) < 1e-12)
+    assert(out(1L).count(_ != 0.0) == 2)
+    // unit norm for non-empty docs; zero vector for the empty doc
+    val l2 = math.sqrt(out(2L).map(x => x * x).sum)
+    assert(math.abs(l2 - 1.0) < 1e-12)
+    assert(out(3L).forall(_ == 0.0) && out(3L).size == 64)
+  }
+
+  test("tfidfEmbedding feeds the ANN stack: cosine of identical docs = 1") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q r s t")).toDF("id", "text")
+    val emb = Relevance.tfidfEmbedding(docs, "id", "text", dim = 32)
+    val pairs = graft.pipeline.Dedup.embeddingCosinePairs(
+      emb, "id", "tfidf", threshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("tfidf scoring is narrow: idf folded to a literal, no scoring shuffle") {
+    val docs = (1 to 100).map(i => (i.toLong, s"token doc $i")).toDF("id", "text")
+    val plan = Relevance.tfidfVector(docs, "id", "text", dim = 16)
+      .queryExecution.executedPlan.toString
+    // the df aggregate ran at fit time (collected); the returned plan is
+    // one narrow projection over the corpus
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
