@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -147,6 +147,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "html_text(html) takes 1 argument")
         HtmlText(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("deflate_size"),
+      info(classOf[DeflateSize], "deflate_size",
+        "deflate_size(x) - DEFLATE-compressed byte count of a string/" +
+          "binary (zlib level 6); compression-ratio quality gates"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_size(x) takes 1 argument")
+        DeflateSize(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("hashed_tf"),
       info(classOf[HashedTf], "hashed_tf",

@@ -391,6 +391,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.fingerprint(F.col("text")).as("fp"))),
+    "q_compress_ratio" -> ((s, dir) =>
+      // rows-only by design (DuckDB exposes no deflate); CorpusOpsSpec
+      // pins round-trips and the repetitive < natural < random ordering
+      read(s, dir, "documents").select(
+        F.col("doc_id"),
+        TextAnalysis.compressionRatio(F.col("text")).as("ratio"))),
     "q_redact_pii" -> ((s, dir) =>
       // synthetic PII appended per doc so the scrub regexes actually fire
       read(s, dir, "documents").select(
@@ -515,6 +521,19 @@ object SparkEntry {
           .otherwise(F.col("text")).as("text"))
       Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
         .select(F.col("doc_id"), F.col("clean_text"))
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // host-graph PageRank prior: a synthetic host link graph derived
+      // from doc_id arithmetic (29 vs 31 moduli → varied degrees,
+      // dangling hosts), 5 power iterations in scaled-integer
+      // arithmetic — every rank is exact and the oracle unrolls the
+      // iterations as SQL CTEs
+      val docs = read(s, dir, "documents")
+      val edges = docs.select((F.col("doc_id") % 29).as("src"),
+        ((F.col("doc_id") * 7 + 3) % 31).as("dst")).distinct()
+      graft.pipeline.Graphs.pageRank(edges, iters = 5)
+        .select(F.col("node"), F.col("rank_scaled"),
+          F.round(F.col("rank"), 9).as("rank"))
     }),
     "q_tfidf" -> ((s, dir) => {
       // hashing-trick TF-IDF: the full vector oracle-checked sparsely —
@@ -1660,6 +1679,30 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
          FROM d LEFT JOIN r USING (doc_id)""",
+    "q_pagerank" ->
+      // the 5 power iterations unrolled as CTEs: identical integer
+      // arithmetic (// = div), so every rank_scaled is exact
+      ("""WITH e AS (SELECT DISTINCT doc_id % 29 AS src,
+                  (doc_id * 7 + 3) % 31 AS dst
+                FROM documents WHERE doc_id % 29 <> (doc_id * 7 + 3) % 31),
+         nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         p0 AS (SELECT v, 1000000000000 // n AS r FROM nodes, nn)""" +
+        (1 to 5).map { k =>
+          s""",
+         c$k AS (SELECT e.dst AS v,
+                   SUM((85 * p${k - 1}.r) // (100 * deg.d)) AS s
+                 FROM e JOIN p${k - 1} ON e.src = p${k - 1}.v
+                 JOIN deg ON deg.src = e.src GROUP BY 1),
+         p$k AS (SELECT nodes.v,
+                   (15 * 1000000000000) // (100 * nn.n)
+                     + COALESCE(c$k.s, 0) AS r
+                 FROM nodes CROSS JOIN nn
+                 LEFT JOIN c$k ON c$k.v = nodes.v)"""
+        }.mkString + """
+         SELECT v AS node, CAST(r AS BIGINT) AS rank_scaled,
+                round(r / 1000000000000.0, 9) AS rank FROM p5"""),
     "q_tfidf" ->
       // the whole embedding restated: same md5 buckets, tf counts,
       // smooth idf ln((N+1)/(df+1))+1, L2 fold in bucket order

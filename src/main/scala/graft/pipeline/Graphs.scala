@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Link-graph operators for corpus curation. The motivating use is
+  * host-level quality weighting of a web crawl (the CommonCrawl host
+  * ranking that seeds curation pipelines): build the host→host link
+  * graph once, PageRank it, and join the per-host rank back onto
+  * documents as a quality prior.
+  *
+  * Determinism contract: ranks are SCALED INTEGERS (a long number of
+  * `scale`-ths), every per-edge contribution is integer division, and
+  * per-node accumulation is an integer SUM — order-free, so the result
+  * is bit-identical across partitionings, cluster sizes, and engines,
+  * and a SQL oracle can restate each iteration exactly (floating-point
+  * PageRank would hash-mismatch on summation order alone).
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank over a directed edge list.
+    *
+    * Update rule (power iteration, dangling mass dropped — the simple
+    * variant; documents with no outlinks leak their mass, which only
+    * rescales ranks uniformly in the limit):
+    * {{{
+    *   r_0(v)     = scale / N
+    *   r_{k+1}(v) = (100 - dampingPct) * scale / (100 * N)
+    *              + Σ_{u→v} (dampingPct * r_k(u)) div (100 * outdeg(u))
+    * }}}
+    * all in long arithmetic (`div` = floor division; safe while
+    * `dampingPct * scale` < 2^63, true for the default 85 · 10^12).
+    *
+    * Scale posture: per iteration, ONE join of the rank table (|V| rows
+    * — hosts, not documents; broadcastable for any realistic crawl) onto
+    * the edge list keyed by source, one map-side-combined integer SUM by
+    * destination, one left join back onto the node set. The edge list,
+    * node set, and out-degree table are computed once and reused;
+    * `localCheckpoint` truncates the growing lineage each round, the
+    * same pattern as the SPARQL transitive-closure loop. `iters` is
+    * fixed (default 5) — curation wants a stable prior, not
+    * convergence-to-epsilon, and a fixed count is what a SQL oracle can
+    * unroll.
+    *
+    * Input edges should be pre-deduplicated (use `.distinct()`;
+    * multi-edges would double-count contributions). Self-loops are
+    * dropped. Returns (node, rank_scaled, rank) where
+    * `rank = rank_scaled / scale` (exact: rank_scaled < scale < 2^53).
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1,99], got $dampingPct")
+    require(scale >= 100 && scale <= Long.MaxValue / 100,
+      s"scale out of range: $scale")
+
+    val e = edges
+      .select(F.col(srcCol).cast(LongType).as("src"),
+        F.col(dstCol).cast(LongType).as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull &&
+        F.col("src") =!= F.col("dst"))
+      .localCheckpoint(false)
+    val nodes = e.select(F.col("src").as("v"))
+      .union(e.select(F.col("dst").as("v")))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("d"))
+      .localCheckpoint(false)
+
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val base = (100L - dampingPct) * scale / (100L * n)
+    val r0 = scale / n
+
+    var ranks = nodes.select(F.col("v"), F.lit(r0).as("r"))
+    var k = 0
+    while (k < iters) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("v"))
+        .join(deg, "src")
+        .select(F.col("dst").as("v"),
+          F.expr(s"($dampingPct * r) div (100 * d)").as("c"))
+        .groupBy("v").agg(F.sum(F.col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("v"), "left_outer")
+        .select(F.col("v"),
+          (F.lit(base) + F.coalesce(F.col("s"), F.lit(0L))).as("r"))
+        .localCheckpoint(false)
+      k += 1
+    }
+    ranks.select(F.col("v").as("node"), F.col("r").as("rank_scaled"),
+      (F.col("r").cast(DoubleType) / scale.toDouble).as("rank"))
+  }
+}

@@ -22,6 +22,24 @@ object TextAnalysis {
       graft.expressions.HtmlText(
         graft.expressions.ColumnBridge.expression(html)))
 
+  /** DEFLATE-compressed size of a string/binary column
+    * ([[graft.expressions.DeflateSize]] — narrow, codegen'd, one
+    * per-thread zlib handle). */
+  def deflateSize(x: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.DeflateSize(
+        graft.expressions.ColumnBridge.expression(x)))
+
+  /** Compression-ratio quality signal: deflated bytes / UTF-8 bytes
+    * (level-6 zlib). Repetitive/templated text lands well below natural
+    * language (~0.3-0.6); near-random bytes exceed 1. The Gopher-family
+    * gate that catches what token-level repetition stats miss (long-
+    * period boilerplate). Null for empty text; narrow, no shuffle. */
+  def compressionRatio(text: Column): Column =
+    F.when(F.octet_length(text) > 0,
+      F.round(deflateSize(text).cast(DoubleType) /
+        F.octet_length(text).cast(DoubleType), 6))
+
   /** Non-empty whitespace tokens. */
   def tokens(text: Column): Column =
     F.filter(F.split(text, " "), t => F.length(t) > 0)

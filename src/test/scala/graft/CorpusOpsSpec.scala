@@ -264,6 +264,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ids() == ids())
   }
 
+  // ------------------------------------------------------ compressionRatio
+
+  test("deflateSize round-trips through Inflater for text and binary") {
+    val texts = Seq("hello deflate world " * 10, "短い非ASCIIテキスト", "x")
+    val sizes = texts.toDF("t")
+      .select(TextAnalysis.deflateSize(F.col("t"))).as[Long].collect()
+    texts.zip(sizes).foreach { case (t, n) =>
+      val bytes = t.getBytes("UTF-8")
+      // independent recompute + inflate round-trip proves it's a real
+      // zlib stream of exactly the reported size
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](65536)
+      val len = d.deflate(buf); d.end()
+      assert(len.toLong == n)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(buf, 0, len)
+      val out = new Array[Byte](bytes.length + 16)
+      val got = inf.inflate(out); inf.end()
+      assert(out.take(got).toSeq == bytes.toSeq)
+    }
+  }
+
+  test("compressionRatio orders repetitive < natural < random") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq(
+      (1L, "the cat sat on the mat " * 200),                  // repetitive
+      (2L, Seq.fill(800)(s"w${rnd.nextInt(5000)}").mkString(" ")), // varied
+      (3L, Array.fill(4096)(rnd.nextPrintableChar()).mkString),    // random
+      (4L, ""))                                               // empty
+    val out = rows.toDF("id", "text")
+      .select(F.col("id"), TextAnalysis.compressionRatio(F.col("text")).as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).get < out(2L).get && out(2L).get < out(3L).get,
+      out.toString)
+    assert(out(1L).get < 0.1)   // long-period boilerplate crushes
+    assert(out(3L).get > 0.7)   // near-random barely compresses
+    assert(out(4L).isEmpty)     // empty → null, not 0/0
+  }
+
+  test("deflate_size is SQL-callable via extensions") {
+    val n = spark.sql("SELECT deflate_size('aaaaaaaaaaaaaaaaaaaaaaaa') AS n")
+      .as[Long].head()
+    assert(n > 0 && n < 24)
+  }
+
   // --------------------------------------------------------- hashed TF-IDF
 
   test("HashedTf bucket is bit-identical to the conv(md5) recipe") {
