@@ -397,6 +397,19 @@ object SparkEntry {
       read(s, dir, "documents").select(
         F.col("doc_id"),
         TextAnalysis.compressionRatio(F.col("text")).as("ratio"))),
+    "q_bpe" -> ((s, dir) => {
+      // corpus-trained BPE: fit 100 merges on the documents themselves
+      // (one distributed word-count aggregate + vocabulary-sized driver
+      // loop), then exact subword counts per doc. Rows-only by design
+      // (SQL cannot re-run the merge loop); BpeSpec pins the trainer
+      // against hand-computed merges and a local reference, and the
+      // greedy rank-order apply semantics
+      val docs = read(s, dir, "documents")
+      val model = graft.pipeline.Bpe.train(docs, "text", numMerges = 100)
+      docs.select(F.col("doc_id"),
+        graft.pipeline.Bpe.tokenCount(F.col("text"), model)
+          .cast(LongType).as("n_bpe_tokens"))
+    }),
     "q_redact_pii" -> ((s, dir) =>
       // synthetic PII appended per doc so the scrub regexes actually fire
       read(s, dir, "documents").select(
