@@ -535,6 +535,11 @@ object SparkEntry {
       Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
         .select(F.col("doc_id"), F.col("clean_text"))
     }),
+    "q_bigram_nll" -> ((s, dir) =>
+      // transition-aware perplexity gate; both capped count tables and
+      // the per-transition arithmetic restated in SQL
+      graft.pipeline.Relevance.bigramNll(read(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 256, bigramTop = 1024)),
     "q_pagerank" -> ((s, dir) => {
       // host-graph PageRank prior: a synthetic host link graph derived
       // from doc_id arithmetic (29 vs 31 moduli → varied degrees,
@@ -1692,6 +1697,33 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
          FROM d LEFT JOIN r USING (doc_id)""",
+    "q_bigram_nll" ->
+      // same capped tables ((count desc, key asc) cut), same per-
+      // transition formula, lp summed in document order
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS c
+                 FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+                 ORDER BY c DESC, tok LIMIT 256),
+         pr AS (SELECT doc_id, i, toks[i] AS w1,
+                  toks[i] || ' ' || toks[i + 1] AS bg
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2),
+         bi AS (SELECT bg, COUNT(*) AS c FROM pr GROUP BY 1
+                ORDER BY c DESC, bg LIMIT 1024),
+         j AS (SELECT pr.doc_id, pr.i,
+                 ln((CAST(COALESCE(bi.c, 0) AS DOUBLE) + 1) /
+                    (CAST(greatest(COALESCE(uni.c, 0), COALESCE(bi.c, 0))
+                       AS DOUBLE) + 257)) AS lp
+               FROM pr LEFT JOIN bi USING (bg)
+               LEFT JOIN uni ON uni.tok = pr.w1),
+         g AS (SELECT doc_id, list_sum(list(lp ORDER BY i)) AS s,
+                 COUNT(*) AS m
+               FROM j GROUP BY 1)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(COALESCE(-g.s / g.m, 0.0), 6) AS nll
+         FROM t LEFT JOIN g USING (doc_id)""",
     "q_pagerank" ->
       // the 5 power iterations unrolled as CTEs: identical integer
       // arithmetic (// = div), so every rank_scaled is exact

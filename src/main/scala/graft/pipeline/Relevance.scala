@@ -121,6 +121,61 @@ object Relevance {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Bigram language-model NLL — the transition-aware upgrade of
+    * [[unigramNll]] (a CCNet-style perplexity gate that also catches
+    * word-salad documents whose unigram mix looks fine): each adjacent
+    * transition (w₁ → w₂) scores
+    * `ln((c₂ + 1) / (max(c₁, c₂) + vocabSize + 1))` where c₂ is the
+    * bigram's corpus count (top-`bigramTop` table, else 0) and c₁ the
+    * first word's unigram count (top-`vocabSize` table, else 0); the
+    * `max` keeps every probability ≤ 1 when a bigram survives its
+    * context's vocabulary cut. NLL = -(mean over the n-1 transitions),
+    * 0.0 for docs with fewer than 2 tokens.
+    *
+    * Same 100-TB shape as the unigram gate: TWO corpus aggregates fit
+    * the capped count tables (map-side combined; deterministic
+    * (count desc, key asc) cut), collected once into map literals, and
+    * scoring is a narrow in-order fold per document — no join, no
+    * shuffle. Returns (idCol, n_tokens, nll rounded to 6). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1024, bigramTop: Int = 4096): DataFrame = {
+    require(vocabSize > 0 && bigramTop > 0)
+    val toksOf = TextAnalysis.tokens(F.col(textCol))
+    val uniTop = df
+      .select(F.explode(toksOf).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("token"))
+      .limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairsOf = F.when(F.size(toksOf) >= 2,
+      F.zip_with(
+        F.slice(toksOf, F.lit(1), F.size(toksOf) - 1),
+        F.slice(toksOf, F.lit(2), F.size(toksOf) - 1),
+        (a, b) => F.concat(a, F.lit(" "), b)))
+      .otherwise(F.array().cast(ArrayType(StringType)))
+    val biTop = df
+      .select(F.explode(pairsOf).as("bg"))
+      .groupBy("bg").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("bg"))
+      .limit(bigramTop)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def lookup(top: Map[String, Long]): Column => Column =
+      if (top.isEmpty) _ => F.lit(0L)
+      else { val m = F.typedlit(top); x => F.coalesce(F.element_at(m, x), F.lit(0L)) }
+    val uni = lookup(uniTop)
+    val bi = lookup(biTop)
+    val lpSum = F.aggregate(pairsOf, F.lit(0.0), (acc, p) => {
+      val w1 = F.substring_index(p, " ", 1)
+      val c2 = bi(p).cast(DoubleType)
+      val c1 = F.greatest(uni(w1), bi(p)).cast(DoubleType)
+      acc + F.log((c2 + 1.0) / (c1 + (vocabSize + 1).toDouble))
+    })
+    val n = F.size(toksOf)
+    df.select(F.col(idCol), n.cast(LongType).as("n_tokens"),
+      F.round(F.when(n >= 2, -lpSum / (n - 1).cast(DoubleType))
+        .otherwise(0.0), 6).as("nll"))
+  }
+
   /** Engine-reproducible hashed-n-gram feature bucket in [0, buckets):
     * 60-bit md5 prefix of the token — the md5-bucket recipe of
     * `TextAnalysis.deterministicSplit`, applied to tokens, so sibling

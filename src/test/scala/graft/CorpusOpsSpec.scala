@@ -264,6 +264,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ids() == ids())
   }
 
+  // ------------------------------------------------------------- bigramNll
+
+  test("bigramNll matches a hand-computed transition score") {
+    // corpus: "a b" ×3 and "a c" ×1 → uni: a=4, b=3, c=1;
+    // bigrams: "a b"=3, "a c"=1; V=4 → denom adds 5
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("id", "text")
+    val out = Relevance.bigramNll(docs, "id", "text", vocabSize = 4,
+      bigramTop = 4).select("id", "nll").as[(Long, Double)].collect().toMap
+    val ab = -math.log((3 + 1.0) / (math.max(4, 3) + 5.0)) // c1=uni(a)=4
+    val ac = -math.log((1 + 1.0) / (math.max(4, 1) + 5.0))
+    assert(math.abs(out(1L) - BigDecimal(ab).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(4L) - BigDecimal(ac).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1L) < out(4L)) // the common transition is cheaper
+  }
+
+  test("bigramNll: word salad scores worse than natural transitions") {
+    val natural = (1 to 30).map(_ => "the cat sat on the mat").mkString(" ")
+    val salad = "mat the on cat the sat " * 2 + "sat mat the on on cat"
+    val docs = (Seq((1L, natural)) ++ (2 to 20).map(i =>
+      (i.toLong, natural)) :+ (99L, salad)).toDF("id", "text")
+    val out = Relevance.bigramNll(docs, "id", "text")
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(99L), out.toString)
+  }
+
+  test("bigramNll: short docs score 0.0 with their token count") {
+    val docs = Seq((1L, ""), (2L, "solo"), (3L, "a b")).toDF("id", "text")
+    val out = Relevance.bigramNll(docs, "id", "text")
+      .select("id", "n_tokens", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0.0)) && out(2L) == ((1L, 0.0)))
+    assert(out(3L)._2 > 0.0)
+  }
+
+  test("bigramNll scoring is a narrow fold: no shuffle in the scored plan") {
+    val docs = (1 to 100).map(i => (i.toLong, s"token doc $i")).toDF("id", "text")
+    val plan = Relevance.bigramNll(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ------------------------------------------------------ compressionRatio
 
   test("deflateSize round-trips through Inflater for text and binary") {
