@@ -535,6 +535,12 @@ object SparkEntry {
       Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
         .select(F.col("doc_id"), F.col("clean_text"))
     }),
+    "q_kmeans" -> ((s, dir) =>
+      // deterministic integer k-means over the embeddings table: exact
+      // quantized distances, 2 Lloyd iterations, smallest-id init —
+      // the oracle unrolls every assignment and centroid update
+      graft.pipeline.Clustering.kmeans(read(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)),
     "q_bigram_nll" -> ((s, dir) =>
       // transition-aware perplexity gate; both capped count tables and
       // the per-transition arithmetic restated in SQL
@@ -1697,6 +1703,36 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
          FROM d LEFT JOIN r USING (doc_id)""",
+    "q_kmeans" ->
+      // quantize once, then 2 unrolled Lloyd iterations: assignment =
+      // exact integer distances with lowest-index tie-break, update =
+      // per-(cluster, pos) integer sum // count, empty clusters keep
+      // their previous centroid
+      ("""WITH v AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000)
+                    AS BIGINT)) AS q
+                FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
+                FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 4))""" +
+        Seq(("c0", "1"), ("c1", "2"), ("c2", "3")).map { case (ci, o) =>
+          s""",
+         d$o AS (SELECT v.vec_id, v.q, $ci.j,
+                   list_sum(list_transform(range(1, len(v.q) + 1),
+                     i -> (v.q[i] - $ci.c[i]) * (v.q[i] - $ci.c[i]))) AS dist
+                 FROM v CROSS JOIN $ci),
+         a$o AS (SELECT vec_id, q, j FROM (SELECT vec_id, q, j,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, j) AS rn FROM d$o) WHERE rn = 1)""" +
+          (if (o == "3") "" else s""",
+         s$o AS (SELECT j, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+                 FROM a$o, unnest(range(1, len(q) + 1)) AS r(i)
+                 GROUP BY 1, 2),
+         u$o AS (SELECT j, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
+                 FROM s$o GROUP BY 1),
+         c$o AS (SELECT $ci.j, COALESCE(u$o.c, $ci.c) AS c
+                 FROM $ci LEFT JOIN u$o USING (j))""")
+        }.mkString + """
+         SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a3"""),
     "q_bigram_nll" ->
       // same capped tables ((count desc, key asc) cut), same per-
       // transition formula, lp summed in document order
