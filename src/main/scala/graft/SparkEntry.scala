@@ -75,6 +75,36 @@ object SparkEntry {
     * Spark query and its oracle SQL). */
   private val SharedPara: String = (0 until 24).map(i => s"p$i").mkString(" ")
 
+  /** The unrolled integer-k-means CTE chain (k=4, iters=2, smallest-id
+    * init) shared by the q_kmeans and q_semantic_dedup oracles: v =
+    * quantized vectors, cN = centroids after N updates, aN = assignment
+    * against c(N-1), a3 = the final assignment. */
+  private val KmeansCtes: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000)
+                    AS BIGINT)) AS q
+                FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
+                FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 4))""" +
+      Seq(("c0", "1"), ("c1", "2"), ("c2", "3")).map { case (ci, o) =>
+        s""",
+         d$o AS (SELECT v.vec_id, v.q, $ci.j,
+                   list_sum(list_transform(range(1, len(v.q) + 1),
+                     i -> (v.q[i] - $ci.c[i]) * (v.q[i] - $ci.c[i]))) AS dist
+                 FROM v CROSS JOIN $ci),
+         a$o AS (SELECT vec_id, q, j FROM (SELECT vec_id, q, j,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, j) AS rn FROM d$o) WHERE rn = 1)""" +
+          (if (o == "3") "" else s""",
+         s$o AS (SELECT j, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+                 FROM a$o, unnest(range(1, len(q) + 1)) AS r(i)
+                 GROUP BY 1, 2),
+         u$o AS (SELECT j, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
+                 FROM s$o GROUP BY 1),
+         c$o AS (SELECT $ci.j, COALESCE(u$o.c, $ci.c) AS c
+                 FROM $ci LEFT JOIN u$o USING (j))""")
+      }.mkString
+
   /** Flagship query on sf=0.001: SPARQL join+agg over the direct-mapped
     * graph (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
@@ -541,6 +571,14 @@ object SparkEntry {
       // the oracle unrolls every assignment and centroid update
       graft.pipeline.Clustering.kmeans(read(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4, iters = 2)),
+    "q_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup composition: integer k-means clusters → capped
+      // within-cluster cosine pairs; deterministic end to end, so the
+      // oracle restates clustering AND pair verification
+      Dedup.semanticDedupPairs(read(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 2, threshold = 0.4)
+        .select(F.col("id1"), F.col("id2"),
+          F.round(F.col("cosine"), 6).as("cosine"))),
     "q_bigram_nll" -> ((s, dir) =>
       // transition-aware perplexity gate; both capped count tables and
       // the per-transition arithmetic restated in SQL
@@ -1708,31 +1746,29 @@ object SparkEntry {
       // exact integer distances with lowest-index tie-break, update =
       // per-(cluster, pos) integer sum // count, empty clusters keep
       // their previous centroid
-      ("""WITH v AS (SELECT vec_id, list_transform(embedding,
-                  x -> CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000)
-                    AS BIGINT)) AS q
-                FROM embeddings),
-         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
-                FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 4))""" +
-        Seq(("c0", "1"), ("c1", "2"), ("c2", "3")).map { case (ci, o) =>
-          s""",
-         d$o AS (SELECT v.vec_id, v.q, $ci.j,
-                   list_sum(list_transform(range(1, len(v.q) + 1),
-                     i -> (v.q[i] - $ci.c[i]) * (v.q[i] - $ci.c[i]))) AS dist
-                 FROM v CROSS JOIN $ci),
-         a$o AS (SELECT vec_id, q, j FROM (SELECT vec_id, q, j,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY dist, j) AS rn FROM d$o) WHERE rn = 1)""" +
-          (if (o == "3") "" else s""",
-         s$o AS (SELECT j, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
-                 FROM a$o, unnest(range(1, len(q) + 1)) AS r(i)
-                 GROUP BY 1, 2),
-         u$o AS (SELECT j, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
-                 FROM s$o GROUP BY 1),
-         c$o AS (SELECT $ci.j, COALESCE(u$o.c, $ci.c) AS c
-                 FROM $ci LEFT JOIN u$o USING (j))""")
-        }.mkString + """
+      (KmeansCtes + """
          SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a3"""),
+    "q_semantic_dedup" ->
+      // the k-means CTEs verbatim, then capped within-cluster members
+      // and the q_knn_brute cosine recipe on every intra-cluster pair
+      (KmeansCtes + """,
+         m AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+                 row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+               FROM a3) WHERE rn <= 256),
+         pr AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+                FROM m x JOIN m y ON x.j = y.j AND x.vec_id < y.vec_id),
+         co AS (SELECT pr.id1, pr.id2,
+                  list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) /
+                    (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(ea.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                             CAST(eb.embedding AS DOUBLE[]))))
+                    AS cos
+                FROM pr JOIN embeddings ea ON ea.vec_id = pr.id1
+                        JOIN embeddings eb ON eb.vec_id = pr.id2)
+         SELECT id1, id2, round(cos, 6) AS cosine FROM co
+         WHERE cos >= 0.4"""),
     "q_bigram_nll" ->
       // same capped tables ((count desc, key asc) cut), same per-
       // transition formula, lp summed in document order

@@ -555,4 +555,55 @@ object Dedup {
       .where(F.col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    * cluster the embeddings with the exact integer k-means
+    * ([[Clustering.kmeans]]) and verify cosine only WITHIN clusters —
+    * the partition-then-compare shape that makes embedding dedup
+    * tractable when the corpus outgrows LSH recall tuning (clusters are
+    * semantically tight, so near-dups co-cluster by construction).
+    *
+    * Scale posture mirrors [[embeddingCosinePairs]]: per-cluster
+    * membership is capped at `maxCluster` ids through the bounded
+    * [[graft.expressions.CollectSmallest]] aggregate, so a degenerate
+    * corpus (everything in one cluster) emits at most maxCluster²/2
+    * candidate pairs, never |cluster|²/2. One membership shuffle + the
+    * verify join; the k-means stages are documented at
+    * [[Clustering.kmeans]]. Deterministic end to end (integer k-means +
+    * capped smallest-id membership), so a SQL oracle restates the whole
+    * composition. */
+  def semanticDedupPairs(df: DataFrame, id: String, vec: String,
+      k: Int = 16, iters: Int = 2, threshold: Double = 0.95,
+      maxCluster: Int = 256): DataFrame = {
+    val assigned = Clustering.kmeans(df, id, vec, k, iters)
+    val base = df.select(F.col(id).as("rid"), F.col(vec).as("v"))
+      .localCheckpoint(false)
+    val members = base
+      .join(assigned.select(F.col(id).as("rid"), F.col("cluster")), "rid")
+    val cands = bucketPairs(members.groupBy("cluster")
+      .agg(smallestIds(base.schema("rid").dataType, F.col("rid"),
+        maxCluster).as("rids")))
+    cands.select(F.col("id1"), F.col("id2"),
+        F.explode(F.array(F.col("id1"), F.col("id2"))).as("rid"))
+      .join(base, "rid")
+      .groupBy("id1", "id2")
+      .agg(F.max(F.when(F.col("rid") === F.col("id1"), F.col("v"))).as("v1"),
+        F.max(F.when(F.col("rid") === F.col("id2"), F.col("v"))).as("v2"))
+      .withColumn("cosine", Similarity.cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Rows surviving semantic dedup: [[semanticDedupPairs]] →
+    * connected components → each group keeps its smallest id, the
+    * keep-min contract every other dedup stage uses. */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      k: Int = 16, iters: Int = 2, threshold: Double = 0.95,
+      maxCluster: Int = 256): DataFrame = {
+    val pairs = semanticDedupPairs(df, id, vec, k, iters, threshold, maxCluster)
+    val losers = dedupGroups(pairs)
+      .where(F.col("grp") =!= F.col("rid"))
+      .select(F.col("rid").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
 }

@@ -77,6 +77,35 @@ class ClusteringSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("semanticDedupPairs finds near-dups within clusters, keeps min id") {
+    // blob A: ids 0-4 nearly identical; blob B: ids 10-12 identical;
+    // blobs are orthogonal-ish so they split across clusters
+    val rows =
+      (0L to 4L).map(i => (i, Seq(0.9f, 0.01f * i, 0.0f, 0.0f))) ++
+      (10L to 12L).map(i => (i, Seq(0.0f, 0.0f, 0.9f, 0.02f)))
+    val df = rows.toDF("id", "v")
+    val pairs = graft.pipeline.Dedup.semanticDedupPairs(df, "id", "v",
+      k = 2, iters = 2, threshold = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // every intra-blob pair is a near-dup; no cross-blob pair survives
+    assert(pairs.forall { case (a, b) => (a <= 4 && b <= 4) || (a >= 10 && b >= 10) })
+    assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 12L)))
+    val kept = graft.pipeline.Dedup.semanticDedup(df, "id", "v",
+      k = 2, iters = 2, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(10L))
+    assert(!kept.contains(11L) && !kept.contains(12L)) // min id survives
+  }
+
+  test("semanticDedupPairs caps degenerate one-cluster corpora") {
+    // 100 identical vectors, k=1: candidates must respect maxCluster
+    val rows = (0L until 100L).map(i => (i, Seq(0.5f, 0.5f)))
+    val pairs = graft.pipeline.Dedup.semanticDedupPairs(
+      rows.toDF("id", "v"), "id", "v", k = 1, iters = 1,
+      threshold = 0.9, maxCluster = 10)
+    assert(pairs.count() == 45L) // 10·9/2, not 100·99/2
+  }
+
   test("final assignment is a narrow pass: centroids ride as literals") {
     val rows = (0L until 100L).map(i => (i, Seq(i * 0.01f, -i * 0.01f)))
     val plan = Clustering.kmeans(rows.toDF("id", "v"), "id", "v",
