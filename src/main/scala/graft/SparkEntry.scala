@@ -535,6 +535,23 @@ object SparkEntry {
       TextAnalysis.urlDedup(docs, "doc_id", "url")
         .select(F.col("doc_id"), F.col("url_canon"), F.col("keep_id"))
     }),
+    "q_url_filter" -> ((s, dir) => {
+      // domain-blocklist gate: hosts synthesized from doc_id cover the
+      // exact-match, subdomain, look-alike (spam-site.org ≠ site.org),
+      // and no-host cases; survivors are pure doc_id arithmetic
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 10 === 0, F.lit("not a url"))
+          .otherwise(F.concat(F.lit("https://"),
+            F.when(F.col("doc_id") % 3 === 0, F.lit("cdn."))
+              .otherwise(F.lit("")),
+            F.lit("site"), F.col("doc_id") % 7,
+            F.when(F.col("doc_id") % 5 === 0, F.lit(".spam-site3"))
+              .otherwise(F.lit("")),
+            F.lit(".org/page/"), F.col("doc_id"))).as("url"))
+      TextAnalysis.filterByDomainBlocklist(docs, "url",
+        Seq("site3.org", "blocked.example"))
+        .select(F.col("doc_id"), F.col("url"))
+    }),
     "q_bm25" -> ((s, dir) =>
       // Okapi BM25 against a fixed keyword query; one corpus-stats
       // aggregate broadcasts back into a narrow scoring pass
@@ -1641,6 +1658,28 @@ object SparkEntry {
          SELECT doc_id, url_canon,
            MIN(doc_id) OVER (PARTITION BY url_canon) AS keep_id
          FROM c""",
+    "q_url_filter" ->
+      // rebuild the same synthetic URL, extract the host the same way,
+      // and keep the row unless the host is site3.org / a subdomain of
+      // it (the look-alike spam-site3.org must survive)
+      """WITH u AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'not a url'
+                  ELSE 'https://' ||
+                       CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END ||
+                       'site' || CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN doc_id % 5 = 0 THEN '.spam-site3' ELSE '' END ||
+                       '.org/page/' || CAST(doc_id AS VARCHAR)
+             END AS url
+           FROM documents),
+         h AS (SELECT doc_id, url,
+             NULLIF(regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+               '^www\.', ''), '') AS host
+           FROM u)
+         SELECT doc_id, url FROM h
+         WHERE host IS NULL OR NOT (
+           host IN ('site3.org', 'blocked.example') OR
+           regexp_matches(host, '\.(site3\.org|blocked\.example)$'))""",
     "q_bm25" ->
       // same operation order as Relevance.bm25: per-term
       // idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl)), summed in

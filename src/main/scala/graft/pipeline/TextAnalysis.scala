@@ -263,6 +263,37 @@ object TextAnalysis {
     F.regexp_replace(noTrack, "/(\\?|$)", "$1")
   }
 
+  /** Registrable host of a URL, lowercased, `www.` and port stripped —
+    * the join/filter key for domain-level curation. Null when no
+    * `scheme://host` shape is present. Codegen'd regex chain, narrow. */
+  def urlHost(url: Column): Column = {
+    val host = F.lower(F.regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val noWww = F.regexp_replace(host, "^www\\.", "")
+    F.when(noWww =!= "", noWww)
+  }
+
+  /** Domain-blocklist gate (the RefinedWeb/CCNet URL filtering stage):
+    * drop rows whose host IS a blocked domain or any subdomain of one.
+    * The blocklist (adult/spam/SEO domains — vocabulary-sized in
+    * practice) folds into ONE codegen'd predicate over the extracted
+    * host: exact match via an `isInCollection` hash probe plus one
+    * alternation-anchored suffix regex — no join, no shuffle, and rows
+    * with no parseable host are kept (conservative: URL-less docs pass
+    * to the text gates). Regex metacharacters in domains are escaped
+    * per-char (RE2-compatible, no `\Q`), so `so.me` never matches
+    * `soxme`. */
+  def filterByDomainBlocklist(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must not be empty")
+    val norm = blocked.map(_.toLowerCase)
+    val host = urlHost(F.col(urlCol))
+    val suffix = norm.map(_.replaceAll("([^A-Za-z0-9])", "\\\\$1"))
+      .mkString("\\.(", "|", ")$")
+    val hit = host.isInCollection(norm) || host.rlike(suffix)
+    df.where(host.isNull || !hit)
+  }
+
   /** URL-keyed crawl dedup: canonicalize, then group — each row gains
     * `url_canon` and `keep_id` (the minimum id sharing its canonical
     * URL; a row is the keeper iff `keep_id == id`). One aggregate

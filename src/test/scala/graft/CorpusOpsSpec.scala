@@ -264,6 +264,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ids() == ids())
   }
 
+  // ------------------------------------------- filterByDomainBlocklist
+
+  test("domain blocklist: exact host, subdomain, look-alike, no host") {
+    val rows = Seq(
+      (1L, "https://bad.example/x"),        // exact → dropped
+      (2L, "https://sub.bad.example/x"),    // subdomain → dropped
+      (3L, "https://notbad.example/x"),     // suffix needs a dot → kept
+      (4L, "https://WWW.BAD.example:443/x"),// case + www → dropped
+      (5L, "plain text, no url"),           // no host → kept
+      (6L, "https://so.me.vs/x"),           // dot quoted: soxme ≠ so.me
+      (7L, "https://soxme.vs/x"),
+      (8L, "https://good.example/x"))
+    val kept = TextAnalysis.filterByDomainBlocklist(
+      rows.toDF("id", "url"), "url", Seq("bad.example", "so.me.vs"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L, 7L, 8L))
+  }
+
+  test("domain blocklist plan is a narrow filter: no join, no shuffle") {
+    val rows = (1 to 100).map(i => (i.toLong, s"https://h$i.example/p"))
+    val plan = TextAnalysis.filterByDomainBlocklist(
+      rows.toDF("id", "url"), "url", Seq("h7.example"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   // ------------------------------------------------------------- bigramNll
 
   test("bigramNll matches a hand-computed transition score") {
