@@ -5,36 +5,54 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 /** End-to-end training-corpus curation: the canonical composition of the
   * pipeline stages a pretraining data run applies before tokenization —
   *
-  *   0. (optional) HTML main-content extraction
+  *   0. (optional) URL domain-blocklist gate
+  *      ([[TextAnalysis.filterByDomainBlocklist]]) — the cheapest
+  *      filter runs first, before any text is even inspected;
+  *   1. (optional) HTML main-content extraction
   *      ([[TextAnalysis.htmlText]]) — narrow, shuffle-free, so raw
   *      crawl pages feed the same pipeline as plain text;
-  *   1. quality + language gate  ([[TextAnalysis.qualityScore]],
-  *      [[TextAnalysis.langId]]) — narrow, shuffle-free;
-  *   2. exact dedup keeping the smallest id ([[Dedup.exactDedup]] over an
+  *   2. quality + language (+ optional mojibake, compression-ratio,
+  *      bigram-perplexity) gate ([[TextAnalysis.qualityScore]],
+  *      [[TextAnalysis.langId]], [[TextAnalysis.mojibakeRatio]],
+  *      [[TextAnalysis.compressionRatio]], [[Relevance.bigramNllCol]])
+  *      — all narrow, shuffle-free, one scan stage (the perplexity
+  *      model fit runs two aggregate jobs at plan-build time, over the
+  *      rows that survive the gates BEFORE it);
+  *   3. exact dedup keeping the smallest id ([[Dedup.exactDedup]] over an
   *      md5 digest, so the one shuffle keys on 32 hex chars, never the
   *      document body);
-  *   3. (optional) FUZZY near-dup removal ([[Dedup.minhashDedupPairs]]
+  *   4. (optional) FUZZY near-dup removal ([[Dedup.minhashDedupPairs]]
   *      at a Jaccard threshold → [[Dedup.dedupGroups]] connected
   *      components → keep each group's min id) — what a real
   *      pretraining run does after exact dedup;
-  *   4. benchmark decontamination ([[Dedup.contamination]] 13-gram
+  *   5. (optional) SEMANTIC near-dup removal: hashing-trick TF-IDF
+  *      embeddings ([[Relevance.tfidfEmbedding]]) →
+  *      [[Dedup.semanticDedup]] (integer k-means clusters, capped
+  *      within-cluster cosine, keep-min-id) — the SemDeDup stage that
+  *      catches paraphrases sharing no shingles;
+  *   6. benchmark decontamination ([[Dedup.contamination]] 13-gram
   *      overlap, broadcast benchmark shingles, anti-join);
-  *   5. context-window chunking ([[TextAnalysis.chunk]]) — narrow.
+  *   7. context-window chunking ([[TextAnalysis.chunk]]) — narrow.
   *
-  * One composed plan: Catalyst sees the whole flow, so the quality/lang
-  * filters are evaluated in the first scan stage and only survivors reach
-  * the dedup shuffle. Total cost at any scale = one digest-keyed shuffle
-  * + one broadcast semi-join (+ with the fuzzy stage: one capped
+  * One composed plan: Catalyst sees the whole flow, so the URL/quality/
+  * lang filters are evaluated in the first scan stage and only survivors
+  * reach the dedup shuffle. Total cost at any scale = one digest-keyed
+  * shuffle + one broadcast semi-join (+ with the fuzzy stage: one capped
   * posting-list shuffle, the verify join, and the O(log n)
-  * pointer-doubling rounds over just the PAIRS — pairs are a tiny
-  * fraction of the corpus, so the added cost is dominated by the
-  * signature scan); everything else stays in the scan's
-  * whole-stage-codegen span.
+  * pointer-doubling rounds over just the PAIRS; + with the semantic
+  * stage: the k-means iterations over TF-IDF vectors of the survivors —
+  * each a narrow assignment plus one (cluster, pos) aggregate — and the
+  * capped within-cluster verify join); everything else stays in the
+  * scan's whole-stage-codegen span.
   *
   * Stage ORDER is part of the contract (and of the `q_curate` /
   * `q_curate_fuzzy` oracles): dedup sees only gate survivors, the fuzzy
-  * stage only exact-dedup survivors, contamination only fuzzy survivors,
-  * and the benchmark side is the caller's frame, unfiltered.
+  * stage only exact-dedup survivors, the semantic stage only fuzzy
+  * survivors, contamination only semantic survivors, and the benchmark
+  * side is the caller's frame, unfiltered. Every stage is
+  * deterministic, so the composition is too (the fuzzy and semantic
+  * stages' verification components are each oracle-checked standalone:
+  * q_dedup_minhash/q_dedup_groups, q_tfidf/q_kmeans/q_semantic_dedup).
   */
 object Curation {
 
@@ -61,6 +79,22 @@ object Curation {
     *                    collapse into connected components and only each
     *                    group's smallest id survives
     * @param nearDupK    shingle width for the fuzzy stage
+    * @param urlBlocklist optional (urlColumn, blockedDomains): drop rows
+    *                    whose URL host is a blocked domain or a
+    *                    subdomain of one, before any text gate runs
+    * @param minCompressionRatio when set, drop docs whose
+    *                    [[TextAnalysis.compressionRatio]] is below it —
+    *                    the Gopher-family long-period-boilerplate gate
+    *                    (empty docs have a null ratio and are dropped)
+    * @param maxBigramNll when set, drop docs whose
+    *                    [[Relevance.bigramNllCol]] exceeds it (word-salad
+    *                    gate); the count tables fit on the rows surviving
+    *                    the gates above, mirroring CCNet's fit-on-clean
+    * @param semanticCosine when set, remove SEMANTIC near-duplicates
+    *                    after the fuzzy stage: TF-IDF embeddings at
+    *                    `semanticDim` → integer k-means (`semanticK`
+    *                    clusters) → capped within-cluster cosine at this
+    *                    threshold → keep each component's min id
     */
   def curate(docs: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
@@ -71,21 +105,41 @@ object Curation {
       htmlInput: Boolean = false,
       maxMojibake: Option[Double] = None,
       nearDupJaccard: Option[Double] = None,
-      nearDupK: Int = 3): DataFrame = {
+      nearDupK: Int = 3,
+      urlBlocklist: Option[(String, Seq[String])] = None,
+      minCompressionRatio: Option[Double] = None,
+      maxBigramNll: Option[Double] = None,
+      semanticCosine: Option[Double] = None,
+      semanticDim: Int = 64, semanticK: Int = 16): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
+    val urlGated = urlBlocklist match {
+      case Some((urlCol, blocked)) =>
+        TextAnalysis.filterByDomainBlocklist(docs, urlCol, blocked)
+      case None => docs
+    }
     val input =
-      if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
-      else docs
+      if (htmlInput)
+        urlGated.withColumn(text, TextAnalysis.htmlText(F.col(text)))
+      else urlGated
     val encodingOk = maxMojibake match {
       case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
       case None => F.lit(true)
     }
-    val gated = input.where(encodingOk &&
+    val compressionOk = minCompressionRatio match {
+      case Some(t) => TextAnalysis.compressionRatio(F.col(text)) >= t
+      case None => F.lit(true)
+    }
+    val gated = input.where(encodingOk && compressionOk &&
       TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
         TextAnalysis.langId(F.col(text)).isInCollection(langs))
+    val perplexityGated = maxBigramNll match {
+      case Some(t) =>
+        gated.where(Relevance.bigramNllCol(gated, text) <= t)
+      case None => gated
+    }
     val deduped = Dedup
-      .exactDedup(gated.withColumn("__digest", F.md5(F.col(text))),
+      .exactDedup(perplexityGated.withColumn("__digest", F.md5(F.col(text))),
         id, "__digest")
       .drop("__digest")
     val fuzzy = nearDupJaccard match {
@@ -100,12 +154,21 @@ object Curation {
         deduped.join(losers, Seq(id), "left_anti")
       case None => deduped
     }
+    val semantic = semanticCosine match {
+      case Some(t) =>
+        val emb = Relevance.tfidfEmbedding(fuzzy, id, text, semanticDim)
+        val keepers = Dedup.semanticDedup(emb, id, "tfidf",
+          k = semanticK, threshold = t)
+          .select(F.col(id))
+        fuzzy.join(keepers, Seq(id), "left_semi")
+      case None => fuzzy
+    }
     val clean = benchmark match {
       case Some((bench, btext)) =>
-        val hits = Dedup.contamination(fuzzy, id, text, bench, btext,
+        val hits = Dedup.contamination(semantic, id, text, bench, btext,
           k = contaminationK)
-        fuzzy.join(hits.select(F.col("rid").as(id)), Seq(id), "left_anti")
-      case None => fuzzy
+        semantic.join(hits.select(F.col("rid").as(id)), Seq(id), "left_anti")
+      case None => semantic
     }
     TextAnalysis.chunk(clean, id, text, chunkSize, chunkStride)
   }

@@ -139,22 +139,36 @@ object Relevance {
     * shuffle. Returns (idCol, n_tokens, nll rounded to 6). */
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 1024, bigramTop: Int = 4096): DataFrame = {
+    val nll = bigramNllCol(df, textCol, vocabSize, bigramTop)
+    df.select(F.col(idCol),
+      F.size(TextAnalysis.tokens(F.col(textCol))).cast(LongType)
+        .as("n_tokens"),
+      nll.as("nll"))
+  }
+
+  /** The [[bigramNll]] scoring COLUMN: fits the two capped count tables
+    * on `fitDf` (two aggregate jobs run here, at plan-build time) and
+    * returns a narrow expression attachable to any frame sharing the
+    * text column — how [[Curation.curate]] gates on perplexity without
+    * a join. */
+  def bigramNllCol(fitDf: DataFrame, textCol: String,
+      vocabSize: Int = 1024, bigramTop: Int = 4096): Column = {
     require(vocabSize > 0 && bigramTop > 0)
     val toksOf = TextAnalysis.tokens(F.col(textCol))
-    val uniTop = df
+    def pairsOfCol(toks: Column): Column = F.when(F.size(toks) >= 2,
+      F.zip_with(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        (a, b) => F.concat(a, F.lit(" "), b)))
+      .otherwise(F.array().cast(ArrayType(StringType)))
+    val uniTop = fitDf
       .select(F.explode(toksOf).as("token"))
       .groupBy("token").agg(F.count(F.lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("token"))
       .limit(vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pairsOf = F.when(F.size(toksOf) >= 2,
-      F.zip_with(
-        F.slice(toksOf, F.lit(1), F.size(toksOf) - 1),
-        F.slice(toksOf, F.lit(2), F.size(toksOf) - 1),
-        (a, b) => F.concat(a, F.lit(" "), b)))
-      .otherwise(F.array().cast(ArrayType(StringType)))
-    val biTop = df
-      .select(F.explode(pairsOf).as("bg"))
+    val biTop = fitDf
+      .select(F.explode(pairsOfCol(toksOf)).as("bg"))
       .groupBy("bg").agg(F.count(F.lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("bg"))
       .limit(bigramTop)
@@ -164,6 +178,7 @@ object Relevance {
       else { val m = F.typedlit(top); x => F.coalesce(F.element_at(m, x), F.lit(0L)) }
     val uni = lookup(uniTop)
     val bi = lookup(biTop)
+    val pairsOf = pairsOfCol(toksOf)
     val lpSum = F.aggregate(pairsOf, F.lit(0.0), (acc, p) => {
       val w1 = F.substring_index(p, " ", 1)
       val c2 = bi(p).cast(DoubleType)
@@ -171,9 +186,8 @@ object Relevance {
       acc + F.log((c2 + 1.0) / (c1 + (vocabSize + 1).toDouble))
     })
     val n = F.size(toksOf)
-    df.select(F.col(idCol), n.cast(LongType).as("n_tokens"),
-      F.round(F.when(n >= 2, -lpSum / (n - 1).cast(DoubleType))
-        .otherwise(0.0), 6).as("nll"))
+    F.round(F.when(n >= 2, -lpSum / (n - 1).cast(DoubleType))
+      .otherwise(0.0), 6)
   }
 
   /** Engine-reproducible hashed-n-gram feature bucket in [0, buckets):

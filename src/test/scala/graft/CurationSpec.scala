@@ -121,6 +121,94 @@ class CurationSpec extends SparkSpec {
     // self-join — pinned by the bounded candidate design in RecallSpec
   }
 
+  test("url blocklist gate runs before any text gate") {
+    import spark.implicits._
+    val df = fixture.withColumn("url",
+      F.when(F.col("doc_id") === 5L, F.lit("https://spam.bad.example/x"))
+        .otherwise(F.concat(F.lit("https://ok.example/"), F.col("doc_id"))))
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4,
+      urlBlocklist = Some(("url", Seq("bad.example"))))
+    // doc 5 (good text, blocked host) is gone; the rest unchanged
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // and the URL filter stays in the one-exchange scan-stage plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("compression-ratio gate drops long-period boilerplate") {
+    import spark.implicits._
+    // a doc whose every 12-token line repeats: quality/lang/repetition
+    // at the token level can pass, deflate crushes it
+    val boiler = (("the cat sat on the mat and it was happy with that " +
+      "state of affairs in the day ") * 40).trim
+    val df = fixture.union(Seq((9L, boiler)).toDF("doc_id", "text"))
+    val without = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4)
+    assert(without.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet.contains(9L))
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4, minCompressionRatio = Some(0.15))
+    assert(!out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet.contains(9L))
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
+  test("perplexity gate drops word salad the unigram mix would pass") {
+    import spark.implicits._
+    // salad = the good doc's words shuffled: same unigrams, wrecked
+    // transitions; fit happens on the corpus so the many good copies
+    // define 'normal'
+    val rnd = new scala.util.Random(3)
+    val salad = rnd.shuffle(good.split(" ").toSeq).mkString(" ")
+    val df = (Seq((1L, good), (5L, good + " extra distinct tail words")) ++
+      (20L to 40L).map(i => (i, good))).toDF("doc_id", "text")
+      .union(Seq((9L, salad)).toDF("doc_id", "text"))
+    // threshold from the scored gap: good docs score low, salad high
+    val scored = graft.pipeline.Relevance.bigramNll(df, "doc_id", "text")
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(scored(1L) < scored(9L))
+    val mid = (scored(1L) + scored(9L)) / 2
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4, maxBigramNll = Some(mid))
+    val ids = out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(9L) && ids.contains(1L))
+  }
+
+  test("semantic stage equals the manual tfidf+semanticDedup composition") {
+    import spark.implicits._
+    // doc 11 paraphrases doc 1 with zero shared 3-grams beyond stopword
+    // runs; TF-IDF cosine still pairs them when they share vocabulary
+    val para = good.split(" ").grouped(2).map(_.reverse.mkString(" "))
+      .mkString(" ") // pairwise-swapped words: same bag, new shingles
+    val df = fixture.union(Seq((11L, para)).toDF("doc_id", "text"))
+    val manual = {
+      val base = Curation.curate(df, "doc_id", "text",
+        minQuality = 0.7, langs = Seq("en"), benchmark = None,
+        chunkSize = 8, chunkStride = 4)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      val survivors = df.where(F.col("doc_id").isInCollection(base.toSeq))
+      val emb = graft.pipeline.Relevance.tfidfEmbedding(
+        survivors, "doc_id", "text", 64)
+      graft.pipeline.Dedup.semanticDedup(emb, "doc_id", "tfidf",
+        k = 2, threshold = 0.9).select("doc_id").as[Long].collect().toSet
+    }
+    val out = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"), benchmark = None,
+      chunkSize = 8, chunkStride = 4,
+      semanticCosine = Some(0.9), semanticK = 2)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(out == manual)
+    assert(!out.contains(11L) && out.contains(1L)) // paraphrase collapsed
+  }
+
   test("htmlInput extracts raw crawl pages to the same curated chunks") {
     import spark.implicits._
     // wrap every fixture text in markup (plus script noise a quality
