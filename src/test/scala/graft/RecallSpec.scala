@@ -86,6 +86,22 @@ class RecallSpec extends SparkSpec {
       s"$cnt pairs from a degenerate bucket (cap $cap)")
   }
 
+  test("semanticDedupPairs: recall >= 0.9 vs brute force, precision exact") {
+    // cluster blocking can only miss a pair when a jittered copy lands
+    // across a k-means boundary from its original — rare at this jitter
+    val planted = plantedVectors(100, 0.4)
+    val truth = bruteCosinePairs(planted, 0.9)
+    assert(truth.size >= 50, s"fixture drift: only ${truth.size} true pairs")
+    val got = Dedup.semanticDedupPairs(planted, "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.9, maxCluster = 512)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // exact-cosine verification within clusters: no false positives
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
+  }
+
   test("knnJoin: recall@k >= 0.9 on planted neighborhoods, capped under skew") {
     // 20 query vectors, each with 5 planted near-copies in the corpus —
     // the true top-5 by cosine. Background corpus: 200 fixture vectors
