@@ -188,6 +188,39 @@ object Drive {
         .orderBy("source").show(false)
     }
 
+    println("=== round-9 ops: BPE, TF-IDF + k-means + SemDeDup, PageRank, gates:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox leaps over the lazy dog"),  // near-dup of 1
+        (3L, "sparse matrix kernels on distributed accelerators"),
+        (4L, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa") // boilerplate
+      ).toDF("doc_id", "text")
+      val bpe = graft.pipeline.Bpe.train(corpus, "text", numMerges = 20)
+      println(s"BPE merges: ${bpe.merges.take(8).mkString(" ")}")
+      corpus.select(F.col("doc_id"),
+        graft.pipeline.Bpe.tokenCount(F.col("text"), bpe).as("n_bpe"),
+        graft.pipeline.TextAnalysis.compressionRatio(F.col("text")).as("deflate"))
+        .orderBy("doc_id").show(false)
+      val emb = graft.pipeline.Relevance.tfidfEmbedding(
+        corpus, "doc_id", "text", dim = 32)
+      graft.pipeline.Clustering.kmeans(emb, "doc_id", "tfidf", k = 2, iters = 2)
+        .orderBy("doc_id").show(false)
+      graft.pipeline.Dedup.semanticDedup(emb, "doc_id", "tfidf",
+        k = 2, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id").show(false)
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+      graft.pipeline.Graphs.pageRank(edges, iters = 5)
+        .orderBy(F.col("rank").desc).show(false)
+      val withUrls = corpus.withColumn("url",
+        F.when(F.col("doc_id") === 3L, F.lit("https://spam.bad.example/x"))
+          .otherwise(F.concat(F.lit("https://ok.example/"), F.col("doc_id"))))
+      graft.pipeline.TextAnalysis.filterByDomainBlocklist(
+        withUrls, "url", Seq("bad.example"))
+        .select("doc_id", "url").orderBy("doc_id").show(false)
+    }
+
     spark.stop()
   }
 }
