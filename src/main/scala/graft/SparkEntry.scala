@@ -582,6 +582,20 @@ object SparkEntry {
       Dedup.dedupSpans(docs, "doc_id", "text", minLen = 20)
         .select(F.col("doc_id"), F.col("clean_text"))
     }),
+    "q_classifier" -> ((s, dir) => {
+      // in-engine trained quality classifier: 3 full-batch GD steps
+      // (integer-quantized gradients, rational fast-sigmoid link), then
+      // the narrow score — the oracle re-trains iteration by iteration
+      val t = read(s, dir, "documents").select(F.col("doc_id"),
+        (F.length(F.col("text")).cast(DoubleType) / 1000.0).as("x1"),
+        (F.size(TextAnalysis.tokens(F.col("text"))).cast(DoubleType) / 100.0)
+          .as("x2"),
+        F.when(F.col("source") === "src0", 1.0).otherwise(0.0).as("y"))
+      val m = graft.pipeline.Classifier.trainLogistic(t, "y",
+        Seq("x1", "x2"), iters = 3)
+      t.select(F.col("doc_id"),
+        graft.pipeline.Classifier.score(m).as("score"))
+    }),
     "q_kmeans" -> ((s, dir) =>
       // deterministic integer k-means over the embeddings table: exact
       // quantized distances, 2 Lloyd iterations, smallest-id init —
@@ -1780,6 +1794,43 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
          FROM d LEFT JOIN r USING (doc_id)""",
+    "q_classifier" ->
+      // training unrolled: per iteration one gradient aggregate
+      // (floor-quantized to integer millionths) and one integer weight
+      // update ( // truncates toward zero, like Scala Long division);
+      // the margin/fast-sigmoid arithmetic composes in the engine's
+      // exact order
+      ("""WITH t AS (SELECT doc_id,
+             CAST(length(text) AS DOUBLE) / 1000.0 AS x1,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS DOUBLE) / 100.0 AS x2,
+             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM t),
+         w0 AS (SELECT CAST(0 AS BIGINT) AS wa, CAST(0 AS BIGINT) AS wb,
+                       CAST(0 AS BIGINT) AS wc)""" +
+        (1 to 3).map { k =>
+          s""",
+         p$k AS (SELECT t.*, 0.5 + m / (2.0 * (1.0 + abs(m))) AS p FROM
+                 (SELECT t.*, CAST(wc AS DOUBLE) / 1000000.0
+                    + CAST(wa AS DOUBLE) / 1000000.0 * x1
+                    + CAST(wb AS DOUBLE) / 1000000.0 * x2 AS m
+                  FROM t, w${k - 1}) t),
+         g$k AS (SELECT
+                   SUM(CAST(floor((p - y) * x1 * 1000000) AS BIGINT)) AS ga,
+                   SUM(CAST(floor((p - y) * x2 * 1000000) AS BIGINT)) AS gb,
+                   SUM(CAST(floor((p - y) * 1000000) AS BIGINT)) AS gc
+                 FROM p$k),
+         w$k AS (SELECT w${k - 1}.wa - (1 * g$k.ga) // (10 * nn.n) AS wa,
+                        w${k - 1}.wb - (1 * g$k.gb) // (10 * nn.n) AS wb,
+                        w${k - 1}.wc - (1 * g$k.gc) // (10 * nn.n) AS wc
+                 FROM w${k - 1}, g$k, nn)"""
+        }.mkString + """
+         SELECT doc_id, round(0.5 + m / (2.0 * (1.0 + abs(m))), 6) AS score
+         FROM (SELECT doc_id, CAST(wc AS DOUBLE) / 1000000.0
+                 + CAST(wa AS DOUBLE) / 1000000.0 * x1
+                 + CAST(wb AS DOUBLE) / 1000000.0 * x2 AS m
+               FROM t, w3)"""),
     "q_kmeans" ->
       // quantize once, then 2 unrolled Lloyd iterations: assignment =
       // exact integer distances with lowest-index tie-break, update =
