@@ -911,6 +911,61 @@ object SparkEntry {
         .select(F.col("doc_id"),
           F.decode(Multimodal.gunzip(gz), "UTF-8").as("text"))
     }),
+    "q_warc" -> ((s, dir) => {
+      // oracle-verified WARC ingestion: a two-record (request +
+      // response) WARC segment assembled per doc in SQL; the real
+      // warc_records walk splits it and DuckDB restates every field
+      val docId = F.col("doc_id")
+      val url = F.concat(F.lit("http://ex.org/doc/"), docId)
+      def record(typ: String, ct: String, payload: Column) = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "), F.lit(typ),
+        F.lit("\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2024-01-0"), docId % 9 + 1,
+        F.lit("T00:00:00Z\r\nWARC-Record-ID: <urn:"), F.lit(typ),
+        F.lit(":"), docId,
+        F.lit(">\r\nContent-Type: "), F.lit(ct),
+        F.lit("\r\nContent-Length: "), F.length(payload),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+      val reqBody = F.concat(F.lit("GET /doc/"), docId,
+        F.lit(" HTTP/1.1\r\n\r\n"))
+      val respBody = F.concat(F.lit("Doc "), docId, F.lit(" crawled body"))
+      val seg = F.encode(F.concat(
+        record("request", "application/http;msgtype=request", reqBody),
+        record("response", "application/http;msgtype=response", respBody)),
+        "UTF-8")
+      read(s, dir, "documents")
+        .select(docId, F.posexplode(sources.Warc.records(seg)).as(Seq("rec_no", "r")))
+        .select(docId, F.col("rec_no"),
+          F.col("r.warc_type").as("warc_type"),
+          F.col("r.target_uri").as("target_uri"),
+          F.col("r.date").as("date"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.content_type").as("content_type"),
+          F.decode(F.col("r.payload"), "UTF-8").as("payload_text"))
+    }),
+    "q_http" -> ((s, dir) => {
+      // oracle-verified HTTP unwrap: a chunked (RFC 9112 §7.1) response
+      // assembled per doc in SQL — hex size lines, chunk extension,
+      // dropped trailer; the real de-chunk runs and DuckDB restates the
+      // reassembled body and status line directly
+      val docId = F.col("doc_id")
+      val status = docId % 100 + 200
+      val c1 = F.concat(F.lit("Doc "), docId, F.lit(" part one"))
+      val c2 = F.lit(" and part two.")
+      val msg = F.encode(F.concat(
+        F.lit("HTTP/1.1 "), status,
+        F.lit(" OK\r\nContent-Type: text/plain; charset=utf-8\r\n"),
+        F.lit("Transfer-Encoding: chunked\r\n\r\n"),
+        F.hex(F.length(c1)), F.lit(";ext=0\r\n"), c1, F.lit("\r\n"),
+        F.hex(F.length(c2)), F.lit("\r\n"), c2, F.lit("\r\n"),
+        F.lit("0\r\nX-Trailer: dropped\r\n\r\n")), "UTF-8")
+      val m = sources.Warc.httpMessage(msg)
+      read(s, dir, "documents")
+        .select(docId, m.as("m"))
+        .select(docId, F.col("m.status").as("status"),
+          F.col("m.content_type").as("content_type"),
+          F.decode(F.col("m.body"), "UTF-8").as("body"))
+    }),
     "q_html_text" -> ((s, dir) => {
       // oracle-verified HTML main-content extraction: per-doc HTML
       // assembled from doc_id-derived strings (title, heading, body,
@@ -2300,6 +2355,35 @@ object SparkEntry {
     "q_gunzip" ->
       // the decompressed stored-DEFLATE payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' gz payload' AS text
+         FROM documents""",
+    "q_warc" ->
+      // every parsed field of both records restates as doc_id string
+      // arithmetic — the WARC walk found headers/payloads exactly where
+      // the Content-Length bookkeeping put them
+      """SELECT doc_id, CAST(0 AS INTEGER) AS rec_no,
+           'request' AS warc_type,
+           'http://ex.org/doc/' || doc_id AS target_uri,
+           '2024-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS "date",
+           '<urn:request:' || doc_id || '>' AS record_id,
+           'application/http;msgtype=request' AS content_type,
+           'GET /doc/' || doc_id || ' HTTP/1.1' || chr(13) || chr(10) ||
+             chr(13) || chr(10) AS payload_text
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER),
+           'response',
+           'http://ex.org/doc/' || doc_id,
+           '2024-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z',
+           '<urn:response:' || doc_id || '>',
+           'application/http;msgtype=response',
+           'Doc ' || doc_id || ' crawled body'
+         FROM documents""",
+    "q_http" ->
+      // the de-chunked body is the chunk concatenation; status and
+      // content type come straight off the synthesized message
+      """SELECT doc_id, CAST(doc_id % 100 + 200 AS INTEGER) AS status,
+           'text/plain; charset=utf-8' AS content_type,
+           'Doc ' || doc_id || ' part one and part two.' AS body
          FROM documents""",
     "q_html_text" ->
       // the extractor's output on the synthesized page is pure string

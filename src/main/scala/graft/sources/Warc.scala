@@ -60,11 +60,13 @@ object Warc {
       .select(recordCols: _*)
   }
 
-  /** One streamed record (strings nullable — not every record type
-    * carries a target URI). */
-  private case class Rec(file: String, warc_type: String,
-      target_uri: String, date: String, record_id: String,
-      content_type: String, payload: Array[Byte])
+  /** One streamed record as a plain tuple (a private case class here
+    * would break the Dataset encoder's generated code, which needs
+    * public accessors): (file, warc_type, target_uri, date, record_id,
+    * content_type, payload) — strings nullable, not every record type
+    * carries a target URI. */
+  private type Rec = (String, String, String, String, String, String,
+      Array[Byte])
 
   /** Constant-memory streamed reader: lists `path` through the Hadoop
     * filesystem (so the same call works on HDFS/S3A in a real
@@ -83,12 +85,13 @@ object Warc {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
     val files: Seq[String] = {
-      val globbed = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      val all =
-        if (globbed.nonEmpty) globbed.toSeq
-        else if (fs.isDirectory(p)) fs.listStatus(p).toSeq
-        else Seq.empty
-      all.filter(_.isFile).map(_.getPath.toString).sorted
+      // glob first (handles dir/*.warc.gz); a match that is itself a
+      // directory expands one level, so a plain directory path works too
+      val globbed = Option(fs.globStatus(p)).getOrElse(Array.empty).toSeq
+      globbed.flatMap { st =>
+        if (st.isFile) Seq(st)
+        else fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      }.map(_.getPath.toString).sorted
     }
     val nPart = math.max(1, files.size)
     spark.createDataset(files).repartition(nPart)
@@ -104,7 +107,8 @@ object Warc {
           streamRecords(file, in, maxPayload)
         }
       }
-      .toDF()
+      .toDF("file", "warc_type", "target_uri", "date", "record_id",
+        "content_type", "payload")
   }
 
   /** Iterator over the records of one WARC stream; closes `in` at the
@@ -161,7 +165,7 @@ object Warc {
             } else {
               val payload = new Array[Byte](hs.contentLength.toInt)
               din.readFully(payload)
-              nextRec = Rec(file, hs.warcType, hs.targetUri, hs.date,
+              nextRec = (file, hs.warcType, hs.targetUri, hs.date,
                 hs.recordId, hs.contentType, payload)
             }
           }
