@@ -602,6 +602,24 @@ object SparkEntry {
       // the oracle unrolls every assignment and centroid update
       graft.pipeline.Clustering.kmeans(read(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4, iters = 2)),
+    "q_pq" -> ((s, dir) => {
+      // product quantization end to end: per-subspace integer Lloyd fit
+      // (m=2, k=4, one iteration), narrow native encode, and an ADC
+      // top-10 query scan — every stage exact integer arithmetic, so
+      // the oracle unrolls fit, encode, AND the query
+      val emb = read(s, dir, "embeddings")
+      val model = graft.pipeline.Pq.fit(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 1)
+      val query = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      emb.select(F.col("vec_id"),
+          graft.pipeline.Pq.encode(model, F.col("embedding")).as("code"))
+        .select(F.col("vec_id"),
+          F.element_at(F.col("code"), 1).as("code0"),
+          F.element_at(F.col("code"), 2).as("code1"),
+          graft.pipeline.Pq.adc(model, query, F.col("code")).as("dist"))
+        .orderBy(F.col("dist"), F.col("vec_id")).limit(10)
+    }),
     "q_semantic_dedup" -> ((s, dir) =>
       // SemDeDup composition: integer k-means clusters → capped
       // within-cluster cosine pairs; deterministic end to end, so the
@@ -1893,6 +1911,61 @@ object SparkEntry {
       // their previous centroid
       (KmeansCtes + """
          SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a3"""),
+    "q_pq" ->
+      // PQ fit/encode/ADC restated exactly: quantize, slice into 2
+      // subspaces of 32, one unrolled per-subspace Lloyd iteration
+      // (smallest-4-id init, lowest-index tie-break, sum // count
+      // update, empty cluster keeps its previous centroid), final
+      // assignment = the codes, and the ADC top-10 = integer squared
+      // distances from the vec_id-0 query's sub-vectors to each row's
+      // assigned centroids
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+                      x -> CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000)
+                        AS BIGINT)) AS q
+                    FROM embeddings),
+           s AS (SELECT vec_id, j, list_slice(q, j*32 + 1, j*32 + 32) AS sq
+                 FROM v CROSS JOIN (VALUES (0), (1)) AS js(j)),
+           c0 AS (SELECT j, row_number() OVER (PARTITION BY j
+                      ORDER BY vec_id) - 1 AS i, sq AS c
+                  FROM s WHERE vec_id IN
+                    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           d1 AS (SELECT s.vec_id, s.j, s.sq, c0.i,
+                    list_sum(list_transform(range(1, 33),
+                      t -> (s.sq[t] - c0.c[t]) * (s.sq[t] - c0.c[t]))) AS dist
+                  FROM s JOIN c0 ON s.j = c0.j),
+           a1 AS (SELECT vec_id, j, sq, i FROM (
+                    SELECT vec_id, j, sq, i, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist, i) AS rn FROM d1)
+                  WHERE rn = 1),
+           u1 AS (SELECT j, i, t AS spos, SUM(sq[t]) AS ssum, COUNT(*) AS n
+                  FROM a1, unnest(range(1, 33)) AS r(t) GROUP BY 1, 2, 3),
+           c1 AS (SELECT c0.j, c0.i, COALESCE(uu.c, c0.c) AS c
+                  FROM c0 LEFT JOIN (SELECT j, i,
+                      list(CAST(ssum // n AS BIGINT) ORDER BY spos) AS c
+                    FROM u1 GROUP BY 1, 2) uu
+                    ON c0.j = uu.j AND c0.i = uu.i),
+           d2 AS (SELECT s.vec_id, s.j, c1.i,
+                    list_sum(list_transform(range(1, 33),
+                      t -> (s.sq[t] - c1.c[t]) * (s.sq[t] - c1.c[t]))) AS dist
+                  FROM s JOIN c1 ON s.j = c1.j),
+           a2 AS (SELECT vec_id, j, i FROM (
+                    SELECT vec_id, j, i, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist, i) AS rn FROM d2)
+                  WHERE rn = 1),
+           qs AS (SELECT j, sq FROM s WHERE vec_id = 0),
+           adc AS (SELECT a2.vec_id,
+                     MAX(CASE WHEN a2.j = 0 THEN a2.i END) AS i0,
+                     MAX(CASE WHEN a2.j = 1 THEN a2.i END) AS i1,
+                     CAST(SUM(list_sum(list_transform(range(1, 33),
+                       t -> (qs.sq[t] - c1.c[t]) * (qs.sq[t] - c1.c[t]))))
+                       AS BIGINT) AS dist
+                   FROM a2
+                     JOIN c1 ON a2.j = c1.j AND a2.i = c1.i
+                     JOIN qs ON qs.j = a2.j
+                   GROUP BY a2.vec_id)
+         SELECT vec_id, CAST(i0 AS INTEGER) AS code0,
+                CAST(i1 AS INTEGER) AS code1, dist
+         FROM adc ORDER BY dist, vec_id LIMIT 10""",
     "q_semantic_dedup" ->
       // the k-means CTEs verbatim, then capped within-cluster members
       // and the q_knn_brute cosine recipe on every intra-cluster pair
