@@ -670,6 +670,20 @@ object SparkEntry {
     // --- dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(read(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // snapshot-vs-snapshot dedup: seen = every-third doc keyed to 7
+      // texts (covering all residues), incoming = the rest keyed to 11
+      // — survivors are exactly the rows whose text never occurs in
+      // seen, whatever the bloom's false-positive rate does
+      val docs = read(s, dir, "documents")
+      val seen = docs.where(F.col("doc_id") % 3 === 0)
+        .select(F.concat(F.lit("T"), F.col("doc_id") % 7).as("text"))
+      val incoming = docs.where(F.col("doc_id") % 3 =!= 0)
+        .select(F.col("doc_id"),
+          F.concat(F.lit("T"), F.col("doc_id") % 11).as("text"))
+      Dedup.dedupAgainstSeen(incoming, seen, "text",
+        expectedSeen = 1000, fpp = 0.01)
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedupPairs(read(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 32, bands = 8)),
@@ -1582,6 +1596,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "q_dedup_incremental" ->
+      // bloom prefilter + verify join == the plain NOT IN anti-join
+      """WITH seen AS (SELECT 'T' || (doc_id % 7) AS text
+                       FROM documents WHERE doc_id % 3 = 0),
+              inc AS (SELECT doc_id, 'T' || (doc_id % 11) AS text
+                      FROM documents WHERE doc_id % 3 <> 0)
+         SELECT doc_id, text FROM inc
+         WHERE text NOT IN (SELECT text FROM seen)""",
     "q_redact_pii" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(

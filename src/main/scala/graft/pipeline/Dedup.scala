@@ -34,6 +34,50 @@ object Dedup {
       .where(F.col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: the rows of `incoming` whose `key` does
+    * NOT already occur in `seen` — "dedupe today's crawl against the
+    * corpus you already have". Semantics are the plain anti-join (the
+    * oracle restates it as `WHERE digest NOT IN seen`), but the plan is
+    * the 100 TB shape: a bloom filter over the SEEN keys (one pass, a
+    * mergeable sketch aggregate, built driver-side) pre-filters the
+    * incoming scan NARROWLY, so bloom-negative rows — at a healthy
+    * daily-crawl overlap, almost everything — pass with NO join and NO
+    * shuffle at all; only bloom-positive candidates (true duplicates +
+    * `fpp` of the rest) pay the exact md5 anti-join that removes false
+    * positives. No false negatives exist, so the result is bit-exact
+    * whatever `fpp` is.
+    *
+    * Duplicates WITHIN `incoming` are deliberately kept (use
+    * [[exactDedup]] for that); this operator answers only "is it new
+    * vs `seen`". `expectedSeen` sizes the filter — oversizing costs
+    * memory, undersizing costs fpp (never correctness). */
+  def dedupAgainstSeen(incoming: DataFrame, seen: DataFrame,
+      key: String = "text", expectedSeen: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val k = F.xxhash64(F.col(key))
+    // stat.bloomFilter NPEs on a zero-row aggregate; an empty seen side
+    // means nothing can be a duplicate — probe a filter with no entries
+    val bloom =
+      if (seen.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else seen.select(k.as("__k")).stat
+        .bloomFilter("__k", math.max(expectedSeen, 1L), fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(baos)
+      baos.toByteArray
+    }
+    val maybe = graft.expressions.ColumnBridge.column(
+      graft.expressions.BloomMightContain(
+        graft.expressions.ColumnBridge.expression(k), bytes))
+    // definite-new rows: narrow, never shuffle; candidates: exact
+    // 128-bit digest anti-join against seen to drop bloom fps
+    val fresh = incoming.where(!maybe)
+    val survivors = incoming.where(maybe)
+      .join(seen.select(F.md5(F.col(key)).as("__d")),
+        F.md5(F.col(key)) === F.col("__d"), "left_anti")
+    fresh.unionByName(survivors)
+  }
+
   /** k-word shingles of a text column (distinct). */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = TextAnalysis.tokens(text)
