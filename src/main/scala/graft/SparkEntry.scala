@@ -757,6 +757,20 @@ object SparkEntry {
           "vec_id", "embedding", nlist = 8).persist())
       Similarity.ivfTopK(idx, q, 10, nprobe = 3)
     }),
+    "q_knn_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: partition-prunable coarse lists + residual PQ codes +
+      // exact-cosine refinement; rows-only like q_knn_ivf (the ml
+      // KMeans coarse step has no SQL restatement) — IvfPqSpec pins
+      // brute-force equality at full probe and recall>=0.9 at partial
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val corpus = emb.where(F.col("vec_id") =!= 0)
+      val idx = graft.pipeline.IvfPq.fit(corpus, "vec_id", "embedding",
+        nlist = 8, m = 8, k = 32, pqIters = 2)
+      graft.pipeline.IvfPq.topKRefined(idx, corpus, "embedding", q,
+        k = 10, nprobe = 4, refineFactor = 4)
+    }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
