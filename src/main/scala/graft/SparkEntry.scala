@@ -501,6 +501,12 @@ object SparkEntry {
       TextAnalysis.deterministicSplit(read(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
+    "q_shuffle_shard" -> ((s, dir) =>
+      // deterministic global shuffle + sharding: the md5-keyed
+      // (shard, pos) assignment is engine-reproducible by design, so
+      // the oracle restates the whole deal
+      TextAnalysis.shuffleShards(read(s, dir, "documents")
+          .select("doc_id"), "doc_id", numShards = 7, seed = 5)),
     "q_pack" -> ((s, dir) =>
       // greedy per-partition sequence packing into 512-token bins
       graft.pipeline.Packing.packSequences(
@@ -1721,6 +1727,17 @@ object SparkEntry {
                      WHEN h < 900000 THEN 'val' ELSE 'test' END AS split,
                 COUNT(*) AS n
          FROM b GROUP BY 1""",
+    "q_shuffle_shard" ->
+      // same 60-bit md5 order key, same shard modulo, same dense
+      // row_number within shard — both engines deal the identical deck
+      """WITH h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hk
+           FROM documents)
+         SELECT doc_id, CAST(hk % 7 AS INTEGER) AS shard,
+                row_number() OVER (PARTITION BY hk % 7 ORDER BY hk, doc_id)
+                  - 1 AS pos
+         FROM h""",
     "q_repetition" ->
       // integer-sum ratios with single divisions → bit-identical doubles
       """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0

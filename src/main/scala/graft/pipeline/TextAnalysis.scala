@@ -484,4 +484,45 @@ object TextAnalysis {
       }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic global shuffle + sharding — the last step before a
+    * training run reads a corpus: rows get a pseudo-random but
+    * REPRODUCIBLE order (the 60-bit md5 prefix of `seed:id`, the same
+    * engine-agnostic recipe as [[deterministicSplit]] — never `rand()`,
+    * which re-deals on retry) and land in `numShards` shards with a
+    * dense 0-based position within each. Returns the input columns plus
+    * (`shard` int, `pos` long).
+    *
+    * Scale shape: ONE shuffle — the window partitions by shard (pick
+    * numShards ≥ cluster cores; a training export wants hundreds to
+    * thousands of shards anyway, so the per-shard sort is bounded by
+    * |corpus|/numShards, never a global sort. Interleaving quality is
+    * the hash's: consecutive positions in a shard are unrelated
+    * documents, and every engine/run/cluster-size produces the
+    * identical (shard, pos) assignment, so an interrupted export resumes
+    * instead of re-dealing. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // full 60-bit order key (md5Bucket's 1e6 quotient would collide)
+    val h = F.conv(F.substring(F.md5(F.concat(F.lit(seed.toString + ":"),
+      F.col(idCol).cast(StringType))), 1, 15), 16, 10).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("shard")).orderBy(F.col("__h"), F.col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", (F.col("__h") % numShards).cast(IntegerType))
+      .withColumn("pos", F.row_number().over(w).cast(LongType) - 1)
+      .drop("__h")
+  }
+
+  /** [[shuffleShards]] + a sharded parquet export: one directory per
+    * shard (`shard=N/`), rows within each file in `pos` order — the
+    * layout a data loader streams sequentially while the global order
+    * stays shuffled. */
+  def writeShuffledShards(df: DataFrame, idCol: String, path: String,
+      numShards: Int, seed: Long = 0L): Unit =
+    shuffleShards(df, idCol, numShards, seed)
+      .repartition(numShards, F.col("shard"))
+      .sortWithinPartitions(F.col("shard"), F.col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }
