@@ -172,4 +172,51 @@ object Curation {
     }
     TextAnalysis.chunk(clean, id, text, chunkSize, chunkStride)
   }
+
+  /** Streaming twin of [[curate]] for continuous ingestion (a crawl
+    * feed curated as it lands instead of in nightly batches): the same
+    * NARROW gate stages — optional HTML extraction, mojibake, quality,
+    * language — run unchanged on an unbounded stream (they're
+    * projections/filters, valid in append mode), exact dedup becomes
+    * `dropDuplicatesWithinWatermark` on the md5 digest (state bounded
+    * to digests newer than the horizon — the streaming twin of the
+    * digest-keyed shuffle), and chunking stays a narrow generate.
+    *
+    * Contract differences vs batch, both inherent to streaming:
+    * duplicates keep the FIRST ARRIVAL (not the min id — a stream
+    * can't see the future), and a duplicate arriving after the
+    * watermark horizon passes is kept (the standard bounded-state
+    * tradeoff; size `watermark` to the feed's reordering window).
+    * Stages that need the whole corpus at once (fuzzy/semantic dedup,
+    * the perplexity fit) stay batch-side — run them on the stored
+    * output as a compaction pass.
+    *
+    * `docs` must be a streaming frame with an event-time column
+    * `tsCol`. Returns streaming (id, chunk_id, chunk_text,
+    * n_chunk_tokens), append-mode ready. */
+  def curateStream(docs: DataFrame, id: String, text: String,
+      tsCol: String = "ts", watermark: String = "1 hour",
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      chunkSize: Int = 64, chunkStride: Int = 48,
+      htmlInput: Boolean = false,
+      maxMojibake: Option[Double] = None): DataFrame = {
+    require(docs.isStreaming, "curateStream needs a streaming frame; " +
+      "use curate for batch input")
+    val input =
+      if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
+      else docs
+    val encodingOk = maxMojibake match {
+      case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
+      case None => F.lit(true)
+    }
+    val gated = input.where(encodingOk &&
+      TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
+        TextAnalysis.langId(F.col(text)).isInCollection(langs))
+    val deduped = gated.withColumn("__digest", F.md5(F.col(text)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+    TextAnalysis.chunk(deduped, id, text, chunkSize, chunkStride)
+  }
 }

@@ -132,4 +132,53 @@ class StreamingSpec extends SparkSpec {
         F.col("b.session_start") < F.col("a.session_end")).count()
     assert(overlaps == 0)
   }
+
+  test("streaming curation matches its batch twin on an ordered feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good =
+      "the cat sat on the mat and it was happy with that state of affairs " +
+        "for the rest of the day in the sun by the window with a warm blanket"
+    val good2 = good + " and then some more distinct words arrived"
+    val german =
+      "der hund ist nicht mit der katze und das haus ist auf dem berg " +
+        "und die sonne ist mit den wolken auf dem himmel für den tag"
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, good, ts(0)),   // survives
+      (2L, good, ts(1)),   // dup within watermark → dropped
+      (3L, "tiny", ts(2)), // quality gate
+      (4L, german, ts(3)), // language gate
+      (5L, good2, ts(4)))  // survives
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    input.addData(rows: _*) // before start: AvailableNow snapshots offsets
+    val q = graft.pipeline.Curation.curateStream(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", watermark = "30 minutes",
+        minQuality = 0.7, chunkSize = 8, chunkStride = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curstream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("curstream")
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+    // the batch twin on the same rows: first arrival == min id here,
+    // so the two dedup contracts agree
+    val batch = graft.pipeline.Curation.curate(
+      rows.toDF("doc_id", "text", "ts"), "doc_id", "text",
+      minQuality = 0.7, chunkSize = 8, chunkStride = 4)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    assert(streamed.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
+  test("streaming curation rejects a batch frame") {
+    import spark.implicits._
+    val batch = Seq((1L, "x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.curateStream(batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
 }
