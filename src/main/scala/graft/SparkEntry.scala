@@ -693,6 +693,16 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedupPairs(read(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 32, bands = 8)),
+    "q_minhash_incremental" -> ((s, dir) => {
+      // fuzzy incremental dedup: near-dup pairs BETWEEN an incoming
+      // batch (odd ids) and the seen corpus (even ids); one tagged
+      // banding pass, cross-corpus pairs only, exact-Jaccard verified
+      val docs = read(s, dir, "documents")
+      Dedup.minhashPairsAgainstSeen(
+        docs.where(F.col("doc_id") % 2 === 1),
+        docs.where(F.col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.8)
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashGroups(read(s, dir, "documents"), "doc_id", "text")),
     "q_simhash_near" -> ((s, dir) =>
@@ -2388,6 +2398,25 @@ object SparkEntry {
            len(list_intersect(a.grams, b.grams)) /
              CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
          FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams)) /
+           CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
+    "q_minhash_incremental" ->
+      // exhaustive cross-corpus truth, the q_dedup_minhash argument
+      // restricted to (odd incoming, even seen) pairs: banding recall
+      // is complete at jaccard ≥ 0.9 on this corpus and the verified
+      // jaccard doubles are bit-identical
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t)
+         SELECT a.doc_id AS incoming_id, b.doc_id AS seen_id,
+           len(list_intersect(a.grams, b.grams)) /
+             CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
+         FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
          WHERE len(list_intersect(a.grams, b.grams)) /
            CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
     "q_dedup_groups" ->

@@ -280,6 +280,54 @@ object Dedup {
     verifiedJaccard(cands, sh, threshold)
   }
 
+  /** Fuzzy INCREMENTAL dedup pairs: MinHash-LSH near-dup pairs BETWEEN
+    * `incoming` and `seen` — the fuzzy twin of [[dedupAgainstSeen]],
+    * answering "which new documents are near-rewrites of something the
+    * corpus already has". Returns (incoming_id, seen_id, jaccard ≥
+    * threshold); within-corpus pairs on either side are deliberately
+    * excluded (run [[minhashDedupPairs]] per corpus for those).
+    *
+    * Scale shape: identical to [[minhashDedupPairs]] — the corpora are
+    * tagged in the low id bit (`id·2 + tag`, sign-safe) so ONE banding
+    * pass, ONE capped posting-list shuffle, and one verify join serve
+    * both sides on the native long-id path; cross-corpus candidates are
+    * a parity filter on the pair list. */
+  def minhashPairsAgainstSeen(incoming: DataFrame, seen: DataFrame,
+      id: String, text: String, threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val shIn = incoming.select(
+      (F.col(id).cast(LongType) * 2 + 1).as("rid"),
+      shingleHashes(F.col(text), k).as("sh"))
+    val shSeen = seen.select(
+      (F.col(id).cast(LongType) * 2).as("rid"),
+      shingleHashes(F.col(text), k).as("sh"))
+    val sh = shIn.unionByName(shSeen).localCheckpoint(false)
+    val cands = minhashCandidatesFromShingles(sh, numHashes, bands, maxBucket)
+      .where(F.col("id1").bitwiseAND(F.lit(1L)) =!=
+        F.col("id2").bitwiseAND(F.lit(1L)))
+    val odd1 = F.col("id1").bitwiseAND(F.lit(1L)) === 1L
+    verifiedJaccard(cands, sh, threshold)
+      .select(
+        F.shiftright(F.when(odd1, F.col("id1")).otherwise(F.col("id2")), 1)
+          .as("incoming_id"),
+        F.shiftright(F.when(odd1, F.col("id2")).otherwise(F.col("id1")), 1)
+          .as("seen_id"),
+        F.col("jaccard"))
+  }
+
+  /** Rows of `incoming` that are NOT near-duplicates of anything in
+    * `seen` (the fuzzy companion to [[dedupAgainstSeen]]'s exact pass;
+    * real incremental ingestion runs both). One anti-join over the
+    * (small) matched-id list. */
+  def fuzzyDedupAgainstSeen(incoming: DataFrame, seen: DataFrame,
+      id: String, text: String, threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame =
+    incoming.join(
+      minhashPairsAgainstSeen(incoming, seen, id, text, threshold, k,
+        numHashes, bands, maxBucket)
+        .select(F.col("incoming_id").as(id)).distinct(),
+      Seq(id), "left_anti")
+
   /** 64-bit SimHash over tokens: per-bit vote of token hashes, sign →
     * bit. Near-dups share the hash (or differ in few bits). Narrow map,
     * evaluated by the native [[graft.expressions.SimHash64]] Catalyst

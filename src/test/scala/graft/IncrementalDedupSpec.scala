@@ -48,6 +48,60 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.count() == 100)
   }
 
+  test("fuzzy incremental pairs find cross-corpus near-dups only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest to hide from everyone"
+    val seen = Seq(
+      (10L, base),                          // near-dup source
+      (11L, "completely different seen text about cooking pasta with " +
+        "tomatoes garlic and fresh basil leaves from the garden")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base + " quietly"),              // near-dup of seen 10
+      (2L, base + " quietly"),              // also near-dup (and of 1)
+      (3L, "totally unrelated incoming text where nothing matches any " +
+        "other document in either corpus at all today")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainstSeen(incoming, seen,
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // cross pairs only: (1,10) and (2,10) — never the within-batch (1,2)
+    assert(pairs == Seq((1L, 10L), (2L, 10L)))
+    val kept = Dedup.fuzzyDedupAgainstSeen(incoming, seen, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("fuzzy incremental equals exhaustive cross-corpus jaccard") {
+    import spark.implicits._
+    // near-dup families from shared bases plus a one-token pad: same
+    // pad → exact dup (j=1), different pad → j = 37/41 ≈ 0.902; the
+    // blocked cross-corpus output must equal brute-force cross jaccard
+    val bases = Seq.tabulate(6)(b =>
+      Seq.tabulate(40)(i => s"w${b}_$i"))
+    val rows = (0L until 60L).map { i =>
+      val b = ((i / 2) % 6).toInt // odd and even ids share bases
+      (i, (bases(b) :+ s"pad${i % 3}").mkString(" "))
+    }
+    val incoming = rows.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val seen = rows.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAgainstSeen(incoming, seen, "doc_id",
+        "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local brute force over 3-shingle sets
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (i1, t1) <- rows if i1 % 2 == 1
+      (i2, t2) <- rows if i2 % 2 == 0
+      s1 = shingles(t1); s2 = shingles(t2)
+      j = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      if j >= 0.9
+    } yield (i1, i2)).toSet
+    assert(want.nonEmpty, "fixture must contain cross near-dups")
+    assert(got == want)
+  }
+
   test("plan shape: one anti-join branch, one join-free narrow branch") {
     import spark.implicits._
     // parquet-backed inputs: a LocalRelation would let the optimizer
