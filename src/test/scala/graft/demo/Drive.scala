@@ -221,6 +221,67 @@ object Drive {
         .select("doc_id", "url").orderBy("doc_id").show(false)
     }
 
+    println("=== round-9 ops: WARC chain, PQ / IVF-PQ, incremental dedup, shuffle-shard:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      // WARC → http → html_text: the crawl front door, in one plan
+      def rec(uri: String, body: String): Array[Byte] = {
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n$body"
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n").getBytes("UTF-8")
+      }
+      val seg = rec("http://ex.org/a", "<html><body><h1>A</h1><p>alpha page</p></body></html>") ++
+        rec("http://ex.org/b", "<html><body><p>beta &amp; gamma</p></body></html>")
+      val records = Seq(Tuple1(seg)).toDF("content")
+        .select(F.lit("seg-0").as("file"),
+          F.explode(graft.sources.Warc.records(F.col("content"))).as("r"))
+        .select(F.col("file"), F.col("r.warc_type").as("warc_type"),
+          F.col("r.target_uri").as("target_uri"), F.col("r.date").as("date"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.content_type").as("content_type"),
+          F.col("r.payload").as("payload"))
+      graft.sources.Warc.pages(records)
+        .select(F.col("url"), F.col("status"),
+          graft.pipeline.TextAnalysis.htmlText(
+            F.decode(F.col("body"), "UTF-8")).as("text"))
+        .show(false)
+      // PQ + IVF-PQ over toy embeddings
+      val vecs = (0L until 40L).map(i => (i,
+        Seq.tabulate(16)(d => ((i % 4) * 2 - 3) * 0.1f + d * 0.001f)))
+        .toDF("id", "vec")
+      val pq = graft.pipeline.Pq.fit(vecs, "id", "vec", m = 4, k = 4, iters = 2)
+      val codes = vecs.select(F.col("id"),
+        graft.pipeline.Pq.encode(pq, F.col("vec")).as("code"))
+      val q0 = Seq.tabulate(16)(d => -0.3f + d * 0.001f)
+      graft.pipeline.Pq.topK(pq, codes, "id", "code", q0, 5).show(false)
+      val ivfpq = graft.pipeline.IvfPq.fit(vecs, "id", "vec",
+        nlist = 4, m = 4, k = 4)
+      graft.pipeline.IvfPq.topKRefined(ivfpq, vecs, "vec", q0, 5,
+        nprobe = 2).show(false)
+      // incremental dedup: exact (bloom) + fuzzy (cross-corpus minhash)
+      val seen = Seq((100L, "the cat sat on the mat today and yesterday " +
+        "while the dog watched from the door")).toDF("doc_id", "text")
+      val incoming = Seq(
+        (1L, "the cat sat on the mat today and yesterday while the dog " +
+          "watched from the door"),            // exact dup of seen
+        (2L, "the cat sat on the mat today and yesterday while the dog " +
+          "watched from the window"),          // near-dup of seen
+        (3L, "completely new content about distributed query planning " +
+          "and shuffle-free aggregation")).toDF("doc_id", "text")
+      graft.pipeline.Dedup.dedupAgainstSeen(incoming, seen, "text")
+        .select("doc_id").orderBy("doc_id").show(false)
+      graft.pipeline.Dedup.fuzzyDedupAgainstSeen(
+          graft.pipeline.Dedup.dedupAgainstSeen(incoming, seen, "text"),
+          seen, "doc_id", "text", threshold = 0.7)
+        .select("doc_id").orderBy("doc_id").show(false)
+      // deterministic shuffle + shard assignment
+      graft.pipeline.TextAnalysis.shuffleShards(
+          (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+          "doc_id", numShards = 3, seed = 7)
+        .orderBy("shard", "pos").show(false)
+    }
+
     spark.stop()
   }
 }
