@@ -90,6 +90,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(av.length == 5 && av(0) > 0.9f)
   }
 
+  test("warc_records and http_message resolve in spark.sql") {
+    val r = spark.sql(
+      """SELECT warc_records(encode(concat(
+           'WARC/1.0\r\nWARC-Type: response\r\n',
+           'WARC-Target-URI: http://a/x\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n'),
+           'UTF-8')) AS recs,
+           http_message(encode(concat(
+             'HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n',
+             'Transfer-Encoding: chunked\r\n\r\n2\r\nok\r\n0\r\n\r\n'),
+             'UTF-8')) AS m""").collect()(0)
+    val rec = r.getSeq[org.apache.spark.sql.Row](0).head
+    assert(rec.getString(0) == "response" && rec.getString(1) == "http://a/x")
+    assert(new String(rec.getAs[Array[Byte]](5), "UTF-8") == "hi")
+    val m = r.getStruct(1)
+    assert(m.getInt(0) == 200 &&
+      new String(m.getAs[Array[Byte]](3), "UTF-8") == "ok")
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), id + 1) FROM range(1)")

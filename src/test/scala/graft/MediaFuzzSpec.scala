@@ -27,7 +27,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "DecodeImage" -> (DecodeImage.parse(_)),
     "ImageEmbedding" -> (ImageEmbedding.embed(_, 8)),
     "AudioEmbedding" -> (AudioEmbedding.embed(_, 8)),
-    "ResizeImage" -> (ResizeImage.resize(_, 16)))
+    "ResizeImage" -> (ResizeImage.resize(_, 16)),
+    "WarcRecords" -> (WarcRecords.parse(_)),
+    "HttpMessage" -> (HttpMessage.parse(_)))
 
   private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =
     parsers.foreach { case (name, p) =>
@@ -130,7 +132,16 @@ class MediaFuzzSpec extends AnyFunSuite {
         "00" * 12 + "00000001" + "00" * 60 + "0280000001680000" +
         "000000306D646961000000286D696E66000000207374626C" +
         "0000001873747473" + "00000000" + "00000001" + "000000FA" +
-        "00000064"))
+        "00000064"),
+      // WARC two-record segment and a chunked HTTP response
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://a/x\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+        .getBytes("UTF-8"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        "6\r\nchunk1\r\nB;x=1\r\n and chunk2\r\n0\r\nX-T: t\r\n\r\n")
+        .getBytes("UTF-8"))
     for (seed <- seeds; i <- 0 until 120) {
       val b = seed.clone()
       // flip 1-4 random bytes (sizes, tags, payload — anything)
