@@ -77,6 +77,10 @@ object Ast {
   /** GRAPH ?g { p } / GRAPH <iri> { p } — scope `p` to one named graph
     * (binding ?g per solution when the graph name is a variable). */
   final case class GraphPat(g: Node, p: GraphPattern) extends GraphPattern
+  /** SERVICE [SILENT] <endpoint> { p } — federation: `p` executes on the
+    * remote SPARQL endpoint, results compatible-join with the rest. */
+  final case class Service(endpoint: Node, p: GraphPattern, silent: Boolean)
+      extends GraphPattern
 
   // ---- queries ---------------------------------------------------------------
 
@@ -177,6 +181,10 @@ object Ast {
       case SelectVars(items) => items.map(_.name).toSet
     }
     case GraphPat(g, q) => inScopeVars(q) ++ (g match {
+      case VarNode(v) => Set(v)
+      case _ => Set.empty[String]
+    })
+    case Service(ep, q, _) => inScopeVars(q) ++ (ep match {
       case VarNode(v) => Set(v)
       case _ => Set.empty[String]
     })

@@ -165,6 +165,44 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val prev = activeGraph
       activeGraph = Some(g)
       try compile(p) finally activeGraph = prev
+    case Service(ep, p, silent) => compileService(ep, p, silent)
+  }
+
+  /** SERVICE federation: render the sub-pattern back to query text
+    * (Render), ship it to the remote endpoint through the DataSourceV2
+    * SPARQL-protocol source (executor-side JSON decode — remote rows
+    * never gather on the driver), and hand the term-struct bindings to
+    * the surrounding compatible join. SILENT per spec: a failing
+    * service evaluates to the single empty solution μ0 — failure has to
+    * be OBSERVED to be silenced, so SILENT eagerly materializes the
+    * remote fetch (localCheckpoint) and catches; non-SILENT stays fully
+    * lazy/streamed. */
+  private def compileService(ep: Node, p: GraphPattern,
+      silent: Boolean): DataFrame = {
+    val url = ep match {
+      case TermNode(Iri(u)) => u
+      case VarNode(v) => throw new IllegalArgumentException(
+        s"SERVICE endpoint must be a constant IRI; got variable ?$v " +
+          "(variable endpoints are not supported)")
+      case TermNode(t) => throw new IllegalArgumentException(
+        s"SERVICE endpoint must be an IRI; got ${t.n3()}")
+    }
+    val vars = inScopeVars(p).filterNot(_.startsWith("_:")).toSeq.sorted
+    require(vars.nonEmpty,
+      "SERVICE pattern binds no variables — nothing to federate on")
+    val text =
+      s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE ${Render.pattern(p)}"
+    try {
+      val df = spark.read.format("sparql")
+        .option("url", url)
+        .option("query", text)
+        .option("vars", vars.mkString(","))
+        .option("timeoutMs", "60000")
+        .load()
+      if (silent) df.localCheckpoint(true) else df
+    } catch {
+      case _: Exception if silent => oneRowDf // μ0: one empty solution
+    }
   }
 
   private def oneRowDf: DataFrame = {
@@ -207,6 +245,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       }.toSet
     case SubSelect(q) => selectMaybeUnbound(q)
     case GraphPat(_, p) => maybeUnbound(p) // ?g itself always binds
+    // remote solutions may leave any var unbound (remote OPTIONAL/UNION
+    // — and a SILENT failure binds nothing at all): always compat-join
+    case Service(_, p, _) => inScopeVars(p)
   }
 
   private def selectMaybeUnbound(q: SelectQuery): Set[String] =

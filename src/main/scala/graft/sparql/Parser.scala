@@ -372,6 +372,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
         iri ^^ (i => TermNode(Iri(i)): Node)) ~ groupGraphPattern ^^ {
       case g ~ p => ESub(GraphPat(g, p))
     } |
+    kw("SERVICE") ~> opt(kw("SILENT")) ~ (varName ^^ (VarNode(_): Node) |
+        iri ^^ (i => TermNode(Iri(i)): Node)) ~ groupGraphPattern ^^ {
+      case silent ~ ep ~ p => ESub(Service(ep, p, silent.isDefined))
+    } |
     groupOrUnion |
     triplesBlock ^^ ETriples.apply
 

@@ -74,6 +74,7 @@ object Substitute {
     case t: TableData => t
     case SubSelect(q) => SubSelect(selectQ(q, m))
     case GraphPat(g, q) => GraphPat(node(g, m), pattern(q, m))
+    case Service(ep, q, s) => Service(node(ep, m), pattern(q, m), s)
   }
 
   def expr(e: Expr, m: Map[String, RdfTerm]): Expr = e match {

@@ -107,6 +107,9 @@ object TypeInfer {
         case _ => Map.empty[String, Set[Decision]]
       }
       merge(gs, patternSigs(q, meta))
+    case Service(_, q, _) =>
+      // remote bindings: infer from the pattern shape like local ones
+      patternSigs(q, meta)
   }
 
   private def tripleSigs(tp: TriplePattern,

@@ -1,0 +1,143 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sparql.{Ast, Parser, Render}
+
+/** SERVICE federation: parse → render → remote execute → compatible
+  * join, SILENT μ0 semantics, and the Render round-trip property. */
+class ServiceSpec extends SparkSpec {
+
+  private def withServer(json: String)(f: (String, () => String) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var lastBody = ""
+    server.createContext("/sparql", (ex: HttpExchange) => {
+      lastBody = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val out = json.getBytes(UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/sparql-results+json")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/sparql",
+      () => lastBody)
+    finally server.stop(0)
+  }
+
+  // remote knows labels for two of the three local items
+  private val remoteJson =
+    """{ "head": { "vars": ["item", "label"] },
+      |  "results": { "bindings": [
+      |    { "item": {"type": "uri", "value": "http://example.com/i1"},
+      |      "label": {"type": "literal", "value": "one", "xml:lang": "en"} },
+      |    { "item": {"type": "uri", "value": "http://example.com/i2"},
+      |      "label": {"type": "literal", "value": "two", "xml:lang": "en"} }
+      |  ] } }""".stripMargin
+
+  private val localTtl =
+    """@prefix ex: <http://example.com/> .
+      |ex:i1 ex:price 10 .
+      |ex:i2 ex:price 20 .
+      |ex:i3 ex:price 30 .
+      |""".stripMargin
+
+  test("SERVICE joins remote bindings with the local pattern") {
+    withServer(remoteJson) { (url, seen) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      val df = e.select(
+        s"""SELECT ?item ?price ?label {
+              ?item ex:price ?price
+              SERVICE <$url> { ?item <http://example.com/label> ?label }
+            } ORDER BY ?price""")
+      val rows = df.collect()
+      // inner join semantics: i3 has no remote label → dropped
+      assert(rows.length == 2)
+      assert(rows.map(_.get(2).toString).toSeq == Seq("one", "two"))
+      // the wire query is the RENDERED sub-pattern, fully qualified
+      val body = java.net.URLDecoder.decode(seen(), "UTF-8")
+      assert(body.contains("SELECT ?item ?label WHERE"), body)
+      assert(body.contains("<http://example.com/label>"), body)
+    }
+  }
+
+  test("SERVICE under OPTIONAL keeps unmatched local rows") {
+    withServer(remoteJson) { (url, _) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      val df = e.select(
+        s"""SELECT ?item ?label {
+              ?item ex:price ?price
+              OPTIONAL { SERVICE <$url> { ?item <http://example.com/label> ?label } }
+            } ORDER BY ?price""")
+      val rows = df.collect()
+      assert(rows.length == 3)
+      assert(rows(2).isNullAt(1)) // i3: no remote label, still present
+    }
+  }
+
+  test("SERVICE SILENT against a dead endpoint is the empty solution") {
+    val e = Engine.inline(localTtl)
+    e.bindNamespace("ex", "http://example.com/")
+    // nothing listens on this port: SILENT → μ0, join keeps local rows
+    // with ?label unbound everywhere
+    val df = e.select(
+      """SELECT ?item ?label {
+            ?item ex:price ?price
+            SERVICE SILENT <http://127.0.0.1:1/sparql>
+              { ?item <http://example.com/label> ?label }
+          } ORDER BY ?price""")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("non-SILENT dead endpoint and variable endpoints fail loudly") {
+    val e = Engine.inline(localTtl)
+    e.bindNamespace("ex", "http://example.com/")
+    intercept[Exception] {
+      e.select(
+        """SELECT ?item ?label {
+              ?item ex:price ?price
+              SERVICE <http://127.0.0.1:1/sparql>
+                { ?item <http://example.com/label> ?label }
+            }""").collect()
+    }
+    val err = intercept[Exception] {
+      e.select(
+        """SELECT ?item ?label {
+              ?item ex:price ?price
+              SERVICE ?ep { ?item <http://example.com/label> ?label }
+            }""").collect()
+    }
+    assert(err.getMessage.contains("constant IRI") ||
+      Option(err.getCause).exists(_.getMessage.contains("constant IRI")))
+  }
+
+  test("Render round-trips every pattern shape through the parser") {
+    val queries = Seq(
+      """SELECT ?s ?o { ?s <http://e/p> ?o . FILTER(?o > 3 && !(?o = 5)) }""",
+      """SELECT ?s { { ?s <http://e/p> ?x } UNION { ?s <http://e/q> ?x }
+           MINUS { ?s <http://e/r> "bad"@en } }""",
+      """SELECT ?s ?y { ?s <http://e/p> ?x OPTIONAL { ?s <http://e/q> ?y
+           FILTER(?y != 2) } BIND(?x * 2 AS ?z) }""",
+      """SELECT ?s { VALUES (?s ?v) { (<http://e/a> 1) (UNDEF 2) }
+           ?s (<http://e/p>/^<http://e/q>)+ ?t
+           FILTER(EXISTS { ?t <http://e/r> ?u }) }""",
+      """SELECT ?g ?s { GRAPH ?g { ?s !(<http://e/p>|^<http://e/q>) ?o } }""",
+      """SELECT ?s { ?s <http://e/p> ?n }
+         GROUP BY ?s HAVING (SUM(?n) > 2) ORDER BY DESC(?s) LIMIT 3 OFFSET 1""")
+    for (q <- queries) {
+      val parsed = new Parser().parseQuery(q)
+      val sel = parsed.query.asInstanceOf[Ast.SelectQuery]
+      val rendered = Render.select(sel)
+      val reparsed = new Parser().parseQuery(rendered)
+      // rendering is canonical modulo the one fold the parser applies,
+      // so render(parse(render(x))) is a fixpoint
+      val again = Render.select(reparsed.query.asInstanceOf[Ast.SelectQuery])
+      assert(again == rendered, s"not a fixpoint:\n$rendered\n$again")
+    }
+  }
+}
