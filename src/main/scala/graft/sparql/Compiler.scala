@@ -141,6 +141,37 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   def compile(p: GraphPattern): DataFrame = p match {
     case Unit0 => oneRowDf
     case Bgp(ts) => compileBgp(ts)
+    // bound join (the FedX optimization): a SERVICE joined with a local
+    // pattern ships the local side's bindings as a VALUES clause, so the
+    // remote evaluates its pattern restricted to candidate rows instead
+    // of its whole extent
+    case Join(l, s: Service) =>
+      val left = compile(l)
+      val right = compileService(s.endpoint, s.p, s.silent,
+        seed = Some((left, boundInjectVars(l, s))))
+      joinCompat(left, right, maybeUnbound(l), maybeUnbound(s))
+    // group-level FILTERs sit above the Join in the algebra; the ones
+    // touching only local vars also restrict the bound-join seed (safe:
+    // remote solutions compatible only with filter-failing local rows
+    // would die in the outer filter anyway — the wire query just stops
+    // shipping candidates the result can never contain)
+    case Filter(Join(l, s: Service), exprs) =>
+      val left = compile(l)
+      val leftVars = inScopeVars(l)
+      val pushable = exprs.filter(e => exprVars(e).subsetOf(leftVars))
+      val seedDf =
+        if (pushable.isEmpty) left
+        else applyFilters(left, pushable, maybeUnbound(l))
+      val right = compileService(s.endpoint, s.p, s.silent,
+        seed = Some((seedDf, boundInjectVars(l, s))))
+      applyFilters(
+        joinCompat(left, right, maybeUnbound(l), maybeUnbound(s)),
+        exprs, maybeUnbound(Join(l, s)))
+    case Join(s: Service, r) =>
+      val right = compile(r)
+      val left = compileService(s.endpoint, s.p, s.silent,
+        seed = Some((right, boundInjectVars(r, s))))
+      joinCompat(left, right, maybeUnbound(s), maybeUnbound(r))
     case Join(l, r) =>
       joinCompat(compile(l), compile(r), maybeUnbound(l), maybeUnbound(r))
     case LeftJoin(l, r, filters) =>
@@ -177,8 +208,29 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * be OBSERVED to be silenced, so SILENT eagerly materializes the
     * remote fetch (localCheckpoint) and catches; non-SILENT stays fully
     * lazy/streamed. */
+  /** Injection cap: past this many distinct local rows the VALUES
+    * clause stops being the cheap side and the fetch goes unrestricted. */
+  private val ServiceBoundMax = 1000
+
+  /** Vars safe to ship as VALUES into a joined SERVICE: shared between
+    * the sides AND certainly bound on both — a left-maybe-unbound var
+    * would inject UNDEF (matches everything, restricting nothing), and
+    * a remote-maybe-unbound var would let one remote solution match
+    * several VALUES rows, inflating its multiplicity. */
+  private def boundInjectVars(local: GraphPattern, s: Service): Seq[String] =
+    (inScopeVars(local).intersect(inScopeVars(s.p)) --
+      maybeUnbound(local) -- maybeUnbound(s.p))
+      .filterNot(_.startsWith("_:")).toSeq.sorted
+
+  private def termOfRow(r: Row): RdfTerm = r.getByte(0) match {
+    case KIND_IRI => Iri(r.getString(1))
+    case KIND_BLANK => Blank(r.getString(1))
+    case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+  }
+
   private def compileService(ep: Node, p: GraphPattern,
-      silent: Boolean): DataFrame = {
+      silent: Boolean,
+      seed: Option[(DataFrame, Seq[String])] = None): DataFrame = {
     val url = ep match {
       case TermNode(Iri(u)) => u
       case VarNode(v) => throw new IllegalArgumentException(
@@ -190,8 +242,23 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val vars = inScopeVars(p).filterNot(_.startsWith("_:")).toSeq.sorted
     require(vars.nonEmpty,
       "SERVICE pattern binds no variables — nothing to federate on")
+    // bound-join injection: prepend the local side's distinct bindings
+    // as VALUES when they are few enough and blank-free (local blank
+    // labels must never equate with remote ones)
+    val shipped = seed match {
+      case Some((local, sv)) if sv.nonEmpty =>
+        val rows = local.select(sv.map(F.col): _*).distinct()
+          .limit(ServiceBoundMax + 1).collect()
+        val hasBlank = rows.exists(row => sv.indices.exists(i =>
+          !row.isNullAt(i) && row.getStruct(i).getByte(0) == KIND_BLANK))
+        if (rows.length > ServiceBoundMax || rows.isEmpty || hasBlank) p
+        else Join(TableData(sv, rows.toSeq.map(row => sv.indices.map(i =>
+          if (row.isNullAt(i)) None
+          else Some(termOfRow(row.getStruct(i)))))), p)
+      case _ => p
+    }
     val text =
-      s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE ${Render.pattern(p)}"
+      s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE ${Render.pattern(shipped)}"
     try {
       val df = spark.read.format("sparql")
         .option("url", url)

@@ -116,6 +116,41 @@ class ServiceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("constant IRI")))
   }
 
+  test("bound join ships local candidates as a VALUES clause") {
+    withServer(remoteJson) { (url, seen) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      val df = e.select(
+        s"""SELECT ?item ?label {
+              ?item ex:price ?price FILTER(?price = 10)
+              SERVICE <$url> { ?item <http://example.com/label> ?label }
+            }""")
+      val rows = df.collect()
+      assert(rows.length == 1 && rows(0).get(1).toString == "one")
+      val body = java.net.URLDecoder.decode(seen(), "UTF-8")
+      // only the surviving local candidate shipped, not the extent
+      assert(body.contains("VALUES (?item)"), body)
+      assert(body.contains("(<http://example.com/i1>)"), body)
+      assert(!body.contains("i2"), body)
+    }
+  }
+
+  test("maybe-unbound shared vars are never injected") {
+    withServer(remoteJson) { (url, seen) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      // ?item is maybe-unbound on the local side (UNION branch padding)
+      // → injection would restrict nothing and inflate nothing: skip it
+      e.select(
+        s"""SELECT ?item ?label {
+              { ?item ex:price ?price } UNION { ?other ex:price ?price }
+              SERVICE <$url> { ?item <http://example.com/label> ?label }
+            }""").collect()
+      val body = java.net.URLDecoder.decode(seen(), "UTF-8")
+      assert(!body.contains("VALUES"), body)
+    }
+  }
+
   test("Render round-trips every pattern shape through the parser") {
     val queries = Seq(
       """SELECT ?s ?o { ?s <http://e/p> ?o . FILTER(?o > 3 && !(?o = 5)) }""",
