@@ -212,6 +212,29 @@ class WarcSpec extends SparkSpec {
     assert(uris == Seq("http://c/small1", "http://c/small2", "http://d/1"))
   }
 
+  test("a WARC file curates end to end: read -> pages -> curate") {
+    import spark.implicits._
+    val goodProse = "the cat sat on the mat and it was happy with that " +
+      "state of affairs for the rest of the day in the sun by the window " +
+      "with a warm blanket"
+    def page(body: String) =
+      s"<html><head><script>x()</script></head><body><p>$body</p></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("warc-curate")
+    writeTemp(dir, "seg.warc",
+      rec("response", "http://w/good", http(200, page(goodProse))) ++
+        rec("response", "http://w/dup", http(200, page(goodProse))) ++
+        rec("response", "http://w/junk", http(200, page("tiny"))))
+    val pages = Warc.pages(Warc.read(spark, dir.toString + "/*.warc"))
+      .select(F.col("url").as("doc_id"),
+        F.decode(F.col("body"), "UTF-8").as("text"))
+    val out = graft.pipeline.Curation.curate(pages, "doc_id", "text",
+      minQuality = 0.7, htmlInput = true, chunkSize = 8, chunkStride = 4)
+    val urls = out.select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    // junk gated out; the duplicate page collapses to the min url
+    assert(urls == Set("http://w/dup"))
+  }
+
   test("pages unwraps responses and feeds html_text end to end") {
     import spark.implicits._
     val page = "<html><head><script>junk()</script></head>" +
