@@ -1627,13 +1627,17 @@ object SparkEntry {
       """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
     "q_dedup_incremental" ->
-      // bloom prefilter + verify join == the plain NOT IN anti-join
+      // bloom prefilter + verify join == the anti-join; spelled with
+      // explicit null handling (a null key is a duplicate of nothing)
+      // rather than bare NOT IN, whose three-valued logic would drop
+      // every row if a null ever appeared on either side
       """WITH seen AS (SELECT 'T' || (doc_id % 7) AS text
                        FROM documents WHERE doc_id % 3 = 0),
               inc AS (SELECT doc_id, 'T' || (doc_id % 11) AS text
                       FROM documents WHERE doc_id % 3 <> 0)
          SELECT doc_id, text FROM inc
-         WHERE text NOT IN (SELECT text FROM seen)""",
+         WHERE text IS NULL OR text NOT IN
+           (SELECT text FROM seen WHERE text IS NOT NULL)""",
     "q_redact_pii" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(

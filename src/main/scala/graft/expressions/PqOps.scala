@@ -67,6 +67,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Long]]],
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
+      if (vec.isNullAt(i)) return null // degrade, never unbox a null
       val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
       q(i) = math.floor((x + offset) * 1000000d).toLong
       i += 1

@@ -203,6 +203,8 @@ object Curation {
       maxMojibake: Option[Double] = None): DataFrame = {
     require(docs.isStreaming, "curateStream needs a streaming frame; " +
       "use curate for batch input")
+    require(!docs.columns.contains("__digest"),
+      "docs must not contain the internal marker column __digest")
     val input =
       if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
       else docs

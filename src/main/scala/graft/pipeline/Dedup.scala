@@ -49,7 +49,11 @@ object Dedup {
     *
     * Duplicates WITHIN `incoming` are deliberately kept (use
     * [[exactDedup]] for that); this operator answers only "is it new
-    * vs `seen`". `expectedSeen` sizes the filter — oversizing costs
+    * vs `seen`". NULL keys on either side are inert: a null is a
+    * duplicate of nothing, so null-key incoming rows are always kept
+    * and null-key seen rows exclude nothing (the oracle spells this
+    * out — plain `NOT IN` would instead drop every row the moment a
+    * null appears). `expectedSeen` sizes the filter — oversizing costs
     * memory, undersizing costs fpp (never correctness). */
   def dedupAgainstSeen(incoming: DataFrame, seen: DataFrame,
       key: String = "text", expectedSeen: Long = 1L << 20,

@@ -90,6 +90,10 @@ object Pq {
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
     require(init.forall(_.length == d), "ragged vector dims")
+    // rows with any other dimension are IGNORED (matching PqEncode's
+    // wrong-length → NULL degrade) rather than poisoning the update
+    // aggregate with null cluster ids
+    val sized = base.where(F.size(F.col("v")) === d)
 
     // codebooks[j][c] = centroid c of subspace j; short corpora (< k
     // rows) repeat the last init vector so shapes stay rectangular
@@ -108,7 +112,7 @@ object Pq {
       // pos → subspace by index arithmetic, cluster via element_at
       val enc = encode(Model(m, k, subDim, offset, toSeq(codebooks)),
         F.col("v"))
-      val stats = base.select(enc.as("code"),
+      val stats = sized.select(enc.as("code"),
           F.posexplode(F.col("q")).as(Seq("pos", "x")))
         .select(
           (F.col("pos") / subDim).cast(IntegerType).as("j"),

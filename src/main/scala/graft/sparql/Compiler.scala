@@ -157,7 +157,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     // shipping candidates the result can never contain)
     case Filter(Join(l, s: Service), exprs) =>
       val left = compile(l)
-      val leftVars = inScopeVars(l)
+      // only filters over vars CERTAINLY bound locally may restrict the
+      // seed: a maybe-unbound var that the service also binds would be
+      // coalesced from the remote side by the join, so the filter's
+      // post-join verdict on a row can differ from its pre-join one —
+      // pushing such a filter would drop valid results
+      val leftVars = inScopeVars(l) -- maybeUnbound(l)
       val pushable = exprs.filter(e => exprVars(e).subsetOf(leftVars))
       val seedDf =
         if (pushable.isEmpty) left
@@ -240,26 +245,41 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         s"SERVICE endpoint must be an IRI; got ${t.n3()}")
     }
     val vars = inScopeVars(p).filterNot(_.startsWith("_:")).toSeq.sorted
-    require(vars.nonEmpty,
-      "SERVICE pattern binds no variables — nothing to federate on")
-    // bound-join injection: prepend the local side's distinct bindings
-    // as VALUES when they are few enough and blank-free (local blank
-    // labels must never equate with remote ones)
-    val shipped = seed match {
-      case Some((local, sv)) if sv.nonEmpty =>
-        val rows = local.select(sv.map(F.col): _*).distinct()
-          .limit(ServiceBoundMax + 1).collect()
-        val hasBlank = rows.exists(row => sv.indices.exists(i =>
-          !row.isNullAt(i) && row.getStruct(i).getByte(0) == KIND_BLANK))
-        if (rows.length > ServiceBoundMax || rows.isEmpty || hasBlank) p
-        else Join(TableData(sv, rows.toSeq.map(row => sv.indices.map(i =>
-          if (row.isNullAt(i)) None
-          else Some(termOfRow(row.getStruct(i)))))), p)
-      case _ => p
-    }
-    val text =
-      s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE ${Render.pattern(shipped)}"
     try {
+      if (vars.isEmpty) {
+        // constant-only pattern (SERVICE <ep> { <s> <p> <o> }): ASK-like
+        // — one empty solution when the remote holds a match, else none
+        val probe = spark.read.format("sparql")
+          .option("url", url)
+          .option("query",
+            s"SELECT (1 AS ?__c) WHERE ${Render.pattern(p)} LIMIT 1")
+          .option("vars", "__c")
+          .option("timeoutMs", "60000")
+          .load()
+        return if (probe.limit(1).count() > 0) oneRowDf else oneRowDf.limit(0)
+      }
+      // bound-join injection: prepend the local side's distinct bindings
+      // as VALUES when they are few enough and blank-free (local blank
+      // labels must never equate with remote ones). An EMPTY local side
+      // short-circuits: the join is provably empty, so skip the remote
+      // fetch entirely.
+      val shipped = seed match {
+        case Some((local, sv)) if sv.nonEmpty =>
+          val rows = local.select(sv.map(F.col): _*).distinct()
+            .limit(ServiceBoundMax + 1).collect()
+          if (rows.isEmpty)
+            return spark.range(0).select(vars.map(v =>
+              F.lit(null).cast(termType).as(v)): _*)
+          val hasBlank = rows.exists(row => sv.indices.exists(i =>
+            !row.isNullAt(i) && row.getStruct(i).getByte(0) == KIND_BLANK))
+          if (rows.length > ServiceBoundMax || hasBlank) p
+          else Join(TableData(sv, rows.toSeq.map(row => sv.indices.map(i =>
+            if (row.isNullAt(i)) None
+            else Some(termOfRow(row.getStruct(i)))))), p)
+        case _ => p
+      }
+      val text =
+        s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE ${Render.pattern(shipped)}"
       val df = spark.read.format("sparql")
         .option("url", url)
         .option("query", text)

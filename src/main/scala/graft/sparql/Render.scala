@@ -21,7 +21,14 @@ object Render {
   private def body(p: GraphPattern): String = p match {
     case Unit0 => ""
     case Bgp(ts) => ts.map(triple).mkString(" . ")
-    case Join(l, r) => s"${body(l)} ${wrapIfNeeded(r)}"
+    // '.' between the operands: without it, Join(Bgp, Bgp) — which the
+    // parser's single-group unwrap produces for { { t1 } t2 } — would
+    // render adjacent triples with no separator, a syntax error on the
+    // wire. The grammar allows '.' after any group-level element, so
+    // the separator is safe whatever the operands are.
+    case Join(l, r) =>
+      val (a, b) = (body(l), body(r))
+      if (a.isEmpty) b else if (b.isEmpty) a else s"$a . $b"
     case LeftJoin(l, r, filters) =>
       val fs = filters.map(f => s" FILTER(${expr(f)})").mkString
       s"${body(l)} OPTIONAL { ${body(r)}$fs }"
@@ -43,13 +50,6 @@ object Render {
     case Service(ep, q, silent) =>
       val s = if (silent) "SILENT " else ""
       s"SERVICE $s${node(ep)} { ${body(q)} }"
-  }
-
-  /** UNION / VALUES / sub-selects are group-level elements; when they
-    * appear as a Join's right side they need their own braces. */
-  private def wrapIfNeeded(p: GraphPattern): String = p match {
-    case Union(_, _) | SubSelect(_) => body(p)
-    case _ => body(p)
   }
 
   def select(q: SelectQuery): String = {

@@ -108,8 +108,10 @@ object TypeInfer {
       }
       merge(gs, patternSigs(q, meta))
     case Service(_, q, _) =>
-      // remote bindings: infer from the pattern shape like local ones
-      patternSigs(q, meta)
+      // remote data is unconstrained by the LOCAL graph's schema — the
+      // singleton-soundness rule cannot hold for any var the service
+      // binds, so force the data-driven sniff for all of them
+      inScopeVars(q).map(_ -> U).toMap
   }
 
   private def tripleSigs(tp: TriplePattern,

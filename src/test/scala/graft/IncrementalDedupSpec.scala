@@ -37,6 +37,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got2 == Seq(3L))
   }
 
+  test("null keys are inert: duplicates of nothing, excluders of nothing") {
+    import spark.implicits._
+    val seen = Seq(Some("a"), None).map(Tuple1(_)).toDF("text")
+    val inc = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstSeen(inc, seen, "text", expectedSeen = 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 1 is a real dup; 2 (null) is kept — null matches nothing, and the
+    // seen-side null excludes nothing
+    assert(got == Seq(2L, 3L))
+  }
+
   test("exact even at absurd fpp: false positives die in the verify join") {
     import spark.implicits._
     val seen = (0 until 50).map(i => Tuple1(s"s$i")).toDF("text")

@@ -151,9 +151,53 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("constant-only SERVICE patterns act as a remote ASK") {
+    withServer(remoteJson) { (url, _) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      // the stub answers every query with bindings → probe hits → μ0:
+      // the local rows all pass through
+      val df = e.select(
+        s"""SELECT ?item {
+              ?item ex:price ?price
+              SERVICE <$url> { <http://example.com/i1>
+                <http://example.com/label> "one"@en }
+            }""")
+      assert(df.count() == 3)
+    }
+    // dead endpoint + SILENT: μ0 again (the require-free path is inside
+    // the catch's reach now)
+    val e2 = Engine.inline(localTtl)
+    e2.bindNamespace("ex", "http://example.com/")
+    val df2 = e2.select(
+      """SELECT ?item {
+            ?item ex:price ?price
+            SERVICE SILENT <http://127.0.0.1:1/sparql>
+              { <http://example.com/i1> <http://example.com/label> "x" }
+          }""")
+    assert(df2.count() == 3)
+  }
+
+  test("an empty local side never contacts the remote at all") {
+    withServer(remoteJson) { (url, seen) =>
+      val e = Engine.inline(localTtl)
+      e.bindNamespace("ex", "http://example.com/")
+      val df = e.select(
+        s"""SELECT ?item ?label {
+              ?item ex:price ?price FILTER(?price > 1000)
+              SERVICE <$url> { ?item <http://example.com/label> ?label }
+            }""")
+      assert(df.count() == 0)
+      assert(seen().isEmpty, "remote fetched despite a provably empty join")
+    }
+  }
+
   test("Render round-trips every pattern shape through the parser") {
     val queries = Seq(
       """SELECT ?s ?o { ?s <http://e/p> ?o . FILTER(?o > 3 && !(?o = 5)) }""",
+      // the parser unwraps the inner braces to Join(Bgp, Bgp): the
+      // renderer must separate the triples with '.'
+      """SELECT ?a ?d { { ?a <http://e/p> ?b } ?c <http://e/q> ?d }""",
       """SELECT ?s { { ?s <http://e/p> ?x } UNION { ?s <http://e/q> ?x }
            MINUS { ?s <http://e/r> "bad"@en } }""",
       """SELECT ?s ?y { ?s <http://e/p> ?x OPTIONAL { ?s <http://e/q> ?y
