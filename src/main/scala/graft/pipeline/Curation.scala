@@ -18,6 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   *      — all narrow, shuffle-free, one scan stage (the perplexity
   *      model fit runs two aggregate jobs at plan-build time, over the
   *      rows that survive the gates BEFORE it);
+  *   2½. (optional) trained-classifier gate ([[Classifier.score]] over
+  *      caller-supplied feature columns — narrow, same scan stage) and
+  *      (optional) INCREMENTAL dedup against a stored corpus
+  *      ([[Dedup.dedupAgainstSeen]] — bloom-prefiltered, bit-exact), so
+  *      a daily run keeps only what the corpus doesn't have;
   *   3. exact dedup keeping the smallest id ([[Dedup.exactDedup]] over an
   *      md5 digest, so the one shuffle keys on 32 hex chars, never the
   *      document body);
@@ -95,6 +100,20 @@ object Curation {
     *                    `semanticDim` → integer k-means (`semanticK`
     *                    clusters) → capped within-cluster cosine at this
     *                    threshold → keep each component's min id
+    * @param classifierGate when set, (model, features, minScore): gate
+    *                    on a trained [[Classifier]] score — features
+    *                    are named columns computed from the row (narrow,
+    *                    evaluated in the same scan stage as the other
+    *                    gates, then dropped); rows scoring below
+    *                    minScore are dropped. Runs after the heuristic
+    *                    gates, before the perplexity fit.
+    * @param seenCorpus  when set, (frame, textColumn): INCREMENTAL
+    *                    curation — rows whose text already occurs in
+    *                    this stored corpus are dropped via
+    *                    [[Dedup.dedupAgainstSeen]] (bloom-prefiltered,
+    *                    bit-exact) before the within-batch exact dedup,
+    *                    so a daily crawl run only keeps what the corpus
+    *                    doesn't have yet
     */
   def curate(docs: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
@@ -110,7 +129,9 @@ object Curation {
       minCompressionRatio: Option[Double] = None,
       maxBigramNll: Option[Double] = None,
       semanticCosine: Option[Double] = None,
-      semanticDim: Int = 64, semanticK: Int = 16): DataFrame = {
+      semanticDim: Int = 64, semanticK: Int = 16,
+      classifierGate: Option[(Classifier.LogisticModel, Map[String, Column], Double)] = None,
+      seenCorpus: Option[(DataFrame, String)] = None): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
     val urlGated = urlBlocklist match {
@@ -133,13 +154,28 @@ object Curation {
     val gated = input.where(encodingOk && compressionOk &&
       TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
         TextAnalysis.langId(F.col(text)).isInCollection(langs))
-    val perplexityGated = maxBigramNll match {
-      case Some(t) =>
-        gated.where(Relevance.bigramNllCol(gated, text) <= t)
+    val classified = classifierGate match {
+      case Some((model, feats, minScore)) =>
+        val withF = feats.foldLeft(gated) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        withF.where(Classifier.score(model) >= minScore)
+          .drop(feats.keys.toSeq: _*)
       case None => gated
     }
+    val perplexityGated = maxBigramNll match {
+      case Some(t) =>
+        classified.where(Relevance.bigramNllCol(classified, text) <= t)
+      case None => classified
+    }
+    val incremental = seenCorpus match {
+      case Some((seen, seenText)) =>
+        Dedup.dedupAgainstSeen(perplexityGated,
+          seen.select(F.col(seenText).as(text)), text)
+      case None => perplexityGated
+    }
     val deduped = Dedup
-      .exactDedup(perplexityGated.withColumn("__digest", F.md5(F.col(text))),
+      .exactDedup(incremental.withColumn("__digest", F.md5(F.col(text))),
         id, "__digest")
       .drop("__digest")
     val fuzzy = nearDupJaccard match {

@@ -50,6 +50,36 @@ class CurationSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
   }
 
+  test("classifier gate and incremental seen-corpus stage compose in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    // a hand-built model: margin = 4·[text contains "cat"] − 2, so the
+    // score clears 0.5 only for cat documents — the German doc passes
+    // the widened language gate but dies at the classifier
+    val model = graft.pipeline.Classifier.LogisticModel(
+      Seq("has_cat"), Seq(4000000L), -2000000L)
+    val gatedOut = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en", "de"),
+      chunkSize = 8, chunkStride = 4,
+      classifierGate = Some((model,
+        Map("has_cat" -> F.when(F.col("text").contains("cat"), 1.0)
+          .otherwise(0.0)), 0.5)))
+    assert(gatedOut.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    // incremental: the stored corpus already holds doc 5's text → only
+    // doc 1 survives; the gate feature columns never leak to the output
+    val seen = Seq(Tuple1(good +
+      " extra distinct tail words here for unique content")).toDF("text")
+    val incOut = Curation.curate(fixture, "doc_id", "text",
+      minQuality = 0.7, langs = Seq("en"),
+      chunkSize = 8, chunkStride = 4,
+      seenCorpus = Some((seen, "text")))
+    assert(incOut.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    assert(incOut.columns.toSet ==
+      Set("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"))
+  }
+
   test("decontamination drops docs overlapping the benchmark") {
     import spark.implicits._
     // benchmark shares a 13-gram with doc 5's tail but not doc 1
