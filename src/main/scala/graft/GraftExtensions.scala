@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -171,6 +171,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "gunzip(bytes) takes 1 argument")
         Gunzip(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("unzstd"),
+      info(classOf[Unzstd], "unzstd",
+        "unzstd(bytes) - decompress a zstd frame sequence (bomb-capped; " +
+          "corrupt input -> NULL)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "unzstd(bytes) takes 1 argument")
+        Unzstd(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("warc_records"),
       info(classOf[WarcRecords], "warc_records",

@@ -985,6 +985,23 @@ object SparkEntry {
         .select(F.col("doc_id"),
           F.decode(Multimodal.gunzip(gz), "UTF-8").as("text"))
     }),
+    "q_unzstd" -> ((s, dir) => {
+      // oracle-verified zstd decompression: a raw-block RFC 8878 frame
+      // assembled in SQL (magic, FHD, window descriptor, raw-block
+      // header); the real zstd decoder runs and DuckDB restates the text
+      import SqlHex.le24h
+      val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
+        F.lit(" zst payload"))
+      val data = F.encode(payload, "UTF-8")
+      val len = F.length(payload).cast(IntegerType)
+      val frame = F.unhex(F.concat(
+        F.lit("28B52FFD" + "00" + "00"),
+        le24h(F.shiftleft(len, 3) + 1),
+        F.hex(data)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.decode(Multimodal.unzstd(frame), "UTF-8").as("text"))
+    }),
     "q_warc" -> ((s, dir) => {
       // oracle-verified WARC ingestion: a two-record (request +
       // response) WARC segment assembled per doc in SQL; the real
@@ -2584,6 +2601,10 @@ object SparkEntry {
     "q_gunzip" ->
       // the decompressed stored-DEFLATE payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' gz payload' AS text
+         FROM documents""",
+    "q_unzstd" ->
+      // the raw-block frame's decompressed payload restates directly
+      """SELECT doc_id, 'Doc ' || doc_id || ' zst payload' AS text
          FROM documents""",
     "q_warc" ->
       // every parsed field of both records restates as doc_id string

@@ -24,6 +24,13 @@ private[graft] object SqlHex {
     F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
   }
 
+  /** Little-endian 24-bit: 161 → "A10000". */
+  def le24h(v: Column): Column = {
+    val h = F.lpad(F.hex(v), 6, "0")
+    F.concat(F.substring(h, 5, 2), F.substring(h, 3, 2),
+      F.substring(h, 1, 2))
+  }
+
   /** Little-endian 32-bit: 80 → "50000000". */
   def le32h(v: Column): Column = {
     val h = F.lpad(F.hex(v), 8, "0")

@@ -204,6 +204,14 @@ object Multimodal {
       graft.expressions.Gunzip(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Per-row zstd decompression ([[graft.expressions.Unzstd]]) —
+    * [[gunzip]]'s sibling for the datasets that ship `.zst`; same bomb
+    * cap, same corrupt → NULL contract. */
+  def unzstd(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.Unzstd(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL sample decode + signal features for WAV and FLAC —
     * uncompressed PCM (8/16-bit), the compressed G.711 µ-law/A-law and
     * mono IMA ADPCM encodings, and the full lossless FLAC codec

@@ -108,6 +108,15 @@ class ExtensionsSpec extends SparkSpec {
       new String(m.getAs[Array[Byte]](3), "UTF-8") == "ok")
   }
 
+  test("unzstd resolves in spark.sql") {
+    // raw-block frame: magic, FHD, window, block header (len 5, raw,
+    // last), "hello"
+    val r = spark.sql(
+      """SELECT decode(unzstd(unhex('28B52FFD0000290000' ||
+           hex(encode('hello', 'UTF-8')))), 'UTF-8') AS t""").collect()(0)
+    assert(r.getString(0) == "hello")
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), id + 1) FROM range(1)")

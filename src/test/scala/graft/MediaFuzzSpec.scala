@@ -29,7 +29,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "AudioEmbedding" -> (AudioEmbedding.embed(_, 8)),
     "ResizeImage" -> (ResizeImage.resize(_, 16)),
     "WarcRecords" -> (WarcRecords.parse(_)),
-    "HttpMessage" -> (HttpMessage.parse(_)))
+    "HttpMessage" -> (HttpMessage.parse(_)),
+    "Unzstd" -> (Unzstd.decompress(_)))
 
   private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =
     parsers.foreach { case (name, p) =>
@@ -141,7 +142,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
         "Transfer-Encoding: chunked\r\n\r\n" +
         "6\r\nchunk1\r\nB;x=1\r\n and chunk2\r\n0\r\nX-T: t\r\n\r\n")
-        .getBytes("UTF-8"))
+        .getBytes("UTF-8"),
+      // zstd raw-block frame: magic, FHD, window, block header, body
+      hexBytes("28B52FFD" + "00" + "00" + "510000") ++
+        "hello zstd".getBytes("UTF-8"))
     for (seed <- seeds; i <- 0 until 120) {
       val b = seed.clone()
       // flip 1-4 random bytes (sizes, tags, payload — anything)
