@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -179,6 +179,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("image_hash"),
+      info(classOf[ImageHash], "image_hash",
+        "image_hash(bytes, kind) - 64-bit perceptual hash ('ahash' 8x8 " +
+          "mean-threshold or 'dhash' 9x8 gradient signs) of a decodable " +
+          "image; NULL for undecodable or sub-grid input"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "image_hash(bytes, kind) takes 2 arguments")
+        val kind = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"image_hash kind must be a string literal, got $other")
+        }
+        require(kind == "ahash" || kind == "dhash",
+          s"image_hash kind must be 'ahash' or 'dhash', got '$kind'")
+        ImageHash(args.head, kind == "dhash")
       }))
     ext.injectFunction((FunctionIdentifier("warc_records"),
       info(classOf[WarcRecords], "warc_records",

@@ -1338,8 +1338,73 @@ object SparkEntry {
               F.sequence(F.lit(0), F.lit(23)),
               (x, i) => x.cast(DoubleType) * i.cast(DoubleType)),
             F.lit(0.0), (a, x) => a + x).as("hot_bins"))
+    }),
+    "q_image_phash" -> ((s, dir) => {
+      // REAL perceptual hashes, oracle-verified END TO END: patterned
+      // grayscale BMPs synthesized per-pixel in SQL, decoded by the
+      // native 24bpp walk, box-folded to the 8×8/9×8 hash grids — and
+      // the oracle recomputes aHash/dHash from the same pixel formula
+      // in pure DuckDB (exact integer arithmetic throughout; grid =
+      // image dims makes the box filter the identity)
+      val img8 = patternedBmp(8, 8,
+        (x, y) => (F.col("doc_id") + F.lit(37 * x + 101 * y)) % 256)
+      val img9 = patternedBmp(9, 8,
+        (x, y) => (F.col("doc_id") * 3 + F.lit(29 * x + 67 * y)) % 256)
+      read(s, dir, "documents").select(F.col("doc_id"),
+        Multimodal.imageHash(img8, "ahash").as("ahash"),
+        Multimodal.imageHash(img9, "dhash").as("dhash"))
+    }),
+    "q_image_neardup" -> ((s, dir) => {
+      // perceptual near-dup IMAGE pairs: 50 base patterns, ~n/50 docs
+      // each, with up to three perturbed pixels per doc -> within-group
+      // dHash Hamming spreads across the maxBits=3 cut, so both keeping
+      // and cutting are exercised; the oracle recomputes every dHash in
+      // SQL and takes exhaustive all-pairs bit_count(xor) <= 3 as the
+      // ground truth the banding must reproduce exactly (pigeonhole
+      // recall; buckets ≈ group size, far under the 1024 cap)
+      val imgs = read(s, dir, "documents").select(F.col("doc_id"),
+        patternedBmp(9, 8, neardupGray).as("media"))
+      Dedup.imageNearDupPairs(imgs, "doc_id", "media", "dhash",
+        maxBits = 3, maxBucket = 1024)
     })
   )
+
+  /** The per-pixel gray formula behind `q_image_neardup`: 50 shared base
+    * patterns (doc_id % 50) with per-doc perturbations at three fixed
+    * pixels — mirrored verbatim in the oracle SQL. */
+  private def neardupGray(x: Int, y: Int): Column = {
+    val b = F.col("doc_id") % 50
+    val e = F.expr("doc_id div 50")
+    val base = b * 97 + F.lit(37 * x + 101 * y) + (b * (2 * y + 3)) % 251
+    val pert =
+      if (x == 0 && y == 0) e * 59
+      else if (x == 5 && y == 3) e * 83
+      else if (x == 2 && y == 6) (e % 3) * 113
+      else F.lit(0)
+    (base + pert) % 256
+  }
+
+  /** Patterned GRAYSCALE 24bpp BMP synthesized in SQL: pixel (x, y)
+    * carries `gray(x, y)` in all three channels (so the decoded Rec.601
+    * luma equals it exactly), rows stored bottom-up with 4-byte stride
+    * padding — the fixture the perceptual-hash oracles decode for real. */
+  private def patternedBmp(w: Int, h: Int,
+      gray: (Int, Int) => Column): Column = {
+    import SqlHex.{hx2, le32h}
+    val stride = (w * 3 + 3) & ~3
+    val pix = F.concat((0 until h).flatMap { r =>
+      val y = h - 1 - r // disk row r is logical row h-1-r (bottom-up)
+      (0 until w).map { x =>
+        F.call_function("repeat", hx2(gray(x, y)), F.lit(3)) } ++
+        (if (stride > w * 3) Seq(F.lit("00" * (stride - w * 3))) else Nil)
+    }: _*)
+    F.unhex(F.concat(
+      F.lit("424D"), le32h(F.lit(stride * h + 54)),
+      F.lit("00000000" + "36000000"),
+      F.lit("28000000"), le32h(F.lit(w)), le32h(F.lit(h)),
+      F.lit("0100" + "1800" + "00000000"), le32h(F.lit(stride * h)),
+      F.lit("00000000" + "00000000" + "00000000" + "00000000"), pix))
+  }
 
   /** Solid-color 24bpp BMP synthesized in SQL ([[Multimodal.syntheticBmp]]). */
   private def synthBmp(w: Column, h: Column,
@@ -2731,6 +2796,70 @@ object SparkEntry {
                 CAST(3.0 AS DOUBLE) AS l1,
                 CAST((doc_id % 256) // 32 + 8 + ((doc_id * 7) % 256) // 32
                      + 16 + ((doc_id * 13) % 256) // 32 AS DOUBLE) AS hot_bins
-         FROM documents"""
+         FROM documents""",
+    "q_image_phash" ->
+      // recompute both hashes from the pixel formulas the Spark side
+      // synthesized into real BMPs: aHash bit k = 64·g > Σg (cross-
+      // multiplied global mean), dHash bit (y·8+x) = g(x,y) > g(x+1,y);
+      // bit 63 packs as the two's-complement minimum so the signed sum
+      // equals the engine's 1L << 63
+      """WITH px8 AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  (d.doc_id + 37*tx.x + 101*ty.y) % 256 AS g
+           FROM documents d, range(8) tx(x), range(8) ty(y)
+         ), tot8 AS (SELECT doc_id, sum(g) AS s FROM px8 GROUP BY doc_id),
+         ah AS (
+           SELECT px8.doc_id,
+                  sum(CASE WHEN 64*g > s THEN
+                    CASE WHEN y*8 + x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (y*8 + x)::INT) END
+                    ELSE 0 END)::BIGINT AS ahash
+           FROM px8 JOIN tot8 USING (doc_id) GROUP BY px8.doc_id
+         ), px9 AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  (d.doc_id*3 + 29*tx.x + 67*ty.y) % 256 AS g
+           FROM documents d, range(9) tx(x), range(8) ty(y)
+         ), dh AS (
+           SELECT a.doc_id,
+                  sum(CASE WHEN a.g > b.g THEN
+                    CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                    ELSE 0 END)::BIGINT AS dhash
+           FROM px9 a JOIN px9 b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8
+           GROUP BY a.doc_id
+         )
+         SELECT ah.doc_id, ah.ahash, dh.dhash
+         FROM ah JOIN dh USING (doc_id)""",
+    "q_image_neardup" ->
+      // ground truth by EXHAUSTION: recompute every doc's dHash from the
+      // shared-base + perturbation formula, then all-pairs popcount of
+      // the XOR — the banded plan must reproduce this list exactly
+      """WITH px AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  ((d.doc_id % 50)*97 + 37*tx.x + 101*ty.y
+                   + ((d.doc_id % 50)*(2*ty.y + 3)) % 251
+                   + CASE WHEN tx.x = 0 AND ty.y = 0 THEN (d.doc_id // 50)*59
+                          WHEN tx.x = 5 AND ty.y = 3 THEN (d.doc_id // 50)*83
+                          WHEN tx.x = 2 AND ty.y = 6
+                            THEN ((d.doc_id // 50) % 3)*113
+                          ELSE 0 END) % 256 AS g
+           FROM documents d, range(9) tx(x), range(8) ty(y)
+         ), dh AS (
+           SELECT a.doc_id,
+                  sum(CASE WHEN a.g > b.g THEN
+                    CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                    ELSE 0 END)::BIGINT AS dh
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8
+           GROUP BY a.doc_id
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                bit_count(xor(a.dh, b.dh))::INT AS hamming
+         FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 3"""
   )
 }

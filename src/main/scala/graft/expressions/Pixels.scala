@@ -12,6 +12,16 @@ private[graft] object Pixels {
 
   trait Sink { def accept(r: Int, g: Int, b: Int): Unit }
 
+  /** Positional sink: `start` fires once with the validated dimensions
+    * BEFORE any pixel, `accept` gets LOGICAL coordinates (y = 0 is the
+    * top row regardless of the container's storage order). Used by the
+    * perceptual-hash grid fold ([[ImageHash]]), which needs to know
+    * which downscale cell a pixel lands in. */
+  trait PosSink {
+    def start(w: Int, h: Int): Unit
+    def accept(x: Int, y: Int, r: Int, g: Int, b: Int): Unit
+  }
+
   /** ImageIO must run headless and never spill codec temp files on an
     * executor; idempotent, triggered by this object's first use (callers
     * that need it without walking, e.g. [[ResizeImage]], call this). */
@@ -59,6 +69,76 @@ private[graft] object Pixels {
       row += 1
     }
     (width, height)
+  }
+
+  /** [[walkBmp24]] with logical positions: same header validation and
+    * byte loop, but the sink learns (w, h) up front and every pixel
+    * carries its LOGICAL (x, y) — bottom-up storage (positive height)
+    * is flipped to top-down coordinates, top-down storage (negative
+    * height) passes through. Returns (width, height) or null exactly
+    * like [[walkBmp24]]. */
+  def walkBmp24Pos(b: Array[Byte], sink: PosSink): (Int, Int) = {
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Int =
+      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (n < 54 || u(0) != 'B' || u(1) != 'M') return null
+    if (le32(14) < 40) return null // core header: different field layout
+    val pixOff = le32(10)
+    val width = le32(18)
+    val heightRaw = le32(22)           // negative = top-down
+    val topDown = heightRaw < 0
+    val height = if (topDown) -heightRaw else heightRaw
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0) return null
+    if (width <= 0 || height <= 0 || width > (1 << 20) ||
+        height > (1 << 20)) return null
+    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * height > n)
+      return null
+    sink.start(width, height)
+    var row = 0
+    while (row < height) {
+      var p = pixOff + row * rowBytes
+      val y = if (topDown) row else height - 1 - row
+      var col = 0
+      while (col < width) {            // BGR order on disk
+        sink.accept(col, y, u(p + 2), u(p + 1), u(p))
+        p += 3; col += 1
+      }
+      row += 1
+    }
+    (width, height)
+  }
+
+  /** [[walkImageIO]] with logical positions for [[PosSink]] consumers —
+    * the JDK readers already deliver rows top-down. Same null contract. */
+  def walkImageIOPos(b: Array[Byte], sink: PosSink): (Int, Int) = {
+    try {
+      val img = readCapped(b) // header-only dims gate before allocation
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      sink.start(w, h)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sink.accept(x, y, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h)
+    } catch {
+      case e: InterruptedException => throw e
+      case _: Throwable => null
+    }
   }
 
   /** Max side accepted from a header before any raster is allocated. */

@@ -385,7 +385,34 @@ object Dedup {
     * buckets get coarser). `maxBucket` caps degenerate buckets like the
     * MinHash path. */
   def simhashNearDupPairs(df: DataFrame, id: String, text: String,
-      maxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
+      maxBits: Int = 3, maxBucket: Int = 256): DataFrame =
+    hammingNearDupPairs(
+      df.select(F.col(id).as("rid"), simhash(F.col(text)).as("sh")),
+      maxBits, maxBucket)
+
+  /** Perceptual near-duplicate IMAGE pairs: 64-bit aHash/dHash
+    * ([[Multimodal.imageHash]]) + the same pigeonhole-complete Hamming
+    * banding the text SimHash path uses — re-encoded, re-scaled, or
+    * lightly edited copies of an image hash within a few bits of each
+    * other, and the banded self-join finds them with ONE shuffle on the
+    * band key, never all-pairs. Undecodable rows (corrupt bytes, tiny
+    * tracking pixels) drop out before the shuffle instead of clustering
+    * into a null bucket. Returns (id1, id2, hamming ≤ maxBits). */
+  def imageNearDupPairs(df: DataFrame, id: String, bytes: String,
+      kind: String = "dhash", maxBits: Int = 3,
+      maxBucket: Int = 256): DataFrame =
+    hammingNearDupPairs(
+      df.select(F.col(id).as("rid"),
+          Multimodal.imageHash(F.col(bytes), kind).as("sh"))
+        .where(F.col("sh").isNotNull),
+      maxBits, maxBucket)
+
+  /** The banding core shared by [[simhashNearDupPairs]] (text) and
+    * [[imageNearDupPairs]] (pixels): pairs within Hamming distance
+    * `maxBits` of any 64-bit hash column. `hashed` must have columns
+    * (rid, sh: long); null hashes are the caller's job to drop. */
+  def hammingNearDupPairs(hashed: DataFrame,
+      maxBits: Int, maxBucket: Int): DataFrame = {
     require(maxBits >= 0 && maxBits < 32,
       s"maxBits must be in [0, 32), got $maxBits")
     val nBands = maxBits + 1
@@ -397,7 +424,6 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       (b, lo, mask)
     }
-    val hashed = df.select(F.col(id).as("rid"), simhash(F.col(text)).as("sh"))
     val banded = hashed
       .select(F.col("rid"), F.col("sh"), F.explode(F.array(
         bands.map { case (b, lo, mask) => F.struct(

@@ -257,6 +257,22 @@ object Multimodal {
       graft.expressions.DecodeImage(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** 64-bit perceptual image hash ([[graft.expressions.ImageHash]]):
+    * `kind = "ahash"` (8×8 global-mean threshold) or `"dhash"` (9×8
+    * horizontal-gradient signs, the default — robust to brightness and
+    * contrast shifts). Near-identical images differ in few bits, so the
+    * result feeds [[graft.pipeline.Dedup.hammingNearDupPairs]] /
+    * [[graft.pipeline.Dedup.imageNearDupPairs]] directly. Exact integer
+    * arithmetic (oracle-restatable); null for undecodable bytes or
+    * images smaller than the grid. */
+  def imageHash(bin: Column, kind: String = "dhash"): Column = {
+    require(kind == "ahash" || kind == "dhash",
+      s"imageHash kind must be 'ahash' or 'dhash', got '$kind'")
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ImageHash(
+        graft.expressions.ColumnBridge.expression(bin), kind == "dhash"))
+  }
+
   /** REAL resize: decode any JDK-readable image, bilinear-scale the long
     * side down to `maxSide` (aspect preserved, never upscales), return
     * PNG bytes; null for undecodable input

@@ -25,6 +25,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "ImageHeaderMeta" -> (ImageHeaderMeta.parse(_)),
     "ImageFeatures" -> (ImageFeatures.parse(_)),
     "DecodeImage" -> (DecodeImage.parse(_)),
+    "ImageHashA" -> (ImageHash.hash(_, dhash = false)),
+    "ImageHashD" -> (ImageHash.hash(_, dhash = true)),
     "ImageEmbedding" -> (ImageEmbedding.embed(_, 8)),
     "AudioEmbedding" -> (AudioEmbedding.embed(_, 8)),
     "ResizeImage" -> (ResizeImage.resize(_, 16)),

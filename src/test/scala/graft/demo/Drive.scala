@@ -282,6 +282,32 @@ object Drive {
         .orderBy("shard", "pos").show(false)
     }
 
+    println("=== perceptual image hash + image near-dup pairs:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      // two re-colored copies of one pattern + one unrelated image
+      def bmp(seed: Int, tweak: Int): Array[Byte] = {
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val rnd = new scala.util.Random(seed)
+        val pix = Array.tabulate(12 * 12 * 3) { i =>
+          ((rnd.nextInt(256) + (if (i < 9) tweak else 0)) % 256).toByte }
+        "BM".getBytes("US-ASCII") ++ le32(54 + pix.length) ++ le32(0) ++
+          le32(54) ++ le32(40) ++ le32(12) ++ le32(12) ++ le16(1) ++
+          le16(24) ++ le32(0) ++ le32(pix.length) ++ le32(0) ++ le32(0) ++
+          le32(0) ++ le32(0) ++ pix
+      }
+      val imgs = Seq((1L, bmp(5, 0)), (2L, bmp(5, 35)), (3L, bmp(99, 0)))
+        .toDF("doc_id", "media")
+      imgs.select(F.col("doc_id"),
+        graft.pipeline.Multimodal.imageHash(F.col("media"), "ahash").as("ahash"),
+        graft.pipeline.Multimodal.imageHash(F.col("media"), "dhash").as("dhash"))
+        .show(false)
+      graft.pipeline.Dedup.imageNearDupPairs(imgs, "doc_id", "media",
+        "dhash", maxBits = 8).show(false)
+    }
+
     spark.stop()
   }
 }
