@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -179,6 +179,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info(classOf[NormalizeText], "normalize_text",
+        "normalize_text(s) - NFC + control/unicode-space -> ' ', " +
+          "collapse space runs, trim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "normalize_text(s) takes 1 argument")
+        NormalizeText(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("image_hash"),
       info(classOf[ImageHash], "image_hash",

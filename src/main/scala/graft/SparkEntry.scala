@@ -1366,6 +1366,17 @@ object SparkEntry {
         patternedBmp(9, 8, neardupGray).as("media"))
       Dedup.imageNearDupPairs(imgs, "doc_id", "media", "dhash",
         maxBits = 3, maxBucket = 1024)
+    }),
+    "q_normalize" -> ((s, dir) => {
+      // Unicode normalization, hash-checked against an independent
+      // implementation: a messy fixture (decomposed e+ ́, NBSP, em
+      // space, tabs, BEL, zero-width space, edge junk) wrapped around
+      // every document, normalized by the engine's one-pass fold vs
+      // DuckDB's nfc_normalize + regexp passes
+      val messy = F.concat(F.lit("  \u00A0"), F.col("text"),
+        F.lit("\t\te\u0301\u2003caf\u00E9 \u0007x\u200B "))
+      read(s, dir, "documents").select(F.col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("norm"))
     })
   )
 
@@ -2860,6 +2871,17 @@ object SparkEntry {
          SELECT a.doc_id AS id1, b.doc_id AS id2,
                 bit_count(xor(a.dh, b.dh))::INT AS hamming
          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.dh, b.dh)) <= 3"""
+         WHERE bit_count(xor(a.dh, b.dh)) <= 3""",
+    "q_normalize" ->
+      // independent normalization: ICU nfc_normalize + the SAME
+      // space-character class as a regex pass + collapse + trim must
+      // reproduce the engine's one-pass fold byte for byte
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+           nfc_normalize('  ' || chr(160) || text || chr(9) || chr(9)
+             || 'e' || chr(769) || chr(8195) || 'caf' || chr(233) || ' '
+             || chr(7) || 'x' || chr(8203) || ' '),
+           '[\x00-\x1f\x7f\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200b}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}\x{feff}]',
+           ' ', 'g'), ' +', ' ', 'g')) AS norm
+         FROM documents"""
   )
 }

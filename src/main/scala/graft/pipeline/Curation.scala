@@ -107,6 +107,12 @@ object Curation {
     *                    gates, then dropped); rows scoring below
     *                    minScore are dropped. Runs after the heuristic
     *                    gates, before the perplexity fit.
+    * @param normalize   when true, run [[TextAnalysis.normalizeText]]
+    *                    (NFC + whitespace canonicalization) over the
+    *                    text before any gate or digest, so byte-level
+    *                    variants of one document share a dedup digest;
+    *                    applies after HTML extraction, in the same
+    *                    narrow scan stage
     * @param seenCorpus  when set, (frame, textColumn): INCREMENTAL
     *                    curation — rows whose text already occurs in
     *                    this stored corpus are dropped via
@@ -131,7 +137,8 @@ object Curation {
       semanticCosine: Option[Double] = None,
       semanticDim: Int = 64, semanticK: Int = 16,
       classifierGate: Option[(Classifier.LogisticModel, Map[String, Column], Double)] = None,
-      seenCorpus: Option[(DataFrame, String)] = None): DataFrame = {
+      seenCorpus: Option[(DataFrame, String)] = None,
+      normalize: Boolean = false): DataFrame = {
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
     val urlGated = urlBlocklist match {
@@ -139,10 +146,14 @@ object Curation {
         TextAnalysis.filterByDomainBlocklist(docs, urlCol, blocked)
       case None => docs
     }
-    val input =
+    val extracted =
       if (htmlInput)
         urlGated.withColumn(text, TextAnalysis.htmlText(F.col(text)))
       else urlGated
+    val input =
+      if (normalize)
+        extracted.withColumn(text, TextAnalysis.normalizeText(F.col(text)))
+      else extracted
     val encodingOk = maxMojibake match {
       case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
       case None => F.lit(true)

@@ -22,6 +22,17 @@ object TextAnalysis {
       graft.expressions.HtmlText(
         graft.expressions.ColumnBridge.expression(html)))
 
+  /** Unicode normalization for corpus prep: NFC composition, control
+    * chars and non-ASCII spaces → ' ', space runs collapsed, ends
+    * trimmed — so byte-level variants of the same document share one
+    * dedup digest ([[graft.expressions.NormalizeText]] — narrow,
+    * codegen'd, one pass after the NFC fold; exact step order mirrored
+    * by the q_normalize oracle). */
+  def normalizeText(text: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.NormalizeText(
+        graft.expressions.ColumnBridge.expression(text)))
+
   /** DEFLATE-compressed size of a string/binary column
     * ([[graft.expressions.DeflateSize]] — narrow, codegen'd, one
     * per-thread zlib handle). */
