@@ -1367,6 +1367,22 @@ object SparkEntry {
       Dedup.imageNearDupPairs(imgs, "doc_id", "media", "dhash",
         maxBits = 3, maxBucket = 1024)
     }),
+    "q_training_prep" -> ((s, dir) => {
+      // the END-TO-END flagship: curate → sampled-BPE tokenizer →
+      // exact subword counts → fixed-budget packing → deterministic
+      // shard deal. Rows-only by design (greedy packing is a
+      // sequential fold, not SQL-expressible); TrainingDataSpec pins
+      // token conservation, partitioning-independent determinism, the
+      // budget contract, and the shard-deal shape
+      val p = graft.pipeline.TrainingData.prepare(
+        read(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.0, langs = Seq("en", "de"),
+        chunkSize = 64, chunkStride = 64, numMerges = 32,
+        bpeSampleFraction = 1.0, maxTokens = 256, numShards = 8,
+        seed = 7L)
+      p.shards.select(F.col("shard"), F.col("pos"), F.col("seq_id"),
+        F.size(F.col("chunk_keys")).as("n_chunks"), F.col("total_tokens"))
+    }),
     "q_normalize" -> ((s, dir) => {
       // Unicode normalization, hash-checked against an independent
       // implementation: a messy fixture (decomposed e+ ́, NBSP, em

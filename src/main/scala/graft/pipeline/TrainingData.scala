@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** The END-TO-END training-data preparation flagship: raw documents in,
+  * shuffled fixed-token-budget training sequences out, as one composed
+  * Spark pipeline —
+  *
+  *   curate (gates → dedup → decontaminate → chunk)
+  *     → train a BPE tokenizer on a SAMPLE of the surviving chunks
+  *     → exact per-chunk subword counts (narrow, codegen'd)
+  *     → greedy first-fit packing into `maxTokens` sequences
+  *     → deterministic md5-keyed shuffle into `numShards` shards.
+  *
+  * This is the composition a pretraining run actually executes, and the
+  * stages keep their individual scale shapes: curation contributes ONE
+  * digest exchange (+ its optional stages), tokenizer training reads
+  * only a sample (one word-count aggregate over `bpeSampleFraction` of
+  * the corpus — the standard practice; a tokenizer doesn't need every
+  * byte), counting is a narrow map over the chunk scan, packing is one
+  * hash repartition + a per-partition streaming fold, and the final
+  * shuffle is one exchange keyed by reproducible md5. Nothing in the
+  * chain materializes the corpus on the driver; the only collect is the
+  * vocabulary-capped BPE word table ([[Bpe.train]]).
+  *
+  * Determinism end to end: every stage is order- and
+  * partitioning-independent (curation keeps min ids, the tokenizer
+  * sample is seeded `sample(false, f, seed)` — re-evaluation-stable for
+  * a given input file set — packing sorts within hash partitions,
+  * the shard deal is md5-keyed), so a rerun over the same files
+  * produces byte-identical shards.
+  */
+object TrainingData {
+
+  /** Chunks keyed for packing: doc id and chunk id fold into one long
+    * (id · 2²⁰ + chunk_id), invertible for lineage as long as no doc
+    * chunks more than 2²⁰ times — enforced, not assumed. */
+  private val MaxChunksPerDoc = 1 << 20
+
+  final case class Prepared(shards: DataFrame, tokenizer: Bpe.Model)
+
+  /** Prepare training shards from raw documents. Returns the shard
+    * frame — (shard, pos, seq_id, chunk_keys, total_tokens) with
+    * `chunk_key = doc_id · 2²⁰ + chunk_id` — plus the trained
+    * tokenizer (needed again at training time to encode the text).
+    *
+    * Curation knobs are the common subset; callers needing the full
+    * gate set can run [[Curation.curate]] themselves and hand the
+    * chunks to [[prepareFromChunks]]. */
+  def prepare(docs: DataFrame, id: String, text: String,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      benchmark: Option[(DataFrame, String)] = None,
+      chunkSize: Int = 1024, chunkStride: Int = 1024,
+      htmlInput: Boolean = false,
+      normalize: Boolean = true,
+      nearDupJaccard: Option[Double] = None,
+      numMerges: Int = 256,
+      bpeSampleFraction: Double = 0.1,
+      maxTokens: Long = 2048,
+      numShards: Int = 64,
+      seed: Long = 0L): Prepared = {
+    val chunks = Curation.curate(docs, id, text,
+      minQuality = minQuality, langs = langs, benchmark = benchmark,
+      chunkSize = chunkSize, chunkStride = chunkStride,
+      htmlInput = htmlInput, normalize = normalize,
+      nearDupJaccard = nearDupJaccard)
+    prepareFromChunks(chunks, id, "chunk_id", "chunk_text",
+      numMerges, bpeSampleFraction, maxTokens, numShards, seed)
+  }
+
+  /** The post-curation half: tokenize, pack, and shuffle existing
+    * chunks (any frame with a doc id, a chunk ordinal, and text). */
+  def prepareFromChunks(chunks: DataFrame, id: String, chunkId: String,
+      text: String, numMerges: Int = 256,
+      bpeSampleFraction: Double = 0.1, maxTokens: Long = 2048,
+      numShards: Int = 64, seed: Long = 0L): Prepared = {
+    require(bpeSampleFraction > 0 && bpeSampleFraction <= 1,
+      s"bpeSampleFraction must be in (0, 1], got $bpeSampleFraction")
+    // the chain reads `chunks` twice (tokenizer aggregate + the count
+    // scan); checkpoint so curation's gates and dedup run once
+    val pinned = chunks.localCheckpoint(false)
+    val model = Bpe.train(
+      if (bpeSampleFraction < 1)
+        pinned.sample(withReplacement = false, bpeSampleFraction, seed)
+      else pinned,
+      text, numMerges)
+    // 2²⁰ chunks/doc is the key's invariant: fail loudly IN the scan
+    // (no extra validation job), never alias silently
+    val chunkKey = F.when(F.col(chunkId).cast(LongType) < MaxChunksPerDoc,
+        F.col(id).cast(LongType) * MaxChunksPerDoc +
+          F.col(chunkId).cast(LongType))
+      .otherwise(F.raise_error(F.lit(
+        s"a document has >= $MaxChunksPerDoc chunks; chunk_key would alias")))
+    val counted = pinned.select(chunkKey.as("chunk_key"),
+      Bpe.tokenCount(F.col(text), model).cast(LongType).as("n_bpe_tokens"))
+    val packed = Packing.packSequences(
+      counted, "chunk_key", "n_bpe_tokens", maxTokens)
+    val shards = TextAnalysis.shuffleShards(
+        packed.withColumnRenamed("doc_ids", "chunk_keys"),
+        "seq_id", numShards, seed)
+      .select("shard", "pos", "seq_id", "chunk_keys", "total_tokens")
+    Prepared(shards, model)
+  }
+
+  /** [[prepare]] + write: one parquet directory per shard
+    * (`partitionBy(shard)`, rows sorted by pos within each), the layout
+    * a training loader reads sequentially. Returns the tokenizer. */
+  def prepareAndWrite(docs: DataFrame, id: String, text: String,
+      path: String, numShards: Int = 64, seed: Long = 0L,
+      maxTokens: Long = 2048, numMerges: Int = 256): Bpe.Model = {
+    val prepared = prepare(docs, id, text, numShards = numShards,
+      seed = seed, maxTokens = maxTokens, numMerges = numMerges)
+    prepared.shards
+      .repartition(numShards, F.col("shard"))
+      .sortWithinPartitions(F.col("shard"), F.col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    prepared.tokenizer
+  }
+}
