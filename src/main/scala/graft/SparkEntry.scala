@@ -1367,6 +1367,11 @@ object SparkEntry {
       Dedup.imageNearDupPairs(imgs, "doc_id", "media", "dhash",
         maxBits = 3, maxBucket = 1024)
     }),
+    "q_corpus_report" -> ((s, dir) =>
+      // ONE aggregation pass -> (metric, value) rows; every number
+      // recomputed independently by the DuckDB oracle (percentiles,
+      // md5-digest dup rate, integer-summed mean quality)
+      pipeline.TextAnalysis.corpusReport(read(s, dir, "documents"), "text")),
     "q_training_prep" -> ((s, dir) => {
       // the END-TO-END flagship: curate → sampled-BPE tokenizer →
       // exact subword counts → fixed-budget packing → deterministic
@@ -2888,6 +2893,56 @@ object SparkEntry {
                 bit_count(xor(a.dh, b.dh))::INT AS hamming
          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 3""",
+    "q_corpus_report" ->
+      // the whole analytics report recomputed independently: per-doc
+      // quality mirrors the q_text_quality recipe, summed as its
+      // round(q*1e6) integer so the mean is order-independent;
+      // quantile_cont matches Spark's exact interpolated percentile
+      """WITH t AS (SELECT text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT text, toks,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+           CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awl,
+           least(length(text) / 200.0, 1.0) AS len_score
+           FROM t),
+         q AS (SELECT text, toks, CAST(round(round(
+             len_score * 0.3
+             + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+           FROM m),
+         a AS (SELECT count(*) AS n_docs,
+             sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty,
+             sum(len(toks)) AS total_tokens,
+             sum(length(text)) AS total_chars,
+             quantile_cont(len(toks), 0.5) AS median_doc_tokens,
+             quantile_cont(len(toks), 0.9) AS p90_doc_tokens,
+             count(DISTINCT md5(text)) AS distinct_docs,
+             sum(q6) AS q6_sum
+           FROM q)
+         SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM a
+         UNION ALL SELECT 'n_empty', n_empty::DOUBLE FROM a
+         UNION ALL SELECT 'total_tokens', total_tokens::DOUBLE FROM a
+         UNION ALL SELECT 'total_chars', total_chars::DOUBLE FROM a
+         UNION ALL SELECT 'avg_doc_tokens',
+           round(total_tokens::DOUBLE / n_docs, 6) FROM a
+         UNION ALL SELECT 'median_doc_tokens',
+           round(median_doc_tokens::DOUBLE, 6) FROM a
+         UNION ALL SELECT 'p90_doc_tokens',
+           round(p90_doc_tokens::DOUBLE, 6) FROM a
+         UNION ALL SELECT 'distinct_docs', distinct_docs::DOUBLE FROM a
+         UNION ALL SELECT 'dup_rate',
+           round(1.0 - distinct_docs::DOUBLE / n_docs, 6) FROM a
+         UNION ALL SELECT 'avg_quality',
+           round(q6_sum::DOUBLE / (n_docs * 1000000.0), 6) FROM a""",
     "q_normalize" ->
       // independent normalization: ICU nfc_normalize + the SAME
       // space-character class as a regex pass + collapse + trim must

@@ -424,6 +424,54 @@ object TextAnalysis {
     * chunk may be short. Narrow transform + explode — no shuffle, the
     * standard pre-tokenization pass before packing. Returns
     * (id, chunk_id, chunk_text, n_chunk_tokens). */
+  /** One-shot corpus analytics report: the summary a curation run
+    * prints before and after — doc counts, token/char mass, length
+    * distribution (exact interpolated percentiles), exact-duplicate
+    * rate (md5 digests), and mean quality — as (metric, value) rows so
+    * the whole report is one SQL-restatable result (the q_corpus_report
+    * oracle recomputes every number in DuckDB).
+    *
+    * All arithmetic is made ORDER-INDEPENDENT so distributed and
+    * single-node runs agree bitwise: sums fold exact longs (quality is
+    * summed as its round(q·10⁶) integer), averages divide once at the
+    * end, and the percentiles are Spark's sort-based exact
+    * `percentile`, matching DuckDB's `quantile_cont` definition.
+    *
+    * Plan shape: ONE aggregation job over a narrow projection of the
+    * scan (count-distinct adds Spark's standard two-stage expand), then
+    * a constant-size unpivot — nothing per-row leaves the executors. */
+  def corpusReport(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val n = tokenCount(t).cast(LongType)
+    val q6 = F.round(qualityScore(t) * 1000000).cast(LongType)
+    val agg = df.agg(
+      F.count(F.lit(1)).cast(LongType).as("n_docs"),
+      F.sum(F.when(F.length(F.trim(t)) === 0, 1L).otherwise(0L))
+        .as("n_empty"),
+      F.sum(n).as("total_tokens"),
+      F.sum(F.length(t).cast(LongType)).as("total_chars"),
+      F.percentile(n, F.lit(0.5)).as("median_doc_tokens"),
+      F.percentile(n, F.lit(0.9)).as("p90_doc_tokens"),
+      F.countDistinct(F.md5(t)).as("distinct_docs"),
+      F.sum(q6).as("q6_sum"))
+    val d = (c: Column) => c.cast(DoubleType)
+    agg.select(F.explode(F.map(
+      F.lit("n_docs"), d(F.col("n_docs")),
+      F.lit("n_empty"), d(F.col("n_empty")),
+      F.lit("total_tokens"), d(F.col("total_tokens")),
+      F.lit("total_chars"), d(F.col("total_chars")),
+      F.lit("avg_doc_tokens"),
+      F.round(d(F.col("total_tokens")) / d(F.col("n_docs")), 6),
+      F.lit("median_doc_tokens"), F.round(d(F.col("median_doc_tokens")), 6),
+      F.lit("p90_doc_tokens"), F.round(d(F.col("p90_doc_tokens")), 6),
+      F.lit("distinct_docs"), d(F.col("distinct_docs")),
+      F.lit("dup_rate"),
+      F.round(F.lit(1.0) - d(F.col("distinct_docs")) / d(F.col("n_docs")), 6),
+      F.lit("avg_quality"),
+      F.round(d(F.col("q6_sum")) / (d(F.col("n_docs")) * 1000000.0), 6)
+    )).as(Seq("metric", "value")))
+  }
+
   def chunk(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
