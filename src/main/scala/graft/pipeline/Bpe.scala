@@ -97,6 +97,27 @@ object Bpe {
     Model(merges.result())
   }
 
+  /** Persist a trained model as (rank, left, right) parquet — tiny
+    * (≤ 65536 rows), but written through Spark so the path can live
+    * next to the shards on any storage the cluster reads. Rank order
+    * is explicit in the data; reload does not depend on file order. */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), k) => (k, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(path)
+      .select("rank", "left", "right").as[(Int, String, String)]
+      .collect().sortBy(_._1).map { case (_, l, r) => (l, r) }.toSeq)
+  }
+
   /** Subword tokens of `text` under `model`: whitespace words, each
     * BPE-merged in rank order, flattened in document order
     * ([[graft.expressions.BpeEncode]] — narrow, codegen'd, ranks

@@ -106,7 +106,10 @@ object TrainingData {
 
   /** [[prepare]] + write: one parquet directory per shard
     * (`partitionBy(shard)`, rows sorted by pos within each), the layout
-    * a training loader reads sequentially. Returns the tokenizer. */
+    * a training loader reads sequentially, plus the tokenizer persisted
+    * at `path/_tokenizer` ([[Bpe.save]] — the underscore prefix keeps
+    * Spark's file listing from mixing it into the shard read). Returns
+    * the tokenizer. */
   def prepareAndWrite(docs: DataFrame, id: String, text: String,
       path: String, numShards: Int = 64, seed: Long = 0L,
       maxTokens: Long = 2048, numMerges: Int = 256): Bpe.Model = {
@@ -116,6 +119,7 @@ object TrainingData {
       .repartition(numShards, F.col("shard"))
       .sortWithinPartitions(F.col("shard"), F.col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    Bpe.save(prepared.tokenizer, docs.sparkSession, s"$path/_tokenizer")
     prepared.tokenizer
   }
 }

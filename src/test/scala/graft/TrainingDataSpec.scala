@@ -96,6 +96,13 @@ class TrainingDataSpec extends SparkSpec {
     val shardDirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty)
+    // the tokenizer persisted alongside, reloads identically, and its
+    // underscore dir does NOT leak into the shard read above
+    val reloaded = Bpe.load(spark, s"$dir/_tokenizer")
+    assert(reloaded == model)
+    assert(new java.io.File(s"$dir/_tokenizer").exists)
+    assert(back.columns.toSet ==
+      Set("shard", "pos", "seq_id", "chunk_keys", "total_tokens"))
   }
 
   test("sampled tokenizer training still encodes the full corpus") {
