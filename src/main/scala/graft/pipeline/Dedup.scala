@@ -407,6 +407,23 @@ object Dedup {
         .where(F.col("sh").isNotNull),
       maxBits, maxBucket)
 
+  /** Perceptual IMAGE dedup end to end: [[imageNearDupPairs]] →
+    * connected components ([[dedupGroups]]) → keep each group's
+    * smallest id — the image twin of the text near-dup stage in
+    * [[Curation.curate]]. Rows whose bytes don't hash (corrupt,
+    * sub-grid) are KEPT: an undecodable blob can't be shown to
+    * duplicate anything, and dropping it is the triage gate's call,
+    * not dedup's. */
+  def imageDedup(df: DataFrame, id: String, bytes: String,
+      kind: String = "dhash", maxBits: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val pairs = imageNearDupPairs(df, id, bytes, kind, maxBits, maxBucket)
+    val losers = dedupGroups(pairs)
+      .where(F.col("grp") =!= F.col("rid"))
+      .select(F.col("rid").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** The banding core shared by [[simhashNearDupPairs]] (text) and
     * [[imageNearDupPairs]] (pixels): pairs within Hamming distance
     * `maxBits` of any 64-bit hash column. `hashed` must have columns

@@ -53,6 +53,15 @@ class CorpusReportSpec extends SparkSpec {
       "p90_doc_tokens", "distinct_docs", "dup_rate", "avg_quality"))
   }
 
+  test("plan shape: one aggregation, no join, one corpus hash exchange") {
+    val plan = TextAnalysis.corpusReport(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // the only hash exchange is count-distinct's digest regroup; the
+    // rest of the fold rides partial aggregates to a single partition
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("identical report under any input partitioning") {
     val a = report(docs)
     val b = report(docs.repartition(7))

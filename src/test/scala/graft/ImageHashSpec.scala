@@ -183,6 +183,24 @@ class ImageHashSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("imageDedup keeps one representative per cluster plus the rest") {
+    import spark.implicits._
+    // three exact-copy clusters of 4 + two loners + one corrupt row
+    val rows = (0L until 12L).map { id =>
+      val cr = new scala.util.Random((id % 3).toInt)
+      (id, bmp(Array.fill(16)(Array.fill(18)(
+        (cr.nextInt(256), cr.nextInt(256), cr.nextInt(256))))))
+    } ++ Seq(
+      (20L, bmp(randPixels(18, 16))),
+      (21L, bmp(randPixels(18, 16))),
+      (30L, "not an image".getBytes.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("doc_id", "media")
+    val kept = Dedup.imageDedup(df, "doc_id", "media", "dhash", maxBits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster minima 0,1,2 survive; loners and the undecodable row stay
+    assert(kept == Set(0L, 1L, 2L, 20L, 21L, 30L))
+  }
+
   test("SQL function image_hash is registered and matches the API") {
     import spark.implicits._
     val px = randPixels(12, 10)
