@@ -1372,6 +1372,24 @@ object SparkEntry {
       // recomputed independently by the DuckDB oracle (percentiles,
       // md5-digest dup rate, integer-summed mean quality)
       pipeline.TextAnalysis.corpusReport(read(s, dir, "documents"), "text")),
+    "q_interval_join" -> ((s, dir) => {
+      // bucketed range join: points (orders) against validity windows
+      // (part-derived intervals) on a shared key — the oracle is the
+      // plain inequality join DuckDB can afford at this scale, which
+      // the bucketed equi-join plan must reproduce exactly
+      val left = read(s, dir, "orders").select(
+        F.col("o_orderkey"),
+        (F.col("o_custkey") % 20).as("k"),
+        (F.col("o_orderkey") % 1000).as("t"))
+      val right = read(s, dir, "part").select(
+        F.col("p_partkey").as("iv_id"),
+        (F.col("p_partkey") % 20).as("k"),
+        ((F.col("p_partkey") * 7) % 990).as("ivs"),
+        ((F.col("p_partkey") * 7) % 990 + F.col("p_partkey") % 50 + 5)
+          .as("ive"))
+      pipeline.AsOf.intervalJoin(left, right, "k", "t",
+        "ivs", "ive", Seq("iv_id"), bucket = 64L)
+    }),
     "q_training_prep" -> ((s, dir) => {
       // the END-TO-END flagship: curate → sampled-BPE tokenizer →
       // exact subword counts → fixed-budget packing → deterministic
@@ -2943,6 +2961,14 @@ object SparkEntry {
            round(1.0 - distinct_docs::DOUBLE / n_docs, 6) FROM a
          UNION ALL SELECT 'avg_quality',
            round(q6_sum::DOUBLE / (n_docs * 1000000.0), 6) FROM a""",
+    "q_interval_join" ->
+      """SELECT o.o_orderkey, o.o_custkey % 20 AS k,
+                o.o_orderkey % 1000 AS t, p.p_partkey AS iv_id
+         FROM orders o JOIN part p
+           ON o.o_custkey % 20 = p.p_partkey % 20
+          AND (p.p_partkey * 7) % 990 <= o.o_orderkey % 1000
+          AND o.o_orderkey % 1000 <
+              (p.p_partkey * 7) % 990 + p.p_partkey % 50 + 5""",
     "q_normalize" ->
       // independent normalization: ICU nfc_normalize + the SAME
       // space-character class as a regex pass + collapse + trim must

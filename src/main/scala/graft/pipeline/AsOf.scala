@@ -51,4 +51,65 @@ object AsOf {
     filled.where(F.col("__side") === 1)
       .select((lCols ++ valueCols).map(F.col): _*)
   }
+
+  /** Interval (range) join at scale: each left row (key, `ts`) joins
+    * right rows (key, [`start`, `end`)) containing its timestamp —
+    * campaign attribution, session assignment, validity-window
+    * enrichment.
+    *
+    * Spark has no range-join optimization: the naive
+    * `l.join(r, lk === rk && s <= t && t < e)` plans a per-key cross
+    * product (every left row compared against every same-key interval).
+    * The scalable encoding is bucketing: intervals explode to the
+    * `bucket`-sized time buckets they overlap, points map to their ONE
+    * bucket, and the join runs on (key, bucket) equality with the exact
+    * range predicate as a post-filter. An interval appears once per
+    * overlapped bucket but a point lives in exactly one, so results
+    * need no dedup. One hash shuffle each side; per-row fan-out =
+    * ceil(interval/bucket), bounded by `maxSpan` buckets (a corrupt
+    * open-ended interval raises instead of exploding the stage).
+    *
+    * `bucket` trades fan-out vs selectivity: pick roughly the median
+    * interval length. Returns left columns + `valueCols` (inner join;
+    * points in no interval drop — left-join semantics are the caller's
+    * `unionByName` of the anti-join). Timestamps are integral
+    * (epoch-ms or any monotone long); `end` is exclusive. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, start: String, end: String, valueCols: Seq[String],
+      bucket: Long, maxSpan: Int = 4096): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    require(valueCols.nonEmpty, "valueCols must not be empty")
+    require(valueCols.forall(!left.columns.contains(_)),
+      s"valueCols ${valueCols.mkString(",")} collide with left columns")
+    require(!left.columns.contains(start) && !left.columns.contains(end),
+      s"left must not contain the right-side bound columns $start/$end")
+    require(!left.columns.contains("__bucket"),
+      "left must not contain the internal marker column __bucket")
+    val lCols = left.columns.toSeq
+    val t = F.col(ts).cast("long")
+    val s = F.col(start).cast("long")
+    val e = F.col(end).cast("long")
+    // exact integral floor division (`div` truncates toward zero; shift
+    // negatives) — no double arithmetic, full 64-bit timestamp range
+    def idiv(a: org.apache.spark.sql.Column, b: Long) =
+      F.call_function("div", a, F.lit(b))
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      F.when(c >= 0, idiv(c, bucket))
+        .otherwise(-idiv(-c + (bucket - 1), bucket))
+    val nBuckets = floorDiv(e - 1) - floorDiv(s) + 1
+    val spans = F.when(e <= s, F.array()) // empty interval: no buckets
+      .when(nBuckets <= maxSpan, F.sequence(F.lit(0L), nBuckets - 1))
+      .otherwise(F.raise_error(F.lit(
+        s"interval spans more than $maxSpan buckets of $bucket; " +
+          "raise bucket or maxSpan")))
+    val r = right
+      .select((Seq(key, start, end) ++ valueCols).map(F.col): _*)
+      .withColumn("__off", F.explode(spans))
+      .withColumn("__bucket", F.col("__off") + floorDiv(s))
+      .drop("__off")
+    val l = left.withColumn("__bucket", floorDiv(t))
+    l.join(r, Seq(key, "__bucket"))
+      .where(s <= t && t < e)
+      .select((lCols ++ valueCols).map(F.col): _*)
+  }
 }

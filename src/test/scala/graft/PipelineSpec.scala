@@ -353,6 +353,50 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(("nullkey", null), ("ok", 7.0)))
   }
 
+  test("interval join equals brute-force containment, any bucket size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(300).toLong - 50) }
+      .toDF("lid", "k", "t")
+    val ivs = (0 until 60).map { j =>
+      val s = rnd.nextInt(300).toLong - 60
+      (1000L + j, rnd.nextInt(4).toLong, s, s + rnd.nextInt(40).toLong) }
+    val right = ivs.toDF("iv_id", "k", "ivs", "ive")
+    val want = (for {
+      (lid, lk, t) <- left.as[(Long, Long, Long)].collect()
+      (iid, rk, s, e) <- ivs if lk == rk && s <= t && t < e
+    } yield (lid, iid)).toSet
+    assert(want.nonEmpty)
+    for (bucket <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = pipeline.AsOf.intervalJoin(left, right, "k", "t",
+          "ivs", "ive", Seq("iv_id"), bucket)
+        .select("lid", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"bucket=$bucket")
+    }
+  }
+
+  test("interval join: empty intervals vanish, absurd spans raise, no cross product") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "k", "t")
+    val empty = Seq((9L, 1L, 10L, 10L), (8L, 1L, 20L, 5L))
+      .toDF("iv_id", "k", "ivs", "ive")
+    assert(pipeline.AsOf.intervalJoin(left, empty, "k", "t",
+      "ivs", "ive", Seq("iv_id"), 4L).isEmpty)
+    val openEnded = Seq((9L, 1L, 0L, Long.MaxValue / 2))
+      .toDF("iv_id", "k", "ivs", "ive")
+    intercept[Exception] {
+      pipeline.AsOf.intervalJoin(left, openEnded, "k", "t",
+        "ivs", "ive", Seq("iv_id"), 4L, maxSpan = 128).collect()
+    }
+    // the plan is an equi-join on (key, bucket), never a nested loop
+    val some = Seq((9L, 1L, 5L, 15L)).toDF("iv_id", "k", "ivs", "ive")
+    val plan = pipeline.AsOf.intervalJoin(left, some, "k", "t",
+      "ivs", "ive", Seq("iv_id"), 4L).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("dedupGroups collapses pair chains into min-id components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton
