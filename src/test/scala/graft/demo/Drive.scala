@@ -282,6 +282,30 @@ object Drive {
         .orderBy("shard", "pos").show(false)
     }
 
+    println("=== normalize, corpus report, interval join, training prep:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2L, "the  quick\tbrown fox jumps over the lazy dog and runs far away"),
+        (3L, "a completely different document about distributed joins " +
+          "and shuffle-free aggregation plans")).toDF("doc_id", "text")
+      docs.select(F.col("doc_id"),
+        graft.pipeline.TextAnalysis.normalizeText(F.col("text")).as("norm"))
+        .show(false)
+      graft.pipeline.TextAnalysis.corpusReport(docs, "text").show(false)
+      val points = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 2L, 10L))
+        .toDF("event_id", "k", "t")
+      val windows = Seq((100L, 1L, 5L, 15L), (200L, 1L, 20L, 30L))
+        .toDF("iv_id", "k", "ivs", "ive")
+      graft.pipeline.AsOf.intervalJoin(points, windows, "k", "t",
+        "ivs", "ive", Seq("iv_id"), bucket = 8L).show(false)
+      val prep = graft.pipeline.TrainingData.prepare(docs, "doc_id", "text",
+        minQuality = 0.0, chunkSize = 8, chunkStride = 8, numMerges = 8,
+        bpeSampleFraction = 1.0, maxTokens = 16, numShards = 2, seed = 3L)
+      prep.shards.orderBy("shard", "pos").show(false)
+    }
+
     println("=== perceptual image hash + image near-dup pairs:")
     locally {
       import org.apache.spark.sql.{functions => F}
