@@ -565,6 +565,19 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), F.col("text")),
         "text", Seq("spark", "join", "window"))
         .select(F.col("doc_id"), F.col("bm25"))),
+    "q_text_index" -> ((s, dir) => {
+      // persisted inverted-index probe == corpus-scan BM25: fit, save,
+      // reload, partition-pruned search; the oracle restates the scan
+      // BM25 and takes the same (score desc, id asc) top-10
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-text-index").toString
+      graft.pipeline.Relevance.TextIndex.fit(
+        read(s, dir, "documents").select(F.col("doc_id"), F.col("text")),
+        "doc_id", "text", buckets = 32).save(tmp)
+      graft.pipeline.Relevance.TextIndex.load(s, tmp)
+        .search(Seq("spark", "join", "window"), 10)
+        .select(F.col("rid").as("doc_id"), F.col("bm25"))
+    }),
     "q_unigram_nll" -> ((s, dir) =>
       // add-one-smoothed unigram LM trained on the corpus itself
       // (top-16 vocab → some tokens OOV); per-doc NLL quality gate
@@ -2009,6 +2022,38 @@ object SparkEntry {
                            / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))),
            6) AS bm25
          FROM d, s""",
+    "q_text_index" ->
+      // the q_bm25 recipe restricted to matching docs, same
+      // (score desc, id asc) top-10 the index probe returns
+      """WITH scored AS (WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         s AS (SELECT COUNT(*) AS n, SUM(dl) AS tot,
+                 SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+               FROM d)
+         SELECT doc_id, round(
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * 2.2)
+               / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))),
+           6) AS bm25
+         FROM d, s)
+         SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
     "q_unigram_nll" ->
       // same model: top-16 vocab by (count desc, token), add-one
       // smoothing over total+16+1; per-token ln p summed in document

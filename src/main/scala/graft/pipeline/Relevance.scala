@@ -319,4 +319,122 @@ object Relevance {
       dim: Int = 64): DataFrame =
     tfidfVector(df, idCol, textCol, dim)
       .withColumn("tfidf", F.col("tfidf").cast(ArrayType(FloatType)))
+
+  /** Persisted inverted text index — [[bm25]]'s corpus scan replaced by
+    * a partition-pruned posting-list read, the text twin of the
+    * `IvfIndex`/`LshIndex` save/load discipline. Build once: one
+    * explode + (term, doc) aggregate into postings `(term, rid, tf,
+    * dl)`, bucketed by `hash(term) mod buckets` and persisted
+    * `partitionBy(__bucket)`; corpus stats (N, total tokens) ride a
+    * sidecar. A query then touches ONLY its terms' buckets
+    * (PartitionFilters — TextIndexSpec pins it) instead of scanning
+    * and tokenizing the whole corpus per query.
+    *
+    * [[TextIndex.search]] reproduces [[bm25]] BIT-EXACTLY for every
+    * document containing ≥ 1 query term: document frequencies come
+    * from the pruned read (each term's postings are complete in its
+    * bucket), idf/avgdl are computed with the same double arithmetic,
+    * and per-term contributions fold in query order. Documents with no
+    * query term score 0 in [[bm25]] and are absent here — top-k ranks
+    * identically while k ≤ the number of matching documents. */
+  final class TextIndex private[pipeline] (
+      private[graft] val postings: DataFrame,
+      val nDocs: Long, val totalTokens: Long, val buckets: Int) {
+
+    /** Top-k (rid, bm25) for a bag of query terms: pruned read →
+      * driver-side df/idf literals → narrow per-doc score → one
+      * TakeOrderedAndProject. */
+    def search(query: Seq[String], k: Int,
+        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(query.nonEmpty, "search needs at least one query term")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val qBuckets = query.map(TextIndex.bucketOf(_, buckets)).distinct
+      val hits = postings
+        .where(F.col("__bucket").isInCollection(qBuckets) &&
+          F.col("term").isInCollection(query))
+      // per-term document frequency: postings are one row per
+      // (term, doc), complete inside the pruned buckets
+      val dfs: Map[String, Long] = hits.groupBy("term")
+        .agg(F.count(F.lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nD = nDocs.toDouble
+      val avgdl = totalTokens.toDouble / nD
+      // one row per matching doc, tf looked up per term from a map so
+      // contributions can fold in QUERY order — the exact summation
+      // order [[bm25]] uses
+      val perDoc = hits.groupBy("rid").agg(
+        F.first(F.col("dl")).as("dl"),
+        F.map_from_entries(F.collect_list(
+          F.struct(F.col("term"), F.col("tf")))).as("tfs"))
+      val dl = F.col("dl").cast(DoubleType)
+      val score = query.map { t =>
+        val dfT = dfs.getOrElse(t, 0L).toDouble
+        val idf = math.log(1.0 + (nD - dfT + 0.5) / (dfT + 0.5))
+        val tf = F.coalesce(F.col("tfs").getItem(t), F.lit(0L))
+          .cast(DoubleType)
+        val norm = tf + F.lit(k1) * (F.lit(1.0 - b) +
+          F.lit(b) * dl / F.lit(avgdl))
+        F.lit(idf) * (tf * (k1 + 1.0)) / norm
+      }.reduceLeft(_ + _)
+      perDoc.select(F.col("rid"), F.round(score, 6).as("bm25"))
+        .orderBy(F.col("bm25").desc, F.col("rid").asc)
+        .limit(k)
+    }
+
+    /** Persist postings partitioned by term bucket + a stats sidecar. */
+    def save(path: String): Unit = {
+      postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, TextIndex.SIDECAR),
+        s"""{"n": $nDocs, "tot": $totalTokens, "buckets": $buckets}""")
+    }
+  }
+
+  object TextIndex {
+    private[pipeline] val SIDECAR = "_text_index_meta.json"
+
+    /** The ONE term→bucket recipe build and query share. */
+    private[graft] def bucketOf(term: String, buckets: Int): Long =
+      Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          term.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          term.getBytes("UTF-8").length, 42L),
+        buckets.toLong)
+
+    /** Build postings from a corpus: one explode + one (term, doc)
+      * aggregate (map-side combined), one tiny stats aggregate. */
+    def fit(df: DataFrame, id: String, text: String,
+        buckets: Int = 64): TextIndex = {
+      require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+      val toks = TextAnalysis.tokens(F.col(text))
+      val withToks = df.select(F.col(id).as("rid"), toks.as("__toks"),
+        F.size(toks).cast(LongType).as("dl"))
+      val statsRow = withToks
+        .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0L))).head()
+      val (n, tot) = (statsRow.getLong(0), statsRow.getLong(1))
+      val postings = withToks
+        .select(F.col("rid"), F.col("dl"),
+          F.explode(F.col("__toks")).as("term"))
+        .groupBy("term", "rid", "dl")
+        .agg(F.count(F.lit(1)).cast(LongType).as("tf"))
+        .withColumn("__bucket",
+          F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong)))
+      new TextIndex(postings, n, tot, buckets)
+    }
+
+    /** Reload an index persisted by [[TextIndex.save]]. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): TextIndex = {
+      val meta = """\{"n": (\d+), "tot": (\d+), "buckets": (\d+)\}""".r
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path, SIDECAR)) match {
+        case meta(n, tot, buckets) =>
+          new TextIndex(spark.read.parquet(path),
+            n.toLong, tot.toLong, buckets.toInt)
+        case other => throw new IllegalArgumentException(
+          s"not a text index (bad $SIDECAR): $other")
+      }
+    }
+  }
 }
