@@ -1380,6 +1380,30 @@ object SparkEntry {
       Dedup.imageNearDupPairs(imgs, "doc_id", "media", "dhash",
         maxBits = 3, maxBucket = 1024)
     }),
+    "q_image_incremental" -> ((s, dir) => {
+      // cross-corpus image near-dup: incoming = perturbed variants of
+      // 40 base patterns, seen = the unperturbed bases (doc_id < 200);
+      // the oracle recomputes BOTH dHash sets from the pixel formulas
+      // and takes the exhaustive cross-corpus popcount truth
+      def gray(pert: Boolean)(x: Int, y: Int): Column = {
+        val b = F.col("doc_id") % 40
+        val base = b * 97 + F.lit(37 * x + 101 * y) + (b * (2 * y + 3)) % 251
+        val p = if (pert && x == 0 && y == 0)
+          F.expr("doc_id div 40") * 59 else F.lit(0)
+        (base + p) % 256
+      }
+      val docs = read(s, dir, "documents")
+      val incoming = docs.select(F.col("doc_id"),
+        patternedBmp(9, 8, gray(pert = true)).as("media"))
+      val seen = docs.where(F.col("doc_id") < 200).select(F.col("doc_id"),
+        patternedBmp(9, 8, gray(pert = false)).as("media"))
+      def hasher(df: DataFrame): DataFrame =
+        df.select(F.col("doc_id").as("rid"),
+            Multimodal.imageHash(F.col("media"), "dhash").as("sh"))
+          .where(F.col("sh").isNotNull)
+      Dedup.hammingPairsAgainstSeen(incoming, seen, hasher,
+        maxBits = 3, maxBucket = 1024)
+    }),
     "q_corpus_report" -> ((s, dir) =>
       // ONE aggregation pass -> (metric, value) rows; every number
       // recomputed independently by the DuckDB oracle (percentiles,
@@ -2956,6 +2980,38 @@ object SparkEntry {
                 bit_count(xor(a.dh, b.dh))::INT AS hamming
          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 3""",
+    "q_image_incremental" ->
+      // both corpora's dHashes recomputed from the pixel formulas, then
+      // the exhaustive cross-corpus popcount join — the tag-bit banding
+      // plan must reproduce it exactly
+      """WITH px AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  ((d.doc_id % 40)*97 + 37*tx.x + 101*ty.y
+                   + ((d.doc_id % 40)*(2*ty.y + 3)) % 251
+                   + CASE WHEN tx.x = 0 AND ty.y = 0
+                          THEN (d.doc_id // 40)*59 ELSE 0 END) % 256 AS g,
+                  ((d.doc_id % 40)*97 + 37*tx.x + 101*ty.y
+                   + ((d.doc_id % 40)*(2*ty.y + 3)) % 251) % 256 AS g0
+           FROM documents d, range(9) tx(x), range(8) ty(y)
+         ), dh AS (
+           SELECT a.doc_id,
+                  sum(CASE WHEN a.g > b.g THEN
+                    CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                    ELSE 0 END)::BIGINT AS h,
+                  sum(CASE WHEN a.g0 > b.g0 THEN
+                    CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                    ELSE 0 END)::BIGINT AS h0
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8
+           GROUP BY a.doc_id
+         )
+         SELECT i.doc_id AS incoming_id, s.doc_id AS seen_id,
+                bit_count(xor(i.h, s.h0))::INT AS hamming
+         FROM dh i JOIN dh s ON s.doc_id < 200
+         WHERE bit_count(xor(i.h, s.h0)) <= 3""",
     "q_corpus_report" ->
       // the whole analytics report recomputed independently: per-doc
       // quality mirrors the q_text_quality recipe, summed as its

@@ -407,6 +407,53 @@ object Dedup {
         .where(F.col("sh").isNotNull),
       maxBits, maxBucket)
 
+  /** Cross-corpus Hamming pairs: near-dups BETWEEN `incoming` and
+    * `seen` under any 64-bit hash column — the incremental twin of
+    * [[hammingNearDupPairs]], completing the against-seen family
+    * ([[dedupAgainstSeen]] exact, [[minhashPairsAgainstSeen]] fuzzy
+    * text) for SimHash text and perceptual image hashes. Same
+    * tag-in-the-low-id-bit shape as the MinHash path: ONE banding pass
+    * and one capped bucket shuffle serve both corpora, cross-corpus
+    * pairs drop out by parity. `hasher` maps a frame to (rid, sh) —
+    * e.g. simhash or [[Multimodal.imageHash]]; null hashes must be
+    * dropped by the hasher. Returns (incoming_id, seen_id, hamming). */
+  def hammingPairsAgainstSeen(incoming: DataFrame, seen: DataFrame,
+      hasher: DataFrame => DataFrame, maxBits: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val hIn = hasher(incoming).select(
+      (F.col("rid").cast(LongType) * 2 + 1).as("rid"), F.col("sh"))
+    val hSeen = hasher(seen).select(
+      (F.col("rid").cast(LongType) * 2).as("rid"), F.col("sh"))
+    val odd1 = F.col("id1").bitwiseAND(F.lit(1L)) === 1L
+    hammingNearDupPairs(hIn.unionByName(hSeen), maxBits, maxBucket)
+      .where(F.col("id1").bitwiseAND(F.lit(1L)) =!=
+        F.col("id2").bitwiseAND(F.lit(1L)))
+      .select(
+        F.shiftright(F.when(odd1, F.col("id1")).otherwise(F.col("id2")), 1)
+          .as("incoming_id"),
+        F.shiftright(F.when(odd1, F.col("id2")).otherwise(F.col("id1")), 1)
+          .as("seen_id"),
+        F.col("hamming"))
+  }
+
+  /** Rows of `incoming` whose IMAGE is not a near-duplicate of anything
+    * in `seen` — daily-crawl incremental image dedup
+    * ([[hammingPairsAgainstSeen]] over [[Multimodal.imageHash]], then
+    * one anti-join on the matched ids). Undecodable rows are kept, as
+    * in [[imageDedup]]. */
+  def imageDedupAgainstSeen(incoming: DataFrame, seen: DataFrame,
+      id: String, bytes: String, kind: String = "dhash",
+      maxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
+    def hasher(df: DataFrame): DataFrame =
+      df.select(F.col(id).as("rid"),
+          Multimodal.imageHash(F.col(bytes), kind).as("sh"))
+        .where(F.col("sh").isNotNull)
+    incoming.join(
+      hammingPairsAgainstSeen(incoming, seen, hasher, maxBits, maxBucket)
+        .select(F.col("incoming_id").as(id)).distinct(),
+      Seq(id), "left_anti")
+  }
+
   /** Perceptual IMAGE dedup end to end: [[imageNearDupPairs]] →
     * connected components ([[dedupGroups]]) → keep each group's
     * smallest id — the image twin of the text near-dup stage in

@@ -201,6 +201,35 @@ class ImageHashSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 20L, 21L, 30L))
   }
 
+  test("imageDedupAgainstSeen keeps only images new to the corpus") {
+    import spark.implicits._
+    def img(seed: Int) = bmp({
+      val cr = new scala.util.Random(seed)
+      Array.fill(16)(Array.fill(18)(
+        (cr.nextInt(256), cr.nextInt(256), cr.nextInt(256))))
+    })
+    val seen = Seq((100L, img(1)), (101L, img(2))).toDF("doc_id", "media")
+    val incoming = Seq(
+      (1L, img(1)),                  // already in the corpus
+      (2L, img(7)),                  // genuinely new
+      (3L, img(2)),                  // already in the corpus
+      (4L, "junk".getBytes)          // undecodable: kept
+    ).toDF("doc_id", "media")
+    val kept = Dedup.imageDedupAgainstSeen(incoming, seen,
+        "doc_id", "media", "dhash", maxBits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // and the pair list itself is cross-corpus only, with true ids
+    def hasher(df: org.apache.spark.sql.DataFrame) =
+      df.select(F.col("doc_id").as("rid"),
+          graft.pipeline.Multimodal.imageHash(F.col("media"), "dhash")
+            .as("sh"))
+        .where(F.col("sh").isNotNull)
+    val pairs = Dedup.hammingPairsAgainstSeen(incoming, seen, hasher, 3)
+      .select("incoming_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L), (3L, 101L)))
+  }
+
   test("SQL function image_hash is registered and matches the API") {
     import spark.implicits._
     val px = randPixels(12, 10)
