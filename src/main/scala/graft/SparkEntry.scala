@@ -751,6 +751,23 @@ object SparkEntry {
           F.md5(F.col("chunk_text")).as("chunk_md5"),
           F.col("n_chunk_tokens"))
     }),
+    "q_curate_norm" -> ((s, dir) => {
+      // curation with the NORMALIZE stage proved by round trip: the
+      // input text is wrapped in whitespace mess (NBSP, tabs, edge
+      // runs) that normalization must strip back to the original
+      // byte-exact — the oracle curates the ORIGINAL text, so every
+      // chunk hash matches only if normalize-then-gate-then-chunk
+      // equals gate-then-chunk on clean text
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(F.lit("  \u00A0"), F.col("text"), F.lit("\t \u2003"))
+          .as("text"))
+      graft.pipeline.Curation.curate(docs, "doc_id", "text",
+        minQuality = 0.7, langs = Seq("en", "de"),
+        chunkSize = 64, chunkStride = 48, normalize = true)
+        .select(F.col("doc_id"), F.col("chunk_id").cast(LongType),
+          F.md5(F.col("chunk_text")).as("chunk_md5"),
+          F.col("n_chunk_tokens"))
+    }),
     "q_curate_incremental" -> ((s, dir) => {
       // incremental curation: gates → drop rows already in the stored
       // corpus (every-tenth doc verbatim) → exact dedup → chunk
@@ -2450,6 +2467,61 @@ object SparkEntry {
              CASE WHEN len(toks) <= 64 THEN 1
                   ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
            FROM clean)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+           md5(array_to_string(toks[(i-1)*48+1 : (i-1)*48+64], ' '))
+             AS chunk_md5,
+           CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
+             AS n_chunk_tokens
+         FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
+    "q_curate_norm" ->
+      // the q_curate recipe on the ORIGINAL clean text, without the
+      // contamination stage: the engine curates the whitespace-messed
+      // variant with normalize = true, so a hash match proves the
+      // normalization round trip inside the composition
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+           CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awl,
+           least(length(text) / 200.0, 1.0) AS len_score
+           FROM t),
+         q AS (SELECT doc_id, round(
+             len_score * 0.3
+             + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
+           FROM m),
+         s AS (SELECT doc_id,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','pas','une','pour','avec','dans'))) AS s_fr,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','los','las','es','no','una','para','con','por'))) AS s_es
+           FROM t),
+         l AS (SELECT doc_id, CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM s),
+         gated AS (SELECT t.doc_id, t.text, t.toks
+           FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)
+           WHERE q.quality >= 0.7 AND l.lang_pred IN ('en', 'de')),
+         dd AS (SELECT doc_id, text, toks FROM (
+             SELECT g.*, row_number() OVER
+               (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM gated g) WHERE rn = 1),
+         c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+           FROM dd)
          SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
            md5(array_to_string(toks[(i-1)*48+1 : (i-1)*48+64], ' '))
              AS chunk_md5,

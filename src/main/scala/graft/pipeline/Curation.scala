@@ -247,14 +247,21 @@ object Curation {
       langs: Seq[String] = Seq("en"),
       chunkSize: Int = 64, chunkStride: Int = 48,
       htmlInput: Boolean = false,
-      maxMojibake: Option[Double] = None): DataFrame = {
+      maxMojibake: Option[Double] = None,
+      normalize: Boolean = false): DataFrame = {
     require(docs.isStreaming, "curateStream needs a streaming frame; " +
       "use curate for batch input")
     require(!docs.columns.contains("__digest"),
       "docs must not contain the internal marker column __digest")
-    val input =
+    val extracted =
       if (htmlInput) docs.withColumn(text, TextAnalysis.htmlText(F.col(text)))
       else docs
+    // same batch-side stage order: extract → normalize → gates → digest,
+    // all narrow projections, valid in append mode
+    val input =
+      if (normalize)
+        extracted.withColumn(text, TextAnalysis.normalizeText(F.col(text)))
+      else extracted
     val encodingOk = maxMojibake match {
       case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
       case None => F.lit(true)

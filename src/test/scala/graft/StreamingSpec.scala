@@ -146,7 +146,8 @@ class StreamingSpec extends SparkSpec {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val rows = Seq(
       (1L, good, ts(0)),   // survives
-      (2L, good, ts(1)),   // dup within watermark → dropped
+      (2L, good + "\t ", ts(1)), // whitespace variant: only the
+                           // normalize stage makes it a dup → dropped
       (3L, "tiny", ts(2)), // quality gate
       (4L, german, ts(3)), // language gate
       (5L, good2, ts(4)))  // survives
@@ -155,7 +156,8 @@ class StreamingSpec extends SparkSpec {
     val q = graft.pipeline.Curation.curateStream(
         input.toDF().toDF("doc_id", "text", "ts"),
         "doc_id", "text", "ts", watermark = "30 minutes",
-        minQuality = 0.7, chunkSize = 8, chunkStride = 4)
+        minQuality = 0.7, chunkSize = 8, chunkStride = 4,
+        normalize = true)
       .writeStream.outputMode("append").format("memory")
       .queryName("curstream").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
@@ -165,7 +167,8 @@ class StreamingSpec extends SparkSpec {
     // so the two dedup contracts agree
     val batch = graft.pipeline.Curation.curate(
       rows.toDF("doc_id", "text", "ts"), "doc_id", "text",
-      minQuality = 0.7, chunkSize = 8, chunkStride = 4)
+      minQuality = 0.7, chunkSize = 8, chunkStride = 4,
+      normalize = true)
     assert(streamed.count() > 0)
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     assert(streamed.select("doc_id").distinct().collect()
