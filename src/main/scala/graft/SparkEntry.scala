@@ -768,6 +768,20 @@ object SparkEntry {
           F.md5(F.col("chunk_text")).as("chunk_md5"),
           F.col("n_chunk_tokens"))
     }),
+    "q_curate_multimodal" -> ((s, dir) => {
+      // text+image pair curation, FULLY oracle-checked: text gates
+      // (quality, language) → image triage (all fixtures decodable) →
+      // exact text dedup → perceptual image dedup (dHash pairs →
+      // recursive-CTE components in the oracle, distributed label
+      // propagation in the engine) — the surviving id set must match
+      val docs = read(s, dir, "documents").select(
+        F.col("doc_id"), F.col("text"),
+        patternedBmp(9, 8, neardupGray).as("media"))
+      graft.pipeline.Curation.curateMultimodal(docs, "doc_id", "text",
+        "media", minQuality = 0.7, langs = Seq("en", "de"),
+        imageMaxBits = 3, maxBucket = 1024)
+        .select(F.col("doc_id"))
+    }),
     "q_curate_incremental" -> ((s, dir) => {
       // incremental curation: gates → drop rows already in the stored
       // corpus (every-tenth doc verbatim) → exact dedup → chunk
@@ -2528,6 +2542,84 @@ object SparkEntry {
            CAST(len(toks[(i-1)*48+1 : (i-1)*48+64]) AS BIGINT)
              AS n_chunk_tokens
          FROM c, unnest(range(1, n_chunks + 1)) AS u(i)""",
+    "q_curate_multimodal" ->
+      // the full pair-corpus composition restated: gate CTEs from
+      // q_curate, text dedup, dHash from the q_image_neardup pixel
+      // formula over the survivors, pairs, recursive components,
+      // keep-min — survivor ids must equal the engine plan
+      """WITH RECURSIVE t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it','that','this','for','on','with','as')))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+           CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x)))
+             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awl,
+           least(length(text) / 200.0, 1.0) AS len_score
+           FROM t),
+         q AS (SELECT doc_id, round(
+             len_score * 0.3
+             + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
+           FROM m),
+         s AS (SELECT doc_id,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','pas','une','pour','avec','dans'))) AS s_fr,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','los','las','es','no','una','para','con','por'))) AS s_es
+           FROM t),
+         l AS (SELECT doc_id, CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM s),
+         gated AS (SELECT t.doc_id, t.text, t.toks
+           FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)
+           WHERE q.quality >= 0.7 AND l.lang_pred IN ('en', 'de')),
+         dd AS (SELECT doc_id FROM (
+             SELECT g.doc_id, row_number() OVER
+               (PARTITION BY md5(g.text) ORDER BY g.doc_id) AS rn
+             FROM gated g) WHERE rn = 1),
+         px AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  ((d.doc_id % 50)*97 + 37*tx.x + 101*ty.y
+                   + ((d.doc_id % 50)*(2*ty.y + 3)) % 251
+                   + CASE WHEN tx.x = 0 AND ty.y = 0 THEN (d.doc_id // 50)*59
+                          WHEN tx.x = 5 AND ty.y = 3 THEN (d.doc_id // 50)*83
+                          WHEN tx.x = 2 AND ty.y = 6
+                            THEN ((d.doc_id // 50) % 3)*113
+                          ELSE 0 END) % 256 AS g
+           FROM documents d, range(9) tx(x), range(8) ty(y)
+           WHERE d.doc_id IN (SELECT doc_id FROM dd)
+         ), dh AS (
+           SELECT a.doc_id,
+                  sum(CASE WHEN a.g > b.g THEN
+                    CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                    ELSE 0 END)::BIGINT AS dh
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8
+           GROUP BY a.doc_id
+         ),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         losers AS (SELECT a AS doc_id FROM reach
+               GROUP BY a HAVING least(a, MIN(b)) <> a)
+         SELECT doc_id FROM dd
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     "q_curate_incremental" ->
       // q_curate's gate CTEs (no benchmark) with the incremental stage
       // spliced in before exact dedup: rows whose text the stored

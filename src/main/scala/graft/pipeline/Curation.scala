@@ -220,6 +220,46 @@ object Curation {
     TextAnalysis.chunk(clean, id, text, chunkSize, chunkStride)
   }
 
+  /** Multimodal curation: rows carrying BOTH a text and an image
+    * column (the LAION/web-crawl pair shape) gated and deduplicated
+    * across both modalities —
+    *
+    *   text gates (quality, language, optional mojibake)
+    *   → image triage ([[Multimodal.imageHash]] non-null = decodable
+    *     and at least hash-grid sized; tracking pixels and corrupt
+    *     blobs drop here)
+    *   → exact TEXT dedup (md5 digest, keep min id)
+    *   → perceptual IMAGE dedup ([[Dedup.imageDedup]] — re-encoded or
+    *     lightly edited copies of a kept image collapse too).
+    *
+    * Returns the surviving rows with their original columns. Stage
+    * order matters and mirrors a real pair-corpus run: cheap narrow
+    * gates first, then the digest shuffle, then the banded image pass
+    * over the (smaller) survivors. */
+  def curateMultimodal(docs: DataFrame, id: String, text: String,
+      media: String, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      maxMojibake: Option[Double] = None,
+      imageHashKind: String = "dhash",
+      imageMaxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(!docs.columns.contains("__digest"),
+      "docs must not contain the internal marker column __digest")
+    val encodingOk = maxMojibake match {
+      case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
+      case None => F.lit(true)
+    }
+    val gated = docs.where(encodingOk &&
+      TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
+      TextAnalysis.langId(F.col(text)).isInCollection(langs) &&
+      Multimodal.imageHash(F.col(media), imageHashKind).isNotNull)
+    val textDeduped = Dedup
+      .exactDedup(gated.withColumn("__digest", F.md5(F.col(text))),
+        id, "__digest")
+      .drop("__digest")
+    Dedup.imageDedup(textDeduped, id, media, imageHashKind,
+      imageMaxBits, maxBucket)
+  }
+
   /** Streaming twin of [[curate]] for continuous ingestion (a crawl
     * feed curated as it lands instead of in nightly batches): the same
     * NARROW gate stages — optional HTML extraction, mojibake, quality,

@@ -259,4 +259,37 @@ class CurationSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
     assert(fromHtml.collect().toSet == fromText.collect().toSet)
   }
+
+  test("multimodal curation gates and dedups across both modalities") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def img(seed: Int): Array[Byte] = {
+      val cr = new scala.util.Random(seed)
+      val pix = Array.fill(16 * 18 * 3)(cr.nextInt(256).toByte)
+      "BM".getBytes("US-ASCII") ++ le32(54 + pix.length) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(16) ++ le32(18) ++ le16(1) ++
+        le16(24) ++ le32(0) ++ le32(pix.length) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ pix
+    }
+    val goodA = "the cat sat on the mat and it was happy with that state " +
+      "of affairs for the rest of the day in the sun by the window"
+    val goodB = "another long and perfectly reasonable english document " +
+      "with the usual words that sail through the quality and language gates"
+    val goodC = "a third long and perfectly reasonable english document " +
+      "with the usual words that sail through the quality and language gates yet"
+    val docs = Seq(
+      (1L, goodA, img(1)),          // survives
+      (2L, goodA, img(2)),          // exact text dup of 1 -> dropped
+      (3L, goodB, img(1)),          // image dup of 1 -> dropped
+      (4L, goodC, "junk".getBytes), // undecodable image -> triage drop
+      (5L, "tiny", img(3)),         // text quality gate -> dropped
+      (6L, goodC, img(4))           // survives
+    ).toDF("doc_id", "text", "media")
+    val kept = Curation.curateMultimodal(docs, "doc_id", "text", "media",
+        minQuality = 0.7, langs = Seq("en"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
 }
