@@ -32,44 +32,24 @@ private[graft] object Pixels {
     javax.imageio.ImageIO.setUseCache(false)
   }
 
+  /** Adapter for the order-independent folds (means, histograms): the
+    * positional walk drives them with (x, y) discarded, keeping ONE
+    * copy of each validation + pixel loop. */
+  private final class DropPos(sink: Sink) extends PosSink {
+    def start(w: Int, h: Int): Unit = ()
+    def accept(x: Int, y: Int, r: Int, g: Int, b: Int): Unit =
+      sink.accept(r, g, b)
+  }
+
   /** Walk every pixel of an uncompressed 24bpp BI_RGB BMP
     * (BITMAPINFOHEADER or later — the legacy BITMAPCOREHEADER has its
     * fields at different offsets and belongs to the JDK reader).
     * Returns (width, height), or null when the bytes are not that
     * format (nothing fed to the sink in that case: all validation
-    * happens before the loop). */
-  def walkBmp24(b: Array[Byte], sink: Sink): (Int, Int) = {
-    val n = b.length
-    def u(i: Int): Int = b(i) & 0xff
-    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
-    def le32(i: Int): Int =
-      u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
-    if (n < 54 || u(0) != 'B' || u(1) != 'M') return null
-    if (le32(14) < 40) return null // core header: different field layout
-    val pixOff = le32(10)
-    val width = le32(18)
-    val heightRaw = le32(22)           // negative = top-down
-    val height = if (heightRaw < 0) -heightRaw else heightRaw
-    val bpp = le16(28)
-    val compression = le32(30)
-    if (bpp != 24 || compression != 0) return null
-    if (width <= 0 || height <= 0 || width > (1 << 20) ||
-        height > (1 << 20)) return null
-    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * height > n)
-      return null
-    var row = 0
-    while (row < height) {
-      var p = pixOff + row * rowBytes
-      var col = 0
-      while (col < width) {            // BGR order on disk
-        sink.accept(u(p + 2), u(p + 1), u(p))
-        p += 3; col += 1
-      }
-      row += 1
-    }
-    (width, height)
-  }
+    * happens before the loop). Delegates to [[walkBmp24Pos]] — the
+    * single copy of the validation and byte loop. */
+  def walkBmp24(b: Array[Byte], sink: Sink): (Int, Int) =
+    walkBmp24Pos(b, new DropPos(sink))
 
   /** [[walkBmp24]] with logical positions: same header validation and
     * byte loop, but the sink learns (w, h) up front and every pixel
@@ -200,31 +180,6 @@ private[graft] object Pixels {
     * the decode throws (corrupt/truncated input degrades, the sink may
     * have seen a partial image only if the reader itself threw
     * mid-raster — callers treat null as "discard everything"). */
-  def walkImageIO(b: Array[Byte], sink: Sink): (Int, Int) = {
-    try {
-      val img = readCapped(b) // header-only dims gate before allocation
-      if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val p = row(x)
-          sink.accept((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
-          x += 1
-        }
-        y += 1
-      }
-      (w, h)
-    } catch {
-      // corrupt/truncated bytes degrade to NULL; Throwable (not just
-      // Exception) so an OOM thrown despite the cap degrades too
-      // instead of killing the task
-      case e: InterruptedException => throw e
-      case _: Throwable => null
-    }
-  }
+  def walkImageIO(b: Array[Byte], sink: Sink): (Int, Int) =
+    walkImageIOPos(b, new DropPos(sink))
 }

@@ -85,6 +85,8 @@ object AsOf {
       s"left must not contain the right-side bound columns $start/$end")
     require(!left.columns.contains("__bucket"),
       "left must not contain the internal marker column __bucket")
+    require(!valueCols.exists(c => c == "__bucket" || c == "__off"),
+      "valueCols must not contain the internal columns __bucket/__off")
     val lCols = left.columns.toSeq
     val t = F.col(ts).cast("long")
     val s = F.col(start).cast("long")
@@ -104,6 +106,10 @@ object AsOf {
           "raise bucket or maxSpan")))
     val r = right
       .select((Seq(key, start, end) ++ valueCols).map(F.col): _*)
+      // NULL (or non-castable) bounds never match under the naive range
+      // join this replaces — drop them BEFORE the span guard, so they
+      // can't fall through its CaseWhen into the raise branch
+      .where(s.isNotNull && e.isNotNull)
       .withColumn("__off", F.explode(spans))
       .withColumn("__bucket", F.col("__off") + floorDiv(s))
       .drop("__off")

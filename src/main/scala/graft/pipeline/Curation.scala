@@ -242,22 +242,37 @@ object Curation {
       maxMojibake: Option[Double] = None,
       imageHashKind: String = "dhash",
       imageMaxBits: Int = 3, maxBucket: Int = 256): DataFrame = {
-    require(!docs.columns.contains("__digest"),
-      "docs must not contain the internal marker column __digest")
+    require(!docs.columns.contains("__digest") &&
+        !docs.columns.contains("__sh"),
+      "docs must not contain the internal marker columns __digest/__sh")
     val encodingOk = maxMojibake match {
       case Some(t) => TextAnalysis.mojibakeRatio(F.col(text)) <= t
       case None => F.lit(true)
     }
-    val gated = docs.where(encodingOk &&
+    // decode+hash each image ONCE: the triage gate filters on the hash
+    // and the banded dedup pass reuses the same column — the decode is
+    // the dominant per-row cost on a pair corpus
+    val hashed = docs.withColumn("__sh",
+      Multimodal.imageHash(F.col(media), imageHashKind))
+    val gated = hashed.where(encodingOk &&
       TextAnalysis.qualityScore(F.col(text)) >= minQuality &&
       TextAnalysis.langId(F.col(text)).isInCollection(langs) &&
-      Multimodal.imageHash(F.col(media), imageHashKind).isNotNull)
+      F.col("__sh").isNotNull)
+    // the survivor set feeds BOTH the pair pass and the final
+    // anti-join; checkpoint it so the decode+gate stages run once, not
+    // once per consumer
     val textDeduped = Dedup
       .exactDedup(gated.withColumn("__digest", F.md5(F.col(text))),
         id, "__digest")
       .drop("__digest")
-    Dedup.imageDedup(textDeduped, id, media, imageHashKind,
+      .localCheckpoint(false)
+    val pairs = Dedup.hammingNearDupPairs(
+      textDeduped.select(F.col(id).as("rid"), F.col("__sh").as("sh")),
       imageMaxBits, maxBucket)
+    val losers = Dedup.dedupGroups(pairs)
+      .where(F.col("grp") =!= F.col("rid"))
+      .select(F.col("rid").as(id))
+    textDeduped.join(losers, Seq(id), "left_anti").drop("__sh")
   }
 
   /** Streaming twin of [[curate]] for continuous ingestion (a crawl

@@ -349,6 +349,10 @@ object Relevance {
       require(query.nonEmpty, "search needs at least one query term")
       require(k >= 1, s"k must be >= 1, got $k")
       val qBuckets = query.map(TextIndex.bucketOf(_, buckets)).distinct
+      // two consumers: the df collect reads ONLY the `term` column of
+      // the pruned buckets (partition + column pruning make it a sliver
+      // of the store), then the scoring aggregate reads the full
+      // posting rows once — not a double full read
       val hits = postings
         .where(F.col("__bucket").isInCollection(qBuckets) &&
           F.col("term").isInCollection(query))

@@ -86,13 +86,21 @@ object TrainingData {
         pinned.sample(withReplacement = false, bpeSampleFraction, seed)
       else pinned,
       text, numMerges)
-    // 2²⁰ chunks/doc is the key's invariant: fail loudly IN the scan
-    // (no extra validation job), never alias silently
-    val chunkKey = F.when(F.col(chunkId).cast(LongType) < MaxChunksPerDoc,
-        F.col(id).cast(LongType) * MaxChunksPerDoc +
-          F.col(chunkId).cast(LongType))
+    // the key's invariants fail loudly IN the scan (no extra validation
+    // job), never alias silently: chunk ordinal < 2²⁰, and the doc id
+    // must be a non-null integral in [0, 2⁴³) so id·2²⁰ cannot
+    // overflow or collide (a string/UUID id casts to NULL and lands
+    // here too, instead of an opaque NPE later in packing)
+    val idL = F.col(id).cast(LongType)
+    val chkL = F.col(chunkId).cast(LongType)
+    val chunkKey = F.when(
+        idL.isNotNull && idL >= 0 && idL < (1L << 43) &&
+          chkL.isNotNull && chkL >= 0 && chkL < MaxChunksPerDoc,
+        idL * MaxChunksPerDoc + chkL)
       .otherwise(F.raise_error(F.lit(
-        s"a document has >= $MaxChunksPerDoc chunks; chunk_key would alias")))
+        s"chunk_key needs an integral doc id in [0, 2^43) and a chunk " +
+          s"ordinal in [0, $MaxChunksPerDoc); got a row outside that " +
+          "domain (string/UUID ids: map them to longs first)")))
     val counted = pinned.select(chunkKey.as("chunk_key"),
       Bpe.tokenCount(F.col(text), model).cast(LongType).as("n_bpe_tokens"))
     val packed = Packing.packSequences(

@@ -92,7 +92,9 @@ class ImageHashSpec extends SparkSpec {
 
   test("native hash equals the independent reference on random images") {
     for (_ <- 1 to 30) {
-      val w = 8 + rnd.nextInt(40)
+      // w >= 9: dHash needs the 9-wide grid (w = 8 is its documented
+      // null case, covered by the sub-grid test below)
+      val w = 9 + rnd.nextInt(39)
       val h = 8 + rnd.nextInt(40)
       val px = randPixels(w, h)
       val bytes = bmp(px)

@@ -389,6 +389,20 @@ class PipelineSpec extends SparkSpec {
       pipeline.AsOf.intervalJoin(left, openEnded, "k", "t",
         "ivs", "ive", Seq("iv_id"), 4L, maxSpan = 128).collect()
     }
+    // NULL bounds behave like the naive range join (no match), never
+    // fall through the span guard into its raise
+    val nullBound = Seq((9L, 1L, Some(5L), Option.empty[Long]),
+        (8L, 1L, Some(5L), Some(15L)))
+      .toDF("iv_id", "k", "ivs", "ive")
+    assert(pipeline.AsOf.intervalJoin(left, nullBound, "k", "t",
+        "ivs", "ive", Seq("iv_id"), 4L)
+      .select("iv_id").as[Long].collect().toSeq == Seq(8L))
+    // internal column names are rejected loudly, not silently shadowed
+    intercept[IllegalArgumentException] {
+      pipeline.AsOf.intervalJoin(left,
+        nullBound.withColumnRenamed("iv_id", "__bucket"), "k", "t",
+        "ivs", "ive", Seq("__bucket"), 4L)
+    }
     // the plan is an equi-join on (key, bucket), never a nested loop
     val some = Seq((9L, 1L, 5L, 15L)).toDF("iv_id", "k", "ivs", "ive")
     val plan = pipeline.AsOf.intervalJoin(left, some, "k", "t",

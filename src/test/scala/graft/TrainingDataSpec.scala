@@ -105,6 +105,30 @@ class TrainingDataSpec extends SparkSpec {
       Set("shard", "pos", "seq_id", "chunk_keys", "total_tokens"))
   }
 
+  test("non-integral or out-of-range doc ids fail loudly, never alias") {
+    import spark.implicits._
+    val uuidDocs = Seq(("a-uuid-not-a-number",
+        "the quick brown fox jumps over the lazy dog and runs home"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      TrainingData.prepare(uuidDocs, "doc_id", "text", minQuality = 0.0,
+        chunkSize = 8, chunkStride = 8, numMerges = 4,
+        bpeSampleFraction = 1.0, maxTokens = 16, numShards = 1).shards
+        .collect()
+    }
+    assert(e1.getMessage.contains("integral doc id"))
+    val hugeId = Seq(((1L << 43) + 5L,
+        "the quick brown fox jumps over the lazy dog and runs home"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TrainingData.prepare(hugeId, "doc_id", "text", minQuality = 0.0,
+        chunkSize = 8, chunkStride = 8, numMerges = 4,
+        bpeSampleFraction = 1.0, maxTokens = 16, numShards = 1).shards
+        .collect()
+    }
+    assert(e2.getMessage.contains("integral doc id"))
+  }
+
   test("sampled tokenizer training still encodes the full corpus") {
     val p = TrainingData.prepare(docs, "doc_id", "text",
       minQuality = 0.0, chunkSize = 16, chunkStride = 16,
