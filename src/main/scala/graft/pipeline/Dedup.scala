@@ -210,16 +210,11 @@ object Dedup {
     * would otherwise band every empty document into one shared bucket. */
   def minhashCandidatesFromShingles(sh: DataFrame,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 256): DataFrame = {
-    val rows = numHashes / bands
     // narrow signature computation — the banding groupBy below is the
     // pipeline's ONLY shuffle
     val sigs = sh.where(F.size(F.col("sh")) > 0).select(F.col("rid"),
       minhashSigColumn(F.col("sh"), numHashes).as("sig"))
-    val banded = sigs
-      .select(F.col("rid"), F.posexplode(
-        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-          b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))).as(Seq("band", "bsig")))
-      .select(F.col("rid"), F.col("band"), F.hash(F.col("band"), F.col("bsig")).as("bucket"))
+    val banded = bandedRows(sigs, numHashes, bands)
     // ONE shuffle to per-bucket posting lists, sorted and capped to the
     // `maxBucket` smallest ids, pairs expanded locally (bucketPairs) —
     // the same shape as the ngram/simhash paths. The cap bounds a
@@ -229,6 +224,23 @@ object Dedup {
     bucketPairs(banded.groupBy("band", "bucket")
       .agg(smallestIds(banded.schema("rid").dataType, F.col("rid"),
         maxBucket).as("rids")))
+  }
+
+  /** (rid, band, bucket) banding rows of a (rid, sig) signature frame —
+    * the ONE banding recipe shared by the self-join path, the
+    * cross-corpus path, and [[MinHashSeenIndex.fit]] (bucket values are
+    * rid-independent, so rows banded at index-build time join rows
+    * banded at query time exactly). */
+  private def bandedRows(sigs: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs
+      .select(F.col("rid"), F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+          b => F.slice(F.col("sig"), b * rows + 1, F.lit(rows))))
+        .as(Seq("band", "bsig")))
+      .select(F.col("rid"), F.col("band"),
+        F.hash(F.col("band"), F.col("bsig")).as("bucket"))
   }
 
   /** Expand each capped, sorted posting list into its ordered id pairs
@@ -311,6 +323,101 @@ object Dedup {
         F.col("id2").bitwiseAND(F.lit(1L)))
     val odd1 = F.col("id1").bitwiseAND(F.lit(1L)) === 1L
     verifiedJaccard(cands, sh, threshold)
+      .select(
+        F.shiftright(F.when(odd1, F.col("id1")).otherwise(F.col("id2")), 1)
+          .as("incoming_id"),
+        F.shiftright(F.when(odd1, F.col("id2")).otherwise(F.col("id1")), 1)
+          .as("seen_id"),
+        F.col("jaccard"))
+  }
+
+  /** Persisted MinHash index over a stored corpus — the fix for
+    * [[minhashPairsAgainstSeen]]'s one scale flaw: that path
+    * re-tokenizes, re-shingles, and re-signs the ENTIRE seen corpus on
+    * every incoming batch, which at a 100 TB stored corpus dominates a
+    * daily ingestion run. Fit once instead: persist the corpus's
+    * shingle-hash sets (for exact-Jaccard verification) and its
+    * pre-banded (band, bucket, rid) rows (for candidate blocking); a
+    * batch then computes signatures only for ITSELF and joins the
+    * stored postings — zero per-query work proportional to corpus
+    * tokenization. Results are bit-identical to the recompute path
+    * (IncrementalDedupSpec pins it): bucket values are rid-independent,
+    * so rows banded at build time join rows banded at query time
+    * exactly, and the cap orders tagged ids the same way. */
+  final class MinHashSeenIndex private[pipeline] (
+      private[graft] val shingles: DataFrame, // (rid, sh)
+      private[graft] val bandRows: DataFrame, // (rid, band, bucket)
+      val k: Int, val numHashes: Int, val bands: Int) {
+
+    /** Persist both relations + a parameter sidecar. */
+    def save(path: String): Unit = {
+      shingles.write.mode("overwrite").parquet(s"$path/shingles")
+      bandRows.write.mode("overwrite").parquet(s"$path/bands")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, MinHashSeenIndex.SIDECAR),
+        s"""{"k": $k, "numHashes": $numHashes, "bands": $bands}""")
+    }
+  }
+
+  object MinHashSeenIndex {
+    private[pipeline] val SIDECAR = "_minhash_index_meta.json"
+
+    /** Build the index: one narrow shingle+signature pass over the
+      * corpus, banding rows expanded (no shuffle — the shuffles happen
+      * at query time, against each batch). Long ids required (the
+      * tag-bit query path shifts them). */
+    def fit(df: DataFrame, id: String, text: String, k: Int = 3,
+        numHashes: Int = 32, bands: Int = 8): MinHashSeenIndex = {
+      val sh = df.select(F.col(id).cast(LongType).as("rid"),
+        shingleHashes(F.col(text), k).as("sh"))
+      val sigs = sh.where(F.size(F.col("sh")) > 0).select(F.col("rid"),
+        minhashSigColumn(F.col("sh"), numHashes).as("sig"))
+      new MinHashSeenIndex(sh, bandedRows(sigs, numHashes, bands),
+        k, numHashes, bands)
+    }
+
+    /** Reload an index persisted by [[MinHashSeenIndex.save]]. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): MinHashSeenIndex = {
+      val meta =
+        """\{"k": (\d+), "numHashes": (\d+), "bands": (\d+)\}""".r
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path, SIDECAR)) match {
+        case meta(k, numHashes, bands) =>
+          new MinHashSeenIndex(
+            spark.read.parquet(s"$path/shingles"),
+            spark.read.parquet(s"$path/bands"),
+            k.toInt, numHashes.toInt, bands.toInt)
+        case other => throw new IllegalArgumentException(
+          s"not a MinHash index (bad $SIDECAR): $other")
+      }
+    }
+  }
+
+  /** [[minhashPairsAgainstSeen]] against a PRE-FIT [[MinHashSeenIndex]]:
+    * same result, but the seen corpus contributes stored postings and
+    * shingle sets instead of being re-processed per batch. Returns
+    * (incoming_id, seen_id, jaccard ≥ threshold). */
+  def minhashPairsAgainstIndex(index: MinHashSeenIndex,
+      incoming: DataFrame, id: String, text: String,
+      threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
+    val shIn = incoming.select(
+        (F.col(id).cast(LongType) * 2 + 1).as("rid"),
+        shingleHashes(F.col(text), index.k).as("sh"))
+      .localCheckpoint(false) // banding + verify both read it
+    val sigsIn = shIn.where(F.size(F.col("sh")) > 0).select(F.col("rid"),
+      minhashSigColumn(F.col("sh"), index.numHashes).as("sig"))
+    val banded = bandedRows(sigsIn, index.numHashes, index.bands)
+      .unionByName(index.bandRows.select(
+        (F.col("rid") * 2).as("rid"), F.col("band"), F.col("bucket")))
+    val cands = bucketPairs(banded.groupBy("band", "bucket")
+        .agg(smallestIds(LongType, F.col("rid"), maxBucket).as("rids")))
+      .where(F.col("id1").bitwiseAND(F.lit(1L)) =!=
+        F.col("id2").bitwiseAND(F.lit(1L)))
+    val shAll = shIn.unionByName(index.shingles.select(
+      (F.col("rid") * 2).as("rid"), F.col("sh")))
+    val odd1 = F.col("id1").bitwiseAND(F.lit(1L)) === 1L
+    verifiedJaccard(cands, shAll, threshold)
       .select(
         F.shiftright(F.when(odd1, F.col("id1")).otherwise(F.col("id2")), 1)
           .as("incoming_id"),

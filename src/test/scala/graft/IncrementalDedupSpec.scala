@@ -114,6 +114,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pre-fit MinHash index equals the recompute path, saved or not") {
+    import spark.implicits._
+    val bases = Seq.tabulate(6)(b => Seq.tabulate(40)(i => s"w${b}_$i"))
+    val rows = (0L until 60L).map { i =>
+      val b = ((i / 2) % 6).toInt
+      (i, (bases(b) :+ s"pad${i % 3}").mkString(" "))
+    }
+    val incoming = rows.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val seen = rows.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val want = Dedup.minhashPairsAgainstSeen(incoming, seen, "doc_id",
+        "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty)
+    val idx = Dedup.MinHashSeenIndex.fit(seen, "doc_id", "text")
+    val got = Dedup.minhashPairsAgainstIndex(idx, incoming, "doc_id",
+        "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want) // bit-identical incl. the jaccard doubles
+    // save/load round trip: the loaded postings come from parquet, and
+    // the query plan does NOT re-shingle the seen corpus
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-minhash-index").toString
+    idx.save(dir)
+    val reloaded = Dedup.MinHashSeenIndex.load(spark, dir)
+    val q = Dedup.minhashPairsAgainstIndex(reloaded, incoming,
+      "doc_id", "text", threshold = 0.9)
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == want)
+    val plan = q.queryExecution.executedPlan.toString
+    // the stored side arrives as parquet scans; only the incoming side
+    // computes shingles (hidden in its checkpoint RDD, so the plan
+    // shows NO shingle computation at all — and crucially none over
+    // the index paths)
+    assert(plan.contains(dir), plan.take(2000))
+    assert(!plan.toLowerCase.contains("shingle_hashes"), plan.take(2000))
+  }
+
   test("plan shape: one anti-join branch, one join-free narrow branch") {
     import spark.implicits._
     // parquet-backed inputs: a LocalRelation would let the optimizer

@@ -306,6 +306,30 @@ object Drive {
       prep.shards.orderBy("shard", "pos").show(false)
     }
 
+    println("=== persisted indexes: BM25 text search, MinHash seen-corpus:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val corpus = Seq(
+        (1L, "spark shuffle join plan optimizer"),
+        (2L, "spark scan pushdown parquet reader"),
+        (3L, "index probe partition pruning fast"),
+        (4L, "cooking pasta with garlic and basil")).toDF("doc_id", "text")
+      val tix = graft.pipeline.Relevance.TextIndex.fit(
+        corpus, "doc_id", "text", buckets = 8)
+      tix.search(Seq("spark", "index"), 3).show(false)
+      val seen = Seq((10L, "the quick brown fox jumps over the lazy " +
+        "dog and runs far away into the deep dark forest")).toDF("doc_id", "text")
+      val incoming = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and runs " +
+          "far away into the deep dark woods"),
+        (2L, "entirely new content about distributed aggregation")
+      ).toDF("doc_id", "text")
+      val midx = graft.pipeline.Dedup.MinHashSeenIndex.fit(
+        seen, "doc_id", "text")
+      graft.pipeline.Dedup.minhashPairsAgainstIndex(midx, incoming,
+        "doc_id", "text", threshold = 0.7).show(false)
+    }
+
     println("=== perceptual image hash + image near-dup pairs:")
     locally {
       import org.apache.spark.sql.{functions => F}
