@@ -52,8 +52,14 @@ object GraphStore {
     * lookup instead. */
   def load(spark: SparkSession, path: String): RdfGraph = {
     val df = spark.read.parquet(path)
-    val triples = df.select(F.col("s"), F.col("p"), F.col("o"))
-    RdfGraph(triples, RdfGraph.defaultPrefixes ++ readPrefixes(path),
+    // a saved QUAD store keeps its graph column — dropping it here
+    // would silently merge every named graph into the default graph
+    // (the compiler bypasses the vertical index for quad stores, so
+    // keeping `g` costs the index nothing)
+    val cols = Seq("s", "p", "o") ++
+      (if (df.columns.contains("g")) Seq("g") else Nil)
+    RdfGraph(df.select(cols.map(F.col): _*),
+      RdfGraph.defaultPrefixes ++ readPrefixes(path),
       predIndex = new LazyPredIndex(df))
   }
 

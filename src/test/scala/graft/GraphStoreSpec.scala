@@ -23,6 +23,29 @@ class GraphStoreSpec extends SparkSpec {
     assert(loaded.prefixes("gp") == "urn:graft:p/")
   }
 
+  test("a saved QUAD store round-trips its named graphs") {
+    import graft.rdf._
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val quads = RdfGraph.fromQuads(spark, Seq(
+      (iri("g1"), iri("label"), Lit.plain("graph one"), None),
+      (iri("alice"), iri("knows"), iri("bob"), Some(iri("g1"))),
+      (iri("carol"), iri("name"), Lit.plain("Carol"), Some(iri("g2")))),
+      Map("ex" -> ex))
+    val out = Files.createTempDirectory("graft-quads").toFile.getAbsolutePath
+    GraphStore.save(quads, out)
+    val loaded = GraphStore.load(spark, out)
+    assert(loaded.isQuads) // the g column survives the round trip
+    val e = Engine.fromGraph(loaded)
+    // default graph sees only the g-null triple
+    assert(e.select("SELECT ?s WHERE { ?s ex:label ?l }").count() == 1)
+    // named graphs still exist and scope correctly
+    val named = e.select(
+      "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
+      .collect().map(_.getString(0))
+    assert(named.toSeq == Seq("ex:g1", "ex:g2")) // display-shortened
+  }
+
   test("queries over the loaded graph match the direct graph") {
     val out = Files.createTempDirectory("graft-store2").toFile.getAbsolutePath
     GraphStore.save(Tables.graph(spark, dir, "customer", "nation"), out)
