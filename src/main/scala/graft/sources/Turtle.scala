@@ -91,7 +91,14 @@ object Turtle {
         }
       }
     }
-    val rows = g.triples
+    // Turtle has no quad syntax: a quad store serializes its DEFAULT
+    // graph (merging named graphs in would fabricate triples the
+    // default graph doesn't assert)
+    val base =
+      if (g.isQuads)
+        g.triples.where(org.apache.spark.sql.functions.col("g").isNull)
+      else g.triples
+    val rows = base
       .orderBy("s.value", "p.value", "o.value").collect()
     rows.groupBy(r => fmt(r.getStruct(0))).toSeq.sortBy(_._1).foreach {
       case (subj, ts) =>

@@ -44,6 +44,11 @@ class GraphStoreSpec extends SparkSpec {
       "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
       .collect().map(_.getString(0))
     assert(named.toSeq == Seq("ex:g1", "ex:g2")) // display-shortened
+    // Turtle has no quad syntax: ttl() emits the DEFAULT graph only,
+    // never fabricating named-graph triples into it
+    val ttl = e.ttl()
+    assert(ttl.contains("label") && !ttl.contains("knows") &&
+      !ttl.contains("Carol"), ttl)
   }
 
   test("queries over the loaded graph match the direct graph") {
