@@ -85,11 +85,18 @@ object NTriples {
       case _ => Lit(v, dt, lang).n3()
     }
 
-  /** Distributed N-Triples sink (one line per triple). */
+  /** Distributed N-Triples sink (one line per triple). N-Triples has no
+    * quad syntax, so a quad store writes its DEFAULT graph only — the
+    * same boundary as the Turtle serializer. */
   def write(g: RdfGraph, path: String): Unit = {
     implicit val enc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
-    g.triples.map { r =>
+    val base =
+      if (g.isQuads)
+        g.triples.where(org.apache.spark.sql.functions.col("g").isNull)
+          .select("s", "p", "o")
+      else g.triples
+    base.map { r =>
       val s = r.getStruct(0); val p = r.getStruct(1); val o = r.getStruct(2)
       fmt(s.getByte(0), s.getString(1), s.getString(2), s.getString(3)) + " " +
         fmt(p.getByte(0), p.getString(1), p.getString(2), p.getString(3)) + " " +

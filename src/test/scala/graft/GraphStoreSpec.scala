@@ -49,6 +49,12 @@ class GraphStoreSpec extends SparkSpec {
     val ttl = e.ttl()
     assert(ttl.contains("label") && !ttl.contains("knows") &&
       !ttl.contains("Carol"), ttl)
+    // N-Triples shares the no-quad-syntax boundary
+    val ntDir = Files.createTempDirectory("graft-nt").toFile.getAbsolutePath
+    graft.sources.NTriples.write(loaded, ntDir)
+    val nt = spark.read.text(ntDir).collect().map(_.getString(0)).mkString("\n")
+    assert(nt.contains("label") && !nt.contains("knows") &&
+      !nt.contains("Carol"), nt)
   }
 
   test("queries over the loaded graph match the direct graph") {
