@@ -16,7 +16,7 @@ object NTriples {
 
   /** Parse one N-Triples term starting at `pos`; returns (term, nextPos).
     * Hand-rolled for per-line speed (no regex backtracking). */
-  private def parseTerm(s: String, pos0: Int): (Row, Int) = {
+  private[sources] def parseTerm(s: String, pos0: Int): (Row, Int) = {
     var pos = pos0
     while (pos < s.length && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t')) pos += 1
     s.charAt(pos) match {
@@ -78,7 +78,7 @@ object NTriples {
     RdfGraph(df, RdfGraph.defaultPrefixes)
   }
 
-  private def fmt(kind: Byte, v: String, dt: String, lang: String): String =
+  private[sources] def fmt(kind: Byte, v: String, dt: String, lang: String): String =
     kind match {
       case Terms.KIND_IRI => s"<$v>"
       case Terms.KIND_BLANK => s"_:$v"

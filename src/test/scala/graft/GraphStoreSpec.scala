@@ -55,6 +55,21 @@ class GraphStoreSpec extends SparkSpec {
     val nt = spark.read.text(ntDir).collect().map(_.getString(0)).mkString("\n")
     assert(nt.contains("label") && !nt.contains("knows") &&
       !nt.contains("Carol"), nt)
+    // N-Quads is the text format that DOES round-trip named graphs
+    val nqDir = Files.createTempDirectory("graft-nq").toFile.getAbsolutePath
+    graft.sources.NQuads.write(loaded, nqDir)
+    val back = graft.sources.NQuads.read(spark, nqDir)
+    assert(back.isQuads)
+    assert(back.triples.except(loaded.triples).isEmpty &&
+      loaded.triples.except(back.triples).isEmpty)
+    val e2 = Engine.fromGraph(back.withPrefix("ex", ex))
+    assert(e2.select(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
+      .collect().map(_.getString(0)).toSeq == Seq("ex:g1", "ex:g2"))
+    // default-graph lines are plain triples: the literal object is the
+    // last term before the dot, no graph label follows
+    val nq = spark.read.text(nqDir).collect().map(_.getString(0))
+    assert(nq.exists(_.endsWith("\"graph one\" .")), nq.mkString("\n"))
   }
 
   test("queries over the loaded graph match the direct graph") {
