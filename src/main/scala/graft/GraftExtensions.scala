@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -204,6 +204,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(kind == "ahash" || kind == "dhash",
           s"image_hash kind must be 'ahash' or 'dhash', got '$kind'")
         ImageHash(args.head, kind == "dhash")
+      }))
+    ext.injectFunction((FunctionIdentifier("audio_hash"),
+      info(classOf[AudioHash], "audio_hash",
+        "audio_hash(bytes) - 64-bit perceptual hash of a decodable " +
+          "clip (loudness-envelope gradient signs over 65 windows); " +
+          "NULL for undecodable or sub-65-sample input"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "audio_hash(bytes) takes 1 argument")
+        AudioHash(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("warc_records"),
       info(classOf[WarcRecords], "warc_records",

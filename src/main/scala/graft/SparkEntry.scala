@@ -1435,6 +1435,24 @@ object SparkEntry {
       Dedup.hammingPairsAgainstSeen(incoming, seen, hasher,
         maxBits = 3, maxBucket = 1024)
     }),
+    "q_audio_phash" -> ((s, dir) => {
+      // REAL audio perceptual hash, oracle-verified end to end: a
+      // 130-sample PCM WAV whose amplitudes are doc_id arithmetic —
+      // each of the 65 envelope windows covers exactly two samples, so
+      // DuckDB recomputes every loudness comparison in pure integers
+      val samples = F.concat((0 until 130).map { j =>
+        F.concat(F.lit("00"),
+          SqlHex.hx2((F.col("doc_id") * 3 + F.lit(j * 5)) % 127 + 1))
+      }: _*)
+      val media = F.unhex(F.concat(
+        F.lit("52494646" + "28010000" + "57415645"),
+        F.lit("666D7420" + "10000000" + "0100" + "0100" +
+          "401F0000" + "803E0000" + "0200" + "1000"),
+        F.lit("64617461" + "04010000"),
+        samples))
+      read(s, dir, "documents").select(F.col("doc_id"),
+        Multimodal.audioHash(media).as("ahash"))
+    }),
     "q_corpus_report" -> ((s, dir) =>
       // ONE aggregation pass -> (metric, value) rows; every number
       // recomputed independently by the DuckDB oracle (percentiles,
@@ -3176,6 +3194,24 @@ object SparkEntry {
                 bit_count(xor(i.h, s.h0))::INT AS hamming
          FROM dh i JOIN dh s ON s.doc_id < 200
          WHERE bit_count(xor(i.h, s.h0)) <= 3""",
+    "q_audio_phash" ->
+      // recompute the envelope hash from the synthesized amplitudes:
+      // sample j carries ((doc_id*3 + j*5) % 127 + 1) * 256, window
+      // w = (j*65)//130 holds two samples, bit w = louder than w+1
+      """WITH sm AS (
+           SELECT d.doc_id, j.j,
+                  (((d.doc_id*3 + j.j*5) % 127) + 1) * 256 AS v
+           FROM documents d, range(130) j(j)
+         ), wi AS (
+           SELECT doc_id, (j*65)//130 AS w, sum(v) AS s
+           FROM sm GROUP BY doc_id, (j*65)//130
+         )
+         SELECT a.doc_id, sum(CASE WHEN a.s > b.s THEN
+             CASE WHEN a.w = 63 THEN -9223372036854775808
+                  ELSE (1::BIGINT << a.w::INT) END ELSE 0 END)::BIGINT
+           AS ahash
+         FROM wi a JOIN wi b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         GROUP BY a.doc_id""",
     "q_corpus_report" ->
       // the whole analytics report recomputed independently: per-doc
       // quality mirrors the q_text_quality recipe, summed as its

@@ -561,6 +561,20 @@ object Dedup {
       Seq(id), "left_anti")
   }
 
+  /** Perceptual near-duplicate AUDIO pairs: the loudness-envelope hash
+    * ([[Multimodal.audioHash]]) through the same pigeonhole-complete
+    * Hamming banding as text SimHash and image dHash — near-dup
+    * detection now spans all three modalities with ONE shared banding
+    * core. Undecodable/short rows drop before the shuffle. Returns
+    * (id1, id2, hamming ≤ maxBits). */
+  def audioNearDupPairs(df: DataFrame, id: String, bytes: String,
+      maxBits: Int = 3, maxBucket: Int = 256): DataFrame =
+    hammingNearDupPairs(
+      df.select(F.col(id).as("rid"),
+          Multimodal.audioHash(F.col(bytes)).as("sh"))
+        .where(F.col("sh").isNotNull),
+      maxBits, maxBucket)
+
   /** Perceptual IMAGE dedup end to end: [[imageNearDupPairs]] →
     * connected components ([[dedupGroups]]) → keep each group's
     * smallest id — the image twin of the text near-dup stage in

@@ -273,6 +273,17 @@ object Multimodal {
         graft.expressions.ColumnBridge.expression(bin), kind == "dhash"))
   }
 
+  /** 64-bit perceptual AUDIO hash ([[graft.expressions.AudioHash]]):
+    * gradient signs of the loudness envelope over 65 equal windows —
+    * volume-scaling-invariant, exact integer arithmetic, feeds
+    * [[graft.pipeline.Dedup.hammingNearDupPairs]] /
+    * [[graft.pipeline.Dedup.audioNearDupPairs]]. Null for undecodable
+    * bytes or clips shorter than 65 samples. */
+  def audioHash(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.AudioHash(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL resize: decode any JDK-readable image, bilinear-scale the long
     * side down to `maxSide` (aspect preserved, never upscales), return
     * PNG bytes; null for undecodable input

@@ -27,6 +27,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "DecodeImage" -> (DecodeImage.parse(_)),
     "ImageHashA" -> (ImageHash.hash(_, dhash = false)),
     "ImageHashD" -> (ImageHash.hash(_, dhash = true)),
+    "AudioHash" -> (AudioHash.hash(_)),
     "ImageEmbedding" -> (ImageEmbedding.embed(_, 8)),
     "AudioEmbedding" -> (AudioEmbedding.embed(_, 8)),
     "ResizeImage" -> (ResizeImage.resize(_, 16)),
