@@ -354,6 +354,25 @@ object Drive {
         .show(false)
       graft.pipeline.Dedup.imageNearDupPairs(imgs, "doc_id", "media",
         "dhash", maxBits = 8).show(false)
+      // audio: two volume-scaled copies of one clip + one unrelated
+      def wav(seed: Int, scale: Int): Array[Byte] = {
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val r = new scala.util.Random(seed)
+        val data = Array.tabulate(260)(i =>
+          ((math.sin(i * 0.05 + seed) * 8000).toInt + r.nextInt(300))
+            / scale).flatMap(le16)
+        val body = "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+        "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      }
+      val clips = Seq((1L, wav(3, 1)), (2L, wav(3, 2)), (3L, wav(44, 1)))
+        .toDF("doc_id", "media")
+      graft.pipeline.Dedup.audioNearDupPairs(clips, "doc_id", "media",
+        maxBits = 3).show(false)
     }
 
     spark.stop()
