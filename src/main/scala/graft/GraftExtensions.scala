@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -147,6 +147,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "html_text(html) takes 1 argument")
         HtmlText(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("html_links"),
+      info(classOf[HtmlLinks], "html_links",
+        "html_links(html) - outlink hrefs of a page (array<string>, " +
+          "document order, entities decoded, fragment-only/javascript/" +
+          "mailto refs dropped)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "html_links(html) takes 1 argument")
+        HtmlLinks(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("resolve_url"),
+      info(classOf[ResolveUrl], "resolve_url",
+        "resolve_url(base, ref) - RFC 3986 reference resolution of an " +
+          "href against its page URL; fragment dropped"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "resolve_url(base, ref) takes 2 arguments")
+        ResolveUrl(args.head, args(1))
       }))
     ext.injectFunction((FunctionIdentifier("deflate_size"),
       info(classOf[DeflateSize], "deflate_size",

@@ -1120,6 +1120,44 @@ object SparkEntry {
       read(s, dir, "documents")
         .select(F.col("doc_id"), TextAnalysis.htmlText(html).as("text"))
     }),
+    "q_html_links" -> ((s, dir) => {
+      // oracle-verified outlink extraction + RFC 3986 resolution: per-doc
+      // pages with a query-string href (entity-encoded &amp;), a ../
+      // relative href, a fragment-only and a javascript: href (both
+      // dropped), and an absolute href; DuckDB restates the three
+      // surviving links and their resolutions as direct concatenation
+      val url = F.concat(F.lit("http://h"), F.col("doc_id") % 7,
+        F.lit(".example/a/b"), F.col("doc_id"))
+      val html = F.concat(
+        F.lit("<p>intro</p><a href=\"/p?x=1&amp;y="), F.col("doc_id"),
+        F.lit("\">q</a> <a href='../r"), F.col("doc_id"),
+        F.lit("'>rel</a><a href=\"#frag\">no</a>" +
+          "<a href=\"javascript:void(0)\">no</a><a href=\"http://abs"),
+        F.col("doc_id") % 5,
+        F.lit(".example/z\">abs</a>"))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), url.as("__u"),
+          F.posexplode(TextAnalysis.htmlLinks(html)).as(Seq("pos", "link")))
+        .select(F.col("doc_id"), F.col("pos"), F.col("link"),
+          TextAnalysis.resolveUrl(F.col("__u"), F.col("link")).as("resolved"))
+    }),
+    "q_host_edges" -> ((s, dir) => {
+      // oracle-verified host link-graph construction: pages on host
+      // h{id%7} (www-prefixed, so the strip is exercised) linking to
+      // h{(id+1)%7} (always cross-host), to themselves via a relative
+      // href (self-edge, dropped), and to a shared sink host; DuckDB
+      // restates the distinct cross-host pairs directly
+      val url = F.concat(F.lit("http://www.h"), F.col("doc_id") % 7,
+        F.lit(".example/p/"), F.col("doc_id"))
+      val html = F.concat(
+        F.lit("<a href=\"http://h"), (F.col("doc_id") + 1) % 7,
+        F.lit(".example/x\">next</a><a href=\"/q\">self</a>" +
+          "<a href=\"http://sink.example/s"), F.col("doc_id") % 3,
+        F.lit("\">sink</a>"))
+      graft.pipeline.Graphs.hostEdges(
+        read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
+          html.as("html")))
+    }),
     "q_audio_triage" -> ((s, dir) => {
       // oracle-verified MP3 + Ogg Vorbis header triage: per-doc MPEG1
       // Layer III headers (bitrate index from doc_id; CBR duration =
@@ -3010,6 +3048,35 @@ object SparkEntry {
            'Body ' || (doc_id * 7) || ' & more.' || chr(10) ||
            (doc_id % 10) || ' ' || ((doc_id + 1) % 10) AS text
          FROM documents""",
+    "q_html_links" ->
+      // the three surviving hrefs and their RFC 3986 resolutions are
+      // direct concatenation: ?-href resolves against the base dir-less,
+      // ../ collapses /a/b{id} to the root, absolute passes through
+      """SELECT doc_id, pos, link, resolved FROM (
+           SELECT doc_id, 0 AS pos,
+             '/p?x=1&y=' || doc_id AS link,
+             'http://h' || (doc_id % 7) || '.example/p?x=1&y=' || doc_id
+               AS resolved
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 1, '../r' || doc_id,
+             'http://h' || (doc_id % 7) || '.example/r' || doc_id
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 2, 'http://abs' || (doc_id % 5) || '.example/z',
+             'http://abs' || (doc_id % 5) || '.example/z'
+           FROM documents)""",
+    "q_host_edges" ->
+      // the distinct cross-host pairs: each page host h{k} links h{k+1}
+      // (mod 7) and the sink; the www. prefix strips, the relative
+      // self-link drops
+      """SELECT DISTINCT 'h' || (doc_id % 7) || '.example' AS src_host,
+             'h' || ((doc_id + 1) % 7) || '.example' AS dst_host
+           FROM documents
+         UNION
+         SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
+             'sink.example'
+           FROM documents""",
     "q_audio_triage" ->
       // MP3 CBR duration and Ogg granule duration are direct arithmetic
       // on doc_id (4000-byte MPEG1-L3 stream; granule = rate·secs)

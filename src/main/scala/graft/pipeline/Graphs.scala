@@ -92,4 +92,51 @@ object Graphs {
     ranks.select(F.col("v").as("node"), F.col("r").as("rank_scaled"),
       (F.col("r").cast(DoubleType) / scale.toDouble).as("rank"))
   }
+
+  /** Host→host link edges of a crawl: extract every outlink of every
+    * page ([[TextAnalysis.htmlLinks]]), resolve it against the page URL
+    * (RFC 3986, [[TextAnalysis.resolveUrl]]), reduce both ends to their
+    * registrable host ([[TextAnalysis.urlHost]]), and keep the distinct
+    * cross-host pairs. Returns (src_host, dst_host), both non-null,
+    * self-edges dropped — the input [[pageRankHosts]] wants.
+    *
+    * Scale posture: extraction/resolution/host-parsing are all NARROW
+    * codegen'd passes over the page scan (the explode multiplies rows
+    * but never shuffles); the only exchange is the final `distinct`
+    * on the (src, dst) pair — unavoidable, and it shrinks the data to
+    * host-graph size (≪ page count) before anything iterates. */
+  def hostEdges(docs: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val src = TextAnalysis.urlHost(F.col(urlCol))
+    val dst = TextAnalysis.urlHost(TextAnalysis.resolveUrl(F.col(urlCol),
+      F.col("__ref")))
+    docs
+      .select(F.col(urlCol),
+        F.explode(TextAnalysis.htmlLinks(F.col(htmlCol))).as("__ref"))
+      .select(src.as("src_host"), dst.as("dst_host"))
+      .where(F.col("src_host").isNotNull && F.col("dst_host").isNotNull &&
+        F.col("src_host") =!= F.col("dst_host"))
+      .distinct()
+  }
+
+  /** [[pageRank]] over string-keyed host edges: hosts map to stable
+    * 64-bit ids (`xxhash64` — the engine's standard content key; a
+    * collision would merge two hosts' ranks, odds ~n²/2⁶⁴), the integer
+    * power iteration runs on the ids, and the host strings join back at
+    * the end. Returns (host, rank_scaled, rank). The id→host map is
+    * host-graph-sized and broadcastable; everything else is
+    * [[pageRank]]'s posture. */
+  def pageRankHosts(edges: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host", iters: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(F.xxhash64(F.col(srcCol)).as("src"),
+      F.xxhash64(F.col(dstCol)).as("dst"))
+    val names = edges.select(F.col(srcCol).as("host"))
+      .union(edges.select(F.col(dstCol).as("host")))
+      .distinct()
+      .select(F.col("host"), F.xxhash64(F.col("host")).as("node"))
+    pageRank(e, iters = iters, dampingPct = dampingPct, scale = scale)
+      .join(F.broadcast(names), "node")
+      .select(F.col("host"), F.col("rank_scaled"), F.col("rank"))
+  }
 }

@@ -22,6 +22,25 @@ object TextAnalysis {
       graft.expressions.HtmlText(
         graft.expressions.ColumnBridge.expression(html)))
 
+  /** Outlink hrefs of an HTML page, in document order, raw as written
+    * (entities decoded, fragment-only / `javascript:` / `mailto:` refs
+    * dropped) — the extraction stage of link-graph construction
+    * ([[graft.expressions.HtmlLinks]] — narrow, codegen'd, one pass).
+    * Resolve against the page URL with [[resolveUrl]]. */
+  def htmlLinks(html: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.HtmlLinks(
+        graft.expressions.ColumnBridge.expression(html)))
+
+  /** RFC 3986 resolution of an href against its page URL: absolute
+    * target URL, fragment dropped; NULL when the base itself is not an
+    * absolute hierarchical URL ([[graft.expressions.ResolveUrl]]). */
+  def resolveUrl(base: Column, ref: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ResolveUrl(
+        graft.expressions.ColumnBridge.expression(base),
+        graft.expressions.ColumnBridge.expression(ref)))
+
   /** Unicode normalization for corpus prep: NFC composition, control
     * chars and non-ASCII spaces → ' ', space runs collapsed, ends
     * trimmed — so byte-level variants of the same document share one

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.{HtmlLinks, ResolveUrl}
+import graft.pipeline.{Graphs, TextAnalysis}
+
+/** Outlink extraction ([[graft.expressions.HtmlLinks]]), RFC 3986
+  * reference resolution ([[graft.expressions.ResolveUrl]] — pinned
+  * against the spec's own §5.4 example vectors), and the composed
+  * host-edge / host-PageRank chain. */
+class HtmlLinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def links(html: String): Seq[String] = {
+    val a = HtmlLinks.extract(UTF8String.fromString(html))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  private def res(base: String, ref: String): String = {
+    val r = ResolveUrl.resolve(UTF8String.fromString(base),
+      UTF8String.fromString(ref))
+    if (r == null) null else r.toString
+  }
+
+  test("href extraction: quoting styles, order, duplicates kept") {
+    val html = """<html><body>
+      <a href="/one">1</a>
+      <A HREF='/two'>2</A>
+      <a class="x" href=three.html>3</a>
+      <a href="/one">again</a>
+      <area shape="rect" href="/map">m</area>
+      </body></html>"""
+    assert(links(html) === Seq("/one", "/two", "three.html", "/one", "/map"))
+  }
+
+  test("entities in hrefs decode; whitespace trims") {
+    assert(links("""<a href=" /p?a=1&amp;b=2 ">x</a>""") ===
+      Seq("/p?a=1&b=2"))
+    assert(links("""<a href="/p&#63;q">x</a>""") === Seq("/p?q"))
+  }
+
+  test("non-navigational refs drop") {
+    val html = """<a href="#top">t</a><a href="">e</a>
+      <a href="javascript:void(0)">j</a><a href="MAILTO:x@y">m</a>
+      <a href="tel:+1">p</a><a href="data:text/plain,x">d</a>
+      <a href="http://ok.example/">k</a>"""
+    assert(links(html) === Seq("http://ok.example/"))
+  }
+
+  test("quote-aware tag scan; script/style/comment bodies skipped") {
+    val html = """<a href="a>b" title="x>y">t</a>
+      <script>var s = '<a href="/fake1">';</script>
+      <!-- <a href="/fake2"> -->
+      <style>a[href="/fake3"]{}</style>
+      <a href="/real">r</a>"""
+    assert(links(html) === Seq("a>b", "/real"))
+  }
+
+  test("first href in a tag wins; tags named a* are not anchors") {
+    assert(links("""<a href="/x" href="/y">t</a>""") === Seq("/x"))
+    assert(links("""<abbr href="/no">t</abbr><address href="/no2"/>""") ===
+      Seq.empty)
+  }
+
+  test("null in, null out; no anchors means empty array") {
+    assert(HtmlLinks.extract(null) === null)
+    assert(links("plain text, no markup & such <") === Seq.empty)
+  }
+
+  // RFC 3986 §5.4.1 normal examples (fragments dropped by design —
+  // the link-graph target is the resource)
+  test("resolve_url: RFC 3986 normal examples") {
+    val b = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q",
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    for ((ref, want) <- cases)
+      assert(res(b, ref) === want, s"ref='$ref'")
+  }
+
+  test("resolve_url: RFC 3986 abnormal examples") {
+    val b = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y")
+    for ((ref, want) <- cases)
+      assert(res(b, ref) === want, s"ref='$ref'")
+  }
+
+  test("resolve_url: edge contracts") {
+    // authority-only base gets the mandatory leading slash
+    assert(res("http://h.example", "g") === "http://h.example/g")
+    // absolute ref passes through minus fragment
+    assert(res("http://a/", "https://b.example/x#frag") ===
+      "https://b.example/x")
+    // schemeless base / non-hierarchical base + relative ref → null
+    assert(res("no-scheme/path", "g") === null)
+    assert(res("mailto:x@y", "g") === null)
+    // oversized input → null
+    assert(res("http://a/" + "x" * 9000, "g") === null)
+    assert(ResolveUrl.resolve(null, UTF8String.fromString("g")) === null)
+  }
+
+  test("hostEdges: extract → resolve → host pairs, distinct, no self") {
+    val docs = Seq(
+      ("http://www.alpha.example/p/1",
+        """<a href="/p/2">self</a><a href="http://beta.example/x">b</a>
+           <a href="//gamma.example:80/y">g</a><a href="#f">skip</a>"""),
+      ("http://beta.example/",
+        """<a href="../up">self2</a><a href="http://ALPHA.example/z">a</a>
+           <a href="http://beta.example/other">selfhost</a>"""),
+      ("not a url", """<a href="http://omega.example/">unresolvable</a>"""))
+      .toDF("url", "html")
+    val edges = Graphs.hostEdges(docs).as[(String, String)].collect().toSet
+    assert(edges === Set(
+      ("alpha.example", "beta.example"),
+      ("alpha.example", "gamma.example"),
+      ("beta.example", "alpha.example")))
+  }
+
+  test("pageRankHosts: ranks join back to host strings, mass conserved") {
+    val edges = Seq(
+      ("a.example", "b.example"), ("b.example", "a.example"),
+      ("c.example", "a.example")).toDF("src_host", "dst_host")
+    val out = Graphs.pageRankHosts(edges, iters = 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq ===
+      Seq("a.example", "b.example", "c.example"))
+    // a receives from b AND dangling-free c, so it must outrank both
+    val byHost = out.map(r => r._1 -> r._2).toMap
+    assert(byHost("a.example") > byHost("b.example"))
+    assert(byHost("b.example") > byHost("c.example"))
+    // deterministic: rerun is bit-identical
+    val again = Graphs.pageRankHosts(edges, iters = 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("SQL registration: html_links and resolve_url") {
+    val r = spark.sql(
+      """SELECT resolve_url('http://h.example/a/b',
+           html_links('<a href="../c?x=1&amp;y=2">t</a>')[0]) AS u""")
+      .as[String].collect()
+    assert(r.toSeq === Seq("http://h.example/c?x=1&y=2"))
+  }
+
+  test("hostile input never throws") {
+    val rnd = new scala.util.Random(7)
+    for (i <- 0 until 300) {
+      val junk = (0 until rnd.nextInt(80)).map(_ =>
+        "<>&\"'=/ah ref#:.".charAt(rnd.nextInt(16))).mkString
+      links(junk)                          // must not throw
+      res("http://a/b/c", junk)            // must not throw
+      res(junk, junk)                      // must not throw
+    }
+    // unterminated structures
+    assert(links("<a href=\"/x") === Seq.empty)
+    assert(links("<script><a href=\"/x\">") === Seq.empty)
+    assert(links("<a href=") === Seq.empty)
+  }
+}

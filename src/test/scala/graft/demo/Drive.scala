@@ -375,6 +375,32 @@ object Drive {
         maxBits = 3).show(false)
     }
 
+    println("=== crawl link graph: html_links -> resolve_url -> host PageRank:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val pages = Seq(
+        ("http://www.alpha.example/idx",
+          """<a href="/a">self</a><a href="http://beta.example/x">b</a>
+             <a href="gamma.html">rel-self</a>
+             <a href="//delta.example/y?z=1&amp;w=2">d</a>"""),
+        ("http://beta.example/p/q",
+          """<a href="../up">self</a><a href="http://alpha.example/z">a</a>
+             <a href="#top">skip</a><a href="mailto:x@y">skip</a>"""),
+        ("http://delta.example/",
+          """<a href="http://alpha.example/back">a</a>"""))
+        .toDF("url", "html")
+      pages.select(F.col("url"),
+        F.explode(graft.pipeline.TextAnalysis.htmlLinks(F.col("html")))
+          .as("ref"))
+        .withColumn("resolved", graft.pipeline.TextAnalysis.resolveUrl(
+          F.col("url"), F.col("ref")))
+        .show(false)
+      val edges = graft.pipeline.Graphs.hostEdges(pages)
+      edges.show(false)
+      graft.pipeline.Graphs.pageRankHosts(edges, iters = 5)
+        .orderBy(F.desc("rank")).show(false)
+    }
+
     spark.stop()
   }
 }
