@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CmsAgg, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -164,6 +164,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "resolve_url(base, ref) takes 2 arguments")
         ResolveUrl(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("cms_agg"),
+      info(classOf[CmsAgg], "cms_agg",
+        "cms_agg(tok, depth, width) - Count-Min sketch aggregate: " +
+          "row-major depth*width counter matrix (array<bigint>); merge " +
+          "is element-wise addition, estimates never under-count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "cms_agg(tok, depth, width) takes 3 arguments")
+        CmsAgg(args.head, litInt(args(1), "depth"), litInt(args(2), "width"))
       }))
     ext.injectFunction((FunctionIdentifier("deflate_size"),
       info(classOf[DeflateSize], "deflate_size",

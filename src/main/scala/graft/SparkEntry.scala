@@ -449,6 +449,28 @@ object SparkEntry {
           F.lit("@example.com at 10.0.0.1"))).as("clean"))),
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(read(s, dir, "documents"), "text", 20)),
+    "q_cms" -> ((s, dir) => {
+      // oracle-verified Count-Min sketch: the full 2×64 counter matrix
+      // over the corpus's whitespace tokens, unrolled to (pos, cnt)
+      // rows; DuckDB regenerates every counter from the md5 bucket
+      // recipe and per-(row,bucket) token counts
+      val toks = read(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("tok"))
+        .where(F.col("tok") =!= "")
+      val sk = graft.pipeline.Sketches.cmsSketch(toks, "tok",
+        depth = 2, width = 64)
+      toks.sparkSession.range(1)
+        .select(F.posexplode(F.typedlit(sk.toSeq)).as(Seq("pos", "cnt")))
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters via the Count-Min prefilter (sketch fold →
+      // estimate-gated exact count): identical to GROUP BY … HAVING,
+      // which is precisely what the oracle states
+      val toks = read(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("tok"))
+        .where(F.col("tok") =!= "")
+      graft.pipeline.Sketches.heavyHitters(toks, "tok", minCount = 100L)
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // a synthesized footer on every doc is corpus-hot → stripped; the
       // docs' own (line-unique) text survives byte-identically, which the
@@ -1919,6 +1941,34 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
            FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q_cms" ->
+      // every counter of the 2×64 Count-Min matrix, regenerated from
+      // the shared md5 bucket recipe; cells no token hashed into are 0
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tok
+           FROM documents),
+         hits AS (
+           SELECT d.range AS d,
+             CAST(('0x' || substr(md5(tok || '#' || d.range), 1, 15))
+               AS BIGINT) % 64 AS b,
+             COUNT(*) AS n
+           FROM toks, range(2) d GROUP BY 1, 2),
+         cells AS (
+           SELECT d.range AS d, b.range AS b
+           FROM range(2) d, range(64) b)
+         SELECT CAST(cells.d * 64 + cells.b AS INTEGER) AS pos,
+           COALESCE(hits.n, 0) AS cnt
+         FROM cells LEFT JOIN hits
+           ON cells.d = hits.d AND cells.b = hits.b""",
+    "q_heavy_hitters" ->
+      // the sketch is a prefilter with no false negatives; the result
+      // is plain exact GROUP BY … HAVING
+      """SELECT tok AS item, COUNT(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tok
+           FROM documents) t
+         GROUP BY tok HAVING COUNT(*) >= 100""",
     "q_boilerplate" ->
       "SELECT doc_id, text AS clean_text FROM documents",
     "q_quality_score" ->

@@ -375,6 +375,22 @@ object Drive {
         maxBits = 3).show(false)
     }
 
+    println("=== Count-Min sketch: exact heavy hitters via sketch prefilter:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val toks = (Seq.fill(40)("the") ++ Seq.fill(25)("spark") ++
+        Seq.fill(3)("rare") ++ (0 until 60).map(i => s"u$i"))
+        .toDF("tok").repartition(5)
+      val sk = graft.pipeline.Sketches.cmsSketch(toks, "tok",
+        depth = 4, width = 256)
+      println(s"sketch cells=${sk.length} mass=${sk.sum} (= 4 x rows)")
+      toks.distinct().limit(3).select(F.col("tok"),
+        graft.pipeline.Sketches.cmsEstimate(F.col("tok"), sk, 4, 256)
+          .as("estimate")).show(false)
+      graft.pipeline.Sketches.heavyHitters(toks, "tok", minCount = 20L)
+        .orderBy(F.desc("cnt")).show(false)
+    }
+
     println("=== crawl link graph: html_links -> resolve_url -> host PageRank:")
     locally {
       import org.apache.spark.sql.{functions => F}
