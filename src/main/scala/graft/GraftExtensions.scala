@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CmsAgg, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CmsAgg, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unlz4, Unsnappy, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -206,6 +206,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("unlz4"),
+      info(classOf[Unlz4], "unlz4",
+        "unlz4(bytes) - decompress an LZ4 frame stream (bomb-capped; " +
+          "corrupt input -> NULL)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "unlz4(bytes) takes 1 argument")
+        Unlz4(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("unsnappy"),
+      info(classOf[Unsnappy], "unsnappy",
+        "unsnappy(bytes) - decompress a raw snappy block (declared " +
+          "length bomb-checked pre-alloc; corrupt input -> NULL)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "unsnappy(bytes) takes 1 argument")
+        Unsnappy(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("normalize_text"),
       info(classOf[NormalizeText], "normalize_text",

@@ -1068,6 +1068,42 @@ object SparkEntry {
         .select(F.col("doc_id"),
           F.decode(Multimodal.unzstd(frame), "UTF-8").as("text"))
     }),
+    "q_unlz4" -> ((s, dir) => {
+      // oracle-verified LZ4 frame decompression: a spec-conformant
+      // frame assembled in SQL (magic, FLG 60 / BD 40, the pinned HC
+      // byte 82, one uncompressed block — high bit of the size word —
+      // and the end mark); the real lz4 decoder runs and DuckDB
+      // restates the text
+      import SqlHex.le32h
+      val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
+        F.lit(" lz4 payload"))
+      val data = F.encode(payload, "UTF-8")
+      val len = F.length(payload).cast(LongType)
+      val frame = F.unhex(F.concat(
+        F.lit("04224D18" + "60" + "40" + "82"),
+        le32h(len + 2147483648L),
+        F.hex(data),
+        F.lit("00000000")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.decode(Multimodal.unlz4(frame), "UTF-8").as("text"))
+    }),
+    "q_unsnappy" -> ((s, dir) => {
+      // oracle-verified raw-snappy-block decompression: the one-literal
+      // block shape (varint length, literal tag (len-1)<<2, raw bytes)
+      // assembled in SQL; payloads stay < 61 bytes so the tag is a
+      // single byte
+      import SqlHex.hx2
+      val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
+        F.lit(" snappy payload"))
+      val data = F.encode(payload, "UTF-8")
+      val len = F.length(payload).cast(IntegerType)
+      val block = F.unhex(F.concat(
+        hx2(len), hx2((len - 1) * 4), F.hex(data)))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.decode(Multimodal.unsnappy(block), "UTF-8").as("text"))
+    }),
     "q_warc" -> ((s, dir) => {
       // oracle-verified WARC ingestion: a two-record (request +
       // response) WARC segment assembled per doc in SQL; the real
@@ -3059,6 +3095,14 @@ object SparkEntry {
     "q_unzstd" ->
       // the raw-block frame's decompressed payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' zst payload' AS text
+         FROM documents""",
+    "q_unlz4" ->
+      // the uncompressed-block frame's payload restates directly
+      """SELECT doc_id, 'Doc ' || doc_id || ' lz4 payload' AS text
+         FROM documents""",
+    "q_unsnappy" ->
+      // the single-literal block's payload restates directly
+      """SELECT doc_id, 'Doc ' || doc_id || ' snappy payload' AS text
          FROM documents""",
     "q_warc" ->
       // every parsed field of both records restates as doc_id string

@@ -212,6 +212,23 @@ object Multimodal {
       graft.expressions.Unzstd(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Per-row LZ4 frame decompression ([[graft.expressions.Unlz4]]) —
+    * the `.lz4` member of the unwrap family; same bomb cap, same
+    * corrupt → NULL contract. */
+  def unlz4(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.Unlz4(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** Per-row raw-snappy-block decompression
+    * ([[graft.expressions.Unsnappy]]) — the block format inside
+    * parquet/ORC pages and key-value stores; the declared output
+    * length is bomb-checked BEFORE any allocation. */
+  def unsnappy(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.Unsnappy(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL sample decode + signal features for WAV and FLAC —
     * uncompressed PCM (8/16-bit), the compressed G.711 µ-law/A-law and
     * mono IMA ADPCM encodings, and the full lossless FLAC codec

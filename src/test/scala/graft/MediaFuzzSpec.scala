@@ -33,7 +33,11 @@ class MediaFuzzSpec extends AnyFunSuite {
     "ResizeImage" -> (ResizeImage.resize(_, 16)),
     "WarcRecords" -> (WarcRecords.parse(_)),
     "HttpMessage" -> (HttpMessage.parse(_)),
-    "Unzstd" -> (Unzstd.decompress(_)))
+    "Unzstd" -> (Unzstd.decompress(_)),
+    "Unlz4" -> (Unlz4.decompress(_)),
+    "Unsnappy" -> (Unsnappy.decompress(_)),
+    "HtmlLinks" -> ((b: Array[Byte]) => HtmlLinks.extract(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(b))))
 
   private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =
     parsers.foreach { case (name, p) =>
