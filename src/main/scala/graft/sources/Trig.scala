@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import graft.rdf._
+import graft.sparql.{Parser => SparqlParser}
+import graft.sparql.Ast._
+
+/** TriG reader/writer — the Turtle of quad stores (W3C TriG: Turtle
+  * plus graph blocks), completing the serialization family: Turtle and
+  * N-Triples carry the default graph, N-Quads and TriG carry named
+  * graphs; N-Triples/N-Quads are the line-splittable distributed path,
+  * Turtle/TriG the prefix-aware inline/display path.
+  *
+  * The reader accepts all four statement shapes of the grammar —
+  * directives, `GRAPH <label> { … }`, `<label> { … }`, a bare
+  * `{ … }` default-graph block, and bare Turtle statements — reusing
+  * the SPARQL grammar's triples productions exactly like the Turtle
+  * reader (Turtle.scala), driver-side (TriG is not line-splittable;
+  * large-scale named-graph loads go through [[NQuads]]). Graph labels
+  * may be IRIs or blank nodes. The writer mirrors the reader: the
+  * default graph serializes as bare Turtle statements, each named
+  * graph as a `<label> { … }` block, both grouped by subject. */
+object Trig {
+
+  private class TrigParser(prefixes: Map[String, String])
+      extends SparqlParser(prefixes) {
+    def directive: Parser[Unit] =
+      ("@prefix" ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef <~ ".") ^^ {
+        case pc ~ i => addPrefix(pc.dropRight(1), i)
+      } |
+      ("@base" ~> iriRef <~ ".") ^^ { i => setBase(i) } |
+      (kwPub("PREFIX") ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef) ^^ {
+        case pc ~ i => addPrefix(pc.dropRight(1), i)
+      } |
+      (kwPub("BASE") ~> iriRef) ^^ { i => setBase(i) }
+
+    def graphLabel: Parser[RdfTerm] =
+      iri ^^ (Iri(_)) |
+      """_:[A-Za-z0-9][A-Za-z0-9_.\-]*""".r ^^ (l => Blank(l.substring(2)))
+
+    /** `{ … }` — statements separated by dots, the final dot optional
+      * (the TriG triplesBlock production). */
+    def wrapped: Parser[Seq[TriplePattern]] =
+      "{" ~> rep(triplesSameSubject <~ opt(".")) <~ "}" ^^ (_.flatten)
+
+    def block: Parser[Seq[(TriplePattern, Option[RdfTerm])]] =
+      directive ^^ (_ => Nil) |
+      ((kwPub("GRAPH") ~> graphLabel) ~ wrapped) ^^ {
+        case g ~ ts => ts.map((_, Some(g)))
+      } |
+      (graphLabel ~ wrapped) ^^ { case g ~ ts => ts.map((_, Some(g))) } |
+      wrapped ^^ (_.map((_, None))) |
+      (triplesSameSubject <~ ".") ^^ (_.map((_, None)))
+
+    def trigDoc: Parser[Seq[(TriplePattern, Option[RdfTerm])]] =
+      rep(block) ^^ (_.flatten)
+
+    def parseDoc(text: String): Seq[(TriplePattern, Option[RdfTerm])] =
+      parseAll(trigDoc, text) match {
+        case Success(r, _) => r
+        case f: NoSuccess =>
+          throw new graft.sparql.SparqlParseException(f.msg, f.next.pos.line,
+            f.next.pos.column, f.msg + "\n" + f.next.pos.longString)
+      }
+  }
+
+  /** Parse a TriG document into a QUAD store (set semantics; g null =
+    * default graph). */
+  def parse(text: String, spark: SparkSession,
+      extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
+    val p = new TrigParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    val patterns = p.parseDoc(text)
+    def toTerm(n: Node): RdfTerm = n match {
+      case TermNode(t) => t
+      case VarNode(v) if v.startsWith("_:") => Blank(v.substring(2))
+      case VarNode(v) =>
+        throw new IllegalArgumentException(s"variable ?$v not allowed in TriG")
+    }
+    val quads = patterns.map { case (tp, g) =>
+      val pred = tp.p match {
+        case VerbNode(n) => toTerm(n)
+        case VerbPath(_) =>
+          throw new IllegalArgumentException("property path not allowed in TriG")
+      }
+      (toTerm(tp.s), pred, toTerm(tp.o), g)
+    }
+    RdfGraph.fromQuads(spark, quads, p.declaredPrefixes)
+  }
+
+  /** Serialize to TriG text: default graph as bare statements, one
+    * `<label> { … }` block per named graph, subjects grouped, prefixes
+    * shortened. Driver-side display/export path (collects the store);
+    * the distributed sink is [[NQuads.write]]. A triple-only graph
+    * writes as pure Turtle (valid TriG). */
+  def serialize(g: RdfGraph): String = {
+    val sb = new StringBuilder
+    val prefixOrder = g.prefixes.toSeq.sortBy(_._1)
+    prefixOrder.foreach { case (p, ns) => sb.append(s"@prefix $p: <$ns> .\n") }
+    if (prefixOrder.nonEmpty) sb.append("\n")
+    def fmt(r: org.apache.spark.sql.Row): String =
+      Turtle.fmtTerm(r, g.prefixes)
+
+    val rows =
+      if (g.isQuads) g.triples.orderBy("s.value", "p.value", "o.value").collect()
+      else g.triples.orderBy("s.value", "p.value", "o.value").collect()
+        .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), null))
+    val (named, dflt) = rows.partition(r => !r.isNullAt(3))
+
+    def emit(ts: Array[org.apache.spark.sql.Row], indent: String): Unit =
+      ts.groupBy(r => fmt(r.getStruct(0))).toSeq.sortBy(_._1).foreach {
+        case (subj, grp) =>
+          val body = grp
+            .sortBy(r => (r.getStruct(1).getString(1), r.getStruct(2).getString(1)))
+            .map(r => s"$indent  ${fmt(r.getStruct(1))} ${fmt(r.getStruct(2))}")
+            .mkString(" ;\n")
+          sb.append(s"$indent$subj\n$body .\n")
+      }
+
+    emit(dflt, "")
+    named.groupBy(r => fmt(r.getStruct(3))).toSeq.sortBy(_._1).foreach {
+      case (label, grp) =>
+        if (sb.nonEmpty) sb.append("\n")
+        sb.append(s"$label {\n")
+        emit(grp, "  ")
+        sb.append("}\n")
+    }
+    sb.toString
+  }
+}

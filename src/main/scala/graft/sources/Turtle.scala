@@ -66,6 +66,27 @@ object Turtle {
     RdfGraph.fromTriples(spark, triples, p.declaredPrefixes)
   }
 
+  /** One term struct → its Turtle/TriG token, QName-shortened against
+    * `prefixes` (shared by [[serialize]] and [[Trig.serialize]]). */
+  private[sources] def fmtTerm(r: org.apache.spark.sql.Row,
+      prefixes: Map[String, String]): String = {
+    val kind = r.getByte(0); val v = r.getString(1)
+    val dt = r.getString(2); val lang = r.getString(3)
+    kind match {
+      case Terms.KIND_IRI =>
+        val short = graft.Display.shorten(v, prefixes)
+        if (short == v) s"<$v>" else short
+      case Terms.KIND_BLANK => s"_:$v"
+      case _ => Lit(v, dt, lang).n3() match {
+        // shorten datatype IRIs too
+        case s if dt != null && dt != XSD.string && lang == null =>
+          val sdt = graft.Display.shorten(dt, prefixes)
+          if (sdt == dt) s else "\"" + Lit.escape(v) + "\"^^" + sdt
+        case s => s
+      }
+    }
+  }
+
   /** Serialize a graph to Turtle text, grouped by subject, prefix-aware
     * (ttl, gastrodon/__init__.py:811-819). Driver-side display/export path:
     * collects the graph — for distributed export use NTriples.write. */
@@ -74,23 +95,7 @@ object Turtle {
     val prefixOrder = g.prefixes.toSeq.sortBy(_._1)
     prefixOrder.foreach { case (p, ns) => sb.append(s"@prefix $p: <$ns> .\n") }
     if (prefixOrder.nonEmpty) sb.append("\n")
-    def fmt(r: org.apache.spark.sql.Row): String = {
-      val kind = r.getByte(0); val v = r.getString(1)
-      val dt = r.getString(2); val lang = r.getString(3)
-      kind match {
-        case Terms.KIND_IRI =>
-          val short = graft.Display.shorten(v, g.prefixes)
-          if (short == v) s"<$v>" else short
-        case Terms.KIND_BLANK => s"_:$v"
-        case _ => Lit(v, dt, lang).n3() match {
-          // shorten datatype IRIs too
-          case s if dt != null && dt != XSD.string && lang == null =>
-            val sdt = graft.Display.shorten(dt, g.prefixes)
-            if (sdt == dt) s else "\"" + Lit.escape(v) + "\"^^" + sdt
-          case s => s
-        }
-      }
-    }
+    def fmt(r: org.apache.spark.sql.Row): String = fmtTerm(r, g.prefixes)
     // Turtle has no quad syntax: a quad store serializes its DEFAULT
     // graph (merging named graphs in would fabricate triples the
     // default graph doesn't assert)

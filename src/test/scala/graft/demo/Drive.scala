@@ -375,6 +375,19 @@ object Drive {
         maxBits = 3).show(false)
     }
 
+    println("=== TriG: named-graph parse -> GRAPH query -> serialize:")
+    locally {
+      val store = graft.sources.Trig.parse(
+        """@prefix ex: <http://example.org/> .
+           ex:meta ex:label "catalog" .
+           GRAPH ex:facts { ex:a ex:knows ex:b . }
+           ex:drafts { ex:c ex:name "Carol" }""", spark)
+      Engine.fromGraph(store)
+        .select("SELECT ?g ?s ?p WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
+        .show(false)
+      println(graft.sources.Trig.serialize(store))
+    }
+
     println("=== Count-Min sketch: exact heavy hitters via sketch prefilter:")
     locally {
       import org.apache.spark.sql.{functions => F}
