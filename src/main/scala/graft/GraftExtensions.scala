@@ -207,6 +207,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info(classOf[graft.expressions.ZorderKey], "zorder_key",
+        "zorder_key(c1, ..., ck) - Morton-interleaved long over 2-4 " +
+          "non-negative integral columns (64/k low bits each); sort or " +
+          "range-partition by it for multi-column data skipping"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 4,
+          "zorder_key takes 2-4 columns")
+        graft.expressions.ZorderKey(args)
+      }))
     ext.injectFunction((FunctionIdentifier("unlz4"),
       info(classOf[Unlz4], "unlz4",
         "unlz4(bytes) - decompress an LZ4 frame stream (bomb-capped; " +

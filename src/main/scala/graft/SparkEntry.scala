@@ -449,6 +449,16 @@ object SparkEntry {
           F.lit("@example.com at 10.0.0.1"))).as("clean"))),
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(read(s, dir, "documents"), "text", 20)),
+    "q_zorder" -> ((s, dir) => {
+      // oracle-verified Morton (Z-order) keys — the multi-column
+      // data-skipping layout key: DuckDB regenerates every key with the
+      // same five magic-number spread rounds
+      val a = F.col("doc_id") % 1024
+      val b = (F.col("doc_id") * 7 + 3) % 1024
+      read(s, dir, "documents")
+        .select(F.col("doc_id"), a.as("a"), b.as("b"),
+          Tables.zorderKey(a, b).as("z"))
+    }),
     "q_cms" -> ((s, dir) => {
       // oracle-verified Count-Min sketch: the full 2×64 counter matrix
       // over the corpus's whitespace tokens, unrolled to (pos, cnt)
@@ -1977,6 +1987,29 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
            FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q_zorder" ->
+      // the standard bit-dilation: five mask/shift rounds per operand,
+      // b's spread shifted up one — identical long arithmetic
+      """WITH s AS (SELECT doc_id, doc_id % 1024 AS a,
+             (doc_id * 7 + 3) % 1024 AS b FROM documents),
+         e0 AS (SELECT doc_id, a, b,
+             a & 4294967295 AS xa, b & 4294967295 AS xb FROM s),
+         e1 AS (SELECT doc_id, a, b,
+             (xa | (xa << 16)) & 281470681808895 AS xa,
+             (xb | (xb << 16)) & 281470681808895 AS xb FROM e0),
+         e2 AS (SELECT doc_id, a, b,
+             (xa | (xa << 8)) & 71777214294589695 AS xa,
+             (xb | (xb << 8)) & 71777214294589695 AS xb FROM e1),
+         e3 AS (SELECT doc_id, a, b,
+             (xa | (xa << 4)) & 1085102592571150095 AS xa,
+             (xb | (xb << 4)) & 1085102592571150095 AS xb FROM e2),
+         e4 AS (SELECT doc_id, a, b,
+             (xa | (xa << 2)) & 3689348814741910323 AS xa,
+             (xb | (xb << 2)) & 3689348814741910323 AS xb FROM e3),
+         e5 AS (SELECT doc_id, a, b,
+             (xa | (xa << 1)) & 6148914691236517205 AS xa,
+             (xb | (xb << 1)) & 6148914691236517205 AS xb FROM e4)
+         SELECT doc_id, a, b, xa | (xb << 1) AS z FROM e5""",
     "q_cms" ->
       // every counter of the 2×64 Count-Min matrix, regenerated from
       // the shared md5 bucket recipe; cells no token hashed into are 0

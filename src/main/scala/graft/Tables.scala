@@ -149,6 +149,55 @@ object Tables {
   def unbucketize(spark: SparkSession, sfDir: String, tables: String*): Unit =
     tables.foreach(t => bucketized.remove((spark, sfDir, t)))
 
+  /** Morton-interleaved column over 2-4 integral columns — see
+    * [[graft.expressions.ZorderKey]]. Inputs must be non-negative;
+    * [[writeZordered]] handles the scaling. */
+  def zorderKey(cols: Column*): Column =
+    graft.expressions.ColumnBridge.column(graft.expressions.ZorderKey(
+      cols.map(graft.expressions.ColumnBridge.expression)))
+
+  /** Write `df` as parquet laid out in Z-order on `cols` — the
+    * multi-dimensional data-skipping layout: each column min-max scales
+    * to the Morton bit budget (one tiny stats aggregate), rows
+    * range-partition AND sort by the interleaved key, so parquet
+    * footer min/max stats cluster in EVERY listed dimension and a scan
+    * filtered on ANY of them (or a box over several) skips most
+    * files/row groups. A single-column sort gives better skipping on
+    * that one column and none on the others; Z-order trades a bit of
+    * the first dimension for skipping on all of them — the right
+    * layout for a fact table queried along several axes at 100 TB.
+    *
+    * Cost: one pass for min/max, one range-exchange + in-partition
+    * sort, the same shape as any sorted write. Query side needs no
+    * special reader — plain filters prune via the parquet stats.
+    * File-boundary placement follows the range partitioner's sampling,
+    * so the layout (not the data) may vary between runs. NULL in any
+    * z-column sorts first (key NULL). */
+  def writeZordered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int = 0): Unit = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder needs 2-4 columns, got ${cols.size}")
+    val bits = 64 / cols.size
+    val maxScaled = (1L << bits) - 1
+    val aggs = cols.flatMap(c => Seq(F.min(F.col(c)).cast("long"),
+      F.max(F.col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) 0L else stats.getLong(2 * i + 1)
+      val span = math.max(1L, hi - lo)
+      // 128-bit-safe linear scale via decimal so (v-lo)*maxScaled
+      // cannot overflow for any long range
+      ((F.col(c).cast("long") - lo).cast(DecimalType(38, 0)) * maxScaled /
+        span).cast("long")
+    }
+    val keyed = df.withColumn("__z", zorderKey(scaled: _*))
+    val parts = if (numFiles > 0) keyed.repartitionByRange(numFiles, F.col("__z"))
+      else keyed.repartitionByRange(F.col("__z"))
+    parts.sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Subject-IRI string expression for a row of `table`. */
   def subjectCol(table: String): Column = {
     val ks = keys(table).map(k => F.col(k).cast(StringType))
