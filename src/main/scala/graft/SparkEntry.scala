@@ -1226,6 +1226,26 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_frontier" -> ((s, dir) => {
+      // oracle-verified crawl-frontier discovery: each page links itself
+      // (resolved self-link → excluded as an own URL) and one external
+      // URL; the seen corpus covers the first half of the external set,
+      // so the frontier is exactly the other half — the bloom-prefiltered
+      // seen subtraction is bit-exact, which is what the oracle states
+      val url = F.concat(F.lit("http://h"), F.col("doc_id") % 7,
+        F.lit(".example/p/"), F.col("doc_id"))
+      val html = F.concat(
+        F.lit("<a href=\"/p/"), F.col("doc_id"),
+        F.lit("\">self</a><a href=\"http://ext.example/x"),
+        F.col("doc_id") % 10, F.lit("\">e</a>"))
+      val docs = read(s, dir, "documents")
+        .select(F.col("doc_id"), url.as("url"), html.as("html"))
+      val seen = read(s, dir, "documents")
+        .where(F.col("doc_id") % 10 < 5)
+        .select(F.concat(F.lit("http://ext.example/x"),
+          F.col("doc_id") % 10).as("url"))
+      graft.pipeline.Graphs.frontierUrls(docs, seen)
+    }),
     "q_audio_triage" -> ((s, dir) => {
       // oracle-verified MP3 + Ogg Vorbis header triage: per-doc MPEG1
       // Layer III headers (bitrate index from doc_id; CBR duration =
@@ -3204,6 +3224,11 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_frontier" ->
+      // distinct external targets minus the seen half; self-links
+      // resolve to own URLs and never surface
+      """SELECT DISTINCT 'http://ext.example/x' || (doc_id % 10) AS url
+         FROM documents WHERE doc_id % 10 >= 5""",
     "q_audio_triage" ->
       // MP3 CBR duration and Ogg granule duration are direct arithmetic
       // on doc_id (4000-byte MPEG1-L3 stream; granule = rate·secs)

@@ -139,4 +139,43 @@ object Graphs {
       .join(F.broadcast(names), "node")
       .select(F.col("host"), F.col("rank_scaled"), F.col("rank"))
   }
+
+  /** Crawl-frontier discovery: the distinct absolute outlink targets of
+    * a batch that neither the batch's own pages nor the seen corpus
+    * already cover — what a crawler fetches next. Extraction and
+    * resolution are the narrow [[hostEdges]] stages; the seen-corpus
+    * subtraction reuses [[Dedup.dedupAgainstSeen]]'s bloom-prefiltered
+    * exact anti-join, so at corpus scale the overwhelmingly-new URLs
+    * never join or shuffle against `seen` and the result is still
+    * bit-exact (bloom false positives die in the md5 verify).
+    * Returns one `url` column. */
+  def frontierUrls(docs: DataFrame, seen: DataFrame,
+      urlCol: String = "url", htmlCol: String = "html",
+      seenUrlCol: String = "url", expectedSeen: Long = 1L << 20): DataFrame = {
+    val targets = docs
+      .select(F.col(urlCol),
+        F.explode(TextAnalysis.htmlLinks(F.col(htmlCol))).as("__ref"))
+      .select(TextAnalysis.resolveUrl(F.col(urlCol), F.col("__ref")).as("url"))
+      .where(F.col("url").isNotNull)
+      .distinct()
+    val notOwn = targets.join(
+      docs.select(F.col(urlCol).as("url")).distinct(), Seq("url"), "left_anti")
+    Dedup.dedupAgainstSeen(notOwn,
+      seen.select(F.col(seenUrlCol).as("url")), "url", expectedSeen)
+  }
+
+  /** Attach the host-PageRank quality prior to a page batch: builds the
+    * host graph from the batch's own markup ([[hostEdges]]), ranks it
+    * ([[pageRankHosts]]), and joins `host_rank` back per page (broadcast
+    * — the rank table is host-graph-sized). Pages whose host never
+    * appears in the link graph get NULL. The CommonCrawl-style
+    * curation prior: gate or weight documents by their host's rank. */
+  def withHostRank(docs: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html", iters: Int = 5): DataFrame = {
+    val ranks = pageRankHosts(hostEdges(docs, urlCol, htmlCol), iters = iters)
+      .select(F.col("host").as("__host"), F.col("rank").as("host_rank"))
+    docs.join(F.broadcast(ranks),
+      TextAnalysis.urlHost(F.col(urlCol)) === F.col("__host"), "left_outer")
+      .drop("__host")
+  }
 }

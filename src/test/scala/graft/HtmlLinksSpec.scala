@@ -170,6 +170,38 @@ class HtmlLinksSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("frontierUrls: new targets only — own pages and seen corpus drop") {
+    val docs = Seq(
+      ("http://a.example/p/1",
+        """<a href="/p/2">own</a><a href="http://new.example/n1">n</a>
+           <a href="http://old.example/o1">o</a>"""),
+      ("http://a.example/p/2",
+        """<a href="http://new.example/n2">n</a>
+           <a href="http://new.example/n1">dup</a>"""))
+      .toDF("url", "html")
+    val seen = Seq("http://old.example/o1").toDF("url")
+    val frontier = Graphs.frontierUrls(docs, seen).as[String].collect().toSet
+    assert(frontier === Set("http://new.example/n1", "http://new.example/n2"))
+    // empty seen corpus: everything non-own is frontier
+    val all = Graphs.frontierUrls(docs, seen.limit(0)).as[String].collect().toSet
+    assert(all === frontier + "http://old.example/o1")
+  }
+
+  test("withHostRank: pages carry their host's rank; unlinked hosts NULL") {
+    val docs = Seq(
+      ("http://www.alpha.example/p", """<a href="http://beta.example/">b</a>"""),
+      ("http://beta.example/q", """<a href="http://alpha.example/">a</a>"""),
+      ("http://beta.example/r", "no links here"),
+      ("http://lonely.example/", "plain text, never linked"))
+      .toDF("url", "html")
+    val out = Graphs.withHostRank(docs).select("url", "host_rank")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("http://beta.example/q") === out("http://beta.example/r"))
+    assert(out("http://beta.example/q").isDefined &&
+      out("http://www.alpha.example/p").isDefined)
+    assert(out("http://lonely.example/").isEmpty)
+  }
+
   test("SQL registration: html_links and resolve_url") {
     val r = spark.sql(
       """SELECT resolve_url('http://h.example/a/b',
