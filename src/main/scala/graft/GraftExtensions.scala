@@ -207,6 +207,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("binary_sign"),
+      info(classOf[graft.expressions.BinarySign], "binary_sign",
+        "binary_sign(vec) - 1-bit embedding quantization: ceil(d/64) " +
+          "longs, bit i set iff vec[i] > 0; Hamming distance between " +
+          "codes approximates angular distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "binary_sign(vec) takes 1 argument")
+        graft.expressions.BinarySign(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("zorder_key"),
       info(classOf[graft.expressions.ZorderKey], "zorder_key",
         "zorder_key(c1, ..., ck) - Morton-interleaved long over 2-4 " +

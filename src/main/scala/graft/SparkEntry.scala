@@ -851,6 +851,23 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
         .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
+    "q_binary_knn" -> ((s, dir) => {
+      // oracle-verified binary quantization + Hamming ranking: the d=64
+      // corpus packs to ONE code word per vector, so DuckDB regenerates
+      // every code (sum of 1<<i over positive components) and the full
+      // Hamming top-20 against vec 0's code
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val qCode = graft.expressions.BinarySign.packLocal(q)
+      emb.where(F.col("vec_id") =!= 0)
+        .select(F.col("vec_id"),
+          Similarity.hammingDist(
+            Similarity.binaryQuantize(F.col("embedding")),
+            F.typedlit(qCode.toSeq)).as("hamming"))
+        .orderBy(F.col("hamming"), F.col("vec_id"))
+        .limit(20)
+    }),
     "q_knn_ivf" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
@@ -2098,6 +2115,27 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_binary_knn" ->
+      // codes regenerate from the positivity of each component; the
+      // Hamming order (then vec_id) is a deterministic total order so
+      // LIMIT agrees across engines
+      """WITH codes AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN r.range < 32
+                 AND embedding[CAST(r.range + 1 AS INT)] > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(r.range AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN r.range >= 32
+                 AND embedding[CAST(r.range + 1 AS INT)] > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(r.range - 32 AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
+           FROM embeddings, range(64) r GROUP BY vec_id),
+         q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
+         SELECT vec_id,
+           CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT)
+             AS hamming
+         FROM codes, q WHERE vec_id <> 0
+         ORDER BY hamming, vec_id LIMIT 20""",
     "q_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
              list_max(list_transform(embedding,

@@ -400,4 +400,46 @@ object Similarity {
       .where(F.col("__rank") <= k)
       .select(F.col("lid"), F.col("rid"), F.col("cosine"))
   }
+
+  /** 1-bit binary code of an embedding column — ⌈d/64⌉ longs, bit per
+    * dimension set iff the component is > 0
+    * ([[graft.expressions.BinarySign]]): 32× smaller than float32, and
+    * Hamming distance between codes approximates angular distance. */
+  def binaryQuantize(vec: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.BinarySign(
+        graft.expressions.ColumnBridge.expression(vec)))
+
+  /** Hamming distance between two binary codes (equal word counts):
+    * Σ popcount(xor) over the words — codegen'd builtins, no UDF. */
+  def hammingDist(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) =>
+        F.call_function("bit_count", x.bitwiseXOR(y)).cast(LongType)),
+      F.lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized top-k: scan the 1-bit codes (8 bytes per 64 dims
+    * instead of 256 — the scan reads ~3% of the float data), keep the
+    * `rerank` Hamming-closest candidates via TakeOrderedAndProject, and
+    * re-rank ONLY those with exact cosine. Deterministic: both stages
+    * tie-break on id. With `rerank ≥ corpus size` the result equals
+    * [[bruteForceTopK]] exactly (every row survives to the exact
+    * stage); at realistic `rerank` (e.g. 10·k) recall follows the
+    * sign-bit concentration bound — RecallSpec-style pins live in
+    * PipelineSpec. The code column can also be precomputed/persisted
+    * once (`binaryQuantize` in the table write) so the scan never
+    * touches the float column at all. */
+  def binaryTopK(corpus: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int, rerank: Int = 100): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val qCode = graft.expressions.BinarySign.packLocal(query)
+    val cands = corpus
+      .withColumn("__h",
+        hammingDist(binaryQuantize(F.col(vec)), F.typedlit(qCode.toSeq)))
+      .orderBy(F.col("__h"), F.col(id))
+      .limit(rerank)
+    cands.select(F.col(id), cosine(F.col(vec), F.typedlit(query)).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(id))
+      .limit(k)
+  }
 }
