@@ -207,6 +207,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("max_sim"),
+      info(classOf[graft.expressions.MaxSim], "max_sim",
+        "max_sim(docVecs, queryVecs) - ColBERT-style late interaction: " +
+          "sum over query vectors of the best cosine over the doc's " +
+          "vectors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "max_sim(docVecs, queryVecs) takes 2 arguments")
+        graft.expressions.MaxSim(args.head, args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("binary_sign"),
       info(classOf[graft.expressions.BinarySign], "binary_sign",
         "binary_sign(vec) - 1-bit embedding quantization: ceil(d/64) " +

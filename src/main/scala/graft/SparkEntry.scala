@@ -851,6 +851,20 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
         .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
+    "q_maxsim" -> ((s, dir) => {
+      // oracle-verified ColBERT-style late interaction: each doc's
+      // "token matrix" is (embedding, -embedding), the query matrix is
+      // vecs 0 and 1 — so max over the doc's vectors is |cos| and
+      // DuckDB restates every score with list_dot_product arithmetic
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(F.col("vec_id") <= 1).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+      val docs = emb.where(F.col("vec_id") > 1)
+        .select(F.col("vec_id"), F.array(F.col("embedding"),
+          F.transform(F.col("embedding"), x => -x)).as("vecs"))
+      Similarity.maxSimTopK(docs, "vec_id", "vecs", q, 20)
+        .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
+    }),
     "q_binary_knn" -> ((s, dir) => {
       // oracle-verified binary quantization + Hamming ranking: the d=64
       // corpus packs to ONE code word per vector, so DuckDB regenerates
@@ -2115,6 +2129,26 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_maxsim" ->
+      // per query vector, max(cos, -cos) = |cos| against the doc's base
+      // embedding; both engines compute the dot/norms in double and
+      // round to 6; (score desc, vec_id) is a deterministic total order
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id <= 1),
+         per AS (SELECT e.vec_id, q.qid,
+             greatest(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))),
+               -(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))))) AS m
+           FROM embeddings e, qs q WHERE e.vec_id > 1)
+         SELECT vec_id, round(SUM(m), 6) AS score
+         FROM per GROUP BY vec_id
+         ORDER BY SUM(m) DESC, vec_id LIMIT 20""",
     "q_binary_knn" ->
       // codes regenerate from the positivity of each component; the
       // Hamming order (then vec_id) is a deterministic total order so

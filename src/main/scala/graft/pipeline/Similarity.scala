@@ -401,6 +401,31 @@ object Similarity {
       .select(F.col("lid"), F.col("rid"), F.col("cosine"))
   }
 
+  /** ColBERT-style late-interaction score of a doc's token-embedding
+    * matrix against a query's: Σ over query vectors of the best cosine
+    * over the doc's vectors ([[graft.expressions.MaxSim]] — one
+    * allocation-free codegen'd loop, narrow). */
+  def maxSim(docVecs: Column, queryVecs: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.MaxSim(
+        graft.expressions.ColumnBridge.expression(docVecs),
+        graft.expressions.ColumnBridge.expression(queryVecs)))
+
+  /** Multi-vector (late-interaction) top-k retrieval: MaxSim-score
+    * every document's token-embedding matrix against the query matrix
+    * in one narrow scan, top-k via TakeOrderedAndProject, ties broken
+    * by id. The retrieval model between single-vector cosine and
+    * cross-encoders — still corpus-scannable at 100 TB because the
+    * score is a per-row fold, not a join. */
+  def maxSimTopK(corpus: DataFrame, id: String, vecs: String,
+      query: Seq[Seq[Float]], k: Int): DataFrame = {
+    require(query.nonEmpty, "query needs at least one vector")
+    val q = F.typedlit(query)
+    corpus.select(F.col(id), maxSim(F.col(vecs), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(id))
+      .limit(k)
+  }
+
   /** 1-bit binary code of an embedding column — ⌈d/64⌉ longs, bit per
     * dimension set iff the component is > 0
     * ([[graft.expressions.BinarySign]]): 32× smaller than float32, and
