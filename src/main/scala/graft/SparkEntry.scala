@@ -851,6 +851,19 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
         .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
+    "q_rrf" -> ((s, dir) => {
+      // oracle-verified reciprocal-rank fusion: two full rankings of
+      // the documents (by length, and by a doc_id-derived score with
+      // deliberate ties so the (score desc, id) tie-break is exercised);
+      // DuckDB restates both row_number rankings and the 1/(60+r) sum
+      val docs = read(s, dir, "documents")
+      val a = docs.select(F.col("doc_id").as("id"),
+        F.col("n_chars").cast(DoubleType).as("score"))
+      val b = docs.select(F.col("doc_id").as("id"),
+        ((F.col("doc_id") * 37) % 101).cast(DoubleType).as("score"))
+      graft.pipeline.Relevance.rrfFuse(Seq(a, b), "id", "score", topK = 20)
+        .select(F.col("id"), F.round(F.col("rrf"), 9).as("rrf"))
+    }),
     "q_maxsim" -> ((s, dir) => {
       // oracle-verified ColBERT-style late interaction: each doc's
       // "token matrix" is (embedding, -embedding), the query matrix is
@@ -2129,6 +2142,23 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(cos, 6) AS cosine
          FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_rrf" ->
+      // both lists rank every doc, so the fused score is exactly
+      // c_a + c_b in list order (0.0 + c_a + c_b on the engine side —
+      // the same association since 0.0 + x == x)
+      """WITH a AS (SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+           FROM documents),
+         b AS (SELECT doc_id,
+             row_number() OVER (ORDER BY (doc_id * 37) % 101 DESC, doc_id)
+               AS r
+           FROM documents),
+         f AS (SELECT a.doc_id AS id,
+             CAST(1.0 AS DOUBLE) / (60 + a.r)
+               + CAST(1.0 AS DOUBLE) / (60 + b.r) AS rrf
+           FROM a JOIN b ON a.doc_id = b.doc_id)
+         SELECT id, round(rrf, 9) AS rrf
+         FROM f ORDER BY rrf DESC, id LIMIT 20""",
     "q_maxsim" ->
       // per query vector, max(cos, -cos) = |cos| against the doc's base
       // embedding; both engines compute the dot/norms in double and

@@ -24,6 +24,42 @@ import org.apache.spark.sql.types._
   */
 object Relevance {
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-search combiner: given several rankings of the same id
+    * space (e.g. [[bm25]]/[[TextIndex.search]] lexical top-N and a
+    * `Similarity` ANN top-N), each list contributes
+    * `1 / (kConst + rank)` for the ids it contains and the fused score
+    * is the sum. Rank is `row_number` over (score desc, id) within each
+    * list, so fusion is deterministic for any input score ties; ids
+    * missing from a list contribute nothing from it (the paper's
+    * definition).
+    *
+    * Inputs are top-N lists — list-sized frames, so the per-list global
+    * rank window and the id-keyed sum are small; don't feed whole-corpus
+    * scores (rank the corpus first, fuse the lists). Returns (id,
+    * rrf) top-`topK` by (rrf desc, id). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+      topK: Int, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1 && topK >= 1, s"bad kConst=$kConst topK=$topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col(scoreCol).desc, F.col(idCol))
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(F.col(idCol).as("id"), F.lit(i).as("src"),
+        (F.lit(1.0) / (F.lit(kConst.toDouble) +
+          F.row_number().over(w).cast("double"))).as("c"))
+    }.reduce(_ unionByName _)
+    // fold contributions in list order (sorted by source index), so the
+    // double sum is bit-identical under any partitioning — the engine's
+    // determinism bar
+    contribs.groupBy("id")
+      .agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
+        F.lit(0.0), (acc, x) => acc + x.getField("c")).as("rrf"))
+      .orderBy(F.col("rrf").desc, F.col("id"))
+      .limit(topK)
+  }
+
   /** Okapi BM25 score of each document against a fixed bag of query
     * terms (Robertson & Walker; the Lucene `(1 + (N - df + 0.5)/(df + 0.5))`
     * log-idf variant, which keeps idf positive for terms in more than
