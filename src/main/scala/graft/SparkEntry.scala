@@ -1190,6 +1190,43 @@ object SparkEntry {
           F.col("r.content_type").as("content_type"),
           F.decode(F.col("r.payload"), "UTF-8").as("payload_text"))
     }),
+    "q_crawl_pages" -> ((s, dir) => {
+      // oracle-verified crawl page prep (the Crawl.htmlPages glue): a
+      // three-response WARC segment per doc — a 200 text/html page, a
+      // 404, and a 200 image — flows through the real record split,
+      // HTTP parse, and status/mime gates; only the HTML page's
+      // (url, html) survives, which DuckDB restates directly
+      val docId = F.col("doc_id")
+      val url = F.concat(F.lit("http://ex.org/doc/"), docId)
+      def record(ct: String, payload: Column) = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\nWARC-Record-ID: <u:"),
+        docId, F.lit(">\r\nContent-Type: application/http;msgtype=response" +
+          "\r\nContent-Length: "), F.length(payload),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+      def http(status: Int, mime: String, body: Column) = F.concat(
+        F.lit(s"HTTP/1.1 $status X\r\nContent-Type: $mime\r\nContent-Length: "),
+        F.length(body), F.lit("\r\n\r\n"), body)
+      val html = F.concat(F.lit("<html><body><p>Doc "), docId,
+        F.lit(" crawl body</p><a href=\"/n"), docId,
+        F.lit("\">n</a></body></html>"))
+      val seg = F.encode(F.concat(
+        record("application/http;msgtype=response",
+          http(200, "text/html; charset=utf-8", html)),
+        record("application/http;msgtype=response",
+          http(404, "text/html", F.lit("<html>gone</html>"))),
+        record("application/http;msgtype=response",
+          http(200, "image/png", F.lit("PNGBYTES")))), "UTF-8")
+      val records = read(s, dir, "documents")
+        .select(F.lit("mem").as("file"),
+          F.explode(sources.Warc.records(seg)).as("r"))
+        .select(F.col("file"), F.col("r.warc_type").as("warc_type"),
+          F.col("r.target_uri").as("target_uri"), F.col("r.date").as("date"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.content_type").as("content_type"),
+          F.col("r.payload").as("payload"))
+      graft.pipeline.Crawl.htmlPages(records).select("url", "html")
+    }),
     "q_http" -> ((s, dir) => {
       // oracle-verified HTTP unwrap: a chunked (RFC 9112 §7.1) response
       // assembled per doc in SQL — hex size lines, chunk extension,
@@ -3258,6 +3295,14 @@ object SparkEntry {
     "q_unsnappy" ->
       // the single-literal block's payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' snappy payload' AS text
+         FROM documents""",
+    "q_crawl_pages" ->
+      // only the 200 text/html record survives the gates; its body
+      // restates as direct concatenation
+      """SELECT 'http://ex.org/doc/' || doc_id AS url,
+           '<html><body><p>Doc ' || doc_id ||
+             ' crawl body</p><a href="/n' || doc_id ||
+             '">n</a></body></html>' AS html
          FROM documents""",
     "q_warc" ->
       // every parsed field of both records restates as doc_id string

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.pipeline.Crawl
+
+/** The one-call crawl flagship ([[graft.pipeline.Crawl]]): WARC files
+  * in, curated corpus + frontier + host ranks out, with every
+  * filtering decision pinned (status, mime, content-encoding unwrap,
+  * deterministic ids, seen-URL subtraction). */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+    val head = s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      "WARC-Date: 2024-01-02T03:04:05Z\r\nWARC-Record-ID: <urn:uuid:1>\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    head.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def http(status: Int, body: Array[Byte],
+      contentType: String = "text/html; charset=utf-8",
+      extra: String = ""): Array[Byte] =
+    (s"HTTP/1.1 $status X\r\nContent-Type: $contentType\r\n" + extra +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+
+  private def gz(data: Array[Byte]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(baos)
+    out.write(data); out.close()
+    baos.toByteArray
+  }
+
+  private val pageA =
+    ("<html><body><p>Alpha page with the spark data table and more " +
+      "plain english words about joins filters and columns.</p>" +
+      "<a href=\"/other\">self</a>" +
+      "<a href=\"http://beta.example/next\">b</a>" +
+      "<a href=\"http://gamma.example/new\">g</a></body></html>")
+      .getBytes("UTF-8")
+  private val pageB =
+    ("<html><body><p>Beta page text about query plans partitions and " +
+      "shuffles written for the curation gate to accept.</p>" +
+      "<a href=\"http://alpha.example/\">a</a></body></html>")
+      .getBytes("UTF-8")
+
+  private lazy val warcDir: String = {
+    val segment =
+      rec("response", "http://alpha.example/", http(200, pageA)) ++
+      rec("response", "http://beta.example/",
+        http(200, gz(pageB), extra = "Content-Encoding: gzip\r\n")) ++
+      rec("response", "http://alpha.example/miss",
+        http(404, "<html>gone</html>".getBytes("UTF-8"))) ++
+      rec("response", "http://alpha.example/logo",
+        http(200, Array[Byte](1, 2, 3), contentType = "image/png")) ++
+      rec("request", "http://alpha.example/",
+        "GET / HTTP/1.1\r\n\r\n".getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("crawl")
+    Files.write(dir.resolve("seg.warc"), segment)
+    dir.toString
+  }
+
+  test("htmlPages: 200 + text/html only, gzip bodies unwrapped, stable ids") {
+    val pages = Crawl.htmlPages(
+      graft.sources.Warc.readStreamed(spark, warcDir))
+      .orderBy("url")
+      .collect()
+    assert(pages.map(_.getString(1)).toSeq ===
+      Seq("http://alpha.example/", "http://beta.example/"))
+    assert(pages(1).getString(2).contains("Beta page text"))
+    // ids are xxhash64(url): deterministic, no coordination
+    val expect = Seq("http://alpha.example/", "http://beta.example/")
+      .toDF("url").select(F.xxhash64(F.col("url"))).as[Long].collect().toSeq
+    assert(pages.map(_.getLong(0)).toSeq === expect)
+  }
+
+  test("round: corpus + frontier + host ranks from one call") {
+    val out = Crawl.round(spark, warcDir,
+      seenUrls = Some(Seq("http://gamma.example/new").toDF("url")),
+      minQuality = 0.0, chunkSize = 16, chunkStride = 16)
+    // both pages survive curation (plain english, no mojibake)
+    assert(out.documents.select("doc_id").distinct().count() === 2)
+    assert(out.documents.columns.toSeq ===
+      Seq("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"))
+    // link targets: alpha/other, beta/next, gamma/new, alpha/ —
+    // alpha/ and beta/ are fetched pages (dropped as own), gamma/new
+    // is seen (dropped); the two never-fetched paths remain
+    val frontier = out.frontier.as[String].collect().toSet
+    assert(frontier === Set("http://alpha.example/other",
+      "http://beta.example/next"))
+    val ranks = out.hostRanks.as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(ranks.keySet === Set("alpha.example", "beta.example",
+      "gamma.example"))
+    // alpha is linked by beta; gamma only receives — alpha's rank is
+    // highest because beta links it AND it has gamma's dangling mass
+    assert(ranks("alpha.example") >= ranks("gamma.example"))
+  }
+}

@@ -375,6 +375,35 @@ object Drive {
         maxBits = 3).show(false)
     }
 
+    println("=== crawl round: WARC -> curated corpus + frontier + host ranks:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      def rec(uri: String, payload: Array[Byte]): Array[Byte] =
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          "WARC-Date: 2024-01-02T03:04:05Z\r\nWARC-Record-ID: <u:1>\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+          payload ++ "\r\n\r\n".getBytes("UTF-8")
+      def http(body: String): Array[Byte] =
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: " +
+          s"${body.getBytes("UTF-8").length}\r\n\r\n" + body).getBytes("UTF-8")
+      val seg =
+        rec("http://a.example/", http("<html><body><p>Spark rows columns " +
+          "tables joins and data quality text for the gate.</p>" +
+          "<a href=\"http://b.example/\">b</a>" +
+          "<a href=\"http://c.example/new\">c</a></body></html>")) ++
+        rec("http://b.example/", http("<html><body><p>Another page about " +
+          "plans shuffles and partitions in plain words.</p>" +
+          "<a href=\"http://a.example/\">a</a></body></html>"))
+      val dir = java.nio.file.Files.createTempDirectory("drive-crawl")
+      java.nio.file.Files.write(dir.resolve("seg.warc"), seg)
+      val round = graft.pipeline.Crawl.round(spark, dir.toString,
+        minQuality = 0.0, chunkSize = 16, chunkStride = 16)
+      round.documents.show(false)
+      round.frontier.show(false)
+      round.hostRanks.orderBy(F.desc("rank")).show(false)
+    }
+
     println("=== TriG: named-graph parse -> GRAPH query -> serialize:")
     locally {
       val store = graft.sources.Trig.parse(
