@@ -207,6 +207,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "unzstd(bytes) takes 1 argument")
         Unzstd(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("robots_allowed"),
+      info(classOf[graft.expressions.RobotsAllowed], "robots_allowed",
+        "robots_allowed(robotsTxt, path, userAgent) - RFC 9309: may " +
+          "this crawler fetch path? longest-pattern-wins, */$ " +
+          "supported, NULL body allowed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "robots_allowed(robotsTxt, path, userAgent) takes 3 arguments")
+        val ua = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"userAgent must be a string literal, got $other")
+        }
+        graft.expressions.RobotsAllowed(args.head, args(1), ua.toLowerCase)
+      }))
     ext.injectFunction((FunctionIdentifier("max_sim"),
       info(classOf[graft.expressions.MaxSim], "max_sim",
         "max_sim(docVecs, queryVecs) - ColBERT-style late interaction: " +

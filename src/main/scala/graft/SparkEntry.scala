@@ -1307,6 +1307,24 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_robots" -> ((s, dir) => {
+      // oracle-verified RFC 9309 evaluation: one robots.txt with a *
+      // group (Disallow /p1/ overridden by a longer Allow /p1/page1)
+      // and a graftbot group (Disallow /p2/); per doc the path is
+      // /p{id%3}/page{id}, so both group selection and
+      // longest-pattern-wins restate as doc_id CASE arithmetic
+      val body =
+        "User-agent: *\nDisallow: /p1/\nAllow: /p1/page1\n" +
+          "User-agent: graftbot\nDisallow: /p2/\n"
+      val path = F.concat(F.lit("/p"), F.col("doc_id") % 3,
+        F.lit("/page"), F.col("doc_id"))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.Crawl.robotsAllowed(F.lit(body), path, "otherbot")
+            .as("allowed_star"),
+          graft.pipeline.Crawl.robotsAllowed(F.lit(body), path, "graftbot")
+            .as("allowed_graft"))
+    }),
     "q_frontier" -> ((s, dir) => {
       // oracle-verified crawl-frontier discovery: each page links itself
       // (resolved self-link → excluded as an own URL) and one external
@@ -3371,6 +3389,16 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_robots" ->
+      // otherbot gets the * group: /p1/ blocked unless the longer
+      // Allow /p1/page1 matches (page number starting '1'); graftbot
+      // gets ONLY its own group: /p2/ blocked
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 1
+                THEN starts_with(CAST(doc_id AS VARCHAR), '1')
+                ELSE TRUE END AS allowed_star,
+           doc_id % 3 <> 2 AS allowed_graft
+         FROM documents""",
     "q_frontier" ->
       // distinct external targets minus the seen half; self-links
       // resolve to own URLs and never surface

@@ -71,6 +71,41 @@ object Crawl {
       chunkStride, maxMojibake, pageRankIters)
   }
 
+  /** Path-plus-query of a URL as RFC 9309 matches it (`/dir/p?x=1`;
+    * fragment dropped; empty → `/`). Codegen'd regex, narrow. */
+  def urlPath(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = F.regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    F.when(p === "", F.lit("/")).otherwise(p)
+  }
+
+  /** RFC 9309 evaluation of a robots.txt column against a path column
+    * for one crawler token ([[graft.expressions.RobotsAllowed]]):
+    * group selection by most specific user-agent, longest-pattern-wins
+    * with `*`/`$` support, Allow on ties, NULL body → allowed. */
+  def robotsAllowed(robotsTxt: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column, userAgent: String)
+      : org.apache.spark.sql.Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.RobotsAllowed(
+        graft.expressions.ColumnBridge.expression(robotsTxt),
+        graft.expressions.ColumnBridge.expression(path), userAgent))
+
+  /** Gate a URL frame (e.g. the [[Graphs.frontierUrls]] output) by each
+    * host's robots.txt: join the host-sized robots table (broadcast)
+    * and keep URLs whose host has no robots.txt or whose rules allow
+    * the crawler. The politeness stage between frontier discovery and
+    * fetching. `robots` columns: (host, robots_txt). */
+  def filterByRobots(urls: DataFrame, robots: DataFrame, userAgent: String,
+      urlCol: String = "url"): DataFrame = {
+    val host = TextAnalysis.urlHost(F.col(urlCol))
+    urls.join(F.broadcast(robots.select(F.col("host").as("__rh"),
+        F.col("robots_txt").as("__rt"))),
+        host === F.col("__rh"), "left_outer")
+      .where(robotsAllowed(F.col("__rt"), urlPath(F.col(urlCol)), userAgent))
+      .drop("__rh", "__rt")
+  }
+
   /** [[round]] starting from an already-materialized (doc_id, url,
     * html) frame — the entry point when pages come from a non-WARC
     * source or a test fixture. */
