@@ -1307,6 +1307,37 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_sitemap" -> ((s, dir) => {
+      // oracle-verified sitemap discovery: per-doc robots bodies with
+      // two Sitemap lines and a urlset XML with an entity-escaped loc;
+      // DuckDB restates every extracted URL by concatenation
+      val robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: http://h"),
+        F.col("doc_id") % 7, F.lit(".example/s"), F.col("doc_id"),
+        F.lit(".xml\nsitemap: http://h"), F.col("doc_id") % 7,
+        F.lit(".example/extra.xml\n"))
+      val xml = F.concat(
+        F.lit("<urlset><url><loc> http://h"), F.col("doc_id") % 7,
+        F.lit(".example/p?a=1&amp;b="), F.col("doc_id"),
+        F.lit(" </loc></url></urlset>"))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.Crawl.sitemapsFromRobots(robots).as("sitemaps"),
+          graft.pipeline.Crawl.sitemapUrls(xml).as("locs"))
+        .select(F.col("doc_id"),
+          F.col("sitemaps").getItem(0).as("sm0"),
+          F.col("sitemaps").getItem(1).as("sm1"),
+          F.col("locs").getItem(0).as("loc0"))
+    }),
+    "q_schedule" -> ((s, dir) => {
+      // oracle-verified per-host fetch budget: 500 frontier URLs over 5
+      // hosts, budget 3 per host — the lexicographically first URLs win
+      // with dense per-host order, restated by a DuckDB window
+      val frontier = read(s, dir, "documents")
+        .select(F.concat(F.lit("http://h"), F.col("doc_id") % 5,
+          F.lit(".example/p"), F.col("doc_id")).as("url"))
+      graft.pipeline.Crawl.schedule(frontier, maxPerHost = 3)
+    }),
     "q_robots" -> ((s, dir) => {
       // oracle-verified RFC 9309 evaluation: one robots.txt with a *
       // group (Disallow /p1/ overridden by a longer Allow /p1/page1)
@@ -3389,6 +3420,26 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_sitemap" ->
+      // the extracted sitemap URLs and the unescaped loc restate
+      // directly (&amp; decodes to &)
+      """SELECT doc_id,
+           'http://h' || (doc_id % 7) || '.example/s' || doc_id || '.xml'
+             AS sm0,
+           'http://h' || (doc_id % 7) || '.example/extra.xml' AS sm1,
+           'http://h' || (doc_id % 7) || '.example/p?a=1&b=' || doc_id
+             AS loc0
+         FROM documents""",
+    "q_schedule" ->
+      // the same (host, url) window with budget 3
+      """SELECT url, host, r - 1 AS fetch_order FROM (
+           SELECT url, host,
+             row_number() OVER (PARTITION BY host ORDER BY url) AS r
+           FROM (SELECT 'http://h' || (doc_id % 5) || '.example/p' || doc_id
+                   AS url,
+                 'h' || (doc_id % 5) || '.example' AS host
+                 FROM documents))
+         WHERE r <= 3""",
     "q_robots" ->
       // otherbot gets the * group: /p1/ blocked unless the longer
       // Allow /p1/page1 matches (page number starting '1'); graftbot

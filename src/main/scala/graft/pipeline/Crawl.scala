@@ -106,6 +106,48 @@ object Crawl {
       .drop("__rh", "__rt")
   }
 
+  /** `Sitemap:` URLs declared in a robots.txt body (RFC 9309 §2.4 /
+    * sitemaps.org: the line may appear anywhere, outside any group,
+    * case-insensitive). Codegen'd regex, narrow. */
+  def sitemapsFromRobots(robotsTxt: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    F.regexp_extract_all(robotsTxt, F.lit("(?mi)^\\s*sitemap:\\s*(\\S+)"),
+      F.lit(1))
+
+  /** `<loc>` URLs of a sitemaps.org XML document — urlset entries AND
+    * sitemap-index entries (callers recurse on the latter). Values are
+    * XML-unescaped (`&amp;` et al. — sitemap locs are escaped per the
+    * protocol). Composable codegen'd regex + replace chain, narrow. */
+  def sitemapUrls(xml: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val locs = F.regexp_extract_all(xml,
+      F.lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), F.lit(1))
+    F.transform(locs, l =>
+      F.replace(F.replace(F.replace(F.replace(F.replace(
+        l, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
+        F.lit("&quot;"), F.lit("\"")), F.lit("&apos;"), F.lit("'")),
+        F.lit("&amp;"), F.lit("&")))
+  }
+
+  /** Per-host fetch budget for a crawl round: keep at most
+    * `maxPerHost` URLs per host from a frontier (deterministic — the
+    * lexicographically first URLs win), returning (url, host,
+    * fetch_order) with `fetch_order` starting at 0 per host, the
+    * politeness sequence a fetcher walks. One hash exchange on host;
+    * the per-host sort is bounded by the host's frontier share, and
+    * skew (one giant host) is bounded by the budget itself. */
+  def schedule(frontier: DataFrame, maxPerHost: Int,
+      urlCol: String = "url"): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(F.col(urlCol))
+    frontier
+      .select(F.col(urlCol), TextAnalysis.urlHost(F.col(urlCol)).as("host"))
+      .where(F.col("host").isNotNull)
+      .withColumn("fetch_order", F.row_number().over(w).cast("long") - 1)
+      .where(F.col("fetch_order") < maxPerHost)
+  }
+
   /** [[round]] starting from an already-materialized (doc_id, url,
     * html) frame — the entry point when pages come from a non-WARC
     * source or a test fixture. */

@@ -78,6 +78,44 @@ class CrawlSpec extends SparkSpec {
     assert(pages.map(_.getLong(0)).toSeq === expect)
   }
 
+  test("sitemap discovery: robots Sitemap lines, urlset and index locs") {
+    val robots = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: http://a.example/sitemap.xml\n" +
+      "  sitemap:   http://a.example/s2.xml.gz\n"
+    val sm = Seq(Tuple1(robots)).toDF("r")
+      .select(Crawl.sitemapsFromRobots(F.col("r"))).as[Seq[String]].head()
+    assert(sm === Seq("http://a.example/sitemap.xml",
+      "http://a.example/s2.xml.gz"))
+    val urlset = """<?xml version="1.0"?>
+      <urlset><url><loc> http://a.example/p?x=1&amp;y=2 </loc></url>
+      <url><loc>http://a.example/q</loc><lastmod>2024-01-01</lastmod></url>
+      </urlset>"""
+    val urls = Seq(Tuple1(urlset)).toDF("x")
+      .select(Crawl.sitemapUrls(F.col("x"))).as[Seq[String]].head()
+    assert(urls === Seq("http://a.example/p?x=1&y=2", "http://a.example/q"))
+    val index = """<sitemapindex><sitemap>
+      <loc>http://a.example/part1.xml</loc></sitemap></sitemapindex>"""
+    assert(Seq(Tuple1(index)).toDF("x")
+      .select(Crawl.sitemapUrls(F.col("x"))).as[Seq[String]].head() ===
+      Seq("http://a.example/part1.xml"))
+  }
+
+  test("schedule: per-host budget, deterministic dense fetch order") {
+    val frontier = (Seq.tabulate(7)(i => s"http://big.example/p$i") ++
+      Seq("http://small.example/only", "not a url")).toDF("url")
+    val out = Crawl.schedule(frontier.repartition(5), maxPerHost = 3)
+      .as[(String, String, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(out.count(_._2 == "big.example") === 3)
+    assert(out.filter(_._2 == "big.example").map(_._1).toSeq ===
+      Seq("http://big.example/p0", "http://big.example/p1",
+        "http://big.example/p2"))
+    assert(out.filter(_._2 == "small.example").map(_._3).toSeq === Seq(0L))
+    // deterministic under repartitioning
+    val again = Crawl.schedule(frontier.repartition(2), maxPerHost = 3)
+      .as[(String, String, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("round: corpus + frontier + host ranks from one call") {
     val out = Crawl.round(spark, warcDir,
       seenUrls = Some(Seq("http://gamma.example/new").toDF("url")),
