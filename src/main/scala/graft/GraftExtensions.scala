@@ -154,8 +154,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "document order, entities decoded, fragment-only/javascript/" +
           "mailto refs dropped)"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "html_links(html) takes 1 argument")
-        HtmlLinks(args.head)
+        require(args.length == 1 || args.length == 2,
+          "html_links(html[, skipNofollow]) takes 1-2 arguments")
+        val skip = if (args.length < 2) false else args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b, _)
+              if b != null => b == true
+          case other => throw new IllegalArgumentException(
+            s"skipNofollow must be a boolean literal, got $other")
+        }
+        HtmlLinks(args.head, skip)
       }))
     ext.injectFunction((FunctionIdentifier("resolve_url"),
       info(classOf[ResolveUrl], "resolve_url",

@@ -26,14 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `<script>`/`<style>` bodies and comments are skipped whole, so
   *    markup inside code samples doesn't fabricate links,
   *  - a second `href` in the same tag is ignored (first wins, as
-  *    browsers do).
+  *    browsers do),
+  *  - with `skipNofollow`, anchors whose `rel` token list contains
+  *    `nofollow` are dropped — the link-graph semantics (nofollow
+  *    exists to not pass rank); extraction-for-display keeps them.
   *
   * NULL input → NULL; text with no anchors → empty array. Narrow and
   * codegen'd — one row in, one string array out, no parse tree. The
   * hrefs come out RAW (as written, minus entities); resolution against
   * the page URL is [[ResolveUrl]], kept separate so the two stages are
   * independently testable and the raw form stays available. */
-case class HtmlLinks(child: Expression) extends UnaryExpression {
+case class HtmlLinks(child: Expression, skipNofollow: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -46,11 +50,11 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
   override def prettyName: String = "html_links"
 
   override def nullSafeEval(input: Any): Any =
-    HtmlLinks.extract(input.asInstanceOf[UTF8String])
+    HtmlLinks.extract(input.asInstanceOf[UTF8String], skipNofollow)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.expressions.HtmlLinks.extract($c);
+      ${ev.value} = graft.expressions.HtmlLinks.extract($c, $skipNofollow);
     """)
 
   override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
@@ -132,7 +136,9 @@ object HtmlLinks {
       scheme == "data" || scheme == "about"
   }
 
-  def extract(html: UTF8String): ArrayData = {
+  def extract(html: UTF8String): ArrayData = extract(html, false)
+
+  def extract(html: UTF8String, skipNofollow: Boolean): ArrayData = {
     if (html == null) return null
     val s = html.toString
     val n = s.length
@@ -163,10 +169,11 @@ object HtmlLinks {
     }
 
     // scan the attributes of the tag whose name ends at `from`; return
-    // the raw href value, or null
-    def findHref(from: Int): String = {
+    // (raw href value or null, rel value or null)
+    def findHref(from: Int): (String, String) = {
       var j = from
       var href: String = null
+      var rel: String = null
       while (j < n && s.charAt(j) != '>') {
         if (isWs(s.charAt(j))) j += 1
         else if (s.charAt(j) == '/') j += 1
@@ -195,10 +202,17 @@ object HtmlLinks {
             }
           }
           if (name == "href" && href == null && value != null) href = value
+          if (name == "rel" && rel == null && value != null) rel = value
         }
       }
-      href
+      (href, rel)
     }
+
+    // HTML rel is a space-separated token list; match the token, not a
+    // substring ("nofollowme" is not nofollow)
+    def hasNofollow(rel: String): Boolean =
+      rel != null && rel.toLowerCase.split("[ \t\n\r\f]+")
+        .contains("nofollow")
 
     while (i < n && out.size < MaxLinks) {
       val c = s.charAt(i)
@@ -236,8 +250,8 @@ object HtmlLinks {
             // the whole tag is discarded; truncated docs must not
             // fabricate half an href)
             if (end <= n && end > nameEnd && s.charAt(end - 1) == '>') {
-              val raw = findHref(nameEnd)
-              if (raw != null) {
+              val (raw, rel) = findHref(nameEnd)
+              if (raw != null && !(skipNofollow && hasNofollow(rel))) {
                 val ref = decodeEntities(raw.trim)
                 if (!dropRef(ref)) out.add(UTF8String.fromString(ref))
               }

@@ -108,11 +108,17 @@ object Graphs {
   def hostEdges(docs: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
     val src = TextAnalysis.urlHost(F.col(urlCol))
-    val dst = TextAnalysis.urlHost(TextAnalysis.resolveUrl(F.col(urlCol),
+    val dst = TextAnalysis.urlHost(TextAnalysis.resolveUrl(F.col("__base"),
       F.col("__ref")))
     docs
+      // rank semantics: rel=nofollow links don't pass rank; a page's
+      // <base href> (resolved against the page URL) overrides the
+      // resolution base, as browsers do
       .select(F.col(urlCol),
-        F.explode(TextAnalysis.htmlLinks(F.col(htmlCol))).as("__ref"))
+        F.coalesce(TextAnalysis.resolveUrl(F.col(urlCol),
+          TextAnalysis.htmlBase(F.col(htmlCol))), F.col(urlCol)).as("__base"),
+        F.explode(TextAnalysis.htmlLinks(F.col(htmlCol),
+          skipNofollow = true)).as("__ref"))
       .select(src.as("src_host"), dst.as("dst_host"))
       .where(F.col("src_host").isNotNull && F.col("dst_host").isNotNull &&
         F.col("src_host") =!= F.col("dst_host"))
@@ -153,9 +159,13 @@ object Graphs {
       urlCol: String = "url", htmlCol: String = "html",
       seenUrlCol: String = "url", expectedSeen: Long = 1L << 20): DataFrame = {
     val targets = docs
+      // discovery keeps rel=nofollow targets (a hint about rank, not
+      // about fetching); <base href> overrides the resolution base
       .select(F.col(urlCol),
+        F.coalesce(TextAnalysis.resolveUrl(F.col(urlCol),
+          TextAnalysis.htmlBase(F.col(htmlCol))), F.col(urlCol)).as("__base"),
         F.explode(TextAnalysis.htmlLinks(F.col(htmlCol))).as("__ref"))
-      .select(TextAnalysis.resolveUrl(F.col(urlCol), F.col("__ref")).as("url"))
+      .select(TextAnalysis.resolveUrl(F.col("__base"), F.col("__ref")).as("url"))
       .where(F.col("url").isNotNull)
       .distinct()
     val notOwn = targets.join(

@@ -27,10 +27,20 @@ object TextAnalysis {
     * dropped) — the extraction stage of link-graph construction
     * ([[graft.expressions.HtmlLinks]] — narrow, codegen'd, one pass).
     * Resolve against the page URL with [[resolveUrl]]. */
-  def htmlLinks(html: Column): Column =
+  def htmlLinks(html: Column, skipNofollow: Boolean = false): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.HtmlLinks(
-        graft.expressions.ColumnBridge.expression(html)))
+        graft.expressions.ColumnBridge.expression(html), skipNofollow))
+
+  /** The page's `<base href>` (first one wins, as browsers do), or
+    * NULL — the resolution base override [[resolveUrl]] callers honor:
+    * `coalesce(resolveUrl(pageUrl, htmlBase(html)), pageUrl)`.
+    * Codegen'd regex, narrow. */
+  def htmlBase(html: Column): Column = {
+    val b = F.regexp_extract(html,
+      "(?i)<base\\s[^>]*?href\\s*=\\s*[\"']?([^\"'\\s>]+)", 1)
+    F.when(b =!= "", b)
+  }
 
   /** RFC 3986 resolution of an href against its page URL: absolute
     * target URL, fragment dropped; NULL when the base itself is not an

@@ -64,6 +64,46 @@ class HtmlLinksSpec extends SparkSpec {
       Seq.empty)
   }
 
+  test("rel=nofollow: token match, only in skipNofollow mode") {
+    val html = """<a href="/a" rel="nofollow">n</a>
+      <a href="/b" rel="external NOFOLLOW sponsored">n2</a>
+      <a href="/c" rel="nofollowme">not-a-token</a>
+      <a rel=nofollow href="/d">attr-order</a>
+      <a href="/e">plain</a>"""
+    def ex(skip: Boolean) = {
+      val a = HtmlLinks.extract(UTF8String.fromString(html), skip)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(ex(false) === Seq("/a", "/b", "/c", "/d", "/e"))
+    assert(ex(true) === Seq("/c", "/e"))
+    // SQL two-arg form
+    import spark.implicits._
+    val viaSql = spark.sql(
+      s"""SELECT html_links('<a href="/x" rel="nofollow">x</a>' ||
+           '<a href="/y">y</a>', true)""").as[Seq[String]].head()
+    assert(viaSql === Seq("/y"))
+  }
+
+  test("<base href> overrides the resolution base in hostEdges/frontier") {
+    val docs = Seq(
+      ("http://orig.example/p",
+        """<head><base target="_b" href="http://moved.example/dir/"></head>
+           <a href="rel.html">r</a><a href="/abs">a</a>"""))
+      .toDF("url", "html")
+    val edges = Graphs.hostEdges(docs).as[(String, String)].collect().toSet
+    // both links resolve against moved.example now; src is the PAGE host
+    assert(edges === Set(("orig.example", "moved.example")))
+    val frontier = Graphs.frontierUrls(docs, Seq.empty[String].toDF("url"))
+      .as[String].collect().toSet
+    assert(frontier === Set("http://moved.example/dir/rel.html",
+      "http://moved.example/abs"))
+    // htmlBase contract: first wins; absent → null
+    val b = docs.select(TextAnalysis.htmlBase(F.col("html"))).as[String].head()
+    assert(b === "http://moved.example/dir/")
+    assert(Seq(Tuple1("<p>no base</p>")).toDF("h")
+      .select(TextAnalysis.htmlBase(F.col("h"))).head().isNullAt(0))
+  }
+
   test("null in, null out; no anchors means empty array") {
     assert(HtmlLinks.extract(null) === null)
     assert(links("plain text, no markup & such <") === Seq.empty)
