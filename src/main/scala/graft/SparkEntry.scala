@@ -1307,6 +1307,21 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_corpus_diff" -> ((s, dir) => {
+      // oracle-verified corpus version diff: old = docs not divisible
+      // by 9, new = docs not divisible by 7 with every 5th text
+      // rewritten — added/removed/changed/unchanged restate as doc_id
+      // arithmetic
+      val docs = read(s, dir, "documents")
+      val oldV = docs.where(F.col("doc_id") % 9 =!= 0)
+        .select(F.col("doc_id"), F.col("text"))
+      val newV = docs.where(F.col("doc_id") % 7 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.concat(F.lit("rev2 "), F.col("text")))
+            .otherwise(F.col("text")).as("text"))
+      graft.pipeline.Dedup.corpusDiff(oldV, newV)
+    }),
     "q_sitemap" -> ((s, dir) => {
       // oracle-verified sitemap discovery: per-doc robots bodies with
       // two Sitemap lines and a urlset XML with an entity-escaped loc;
@@ -3420,6 +3435,15 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_corpus_diff" ->
+      // membership and the rewrite pattern restate the status directly
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 9 = 0 THEN 'added'
+                WHEN doc_id % 7 = 0 THEN 'removed'
+                WHEN doc_id % 5 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM documents
+         WHERE doc_id % 9 <> 0 OR doc_id % 7 <> 0""",
     "q_sitemap" ->
       // the extracted sitemap URLs and the unescaped loc restate
       // directly (&amp; decodes to &)

@@ -913,4 +913,27 @@ object Dedup {
       .select(F.col("rid").as(id))
     df.join(losers, Seq(id), "left_anti")
   }
+
+  /** Digest-keyed diff between two corpus versions — the dataset-update
+    * audit ("what changed between v1 and v2?") every refreshed corpus
+    * release needs: one full outer join on id, content compared by md5
+    * digest. Returns (id, status) with status ∈ `added` (only in new),
+    * `removed` (only in old), `changed` (both, different content),
+    * `unchanged`. Digesting is narrow; the join is the one
+    * id-keyed shuffle — the minimal cost of any exact diff. NULL text
+    * digests NULL: two NULL texts compare `unchanged`, NULL vs text is
+    * `changed` (nothing silently equal). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val o = oldDf.select(F.col(id).as("id"), F.md5(F.col(text)).as("__od"),
+      F.lit(true).as("__in_old"))
+    val n = newDf.select(F.col(id).as("id"), F.md5(F.col(text)).as("__nd"),
+      F.lit(true).as("__in_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(F.col("id"),
+        F.when(F.col("__in_old").isNull, "added")
+          .when(F.col("__in_new").isNull, "removed")
+          .when(F.col("__od") <=> F.col("__nd"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

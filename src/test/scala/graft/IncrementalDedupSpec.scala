@@ -170,4 +170,16 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(antiJoins == 1, s"expected exactly one anti join:\n$plan")
     assert(plan.contains("bloom_might_contain"), plan)
   }
+
+  test("corpusDiff: added/removed/changed/unchanged, null-text contracts") {
+    import spark.implicits._
+    val oldV = Seq((1L, "same"), (2L, "before"), (3L, "dropped"),
+      (5L, null: String), (6L, null: String)).toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+      (5L, null: String), (6L, "text now")).toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.corpusDiff(oldV, newV)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
 }
