@@ -157,12 +157,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1 || args.length == 2,
           "html_links(html[, skipNofollow]) takes 1-2 arguments")
         val skip = if (args.length < 2) false else args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(b, _)
-              if b != null => b == true
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            b: java.lang.Boolean, _) => b.booleanValue()
           case other => throw new IllegalArgumentException(
             s"skipNofollow must be a boolean literal, got $other")
         }
         HtmlLinks(args.head, skip)
+      }))
+    ext.injectFunction((FunctionIdentifier("html_base"),
+      info(classOf[graft.expressions.HtmlBase], "html_base",
+        "html_base(html) - the page's first <base href> (comment/" +
+          "script-aware scan), or NULL; resolve against the page URL " +
+          "before use"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "html_base(html) takes 1 argument")
+        graft.expressions.HtmlBase(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("resolve_url"),
       info(classOf[ResolveUrl], "resolve_url",

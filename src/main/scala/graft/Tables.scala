@@ -186,9 +186,9 @@ object Tables {
       val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
       val hi = if (stats.isNullAt(2 * i + 1)) 0L else stats.getLong(2 * i + 1)
       val span = math.max(1L, hi - lo)
-      // 128-bit-safe linear scale via decimal so (v-lo)*maxScaled
-      // cannot overflow for any long range
-      ((F.col(c).cast("long") - lo).cast(DecimalType(38, 0)) * maxScaled /
+      // 128-bit-safe linear scale: subtract AND multiply in decimal so
+      // neither (v-lo) nor the product can wrap for any long range
+      ((F.col(c).cast(DecimalType(38, 0)) - lo) * maxScaled /
         span).cast("long")
     }
     val keyed = df.withColumn("__z", zorderKey(scaled: _*))

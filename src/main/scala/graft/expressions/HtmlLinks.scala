@@ -61,6 +61,36 @@ case class HtmlLinks(child: Expression, skipNofollow: Boolean = false)
     copy(child = newChild)
 }
 
+/** The page's first `<base href>`, or NULL — extracted through the
+  * same comment/script-aware scan as [[HtmlLinks]] (a `<base>` inside
+  * a comment or code sample never hijacks resolution). The value is
+  * raw as written (entities decoded) and may itself be relative;
+  * resolve it against the page URL before use. */
+case class HtmlBase(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_base needs string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_base"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlLinks.baseHref(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.HtmlLinks.baseHref($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBase =
+    copy(child = newChild)
+}
+
 object HtmlLinks {
 
   // hard cap on links per document: a crafted page with millions of
@@ -140,9 +170,24 @@ object HtmlLinks {
 
   def extract(html: UTF8String, skipNofollow: Boolean): ArrayData = {
     if (html == null) return null
-    val s = html.toString
+    walk(html.toString, skipNofollow, stopAtBase = false)._1
+  }
+
+  /** The page's first `<base href>` (browsers use the first), or null —
+    * through the SAME comment/script-aware scan as link extraction, so
+    * a base inside a comment or a code sample can never hijack the
+    * resolution base the way a bare regex would allow. */
+  def baseHref(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    val b = walk(html.toString, skipNofollow = false, stopAtBase = true)._2
+    if (b == null || b.isEmpty) null else UTF8String.fromString(b)
+  }
+
+  private def walk(s: String, skipNofollow: Boolean,
+      stopAtBase: Boolean): (ArrayData, String) = {
     val n = s.length
     val out = new java.util.ArrayList[UTF8String]()
+    var base: String = null
     var i = 0
 
     def lowerAt(j: Int, lit: String): Boolean =
@@ -153,17 +198,27 @@ object HtmlLinks {
         k == lit.length
       }
 
-    // index just past the tag's closing '>', skipping quoted values
+    // index just past the tag's closing '>'. Quotes open a value ONLY
+    // right after '=' (as the HTML5 tokenizer sees them) — a stray
+    // quote inside an unquoted value must not swallow the rest of the
+    // document (it would desynchronize from findHref, which applies
+    // the same rule)
     def tagEnd(from: Int): Int = {
       var j = from
+      var afterEq = false
       while (j < n) {
         val c = s.charAt(j)
-        if (c == '"' || c == '\'') {
+        if ((c == '"' || c == '\'') && afterEq) {
           j += 1
           while (j < n && s.charAt(j) != c) j += 1
           if (j < n) j += 1
+          afterEq = false
         } else if (c == '>') return j + 1
-        else j += 1
+        else {
+          if (c == '=') afterEq = true
+          else if (!isWs(c)) afterEq = false
+          j += 1
+        }
       }
       n
     }
@@ -243,7 +298,10 @@ object HtmlLinks {
           val isArea = lowerAt(i, "<area") && i + 5 < n &&
             (isWs(s.charAt(i + 5)) || s.charAt(i + 5) == '>' ||
               s.charAt(i + 5) == '/')
-          if (isA || isArea) {
+          val isBase = lowerAt(i, "<base") && i + 5 < n &&
+            (isWs(s.charAt(i + 5)) || s.charAt(i + 5) == '>' ||
+              s.charAt(i + 5) == '/')
+          if (isA || isArea || isBase) {
             val nameEnd = if (isA) i + 2 else i + 5
             val end = tagEnd(nameEnd)
             // a tag cut off by EOF emits nothing (HTML5 eof-in-tag:
@@ -251,7 +309,12 @@ object HtmlLinks {
             // fabricate half an href)
             if (end <= n && end > nameEnd && s.charAt(end - 1) == '>') {
               val (raw, rel) = findHref(nameEnd)
-              if (raw != null && !(skipNofollow && hasNofollow(rel))) {
+              if (isBase) {
+                if (base == null && raw != null) {
+                  base = decodeEntities(raw.trim)
+                  if (stopAtBase) return (null, base)
+                }
+              } else if (raw != null && !(skipNofollow && hasNofollow(rel))) {
                 val ref = decodeEntities(raw.trim)
                 if (!dropRef(ref)) out.add(UTF8String.fromString(ref))
               }
@@ -266,6 +329,6 @@ object HtmlLinks {
         }
       } else i += 1
     }
-    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+    (new GenericArrayData(out.toArray(new Array[UTF8String](out.size))), base)
   }
 }

@@ -111,17 +111,25 @@ object HtmlText {
     }
 
     // index just past the tag's closing '>', skipping quoted attribute
-    // values; n when unterminated
+    // values; n when unterminated. Quotes open a value only right
+    // after '=' (HTML5 tokenizer behavior) — a stray quote inside an
+    // unquoted value must not swallow the rest of the document.
     def tagEnd(from: Int): Int = {
       var j = from
+      var afterEq = false
       while (j < n) {
         val c = s.charAt(j)
-        if (c == '"' || c == '\'') {
+        if ((c == '"' || c == '\'') && afterEq) {
           j += 1
           while (j < n && s.charAt(j) != c) j += 1
           if (j < n) j += 1
+          afterEq = false
         } else if (c == '>') return j + 1
-        else j += 1
+        else {
+          if (c == '=') afterEq = true
+          else if (!isWs(c)) afterEq = false
+          j += 1
+        }
       }
       n
     }

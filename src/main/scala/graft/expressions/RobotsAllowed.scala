@@ -109,8 +109,10 @@ object RobotsAllowed {
       }
       i += 1
     }
-    if (anchored) pos == path.length || segs.last.isEmpty && pos <= path.length
-    else true
+    // single-segment anchored pattern (no '*'): must match the WHOLE
+    // path — a bare "$" rule matches only the empty path, i.e. nothing
+    // a real request path can satisfy
+    if (anchored) pos == path.length else true
   }
 
   /** Parse the body and answer for (path, ua). */

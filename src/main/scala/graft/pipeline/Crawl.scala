@@ -89,7 +89,10 @@ object Crawl {
     graft.expressions.ColumnBridge.column(
       graft.expressions.RobotsAllowed(
         graft.expressions.ColumnBridge.expression(robotsTxt),
-        graft.expressions.ColumnBridge.expression(path), userAgent))
+        graft.expressions.ColumnBridge.expression(path),
+        // UA matching is case-insensitive (RFC 9309 §2.2.1) — accept
+        // mixed-case product tokens here like the SQL builder does
+        userAgent.toLowerCase))
 
   /** Gate a URL frame (e.g. the [[Graphs.frontierUrls]] output) by each
     * host's robots.txt: join the host-sized robots table (broadcast)

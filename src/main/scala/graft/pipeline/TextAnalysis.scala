@@ -34,13 +34,14 @@ object TextAnalysis {
 
   /** The page's `<base href>` (first one wins, as browsers do), or
     * NULL — the resolution base override [[resolveUrl]] callers honor:
-    * `coalesce(resolveUrl(pageUrl, htmlBase(html)), pageUrl)`.
-    * Codegen'd regex, narrow. */
-  def htmlBase(html: Column): Column = {
-    val b = F.regexp_extract(html,
-      "(?i)<base\\s[^>]*?href\\s*=\\s*[\"']?([^\"'\\s>]+)", 1)
-    F.when(b =!= "", b)
-  }
+    * `coalesce(resolveUrl(pageUrl, htmlBase(html)), pageUrl)`. Goes
+    * through the same comment/script-aware scan as [[htmlLinks]], so a
+    * commented-out `<base>` can't hijack resolution
+    * ([[graft.expressions.HtmlBase]] — narrow, codegen'd). */
+  def htmlBase(html: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.HtmlBase(
+        graft.expressions.ColumnBridge.expression(html)))
 
   /** RFC 3986 resolution of an href against its page URL: absolute
     * target URL, fragment dropped; NULL when the base itself is not an

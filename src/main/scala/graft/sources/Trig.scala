@@ -23,16 +23,7 @@ import graft.sparql.Ast._
 object Trig {
 
   private class TrigParser(prefixes: Map[String, String])
-      extends SparqlParser(prefixes) {
-    def directive: Parser[Unit] =
-      ("@prefix" ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef <~ ".") ^^ {
-        case pc ~ i => addPrefix(pc.dropRight(1), i)
-      } |
-      ("@base" ~> iriRef <~ ".") ^^ { i => setBase(i) } |
-      (kwPub("PREFIX") ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef) ^^ {
-        case pc ~ i => addPrefix(pc.dropRight(1), i)
-      } |
-      (kwPub("BASE") ~> iriRef) ^^ { i => setBase(i) }
+      extends TurtleParser(prefixes) {
 
     def graphLabel: Parser[RdfTerm] =
       iri ^^ (Iri(_)) |
@@ -55,13 +46,8 @@ object Trig {
     def trigDoc: Parser[Seq[(TriplePattern, Option[RdfTerm])]] =
       rep(block) ^^ (_.flatten)
 
-    def parseDoc(text: String): Seq[(TriplePattern, Option[RdfTerm])] =
-      parseAll(trigDoc, text) match {
-        case Success(r, _) => r
-        case f: NoSuccess =>
-          throw new graft.sparql.SparqlParseException(f.msg, f.next.pos.line,
-            f.next.pos.column, f.msg + "\n" + f.next.pos.longString)
-      }
+    def parseTrigDoc(text: String): Seq[(TriplePattern, Option[RdfTerm])] =
+      parseWhole(trigDoc, text)
   }
 
   /** Parse a TriG document into a QUAD store (set semantics; g null =
@@ -69,20 +55,10 @@ object Trig {
   def parse(text: String, spark: SparkSession,
       extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
     val p = new TrigParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
-    val patterns = p.parseDoc(text)
-    def toTerm(n: Node): RdfTerm = n match {
-      case TermNode(t) => t
-      case VarNode(v) if v.startsWith("_:") => Blank(v.substring(2))
-      case VarNode(v) =>
-        throw new IllegalArgumentException(s"variable ?$v not allowed in TriG")
-    }
+    val patterns = p.parseTrigDoc(text)
     val quads = patterns.map { case (tp, g) =>
-      val pred = tp.p match {
-        case VerbNode(n) => toTerm(n)
-        case VerbPath(_) =>
-          throw new IllegalArgumentException("property path not allowed in TriG")
-      }
-      (toTerm(tp.s), pred, toTerm(tp.o), g)
+      (Turtle.nodeTerm(tp.s, "TriG"), Turtle.verbTerm(tp, "TriG"),
+        Turtle.nodeTerm(tp.o, "TriG"), g)
     }
     RdfGraph.fromQuads(spark, quads, p.declaredPrefixes)
   }

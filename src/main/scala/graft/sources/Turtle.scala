@@ -15,53 +15,69 @@ import graft.sparql.Ast._
   * (NTriples.scala) instead — same posture as the reference, which uses
   * NT.gz for its 30k-triple fixture.
   */
+/** Shared Turtle-grammar base for the [[Turtle]] and [[Trig]] readers:
+  * the directive productions (`@prefix`/`@base`/`PREFIX`/`BASE`), the
+  * bare-statement production, and the parse-error wrapping live HERE
+  * once — TriG is Turtle plus graph blocks, and its parser subclasses
+  * this. */
+private[sources] class TurtleParser(prefixes: Map[String, String])
+    extends SparqlParser(prefixes) {
+  def directive: Parser[Unit] =
+    ("@prefix" ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef <~ ".") ^^ {
+      case pc ~ i => addPrefix(pc.dropRight(1), i)
+    } |
+    ("@base" ~> iriRef <~ ".") ^^ { i => setBase(i) } |
+    (kwPub("PREFIX") ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef) ^^ {
+      case pc ~ i => addPrefix(pc.dropRight(1), i)
+    } |
+    (kwPub("BASE") ~> iriRef) ^^ { i => setBase(i) }
+
+  def statement: Parser[Seq[TriplePattern]] =
+    directive ^^ (_ => Nil) | triplesSameSubject <~ "."
+
+  def turtleDoc: Parser[Seq[TriplePattern]] = rep(statement) ^^ (_.flatten)
+
+  /** Run `p` over the whole text, wrapping failures with position. */
+  protected def parseWhole[T](p: Parser[T], text: String): T =
+    parseAll(p, text) match {
+      case Success(r, _) => r
+      case f: NoSuccess =>
+        throw new graft.sparql.SparqlParseException(f.msg, f.next.pos.line,
+          f.next.pos.column, f.msg + "\n" + f.next.pos.longString)
+    }
+
+  def parseDoc(text: String): Seq[TriplePattern] =
+    parseWhole(turtleDoc, text)
+}
+
 object Turtle {
 
-  private class TurtleParser(prefixes: Map[String, String])
-      extends SparqlParser(prefixes) {
-    def directive: Parser[Unit] =
-      ("@prefix" ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef <~ ".") ^^ {
-        case pc ~ i => addPrefix(pc.dropRight(1), i)
-      } |
-      ("@base" ~> iriRef <~ ".") ^^ { i => setBase(i) } |
-      (kwPub("PREFIX") ~> """([A-Za-z][A-Za-z0-9_.\-]*)?:""".r ~ iriRef) ^^ {
-        case pc ~ i => addPrefix(pc.dropRight(1), i)
-      } |
-      (kwPub("BASE") ~> iriRef) ^^ { i => setBase(i) }
-
-    def statement: Parser[Seq[TriplePattern]] =
-      directive ^^ (_ => Nil) | triplesSameSubject <~ "."
-
-    def turtleDoc: Parser[Seq[TriplePattern]] = rep(statement) ^^ (_.flatten)
-
-    def parseDoc(text: String): Seq[TriplePattern] = {
-      parseAll(turtleDoc, text) match {
-        case Success(r, _) => r
-        case f: NoSuccess =>
-          throw new graft.sparql.SparqlParseException(f.msg, f.next.pos.line,
-            f.next.pos.column, f.msg + "\n" + f.next.pos.longString)
-      }
-    }
+  /** Pattern node → concrete term (both readers reject query-style
+    * variables; the SPARQL grammar's bnode vars become blanks). */
+  private[sources] def nodeTerm(n: Node, format: String): RdfTerm = n match {
+    case TermNode(t) => t
+    case VarNode(v) if v.startsWith("_:") => Blank(v.substring(2))
+    case VarNode(v) =>
+      throw new IllegalArgumentException(
+        s"variable ?$v not allowed in $format")
   }
+
+  private[sources] def verbTerm(tp: TriplePattern, format: String): RdfTerm =
+    tp.p match {
+      case VerbNode(n) => nodeTerm(n, format)
+      case VerbPath(_) =>
+        throw new IllegalArgumentException(
+          s"property path not allowed in $format")
+    }
 
   /** Parse a Turtle document into an RdfGraph (set semantics applied). */
   def parse(text: String, spark: SparkSession,
       extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
     val p = new TurtleParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
     val patterns = p.parseDoc(text)
-    def toTerm(n: Node): RdfTerm = n match {
-      case TermNode(t) => t
-      case VarNode(v) if v.startsWith("_:") => Blank(v.substring(2))
-      case VarNode(v) =>
-        throw new IllegalArgumentException(s"variable ?$v not allowed in Turtle")
-    }
     val triples = patterns.map { tp =>
-      val pred = tp.p match {
-        case VerbNode(n) => toTerm(n)
-        case VerbPath(_) =>
-          throw new IllegalArgumentException("property path not allowed in Turtle")
-      }
-      (toTerm(tp.s), pred, toTerm(tp.o))
+      (nodeTerm(tp.s, "Turtle"), verbTerm(tp, "Turtle"),
+        nodeTerm(tp.o, "Turtle"))
     }
     RdfGraph.fromTriples(spark, triples, p.declaredPrefixes)
   }

@@ -104,6 +104,36 @@ class HtmlLinksSpec extends SparkSpec {
       .select(TextAnalysis.htmlBase(F.col("h"))).head().isNullAt(0))
   }
 
+  test("stray quote in an unquoted value doesn't swallow later links") {
+    // HTML5: '>' always ends a tag; quotes only open a value after '='
+    assert(links("""<a href=foo"bar>x</a> <a href="/real">r</a>""") ===
+      Seq("foo\"bar", "/real"))
+    assert(links("""<p class=x"oops>text</p><a href="/ok">k</a>""") ===
+      Seq("/ok"))
+  }
+
+  test("base href: comment/script-aware scan, first wins, entity decode") {
+    import graft.expressions.HtmlLinks
+    def base(h: String): String = {
+      val b = HtmlLinks.baseHref(UTF8String.fromString(h))
+      if (b == null) null else b.toString
+    }
+    // a commented-out or scripted <base> never hijacks resolution
+    assert(base("""<!-- <base href="http://evil.example/"> -->
+      <base href="/real/">""") === "/real/")
+    assert(base("""<script>var s='<base href="http://evil.example/">';
+      </script><base href="/good/">""") === "/good/")
+    assert(base("""<base href="/a/"><base href="/b/">""") === "/a/")
+    assert(base("""<base target="_b" href="/p?x=1&amp;y=2">""") ===
+      "/p?x=1&y=2")
+    assert(base("<p>no base</p>") === null)
+    assert(base("<basefont size=3><a href='/x'>t</a>") === null)
+    // SQL registration
+    import spark.implicits._
+    assert(spark.sql("""SELECT html_base('<base href="/sql/">x')""")
+      .as[String].head() === "/sql/")
+  }
+
   test("null in, null out; no anchors means empty array") {
     assert(HtmlLinks.extract(null) === null)
     assert(links("plain text, no markup & such <") === Seq.empty)

@@ -83,6 +83,19 @@ class RobotsSpec extends SparkSpec {
     assert(allowed(tie, "/page"))
   }
 
+  test("a bare '$' rule matches nothing; mixed-case UA works in Scala API") {
+    // '$' anchors an EMPTY pattern: no real path satisfies it, so the
+    // host stays allowed (a buggy match-everything would block it all)
+    assert(allowed("User-agent: *\nDisallow: $", "/x"))
+    assert(allowed("User-agent: *\nDisallow: $", "/"))
+    import spark.implicits._
+    val urls = Seq("http://a.example/private/x").toDF("url")
+    val robots = Seq(("a.example", "User-agent: graftbot\nDisallow: /private/"))
+      .toDF("host", "robots_txt")
+    // the Scala wrapper lowercases the token like the SQL builder does
+    assert(Crawl.filterByRobots(urls, robots, "GraftBot").count() === 0)
+  }
+
   test("edge contracts: empty Disallow, comments, no groups, null body") {
     assert(allowed("User-agent: *\nDisallow:", "/anything"))
     assert(allowed("# just comments\n", "/x"))
