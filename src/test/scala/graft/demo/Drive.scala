@@ -402,6 +402,13 @@ object Drive {
       round.documents.show(false)
       round.frontier.show(false)
       round.hostRanks.orderBy(F.desc("rank")).show(false)
+      // politeness: robots gate + per-host budget on the frontier
+      val robots = Seq(("c.example", "User-agent: *\nDisallow: /new"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.Crawl.schedule(
+        graft.pipeline.Crawl.filterByRobots(round.frontier, robots,
+          "graftbot"), maxPerHost = 5).show(false)
+      println("(c.example/new was frontier but robots disallow it)")
     }
 
     println("=== TriG: named-graph parse -> GRAPH query -> serialize:")
