@@ -1307,6 +1307,14 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_quality_bins" -> ((s, dir) => {
+      // oracle-verified percentile binning (the quality-curriculum
+      // stage): 4 equal-population bins over n_chars; boundaries are
+      // Spark's exact interpolated percentile == DuckDB quantile_cont
+      graft.pipeline.TextAnalysis.percentileBins(
+        read(s, dir, "documents").select(F.col("doc_id"), F.col("n_chars")),
+        "n_chars", nBins = 4)
+    }),
     "q_corpus_diff" -> ((s, dir) => {
       // oracle-verified corpus version diff: old = docs not divisible
       // by 9, new = docs not divisible by 7 with every 5th text
@@ -3435,6 +3443,16 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_quality_bins" ->
+      // same boundaries (quantile_cont == exact interpolated
+      // percentile), same boundary-goes-low comparison
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+             quantile_cont(n_chars, 0.5) AS b2,
+             quantile_cont(n_chars, 0.75) AS b3 FROM documents)
+         SELECT doc_id, n_chars,
+           CAST(CAST(n_chars > b1 AS INT) + CAST(n_chars > b2 AS INT)
+             + CAST(n_chars > b3 AS INT) AS INTEGER) AS bin
+         FROM documents, b""",
     "q_corpus_diff" ->
       // membership and the rewrite pattern restate the status directly
       """SELECT doc_id AS id,

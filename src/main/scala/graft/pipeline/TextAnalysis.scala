@@ -614,4 +614,28 @@ object TextAnalysis {
       .repartition(numShards, F.col("shard"))
       .sortWithinPartitions(F.col("shard"), F.col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Percentile bins over a numeric column — the quality-curriculum
+    * stage (train on high-quality bins first, or mix bins with target
+    * weights): `nBins` equal-population buckets whose boundaries come
+    * from ONE exact sort-based `percentile` aggregate (the same exact
+    * interpolated definition DuckDB's `quantile_cont` restates, like
+    * [[corpusReport]]); binning itself is then a narrow comparison
+    * scan against the broadcast boundary literals — NOT an ntile
+    * window, which would globally sort the corpus. `bin` ∈ [0, nBins),
+    * monotone in the score; a value equal to a boundary goes to the
+    * lower bin, so results are exact and engine-restatable. NULL
+    * scores → NULL bin. */
+  def percentileBins(df: DataFrame, scoreCol: String, nBins: Int,
+      out: String = "bin"): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val fracs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(F.percentile(F.col(scoreCol).cast(DoubleType),
+      F.typedlit(fracs)).as("b")).head().getSeq[Double](0)
+    val score = F.col(scoreCol).cast(DoubleType)
+    val bin = bounds.map(b => F.when(score > b, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn(out,
+      F.when(score.isNotNull, bin.cast(IntegerType)))
+  }
 }

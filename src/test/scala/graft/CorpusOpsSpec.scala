@@ -436,4 +436,31 @@ class CorpusOpsSpec extends SparkSpec {
     // one narrow projection over the corpus
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("percentileBins: interpolated boundaries, ties low, null, narrow scan") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // sorted 1..8: q(.25)=2.75, q(.5)=4.5, q(.75)=6.25 → pairs per bin
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val bins = TextAnalysis.percentileBins(df, "score", 4)
+      .as[(Long, Double, Int)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(bins === Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // a score exactly on a boundary goes to the LOWER bin
+    val tied = (Seq.fill(4)(1.0) ++ Seq.fill(4)(2.0)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val tb = TextAnalysis.percentileBins(tied, "score", 2)
+      .as[(Long, Double, Int)].collect()
+    assert(tb.filter(_._2 == 1.0).forall(_._3 == 0))
+    // null scores bin NULL; result deterministic across partitionings
+    val withNull = df.unionByName(Seq((99L, Option.empty[Double]))
+      .toDF("id", "score"))
+    val nb = TextAnalysis.percentileBins(withNull.repartition(5), "score", 4)
+    assert(nb.where(F.col("id") === 99).head().isNullAt(2))
+    assert(nb.where(F.col("id") =!= 99).as[(Long, Double, Int)].collect()
+      .sortBy(_._1).map(_._3).toSeq === bins)
+    // binning stage is a narrow scan (the one job is the percentile agg)
+    val plan = TextAnalysis.percentileBins(df, "score", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan)
+  }
 }
