@@ -1307,6 +1307,28 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_text_format" -> ((s, dir) => {
+      // oracle-verified format triage: per doc_id%5 one synthesized
+      // document of each category (json object, csv table, markdown
+      // list, symbol-dense code, plain prose); the REAL classifier
+      // runs and DuckDB restates the expected label as a CASE
+      val id = F.col("doc_id")
+      val sample = F.when(id % 5 === 0,
+          F.concat(F.lit("{\"k\": "), id, F.lit(", \"v\": \"x\"}")))
+        .when(id % 5 === 1,
+          F.concat(F.lit("a,b,c\n1,2,"), id, F.lit("\n4,5,6")))
+        .when(id % 5 === 2,
+          F.concat(F.lit("# Title "), id,
+            F.lit("\n- item one\n- item two\nclosing text")))
+        .when(id % 5 === 3,
+          F.concat(F.lit("int f(int x) { return (x + "), id,
+            F.lit("); }\nint g() { return f(2); }")))
+        .otherwise(F.concat(F.lit("This is plain sentence number "), id,
+          F.lit(" with ordinary words only.")))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.TextAnalysis.textFormat(sample).as("fmt"))
+    }),
     "q_quality_bins" -> ((s, dir) => {
       // oracle-verified percentile binning (the quality-curriculum
       // stage): 4 equal-population bins over n_chars; boundaries are
@@ -3443,6 +3465,14 @@ object SparkEntry {
          SELECT DISTINCT 'h' || (doc_id % 7) || '.example',
              'sink.example'
            FROM documents""",
+    "q_text_format" ->
+      // each synthesized shape lands in its category by construction
+      """SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'json' WHEN 1 THEN 'csv'
+             WHEN 2 THEN 'markdown' WHEN 3 THEN 'code'
+             ELSE 'prose' END AS fmt
+         FROM documents""",
     "q_quality_bins" ->
       // same boundaries (quantile_cont == exact interpolated
       // percentile), same boundary-goes-low comparison

@@ -615,6 +615,40 @@ object TextAnalysis {
       .sortWithinPartitions(F.col("shard"), F.col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Heuristic text-format triage — the stage that routes a mixed
+    * corpus's documents to the right pipeline (code and structured
+    * data get different cleaning/weighting than prose):
+    * `json` (trimmed object/array delimiters), `csv` (≥2 non-empty
+    * lines, every line the same ≥2 comma-separated fields),
+    * `markdown` (≥2 heading/list/quote/fence markers and at least one
+    * per 4 lines), `code` (≥5% structural-symbol density), else
+    * `prose` — checked in that order, so symbol-dense JSON stays
+    * `json`. Entirely composable codegen'd column arithmetic
+    * (`regexp_count`, HOF line folds), deterministic, NULL → NULL.
+    * Heuristic by design: the contract is the recipe, not a perfect
+    * classifier. */
+  def textFormat(text: Column): Column = {
+    val t = F.trim(text)
+    val isJson = (t.startsWith("{") && t.endsWith("}")) ||
+      (t.startsWith("[") && t.endsWith("]"))
+    val lines = F.filter(F.split(text, "\n"), l => F.trim(l) =!= "")
+    val nLines = F.size(lines)
+    val commas0 = F.size(F.split(F.element_at(lines, 1), ","))
+    val isCsv = nLines >= 2 && commas0 >= 2 &&
+      F.forall(lines, l => F.size(F.split(l, ",")) === commas0)
+    val mdMarkers =
+      F.regexp_count(text, F.lit("(?m)^(#{1,6} |[-*] |\\d+\\. |> )")) +
+        F.regexp_count(text, F.lit("```"))
+    val isMd = mdMarkers >= 2 && mdMarkers * 4 >= nLines
+    val sym = F.regexp_count(text, F.lit("[{}();=\\[\\]<>]"))
+    val isCode = F.length(text) > 0 && sym * 20 >= F.length(text)
+    F.when(isJson, "json")
+      .when(isCsv, "csv")
+      .when(isMd, "markdown")
+      .when(isCode, "code")
+      .when(text.isNotNull, "prose")
+  }
+
   /** Percentile bins over a numeric column — the quality-curriculum
     * stage (train on high-quality bins first, or mix bins with target
     * weights): `nBins` equal-population buckets whose boundaries come

@@ -437,6 +437,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("textFormat: category recipes, priority order, null/edge contracts") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val cases = Seq(
+      ("""{"a": 1, "b": [2, 3]}""", "json"),
+      ("""[1, 2, 3]""", "json"),
+      ("name,age,city\nbob,3,x\nsue,4,y", "csv"),
+      ("a,b\n1,2\n3", "prose"),            // ragged → not csv
+      ("# Head\n- one\n- two\nplain", "markdown"),
+      ("```\nx\n```\n# t\ntext here", "markdown"),
+      ("int f(int x) { return (x + 1); }\nint g() { return f(2); }", "code"),
+      ("Just an ordinary sentence about nothing much at all.", "prose"),
+      ("", "prose"),
+      // dense JSON stays json even though it passes the code density
+      ("""{"x":{"y":[1,2,{"z":3}]}}""", "json"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.textFormat(F.col("t"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2), cases.map(_._1).zip(got).toString)
+    // NULL in, NULL out
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.textFormat(F.col("t"))).head().isNullAt(0))
+  }
+
   test("percentileBins: interpolated boundaries, ties low, null, narrow scan") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
