@@ -181,6 +181,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "resolve_url(base, ref) takes 2 arguments")
         ResolveUrl(args.head, args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info(classOf[graft.expressions.CdcChunks], "cdc_chunks",
+        "cdc_chunks(bytes, avgBits) - FastCDC content-defined chunking: " +
+          "array of (offset, length, hash) structs, expected chunk size " +
+          "2^avgBits; edits only move nearby boundaries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "cdc_chunks(bytes, avgBits) takes 2 arguments")
+        graft.expressions.CdcChunks(args.head, litInt(args(1), "avgBits"))
+      }))
     ext.injectFunction((FunctionIdentifier("cms_agg"),
       info(classOf[CmsAgg], "cms_agg",
         "cms_agg(tok, depth, width) - Count-Min sketch aggregate: " +

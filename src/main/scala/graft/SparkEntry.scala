@@ -1307,6 +1307,20 @@ object SparkEntry {
         read(s, dir, "documents").select(F.col("doc_id"), url.as("url"),
           html.as("html")))
     }),
+    "q_cdc_dedup" -> ((s, dir) => {
+      // rows-only (gear/FNV hashing is not DuckDB-restatable, like the
+      // other LSH/xxhash families — CdcSpec pins the boundary-shift
+      // property and determinism): per-doc binaries sharing a long
+      // doc_id%50 body with distinct tails near-dup within their group
+      val body = F.repeat(F.concat(F.lit("blob "), F.col("doc_id") % 50,
+        F.lit(" shared content that chunks into several pieces. ")), 40)
+      val blobs = read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.encode(F.concat(body, F.lit("tail "), F.col("doc_id")), "UTF-8")
+            .as("data"))
+      graft.pipeline.Dedup.binaryNearDupPairs(blobs, "doc_id", "data",
+        threshold = 0.4, avgBits = 7)
+    }),
     "q_text_format" -> ((s, dir) => {
       // oracle-verified format triage: per doc_id%5 one synthesized
       // document of each category (json object, csv table, markdown

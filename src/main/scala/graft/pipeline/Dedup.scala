@@ -673,6 +673,38 @@ object Dedup {
     verifiedJaccard(cands, sh, threshold)
   }
 
+  /** Content-defined chunk structs of a binary column
+    * ([[graft.expressions.CdcChunks]] — FastCDC gear-hash boundaries,
+    * (offset, length, hash) per chunk). */
+  def cdcChunks(bin: Column, avgBits: Int = 10): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.CdcChunks(
+        graft.expressions.ColumnBridge.expression(bin), avgBits))
+
+  /** Near-duplicate BINARY blobs via content-defined chunking: two
+    * versions of a file share most CDC chunks no matter where bytes
+    * were inserted (boundaries re-align after an edit — the property
+    * fixed-size blocking lacks), so the chunk-hash sets overlap and
+    * the standard posting-list machinery finds the pairs: one
+    * df-capped shuffle on chunk hash, exact Jaccard verification of
+    * the hash sets. The binary twin of [[ngramJaccardPairs]] — same
+    * plan, chunks instead of shingles. Returns (id1, id2, jaccard),
+    * id1 < id2. */
+  def binaryNearDupPairs(df: DataFrame, id: String, bin: String,
+      threshold: Double = 0.5, avgBits: Int = 10,
+      maxDocsPerChunk: Int = 256): DataFrame = {
+    val sh = df.select(F.col(id).as("rid"),
+        F.array_distinct(F.transform(cdcChunks(F.col(bin), avgBits),
+          c => c.getField("hash"))).as("sh"))
+      .localCheckpoint(false)
+    val cands = bucketPairs(sh
+      .select(F.col("rid"), F.explode(F.col("sh")).as("chunk"))
+      .groupBy("chunk")
+      .agg(smallestIds(sh.schema("rid").dataType, F.col("rid"),
+        maxDocsPerChunk).as("rids")))
+    verifiedJaccard(cands, sh, threshold)
+  }
+
   /** Collapse verified near-dup PAIRS into canonical GROUPS: connected
     * components of the pair graph by iterative min-label propagation.
     * Returns (rid, grp) for every id appearing in a pair, grp = the
