@@ -328,6 +328,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "audio_hash(bytes) takes 1 argument")
         AudioHash(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("video_hash"),
+      info(classOf[graft.expressions.VideoHash], "video_hash",
+        "video_hash(bytes) - 64-bit perceptual hash of a decodable " +
+          "clip (dHash of the temporally averaged frame); NULL for " +
+          "undecodable or sub-9x8 input"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "video_hash(bytes) takes 1 argument")
+        graft.expressions.VideoHash(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("warc_records"),
       info(classOf[WarcRecords], "warc_records",
         "warc_records(bytes) - split an uncompressed WARC segment into " +

@@ -1713,6 +1713,17 @@ object SparkEntry {
         Multimodal.imageHash(img8, "ahash").as("ahash"),
         Multimodal.imageHash(img9, "dhash").as("dhash"))
     }),
+    "q_video_phash" -> ((s, dir) => {
+      // REAL perceptual video hash, oracle-verified end to end: per-doc
+      // two-identical-frame 9×8 DIB AVIs synthesized per-pixel in SQL,
+      // really decoded by the shared frame walk — the temporal average
+      // of identical frames is the frame, so DuckDB recomputes the
+      // dHash from the same pixel formula as q_image_phash
+      val clip = patternedAvi(9, 8, 2,
+        (x, y) => (F.col("doc_id") * 5 + F.lit(31 * x + 73 * y)) % 256)
+      read(s, dir, "documents").select(F.col("doc_id"),
+        Multimodal.videoHash(clip).as("vhash"))
+    }),
     "q_image_neardup" -> ((s, dir) => {
       // perceptual near-dup IMAGE pairs: 50 base patterns, ~n/50 docs
       // each, with up to three perturbed pixels per doc -> within-group
@@ -1839,6 +1850,37 @@ object SparkEntry {
     * carries `gray(x, y)` in all three channels (so the decoded Rec.601
     * luma equals it exactly), rows stored bottom-up with 4-byte stride
     * padding — the fixture the perceptual-hash oracles decode for real. */
+  /** Patterned uncompressed-DIB AVI synthesized in SQL: `nFrames`
+    * identical grayscale frames of per-pixel `gray(x, y)` (logical
+    * top-down coordinates; rows stored bottom-up like the real
+    * format), the container layout `VideoFeatures` walks. */
+  private def patternedAvi(w: Int, h: Int, nFrames: Int,
+      gray: (Int, Int) => Column): Column = {
+    import SqlHex.{hx2, le32h}
+    val stride = (w * 3 + 3) & ~3
+    val raster = F.concat((0 until h).flatMap { r =>
+      val y = h - 1 - r // disk row r is logical row h-1-r (bottom-up)
+      (0 until w).map { x =>
+        F.call_function("repeat", hx2(gray(x, y)), F.lit(3)) } ++
+        (if (stride > w * 3) Seq(F.lit("00" * (stride - w * 3))) else Nil)
+    }: _*)
+    val frame = F.concat(F.lit("30306462"), le32h(F.lit(stride * h)), raster)
+    val movi = F.concat(Seq.fill(nFrames)(frame): _*)
+    val avih = F.concat(F.lit("61766968" + "38000000"),
+      le32h(F.lit(40000)), F.lit("00000000" * 3), le32h(F.lit(nFrames)),
+      F.lit("00000000"), le32h(F.lit(1)), F.lit("00000000"),
+      le32h(F.lit(w)), le32h(F.lit(h)), F.lit("00" * 16))
+    val avihLen = 8 + 56
+    val hdrl = F.concat(F.lit("4C495354"), le32h(F.lit(4 + avihLen)),
+      F.lit("6864726C"), avih)
+    val moviPayloadLen = nFrames * (8 + stride * h)
+    val moviL = F.concat(F.lit("4C495354"), le32h(F.lit(4 + moviPayloadLen)),
+      F.lit("6D6F7669"), movi)
+    val bodyLen = 4 + (8 + 4 + avihLen) + (8 + 4 + moviPayloadLen)
+    F.unhex(F.concat(F.lit("52494646"), le32h(F.lit(bodyLen)),
+      F.lit("41564920"), hdrl, moviL))
+  }
+
   private def patternedBmp(w: Int, h: Int,
       gray: (Int, Int) => Column): Column = {
     import SqlHex.{hx2, le32h}
@@ -3664,6 +3706,23 @@ object SparkEntry {
          )
          SELECT ah.doc_id, ah.ahash, dh.dhash
          FROM ah JOIN dh USING (doc_id)""",
+    "q_video_phash" ->
+      // the temporally averaged frame of identical frames is the frame:
+      // dHash bit (y*8+x) = g(x,y) > g(x+1,y), bit 63 as the signed min
+      """WITH px AS (
+           SELECT d.doc_id, tx.x, ty.y,
+                  (d.doc_id*5 + 31*tx.x + 73*ty.y) % 256 AS g
+           FROM documents d, range(9) tx(x), range(8) ty(y)
+         )
+         SELECT a.doc_id,
+                sum(CASE WHEN a.g > b.g THEN
+                  CASE WHEN a.y*8 + a.x = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << (a.y*8 + a.x)::INT) END
+                  ELSE 0 END)::BIGINT AS vhash
+         FROM px a JOIN px b
+           ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         WHERE a.x < 8
+         GROUP BY a.doc_id""",
     "q_image_neardup" ->
       // ground truth by EXHAUSTION: recompute every doc's dHash from the
       // shared-base + perturbation formula, then all-pairs popcount of

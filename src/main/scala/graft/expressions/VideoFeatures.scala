@@ -77,7 +77,18 @@ object VideoFeatures {
 
   /** Decode every uncompressed frame and fold means + motion; null when
     * nothing decodes. */
-  def parse(b: Array[Byte]): InternalRow = {
+  /** Per-frame pixel consumer for [[walkFrames]]: `start(w,h)` once,
+    * `accept(x,y,r,g,b)` per pixel in row-major top-down order,
+    * `frameEnd()` after each complete frame. */
+  trait FrameSink extends Pixels.PosSink { def frameEnd(): Unit }
+
+  /** Shared AVI frame walk (uncompressed DIB + MJPEG, interleaved
+    * `rec ` lists, the corruption contract of [[parse]]): streams every
+    * decoded frame pixel of every frame to `sink`. Returns
+    * (width, height, frames), or null for corrupt/frameless input —
+    * serving [[parse]] and [[VideoHash]] from ONE copy of the
+    * container/decode logic. */
+  def walkFrames(b: Array[Byte], sink: FrameSink): (Int, Int, Int) = {
     if (b == null) return null
     val dims = VideoHeaderMeta.parseFields(b)
     if (dims == null) return null
@@ -86,50 +97,33 @@ object VideoFeatures {
     val rowBytes = (width * 3 + 3) & ~3
     val frameBytes = rowBytes.toLong * height
     var frames = 0
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var prevR = 0.0; var prevG = 0.0; var prevB = 0.0
-    var motionSum = 0.0
     var corrupt = false
-
-    def foldFrame(fr: Long, fg: Long, fb: Long): Unit = {
-      val px = width.toLong * height
-      val mr = fr.toDouble / px
-      val mg = fg.toDouble / px
-      val mb = fb.toDouble / px
-      if (frames > 0)
-        motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
-          math.abs(mb - prevB)) / 3.0
-      prevR = mr; prevG = mg; prevB = mb
-      sr += fr; sg += fg; sb += fb
-      frames += 1
-    }
+    sink.start(width, height)
 
     def decodeFrame(off: Int): Unit = {
-      var fr = 0L; var fg = 0L; var fb = 0L
       var row = 0
       while (row < height) {
         var p = off + row * rowBytes
         var col = 0
-        while (col < width) { // BGR order, like BMP
-          fb += u(p); fg += u(p + 1); fr += u(p + 2)
+        while (col < width) { // BGR order; bottom-up storage → the
+          // LOGICAL y is flipped, matching the Pixels walkers' contract
+          sink.accept(col, height - 1 - row, u(p + 2), u(p + 1), u(p))
           p += 3; col += 1
         }
         row += 1
       }
-      foldFrame(fr, fg, fb)
+      sink.frameEnd()
+      frames += 1
     }
 
     def decodeJpegFrame(off: Int, len: Int): Unit = {
-      var fr = 0L; var fg = 0L; var fb = 0L
       val slice = java.util.Arrays.copyOfRange(b, off, off + len)
-      val dims = Pixels.walkImageIO(slice, new Pixels.Sink {
-        def accept(r: Int, g: Int, bl: Int): Unit = { fr += r; fg += g; fb += bl }
-      })
+      val dims = Pixels.walkImageIOPos(slice, sink)
       // a frame that fails to decode or disagrees with the avih geometry
-      // poisons the means — treat the container as corrupt, like a
+      // poisons the fold — treat the container as corrupt, like a
       // wrong-sized 00db raster
       if (dims == null || dims._1 != width || dims._2 != height) corrupt = true
-      else foldFrame(fr, fg, fb)
+      else { sink.frameEnd(); frames += 1 }
     }
 
     // video frame chunks are '<2-digit stream>db' (uncompressed DIB) or
@@ -175,10 +169,44 @@ object VideoFeatures {
         visitMovi(i + 12, math.min(i + 8L + size, b.length.toLong), 0)
       !corrupt
     }
-    if (corrupt || frames == 0) return null
+    if (corrupt || frames == 0) null else (width, height, frames)
+  }
+
+  def parse(b: Array[Byte]): InternalRow = {
+    // per-frame channel sums folded through the shared walk; means and
+    // motion computed exactly as before the walkFrames refactor
+    val sink = new FrameSink {
+      var fr = 0L; var fg = 0L; var fb = 0L
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var prevR = 0.0; var prevG = 0.0; var prevB = 0.0
+      var motionSum = 0.0
+      var frames = 0
+      var w = 0; var h = 0
+      def start(w: Int, h: Int): Unit = { this.w = w; this.h = h }
+      def accept(x: Int, y: Int, r: Int, g: Int, bl: Int): Unit = {
+        fr += r; fg += g; fb += bl
+      }
+      def frameEnd(): Unit = {
+        val px = w.toLong * h
+        val mr = fr.toDouble / px
+        val mg = fg.toDouble / px
+        val mb = fb.toDouble / px
+        if (frames > 0)
+          motionSum += (math.abs(mr - prevR) + math.abs(mg - prevG) +
+            math.abs(mb - prevB)) / 3.0
+        prevR = mr; prevG = mg; prevB = mb
+        sr += fr; sg += fg; sb += fb
+        fr = 0L; fg = 0L; fb = 0L
+        frames += 1
+      }
+    }
+    val dims = walkFrames(b, sink)
+    if (dims == null) return null
+    val (width, height, frames) = dims
     val total = width.toLong * height * frames
     InternalRow(frames, width, height,
-      sr.toDouble / total, sg.toDouble / total, sb.toDouble / total,
-      if (frames > 1) motionSum / (frames - 1) else 0.0)
+      sink.sr.toDouble / total, sink.sg.toDouble / total,
+      sink.sb.toDouble / total,
+      if (frames > 1) sink.motionSum / (frames - 1) else 0.0)
   }
 }

@@ -575,6 +575,21 @@ object Dedup {
         .where(F.col("sh").isNotNull),
       maxBits, maxBucket)
 
+  /** Near-duplicate VIDEO pairs — the fourth modality through the one
+    * shared Hamming banding core: perceptual video hashes
+    * ([[Multimodal.videoHash]] — temporally averaged dHash, so
+    * re-encodes and frame-rate changes of the same footage land within
+    * a few bits) banded and popcount-verified exactly like the text
+    * SimHash / image / audio paths. Undecodable rows drop (they can't
+    * be shown to duplicate anything). */
+  def videoNearDupPairs(df: DataFrame, id: String, bytes: String,
+      maxBits: Int = 3, maxBucket: Int = 256): DataFrame =
+    hammingNearDupPairs(
+      df.select(F.col(id).as("rid"),
+          Multimodal.videoHash(F.col(bytes)).as("sh"))
+        .where(F.col("sh").isNotNull),
+      maxBits, maxBucket)
+
   /** Perceptual IMAGE dedup end to end: [[imageNearDupPairs]] →
     * connected components ([[dedupGroups]]) → keep each group's
     * smallest id — the image twin of the text near-dup stage in

@@ -301,6 +301,16 @@ object Multimodal {
       graft.expressions.AudioHash(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** 64-bit perceptual VIDEO hash ([[graft.expressions.VideoHash]]):
+    * dHash gradient signs of the clip's temporally averaged frame —
+    * frame-rate- and brightness-scale-invariant, feeding the same
+    * Hamming banding as the text/image/audio hashes. NULL for
+    * undecodable or sub-grid clips. */
+  def videoHash(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.VideoHash(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** REAL resize: decode any JDK-readable image, bilinear-scale the long
     * side down to `maxSide` (aspect preserved, never upscales), return
     * PNG bytes; null for undecodable input

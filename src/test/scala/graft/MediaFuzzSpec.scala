@@ -36,6 +36,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "Unzstd" -> (Unzstd.decompress(_)),
     "Unlz4" -> (Unlz4.decompress(_)),
     "Unsnappy" -> (Unsnappy.decompress(_)),
+    "VideoHash" -> (VideoHash.hash(_)),
+    "CdcChunks" -> (CdcChunks.split(_, 8)),
     "HtmlLinks" -> ((b: Array[Byte]) => HtmlLinks.extract(
       org.apache.spark.unsafe.types.UTF8String.fromBytes(b))))
 
