@@ -127,6 +127,20 @@ class Engine(initial: RdfGraph) {
   def selectRaw(sparql: String, bindings: Map[String, Any] = Map.empty): DataFrame =
     wrapRuntime(sparql) { compiler.compileSelect(parseSelect(sparql, bindings)) }
 
+  /** The Spark physical plan a SPARQL SELECT compiles to, as
+    * `DataFrame.explain` text (`"formatted"`, `"extended"`, or
+    * `"simple"`) — the plan-inspection surface a user tuning a 100 TB
+    * query needs (are the filters pushed? which joins broadcast?),
+    * without executing anything. Uses the raw compile path, so the
+    * plan is the one `selectRaw` runs. */
+  def explain(sparql: String, mode: String = "formatted",
+      bindings: Map[String, Any] = Map.empty): String =
+    wrapRuntime(sparql) {
+      val df = compiler.compileSelect(parseSelect(sparql, bindings))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+    }
+
   private def parseSelect(sparql: String, bindings: Map[String, Any]): SelectQuery =
     parse(sparql).query match {
       case s: SelectQuery => Substitute(s, toTerms(bindings))

@@ -6,6 +6,18 @@ import graft.rdf._
   * reference's notebooks (SURVEY.md §2B citations on each test). */
 class OperatorSpec extends SparkSpec {
 
+  test("explain returns the compiled physical plan without executing") {
+    val g = graft.rdf.RdfGraph.fromTriples(spark, Seq(
+      (graft.rdf.Iri("http://e/s"), graft.rdf.Iri("http://e/p"),
+        graft.rdf.Lit.plain("v"))), Map("e" -> "http://e/"))
+    val engine = Engine.fromGraph(g)
+    val txt = engine.explain("SELECT ?o WHERE { ?s e:p ?o }")
+    assert(txt.contains("== Physical Plan =="))
+    val simple = engine.explain("SELECT ?o WHERE { ?s e:p ?o }", "simple")
+    assert(simple.nonEmpty && !simple.contains("== Parsed Logical Plan =="))
+    intercept[GraftException] { engine.explain("SELECT ?o WHERE { broken") }
+  }
+
   // Inference_Over_RDF_Containers.ipynb fixture: horse races as containers
   val racesTtl: String =
     """
