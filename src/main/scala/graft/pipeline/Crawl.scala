@@ -65,10 +65,12 @@ object Crawl {
       langs: Seq[String] = Seq("en"),
       chunkSize: Int = 64, chunkStride: Int = 48,
       maxMojibake: Option[Double] = Some(0.05),
-      pageRankIters: Int = 5): Round = {
+      pageRankIters: Int = 5,
+      robots: Option[(DataFrame, String)] = None,
+      maxPerHost: Option[Int] = None): Round = {
     val pages = htmlPages(Warc.readStreamed(spark, warcPath))
     roundFromPages(spark, pages, seenUrls, minQuality, langs, chunkSize,
-      chunkStride, maxMojibake, pageRankIters)
+      chunkStride, maxMojibake, pageRankIters, robots, maxPerHost)
   }
 
   /** Path-plus-query of a URL as RFC 9309 matches it (`/dir/p?x=1`;
@@ -160,7 +162,9 @@ object Crawl {
       langs: Seq[String] = Seq("en"),
       chunkSize: Int = 64, chunkStride: Int = 48,
       maxMojibake: Option[Double] = Some(0.05),
-      pageRankIters: Int = 5): Round = {
+      pageRankIters: Int = 5,
+      robots: Option[(DataFrame, String)] = None,
+      maxPerHost: Option[Int] = None): Round = {
     val docs = Curation.curate(
       pages.select(F.col("doc_id"), F.col("html").as("text")),
       "doc_id", "text",
@@ -171,7 +175,19 @@ object Crawl {
       import spark.implicits._
       Seq.empty[String].toDF("url")
     }
-    val frontier = Graphs.frontierUrls(pages, seen)
+    // politeness applies to what we'd FETCH next, in order: robots
+    // gate first (never schedule a disallowed URL), then the per-host
+    // budget; with a budget the frontier carries (url, host,
+    // fetch_order), without one just (url)
+    val discovered = Graphs.frontierUrls(pages, seen)
+    val polite = robots match {
+      case Some((r, ua)) => filterByRobots(discovered, r, ua)
+      case None => discovered
+    }
+    val frontier = maxPerHost match {
+      case Some(budget) => schedule(polite, budget)
+      case None => polite
+    }
     val ranks = Graphs.pageRankHosts(Graphs.hostEdges(pages),
       iters = pageRankIters)
     Round(docs, frontier, ranks)

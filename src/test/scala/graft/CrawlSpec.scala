@@ -116,6 +116,20 @@ class CrawlSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("round with politeness: robots gate + budget inside the one call") {
+    val robots = Seq(("beta.example", "User-agent: *\nDisallow: /next"))
+      .toDF("host", "robots_txt")
+    val out = Crawl.round(spark, warcDir,
+      minQuality = 0.0, chunkSize = 16, chunkStride = 16,
+      robots = Some((robots, "graftbot")), maxPerHost = Some(5))
+    // beta/next is robots-blocked; alpha/other and gamma/new survive
+    // with dense per-host order
+    val rows = out.frontier.select("url", "fetch_order")
+      .as[(String, Long)].collect().toMap
+    assert(rows === Map("http://alpha.example/other" -> 0L,
+      "http://gamma.example/new" -> 0L))
+  }
+
   test("round: corpus + frontier + host ranks from one call") {
     val out = Crawl.round(spark, warcDir,
       seenUrls = Some(Seq("http://gamma.example/new").toDF("url")),
