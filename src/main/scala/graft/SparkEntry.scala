@@ -1227,6 +1227,31 @@ object SparkEntry {
           F.col("r.payload").as("payload"))
       graft.pipeline.Crawl.htmlPages(records).select("url", "html")
     }),
+    "q_redirects" -> ((s, dir) => {
+      // oracle-verified redirect extraction: per-doc 301 responses with
+      // a RELATIVE Location that must resolve against the request URL
+      val docId = F.col("doc_id")
+      val url = F.concat(F.lit("http://h"), docId % 7,
+        F.lit(".example/old/"), docId)
+      val payload = F.concat(
+        F.lit("HTTP/1.1 301 Moved\r\nLocation: /new/"), docId,
+        F.lit("\r\nContent-Length: 0\r\n\r\n"))
+      val seg = F.encode(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\nWARC-Record-ID: <r:"),
+        docId, F.lit(">\r\nContent-Type: application/http;msgtype=response" +
+          "\r\nContent-Length: "), F.length(payload),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n")), "UTF-8")
+      val records = read(s, dir, "documents")
+        .select(F.lit("mem").as("file"),
+          F.explode(sources.Warc.records(seg)).as("r"))
+        .select(F.col("file"), F.col("r.warc_type").as("warc_type"),
+          F.col("r.target_uri").as("target_uri"), F.col("r.date").as("date"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.content_type").as("content_type"),
+          F.col("r.payload").as("payload"))
+      graft.pipeline.Crawl.redirects(records)
+    }),
     "q_http" -> ((s, dir) => {
       // oracle-verified HTTP unwrap: a chunked (RFC 9112 §7.1) response
       // assembled per doc in SQL — hex size lines, chunk extension,
@@ -3445,6 +3470,15 @@ object SparkEntry {
     "q_unsnappy" ->
       // the single-literal block's payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' snappy payload' AS text
+         FROM documents""",
+    "q_redirects" ->
+      // the resolved Location restates as concatenation (host kept,
+      // absolute path replaces the old one)
+      """SELECT 'http://h' || (doc_id % 7) || '.example/old/' || doc_id
+             AS url,
+           CAST(301 AS INTEGER) AS status,
+           'http://h' || (doc_id % 7) || '.example/new/' || doc_id
+             AS location
          FROM documents""",
     "q_crawl_pages" ->
       // only the 200 text/html record survives the gates; its body

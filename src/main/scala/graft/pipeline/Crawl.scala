@@ -73,6 +73,33 @@ object Crawl {
       chunkStride, maxMojibake, pageRankIters, robots, maxPerHost)
   }
 
+  /** Redirect edges of the crawl: 3xx responses mapped to
+    * (url, status, location) with Location resolved against the
+    * request URL (it is legally relative). The URL-aliasing table a
+    * crawl round folds into its seen set and canonicalization — a
+    * redirect chain means several frontier URLs name one resource.
+    * Narrow end to end. */
+  def redirects(records: DataFrame): DataFrame = {
+    // the HTTP parser surfaces status but not arbitrary headers;
+    // extract the Location line from the raw payload (narrow regex —
+    // HTTP headers are CRLF-framed, case-insensitive names)
+    val loc = F.regexp_extract(
+      F.decode(F.col("payload"), "UTF-8"),
+      "(?si)\\r\\nLocation:[ \\t]*([^\\r\\n]+)", 1)
+    records
+      .where(F.col("warc_type") === "response")
+      .select(F.col("target_uri").as("url"),
+        graft.expressions.ColumnBridge.column(graft.expressions.HttpMessage(
+          graft.expressions.ColumnBridge.expression(F.col("payload"))))
+          .getField("status").as("status"),
+        loc.as("__loc"))
+      .where(F.col("status").between(300, 399) && F.col("__loc") =!= "")
+      .select(F.col("url"), F.col("status"),
+        TextAnalysis.resolveUrl(F.col("url"), F.trim(F.col("__loc")))
+          .as("location"))
+      .where(F.col("location").isNotNull)
+  }
+
   /** Path-plus-query of a URL as RFC 9309 matches it (`/dir/p?x=1`;
     * fragment dropped; empty → `/`). Codegen'd regex, narrow. */
   def urlPath(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -78,6 +78,25 @@ class CrawlSpec extends SparkSpec {
     assert(pages.map(_.getLong(0)).toSeq === expect)
   }
 
+  test("redirects: 3xx Location resolved against the request URL") {
+    val segment =
+      rec("response", "http://a.example/old",
+        ("HTTP/1.1 301 Moved\r\nLocation: /new\r\nContent-Length: 0\r\n\r\n")
+          .getBytes("UTF-8")) ++
+      rec("response", "http://a.example/other",
+        ("HTTP/1.1 302 Found\r\nlocation:  http://b.example/x \r\n" +
+          "Content-Length: 0\r\n\r\n").getBytes("UTF-8")) ++
+      rec("response", "http://a.example/fine", http(200, pageA))
+    val dir = Files.createTempDirectory("redir")
+    Files.write(dir.resolve("seg.warc"), segment)
+    val out = Crawl.redirects(
+      graft.sources.Warc.readStreamed(spark, dir.toString))
+      .as[(String, Int, String)].collect().toSet
+    assert(out === Set(
+      ("http://a.example/old", 301, "http://a.example/new"),
+      ("http://a.example/other", 302, "http://b.example/x")))
+  }
+
   test("sitemap discovery: robots Sitemap lines, urlset and index locs") {
     val robots = "User-agent: *\nDisallow: /x\n" +
       "Sitemap: http://a.example/sitemap.xml\n" +

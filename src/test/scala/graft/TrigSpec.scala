@@ -85,6 +85,19 @@ class TrigSpec extends SparkSpec {
     assert(viaTurtle.triples.count() === 1)
   }
 
+  test("hostile input: parse throws cleanly, never hangs") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 150) {
+      val junk = (0 until rnd.nextInt(60)).map(_ =>
+        "<>{}.;@prefixGRAPH:_ \"a".charAt(rnd.nextInt(23))).mkString
+      try { Trig.parse(junk, spark); () }
+      catch {
+        case _: graft.sparql.SparqlParseException => ()
+        case _: IllegalArgumentException => ()
+      }
+    }
+  }
+
   test("parse errors carry position context") {
     val e = intercept[graft.sparql.SparqlParseException] {
       Trig.parse("GRAPH ex:g ex:not-a-block", spark,
