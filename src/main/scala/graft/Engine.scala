@@ -134,12 +134,21 @@ class Engine(initial: RdfGraph) {
     * without executing anything. Uses the raw compile path, so the
     * plan is the one `selectRaw` runs. */
   def explain(sparql: String, mode: String = "formatted",
-      bindings: Map[String, Any] = Map.empty): String =
-    wrapRuntime(sparql) {
-      val df = compiler.compileSelect(parseSelect(sparql, bindings))
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+      bindings: Map[String, Any] = Map.empty): String = {
+    // validate the mode BEFORE compiling, inside this surface's error
+    // contract (a typo'd mode must not leak a raw Spark exception)
+    val m = try
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    catch {
+      case _: IllegalArgumentException => throw new GraftException(
+        s"explain mode must be one of simple/extended/codegen/cost/" +
+          s"formatted, got '$mode'")
     }
+    wrapRuntime(sparql) {
+      compiler.compileSelect(parseSelect(sparql, bindings))
+        .queryExecution.explainString(m)
+    }
+  }
 
   private def parseSelect(sparql: String, bindings: Map[String, Any]): SelectQuery =
     parse(sparql).query match {

@@ -81,10 +81,12 @@ object Crawl {
     * Narrow end to end. */
   def redirects(records: DataFrame): DataFrame = {
     // the HTTP parser surfaces status but not arbitrary headers;
-    // extract the Location line from the raw payload (narrow regex —
-    // HTTP headers are CRLF-framed, case-insensitive names)
-    val loc = F.regexp_extract(
-      F.decode(F.col("payload"), "UTF-8"),
+    // extract the Location line from the HEADER BLOCK only (before the
+    // first CRLFCRLF — body text echoing a "Location:" line must not
+    // fabricate a redirect edge)
+    val headers = F.substring_index(
+      F.decode(F.col("payload"), "UTF-8"), "\r\n\r\n", 1)
+    val loc = F.regexp_extract(headers,
       "(?si)\\r\\nLocation:[ \\t]*([^\\r\\n]+)", 1)
     records
       .where(F.col("warc_type") === "response")

@@ -678,13 +678,21 @@ object Dedup {
     val sh = df.select(F.col(id).as("rid"),
         shingleHashes(F.col(text), k).as("sh"))
       .localCheckpoint(false)
-    // one shuffle: per-shingle posting list, sorted + df-capped, pairs
-    // expanded locally (see bucketPairs)
+    setJaccardPairs(sh, maxDocsPerShingle, threshold)
+  }
+
+  /** Shared candidate+verify tail of the set-overlap dedup family: a
+    * (rid, sh: array<long>) frame → one df-capped posting-list shuffle
+    * on the set elements ([[bucketPairs]]) → exact Jaccard
+    * verification. Serves [[ngramJaccardPairs]] (shingle sets) and
+    * [[binaryNearDupPairs]] (CDC chunk-hash sets). */
+  private def setJaccardPairs(sh: DataFrame, maxDocsPerKey: Int,
+      threshold: Double): DataFrame = {
     val cands = bucketPairs(sh
-      .select(F.col("rid"), F.explode(F.col("sh")).as("shingle"))
-      .groupBy("shingle")
+      .select(F.col("rid"), F.explode(F.col("sh")).as("k"))
+      .groupBy("k")
       .agg(smallestIds(sh.schema("rid").dataType, F.col("rid"),
-        maxDocsPerShingle).as("rids")))
+        maxDocsPerKey).as("rids")))
     verifiedJaccard(cands, sh, threshold)
   }
 
@@ -712,12 +720,7 @@ object Dedup {
         F.array_distinct(F.transform(cdcChunks(F.col(bin), avgBits),
           c => c.getField("hash"))).as("sh"))
       .localCheckpoint(false)
-    val cands = bucketPairs(sh
-      .select(F.col("rid"), F.explode(F.col("sh")).as("chunk"))
-      .groupBy("chunk")
-      .agg(smallestIds(sh.schema("rid").dataType, F.col("rid"),
-        maxDocsPerChunk).as("rids")))
-    verifiedJaccard(cands, sh, threshold)
+    setJaccardPairs(sh, maxDocsPerChunk, threshold)
   }
 
   /** Collapse verified near-dup PAIRS into canonical GROUPS: connected

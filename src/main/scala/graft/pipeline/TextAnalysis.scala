@@ -664,8 +664,13 @@ object TextAnalysis {
       out: String = "bin"): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
     val fracs = (1 until nBins).map(_.toDouble / nBins)
-    val bounds = df.agg(F.percentile(F.col(scoreCol).cast(DoubleType),
-      F.typedlit(fracs)).as("b")).head().getSeq[Double](0)
+    val boundsRow = df.agg(F.percentile(F.col(scoreCol).cast(DoubleType),
+      F.typedlit(fracs)).as("b")).head()
+    // empty frame / all-NULL scores: no boundaries exist — every bin is
+    // NULL (consistent with the per-row NULL contract), not a crash
+    if (boundsRow.isNullAt(0))
+      return df.withColumn(out, F.lit(null).cast(IntegerType))
+    val bounds = boundsRow.getSeq[Double](0)
     val score = F.col(scoreCol).cast(DoubleType)
     val bin = bounds.map(b => F.when(score > b, 1).otherwise(0))
       .reduce(_ + _)

@@ -485,5 +485,12 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = TextAnalysis.percentileBins(df, "score", 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan)
+    // empty frame / all-NULL scores: NULL bins, not a crash
+    assert(TextAnalysis.percentileBins(df.where(F.lit(false)), "score", 4)
+      .count() === 0)
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "score")
+    val nulls = TextAnalysis.percentileBins(allNull, "score", 4)
+    assert(nulls.count() === 2 && nulls.where(F.col("bin").isNull).count() === 2)
   }
 }

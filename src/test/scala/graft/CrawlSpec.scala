@@ -95,6 +95,14 @@ class CrawlSpec extends SparkSpec {
     assert(out === Set(
       ("http://a.example/old", 301, "http://a.example/new"),
       ("http://a.example/other", 302, "http://b.example/x")))
+    // a Location-looking line in the BODY must not fabricate an edge
+    val bodyTrap = rec("response", "http://a.example/trap",
+      ("HTTP/1.1 300 Choices\r\nContent-Length: 29\r\n\r\n" +
+        "see:\r\nLocation: http://evil/x\r\n").getBytes("UTF-8"))
+    val dir2 = Files.createTempDirectory("redir2")
+    Files.write(dir2.resolve("seg.warc"), bodyTrap)
+    assert(Crawl.redirects(
+      graft.sources.Warc.readStreamed(spark, dir2.toString)).count() === 0)
   }
 
   test("sitemap discovery: robots Sitemap lines, urlset and index locs") {

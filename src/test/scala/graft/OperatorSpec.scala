@@ -16,6 +16,11 @@ class OperatorSpec extends SparkSpec {
     val simple = engine.explain("SELECT ?o WHERE { ?s e:p ?o }", "simple")
     assert(simple.nonEmpty && !simple.contains("== Parsed Logical Plan =="))
     intercept[GraftException] { engine.explain("SELECT ?o WHERE { broken") }
+    // a typo'd mode stays inside the engine's error contract
+    val e = intercept[GraftException] {
+      engine.explain("SELECT ?o WHERE { ?s e:p ?o }", "formated")
+    }
+    assert(e.getMessage.contains("explain mode"))
   }
 
   // Inference_Over_RDF_Containers.ipynb fixture: horse races as containers
