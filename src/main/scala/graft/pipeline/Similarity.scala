@@ -426,6 +426,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fit-once binary-code index for [[binaryTopK]]: the corpus with
+    * its 1-bit code materialized ONCE next to the vector, so a query's
+    * Hamming scan is a COLUMN-PRUNED read of (id, code) — 8 bytes per
+    * 64 dims off disk, never the float column — and only the `rerank`
+    * survivors' vectors are read back through an id-pushdown filter.
+    * The write-time discipline of [[IvfIndex]]/[[LshIndex]]/TextIndex
+    * applied to the binary path. */
+  final class BinaryIndex private[pipeline] (
+      /** id, vec, `__code` (array<long>). */
+      val coded: DataFrame,
+      val id: String, val vec: String) {
+    def persist(): BinaryIndex = { coded.persist(); this }
+    def unpersist(): BinaryIndex = { coded.unpersist(); this }
+
+    def save(path: String): Unit = {
+      coded.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, BinaryIndex.SIDECAR),
+        s"""{"id": "$id", "vec": "$vec"}""")
+    }
+  }
+
+  object BinaryIndex {
+    private[pipeline] val SIDECAR = "_binary_meta.json"
+
+    /** One narrow map — the quantization runs once here instead of
+      * once per query. */
+    def fit(corpus: DataFrame, id: String, vec: String): BinaryIndex =
+      new BinaryIndex(corpus.select(F.col(id), F.col(vec),
+        binaryQuantize(F.col(vec)).as("__code")), id, vec)
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): BinaryIndex = {
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, SIDECAR))
+      val meta = """\{"id": "([^"]*)", "vec": "([^"]*)"\}""".r
+      text match {
+        case meta(id, vec) =>
+          new BinaryIndex(spark.read.parquet(path), id, vec)
+        case _ => throw new IllegalArgumentException(
+          s"not a binary index (bad $SIDECAR): $path")
+      }
+    }
+  }
+
+  /** [[binaryTopK]] against a fitted index: pass 1 scans ONLY
+    * (id, code) — parquet column pruning keeps the floats on disk —
+    * and keeps the `rerank` Hamming-closest ids (collected: a k-sized
+    * list); pass 2 re-reads just those rows' vectors through an
+    * id-pushdown filter and ranks them by exact cosine. Identical
+    * results to the index-free path (ties broken by id in both
+    * stages). */
+  def binaryTopK(index: BinaryIndex, query: Seq[Float], k: Int,
+      rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val qCode = graft.expressions.BinarySign.packLocal(query)
+    val cands = index.coded
+      .select(F.col(index.id),
+        hammingDist(F.col("__code"), F.typedlit(qCode.toSeq)).as("__h"))
+      .orderBy(F.col("__h"), F.col(index.id))
+      .limit(rerank)
+      .select(index.id)
+      .collect().map(_.get(0))
+    index.coded
+      .where(F.col(index.id).isInCollection(cands.toSeq))
+      .select(F.col(index.id),
+        cosine(F.col(index.vec), F.typedlit(query)).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(index.id))
+      .limit(k)
+  }
+
   /** 1-bit binary code of an embedding column — ⌈d/64⌉ longs, bit per
     * dimension set iff the component is > 0
     * ([[graft.expressions.BinarySign]]): 32× smaller than float32, and

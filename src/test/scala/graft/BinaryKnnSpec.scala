@@ -86,6 +86,30 @@ class BinaryKnnSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("BinaryIndex: fitted == unfitted; pruned scan; save/load round trip") {
+    val df = corpus.toDF("id", "vec")
+    val q = corpus(9)._2
+    val unfitted = Similarity.binaryTopK(df, "id", "vec", q, 10, rerank = 60)
+      .as[(Long, Double)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bidx").toString
+    Similarity.BinaryIndex.fit(df, "id", "vec").save(dir)
+    val loaded = Similarity.BinaryIndex.load(spark, dir)
+    val fitted = Similarity.binaryTopK(loaded, q, 10, rerank = 60)
+      .as[(Long, Double)].collect().toSeq
+    assert(fitted === unfitted)
+    // the Hamming pass reads only (id, __code) — the float column
+    // stays on disk (parquet column pruning)
+    val qCode = graft.expressions.BinarySign.packLocal(q)
+    val hammingPlan = loaded.coded
+      .select(F.col("id"),
+        Similarity.hammingDist(F.col("__code"),
+          F.typedlit(qCode.toSeq)).as("__h"))
+      .orderBy(F.col("__h"), F.col("id")).limit(60)
+      .queryExecution.executedPlan.toString
+    assert(hammingPlan.contains("ReadSchema") && !hammingPlan.contains("vec:"),
+      hammingPlan)
+  }
+
   test("SQL registration: binary_sign") {
     val r = spark.sql(
       "SELECT binary_sign(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)))")
