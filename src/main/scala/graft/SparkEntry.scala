@@ -878,6 +878,22 @@ object SparkEntry {
       Similarity.maxSimTopK(docs, "vec_id", "vecs", q, 20)
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // oracle-verified hard-negative mining: queries = vecs 0..2,
+      // corpus = the rest, positives = (q, q+100); top-5 non-positive
+      // cosines per query restate as a DuckDB window over
+      // list_dot_product arithmetic
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val corpus = emb.where(F.col("vec_id") >= 3)
+        .select(F.col("vec_id").as("id"), F.col("embedding").as("vec"))
+      val positives = queries.select(F.col("qid"),
+        (F.col("qid") + 100).as("id"))
+      Similarity.hardNegatives(queries, corpus, positives, k = 5)
+        .select(F.col("qid"), F.col("id"),
+          F.round(F.col("cosine"), 6).as("cosine"), F.col("rank"))
+    }),
     "q_binary_knn" -> ((s, dir) => {
       // oracle-verified binary quantization + Hamming ranking: the d=64
       // corpus packs to ONE code word per vector, so DuckDB regenerates
@@ -2391,6 +2407,25 @@ object SparkEntry {
          SELECT vec_id, round(SUM(m), 6) AS score
          FROM per GROUP BY vec_id
          ORDER BY SUM(m) DESC, vec_id LIMIT 20""",
+    "q_hard_negatives" ->
+      // same cosine recipe as q_knn_brute, ranked per query with the
+      // (q, q+100) positives excluded before ranking
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id < 3),
+         scored AS (SELECT q.qid, e.vec_id AS id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM embeddings e, qs q
+           WHERE e.vec_id >= 3 AND e.vec_id <> q.qid + 100),
+         ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+               AS rank
+           FROM scored)
+         SELECT qid, id, round(cos, 6) AS cosine, CAST(rank AS INTEGER)
+             AS rank
+         FROM ranked WHERE rank <= 5""",
     "q_binary_knn" ->
       // codes regenerate from the positivity of each component; the
       // Hamming order (then vec_id) is a deterministic total order so

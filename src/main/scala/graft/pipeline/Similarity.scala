@@ -426,6 +426,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive/retriever training: for each
+    * (query id, query vector), the `k` corpus items MOST similar to the
+    * query that are NOT its labeled positives — the near-misses a
+    * contrastive loss learns the most from (in-batch random negatives
+    * are too easy). Returns (qid, id, cosine, rank), rank 1..k per
+    * query, deterministic (ties by id; positives excluded BEFORE
+    * ranking, so rank k is always the k-th true negative).
+    *
+    * Exact by construction: the query batch broadcasts (training
+    * batches are small) and the corpus is scanned ONCE for all queries
+    * — one narrow scan + per-query TakeOrdered via window, no
+    * corpus-sized shuffle beyond the rank partition. For query sets at
+    * corpus scale use [[knnJoin]] (LSH) and anti-join positives
+    * downstream instead. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      positives: DataFrame, k: Int,
+      qid: String = "qid", qvec: String = "qvec",
+      cid: String = "id", cvec: String = "vec"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = corpus.crossJoin(F.broadcast(queries))
+      .select(F.col(qid), F.col(cid),
+        cosine(F.col(cvec), F.col(qvec)).as("cosine"))
+    val nonPos = scored.join(
+      positives.select(F.col(qid), F.col(cid)),
+      Seq(qid, cid), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qid).orderBy(F.col("cosine").desc, F.col(cid))
+    nonPos.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+  }
+
   /** Fit-once binary-code index for [[binaryTopK]]: the corpus with
     * its 1-bit code materialized ONCE next to the vector, so a query's
     * Hamming scan is a COLUMN-PRUNED read of (id, code) — 8 bytes per

@@ -110,6 +110,26 @@ class BinaryKnnSpec extends SparkSpec {
       hammingPlan)
   }
 
+  test("hardNegatives: positives excluded before ranking, dense ranks") {
+    val queries = Seq((0L, Seq(1f, 0f, 0f))).toDF("qid", "qvec")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f)),    // perfect match — but labeled positive
+      (11L, Seq(0.9f, 0.1f, 0f)),
+      (12L, Seq(0.5f, 0.5f, 0f)),
+      (13L, Seq(0f, 1f, 0f))).toDF("id", "vec")
+    val positives = Seq((0L, 10L)).toDF("qid", "id")
+    val got = Similarity.hardNegatives(queries, corpus, positives, k = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq
+      .sortBy(_._3)
+    // the positive is gone; rank 1 is the best true negative
+    assert(got === Seq((0L, 11L, 1), (0L, 12L, 2)))
+    // deterministic across partitionings
+    val again = Similarity.hardNegatives(queries, corpus.repartition(3),
+      positives, k = 2).select("qid", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(again === got)
+  }
+
   test("SQL registration: binary_sign") {
     val r = spark.sql(
       "SELECT binary_sign(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)))")
