@@ -607,6 +607,21 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
+  /** Chunk-level BINARY dedup end to end: [[binaryNearDupPairs]] →
+    * connected components → keep each group's smallest id — the blob
+    * twin of [[imageDedup]]. Blobs below the chunking floor share no
+    * chunks and are kept (they can't be shown near-duplicate). */
+  def binaryDedup(df: DataFrame, id: String, bin: String,
+      threshold: Double = 0.5, avgBits: Int = 10,
+      maxDocsPerChunk: Int = 256): DataFrame = {
+    val pairs = binaryNearDupPairs(df, id, bin, threshold, avgBits,
+      maxDocsPerChunk)
+    val losers = dedupGroups(pairs)
+      .where(F.col("grp") =!= F.col("rid"))
+      .select(F.col("rid").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** The banding core shared by [[simhashNearDupPairs]] (text) and
     * [[imageNearDupPairs]] (pixels): pairs within Hamming distance
     * `maxBits` of any 64-bit hash column. `hashed` must have columns

@@ -92,6 +92,20 @@ class CdcSpec extends SparkSpec {
     assert(again === pairs)
   }
 
+  test("binaryDedup keeps each group's smallest id; unrelated blobs stay") {
+    val base = randBytes(17, 20000)
+    val blobs = Seq(
+      (5L, base),
+      (2L, randBytes(3, 30) ++ base),   // same group — smaller id wins
+      (9L, base ++ randBytes(4, 30)),   // same group
+      (7L, randBytes(8, 20000)))        // unrelated, kept
+      .toDF("doc_id", "data")
+    val kept = Dedup.binaryDedup(blobs, "doc_id", "data",
+      threshold = 0.5, avgBits = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+  }
+
   test("SQL registration") {
     val d = randBytes(2, 2000)
     val viaSql = Seq(Tuple1(d)).toDF("b").createOrReplaceTempView("cdc_in")
