@@ -164,6 +164,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HtmlLinks(args.head, skip)
       }))
+    ext.injectFunction((FunctionIdentifier("html_anchors"),
+      info(classOf[graft.expressions.HtmlAnchors], "html_anchors",
+        "html_anchors(html) - anchors with their link text: array of " +
+          "(href, text) structs, href semantics matching html_links, " +
+          "text rendered like html_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "html_anchors(html) takes 1 argument")
+        graft.expressions.HtmlAnchors(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("html_base"),
       info(classOf[graft.expressions.HtmlBase], "html_base",
         "html_base(html) - the page's first <base href> (comment/" +

@@ -1331,6 +1331,22 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("pos"), F.col("link"),
           TextAnalysis.resolveUrl(F.col("__u"), F.col("link")).as("resolved"))
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // oracle-verified anchor-text extraction: per-doc pages with a
+      // marked-up anchor (inner tags stripped, entity decoded), an
+      // image link (empty text), and a dropped fragment anchor; DuckDB
+      // restates (pos, href, text) by concatenation
+      val html = F.concat(
+        F.lit("<p>intro</p><a href=\"/r"), F.col("doc_id"),
+        F.lit("\">Report <b>no.</b> "), F.col("doc_id"),
+        F.lit(" &amp; notes</a><a href=\"/img"), F.col("doc_id") % 9,
+        F.lit("\"><img src=x.png></a><a href=\"#top\">skip</a>"))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.posexplode(TextAnalysis.htmlAnchors(html)).as(Seq("pos", "a")))
+        .select(F.col("doc_id"), F.col("pos"),
+          F.col("a.href").as("href"), F.col("a.text").as("text"))
+    }),
     "q_host_edges" -> ((s, dir) => {
       // oracle-verified host link-graph construction: pages on host
       // h{id%7} (www-prefixed, so the strip is exercised) linking to
@@ -3578,6 +3594,16 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, 2, 'http://abs' || (doc_id % 5) || '.example/z',
              'http://abs' || (doc_id % 5) || '.example/z'
+           FROM documents)""",
+    "q_anchor_text" ->
+      // both surviving anchors restate directly; the fragment anchor
+      // never surfaces
+      """SELECT doc_id, pos, href, text FROM (
+           SELECT doc_id, 0 AS pos, '/r' || doc_id AS href,
+             'Report no. ' || doc_id || ' & notes' AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 1, '/img' || (doc_id % 9), ''
            FROM documents)""",
     "q_host_edges" ->
       // the distinct cross-host pairs: each page host h{k} links h{k+1}

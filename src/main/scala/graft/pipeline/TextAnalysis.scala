@@ -43,6 +43,16 @@ object TextAnalysis {
       graft.expressions.HtmlBase(
         graft.expressions.ColumnBridge.expression(html)))
 
+  /** Anchors WITH their link text: array of (href, text) structs —
+    * the target-page retrieval/labeling signal (a page is described by
+    * the words others link to it with); href semantics match
+    * [[htmlLinks]], text renders like [[htmlText]]
+    * ([[graft.expressions.HtmlAnchors]] — narrow, codegen'd). */
+  def htmlAnchors(html: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.HtmlAnchors(
+        graft.expressions.ColumnBridge.expression(html)))
+
   /** RFC 3986 resolution of an href against its page URL: absolute
     * target URL, fragment dropped; NULL when the base itself is not an
     * absolute hierarchical URL ([[graft.expressions.ResolveUrl]]). */

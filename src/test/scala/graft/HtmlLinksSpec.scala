@@ -280,6 +280,35 @@ class HtmlLinksSpec extends SparkSpec {
     assert(r.toSeq === Seq("http://h.example/c?x=1&y=2"))
   }
 
+  test("html_anchors: href + rendered text; recovery and edge rules") {
+    import graft.expressions.HtmlAnchors
+    def anchors(h: String): Seq[(String, String)] = {
+      val a = HtmlAnchors.extract(UTF8String.fromString(h))
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+    }
+    assert(anchors(
+      """<a href="/a">Click <b>here</b> &amp; now</a>
+         <a href="/b"><img src=x.png></a>
+         <a href="#skip">no link</a>
+         <a href="/c">unclosed runs to next <a href="/d">d text</a>""") ===
+      Seq(("/a", "Click here & now"), ("/b", ""),
+        ("/c", "unclosed runs to next"), ("/d", "d text")))
+    // comments/scripts outside anchors are skipped; EOF-cut discarded
+    assert(anchors("<!-- <a href='/x'>n</a> --><a href='/y'>y</a>") ===
+      Seq(("/y", "y")))
+    assert(anchors("<a href='/z'>never closed") === Seq.empty)
+    assert(HtmlAnchors.extract(null) === null)
+    // SQL registration
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT html_anchors('<a href="/q">Quarterly report</a>')[0].text""")
+      .as[String].head()
+    assert(viaSql === "Quarterly report")
+  }
+
   test("hostile input never throws") {
     val rnd = new scala.util.Random(7)
     for (i <- 0 until 300) {
