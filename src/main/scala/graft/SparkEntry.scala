@@ -684,6 +684,17 @@ object SparkEntry {
       // the per-transition arithmetic restated in SQL
       graft.pipeline.Relevance.bigramNll(read(s, dir, "documents"),
         "doc_id", "text", vocabSize = 256, bigramTop = 1024)),
+    "q_hits" -> ((s, dir) => {
+      // oracle-verified HITS hubs/authorities: the q_pagerank synthetic
+      // host graph, 2 iterations of integer sum + max-normalization —
+      // DuckDB unrolls both iterations as CTEs with identical floor
+      // divisions
+      val docs = read(s, dir, "documents")
+      val edges = docs.select((F.col("doc_id") % 29).as("src"),
+        ((F.col("doc_id") * 7 + 3) % 31).as("dst")).distinct()
+      graft.pipeline.Graphs.hits(edges, iters = 2)
+        .select(F.col("node"), F.col("hub_scaled"), F.col("auth_scaled"))
+    }),
     "q_pagerank" -> ((s, dir) => {
       // host-graph PageRank prior: a synthetic host link graph derived
       // from doc_id arithmetic (29 vs 31 moduli → varied degrees,
@@ -2885,6 +2896,41 @@ object SparkEntry {
          SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                 round(COALESCE(-g.s / g.m, 0.0), 6) AS nll
          FROM t LEFT JOIN g USING (doc_id)""",
+    "q_hits" ->
+      // two HITS iterations unrolled: integer neighbor sums, max
+      // normalization by floor division, authorities before hubs
+      """WITH e AS (SELECT DISTINCT doc_id % 29 AS src,
+                  (doc_id * 7 + 3) % 31 AS dst
+                FROM documents WHERE doc_id % 29 <> (doc_id * 7 + 3) % 31),
+         nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT v, 1048576 AS s FROM nodes),
+         a1r AS (SELECT e.dst AS v, SUM(h0.s) AS s
+                 FROM e JOIN h0 ON e.src = h0.v GROUP BY e.dst),
+         a1m AS (SELECT GREATEST(1, MAX(s)) AS m FROM a1r),
+         a1 AS (SELECT nodes.v,
+                  (COALESCE(a1r.s, 0) * 1048576) // a1m.m AS s
+                FROM nodes LEFT JOIN a1r ON nodes.v = a1r.v, a1m),
+         h1r AS (SELECT e.src AS v, SUM(a1.s) AS s
+                 FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src),
+         h1m AS (SELECT GREATEST(1, MAX(s)) AS m FROM h1r),
+         h1 AS (SELECT nodes.v,
+                  (COALESCE(h1r.s, 0) * 1048576) // h1m.m AS s
+                FROM nodes LEFT JOIN h1r ON nodes.v = h1r.v, h1m),
+         a2r AS (SELECT e.dst AS v, SUM(h1.s) AS s
+                 FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst),
+         a2m AS (SELECT GREATEST(1, MAX(s)) AS m FROM a2r),
+         a2 AS (SELECT nodes.v,
+                  (COALESCE(a2r.s, 0) * 1048576) // a2m.m AS s
+                FROM nodes LEFT JOIN a2r ON nodes.v = a2r.v, a2m),
+         h2rx AS (SELECT e.src AS v, SUM(a2.s) AS s
+                 FROM e JOIN a2 ON e.dst = a2.v GROUP BY e.src),
+         h2m AS (SELECT GREATEST(1, MAX(s)) AS m FROM h2rx),
+         h2 AS (SELECT nodes.v,
+                  (COALESCE(h2rx.s, 0) * 1048576) // h2m.m AS s
+                FROM nodes LEFT JOIN h2rx ON nodes.v = h2rx.v, h2m)
+         SELECT nodes.v AS node, CAST(h2.s AS BIGINT) AS hub_scaled,
+           CAST(a2.s AS BIGINT) AS auth_scaled
+         FROM nodes JOIN h2 ON nodes.v = h2.v JOIN a2 ON nodes.v = a2.v""",
     "q_pagerank" ->
       // the 5 power iterations unrolled as CTEs: identical integer
       // arithmetic (// = div), so every rank_scaled is exact

@@ -93,6 +93,74 @@ object Graphs {
       (F.col("r").cast(DoubleType) / scale.toDouble).as("rank"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) over a directed edge list —
+    * PageRank's sibling for crawl analytics: authorities (pages good
+    * sources link TO) and hubs (pages that link to good sources).
+    * The same determinism contract as [[pageRank]]: scores are scaled
+    * integers, every update is an integer SUM of neighbor scores
+    * followed by max-normalization via integer floor division, so the
+    * result is bit-identical across partitionings and engines and a
+    * SQL oracle unrolls the iterations exactly:
+    * {{{
+    *   h_0 = a_0 = scale
+    *   a'(v) = Σ_{u→v} h(u);  a = a' · scale div max(a')
+    *   h'(u) = Σ_{u→v} a(v);  h = h' · scale div max(h')
+    * }}}
+    * (authorities update first from the current hubs, then hubs from
+    * the NEW authorities — the standard ordering). `scale` ≤ 2^26
+    * keeps `Σ h · scale` inside a long for up to ~2^31 edges into one
+    * node. Per iteration: two broadcastable-rank joins + two map-side
+    * combined sums + one max aggregate each; `localCheckpoint` per
+    * round. Self-loops dropped; dedupe multi-edges upstream. Returns
+    * (node, hub_scaled, auth_scaled, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 100 && scale <= (1L << 26), s"scale out of range: $scale")
+    val e = edges
+      .select(F.col(srcCol).cast(LongType).as("src"),
+        F.col(dstCol).cast(LongType).as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull &&
+        F.col("src") =!= F.col("dst"))
+      .localCheckpoint(false)
+    val nodes = e.select(F.col("src").as("v"))
+      .union(e.select(F.col("dst").as("v")))
+      .distinct()
+      .localCheckpoint(false)
+    require(!nodes.isEmpty, "hits needs at least one edge")
+
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (v, s) over a SUBSET of nodes; missing nodes score 0.
+      // `div`, not `/`: long division must stay integral (Spark's `/`
+      // on longs is double division)
+      val mx = math.max(1L, raw.agg(F.max("s")).head().getLong(0))
+      nodes.join(raw, Seq("v"), "left_outer")
+        .select(F.col("v"),
+          F.expr(s"(coalesce(s, 0L) * ${scale}L) div ${mx}L").as("s"))
+        .localCheckpoint(false)
+    }
+
+    var hubs = nodes.select(F.col("v"), F.lit(scale).as("s"))
+    var auths = nodes.select(F.col("v"), F.lit(scale).as("s"))
+    var k = 0
+    while (k < iters) {
+      auths = normalized(
+        e.join(hubs, e("src") === hubs("v"))
+          .groupBy(e("dst").as("v")).agg(F.sum("s").as("s")))
+      hubs = normalized(
+        e.join(auths, e("dst") === auths("v"))
+          .groupBy(e("src").as("v")).agg(F.sum("s").as("s")))
+      k += 1
+    }
+    nodes
+      .join(hubs.select(F.col("v"), F.col("s").as("hub_scaled")), Seq("v"))
+      .join(auths.select(F.col("v"), F.col("s").as("auth_scaled")), Seq("v"))
+      .select(F.col("v").as("node"), F.col("hub_scaled"),
+        F.col("auth_scaled"),
+        (F.col("hub_scaled").cast(DoubleType) / scale.toDouble).as("hub"),
+        (F.col("auth_scaled").cast(DoubleType) / scale.toDouble).as("auth"))
+  }
+
   /** Host→host link edges of a crawl: extract every outlink of every
     * page ([[TextAnalysis.htmlLinks]]), resolve it against the page URL
     * (RFC 3986, [[TextAnalysis.resolveUrl]]), reduce both ends to their

@@ -85,4 +85,42 @@ class GraphsSpec extends SparkSpec {
     // scan of the checkpointed previous ranks, not 2 rounds of joins
     assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty, plan)
   }
+
+  test("hits equals a local integer reference; deterministic") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 3L), (3L, 2L), (2L, 2L))
+      .toDF("src", "dst") // self-loop (2,2) must drop
+    val scale = 1L << 20
+
+    // local reference with identical integer arithmetic
+    val e = Seq((1L, 2L), (1L, 3L), (4L, 3L), (3L, 2L))
+    val vs = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var h = vs.map(_ -> scale).toMap
+    var a = vs.map(_ -> scale).toMap
+    for (_ <- 0 until 3) {
+      val ar = vs.map(v => v -> e.filter(_._2 == v).map(x => h(x._1)).sum).toMap
+      val am = math.max(1L, ar.values.max)
+      a = ar.map { case (v, s) => v -> s * scale / am }
+      val hr = vs.map(v => v -> e.filter(_._1 == v).map(x => a(x._2)).sum).toMap
+      val hm = math.max(1L, hr.values.max)
+      h = hr.map { case (v, s) => v -> s * scale / hm }
+    }
+
+    val got = Graphs.hits(edges, iters = 3)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === vs)
+    for ((v, hs, as_) <- got) {
+      assert(hs === h(v), s"hub($v)")
+      assert(as_ === a(v), s"auth($v)")
+    }
+    // node 2 is the authority (most linked), node 1 the hub (links both)
+    val byNode = got.map(r => r._1 -> r).toMap
+    assert(byNode(2L)._3 === scale && byNode(1L)._2 === scale)
+    // bit-identical across partitionings
+    val again = Graphs.hits(edges.repartition(5), iters = 3)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
 }
