@@ -337,6 +337,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "audio_hash(bytes) takes 1 argument")
         AudioHash(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("pdf_meta"),
+      info(classOf[graft.expressions.PdfMeta], "pdf_meta",
+        "pdf_meta(bytes) - (version, n_pages, encrypted) PDF triage; " +
+          "n_pages counts /Type /Page entries (object-stream pages " +
+          "undercount); NULL for non-PDF bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "pdf_meta(bytes) takes 1 argument")
+        graft.expressions.PdfMeta(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("video_hash"),
       info(classOf[graft.expressions.VideoHash], "video_hash",
         "video_hash(bytes) - 64-bit perceptual hash of a decodable " +

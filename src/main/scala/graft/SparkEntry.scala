@@ -1217,6 +1217,26 @@ object SparkEntry {
           F.col("r.content_type").as("content_type"),
           F.decode(F.col("r.payload"), "UTF-8").as("payload_text"))
     }),
+    "q_pdf_meta" -> ((s, dir) => {
+      // oracle-verified PDF triage: per-doc minimal PDFs with a
+      // doc_id-derived version, page count (plus a /Pages tree node
+      // that must NOT count), and /Encrypt on every 3rd doc
+      val docId = F.col("doc_id")
+      val pages = F.call_function("repeat",
+        F.lit("<</Type /Page>> endobj\n"),
+        (docId % 5 + 1).cast(IntegerType))
+      val enc = F.when(docId % 3 === 0,
+        F.lit("trailer <</Encrypt 9 0 R>>\n")).otherwise(F.lit(""))
+      val bytes = F.encode(F.concat(
+        F.lit("%PDF-1."), docId % 8,
+        F.lit("\n<</Type /Pages /Count 9>>\n"), pages, enc,
+        F.lit("%%EOF")), "UTF-8")
+      read(s, dir, "documents")
+        .select(docId, Multimodal.pdfMeta(bytes).as("m"))
+        .select(docId, F.col("m.version").as("version"),
+          F.col("m.n_pages").as("n_pages"),
+          F.col("m.encrypted").as("encrypted"))
+    }),
     "q_crawl_pages" -> ((s, dir) => {
       // oracle-verified crawl page prep (the Crawl.htmlPages glue): a
       // three-response WARC segment per doc — a 200 text/html page, a
@@ -3567,6 +3587,14 @@ object SparkEntry {
     "q_unsnappy" ->
       // the single-literal block's payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' snappy payload' AS text
+         FROM documents""",
+    "q_pdf_meta" ->
+      // version, page count (tree node excluded), and the every-3rd
+      // /Encrypt restate as doc_id arithmetic
+      """SELECT doc_id,
+           '1.' || (doc_id % 8) AS version,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS n_pages,
+           doc_id % 3 = 0 AS encrypted
          FROM documents""",
     "q_redirects" ->
       // the resolved Location restates as concatenation (host kept,

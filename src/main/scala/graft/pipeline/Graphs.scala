@@ -214,6 +214,25 @@ object Graphs {
       .select(F.col("host"), F.col("rank_scaled"), F.col("rank"))
   }
 
+  /** [[hits]] over string-keyed host edges — the host-level
+    * hub/authority prior, exactly the [[pageRankHosts]] id mapping:
+    * xxhash64 ids, integer iterations, broadcast name join back.
+    * Returns (host, hub_scaled, auth_scaled, hub, auth). */
+  def hitsHosts(edges: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host", iters: Int = 3,
+      scale: Long = 1L << 20): DataFrame = {
+    val e = edges.select(F.xxhash64(F.col(srcCol)).as("src"),
+      F.xxhash64(F.col(dstCol)).as("dst"))
+    val names = edges.select(F.col(srcCol).as("host"))
+      .union(edges.select(F.col(dstCol).as("host")))
+      .distinct()
+      .select(F.col("host"), F.xxhash64(F.col("host")).as("node"))
+    hits(e, iters = iters, scale = scale)
+      .join(F.broadcast(names), "node")
+      .select(F.col("host"), F.col("hub_scaled"), F.col("auth_scaled"),
+        F.col("hub"), F.col("auth"))
+  }
+
   /** Crawl-frontier discovery: the distinct absolute outlink targets of
     * a batch that neither the batch's own pages nor the seen corpus
     * already cover — what a crawler fetches next. Extraction and

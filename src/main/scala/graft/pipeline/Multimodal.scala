@@ -301,6 +301,15 @@ object Multimodal {
       graft.expressions.AudioHash(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** PDF triage ([[graft.expressions.PdfMeta]]): struct(version,
+    * n_pages, encrypted) from one bounded scan — routing for the one
+    * major crawl document family the image/audio/video triagers don't
+    * cover. NULL for non-PDF bytes. */
+  def pdfMeta(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.PdfMeta(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** 64-bit perceptual VIDEO hash ([[graft.expressions.VideoHash]]):
     * dHash gradient signs of the clip's temporally averaged frame —
     * frame-rate- and brightness-scale-invariant, feeding the same

@@ -78,6 +78,34 @@ class CrawlSpec extends SparkSpec {
     assert(pages.map(_.getLong(0)).toSeq === expect)
   }
 
+  test("pdf triage: version, page count, encryption; non-PDF null") {
+    import graft.expressions.PdfMeta
+    def pdf(body: String) = ("%PDF-1.7\n" + body + "\n%%EOF").getBytes("UTF-8")
+    val threePages = pdf(
+      """1 0 obj <</Type /Pages /Kids [2 0 R] /Count 3>> endobj
+         2 0 obj <</Type /Page>> endobj
+         3 0 obj <</Type/Page>> endobj
+         4 0 obj <</Type
+         /Page>> endobj""")
+    val m = PdfMeta.parse(threePages)
+    assert(m.getUTF8String(0).toString === "1.7")
+    assert(m.getInt(1) === 3) // /Pages tree node not counted
+    assert(!m.getBoolean(2))
+    val enc = PdfMeta.parse(pdf("trailer <</Encrypt 5 0 R>>"))
+    assert(enc.getBoolean(2))
+    assert(PdfMeta.parse("not a pdf".getBytes) === null)
+    assert(PdfMeta.parse(null) === null)
+    // hitsHosts composes over real markup-derived edges
+    import spark.implicits._
+    val edges = Seq(("a.example", "b.example"), ("c.example", "b.example"))
+      .toDF("src_host", "dst_host")
+    val hh = graft.pipeline.Graphs.hitsHosts(edges)
+      .select("host", "hub_scaled", "auth_scaled")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hh("b.example")._2 === (1L << 20)) // the sole authority
+    assert(hh("a.example")._1 === (1L << 20)) // joint top hub
+  }
+
   test("redirects: 3xx Location resolved against the request URL") {
     val segment =
       rec("response", "http://a.example/old",

@@ -38,6 +38,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "Unsnappy" -> (Unsnappy.decompress(_)),
     "VideoHash" -> (VideoHash.hash(_)),
     "CdcChunks" -> (CdcChunks.split(_, 8)),
+    "PdfMeta" -> (PdfMeta.parse(_)),
     "HtmlLinks" -> ((b: Array[Byte]) => HtmlLinks.extract(
       org.apache.spark.unsafe.types.UTF8String.fromBytes(b))),
     "HtmlAnchors" -> ((b: Array[Byte]) => HtmlAnchors.extract(
