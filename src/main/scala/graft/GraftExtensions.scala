@@ -337,6 +337,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "audio_hash(bytes) takes 1 argument")
         AudioHash(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("zip_entries"),
+      info(classOf[graft.expressions.ZipEntries], "zip_entries",
+        "zip_entries(bytes) - ZIP local-header walk: array of (name, " +
+          "method, compressed, size); NULL for non-ZIP bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "zip_entries(bytes) takes 1 argument")
+        graft.expressions.ZipEntries(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("zip_entry"),
+      info(classOf[graft.expressions.ZipEntryBytes], "zip_entry",
+        "zip_entry(bytes, name) - extract one entry (stored/deflate, " +
+          "bomb-capped); missing or corrupt -> NULL"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zip_entry(bytes, name) takes 2 arguments")
+        graft.expressions.ZipEntryBytes(args.head, args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("pdf_meta"),
       info(classOf[graft.expressions.PdfMeta], "pdf_meta",
         "pdf_meta(bytes) - (version, n_pages, encrypted) PDF triage; " +

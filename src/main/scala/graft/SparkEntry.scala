@@ -979,7 +979,7 @@ object SparkEntry {
       // whose fields derive from doc_id, parse it back with the native
       // expression — the oracle recomputes the fields arithmetically, so
       // the byte-level parser is checked against ground truth per row
-      import SqlHex.{le16h, le32h}
+      import SqlHex.le32h
       val docs = read(s, dir, "documents")
       val rate = F.lit(8000) + (F.col("doc_id") % 8).cast(IntegerType) * 4000
       val ch = F.lit(1) + (F.col("doc_id") % 2).cast(IntegerType)
@@ -1118,7 +1118,7 @@ object SparkEntry {
       // oracle-verified gzip decompression: a stored-DEFLATE gzip
       // member assembled in SQL (header, LEN/~LEN, Spark crc32, ISIZE);
       // the real inflate path runs and DuckDB restates the text
-      import SqlHex.{le16h, le32h}
+      import SqlHex.le32h
       val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
         F.lit(" gz payload"))
       val data = F.encode(payload, "UTF-8")
@@ -1216,6 +1216,43 @@ object SparkEntry {
           F.col("r.record_id").as("record_id"),
           F.col("r.content_type").as("content_type"),
           F.decode(F.col("r.payload"), "UTF-8").as("payload_text"))
+    }),
+    "q_zip" -> ((s, dir) => {
+      // oracle-verified ZIP triage + extraction: a one-entry STORED
+      // archive assembled field by field in SQL (local header, central
+      // directory, EOCD with true offsets); the real central-directory
+      // walk lists it and the real extraction returns the payload
+      import SqlHex.le32h
+      val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
+        F.lit(" zipped text"))
+      val pLen = F.length(payload).cast(IntegerType)
+      val name = "doc.txt"
+      val nameHex = name.getBytes("US-ASCII").map("%02X".format(_)).mkString
+      val lfh = F.concat(
+        F.lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+          "00000000"),
+        le32h(pLen), le32h(pLen), F.lit("0700" + "0000"), F.lit(nameHex))
+      val cd = F.concat(
+        F.lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" +
+          "0000" + "00000000"),
+        le32h(pLen), le32h(pLen),
+        F.lit("0700" + "0000" + "0000" + "0000" + "0000" + "00000000" +
+          "00000000"),
+        F.lit(nameHex))
+      val eocd = F.concat(
+        F.lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+        le32h(F.lit(46 + name.length)),
+        le32h(F.lit(30 + name.length) + pLen),
+        F.lit("0000"))
+      val zip = F.unhex(F.concat(lfh, F.hex(F.encode(payload, "UTF-8")),
+        cd, eocd))
+      read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.element_at(Multimodal.zipEntries(zip), 1).as("e"),
+          F.decode(Multimodal.zipEntry(zip, F.lit(name)), "UTF-8").as("text"))
+        .select(F.col("doc_id"), F.col("e.name").as("name"),
+          F.col("e.method").as("method"), F.col("e.size").as("size"),
+          F.col("text"))
     }),
     "q_pdf_meta" -> ((s, dir) => {
       // oracle-verified PDF triage: per-doc minimal PDFs with a
@@ -3587,6 +3624,13 @@ object SparkEntry {
     "q_unsnappy" ->
       // the single-literal block's payload restates directly
       """SELECT doc_id, 'Doc ' || doc_id || ' snappy payload' AS text
+         FROM documents""",
+    "q_zip" ->
+      // the listed entry and the extracted payload restate directly
+      """SELECT doc_id, 'doc.txt' AS name, CAST(0 AS INTEGER) AS method,
+           CAST(length('Doc ' || doc_id || ' zipped text') AS BIGINT)
+             AS size,
+           'Doc ' || doc_id || ' zipped text' AS text
          FROM documents""",
     "q_pdf_meta" ->
       // version, page count (tree node excluded), and the every-3rd

@@ -301,6 +301,23 @@ object Multimodal {
       graft.expressions.AudioHash(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** ZIP triage ([[graft.expressions.ZipEntries]]): array of
+    * (name, method, compressed, size) structs from the local-header
+    * walk — routing for docx/xlsx/epub/jar-class crawl payloads. */
+  def zipEntries(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ZipEntries(
+        graft.expressions.ColumnBridge.expression(bin)))
+
+  /** Named-entry extraction ([[graft.expressions.ZipEntryBytes]]):
+    * stored copies, deflate inflates (bomb-capped); missing entry or
+    * corrupt data → NULL. */
+  def zipEntry(bin: Column, name: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.ZipEntryBytes(
+        graft.expressions.ColumnBridge.expression(bin),
+        graft.expressions.ColumnBridge.expression(name)))
+
   /** PDF triage ([[graft.expressions.PdfMeta]]): struct(version,
     * n_pages, encrypted) from one bounded scan — routing for the one
     * major crawl document family the image/audio/video triagers don't

@@ -39,6 +39,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "VideoHash" -> (VideoHash.hash(_)),
     "CdcChunks" -> (CdcChunks.split(_, 8)),
     "PdfMeta" -> (PdfMeta.parse(_)),
+    "ZipEntries" -> (ZipOps.entries(_)),
+    "ZipEntry" -> (ZipOps.entryBytes(_, "x")),
     "HtmlLinks" -> ((b: Array[Byte]) => HtmlLinks.extract(
       org.apache.spark.unsafe.types.UTF8String.fromBytes(b))),
     "HtmlAnchors" -> ((b: Array[Byte]) => HtmlAnchors.extract(
