@@ -979,7 +979,7 @@ object SparkEntry {
       // whose fields derive from doc_id, parse it back with the native
       // expression — the oracle recomputes the fields arithmetically, so
       // the byte-level parser is checked against ground truth per row
-      import SqlHex.le32h
+      import SqlHex.{le16h, le32h}
       val docs = read(s, dir, "documents")
       val rate = F.lit(8000) + (F.col("doc_id") % 8).cast(IntegerType) * 4000
       val ch = F.lit(1) + (F.col("doc_id") % 2).cast(IntegerType)
@@ -1118,7 +1118,7 @@ object SparkEntry {
       // oracle-verified gzip decompression: a stored-DEFLATE gzip
       // member assembled in SQL (header, LEN/~LEN, Spark crc32, ISIZE);
       // the real inflate path runs and DuckDB restates the text
-      import SqlHex.le32h
+      import SqlHex.{le16h, le32h}
       val payload = F.concat(F.lit("Doc "), F.col("doc_id"),
         F.lit(" gz payload"))
       val data = F.encode(payload, "UTF-8")
