@@ -411,6 +411,37 @@ object Drive {
       println("(c.example/new was frontier but robots disallow it)")
     }
 
+    println("=== document routing: zip/docx chain, pdf triage, anchors, HITS:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write("<w:p>Annual plan for the data team</w:p>".getBytes("UTF-8"))
+      z.closeEntry(); z.close()
+      val docx = bos.toByteArray
+      val pdf = "%PDF-1.6\n<</Type /Page>> <</Type /Page>>\n%%EOF"
+        .getBytes("UTF-8")
+      Seq((1L, docx), (2L, pdf)).toDF("doc_id", "payload")
+        .select(F.col("doc_id"),
+          F.element_at(graft.pipeline.Multimodal.zipEntries(
+            F.col("payload")), 1).getField("name").as("zip_entry0"),
+          graft.pipeline.Multimodal.pdfMeta(F.col("payload")).as("pdf"),
+          graft.pipeline.TextAnalysis.htmlText(F.decode(
+            graft.pipeline.Multimodal.zipEntry(F.col("payload"),
+              F.lit("word/document.xml")), "UTF-8")).as("docx_text"))
+        .show(false)
+      Seq(Tuple1("""<a href="/r1">Quarterly report</a>
+          <a href="http://peer.example/x" rel="nofollow">ad</a>"""))
+        .toDF("html")
+        .select(F.explode(graft.pipeline.TextAnalysis.htmlAnchors(
+          F.col("html"))).as("a")).select("a.href", "a.text").show(false)
+      graft.pipeline.Graphs.hitsHosts(Seq(
+        ("a.example", "hub.example"), ("hub.example", "auth.example"),
+        ("b.example", "auth.example")).toDF("src_host", "dst_host"))
+        .orderBy(F.desc("auth")).show(false)
+    }
+
     println("=== TriG: named-graph parse -> GRAPH query -> serialize:")
     locally {
       val store = graft.sources.Trig.parse(
