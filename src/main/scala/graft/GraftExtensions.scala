@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CmsAgg, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unlz4, Unsnappy, Unzstd, VideoFeatures, VideoHeaderMeta, WarcRecords}
+import graft.expressions.{AudioEmbedding, AudioFeatures, AudioHash, AudioHeaderMeta, CmsAgg, CosineSim, DecodeImage, DeflateSize, Gunzip, HashedTf, HtmlLinks, HtmlText, HttpMessage, ImageEmbedding, ImageFeatures, ImageHash, ImageHeaderMeta, NormalizeText, MinHashSig, ResizeImage, ResolveUrl, ShingleHashes, SimHash64, SpanHashes, Unlz4, Unsnappy, Unzstd, Utf8Lossy, VideoFeatures, VideoHeaderMeta, WarcRecords}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql` users get the same codegen'd hot loops the
@@ -233,6 +233,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "gunzip(bytes) takes 1 argument")
         Gunzip(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("utf8_lossy"),
+      info(classOf[Utf8Lossy], "utf8_lossy",
+        "utf8_lossy(bytes) - decode UTF-8 with U+FFFD replacement for " +
+          "ill-formed sequences (never errors, unlike ANSI decode)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "utf8_lossy(bytes) takes 1 argument")
+        Utf8Lossy(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("unzstd"),
       info(classOf[Unzstd], "unzstd",

@@ -113,14 +113,20 @@ object HtmlAnchors {
         } else if (lowerAt(i, "<script") || lowerAt(i, "<style")) {
           val name = if (lowerAt(i, "<script")) "script" else "style"
           val end = tagEnd(i + 1)
-          val close = "</" + name
-          var k = end
-          var stop = -1
-          while (stop < 0 && k < n) {
-            if (s.charAt(k) == '<' && lowerAt(k, close)) stop = k
-            k += 1
+          // `<script src=x/>` has no body: searching for `</script` would
+          // consume the rest of the document (HtmlLinks parity)
+          val selfClosed = end >= 2 && end <= n && s.charAt(end - 2) == '/'
+          if (selfClosed) i = end
+          else {
+            val close = "</" + name
+            var k = end
+            var stop = -1
+            while (stop < 0 && k < n) {
+              if (s.charAt(k) == '<' && lowerAt(k, close)) stop = k
+              k += 1
+            }
+            i = if (stop < 0) n else tagEnd(stop + 2 + name.length)
           }
-          i = if (stop < 0) n else tagEnd(stop + 2 + name.length)
         } else {
           val isA = lowerAt(i, "<a") && i + 2 < n &&
             (isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>' ||
@@ -158,7 +164,11 @@ object HtmlAnchors {
                 i = if (close >= 0) tagEnd(close + 3) else nextOpen
               } else i = n
             } else i = n // EOF inside the opening tag
-          } else i = tagEnd(i + 1)
+          } else if (Character.isLetter(s.charAt(i + 1)) ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+            s.charAt(i + 1) == '?') {
+            i = tagEnd(i + 1)
+          } else i += 1 // bare '<' in text ("3 < 5") is not a tag
         }
       } else i += 1
     }

@@ -36,8 +36,10 @@ object Crawl {
 
   /** HTML pages of the crawl: `response` records with a 200 status and
     * an HTML content type, bodies gunzipped when Content-Encoding says
-    * so and decoded as UTF-8 (the de facto crawl default; mojibake
-    * gating downstream catches mislabeled charsets). Returns
+    * so and decoded as UTF-8 (the de facto crawl default; invalid
+    * byte sequences degrade to U+FFFD replacement characters — never
+    * a job failure, regardless of `spark.sql.ansi.enabled` — and the
+    * mojibake gating downstream catches mislabeled charsets). Returns
     * (url, html), with a deterministic 64-bit `doc_id` = xxhash64(url)
     * — re-runs and engines agree on ids without coordination. */
   def htmlPages(records: DataFrame): DataFrame = {
@@ -49,7 +51,7 @@ object Crawl {
         F.col("url").isNotNull &&
         F.lower(F.col("mime")).startsWith("text/html"))
       .select(F.xxhash64(F.col("url")).as("doc_id"), F.col("url"),
-        F.decode(body, "UTF-8").as("html"))
+        Multimodal.utf8Lossy(body).as("html"))
       .where(F.col("html").isNotNull)
   }
 

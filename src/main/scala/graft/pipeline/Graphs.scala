@@ -107,11 +107,16 @@ object Graphs {
     *   h'(u) = Σ_{u→v} a(v);  h = h' · scale div max(h')
     * }}}
     * (authorities update first from the current hubs, then hubs from
-    * the NEW authorities — the standard ordering). `scale` ≤ 2^26
-    * keeps `Σ h · scale` inside a long for up to ~2^31 edges into one
-    * node. Per iteration: two broadcastable-rank joins + two map-side
-    * combined sums + one max aggregate each; `localCheckpoint` per
-    * round. Self-loops dropped; dedupe multi-edges upstream. Returns
+    * the NEW authorities — the standard ordering). The product
+    * `Σ h · scale` is computed in decimal(30,0), so it cannot wrap:
+    * the only long-arithmetic bound left is the SUM itself, safe for
+    * up to ~2^63/scale ≈ 2^43 edges into one node at the default
+    * scale — beyond any real host graph. Per iteration: two
+    * broadcastable-rank joins + two map-side combined sums, with the
+    * max-normalizer attached as a broadcast 1-row crossJoin so an
+    * iteration is a single job (no driver round-trip per round);
+    * `localCheckpoint` per round. Self-loops dropped; dedupe
+    * multi-edges upstream. Returns
     * (node, hub_scaled, auth_scaled, hub, auth). */
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
@@ -131,12 +136,18 @@ object Graphs {
 
     def normalized(raw: DataFrame): DataFrame = {
       // raw: (v, s) over a SUBSET of nodes; missing nodes score 0.
-      // `div`, not `/`: long division must stay integral (Spark's `/`
-      // on longs is double division)
-      val mx = math.max(1L, raw.agg(F.max("s")).head().getLong(0))
+      // The normalizer max rides along as a broadcast 1-row crossJoin
+      // instead of a driver collect, so each HITS round is one job.
+      // The product is decimal(20,0)·decimal(9,0) → decimal(30,0) —
+      // exact for any long s (a long·scale product would wrap at
+      // in-degree ≈ 2^63/scale² ≈ 8M edges with ANSI off). `div`, not
+      // `/`: division must stay integral (and `div` returns long).
+      val mx = raw.agg(F.greatest(F.max("s"), F.lit(1L)).as("mx"))
       nodes.join(raw, Seq("v"), "left_outer")
+        .crossJoin(F.broadcast(mx))
         .select(F.col("v"),
-          F.expr(s"(coalesce(s, 0L) * ${scale}L) div ${mx}L").as("s"))
+          F.expr(s"(cast(coalesce(s, 0L) as decimal(20,0)) * " +
+            s"cast(${scale}L as decimal(9,0))) div mx").as("s"))
         .localCheckpoint(false)
     }
 

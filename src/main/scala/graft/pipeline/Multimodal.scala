@@ -204,6 +204,16 @@ object Multimodal {
       graft.expressions.Gunzip(
         graft.expressions.ColumnBridge.expression(bin)))
 
+  /** Lossy UTF-8 decode ([[graft.expressions.Utf8Lossy]]): binary →
+    * string with ill-formed sequences replaced by U+FFFD, the
+    * browser/crawler decode policy. Never throws (Spark's `decode`
+    * raises under ANSI mode on malformed bytes); NULL in → NULL out.
+    * The U+FFFD output is exactly what the mojibake gate counts. */
+  def utf8Lossy(bin: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.Utf8Lossy(
+        graft.expressions.ColumnBridge.expression(bin)))
+
   /** Per-row zstd decompression ([[graft.expressions.Unzstd]]) —
     * [[gunzip]]'s sibling for the datasets that ship `.zst`; same bomb
     * cap, same corrupt → NULL contract. */
@@ -302,8 +312,10 @@ object Multimodal {
         graft.expressions.ColumnBridge.expression(bin)))
 
   /** ZIP triage ([[graft.expressions.ZipEntries]]): array of
-    * (name, method, compressed, size) structs from the local-header
-    * walk — routing for docx/xlsx/epub/jar-class crawl payloads. */
+    * (name, method, compressed, size) structs read from the central
+    * directory (located via the end-of-central-directory record, so
+    * streaming/bit-3 archives work) — routing for
+    * docx/xlsx/epub/jar-class crawl payloads. */
   def zipEntries(bin: Column): Column =
     graft.expressions.ColumnBridge.column(
       graft.expressions.ZipEntries(

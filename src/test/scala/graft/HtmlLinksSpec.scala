@@ -301,6 +301,12 @@ class HtmlLinksSpec extends SparkSpec {
       Seq(("/y", "y")))
     assert(anchors("<a href='/z'>never closed") === Seq.empty)
     assert(HtmlAnchors.extract(null) === null)
+    // self-closed script has no body: anchors after it survive
+    // (HtmlLinks parity — a </script> hunt to EOF would drop them)
+    assert(anchors("""<script src="x.js"/><a href="/s">s</a>""") ===
+      Seq(("/s", "s")))
+    // bare '<' in text is not a tag and must not eat the next anchor
+    assert(anchors("""3 < 5 <a href="/lt">lt</a>""") === Seq(("/lt", "lt")))
     // SQL registration
     import spark.implicits._
     val viaSql = spark.sql(
