@@ -228,7 +228,12 @@ object Terms {
     * numeric literals by value, others by lexical form. Returned as a list
     * of sort-key columns to pass to orderBy. */
   def orderKeys(c: Column): Seq[Column] = Seq(
-    F.when(c.isNull, -1).otherwise(kind(c)), // unbound first
+    // SPARQL §15.1 term-kind order: unbound < blank < IRI < literal
+    // (NOT the storage kind encoding, which has IRI=0 before blank=1)
+    F.when(c.isNull, -1)
+      .when(isBlank(c), 0)
+      .when(isIri(c), 1)
+      .otherwise(2),
     F.when(isNumeric(c), numValue(c)),       // numerics by value (nulls first)
     value(c))
 }

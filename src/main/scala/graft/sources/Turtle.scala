@@ -82,6 +82,21 @@ object Turtle {
     RdfGraph.fromTriples(spark, triples, p.declaredPrefixes)
   }
 
+  /** Driver-side parse to a plain triple Seq — for small CONTROL
+    * documents (test manifests, expected-result files, config graphs)
+    * that a harness wants to walk in memory without paying a Spark job.
+    * Duplicate triples are kept (the caller sees the raw statements);
+    * data destined for querying should go through [[parse]] instead. */
+  def parseTriples(text: String,
+      extraPrefixes: Map[String, String] = Map.empty)
+      : Seq[(RdfTerm, RdfTerm, RdfTerm)] = {
+    val p = new TurtleParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    p.parseDoc(text).map { tp =>
+      (nodeTerm(tp.s, "Turtle"), verbTerm(tp, "Turtle"),
+        nodeTerm(tp.o, "Turtle"))
+    }
+  }
+
   /** One term struct → its Turtle/TriG token, QName-shortened against
     * `prefixes` (shared by [[serialize]] and [[Trig.serialize]]). */
   private[sources] def fmtTerm(r: org.apache.spark.sql.Row,

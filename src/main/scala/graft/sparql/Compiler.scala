@@ -194,7 +194,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case Filter(q, exprs) => applyFilters(compile(q), exprs, maybeUnbound(q))
     case Extend(q, v, e) =>
       val df = compile(q)
-      df.withColumn(v, exprC(df).term(e))
+      // an expression ERROR leaves the BIND variable unbound — a NULL
+      // term struct, never a struct whose value field is null (every
+      // bound RDF term has a lexical/IRI/label)
+      val t = exprC(df).term(e)
+      df.withColumn(v,
+        F.when(Terms.value(t).isNull, F.lit(null).cast(Terms.termType))
+          .otherwise(t))
     case td: TableData => tableDataDf(td)
     case SubSelect(q) => compileSelect(q, keepCompanions = true)
     case GraphPat(g, p) =>
@@ -1378,7 +1384,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val computed: Seq[(String, Column)] = finalItems.flatMap { i =>
       i.expr match {
         case ExVar(v) if v == i.name && df.columns.contains(v) => None
-        case e => Some(i.name -> ec1.term(e))
+        case e =>
+          // projection-expression errors leave the output unbound (a
+          // NULL struct), same normalization as Extend
+          val t = ec1.term(e)
+          Some(i.name ->
+            F.when(Terms.value(t).isNull, F.lit(null).cast(Terms.termType))
+              .otherwise(t))
       }
     }
     var work = computed.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }

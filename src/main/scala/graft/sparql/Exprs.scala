@@ -81,12 +81,26 @@ final class ExprCompiler(env: String => Option[Column]) {
   private def dblTerm(c: Column): Column = mkLit(c.cast(DoubleType), XSD.double)
   private def strTerm(c: Column): Column = mkLit(c, XSD.string)
 
+  /** xsd:decimal term with a canonical lexical: exact decimal
+    * arithmetic upstream (never binary floating point), trailing zeros
+    * trimmed, at least one fractional digit ("2.0", "25.5"). */
+  private def decTerm(c: Column): Column = {
+    val s0 = c.cast(DecimalType(38, 18)).cast(StringType)
+    val s1 = F.regexp_replace(s0, F.lit("(\\.\\d*?)0+$"), F.lit("$1"))
+    mkLit(F.regexp_replace(s1, F.lit("\\.$"), F.lit(".0")), XSD.decimal)
+  }
+
   /** Numeric arithmetic with integer preservation: when both operands are
     * integral literals and the op is not division, stay in LongType
-    * (exact); otherwise compute in DoubleType (SPARQL numeric promotion). */
+    * (exact); otherwise compute in DoubleType (SPARQL numeric promotion).
+    * Division follows the XPath operator mapping the spec imports:
+    * dividing non-double numerics by zero is an ERROR (unbound), while
+    * xsd:double/xsd:float division by zero is ±INF/NaN. */
   private def arith(op: String, a: Column, b: Column): Column = {
     val bothInt = dt(a).isin(XSD.integral.toSeq.map(F.lit): _*) &&
       dt(b).isin(XSD.integral.toSeq.map(F.lit): _*)
+    val anyDouble = dt(a).isin(XSD.double, XSD.float) ||
+      dt(b).isin(XSD.double, XSD.float)
     val la = value(a).cast(LongType); val lb = value(b).cast(LongType)
     val da = numValue(a); val db = numValue(b)
     def applyL(x: Column, y: Column) = op match {
@@ -96,12 +110,27 @@ final class ExprCompiler(env: String => Option[Column]) {
       case "+" => x + y; case "-" => x - y; case "*" => x * y
       case "/" => x / y
     }
-    val invalid = !isNumeric(a) || !isNumeric(b)
+    // a null operand struct (unbound var upstream) is an error, not a
+    // null-valued result term
+    val invalid = a.isNull || b.isNull || !isNumeric(a) || !isNumeric(b)
     val result =
-      if (op == "/") dblTerm(applyD(da, db))
+      if (op == "/")
+        F.when(!anyDouble && db === 0.0, nullTerm) // integer/decimal ÷ 0
+          .otherwise(dblTerm(applyD(da, db)))
       else F.when(bothInt, intTerm(applyL(la, lb)))
         .otherwise(dblTerm(applyD(da, db)))
     F.when(invalid, nullTerm).otherwise(result)
+  }
+
+  /** SPARQL §17.4.3.1.1 argument compatibility for the binary string
+    * builtins: (plain/xsd:string, plain/xsd:string), (lang, plain), or
+    * both the SAME language tag. Anything else — including a tag only
+    * on arg2 — is an error. */
+  private def strCompatible(a: Column, b: Column): Column = {
+    val okA = isLiteral(a)
+    val okB = isLiteral(b)
+    okA && okB &&
+      (lang(b).isNull || (lang(a).isNotNull && lang(a) === lang(b)))
   }
 
   private def str(e: Expr): Column = value(term(e))
@@ -113,9 +142,9 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "ISLITERAL" => isLiteral(term(args.head))
     case "ISNUMERIC" => isNumeric(term(args.head))
     case "SAMETERM" => term(args.head) === term(args(1))
-    case "CONTAINS" => str(args.head).contains(str(args(1)))
-    case "STRSTARTS" => str(args.head).startsWith(str(args(1)))
-    case "STRENDS" => str(args.head).endsWith(str(args(1)))
+    case "CONTAINS" => strBinary(args, _.contains(_))
+    case "STRSTARTS" => strBinary(args, _.startsWith(_))
+    case "STRENDS" => strBinary(args, _.endsWith(_))
     case "REGEX" =>
       val pat = if (args.length > 2)
         F.concat(F.lit("(?"), str(args(2)), F.lit(")"), str(args(1)))
@@ -125,6 +154,16 @@ final class ExprCompiler(env: String => Option[Column]) {
       val l = F.lower(str(args.head)); val range = F.lower(str(args(1)))
       F.when(range === "*", l =!= "").otherwise(
         l === range || l.startsWith(F.concat(range, F.lit("-"))))
+  }
+
+  /** Binary string predicate with the §17.4.3.1.1 compatibility gate:
+    * incompatible arguments are an ERROR (null boolean → FILTER drops
+    * the row, boolTerm leaves the BIND variable unbound). */
+  private def strBinary(args: Seq[Expr],
+      f: (Column, Column) => Column): Column = {
+    val (a, b) = (term(args.head), term(args(1)))
+    F.when(!strCompatible(a, b), F.lit(null).cast(BooleanType))
+      .otherwise(f(value(a), value(b)))
   }
 
   private def call(name: String, args: Seq[Expr]): Column = name match {
@@ -141,7 +180,18 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "STRLEN" => intTerm(F.length(str(args.head)))
     case "UCASE" => mkLitKeepLang(F.upper(str(args.head)), term(args.head))
     case "LCASE" => mkLitKeepLang(F.lower(str(args.head)), term(args.head))
-    case "CONCAT" => strTerm(F.concat(args.map(str): _*))
+    case "CONCAT" =>
+      // §17.4.3.12: all args share one language tag → tagged result;
+      // otherwise a simple literal (mixed/absent tags drop the tag)
+      val ts = args.map(term)
+      val langs = ts.map(lang)
+      val allSameLang = langs.map(_.isNotNull).reduce(_ && _) &&
+        langs.tail.foldLeft(F.lit(true))((acc, l) => acc && l === langs.head)
+      val lex = F.concat(ts.map(value): _*)
+      F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+        lex.cast(StringType).as("value"),
+        F.when(allSameLang, RDF.langString).otherwise(XSD.string).as("dt"),
+        F.when(allSameLang, langs.head).otherwise(nullStr).as("lang"))
     case "SUBSTR" =>
       val s = str(args.head)
       val start = numValue(term(args(1))).cast(IntegerType)
@@ -149,15 +199,22 @@ final class ExprCompiler(env: String => Option[Column]) {
         numValue(term(args(2))).cast(IntegerType) else F.lit(Int.MaxValue)
       mkLitKeepLang(s.substr(start, len), term(args.head))
     case "STRBEFORE" =>
-      val s = str(args.head); val sub = str(args(1))
+      // §17.4.3.4: incompatible args error; a match keeps arg1's
+      // language/datatype; NO match is a SIMPLE empty literal
+      val (a, b) = (term(args.head), term(args(1)))
+      val s = value(a); val sub = value(b)
       val pos = F.instr(s, sub) // 1-based, 0 = absent
-      mkLitKeepLang(F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(F.lit("")), term(args.head))
+      F.when(!strCompatible(a, b), nullTerm)
+        .when(pos > 0, mkLitKeepLang(s.substr(F.lit(1), pos - 1), a))
+        .otherwise(strTerm(F.lit("")))
     case "STRAFTER" =>
-      val s = str(args.head); val sub = str(args(1))
+      val (a, b) = (term(args.head), term(args(1)))
+      val s = value(a); val sub = value(b)
       val pos = F.instr(s, sub)
-      mkLitKeepLang(
-        F.when(pos > 0, s.substr(pos + F.length(sub), F.length(s)))
-          .otherwise(F.lit("")), term(args.head))
+      F.when(!strCompatible(a, b), nullTerm)
+        .when(pos > 0,
+          mkLitKeepLang(s.substr(pos + F.length(sub), F.length(s)), a))
+        .otherwise(strTerm(F.lit("")))
     case "REPLACE" =>
       val flags = if (args.length > 3)
         F.concat(F.lit("(?"), str(args(3)), F.lit(")"), str(args(1)))
@@ -189,7 +246,10 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "SHA512" => strTerm(F.sha2(str(args.head).cast(BinaryType), 512))
     case "COALESCE" => F.coalesce(args.map(term): _*)
     case "IF" =>
-      F.when(bool(args.head), term(args(1))).otherwise(term(args(2)))
+      // an ERROR condition is an error result (not the else branch)
+      val c = bool(args.head)
+      F.when(c.isNull, nullTerm).when(c, term(args(1)))
+        .otherwise(term(args(2)))
     case "STRLANG" =>
       F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
         str(args.head).as("value"), F.lit(RDF.langString).as("dt"),
@@ -244,17 +304,51 @@ final class ExprCompiler(env: String => Option[Column]) {
         }
         intTerm(c)
       case "SUM" =>
+        // §18.5.1 Sum via op:numeric-add: a non-numeric, unbound, or
+        // invalid-lexical element makes the WHOLE group error (variable
+        // left unbound for that group); the empty group sums to 0.
+        // Type promotion: all-integral → xsd:integer, integral+decimal
+        // → xsd:decimal (exact decimal arithmetic), any double/float →
+        // xsd:double.
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
-        if (a.distinct) dblTerm(F.sum_distinct(numValue(t)))
-        else {
+        val isDec = dt(t) === F.lit(XSD.decimal)
+        val err = F.max(F.when(
+          t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
+        val anyDbl = F.max(
+          F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
+        val anyDec = F.max(F.when(isDec, 1).otherwise(0))
+        if (a.distinct) {
+          val sumDD = F.sum_distinct(numValue(t))
+          F.when(err === 1, F.lit(null).cast(Terms.termType))
+            .otherwise(dblTerm(F.coalesce(sumDD, F.lit(0.0))))
+        } else {
           val sumL = F.sum(F.when(integral, value(t).cast(LongType)).otherwise(0L))
-          val sumD = F.sum(F.when(isNumeric(t) && !integral, numValue(t)).otherwise(0.0))
-          val anyNonInt = F.max(F.when(isNumeric(t) && !integral, 1).otherwise(0))
-          F.when(anyNonInt === 1, dblTerm(sumD + sumL.cast(DoubleType)))
-            .otherwise(intTerm(sumL))
+          val sumDec = F.sum(F.when(integral || isDec,
+            value(t).cast(DecimalType(38, 18)))
+            .otherwise(F.lit(0).cast(DecimalType(38, 18))))
+          val sumD = F.sum(F.when(isNumeric(t), numValue(t)).otherwise(0.0))
+          F.when(err === 1, F.lit(null).cast(Terms.termType))
+            .when(anyDbl === 1, dblTerm(sumD))
+            .when(anyDec === 1, decTerm(sumDec))
+            .otherwise(intTerm(F.coalesce(sumL, F.lit(0L))))
         }
       case "AVG" =>
-        dblTerm(F.avg(numValue(t)))
+        // §18.5.1 Avg = Sum/Count: same error rule as SUM; the empty
+        // group is an error (unbound), NOT 0; integral/decimal inputs
+        // produce an exact xsd:decimal, doubles a double.
+        val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
+        val isDec = dt(t) === F.lit(XSD.decimal)
+        val err = F.max(F.when(
+          t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
+        val anyDbl = F.max(
+          F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
+        val n = F.count(F.when(t.isNotNull, 1))
+        val sumDec = F.sum(F.when(integral || isDec,
+          value(t).cast(DecimalType(38, 18)))
+          .otherwise(F.lit(0).cast(DecimalType(38, 18))))
+        F.when(err === 1 || n === 0, F.lit(null).cast(Terms.termType))
+          .when(anyDbl === 1, dblTerm(F.avg(numValue(t))))
+          .otherwise(decTerm(sumDec / n))
       case "MIN" | "MAX" =>
         val isMin = a.fn == "MIN"
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
