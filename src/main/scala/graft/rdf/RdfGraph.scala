@@ -73,7 +73,16 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** Native-key metadata for predIndex relations (see PredNat). Only
       * predicates whose relation carries `__sk`/`__ok` columns appear.
       * Dropped on UPDATE with the rest of the source metadata. */
-    predNat: Map[String, PredNat] = Map.empty) {
+    predNat: Map[String, PredNat] = Map.empty,
+    /** Predicate cardinality statistics: IRI → triple count. The
+      * S2RDF-style statistics the BGP join-order heuristic consumes
+      * (smallest estimated pattern first): exact at Turtle/NT load
+      * (counted during the parse), persisted in the GraphStore's
+      * `_stats.json` sidecar, row counts per table for the relational
+      * direct mapping. Purely an optimizer hint — absent or stale stats
+      * change plans, never results. Dropped on UPDATE like the rest of
+      * the source metadata. */
+    predCounts: Map[String, Long] = Map.empty) {
 
   def spark: SparkSession = triples.sparkSession
 
@@ -94,7 +103,7 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
         .dropDuplicates("s", "p", "o", "g")
     copy(triples = merged,
       predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
-      predNat = Map.empty)
+      predNat = Map.empty, predCounts = Map.empty)
   }
 
   /** Delete triples. On a quad store a `g`-less delete removes from the
@@ -109,7 +118,7 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
           triples("o") === gone("o") && triples("g").isNull, "left_anti")
     copy(triples = remaining,
       predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
-      predNat = Map.empty)
+      predNat = Map.empty, predCounts = Map.empty)
   }
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
@@ -160,7 +169,11 @@ object RdfGraph {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Terms.tripleType)
       .dropDuplicates("s", "p", "o")
-    RdfGraph(df, defaultPrefixes ++ prefixes)
+    // exact predicate statistics come free at parse time
+    val counts = ts.distinct.groupBy(_._2).collect {
+      case (Iri(p), g) => p -> g.size.toLong
+    }
+    RdfGraph(df, defaultPrefixes ++ prefixes, predCounts = counts)
   }
 
   /** Quad store from a DataFrame of term structs `s, p, o, g` (g null =

@@ -19,6 +19,7 @@ object GraphStore {
 
   private val PRED_COL = "__pred"
   private val PREFIX_FILE = "_prefixes.json"
+  private val STATS_FILE = "_stats.json"
 
   /** Write the graph predicate-partitioned. One RANGE shuffle on
     * (predicate, subject): consecutive subjects of one predicate stay
@@ -38,6 +39,16 @@ object GraphStore {
       "\"" + esc(k) + "\": \"" + esc(v) + "\""
     }.mkString("{", ", ", "}")
     Files.writeString(Paths.get(path, PREFIX_FILE), json)
+    // predicate-cardinality sidecar: one aggregate over data we just
+    // wrote anyway; `load` feeds it to the BGP join-order heuristic
+    // without running any job. Driver memory is |predicates|, the same
+    // order as the partition listing itself.
+    val counts = g.triples.groupBy(F.col("p.value")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val statsJson = counts.map { case (p, n) =>
+      "\"" + esc(p) + "\": " + n
+    }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(path, STATS_FILE), statsJson)
   }
 
   /** Load a saved graph. The vertical index maps every predicate to a
@@ -60,7 +71,8 @@ object GraphStore {
       (if (df.columns.contains("g")) Seq("g") else Nil)
     RdfGraph(df.select(cols.map(F.col): _*),
       RdfGraph.defaultPrefixes ++ readPrefixes(path),
-      predIndex = new LazyPredIndex(df))
+      predIndex = new LazyPredIndex(df),
+      predCounts = readStats(path))
   }
 
   /** On-demand vertical index over the predicate-partitioned layout.
@@ -106,4 +118,17 @@ object GraphStore {
 
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Predicate counts from the `_stats.json` sidecar; empty for stores
+    * written before the sidecar existed (the heuristic degrades to the
+    * static constant-shape score). */
+  private def readStats(path: String): Map[String, Long] = {
+    val f = Paths.get(path, STATS_FILE)
+    if (!Files.exists(f)) return Map.empty
+    val text = Files.readString(f).trim.stripPrefix("{").stripSuffix("}")
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+    entry.findAllMatchIn(text).map { m =>
+      unesc(m.group(1)) -> m.group(2).toLong
+    }.toMap
+  }
 }

@@ -640,26 +640,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         }
       }
     }
-    // Join-order heuristic (SURVEY §7.9): most-constrained patterns
-    // first so intermediate results stay small. Constants in s/o are the
-    // strongest signal; a constant predicate prunes via the vertical
-    // index; var-only patterns scan everything and go last. Star groups
-    // are highly constrained (several predicates at once) → first.
-    // Within equal scores the query's original order is kept (stable
-    // sort), and only adjacent relations sharing variables are joined
-    // before disjoint ones (joinBindings cross-joins disjoint inputs).
-    def score(tp: TriplePattern): Int = {
-      def c(n: Node): Int = n match { case TermNode(_) => 4; case _ => 0 }
-      val pc = tp.p match {
-        case VerbNode(TermNode(_)) => 2
-        case VerbPath(_) => 1
-        case _ => 0
-      }
-      c(tp.s) + pc + c(tp.o)
-    }
-    val rest = ts.zipWithIndex.collect {
-      case (tp, i) if !covered(i) => (tp, score(tp))
-    }.sortBy(-_._2).map { case (tp, _) => compileTriple(tp) }
+    val rest = patternOrder(ts.zipWithIndex.collect {
+      case (tp, i) if !covered(i) => tp
+    }).map(compileTriple)
     val parts = starDfs.toSeq ++ rest
     // greedy connected-join: always join the next relation that shares a
     // variable with the accumulated bindings; cross-join only when forced
@@ -672,6 +655,61 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     }
     acc
   }
+
+  // ---------------------------------------------------- BGP join ordering
+
+  /** Join-order heuristic (SURVEY §7.9 + §4.2's statistics lever):
+    * most-constrained patterns first so intermediate results stay
+    * small. The primary key is the constant-shape score — constants in
+    * s/o are the strongest signal, a constant predicate prunes via the
+    * vertical index, var-only patterns scan everything and go last;
+    * star groups (several predicates at once) always lead. WITHIN one
+    * shape class, patterns order by estimated predicate cardinality
+    * ascending (the S2RDF statistics: exact counts from the load path
+    * or the GraphStore `_stats.json` sidecar, the optimizer's size
+    * estimate of the vertical relation as fallback) — so `?l :sparse ?x
+    * . ?l :dense ?y` starts from the sparse relation regardless of how
+    * the query author happened to write it. Ties keep the query's
+    * original order (stable), and only adjacent relations sharing
+    * variables are joined before disjoint ones (joinBindings
+    * cross-joins disjoint inputs). Statistics are hints: absent or
+    * stale stats change the plan, never the result. */
+  private[sparql] def patternOrder(ts: Seq[TriplePattern]): Seq[TriplePattern] = {
+    def score(tp: TriplePattern): Int = {
+      def c(n: Node): Int = n match { case TermNode(_) => 4; case _ => 0 }
+      val pc = tp.p match {
+        case VerbNode(TermNode(_)) => 2
+        case VerbPath(_) => 1
+        case _ => 0
+      }
+      c(tp.s) + pc + c(tp.o)
+    }
+    def est(tp: TriplePattern): Long = tp.p match {
+      case VerbNode(TermNode(Iri(p))) => predEstimate(p)
+      case _ => Long.MaxValue
+    }
+    ts.zipWithIndex
+      .map { case (tp, i) => (tp, score(tp), est(tp), i) }
+      .sortBy { case (_, s, e, i) => (-s, e, i) }
+      .map(_._1)
+  }
+
+  private val estCache = mutable.Map[String, Long]()
+
+  /** Cardinality estimate for one predicate: exact stats when the
+    * source provided them, else the Catalyst size estimate (bytes — a
+    * consistent relative signal across relations of one store) of the
+    * vertical-index relation, else unknown. Driver-side only; cached
+    * so repeated compiles of one pattern shape cost one analysis. */
+  private def predEstimate(p: String): Long =
+    rdfGraph.predCounts.getOrElse(p,
+      estCache.getOrElseUpdate(p, rdfGraph.predIndex.get(p) match {
+        case Some(rel) =>
+          try rel.queryExecution.optimizedPlan.stats.sizeInBytes
+            .min(BigInt(Long.MaxValue)).toLong
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+        case None => Long.MaxValue
+      }))
 
   /** Translate a SPARQL filter onto RAW source columns when that is
     * provably implied by the term-level semantics: numeric comparisons on

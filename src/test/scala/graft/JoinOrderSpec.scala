@@ -1,0 +1,93 @@
+package graft.sparql
+
+import graft.{Engine, SparkSpec}
+import graft.rdf.{Iri, RdfGraph}
+import graft.sources.{GraphStore, Turtle}
+import Ast._
+
+/** Statistics-driven BGP join ordering (SURVEY §4.2's S2RDF lever):
+  * within one constant-shape class, the pattern with the SMALLER
+  * estimated predicate cardinality compiles first, so the greedy
+  * connected-join grows from the most selective relation. Pins the
+  * ordering function directly (stats flip the order; no stats keep the
+  * author's order), the stats plumbing end-to-end (parse-time counts,
+  * GraphStore sidecar round-trip), and the compiled plan shape. */
+class JoinOrderSpec extends SparkSpec {
+
+  private val ex = "http://example/"
+  private def tp(s: String, p: String, o: String): TriplePattern =
+    TriplePattern(VarNode(s), VerbNode(TermNode(Iri(ex + p))), VarNode(o))
+
+  /** dense: 60 triples of :dense, 3 of :sparse, chained a→b→c. */
+  private lazy val skewed: Engine = {
+    val sb = new StringBuilder(s"@prefix : <$ex> .\n")
+    for (i <- 0 until 60) sb.append(s":a$i :dense :b${i % 3} .\n")
+    for (i <- 0 until 3) sb.append(s":b$i :sparse :c$i .\n")
+    Engine.inline(sb.toString)
+  }
+
+  test("parse-time stats are exact") {
+    assert(skewed.graph.predCounts === Map(
+      ex + "dense" -> 60L, ex + "sparse" -> 3L))
+  }
+
+  test("equal-shape patterns order by ascending predicate cardinality") {
+    val c = new Compiler(skewed.graph, spark)
+    val dense = tp("a", "dense", "b")
+    val sparse = tp("b", "sparse", "c")
+    // author wrote dense first; stats flip it
+    assert(c.patternOrder(Seq(dense, sparse)) === Seq(sparse, dense))
+    // already-optimal order is kept
+    assert(c.patternOrder(Seq(sparse, dense)) === Seq(sparse, dense))
+  }
+
+  test("without stats the author's order is kept (stable fallback)") {
+    val noStats = new Compiler(skewed.graph.copy(predCounts = Map.empty), spark)
+    val dense = tp("a", "dense", "b")
+    val sparse = tp("b", "sparse", "c")
+    assert(noStats.patternOrder(Seq(dense, sparse)) === Seq(dense, sparse))
+  }
+
+  test("shape class still dominates: a bound-object pattern beats stats") {
+    val c = new Compiler(skewed.graph, spark)
+    val denseBound = TriplePattern(VarNode("a"),
+      VerbNode(TermNode(Iri(ex + "dense"))), TermNode(Iri(ex + "b0")))
+    val sparse = tp("b", "sparse", "c")
+    // constant object (score 6) outranks constant-predicate-only (2)
+    assert(c.patternOrder(Seq(sparse, denseBound)) ===
+      Seq(denseBound, sparse))
+  }
+
+  test("compiled plan starts from the sparse relation; results unchanged") {
+    val q = s"""PREFIX : <$ex>
+      SELECT ?a ?c WHERE { ?a :dense ?b . ?b :sparse ?c }"""
+    // the optimized plan's left (first-joined) subtree is the sparse scan
+    val plan = skewed.explain(q, mode = "extended")
+    val opt = plan.substring(plan.indexOf("== Optimized Logical Plan =="))
+    assert(opt.indexOf("sparse") >= 0 && opt.indexOf("dense") >= 0)
+    assert(opt.indexOf("sparse") < opt.indexOf("dense"),
+      s"expected the sparse relation first:\n$opt")
+    val rows = skewed.select(q).collect()
+    assert(rows.length === 60)
+  }
+
+  test("GraphStore sidecar round-trips the stats") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-joinorder").toString + "/store"
+    GraphStore.save(skewed.graph, dir)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.predCounts === Map(
+      ex + "dense" -> 60L, ex + "sparse" -> 3L))
+    // stats survive into ordering on the reloaded store
+    val c = new Compiler(loaded, spark)
+    assert(c.patternOrder(Seq(tp("a", "dense", "b"), tp("b", "sparse", "c")))
+      .head === tp("b", "sparse", "c"))
+  }
+
+  test("stats are dropped on UPDATE (they describe the pre-update state)") {
+    val e = Engine.inline(s"@prefix : <$ex> .\n:x :p :y .")
+    assert(e.graph.predCounts.nonEmpty)
+    e.update(s"PREFIX : <$ex> INSERT DATA { :x :q :z }")
+    assert(e.graph.predCounts.isEmpty)
+  }
+}
