@@ -85,6 +85,7 @@ object Display {
     case _ => // strings / IRIs / mixed (and defensive DUnknown) → display string
       F.when(isIri(c), shortenExpr(value(c), prefixes))
         .when(Terms.isBlank(c), F.concat(F.lit("_:"), value(c)))
+        .when(Terms.isQuoted(c), Terms.quotedN3(c))
         .otherwise(value(c))
   }
 
@@ -129,6 +130,7 @@ object Display {
     kind match {
       case KIND_IRI => shorten(v, prefixes)
       case KIND_BLANK => "_:" + v
+      case Terms.KIND_TRIPLE => Terms.unpackString(v).n3()
       case _ =>
         if (dt != null && XSD.integral(dt)) v.toLong
         else if (dt != null && XSD.numeric(dt)) v.toDouble

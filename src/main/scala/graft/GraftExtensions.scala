@@ -347,8 +347,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("zip_entries"),
       info(classOf[graft.expressions.ZipEntries], "zip_entries",
-        "zip_entries(bytes) - ZIP local-header walk: array of (name, " +
-          "method, compressed, size); NULL for non-ZIP bytes"),
+        "zip_entries(bytes) - ZIP central directory (located via the " +
+          "end-of-central-directory record): array of (name, method, " +
+          "compressed, size); NULL for non-ZIP bytes"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "zip_entries(bytes) takes 1 argument")
         graft.expressions.ZipEntries(args.head)

@@ -272,6 +272,26 @@ object SparkEntry {
         F.col("s.value").as("s"), F.col("p.value").as("p"),
         F.col("o.value").as("o"))
     }),
+    "q_rdf_star" -> ((s, dir) => {
+      // RDF-star / SPARQL 1.2 quoted triples: reify each region's name
+      // statement as a quoted-triple TERM carrying a confidence
+      // annotation, then query it back with a variable quoted pattern +
+      // the TRIPLE/isTRIPLE builtins. region is the fixed 5-row dim, so
+      // the driver-side Turtle-star synthesis is O(1) at any SF.
+      val rows = read(s, dir, "region")
+        .select("r_regionkey", "r_name").collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      val ttl = new StringBuilder("@prefix : <http://example/> .\n")
+      rows.foreach { case (k, n) =>
+        ttl.append(s"""<< :r$k :name "$n" >> :confidence ${80 + k} .\n""")
+      }
+      Engine.inline(ttl.toString)(s).select(
+        """PREFIX : <http://example/>
+           SELECT ?rname ?conf WHERE {
+             << ?r :name ?rname >> :confidence ?conf
+             FILTER(isTRIPLE(TRIPLE(?r, :name, ?rname)))
+           }""")
+    }),
     "q_update_delete" -> ((s, dir) => {
       val e = eng(s, dir, "region")
       e.update(P +
@@ -2194,6 +2214,8 @@ object SparkEntry {
       """SELECT 'urn:graft:g/' || CAST(n_regionkey AS VARCHAR) AS g,
                 n_name AS nname
          FROM nation WHERE n_regionkey IN (2, 3)""",
+    "q_rdf_star" ->
+      "SELECT r_name AS rname, 80 + r_regionkey AS conf FROM region",
     "q_describe" ->
       """WITH t AS (SELECT * FROM nation WHERE n_nationkey = 3)
          SELECT 'urn:graft:nation/3' AS s, 'urn:graft:p/n_nationkey' AS p,

@@ -164,6 +164,8 @@ object RdfGraph {
       case Iri(v)             => Row(Terms.KIND_IRI, v, null, null)
       case Blank(l)           => Row(Terms.KIND_BLANK, l, null, null)
       case Lit(lex, dt, lang) => Row(Terms.KIND_LIT, lex, dt, lang)
+      case q: QuotedTriple    =>
+        Row(Terms.KIND_TRIPLE, Terms.packString(q), null, null)
     }
     val rows = ts.map { case (s, p, o) => Row(row(s), row(p), row(o)) }
     val df = spark.createDataFrame(
@@ -198,6 +200,8 @@ object RdfGraph {
       case Iri(v)             => Row(Terms.KIND_IRI, v, null, null)
       case Blank(l)           => Row(Terms.KIND_BLANK, l, null, null)
       case Lit(lex, dt, lang) => Row(Terms.KIND_LIT, lex, dt, lang)
+      case q: QuotedTriple    =>
+        Row(Terms.KIND_TRIPLE, Terms.packString(q), null, null)
     }
     val rows = qs.map { case (s, p, o, g) =>
       Row(row(s), row(p), row(o), g.map(row).orNull)

@@ -38,6 +38,18 @@ final case class Lit(lex: String, dt: String, lang: String) extends RdfTerm {
     else s""""$esc"^^<$dt>"""
   }
 }
+/** RDF-star quoted triple (SPARQL 1.2 / RDF 1.2 WG drafts): a triple
+  * used as a TERM — `<< :s :p :o >> :certainty 0.9`. Columnar
+  * representation: kind 3 with `value` holding the packed component
+  * encoding ([[Terms.packString]]) so the existing 4-field term struct
+  * carries it unchanged; `TRIPLE`/`SUBJECT`/`PREDICATE`/`OBJECT`
+  * (de)compose it columnar-ly. The predicate must be an IRI; subject
+  * and object nest freely (including further quoted triples). */
+final case class QuotedTriple(s: RdfTerm, p: RdfTerm, o: RdfTerm)
+    extends RdfTerm {
+  require(p.isInstanceOf[Iri], s"quoted-triple predicate must be an IRI: $p")
+  def n3(): String = s"<< ${s.n3()} ${p.n3()} ${o.n3()} >>"
+}
 object Lit {
   def plain(lex: String): Lit = Lit(lex, XSD.string, null)
   def tagged(lex: String, lang: String): Lit = Lit(lex, RDF.langString, lang)
@@ -117,6 +129,7 @@ object Terms {
   final val KIND_IRI: Byte = 0
   final val KIND_BLANK: Byte = 1
   final val KIND_LIT: Byte = 2
+  final val KIND_TRIPLE: Byte = 3 // RDF-star quoted triple (packed value)
 
   /** Columnar representation of one RDF term. */
   val termType: StructType = StructType(Seq(
@@ -171,6 +184,123 @@ object Terms {
     case Blank(l)      => blank(F.lit(l))
     case Lit(lex, dt, null) => lit(F.lit(lex), dt)
     case Lit(lex, _, lang)  => langLit(F.lit(lex), F.lit(lang))
+    case q: QuotedTriple =>
+      mk(F.lit(KIND_TRIPLE), F.lit(packString(q)), nullStr, nullStr)
+  }
+
+  // ---- RDF-star quoted-triple encoding --------------------------------------
+  //
+  // A quoted triple packs its nine component fields (s.kind, s.value,
+  // s.dt, s.lang, p.value, o.kind, o.value, o.dt, o.lang) into ONE
+  // string, percent-escaped ('%'→"%25", U+001F→"%1F") and joined with
+  // U+001F, so the existing (kind, value, dt, lang) struct carries it
+  // with no schema change and struct equality/grouping/shuffling keep
+  // working (the encoding is canonical). Nested quoted triples recurse:
+  // an inner triple's packed string is just another escaped field.
+  // nulls (dt/lang of non-literals) encode as "" — never a valid dt or
+  // BCP47 tag, so the mapping is unambiguous.
+
+  private final val QT_SEP = "\u001F"
+
+  private def qtEsc(s: String): String =
+    s.replace("%", "%25").replace(QT_SEP, "%1F")
+  private def qtUnesc(s: String): String =
+    s.replace("%1F", QT_SEP).replace("%25", "%")
+
+  private def fieldsOf(t: RdfTerm): (Byte, String, String, String) = t match {
+    case Iri(v) => (KIND_IRI, v, null, null)
+    case Blank(l) => (KIND_BLANK, l, null, null)
+    case Lit(lex, dt, lang) => (KIND_LIT, lex, dt, lang)
+    case q: QuotedTriple => (KIND_TRIPLE, packString(q), null, null)
+  }
+
+  /** Canonical packed encoding of a quoted triple (driver side). */
+  def packString(q: QuotedTriple): String = {
+    val (sk, sv, sd, sl) = fieldsOf(q.s)
+    val (ok, ov, od, ol) = fieldsOf(q.o)
+    val pv = q.p.asInstanceOf[Iri].value
+    Seq(sk.toString, sv, sd, sl, pv, ok.toString, ov, od, ol)
+      .map(f => qtEsc(if (f == null) "" else f)).mkString(QT_SEP)
+  }
+
+  /** Packed string → quoted triple (driver side: display, serializers). */
+  def unpackString(v: String): QuotedTriple = {
+    val f = v.split(QT_SEP, -1).map(qtUnesc)
+    require(f.length == 9, s"malformed quoted-triple encoding: $v")
+    def mkTerm(k: String, value: String, dt: String, lang: String): RdfTerm =
+      k.toByte match {
+        case KIND_IRI => Iri(value)
+        case KIND_BLANK => Blank(value)
+        case KIND_TRIPLE => unpackString(value)
+        case _ => Lit(value, if (dt.isEmpty) XSD.string else dt,
+          if (lang.isEmpty) null else lang)
+      }
+    QuotedTriple(mkTerm(f(0), f(1), f(2), f(3)), Iri(f(4)),
+      mkTerm(f(5), f(6), f(7), f(8)))
+  }
+
+  def isQuoted(c: Column): Column = kind(c) === KIND_TRIPLE
+
+  private def qtEscC(c: Column): Column =
+    F.replace(F.replace(c, F.lit("%"), F.lit("%25")),
+      F.lit(QT_SEP), F.lit("%1F"))
+  private def qtUnescC(c: Column): Column =
+    F.replace(F.replace(c, F.lit("%1F"), F.lit(QT_SEP)),
+      F.lit("%25"), F.lit("%"))
+
+  /** TRIPLE(s, p, o): three term structs → one quoted-triple term.
+    * Errors (null) when any component is unbound or p is not an IRI. */
+  def packQuoted(s: Column, p: Column, o: Column): Column = {
+    def f(c: Column): Column = qtEscC(F.coalesce(c.cast(StringType), F.lit("")))
+    val packed = F.concat_ws(QT_SEP,
+      f(kind(s)), f(value(s)), f(dt(s)), f(lang(s)),
+      f(value(p)),
+      f(kind(o)), f(value(o)), f(dt(o)), f(lang(o)))
+    F.when(s.isNull || p.isNull || o.isNull || !isIri(p),
+      F.lit(null).cast(termType))
+      .otherwise(mk(F.lit(KIND_TRIPLE), packed, nullStr, nullStr))
+  }
+
+  private def qtField(t: Column, i: Int): Column =
+    qtUnescC(F.element_at(F.split(value(t), QT_SEP, -1), i))
+  private def qtTermAt(t: Column, base: Int): Column = {
+    val k = qtField(t, base).cast(ByteType)
+    val v = qtField(t, base + 1)
+    val d = qtField(t, base + 2)
+    val l = qtField(t, base + 3)
+    mk(k, v,
+      F.when(d === "", nullStr).otherwise(d),
+      F.when(l === "", nullStr).otherwise(l))
+  }
+
+  /** SUBJECT / PREDICATE / OBJECT over a quoted-triple term (null for
+    * anything that is not one). */
+  def quotedSubject(t: Column): Column =
+    F.when(isQuoted(t), qtTermAt(t, 1)).otherwise(F.lit(null).cast(termType))
+  def quotedPredicate(t: Column): Column =
+    F.when(isQuoted(t), iri(qtField(t, 5))).otherwise(F.lit(null).cast(termType))
+  def quotedObject(t: Column): Column =
+    F.when(isQuoted(t), qtTermAt(t, 6)).otherwise(F.lit(null).cast(termType))
+
+  /** Display form of a quoted-triple term: `<< s p o >>` with one level
+    * of nesting rendered columnar-ly; deeper nests fall back to the
+    * component's lexical (driver-side display uses the exact recursive
+    * [[unpackString]] path instead). */
+  def quotedN3(c: Column): Column = {
+    def termN3(t: Column): Column =
+      F.when(t.isNull, F.lit("UNDEF"))
+        .when(isIri(t), F.concat(F.lit("<"), value(t), F.lit(">")))
+        .when(isBlank(t), F.concat(F.lit("_:"), value(t)))
+        .when(isQuoted(t), F.concat(F.lit("<< "), value(t), F.lit(" >>")))
+        .when(lang(t).isNotNull,
+          F.concat(F.lit("\""), value(t), F.lit("\"@"), lang(t)))
+        .when(dt(t) === XSD.string,
+          F.concat(F.lit("\""), value(t), F.lit("\"")))
+        .otherwise(F.concat(F.lit("\""), value(t), F.lit("\"^^<"), dt(t),
+          F.lit(">")))
+    F.concat(F.lit("<< "), termN3(quotedSubject(c)), F.lit(" "),
+      termN3(quotedPredicate(c)), F.lit(" "), termN3(quotedObject(c)),
+      F.lit(" >>"))
   }
 
   // ---- field accessors -----------------------------------------------------
@@ -233,7 +363,8 @@ object Terms {
     F.when(c.isNull, -1)
       .when(isBlank(c), 0)
       .when(isIri(c), 1)
-      .otherwise(2),
+      .when(isLiteral(c), 2)
+      .otherwise(3), // quoted triples after literals (SPARQL 1.2 draft)
     F.when(isNumeric(c), numValue(c)),       // numerics by value (nulls first)
     value(c))
 }

@@ -108,6 +108,7 @@ object Turtle {
         val short = graft.Display.shorten(v, prefixes)
         if (short == v) s"<$v>" else short
       case Terms.KIND_BLANK => s"_:$v"
+      case Terms.KIND_TRIPLE => Terms.unpackString(v).n3() // Turtle-star
       case _ => Lit(v, dt, lang).n3() match {
         // shorten datatype IRIs too
         case s if dt != null && dt != XSD.string && lang == null =>

@@ -16,6 +16,11 @@ object Ast {
   sealed trait Node
   final case class VarNode(name: String) extends Node
   final case class TermNode(term: RdfTerm) extends Node
+  /** RDF-star quoted-triple PATTERN `<< s p o >>` with at least one
+    * variable component (fully concrete quoted triples parse straight
+    * to `TermNode(QuotedTriple)`). Matches quoted-triple TERMS in the
+    * data, binding the variables from their components. */
+  final case class QuotedNode(s: Node, p: Node, o: Node) extends Node
 
   /** Triple pattern; predicate may be a var, a term, or a property path. */
   final case class TriplePattern(s: Node, p: Verb, o: Node)
@@ -192,7 +197,9 @@ object Ast {
 
   def tripleVars(t: TriplePattern): Seq[String] = {
     def nv(n: Node): Seq[String] = n match {
-      case VarNode(v) => Seq(v); case _ => Nil
+      case VarNode(v) => Seq(v)
+      case QuotedNode(s, p, o) => nv(s) ++ nv(p) ++ nv(o)
+      case _ => Nil
     }
     nv(t.s) ++ (t.p match {
       case VerbNode(n) => nv(n); case VerbPath(_) => Nil

@@ -830,7 +830,53 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     else df.select(proj: _*)
   }
 
-  private def compileTriple(tp: TriplePattern): DataFrame = tp.p match {
+  private def compileTriple(tp: TriplePattern): DataFrame = {
+    val (core, quoted) = extractQuoted(tp)
+    var df = compileTripleCore(core)
+    quoted.foreach { case (v, qn) => df = bindQuoted(df, v, qn) }
+    if (quoted.nonEmpty) df = df.drop(quoted.map(_._1): _*)
+    df
+  }
+
+  /** Replace RDF-star quoted-triple PATTERNS in the s/o slots with
+    * synthetic variables; [[bindQuoted]] decomposes them after the base
+    * scan. The base pattern matching stays untouched — a quoted-triple
+    * term is just a kind-3 term to the scan. */
+  private def extractQuoted(tp: TriplePattern)
+      : (TriplePattern, Seq[(String, QuotedNode)]) = {
+    val out = mutable.ArrayBuffer[(String, QuotedNode)]()
+    def repl(n: Node): Node = n match {
+      case q: QuotedNode => val v = syn("qt"); out += (v -> q); VarNode(v)
+      case other => other
+    }
+    (tp.copy(s = repl(tp.s), o = repl(tp.o)), out.toSeq)
+  }
+
+  /** Constrain/bind one quoted-triple pattern over the column `v`:
+    * filter to kind-3 terms, then per component either filter against a
+    * constant, bind (or equality-join) a variable, or recurse into a
+    * nested quoted pattern. Pure column operations — the decomposition
+    * is a codegen'd projection over the packed encoding, no extra scan
+    * or shuffle. */
+  private def bindQuoted(df0: DataFrame, v: String, q: QuotedNode): DataFrame = {
+    var df = df0.where(Terms.isQuoted(F.col(v)))
+    def comp(c: Column, n: Node): Unit = n match {
+      case TermNode(t) => df = df.where(c === termCol(t))
+      case VarNode(x) =>
+        if (df.columns.contains(x)) df = df.where(F.col(x) === c)
+        else df = df.withColumn(x, c)
+      case qn: QuotedNode =>
+        val inner = syn("qt")
+        df = df.withColumn(inner, c)
+        df = bindQuoted(df, inner, qn).drop(inner)
+    }
+    comp(Terms.quotedSubject(F.col(v)), q.s)
+    comp(Terms.quotedPredicate(F.col(v)), q.p)
+    comp(Terms.quotedObject(F.col(v)), q.o)
+    df
+  }
+
+  private def compileTripleCore(tp: TriplePattern): DataFrame = tp.p match {
     case VerbNode(pn) if quadScoped => quadTriple(tp.s, pn, tp.o)
     case VerbNode(TermNode(Iri(p))) =>
       // constant predicate → vertical-partition scan (no predicate column)
@@ -1489,6 +1535,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           nullStr.as("dt"), nullStr.as("lang"))
       case VarNode(v) if withId.columns.contains(v) => F.col(v)
       case VarNode(_) => F.lit(null).cast(Terms.termType)
+      case QuotedNode(s, p, o) => // CONSTRUCT-star: build the quoted term
+        Terms.packQuoted(inst(s), inst(p), inst(o))
     }
     val parts = q.template.map { tp =>
       val p = tp.p match {

@@ -142,6 +142,7 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "ISLITERAL" => isLiteral(term(args.head))
     case "ISNUMERIC" => isNumeric(term(args.head))
     case "SAMETERM" => term(args.head) === term(args(1))
+    case "ISTRIPLE" => Terms.isQuoted(term(args.head))
     case "CONTAINS" => strBinary(args, _.contains(_))
     case "STRSTARTS" => strBinary(args, _.startsWith(_))
     case "STRENDS" => strBinary(args, _.endsWith(_))
@@ -178,6 +179,14 @@ final class ExprCompiler(env: String => Option[Column]) {
         F.concat(F.lit("fb"), F.expr("uuid()")).as("value"),
         nullStr.as("dt"), nullStr.as("lang"))
     case "STRLEN" => intTerm(F.length(str(args.head)))
+    // SPARQL 1.2 quoted-triple constructors/accessors: TRIPLE errors on
+    // unbound components or a non-IRI predicate; the accessors error on
+    // non-quoted input (all via NULL term structs)
+    case "TRIPLE" =>
+      Terms.packQuoted(term(args.head), term(args(1)), term(args(2)))
+    case "SUBJECT" => Terms.quotedSubject(term(args.head))
+    case "PREDICATE" => Terms.quotedPredicate(term(args.head))
+    case "OBJECT" => Terms.quotedObject(term(args.head))
     case "UCASE" => mkLitKeepLang(F.upper(str(args.head)), term(args.head))
     case "LCASE" => mkLitKeepLang(F.lower(str(args.head)), term(args.head))
     case "CONCAT" =>
@@ -374,7 +383,7 @@ final class ExprCompiler(env: String => Option[Column]) {
 object ExprCompiler {
   val boolBuiltins: Set[String] = Set("BOUND", "ISIRI", "ISURI", "ISBLANK",
     "ISLITERAL", "ISNUMERIC", "SAMETERM", "CONTAINS", "STRSTARTS", "STRENDS",
-    "REGEX", "LANGMATCHES")
+    "REGEX", "LANGMATCHES", "ISTRIPLE")
 
   /** Does the expression (transitively) contain an aggregate? */
   def hasAgg(e: Expr): Boolean = e match {

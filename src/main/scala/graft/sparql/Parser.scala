@@ -148,6 +148,7 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   // --------------------------------------------------------------- nodes
 
   def graphNode: Parser[(Node, Seq[TriplePattern])] =
+    quotedTriple ^^ (q => (q, Nil)) |
     varName ^^ (v => (VarNode(v), Nil)) |
     iri ^^ (i => (TermNode(Iri(i)): Node, Nil)) |
     literal ^^ (l => (TermNode(l): Node, Nil)) |
@@ -155,6 +156,35 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     "[" ~ "]" ^^ (_ => (freshBnodeVar(): Node, Nil)) |
     blankNodePropertyList |
     collection
+
+  /** RDF-star quoted triple `<< s p o >>` (Turtle-star data term /
+    * SPARQL-star pattern). Components: var/iri/literal/labeled-bnode/
+    * nested quoted triple for s and o, var/iri for p — the WG draft's
+    * grammar, no anonymous bnodes or property lists inside quoting.
+    * Fully concrete → a TermNode(QuotedTriple) data term; any variable
+    * → a QuotedNode pattern. */
+  def quotedTriple: Parser[Node] = {
+    // defs, not vals: the recursive `comp → quotedTriple` reference must
+    // construct lazily at PARSE time (one level per actual nesting), or
+    // building the parser itself recurses forever
+    def comp: Parser[Node] =
+      quotedTriple |
+      varName ^^ (VarNode(_): Node) |
+      iri ^^ (i => TermNode(Iri(i)): Node) |
+      literal ^^ (l => TermNode(l): Node) |
+      BNODE_LABEL ^^ (b => VarNode("_:" + b.substring(2)): Node)
+    def pred: Parser[Node] =
+      varName ^^ (VarNode(_): Node) |
+      "a\\b".r ^^ (_ => TermNode(Iri(RDF.typ)): Node) |
+      iri ^^ (i => TermNode(Iri(i)): Node)
+    "<<" ~> comp ~ pred ~ comp <~ ">>" ^^ { case s ~ p ~ o =>
+      (s, p, o) match {
+        case (TermNode(st), TermNode(pt: Iri), TermNode(ot)) =>
+          TermNode(QuotedTriple(st, pt, ot))
+        case _ => QuotedNode(s, p, o)
+      }
+    }
+  }
 
   def blankNodePropertyList: Parser[(Node, Seq[TriplePattern])] =
     "[" ~> propertyList <~ "]" ^^ { pl =>
@@ -301,7 +331,9 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     "MINUTES", "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5",
     "SHA1", "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "SAMETERM",
     "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR",
-    "REPLACE")
+    "REPLACE",
+    // SPARQL 1.2 RDF-star builtins (WG draft §"Functions on quoted triples")
+    "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE")
 
   def builtInCall: Parser[Expr] = {
     val name: Parser[String] = builtinNames.map(kw).reduce(_ | _)

@@ -97,6 +97,7 @@ object Render {
     case VarNode(v) if v.startsWith("_:") => v // anonymous blank: keep label
     case VarNode(v) => s"?$v"
     case TermNode(t) => term(t)
+    case QuotedNode(s, p, o) => s"<< ${node(s)} ${node(p)} ${node(o)} >>"
   }
 
   def term(t: RdfTerm): String = t.n3()

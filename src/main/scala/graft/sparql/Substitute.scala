@@ -1,6 +1,6 @@
 package graft.sparql
 
-import graft.rdf.RdfTerm
+import graft.rdf.{Iri, QuotedTriple, RdfTerm}
 import Ast._
 
 /** Parameter substitution at AST level: variables named `?_x` (the
@@ -52,6 +52,14 @@ object Substitute {
 
   private def node(n: Node, m: Map[String, RdfTerm]): Node = n match {
     case VarNode(v) if m.contains(v) => TermNode(m(v))
+    case QuotedNode(s, p, o) =>
+      // substituting may make the quoted pattern fully concrete — then
+      // it collapses to a quoted-triple TERM, like the parser does
+      (node(s, m), node(p, m), node(o, m)) match {
+        case (TermNode(st), TermNode(pt: Iri), TermNode(ot)) =>
+          TermNode(QuotedTriple(st, pt, ot))
+        case (s2, p2, o2) => QuotedNode(s2, p2, o2)
+      }
     case other => other
   }
 
