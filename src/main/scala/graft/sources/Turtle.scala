@@ -60,6 +60,17 @@ object Turtle {
     case VarNode(v) =>
       throw new IllegalArgumentException(
         s"variable ?$v not allowed in $format")
+    case QuotedNode(s, p, o) =>
+      // Turtle-star: a quoted triple holding a labeled blank node (or a
+      // nested quoting of one) parses as a QuotedNode pattern; resolve
+      // each component recursively — "_:"-vars become Blanks, real
+      // variables are rejected above — and rebuild the concrete term.
+      nodeTerm(p, format) match {
+        case pi: Iri => QuotedTriple(nodeTerm(s, format), pi,
+          nodeTerm(o, format))
+        case other => throw new IllegalArgumentException(
+          s"quoted-triple predicate must be an IRI in $format, got $other")
+      }
   }
 
   private[sources] def verbTerm(tp: TriplePattern, format: String): RdfTerm =

@@ -440,8 +440,18 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * condition (references left vars), not as a post-filter —
     * SURVEY.md §2B Joins. Shared vars in `unsafe` (maybe-unbound on
     * either side) use the compatible-join condition + coalesce. */
+  /** Is this filter a top-level (NOT) EXISTS — the shape applyFilters
+    * evaluates via semi/anti join rather than as a column expression? */
+  private def isExistsFilter(e: Expr): Boolean = e match {
+    case ExExists(_, _) => true
+    case ExNot(ExExists(_, _)) => true
+    case _ => false
+  }
+
   private def leftJoin(l: DataFrame, r: DataFrame, filters: Seq[Expr],
       unsafe0: Set[String]): DataFrame = {
+    if (filters.exists(isExistsFilter))
+      return leftJoinExists(l, r, filters, unsafe0)
     val shared = sharedVars(l, r)
     val unsafe = shared.filter(unsafe0).toSet
     if (filters.isEmpty && unsafe.isEmpty) {
@@ -478,6 +488,55 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         .map(c => joined(ren(c)).as(c))
       joined.select(keep: _*)
     }
+  }
+
+  /** LeftJoin whose in-join filter list contains (NOT) EXISTS — e.g.
+    * `OPTIONAL { P FILTER EXISTS { Q } }`. The EXISTS must be evaluated
+    * per CANDIDATE joined row (it correlates a subpattern with vars from
+    * both sides), which a join condition cannot express. Evaluate the
+    * inner join with the plain filters in the condition, re-project to
+    * SPARQL var names, apply the EXISTS filters via their semi/anti
+    * joins, then union back the left rows that matched nothing (right
+    * vars null-padded). Only this rare shape pays the extra anti-join;
+    * ordinary OPTIONALs keep the single left_outer plan. */
+  private def leftJoinExists(l: DataFrame, r: DataFrame, filters: Seq[Expr],
+      unsafe0: Set[String]): DataFrame = {
+    val shared = sharedVars(l, r)
+    val unsafe = shared.filter(unsafe0).toSet
+    val (existsF, plainF) = filters.partition(isExistsFilter)
+    val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
+    val rNk = r.columns
+      .filter(c => c.startsWith("__nk:") && !shared.contains(nkVar(c))).toSeq
+    val ren = (rCols ++ rNk).map(c => c -> s"__R_$c").toMap
+    val r2 = r.select((rCols ++ rNk).map(c => r(c).as(ren(c))): _*)
+    val eqCond = shared.map { v =>
+      if (unsafe(v)) l(v).isNull || r2(ren(v)).isNull || l(v) === r2(ren(v))
+      else l(v) === r2(ren(v))
+    }.reduceOption(_ && _).getOrElse(F.lit(true))
+    val fEnv = new ExprCompiler(v =>
+      if (ren.contains(v)) Some(r2(ren(v)))
+      else if (l.columns.contains(v)) Some(l(v))
+      else None)
+    val cond = plainF.map(fEnv.bool).foldLeft(eqCond)(_ && _)
+    val joined = l.join(r2, cond, "inner")
+    // var-name view of the joined candidates, keeping the original left
+    // values under __L_ so unmatched left rows can be recovered exactly
+    val lVis = l.columns.toSeq
+    val keep = lVis.flatMap { c =>
+      if (unsafe(c)) Some(F.coalesce(joined(c), joined(ren(c))).as(c))
+      else if (c.startsWith("__nk:") && unsafe(nkVar(c))) None
+      else Some(joined(c).as(c))
+    } ++ (rCols.filterNot(shared.contains) ++ rNk)
+      .map(c => joined(ren(c)).as(c)) ++
+      lVis.map(c => joined(c).as("__L_" + c))
+    val candidates = joined.select(keep: _*)
+    val matched = applyFilters(candidates, existsF, unsafe0)
+    val probe = matched
+      .select(lVis.map(c => matched("__L_" + c).as("__P_" + c)): _*)
+    val bareCond = lVis.map(c => l(c) <=> probe("__P_" + c))
+      .reduceOption(_ && _).getOrElse(F.lit(true))
+    val bare = l.join(probe, bareCond, "left_anti")
+    unionByNamePadded(matched.drop(lVis.map("__L_" + _): _*), bare)
   }
 
   /** SPARQL MINUS with the disjoint-domain rule: when the two sides share
@@ -1445,6 +1504,25 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       orderExprs = orderExprs.map { case (e, asc) =>
         (rewriteAggs(rewriteGroupRefs(e)), asc)
       }
+      // §18.2.4.4 projection restriction: outside an aggregate, a
+      // projected expression may reference only group variables (or a
+      // previously-aliased projection). After the rewrites above,
+      // aggregates are synthetic vars in aggMap, so the free vars of
+      // finalItems are exactly the outside-aggregate references.
+      locally {
+        val allowed = mutable.Set[String]() ++
+          groupKeys.map(_._2) ++ aggMap.values
+        finalItems.foreach { i =>
+          val bad = exprVars(i.expr) -- allowed
+          if (bad.nonEmpty) throw new graft.GraftException(
+            "variable" + (if (bad.size > 1) "s " else " ") +
+              bad.toSeq.sorted.map("?" + _).mkString(", ") +
+              " projected in an aggregate query without being grouped" +
+              " (SPARQL 1.1 §18.2.4.4: use GROUP BY or wrap in" +
+              " SAMPLE/an aggregate)")
+          allowed += i.name
+        }
+      }
       val keyCols: Seq[Column] = groupKeys.flatMap {
         // a group var's companion joins the grouping keys (it determines
         // the var, so the groups are unchanged) and thereby survives the
@@ -1463,21 +1541,21 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     }
 
     // materialize computed projections (keeping original columns so ORDER BY
-    // can reference non-projected variables)
-    val ec1 = exprC(df)
-    val computed: Seq[(String, Column)] = finalItems.flatMap { i =>
+    // can reference non-projected variables); SEQUENTIAL fold so a later
+    // expression can reference an earlier item's alias (§18.2.4.4:
+    // `SELECT (COUNT(?v) AS ?c) (?c+1 AS ?d)`)
+    var work = finalItems.foldLeft(df) { (d, i) =>
       i.expr match {
-        case ExVar(v) if v == i.name && df.columns.contains(v) => None
+        case ExVar(v) if v == i.name && d.columns.contains(v) => d
         case e =>
           // projection-expression errors leave the output unbound (a
           // NULL struct), same normalization as Extend
-          val t = ec1.term(e)
-          Some(i.name ->
+          val t = exprC(d).term(e)
+          d.withColumn(i.name,
             F.when(Terms.value(t).isNull, F.lit(null).cast(Terms.termType))
               .otherwise(t))
       }
     }
-    var work = computed.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val names = finalItems.map(_.name)
 
     // companions of projected plain vars, renamed to the output name

@@ -122,16 +122,20 @@ final class ExprCompiler(env: String => Option[Column]) {
     F.when(invalid, nullTerm).otherwise(result)
   }
 
+  /** A string literal per §17.4.3.1.1: simple/xsd:string (plain
+    * literals are normalized to xsd:string at parse) or langString.
+    * Datatyped literals like xsd:integer are NOT string arguments —
+    * passing one to a binary string builtin is an error. */
+  private def isStringLit(c: Column): Column =
+    isLiteral(c) && (dt(c) === XSD.string || dt(c) === RDF.langString)
+
   /** SPARQL §17.4.3.1.1 argument compatibility for the binary string
     * builtins: (plain/xsd:string, plain/xsd:string), (lang, plain), or
     * both the SAME language tag. Anything else — including a tag only
-    * on arg2 — is an error. */
-  private def strCompatible(a: Column, b: Column): Column = {
-    val okA = isLiteral(a)
-    val okB = isLiteral(b)
-    okA && okB &&
+    * on arg2 or a non-string datatype — is an error. */
+  private def strCompatible(a: Column, b: Column): Column =
+    isStringLit(a) && isStringLit(b) &&
       (lang(b).isNull || (lang(a).isNotNull && lang(a) === lang(b)))
-  }
 
   private def str(e: Expr): Column = value(term(e))
 
@@ -189,6 +193,10 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "OBJECT" => Terms.quotedObject(term(args.head))
     case "UCASE" => mkLitKeepLang(F.upper(str(args.head)), term(args.head))
     case "LCASE" => mkLitKeepLang(F.lower(str(args.head)), term(args.head))
+    case "CONCAT" if args.isEmpty =>
+      // CONCAT() is grammatical (ExpressionList may be NIL) and yields
+      // the empty simple literal per §17.4.3.12
+      strTerm(F.lit(""))
     case "CONCAT" =>
       // §17.4.3.12: all args share one language tag → tagged result;
       // otherwise a simple literal (mixed/absent tags drop the tag)
@@ -342,9 +350,10 @@ final class ExprCompiler(env: String => Option[Column]) {
             .otherwise(intTerm(F.coalesce(sumL, F.lit(0L))))
         }
       case "AVG" =>
-        // §18.5.1 Avg = Sum/Count: same error rule as SUM; the empty
-        // group is an error (unbound), NOT 0; integral/decimal inputs
-        // produce an exact xsd:decimal, doubles a double.
+        // §18.5.1.5 Avg(M) = "0"^^xsd:integer when Card(M) = 0 (like
+        // SUM/COUNT); a non-numeric input is an error (unbound);
+        // integral/decimal inputs produce an exact xsd:decimal,
+        // doubles a double.
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
         val isDec = dt(t) === F.lit(XSD.decimal)
         val err = F.max(F.when(
@@ -355,7 +364,8 @@ final class ExprCompiler(env: String => Option[Column]) {
         val sumDec = F.sum(F.when(integral || isDec,
           value(t).cast(DecimalType(38, 18)))
           .otherwise(F.lit(0).cast(DecimalType(38, 18))))
-        F.when(err === 1 || n === 0, F.lit(null).cast(Terms.termType))
+        F.when(err === 1, F.lit(null).cast(Terms.termType))
+          .when(n === 0, intTerm(F.lit(0L)))
           .when(anyDbl === 1, dblTerm(F.avg(numValue(t))))
           .otherwise(decTerm(sumDec / n))
       case "MIN" | "MAX" =>

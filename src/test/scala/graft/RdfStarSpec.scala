@@ -147,6 +147,28 @@ class RdfStarSpec extends SparkSpec {
     assert(shown.contains("alice"))
   }
 
+  test("Turtle-star accepts a labeled blank node inside a quoted triple") {
+    val g = Engine.inline(
+      """@prefix : <http://example/> .
+        << _:b :p 1 >> :q 2 .
+        << :s :p << _:b :r 3 >> >> :q 4 .
+        _:b :name "node b" .
+      """)
+    assert(g.graph.size === 3)
+    // the blank node in the quote and the asserted one are the SAME label
+    val rows = g.selectRaw(
+      """PREFIX : <http://example/>
+         SELECT ?n WHERE { << ?b :p 1 >> :q 2 . ?b :name ?n }""")
+      .collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(rows === Seq("node b"))
+    // a real variable inside quoted data is still rejected
+    val err = intercept[IllegalArgumentException] {
+      Engine.inline("""@prefix : <http://example/> .
+        << ?v :p 1 >> :q 2 .""")
+    }
+    assert(err.getMessage.contains("not allowed"))
+  }
+
   test("quoted terms sort after literals in ORDER BY") {
     val g = Engine.inline(
       """@prefix : <http://example/> .

@@ -48,7 +48,7 @@ class W3cSparqlSpec extends SparkSpec {
 
   private val categories =
     Seq("algebra", "negation", "aggregates", "property-path",
-      "functions", "bindings")
+      "functions", "bindings", "exists", "graph")
 
   // ------------------------------------------------------------ loading
 
@@ -80,8 +80,10 @@ class W3cSparqlSpec extends SparkSpec {
     }
   }
 
+  /** `result`/`data` are empty for NegativeSyntaxTest11 entries, whose
+    * mf:action is the query IRI itself (the upstream convention). */
   private case class W3cTest(name: String, query: String, data: String,
-      result: String)
+      result: String, negativeSyntax: Boolean)
 
   private def loadManifest(cat: String): Seq[W3cTest] = {
     val g = new MiniGraph(Turtle.parseTriples(res(cat, "manifest.ttl")))
@@ -97,16 +99,23 @@ class W3cSparqlSpec extends SparkSpec {
         case Some(Lit(lex, _, _)) => lex
         case other => sys.error(s"$cat: entry $e has no mf:name ($other)")
       }
+      val negative = g.obj(e, RDFNS + "type")
+        .contains(Iri(MF + "NegativeSyntaxTest11"))
       val action = g.obj(e, MF + "action").getOrElse(
         sys.error(s"$cat/$name: no mf:action"))
       def fileOf(t: Option[RdfTerm], what: String): String = t match {
         case Some(Iri(rel)) => rel // relative IRI = sibling resource name
         case other => sys.error(s"$cat/$name: bad $what ref: $other")
       }
-      W3cTest(name,
-        query = fileOf(g.obj(action, QT + "query"), "qt:query"),
-        data = fileOf(g.obj(action, QT + "data"), "qt:data"),
-        result = fileOf(g.obj(e, MF + "result"), "mf:result"))
+      if (negative)
+        W3cTest(name, query = fileOf(Some(action), "mf:action"),
+          data = "", result = "", negativeSyntax = true)
+      else
+        W3cTest(name,
+          query = fileOf(g.obj(action, QT + "query"), "qt:query"),
+          data = fileOf(g.obj(action, QT + "data"), "qt:data"),
+          result = fileOf(g.obj(e, MF + "result"), "mf:result"),
+          negativeSyntax = false)
     }
   }
 
@@ -266,7 +275,22 @@ class W3cSparqlSpec extends SparkSpec {
   for (cat <- categories; t <- loadManifest(cat)) {
     test(s"w3c/$cat: ${t.name}") {
       val queryText = res(cat, t.query)
-      val engine = Engine.inline(res(cat, t.data))
+      if (t.negativeSyntax) {
+        // the query must be REJECTED at parse/compile time (before any
+        // data is touched) — e.g. the §18.2.4.4 aggregate projection
+        // restriction
+        val thrown = intercept[Exception] {
+          Engine.inline("").selectRaw(queryText)
+        }
+        assert(thrown.isInstanceOf[GraftException] ||
+          thrown.isInstanceOf[graft.sparql.SparqlParseException],
+          s"${t.query}: expected a parse/compile rejection, got $thrown")
+      } else {
+      // .trig data carries named graphs; .ttl is the default graph only
+      val engine =
+        if (t.data.endsWith(".trig"))
+          Engine.fromGraph(graft.sources.Trig.parse(res(cat, t.data), spark))
+        else Engine.inline(res(cat, t.data))
       loadResult(cat, t.result) match {
         case ExpectedBool(want) =>
           assert(engine.ask(queryText) === want, s"ASK ${t.query}")
@@ -278,6 +302,7 @@ class W3cSparqlSpec extends SparkSpec {
           val g = gotRows.map(normSol)
           assert(isomorphic(e, g, ordered),
             s"${t.query}: expected${render(e)}\ngot${render(g)}")
+      }
       }
     }
   }

@@ -38,6 +38,34 @@ object Drive {
     engine.select(
       "SELECT (SUM(?pop) AS ?total) (COUNT(*) AS ?n) { ?b :pop ?pop }").show(false)
 
+    println("=== r12 spec fixes: AVG over empty group is 0; CONCAT() is \"\";")
+    println("    CONTAINS on a non-string literal errors (row dropped / unbound):")
+    engine.select(
+      """SELECT (AVG(?nope) AS ?avg_empty) (COUNT(?nope) AS ?n) {
+           ?x :noSuchProp ?nope
+         }""").show(false)
+    engine.select(
+      """SELECT (CONCAT() AS ?empty_cat) (STRLEN(CONCAT()) AS ?len) {
+         } LIMIT 1""").show(false)
+    engine.select(
+      """SELECT ?b ?bad ?ok {
+           ?b :pop ?pop
+           BIND(CONTAINS(?pop, "1") AS ?bad)
+           BIND(CONTAINS(STR(?pop), "1") AS ?ok)
+         } ORDER BY ?b LIMIT 3""").show(false)
+
+    println("=== r12: Turtle-star with a labeled bnode inside a quoted triple:")
+    val starE = Engine.inline(
+      """@prefix : <http://example.com/> .
+        << _:b :p 1 >> :q 2 .
+        _:b :name "node b" .
+      """)
+    starE.select(
+      """SELECT ?n ?c {
+           << ?bn <http://example.com/p> 1 >> <http://example.com/q> ?c .
+           ?bn <http://example.com/name> ?n
+         }""").show(false)
+
     println("=== INSERT WHERE (forward chaining) then re-query:")
     engine.update(
       "INSERT { ?b a :BigBoro } WHERE { ?b :pop ?p FILTER(?p > 2000000) }")
