@@ -439,6 +439,8 @@ object SparkEntry {
       read(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.qualityScore(F.col("text")).as("quality"))),
     "q_fingerprint" -> ((s, dir) =>
+      // hash-oracled since r12: the rolling hash's token seed is
+      // md5-derived, so DuckDB replays the fold with HUGEINT mod-2^64
       read(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.fingerprint(F.col("text")).as("fp"))),
     "q_compress_ratio" -> ((s, dir) =>
@@ -788,8 +790,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, k = 3)),
     "q_dedup_embed" -> ((s, dir) =>
+      // hash-oracled since r12: md5-seeded hyperplanes let DuckDB replay
+      // the multi-table postings, the bucket cap and the pair
+      // verification; cosine rounded to 6 on both sides
       Dedup.embeddingCosinePairs(read(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4, planes = 4)),
+        "embedding", threshold = 0.4, planes = 4)
+        .select(F.col("id1"), F.col("id2"),
+          F.round(F.col("cosine"), 6).as("cosine"))),
     "q_contamination" -> ((s, dir) => {
       // decontamination against a pseudo-benchmark (every 20th doc):
       // flags at least those docs themselves plus true n-gram overlaps
@@ -967,11 +974,16 @@ object SparkEntry {
         k = 10, nprobe = 4, refineFactor = 4)
     }),
     "q_knn_lsh" -> ((s, dir) => {
+      // hash-oracled since r12: the hyperplanes are md5-seeded, so
+      // DuckDB regenerates the plane matrix, the bucket signatures and
+      // the probe set, then replays exact cosine + top-k (rounded to 6
+      // decimals on both sides, like q_knn_brute)
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       Similarity.lshTopK(emb.where(F.col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10, planes = 4, probes = 2)
+        .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
 
     // --- multimodal: real decode end-to-end
@@ -2215,7 +2227,7 @@ object SparkEntry {
                 n_name AS nname
          FROM nation WHERE n_regionkey IN (2, 3)""",
     "q_rdf_star" ->
-      "SELECT r_name AS rname, 80 + r_regionkey AS conf FROM region",
+      "SELECT r_name AS rname, CAST(80 + r_regionkey AS BIGINT) AS conf FROM region",
     "q_describe" ->
       """WITH t AS (SELECT * FROM nation WHERE n_nationkey = 3)
          SELECT 'urn:graft:nation/3' AS s, 'urn:graft:p/n_nationkey' AS p,
@@ -2436,6 +2448,102 @@ object SparkEntry {
              AS tok
            FROM documents) t
          GROUP BY tok HAVING COUNT(*) >= 100""",
+    "q_knn_lsh" ->
+      // regenerate the md5-seeded plane matrix, the corpus signatures
+      // and the probe set (query bucket + its 4 one-bit flips), then
+      // exact cosine + top-k over the candidates — the full LSH path
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         dim AS (SELECT len(embedding) AS d FROM emb LIMIT 1),
+         cl AS (
+           SELECT p.range AS p,
+             list_transform(range(dim.d),
+               i -> (CAST(('0x' || substr(md5(p.range || '#' || i), 1, 15))
+                      AS BIGINT) % 1000000) / 1000000.0 - 0.5) AS cs
+           FROM range(4) p, dim),
+         sig AS (
+           SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(
+                    CAST(e.embedding AS DOUBLE[]), cl.cs) >= 0
+                  THEN (1::BIGINT << cl.p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM emb e, cl GROUP BY e.vec_id),
+         qsig AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+         targets AS (
+           SELECT qb AS t FROM qsig
+           UNION SELECT CAST(xor(qb, 1::BIGINT << p.range) AS BIGINT)
+           FROM qsig, range(4) p),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM emb
+               WHERE vec_id = 0),
+         cands AS (
+           SELECT DISTINCT s.vec_id FROM sig s
+           JOIN targets ON s.bucket = targets.t WHERE s.vec_id <> 0),
+         cos AS (
+           SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS cos
+           FROM emb e JOIN cands USING (vec_id), q)
+         SELECT vec_id, round(cos, 6) AS cosine
+         FROM cos ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_dedup_embed" ->
+      // replay the 4-table multi-probe postings (bucket + one-bit
+      // flips), the 256-smallest bucket cap, within-bucket pairs and
+      // the exact-cosine >= threshold verification
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         dim AS (SELECT len(embedding) AS d FROM emb LIMIT 1),
+         cl AS (
+           SELECT t.range AS tbl, p.range AS p,
+             list_transform(range(dim.d),
+               i -> (CAST(('0x' || substr(
+                        md5((64*t.range + p.range) || '#' || i), 1, 15))
+                      AS BIGINT) % 1000000) / 1000000.0 - 0.5) AS cs
+           FROM range(4) t, range(4) p, dim),
+         sig AS (
+           SELECT e.vec_id, cl.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(
+                    CAST(e.embedding AS DOUBLE[]), cl.cs) >= 0
+                  THEN (1::BIGINT << cl.p) ELSE 0 END) AS BIGINT) AS b
+           FROM emb e, cl GROUP BY e.vec_id, cl.tbl),
+         posts AS (
+           SELECT vec_id, tbl, b AS bucket FROM sig
+           UNION ALL
+           SELECT vec_id, tbl, CAST(xor(b, 1::BIGINT << p.range) AS BIGINT)
+           FROM sig, range(4) p),
+         buckets AS (
+           SELECT tbl, bucket,
+             list_slice(list_sort(list(vec_id)), 1, 256) AS rids
+           FROM posts GROUP BY tbl, bucket),
+         pairs AS (
+           SELECT DISTINCT x.id1, y.id2
+           FROM buckets b, unnest(b.rids) AS x(id1), unnest(b.rids) AS y(id2)
+           WHERE x.id1 < y.id2),
+         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM emb),
+         res AS (
+           SELECT p.id1, p.id2,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM pairs p JOIN ev a ON a.vec_id = p.id1
+           JOIN ev b ON b.vec_id = p.id2)
+         SELECT id1, id2, round(cos, 6) AS cosine
+         FROM res WHERE cos >= 0.4""",
+    "q_fingerprint" ->
+      // replay the md5-seeded polynomial rolling hash with HUGEINT
+      // mod-2^64 arithmetic, then map back to the signed 64-bit value
+      """SELECT doc_id,
+           CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                THEN m - 18446744073709551616::HUGEINT
+                ELSE m END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id, list_reduce(
+             list_prepend(0::HUGEINT,
+               list_transform(
+                 list_filter(string_split(text, ' '), x -> x <> ''),
+                 t -> CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                        AS HUGEINT))),
+             (acc, x) -> (acc * 1000003 + x)
+               % 18446744073709551616::HUGEINT) AS m
+           FROM documents)""",
     "q_boilerplate" ->
       "SELECT doc_id, text AS clean_text FROM documents",
     "q_quality_score" ->

@@ -7,9 +7,9 @@ import org.apache.spark.sql.types._
   *
   * Baseline: brute-force cosine top-k — a single narrow scan + TakeOrdered,
   * exact, O(n·d) per query. Scale path: sign-bit LSH bucketing (random
-  * hyperplanes derived deterministically from xxhash64, no RNG state to
-  * ship) or IVF-style seed partitioning — both turn top-k into a bucket
-  * scan, trading recall for a ~buckets× scan reduction.
+  * hyperplanes derived deterministically from an md5 seed recipe, no RNG
+  * state to ship) or IVF-style seed partitioning — both turn top-k into a
+  * bucket scan, trading recall for a ~buckets× scan reduction.
   */
 object Similarity {
 
@@ -49,11 +49,16 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`,
-    * dimension `d` → value in [-0.5, 0.5). xxhash64-derived, so every
-    * executor materializes identical planes with zero coordination. */
+    * dimension `d` → value in [-0.5, 0.5). md5-derived (top 60 bits of
+    * md5("p#d") mod 1e6) — the oracle-restatable seed recipe shared with
+    * the CMS bucket matrix, so DuckDB regenerates identical planes and
+    * every executor materializes them with zero coordination. Must stay
+    * bit-identical to [[graft.expressions.SignBits.component]]. */
   private def planeComponent(p: Int, d: Column): Column =
-    (F.pmod(F.xxhash64(F.lit(p), d), F.lit(1000000L)).cast(DoubleType) /
-      1000000.0) - 0.5
+    (F.conv(F.substring(F.md5(
+        F.concat(F.lit(s"$p#"), d.cast(StringType)).cast(BinaryType)),
+      1, 15), 16, 10).cast(LongType) % 1000000L).cast(DoubleType) /
+      1000000.0 - 0.5
 
   /** Sign-bit LSH bucket id: for each of `planes` hyperplanes, the sign of
     * the projection; packed into a long. Vectors in the same bucket are

@@ -187,9 +187,18 @@ object TextAnalysis {
   /** 64-bit document fingerprint: polynomial rolling hash over token
     * xxhash64s — order-sensitive (unlike a bag-of-words hash), one pass,
     * no shuffle. */
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * whitespace tokens, `acc = acc*1000003 + h(tok)` with 64-bit wrap.
+    * The token hash is md5-derived (top 60 bits of the hex digest) —
+    * the same oracle-restatable seed recipe as the CMS bucket matrix
+    * (`Sketches.cmsSketch`), so DuckDB regenerates fingerprints
+    * bit-exactly with HUGEINT mod-2^64 arithmetic (q_fingerprint's
+    * hash oracle). Narrow codegen'd fold, no shuffle. */
   def fingerprint(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L),
-      (acc, x) => acc * F.lit(1000003L) + F.xxhash64(x))
+      (acc, x) => acc * F.lit(1000003L) +
+        F.conv(F.substring(F.md5(x.cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType))
 
   /** PII pattern → replacement tag, applied in order. Regexes stay in the
     * RE2-compatible subset (no backrefs/lookaround) so the same patterns

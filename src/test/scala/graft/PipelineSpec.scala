@@ -450,6 +450,16 @@ class PipelineSpec extends SparkSpec {
     assert(a(texts(0)) != a(texts(1))) // token order changes the hash
     assert(a(texts(0)) == a(texts(2))) // whitespace runs don't
     assert(a(texts(0)) != a(texts(3))) // suffix changes the hash
+    // pin the md5 seed recipe itself (the DuckDB oracle re-derives it
+    // with HUGEINT mod-2^64 arithmetic):
+    def local(t: String): Long =
+      t.split(" ").filter(_.nonEmpty).foldLeft(0L) { (acc, tok) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        acc * 1000003L + java.lang.Long.parseLong(hex.take(15), 16)
+      }
+    assert(a(texts(0)) == local(texts(0)))
+    assert(a(texts(3)) == local(texts(3)))
     // and the corpus-level pin the q_fingerprint query relies on:
     // distinct texts map to distinct fingerprints on the fixture
     val corpus = docs.select(TextAnalysis.fingerprint(F.col("text")).as("fp"),
