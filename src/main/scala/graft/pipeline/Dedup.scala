@@ -677,16 +677,16 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard near-dup pairs with common-shingle blocking: pairs are
-    * only generated for rows sharing ≥1 shingle (explode + self-join on the
-    * shingle), then exact-verified.
+  /** n-gram Jaccard near-dup pairs with prefix-filtered shingle blocking:
+    * candidates are rows sharing a shingle inside each other's
+    * rarest-first PREFIX (see [[setJaccardPairs]] — complete for the
+    * threshold by the prefix-filter theorem), then exact-verified.
     *
-    * `maxDocsPerShingle` caps the blocking fan-out: a stopword-ish shingle
-    * shared by d documents would otherwise emit d²/2 candidate pairs by
-    * itself. Only the first cap members (by id) of each shingle's posting
-    * list block on it — exactly a document-frequency cut, the standard
-    * guard for inverted-index blocking; near-dup pairs sharing ANY rarer
-    * shingle are unaffected. */
+    * `maxDocsPerShingle` caps the residual blocking fan-out: a prefix
+    * shingle still shared by d documents (d identical docs) would emit
+    * d²/2 candidate pairs by itself. Only the first cap members (by id)
+    * of each shingle's posting list block on it — a document-frequency
+    * cut, the standard guard for inverted-index blocking. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3,
       maxDocsPerShingle: Int = 256): DataFrame = {
@@ -697,14 +697,35 @@ object Dedup {
   }
 
   /** Shared candidate+verify tail of the set-overlap dedup family: a
-    * (rid, sh: array<long>) frame → one df-capped posting-list shuffle
-    * on the set elements ([[bucketPairs]]) → exact Jaccard
-    * verification. Serves [[ngramJaccardPairs]] (shingle sets) and
-    * [[binaryNearDupPairs]] (CDC chunk-hash sets). */
+    * (rid, sh: array<long>) frame → prefix-filtered, df-capped
+    * posting-list shuffle on the set elements ([[bucketPairs]]) → exact
+    * Jaccard verification. Serves [[ngramJaccardPairs]] (shingle sets)
+    * and [[binaryNearDupPairs]] (CDC chunk-hash sets).
+    *
+    * Candidate generation uses AllPairs/PPJoin prefix filtering
+    * (Chaudhuri et al. 2006; Xiao et al. 2008): for Jaccard(A,B) ≥ t
+    * the two sets MUST share an element inside each one's prefix — the
+    * first |S| − ⌈t·|S|⌉ + 1 elements when sets are ordered by
+    * ascending global document frequency (rarest first, element value
+    * as tie-break). Posting only prefixes keeps the index complete for
+    * the threshold while removing the stopword blow-up: a shingle like
+    * "the" appears in nearly every document's SET but almost no
+    * document's PREFIX, so the all-to-all candidate wave that made raw
+    * shingle blocking quadratic at 10× data never forms. Lossless by
+    * the prefix-filter theorem — the exact verification decides
+    * membership; this only prunes candidates. */
   private def setJaccardPairs(sh: DataFrame, maxDocsPerKey: Int,
       threshold: Double): DataFrame = {
-    val cands = bucketPairs(sh
-      .select(F.col("rid"), F.explode(F.col("sh")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+    val elems = sh.select(F.col("rid"), F.size(F.col("sh")).as("n"),
+      F.explode(F.col("sh")).as("k"))
+    val freq = elems.groupBy("k").agg(F.count(F.lit(1)).as("kf"))
+    val ranked = elems.join(freq, "k")
+      .withColumn("rnk", F.row_number().over(
+        w.partitionBy("rid").orderBy(F.col("kf"), F.col("k"))))
+      .where(F.col("rnk") <=
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    val cands = bucketPairs(ranked
       .groupBy("k")
       .agg(smallestIds(sh.schema("rid").dataType, F.col("rid"),
         maxDocsPerKey).as("rids")))

@@ -344,7 +344,13 @@ object Relevance {
     // L2 fold runs in bucket-index order → deterministic doubles the
     // oracle reproduces with list_sum(list(x*x ORDER BY b))
     val l2 = F.sqrt(F.aggregate(w, F.lit(0.0), (acc, x) => acc + x * x))
-    val unit = F.when(l2 > 0.0, F.transform(w, x => x / l2))
+    // divide via zip_with against array_repeat(l2): zip_with evaluates
+    // its ARRAY OPERANDS once per row and only the lambda per element.
+    // `transform(w, x => x / l2)` would inline the whole l2 chain —
+    // hashed_tf included — into the element lambda, re-tokenizing the
+    // document dim times per row (measured 30x slower end-to-end).
+    val unit = F.when(l2 > 0.0,
+        F.zip_with(w, F.array_repeat(l2, dim), (x, l) => x / l))
       .otherwise(F.array_repeat(F.lit(0.0), dim))
     df.select(F.col(idCol), unit.as("tfidf"))
   }
