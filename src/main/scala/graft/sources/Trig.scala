@@ -66,8 +66,9 @@ object Trig {
   /** Serialize to TriG text: default graph as bare statements, one
     * `<label> { … }` block per named graph, subjects grouped, prefixes
     * shortened. Driver-side display/export path (collects the store);
-    * the distributed sink is [[NQuads.write]]. A triple-only graph
-    * writes as pure Turtle (valid TriG). */
+    * the distributed sinks are [[write]] (TriG part files) and
+    * [[NQuads.write]] (line-oriented). A triple-only graph writes as
+    * pure Turtle (valid TriG). */
   def serialize(g: RdfGraph): String = {
     val sb = new StringBuilder
     val prefixOrder = g.prefixes.toSeq.sortBy(_._1)
@@ -101,5 +102,91 @@ object Trig {
         sb.append("}\n")
     }
     sb.toString
+  }
+
+  /** Distributed TriG sink, the quad-store analogue of [[Turtle.write]]:
+    * (graph, subject)-grouped blocks streamed per-partition under a
+    * shared `@prefix` header. Default-graph triples write as bare
+    * subject blocks; named-graph triples write one `<label> { … }` block
+    * per subject group — TriG 1.1 permits the same graph label in any
+    * number of graph statements (their contents union), and Turtle's
+    * re-declared-prefix / re-opened-subject allowances carry over, so
+    * the part files concatenate to the same store with no global sort
+    * and no driver materialization. */
+  def write(g: RdfGraph, path: String, numPartitions: Int = 0): Unit = {
+    val prefixes = g.prefixes
+    val header = prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
+    val F = org.apache.spark.sql.functions
+    val base =
+      if (g.isQuads) g.triples.select("g", "s", "p", "o")
+      else g.triples.select(F.lit(null).cast(graft.rdf.Terms.termType).as("g"),
+        F.col("s"), F.col("p"), F.col("o"))
+    val parts =
+      if (numPartitions > 0) base.repartition(numPartitions, F.col("g"), F.col("s"))
+      else base.repartition(F.col("g"), F.col("s"))
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    parts.sortWithinPartitions("g", "s", "p", "o")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val blocks = new Iterator[String] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): String = {
+            val head = buf.head
+            val gTerm = if (head.isNullAt(0)) null else head.getStruct(0)
+            val s = head.getStruct(1)
+            val named = gTerm != null
+            val indent = if (named) "  " else ""
+            val sb = new StringBuilder
+            if (named)
+              sb.append(Turtle.fmtTerm(gTerm, prefixes)).append(" {\n")
+            sb.append(indent).append(Turtle.fmtTerm(s, prefixes)).append('\n')
+            var first = true
+            def sameGroup: Boolean = buf.hasNext && {
+              val r = buf.head
+              (if (r.isNullAt(0)) null else r.getStruct(0)) == gTerm &&
+                r.getStruct(1) == s
+            }
+            while (sameGroup) {
+              val r = buf.next()
+              if (!first) sb.append(" ;\n")
+              sb.append(indent).append("  ")
+                .append(Turtle.fmtTerm(r.getStruct(2), prefixes))
+                .append(' ').append(Turtle.fmtTerm(r.getStruct(3), prefixes))
+              first = false
+            }
+            sb.append(" .")
+            if (named) sb.append("\n}")
+            sb.toString
+          }
+        }
+        if (blocks.hasNext && header.nonEmpty) Iterator(header) ++ blocks
+        else blocks
+      }.write.mode("overwrite").text(path)
+  }
+
+  /** Read a [[write]]-produced directory back into a quad store: each
+    * part file is standalone TriG; repeated graph labels across files
+    * union (set semantics at load). */
+  def read(spark: SparkSession, path: String,
+      extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val p = new TrigParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    val quads = files.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val doc =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      p.parseTrigDoc(doc).map { case (tp, gl) =>
+        (Turtle.nodeTerm(tp.s, "TriG"), Turtle.verbTerm(tp, "TriG"),
+          Turtle.nodeTerm(tp.o, "TriG"), gl)
+      }
+    }
+    RdfGraph.fromQuads(spark, quads, p.declaredPrefixes)
   }
 }

@@ -131,8 +131,10 @@ object Turtle {
   }
 
   /** Serialize a graph to Turtle text, grouped by subject, prefix-aware
-    * (ttl, gastrodon/__init__.py:811-819). Driver-side display/export path:
-    * collects the graph — for distributed export use NTriples.write. */
+    * (ttl, gastrodon/__init__.py:811-819). Driver-side display/export
+    * path with a TOTAL subject order: collects the graph — for
+    * distributed export use [[write]] (Turtle part files) or
+    * NTriples.write (line-oriented). */
   def serialize(g: RdfGraph): String = {
     val sb = new StringBuilder
     val prefixOrder = g.prefixes.toSeq.sortBy(_._1)
@@ -156,5 +158,79 @@ object Turtle {
         sb.append(s"$subj\n$body .\n")
     }
     sb.toString
+  }
+
+  /** Distributed Turtle sink: subject-grouped blocks streamed
+    * per-partition under a shared `@prefix` header. Each part file is
+    * standalone-valid Turtle, and the directory concatenates to the same
+    * graph — Turtle permits re-declared prefixes and re-opened subjects,
+    * so splitting a graph across files loses nothing. Subjects co-locate
+    * via a hash repartition and rows sort WITHIN partitions only, so the
+    * writer emits one subject block at a time with no driver
+    * materialization and no global sort — the scale path the
+    * display-oriented [[serialize]] (which collects and totally orders)
+    * is not. A quad store writes its default graph (Turtle has no quad
+    * syntax); use [[Trig.write]] for the full store. */
+  def write(g: RdfGraph, path: String, numPartitions: Int = 0): Unit = {
+    val prefixes = g.prefixes
+    val header = prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
+    val F = org.apache.spark.sql.functions
+    val base =
+      if (g.isQuads) g.triples.where(F.col("g").isNull).select("s", "p", "o")
+      else g.triples
+    val parts =
+      if (numPartitions > 0) base.repartition(numPartitions, F.col("s"))
+      else base.repartition(F.col("s"))
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    parts.sortWithinPartitions("s", "p", "o")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val blocks = new Iterator[String] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): String = {
+            val s = buf.head.getStruct(0)
+            val sb = new StringBuilder(fmtTerm(s, prefixes)).append('\n')
+            var first = true
+            while (buf.hasNext && buf.head.getStruct(0) == s) {
+              val r = buf.next()
+              if (!first) sb.append(" ;\n")
+              sb.append("  ").append(fmtTerm(r.getStruct(1), prefixes))
+                .append(' ').append(fmtTerm(r.getStruct(2), prefixes))
+              first = false
+            }
+            sb.append(" .").toString
+          }
+        }
+        if (blocks.hasNext && header.nonEmpty) Iterator(header) ++ blocks
+        else blocks
+      }.write.mode("overwrite").text(path)
+  }
+
+  /** Read a [[write]]-produced directory (or any directory of Turtle
+    * part files) back into an RdfGraph: each file is a standalone
+    * document, parsed independently; the graphs union under set
+    * semantics. File contents collect to the driver one file at a time
+    * (Turtle is not line-splittable); bulk loads at scale should use the
+    * N-Triples reader instead. */
+  def read(spark: SparkSession, path: String,
+      extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val docs = files.map { st =>
+      val in = fs.open(st.getPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val p = new TurtleParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    val triples = docs.flatMap(doc => p.parseDoc(doc).map { tp =>
+      (nodeTerm(tp.s, "Turtle"), verbTerm(tp, "Turtle"),
+        nodeTerm(tp.o, "Turtle"))
+    })
+    RdfGraph.fromTriples(spark, triples, p.declaredPrefixes)
   }
 }
