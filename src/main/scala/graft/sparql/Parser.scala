@@ -189,10 +189,7 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def blankNodePropertyList: Parser[(Node, Seq[TriplePattern])] =
     "[" ~> propertyList <~ "]" ^^ { pl =>
       val node = freshBnodeVar()
-      val triples = pl.flatMap { case (verb, objs) =>
-        objs.flatMap { case (o, extra) => TriplePattern(node, verb, o) +: extra }
-      }
-      (node, triples)
+      (node, expandPl(node, pl))
     }
 
   def collection: Parser[(Node, Seq[TriplePattern])] =
@@ -255,23 +252,60 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
       case p => VerbPath(p)
     }
 
-  def objectList: Parser[Seq[(Node, Seq[TriplePattern])]] =
-    rep1sep(graphNode, ",")
+  /** An object position: the node, any triples its syntax generated
+    * (bnode property lists, collections), and an optional SPARQL/Turtle
+    * 1.2 annotation block `{| … |}` on the (subject, verb, object)
+    * triple — annotations nest, hence the recursive shape. */
+  final case class ObjA(node: Node, extra: Seq[TriplePattern],
+      ann: Seq[(Verb, Seq[ObjA])])
 
-  def propertyList: Parser[Seq[(Verb, Seq[(Node, Seq[TriplePattern])])]] =
+  def annotatedObject: Parser[ObjA] =
+    graphNode ~ opt("{|" ~> propertyList <~ "|}") ^^ {
+      case (n, extra) ~ ann => ObjA(n, extra, ann.getOrElse(Nil))
+    }
+
+  def objectList: Parser[Seq[ObjA]] = rep1sep(annotatedObject, ",")
+
+  def propertyList: Parser[Seq[(Verb, Seq[ObjA])]] =
     rep1sep(verb ~ objectList ^^ { case v ~ os => (v, os) }, ";" ~ opt(";"))
 
+  /** The quoted-triple form of an annotated triple: fully concrete →
+    * a data term (same normalization as the `<< … >>` production),
+    * anything else a quoted pattern. Property-path verbs cannot be
+    * annotated (no single triple to quote). */
+  private def quoteOf(s: Node, v: Verb, o: Node): Node = v match {
+    case VerbNode(p) => (s, p, o) match {
+      case (TermNode(st), TermNode(pt: Iri), TermNode(ot)) =>
+        TermNode(QuotedTriple(st, pt, ot))
+      case _ => QuotedNode(s, p, o)
+    }
+    case VerbPath(_) => throw new IllegalArgumentException(
+      "annotation block {| … |} is not allowed on a property path")
+  }
+
+  /** TriplePattern(s, v, o) plus the object's own triples plus, for an
+    * annotation block, the annotation triples about `<< s v o >>`
+    * (the 1.2 sugar: assert the triple AND annotate its quoted form). */
+  protected def expandObj(s: Node, v: Verb, oa: ObjA): Seq[TriplePattern] = {
+    val base = TriplePattern(s, v, oa.node) +: oa.extra
+    if (oa.ann.isEmpty) base
+    else {
+      val q = quoteOf(s, v, oa.node)
+      base ++ expandPl(q, oa.ann)
+    }
+  }
+
+  protected def expandPl(s: Node, pl: Seq[(Verb, Seq[ObjA])])
+      : Seq[TriplePattern] =
+    pl.flatMap { case (v, objs) => objs.flatMap(expandObj(s, v, _)) }
+
   def triplesSameSubject: Parser[Seq[TriplePattern]] = {
-    def expand(s: Node, pl: Seq[(Verb, Seq[(Node, Seq[TriplePattern])])]) =
-      pl.flatMap { case (v, objs) =>
-        objs.flatMap { case (o, oExtra) => TriplePattern(s, v, o) +: oExtra }
-      }
     // bnode property lists / collections may stand alone; a plain subject
     // REQUIRES a property list (otherwise garbage silently parses as empty)
     (blankNodePropertyList | collection) ~ opt(propertyList) ^^ {
-      case (s, extra) ~ plOpt => extra ++ expand(s, plOpt.getOrElse(Nil))
+      case (s, extra) ~ plOpt => extra ++ expandPl(s, plOpt.getOrElse(Nil))
     } |
-    graphNode ~ propertyList ^^ { case (s, extra) ~ pl => extra ++ expand(s, pl) }
+    graphNode ~ propertyList ^^ { case (s, extra) ~ pl => extra ++ expandPl(s, pl) }
   }
 
   def triplesBlock: Parser[Seq[TriplePattern]] =

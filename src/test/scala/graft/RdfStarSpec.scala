@@ -147,6 +147,50 @@ class RdfStarSpec extends SparkSpec {
     assert(shown.contains("alice"))
   }
 
+  test("annotation syntax {| … |} asserts the triple AND annotates its quote") {
+    val g = Engine.inline(
+      """@prefix : <http://example/> .
+        :alice :age 30 {| :certainty 0.9e0 ; :statedBy :census |} .
+        :bob :age 23 .
+      """)
+    // 2 asserted triples + 2 annotation triples
+    assert(g.graph.size === 4)
+    assert(g.ask(
+      """PREFIX : <http://example/> ASK { :alice :age 30 }"""))
+    assert(g.ask(
+      """PREFIX : <http://example/>
+         ASK { << :alice :age 30 >> :statedBy :census }"""))
+    // annotation does NOT assert anything about the un-annotated triple
+    assert(!g.ask(
+      """PREFIX : <http://example/>
+         ASK { << :bob :age 23 >> ?p ?o }"""))
+  }
+
+  test("annotation nests and composes with object lists") {
+    val g = Engine.inline(
+      """@prefix : <http://example/> .
+        :a :p :b {| :src :s1 {| :conf 0.5e0 |} |} , :c .
+      """)
+    // :a :p :b ; :a :p :c ; <<:a :p :b>> :src :s1 ;
+    // << <<:a :p :b>> :src :s1 >> :conf 0.5
+    assert(g.graph.size === 4)
+    assert(g.ask(
+      """PREFIX : <http://example/>
+         ASK { << << :a :p :b >> :src :s1 >> :conf 0.5e0 }"""))
+    assert(g.ask("PREFIX : <http://example/> ASK { :a :p :c }"))
+  }
+
+  test("annotation works in SPARQL query patterns (binds both layers)") {
+    val rows = e.selectRaw(
+      """PREFIX : <http://example/>
+         SELECT ?who ?c WHERE { ?who :age 30 {| :certainty ?c |} }""")
+      .collect().map(r => (r.getStruct(0).getString(1),
+        r.getStruct(1).getString(1))).toSet
+    // requires BOTH the asserted triple and the annotation: only alice
+    // has :age 30 asserted AND quoted-with-certainty
+    assert(rows === Set(("http://example/alice", "0.9e0")))
+  }
+
   test("Turtle-star accepts a labeled blank node inside a quoted triple") {
     val g = Engine.inline(
       """@prefix : <http://example/> .
