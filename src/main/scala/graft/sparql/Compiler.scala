@@ -1014,21 +1014,38 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       e.select(e("po").as("ps") +: e("ps").as("po") +:
         (nkOf(e, "ps").map(c => e(c).as(nkRename(c, "po"))).toSeq ++
           nkOf(e, "po").map(c => e(c).as(nkRename(c, "ps"))).toSeq): _*)
-    case PSeq(a, b) =>
-      val l = pathEdges(a)
-      val r0 = pathEdges(b)
-      val r = r0.select(r0("ps").as("mid") +: r0("po").as("po2") +:
-        (nkOf(r0, "ps").map(c => r0(c).as(nkRename(c, "mid"))).toSeq ++
-          nkOf(r0, "po").map(c => r0(c).as(nkRename(c, "po2"))).toSeq): _*)
-      // join the chain link on raw longs when both sides carry the key
-      val cond = (nkOf(l, "po"), nkOf(r, "mid")) match {
-        case (Some(x), Some(y)) if nkId(x) == nkId(y) => l(x) === r(y)
-        case _ => l("po") === r("mid")
+    case pseq: PSeq =>
+      // Flatten the whole p1/p2/…/pn chain and build the join tree by
+      // the predicate statistics (the same S2RDF lever patternOrder
+      // applies to BGPs): inner equi-joins over a chain are associative
+      // under bag semantics, so any adjacent-pair merge order yields
+      // the same multiset — greedily merge the pair containing the
+      // smallest estimated link first, so intermediates grow from the
+      // most selective edge relation instead of the author's order.
+      // Absent stats every estimate is MaxValue and the tie-break keeps
+      // the left-deep author-order tree (stable fallback, same plan as
+      // before stats existed).
+      def flatten(p: Path): Seq[Path] = p match {
+        case PSeq(x, y) => flatten(x) ++ flatten(y)
+        case other => Seq(other)
       }
-      l.join(r, cond)
-        .select(l("ps").as("ps") +: r("po2").as("po") +:
-          (nkOf(l, "ps").map(c => l(c)).toSeq ++
-            nkOf(r, "po2").map(c => r(c).as(nkRename(c, "po"))).toSeq): _*)
+      def linkEst(p: Path): Long = p match {
+        case PLink(i) => predEstimate(i)
+        case PInv(q) => linkEst(q)
+        case _ => Long.MaxValue
+      }
+      val links = flatten(pseq)
+      val segs = mutable.ArrayBuffer(
+        links.map(l => (pathEdges(l), linkEst(l))): _*)
+      while (segs.length > 1) {
+        val j = (0 until segs.length - 1).minBy { i =>
+          (math.min(segs(i)._2, segs(i + 1)._2), i)
+        }
+        val merged = joinSeqSegments(segs(j)._1, segs(j + 1)._1)
+        segs(j) = (merged, math.min(segs(j)._2, segs(j + 1)._2))
+        segs.remove(j + 1)
+      }
+      segs.head._1
     case PAlt(a, b) =>
       // bag union (NOT distinct — a pair matching both branches yields two
       // solutions); companions survive only when identical on both sides
@@ -1058,6 +1075,26 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       one.select(one("ps"), one("po"))
         .union(graphNodes.select(F.col("n").as("ps"), F.col("n").as("po")))
         .distinct()
+  }
+
+  /** One chain-link join of two sequence segments, each shaped
+    * (ps, po, companions): left.po = right.ps, on raw longs when both
+    * sides carry the matching native key. Keeps left's ps and right's
+    * po (with their companions) — the segment shape is closed under
+    * this join, which is what lets the PSeq case merge adjacent
+    * segments in any order. */
+  private def joinSeqSegments(l: DataFrame, r0: DataFrame): DataFrame = {
+    val r = r0.select(r0("ps").as("mid") +: r0("po").as("po2") +:
+      (nkOf(r0, "ps").map(c => r0(c).as(nkRename(c, "mid"))).toSeq ++
+        nkOf(r0, "po").map(c => r0(c).as(nkRename(c, "po2"))).toSeq): _*)
+    val cond = (nkOf(l, "po"), nkOf(r, "mid")) match {
+      case (Some(x), Some(y)) if nkId(x) == nkId(y) => l(x) === r(y)
+      case _ => l("po") === r("mid")
+    }
+    l.join(r, cond)
+      .select(l("ps").as("ps") +: r("po2").as("po") +:
+        (nkOf(l, "ps").map(c => l(c)).toSeq ++
+          nkOf(r, "po2").map(c => r(c).as(nkRename(c, "po"))).toSeq): _*)
   }
 
   /** Push inverses through composite paths so `^(p*) = (^p)*` etc. — the

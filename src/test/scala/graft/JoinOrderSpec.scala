@@ -84,6 +84,31 @@ class JoinOrderSpec extends SparkSpec {
       .head === tp("b", "sparse", "c"))
   }
 
+  test("sequence path joins grow from the smallest predicate link") {
+    val sb = new StringBuilder(s"@prefix : <$ex> .\n")
+    for (i <- 0 until 40) sb.append(s":s$i :hopA :m$i .\n")
+    for (i <- 0 until 40) sb.append(s":m$i :hopB :t$i .\n")
+    for (i <- 0 until 3) sb.append(s":t$i :hopC :u$i .\n")
+    val e = Engine.inline(sb.toString)
+    assert(e.graph.predCounts(ex + "hopC") === 3L)
+    val q = s"PREFIX : <$ex> SELECT ?x ?y WHERE { ?x :hopA/:hopB/:hopC ?y }"
+    // author order is left-deep (hopA⋈hopB first); stats must merge the
+    // (hopB, hopC) pair first, making hopA the OUTER input of the top
+    // join — i.e. the hopA scan prints before the second Join node
+    val plan = e.explain(q, mode = "extended")
+    val opt = plan.substring(plan.indexOf("== Optimized Logical Plan =="),
+      plan.indexOf("== Physical Plan =="))
+    val firstJoin = opt.indexOf("Join ")
+    val secondJoin = opt.indexOf("Join ", firstJoin + 1)
+    assert(firstJoin >= 0 && secondJoin > firstJoin, s"two joins:\n$opt")
+    val hopA = opt.indexOf("hopA")
+    assert(hopA >= 0 && hopA < secondJoin,
+      s"expected right-deep tree (hopA outer, hopB⋈hopC inner):\n$opt")
+    // results are order-independent: only the 3 chains through hopC
+    val rows = e.select(q).collect()
+    assert(rows.length === 3)
+  }
+
   test("stats are dropped on UPDATE (they describe the pre-update state)") {
     val e = Engine.inline(s"@prefix : <$ex> .\n:x :p :y .")
     assert(e.graph.predCounts.nonEmpty)
