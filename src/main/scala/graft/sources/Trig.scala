@@ -50,6 +50,19 @@ object Trig {
       parseWhole(trigDoc, text)
   }
 
+  /** Driver-side parse to a quad list (None = default graph) — the
+    * term-level view the conformance harness compares against N-Quads
+    * expected files; [[parse]] wraps it into a Spark-backed store. */
+  def parseQuads(text: String,
+      extraPrefixes: Map[String, String] = Map.empty)
+      : Seq[(RdfTerm, RdfTerm, RdfTerm, Option[RdfTerm])] = {
+    val p = new TrigParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
+    p.parseTrigDoc(text).map { case (tp, g) =>
+      (Turtle.nodeTerm(tp.s, "TriG"), Turtle.verbTerm(tp, "TriG"),
+        Turtle.nodeTerm(tp.o, "TriG"), g)
+    }
+  }
+
   /** Parse a TriG document into a QUAD store (set semantics; g null =
     * default graph). */
   def parse(text: String, spark: SparkSession,

@@ -35,6 +35,27 @@ private[sources] class TurtleParser(prefixes: Map[String, String])
   def statement: Parser[Seq[TriplePattern]] =
     directive ^^ (_ => Nil) | triplesSameSubject <~ "."
 
+  /** Every triples production validates (TriG's graph blocks reuse
+    * triplesSameSubject directly, so the override covers both). */
+  override def triplesSameSubject: Parser[Seq[TriplePattern]] =
+    super.triplesSameSubject ^^ (requireDocTerms(_))
+
+  /** Turtle/TriG restriction the shared SPARQL grammar cannot express:
+    * a literal is a valid pattern subject in SPARQL but not a valid
+    * document subject. Checked post-parse so the error carries the
+    * same exception type as any other syntax error. */
+  protected def requireDocTerms(ts: Seq[TriplePattern]): Seq[TriplePattern] = {
+    ts.foreach { tp =>
+      tp.s match {
+        case TermNode(_: Lit) => throw new graft.sparql.SparqlParseException(
+          "a literal cannot be the subject of a Turtle/TriG statement",
+          0, 0, s"literal subject in: $tp")
+        case _ =>
+      }
+    }
+    ts
+  }
+
   def turtleDoc: Parser[Seq[TriplePattern]] = rep(statement) ^^ (_.flatten)
 
   /** Run `p` over the whole text, wrapping failures with position. */

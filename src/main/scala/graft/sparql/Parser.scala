@@ -45,7 +45,15 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     ("""(?i)\b""" + s + """\b""").r ^^ (_.toUpperCase)
 
   private val IRIREF = """<[^<>"{}|^`\\\x00-\x20]*>""".r
-  private val PNAME = """([A-Za-z][A-Za-z0-9_.\-]*)?:([A-Za-z0-9_][A-Za-z0-9_.\-]*)?""".r
+  // PN_LOCAL per the shared SPARQL/Turtle grammar: leading digits, ':'
+  // inside, PLX (%-encoded pairs kept verbatim, PN_LOCAL_ESC
+  // backslash-escapes), and no unescaped trailing '.' — so `ex:foo.`
+  // ends the statement instead of swallowing the dot.
+  private val PnPlx = """%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%]"""
+  private val PNAME = (
+    """([A-Za-z][A-Za-z0-9_.\-]*)?:""" +
+    s"""((?:[A-Za-z0-9_:]|$PnPlx)""" +
+    s"""(?:(?:[A-Za-z0-9_.:\\-]|$PnPlx)*(?:[A-Za-z0-9_:\\-]|$PnPlx))?)?""").r
   private val VAR = """[?$][A-Za-z0-9_]+""".r
   private val BNODE_LABEL = """_:[A-Za-z0-9][A-Za-z0-9_.\-]*""".r
   private val LANGTAG = """@[a-zA-Z]+(-[a-zA-Z0-9]+)*""".r
@@ -96,7 +104,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
 
   def pname: Parser[String] = PNAME ^^ { raw =>
     val idx = raw.indexOf(':')
-    val (pfx, local) = (raw.substring(0, idx), raw.substring(idx + 1))
+    val (pfx, local0) = (raw.substring(0, idx), raw.substring(idx + 1))
+    // PN_LOCAL_ESC: drop the backslash ('ex:foo\,bar' names ".../foo,bar");
+    // percent-encoded pairs stay verbatim in the IRI
+    val local = local0.replaceAll("""\\([_~.\-!$&'()*+,;=/?#@%])""", "$1")
     prefixes.get(pfx) match {
       case Some(ns) => ns + local
       case None => throw new SparqlParseException(
@@ -266,8 +277,12 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
 
   def objectList: Parser[Seq[ObjA]] = rep1sep(annotatedObject, ",")
 
+  // PropertyListNotEmpty ::= Verb ObjectList (';' (Verb ObjectList)?)* —
+  // runs of ';' collapse and a trailing run is legal (shared by the
+  // SPARQL and Turtle grammars)
   def propertyList: Parser[Seq[(Verb, Seq[ObjA])]] =
-    rep1sep(verb ~ objectList ^^ { case v ~ os => (v, os) }, ";" ~ opt(";"))
+    rep1sep(verb ~ objectList ^^ { case v ~ os => (v, os) },
+      rep1(";")) <~ rep(";")
 
   /** The quoted-triple form of an annotated triple: fully concrete →
     * a data term (same normalization as the `<< … >>` production),
