@@ -273,17 +273,20 @@ object SparkEntry {
         F.col("o.value").as("o"))
     }),
     "q_rdf_star" -> ((s, dir) => {
-      // RDF-star / SPARQL 1.2 quoted triples: reify each region's name
-      // statement as a quoted-triple TERM carrying a confidence
-      // annotation, then query it back with a variable quoted pattern +
-      // the TRIPLE/isTRIPLE builtins. region is the fixed 5-row dim, so
-      // the driver-side Turtle-star synthesis is O(1) at any SF.
+      // RDF-star / SPARQL 1.2 quoted triples: each region's name
+      // statement is asserted AND annotated with a confidence via the
+      // 1.2 annotation sugar `{| … |}`, then queried back with a
+      // variable quoted pattern + the TRIPLE/isTRIPLE builtins (the
+      // annotation block asserts the base triple and annotates its
+      // quoted form — same result set as explicit reification, plus the
+      // asserted base triples). region is the fixed 5-row dim, so the
+      // driver-side Turtle-star synthesis is O(1) at any SF.
       val rows = read(s, dir, "region")
         .select("r_regionkey", "r_name").collect()
         .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
       val ttl = new StringBuilder("@prefix : <http://example/> .\n")
       rows.foreach { case (k, n) =>
-        ttl.append(s"""<< :r$k :name "$n" >> :confidence ${80 + k} .\n""")
+        ttl.append(s""":r$k :name "$n" {| :confidence ${80 + k} |} .\n""")
       }
       Engine.inline(ttl.toString)(s).select(
         """PREFIX : <http://example/>

@@ -44,7 +44,11 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   protected def kw(s: String): Parser[String] =
     ("""(?i)\b""" + s + """\b""").r ^^ (_.toUpperCase)
 
-  private val IRIREF = """<[^<>"{}|^`\\\x00-\x20]*>""".r
+  // IRIREF chars plus UCHAR (\uXXXX / \UXXXXXXXX) — the only escapes
+  // an IRI admits (Turtle §6.4; SPARQL reaches the same through the
+  // §19.2 codepoint-escape pass). Malformed escapes fail the token.
+  private val IRIREF =
+    """<(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>""".r
   // PN_LOCAL per the shared SPARQL/Turtle grammar: leading digits, ':'
   // inside, PLX (%-encoded pairs kept verbatim, PN_LOCAL_ESC
   // backslash-escapes), and no unescaped trailing '.' — so `ex:foo.`
@@ -90,7 +94,8 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   }
 
   def iriRef: Parser[String] = IRIREF ^^ { raw =>
-    val inner = raw.substring(1, raw.length - 1)
+    var inner = raw.substring(1, raw.length - 1)
+    if (inner.indexOf('\\') >= 0) inner = unescape(inner) // UCHAR only
     resolveIri(inner)
   }
 
@@ -178,17 +183,21 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     // defs, not vals: the recursive `comp → quotedTriple` reference must
     // construct lazily at PARSE time (one level per actual nesting), or
     // building the parser itself recurses forever
-    def comp: Parser[Node] =
+    // a literal is only valid in OBJECT position (qtSubject vs qtObject
+    // — both the WG-draft SPARQL grammar and Turtle-star restrict the
+    // quoted subject to var/iri/bnode/nested-quote)
+    def subj: Parser[Node] =
       quotedTriple |
       varName ^^ (VarNode(_): Node) |
       iri ^^ (i => TermNode(Iri(i)): Node) |
-      literal ^^ (l => TermNode(l): Node) |
       BNODE_LABEL ^^ (b => VarNode("_:" + b.substring(2)): Node)
+    def comp: Parser[Node] =
+      subj | literal ^^ (l => TermNode(l): Node)
     def pred: Parser[Node] =
       varName ^^ (VarNode(_): Node) |
       "a\\b".r ^^ (_ => TermNode(Iri(RDF.typ)): Node) |
       iri ^^ (i => TermNode(Iri(i)): Node)
-    "<<" ~> comp ~ pred ~ comp <~ ">>" ^^ { case s ~ p ~ o =>
+    "<<" ~> subj ~ pred ~ comp <~ ">>" ^^ { case s ~ p ~ o =>
       (s, p, o) match {
         case (TermNode(st), TermNode(pt: Iri), TermNode(ot)) =>
           TermNode(QuotedTriple(st, pt, ot))
