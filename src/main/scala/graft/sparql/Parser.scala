@@ -99,11 +99,24 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     resolveIri(inner)
   }
 
+  // A reference with a scheme is absolute (RFC 3986 §4.3) — the first
+  // path segment of a RELATIVE ref cannot contain ':' (that's why
+  // Turtle writes `./a:b`), so this test is exact, unlike substring
+  // heuristics that miss tag:/doi:/isbn: schemes.
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:.*".r
   private def resolveIri(inner: String): String = base match {
-    case Some(b) if !inner.contains("://") && !inner.startsWith("urn:") &&
-        !inner.startsWith("mailto:") =>
-      try new java.net.URI(b).resolve(inner).toString
-      catch { case _: Exception => inner }
+    case Some(b) if !SchemeRe.matches(inner) =>
+      try {
+        // §5.3 same-document cases java.net.URI gets wrong: an empty
+        // ref is the base minus fragment (NOT the base's directory),
+        // and a query-only ref keeps the base's full path (Java drops
+        // the last segment, JDK-6523089). '#' keeps path AND query.
+        val noFrag = b.takeWhile(_ != '#')
+        if (inner.isEmpty) noFrag
+        else if (inner.startsWith("#")) noFrag + inner
+        else if (inner.startsWith("?")) noFrag.takeWhile(_ != '?') + inner
+        else new java.net.URI(b).resolve(inner).toString
+      } catch { case _: Exception => inner }
     case _ => inner
   }
 
@@ -153,13 +166,16 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def prologue: Parser[Prologue] =
     rep(prefixDecl | baseDecl) ^^ { _ => Prologue(base, prefixes) }
 
+  // both go through iriRef so UCHAR escapes decode and a RELATIVE
+  // IRI resolves against the current in-scope base (RFC 3986 §5.1.1
+  // chaining — a later `BASE <sub/>` extends the earlier one), same
+  // as the Turtle @prefix/@base directives
   private def prefixDecl: Parser[Unit] =
-    kw("PREFIX") ~> ("""([A-Za-z][A-Za-z0-9_.\-]*)?:""".r) ~ IRIREF ^^ {
-      case pc ~ i =>
-        prefixes += (pc.dropRight(1) -> resolveIri(i.substring(1, i.length - 1)))
+    kw("PREFIX") ~> ("""([A-Za-z][A-Za-z0-9_.\-]*)?:""".r) ~ iriRef ^^ {
+      case pc ~ i => prefixes += (pc.dropRight(1) -> i)
     }
   private def baseDecl: Parser[Unit] =
-    kw("BASE") ~> IRIREF ^^ { i => base = Some(i.substring(1, i.length - 1)) }
+    kw("BASE") ~> iriRef ^^ { i => base = Some(i) }
 
   // --------------------------------------------------------------- nodes
 
