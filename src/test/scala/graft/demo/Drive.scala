@@ -499,6 +499,24 @@ object Drive {
         .orderBy(F.desc("cnt")).show(false)
     }
 
+    println("=== SPARQL results formats (CSV/TSV/JSON/XML) over selectRaw:")
+    locally {
+      val raw = engine.selectRaw(
+        """SELECT ?boro ?pop {
+             :New_York_City :boro ?boro . ?boro :pop ?pop
+           } ORDER BY DESC(?pop) LIMIT 2""")
+      print(graft.sources.SparqlResults.csv(raw))
+      print(graft.sources.SparqlResults.tsv(raw))
+      println(graft.sources.SparqlResults.json(raw))
+      println(graft.sources.SparqlResults.xml(raw))
+      val dir = java.nio.file.Files.createTempDirectory("drive_res").toString
+      graft.sources.SparqlResults.writeJson(raw.repartition(2), s"$dir/j")
+      val parts = new java.io.File(s"$dir/j").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      println(s"writeJson parts=${parts.length} " +
+        s"bytes=${parts.map(_.length).sum}")
+    }
+
     println("=== crawl link graph: html_links -> resolve_url -> host PageRank:")
     locally {
       import org.apache.spark.sql.{functions => F}
