@@ -139,10 +139,12 @@ class SparqlScan(schema: StructType, opts: Map[String, String]) extends Scan wit
 case class SparqlPartition(query: String, index: Int, stride: Int,
     pageSize: Long) extends InputPartition
 
-/** Streaming SPARQL-JSON decode → InternalRow. Term decode mirrors
-  * `_jsonToNode` (gastrodon/__init__.py:651-662): uri / bnode / literal
-  * (plain, @lang, ^^datatype, legacy "typed-literal"); a variable absent
-  * from a binding object is null (unbound, :758-761).
+/** Streaming decode → InternalRow, format picked by the response
+  * Content-Type ([[ResultDecoders]]): results-JSON (what we Accept
+  * first; term decode mirrors `_jsonToNode`,
+  * gastrodon/__init__.py:651-662), results-XML, TSV, or CSV — so the
+  * source works against endpoints that only speak the older formats. A
+  * variable absent from a binding is null (unbound, :758-761).
   *
   * Paged mode (`pageSize > 0`): this reader owns pages index, index+stride,
   * index+2·stride, … wrapping the base query as
@@ -152,17 +154,13 @@ case class SparqlPartition(query: String, index: Int, stride: Int,
 class SparqlPartitionReader(baseQuery: String, index: Int, stride: Int,
     pageSize: Long, conf: SparqlHttp.Config,
     vars: Array[String]) extends PartitionReader[InternalRow] {
-  import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 
   def this(query: String, conf: SparqlHttp.Config, vars: Array[String]) =
     this(query, 0, 1, 0L, conf, vars)
 
   private var pageNo: Long = index.toLong
   private var rowsInPage: Long = 0L
-  private var stream: java.io.InputStream = _
-  private var parser: JsonParser = _
-  private var row: InternalRow = _
-  private var inBindings = false
+  private var decoder: ResultDecoder = _
   private var done = false
 
   private def pageQuery: String =
@@ -171,83 +169,30 @@ class SparqlPartitionReader(baseQuery: String, index: Int, stride: Int,
 
   private def openPage(): Unit = {
     closePage()
-    stream = SparqlHttp.execute(conf, pageQuery)
-    parser = new JsonFactory().createParser(stream)
-    inBindings = false
+    val (stream, contentType) = SparqlHttp.executeTyped(conf, pageQuery)
+    decoder = ResultDecoders(contentType, stream, vars)
     rowsInPage = 0L
   }
 
-  private def closePage(): Unit = {
-    if (parser != null) { parser.close(); parser = null }
-    if (stream != null) { stream.close(); stream = null }
-  }
-
-  /** Advance to the start of the results.bindings array on first call. */
-  private def seekBindings(): Unit = {
-    var depth = 0
-    var t = parser.nextToken()
-    while (t != null && !inBindings) {
-      t match {
-        case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
-        case JsonToken.END_OBJECT | JsonToken.END_ARRAY => depth -= 1
-        case JsonToken.FIELD_NAME
-            if depth == 2 && parser.currentName() == "bindings" =>
-          val nxt = parser.nextToken()
-          if (nxt == JsonToken.START_ARRAY) inBindings = true
-          else depth += (if (nxt == JsonToken.START_OBJECT) 1 else 0)
-        case _ =>
-      }
-      if (!inBindings) t = parser.nextToken()
-    }
-    if (!inBindings) done = true
-  }
+  private def closePage(): Unit =
+    if (decoder != null) { decoder.close(); decoder = null }
 
   override def next(): Boolean = {
     if (done) return false
-    if (stream == null) openPage()
-    if (!inBindings) seekBindings()
-    if (done) return false
-    val t = parser.nextToken()
-    if (t == JsonToken.END_ARRAY || t == null) {
-      // page exhausted: a full page means more may follow at the next
-      // stride offset; a short page means the result set has ended
-      if (pageSize > 0 && rowsInPage == pageSize) {
-        pageNo += stride
-        openPage()
-        return next()
-      }
-      done = true; return false
+    if (decoder == null) openPage()
+    if (decoder.next()) { rowsInPage += 1; return true }
+    // page exhausted: a full page means more may follow at the next
+    // stride offset; a short page means the result set has ended
+    if (pageSize > 0 && rowsInPage == pageSize) {
+      pageNo += stride
+      openPage()
+      return next()
     }
-    // t == START_OBJECT: one binding row {var: {type:…, value:…}, …}
-    val byVar = scala.collection.mutable.HashMap[String, InternalRow]()
-    var tok = parser.nextToken()
-    while (tok != JsonToken.END_OBJECT) {
-      val varName = parser.currentName()
-      parser.nextToken() // START_OBJECT of the term
-      var typ: String = null; var value: String = null
-      var dt: String = null; var lang: String = null
-      var tk = parser.nextToken()
-      while (tk != JsonToken.END_OBJECT) {
-        val f = parser.currentName()
-        parser.nextToken()
-        f match {
-          case "type" => typ = parser.getText
-          case "value" => value = parser.getText
-          case "datatype" => dt = parser.getText
-          case "xml:lang" => lang = parser.getText
-          case _ => parser.skipChildren()
-        }
-        tk = parser.nextToken()
-      }
-      byVar(varName) = SparqlPartitionReader.term(typ, value, dt, lang)
-      tok = parser.nextToken()
-    }
-    row = InternalRow.fromSeq(vars.toSeq.map(v => byVar.getOrElse(v, null)))
-    rowsInPage += 1
-    true
+    done = true
+    false
   }
 
-  override def get(): InternalRow = row
+  override def get(): InternalRow = decoder.get()
   override def close(): Unit = closePage()
 }
 
@@ -279,9 +224,23 @@ object SparqlHttp {
   case class Config(url: String, user: Option[String], password: Option[String],
       defaultGraph: Option[String], timeoutMs: Int) extends Serializable
 
+  /** Accept list for SELECT results: prefer JSON, take XML/TSV/CSV from
+    * endpoints that cannot produce it ([[ResultDecoders]] handles all
+    * four). */
+  val resultsAccept: String =
+    "application/sparql-results+json, application/sparql-results+xml;q=0.9, " +
+      "text/tab-separated-values;q=0.8, text/csv;q=0.5"
+
   def execute(conf: Config, query: String,
       accept: String = "application/sparql-results+json",
-      param: String = "query"): java.io.InputStream = {
+      param: String = "query"): java.io.InputStream =
+    executeTyped(conf, query, accept, param)._1
+
+  /** Like [[execute]] but also returns the response Content-Type (null if
+    * the server omitted it), for format dispatch. */
+  def executeTyped(conf: Config, query: String,
+      accept: String = resultsAccept,
+      param: String = "query"): (java.io.InputStream, String) = {
     import java.net.{HttpURLConnection, URI, URLEncoder}
     val conn = new URI(conf.url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
@@ -312,6 +271,6 @@ object SparqlHttp {
       throw new java.io.IOException(
         s"SPARQL endpoint ${conf.url} returned HTTP $code: ${err.take(500)}")
     }
-    conn.getInputStream
+    (conn.getInputStream, conn.getHeaderField("Content-Type"))
   }
 }

@@ -515,6 +515,31 @@ object Drive {
         .filter(_.getName.startsWith("part-"))
       println(s"writeJson parts=${parts.length} " +
         s"bytes=${parts.map(_.length).sum}")
+
+      // read side: serve the XML form from a local stub and decode it
+      // back through spark.read.format("sparql") (content negotiation)
+      val xmlDoc = graft.sources.SparqlResults.xml(raw)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/sparql",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val out = xmlDoc.getBytes("UTF-8")
+          ex.getResponseHeaders.add(
+            "Content-Type", "application/sparql-results+xml")
+          ex.sendResponseHeaders(200, out.length)
+          ex.getResponseBody.write(out)
+          ex.close()
+        })
+      server.start()
+      try {
+        println("decoded back from an XML-only endpoint:")
+        spark.read.format("sparql")
+          .option("url",
+            s"http://127.0.0.1:${server.getAddress.getPort}/sparql")
+          .option("query", "SELECT ?boro ?pop { ?b ?p ?o }")
+          .option("vars", "boro,pop")
+          .load().show(false)
+      } finally server.stop(0)
     }
 
     println("=== crawl link graph: html_links -> resolve_url -> host PageRank:")
