@@ -295,6 +295,17 @@ object SparkEntry {
              FILTER(isTRIPLE(TRIPLE(?r, :name, ?rname)))
            }""")
     }),
+    // --- W3C result serialization (CSV/TSV REC): each solution of a
+    //     SELECT rendered as its TSV and CSV data line by the codegen'd
+    //     per-row expressions behind writeTsv/writeCsv — IRI brackets,
+    //     literal quoting, ^^datatype tags, bare CSV lexical forms
+    "q_sparql_results" -> ((s, dir) => {
+      val raw = eng(s, dir, "nation").selectRaw(P +
+        "SELECT ?n ?name ?k { ?n gp:n_name ?name . ?n gp:n_nationkey ?k }")
+      raw.select(
+        graft.sources.SparqlResults.tsvLineOf(raw).as("tsv"),
+        graft.sources.SparqlResults.csvLineOf(raw).as("csv"))
+    }),
     "q_update_delete" -> ((s, dir) => {
       val e = eng(s, dir, "region")
       e.update(P +
@@ -2231,6 +2242,14 @@ object SparkEntry {
          FROM nation WHERE n_regionkey IN (2, 3)""",
     "q_rdf_star" ->
       "SELECT r_name AS rname, CAST(80 + r_regionkey AS BIGINT) AS conf FROM region",
+    "q_sparql_results" ->
+      """SELECT '<urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) || '>'
+                || chr(9) || '"' || n_name || '"' || chr(9) || '"'
+                || CAST(n_nationkey AS VARCHAR)
+                || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS tsv,
+                'urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) || ','
+                || n_name || ',' || CAST(n_nationkey AS VARCHAR) AS csv
+         FROM nation""",
     "q_describe" ->
       """WITH t AS (SELECT * FROM nation WHERE n_nationkey = 3)
          SELECT 'urn:graft:nation/3' AS s, 'urn:graft:p/n_nationkey' AS p,

@@ -81,15 +81,23 @@ object SparqlResults {
 
   private def vars(df: DataFrame): Seq[String] = df.columns.toSeq
 
+  /** The CSV data line for one solution of `df` (no line end) — the
+    * codegen'd Column behind [[csv]]/[[writeCsv]], public so results can
+    * be piped line-wise into any other sink without collecting. */
+  def csvLineOf(df: DataFrame): Column =
+    F.concat_ws(",", vars(df).map(c => csvTerm(F.col(c))): _*)
+
+  /** The TSV data line for one solution of `df` — see [[csvLineOf]]. */
+  def tsvLineOf(df: DataFrame): Column =
+    F.concat_ws("\t", vars(df).map(c => tsvTerm(F.col(c))): _*)
+
   /** One CSV data line per row (RFC 4180: fields comma-joined; the REC
     * mandates CRLF ends — the text sink supplies LF, so lines carry a
     * trailing CR). */
   private def csvLine(df: DataFrame): Column =
-    F.concat(F.concat_ws(",", vars(df).map(c => csvTerm(F.col(c))): _*),
-      F.lit("\r"))
+    F.concat(csvLineOf(df), F.lit("\r"))
 
-  private def tsvLine(df: DataFrame): Column =
-    F.concat_ws("\t", vars(df).map(c => tsvTerm(F.col(c))): _*)
+  private def tsvLine(df: DataFrame): Column = tsvLineOf(df)
 
   private def csvHeader(df: DataFrame): String =
     vars(df).mkString(",") + "\r"
