@@ -1,0 +1,455 @@
+package graft.sources
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.rdf.{Blank, Iri, Lit, RdfGraph, RdfTerm, RDF, XSD}
+
+/** RDF/XML reader ("RDF/XML Syntax Specification (Revised)" REC) — the
+  * oldest and still most-published RDF dump format; the reference's
+  * rdflib substrate parses it by default (`format="xml"`), so a user
+  * switching from the reference can keep feeding the same documents.
+  *
+  * Coverage: rdf:RDF root (optional), rdf:Description and typed node
+  * elements, rdf:about / rdf:ID / rdf:nodeID subject identification,
+  * property attributes, property elements (resource / literal / nested
+  * node / empty-with-attributes), rdf:resource / rdf:nodeID object
+  * attributes, rdf:datatype, scoped xml:lang and xml:base (RFC 3986
+  * resolution shared with the Turtle parser's rules), rdf:li container
+  * expansion to rdf:_n, rdf:parseType Resource / Collection / Literal
+  * (Literal serializes the inner XML infoset textually — element order,
+  * attributes, and text are preserved; it is NOT exclusive
+  * canonicalization, which matters only for XMLLiteral equality), and
+  * rdf:ID property-element reification. The obsolete rdf:aboutEach /
+  * rdf:aboutEachPrefix / rdf:bagID forms are rejected.
+  *
+  * Internal DTD entity declarations (`<!ENTITY xsd "…">`, ubiquitous in
+  * published RDF/XML) are expanded; EXTERNAL entities stay disabled, so
+  * a hostile document cannot reach the filesystem or network.
+  *
+  * Scale posture: like the Turtle parser, this is the driver-side path
+  * for documents (ontologies, schemas, API payloads); bulk ingest at
+  * 100 TB is the distributed line-parallel N-Triples/NQuads reader by
+  * documented contract.
+  */
+object RdfXml {
+
+  private val RdfNs = RDF.ns
+  private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+
+  /** The core-syntax attribute local names that never become property
+    * attributes. */
+  private val syntaxAttrs =
+    Set("about", "ID", "nodeID", "resource", "datatype", "parseType", "RDF",
+      "Description", "li")
+  private val obsolete = Set("aboutEach", "aboutEachPrefix", "bagID")
+
+  final class RdfXmlParseException(msg: String) extends RuntimeException(msg)
+
+  private class State(var base: String) {
+    val out = scala.collection.mutable.ArrayBuffer[(RdfTerm, RdfTerm, RdfTerm)]()
+    var bnodeN = 0
+    /** rdf:ID values already used (REC: an ID names one thing per base). */
+    val seenIds = scala.collection.mutable.HashSet[String]()
+    def freshBnode(): Blank = { bnodeN += 1; Blank(s"rx$bnodeN") }
+    def emit(s: RdfTerm, p: RdfTerm, o: RdfTerm): Unit = out += ((s, p, o))
+  }
+
+  // Same RFC 3986 §5.3 handling as the Turtle/SPARQL parser
+  // (sparql/Parser.scala resolveIri): empty ref = base minus fragment,
+  // '#'/'?' refs keep the base path, scheme test for absoluteness.
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:.*".r
+  private def resolve(base: String, ref: String): String =
+    if (base.isEmpty || SchemeRe.matches(ref)) ref
+    else try {
+      val noFrag = base.takeWhile(_ != '#')
+      if (ref.isEmpty) noFrag
+      else if (ref.startsWith("#")) noFrag + ref
+      else if (ref.startsWith("?")) noFrag.takeWhile(_ != '?') + ref
+      else new java.net.URI(base).resolve(ref).toString
+    } catch { case _: Exception => ref }
+
+  /** Parse an RDF/XML document to local triples (driver side — same
+    * small-document contract as [[Turtle.parseTriples]]). */
+  def parseTriples(xml: String, base: String = "")
+      : Seq[(RdfTerm, RdfTerm, RdfTerm)] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, true) // internal entities
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_REPLACING_ENTITY_REFERENCES, true)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+    val st = new State(base)
+    try {
+      // document element: rdf:RDF wrapping node elements, or a single
+      // bare node element (REC production 7.2.8 allows either)
+      var ev = r.next()
+      while (ev != XMLStreamConstants.START_ELEMENT) ev = r.next()
+      if (r.getNamespaceURI == RdfNs && r.getLocalName == "RDF") {
+        val outerBase = scopedBase(r, st.base)
+        val outerLang = scopedLang(r, "")
+        var e = r.next()
+        while (e != XMLStreamConstants.END_ELEMENT) {
+          if (e == XMLStreamConstants.START_ELEMENT)
+            nodeElement(r, st, outerBase, outerLang)
+          e = r.next()
+        }
+      } else nodeElement(r, st, base, "")
+    } finally r.close()
+    st.out.toSeq
+  }
+
+  /** Parse into an [[RdfGraph]] (set semantics; namespace declarations on
+    * the document element become graph prefixes, like rdflib's bindings). */
+  def parse(xml: String, spark: SparkSession, base: String = ""): RdfGraph = {
+    // capture root xmlns prefixes for display before the triple pass
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, true)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_REPLACING_ENTITY_REFERENCES, true)
+    val pr = f.createXMLStreamReader(new java.io.StringReader(xml))
+    val prefixes = scala.collection.mutable.Map[String, String]()
+    try {
+      var ev = pr.next()
+      while (ev != XMLStreamConstants.START_ELEMENT) ev = pr.next()
+      var i = 0
+      while (i < pr.getNamespaceCount) {
+        val p = Option(pr.getNamespacePrefix(i)).getOrElse("")
+        if (p.nonEmpty) prefixes(p) = pr.getNamespaceURI(i)
+        i += 1
+      }
+    } finally pr.close()
+    RdfGraph.fromTriples(spark, parseTriples(xml, base), prefixes.toMap)
+  }
+
+  /** Driver-side read of an .rdf/.owl file (small-document contract). */
+  def read(spark: SparkSession, path: String, base: String = ""): RdfGraph = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    parse(text, spark, if (base.nonEmpty) base else s"file://$path")
+  }
+
+  // ------------------------------------------------------------ scoping
+
+  private def attr(r: XMLStreamReader, ns: String, local: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local &&
+          (Option(r.getAttributeNamespace(i)).getOrElse("") == ns))
+        return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  private def scopedBase(r: XMLStreamReader, outer: String): String = {
+    val b = attr(r, XmlNs, "base")
+    if (b == null) outer
+    // xml:base chains against the outer base (RFC 3986 §5.1.1), and its
+    // own fragment is dropped before use as a base
+    else resolve(outer, b).takeWhile(_ != '#')
+  }
+
+  private def scopedLang(r: XMLStreamReader, outer: String): String = {
+    val l = attr(r, XmlNs, "lang")
+    if (l == null) outer else l
+  }
+
+  private def qname(r: XMLStreamReader): String =
+    Option(r.getNamespaceURI).getOrElse("") + r.getLocalName
+
+  private def checkNotObsolete(r: XMLStreamReader): Unit = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (Option(r.getAttributeNamespace(i)).getOrElse("") == RdfNs &&
+          obsolete(r.getAttributeLocalName(i)))
+        throw new RdfXmlParseException(
+          s"obsolete RDF/XML attribute rdf:${r.getAttributeLocalName(i)}")
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------- node elements
+
+  /** Parse one node element (reader ON its START_ELEMENT; consumes
+    * through its END_ELEMENT). Returns the node's subject term. */
+  private def nodeElement(r: XMLStreamReader, st: State,
+      outerBase: String, outerLang: String): RdfTerm = {
+    checkNotObsolete(r)
+    val base = scopedBase(r, outerBase)
+    val lang = scopedLang(r, outerLang)
+    val elemUri = qname(r)
+
+    val about = attr(r, RdfNs, "about")
+    val id = attr(r, RdfNs, "ID")
+    val nodeId = attr(r, RdfNs, "nodeID")
+    val subject: RdfTerm =
+      if (about != null) Iri(resolve(base, about))
+      else if (id != null) Iri(resolve(base, "#" + registerId(st, id, base)))
+      else if (nodeId != null) Blank(nodeId)
+      else st.freshBnode()
+
+    if (elemUri != RdfNs + "Description")
+      st.emit(subject, Iri(RDF.typ), Iri(elemUri))
+
+    propertyAttributes(r, st, subject, lang)
+
+    // children: property elements; rdf:li counter scoped to THIS node
+    var li = 0
+    var ev = r.next()
+    while (ev != XMLStreamConstants.END_ELEMENT) {
+      if (ev == XMLStreamConstants.START_ELEMENT) {
+        li += (if (qname(r) == RdfNs + "li") 1 else 0)
+        propertyElement(r, st, subject, base, lang, li)
+      } else if (ev == XMLStreamConstants.CHARACTERS && !r.isWhiteSpace)
+        throw new RdfXmlParseException(
+          s"text content not allowed in node element <$elemUri>")
+      ev = r.next()
+    }
+    subject
+  }
+
+  /** Property attributes of a node element or empty property element:
+    * every attribute that is not rdf/xml syntax becomes a plain-literal
+    * triple; rdf:type becomes an IRI triple (REC 7.2.11 / 7.2.21). */
+  private def propertyAttributes(r: XMLStreamReader, st: State,
+      subject: RdfTerm, lang: String): Unit = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      val ns = Option(r.getAttributeNamespace(i)).getOrElse("")
+      val local = r.getAttributeLocalName(i)
+      val v = r.getAttributeValue(i)
+      if (ns == RdfNs) {
+        if (local == "type") st.emit(subject, Iri(RDF.typ), Iri(v))
+        else if (!syntaxAttrs(local) && !obsolete(local) && local != "type")
+          st.emit(subject, Iri(RdfNs + local), mkLit(v, null, lang))
+      } else if (ns != XmlNs && ns.nonEmpty)
+        st.emit(subject, Iri(ns + local), mkLit(v, null, lang))
+      // ns empty (unprefixed, non-xml) attributes are NOT property
+      // attributes per the REC's namespace-qualification requirement
+      i += 1
+    }
+  }
+
+  private def mkLit(lex: String, dt: String, lang: String): Lit =
+    if (dt != null) Lit(lex, dt, null)
+    else if (lang.nonEmpty) Lit(lex, RDF.langString, lang)
+    else Lit(lex, XSD.string, null)
+
+  /** rdf:ID must be unique per base document (REC 7.2.34 constraint-id). */
+  private def registerId(st: State, id: String, base: String): String = {
+    val key = base + "#" + id
+    if (!st.seenIds.add(key))
+      throw new RdfXmlParseException(s"duplicate rdf:ID '$id' for base $base")
+    id
+  }
+
+  // --------------------------------------------------- property elements
+
+  /** Parse one property element of `subject` (reader ON its
+    * START_ELEMENT; consumes through its END_ELEMENT). */
+  private def propertyElement(r: XMLStreamReader, st: State,
+      subject: RdfTerm, outerBase: String, outerLang: String,
+      liIndex: Int): Unit = {
+    checkNotObsolete(r)
+    val base = scopedBase(r, outerBase)
+    val lang = scopedLang(r, outerLang)
+    val rawUri = qname(r)
+    val predUri =
+      if (rawUri == RdfNs + "li") RDF.memberPrefix + liIndex else rawUri
+    val pred = Iri(predUri)
+
+    val reifyId = attr(r, RdfNs, "ID")
+    val parseType = attr(r, RdfNs, "parseType")
+    val resource = attr(r, RdfNs, "resource")
+    val nodeId = attr(r, RdfNs, "nodeID")
+    val datatype = attr(r, RdfNs, "datatype")
+
+    def finish(o: RdfTerm): Unit = {
+      st.emit(subject, pred, o)
+      if (reifyId != null) {
+        val stmt = Iri(resolve(base, "#" + registerId(st, reifyId, base)))
+        st.emit(stmt, Iri(RDF.typ), Iri(RdfNs + "Statement"))
+        st.emit(stmt, Iri(RdfNs + "subject"), subject)
+        st.emit(stmt, Iri(RdfNs + "predicate"), pred)
+        st.emit(stmt, Iri(RdfNs + "object"), o)
+      }
+    }
+
+    if (parseType != null) parseType match {
+      case "Resource" =>
+        // content is a propertyEltList of a fresh bnode
+        val n = st.freshBnode()
+        var li = 0
+        var ev = r.next()
+        while (ev != XMLStreamConstants.END_ELEMENT) {
+          if (ev == XMLStreamConstants.START_ELEMENT) {
+            li += (if (qname(r) == RdfNs + "li") 1 else 0)
+            propertyElement(r, st, n, base, lang, li)
+          }
+          ev = r.next()
+        }
+        finish(n)
+      case "Collection" =>
+        // rdf:first/rdf:rest chain over the nested node elements
+        val items = scala.collection.mutable.ArrayBuffer[RdfTerm]()
+        var ev = r.next()
+        while (ev != XMLStreamConstants.END_ELEMENT) {
+          if (ev == XMLStreamConstants.START_ELEMENT)
+            items += nodeElement(r, st, base, lang)
+          ev = r.next()
+        }
+        if (items.isEmpty) finish(Iri(RDF.nil))
+        else {
+          val cells = items.map(_ => st.freshBnode())
+          finish(cells.head)
+          items.indices.foreach { i =>
+            st.emit(cells(i), Iri(RDF.first), items(i))
+            st.emit(cells(i), Iri(RDF.rest),
+              if (i + 1 < cells.length) cells(i + 1) else Iri(RDF.nil))
+          }
+        }
+      case _ => // "Literal" and any unrecognized value (REC 7.2.20)
+        finish(Lit(xmlLiteralText(r), RdfNs + "XMLLiteral", null))
+    }
+    else if (resource != null || nodeId != null) {
+      // emptyPropertyElt with an object attribute; property attributes
+      // (if any) describe the OBJECT node
+      if (resource != null && nodeId != null)
+        throw new RdfXmlParseException(
+          "rdf:resource and rdf:nodeID on one property element")
+      val o: RdfTerm =
+        if (resource != null) Iri(resolve(base, resource)) else Blank(nodeId)
+      propertyAttributes(r, st, o, lang)
+      skipToEnd(r, allowText = false)
+      finish(o)
+    }
+    else {
+      // look ahead: literal text, nested node element, or empty
+      val text = new StringBuilder
+      var nested: RdfTerm = null
+      var sawElement = false
+      var hasPropAttrs = hasPropertyAttributes(r)
+      val attrObj = if (hasPropAttrs) st.freshBnode() else null
+      if (hasPropAttrs) propertyAttributes(r, st, attrObj, lang)
+      var ev = r.next()
+      while (ev != XMLStreamConstants.END_ELEMENT) {
+        ev match {
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+          case XMLStreamConstants.START_ELEMENT =>
+            if (sawElement) throw new RdfXmlParseException(
+              s"more than one node element inside property <$predUri>")
+            if (hasPropAttrs) throw new RdfXmlParseException(
+              s"property attributes with nested node in <$predUri>")
+            sawElement = true
+            nested = nodeElement(r, st, base, lang)
+          case _ =>
+        }
+        ev = r.next()
+      }
+      if (sawElement) {
+        if (text.toString.trim.nonEmpty) throw new RdfXmlParseException(
+          s"mixed text and node element inside property <$predUri>")
+        finish(nested)
+      }
+      else if (hasPropAttrs) {
+        if (text.toString.trim.nonEmpty) throw new RdfXmlParseException(
+          s"text content with property attributes in <$predUri>")
+        finish(attrObj) // emptyPropertyElt + attrs
+      }
+      else if (text.nonEmpty || datatype == null)
+        finish(mkLit(text.toString, datatype, lang))
+      else finish(Lit("", datatype, null))
+    }
+  }
+
+  /** Does this property element carry property attributes (anything
+    * beyond rdf/xml syntax attributes)? */
+  private def hasPropertyAttributes(r: XMLStreamReader): Boolean = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      val ns = Option(r.getAttributeNamespace(i)).getOrElse("")
+      val local = r.getAttributeLocalName(i)
+      if (ns == RdfNs && (local == "type" || !syntaxAttrs(local))) return true
+      if (ns != RdfNs && ns != XmlNs && ns.nonEmpty) return true
+      i += 1
+    }
+    false
+  }
+
+  private def skipToEnd(r: XMLStreamReader, allowText: Boolean): Unit = {
+    var depth = 0
+    var done = false
+    while (!done) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT =>
+          if (depth == 0) done = true else depth -= 1
+        case XMLStreamConstants.CHARACTERS
+            if !allowText && !r.isWhiteSpace =>
+          throw new RdfXmlParseException(
+            "content not allowed in empty property element")
+        case _ =>
+      }
+    }
+  }
+
+  /** Serialize the inner XML of a parseType="Literal" element back to
+    * text (element order, attributes, namespace declarations on the
+    * inner elements, text with entity re-escaping — an infoset-faithful
+    * rendering, not exclusive canonical XML). */
+  private def xmlLiteralText(r: XMLStreamReader): String = {
+    val sb = new StringBuilder
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case c => c.toString
+    }
+    def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+    var depth = 1
+    var ev = r.next()
+    while (depth > 0) {
+      ev match {
+        case XMLStreamConstants.START_ELEMENT =>
+          depth += 1
+          sb += '<'
+          val p = Option(r.getPrefix).getOrElse("")
+          if (p.nonEmpty) sb.append(p).append(':')
+          sb.append(r.getLocalName)
+          var i = 0
+          while (i < r.getNamespaceCount) {
+            val np = Option(r.getNamespacePrefix(i)).getOrElse("")
+            sb.append(" xmlns")
+            if (np.nonEmpty) sb.append(':').append(np)
+            sb.append("=\"").append(escAttr(r.getNamespaceURI(i))).append('"')
+            i += 1
+          }
+          i = 0
+          while (i < r.getAttributeCount) {
+            val ap = Option(r.getAttributePrefix(i)).getOrElse("")
+            sb += ' '
+            if (ap.nonEmpty) sb.append(ap).append(':')
+            sb.append(r.getAttributeLocalName(i)).append("=\"")
+              .append(escAttr(r.getAttributeValue(i))).append('"')
+            i += 1
+          }
+          sb += '>'
+        case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
+          if (depth > 0) {
+            sb.append("</")
+            val p = Option(r.getPrefix).getOrElse("")
+            if (p.nonEmpty) sb.append(p).append(':')
+            sb.append(r.getLocalName).append('>')
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(esc(new String(
+            r.getTextCharacters, r.getTextStart, r.getTextLength)))
+        case _ =>
+      }
+      if (depth > 0) ev = r.next()
+    }
+    sb.toString
+  }
+}

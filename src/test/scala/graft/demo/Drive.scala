@@ -499,6 +499,27 @@ object Drive {
         .orderBy(F.desc("cnt")).show(false)
     }
 
+    println("=== RDF/XML parse -> SPARQL query (typed nodes, parseType):")
+    locally {
+      val g = graft.sources.RdfXml.parse(
+        """<?xml version="1.0"?>
+          |<!DOCTYPE rdf:RDF [<!ENTITY ex "http://example.org/">]>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |         xmlns:ex="&ex;" xml:base="http://example.org/doc">
+          |  <ex:City rdf:about="&ex;oz" ex:motto="emerald">
+          |    <ex:pop rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:pop>
+          |    <ex:mayor rdf:parseType="Resource">
+          |      <ex:name>Wizard</ex:name>
+          |    </ex:mayor>
+          |  </ex:City>
+          |</rdf:RDF>""".stripMargin, spark)
+      Engine.fromGraph(g).select(
+        """PREFIX ex: <http://example.org/>
+          |SELECT ?city ?pop ?motto ?mayor {
+          |  ?city a ex:City ; ex:pop ?pop ; ex:motto ?motto ;
+          |        ex:mayor/ex:name ?mayor }""".stripMargin).show(false)
+    }
+
     println("=== SPARQL results formats (CSV/TSV/JSON/XML) over selectRaw:")
     locally {
       val raw = engine.selectRaw(
