@@ -267,7 +267,8 @@ class Engine(initial: RdfGraph) {
       // LOAD <doc> [INTO GRAPH <g>] (gastrodon/__init__.py:905-907). The
       // store is single-graph, so the INTO target is accepted and merged
       // into the default graph. N-Triples (.nt/.nt.gz) reads distributed;
-      // Turtle parses driver-side (same split as the standalone sources).
+      // Turtle and RDF/XML parse driver-side (same split as the
+      // standalone sources).
       // Only local documents (file:// or a bare path) are supported —
       // remote schemes fail with a clear error, not an opaque IO one.
       val scheme = url.takeWhile(c => c.isLetter || c == '+').toLowerCase
@@ -282,9 +283,12 @@ class Engine(initial: RdfGraph) {
             java.nio.file.Paths.get(path)), "UTF-8"), spark)
         else if (lower.endsWith(".nt") || lower.endsWith(".nt.gz"))
           sources.NTriples.read(spark, path)
+        else if (lower.endsWith(".rdf") || lower.endsWith(".owl") ||
+            lower.endsWith(".xml"))
+          sources.RdfXml.read(spark, path, base = url)
         else throw new GraftException(
           s"LOAD cannot infer the RDF format of <$url> " +
-            "(expected .ttl/.turtle or .nt/.nt.gz)")
+            "(expected .ttl/.turtle, .nt/.nt.gz, or .rdf/.owl/.xml)")
       graph = graph.insert(loaded.triples)
         .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }

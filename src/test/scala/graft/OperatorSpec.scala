@@ -269,7 +269,7 @@ class OperatorSpec extends SparkSpec {
     }
     assert(remote.getMessage.contains("file://"))
     val unknown = intercept[GraftException] {
-      e.update(s"LOAD <file://${dir.getAbsolutePath}/doc.rdf>")
+      e.update(s"LOAD <file://${dir.getAbsolutePath}/doc.jsonld>")
     }
     assert(unknown.getMessage.contains("format"))
   }

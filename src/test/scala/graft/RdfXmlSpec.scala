@@ -259,6 +259,25 @@ class RdfXmlSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE LOAD of an .rdf document merges into the engine graph") {
+    val f = java.nio.file.Files.createTempFile("doc", ".rdf")
+    java.nio.file.Files.writeString(f,
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example.org/">
+        |  <rdf:Description rdf:about="http://example.org/loaded">
+        |    <ex:v>from-xml</ex:v>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    val e = Engine.inline(
+      "@prefix ex: <http://example.org/> . ex:x ex:v \"inline\" .")
+    e.update(s"LOAD <file://$f>")
+    val rows = e.select(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s ?v { ?s ex:v ?v } ORDER BY ?v""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.get(1).toString).toSeq == Seq("from-xml", "inline"))
+  }
+
   test("parse() builds a queryable graph with root-namespace prefixes") {
     val g = RdfXml.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

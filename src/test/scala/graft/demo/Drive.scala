@@ -518,6 +518,19 @@ object Drive {
           |SELECT ?city ?pop ?motto ?mayor {
           |  ?city a ex:City ; ex:pop ?pop ; ex:motto ?motto ;
           |        ex:mayor/ex:name ?mayor }""".stripMargin).show(false)
+
+      // SPARQL UPDATE LOAD picks the RDF/XML reader by extension
+      val rdfFile = java.nio.file.Files.createTempFile("drive", ".rdf")
+      java.nio.file.Files.writeString(rdfFile,
+        """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |         xmlns:ex="http://example.org/">
+          |  <rdf:Description rdf:about="http://example.org/km">
+          |    <ex:pop>9</ex:pop>
+          |  </rdf:Description>
+          |</rdf:RDF>""".stripMargin)
+      val le = Engine.fromGraph(g)
+      le.update(s"LOAD <file://$rdfFile>")
+      println(s"after LOAD <...drive.rdf>: graph size = ${le.graph.size}")
     }
 
     println("=== SPARQL results formats (CSV/TSV/JSON/XML) over selectRaw:")
