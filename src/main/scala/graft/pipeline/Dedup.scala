@@ -260,21 +260,33 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against a (rid, sh)
-    * shingle relation: pair ids explode to rows, ONE join attaches each
-    * side's shingle set, a per-pair regroup computes the Jaccard. One
-    * join instead of two keeps the build side the (small, array-free)
-    * pair list — never the array-carrying corpus relation — and at scale
-    * degrades to a single co-partitioned join + a pair-keyed regroup. */
+    * shingle relation: the sets are SORTED once per document, each pair
+    * attaches its two sides with two plain equi-joins, and the Jaccard
+    * comes from one allocation-free two-pointer merge
+    * ([[graft.expressions.SortedIntersectCount]]; |A∪B| is arithmetic
+    * from the sizes). The corpus relation is tiny next to the candidate
+    * set (each doc fans out to many pairs), so both joins broadcast at
+    * bench scale — the whole verify is NARROW — and at cluster scale AQE
+    * falls back to two shuffle joins that move each array once per
+    * CANDIDATE side, half of what a pair-keyed array regroup shuffles
+    * (measured at 10x: the regroup shape spent ~80% of the query's wall
+    * shipping shingle arrays through the pair shuffle). */
   private def verifiedJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val sides = cands.select(F.col("id1"), F.col("id2"),
-      F.explode(F.array(F.col("id1"), F.col("id2"))).as("rid"))
-    sides.join(sh, "rid")
-      .groupBy("id1", "id2")
-      // exactly one non-null per role per pair → max is a plain pick
-      .agg(F.max(F.when(F.col("rid") === F.col("id1"), F.col("sh"))).as("sh1"),
-        F.max(F.when(F.col("rid") === F.col("id2"), F.col("sh"))).as("sh2"))
-      .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+    val s1 = sh.select(F.col("rid").as("id1"),
+      F.array_sort(F.col("sh")).as("sh1"))
+    val s2 = sh.select(F.col("rid").as("id2"),
+      F.array_sort(F.col("sh")).as("sh2"))
+    val inter = graft.expressions.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        graft.expressions.ColumnBridge.expression(F.col("sh1")),
+        graft.expressions.ColumnBridge.expression(F.col("sh2"))))
+      .cast(DoubleType)
+    val union =
+      (F.size(F.col("sh1")) + F.size(F.col("sh2"))).cast(DoubleType) - inter
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
       .where(F.col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -719,10 +731,18 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
     val elems = sh.select(F.col("rid"), F.size(F.col("sh")).as("n"),
       F.explode(F.col("sh")).as("k"))
+    // Document frequency attaches only for SHARED elements (df >= 2):
+    // singletons — the long tail of any real corpus — all tie at df 1,
+    // so a left join against the df>=2 survivors ranks identically
+    // while shrinking the join's build side by the singleton share
+    // (usually enough for a broadcast, removing a full shuffle of the
+    // exploded element set; the df aggregate itself stays map-combined).
     val freq = elems.groupBy("k").agg(F.count(F.lit(1)).as("kf"))
-    val ranked = elems.join(freq, "k")
+      .where(F.col("kf") >= 2)
+    val ranked = elems.join(freq, Seq("k"), "left")
+      .withColumn("kfx", F.coalesce(F.col("kf"), F.lit(1L)))
       .withColumn("rnk", F.row_number().over(
-        w.partitionBy("rid").orderBy(F.col("kf"), F.col("k"))))
+        w.partitionBy("rid").orderBy(F.col("kfx"), F.col("k"))))
       .where(F.col("rnk") <=
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
     val cands = bucketPairs(ranked

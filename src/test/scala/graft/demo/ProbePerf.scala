@@ -3,9 +3,19 @@ package graft.demo
 import org.apache.spark.sql.{SparkSession, functions => F}
 import graft.SparkEntry
 
-/** Scratch perf probe for the two sf1 outliers (q_dedup_ngram,
-  * q_tfidf): times the full queries at sf0.1 and sf1 and breaks
-  * q_tfidf into stages. Not part of any driver contract. */
+/** Scratch perf probe for the heaviest sf1 query (q_dedup_ngram):
+  * times the full query at sf0.1 and (if the replication exists)
+  * /tmp/sf1, best of 2, and A/Bs the retired pair-regroup verify shape
+  * against the joined two-pointer one. Not part of any driver
+  * contract.
+  *
+  * r12 findings at /tmp/sf1 (10x docs, every doc ~10 identical
+  * copies → 978x more true pairs): prefix ranking through candidate
+  * distinct costs ~3 s; the OLD verify (pair-keyed regroup shipping a
+  * ~400-byte shingle array per candidate side through the shuffle,
+  * then array_intersect + array_union per pair) cost ~14 s of the
+  * 16.5 s query. The joined verify with per-document array_sort and
+  * SortedIntersectCount brought the query to ~4.9 s. */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -22,45 +32,28 @@ object ProbePerf {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        n = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[probe] $label%-40s $best%8.3f s  rows=$n")
     }
 
-    for (dir <- Seq("/root/testdata/sf0.1")) {
+    val dirs = Seq("/root/testdata/sf0.1") ++
+      (if (new java.io.File("/tmp/sf1/documents.parquet").exists)
+        Seq("/tmp/sf1") else Nil)
+    for (dir <- dirs) {
       println(s"=== $dir")
-      // warm
-      spark.read.parquet(s"$dir/documents.parquet").count()
-      SparkEntry.queries("q_tfidf")(spark, dir).explain("formatted")
-      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
-      println("[probe] docs partitions: " + docs0.rdd.getNumPartitions)
-      time("q_tfidf")(SparkEntry.queries("q_tfidf")(spark, dir).count())
-      time("q_tfidf repart32") {
-        val df = spark.read.parquet(s"$dir/documents.parquet").repartition(32)
-        graft.pipeline.Relevance.tfidfVector(df, "doc_id", "text", 64)
-          .select(F.col("doc_id"), F.posexplode(F.col("tfidf")))
-          .where(F.col("col") =!= 0.0).count()
-      }
-      time("q_tfidf no-explode") {
-        graft.pipeline.Relevance.tfidfVector(docs0, "doc_id", "text", 64)
-          .select(F.col("doc_id"),
-            F.size(F.filter(F.col("tfidf"), x => x =!= 0.0)).as("nnz"))
-          .agg(F.sum("nnz")).count()
-      }
-      // tfidf stage breakdown
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      time("tfidf: docs.count")(docs.count())
-      time("tfidf: df-bucket agg") {
-        val toks = graft.pipeline.TextAnalysis.tokens(F.col("text"))
-        docs.select(F.explode(F.array_distinct(
-          F.transform(toks, t =>
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-              .cast(org.apache.spark.sql.types.LongType) % 64))).as("b"))
-          .groupBy("b").count().count()
-      }
-      time("tfidf: full vector (no idf jobs)") {
-        graft.pipeline.Relevance.tfidfVector(docs, "doc_id", "text", 64).count()
-      }
+      spark.read.parquet(s"$dir/documents.parquet").count() // warm
+      time("q_dedup_ngram")(
+        SparkEntry.queries("q_dedup_ngram")(spark, dir).count())
+      time("q_cdc_dedup")(
+        SparkEntry.queries("q_cdc_dedup")(spark, dir).count())
+      time("q_dedup_minhash")(
+        SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
     }
     spark.stop()
   }
