@@ -184,6 +184,10 @@ object RdfXml {
     val about = attr(r, RdfNs, "about")
     val id = attr(r, RdfNs, "ID")
     val nodeId = attr(r, RdfNs, "nodeID")
+    if (Seq(about, id, nodeId).count(_ != null) > 1)
+      throw new RdfXmlParseException(
+        "a node element takes at most ONE of rdf:about / rdf:ID / " +
+          "rdf:nodeID (REC 7.2.11)")
     val subject: RdfTerm =
       if (about != null) Iri(resolve(base, about))
       else if (id != null) Iri(resolve(base, "#" + registerId(st, id, base)))

@@ -20,7 +20,10 @@ import graft.sources.{NQuads, NTriples, Trig, Turtle}
   *  - `rdft:TestTurtleEval` — `mf:action` (.ttl) must parse to a graph
   *    isomorphic (blank-node bijection) to `mf:result` (.nt);
   *  - `rdft:TestTrigEval` — `mf:action` (.trig) must parse to a quad
-  *    store isomorphic to `mf:result` (.nq).
+  *    store isomorphic to `mf:result` (.nq);
+  *  - `rdft:TestXMLEval` / `rdft:TestXMLNegativeSyntax` — the same
+  *    contracts for RDF/XML documents (`rdf/rdf11/rdf-xml/` upstream),
+  *    parsed with the fixture's pseudo document URL as base.
   *
   * The fixtures are authored from the RDF 1.1 Turtle and TriG RECs
   * (grammar productions in Turtle §6.5 / TriG §7) plus the Turtle-star
@@ -47,7 +50,7 @@ class W3cRdfSyntaxSpec extends SparkSpec {
   private val RDFT = "http://www.w3.org/ns/rdftest#"
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  private val categories = Seq("turtle", "trig")
+  private val categories = Seq("turtle", "trig", "rdfxml")
 
   // ------------------------------------------------------------ loading
 
@@ -182,27 +185,38 @@ class W3cRdfSyntaxSpec extends SparkSpec {
 
   // --------------------------------------------------------------- tests
 
-  private def parseOf(cat: String, doc: String): Seq[Seq[RdfTerm]] =
-    if (cat == "trig")
-      Trig.parseQuads(doc).map { case (s, p, o, g) =>
-        Seq(s, p, o, g.getOrElse(Iri("")))
-      }
-    else Turtle.parseTriples(doc).map { case (s, p, o) => Seq(s, p, o) }
+  private def parseOf(cat: String, doc: String,
+      action: String): Seq[Seq[RdfTerm]] =
+    cat match {
+      case "trig" =>
+        Trig.parseQuads(doc).map { case (s, p, o, g) =>
+          Seq(s, p, o, g.getOrElse(Iri("")))
+        }
+      case "rdfxml" =>
+        // base = the fixture's pseudo document URL (upstream uses the
+        // file's own URL the same way) — tx-id pins the resolution
+        graft.sources.RdfXml
+          .parseTriples(doc, s"http://graft.invalid/tests/rdfxml/$action")
+          .map { case (s, p, o) => Seq(s, p, o) }
+      case _ =>
+        Turtle.parseTriples(doc).map { case (s, p, o) => Seq(s, p, o) }
+    }
 
   for (cat <- categories; t <- loadManifest(cat)) {
     test(s"w3c/$cat: ${t.name}") {
       val doc = res(cat, t.action)
       t.kind match {
         case k if k.endsWith("NegativeSyntax") =>
-          val thrown = intercept[Exception](parseOf(cat, doc))
+          val thrown = intercept[Exception](parseOf(cat, doc, t.action))
           assert(thrown.isInstanceOf[GraftException] ||
             thrown.isInstanceOf[graft.sparql.SparqlParseException] ||
-            thrown.isInstanceOf[IllegalArgumentException],
+            thrown.isInstanceOf[IllegalArgumentException] ||
+            thrown.isInstanceOf[graft.sources.RdfXml.RdfXmlParseException],
             s"${t.action}: expected a parse rejection, got $thrown")
         case k if k.endsWith("PositiveSyntax") =>
-          parseOf(cat, doc) // must not throw; zero triples is legal
+          parseOf(cat, doc, t.action) // must not throw; zero triples is legal
         case k if k.endsWith("Eval") =>
-          val got = parseOf(cat, doc)
+          val got = parseOf(cat, doc, t.action)
           val want =
             if (cat == "trig") loadNq(res(cat, t.result))
             else loadNt(res(cat, t.result))
