@@ -316,6 +316,8 @@ class Engine(initial: RdfGraph) {
           nullStr.as("dt"), nullStr.as("lang"))
       case VarNode(v) if withId.columns.contains(v) => F.col(v)
       case VarNode(_) => F.lit(null).cast(Terms.termType)
+      case QuotedNode(s, p, o) => // INSERT/DELETE-star: build the quoted term
+        Terms.packQuoted(inst(s), inst(p), inst(o))
     }
     tmpl.map { tp =>
       val p = tp.p match {

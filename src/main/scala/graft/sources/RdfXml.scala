@@ -4,7 +4,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.rdf.{Blank, Iri, Lit, RdfGraph, RdfTerm, RDF, XSD}
+import graft.rdf.{Blank, Iri, Lit, RdfGraph, RdfTerm, Terms, RDF, XSD}
 
 /** RDF/XML reader ("RDF/XML Syntax Specification (Revised)" REC) — the
   * oldest and still most-published RDF dump format; the reference's
@@ -128,6 +128,152 @@ object RdfXml {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
     parse(text, spark, if (base.nonEmpty) base else s"file://$path")
+  }
+
+  // ---------------------------------------------------------- serializer
+
+  /** Full RDF/XML document (driver-side display/export path — collects
+    * with a total subject order; [[write]] is the distributed twin).
+    * Predicates must split into namespace + NCName local part (the
+    * format's own constraint — rdflib raises the same way); quoted
+    * triples have no RDF/XML syntax and are rejected. A quad store
+    * serializes its default graph. */
+  def serialize(g: RdfGraph): String = {
+    val rows = defaultGraphOf(g)
+      .orderBy("s.value", "p.value", "o.value").collect()
+    val sb = new StringBuilder
+    sb.append(docOpen(g.prefixes))
+    rows.groupBy(_.getStruct(0)).toSeq
+      .sortBy { case (s, _) => (s.getByte(0), s.getString(1)) }
+      .foreach { case (s, ts) => appendBlock(sb, s, ts.toSeq, g.prefixes) }
+    sb.append(docClose)
+    sb.toString
+  }
+
+  /** Distributed RDF/XML sink: subjects co-locate via a hash
+    * repartition, rows sort within partitions only, and every part file
+    * is a STANDALONE-VALID document (its own `<rdf:RDF>` wrapper) whose
+    * graphs union to the store — the same per-part contract as the
+    * Turtle and results-format writers, no driver materialization. */
+  def write(g: RdfGraph, path: String, numPartitions: Int = 0): Unit = {
+    val F = org.apache.spark.sql.functions
+    val prefixes = g.prefixes
+    val base = defaultGraphOf(g)
+    val parts =
+      if (numPartitions > 0) base.repartition(numPartitions, F.col("s"))
+      else base.repartition(F.col("s"))
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    parts.sortWithinPartitions("s", "p", "o")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val blocks = new Iterator[String] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): String = {
+            val s = buf.head.getStruct(0)
+            val ts = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            while (buf.hasNext && buf.head.getStruct(0) == s) ts += buf.next()
+            val sb = new StringBuilder
+            appendBlock(sb, s, ts.toSeq, prefixes)
+            sb.toString
+          }
+        }
+        if (blocks.hasNext)
+          Iterator(docOpen(prefixes)) ++ blocks ++ Iterator(docClose)
+        else Iterator.empty
+      }.write.mode("overwrite").text(path)
+  }
+
+  private def defaultGraphOf(g: RdfGraph) =
+    if (g.isQuads)
+      g.triples.where(org.apache.spark.sql.functions.col("g").isNull)
+        .select("s", "p", "o")
+    else g.triples
+
+  private def docOpen(prefixes: Map[String, String]): String =
+    """<?xml version="1.0" encoding="UTF-8"?>""" + "\n<rdf:RDF" +
+      ((("rdf" -> RdfNs) +: prefixes.toSeq.filterNot(_._1 == "rdf")
+        .sortBy(_._1))
+        .map { case (p, ns) => s"""xmlns:$p="${escAttr(ns)}"""" }
+        .mkString("\n    ", "\n    ", ">\n"))
+  private val docClose = "</rdf:RDF>\n"
+
+  private def esc(s: String): String = {
+    s.foreach { c =>
+      if (c < ' ' && c != '\t' && c != '\n' && c != '\r')
+        throw new RdfXmlParseException(
+          f"control character U+${c.toInt}%04X cannot appear in XML 1.0 " +
+            "content — serialize this graph as N-Triples/Turtle instead")
+    }
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case c => c.toString
+    }
+  }
+  private def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+
+  /** Longest NCName suffix split of a predicate IRI. */
+  private[sources] def splitPredicate(iri: String): (String, String) = {
+    def ncChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+    def ncStart(c: Char): Boolean = Character.isLetter(c) || c == '_'
+    var i = iri.length
+    while (i > 0 && ncChar(iri.charAt(i - 1))) i -= 1
+    // the local part must START with an NCName start char
+    while (i < iri.length && !ncStart(iri.charAt(i))) i += 1
+    if (i == iri.length || i == 0) throw new RdfXmlParseException(
+      s"predicate <$iri> has no NCName local part — RDF/XML cannot " +
+        "name it as an element (serialize as Turtle/N-Triples instead)")
+    (iri.substring(0, i), iri.substring(i))
+  }
+
+  /** One `<rdf:Description>` block for a subject's sorted triples.
+    * Predicate namespaces covered by the graph's prefixes use them;
+    * others get a LOCAL `xmlns:n="…"` on the property element itself
+    * (legal XML — keeps the writer streaming with no namespace
+    * pre-pass). */
+  private def appendBlock(sb: StringBuilder, s: org.apache.spark.sql.Row,
+      ts: Seq[org.apache.spark.sql.Row],
+      prefixes: Map[String, String]): Unit = {
+    val byNs = prefixes.filterNot(_._1.isEmpty).map(_.swap)
+    sb.append("  <rdf:Description ")
+    s.getByte(0) match {
+      case Terms.KIND_IRI =>
+        sb.append(s"""rdf:about="${escAttr(s.getString(1))}">""")
+      case Terms.KIND_BLANK =>
+        sb.append(s"""rdf:nodeID="${escAttr(s.getString(1))}">""")
+      case _ => throw new RdfXmlParseException(
+        "RDF/XML cannot serialize a quoted-triple or literal subject")
+    }
+    sb.append('\n')
+    ts.foreach { r =>
+      val p = r.getStruct(1)
+      if (p.getByte(0) != Terms.KIND_IRI) throw new RdfXmlParseException(
+        "RDF/XML predicates must be IRIs")
+      val (ns, local) = splitPredicate(p.getString(1))
+      val (tag, extraNs) = byNs.get(ns) match {
+        case Some(pfx) => (s"$pfx:$local", "")
+        case None => (s"n:$local", s""" xmlns:n="${escAttr(ns)}"""")
+      }
+      val o = r.getStruct(2)
+      sb.append(s"    <$tag$extraNs")
+      o.getByte(0) match {
+        case Terms.KIND_IRI =>
+          sb.append(s""" rdf:resource="${escAttr(o.getString(1))}"/>""")
+        case Terms.KIND_BLANK =>
+          sb.append(s""" rdf:nodeID="${escAttr(o.getString(1))}"/>""")
+        case Terms.KIND_LIT =>
+          val dt = o.getString(2); val lang = o.getString(3)
+          if (lang != null) sb.append(s""" xml:lang="${escAttr(lang)}"""")
+          else if (dt != null && dt != XSD.string)
+            sb.append(s""" rdf:datatype="${escAttr(dt)}"""")
+          sb.append('>').append(esc(o.getString(1))).append(s"</$tag>")
+        case _ => throw new RdfXmlParseException(
+          "RDF/XML has no quoted-triple syntax — use Turtle-star")
+      }
+      sb.append('\n')
+    }
+    sb.append("  </rdf:Description>\n")
   }
 
   // ------------------------------------------------------------ scoping

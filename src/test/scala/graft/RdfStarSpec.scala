@@ -138,6 +138,23 @@ class RdfStarSpec extends SparkSpec {
          ASK { << :x :p :y >> :source :manual }"""))
   }
 
+  test("INSERT WHERE with a quoted-triple template (variables inside)") {
+    val e2 = Engine.inline(
+      """@prefix : <http://example/> .
+        |:x :p :y . :x :p :z .
+        |""".stripMargin)
+    e2.update(
+      """PREFIX : <http://example/>
+         INSERT { << :x :p ?o >> :derived true }
+         WHERE { :x :p ?o }""")
+    assert(e2.graph.size === 4)
+    val rows = e2.select(
+      """PREFIX : <http://example/>
+         SELECT ?o WHERE { << :x :p ?o >> :derived true } ORDER BY ?o""")
+      .collect()
+    assert(rows.map(_.get(0).toString).toSeq === Seq(":y", ":z"))
+  }
+
   test("display renders quoted terms as << s p o >>") {
     val df = e.select(
       """PREFIX : <http://example/>

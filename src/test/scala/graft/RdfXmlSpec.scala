@@ -259,6 +259,74 @@ class RdfXmlSpec extends SparkSpec {
     }
   }
 
+  test("serialize: round trip through the parser, all term shapes") {
+    val g = Engine.inline(
+      """@prefix ex: <http://example.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:a ex:name "plain" ; ex:tag "chat"@fr ; ex:n 42 ;
+        |  ex:ref ex:b ; ex:link _:b1 .
+        |_:b1 ex:esc "a<b&c\"d" ; ex:v "x" .
+        |""".stripMargin).graph
+    val xml = RdfXml.serialize(g)
+    assert(xml.startsWith("<?xml"))
+    assert(xml.contains("""xml:lang="fr""""))
+    assert(xml.contains(
+      """rdf:datatype="http://www.w3.org/2001/XMLSchema#integer""""))
+    assert(xml.contains("a&lt;b&amp;c\"d"))
+    val back = RdfXml.parseTriples(xml).toSet
+    val orig = g.triples.collect().map(r => (term(r.getStruct(0)),
+      term(r.getStruct(1)), term(r.getStruct(2)))).toSet
+    assert(back == orig) // nodeID keeps labels: exact equality, not iso
+  }
+
+  private def term(r: org.apache.spark.sql.Row): graft.rdf.RdfTerm =
+    r.getByte(0) match {
+      case graft.rdf.Terms.KIND_IRI => Iri(r.getString(1))
+      case graft.rdf.Terms.KIND_BLANK => Blank(r.getString(1))
+      case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+    }
+
+  test("serialize: declared prefixes used, unknown namespaces inline") {
+    val e = Engine.inline(
+      """@prefix ex: <http://example.org/> .
+        |ex:a ex:p "v" . ex:a <http://other.net/ns#q> "w" .
+        |""".stripMargin)
+    e.bindNamespace("ex", "http://example.org/")
+    val xml = RdfXml.serialize(e.graph)
+    assert(xml.contains("<ex:p>v</ex:p>"))
+    assert(xml.contains("""<n:q xmlns:n="http://other.net/ns#">w</n:q>"""))
+  }
+
+  test("serialize: unsplittable predicate and control chars are rejected") {
+    val g1 = graft.rdf.RdfGraph.fromTriples(spark, Seq(
+      (Iri("http://e/a"), Iri("http://e/123"), Lit.plain("x"))))
+    intercept[RdfXml.RdfXmlParseException](RdfXml.serialize(g1))
+    val g2 = graft.rdf.RdfGraph.fromTriples(spark, Seq(
+      (Iri("http://e/a"), Iri("http://e/p"), Lit.plain("badchar"))))
+    intercept[RdfXml.RdfXmlParseException](RdfXml.serialize(g2))
+  }
+
+  test("write: each part is a standalone document; union = the graph") {
+    val ttl = new StringBuilder("@prefix ex: <http://example.org/> .\n")
+    (0 until 300).foreach(i =>
+      ttl.append(s"""ex:s$i ex:v "val$i" ; ex:ref ex:s${(i + 1) % 300} .\n"""))
+    val g = Engine.inline(ttl.toString).graph
+    val dir = java.nio.file.Files.createTempDirectory("rdfxml_w").toString
+    RdfXml.write(g, s"$dir/out", numPartitions = 4)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-")).filter(_.length > 0)
+    assert(parts.length > 1)
+    val union = parts.flatMap { f =>
+      val doc = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(doc.startsWith("<?xml")) // standalone document per part
+      RdfXml.parseTriples(doc)
+    }.toSet
+    val orig = g.triples.collect().map(r => (term(r.getStruct(0)),
+      term(r.getStruct(1)), term(r.getStruct(2)))).toSet
+    assert(union == orig)
+  }
+
   test("UPDATE LOAD of an .rdf document merges into the engine graph") {
     val f = java.nio.file.Files.createTempFile("doc", ".rdf")
     java.nio.file.Files.writeString(f,

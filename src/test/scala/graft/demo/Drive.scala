@@ -531,6 +531,19 @@ object Drive {
       val le = Engine.fromGraph(g)
       le.update(s"LOAD <file://$rdfFile>")
       println(s"after LOAD <...drive.rdf>: graph size = ${le.graph.size}")
+
+      // write side: serialize the engine graph back to RDF/XML and an
+      // INSERT-star template (quoted triple built per solution)
+      le.update(
+        """PREFIX ex: <http://example.org/>
+          |INSERT { << ?c ex:pop ?p >> ex:checked true }
+          |WHERE { ?c ex:pop ?p }""".stripMargin)
+      println(s"after INSERT-star: graph size = ${le.graph.size}")
+      println(graft.sources.RdfXml.serialize(
+        Engine.inline(
+          """@prefix ex: <http://example.org/> .
+            |ex:a ex:name "x" ; ex:n 7 ; ex:tag "oui"@fr .
+            |""".stripMargin).graph))
     }
 
     println("=== SPARQL results formats (CSV/TSV/JSON/XML) over selectRaw:")
