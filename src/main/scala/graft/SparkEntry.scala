@@ -295,6 +295,31 @@ object SparkEntry {
              FILTER(isTRIPLE(TRIPLE(?r, :name, ?rname)))
            }""")
     }),
+    "q_rdfxml" -> ((s, dir) => {
+      // RDF/XML round trip as data: the region dim rendered as an
+      // RDF/XML document (typed node elements + datatyped literals),
+      // parsed back by the reader, queried with SPARQL. region is the
+      // fixed 5-row dim, so the driver-side synthesis is O(1) at any SF.
+      val rows = read(s, dir, "region").select("r_regionkey", "r_name")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      val xml = new StringBuilder(
+        """<?xml version="1.0"?>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |         xmlns:g="http://graft.example/">""".stripMargin)
+      rows.foreach { case (k, n) =>
+        xml.append(s"""
+          |  <g:Region rdf:about="http://graft.example/region/$k">
+          |    <g:name>$n</g:name>
+          |    <g:key rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">$k</g:key>
+          |  </g:Region>""".stripMargin)
+      }
+      xml.append("\n</rdf:RDF>")
+      Engine.fromGraph(sources.RdfXml.parse(xml.toString, s)).select(
+        """PREFIX g: <http://graft.example/>
+           SELECT ?rname ?key WHERE {
+             ?r a g:Region ; g:name ?rname ; g:key ?key }""")
+    }),
     // --- W3C result serialization (CSV/TSV REC): each solution of a
     //     SELECT rendered as its TSV and CSV data line by the codegen'd
     //     per-row expressions behind writeTsv/writeCsv — IRI brackets,
@@ -2242,6 +2267,8 @@ object SparkEntry {
          FROM nation WHERE n_regionkey IN (2, 3)""",
     "q_rdf_star" ->
       "SELECT r_name AS rname, CAST(80 + r_regionkey AS BIGINT) AS conf FROM region",
+    "q_rdfxml" ->
+      "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
     "q_sparql_results" ->
       """SELECT '<urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) || '>'
                 || chr(9) || '"' || n_name || '"' || chr(9) || '"'
