@@ -276,4 +276,65 @@ object SparqlResults {
       Iterator(head) ++ it.map(xmlResult(names, _)) ++ Iterator(xmlTail)
     }.write.mode("overwrite").text(path)
   }
+
+  // -------------------------------------------------- distributed reader
+
+  /** Read a directory of standalone result documents (the [[writeJson]]
+    * / [[writeXml]] / [[writeTsv]] / [[writeCsv]] per-part contract, or
+    * any files in those formats) back into a term-struct DataFrame with
+    * one column per var. Each file decodes independently on an executor
+    * through the same streaming decoders the protocol source uses
+    * ([[graft.sources.sparql.ResultDecoders]]), format sniffed from the
+    * leading bytes (`{` JSON, `<` XML, `?` TSV header, else CSV); the
+    * result set is the union of the files' solutions. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+      vars: Seq[String]): DataFrame = {
+    val names = vars.toArray
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(v => org.apache.spark.sql.types.StructField(
+        v, Terms.termType, nullable = true)))
+    val rows = spark.sparkContext
+      .wholeTextFiles(path + "/part-*")
+      .flatMap { case (_, content) =>
+        val in = new java.io.ByteArrayInputStream(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val dec = graft.sources.sparql.ResultDecoders(
+          sniffType(content), in, names)
+        new Iterator[Row] {
+          private var advanced = false
+          private var has = false
+          def hasNext: Boolean = {
+            if (!advanced) { has = dec.next(); advanced = true }
+            if (!has) dec.close()
+            has
+          }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            advanced = false
+            val ir = dec.get()
+            Row.fromSeq(names.indices.map { i =>
+              if (ir.isNullAt(i)) null
+              else {
+                val t = ir.getStruct(i, 4)
+                def s(j: Int) =
+                  if (t.isNullAt(j)) null else t.getUTF8String(j).toString
+                Row(t.getByte(0), s(1), s(2), s(3))
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Media type for [[read]]'s per-file dispatch, from leading content. */
+  private def sniffType(content: String): String = {
+    val c = content.dropWhile(_.isWhitespace).headOption.getOrElse(' ')
+    c match {
+      case '{' => "application/sparql-results+json"
+      case '<' => "application/sparql-results+xml"
+      case '?' => "text/tab-separated-values"
+      case _ => "text/csv"
+    }
+  }
 }

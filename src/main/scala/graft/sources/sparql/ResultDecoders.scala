@@ -20,14 +20,14 @@ import graft.rdf.{Blank, Iri, Lit, QuotedTriple, RdfTerm, Terms, RDF, XSD}
   * socket, nothing buffers more than one solution. Each runs on the
   * EXECUTOR inside the DSv2 partition reader.
   */
-private[sparql] trait ResultDecoder extends AutoCloseable {
+private[sources] trait ResultDecoder extends AutoCloseable {
   /** Advance to the next solution; false once the document ends. */
   def next(): Boolean
   /** The current solution, aligned to the reader's var order. */
   def get(): InternalRow
 }
 
-private[sparql] object ResultDecoders {
+private[sources] object ResultDecoders {
 
   /** Pick a decoder from the response media type (parameters stripped,
     * case-insensitive). Unknown/absent types fall back to JSON — the
@@ -49,11 +49,11 @@ private[sparql] object ResultDecoders {
     }
   }
 
-  private[sparql] def u(s: String): UTF8String =
+  private[sources] def u(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
   /** RdfTerm → the (kind, value, dt, lang) term struct. */
-  private[sparql] def row(t: RdfTerm): InternalRow = t match {
+  private[sources] def row(t: RdfTerm): InternalRow = t match {
     case Iri(v) => InternalRow(Terms.KIND_IRI, u(v), null, null)
     case Blank(l) => InternalRow(Terms.KIND_BLANK, u(l), null, null)
     case q: QuotedTriple =>
@@ -68,7 +68,7 @@ private[sparql] object ResultDecoders {
   * (plain, @lang, ^^datatype, legacy "typed-literal"), plus the SPARQL
   * 1.2 `{"type":"triple"}` extension; a variable absent from a binding
   * object is null (unbound, :758-761). */
-private[sparql] class JsonResultDecoder(in: InputStream, vars: Array[String])
+private[sources] class JsonResultDecoder(in: InputStream, vars: Array[String])
     extends ResultDecoder {
   import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 
@@ -171,7 +171,7 @@ private[sparql] class JsonResultDecoder(in: InputStream, vars: Array[String])
 /** Streaming results-XML decode (StAX, external entities disabled):
   * `<result><binding name="v"><uri|bnode|literal [xml:lang|datatype]>`
   * per the "SPARQL Query Results XML Format (Second Edition)" REC. */
-private[sparql] class XmlResultDecoder(in: InputStream, vars: Array[String])
+private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
     extends ResultDecoder {
   import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
@@ -293,7 +293,7 @@ private[sparql] class XmlResultDecoder(in: InputStream, vars: Array[String])
   * (the REC's allowed abbreviations), `<< … >>` quoted triples; an
   * empty field is an unbound variable. Column order comes from the
   * HEADER, matched to the reader's vars by name. */
-private[sparql] class TsvResultDecoder(in: InputStream, vars: Array[String])
+private[sources] class TsvResultDecoder(in: InputStream, vars: Array[String])
     extends ResultDecoder {
   private val br = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
@@ -334,7 +334,7 @@ private[sparql] class TsvResultDecoder(in: InputStream, vars: Array[String])
   * (indistinguishable from an empty string — the REC's documented
   * ambiguity). RFC 4180 quoting: quoted fields may contain commas,
   * quotes (doubled), and line breaks. */
-private[sparql] class CsvResultDecoder(in: InputStream, vars: Array[String])
+private[sources] class CsvResultDecoder(in: InputStream, vars: Array[String])
     extends ResultDecoder {
   private val r = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
@@ -422,7 +422,7 @@ private[sparql] class CsvResultDecoder(in: InputStream, vars: Array[String])
 
 /** Parser for one TSV field: a term in Turtle syntax (the REC's grammar
   * plus the Turtle-star `<< … >>` form the TSV serializer emits). */
-private[sparql] object TsvTerm {
+private[sources] object TsvTerm {
 
   def parse(s: String): RdfTerm = {
     val (t, pos) = term(s, 0)

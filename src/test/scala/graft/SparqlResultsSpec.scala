@@ -145,6 +145,26 @@ class SparqlResultsSpec extends SparkSpec {
     assert(all.map(_.path("results").path("bindings").size()).sum == 4)
   }
 
+  test("read: written directories decode back, format sniffed per file") {
+    val raw = Engine.inline(
+      """@prefix ex: <http://example.com/> .
+        |ex:i1 ex:p "a" . ex:i2 ex:p "b"@en . ex:i3 ex:p 3 .
+        |ex:i4 ex:p ex:o .
+        |""".stripMargin)
+      .selectRaw("SELECT ?s ?o WHERE { ?s <http://example.com/p> ?o }")
+      .repartition(2)
+    val want = raw.collect().toSeq.sortBy(_.toString)
+    val dir = java.nio.file.Files.createTempDirectory("res_read").toString
+    SparqlResults.writeJson(raw, s"$dir/j")
+    SparqlResults.writeXml(raw, s"$dir/x")
+    SparqlResults.writeTsv(raw, s"$dir/t")
+    for (sub <- Seq("j", "x", "t")) {
+      val back = SparqlResults.read(spark, s"$dir/$sub", Seq("s", "o"))
+        .collect().toSeq.sortBy(_.toString)
+      assert(back == want, s"sub-dir $sub")
+    }
+  }
+
   test("round trip: writeJson output feeds the protocol source unchanged") {
     val e = Engine.inline(
       """@prefix ex: <http://example.com/> .

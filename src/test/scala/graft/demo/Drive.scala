@@ -562,6 +562,9 @@ object Drive {
         .filter(_.getName.startsWith("part-"))
       println(s"writeJson parts=${parts.length} " +
         s"bytes=${parts.map(_.length).sum}")
+      println("read back from the written directory (format sniffed):")
+      graft.sources.SparqlResults.read(spark, s"$dir/j", Seq("boro", "pop"))
+        .show(false)
 
       // read side: serve the XML form from a local stub and decode it
       // back through spark.read.format("sparql") (content negotiation)
