@@ -56,24 +56,21 @@ object RdfXml {
     def emit(s: RdfTerm, p: RdfTerm, o: RdfTerm): Unit = out += ((s, p, o))
   }
 
-  // Same RFC 3986 §5.3 handling as the Turtle/SPARQL parser
-  // (sparql/Parser.scala resolveIri): empty ref = base minus fragment,
-  // '#'/'?' refs keep the base path, scheme test for absoluteness.
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:.*".r
+  // RFC 3986 resolution shared with the Turtle/SPARQL parser
+  // (rdf.IriRef — one copy of the §5.3 same-document handling).
   private def resolve(base: String, ref: String): String =
-    if (base.isEmpty || SchemeRe.matches(ref)) ref
-    else try {
-      val noFrag = base.takeWhile(_ != '#')
-      if (ref.isEmpty) noFrag
-      else if (ref.startsWith("#")) noFrag + ref
-      else if (ref.startsWith("?")) noFrag.takeWhile(_ != '?') + ref
-      else new java.net.URI(base).resolve(ref).toString
-    } catch { case _: Exception => ref }
+    graft.rdf.IriRef.resolve(base, ref)
 
   /** Parse an RDF/XML document to local triples (driver side — same
     * small-document contract as [[Turtle.parseTriples]]). */
   def parseTriples(xml: String, base: String = "")
-      : Seq[(RdfTerm, RdfTerm, RdfTerm)] = {
+      : Seq[(RdfTerm, RdfTerm, RdfTerm)] =
+    parseWithPrefixes(xml, base)._1
+
+  /** ONE StAX pass producing the triples AND the document element's
+    * xmlns declarations (the graph's display prefixes). */
+  private def parseWithPrefixes(xml: String, base: String)
+      : (Seq[(RdfTerm, RdfTerm, RdfTerm)], Map[String, String]) = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, true) // internal entities
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -81,11 +78,18 @@ object RdfXml {
     f.setProperty(XMLInputFactory.IS_COALESCING, true)
     val r = f.createXMLStreamReader(new java.io.StringReader(xml))
     val st = new State(base)
+    val prefixes = scala.collection.mutable.Map[String, String]()
     try {
       // document element: rdf:RDF wrapping node elements, or a single
       // bare node element (REC production 7.2.8 allows either)
       var ev = r.next()
       while (ev != XMLStreamConstants.START_ELEMENT) ev = r.next()
+      var i = 0
+      while (i < r.getNamespaceCount) {
+        val p = Option(r.getNamespacePrefix(i)).getOrElse("")
+        if (p.nonEmpty) prefixes(p) = r.getNamespaceURI(i)
+        i += 1
+      }
       if (r.getNamespaceURI == RdfNs && r.getLocalName == "RDF") {
         val outerBase = scopedBase(r, st.base)
         val outerLang = scopedLang(r, "")
@@ -97,30 +101,14 @@ object RdfXml {
         }
       } else nodeElement(r, st, base, "")
     } finally r.close()
-    st.out.toSeq
+    (st.out.toSeq, prefixes.toMap)
   }
 
   /** Parse into an [[RdfGraph]] (set semantics; namespace declarations on
     * the document element become graph prefixes, like rdflib's bindings). */
   def parse(xml: String, spark: SparkSession, base: String = ""): RdfGraph = {
-    // capture root xmlns prefixes for display before the triple pass
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, true)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.setProperty(XMLInputFactory.IS_REPLACING_ENTITY_REFERENCES, true)
-    val pr = f.createXMLStreamReader(new java.io.StringReader(xml))
-    val prefixes = scala.collection.mutable.Map[String, String]()
-    try {
-      var ev = pr.next()
-      while (ev != XMLStreamConstants.START_ELEMENT) ev = pr.next()
-      var i = 0
-      while (i < pr.getNamespaceCount) {
-        val p = Option(pr.getNamespacePrefix(i)).getOrElse("")
-        if (p.nonEmpty) prefixes(p) = pr.getNamespaceURI(i)
-        i += 1
-      }
-    } finally pr.close()
-    RdfGraph.fromTriples(spark, parseTriples(xml, base), prefixes.toMap)
+    val (triples, prefixes) = parseWithPrefixes(xml, base)
+    RdfGraph.fromTriples(spark, triples, prefixes)
   }
 
   /** Driver-side read of an .rdf/.owl file (small-document contract). */
@@ -192,7 +180,10 @@ object RdfXml {
 
   private def docOpen(prefixes: Map[String, String]): String =
     """<?xml version="1.0" encoding="UTF-8"?>""" + "\n<rdf:RDF" +
-      ((("rdf" -> RdfNs) +: prefixes.toSeq.filterNot(_._1 == "rdf")
+      // the empty (default-namespace) prefix has no xmlns:NAME form —
+      // predicates in that namespace fall back to a local declaration
+      ((("rdf" -> RdfNs) +: prefixes.toSeq
+        .filterNot(p => p._1 == "rdf" || p._1.isEmpty)
         .sortBy(_._1))
         .map { case (p, ns) => s"""xmlns:$p="${escAttr(ns)}"""" }
         .mkString("\n    ", "\n    ", ">\n"))
@@ -343,7 +334,7 @@ object RdfXml {
     if (elemUri != RdfNs + "Description")
       st.emit(subject, Iri(RDF.typ), Iri(elemUri))
 
-    propertyAttributes(r, st, subject, lang)
+    propertyAttributes(r, st, subject, base, lang)
 
     // children: property elements; rdf:li counter scoped to THIS node
     var li = 0
@@ -362,16 +353,19 @@ object RdfXml {
 
   /** Property attributes of a node element or empty property element:
     * every attribute that is not rdf/xml syntax becomes a plain-literal
-    * triple; rdf:type becomes an IRI triple (REC 7.2.11 / 7.2.21). */
+    * triple; rdf:type becomes an IRI triple whose value resolves
+    * against the in-scope base like any node reference
+    * (REC 7.2.11 / 7.2.21). */
   private def propertyAttributes(r: XMLStreamReader, st: State,
-      subject: RdfTerm, lang: String): Unit = {
+      subject: RdfTerm, base: String, lang: String): Unit = {
     var i = 0
     while (i < r.getAttributeCount) {
       val ns = Option(r.getAttributeNamespace(i)).getOrElse("")
       val local = r.getAttributeLocalName(i)
       val v = r.getAttributeValue(i)
       if (ns == RdfNs) {
-        if (local == "type") st.emit(subject, Iri(RDF.typ), Iri(v))
+        if (local == "type")
+          st.emit(subject, Iri(RDF.typ), Iri(resolve(base, v)))
         else if (!syntaxAttrs(local) && !obsolete(local) && local != "type")
           st.emit(subject, Iri(RdfNs + local), mkLit(v, null, lang))
       } else if (ns != XmlNs && ns.nonEmpty)
@@ -471,7 +465,7 @@ object RdfXml {
           "rdf:resource and rdf:nodeID on one property element")
       val o: RdfTerm =
         if (resource != null) Iri(resolve(base, resource)) else Blank(nodeId)
-      propertyAttributes(r, st, o, lang)
+      propertyAttributes(r, st, o, base, lang)
       skipToEnd(r, allowText = false)
       finish(o)
     }
@@ -482,7 +476,7 @@ object RdfXml {
       var sawElement = false
       var hasPropAttrs = hasPropertyAttributes(r)
       val attrObj = if (hasPropAttrs) st.freshBnode() else null
-      if (hasPropAttrs) propertyAttributes(r, st, attrObj, lang)
+      if (hasPropAttrs) propertyAttributes(r, st, attrObj, base, lang)
       var ev = r.next()
       while (ev != XMLStreamConstants.END_ELEMENT) {
         ev match {

@@ -55,7 +55,7 @@ object SparqlResults {
     F.when(t.isNull, F.lit(""))
       .when(Terms.isIri(t), F.concat(F.lit("<"), v, F.lit(">")))
       .when(Terms.isBlank(t), F.concat(F.lit("_:"), v))
-      .when(Terms.isQuoted(t), Terms.quotedN3(t))
+      .when(Terms.isQuoted(t), quotedText(t))
       .otherwise(F.concat(
         F.lit("\""), esc(v), F.lit("\""),
         F.when(Terms.lang(t).isNotNull, F.concat(F.lit("@"), Terms.lang(t)))
@@ -72,12 +72,21 @@ object SparqlResults {
   private def csvTerm(t: Column): Column = {
     val raw = F.when(t.isNull, F.lit(""))
       .when(Terms.isBlank(t), F.concat(F.lit("_:"), Terms.value(t)))
-      .when(Terms.isQuoted(t), Terms.quotedN3(t))
+      .when(Terms.isQuoted(t), quotedText(t))
       .otherwise(Terms.value(t)) // IRI and literal: bare lexical form
     F.when(raw.rlike("[\",\n\r]"),
       F.concat(F.lit("\""), F.regexp_replace(raw, "\"", "\"\""), F.lit("\"")))
       .otherwise(raw)
   }
+
+  /** Exact recursive Turtle-star text of a quoted-triple term — ECHAR
+    * escapes on component literals (a raw tab would split a TSV field),
+    * unlimited nesting; the display-oriented `Terms.quotedN3` guarantees
+    * neither. */
+  private def quotedText(t: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.QuotedN3Text(
+        graft.expressions.ColumnBridge.expression(Terms.value(t))))
 
   private def vars(df: DataFrame): Seq[String] = df.columns.toSeq
 
@@ -121,7 +130,15 @@ object SparqlResults {
 
   private def xstr(s: String): String = s.flatMap {
     case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-    case '"' => "&quot;"; case c => c.toString
+    case '"' => "&quot;"
+    case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+      // XML 1.0 cannot carry these at all (not even as &#x..;) — failing
+      // beats silently emitting a document every parser rejects; the
+      // JSON and TSV forms \u-escape the same data losslessly
+      throw new IllegalArgumentException(
+        f"control character U+${c.toInt}%04X is not representable in " +
+          "results-XML — use the JSON or TSV form for this result set")
+    case c => c.toString
   }
 
   /** RDF term struct → the JSON binding-value object. A quoted triple

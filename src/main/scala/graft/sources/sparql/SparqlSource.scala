@@ -196,26 +196,6 @@ class SparqlPartitionReader(baseQuery: String, index: Int, stride: Int,
   override def close(): Unit = closePage()
 }
 
-object SparqlPartitionReader {
-  import graft.rdf.{RDF, XSD}
-  private def u(s: String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s)
-
-  def term(typ: String, value: String, dt: String, lang: String): InternalRow =
-    typ match {
-      case "uri" =>
-        InternalRow(Terms.KIND_IRI, u(value), null, null)
-      case "bnode" =>
-        InternalRow(Terms.KIND_BLANK, u(value), null, null)
-      case "literal" | "typed-literal" =>
-        if (lang != null)
-          InternalRow(Terms.KIND_LIT, u(value), u(RDF.langString), u(lang))
-        else
-          InternalRow(Terms.KIND_LIT, u(value), u(if (dt == null) XSD.string else dt), null)
-      case _ => null
-    }
-}
-
 /** HTTP plumbing shared by the source and RemoteEndpoint: POST
   * `application/x-www-form-urlencoded` (query=…&default-graph-uri=…) with
   * `Accept: application/sparql-results+json` and optional basic auth —

@@ -99,25 +99,11 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     resolveIri(inner)
   }
 
-  // A reference with a scheme is absolute (RFC 3986 §4.3) — the first
-  // path segment of a RELATIVE ref cannot contain ':' (that's why
-  // Turtle writes `./a:b`), so this test is exact, unlike substring
-  // heuristics that miss tag:/doi:/isbn: schemes.
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:.*".r
+  // RFC 3986 resolution shared with the other grammars (rdf.IriRef —
+  // incl. the §5.3 same-document cases java.net.URI gets wrong).
   private def resolveIri(inner: String): String = base match {
-    case Some(b) if !SchemeRe.matches(inner) =>
-      try {
-        // §5.3 same-document cases java.net.URI gets wrong: an empty
-        // ref is the base minus fragment (NOT the base's directory),
-        // and a query-only ref keeps the base's full path (Java drops
-        // the last segment, JDK-6523089). '#' keeps path AND query.
-        val noFrag = b.takeWhile(_ != '#')
-        if (inner.isEmpty) noFrag
-        else if (inner.startsWith("#")) noFrag + inner
-        else if (inner.startsWith("?")) noFrag.takeWhile(_ != '?') + inner
-        else new java.net.URI(b).resolve(inner).toString
-      } catch { case _: Exception => inner }
-    case _ => inner
+    case Some(b) => graft.rdf.IriRef.resolve(b, inner)
+    case None => inner
   }
 
   def pname: Parser[String] = PNAME ^^ { raw =>

@@ -297,6 +297,28 @@ class RdfXmlSpec extends SparkSpec {
     assert(xml.contains("""<n:q xmlns:n="http://other.net/ns#">w</n:q>"""))
   }
 
+  test("serialize: a default-prefix graph still emits valid XML") {
+    // the empty prefix has no xmlns:NAME form; its predicates must fall
+    // back to local declarations instead of emitting `xmlns:="…"`
+    val g = Engine.inline(
+      "@prefix : <http://example.org/> . :a :p \"v\" .").graph
+    val xml = RdfXml.serialize(g)
+    assert(!xml.contains("xmlns:="))
+    assert(RdfXml.parseTriples(xml).toSet == Set(
+      (Iri("http://example.org/a"), Iri("http://example.org/p"),
+        Lit("v", XSD.string, null))))
+  }
+
+  test("rdf:type property attribute resolves against the in-scope base") {
+    val got = RdfXml.parseTriples(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xml:base="http://example.org/doc">
+        |  <rdf:Description rdf:about="#a" rdf:type="Dog"/>
+        |</rdf:RDF>""".stripMargin).toSet
+    assert(got == Set((Iri("http://example.org/doc#a"), Iri(RDF.typ),
+      Iri("http://example.org/Dog"))))
+  }
+
   test("serialize: unsplittable predicate and control chars are rejected") {
     val g1 = graft.rdf.RdfGraph.fromTriples(spark, Seq(
       (Iri("http://e/a"), Iri("http://e/123"), Lit.plain("x"))))

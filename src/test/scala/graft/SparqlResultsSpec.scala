@@ -145,6 +145,31 @@ class SparqlResultsSpec extends SparkSpec {
     assert(all.map(_.path("results").path("bindings").size()).sum == 4)
   }
 
+  test("TSV: quoted triple with tab/nesting escapes; round-trips via read") {
+    // a raw tab inside a component literal must render as the ECHAR \t
+    // (it is the field separator), and nesting must stay textual
+    val qt = QuotedTriple(
+      Iri("http://e/a"), Iri("http://e/p"),
+      QuotedTriple(Iri("http://e/x"), Iri("http://e/q"),
+        Lit.plain("tab\there")))
+    val df = spark.range(1).select(Terms.termCol(qt).as("t"))
+    val tsv = SparqlResults.tsv(df)
+    assert(tsv.split("\n")(1) ==
+      "<< <http://e/a> <http://e/p> << <http://e/x> <http://e/q> \"tab\\there\" >> >>")
+    val dir = java.nio.file.Files.createTempDirectory("qt_tsv").toString
+    SparqlResults.writeTsv(df, s"$dir/t")
+    val back = SparqlResults.read(spark, s"$dir/t", Seq("t")).collect()(0)
+    assert(Terms.unpackString(back.getStruct(0).getString(1)) == qt)
+  }
+
+  test("XML: control characters in a literal are rejected, not emitted") {
+    val df = spark.range(1).select(
+      Terms.plainLit(F.lit("badchar")).as("v"))
+    intercept[Exception](SparqlResults.xml(df))
+    // JSON carries the same data losslessly
+    assert(SparqlResults.json(df).contains("\\u0001"))
+  }
+
   test("read: written directories decode back, format sniffed per file") {
     val raw = Engine.inline(
       """@prefix ex: <http://example.com/> .
