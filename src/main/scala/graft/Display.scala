@@ -46,15 +46,19 @@ object Display {
     val sorted = prefixes.toSeq.sortBy(-_._2.length)
     sorted.foldRight(v) { case ((pfx, ns), acc) =>
       val local = F.substring(v, ns.length + 1, Int.MaxValue)
-      F.when(v.startsWith(ns) && local.rlike("^[A-Za-z0-9_][A-Za-z0-9_.\\-]*$"),
+      // PN_LOCAL forbids a FINAL '.' (Turtle §6.5) — shortening one
+      // would emit a QName the tokenizer re-reads as name + statement
+      // dot, breaking write→read round trips
+      F.when(v.startsWith(ns) && local.rlike(
+          "^[A-Za-z0-9_]([A-Za-z0-9_.\\-]*[A-Za-z0-9_\\-])?$"),
         F.concat(F.lit(pfx + ":"), local)).otherwise(acc)
     }
   }
 
   def shorten(uri: String, prefixes: Map[String, String]): String = {
     val hit = prefixes.toSeq.sortBy(-_._2.length).collectFirst {
-      case (pfx, ns) if uri.startsWith(ns) &&
-          uri.substring(ns.length).matches("^[A-Za-z0-9_][A-Za-z0-9_.\\-]*$") =>
+      case (pfx, ns) if uri.startsWith(ns) && uri.substring(ns.length)
+          .matches("^[A-Za-z0-9_]([A-Za-z0-9_.\\-]*[A-Za-z0-9_\\-])?$") =>
         pfx + ":" + uri.substring(ns.length)
     }
     hit.getOrElse(uri)

@@ -180,12 +180,19 @@ object Similarity {
         .parquet(path)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path, LshIndex.SIDECAR),
-        s"""{"id": "$id", "vec": "$vec", "planes": $planes, "tables": $tables}""")
+        s"""{"id": "$id", "vec": "$vec", "planes": $planes, """ +
+          s""""tables": $tables, "hash": "${LshIndex.HASH_FAMILY}"}""")
     }
   }
 
   object LshIndex {
     private[pipeline] val SIDECAR = "_lsh_meta.json"
+    /** Stamp of the hyperplane derivation recipe. Bucket ids are only
+      * comparable between indexes built with the SAME recipe, so load()
+      * rejects a mismatch instead of silently probing wrong partitions
+      * (the failure mode when the family changed from xxhash64 to
+      * md5-seeded planes: an old index would return near-empty top-k). */
+    private[pipeline] val HASH_FAMILY = "md5-planes-v1"
 
     /** Hash every corpus row into its per-table bucket — one narrow map
       * per table, no shuffle; the projections run once here instead of
@@ -208,13 +215,18 @@ object Similarity {
       val text = java.nio.file.Files.readString(
         java.nio.file.Paths.get(path, SIDECAR))
       val meta =
-        """\{"id": "([^"]*)", "vec": "([^"]*)", "planes": (\d+), "tables": (\d+)\}""".r
+        ("""\{"id": "([^"]*)", "vec": "([^"]*)", "planes": (\d+), """ +
+          """"tables": (\d+), "hash": "([^"]*)"\}""").r
       text match {
-        case meta(id, vec, planes, tables) =>
+        case meta(id, vec, planes, tables, hash) =>
+          require(hash == HASH_FAMILY,
+            s"LSH index at $path was built with hash family '$hash'; " +
+              s"this build probes with '$HASH_FAMILY' — re-fit the index")
           new LshIndex(spark.read.parquet(path), id, vec,
             planes.toInt, tables.toInt)
         case _ => throw new IllegalArgumentException(
-          s"not an LSH index (bad $SIDECAR): $path")
+          s"not a compatible LSH index (bad or pre-versioned $SIDECAR): " +
+            path)
       }
     }
   }

@@ -27,12 +27,15 @@ object Trig {
 
     def graphLabel: Parser[RdfTerm] =
       iri ^^ (Iri(_)) |
-      """_:[A-Za-z0-9][A-Za-z0-9_.\-]*""".r ^^ (l => Blank(l.substring(2)))
+      """_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?""".r ^^
+        (l => Blank(l.substring(2)))
 
-    /** `{ … }` — statements separated by dots, the final dot optional
-      * (the TriG triplesBlock production). */
+    /** `{ … }` — statements SEPARATED by dots, only the final dot
+      * optional (the TriG triplesBlock production: a missing dot
+      * between two subject groups is a syntax error). */
     def wrapped: Parser[Seq[TriplePattern]] =
-      "{" ~> rep(triplesSameSubject <~ opt(".")) <~ "}" ^^ (_.flatten)
+      "{" ~> opt(rep1sep(triplesSameSubject, ".") <~ opt(".")) <~ "}" ^^
+        (_.toSeq.flatten.flatten)
 
     def block: Parser[Seq[(TriplePattern, Option[RdfTerm])]] =
       directive ^^ (_ => Nil) |
@@ -186,9 +189,11 @@ object Trig {
       extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // concatenation semantics in name-sorted order — see Turtle.read
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
     val p = new TrigParser(RdfGraph.defaultPrefixes ++ extraPrefixes)
     val quads = files.flatMap { st =>
       val in = fs.open(st.getPath)

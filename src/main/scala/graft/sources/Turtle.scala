@@ -230,18 +230,26 @@ object Turtle {
   }
 
   /** Read a [[write]]-produced directory (or any directory of Turtle
-    * part files) back into an RdfGraph: each file is a standalone
-    * document, parsed independently; the graphs union under set
-    * semantics. File contents collect to the driver one file at a time
-    * (Turtle is not line-splittable); bulk loads at scale should use the
-    * N-Triples reader instead. */
+    * part files) back into an RdfGraph with CONCATENATION semantics:
+    * one logical document in name-sorted file order (directives and
+    * blank-node labels scope across parts — what the writer's split
+    * requires), set semantics applied. File contents collect to the
+    * driver one file at a time (Turtle is not line-splittable); bulk
+    * loads at scale should use the N-Triples reader instead. */
   def read(spark: SparkSession, path: String,
       extraPrefixes: Map[String, String] = Map.empty): RdfGraph = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CONCATENATION semantics, matching the writer's contract ("the
+    // directory concatenates to the same graph"): ONE document in
+    // name-sorted file order, so directives and blank-node labels scope
+    // across part files deterministically — a bnode written as subject
+    // in one part and object in another stays one node. To read
+    // unrelated documents, parse them individually.
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
     val docs = files.map { st =>
       val in = fs.open(st.getPath)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -335,9 +335,20 @@ final class ExprCompiler(env: String => Option[Column]) {
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
         val anyDec = F.max(F.when(isDec, 1).otherwise(0))
         if (a.distinct) {
-          val sumDD = F.sum_distinct(numValue(t))
+          // DISTINCT dedupes by numeric value within the promoted type
+          // (the SQL reading DuckDB's SUM(DISTINCT) shares); the same
+          // promotion rules as the plain sum pick the result type. The
+          // `when` has no otherwise — a spurious 0 would join the
+          // distinct set.
+          val sumL = F.sum_distinct(
+            F.when(integral, value(t).cast(LongType)))
+          val sumDec = F.sum_distinct(F.when(integral || isDec,
+            value(t).cast(DecimalType(38, 18))))
+          val sumD = F.sum_distinct(F.when(isNumeric(t), numValue(t)))
           F.when(err === 1, F.lit(null).cast(Terms.termType))
-            .otherwise(dblTerm(F.coalesce(sumDD, F.lit(0.0))))
+            .when(anyDbl === 1, dblTerm(F.coalesce(sumD, F.lit(0.0))))
+            .when(anyDec === 1, decTerm(sumDec))
+            .otherwise(intTerm(F.coalesce(sumL, F.lit(0L))))
         } else {
           val sumL = F.sum(F.when(integral, value(t).cast(LongType)).otherwise(0L))
           val sumDec = F.sum(F.when(integral || isDec,
@@ -360,13 +371,23 @@ final class ExprCompiler(env: String => Option[Column]) {
           t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
         val anyDbl = F.max(
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
-        val n = F.count(F.when(t.isNotNull, 1))
-        val sumDec = F.sum(F.when(integral || isDec,
-          value(t).cast(DecimalType(38, 18)))
-          .otherwise(F.lit(0).cast(DecimalType(38, 18))))
+        // DISTINCT: sum and count both range over the distinct numeric
+        // values (same reading as SUM(DISTINCT) and DuckDB's AVG)
+        val n =
+          if (a.distinct) F.countDistinct(numValue(t))
+          else F.count(F.when(t.isNotNull, 1))
+        val sumDec =
+          if (a.distinct) F.sum_distinct(F.when(integral || isDec,
+            value(t).cast(DecimalType(38, 18))))
+          else F.sum(F.when(integral || isDec,
+            value(t).cast(DecimalType(38, 18)))
+            .otherwise(F.lit(0).cast(DecimalType(38, 18))))
+        val avgDbl =
+          if (a.distinct) F.sum_distinct(F.when(isNumeric(t), numValue(t))) / n
+          else F.avg(numValue(t))
         F.when(err === 1, F.lit(null).cast(Terms.termType))
           .when(n === 0, intTerm(F.lit(0L)))
-          .when(anyDbl === 1, dblTerm(F.avg(numValue(t))))
+          .when(anyDbl === 1, dblTerm(avgDbl))
           .otherwise(decTerm(sumDec / n))
       case "MIN" | "MAX" =>
         val isMin = a.fn == "MIN"

@@ -59,7 +59,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     s"""((?:[A-Za-z0-9_:]|$PnPlx)""" +
     s"""(?:(?:[A-Za-z0-9_.:\\-]|$PnPlx)*(?:[A-Za-z0-9_:\\-]|$PnPlx))?)?""").r
   private val VAR = """[?$][A-Za-z0-9_]+""".r
-  private val BNODE_LABEL = """_:[A-Za-z0-9][A-Za-z0-9_.\-]*""".r
+  // BLANK_NODE_LABEL: PN_CHARS_U (incl. '_') or digit first, dots only
+  // INSIDE — `_:b.` is label `b` + statement dot, like PN_LOCAL above
+  private val BNODE_LABEL =
+    """_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?""".r
   private val LANGTAG = """@[a-zA-Z]+(-[a-zA-Z0-9]+)*""".r
   private val INTEGER = """[+-]?[0-9]+""".r
   private val DECIMAL = """[+-]?[0-9]*\.[0-9]+""".r

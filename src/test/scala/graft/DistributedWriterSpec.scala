@@ -51,6 +51,19 @@ class DistributedWriterSpec extends SparkSpec {
       Map("ex" -> "http://example.com/"))
   }
 
+  test("an IRI whose local name ends in '.' round-trips unshortened") {
+    // PN_LOCAL forbids a final dot — shortening <http://example.com/v2.>
+    // to ex:v2. would re-read as ex:v2 + statement terminator
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (Iri("http://example.com/rev2."), Iri("http://example.com/p"),
+        Lit.plain("x"))), Map("ex" -> "http://example.com/"))
+    val text = Turtle.serialize(g)
+    assert(text.contains("<http://example.com/rev2.>"), text)
+    val out = tmpDir("dotw")
+    Turtle.write(g, out)
+    assert(tripleSet(Turtle.read(spark, out)) == tripleSet(g))
+  }
+
   test("Turtle.write round-trips a 6k-triple graph across many part files") {
     val out = tmpDir("ttlw")
     Turtle.write(bigGraph, out, numPartitions = 8)
