@@ -286,9 +286,18 @@ class Engine(initial: RdfGraph) {
         else if (lower.endsWith(".rdf") || lower.endsWith(".owl") ||
             lower.endsWith(".xml"))
           sources.RdfXml.read(spark, path, base = url)
+        else if (lower.endsWith(".jsonld") || lower.endsWith(".json")) {
+          // LOAD targets the default graph; a JSON-LD doc may carry
+          // named graphs — SPARQL 1.1 LOAD loads "an RDF graph", so
+          // the document's graphs flatten into one
+          val doc = sources.JsonLd.read(spark, path, base = url)
+          doc.copy(triples = doc.triples.select("s", "p", "o")
+            .dropDuplicates("s", "p", "o"))
+        }
         else throw new GraftException(
           s"LOAD cannot infer the RDF format of <$url> " +
-            "(expected .ttl/.turtle, .nt/.nt.gz, or .rdf/.owl/.xml)")
+            "(expected .ttl/.turtle, .nt/.nt.gz, .rdf/.owl/.xml, or " +
+            ".jsonld/.json)")
       graph = graph.insert(loaded.triples)
         .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }

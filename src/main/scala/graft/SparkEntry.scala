@@ -320,6 +320,29 @@ object SparkEntry {
            SELECT ?rname ?key WHERE {
              ?r a g:Region ; g:name ?rname ; g:key ?key }""")
     }),
+    "q_jsonld" -> ((s, dir) => {
+      // JSON-LD round trip as data: the region dim rendered as a
+      // compacted JSON-LD document (context term definitions, @type,
+      // native-typed values), parsed by the reader, queried with
+      // SPARQL. region is the fixed 5-row dim, so the driver-side
+      // synthesis is O(1) at any SF.
+      val rows = read(s, dir, "region").select("r_regionkey", "r_name")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      val json = new StringBuilder(
+        """{"@context": {"g": "http://graft.example/",
+          |  "name": {"@id": "g:name"}, "key": {"@id": "g:key"}},
+          | "@graph": [""".stripMargin)
+      json.append(rows.map { case (k, n) =>
+        s"""{"@id": "http://graft.example/region/$k",
+           | "@type": "g:Region", "name": "$n", "key": $k}""".stripMargin
+      }.mkString(","))
+      json.append("]}")
+      Engine.fromGraph(sources.JsonLd.parse(json.toString, s)).select(
+        """PREFIX g: <http://graft.example/>
+           SELECT ?rname ?key WHERE {
+             ?r a g:Region ; g:name ?rname ; g:key ?key }""")
+    }),
     // --- W3C result serialization (CSV/TSV REC): each solution of a
     //     SELECT rendered as its TSV and CSV data line by the codegen'd
     //     per-row expressions behind writeTsv/writeCsv — IRI brackets,
@@ -2268,6 +2291,8 @@ object SparkEntry {
     "q_rdf_star" ->
       "SELECT r_name AS rname, CAST(80 + r_regionkey AS BIGINT) AS conf FROM region",
     "q_rdfxml" ->
+      "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
+    "q_jsonld" ->
       "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
     "q_sparql_results" ->
       """SELECT '<urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) || '>'

@@ -1,0 +1,425 @@
+package graft
+
+import graft.rdf._
+import graft.sources.JsonLd
+import graft.sources.JsonLd.JsonLdParseException
+
+/** JSON-LD 1.1 reader/writer ([[graft.sources.JsonLd]]): context
+  * processing, IRI expansion, value typing, lists/sets/maps, reverse
+  * properties, named graphs, the two serializers and their round
+  * trips. Fixture shapes follow the json-ld11 REC's own examples. */
+class JsonLdSpec extends SparkSpec {
+
+  private def triples(json: String, base: String = "") =
+    JsonLd.parseTriples(json, base).toSet
+
+  private def quads(json: String, base: String = "") =
+    JsonLd.parseQuads(json, base).toSet
+
+  private val EX = "http://example.com/"
+
+  // ----------------------------------------------------------- contexts
+
+  test("terms, compact IRIs and @vocab expand; @base resolves @id") {
+    val doc = s"""{
+      "@context": {
+        "ex": "$EX",
+        "name": "ex:name",
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "@vocab": "http://voc.example/",
+        "@base": "http://base.example/dir/"
+      },
+      "@id": "alice",
+      "name": "Alice",
+      "age": 31,
+      "knows": "bob"
+    }"""
+    assert(triples(doc) == Set(
+      (Iri("http://base.example/dir/alice"), Iri(EX + "name"),
+        Lit.plain("Alice")),
+      (Iri("http://base.example/dir/alice"), Iri("http://voc.example/age"),
+        Lit("31", XSD.ns + "integer", null)),
+      (Iri("http://base.example/dir/alice"), Iri(EX + "knows"),
+        Iri("http://base.example/dir/bob"))))
+  }
+
+  test("a term definition may reference a term defined later (cycle-free)") {
+    val doc = s"""{
+      "@context": {
+        "pred": {"@id": "ex:p"},
+        "ex": "$EX"
+      },
+      "@id": "${EX}s",
+      "pred": "v"
+    }"""
+    assert(triples(doc) ==
+      Set((Iri(EX + "s"), Iri(EX + "p"), Lit.plain("v"))))
+  }
+
+  test("keyword aliases: id/type as @id/@type") {
+    val doc = s"""{
+      "@context": {"id": "@id", "type": "@type", "ex": "$EX"},
+      "id": "ex:s",
+      "type": "ex:Klass"
+    }"""
+    assert(triples(doc) ==
+      Set((Iri(EX + "s"), Iri(RDF.ns + "type"), Iri(EX + "Klass"))))
+  }
+
+  test("a null term mapping drops the property; null values drop too") {
+    val doc = s"""{
+      "@context": {"ex": "$EX", "secret": null},
+      "@id": "ex:s",
+      "secret": "hidden",
+      "ex:kept": null,
+      "ex:p": "v"
+    }"""
+    assert(triples(doc) == Set((Iri(EX + "s"), Iri(EX + "p"), Lit.plain("v"))))
+  }
+
+  test("remote (string) contexts are rejected loudly") {
+    val e = intercept[JsonLdParseException](
+      triples("""{"@context": "http://example.com/ctx.jsonld", "a": "b"}"""))
+    assert(e.getMessage.contains("remote contexts"))
+  }
+
+  // ------------------------------------------------------------- values
+
+  test("native JSON typing: strings, booleans, integers, doubles") {
+    val doc = s"""{
+      "@id": "${EX}s",
+      "${EX}str": "plain",
+      "${EX}flag": true,
+      "${EX}n": 42,
+      "${EX}big": 12345678901234567890,
+      "${EX}d": 2.5,
+      "${EX}e": 1.1e1
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "str"), Lit.plain("plain")),
+      (Iri(EX + "s"), Iri(EX + "flag"), Lit("true", XSD.ns + "boolean", null)),
+      (Iri(EX + "s"), Iri(EX + "n"), Lit("42", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "big"),
+        Lit("12345678901234567890", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "d"), Lit("2.5E0", XSD.ns + "double", null)),
+      (Iri(EX + "s"), Iri(EX + "e"), Lit("1.1E1", XSD.ns + "double", null))))
+  }
+
+  test("canonical xsd:double lexical forms") {
+    assert(JsonLd.canonicalDouble(1.1) == "1.1E0")
+    assert(JsonLd.canonicalDouble(11.0) == "1.1E1")
+    assert(JsonLd.canonicalDouble(0.1) == "1.0E-1")
+    assert(JsonLd.canonicalDouble(5.0) == "5.0E0")
+    assert(JsonLd.canonicalDouble(-0.25) == "-2.5E-1")
+    assert(JsonLd.canonicalDouble(1e21) == "1.0E21")
+  }
+
+  test("value objects: @type, @language; term and default @language") {
+    val doc = s"""{
+      "@context": {
+        "@language": "en",
+        "ex": "$EX",
+        "fr": {"@id": "ex:fr", "@language": "fr"},
+        "plain": {"@id": "ex:plain", "@language": null}
+      },
+      "@id": "ex:s",
+      "ex:title": "Default",
+      "fr": "Bonjour",
+      "plain": "NoTag",
+      "ex:typed": {"@value": "2024-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"},
+      "ex:tagged": {"@value": "Hi", "@language": "EN-US"}
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "title"), Lit.tagged("Default", "en")),
+      (Iri(EX + "s"), Iri(EX + "fr"), Lit.tagged("Bonjour", "fr")),
+      (Iri(EX + "s"), Iri(EX + "plain"), Lit.plain("NoTag")),
+      (Iri(EX + "s"), Iri(EX + "typed"),
+        Lit("2024-01-01", XSD.ns + "date", null)),
+      (Iri(EX + "s"), Iri(EX + "tagged"), Lit.tagged("Hi", "en-us"))))
+  }
+
+  test("@value with both @type and @language is an error") {
+    intercept[JsonLdParseException](triples(
+      s"""{"@id": "${EX}s", "${EX}p":
+          {"@value": "x", "@type": "${EX}t", "@language": "en"}}"""))
+  }
+
+  test("datatype coercion on native numbers (@type xsd:double)") {
+    val doc = s"""{
+      "@context": {"d": {"@id": "${EX}d",
+        "@type": "http://www.w3.org/2001/XMLSchema#double"}},
+      "@id": "${EX}s", "d": 5
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "d"), Lit("5.0E0", XSD.ns + "double", null))))
+  }
+
+  // -------------------------------------------------- lists, sets, maps
+
+  test("@list builds an rdf:List; empty list is rdf:nil") {
+    val doc = s"""{
+      "@context": {"seq": {"@id": "${EX}seq", "@container": "@list"}},
+      "@id": "${EX}s",
+      "seq": ["a", "b"],
+      "${EX}none": {"@list": []}
+    }"""
+    val ts = triples(doc)
+    assert(ts.exists { case (s, p, _) =>
+      s == Iri(EX + "s") && p == Iri(EX + "none") }, ts)
+    assert(ts.toSeq.count(_._2 == Iri(RDF.ns + "first")) == 2)
+    // chain: s seq n1; n1 first "a"; n1 rest n2; n2 first "b"; n2 rest nil
+    val Some((_, _, head)) = ts.find { case (s, p, _) =>
+      s == Iri(EX + "s") && p == Iri(EX + "seq") }: @unchecked
+    val Some((_, _, second)) = ts.find { case (s, p, _) =>
+      s == head && p == Iri(RDF.ns + "rest") }: @unchecked
+    assert(ts.contains((head, Iri(RDF.ns + "first"), Lit.plain("a"))))
+    assert(ts.contains((second, Iri(RDF.ns + "first"), Lit.plain("b"))))
+    assert(ts.contains((second, Iri(RDF.ns + "rest"), Iri(RDF.ns + "nil"))))
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "none"), Iri(RDF.ns + "nil"))))
+  }
+
+  test("@set flattens transparently") {
+    val doc = s"""{
+      "@id": "${EX}s",
+      "${EX}p": {"@set": ["a", "b"]}
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "p"), Lit.plain("a")),
+      (Iri(EX + "s"), Iri(EX + "p"), Lit.plain("b"))))
+  }
+
+  test("language maps (@container @language) and index maps (@container @index)") {
+    val doc = s"""{
+      "@context": {
+        "label": {"@id": "${EX}label", "@container": "@language"},
+        "byIdx": {"@id": "${EX}v", "@container": "@index"}
+      },
+      "@id": "${EX}s",
+      "label": {"en": "Queen", "de": ["Königin", "Her Majestät"]},
+      "byIdx": {"a": 1, "b": [2, 3]}
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "label"), Lit.tagged("Queen", "en")),
+      (Iri(EX + "s"), Iri(EX + "label"), Lit.tagged("Königin", "de")),
+      (Iri(EX + "s"), Iri(EX + "label"), Lit.tagged("Her Majestät", "de")),
+      (Iri(EX + "s"), Iri(EX + "v"), Lit("1", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "v"), Lit("2", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "v"), Lit("3", XSD.ns + "integer", null))))
+  }
+
+  test("unsupported @container @id map is a loud error") {
+    intercept[JsonLdParseException](triples(
+      s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@id"}},
+           "@id": "${EX}s", "m": {}}"""))
+  }
+
+  // ------------------------------------------- nesting, reverse, graphs
+
+  test("nested node objects get blank nodes; references join by @id") {
+    val doc = s"""{
+      "@id": "${EX}s",
+      "${EX}child": {"${EX}name": "kid"},
+      "${EX}ref": {"@id": "${EX}o"}
+    }"""
+    val ts = triples(doc)
+    val Some((_, _, child)) = ts.find(_._2 == Iri(EX + "child")): @unchecked
+    assert(child.isInstanceOf[Blank])
+    assert(ts.contains((child, Iri(EX + "name"), Lit.plain("kid"))))
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "ref"), Iri(EX + "o"))))
+  }
+
+  test("document blank-node labels are shared; distinct anonymous nodes differ") {
+    val doc = s"""[
+      {"@id": "_:b0", "${EX}p": {"@id": "_:b0"}},
+      {"@id": "${EX}s", "${EX}q": {"${EX}r": 1}, "${EX}q2": {"${EX}r": 1}}
+    ]"""
+    val ts = triples(doc)
+    val Some((b, _, b2)) = ts.find(_._2 == Iri(EX + "p")): @unchecked
+    assert(b == b2)
+    val Some((_, _, q)) = ts.find(_._2 == Iri(EX + "q")): @unchecked
+    val Some((_, _, q2)) = ts.find(_._2 == Iri(EX + "q2")): @unchecked
+    assert(q != q2)
+  }
+
+  test("@reverse key and reverse term definitions") {
+    val doc = s"""{
+      "@context": {
+        "parentOf": {"@reverse": "${EX}childOf"}
+      },
+      "@id": "${EX}mom",
+      "parentOf": {"@id": "${EX}kid"},
+      "@reverse": {"${EX}employs": {"@id": "${EX}corp"}}
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "kid"), Iri(EX + "childOf"), Iri(EX + "mom")),
+      (Iri(EX + "corp"), Iri(EX + "employs"), Iri(EX + "mom"))))
+  }
+
+  test("top-level @graph is the default graph; @id + @graph names one") {
+    val doc = s"""{
+      "@context": {"ex": "$EX"},
+      "@graph": [
+        {"@id": "ex:a", "ex:p": 1},
+        {"@id": "ex:g1", "@graph": [{"@id": "ex:b", "ex:p": 2}]}
+      ]
+    }"""
+    assert(quads(doc) == Set(
+      (Iri(EX + "a"), Iri(EX + "p"), Lit("1", XSD.ns + "integer", null), None),
+      (Iri(EX + "b"), Iri(EX + "p"), Lit("2", XSD.ns + "integer", null),
+        Some(Iri(EX + "g1")))))
+  }
+
+  test("a graph-naming node can also carry its own properties") {
+    val doc = s"""{
+      "@id": "${EX}g",
+      "${EX}author": "me",
+      "@graph": [{"@id": "${EX}x", "${EX}p": "in"}]
+    }"""
+    assert(quads(doc) == Set(
+      (Iri(EX + "g"), Iri(EX + "author"), Lit.plain("me"), None),
+      (Iri(EX + "x"), Iri(EX + "p"), Lit.plain("in"), Some(Iri(EX + "g")))))
+  }
+
+  // ------------------------------------------------------------- errors
+
+  test("malformed JSON and duplicate keys are rejected") {
+    intercept[JsonLdParseException](triples("""{"a": """))
+    intercept[JsonLdParseException](triples(
+      s"""{"@id": "${EX}s", "${EX}p": 1, "${EX}p": 2}"""))
+    intercept[JsonLdParseException](triples(""""just a string""""))
+  }
+
+  test("@nest and @type: @json are rejected loudly") {
+    intercept[JsonLdParseException](triples(
+      s"""{"@context": {"n": "@nest"}, "@id": "${EX}s", "@nest": {}}"""))
+    intercept[JsonLdParseException](triples(
+      s"""{"@context": {"j": {"@id": "${EX}j", "@type": "@json"}},
+           "@id": "${EX}s", "j": {"k": 1}}"""))
+  }
+
+  // -------------------------------------------------------- serializers
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("out").toString
+  }
+
+  private def termOf(r: org.apache.spark.sql.Row): RdfTerm =
+    r.getByte(0) match {
+      case Terms.KIND_IRI => Iri(r.getString(1))
+      case Terms.KIND_BLANK => Blank(r.getString(1))
+      case Terms.KIND_TRIPLE => Terms.unpackString(r.getString(1))
+      case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+    }
+
+  private def tripleSet(g: RdfGraph): Set[(RdfTerm, RdfTerm, RdfTerm)] =
+    g.triples.collect().map { r =>
+      (termOf(r.getStruct(0)), termOf(r.getStruct(1)), termOf(r.getStruct(2)))
+    }.toSet
+
+  private lazy val mixedGraph: RdfGraph = RdfGraph.fromTriples(spark, Seq(
+    (Iri(EX + "s1"), Iri(RDF.ns + "type"), Iri(EX + "Klass")),
+    (Iri(EX + "s1"), Iri(EX + "name"), Lit.plain("quote \" and \\ back\nline")),
+    (Iri(EX + "s1"), Iri(EX + "rank"), Lit("7", XSD.ns + "integer", null)),
+    (Iri(EX + "s1"), Iri(EX + "score"), Lit("2.5E0", XSD.ns + "double", null)),
+    (Iri(EX + "s1"), Iri(EX + "odd"), Lit("007", XSD.ns + "integer", null)),
+    (Iri(EX + "s1"), Iri(EX + "label"), Lit.tagged("étiquette", "fr")),
+    (Blank("b1"), Iri(EX + "knows"), Iri(EX + "s1")),
+    (Blank("b1"), Iri(EX + "age"), Lit("3", XSD.ns + "integer", null))),
+    Map("ex" -> EX))
+
+  test("serialize → parse fixpoint on a mixed graph (compacted form)") {
+    val text = JsonLd.serialize(mixedGraph)
+    assert(text.contains("\"ex:rank\" : 7"), text) // native canonical int
+    assert(text.contains("\"@type\" : \"ex:Klass\""), text)
+    // non-canonical "007" must NOT go native
+    assert(text.contains("007"), text)
+    val back = JsonLd.parse(text, spark)
+    assert(tripleSet(back) == tripleSet(mixedGraph))
+  }
+
+  test("serialize → parse fixpoint on a quad store") {
+    val g = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), Iri(EX + "p"), Lit.plain("x"), None),
+      (Iri(EX + "b"), Iri(EX + "p"), Lit.plain("y"), Some(Iri(EX + "g1"))),
+      (Blank("n"), Iri(EX + "p"), Blank("n"), Some(Iri(EX + "g1"))),
+      (Iri(EX + "c"), Iri(EX + "p"), Lit("1", XSD.ns + "integer", null),
+        Some(Blank("gb")))),
+      Map("ex" -> EX))
+    val back = JsonLd.parse(JsonLd.serialize(g), spark)
+    def quadSet(x: RdfGraph) = x.triples.collect().map { r =>
+      (termOf(r.getStruct(0)), termOf(r.getStruct(1)), termOf(r.getStruct(2)),
+        if (r.isNullAt(3)) null else termOf(r.getStruct(3)))
+    }.toSet
+    assert(quadSet(back) == quadSet(g))
+  }
+
+  test("quoted triples are rejected by both serializers") {
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (Iri(EX + "m"), Iri(EX + "about"),
+        QuotedTriple(Iri(EX + "s"), Iri(EX + "p"), Lit.plain("o")))))
+    intercept[Exception](JsonLd.serialize(g))
+    intercept[Exception](JsonLd.write(g, tmpDir("jldq")))
+  }
+
+  test("JsonLd.write round-trips a 6k-triple graph across part files") {
+    val base = (0 until 2000).flatMap { i =>
+      val s: RdfTerm =
+        if (i % 7 == 0) Blank(s"b$i") else Iri(s"${EX}s$i")
+      Seq(
+        (s, Iri(EX + "name"), Lit.plain(s"""name "$i"\nline\t\\end""")),
+        (s, Iri(EX + "rank"), Lit(i.toString, XSD.ns + "integer", null)),
+        (s, Iri(EX + "label"), Lit.tagged(s"étiquette $i", "fr")))
+    }
+    val g = RdfGraph.fromTriples(spark, base, Map("ex" -> EX))
+    val out = tmpDir("jldw")
+    JsonLd.write(g, out, numPartitions = 8)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files.length > 1, "expected multiple part files")
+    // every part is a standalone-valid JSON document
+    files.foreach { f =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(m.readTree(java.nio.file.Files.readString(f.toPath)).isArray,
+        f.getName)
+    }
+    assert(tripleSet(JsonLd.read(spark, out)) == tripleSet(g))
+  }
+
+  test("JsonLd.write round-trips a quad store (named-graph wrapping)") {
+    val g = RdfGraph.fromQuads(spark, (0 until 500).map { i =>
+      (Iri(s"${EX}s${i % 50}"), Iri(EX + "p"),
+        Lit(i.toString, XSD.ns + "integer", null),
+        if (i % 3 == 0) None else Some(Iri(s"${EX}g${i % 4}")))
+    }, Map("ex" -> EX))
+    val out = tmpDir("jldwq")
+    JsonLd.write(g, out, numPartitions = 4)
+    def quadSet(x: RdfGraph) = x.triples.collect().map { r =>
+      (termOf(r.getStruct(0)), termOf(r.getStruct(1)), termOf(r.getStruct(2)),
+        if (r.isNullAt(3)) null else termOf(r.getStruct(3)))
+    }.toSet
+    assert(quadSet(JsonLd.read(spark, out)) == quadSet(g))
+  }
+
+  test("a labeled bnode split across part files stays one node on read") {
+    // bnode _:x is subject of many triples and object of others — with 8
+    // hash partitions its subject-group and the groups referencing it
+    // land in different parts; concatenation semantics must rejoin them
+    val ts: Seq[(RdfTerm, RdfTerm, RdfTerm)] =
+      (0 until 100).map(i =>
+        (Blank("x"), Iri(EX + "n"),
+          Lit(i.toString, XSD.ns + "integer", null)): (RdfTerm, RdfTerm, RdfTerm)) ++
+      (0 until 100).map(i =>
+        (Iri(s"${EX}r$i"), Iri(EX + "to"), Blank("x")): (RdfTerm, RdfTerm, RdfTerm))
+    val g = RdfGraph.fromTriples(spark, ts)
+    val out = tmpDir("jldb")
+    JsonLd.write(g, out, numPartitions = 8)
+    val back = JsonLd.read(spark, out)
+    val bnodeSubjects = tripleSet(back).collect {
+      case (b: Blank, _, _) => b }
+    assert(bnodeSubjects.toSet.size == 1, "bnode split across parts")
+    assert(tripleSet(back).size == 200)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.rdf._
-import graft.sources.{NQuads, NTriples, Trig, Turtle}
+import graft.sources.{JsonLd, NQuads, NTriples, Trig, Turtle}
 
 /** Manifest-driven RDF 1.1 Turtle / TriG parser conformance suite,
   * modeled on the public W3C rdf-tests harness (`w3c/rdf-tests`,
@@ -23,7 +23,13 @@ import graft.sources.{NQuads, NTriples, Trig, Turtle}
   *    store isomorphic to `mf:result` (.nq);
   *  - `rdft:TestXMLEval` / `rdft:TestXMLNegativeSyntax` — the same
   *    contracts for RDF/XML documents (`rdf/rdf11/rdf-xml/` upstream),
-  *    parsed with the fixture's pseudo document URL as base.
+  *    parsed with the fixture's pseudo document URL as base;
+  *  - `rdft:TestJsonLdEval` / `rdft:TestJsonLdNegativeSyntax` — the
+  *    same contracts for JSON-LD documents, compared as QUAD stores
+  *    (`mf:result` is .nq) since JSON-LD carries named graphs. The
+  *    upstream suite here is the JSON-LD WG's (w3c/json-ld-api, toRdf)
+  *    with its own jld: vocabulary; these entries restate that test
+  *    SHAPE in the rdft: naming so one runner discovers everything.
   *
   * The fixtures are authored from the RDF 1.1 Turtle and TriG RECs
   * (grammar productions in Turtle §6.5 / TriG §7) plus the Turtle-star
@@ -50,7 +56,7 @@ class W3cRdfSyntaxSpec extends SparkSpec {
   private val RDFT = "http://www.w3.org/ns/rdftest#"
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  private val categories = Seq("turtle", "trig", "rdfxml")
+  private val categories = Seq("turtle", "trig", "rdfxml", "jsonld")
 
   // ------------------------------------------------------------ loading
 
@@ -192,6 +198,10 @@ class W3cRdfSyntaxSpec extends SparkSpec {
         Trig.parseQuads(doc).map { case (s, p, o, g) =>
           Seq(s, p, o, g.getOrElse(Iri("")))
         }
+      case "jsonld" =>
+        JsonLd.parseQuads(doc).map { case (s, p, o, g) =>
+          Seq(s, p, o, g.getOrElse(Iri("")))
+        }
       case "rdfxml" =>
         // base = the fixture's pseudo document URL (upstream uses the
         // file's own URL the same way) — tx-id pins the resolution
@@ -211,14 +221,15 @@ class W3cRdfSyntaxSpec extends SparkSpec {
           assert(thrown.isInstanceOf[GraftException] ||
             thrown.isInstanceOf[graft.sparql.SparqlParseException] ||
             thrown.isInstanceOf[IllegalArgumentException] ||
-            thrown.isInstanceOf[graft.sources.RdfXml.RdfXmlParseException],
+            thrown.isInstanceOf[graft.sources.RdfXml.RdfXmlParseException] ||
+            thrown.isInstanceOf[JsonLd.JsonLdParseException],
             s"${t.action}: expected a parse rejection, got $thrown")
         case k if k.endsWith("PositiveSyntax") =>
           parseOf(cat, doc, t.action) // must not throw; zero triples is legal
         case k if k.endsWith("Eval") =>
           val got = parseOf(cat, doc, t.action)
           val want =
-            if (cat == "trig") loadNq(res(cat, t.result))
+            if (cat == "trig" || cat == "jsonld") loadNq(res(cat, t.result))
             else loadNt(res(cat, t.result))
           assert(isomorphic(want, got),
             s"${t.action}: graphs differ\nexpected:${render(want)}\n" +
