@@ -1,0 +1,237 @@
+package graft.rdf
+
+import scala.collection.mutable
+
+/** RDF Dataset Canonicalization — the W3C RDFC-1.0 REC (the algorithm
+  * formerly known as URDNA2015). Assigns every blank node a canonical
+  * `c14nN` label that depends only on the STRUCTURE of the dataset,
+  * never on input labels or statement order, which makes three things
+  * possible that plain serialization cannot give:
+  *
+  *  - a deterministic, diff-able N-Quads form ([[canonicalNQuads]]),
+  *  - dataset hashing / exact-dedup of graphs with blank nodes,
+  *  - graph isomorphism as string equality ([[isomorphic]]) — the
+  *    reference exposes the same capability through rdflib's
+  *    `compare.isomorphic` (gastrodon delegates graph equality to it).
+  *
+  * The reference's rdflib implements the weaker Tarjan/Sayers iso
+  * heuristic; this is the full REC algorithm: first-degree hashes over
+  * per-bnode quad serializations, unique hashes issued in order, ties
+  * broken by hash-N-degree-quads with permutation search.
+  *
+  * CONTRACT: driver-side, like `ttl()`/`serialize` — canonicalization
+  * is inherently sequential (the REC algorithm walks a global
+  * hash-to-bnode state). Use it for display, diffing, golden tests and
+  * content-addressing of bounded graphs; at corpus scale, hash GROUND
+  * quads distributed (they canonicalize to themselves) and reserve
+  * this for the bnode component. The permutation step is factorial in
+  * the size of a same-hash bnode group, so [[Canon.canonicalize]]
+  * guards with a work cap (default 1e6 steps) and fails loudly on
+  * adversarial "poison" graphs rather than spinning — the same
+  * bomb-cap posture as the media decoders.
+  */
+object Canon {
+
+  final class CanonException(msg: String) extends RuntimeException(msg)
+
+  /** A quad: graph term `null` = default graph. */
+  type Quad = (RdfTerm, RdfTerm, RdfTerm, RdfTerm)
+
+  // ------------------------------------------------------ label issuer
+
+  /** The REC's "identifier issuer": stable FIFO issue order. */
+  private final class Issuer(prefix: String) {
+    val issued = mutable.LinkedHashMap[String, String]()
+    private var n = 0
+    def issue(label: String): String =
+      issued.getOrElseUpdate(label, { val id = prefix + n; n += 1; id })
+    def has(label: String): Boolean = issued.contains(label)
+    def copyOf(): Issuer = {
+      val c = new Issuer(prefix)
+      c.issued ++= issued; c.n = n
+      c
+    }
+  }
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  // -------------------------------------------------- nquads rendering
+
+  /** Canonical N-Quads term form (the REC serializes with the N-Quads
+    * canonical form; quoted triples follow the 1.2 draft syntax). */
+  private def termNq(t: RdfTerm, labelOf: String => String): String = t match {
+    case Iri(v) => s"<$v>"
+    case Blank(l) => "_:" + labelOf(l)
+    case Lit(lex, dt, lang) =>
+      val esc = Lit.escape(lex)
+      if (lang != null) s""""$esc"@$lang"""
+      else if (dt == XSD.string) s""""$esc""""
+      else s""""$esc"^^<$dt>"""
+    case QuotedTriple(s, p, o) =>
+      s"<< ${termNq(s, labelOf)} ${termNq(p, labelOf)} ${termNq(o, labelOf)} >>"
+  }
+
+  private def quadNq(q: Quad, labelOf: String => String): String = {
+    val g = if (q._4 == null) "" else termNq(q._4, labelOf) + " "
+    s"${termNq(q._1, labelOf)} ${termNq(q._2, labelOf)} " +
+      s"${termNq(q._3, labelOf)} $g."
+  }
+
+  private def bnodesOf(t: RdfTerm): Seq[String] = t match {
+    case Blank(l) => Seq(l)
+    case QuotedTriple(s, p, o) =>
+      bnodesOf(s) ++ bnodesOf(p) ++ bnodesOf(o)
+    case _ => Nil
+  }
+
+  private def quadBnodes(q: Quad): Seq[String] =
+    (Seq(q._1, q._2, q._3) ++ Option(q._4).toSeq).flatMap(bnodesOf).distinct
+
+  // ----------------------------------------------------- the algorithm
+
+  /** Canonical label for every blank node in the dataset
+    * (input label → `c14nN`). */
+  def canonicalLabels(quads: Seq[Quad], maxSteps: Long = 1000000L)
+      : Map[String, String] = {
+    var steps = 0L
+    def budget(n: Long): Unit = {
+      steps += n
+      if (steps > maxSteps) throw new CanonException(
+        s"canonicalization exceeded $maxSteps steps — poison graph? " +
+          "(deeply symmetric blank-node structure)")
+    }
+
+    // 1-2. bnode → mentioning quads
+    val mention = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Quad]]()
+    quads.foreach { q =>
+      quadBnodes(q).foreach(b =>
+        mention.getOrElseUpdate(b, mutable.ArrayBuffer()) += q)
+    }
+    if (mention.isEmpty) return Map.empty
+    val canon = new Issuer("c14n")
+
+    // 3. hash first degree: quads of b with b as "_:a", other bnodes "_:z"
+    def hashFirstDegree(b: String): String = {
+      val lines = mention(b).map(q =>
+        quadNq(q, l => if (l == b) "a" else "z")).sorted
+      budget(lines.size)
+      sha256Hex(lines.mkString("\n") + "\n")
+    }
+    val firstDegree = mention.keys.map(b => b -> hashFirstDegree(b)).toMap
+    val byHash = firstDegree.groupBy(_._2)
+      .view.mapValues(_.keys.toSeq.sorted).toMap
+
+    // 4. unique hashes issue canonical labels in hash order
+    val (unique, shared) = byHash.partition(_._2.size == 1)
+    unique.toSeq.sortBy(_._1).foreach { case (_, Seq(b)) => canon.issue(b) }
+
+    // hash related blank node (REC §4.8.3 step contributions)
+    def hashRelated(related: String, q: Quad, issuer: Issuer,
+        position: Char): String = {
+      var input = position.toString
+      if (position != 'g') input += termNq(q._2, identity)
+      input +=
+        (if (canon.has(related)) "_:" + canon.issued(related)
+         else if (issuer.has(related)) "_:" + issuer.issued(related)
+         else firstDegree(related))
+      budget(1)
+      sha256Hex(input)
+    }
+
+    // hash n-degree quads (REC §4.9)
+    def hashNDegree(b: String, pathIssuer: Issuer): (String, Issuer) = {
+      var issuer = pathIssuer
+      val hn = mutable.Map[String, mutable.ArrayBuffer[String]]()
+      mention(b).foreach { q =>
+        def rel(t: RdfTerm, pos: Char): Unit =
+          bnodesOf(t).filter(_ != b).foreach { r =>
+            val h = hashRelated(r, q, issuer, pos)
+            hn.getOrElseUpdate(h, mutable.ArrayBuffer()) += r
+          }
+        rel(q._1, 's'); rel(q._3, 'o')
+        if (q._4 != null) rel(q._4, 'g')
+      }
+      val dataToHash = new StringBuilder
+      hn.toSeq.sortBy(_._1).foreach { case (relatedHash, group0) =>
+        val group = group0.distinct.toList
+        dataToHash.append(relatedHash)
+        var chosenPath = ""
+        var chosenIssuer: Issuer = null
+        budget(group.size.toLong * group.size)
+        group.permutations.foreach { perm =>
+          budget(perm.size)
+          var issuerCopy = issuer.copyOf()
+          val path = new StringBuilder
+          val recursion = mutable.ArrayBuffer[String]()
+          var aborted = false
+          perm.foreach { related =>
+            if (!aborted) {
+              if (canon.has(related)) path.append("_:" + canon.issued(related))
+              else {
+                if (!issuerCopy.has(related)) recursion += related
+                path.append("_:" + issuerCopy.issue(related))
+              }
+              if (chosenPath.nonEmpty && path.length >= chosenPath.length &&
+                  path.toString > chosenPath) aborted = true
+            }
+          }
+          if (!aborted) {
+            recursion.foreach { related =>
+              if (!aborted) {
+                val (h, after) = hashNDegree(related, issuerCopy)
+                path.append("_:" + issuerCopy.issue(related))
+                path.append("<" + h + ">")
+                issuerCopy = after
+                if (chosenPath.nonEmpty && path.length >= chosenPath.length &&
+                    path.toString > chosenPath) aborted = true
+              }
+            }
+          }
+          if (!aborted &&
+              (chosenPath.isEmpty || path.toString < chosenPath)) {
+            chosenPath = path.toString
+            chosenIssuer = issuerCopy
+          }
+        }
+        dataToHash.append(chosenPath)
+        issuer = chosenIssuer
+      }
+      (sha256Hex(dataToHash.toString), issuer)
+    }
+
+    // 5. shared hashes: n-degree tie-break in hash order
+    shared.toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val results = group.map { b =>
+        val temp = new Issuer("b")
+        temp.issue(b)
+        hashNDegree(b, temp)
+      }
+      results.sortBy(_._1).foreach { case (_, issuer) =>
+        issuer.issued.keys.foreach(canon.issue)
+      }
+    }
+    canon.issued.toMap
+  }
+
+  /** The canonical N-Quads document: every bnode relabeled `c14nN`,
+    * lines sorted in code point order. Equal strings ⇔ isomorphic
+    * datasets. */
+  def canonicalNQuads(quads: Seq[Quad], maxSteps: Long = 1000000L): String = {
+    val labels = canonicalLabels(quads, maxSteps)
+    quads.distinct.map(quadNq(_, labels)).sorted.mkString("", "\n", "\n")
+  }
+
+  /** Dataset isomorphism (blank-node bijection) via canonical forms. */
+  def isomorphic(a: Seq[Quad], b: Seq[Quad],
+      maxSteps: Long = 1000000L): Boolean =
+    canonicalNQuads(a, maxSteps) == canonicalNQuads(b, maxSteps)
+
+  /** SHA-256 of the canonical N-Quads — a content address for the
+    * dataset, stable under any relabeling/reordering. */
+  def datasetHash(quads: Seq[Quad], maxSteps: Long = 1000000L): String =
+    sha256Hex(canonicalNQuads(quads, maxSteps))
+}

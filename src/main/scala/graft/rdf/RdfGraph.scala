@@ -127,6 +127,34 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   def cache(): RdfGraph = { triples.cache(); this }
   def unpersist(): RdfGraph = { triples.unpersist(); this }
 
+  private def collectQuads(): Seq[Canon.Quad] = {
+    def term(r: org.apache.spark.sql.Row): RdfTerm = r.getByte(0) match {
+      case Terms.KIND_IRI => Iri(r.getString(1))
+      case Terms.KIND_BLANK => Blank(r.getString(1))
+      case Terms.KIND_TRIPLE => Terms.unpackString(r.getString(1))
+      case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+    }
+    triples.collect().toSeq.map { r =>
+      (term(r.getStruct(0)), term(r.getStruct(1)), term(r.getStruct(2)),
+        if (isQuads && !r.isNullAt(3)) term(r.getStruct(3)) else null)
+    }
+  }
+
+  /** Canonical N-Quads form (RDFC-1.0, [[Canon]]): deterministic
+    * `c14nN` blank-node labels, sorted lines — equal strings ⇔
+    * isomorphic datasets. Driver-side by the same small-graph contract
+    * as `ttl()`/`serialize`. */
+  def canonicalNQuads(): String = Canon.canonicalNQuads(collectQuads())
+
+  /** Structural equality under blank-node bijection (what the
+    * reference gets from rdflib's `compare.isomorphic`). */
+  def isomorphic(other: RdfGraph): Boolean =
+    Canon.isomorphic(collectQuads(), other.collectQuads())
+
+  /** SHA-256 content address of the canonical form — stable under any
+    * relabeling or statement reordering. */
+  def datasetHash(): String = Canon.datasetHash(collectQuads())
+
   /** All IRIs appearing in any position (all_uri,
     * gastrodon/__init__.py:821-834) — including graph names on a quad
     * store. */

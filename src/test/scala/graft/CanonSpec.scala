@@ -1,0 +1,165 @@
+package graft
+
+import graft.rdf._
+import graft.rdf.Canon.Quad
+
+/** RDFC-1.0 dataset canonicalization ([[graft.rdf.Canon]]). The
+  * load-bearing property is label/order INDEPENDENCE: the canonical
+  * form of a dataset must be bit-identical under any input blank-node
+  * relabeling and any statement order — that is what makes it a
+  * content address and an isomorphism decider. Cases cover the REC's
+  * algorithm branches: no bnodes, unique first-degree hashes, shared
+  * hashes resolved by N-degree (cycles), fully symmetric twins, quads
+  * with bnode graph names, and the poison-graph work cap. */
+class CanonSpec extends SparkSpec {
+
+  private val EX = "http://example.com/"
+  private def iri(s: String) = Iri(EX + s)
+  private def q(s: RdfTerm, p: RdfTerm, o: RdfTerm, g: RdfTerm = null): Quad =
+    (s, p, o, g)
+
+  private def relabel(quads: Seq[Quad], f: String => String): Seq[Quad] = {
+    def m(t: RdfTerm): RdfTerm = t match {
+      case Blank(l) => Blank(f(l))
+      case QuotedTriple(s, p, o) => QuotedTriple(m(s), m(p), m(o))
+      case other => other
+    }
+    quads.map { case (s, p, o, g) =>
+      (m(s), m(p), m(o), if (g == null) null else m(g))
+    }
+  }
+
+  test("ground datasets canonicalize to their sorted N-Quads") {
+    val quads = Seq(
+      q(iri("b"), iri("p"), Lit.plain("x")),
+      q(iri("a"), iri("p"), Lit("1", XSD.ns + "integer", null)))
+    assert(Canon.canonicalNQuads(quads) ==
+      s"""<${EX}a> <${EX}p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<${EX}b> <${EX}p> "x" .
+         |""".stripMargin)
+  }
+
+  test("unique first-degree hashes issue c14n labels in hash order") {
+    val quads = Seq(
+      q(Blank("x"), iri("p"), Lit.plain("one")),
+      q(Blank("y"), iri("p"), Lit.plain("two")))
+    val labels = Canon.canonicalLabels(quads)
+    assert(labels.keySet == Set("x", "y"))
+    assert(labels.values.toSet == Set("c14n0", "c14n1"))
+    // label independence: renaming + reordering yields the same doc
+    val renamed = relabel(quads, l => "zz" + l.reverse).reverse
+    assert(Canon.canonicalNQuads(renamed) == Canon.canonicalNQuads(quads))
+  }
+
+  test("a bnode cycle (shared first-degree hashes) canonicalizes stably") {
+    // _:a :next _:b . _:b :next _:a . with distinguishing payloads
+    val quads = Seq(
+      q(Blank("a"), iri("next"), Blank("b")),
+      q(Blank("b"), iri("next"), Blank("a")),
+      q(Blank("a"), iri("val"), Lit.plain("A")),
+      q(Blank("b"), iri("val"), Lit.plain("B")))
+    val doc = Canon.canonicalNQuads(quads)
+    val renamed = relabel(quads.reverse, {
+      case "a" => "b"; case "b" => "a"; case l => l
+    })
+    assert(Canon.canonicalNQuads(renamed) == doc)
+    // the payloads break symmetry: "A" must always sit on the same
+    // canonical label
+    assert(doc.linesIterator.exists(l =>
+      l.contains(""""A"""") && l.startsWith("_:c14n")), doc)
+  }
+
+  test("fully symmetric twins still produce one canonical form") {
+    // two interchangeable bnodes — any bijection is valid, the
+    // canonical DOCUMENT must not depend on which is which
+    val quads = Seq(
+      q(Blank("p"), iri("p"), Lit.plain("same")),
+      q(Blank("q"), iri("p"), Lit.plain("same")))
+    val doc = Canon.canonicalNQuads(quads)
+    assert(doc == Canon.canonicalNQuads(
+      relabel(quads, { case "p" => "1"; case _ => "0" })))
+    assert(doc.linesIterator.size == 2)
+  }
+
+  test("a 4-cycle needs the N-degree permutation walk and stays stable") {
+    def cycle(names: Seq[String]): Seq[Quad] =
+      names.indices.map(i => q(Blank(names(i)), iri("n"),
+        Blank(names((i + 1) % names.size))))
+    val doc = Canon.canonicalNQuads(cycle(Seq("a", "b", "c", "d")))
+    assert(doc == Canon.canonicalNQuads(cycle(Seq("w", "k", "z", "m"))))
+    assert(doc == Canon.canonicalNQuads(cycle(Seq("d", "c", "b", "a"))))
+    assert(doc.linesIterator.size == 4)
+  }
+
+  test("bnode graph names participate in canonical labeling") {
+    val quads = Seq(
+      q(iri("s"), iri("p"), Lit.plain("in"), Blank("g")),
+      q(Blank("g"), iri("author"), Lit.plain("me")))
+    val labels = Canon.canonicalLabels(quads)
+    assert(labels.keySet == Set("g"))
+    val doc = Canon.canonicalNQuads(quads)
+    assert(doc.contains(s"""<${EX}s> <${EX}p> "in" _:c14n0 ."""), doc)
+  }
+
+  test("isomorphic decides bijection; non-isomorphic shapes differ") {
+    val chain = Seq(
+      q(Blank("a"), iri("n"), Blank("b")),
+      q(Blank("b"), iri("n"), Blank("c")))
+    val chain2 = relabel(chain, l => l + "!")
+    assert(Canon.isomorphic(chain, chain2))
+    val fork = Seq(
+      q(Blank("a"), iri("n"), Blank("b")),
+      q(Blank("a"), iri("n"), Blank("c")))
+    assert(!Canon.isomorphic(chain, fork))
+    // same shape, different ground payload
+    assert(!Canon.isomorphic(chain,
+      chain :+ q(iri("x"), iri("p"), Lit.plain("extra"))))
+  }
+
+  test("datasetHash is stable under relabel+reorder and shape-sensitive") {
+    val quads = Seq(
+      q(Blank("a"), iri("n"), Blank("b")),
+      q(Blank("b"), iri("v"), Lit.tagged("hé", "fr")),
+      q(iri("s"), iri("p"), Blank("a"), iri("g1")))
+    val h = Canon.datasetHash(quads)
+    assert(h == Canon.datasetHash(relabel(quads.reverse, l => l * 3)))
+    assert(h != Canon.datasetHash(quads.tail))
+    assert(h.matches("[0-9a-f]{64}"))
+  }
+
+  test("the work cap rejects poison graphs loudly") {
+    // K_n on bnodes with one predicate: all first-degree hashes equal,
+    // the permutation walk explodes — must throw, not spin
+    val n = 9
+    val quads = for (i <- 0 until n; j <- 0 until n if i != j)
+      yield q(Blank(s"b$i"), iri("e"), Blank(s"b$j"))
+    intercept[Canon.CanonException](
+      Canon.canonicalLabels(quads, maxSteps = 200000L))
+  }
+
+  test("RdfGraph wrappers: canonicalNQuads / isomorphic / datasetHash") {
+    val g1 = RdfGraph.fromTriples(spark, Seq(
+      (Blank("x"), iri("p"), Lit.plain("v")),
+      (iri("s"), iri("q"), Blank("x"))))
+    val g2 = RdfGraph.fromTriples(spark, Seq(
+      (iri("s"), iri("q"), Blank("other")),
+      (Blank("other"), iri("p"), Lit.plain("v"))))
+    assert(g1.isomorphic(g2))
+    assert(g1.datasetHash() == g2.datasetHash())
+    assert(g1.canonicalNQuads().contains("_:c14n0"))
+    val g3 = RdfGraph.fromTriples(spark, Seq(
+      (Blank("x"), iri("p"), Lit.plain("DIFFERENT"))))
+    assert(!g1.isomorphic(g3))
+  }
+
+  test("quoted triples canonicalize (bnodes inside the quotation)") {
+    val quads = Seq(
+      q(QuotedTriple(Blank("inner"), iri("p"), Lit.plain("o")),
+        iri("certainty"), Lit("0.9", XSD.ns + "double", null)),
+      q(Blank("inner"), iri("name"), Lit.plain("n")))
+    val doc = Canon.canonicalNQuads(quads)
+    assert(doc == Canon.canonicalNQuads(
+      relabel(quads, l => l + "_renamed").reverse))
+    assert(doc.contains("<< _:c14n0"), doc)
+  }
+}

@@ -618,6 +618,31 @@ object Drive {
         .orderBy(F.desc("rank")).show(false)
     }
 
+    println("=== r12: JSON-LD round trip and RDFC-1.0 canonicalization:")
+    locally {
+      val doc = """{
+        "@context": {"ex": "http://example.com/",
+                     "knows": {"@id": "ex:knows", "@type": "@id"}},
+        "@id": "ex:alice", "ex:name": "Alice", "ex:age": 31,
+        "knows": {"@id": "_:b"},
+        "ex:tags": {"@list": ["x", "y"]}
+      }"""
+      val g = graft.sources.JsonLd.parse(doc, spark)
+      println("--- parsed JSON-LD, size " + g.size)
+      Engine.fromGraph(g).select(
+        """PREFIX ex: <http://example.com/>
+           SELECT ?p ?o { ex:alice ?p ?o } ORDER BY ?p""").show(false)
+      println("--- compacted serialization:")
+      println(graft.sources.JsonLd.serialize(g))
+      println("--- canonical N-Quads (c14n labels, sorted):")
+      println(g.canonicalNQuads())
+      val renamed = graft.sources.JsonLd.parse(
+        doc.replace("_:b", "_:completelyDifferent"), spark)
+      println("--- isomorphic under relabel: " + g.isomorphic(renamed) +
+        "; datasetHash " + g.datasetHash().take(16) + "… == " +
+        renamed.datasetHash().take(16) + "…")
+    }
+
     spark.stop()
   }
 }
