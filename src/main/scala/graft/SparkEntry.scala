@@ -343,6 +343,28 @@ object SparkEntry {
            SELECT ?rname ?key WHERE {
              ?r a g:Region ; g:name ?rname ; g:key ?key }""")
     }),
+    "q_lang_dir" -> ((s, dir) => {
+      // SPARQL 1.2 directional language strings as data: region names
+      // tagged @en--ltr (even keys) / @ar--rtl (odd), queried through
+      // LANG (direction strips), LANGDIR and hasLANGDIR. region is the
+      // fixed 5-row dim, so the driver-side synthesis is O(1) at any SF.
+      val rows = read(s, dir, "region").select("r_regionkey", "r_name")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      val ttl = new StringBuilder("@prefix : <http://example/> .\n")
+      rows.foreach { case (k, n) =>
+        val tag = if (k % 2 == 0) "en--ltr" else "ar--rtl"
+        ttl.append(s""":r$k :name "$n"@$tag .\n""")
+      }
+      Engine.inline(ttl.toString)(s).select(
+        """PREFIX : <http://example/>
+           SELECT ?rname ?lang ?dir WHERE {
+             ?r :name ?n FILTER(hasLANGDIR(?n))
+             BIND(STR(?n) AS ?rname)
+             BIND(LANG(?n) AS ?lang)
+             BIND(LANGDIR(?n) AS ?dir)
+           }""")
+    }),
     // --- W3C result serialization (CSV/TSV REC): each solution of a
     //     SELECT rendered as its TSV and CSV data line by the codegen'd
     //     per-row expressions behind writeTsv/writeCsv — IRI brackets,
@@ -2294,6 +2316,11 @@ object SparkEntry {
       "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
     "q_jsonld" ->
       "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
+    "q_lang_dir" ->
+      """SELECT r_name AS rname,
+                CASE WHEN r_regionkey % 2 = 0 THEN 'en' ELSE 'ar' END AS lang,
+                CASE WHEN r_regionkey % 2 = 0 THEN 'ltr' ELSE 'rtl' END AS dir
+         FROM region""",
     "q_sparql_results" ->
       """SELECT '<urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) || '>'
                 || chr(9) || '"' || n_name || '"' || chr(9) || '"'

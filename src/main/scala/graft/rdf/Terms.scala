@@ -52,7 +52,8 @@ final case class QuotedTriple(s: RdfTerm, p: RdfTerm, o: RdfTerm)
 }
 object Lit {
   def plain(lex: String): Lit = Lit(lex, XSD.string, null)
-  def tagged(lex: String, lang: String): Lit = Lit(lex, RDF.langString, lang)
+  def tagged(lex: String, lang: String): Lit = Lit(lex,
+    if (lang.contains("--")) RDF.dirLangString else RDF.langString, lang)
   def typed(lex: String, dt: String): Lit = Lit(lex, dt, null)
   def escape(s: String): String = s.flatMap {
     case '\\' => "\\\\"
@@ -102,6 +103,13 @@ object XSD {
 object RDF {
   val ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   val langString = ns + "langString"
+  /** RDF 1.2 directional language-tagged string. Columnar encoding:
+    * the `lang` field carries `tag--dir` (`"en--ltr"`), exactly the
+    * Turtle/N-Triples 1.2 LANGTAG surface syntax — `--` cannot occur
+    * inside a BCP47 tag, so the split is unambiguous, `Lit.n3()`
+    * serializes it for free, and term equality (same lang AND same
+    * direction) stays plain struct equality. */
+  val dirLangString = ns + "dirLangString"
   val typ = ns + "type"
   val Seq_ = ns + "Seq"
   val Bag = ns + "Bag"
@@ -350,7 +358,8 @@ object Terms {
     F.when(!isLiteral(c), F.lit(null).cast(BooleanType))
       .when(d === XSD.boolean, value(c) === "true")
       .when(isNumeric(c), value(c).cast(DoubleType) =!= 0.0)
-      .when(d === XSD.string || d === RDF.langString, F.length(value(c)) > 0)
+      .when(d === XSD.string || d === RDF.langString ||
+        d === RDF.dirLangString, F.length(value(c)) > 0)
       .otherwise(F.lit(null).cast(BooleanType))
   }
 

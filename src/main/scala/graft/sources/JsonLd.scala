@@ -368,7 +368,7 @@ object JsonLd {
       ctx: Ctx): Option[RdfTerm] = {
     val m = fields.toMap
     m.keys.foreach {
-      case "@value" | "@type" | "@language" | "@index" => ()
+      case "@value" | "@type" | "@language" | "@index" | "@direction" => ()
       case k => err(s"invalid key $k in a value object")
     }
     val v = m("@value")
@@ -389,8 +389,20 @@ object JsonLd {
     }
     if (tpe.isDefined && lang.isDefined)
       err("a value object cannot carry both @type and @language")
+    // @direction (JSON-LD 1.1) → RDF 1.2 rdf:dirLangString, encoded as
+    // the `tag--dir` lang form the rest of the engine shares
+    val dir = m.get("@direction").map { d =>
+      if (!d.isTextual || !Set("ltr", "rtl")(d.asText))
+        err("""@direction must be "ltr" or "rtl"""")
+      if (tpe.isDefined) err("@direction cannot combine with @type")
+      if (lang.isEmpty) err("@direction requires @language here " +
+        "(rdf:dirLangString carries a language tag; i18n-datatype " +
+        "mode is not supported)")
+      d.asText
+    }
     Some(lang match {
-      case Some(l) => Lit.tagged(v.asText, l.toLowerCase)
+      case Some(l) =>
+        Lit.tagged(v.asText, l.toLowerCase + dir.map("--" + _).getOrElse(""))
       case None => nativeLit(v, tpe, None)
     })
   }
@@ -716,7 +728,15 @@ object JsonLd {
         val lang = r.getString(3)
         if (lang != null) {
           val o = nf.objectNode()
-          o.put("@value", lex); o.put("@language", lang); o
+          o.put("@value", lex)
+          // dirLangString: the encoded `tag--dir` splits back into the
+          // JSON-LD 1.1 @language + @direction pair
+          val dd = lang.indexOf("--")
+          if (dd >= 0) {
+            o.put("@language", lang.substring(0, dd))
+            o.put("@direction", lang.substring(dd + 2))
+          } else o.put("@language", lang)
+          o
         } else if (dt == XSD.string) nf.textNode(lex)
         else if (dt == XSD.ns + "boolean" && (lex == "true" || lex == "false"))
           nf.booleanNode(lex == "true")

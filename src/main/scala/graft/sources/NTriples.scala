@@ -50,7 +50,10 @@ object NTriples {
         if (next < s.length && s.charAt(next) == '@') {
           var end = next + 1
           while (end < s.length && !Character.isWhitespace(s.charAt(end))) end += 1
-          (Row(Terms.KIND_LIT, lex, RDF.langString, s.substring(next + 1, end)), end)
+          val tag = s.substring(next + 1, end)
+          // N-Triples 1.2: `--ltr`/`--rtl` suffix → rdf:dirLangString
+          val dt = if (tag.contains("--")) RDF.dirLangString else RDF.langString
+          (Row(Terms.KIND_LIT, lex, dt, tag), end)
         } else if (next + 1 < s.length && s.charAt(next) == '^' && s.charAt(next + 1) == '^') {
           val dtEnd = s.indexOf('>', next + 3)
           (Row(Terms.KIND_LIT, lex, s.substring(next + 3, dtEnd), null), dtEnd + 1)

@@ -255,6 +255,9 @@ object RdfXml {
           sb.append(s""" rdf:nodeID="${escAttr(o.getString(1))}"/>""")
         case Terms.KIND_LIT =>
           val dt = o.getString(2); val lang = o.getString(3)
+          if (dt == RDF.dirLangString) throw new RdfXmlParseException(
+            "RDF/XML has no directional language-string syntax (xml:lang " +
+              "carries no base direction) — use Turtle or JSON-LD")
           if (lang != null) sb.append(s""" xml:lang="${escAttr(lang)}"""")
           else if (dt != null && dt != XSD.string)
             sb.append(s""" rdf:datatype="${escAttr(dt)}"""")

@@ -140,7 +140,7 @@ private[sources] class JsonResultDecoder(in: InputStream, vars: Array[String])
       case _ => // "literal" and the legacy "typed-literal"
         if (value == null) throw new java.io.IOException(
           s"malformed results-JSON term (type=$typ, no value)")
-        if (lang != null) Lit(value, RDF.langString, lang)
+        if (lang != null) Lit.tagged(value, lang)
         else Lit(value, if (dt == null) XSD.string else dt, null)
     }
   }
@@ -209,7 +209,8 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
       val lex = reader.getElementText
       if (lang != null)
         InternalRow(Terms.KIND_LIT, ResultDecoders.u(lex),
-          ResultDecoders.u(RDF.langString), ResultDecoders.u(lang))
+          ResultDecoders.u(if (lang.contains("--")) RDF.dirLangString
+            else RDF.langString), ResultDecoders.u(lang))
       else
         InternalRow(Terms.KIND_LIT, ResultDecoders.u(lex),
           ResultDecoders.u(if (dt == null) XSD.string else dt), null)
@@ -225,7 +226,7 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
     case "literal" =>
       val lang = attr("lang"); val dt = attr("datatype")
       val lex = reader.getElementText
-      if (lang != null) Lit(lex, RDF.langString, lang)
+      if (lang != null) Lit.tagged(lex, lang)
       else Lit(lex, if (dt == null) XSD.string else dt, null)
     case "triple" => readTripleOf()
     case other =>
@@ -505,7 +506,7 @@ private[sources] object TsvTerm {
       var end = next + 1
       while (end < s.length && (s.charAt(end).isLetterOrDigit ||
         s.charAt(end) == '-')) end += 1
-      (Lit(lex, RDF.langString, s.substring(next + 1, end)), end)
+      (Lit.tagged(lex, s.substring(next + 1, end)), end)
     } else if (next + 1 < s.length && s.charAt(next) == '^' &&
         s.charAt(next + 1) == '^') {
       val (dt, end) = iri(s, ws(s, next + 2))

@@ -127,7 +127,8 @@ final class ExprCompiler(env: String => Option[Column]) {
     * Datatyped literals like xsd:integer are NOT string arguments —
     * passing one to a binary string builtin is an error. */
   private def isStringLit(c: Column): Column =
-    isLiteral(c) && (dt(c) === XSD.string || dt(c) === RDF.langString)
+    isLiteral(c) && (dt(c) === XSD.string || dt(c) === RDF.langString ||
+      dt(c) === RDF.dirLangString)
 
   /** SPARQL §17.4.3.1.1 argument compatibility for the binary string
     * builtins: (plain/xsd:string, plain/xsd:string), (lang, plain), or
@@ -145,6 +146,15 @@ final class ExprCompiler(env: String => Option[Column]) {
     case "ISBLANK" => Terms.isBlank(term(args.head))
     case "ISLITERAL" => isLiteral(term(args.head))
     case "ISNUMERIC" => isNumeric(term(args.head))
+    // SPARQL 1.2: language presence tests; error on non-literals
+    case "HASLANG" =>
+      val t = term(args.head)
+      F.when(!isLiteral(t), F.lit(null).cast(BooleanType))
+        .otherwise(dt(t) === RDF.langString || dt(t) === RDF.dirLangString)
+    case "HASLANGDIR" =>
+      val t = term(args.head)
+      F.when(!isLiteral(t), F.lit(null).cast(BooleanType))
+        .otherwise(dt(t) === RDF.dirLangString)
     case "SAMETERM" => term(args.head) === term(args(1))
     case "ISTRIPLE" => Terms.isQuoted(term(args.head))
     case "CONTAINS" => strBinary(args, _.contains(_))
@@ -175,7 +185,24 @@ final class ExprCompiler(env: String => Option[Column]) {
     case b if ExprCompiler.boolBuiltins(b) => boolTerm(boolCall(b, args))
     case "STR" => strTerm(str(args.head))
     case "LANG" =>
-      strTerm(F.coalesce(lang(term(args.head)), F.lit("")))
+      // SPARQL 1.2: LANG of a directional string is the bare tag — the
+      // encoded `--dir` suffix strips (`--` can't occur inside BCP47)
+      strTerm(F.coalesce(
+        F.split(lang(term(args.head)), "--").getItem(0), F.lit("")))
+    case "LANGDIR" =>
+      // "ltr"/"rtl" for rdf:dirLangString, "" for any other literal,
+      // error (null term) for non-literals — SPARQL 1.2 §17
+      val t = term(args.head)
+      F.when(!isLiteral(t), F.lit(null).cast(Terms.termType))
+        .otherwise(strTerm(F.when(dt(t) === RDF.dirLangString,
+          F.split(lang(t), "--").getItem(1)).otherwise(F.lit(""))))
+    case "STRLANGDIR" =>
+      // dirLangString constructor; an invalid direction is an error
+      val dir = F.lower(str(args(2)))
+      F.when(!dir.isin("ltr", "rtl"), F.lit(null).cast(Terms.termType))
+        .otherwise(F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
+          str(args.head).as("value"), F.lit(RDF.dirLangString).as("dt"),
+          F.concat(str(args(1)), F.lit("--"), dir).as("lang")))
     case "DATATYPE" => mkIri(dt(term(args.head)))
     case "IRI" | "URI" => mkIri(str(args.head))
     case "BNODE" =>
@@ -207,7 +234,8 @@ final class ExprCompiler(env: String => Option[Column]) {
       val lex = F.concat(ts.map(value): _*)
       F.struct(F.lit(KIND_LIT).cast(ByteType).as("kind"),
         lex.cast(StringType).as("value"),
-        F.when(allSameLang, RDF.langString).otherwise(XSD.string).as("dt"),
+        F.when(allSameLang && langs.head.contains("--"), RDF.dirLangString)
+          .when(allSameLang, RDF.langString).otherwise(XSD.string).as("dt"),
         F.when(allSameLang, langs.head).otherwise(nullStr).as("lang"))
     case "SUBSTR" =>
       val s = str(args.head)
@@ -414,7 +442,7 @@ final class ExprCompiler(env: String => Option[Column]) {
 object ExprCompiler {
   val boolBuiltins: Set[String] = Set("BOUND", "ISIRI", "ISURI", "ISBLANK",
     "ISLITERAL", "ISNUMERIC", "SAMETERM", "CONTAINS", "STRSTARTS", "STRENDS",
-    "REGEX", "LANGMATCHES", "ISTRIPLE")
+    "REGEX", "LANGMATCHES", "ISTRIPLE", "HASLANG", "HASLANGDIR")
 
   /** Does the expression (transitively) contain an aggregate? */
   def hasAgg(e: Expr): Boolean = e match {

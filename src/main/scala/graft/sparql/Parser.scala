@@ -63,7 +63,10 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   // INSIDE — `_:b.` is label `b` + statement dot, like PN_LOCAL above
   private val BNODE_LABEL =
     """_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?""".r
-  private val LANGTAG = """@[a-zA-Z]+(-[a-zA-Z0-9]+)*""".r
+  // SPARQL/Turtle 1.2 LANGTAG: optional `--ltr`/`--rtl` base direction
+  // suffix ("x"@en--ltr → rdf:dirLangString). A single '-' still starts
+  // a BCP47 subtag, so the `--` extension is unambiguous.
+  private val LANGTAG = """@[a-zA-Z]+(-[a-zA-Z0-9]+)*(--(?:ltr|rtl))?""".r
   private val INTEGER = """[+-]?[0-9]+""".r
   private val DECIMAL = """[+-]?[0-9]*\.[0-9]+""".r
   private val DOUBLE = """[+-]?([0-9]+\.[0-9]*[eE][+-]?[0-9]+|\.?[0-9]+[eE][+-]?[0-9]+)""".r
@@ -387,8 +390,13 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
 
   private val zeroArg = Set("RAND", "NOW", "UUID", "STRUUID", "BNODE")
   private val builtinNames = Seq(
-    "STRLEN", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "STRLANG",
-    "STRDT", "STR", "LANGMATCHES", "LANG", "DATATYPE", "BOUND", "IRI", "URI",
+    // longer names BEFORE their prefixes (STRLANGDIR before STRLANG,
+    // LANGMATCHES/LANGDIR before LANG, HASLANGDIR before HASLANG) —
+    // the keyword alternation tries in order
+    "STRLEN", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "STRLANGDIR",
+    "STRLANG",
+    "STRDT", "STR", "LANGMATCHES", "LANGDIR", "LANG", "HASLANGDIR",
+    "HASLANG", "DATATYPE", "BOUND", "IRI", "URI",
     "BNODE", "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "UCASE",
     "LCASE", "ENCODE_FOR_URI", "CONTAINS", "YEAR", "MONTH", "DAY", "HOURS",
     "MINUTES", "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5",

@@ -269,9 +269,18 @@ class OperatorSpec extends SparkSpec {
     }
     assert(remote.getMessage.contains("file://"))
     val unknown = intercept[GraftException] {
-      e.update(s"LOAD <file://${dir.getAbsolutePath}/doc.jsonld>")
+      e.update(s"LOAD <file://${dir.getAbsolutePath}/doc.csv>")
     }
     assert(unknown.getMessage.contains("format"))
+    // .jsonld is a supported LOAD format (named graphs flatten into
+    // the default graph per SPARQL 1.1 LOAD's single-graph semantics)
+    val jld = new java.io.File(dir, "doc.jsonld")
+    java.nio.file.Files.writeString(jld.toPath,
+      """{"@id": "http://example.com/j", "@graph": [
+           {"@id": "http://example.com/w",
+            "http://example.com/label": "json-ld"}]}""")
+    e.update(s"LOAD <file://${jld.getAbsolutePath}>")
+    assert(e.graph.size == 4)
   }
 
   test("GROUP BY + HAVING + ORDER BY DESC(count)") {
