@@ -37,9 +37,11 @@ import graft.rdf._
   *    `{@value, @type | @language}`, type coercion incl. `@id` /
   *    `@vocab`, default and term `@language`, `@list` / `@set` and the
   *    `@list`, `@language`, `@index` containers.
+  *  - containers: `@list`, `@set`, `@index`, `@language`, and the 1.1
+  *    `@id` / `@type` maps.
   *  - NOT supported (loud `JsonLdParseException`, never silent):
-  *    remote/string contexts, `@container: @id|@type|@graph` maps,
-  *    `@nest`, `@type: @json` literals, scoped contexts.
+  *    remote/string contexts, `@container: @graph` maps, `@nest`,
+  *    `@type: @json` literals, scoped contexts.
   *
   * Writers, split like the other formats:
   *  - [[serialize]] — driver-side COMPACTED document (display/export
@@ -230,10 +232,11 @@ object JsonLd {
                 b.result()
               } else err(s"term '$term': @container must be string or array")
             items.foreach {
-              case "@list" | "@set" | "@index" | "@language" => ()
+              case "@list" | "@set" | "@index" | "@language" | "@id" |
+                   "@type" => ()
               case other => err(
                 s"term '$term': @container $other is not supported " +
-                  "(supported: @list, @set, @index, @language)")
+                  "(supported: @list, @set, @index, @language, @id, @type)")
             }
             if (items.contains("@list") && items.size > 1)
               err(s"term '$term': @list combines with no other container")
@@ -592,6 +595,51 @@ object JsonLd {
         } else if (td.container.contains("@index")) {
           if (!v.isObject) err(s"$orig: an index map must be an object")
           v.fields.forEachRemaining(e => asArray(e.getValue).foreach(one))
+        } else if (td.container.contains("@id")) {
+          // id map (JSON-LD 1.1 §4.6.7): each key becomes the node's
+          // @id unless the node carries its own; "@none" injects none
+          if (!v.isObject) err(s"$orig: an id map must be an object")
+          v.fields.forEachRemaining { e =>
+            asArray(e.getValue).foreach { item =>
+              if (!item.isObject) err(s"$orig: id-map values are node objects")
+              val node = item.deepCopy[ObjectNode]()
+              val hasId = expandKeys(node, ctx).exists(_._1 == "@id")
+              if (e.getKey != "@none" && !hasId) {
+                val id = expandIri(ctx, e.getKey, vocabMode = false,
+                  docRel = true)
+                if (id != null) node.put("@id", id)
+              }
+              one(node)
+            }
+          }
+        } else if (td.container.contains("@type")) {
+          // type map (§4.6.8): each key adds an rdf:type to the node;
+          // "@none" adds none
+          if (!v.isObject) err(s"$orig: a type map must be an object")
+          v.fields.forEachRemaining { e =>
+            asArray(e.getValue).foreach { item =>
+              val node: ObjectNode = item match {
+                case o: ObjectNode => o.deepCopy[ObjectNode]()
+                case s if s.isTextual =>
+                  // a bare string is a node reference: {"@id": s}
+                  val o = JsonNodeFactory.instance.objectNode()
+                  o.put("@id", s.asText); o
+                case other => err(s"$orig: type-map values are node objects")
+              }
+              if (e.getKey != "@none") {
+                val t = expandIri(ctx, e.getKey, vocabMode = true,
+                  docRel = true)
+                if (t != null) {
+                  val existing = Option(node.get("@type")).toSeq
+                    .flatMap(asArray)
+                  val arr = node.putArray("@type")
+                  arr.add(t)
+                  existing.foreach(x => arr.add(x))
+                }
+              }
+              one(node)
+            }
+          }
         } else if (td.container.contains("@list")) {
           val items = v match {
             case o: ObjectNode if o.has("@list") => // explicit list object

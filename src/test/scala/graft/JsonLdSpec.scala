@@ -207,9 +207,47 @@ class JsonLdSpec extends SparkSpec {
       (Iri(EX + "s"), Iri(EX + "v"), Lit("3", XSD.ns + "integer", null))))
   }
 
-  test("unsupported @container @id map is a loud error") {
+  test("@container @id maps key node ids; own @id wins; @none is anonymous") {
+    val doc = s"""{
+      "@context": {"m": {"@id": "${EX}m", "@container": "@id"}},
+      "@id": "${EX}s",
+      "m": {
+        "${EX}k1": {"${EX}v": 1},
+        "${EX}k2": {"@id": "${EX}own", "${EX}v": 2},
+        "@none": {"${EX}v": 3}
+      }
+    }"""
+    val ts = triples(doc)
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "m"), Iri(EX + "k1"))))
+    assert(ts.contains((Iri(EX + "k1"), Iri(EX + "v"),
+      Lit("1", XSD.ns + "integer", null))))
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "m"), Iri(EX + "own"))))
+    assert(!ts.exists(_._1 == Iri(EX + "k2")))
+    val Some((_, _, anon)) = ts.find { case (s, p, o) =>
+      s == Iri(EX + "s") && p == Iri(EX + "m") && o.isInstanceOf[Blank]
+    }: @unchecked
+    assert(ts.contains((anon, Iri(EX + "v"), Lit("3", XSD.ns + "integer", null))))
+  }
+
+  test("@container @type maps add a type from the key") {
+    val doc = s"""{
+      "@context": {"kind": {"@id": "${EX}kind", "@container": "@type"}},
+      "@id": "${EX}s",
+      "kind": {"${EX}Article": {"@id": "${EX}a"},
+               "@none": "${EX}b"}
+    }"""
+    val ts = triples(doc)
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "kind"), Iri(EX + "a"))))
+    assert(ts.contains((Iri(EX + "a"), Iri(RDF.ns + "type"),
+      Iri(EX + "Article"))))
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "kind"), Iri(EX + "b"))))
+    assert(!ts.exists { case (s, p, _) =>
+      s == Iri(EX + "b") && p == Iri(RDF.ns + "type") })
+  }
+
+  test("@container @graph stays a loud error") {
     intercept[JsonLdParseException](triples(
-      s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@id"}},
+      s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@graph"}},
            "@id": "${EX}s", "m": {}}"""))
   }
 

@@ -622,9 +622,12 @@ object Drive {
     locally {
       val doc = """{
         "@context": {"ex": "http://example.com/",
-                     "knows": {"@id": "ex:knows", "@type": "@id"}},
+                     "knows": {"@id": "ex:knows", "@type": "@id"},
+                     "post": {"@id": "ex:post", "@container": "@id"}},
         "@id": "ex:alice", "ex:name": "Alice", "ex:age": 31,
         "knows": {"@id": "_:b"},
+        "ex:motto": {"@value": "forward", "@language": "en", "@direction": "ltr"},
+        "post": {"ex:p1": {"ex:body": "hello"}},
         "ex:tags": {"@list": ["x", "y"]}
       }"""
       val g = graft.sources.JsonLd.parse(doc, spark)
