@@ -39,9 +39,13 @@ import graft.rdf._
   *    `@list`, `@language`, `@index` containers.
   *  - containers: `@list`, `@set`, `@index`, `@language`, and the 1.1
   *    `@id` / `@type` maps.
+  *  - PROPERTY-scoped contexts (a term definition's own `@context`,
+  *    processed at each use site and propagating into nested nodes,
+  *    the 1.1 default).
   *  - NOT supported (loud `JsonLdParseException`, never silent):
   *    remote/string contexts, `@container: @graph` maps, `@nest`,
-  *    `@type: @json` literals, scoped contexts.
+  *    `@type: @json` literals, TYPE-scoped contexts (a scoped context
+  *    on a term used as `@type` is stored but never activated).
   *
   * Writers, split like the other formats:
   *  - [[serialize]] — driver-side COMPACTED document (display/export
@@ -91,7 +95,10 @@ object JsonLd {
       lang: Option[Option[String]] = None,
       container: Set[String] = Set.empty,
       reverse: Boolean = false,
-      prefix: Boolean = false)
+      prefix: Boolean = false,
+      /** Property-scoped `@context` (raw JSON) — processed against the
+        * active context each time the term is used as a property. */
+      scoped: Option[JsonNode] = None)
 
   private final case class Ctx(
       base: String,
@@ -183,7 +190,7 @@ object JsonLd {
           val o = v.asInstanceOf[ObjectNode]
           o.fieldNames.forEachRemaining { k =>
             if (!Set("@id", "@type", "@language", "@container", "@reverse",
-                "@prefix").contains(k))
+                "@prefix", "@context").contains(k))
               err(s"unsupported key '$k' in the definition of term '$term'")
           }
           val reverse = o.has("@reverse")
@@ -248,7 +255,8 @@ object JsonLd {
             if (!p.isBoolean) err(s"term '$term': @prefix must be a boolean")
             p.asBoolean
           }
-          TermDef(iri, tpe, lng, containers, reverse, prefixFlag)
+          TermDef(iri, tpe, lng, containers, reverse, prefixFlag,
+            scoped = Option(o.get("@context")))
         } else err(s"invalid term definition for '$term'")
 
       defs(term) = td
@@ -572,8 +580,12 @@ object JsonLd {
           IriRef.isAbsolute(expanded)) {
         val p = Iri(expanded)
         val td = ctx.terms.getOrElse(orig, TermDef(expanded))
+        // property-scoped context: processed against the ACTIVE context
+        // at each use site (json-ld11 §4.1.8)
+        val vctx = td.scoped.map(processContext(ctx, _, ctx.base))
+          .getOrElse(ctx)
         def one(item: JsonNode): Unit =
-          termOf(item, ctx, td, st, g).foreach { o =>
+          termOf(item, vctx, td, st, g).foreach { o =>
             if (td.reverse) {
               if (o.isInstanceOf[Lit])
                 err(s"reverse property $orig cannot take a literal")
@@ -603,9 +615,9 @@ object JsonLd {
             asArray(e.getValue).foreach { item =>
               if (!item.isObject) err(s"$orig: id-map values are node objects")
               val node = item.deepCopy[ObjectNode]()
-              val hasId = expandKeys(node, ctx).exists(_._1 == "@id")
+              val hasId = expandKeys(node, vctx).exists(_._1 == "@id")
               if (e.getKey != "@none" && !hasId) {
-                val id = expandIri(ctx, e.getKey, vocabMode = false,
+                val id = expandIri(vctx, e.getKey, vocabMode = false,
                   docRel = true)
                 if (id != null) node.put("@id", id)
               }
@@ -627,7 +639,7 @@ object JsonLd {
                 case other => err(s"$orig: type-map values are node objects")
               }
               if (e.getKey != "@none") {
-                val t = expandIri(ctx, e.getKey, vocabMode = true,
+                val t = expandIri(vctx, e.getKey, vocabMode = true,
                   docRel = true)
                 if (t != null) {
                   val existing = Option(node.get("@type")).toSeq
@@ -647,7 +659,7 @@ object JsonLd {
             case _ => asArray(v)
           }
           val terms = items.flatMap(
-            termOf(_, ctx, td.copy(container = Set.empty), st, g))
+            termOf(_, vctx, td.copy(container = Set.empty), st, g))
           st.emit(id, p, rdfList(terms, st, g), g)
         } else asArray(v).foreach { item =>
           item match {

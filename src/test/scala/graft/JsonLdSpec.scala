@@ -245,6 +245,31 @@ class JsonLdSpec extends SparkSpec {
       s == Iri(EX + "b") && p == Iri(RDF.ns + "type") })
   }
 
+  test("property-scoped contexts apply at the use site and propagate") {
+    val doc = s"""{
+      "@context": {
+        "ex": "$EX",
+        "detail": {"@id": "ex:detail", "@context": {
+          "name": "ex:scopedName",
+          "@language": "fr"
+        }}
+      },
+      "@id": "ex:s",
+      "ex:name": "outer",
+      "detail": {"@id": "ex:d", "name": "inner",
+                 "ex:deeper": {"@id": "ex:dd", "name": "deepest"}}
+    }"""
+    val ts = triples(doc)
+    // outside the scope, "name" is not a term and "outer" keeps no tag
+    assert(ts.contains((Iri(EX + "s"), Iri(EX + "name"), Lit.plain("outer"))))
+    // inside: "name" maps to ex:scopedName and the default language
+    // applies; the scope PROPAGATES into nested nodes (1.1 default)
+    assert(ts.contains((Iri(EX + "d"), Iri(EX + "scopedName"),
+      Lit.tagged("inner", "fr"))))
+    assert(ts.contains((Iri(EX + "dd"), Iri(EX + "scopedName"),
+      Lit.tagged("deepest", "fr"))))
+  }
+
   test("@container @graph stays a loud error") {
     intercept[JsonLdParseException](triples(
       s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@graph"}},

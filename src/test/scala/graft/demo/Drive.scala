@@ -623,11 +623,12 @@ object Drive {
       val doc = """{
         "@context": {"ex": "http://example.com/",
                      "knows": {"@id": "ex:knows", "@type": "@id"},
-                     "post": {"@id": "ex:post", "@container": "@id"}},
+                     "post": {"@id": "ex:post", "@container": "@id",
+                              "@context": {"body": "ex:body"}}},
         "@id": "ex:alice", "ex:name": "Alice", "ex:age": 31,
         "knows": {"@id": "_:b"},
         "ex:motto": {"@value": "forward", "@language": "en", "@direction": "ltr"},
-        "post": {"ex:p1": {"ex:body": "hello"}},
+        "post": {"ex:p1": {"body": "hello"}},
         "ex:tags": {"@list": ["x", "y"]}
       }"""
       val g = graft.sources.JsonLd.parse(doc, spark)
