@@ -142,8 +142,19 @@ object Canon {
       sha256Hex(input)
     }
 
-    // hash n-degree quads (REC §4.9)
-    def hashNDegree(b: String, pathIssuer: Issuer): (String, Issuer) = {
+    // hash n-degree quads (REC §4.9). `depth` guards the recursion: a
+    // long fully-symmetric chain (every interior bnode first-degree-
+    // identical) recurses once per node and would overflow the JVM
+    // stack long before the step cap trips — fail loudly instead.
+    def hashNDegree(b: String, pathIssuer: Issuer,
+        depth: Int = 0): (String, Issuer) = {
+      // each level spends ~15-20 JVM frames (permutation iterator +
+      // closures), so the guard must sit well under the default 1 MiB
+      // thread stack; 200 mutually-symmetric recursion levels is far
+      // beyond any non-adversarial graph
+      if (depth > 200) throw new CanonException(
+        "canonicalization recursion exceeded depth 200 — poison graph? " +
+          "(a long chain of first-degree-identical blank nodes)")
       var issuer = pathIssuer
       val hn = mutable.Map[String, mutable.ArrayBuffer[String]]()
       mention(b).foreach { q =>
@@ -182,7 +193,7 @@ object Canon {
           if (!aborted) {
             recursion.foreach { related =>
               if (!aborted) {
-                val (h, after) = hashNDegree(related, issuerCopy)
+                val (h, after) = hashNDegree(related, issuerCopy, depth + 1)
                 path.append("_:" + issuerCopy.issue(related))
                 path.append("<" + h + ">")
                 issuerCopy = after

@@ -127,6 +127,30 @@ class CanonSpec extends SparkSpec {
     assert(h.matches("[0-9a-f]{64}"))
   }
 
+  test("a long symmetric bnode chain fails loudly, never StackOverflow") {
+    // every interior node of an unlabeled chain is first-degree
+    // identical, so N-degree hashing recurses node-by-node — the depth
+    // guard must convert that into a CanonException
+    val n = 5000
+    val quads = (0 until n).map(i =>
+      q(Blank(s"c$i"), iri("n"), Blank(s"c${i + 1}")))
+    intercept[Canon.CanonException](Canon.canonicalLabels(quads,
+      maxSteps = Long.MaxValue))
+  }
+
+  test("a long chain WITH distinguishing payloads canonicalizes fine") {
+    // payloads make every first-degree hash unique — no N-degree pass,
+    // linear work, no recursion
+    val n = 5000
+    val quads = (0 until n).flatMap(i => Seq(
+      q(Blank(s"c$i"), iri("n"), Blank(s"c${i + 1}")),
+      q(Blank(s"c$i"), iri("v"), Lit(i.toString, XSD.ns + "integer", null))))
+    val labels = Canon.canonicalLabels(quads)
+    assert(labels.size == n + 1)
+    assert(Canon.canonicalNQuads(quads) ==
+      Canon.canonicalNQuads(relabel(quads.reverse, l => "x" + l)))
+  }
+
   test("the work cap rejects poison graphs loudly") {
     // K_n on bnodes with one predicate: all first-degree hashes equal,
     // the permutation walk explodes — must throw, not spin
