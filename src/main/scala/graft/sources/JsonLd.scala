@@ -42,8 +42,11 @@ import graft.rdf._
   *  - PROPERTY-scoped contexts (a term definition's own `@context`,
   *    processed at each use site and propagating into nested nodes,
   *    the 1.1 default).
+  *  - `@nest` keys (and aliases): purely syntactic grouping, entries
+  *    expand onto the parent node; term-definition `@nest` members are
+  *    not supported.
   *  - NOT supported (loud `JsonLdParseException`, never silent):
-  *    remote/string contexts, `@container: @graph` maps, `@nest`,
+  *    remote/string contexts, `@container: @graph` maps,
   *    `@type: @json` literals, TYPE-scoped contexts (a scoped context
   *    on a term used as `@type` is stored but never activated).
   *
@@ -518,7 +521,6 @@ object JsonLd {
     val byExpanded = origKeys.groupBy(_._2)
 
     byExpanded.keys.foreach {
-      case "@nest" => err("@nest is not supported")
       case k if k == "@value" || k == "@list" || k == "@set" =>
         err(s"$k cannot appear in a node object")
       case _ => ()
@@ -575,8 +577,27 @@ object JsonLd {
     for ((_, _, v) <- byExpanded.getOrElse("@included", Nil))
       asArray(v).foreach(item => termOf(item, ctx, TermDef(null), st, g))
 
-    for ((orig, expanded, v) <- origKeys) {
-      if (!expanded.startsWith("@") && !expanded.startsWith("_:") &&
+    def processProp(orig: String, expanded: String, v: JsonNode): Unit = {
+      if (expanded == "@nest") {
+        // @nest (json-ld11 §4.3.3): a purely syntactic grouping — the
+        // nest object's entries expand as if they sat on the PARENT
+        // node (nest objects may nest further; value objects may not)
+        asArray(v).foreach { item =>
+          if (!item.isObject) err("@nest values must be maps")
+          val inner = Seq.newBuilder[(String, String, JsonNode)]
+          item.fields.forEachRemaining { e =>
+            if (e.getKey != "@context") {
+              val k = expandIri(ctx, e.getKey, vocabMode = true,
+                docRel = false)
+              if (k != null) inner += ((e.getKey, k, e.getValue))
+            }
+          }
+          val fields = inner.result()
+          if (fields.exists(_._2 == "@value"))
+            err("a nest object cannot be a value object")
+          fields.foreach { case (io, ie, iv) => processProp(io, ie, iv) }
+        }
+      } else if (!expanded.startsWith("@") && !expanded.startsWith("_:") &&
           IriRef.isAbsolute(expanded)) {
         val p = Iri(expanded)
         val td = ctx.terms.getOrElse(orig, TermDef(expanded))
@@ -670,6 +691,7 @@ object JsonLd {
         }
       }
     }
+    for ((orig, expanded, v) <- origKeys) processProp(orig, expanded, v)
     id
   }
 

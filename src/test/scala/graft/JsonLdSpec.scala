@@ -352,12 +352,26 @@ class JsonLdSpec extends SparkSpec {
     intercept[JsonLdParseException](triples(""""just a string""""))
   }
 
-  test("@nest and @type: @json are rejected loudly") {
-    intercept[JsonLdParseException](triples(
-      s"""{"@context": {"n": "@nest"}, "@id": "${EX}s", "@nest": {}}"""))
+  test("@type: @json is rejected loudly") {
     intercept[JsonLdParseException](triples(
       s"""{"@context": {"j": {"@id": "${EX}j", "@type": "@json"}},
            "@id": "${EX}s", "j": {"k": 1}}"""))
+  }
+
+  test("@nest entries expand onto the parent node (incl. aliases)") {
+    val doc = s"""{
+      "@context": {"ex": "$EX", "meta": "@nest"},
+      "@id": "ex:s",
+      "meta": {"ex:a": 1, "@nest": {"ex:b": 2}},
+      "ex:c": 3
+    }"""
+    assert(triples(doc) == Set(
+      (Iri(EX + "s"), Iri(EX + "a"), Lit("1", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "b"), Lit("2", XSD.ns + "integer", null)),
+      (Iri(EX + "s"), Iri(EX + "c"), Lit("3", XSD.ns + "integer", null))))
+    // a nest object that is a value object is an error
+    intercept[JsonLdParseException](triples(
+      s"""{"@id": "${EX}s", "@nest": {"@value": "x"}}"""))
   }
 
   // -------------------------------------------------------- serializers

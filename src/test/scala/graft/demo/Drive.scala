@@ -629,6 +629,7 @@ object Drive {
         "knows": {"@id": "_:b"},
         "ex:motto": {"@value": "forward", "@language": "en", "@direction": "ltr"},
         "post": {"ex:p1": {"body": "hello"}},
+        "@nest": {"ex:nested": "grouped"},
         "ex:tags": {"@list": ["x", "y"]}
       }"""
       val g = graft.sources.JsonLd.parse(doc, spark)
