@@ -39,16 +39,17 @@ import graft.rdf._
   *    `@list`, `@language`, `@index` containers.
   *  - containers: `@list`, `@set`, `@index`, `@language`, and the 1.1
   *    `@id` / `@type` maps.
-  *  - PROPERTY-scoped contexts (a term definition's own `@context`,
-  *    processed at each use site and propagating into nested nodes,
-  *    the 1.1 default).
+  *  - SCOPED contexts: property-scoped (processed at each use site,
+  *    propagating into nested nodes, the 1.1 default) and type-scoped
+  *    (activated by `@type` values in lexical order, reverting on the
+  *    next node object per the non-propagation default; `@propagate`
+  *    overrides are not supported).
   *  - `@nest` keys (and aliases): purely syntactic grouping, entries
   *    expand onto the parent node; term-definition `@nest` members are
   *    not supported.
   *  - NOT supported (loud `JsonLdParseException`, never silent):
   *    remote/string contexts, `@container: @graph` maps,
-  *    `@type: @json` literals, TYPE-scoped contexts (a scoped context
-  *    on a term used as `@type` is stored but never activated).
+  *    `@type: @json` literals.
   *
   * Writers, split like the other formats:
   *  - [[serialize]] — driver-side COMPACTED document (display/export
@@ -107,7 +108,12 @@ object JsonLd {
       base: String,
       vocab: Option[String],
       lang: Option[String],
-      terms: Map[String, TermDef])
+      terms: Map[String, TermDef],
+      /** Set when a TYPE-scoped context was applied: the context to
+        * restore for nested node objects (type-scoped contexts do not
+        * propagate, json-ld11 §4.1.9). Property-scoped and inline
+        * contexts clear it (they do propagate). */
+      previous: Option[Ctx] = None)
 
   private def initialCtx(docBase: String): Ctx =
     Ctx(docBase, None, None, Map.empty)
@@ -271,7 +277,7 @@ object JsonLd {
       else if (!Set("@base", "@vocab", "@language", "@version").contains(k))
         err(s"unsupported context keyword $k")
     }
-    Ctx(base, vocab, lang, defs.toMap)
+    Ctx(base, vocab, lang, defs.toMap) // previous = None: propagating
   }
 
   /** IRI expansion (json-ld11-api §5.2): keyword pass-through, term
@@ -498,8 +504,42 @@ object JsonLd {
     * subject term. */
   private def nodeObject(obj: ObjectNode, outer: Ctx, g: Option[RdfTerm],
       st: ToRdf): RdfTerm = {
-    val ctx = Option(obj.get("@context"))
-      .map(processContext(outer, _, outer.base)).getOrElse(outer)
+    // a non-propagating (type-scoped) context reverts on the next node
+    // object — except a pure node REFERENCE, whose @id still expands
+    // under it (json-ld11-api expansion step 8)
+    val isNodeRef = {
+      var only = true
+      obj.fieldNames.forEachRemaining { k =>
+        if (expandIri(outer, k, vocabMode = true, docRel = false) != "@id")
+          only = false
+      }
+      only && obj.size > 0
+    }
+    val outerEff =
+      if (isNodeRef) outer else outer.previous.getOrElse(outer)
+    val ctx0 = Option(obj.get("@context"))
+      .map(processContext(outerEff, _, outerEff.base)).getOrElse(outerEff)
+
+    // TYPE-scoped contexts (§4.1.9): a scoped context on a term used as
+    // a value of @type activates for THIS node, in lexical order of the
+    // raw type strings, and does not propagate (previous = ctx0)
+    val rawTypes = {
+      val b = Seq.newBuilder[String]
+      obj.fields.forEachRemaining { e =>
+        if (e.getKey != "@context" &&
+            expandIri(ctx0, e.getKey, vocabMode = true,
+              docRel = false) == "@type")
+          asArray(e.getValue).foreach(t => if (t.isTextual) b += t.asText)
+      }
+      b.result()
+    }
+    val ctx = rawTypes.sorted.foldLeft(ctx0) { (c, t) =>
+      c.terms.get(t).flatMap(_.scoped) match {
+        case Some(sc) => processContext(c, sc, c.base)
+          .copy(previous = Some(ctx0.copy(previous = None)))
+        case None => c
+      }
+    }
     // surface prefix-shaped top-level terms for display round trips
     ctx.terms.foreach { case (t, td) =>
       if (td != null && td.iri != null && td.prefix && !t.contains(':') &&

@@ -270,6 +270,43 @@ class JsonLdSpec extends SparkSpec {
       Lit.tagged("deepest", "fr"))))
   }
 
+  test("type-scoped contexts activate on @type and do not propagate") {
+    val doc = s"""{
+      "@context": {
+        "ex": "$EX",
+        "Person": {"@id": "ex:Person",
+                   "@context": {"name": "ex:personName"}}
+      },
+      "@id": "ex:p",
+      "@type": "Person",
+      "name": "Ada",
+      "ex:knows": {"@id": "ex:q", "ex:name": "untyped child",
+                   "name": "dropped — scope must not propagate"}
+    }"""
+    val ts = triples(doc)
+    assert(ts.contains((Iri(EX + "p"), Iri(RDF.ns + "type"),
+      Iri(EX + "Person"))))
+    assert(ts.contains((Iri(EX + "p"), Iri(EX + "personName"),
+      Lit.plain("Ada"))))
+    // inside the child, "name" is no longer a term (scope reverted)
+    assert(ts.contains((Iri(EX + "q"), Iri(EX + "name"),
+      Lit.plain("untyped child"))))
+    assert(!ts.exists { case (s, p, _) =>
+      s == Iri(EX + "q") && p == Iri(EX + "personName") })
+    // ...but a TYPED child re-activates it
+    val doc2 = s"""{
+      "@context": {
+        "ex": "$EX",
+        "Person": {"@id": "ex:Person",
+                   "@context": {"name": "ex:personName"}}
+      },
+      "@id": "ex:p", "@type": "Person",
+      "ex:knows": {"@id": "ex:q", "@type": "Person", "name": "child"}
+    }"""
+    assert(triples(doc2).contains((Iri(EX + "q"), Iri(EX + "personName"),
+      Lit.plain("child"))))
+  }
+
   test("@container @graph stays a loud error") {
     intercept[JsonLdParseException](triples(
       s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@graph"}},

@@ -624,8 +624,11 @@ object Drive {
         "@context": {"ex": "http://example.com/",
                      "knows": {"@id": "ex:knows", "@type": "@id"},
                      "post": {"@id": "ex:post", "@container": "@id",
-                              "@context": {"body": "ex:body"}}},
-        "@id": "ex:alice", "ex:name": "Alice", "ex:age": 31,
+                              "@context": {"body": "ex:body"}},
+                     "Person": {"@id": "ex:Person",
+                                "@context": {"name": "ex:personName"}}},
+        "@type": "Person",
+        "@id": "ex:alice", "name": "Alice", "ex:age": 31,
         "knows": {"@id": "_:b"},
         "ex:motto": {"@value": "forward", "@language": "en", "@direction": "ltr"},
         "post": {"ex:p1": {"body": "hello"}},
