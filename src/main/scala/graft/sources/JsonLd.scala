@@ -23,10 +23,7 @@ import graft.rdf._
   *    `{@id, @type, @language, @container, @reverse, @prefix}`;
   *    keyword aliases; compact IRIs (terms defined as simple strings
   *    act as prefixes, 1.0-style; expanded definitions only with
-  *    `@prefix: true`). Remote contexts (a string where a context is
-  *    expected) are REJECTED — this engine performs no document
-  *    retrieval at parse time, matching the zero-egress posture of the
-  *    other sources.
+  *    `@prefix: true`).
   *  - node objects: `@id` (IRI / compact IRI / `_:` label), `@type`,
   *    nested node objects and references, `@reverse` (key and term
   *    definitions), `@graph` (top-level default graph and named
@@ -47,8 +44,13 @@ import graft.rdf._
   *  - `@nest` keys (and aliases): purely syntactic grouping, entries
   *    expand onto the parent node; term-definition `@nest` members are
   *    not supported.
+  *  - remote context REFERENCES resolve against a caller-supplied
+  *    OFFLINE map of pre-fetched documents (`contexts` parameter);
+  *    an unmapped reference fails loudly — the engine itself never
+  *    retrieves anything, matching the zero-egress posture of the
+  *    other sources.
   *  - NOT supported (loud `JsonLdParseException`, never silent):
-  *    remote/string contexts, `@container: @graph` maps,
+  *    unmapped remote contexts, `@container: @graph` maps,
   *    `@type: @json` literals.
   *
   * Writers, split like the other formats:
@@ -113,22 +115,49 @@ object JsonLd {
         * restore for nested node objects (type-scoped contexts do not
         * propagate, json-ld11 §4.1.9). Property-scoped and inline
         * contexts clear it (they do propagate). */
-      previous: Option[Ctx] = None)
+      previous: Option[Ctx] = None,
+      /** Caller-supplied OFFLINE context documents (IRI → raw JSON):
+        * a context reference resolves here or fails loudly — the
+        * engine never fetches. Constant through one parse. */
+      docs: Map[String, String] = Map.empty)
 
-  private def initialCtx(docBase: String): Ctx =
-    Ctx(docBase, None, None, Map.empty)
+  private def initialCtx(docBase: String,
+      docs: Map[String, String] = Map.empty): Ctx =
+    Ctx(docBase, None, None, Map.empty, docs = docs)
 
   private def processContext(active: Ctx, value: JsonNode,
-      docBase: String): Ctx = {
-    if (value == null || value.isNull) return initialCtx(docBase)
+      docBase: String, loading: Set[String] = Set.empty): Ctx = {
+    if (value == null || value.isNull)
+      return initialCtx(docBase, active.docs)
     if (value.isArray) {
       var c = active
-      value.forEach { v => c = processContext(c, v, docBase) }
+      value.forEach { v => c = processContext(c, v, docBase, loading) }
       return c
     }
-    if (value.isTextual)
-      err("remote contexts are not supported (no document retrieval " +
-        s"at parse time): ${value.asText}")
+    if (value.isTextual) {
+      // a context REFERENCE: resolved against the caller-supplied
+      // offline document map — never fetched (zero-egress posture)
+      val iri = IriRef.resolve(active.base, value.asText)
+      if (loading.contains(iri))
+        err(s"cyclic context reference: <$iri>")
+      active.docs.get(iri).orElse(active.docs.get(value.asText)) match {
+        case None => err(
+          s"context <$iri> is not in the supplied offline context map " +
+            "(this engine performs no document retrieval at parse " +
+            "time — pre-fetch it and pass it via `contexts`)")
+        case Some(docText) =>
+          val doc = try mapper().readTree(docText) catch { case e: Exception =>
+            err(s"context document <$iri> is malformed JSON: ${e.getMessage}")
+          }
+          val inner = doc match {
+            case o: ObjectNode => o.get("@context")
+            case _ => null
+          }
+          if (inner == null) err(
+            s"context document <$iri> has no top-level @context member")
+          return processContext(active, inner, docBase, loading + iri)
+      }
+    }
     if (!value.isObject) err(s"@context must be an object, array or null")
     val obj = value.asInstanceOf[ObjectNode]
 
@@ -737,28 +766,34 @@ object JsonLd {
 
   // -------------------------------------------------------------- parse
 
-  /** Parse one JSON-LD document to quads (graph `None` = default). */
-  def parseQuads(json: String, base: String = "")
+  /** Parse one JSON-LD document to quads (graph `None` = default).
+    * `contexts` maps context IRIs to their PRE-FETCHED raw JSON —
+    * the offline resolution path for documents that reference remote
+    * contexts (the engine itself never retrieves anything). */
+  def parseQuads(json: String, base: String = "",
+      contexts: Map[String, String] = Map.empty)
       : Seq[(RdfTerm, RdfTerm, RdfTerm, Option[RdfTerm])] = {
     val st = new ToRdf
-    parseInto(json, base, st)
+    parseInto(json, base, st, contexts)
     st.out.toSeq.distinct
   }
 
   /** Triples of the default graph plus all named graphs flattened —
     * for callers that want a plain graph view. */
-  def parseTriples(json: String, base: String = "")
+  def parseTriples(json: String, base: String = "",
+      contexts: Map[String, String] = Map.empty)
       : Seq[(RdfTerm, RdfTerm, RdfTerm)] =
-    parseQuads(json, base).map { case (s, p, o, _) => (s, p, o) }
+    parseQuads(json, base, contexts).map { case (s, p, o, _) => (s, p, o) }
 
-  private def parseInto(json: String, base: String, st: ToRdf): Unit = {
+  private def parseInto(json: String, base: String, st: ToRdf,
+      contexts: Map[String, String] = Map.empty): Unit = {
     val root =
       try mapper().readTree(json)
       catch { case e: Exception =>
         err(s"malformed JSON: ${e.getMessage}")
       }
     if (root == null) err("empty document")
-    val ctx = initialCtx(base)
+    val ctx = initialCtx(base, contexts)
     root match {
       case a: ArrayNode =>
         a.forEach {
@@ -774,9 +809,10 @@ object JsonLd {
   /** Parse into an [[RdfGraph]] (quad store if any named graph appears,
     * plain triple graph otherwise); prefix-shaped context terms carry
     * over for display. */
-  def parse(json: String, spark: SparkSession, base: String = ""): RdfGraph = {
+  def parse(json: String, spark: SparkSession, base: String = "",
+      contexts: Map[String, String] = Map.empty): RdfGraph = {
     val st = new ToRdf
-    parseInto(json, base, st)
+    parseInto(json, base, st, contexts)
     graphOf(spark, st)
   }
 
@@ -793,7 +829,8 @@ object JsonLd {
     * back into a graph. Directory parts fold in name-sorted order into
     * ONE blank-node scope (concatenation semantics — a labeled bnode
     * split across parts stays one node), matching `Turtle.read`. */
-  def read(spark: SparkSession, path: String, base: String = ""): RdfGraph = {
+  def read(spark: SparkSession, path: String, base: String = "",
+      contexts: Map[String, String] = Map.empty): RdfGraph = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -811,7 +848,7 @@ object JsonLd {
       val text =
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      parseInto(text, base, st)
+      parseInto(text, base, st, contexts)
     }
     graphOf(spark, st)
   }

@@ -77,10 +77,33 @@ class JsonLdSpec extends SparkSpec {
     assert(triples(doc) == Set((Iri(EX + "s"), Iri(EX + "p"), Lit.plain("v"))))
   }
 
-  test("remote (string) contexts are rejected loudly") {
+  test("an UNMAPPED remote context is rejected loudly") {
     val e = intercept[JsonLdParseException](
       triples("""{"@context": "http://example.com/ctx.jsonld", "a": "b"}"""))
-    assert(e.getMessage.contains("remote contexts"))
+    assert(e.getMessage.contains("offline context map"), e.getMessage)
+  }
+
+  test("remote contexts resolve from the caller-supplied offline map") {
+    val ctxDoc = s"""{"@context": {"ex": "$EX", "name": "ex:name"}}"""
+    // a context document may itself reference another
+    val chained = """{"@context": ["https://ctx.example/v1",
+                                   {"age": "ex:age"}]}"""
+    val doc = """{
+      "@context": "https://ctx.example/v2",
+      "@id": "ex:s", "name": "n", "age": 4
+    }"""
+    val ts = JsonLd.parseTriples(doc, contexts = Map(
+      "https://ctx.example/v1" -> ctxDoc,
+      "https://ctx.example/v2" -> chained)).toSet
+    assert(ts == Set(
+      (Iri(EX + "s"), Iri(EX + "name"), Lit.plain("n")),
+      (Iri(EX + "s"), Iri(EX + "age"), Lit("4", XSD.ns + "integer", null))))
+    // cyclic references fail loudly
+    val cyc = """{"@context": "https://ctx.example/loop"}"""
+    val e = intercept[JsonLdParseException](JsonLd.parseTriples(
+      """{"@context": "https://ctx.example/loop", "a": "b"}""",
+      contexts = Map("https://ctx.example/loop" -> cyc)))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
   }
 
   // ------------------------------------------------------------- values

@@ -620,13 +620,16 @@ object Drive {
 
     println("=== r12: JSON-LD round trip and RDFC-1.0 canonicalization:")
     locally {
+      // the "ex" prefix arrives via an OFFLINE remote-context document
+      val remoteCtx = Map("https://ctx.graft.example/base" ->
+        """{"@context": {"ex": "http://example.com/"}}""")
       val doc = """{
-        "@context": {"ex": "http://example.com/",
-                     "knows": {"@id": "ex:knows", "@type": "@id"},
+        "@context": ["https://ctx.graft.example/base",
+                    {"knows": {"@id": "ex:knows", "@type": "@id"},
                      "post": {"@id": "ex:post", "@container": "@id",
                               "@context": {"body": "ex:body"}},
                      "Person": {"@id": "ex:Person",
-                                "@context": {"name": "ex:personName"}}},
+                                "@context": {"name": "ex:personName"}}}],
         "@type": "Person",
         "@id": "ex:alice", "name": "Alice", "ex:age": 31,
         "knows": {"@id": "_:b"},
@@ -635,7 +638,7 @@ object Drive {
         "@nest": {"ex:nested": "grouped"},
         "ex:tags": {"@list": ["x", "y"]}
       }"""
-      val g = graft.sources.JsonLd.parse(doc, spark)
+      val g = graft.sources.JsonLd.parse(doc, spark, contexts = remoteCtx)
       println("--- parsed JSON-LD, size " + g.size)
       Engine.fromGraph(g).select(
         """PREFIX ex: <http://example.com/>
@@ -645,7 +648,8 @@ object Drive {
       println("--- canonical N-Quads (c14n labels, sorted):")
       println(g.canonicalNQuads())
       val renamed = graft.sources.JsonLd.parse(
-        doc.replace("_:b", "_:completelyDifferent"), spark)
+        doc.replace("_:b", "_:completelyDifferent"), spark,
+        contexts = remoteCtx)
       println("--- isomorphic under relabel: " + g.isomorphic(renamed) +
         "; datasetHash " + g.datasetHash().take(16) + "… == " +
         renamed.datasetHash().take(16) + "…")
