@@ -343,6 +343,38 @@ object SparkEntry {
            SELECT ?rname ?key WHERE {
              ?r a g:Region ; g:name ?rname ; g:key ?key }""")
     }),
+    "q_graph_diff" -> ((s, dir) => {
+      // Distributed set-diff of two graph revisions (anti-joins, no
+      // driver materialization): nation triples for regions 0-2 vs
+      // regions 2-4 — each side's exclusive triples, labeled.
+      import org.apache.spark.sql.{functions => F}
+      def gOf(cond: org.apache.spark.sql.Column) = graft.rdf.RdfGraph(
+        read(s, dir, "nation").filter(cond).select(
+          graft.rdf.Terms.iri(F.concat(F.lit("urn:graft:nation/"),
+            F.col("n_nationkey").cast("string"))).as("s"),
+          graft.rdf.Terms.iri(F.lit("urn:graft:p/n_name")).as("p"),
+          graft.rdf.Terms.plainLit(F.col("n_name")).as("o")), Map.empty)
+      val (onlyA, onlyB) = gOf(F.col("n_regionkey") <= 2)
+        .diff(gOf(F.col("n_regionkey") >= 2))
+      def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.select(F.col("s.value").as("s"), F.col("o.value").as("name"),
+          F.lit(side).as("side"))
+      shape(onlyA, "a").unionByName(shape(onlyB, "b"))
+    }),
+    "q_canon" -> ((s, dir) => {
+      // Distributed RDFC-1.0 canonical N-Quads over a graph synthesized
+      // from the region dim: ground rows render columnar (no driver
+      // materialization — the scale path for content-addressing a
+      // store), restated in DuckDB as string concatenation.
+      import org.apache.spark.sql.{functions => F}
+      val t = read(s, dir, "region").select(
+        graft.rdf.Terms.iri(F.concat(F.lit("urn:graft:region/"),
+          F.col("r_regionkey").cast("string"))).as("s"),
+        graft.rdf.Terms.iri(F.lit("urn:graft:p/name")).as("p"),
+        graft.rdf.Terms.plainLit(F.col("r_name")).as("o"))
+      graft.rdf.Canon.canonicalLines(graft.rdf.RdfGraph(t, Map.empty))
+        .select(F.col("line"))
+    }),
     "q_lang_dir" -> ((s, dir) => {
       // SPARQL 1.2 directional language strings as data: region names
       // tagged @en--ltr (even keys) / @ar--rtl (odd), queried through
@@ -2316,6 +2348,18 @@ object SparkEntry {
       "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
     "q_jsonld" ->
       "SELECT r_name AS rname, CAST(r_regionkey AS BIGINT) AS key FROM region",
+    "q_graph_diff" ->
+      """SELECT 'urn:graft:nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                n_name AS name, 'a' AS side
+         FROM nation WHERE n_regionkey < 2
+         UNION ALL
+         SELECT 'urn:graft:nation/' || CAST(n_nationkey AS VARCHAR),
+                n_name, 'b'
+         FROM nation WHERE n_regionkey > 2""",
+    "q_canon" ->
+      """SELECT '<urn:graft:region/' || CAST(r_regionkey AS VARCHAR)
+                || '> <urn:graft:p/name> "' || r_name || '" .' AS line
+         FROM region""",
     "q_lang_dir" ->
       """SELECT r_name AS rname,
                 CASE WHEN r_regionkey % 2 = 0 THEN 'en' ELSE 'ar' END AS lang,

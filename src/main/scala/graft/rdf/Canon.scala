@@ -245,4 +245,78 @@ object Canon {
     * dataset, stable under any relabeling/reordering. */
   def datasetHash(quads: Seq[Quad], maxSteps: Long = 1000000L): String =
     sha256Hex(canonicalNQuads(quads, maxSteps))
+
+  // ------------------------------------------------- distributed path
+
+  import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+  /** Canonical N-Quads line escaping, columnar (must byte-match
+    * [[Lit.escape]]). Backslash first, then the four specials. */
+  private def escCol(c: Column): Column = {
+    val b = F.regexp_replace(c, """\\""", """\\\\""")
+    val q = F.regexp_replace(b, "\"", "\\\\\"")
+    val n = F.regexp_replace(q, "\n", """\\n""")
+    val r = F.regexp_replace(n, "\r", """\\r""")
+    F.regexp_replace(r, "\t", """\\t""")
+  }
+
+  private def termNqCol(c: Column): Column = {
+    val v = Terms.value(c); val dt = Terms.dt(c); val lang = Terms.lang(c)
+    F.when(Terms.kind(c) === Terms.KIND_IRI,
+        F.concat(F.lit("<"), v, F.lit(">")))
+      .otherwise(F.concat(F.lit("\""), escCol(v), F.lit("\""),
+        F.when(lang.isNotNull, F.concat(F.lit("@"), lang))
+          .when(dt === XSD.string, F.lit(""))
+          .otherwise(F.concat(F.lit("^^<"), dt, F.lit(">")))))
+  }
+
+  /** Canonical N-Quads of a WHOLE [[RdfGraph]] as a distributed `line`
+    * column — the scale path for content-addressing and diffing large
+    * stores. GROUND rows (no blank node, no quoted triple in any
+    * position) render columnar and never touch the driver; only the
+    * blank-node-touching component collects for RDFC-1.0 labeling
+    * (its canonical labels depend on nothing else — a bnode's
+    * first-degree and N-degree hashes range over the quads MENTIONING
+    * blank nodes). The bnode component must fit the driver, the usual
+    * shape for corpus-scale stores where bnodes are a small fraction;
+    * a fully ground store never collects at all. Quoted-triple rows
+    * ride with the driver component (rare, and their nesting needs the
+    * recursive renderer). */
+  def canonicalLines(g: RdfGraph, maxSteps: Long = 1000000L): DataFrame = {
+    val t = g.triples
+    def special(c: Column): Column = c.isNotNull &&
+      Terms.kind(c).isin(Terms.KIND_BLANK, Terms.KIND_TRIPLE)
+    val bnodeish = special(F.col("s")) || special(F.col("o")) ||
+      (if (g.isQuads) special(F.col("g")) else F.lit(false))
+    val ground = t.filter(!bnodeish)
+    val gPart: Column =
+      if (g.isQuads)
+        F.when(F.col("g").isNotNull,
+          F.concat(termNqCol(F.col("g")), F.lit(" "))).otherwise(F.lit(""))
+      else F.lit("")
+    val groundLines = ground.select(F.concat(
+      termNqCol(F.col("s")), F.lit(" "),
+      termNqCol(F.col("p")), F.lit(" "),
+      termNqCol(F.col("o")), F.lit(" "), gPart, F.lit(".")).as("line"))
+
+    val driverQuads = RdfGraph(t.filter(bnodeish), g.prefixes).collectQuads()
+    val labels = canonicalLabels(driverQuads, maxSteps)
+    val driverLines = driverQuads.distinct.map(quadNq(_, labels))
+    val spark = t.sparkSession
+    val bDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        driverLines.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line",
+          org.apache.spark.sql.types.StringType))))
+    groundLines.unionByName(bDf)
+  }
+
+  /** Distributed canonical N-Quads sink: [[canonicalLines]] globally
+    * sorted (one range exchange) into text part files — concatenated
+    * in part order, the directory IS the RDFC-1.0 canonical document. */
+  def writeCanonical(g: RdfGraph, path: String,
+      maxSteps: Long = 1000000L): Unit =
+    canonicalLines(g, maxSteps).orderBy("line")
+      .write.mode("overwrite").text(path)
 }

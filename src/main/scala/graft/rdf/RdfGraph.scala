@@ -127,7 +127,7 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   def cache(): RdfGraph = { triples.cache(); this }
   def unpersist(): RdfGraph = { triples.unpersist(); this }
 
-  private def collectQuads(): Seq[Canon.Quad] = {
+  private[rdf] def collectQuads(): Seq[Canon.Quad] = {
     def term(r: org.apache.spark.sql.Row): RdfTerm = r.getByte(0) match {
       case Terms.KIND_IRI => Iri(r.getString(1))
       case Terms.KIND_BLANK => Blank(r.getString(1))
@@ -145,6 +145,29 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     * isomorphic datasets. Driver-side by the same small-graph contract
     * as `ttl()`/`serialize`. */
   def canonicalNQuads(): String = Canon.canonicalNQuads(collectQuads())
+
+  /** Set difference BY TERM IDENTITY, distributed: triples/quads of
+    * this graph absent from `other`, and vice versa — two shuffle-side
+    * anti-joins, no driver materialization. Blank nodes compare by
+    * LABEL (the graphs share a label space, e.g. two revisions of one
+    * store); for structural comparison under bnode bijection use
+    * [[isomorphic]] (driver-side, bounded graphs). */
+  def diff(other: RdfGraph): (DataFrame, DataFrame) = {
+    require(isQuads == other.isQuads,
+      "diff requires two triple stores or two quad stores")
+    def anti(l: DataFrame, r: DataFrame): DataFrame =
+      if (!isQuads) l.join(r, Seq("s", "p", "o"), "left_anti")
+      else {
+        // null-safe on g: default-graph rows (g null) must match each
+        // other, which a plain equi-join never does
+        val rr = r.select(F.col("s").as("rs"), F.col("p").as("rp"),
+          F.col("o").as("ro"), F.col("g").as("rg"))
+        l.join(rr, F.col("s") === F.col("rs") && F.col("p") === F.col("rp")
+          && F.col("o") === F.col("ro") && F.col("g") <=> F.col("rg"),
+          "left_anti")
+      }
+    (anti(triples, other.triples), anti(other.triples, triples))
+  }
 
   /** Structural equality under blank-node bijection (what the
     * reference gets from rdflib's `compare.isomorphic`). */

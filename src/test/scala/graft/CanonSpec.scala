@@ -176,6 +176,59 @@ class CanonSpec extends SparkSpec {
     assert(!g1.isomorphic(g3))
   }
 
+  test("canonicalLines (distributed) matches the driver canonical form") {
+    val g = RdfGraph.fromQuads(spark, Seq(
+      (iri("a"), iri("p"), Lit.plain("x\ny \"q\" \\z\tend"), None),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1"))),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit("2", XSD.ns + "integer", null),
+        Some(Blank("gb"))),
+      (iri("meta"), iri("about"),
+        QuotedTriple(iri("s"), iri("p"), Lit.plain("o")), None),
+      (iri("c"), iri("p"), Lit("1", XSD.ns + "integer", null), None)))
+    val lines = Canon.canonicalLines(g).collect().map(_.getString(0)).sorted
+    val expected = g.canonicalNQuads().linesIterator.toSeq
+    assert(lines.toSeq == expected)
+  }
+
+  test("canonicalLines on a plain triple store; writeCanonical sink") {
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (iri("s"), iri("p"), Lit.plain("v")),
+      (Blank("x"), iri("p"), iri("s"))))
+    assert(Canon.canonicalLines(g).collect().map(_.getString(0)).sorted
+      .mkString("", "\n", "\n") == g.canonicalNQuads())
+    val dir = java.nio.file.Files.createTempDirectory("canonw")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("out").toString
+    Canon.writeCanonical(g, out)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).sortBy(_.getName)
+    val doc = files.map(f => java.nio.file.Files.readString(f.toPath))
+      .mkString
+    assert(doc == g.canonicalNQuads())
+  }
+
+  test("RdfGraph.diff: exclusive rows each side, null-safe on graph names") {
+    val a = RdfGraph.fromQuads(spark, Seq(
+      (iri("s1"), iri("p"), Lit.plain("shared"), None),
+      (iri("s2"), iri("p"), Lit.plain("only-a"), None),
+      (iri("s3"), iri("p"), Lit.plain("g-shared"), Some(iri("g1")))))
+    val b = RdfGraph.fromQuads(spark, Seq(
+      (iri("s1"), iri("p"), Lit.plain("shared"), None),
+      (iri("s3"), iri("p"), Lit.plain("g-shared"), Some(iri("g1"))),
+      (iri("s4"), iri("p"), Lit.plain("only-b"), Some(iri("g2")))))
+    val (onlyA, onlyB) = a.diff(b)
+    assert(onlyA.collect().map(_.getStruct(2).getString(1)).toSet ==
+      Set("only-a"))
+    assert(onlyB.collect().map(_.getStruct(2).getString(1)).toSet ==
+      Set("only-b"))
+    // identical stores diff to nothing (the default-graph null rows
+    // must match null-safely)
+    val (e1, e2) = a.diff(a)
+    assert(e1.isEmpty && e2.isEmpty)
+  }
+
   test("quoted triples canonicalize (bnodes inside the quotation)") {
     val quads = Seq(
       q(QuotedTriple(Blank("inner"), iri("p"), Lit.plain("o")),
