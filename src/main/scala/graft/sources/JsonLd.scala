@@ -317,7 +317,10 @@ object JsonLd {
       docRel: Boolean): String = {
     if (value == null) return null
     if (Keywords.contains(value)) return value
-    ctx.terms.get(value) match {
+    // plain terms resolve only in VOCAB mode (json-ld11-api §5.2 step
+    // 4): an `@id` value that happens to equal a term is still a
+    // document-relative IRI reference, not the term
+    if (vocabMode) ctx.terms.get(value) match {
       case Some(td) => return td.iri // null for null-mapped terms
       case None => ()
     }
@@ -984,6 +987,229 @@ object JsonLd {
           val go = nf.objectNode()
           go.put("@id", gt.getByte(0) match {
             case Terms.KIND_IRI => compact(gt.getString(1), prefixes)
+            case Terms.KIND_BLANK => "_:" + gt.getString(1)
+            case _ => throw new IllegalArgumentException("bad graph name")
+          })
+          val ga = go.putArray("@graph")
+          nodesInto(ga, rows.map(r => org.apache.spark.sql.Row(
+            r.getStruct(0), r.getStruct(1), r.getStruct(2))))
+          graphArr.add(go)
+        }
+    } else {
+      nodesInto(graphArr,
+        g.triples.orderBy("s.value", "p.value", "o.value").collect().toSeq)
+    }
+    mapper().writerWithDefaultPrettyPrinter().writeValueAsString(doc) + "\n"
+  }
+
+  // --------------------------------------------- user-context compaction
+
+  /** Environment for compaction under a USER context: term candidates
+    * per IRI, prefix-capable terms, and the active context for
+    * VERIFYING that every compact form re-expands to what it encodes
+    * (ambiguous forms fall back to the full IRI — round-trip safety
+    * beats brevity). */
+  private final class CompactEnv(val ctx: Ctx) {
+    val byIri: Map[String, Seq[(String, TermDef)]] = ctx.terms.toSeq
+      .collect {
+        case (t, td) if td != null && td.iri != null && !td.reverse &&
+          !Keywords.contains(td.iri) && td.scoped.isEmpty => (t, td)
+      }.groupBy(_._2.iri).view.mapValues(_.sortBy(_._1)).toMap
+    val prefixes: Seq[(String, String)] = ctx.terms.toSeq.collect {
+      case (t, td) if td != null && td.iri != null && td.prefix &&
+        td.scoped.isEmpty => (t, td.iri)
+    }.sortBy(-_._2.length)
+
+    /** Property/@type position: coercion-free term, else @vocab
+      * suffix, else compact IRI, else full — each candidate verified
+      * by re-expansion. */
+    def vocabForm(iri: String): String = {
+      val term = byIri.getOrElse(iri, Nil).collectFirst {
+        case (t, td) if td.tpe.isEmpty && td.lang.isEmpty &&
+          td.container.isEmpty => t
+      }
+      val vocabSfx = ctx.vocab.collect {
+        case v if iri.startsWith(v) && iri.length > v.length =>
+          iri.substring(v.length)
+      }
+      val cpt = Some(compact(iri, prefixes)).filter(_ != iri)
+      (term.toSeq ++ vocabSfx.toSeq ++ cpt.toSeq)
+        .find(f => expandIri(ctx, f, vocabMode = true, docRel = false) == iri)
+        .getOrElse(iri)
+    }
+
+    /** `@id` position: compact IRI or full (terms/@vocab never expand
+      * here). */
+    def idForm(iri: String): String =
+      Some(compact(iri, prefixes))
+        .filter(f => f != iri &&
+          expandIri(ctx, f, vocabMode = false, docRel = false) == iri)
+        .getOrElse(iri)
+  }
+
+  /** One object term under a (possibly coercing) chosen term. */
+  private def compactValue(r: org.apache.spark.sql.Row, td: Option[TermDef],
+      env: CompactEnv, nf: JsonNodeFactory): JsonNode = {
+    val kind = r.getByte(0)
+    td match {
+      case Some(d) if d.tpe.contains("@id") && kind != Terms.KIND_LIT =>
+        nf.textNode(if (kind == Terms.KIND_BLANK) "_:" + r.getString(1)
+          else env.idForm(r.getString(1)))
+      case Some(d) if d.tpe.exists(t => t != "@id" && t != "@vocab") &&
+          kind == Terms.KIND_LIT && r.getString(2) == d.tpe.get &&
+          r.getString(3) == null =>
+        val lex = r.getString(1)
+        if (d.tpe.get == XSD.ns + "integer" && CanonicalInt.matches(lex))
+          nf.numberNode(new java.math.BigInteger(lex))
+        else if (d.tpe.get == XSD.ns + "boolean" &&
+            (lex == "true" || lex == "false")) nf.booleanNode(lex == "true")
+        else nf.textNode(lex)
+      case Some(d) if d.lang.exists(_.isDefined) &&
+          kind == Terms.KIND_LIT && r.getString(3) == d.lang.get.get =>
+        nf.textNode(r.getString(1))
+      case _ =>
+        // plain rendering with user-context compaction; a default
+        // @language in the context forces explicit value objects for
+        // plain strings (a bare string would re-parse tagged)
+        kind match {
+          case Terms.KIND_IRI =>
+            val o = nf.objectNode(); o.put("@id", env.idForm(r.getString(1))); o
+          case Terms.KIND_BLANK =>
+            val o = nf.objectNode(); o.put("@id", "_:" + r.getString(1)); o
+          case Terms.KIND_LIT =>
+            val lex = r.getString(1); val dt = r.getString(2)
+            val lang = r.getString(3)
+            if (lang != null) {
+              if (env.ctx.lang.contains(lang)) nf.textNode(lex)
+              else {
+                val o = nf.objectNode()
+                o.put("@value", lex)
+                val dd = lang.indexOf("--")
+                if (dd >= 0) {
+                  o.put("@language", lang.substring(0, dd))
+                  o.put("@direction", lang.substring(dd + 2))
+                } else o.put("@language", lang)
+                o
+              }
+            } else if (dt == XSD.string) {
+              if (env.ctx.lang.isEmpty) nf.textNode(lex)
+              else { val o = nf.objectNode(); o.put("@value", lex); o }
+            } else if (dt == XSD.ns + "boolean" &&
+                (lex == "true" || lex == "false") && env.ctx.lang.isEmpty)
+              nf.booleanNode(lex == "true")
+            else if (dt == XSD.ns + "integer" && CanonicalInt.matches(lex) &&
+                env.ctx.lang.isEmpty)
+              nf.numberNode(new java.math.BigInteger(lex))
+            else {
+              val o = nf.objectNode()
+              o.put("@value", lex)
+              o.put("@type", env.vocabForm(dt))
+              o
+            }
+          case _ => throw new IllegalArgumentException(
+            "quoted triples have no JSON-LD serialization")
+        }
+    }
+  }
+
+  /** Choose a coercing term for a property given ALL its values (a
+    * coercion must hold for every value or the key falls back to the
+    * plain form). */
+  private def chooseTerm(iri: String, objs: Seq[org.apache.spark.sql.Row],
+      env: CompactEnv): Option[(String, TermDef)] = {
+    def allIriish = objs.forall(_.getByte(0) != Terms.KIND_LIT)
+    def allTyped(dt: String) = objs.forall(o =>
+      o.getByte(0) == Terms.KIND_LIT && o.getString(2) == dt &&
+        o.getString(3) == null)
+    def allTagged(l: String) = objs.forall(o =>
+      o.getByte(0) == Terms.KIND_LIT && o.getString(3) == l)
+    env.byIri.getOrElse(iri, Nil).collectFirst {
+      case (t, td) if td.container.isEmpty &&
+          td.tpe.contains("@id") && allIriish => (t, td)
+      case (t, td) if td.container.isEmpty && td.lang.isEmpty &&
+          td.tpe.exists(x => x != "@id" && x != "@vocab" &&
+            allTyped(x)) => (t, td)
+      case (t, td) if td.container.isEmpty && td.tpe.isEmpty &&
+          td.lang.exists(_.exists(allTagged)) => (t, td)
+    }
+  }
+
+  /** Compacted document under a USER-SUPPLIED context (the API-level
+    * `compact` verb; [[serialize]] is the prefix-only convenience).
+    * The context may be a bare context object or a `{"@context": ...}`
+    * wrapper, with remote references resolved from `contexts` like the
+    * reader. Term COERCIONS apply when they hold for every value of a
+    * property (`@type: @id` renders IRIs as strings, datatype terms as
+    * bare lexicals, language terms as bare strings); every compact
+    * form is verified by re-expansion, so `parse(compact(g, ctx)) == g`
+    * by construction. List containers and scoped-context terms are not
+    * used for compaction (their activation would change nested
+    * semantics). */
+  def compact(g: RdfGraph, contextJson: String,
+      contexts: Map[String, String] = Map.empty): String = {
+    val nf = JsonNodeFactory.instance
+    val userCtx = try mapper().readTree(contextJson) catch {
+      case e: Exception => err(s"malformed context JSON: ${e.getMessage}")
+    }
+    val ctxValue = userCtx match {
+      case o: ObjectNode if o.has("@context") => o.get("@context")
+      case other => other
+    }
+    val env = new CompactEnv(
+      processContext(initialCtx("", contexts), ctxValue, ""))
+
+    def nodeOfU(s: org.apache.spark.sql.Row,
+        ts: Seq[org.apache.spark.sql.Row]): ObjectNode = {
+      val node = nf.objectNode()
+      s.getByte(0) match {
+        case Terms.KIND_IRI => node.put("@id", env.idForm(s.getString(1)))
+        case Terms.KIND_BLANK => node.put("@id", "_:" + s.getString(1))
+        case _ => throw new IllegalArgumentException(
+          "only IRI/blank subjects serialize to JSON-LD")
+      }
+      val (typeRows, propRows) = ts.partition { r =>
+        val p = r.getStruct(1)
+        p.getByte(0) == Terms.KIND_IRI && p.getString(1) == RDF.ns + "type" &&
+          r.getStruct(2).getByte(0) == Terms.KIND_IRI
+      }
+      if (typeRows.nonEmpty) {
+        val types = typeRows
+          .map(r => env.vocabForm(r.getStruct(2).getString(1))).distinct
+        if (types.size == 1) node.put("@type", types.head)
+        else { val a = node.putArray("@type"); types.foreach(a.add) }
+      }
+      propRows.groupBy(_.getStruct(1).getString(1)).toSeq.sortBy(_._1)
+        .foreach { case (pIri, rows) =>
+          val objs = rows.map(_.getStruct(2))
+          val chosen = chooseTerm(pIri, objs, env)
+          val key = chosen.map(_._1).getOrElse(env.vocabForm(pIri))
+          val vals = objs.map(compactValue(_, chosen.map(_._2), env, nf))
+          if (vals.size == 1) node.set[JsonNode](key, vals.head)
+          else { val a = node.putArray(key); vals.foreach(v => a.add(v)) }
+        }
+      node
+    }
+
+    val doc = nf.objectNode()
+    doc.set[JsonNode]("@context", ctxValue)
+    val graphArr = doc.putArray("@graph")
+    def nodesInto(arr: ArrayNode, rows: Seq[org.apache.spark.sql.Row]): Unit =
+      rows.groupBy(_.getStruct(0)).toSeq
+        .sortBy { case (s, _) => (s.getByte(0), s.getString(1)) }
+        .foreach { case (s, ts) => arr.add(nodeOfU(s, ts)) }
+
+    if (g.isQuads) {
+      val all = g.triples.orderBy("g.value", "s.value", "p.value", "o.value")
+        .collect().toSeq
+      nodesInto(graphArr, all.filter(_.isNullAt(3)).map(r =>
+        org.apache.spark.sql.Row(r.getStruct(0), r.getStruct(1),
+          r.getStruct(2))))
+      all.filter(!_.isNullAt(3)).groupBy(_.getStruct(3)).toSeq
+        .sortBy { case (gt, _) => (gt.getByte(0), gt.getString(1)) }
+        .foreach { case (gt, rows) =>
+          val go = nf.objectNode()
+          go.put("@id", gt.getByte(0) match {
+            case Terms.KIND_IRI => env.idForm(gt.getString(1))
             case Terms.KIND_BLANK => "_:" + gt.getString(1)
             case _ => throw new IllegalArgumentException("bad graph name")
           })

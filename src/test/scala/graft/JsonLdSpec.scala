@@ -77,6 +77,16 @@ class JsonLdSpec extends SparkSpec {
     assert(triples(doc) == Set((Iri(EX + "s"), Iri(EX + "p"), Lit.plain("v"))))
   }
 
+  test("an @id value equal to a term is still a document-relative IRI") {
+    val doc = s"""{
+      "@context": {"name": "${EX}nameProp", "@base": "http://base.example/"},
+      "@id": "name",
+      "name": "v"
+    }"""
+    assert(triples(doc) == Set((Iri("http://base.example/name"),
+      Iri(EX + "nameProp"), Lit.plain("v"))))
+  }
+
   test("an UNMAPPED remote context is rejected loudly") {
     val e = intercept[JsonLdParseException](
       triples("""{"@context": "http://example.com/ctx.jsonld", "a": "b"}"""))
@@ -490,6 +500,61 @@ class JsonLdSpec extends SparkSpec {
         if (r.isNullAt(3)) null else termOf(r.getStruct(3)))
     }.toSet
     assert(quadSet(back) == quadSet(g))
+  }
+
+  test("compact under a user context applies coercions and round-trips") {
+    val g = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "s"), Iri(EX + "knows"), Iri(EX + "o"), None),
+      (Iri(EX + "s"), Iri(EX + "knows"), Blank("friend"), None),
+      (Iri(EX + "s"), Iri(EX + "age"), Lit("41", XSD.ns + "integer", null),
+        None),
+      (Iri(EX + "s"), Iri(EX + "label"), Lit.tagged("hello", "en"), None),
+      (Iri(EX + "s"), Iri(EX + "other"), Lit.tagged("salut", "fr"), None),
+      (Iri(EX + "s"), Iri(RDF.ns + "type"), Iri(EX + "Person"), None),
+      (Iri(EX + "s"), Iri(EX + "plain"), Lit.plain("bare"), None),
+      (Iri(EX + "x"), Iri(EX + "p"), Lit("7", XSD.ns + "integer", null),
+        Some(Iri(EX + "g1")))))
+    val ctx = s"""{
+      "@context": {
+        "ex": "$EX",
+        "@vocab": "$EX",
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "age": {"@id": "ex:age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        "label": {"@id": "ex:label", "@language": "en"}
+      }
+    }"""
+    val text = JsonLd.compact(g, ctx)
+    // coerced renderings
+    assert(text.contains(""""knows" : [ "ex:o", "_:friend" ]""") ||
+      text.contains(""""knows" : [ "_:friend", "ex:o" ]"""), text)
+    assert(text.contains(""""age" : 41"""), text)
+    assert(text.contains(""""label" : "hello""""), text)
+    // non-matching language stays an explicit value object
+    assert(text.contains(""""@language" : "fr""""), text)
+    // @vocab suffix for an unmapped property; term for the type
+    assert(text.contains(""""plain" : "bare""""), text)
+    assert(text.contains(""""@type" : "Person""""), text)
+    // the full graph round-trips bit-exactly (quads included)
+    def quadSet(x: RdfGraph) = x.triples.collect().map { r =>
+      (termOf(r.getStruct(0)), termOf(r.getStruct(1)), termOf(r.getStruct(2)),
+        if (r.isNullAt(3)) null else termOf(r.getStruct(3)))
+    }.toSet
+    assert(quadSet(JsonLd.parse(text, spark)) == quadSet(g))
+  }
+
+  test("compact with a default @language keeps plain strings explicit") {
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (Iri(EX + "s"), Iri(EX + "p"), Lit.plain("untagged")),
+      (Iri(EX + "s"), Iri(EX + "q"), Lit.tagged("tagged", "en"))))
+    val text = JsonLd.compact(g,
+      s"""{"ex": "$EX", "@language": "en", "@vocab": "$EX"}""")
+    // the tagged value may render bare (default language matches); the
+    // PLAIN one must stay an explicit value object or it would re-parse
+    // tagged
+    assert(tripleSet(JsonLd.parse(text, spark)) == tripleSet(g))
+    assert(text.contains(""""q" : "tagged""""), text)
+    assert(text.contains(""""@value" : "untagged""""), text)
   }
 
   test("quoted triples are rejected by both serializers") {

@@ -643,8 +643,15 @@ object Drive {
       Engine.fromGraph(g).select(
         """PREFIX ex: <http://example.com/>
            SELECT ?p ?o { ex:alice ?p ?o } ORDER BY ?p""").show(false)
-      println("--- compacted serialization:")
+      println("--- compacted serialization (prefix context):")
       println(graft.sources.JsonLd.serialize(g))
+      println("--- compacted under a USER context (coercing terms):")
+      println(graft.sources.JsonLd.compact(g, """{
+        "ex": "http://example.com/",
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "age": {"@id": "ex:age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+      }"""))
       println("--- canonical N-Quads (c14n labels, sorted):")
       println(g.canonicalNQuads())
       val renamed = graft.sources.JsonLd.parse(
