@@ -244,15 +244,44 @@ class Engine(initial: RdfGraph) {
       parsed.ops.foreach { op => applyUpdate(Substitute(op, terms)) }
     }
 
+  /** SPARQL 1.1 Update §3.1.1/§3.1.3: blank nodes are DISALLOWED in
+    * DELETE DATA and in any DELETE template — a bnode can never match
+    * by label, so accepting one silently deletes nothing. */
+  private def rejectDeleteBnodes(ts: Seq[TriplePattern], op: String): Unit = {
+    def bad(n: Node): Boolean = n match {
+      case TermNode(Blank(_)) => true
+      case TermNode(q: QuotedTriple) =>
+        def inQ(t: RdfTerm): Boolean = t match {
+          case Blank(_) => true
+          case QuotedTriple(a, b, c) => inQ(a) || inQ(b) || inQ(c)
+          case _ => false
+        }
+        inQ(q)
+      case VarNode(v) if v.startsWith("_:") => true
+      case QuotedNode(a, _, c) => bad(a) || bad(c)
+      case _ => false
+    }
+    ts.foreach { tp =>
+      val verb = tp.p match { case VerbNode(n) => bad(n); case _ => false }
+      if (bad(tp.s) || verb || bad(tp.o))
+        throw new GraftException(
+          s"blank nodes are not allowed in $op (SPARQL 1.1 Update " +
+            "§3.1.1/§3.1.3 — a blank node cannot match by label)")
+    }
+  }
+
   private def applyUpdate(op: UpdateOp): Unit = op match {
     case InsertData(ts) =>
       graph = graph.insert(groundTriples(ts))
     case DeleteData(ts) =>
+      rejectDeleteBnodes(ts, "DELETE DATA")
       graph = graph.delete(groundTriples(ts))
     case DeleteWhere(tmpl) =>
+      rejectDeleteBnodes(tmpl, "DELETE WHERE")
       val inst = instantiate(tmpl, compiler.compile(Bgp(tmpl)))
       graph = graph.delete(inst)
     case Modify(del, ins, where) =>
+      rejectDeleteBnodes(del, "a DELETE template")
       val bindingsDf = compiler.compile(where)
       // evaluate both templates against the SAME pre-update graph
       val delT = if (del.nonEmpty) Some(instantiate(del, bindingsDf)) else None

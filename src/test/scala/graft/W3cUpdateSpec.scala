@@ -56,7 +56,7 @@ class W3cUpdateSpec extends SparkSpec {
   }
 
   private case class UpdateTest(name: String, request: String,
-      pre: Option[String], post: String)
+      pre: Option[String], post: String, negative: Boolean)
 
   private def loadManifest(): Seq[UpdateTest] = {
     val g = new MiniGraph(Turtle.parseTriples(res("manifest.ttl")))
@@ -79,14 +79,19 @@ class W3cUpdateSpec extends SparkSpec {
       }
       val action = g.obj(e, MF + "action").getOrElse(
         sys.error(s"update/$name: no mf:action"))
-      val result = g.obj(e, MF + "result").getOrElse(
-        sys.error(s"update/$name: no mf:result"))
+      val negative = g.obj(e, RDFNS + "type")
+        .contains(Iri(UT + "NegativeUpdateTest"))
+      val post =
+        if (negative) ""
+        else fileOf(g.obj(g.obj(e, MF + "result").getOrElse(
+            sys.error(s"update/$name: no mf:result")), UT + "data"),
+          "result ut:data")
+          .getOrElse(sys.error(s"update/$name: no result ut:data"))
       UpdateTest(name,
         request = fileOf(g.obj(action, UT + "request"), "ut:request")
           .getOrElse(sys.error(s"update/$name: no ut:request")),
         pre = fileOf(g.obj(action, UT + "data"), "ut:data"),
-        post = fileOf(g.obj(result, UT + "data"), "result ut:data")
-          .getOrElse(sys.error(s"update/$name: no result ut:data")))
+        post = post, negative = negative)
     }
   }
 
@@ -125,12 +130,21 @@ class W3cUpdateSpec extends SparkSpec {
         case Some(f) => Engine.inline(res(f))
         case None => Engine.inline("")
       }
-      engine.update(res(t.request))
-      val got = storeTriples(engine)
-      val want = Turtle.parseTriples(res(t.post))
-      assert(isomorphic(want, got),
-        s"${t.request}: stores differ\nexpected:${render(want)}\n" +
-          s"got:${render(got)}")
+      if (t.negative) {
+        // the request must be REJECTED (spec-invalid update shape),
+        // leaving the store untouched
+        val before = storeTriples(engine)
+        intercept[GraftException](engine.update(res(t.request)))
+        assert(isomorphic(before, storeTriples(engine)),
+          s"${t.request}: a rejected update must not change the store")
+      } else {
+        engine.update(res(t.request))
+        val got = storeTriples(engine)
+        val want = Turtle.parseTriples(res(t.post))
+        assert(isomorphic(want, got),
+          s"${t.request}: stores differ\nexpected:${render(want)}\n" +
+            s"got:${render(got)}")
+      }
     }
   }
 }
