@@ -49,9 +49,12 @@ import graft.rdf._
   *    an unmapped reference fails loudly — the engine itself never
   *    retrieves anything, matching the zero-egress posture of the
   *    other sources.
+  *  - `@type: @json` literals (`rdf:JSON` with RFC 8785/JCS canonical
+  *    lexicals, embedded back as native JSON on write); non-integral
+  *    numbers inside them are rejected (JCS needs the ECMAScript
+  *    number formatter).
   *  - NOT supported (loud `JsonLdParseException`, never silent):
-  *    unmapped remote contexts, `@container: @graph` maps,
-  *    `@type: @json` literals.
+  *    unmapped remote contexts, `@container: @graph` maps.
   *
   * Writers, split like the other formats:
   *  - [[serialize]] — driver-side COMPACTED document (display/export
@@ -253,8 +256,7 @@ object JsonLd {
           val tpe = Option(o.get("@type")).map { t =>
             if (!t.isTextual) err(s"term '$term': @type must be a string")
             val tx = t.asText
-            if (tx == "@id" || tx == "@vocab") tx
-            else if (tx == "@json") err("@type: @json literals are not supported")
+            if (tx == "@id" || tx == "@vocab" || tx == "@json") tx
             else {
               val e = expandWithLocal(tx, vocabMode = true)
               if (e == null || !(IriRef.isAbsolute(e) || e.startsWith("_:")))
@@ -358,6 +360,64 @@ object JsonLd {
     m + "E" + e
   }
 
+  /** RFC 8785 (JCS) canonical JSON for `rdf:JSON` literal lexicals:
+    * object keys sorted by UTF-16 code units, no whitespace, minimal
+    * string escapes, integers plain. Non-integral numbers need the
+    * ECMAScript shortest-round-trip formatter, which this engine does
+    * not implement — they are REJECTED loudly rather than canonicalized
+    * wrongly. */
+  private[graft] def jcs(n: JsonNode): String = {
+    val sb = new StringBuilder
+    def str(x: String): Unit = {
+      sb += '"'
+      x.foreach {
+        case '"' => sb ++= "\\\""
+        case '\\' => sb ++= "\\\\"
+        case '\b' => sb ++= "\\b"
+        case '\f' => sb ++= "\\f"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+        case c => sb += c
+      }
+      sb += '"'
+    }
+    def go(v: JsonNode): Unit = {
+      if (v.isNull) sb ++= "null"
+      else if (v.isBoolean) sb ++= (if (v.asBoolean) "true" else "false")
+      else if (v.isNumber) {
+        if (!v.isIntegralNumber || v.bigIntegerValue.abs
+            .compareTo(java.math.BigInteger.valueOf(1L << 53)) > 0)
+          err("non-integral (or >2^53) numbers inside @json values are " +
+            "not supported (JCS requires the ECMAScript number formatter)")
+        sb ++= v.bigIntegerValue.toString
+      } else if (v.isTextual) str(v.asText)
+      else if (v.isArray) {
+        sb += '['
+        var first = true
+        v.forEach { e => if (!first) sb += ','; first = false; go(e) }
+        sb += ']'
+      } else if (v.isObject) {
+        sb += '{'
+        val keys = {
+          val b = Seq.newBuilder[String]
+          v.fieldNames.forEachRemaining(b += _)
+          b.result().sorted // UTF-16 code-unit order = String ordering
+        }
+        var first = true
+        keys.foreach { k =>
+          if (!first) sb += ','
+          first = false
+          str(k); sb += ':'; go(v.get(k))
+        }
+        sb += '}'
+      } else err(s"cannot canonicalize JSON value $v")
+    }
+    go(n)
+    sb.toString
+  }
+
   // ------------------------------------------------------- deserializer
 
   /** Shared mutable state for one logical document (or one name-sorted
@@ -425,6 +485,13 @@ object JsonLd {
     }
     val v = m("@value")
     if (v.isNull) return None
+    val jsonTyped = m.get("@type").exists(t => t.isTextual &&
+      expandIri(ctx, t.asText, vocabMode = true, docRel = false) == "@json")
+    if (jsonTyped) {
+      if (m.contains("@language"))
+        err("a value object cannot carry both @type and @language")
+      return Some(Lit.typed(jcs(v), RDF.ns + "JSON"))
+    }
     if (v.isObject || v.isArray) err("@value must be a JSON scalar")
     val tpe = m.get("@type").map { t =>
       if (!t.isTextual) err("@type of a value object must be a string")
@@ -473,6 +540,10 @@ object JsonLd {
   private def termOf(n: JsonNode, ctx: Ctx, td: TermDef, st: ToRdf,
       g: Option[RdfTerm]): Option[RdfTerm] = {
     if (n == null || n.isNull) return None
+    // @type: @json — the WHOLE value (scalar, object or array) becomes
+    // one rdf:JSON literal in JCS canonical form
+    if (td.tpe.contains("@json"))
+      return Some(Lit.typed(jcs(n), RDF.ns + "JSON"))
     if (!n.isObject && !n.isArray) {
       // scalar under the term's coercion
       td.tpe match {
@@ -685,7 +756,10 @@ object JsonLd {
               st.emit(o, p, id, g)
             } else st.emit(id, p, o, g)
           }
-        if (td.container.contains("@language")) {
+        if (td.tpe.contains("@json")) {
+          if (td.reverse) err(s"reverse property $orig cannot take literals")
+          st.emit(id, p, Lit.typed(jcs(v), RDF.ns + "JSON"), g)
+        } else if (td.container.contains("@language")) {
           if (!v.isObject) err(s"$orig: a language map must be an object")
           v.fields.forEachRemaining { e =>
             val lang = e.getKey
@@ -905,10 +979,30 @@ object JsonLd {
         else if (dt == XSD.ns + "integer" && CanonicalInt.matches(lex))
           nf.numberNode(new java.math.BigInteger(lex))
         else {
-          val o = nf.objectNode()
-          o.put("@value", lex)
-          o.put("@type", if (full) dt else compact(dt, prefixes))
-          o
+          // canonical rdf:JSON literals embed as native JSON under
+          // @type: @json; anything else (incl. a non-canonical JSON
+          // lexical) stays an ordinary typed value object, which
+          // round-trips unchanged
+          val asJson =
+            if (dt == RDF.ns + "JSON")
+              (try Some(mapper().readTree(lex)) catch {
+                case _: Exception => None
+              }).filter(pn => try jcs(pn) == lex catch {
+                case _: Exception => false
+              })
+            else None
+          asJson match {
+            case Some(pn) =>
+              val o = nf.objectNode()
+              o.set[JsonNode]("@value", pn.deepCopy[JsonNode]())
+              o.put("@type", "@json")
+              o
+            case None =>
+              val o = nf.objectNode()
+              o.put("@value", lex)
+              o.put("@type", if (full) dt else compact(dt, prefixes))
+              o
+          }
         }
       case Terms.KIND_TRIPLE =>
         throw new IllegalArgumentException(

@@ -422,10 +422,44 @@ class JsonLdSpec extends SparkSpec {
     intercept[JsonLdParseException](triples(""""just a string""""))
   }
 
-  test("@type: @json is rejected loudly") {
+  test("@type: @json builds rdf:JSON literals in JCS canonical form") {
+    val doc = s"""{
+      "@context": {"j": {"@id": "${EX}j", "@type": "@json"}},
+      "@id": "${EX}s",
+      "j": {"zeta": [1, true, null], "alpha": {"b": "x\\"y", "a": 2}}
+    }"""
+    assert(triples(doc) == Set((Iri(EX + "s"), Iri(EX + "j"),
+      Lit("""{"alpha":{"a":2,"b":"x\"y"},"zeta":[1,true,null]}""",
+        RDF.ns + "JSON", null))))
+    // an ARRAY value is ONE literal, not per-item values
+    val arr = s"""{
+      "@context": {"j": {"@id": "${EX}j", "@type": "@json"}},
+      "@id": "${EX}s", "j": [1, 2]
+    }"""
+    assert(triples(arr) == Set((Iri(EX + "s"), Iri(EX + "j"),
+      Lit("[1,2]", RDF.ns + "JSON", null))))
+    // explicit value-object form
+    val vo = s"""{"@id": "${EX}s",
+      "${EX}p": {"@value": {"k": 1}, "@type": "@json"}}"""
+    assert(triples(vo) == Set((Iri(EX + "s"), Iri(EX + "p"),
+      Lit("""{"k":1}""", RDF.ns + "JSON", null))))
+    // non-integral numbers need the ES formatter — loud error
     intercept[JsonLdParseException](triples(
       s"""{"@context": {"j": {"@id": "${EX}j", "@type": "@json"}},
-           "@id": "${EX}s", "j": {"k": 1}}"""))
+           "@id": "${EX}s", "j": {"k": 1.5}}"""))
+  }
+
+  test("rdf:JSON literals round-trip through serialize (native embed)") {
+    val g = RdfGraph.fromTriples(spark, Seq(
+      (Iri(EX + "s"), Iri(EX + "j"),
+        Lit("""{"a":1,"b":[true,"x"]}""", RDF.ns + "JSON", null)),
+      // a NON-canonical lexical must survive byte-exactly too
+      (Iri(EX + "s"), Iri(EX + "k"),
+        Lit("""{ "spaced": 1 }""", RDF.ns + "JSON", null))),
+      Map("ex" -> EX))
+    val text = JsonLd.serialize(g)
+    assert(text.contains(""""@type" : "@json""""), text)
+    assert(tripleSet(JsonLd.parse(text, spark)) == tripleSet(g))
   }
 
   test("@nest entries expand onto the parent node (incl. aliases)") {

@@ -636,7 +636,8 @@ object Drive {
         "ex:motto": {"@value": "forward", "@language": "en", "@direction": "ltr"},
         "post": {"ex:p1": {"body": "hello"}},
         "@nest": {"ex:nested": "grouped"},
-        "ex:tags": {"@list": ["x", "y"]}
+        "ex:tags": {"@list": ["x", "y"]},
+        "ex:meta2": {"@value": {"k": [1, true]}, "@type": "@json"}
       }"""
       val g = graft.sources.JsonLd.parse(doc, spark, contexts = remoteCtx)
       println("--- parsed JSON-LD, size " + g.size)
