@@ -270,34 +270,130 @@ class Engine(initial: RdfGraph) {
     }
   }
 
+  /** Guard for named-graph operations on a triples-only store: erroring
+    * loudly beats silently misfiling data into the default graph (the
+    * round-12 LOAD…INTO GRAPH behavior this replaces). */
+  private def requireQuadStore(what: String): Unit =
+    if (!graph.isQuads)
+      throw new GraftException(
+        s"$what targets a named graph, but this store holds triples only " +
+          "— promote it first with RdfGraph.asQuadStore (current content " +
+          "becomes the default graph)")
+
+  /** A named graph exists iff it holds at least one quad (this store
+    * does not record empty graphs — the SPARQL-sanctioned posture that
+    * makes CREATE a no-op and DROP coincide with CLEAR). */
+  private def graphExists(iri: String): Boolean =
+    graph.isQuads && !graph.triples.where(namedG(iri)).isEmpty
+
+  private def namedG(iri: String): Column =
+    F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
+      F.col("g.value") === iri
+
+  private def graphCond(g: Option[String]): Column = g match {
+    case None => F.col("g").isNull
+    case Some(iri) => namedG(iri)
+  }
+
+  /** Swap in a new triples frame, dropping source-derived metadata the
+    * way RdfGraph.insert/delete do (it describes the pre-update state). */
+  private def replaceTriples(df: DataFrame): Unit =
+    graph = graph.copy(triples = df, predIndex = Map.empty, starTables = Nil,
+      predObjTypes = Map.empty, predNat = Map.empty, predCounts = Map.empty)
+
+  /** CLEAR/DROP shared body (§3.2.2/§3.2.3 — identical on a store that
+    * does not record empty graphs). */
+  private def clearGraphs(target: GraphRef, silent: Boolean): Unit =
+    target match {
+      case AllRef =>
+        if (!graph.isQuads)
+          graph = RdfGraph.empty(spark).copy(prefixes = graph.prefixes)
+        else replaceTriples(graph.triples.limit(0))
+      case DefaultRef =>
+        if (!graph.isQuads)
+          graph = RdfGraph.empty(spark).copy(prefixes = graph.prefixes)
+        else replaceTriples(graph.triples.where(F.col("g").isNotNull))
+      case NamedRef =>
+        if (graph.isQuads)
+          replaceTriples(graph.triples.where(F.col("g").isNull))
+      case OneGraphRef(iri) =>
+        if (graphExists(iri))
+          replaceTriples(graph.triples.where(!namedG(iri)))
+        else if (!silent)
+          throw new GraftException(s"graph <$iri> does not exist" +
+            (if (graph.isQuads) "" else " (triples-only store)"))
+    }
+
+  /** ADD/MOVE/COPY shared body (§3.2.5-§3.2.7): data of `from` lands in
+    * `to` relabeled; MOVE empties `from`; MOVE/COPY first empty `to`.
+    * One union + anti-filter over the store — no driver materialization. */
+  private def copyLike(from: Option[String], to: Option[String],
+      silent: Boolean, dropTo: Boolean, dropFrom: Boolean): Unit = {
+    if (from == to) return // §3.2.5: same graph → no-op (incl. DEFAULT)
+    if (from.isDefined || to.isDefined)
+      requireQuadStore("ADD/MOVE/COPY with a GRAPH side")
+    from match {
+      case Some(iri) if !graphExists(iri) =>
+        if (!silent) throw new GraftException(s"graph <$iri> does not exist")
+        return
+      case _ => ()
+    }
+    val t = graph.triples
+    val toTerm = to match {
+      case Some(iri) => termCol(Iri(iri))
+      case None => F.lit(null).cast(Terms.termType)
+    }
+    val relabeled = t.where(graphCond(from)).withColumn("g", toTerm)
+    var keep = t
+    if (dropTo) keep = keep.where(!graphCond(to))
+    if (dropFrom) keep = keep.where(!graphCond(from))
+    replaceTriples(keep.unionByName(relabeled)
+      .dropDuplicates("s", "p", "o", "g"))
+  }
+
   private def applyUpdate(op: UpdateOp): Unit = op match {
-    case InsertData(ts) =>
-      graph = graph.insert(groundTriples(ts))
-    case DeleteData(ts) =>
-      rejectDeleteBnodes(ts, "DELETE DATA")
-      graph = graph.delete(groundTriples(ts))
+    case InsertData(qs) =>
+      graph = graph.insert(groundQuads(qs, "INSERT DATA"))
+    case DeleteData(qs) =>
+      rejectDeleteBnodes(qs.map(_.t), "DELETE DATA")
+      graph = graph.delete(groundQuads(qs, "DELETE DATA"))
     case DeleteWhere(tmpl) =>
-      rejectDeleteBnodes(tmpl, "DELETE WHERE")
-      val inst = instantiate(tmpl, compiler.compile(Bgp(tmpl)))
+      rejectDeleteBnodes(tmpl.map(_.t), "DELETE WHERE")
+      if (tmpl.exists(_.g.isDefined)) requireQuadStore("DELETE WHERE { GRAPH … }")
+      val inst = instantiate(tmpl, compiler.compile(quadsPattern(tmpl)), None)
       graph = graph.delete(inst)
-    case Modify(del, ins, where) =>
-      rejectDeleteBnodes(del, "a DELETE template")
-      val bindingsDf = compiler.compile(where)
+    case Modify(del, ins, where, withG, using) =>
+      rejectDeleteBnodes(del.map(_.t), "a DELETE template")
+      if (withG.isDefined) requireQuadStore("WITH <g>")
+      if (!using.isEmpty) requireQuadStore("USING")
+      if ((del ++ ins).exists(_.g.isDefined))
+        requireQuadStore("a GRAPH template block")
+      val bindingsDf = compiler.compileUpdateWhere(where, using, withG)
       // evaluate both templates against the SAME pre-update graph
-      val delT = if (del.nonEmpty) Some(instantiate(del, bindingsDf)) else None
-      val insT = if (ins.nonEmpty) Some(instantiate(ins, bindingsDf)) else None
+      val delT = if (del.nonEmpty) Some(instantiate(del, bindingsDf, withG)) else None
+      val insT = if (ins.nonEmpty) Some(instantiate(ins, bindingsDf, withG)) else None
       var g = graph
       delT.foreach(d => g = g.delete(d))
       insT.foreach(i => g = g.insert(i))
       graph = g
-    case ClearAll =>
-      graph = RdfGraph.empty(spark).copy(prefixes = graph.prefixes)
-    case Load(url, _) =>
-      // LOAD <doc> [INTO GRAPH <g>] (gastrodon/__init__.py:905-907). The
-      // store is single-graph, so the INTO target is accepted and merged
-      // into the default graph. N-Triples (.nt/.nt.gz) reads distributed;
-      // Turtle and RDF/XML parse driver-side (same split as the
-      // standalone sources).
+    case Clear(target, silent) => clearGraphs(target, silent)
+    case Drop(target, silent) => clearGraphs(target, silent)
+    case Create(iri, silent) =>
+      // empty graphs are not recorded: creating a fresh graph is a
+      // no-op; §3.2.1 still mandates the already-exists error
+      if (graphExists(iri) && !silent)
+        throw new GraftException(s"graph <$iri> already exists")
+      if (!graph.isQuads && !silent) requireQuadStore("CREATE GRAPH")
+    case AddGraph(from, to, silent) =>
+      copyLike(from, to, silent, dropTo = false, dropFrom = false)
+    case MoveGraph(from, to, silent) =>
+      copyLike(from, to, silent, dropTo = true, dropFrom = true)
+    case CopyGraph(from, to, silent) =>
+      copyLike(from, to, silent, dropTo = true, dropFrom = false)
+    case Load(url, intoGraph) =>
+      // LOAD <doc> [INTO GRAPH <g>] (gastrodon/__init__.py:905-907).
+      // N-Triples (.nt/.nt.gz) reads distributed; Turtle and RDF/XML
+      // parse driver-side (same split as the standalone sources).
       // Only local documents (file:// or a bare path) are supported —
       // remote schemes fail with a clear error, not an opaque IO one.
       val scheme = url.takeWhile(c => c.isLetter || c == '+').toLowerCase
@@ -327,23 +423,56 @@ class Engine(initial: RdfGraph) {
           s"LOAD cannot infer the RDF format of <$url> " +
             "(expected .ttl/.turtle, .nt/.nt.gz, .rdf/.owl/.xml, or " +
             ".jsonld/.json)")
-      graph = graph.insert(loaded.triples)
+      val placed = intoGraph match {
+        case Some(g) =>
+          // honor the target: the document's triples land in <g>
+          requireQuadStore("LOAD … INTO GRAPH")
+          loaded.triples.withColumn("g", termCol(Iri(g)))
+        case None => loaded.triples
+      }
+      graph = graph.insert(placed)
         .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }
 
-  private def groundTriples(ts: Seq[TriplePattern]): DataFrame = {
-    val terms = ts.map { tp =>
-      (tp.s, tp.p, tp.o) match {
-        case (TermNode(s), VerbNode(TermNode(p)), TermNode(o)) => (s, p, o)
-        case _ => throw new GraftException("INSERT/DELETE DATA requires ground triples")
+  private def groundQuads(qs: Seq[Quad], opName: String): DataFrame = {
+    if (qs.exists(_.g.isDefined)) requireQuadStore(s"$opName with GRAPH")
+    val quads = qs.map { q =>
+      val g = q.g match {
+        case None => None
+        case Some(TermNode(i: Iri)) => Some(i: RdfTerm)
+        case Some(other) => throw new GraftException(
+          s"$opName requires a ground GRAPH name, got $other")
+      }
+      (q.t.s, q.t.p, q.t.o) match {
+        case (TermNode(s), VerbNode(TermNode(p)), TermNode(o)) => (s, p, o, g)
+        case _ => throw new GraftException(s"$opName requires ground triples")
       }
     }
-    RdfGraph.fromTriples(spark, terms).triples
+    if (!graph.isQuads)
+      RdfGraph.fromTriples(spark, quads.map(q => (q._1, q._2, q._3))).triples
+    else RdfGraph.fromQuads(spark, quads).triples
+  }
+
+  /** The pattern a quad template matches against (DELETE WHERE §3.1.3:
+    * the template IS the pattern): default-graph triples form one BGP,
+    * each GRAPH block a GraphPat-scoped BGP, all joined. */
+  private def quadsPattern(tmpl: Seq[Quad]): GraphPattern = {
+    val groups = tmpl.groupBy(_.g).toSeq.sortBy(_._1.toString)
+    groups.map {
+      case (None, qs) => Bgp(qs.map(_.t)): GraphPattern
+      case (Some(g), qs) => GraphPat(g, Bgp(qs.map(_.t))): GraphPattern
+    }.reduceOption(Join.apply).getOrElse(Unit0)
   }
 
   /** Template instantiation over a bindings frame (INSERT/DELETE WHERE —
-    * SURVEY.md §2C: matches.select(tmpl) → union/except). */
-  private def instantiate(tmpl: Seq[TriplePattern], bindings: DataFrame): DataFrame = {
+    * SURVEY.md §2C: matches.select(tmpl) → union/except). On a quad
+    * store every instantiated row carries its target graph: the quad's
+    * GRAPH node, else the WITH graph, else the default graph (g null);
+    * a GRAPH variable unbound or bound to a non-IRI skips the row
+    * (§3.1.3 — such quads are not produced, they must NOT fall through
+    * to the default graph). */
+  private def instantiate(tmpl: Seq[Quad], bindings: DataFrame,
+      withGraph: Option[String]): DataFrame = {
     val rowId = "__row"
     val withId = bindings.withColumn(rowId, F.monotonically_increasing_id())
     def inst(n: Node): Column = n match {
@@ -357,16 +486,36 @@ class Engine(initial: RdfGraph) {
       case QuotedNode(s, p, o) => // INSERT/DELETE-star: build the quoted term
         Terms.packQuoted(inst(s), inst(p), inst(o))
     }
-    tmpl.map { tp =>
+    val quads = graph.isQuads
+    tmpl.map { q =>
+      val tp = q.t
       val p = tp.p match {
         case VerbNode(n) => inst(n)
         case VerbPath(_) => throw new GraftException("path in UPDATE template")
       }
-      withId.select(inst(tp.s).as("s"), p.as("p"), inst(tp.o).as("o"))
+      val base = Seq(inst(tp.s).as("s"), p.as("p"), inst(tp.o).as("o"))
+      var df =
+        if (!quads) withId.select(base: _*)
+        else {
+          val gCol = q.g match {
+            case None => withGraph match {
+              case Some(g) => termCol(Iri(g))
+              case None => F.lit(null).cast(Terms.termType)
+            }
+            case Some(n) => inst(n)
+          }
+          withId.select(base :+ gCol.as("g"): _*)
+        }
+      df = df
+        .where(F.col("s").isNotNull && F.col("p").isNotNull &&
+          F.col("o").isNotNull)
+        .where(F.col("s.kind") =!= KIND_LIT)
+        .where(F.col("p.kind") === KIND_IRI)
+      if (quads && q.g.exists(_.isInstanceOf[VarNode]))
+        df = df.where(F.col("g").isNotNull && F.col("g.kind") === KIND_IRI)
+      df
     }.reduce(_ union _)
-      .where(F.col("s").isNotNull && F.col("p").isNotNull && F.col("o").isNotNull)
-      .where(F.col("s.kind") =!= KIND_LIT)
-      .dropDuplicates("s", "p", "o")
+      .dropDuplicates(if (quads) Seq("s", "p", "o", "g") else Seq("s", "p", "o"))
   }
 
   // ---------------------------------------------------------- containers

@@ -37,16 +37,16 @@ object SparkEntry {
     * frees its blocks regardless — this bounds the within-session case.) */
   private val IvfCacheMax = 4
   private val ivfCache =
-    new java.util.LinkedHashMap[(SparkSession, String), Similarity.IvfIndex](
+    new java.util.LinkedHashMap[(SparkSession, String), Similarity.IvfDetIndex](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), Similarity.IvfIndex])
+          e: java.util.Map.Entry[(SparkSession, String), Similarity.IvfDetIndex])
           : Boolean =
         if (size > IvfCacheMax) { e.getValue.unpersist(); true } else false
     }
 
   private def ivfIndex(s: SparkSession, dir: String)(
-      fit: => Similarity.IvfIndex): Similarity.IvfIndex =
+      fit: => Similarity.IvfDetIndex): Similarity.IvfDetIndex =
     ivfCache.synchronized {
       val k = (s, dir)
       val hit = ivfCache.get(k)
@@ -79,19 +79,29 @@ object SparkEntry {
     * init) shared by the q_kmeans and q_semantic_dedup oracles: v =
     * quantized vectors, cN = centroids after N updates, aN = assignment
     * against c(N-1), a3 = the final assignment. */
-  private val KmeansCtes: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding,
+  /** DuckDB restatement of [[graft.pipeline.Clustering.kmeans]] (k
+    * clusters, 2 Lloyd iterations, smallest-id init) over the
+    * embeddings table restricted to `filter` (empty = all rows). CTE
+    * surface: `v` = every row quantized, `vc` = the k-means corpus,
+    * `c2` = final integer centroids, `a3` = final assignment. */
+  private def kmeansCtesFor(k: Int, filter: String): String = {
+    val vcDef =
+      if (filter.isEmpty) """,
+         vc AS (SELECT * FROM v)"""
+      else s""",
+         vc AS (SELECT * FROM v WHERE $filter)"""
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
                   x -> CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000)
                     AS BIGINT)) AS q
-                FROM embeddings),
+                FROM embeddings)$vcDef,
          c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
-                FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 4))""" +
+                FROM (SELECT vec_id, q FROM vc ORDER BY vec_id LIMIT $k))""" +
       Seq(("c0", "1"), ("c1", "2"), ("c2", "3")).map { case (ci, o) =>
         s""",
-         d$o AS (SELECT v.vec_id, v.q, $ci.j,
-                   list_sum(list_transform(range(1, len(v.q) + 1),
-                     i -> (v.q[i] - $ci.c[i]) * (v.q[i] - $ci.c[i]))) AS dist
-                 FROM v CROSS JOIN $ci),
+         d$o AS (SELECT vc.vec_id, vc.q, $ci.j,
+                   list_sum(list_transform(range(1, len(vc.q) + 1),
+                     i -> (vc.q[i] - $ci.c[i]) * (vc.q[i] - $ci.c[i]))) AS dist
+                 FROM vc CROSS JOIN $ci),
          a$o AS (SELECT vec_id, q, j FROM (SELECT vec_id, q, j,
                    row_number() OVER (PARTITION BY vec_id
                      ORDER BY dist, j) AS rn FROM d$o) WHERE rn = 1)""" +
@@ -104,6 +114,9 @@ object SparkEntry {
          c$o AS (SELECT $ci.j, COALESCE(u$o.c, $ci.c) AS c
                  FROM $ci LEFT JOIN u$o USING (j))""")
       }.mkString
+  }
+
+  private val KmeansCtes: String = kmeansCtesFor(4, "")
 
   /** Flagship query on sf=0.001: SPARQL join+agg over the direct-mapped
     * graph (driver smoke-checks rows>0). */
@@ -451,6 +464,24 @@ object SparkEntry {
         """SELECT ?g ?nname
            FROM NAMED <urn:graft:g/2> FROM NAMED <urn:graft:g/3>
            WHERE { GRAPH ?g { ?n gp:n_name ?nname } }""")
+    }),
+    "q_update_graph" -> ((s, dir) => {
+      // named-graph UPDATE end-to-end (Update §3.1.3 + §3.2): a quad
+      // template with a VARIABLE graph slot labels every nation with
+      // its region name inside the region's named graph, CLEAR empties
+      // one graph, MOVE relocates another — then a GRAPH ?g query
+      // reads the post-state back
+      val e = Engine.fromGraph(quadGraph(s, dir))
+      e.update(P +
+        """INSERT { GRAPH ?g { ?n <urn:graft:p/region_label> ?rname } }
+           WHERE { ?g gp:r_name ?rname . GRAPH ?g { ?n gp:n_name ?nname } } ;
+           CLEAR GRAPH <urn:graft:g/0> ;
+           MOVE GRAPH <urn:graft:g/1> TO GRAPH <urn:graft:g/9>""")
+      e.select(P +
+        """SELECT ?gname ?nname ?rlabel {
+             GRAPH ?g { ?n gp:n_name ?nname .
+                        ?n <urn:graft:p/region_label> ?rlabel }
+             BIND(STR(?g) AS ?gname) }""")
     }),
 
     // --- scalar function library (SURVEY §2B "Scalar functions")
@@ -1069,11 +1100,15 @@ object SparkEntry {
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
-      // fit-once index, memoized: repeated queries run zero KMeans jobs
+      // fit-once index, memoized: repeated queries run zero fit jobs.
+      // Deterministic coarse quantizer (integer k-means, r13) — the
+      // oracle unrolls the fit, the integer probe ranking, and the
+      // exact-cosine scan of the probed lists
       val idx = ivfIndex(s, dir)(
-        Similarity.IvfIndex.fit(emb.where(F.col("vec_id") =!= 0),
+        Similarity.fitIvfDeterministic(emb.where(F.col("vec_id") =!= 0),
           "vec_id", "embedding", nlist = 8).persist())
       Similarity.ivfTopK(idx, q, 10, nprobe = 3)
+        .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
     "q_knn_ivfpq" -> ((s, dir) => {
       // IVF-PQ: partition-prunable coarse lists + residual PQ codes +
@@ -2342,6 +2377,12 @@ object SparkEntry {
       """SELECT 'urn:graft:g/' || CAST(n_regionkey AS VARCHAR) AS g,
                 n_name AS nname
          FROM nation WHERE n_regionkey IN (2, 3)""",
+    "q_update_graph" ->
+      """SELECT 'urn:graft:g/' || CAST(CASE WHEN n_regionkey = 1 THEN 9
+                  ELSE n_regionkey END AS VARCHAR) AS gname,
+                n_name AS nname, r_name AS rlabel
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         WHERE n_regionkey <> 0""",
     "q_rdf_star" ->
       "SELECT r_name AS rname, CAST(80 + r_regionkey AS BIGINT) AS conf FROM region",
     "q_rdfxml" ->
@@ -2593,6 +2634,31 @@ object SparkEntry {
              AS tok
            FROM documents) t
          GROUP BY tok HAVING COUNT(*) >= 100""",
+    "q_knn_ivf" ->
+      // full IVF restatement (promoted from rows-only in r13): the
+      // deterministic integer k-means fit (kmeansCtesFor — corpus is
+      // every vector except the query), the EXACT-integer probe
+      // ranking of the 8 centroids against the quantized query (ties
+      // to the lowest list), then exact cosine + top-10 over the 3
+      // probed lists only
+      (kmeansCtesFor(8, "vec_id <> 0") + """,
+         qq AS (SELECT q FROM v WHERE vec_id = 0),
+         cd AS (SELECT c2.j,
+                  list_sum(list_transform(range(1, len(c2.c) + 1),
+                    i -> (c2.c[i] - qq.q[i]) * (c2.c[i] - qq.q[i]))) AS dist
+                FROM c2, qq),
+         probes AS (SELECT j FROM cd ORDER BY dist, j LIMIT 3),
+         qf AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT a3.vec_id,
+                    list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+                      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(qv, qv))) AS cos
+                  FROM a3 JOIN embeddings e USING (vec_id), qf
+                  WHERE a3.j IN (SELECT j FROM probes))
+         SELECT vec_id, round(cos, 6) AS cosine
+         FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""),
     "q_knn_lsh" ->
       // regenerate the md5-seeded plane matrix, the corpus signatures
       // and the probe set (query bucket + its 4 one-bit flips), then

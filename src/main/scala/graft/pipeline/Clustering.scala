@@ -41,7 +41,16 @@ object Clustering {
     * Returns (idCol, cluster) for every input row, assigned against the
     * final centroids. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, offset: Double = 2.0): DataFrame = {
+      iters: Int = 2, offset: Double = 2.0): DataFrame =
+    kmeansFit(df, idCol, vecCol, k, iters, offset)._1
+
+  /** [[kmeans]] plus the FINAL integer centroids — what a coarse
+    * quantizer needs to rank probe lists deterministically
+    * ([[Similarity.fitIvfDeterministic]]): with the centroids exact
+    * integers, the probe ranking is exact integer arithmetic too, and
+    * the whole IVF query restates in a SQL oracle. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, offset: Double = 2.0): (DataFrame, Array[Seq[Long]]) = {
     require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     val base = df.select(F.col(idCol).as("id"),
@@ -68,9 +77,15 @@ object Clustering {
       centroids = next.map(_.toSeq)
       it += 1
     }
-    assign(base, centroids).select(F.col("id").as(idCol),
-      F.col("cluster").cast(LongType).as("cluster"))
+    (assign(base, centroids).select(F.col("id").as(idCol),
+      F.col("cluster").cast(LongType).as("cluster")), centroids)
   }
+
+  /** Driver-side twin of [[quantize]] (for quantizing a query vector
+    * against a fitted model — same floor((x+offset)·10⁶) contract). */
+  private[pipeline] def quantizeLocal(vec: Seq[Float],
+      offset: Double): Seq[Long] =
+    vec.map(x => math.floor((x.toDouble + offset) * Scale).toLong)
 
   /** Narrow assignment: k exact integer distances + lowest-index argmin
     * via a lexicographic least over (dist, index) structs. */

@@ -112,7 +112,32 @@ object IvfPq {
     val coarse = Similarity.IvfIndex.fit(corpus, id, vec, nlist,
       sampleFraction, seed)
     val centers = coarse.centers.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    val withRes = coarse.assigned.withColumn("__res",
+    fromCoarse(coarse.assigned, centers, id, vec, m, k, pqIters, offset)
+  }
+
+  /** [[fit]] with the DETERMINISTIC coarse quantizer
+    * ([[Similarity.fitIvfDeterministic]] — exact-integer k-means) in
+    * place of ml.KMeans: same index/probe shape, but coarse centroids
+    * are integer-derived floats and every stage restates in a SQL
+    * oracle. `coarseOffset` is the k-means quantization shift (2.0 for
+    * unit vectors), `offset` bounds |residual| for the PQ stage. */
+  def fitDeterministic(corpus: DataFrame, id: String, vec: String,
+      nlist: Int = 16, m: Int = 8, k: Int = 256, pqIters: Int = 2,
+      coarseIters: Int = 2, coarseOffset: Double = 2.0,
+      offset: Double = 4.0): IvfPqIndex = {
+    val coarse = Similarity.fitIvfDeterministic(corpus, id, vec, nlist,
+      coarseIters, coarseOffset)
+    // integer centroid → float center: c/10⁶ − offset, double-rounded
+    // to float — one deterministic IEEE conversion both engines share
+    val centers = coarse.centers.map(_.map(c =>
+      (c.toDouble / 1000000.0 - coarseOffset).toFloat).toSeq).toSeq
+    fromCoarse(coarse.assigned, centers, id, vec, m, k, pqIters, offset)
+  }
+
+  private def fromCoarse(assigned: DataFrame, centers: Seq[Seq[Float]],
+      id: String, vec: String, m: Int, k: Int, pqIters: Int,
+      offset: Double): IvfPqIndex = {
+    val withRes = assigned.withColumn("__res",
       residual(F.col(vec), F.col("__list"), centers))
     val pq = Pq.fit(withRes, id, "__res", m, k, pqIters, offset)
     val codes = withRes.select(F.col(id), F.col("__list"),

@@ -257,6 +257,52 @@ object Similarity {
       query: Seq[Float], k: Int, nlist: Int, nprobe: Int): DataFrame =
     ivfTopK(IvfIndex.fit(corpus, id, vec, nlist), query, k, nprobe)
 
+  /** Deterministic IVF index: [[Clustering]]'s exact-integer k-means as
+    * the coarse quantizer (smallest-id init, fixed iterations, integer
+    * centroids) instead of ml.KMeans. Same index shape and probe path
+    * as [[IvfIndex]] — assignment partitioned/pruned by `__list` — but
+    * every stage (assignment, centroids, probe ranking) is exact
+    * integer arithmetic, so the whole query restates in a SQL oracle
+    * and results are bit-identical across engines and partitionings. */
+  final class IvfDetIndex private[pipeline] (
+      /** corpus + `__list` (long) — the coarse-quantizer cell id. */
+      val assigned: DataFrame,
+      /** FINAL integer centroids (quantized space). */
+      val centers: Array[Seq[Long]],
+      val offset: Double, val id: String, val vec: String) {
+    def persist(): IvfDetIndex = { assigned.persist(); this }
+    def unpersist(): IvfDetIndex = { assigned.unpersist(); this }
+  }
+
+  /** Fit the deterministic coarse quantizer once (see [[IvfDetIndex]]).
+    * At 100 TB the fit runs on a sample the same way [[IvfIndex.fit]]
+    * does — pass a pre-sampled `corpus` (determinism then rests on the
+    * sample being pinned, e.g. a stored id range). */
+  def fitIvfDeterministic(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int = 2, offset: Double = 2.0): IvfDetIndex = {
+    val (assignedIds, centers) =
+      Clustering.kmeansFit(corpus, id, vec, nlist, iters, offset)
+    val assigned = corpus.join(
+      assignedIds.withColumnRenamed("cluster", "__list"), id)
+    new IvfDetIndex(assigned, centers, offset, id, vec)
+  }
+
+  /** IVF probe against a deterministic index: centroids rank by EXACT
+    * integer distance to the quantized query (ties to the lowest list
+    * index), then the usual nprobe-list scan + exact cosine top-k. */
+  def ivfTopK(index: IvfDetIndex, query: Seq[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val qq = Clustering.quantizeLocal(query, index.offset)
+    val probeLists = index.centers.zipWithIndex.map { case (c, j) =>
+      (c.zip(qq).map { case (a, b) => val d = a - b; d * d }.sum, j)
+    }.sorted.take(nprobe).map(_._2.toLong).toSeq
+    val q = F.typedlit(query)
+    index.assigned.where(F.col("__list").isin(probeLists: _*))
+      .select(F.col(index.id), cosine(F.col(index.vec), q).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(index.id))
+      .limit(k)
+  }
+
   /** Fit-once IVF index (queried via [[ivfTopK]]). Holds the centroid
     * list assignment of every corpus vector plus the quantizer centroids;
     * queries never re-fit. */

@@ -294,10 +294,15 @@ object Canon {
         F.when(F.col("g").isNotNull,
           F.concat(termNqCol(F.col("g")), F.lit(" "))).otherwise(F.lit(""))
       else F.lit("")
+    // distinct: the driver serializer dedupes quads, so the distributed
+    // document must too — a store carrying duplicate rows (set semantics
+    // are a property of RdfGraph's loaders, not of arbitrary quad
+    // frames) would otherwise break byte-equality with canonicalNQuads
     val groundLines = ground.select(F.concat(
       termNqCol(F.col("s")), F.lit(" "),
       termNqCol(F.col("p")), F.lit(" "),
       termNqCol(F.col("o")), F.lit(" "), gPart, F.lit(".")).as("line"))
+      .distinct()
 
     val driverQuads = RdfGraph(t.filter(bnodeish), g.prefixes).collectQuads()
     val labels = canonicalLabels(driverQuads, maxSteps)

@@ -111,8 +111,15 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   def delete(gone: DataFrame): RdfGraph = {
     val remaining =
       if (!isQuads) triples.join(gone, Seq("s", "p", "o"), "left_anti")
-      else if (gone.columns.contains("g"))
-        triples.join(gone, Seq("s", "p", "o", "g"), "left_anti")
+      else if (gone.columns.contains("g")) {
+        // null-safe on g: default-graph rows (g null) must match each
+        // other, which a plain equi-join never does
+        val rr = gone.select(F.col("s").as("rs"), F.col("p").as("rp"),
+          F.col("o").as("ro"), F.col("g").as("rg"))
+        triples.join(rr, F.col("s") === F.col("rs") &&
+          F.col("p") === F.col("rp") && F.col("o") === F.col("ro") &&
+          F.col("g") <=> F.col("rg"), "left_anti")
+      }
       else triples.join(gone,
         triples("s") === gone("s") && triples("p") === gone("p") &&
           triples("o") === gone("o") && triples("g").isNull, "left_anti")
@@ -123,6 +130,21 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
 
   def withPrefix(prefix: String, ns: String): RdfGraph =
     copy(prefixes = prefixes + (prefix -> ns))
+
+  /** Promote a triples-only store to a quad store whose current content
+    * is the default graph — the entry ticket for named-graph UPDATE
+    * (GRAPH templates, WITH/USING, LOAD … INTO GRAPH, ADD/MOVE/COPY) on
+    * a store loaded from a triples-only source. A no-op on quad stores.
+    * The single-graph fast paths (vertical index, star tables) are
+    * dropped — quad-scoped scans bypass them anyway; the predicate
+    * statistics stay (they remain exact: all rows land in the default
+    * graph). */
+  def asQuadStore: RdfGraph =
+    if (isQuads) this
+    else copy(
+      triples = triples.withColumn("g", F.lit(null).cast(Terms.termType)),
+      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
+      predNat = Map.empty)
 
   def cache(): RdfGraph = { triples.cache(); this }
   def unpersist(): RdfGraph = { triples.unpersist(); this }

@@ -531,7 +531,13 @@ object RdfXml {
     var done = false
     while (!done) {
       r.next() match {
-        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.START_ELEMENT =>
+          // emptyPropertyElt (REC 7.2.21) forbids children — reject
+          // them loudly rather than silently dropping nested content
+          if (!allowText)
+            throw new RdfXmlParseException(
+              "child element not allowed in empty property element")
+          depth += 1
         case XMLStreamConstants.END_ELEMENT =>
           if (depth == 0) done = true else depth -= 1
         case XMLStreamConstants.CHARACTERS

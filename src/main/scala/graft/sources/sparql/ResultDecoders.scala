@@ -136,7 +136,15 @@ private[sources] class JsonResultDecoder(in: InputStream, vars: Array[String])
     typ match {
       case "uri" => Iri(value)
       case "bnode" => Blank(value)
-      case "triple" => QuotedTriple(s, p.asInstanceOf[Iri], o)
+      case "triple" => (s, p, o) match {
+        // a hostile/buggy endpoint must raise the decoders' usual
+        // IOException-with-context, not a ClassCastException/NPE
+        case (sub, pred: Iri, obj) if sub != null && obj != null =>
+          QuotedTriple(sub, pred, obj)
+        case _ => throw new java.io.IOException(
+          "malformed results-JSON triple term (subject/predicate/object " +
+            "missing, or predicate not an IRI)")
+      }
       case _ => // "literal" and the legacy "typed-literal"
         if (value == null) throw new java.io.IOException(
           s"malformed results-JSON term (type=$typ, no value)")
@@ -253,7 +261,13 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
       }
       ev = reader.next()
     }
-    QuotedTriple(s, p.asInstanceOf[Iri], o)
+    (s, p, o) match {
+      case (sub, pred: Iri, obj) if sub != null && obj != null =>
+        QuotedTriple(sub, pred, obj)
+      case _ => throw new java.io.IOException(
+        "malformed results-XML triple term (subject/predicate/object " +
+          "missing, or predicate not an IRI)")
+    }
   }
 
   override def next(): Boolean = {
@@ -537,6 +551,11 @@ private[sources] object TsvTerm {
     val (obj, p3) = term(s, p2)
     val p = ws(s, p3)
     require(s.startsWith(">>", p), s"unterminated quoted triple: $s")
-    (QuotedTriple(sub, pred.asInstanceOf[Iri], obj), p + 2)
+    val predIri = pred match {
+      case i: Iri => i
+      case other => throw new IllegalArgumentException(
+        s"quoted-triple predicate must be an IRI, got: $other")
+    }
+    (QuotedTriple(sub, predIri, obj), p + 2)
   }
 }

@@ -151,18 +151,55 @@ object Ast {
 
   // ---- updates ---------------------------------------------------------------
 
+  /** One quad of an update template / data block: a triple pattern plus
+    * the graph it targets. `g` None = the operation's default graph (the
+    * store's default graph, or the Modify's WITH graph); Some(VarNode) is
+    * legal in templates and DELETE WHERE (the graph name binds per
+    * solution), Some(TermNode(Iri)) everywhere (Update §3.1:
+    * QuadPattern / QuadData). */
+  final case class Quad(t: TriplePattern, g: Option[Node])
+
   sealed trait UpdateOp
-  final case class InsertData(triples: Seq[TriplePattern]) extends UpdateOp
-  final case class DeleteData(triples: Seq[TriplePattern]) extends UpdateOp
-  /** DELETE {t} INSERT {t} WHERE {p}; either template may be empty. */
-  final case class Modify(delete: Seq[TriplePattern], insert: Seq[TriplePattern],
-      where: GraphPattern) extends UpdateOp
-  final case class DeleteWhere(template: Seq[TriplePattern]) extends UpdateOp
-  case object ClearAll extends UpdateOp
-  /** LOAD <url> [INTO GRAPH <g>] — the engine unions the parsed document
-    * into the (single) default graph; the INTO GRAPH target is parsed for
-    * grammar completeness (the reference has no named-graph store either,
-    * gastrodon/__init__.py:905-907). */
+  final case class InsertData(quads: Seq[Quad]) extends UpdateOp
+  final case class DeleteData(quads: Seq[Quad]) extends UpdateOp
+  /** DELETE {t} INSERT {t} WHERE {p}; either template may be empty.
+    * `withGraph` (WITH <g>) sets the default graph BOTH templates and —
+    * when no USING/USING NAMED clause is present — the WHERE pattern
+    * operate on (Update §3.1.3: USING overrides WITH for the WHERE
+    * only). `using` is the WHERE's FROM/FROM NAMED-equivalent dataset. */
+  final case class Modify(delete: Seq[Quad], insert: Seq[Quad],
+      where: GraphPattern, withGraph: Option[String] = None,
+      using: DatasetClause = DatasetClause.empty) extends UpdateOp
+  final case class DeleteWhere(template: Seq[Quad]) extends UpdateOp
+
+  /** Target of CLEAR / DROP (Update §3.2.2/§3.2.3). */
+  sealed trait GraphRef
+  case object DefaultRef extends GraphRef
+  case object NamedRef extends GraphRef
+  case object AllRef extends GraphRef
+  final case class OneGraphRef(iri: String) extends GraphRef
+
+  final case class Clear(target: GraphRef, silent: Boolean) extends UpdateOp
+  /** DROP — this store does not record empty graphs (a graph exists iff
+    * it holds at least one quad, the SPARQL-sanctioned posture), so DROP
+    * is CLEAR with graph-existence enforcement. */
+  final case class Drop(target: GraphRef, silent: Boolean) extends UpdateOp
+  /** CREATE GRAPH <g> — a no-op on this store (empty graphs are not
+    * recorded) except the §3.2.1 already-exists error without SILENT. */
+  final case class Create(iri: String, silent: Boolean) extends UpdateOp
+  /** ADD/MOVE/COPY (GRAPH <from>|DEFAULT) TO (GRAPH <to>|DEFAULT) —
+    * None = DEFAULT (Update §3.2.5-§3.2.7). */
+  final case class AddGraph(from: Option[String], to: Option[String],
+      silent: Boolean) extends UpdateOp
+  final case class MoveGraph(from: Option[String], to: Option[String],
+      silent: Boolean) extends UpdateOp
+  final case class CopyGraph(from: Option[String], to: Option[String],
+      silent: Boolean) extends UpdateOp
+
+  /** LOAD <url> [INTO GRAPH <g>] — the parsed document merges into the
+    * target graph: the default graph when no INTO, the named graph on a
+    * quad store (a triple-only store raises a loud error rather than
+    * misfiling — promote with RdfGraph.asQuadStore). */
   final case class Load(url: String, intoGraph: Option[String]) extends UpdateOp
 
   final case class ParsedUpdate(prologue: Prologue, ops: Seq[UpdateOp])

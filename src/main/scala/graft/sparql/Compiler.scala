@@ -40,12 +40,28 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   private var activeGraph: Option[Node] = None
   /** FROM / FROM NAMED of the query being compiled (top level only). */
   private var dataset: DatasetClause = DatasetClause.empty
+  /** UPDATE `WITH <g>` default-graph override: default-graph scans read
+    * the named graph g instead. Unlike a dataset clause it does NOT
+    * restrict the named-graph universe GRAPH patterns range over
+    * (Update §3.1.3); USING/USING NAMED, when present, replace it. */
+  private var withDefault: Option[String] = None
+
+  /** Compile a Modify's WHERE: USING/USING NAMED act as the pattern's
+    * FROM/FROM NAMED and override WITH; a bare WITH redirects only the
+    * default-graph scans (Update §3.1.3). */
+  def compileUpdateWhere(p: GraphPattern, using: DatasetClause,
+      withGraph: Option[String]): DataFrame = {
+    if (!using.isEmpty) dataset = using
+    else withDefault = withGraph
+    compile(p)
+  }
 
   /** True when scans cannot use the single-graph fast paths (vertical
     * index, star tables): the store has quads, a GRAPH scope is active,
     * or a dataset clause redefines the default graph. */
   private def quadScoped: Boolean =
-    hasQuads || activeGraph.isDefined || !dataset.isEmpty
+    hasQuads || activeGraph.isDefined || !dataset.isEmpty ||
+      withDefault.isDefined
 
   /** The triples visible to a scan under the current graph scope:
     *  - no scope (default graph): g IS NULL, or g ∈ FROM set when the
@@ -56,8 +72,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * clauses over it match nothing (the dataset has no such graphs). */
   private def scanBase: DataFrame =
     if (!hasQuads) {
-      if (activeGraph.isEmpty && dataset.isEmpty) graph else graph.limit(0)
+      if (activeGraph.isEmpty && dataset.isEmpty && withDefault.isEmpty) graph
+      else graph.limit(0)
     } else activeGraph match {
+      case None if withDefault.isDefined && dataset.isEmpty =>
+        graph.where(F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
+          F.col("g.value") === withDefault.get)
       case None =>
         if (dataset.isEmpty) graph.where(F.col("g").isNull)
         else if (dataset.defaults.isEmpty) graph.limit(0)

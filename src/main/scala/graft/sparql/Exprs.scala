@@ -335,6 +335,32 @@ final class ExprCompiler(env: String => Option[Column]) {
 
   // ------------------------------------------------------------- aggregates
 
+  /** The group's distinct numeric TERMS (SUM/AVG DISTINCT §18.5.1:
+    * Distinct(M) dedupes solutions, i.e. by sameTerm — full struct
+    * equality — never by numeric value). collect_set drops the nulls
+    * the `when` leaves for non-numeric elements (those already tripped
+    * the group error flag). */
+  private def distinctNumericTerms(t: Column): Column =
+    F.collect_set(F.when(isNumeric(t) && numValue(t).isNotNull, t))
+
+  /** Per-lane folds over a distinct-term set. The explicit result casts
+    * keep the accumulator type fixed across iterations (decimal `+`
+    * would otherwise drift precision under Spark's promotion rules). */
+  private def foldLong(terms: Column): Column =
+    F.aggregate(terms, F.lit(0L), (acc, x) => acc +
+      F.when(x.getField("dt").isin(XSD.integral.toSeq.map(F.lit): _*),
+        x.getField("value").cast(LongType)).otherwise(0L))
+  private def foldDec(terms: Column): Column =
+    F.aggregate(terms, F.lit(0).cast(DecimalType(38, 18)), (acc, x) =>
+      (acc + F.when(
+        x.getField("dt").isin(XSD.integral.toSeq.map(F.lit): _*) ||
+          x.getField("dt") === F.lit(XSD.decimal),
+        x.getField("value").cast(DecimalType(38, 18)))
+        .otherwise(F.lit(0).cast(DecimalType(38, 18))))
+        .cast(DecimalType(38, 18)))
+  private def foldDbl(terms: Column): Column =
+    F.aggregate(terms, F.lit(0.0), (acc, x) => acc + numValue(x))
+
   /** Compile an aggregate to a single (possibly composite) agg Column
     * producing a term struct. Integer exactness: SUM/MIN/MAX over all-
     * integral groups stay in LongType. */
@@ -363,20 +389,19 @@ final class ExprCompiler(env: String => Option[Column]) {
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
         val anyDec = F.max(F.when(isDec, 1).otherwise(0))
         if (a.distinct) {
-          // DISTINCT dedupes by numeric value within the promoted type
-          // (the SQL reading DuckDB's SUM(DISTINCT) shares); the same
-          // promotion rules as the plain sum pick the result type. The
-          // `when` has no otherwise — a spurious 0 would join the
-          // distinct set.
-          val sumL = F.sum_distinct(
-            F.when(integral, value(t).cast(LongType)))
-          val sumDec = F.sum_distinct(F.when(integral || isDec,
-            value(t).cast(DecimalType(38, 18))))
-          val sumD = F.sum_distinct(F.when(isNumeric(t), numValue(t)))
+          // §18.5.1: Distinct(M) removes duplicate SOLUTIONS — dedup is
+          // by RDF TERM (sameTerm), not numeric value: {"1"^^xsd:integer,
+          // "1.0"^^xsd:decimal} sums to 2.0, and "01"^^xsd:integer /
+          // "1"^^xsd:integer are distinct terms. collect_set over the
+          // term struct IS term-distinctness; the per-lane sums fold
+          // over that set (the distinct set is what ANY distinct
+          // aggregate must materialize — Spark's own sum_distinct
+          // holds the same set in its hash relation).
+          val terms = distinctNumericTerms(t)
           F.when(err === 1, F.lit(null).cast(Terms.termType))
-            .when(anyDbl === 1, dblTerm(F.coalesce(sumD, F.lit(0.0))))
-            .when(anyDec === 1, decTerm(sumDec))
-            .otherwise(intTerm(F.coalesce(sumL, F.lit(0L))))
+            .when(anyDbl === 1, dblTerm(foldDbl(terms)))
+            .when(anyDec === 1, decTerm(foldDec(terms)))
+            .otherwise(intTerm(foldLong(terms)))
         } else {
           val sumL = F.sum(F.when(integral, value(t).cast(LongType)).otherwise(0L))
           val sumDec = F.sum(F.when(integral || isDec,
@@ -399,19 +424,20 @@ final class ExprCompiler(env: String => Option[Column]) {
           t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
         val anyDbl = F.max(
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
-        // DISTINCT: sum and count both range over the distinct numeric
-        // values (same reading as SUM(DISTINCT) and DuckDB's AVG)
+        // DISTINCT: Avg(Distinct M) = Sum(Distinct M)/Card(Distinct M)
+        // — both range over the distinct TERMS (sameTerm dedup, like
+        // SUM(DISTINCT) above)
+        val distTerms = distinctNumericTerms(t)
         val n =
-          if (a.distinct) F.countDistinct(numValue(t))
+          if (a.distinct) F.size(distTerms).cast(LongType)
           else F.count(F.when(t.isNotNull, 1))
         val sumDec =
-          if (a.distinct) F.sum_distinct(F.when(integral || isDec,
-            value(t).cast(DecimalType(38, 18))))
+          if (a.distinct) foldDec(distTerms)
           else F.sum(F.when(integral || isDec,
             value(t).cast(DecimalType(38, 18)))
             .otherwise(F.lit(0).cast(DecimalType(38, 18))))
         val avgDbl =
-          if (a.distinct) F.sum_distinct(F.when(isNumeric(t), numValue(t))) / n
+          if (a.distinct) foldDbl(distTerms) / n
           else F.avg(numValue(t))
         F.when(err === 1, F.lit(null).cast(Terms.termType))
           .when(n === 0, intTerm(F.lit(0L)))

@@ -55,7 +55,7 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   // ends the statement instead of swallowing the dot.
   private val PnPlx = """%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%]"""
   private val PNAME = (
-    """([A-Za-z][A-Za-z0-9_.\-]*)?:""" +
+    """([A-Za-z](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)?:""" +
     s"""((?:[A-Za-z0-9_:]|$PnPlx)""" +
     s"""(?:(?:[A-Za-z0-9_.:\\-]|$PnPlx)*(?:[A-Za-z0-9_:\\-]|$PnPlx))?)?""").r
   private val VAR = """[?$][A-Za-z0-9_]+""".r
@@ -163,7 +163,7 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   // chaining — a later `BASE <sub/>` extends the earlier one), same
   // as the Turtle @prefix/@base directives
   private def prefixDecl: Parser[Unit] =
-    kw("PREFIX") ~> ("""([A-Za-z][A-Za-z0-9_.\-]*)?:""".r) ~ iriRef ^^ {
+    kw("PREFIX") ~> ("""([A-Za-z](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)?:""".r) ~ iriRef ^^ {
       case pc ~ i => prefixes += (pc.dropRight(1) -> i)
     }
   private def baseDecl: Parser[Unit] =
@@ -629,25 +629,78 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
       case p ~ ops => ParsedUpdate(p, ops)
     }
 
+  /** Quads production (Update §19.8 `Quads`): a QuadPattern/QuadData
+    * block mixes default-graph triples with `GRAPH VarOrIri { … }`
+    * sub-blocks. */
+  private def varOrIriNode: Parser[Node] =
+    varName ^^ (VarNode(_): Node) | iri ^^ (i => TermNode(Iri(i)): Node)
+
+  private def quadsNotTriples: Parser[Seq[Quad]] =
+    kw("GRAPH") ~> varOrIriNode ~ ("{" ~> opt(triplesBlock) <~ "}") ^^ {
+      case g ~ ts => ts.getOrElse(Nil).map(Quad(_, Some(g)))
+    }
+
+  def quadBlock: Parser[Seq[Quad]] =
+    "{" ~> opt(triplesBlock) ~
+      rep(quadsNotTriples ~ (opt(".") ~> opt(triplesBlock))) <~ "}" ^^ {
+      case first ~ rest =>
+        first.getOrElse(Nil).map(Quad(_, None)) ++ rest.flatMap {
+          case g ~ after => g ++ after.getOrElse(Nil).map(Quad(_, None))
+        }
+    }
+
+  private def graphRefAll: Parser[GraphRef] =
+    kw("GRAPH") ~> iri ^^ OneGraphRef.apply |
+    kw("DEFAULT") ^^ (_ => DefaultRef) |
+    kw("NAMED") ^^ (_ => NamedRef) |
+    kw("ALL") ^^ (_ => AllRef)
+
+  /** GraphOrDefault (§19.8): `DEFAULT` or `[GRAPH] iri`. */
+  private def graphOrDefault: Parser[Option[String]] =
+    kw("DEFAULT") ^^ (_ => None) | opt(kw("GRAPH")) ~> iri ^^ (Some(_))
+
   def update1: Parser[UpdateOp] =
-    kw("INSERT") ~> kw("DATA") ~> "{" ~> opt(triplesBlock) <~ "}" ^^ (t => InsertData(t.getOrElse(Nil))) |
-    kw("DELETE") ~> kw("DATA") ~> "{" ~> opt(triplesBlock) <~ "}" ^^ (t => DeleteData(t.getOrElse(Nil))) |
-    kw("DELETE") ~> kw("WHERE") ~> ("{" ~> opt(triplesBlock) <~ "}") ^^ (t => DeleteWhere(t.getOrElse(Nil))) |
-    kw("CLEAR") ~> opt(kw("SILENT")) ~> (kw("ALL") | kw("DEFAULT")) ^^ (_ => ClearAll) |
+    kw("INSERT") ~> kw("DATA") ~> quadBlock ^^ InsertData.apply |
+    kw("DELETE") ~> kw("DATA") ~> quadBlock ^^ DeleteData.apply |
+    kw("DELETE") ~> kw("WHERE") ~> quadBlock ^^ DeleteWhere.apply |
+    kw("CLEAR") ~> opt(kw("SILENT")) ~ graphRefAll ^^ {
+      case s ~ t => Clear(t, s.isDefined)
+    } |
+    kw("DROP") ~> opt(kw("SILENT")) ~ graphRefAll ^^ {
+      case s ~ t => Drop(t, s.isDefined)
+    } |
+    kw("CREATE") ~> opt(kw("SILENT")) ~ (kw("GRAPH") ~> iri) ^^ {
+      case s ~ g => Create(g, s.isDefined)
+    } |
+    kw("ADD") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => AddGraph(f, t, s.isDefined)
+    } |
+    kw("MOVE") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => MoveGraph(f, t, s.isDefined)
+    } |
+    kw("COPY") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => CopyGraph(f, t, s.isDefined)
+    } |
     kw("LOAD") ~> opt(kw("SILENT")) ~> iri ~
       opt(kw("INTO") ~> kw("GRAPH") ~> iri) ^^ {
       case url ~ g => Load(url, g)
     } |
     modify
 
+  private def usingClause: Parser[(Boolean, String)] =
+    kw("USING") ~> opt(kw("NAMED")) ~ iri ^^ { case n ~ i => (n.isDefined, i) }
+
   def modify: Parser[UpdateOp] = {
-    val del = kw("DELETE") ~> "{" ~> opt(triplesBlock) <~ "}"
-    val ins = kw("INSERT") ~> "{" ~> opt(triplesBlock) <~ "}"
-    del ~ opt(ins) ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
-      case d ~ i ~ w => Modify(d.getOrElse(Nil), i.flatten.getOrElse(Nil), w)
+    val del = kw("DELETE") ~> quadBlock
+    val ins = kw("INSERT") ~> quadBlock
+    opt(kw("WITH") ~> iri) ~ del ~ opt(ins) ~ rep(usingClause) ~
+      (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case g ~ d ~ i ~ u ~ w =>
+        Modify(d, i.getOrElse(Nil), w, g, DatasetClause.of(u))
     } |
-    ins ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
-      case i ~ w => Modify(Nil, i.getOrElse(Nil), w)
+    opt(kw("WITH") ~> iri) ~ ins ~ rep(usingClause) ~
+      (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case g ~ i ~ u ~ w => Modify(Nil, i, w, g, DatasetClause.of(u))
     }
   }
 

@@ -24,15 +24,17 @@ object Substitute {
     if (b.isEmpty) op else {
       val m = b.map { case (k, v) => ("_" + k, v) }
       op match {
-        case InsertData(ts) => InsertData(ts.map(triple(_, m)))
-        case DeleteData(ts) => DeleteData(ts.map(triple(_, m)))
-        case DeleteWhere(ts) => DeleteWhere(ts.map(triple(_, m)))
-        case Modify(d, i, w) =>
-          Modify(d.map(triple(_, m)), i.map(triple(_, m)), pattern(w, m))
-        case ClearAll => ClearAll
-        case l: Load => l
+        case InsertData(ts) => InsertData(ts.map(quad(_, m)))
+        case DeleteData(ts) => DeleteData(ts.map(quad(_, m)))
+        case DeleteWhere(ts) => DeleteWhere(ts.map(quad(_, m)))
+        case Modify(d, i, w, g, u) =>
+          Modify(d.map(quad(_, m)), i.map(quad(_, m)), pattern(w, m), g, u)
+        case other => other // CLEAR/DROP/CREATE/ADD/MOVE/COPY/LOAD carry no vars
       }
     }
+
+  private def quad(q: Quad, m: Map[String, RdfTerm]): Quad =
+    Quad(triple(q.t, m), q.g.map(node(_, m)))
 
   private def selectQ(q: SelectQuery, m: Map[String, RdfTerm]): SelectQuery =
     q.copy(

@@ -1,0 +1,1 @@
+MOVE GRAPH <http://example/g1> TO GRAPH <http://example/g2>

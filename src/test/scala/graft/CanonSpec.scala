@@ -209,6 +209,18 @@ class CanonSpec extends SparkSpec {
     assert(doc == g.canonicalNQuads())
   }
 
+  test("canonicalLines dedupes duplicate ground rows like the driver form") {
+    // a store built from an arbitrary frame can carry duplicate rows
+    // (set semantics are a loader property) — the distributed document
+    // must still byte-match the driver serializer, which dedupes
+    val one = RdfGraph.fromTriples(spark, Seq(
+      (iri("s"), iri("p"), Lit.plain("v")),
+      (iri("s2"), iri("p"), Lit.plain("w"))))
+    val dup = one.copy(triples = one.triples.unionByName(one.triples))
+    assert(Canon.canonicalLines(dup).collect().map(_.getString(0)).sorted
+      .mkString("", "\n", "\n") == one.canonicalNQuads())
+  }
+
   test("RdfGraph.diff: exclusive rows each side, null-safe on graph names") {
     val a = RdfGraph.fromQuads(spark, Seq(
       (iri("s1"), iri("p"), Lit.plain("shared"), None),

@@ -62,4 +62,19 @@ class HelloSparqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("^"))
   }
+
+  test("PN_PREFIX forbids a trailing dot (PREFIX decl and PNAME use)") {
+    // grammar: PN_PREFIX ::= PN_CHARS_BASE ((PN_CHARS | '.')* PN_CHARS)?
+    // — dots only INSIDE, so `ex.:x` / `PREFIX ex.:` must be rejected
+    intercept[GraftException] {
+      engine.select("PREFIX ex.: <http://e/> SELECT ?x { ?x ex.:p ?y }")
+    }
+    intercept[GraftException] {
+      engine.select("SELECT ?x { ?x ex.:p ?y }")
+    }
+    // dots INSIDE a prefix label stay legal
+    val ok = engine.select(
+      "PREFIX e.x: <http://example.com/> SELECT ?b { :New_York_City e.x:boro ?b }")
+    assert(ok.count() == 5)
+  }
 }

@@ -254,8 +254,15 @@ class OperatorSpec extends SparkSpec {
       "<http://example.com/y> <http://example.com/label> \"loaded\" .\n")
     e.update(s"LOAD <file://${nt.getAbsolutePath}>")
     assert(e.graph.size == 2) // set semantics: the seed triple dedups
-    e.update(s"LOAD <file://${nt.getAbsolutePath}> INTO GRAPH <http://example.com/g>")
-    assert(e.graph.size == 2) // idempotent re-load, INTO GRAPH accepted
+    e.update(s"LOAD <file://${nt.getAbsolutePath}>")
+    assert(e.graph.size == 2) // idempotent re-load
+    // r13: INTO GRAPH on a triples-only store is a LOUD error (it used
+    // to silently retarget the default graph); GraphUpdateSpec covers
+    // the honored quad-store path
+    val intoOnTriples = intercept[GraftException] {
+      e.update(s"LOAD <file://${nt.getAbsolutePath}> INTO GRAPH <http://example.com/g>")
+    }
+    assert(intoOnTriples.getMessage.contains("asQuadStore"))
     val ttl = new java.io.File(dir, "doc.ttl")
     java.nio.file.Files.writeString(ttl.toPath,
       "@prefix ex: <http://example.com/> .\nex:z ex:label \"turtle\" .\n")

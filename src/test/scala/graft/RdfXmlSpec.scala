@@ -250,6 +250,21 @@ class RdfXmlSpec extends SparkSpec {
         Lit("x", XSD.string, null))))
   }
 
+  test("empty property element (rdf:resource) rejects nested children") {
+    // REC 7.2.21 emptyPropertyElt has no content — nested elements must
+    // error loudly, not be silently dropped
+    intercept[RdfXml.RdfXmlParseException] {
+      RdfXml.parseTriples(
+        """<?xml version="1.0"?>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |         xmlns:ex="http://example.org/">
+          |  <rdf:Description rdf:about="http://example.org/s">
+          |    <ex:p rdf:resource="http://example.org/o"><ex:junk/></ex:p>
+          |  </rdf:Description>
+          |</rdf:RDF>""".stripMargin)
+    }
+  }
+
   test("obsolete rdf:bagID / rdf:aboutEach are rejected") {
     intercept[RdfXml.RdfXmlParseException] {
       RdfXml.parseTriples(

@@ -168,6 +168,29 @@ class ResultDecodersSpec extends SparkSpec {
     }
   }
 
+  test("JSON: malformed triple term (literal predicate / missing slot) " +
+      "raises the decoder's IOException, not a ClassCastException") {
+    val badPred = """{"head":{"vars":["t"]},"results":{"bindings":[
+      {"t":{"type":"triple","value":{
+        "subject":{"type":"uri","value":"http://e/a"},
+        "predicate":{"type":"literal","value":"not-an-iri"},
+        "object":{"type":"literal","value":"x"}}}}]}}"""
+    val noSubj = """{"head":{"vars":["t"]},"results":{"bindings":[
+      {"t":{"type":"triple","value":{
+        "predicate":{"type":"uri","value":"http://e/p"},
+        "object":{"type":"literal","value":"x"}}}}]}}"""
+    for (doc <- Seq(badPred, noSubj))
+      withServer(doc, "application/sparql-results+json") { (url, _) =>
+        val e = intercept[org.apache.spark.SparkException] {
+          readVia(url, "t").collect()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(_.isInstanceOf[java.io.IOException]),
+          s"expected an IOException in the cause chain, got $e")
+      }
+  }
+
   test("missing Content-Type falls back to the JSON decoder") {
     val doc = SparqlResults.json(mixedFrame)
     withServer(doc, "") { (url, _) =>

@@ -55,8 +55,14 @@ class W3cUpdateSpec extends SparkSpec {
     }
   }
 
+  /** One named graph of a pre/post state: `ut:graphData [ ut:graph
+    * <file> ; rdfs:label "iri" ]` — the upstream harness's shape for
+    * graph-update tests. */
+  private case class GraphData(file: String, name: String)
+
   private case class UpdateTest(name: String, request: String,
-      pre: Option[String], post: String, negative: Boolean)
+      pre: Option[String], preGraphs: Seq[GraphData],
+      post: String, postGraphs: Seq[GraphData], negative: Boolean)
 
   private def loadManifest(): Seq[UpdateTest] = {
     val g = new MiniGraph(Turtle.parseTriples(res("manifest.ttl")))
@@ -81,17 +87,33 @@ class W3cUpdateSpec extends SparkSpec {
         sys.error(s"update/$name: no mf:action"))
       val negative = g.obj(e, RDFNS + "type")
         .contains(Iri(UT + "NegativeUpdateTest"))
-      val post =
-        if (negative) ""
-        else fileOf(g.obj(g.obj(e, MF + "result").getOrElse(
-            sys.error(s"update/$name: no mf:result")), UT + "data"),
-          "result ut:data")
-          .getOrElse(sys.error(s"update/$name: no result ut:data"))
+      def graphsOf(node: RdfTerm): Seq[GraphData] =
+        g.objs(node, UT + "graphData").map { gd =>
+          val file = g.obj(gd, UT + "graph") match {
+            case Some(Iri(rel)) => rel
+            case other => sys.error(s"update/$name: bad ut:graph: $other")
+          }
+          val label = g.obj(gd, "http://www.w3.org/2000/01/rdf-schema#label") match {
+            case Some(Lit(lex, _, _)) => lex
+            case other => sys.error(s"update/$name: graphData needs rdfs:label: $other")
+          }
+          GraphData(file, label)
+        }
+      val (post, postGraphs) =
+        if (negative) ("", Nil)
+        else {
+          val result = g.obj(e, MF + "result").getOrElse(
+            sys.error(s"update/$name: no mf:result"))
+          (fileOf(g.obj(result, UT + "data"), "result ut:data")
+            .getOrElse(sys.error(s"update/$name: no result ut:data")),
+            graphsOf(result))
+        }
       UpdateTest(name,
         request = fileOf(g.obj(action, UT + "request"), "ut:request")
           .getOrElse(sys.error(s"update/$name: no ut:request")),
         pre = fileOf(g.obj(action, UT + "data"), "ut:data"),
-        post = post, negative = negative)
+        preGraphs = graphsOf(action),
+        post = post, postGraphs = postGraphs, negative = negative)
     }
   }
 
@@ -105,42 +127,61 @@ class W3cUpdateSpec extends SparkSpec {
       case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
     }
 
-  private def storeTriples(e: Engine): Seq[(RdfTerm, RdfTerm, RdfTerm)] =
+  private def storeQuads(e: Engine): Seq[Canon.Quad] = {
+    val quads = e.graph.isQuads
     e.graph.triples.collect().toSeq.map { r =>
       (rowTerm(r.getStruct(0)), rowTerm(r.getStruct(1)),
-        rowTerm(r.getStruct(2)))
+        rowTerm(r.getStruct(2)),
+        if (quads && !r.isNullAt(3)) rowTerm(r.getStruct(3))
+        else null: RdfTerm)
     }
+  }
 
-  /** Graph isomorphism via RDFC-1.0 canonical forms — [[Canon]] makes
+  /** Dataset isomorphism via RDFC-1.0 canonical forms — [[Canon]] makes
     * the comparison one string equality. */
-  private def isomorphic(a: Seq[(RdfTerm, RdfTerm, RdfTerm)],
-      b: Seq[(RdfTerm, RdfTerm, RdfTerm)]): Boolean =
-    Canon.isomorphic(a.map(t => (t._1, t._2, t._3, null: RdfTerm)),
-      b.map(t => (t._1, t._2, t._3, null: RdfTerm)))
+  private def isomorphic(a: Seq[Canon.Quad], b: Seq[Canon.Quad]): Boolean =
+    Canon.isomorphic(a, b)
 
-  private def render(ts: Seq[(RdfTerm, RdfTerm, RdfTerm)]): String =
-    ts.map(t => s"${t._1.n3()} ${t._2.n3()} ${t._3.n3()} .")
+  private def n3g(g: RdfTerm): String = if (g == null) "" else s" ${g.n3()}"
+  private def render(ts: Seq[Canon.Quad]): String =
+    ts.map(t => s"${t._1.n3()} ${t._2.n3()} ${t._3.n3()}${n3g(t._4)} .")
       .sorted.mkString("\n  ", "\n  ", "")
+
+  /** The dataset a pre/post description denotes: ut:data is the default
+    * graph, each ut:graphData a named graph. Quad-store shaped as soon
+    * as either side of the test mentions a named graph. */
+  private def datasetQuads(data: Option[String],
+      graphs: Seq[GraphData]): Seq[Canon.Quad] =
+    data.toSeq.flatMap(f => Turtle.parseTriples(res(f)))
+      .map(t => (t._1, t._2, t._3, null: RdfTerm)) ++
+      graphs.flatMap(gd => Turtle.parseTriples(res(gd.file))
+        .map(t => (t._1, t._2, t._3, Iri(gd.name): RdfTerm)))
+
+  private def engineFor(t: UpdateTest, quadStore: Boolean): Engine =
+    if (!quadStore) t.pre match {
+      case Some(f) => Engine.inline(res(f))
+      case None => Engine.inline("")
+    } else Engine.fromGraph(RdfGraph.fromQuads(spark,
+      datasetQuads(t.pre, t.preGraphs)
+        .map(q => (q._1, q._2, q._3, Option(q._4)))))
 
   // --------------------------------------------------------------- tests
 
   for (t <- loadManifest()) {
     test(s"w3c/update: ${t.name}") {
-      val engine = t.pre match {
-        case Some(f) => Engine.inline(res(f))
-        case None => Engine.inline("")
-      }
+      val quadStore = t.preGraphs.nonEmpty || t.postGraphs.nonEmpty
+      val engine = engineFor(t, quadStore)
       if (t.negative) {
         // the request must be REJECTED (spec-invalid update shape),
         // leaving the store untouched
-        val before = storeTriples(engine)
+        val before = storeQuads(engine)
         intercept[GraftException](engine.update(res(t.request)))
-        assert(isomorphic(before, storeTriples(engine)),
+        assert(isomorphic(before, storeQuads(engine)),
           s"${t.request}: a rejected update must not change the store")
       } else {
         engine.update(res(t.request))
-        val got = storeTriples(engine)
-        val want = Turtle.parseTriples(res(t.post))
+        val got = storeQuads(engine)
+        val want = datasetQuads(Some(t.post), t.postGraphs)
         assert(isomorphic(want, got),
           s"${t.request}: stores differ\nexpected:${render(want)}\n" +
             s"got:${render(got)}")

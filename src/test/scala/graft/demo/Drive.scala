@@ -663,6 +663,64 @@ object Drive {
         renamed.datasetHash().take(16) + "…")
     }
 
+    // ---- r13: SUM/AVG(DISTINCT) dedupe by RDF term (§18.5.1), not by
+    //      numeric value: {1, 1.0, "01"^^xsd:integer, 1} → SUM 3.0
+    {
+      println("=== r13: SUM(DISTINCT)/AVG(DISTINCT) term-level dedup")
+      Engine.inline(
+        """@prefix : <http://example.com/> .
+           @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+           :a :p 1 . :b :p 1.0 . :c :p "01"^^xsd:integer . :d :p 1 .
+        """).select(
+        """PREFIX : <http://example.com/>
+           SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a)
+                  (SUM(?v) AS ?plain) { ?x :p ?v }""").show(false)
+    }
+
+    // ---- r13: named-graph UPDATE (GRAPH templates, WITH/USING, graph
+    //      management, LOAD INTO GRAPH honoring its target)
+    {
+      println("=== r13: named-graph UPDATE surface")
+      val EX = "http://example.com/"
+      val store = Engine.fromGraph(RdfGraph.fromQuads(spark, Seq(
+        (Iri(EX + "s1"), Iri(EX + "p"), Lit.plain("default"), None),
+        (Iri(EX + "raw1"), Iri(EX + "p"), Lit.plain("crawl-a"),
+          Some(Iri(EX + "staging"))),
+        (Iri(EX + "raw2"), Iri(EX + "p"), Lit.plain("crawl-b"),
+          Some(Iri(EX + "staging")))),
+        Map("ex" -> EX)))
+      def show(label: String): Unit = {
+        println(s"--- $label:")
+        store.select(
+          """PREFIX ex: <http://example.com/>
+             SELECT ?g ?s ?o {
+               { GRAPH ?g { ?s ex:p ?o } } UNION { ?s ex:p ?o }
+             } ORDER BY ?g ?s""").show(false)
+      }
+      show("initial dataset (default + staging graph)")
+      store.update(
+        """PREFIX ex: <http://example.com/>
+           WITH <http://example.com/staging>
+           DELETE { ?s ex:p ?o } INSERT { ?s ex:p ?o ; ex:vetted true }
+           WHERE { ?s ex:p ?o } ;
+           COPY GRAPH <http://example.com/staging> TO GRAPH <http://example.com/prod> ;
+           DROP GRAPH <http://example.com/staging>""")
+      show("after WITH-modify + COPY staging→prod + DROP staging")
+      store.update(
+        """PREFIX ex: <http://example.com/>
+           INSERT { GRAPH ?g { ex:summary ex:count "tagged" } }
+           WHERE { GRAPH ?g { ?s ex:vetted true } }""")
+      show("after INSERT { GRAPH ?g … } with a variable graph slot")
+      val err = try { store.update("CLEAR GRAPH <http://example.com/nope>"); "NO ERROR (bad)" }
+        catch { case e: GraftException => "GraftException: " + e.getMessage }
+      println("--- CLEAR GRAPH on a missing graph errors loudly: " + err)
+      val tripleOnly = Engine.inline(s"<${EX}a> <${EX}p> 'x' .")
+      val err2 = try { tripleOnly.update(
+          s"INSERT DATA { GRAPH <${EX}g> { <${EX}a> <${EX}p> 'y' } }"); "NO ERROR (bad)" }
+        catch { case e: GraftException => "GraftException: " + e.getMessage }
+      println("--- GRAPH template on a triples-only store errors loudly: " + err2)
+    }
+
     spark.stop()
   }
 }
