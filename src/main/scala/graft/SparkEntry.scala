@@ -1112,17 +1112,21 @@ object SparkEntry {
     }),
     "q_knn_ivfpq" -> ((s, dir) => {
       // IVF-PQ: partition-prunable coarse lists + residual PQ codes +
-      // exact-cosine refinement; rows-only like q_knn_ivf (the ml
-      // KMeans coarse step has no SQL restatement) — IvfPqSpec pins
-      // brute-force equality at full probe and recall>=0.9 at partial
+      // exact-cosine refinement. Promoted to a full oracle in r13: the
+      // deterministic coarse quantizer (integer k-means -> float
+      // centers), float residuals, integer PQ fit/encode, the integer
+      // ADC shortlist and the refinement all restate in DuckDB.
+      // IvfPqSpec still pins brute-force equality at full probe and
+      // recall>=0.9 at partial probe
       val emb = read(s, dir, "embeddings")
       val q = emb.where(F.col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       val corpus = emb.where(F.col("vec_id") =!= 0)
-      val idx = graft.pipeline.IvfPq.fit(corpus, "vec_id", "embedding",
-        nlist = 8, m = 8, k = 32, pqIters = 2)
+      val idx = graft.pipeline.IvfPq.fitDeterministic(corpus, "vec_id",
+        "embedding", nlist = 8, m = 4, k = 8, pqIters = 1)
       graft.pipeline.IvfPq.topKRefined(idx, corpus, "embedding", q,
         k = 10, nprobe = 4, refineFactor = 4)
+        .select(F.col("vec_id"), F.round(F.col("cosine"), 6).as("cosine"))
     }),
     "q_knn_lsh" -> ((s, dir) => {
       // hash-oracled since r12: the hyperplanes are md5-seeded, so
@@ -2659,6 +2663,92 @@ object SparkEntry {
                   WHERE a3.j IN (SELECT j FROM probes))
          SELECT vec_id, round(cos, 6) AS cosine
          FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""),
+    "q_knn_ivfpq" ->
+      // full IVF-PQ restatement (promoted from rows-only in r13):
+      // coarse integer k-means -> float centers, float residuals,
+      // quantized PQ fit (m=4 subspaces of 16, k=8, smallest-id init,
+      // one integer Lloyd iteration), encode, integer probe ranking,
+      // per-list query-residual ADC tables, the 40-candidate ADC
+      // shortlist, and the exact-cosine refinement
+      (kmeansCtesFor(8, "vec_id <> 0") + """,
+         fc AS (SELECT j, list_transform(c,
+                  x -> CAST(x / 1000000.0 - 2.0 AS FLOAT)) AS fc
+                FROM c2),
+         res AS (SELECT a3.vec_id, a3.j AS list,
+                   list_transform(range(1, 65), i ->
+                     CAST(e.embedding[i] - fc.fc[i] AS FLOAT)) AS r
+                 FROM a3 JOIN embeddings e USING (vec_id)
+                   JOIN fc ON a3.j = fc.j),
+         qr AS (SELECT vec_id, list, list_transform(r, x ->
+                  CAST(floor((CAST(x AS DOUBLE) + 4) * 1000000)
+                    AS BIGINT)) AS q
+                FROM res),
+         subs AS (SELECT j2 FROM (VALUES (0), (1), (2), (3)) AS s(j2)),
+         pinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q
+                   FROM qr ORDER BY vec_id LIMIT 8),
+         cb0 AS (SELECT subs.j2, pinit.c,
+                   list_slice(pinit.q, subs.j2 * 16 + 1,
+                     subs.j2 * 16 + 16) AS cv
+                 FROM pinit CROSS JOIN subs),
+         pd1 AS (SELECT qr.vec_id, cb0.j2, cb0.c,
+                   list_sum(list_transform(range(1, 17), t ->
+                     (qr.q[cb0.j2 * 16 + t] - cb0.cv[t])
+                     * (qr.q[cb0.j2 * 16 + t] - cb0.cv[t]))) AS dist
+                 FROM qr CROSS JOIN cb0),
+         pa1 AS (SELECT vec_id, j2, c FROM (SELECT vec_id, j2, c,
+                   row_number() OVER (PARTITION BY vec_id, j2
+                     ORDER BY dist, c) AS rn FROM pd1) WHERE rn = 1),
+         pu1 AS (SELECT pa1.j2, pa1.c, t AS spos,
+                   SUM(qr.q[pa1.j2 * 16 + t]) AS s, COUNT(*) AS n
+                 FROM pa1 JOIN qr USING (vec_id),
+                   unnest(range(1, 17)) AS r(t)
+                 GROUP BY 1, 2, 3),
+         cb1 AS (SELECT cb0.j2, cb0.c, COALESCE(uu.cv, cb0.cv) AS cv
+                 FROM cb0 LEFT JOIN (SELECT j2, c,
+                     list(CAST(s // n AS BIGINT) ORDER BY spos) AS cv
+                   FROM pu1 GROUP BY 1, 2) uu
+                   ON cb0.j2 = uu.j2 AND cb0.c = uu.c),
+         pd2 AS (SELECT qr.vec_id, qr.list, cb1.j2, cb1.c,
+                   list_sum(list_transform(range(1, 17), t ->
+                     (qr.q[cb1.j2 * 16 + t] - cb1.cv[t])
+                     * (qr.q[cb1.j2 * 16 + t] - cb1.cv[t]))) AS dist
+                 FROM qr CROSS JOIN cb1),
+         codes AS (SELECT vec_id, list, j2, c FROM (
+                     SELECT vec_id, list, j2, c,
+                       row_number() OVER (PARTITION BY vec_id, j2
+                         ORDER BY dist, c) AS rn FROM pd2) WHERE rn = 1),
+         qf AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         crank AS (SELECT fc.j, list_sum(list_transform(range(1, 65),
+                     i -> (CAST(qf.q[i] AS DOUBLE) - CAST(fc.fc[i] AS DOUBLE))
+                       * (CAST(qf.q[i] AS DOUBLE) - CAST(fc.fc[i] AS DOUBLE))))
+                     AS dist
+                   FROM fc, qf),
+         probes AS (SELECT j FROM (SELECT j, row_number() OVER
+                      (ORDER BY dist, j) AS pr FROM crank) WHERE pr <= 4),
+         qres AS (SELECT fc.j AS list, list_transform(range(1, 65), i ->
+                    CAST(floor((CAST(CAST(qf.q[i] - fc.fc[i] AS FLOAT)
+                      AS DOUBLE) + 4) * 1000000) AS BIGINT)) AS q
+                  FROM fc, qf WHERE fc.j IN (SELECT j FROM probes)),
+         adct AS (SELECT qres.list, cb1.j2, cb1.c,
+                    list_sum(list_transform(range(1, 17), t ->
+                      (qres.q[cb1.j2 * 16 + t] - cb1.cv[t])
+                      * (qres.q[cb1.j2 * 16 + t] - cb1.cv[t]))) AS d
+                  FROM qres CROSS JOIN cb1),
+         rowd AS (SELECT codes.vec_id, SUM(adct.d) AS dist
+                  FROM codes JOIN adct ON codes.list = adct.list
+                    AND codes.j2 = adct.j2 AND codes.c = adct.c
+                  GROUP BY 1),
+         pcand AS (SELECT vec_id FROM rowd ORDER BY dist, vec_id LIMIT 40),
+         ref AS (SELECT e.vec_id,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(qf.q AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(qf.q AS DOUBLE[]),
+                                              CAST(qf.q AS DOUBLE[])))) AS cos
+                 FROM embeddings e JOIN pcand USING (vec_id), qf)
+         SELECT vec_id, round(cos, 6) AS cosine
+         FROM ref ORDER BY cos DESC, vec_id LIMIT 10"""),
     "q_knn_lsh" ->
       // regenerate the md5-seeded plane matrix, the corpus signatures
       // and the probe set (query bucket + its 4 one-bit flips), then

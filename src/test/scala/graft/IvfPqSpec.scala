@@ -35,6 +35,25 @@ class IvfPqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("deterministic coarse quantizer: full probe + refine equals brute " +
+      "force; rerun is bit-identical") {
+    import spark.implicits._
+    val rows = blobs(4, 25, 16, seed = 3)
+    val df = rows.toDF("id", "vec")
+    def run(): Seq[(Long, Double)] = {
+      val index = IvfPq.fitDeterministic(df, "id", "vec", nlist = 4,
+        m = 4, k = 16, pqIters = 2)
+      IvfPq.topKRefined(index, df, "vec", rows(37)._2, k = 10,
+          nprobe = 4, refineFactor = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val got = run()
+    val want = Similarity.bruteForceTopK(df, "id", "vec", rows(37)._2, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(run() == got, "deterministic fit must be rerun-stable")
+  }
+
   test("partial probe keeps recall@10 >= 0.9 on clustered data") {
     import spark.implicits._
     val rows = blobs(8, 40, 16, seed = 17)
