@@ -324,4 +324,28 @@ object Canon {
       maxSteps: Long = 1000000L): Unit =
     canonicalLines(g, maxSteps).orderBy("line")
       .write.mode("overwrite").text(path)
+
+  /** Distributed content address: SHA-256 FOLDED over the globally
+    * sorted [[canonicalLines]], streamed into the digest one partition
+    * at a time (`toLocalIterator` — a ground-heavy store is never
+    * materialized on the driver; memory is O(1), and only the
+    * blank-node component collects, exactly as in [[canonicalLines]]).
+    * Byte-equal to the driver `datasetHash`/`sha256(canonicalNQuads)`
+    * by construction: same lines, same order, same separators. The
+    * digest itself is sequential (SHA-256 cannot merge), so the lines
+    * flow through the driver — one streamed pass, the unavoidable cost
+    * of matching the canonical document's whole-file hash; for a
+    * parallel-verifiable address at 100 TB, hash the [[writeCanonical]]
+    * part files instead (a Merkle layout, different address space). */
+  def distributedHash(g: RdfGraph, maxSteps: Long = 1000000L): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val nl = Array('\n'.toByte)
+    val it = canonicalLines(g, maxSteps).orderBy("line").toLocalIterator()
+    while (it.hasNext) {
+      md.update(it.next().getString(0).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      md.update(nl)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

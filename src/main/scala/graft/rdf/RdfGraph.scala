@@ -197,8 +197,16 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     Canon.isomorphic(collectQuads(), other.collectQuads())
 
   /** SHA-256 content address of the canonical form — stable under any
-    * relabeling or statement reordering. */
+    * relabeling or statement reordering. Driver-side by the same
+    * small-graph contract as `canonicalNQuads`; the scale path is
+    * [[datasetHashDistributed]]. */
   def datasetHash(): String = Canon.datasetHash(collectQuads())
+
+  /** [[datasetHash]] for stores whose ground rows must never touch the
+    * driver: SHA-256 folded over the sorted distributed canonical
+    * lines ([[Canon.distributedHash]]) — byte-equal to `datasetHash`,
+    * O(1) driver memory, only the blank-node component collects. */
+  def datasetHashDistributed(): String = Canon.distributedHash(this)
 
   /** All IRIs appearing in any position (all_uri,
     * gastrodon/__init__.py:821-834) — including graph names on a quad

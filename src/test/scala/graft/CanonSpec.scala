@@ -221,6 +221,34 @@ class CanonSpec extends SparkSpec {
       .mkString("", "\n", "\n") == one.canonicalNQuads())
   }
 
+  test("datasetHashDistributed == driver datasetHash (ground, bnodes, " +
+      "quads, duplicates)") {
+    // ground-only triple store
+    val ground = RdfGraph.fromTriples(spark, Seq(
+      (iri("s"), iri("p"), Lit.plain("v")),
+      (iri("s2"), iri("p"), Lit("1", XSD.ns + "integer", null))))
+    assert(ground.datasetHashDistributed() == ground.datasetHash())
+    // bnode-bearing quad store (labels must canonicalize identically)
+    val mixed = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1")))))
+    assert(mixed.datasetHashDistributed() == mixed.datasetHash())
+    // relabeling must not move the distributed address either
+    val relabeled = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("zz"), iri("p"), Blank("qq"), None),
+      (Blank("qq"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1")))))
+    assert(relabeled.datasetHashDistributed() ==
+      mixed.datasetHashDistributed())
+    // duplicate ground rows hash like the deduped driver form
+    val dupd = ground.copy(
+      triples = ground.triples.unionByName(ground.triples))
+    assert(dupd.datasetHashDistributed() == ground.datasetHash())
+  }
+
   test("RdfGraph.diff: exclusive rows each side, null-safe on graph names") {
     val a = RdfGraph.fromQuads(spark, Seq(
       (iri("s1"), iri("p"), Lit.plain("shared"), None),

@@ -661,6 +661,9 @@ object Drive {
       println("--- isomorphic under relabel: " + g.isomorphic(renamed) +
         "; datasetHash " + g.datasetHash().take(16) + "… == " +
         renamed.datasetHash().take(16) + "…")
+      println("--- distributed sorted-fold hash (no driver materialization)" +
+        " equals it: " +
+        (g.datasetHashDistributed() == g.datasetHash()))
     }
 
     // ---- r13: SUM/AVG(DISTINCT) dedupe by RDF term (§18.5.1), not by
