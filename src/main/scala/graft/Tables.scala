@@ -381,6 +381,18 @@ object Tables {
   def graph(spark: SparkSession, sfDir: String, tables: String*): RdfGraph = {
     val df = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
     val rels = tables.flatMap(predIndex(spark, sfDir, _))
+    // Exact predicate row counts (every predicate of a direct-mapped
+    // table has at most one triple per row): one metadata-cheap
+    // count(*) per table at build time, memoized with the graph. These
+    // feed the BGP/path join-order heuristic AND the build-side
+    // steering (broadcast vs shuffle_hash) — a byte estimate of a
+    // narrow fact-table projection under-reports by 10-100×, which is
+    // how a 6M-row scan ended up broadcast at sf1 (r12 watch item).
+    val counts: Map[String, Long] = {
+      val perTable = tables.map(t => t -> read(spark, sfDir, t).count()).toMap
+      tables.flatMap(t =>
+        predIndex(spark, sfDir, t).map(_._1 -> perTable(t))).toMap
+    }
     // Native keys only survive for predicates from exactly one table: a
     // multi-table predicate (rdf:type) unions relations with different key
     // columns, so the raw-key invariant doesn't hold across branches.
@@ -398,6 +410,7 @@ object Tables {
         (a.keySet ++ b.keySet).map(k =>
           k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap
       }
-    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars, objTypes, nat)
+    RdfGraph(df, RdfGraph.defaultPrefixes, idx, stars, objTypes, nat,
+      predCounts = counts)
   }
 }

@@ -1055,14 +1055,21 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         case _ => Long.MaxValue
       }
       val links = flatten(pseq)
+      // per-segment: (frame, order estimate = min link, row estimate).
+      // The ORDER estimate (min) drives the merge sequence; the ROW
+      // estimate sizes the join build side: a raw link's rows are its
+      // exact predicate count, a merged FK-chain segment's rows are
+      // bounded by the larger input (many-to-one hops don't multiply).
       val segs = mutable.ArrayBuffer(
-        links.map(l => (pathEdges(l), linkEst(l))): _*)
+        links.map(l => (pathEdges(l), linkEst(l), linkEst(l))): _*)
       while (segs.length > 1) {
         val j = (0 until segs.length - 1).minBy { i =>
           (math.min(segs(i)._2, segs(i + 1)._2), i)
         }
-        val merged = joinSeqSegments(segs(j)._1, segs(j + 1)._1)
-        segs(j) = (merged, math.min(segs(j)._2, segs(j + 1)._2))
+        val (lSeg, rSeg) = (segs(j), segs(j + 1))
+        val merged = joinSeqSegments(lSeg._1, lSeg._3, rSeg._1, rSeg._3)
+        segs(j) = (merged, math.min(lSeg._2, rSeg._2),
+          math.max(lSeg._3, rSeg._3))
         segs.remove(j + 1)
       }
       segs.head._1
@@ -1103,7 +1110,28 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * po (with their companions) — the segment shape is closed under
     * this join, which is what lets the PSeq case merge adjacent
     * segments in any order. */
-  private def joinSeqSegments(l: DataFrame, r0: DataFrame): DataFrame = {
+  /** Max estimated rows a join side may have and still be broadcast:
+    * past this, the hash-relation build (single-threaded, then shipped
+    * to every executor) dominates — the r12 sf1 outlier was Catalyst
+    * broadcasting a 6M-row single-column fact scan because its BYTE
+    * estimate slipped under the threshold. */
+  private val BroadcastRowBound = 500000L
+
+  private def joinSeqSegments(l0: DataFrame, estL: Long, r1: DataFrame,
+      estR: Long): DataFrame = {
+    // Build-side steering from the predicate statistics (Catalyst only
+    // sees byte estimates, which a narrow projection of a huge fact
+    // table fools): genuinely small side → explicit broadcast; both
+    // sides big → shuffle_hash on the smaller (parallel per-partition
+    // build, no driver-built broadcast, no sort-merge sort), which is
+    // also the plan that survives a 100× scale-up. No stats → no hint.
+    val haveStats = math.min(estL, estR) != Long.MaxValue
+    def steer(df: DataFrame, est: Long, otherEst: Long): DataFrame =
+      if (!haveStats || est > otherEst) df
+      else if (est <= BroadcastRowBound) F.broadcast(df)
+      else df.hint("shuffle_hash")
+    val l = steer(l0, estL, estR)
+    val r0 = steer(r1, estR, estL)
     val r = r0.select(r0("ps").as("mid") +: r0("po").as("po2") +:
       (nkOf(r0, "ps").map(c => r0(c).as(nkRename(c, "mid"))).toSeq ++
         nkOf(r0, "po").map(c => r0(c).as(nkRename(c, "po2"))).toSeq): _*)

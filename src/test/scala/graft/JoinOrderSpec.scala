@@ -109,6 +109,30 @@ class JoinOrderSpec extends SparkSpec {
     assert(rows.length === 3)
   }
 
+  test("path build-side steering: small link broadcast, big-big join " +
+      "shuffle_hash (never a broadcast-built fact side)") {
+    // stats are optimizer hints, so a tiny graph with INJECTED
+    // fact-scale counts pins the policy: hopC (150k est) joins as a
+    // broadcast build; the (hopA 6M, merged 1.5M) join must become a
+    // shuffled hash join — at sf1 Catalyst's byte estimate of the
+    // narrow hopA projection slipped under the broadcast threshold and
+    // built a 6M-row hash relation on the driver (r12's 3.93× outlier)
+    val sb = new StringBuilder(s"@prefix : <$ex> .\n")
+    for (i <- 0 until 10) sb.append(s":s$i :hopA :m$i .\n")
+    for (i <- 0 until 10) sb.append(s":m$i :hopB :t$i .\n")
+    for (i <- 0 until 3) sb.append(s":t$i :hopC :u$i .\n")
+    val e = Engine.fromGraph(Engine.inline(sb.toString).graph.copy(
+      predCounts = Map(ex + "hopA" -> 6000000L, ex + "hopB" -> 1500000L,
+        ex + "hopC" -> 150000L)))
+    val q = s"PREFIX : <$ex> SELECT ?x ?y WHERE { ?x :hopA/:hopB/:hopC ?y }"
+    val plan = e.explain(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hopC (est 150k) should be a broadcast build:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the big-big join should be a shuffled hash join:\n$plan")
+    assert(e.select(q).collect().length === 3)
+  }
+
   test("stats are dropped on UPDATE (they describe the pre-update state)") {
     val e = Engine.inline(s"@prefix : <$ex> .\n:x :p :y .")
     assert(e.graph.predCounts.nonEmpty)
