@@ -34,13 +34,14 @@ import graft.rdf._
   *    `{@value, @type | @language}`, type coercion incl. `@id` /
   *    `@vocab`, default and term `@language`, `@list` / `@set` and the
   *    `@list`, `@language`, `@index` containers.
-  *  - containers: `@list`, `@set`, `@index`, `@language`, and the 1.1
-  *    `@id` / `@type` maps.
+  *  - containers: `@list`, `@set`, `@index`, `@language`, the 1.1
+  *    `@id` / `@type` maps, and `@graph` containers (simple, `@id`
+  *    and `@index` graph maps — §4.9).
   *  - SCOPED contexts: property-scoped (processed at each use site,
   *    propagating into nested nodes, the 1.1 default) and type-scoped
   *    (activated by `@type` values in lexical order, reverting on the
-  *    next node object per the non-propagation default; `@propagate`
-  *    overrides are not supported).
+  *    next node object per the non-propagation default); `@propagate`
+  *    overrides both ways (§4.1.9).
   *  - `@nest` keys (and aliases): purely syntactic grouping, entries
   *    expand onto the parent node; term-definition `@nest` members are
   *    not supported.
@@ -54,7 +55,7 @@ import graft.rdf._
   *    numbers inside them are rejected (JCS needs the ECMAScript
   *    number formatter).
   *  - NOT supported (loud `JsonLdParseException`, never silent):
-  *    unmapped remote contexts, `@container: @graph` maps.
+  *    unmapped remote contexts.
   *
   * Writers, split like the other formats:
   *  - [[serialize]] — driver-side COMPACTED document (display/export
@@ -280,13 +281,20 @@ object JsonLd {
               } else err(s"term '$term': @container must be string or array")
             items.foreach {
               case "@list" | "@set" | "@index" | "@language" | "@id" |
-                   "@type" => ()
+                   "@type" | "@graph" => ()
               case other => err(
                 s"term '$term': @container $other is not supported " +
-                  "(supported: @list, @set, @index, @language, @id, @type)")
+                  "(supported: @list, @set, @index, @language, @id, " +
+                  "@type, @graph)")
             }
             if (items.contains("@list") && items.size > 1)
               err(s"term '$term': @list combines with no other container")
+            if (items.contains("@graph") &&
+                !items.forall(Set("@graph", "@set", "@id", "@index")))
+              err(s"term '$term': @graph combines only with @id, @index, @set")
+            if (items.contains("@graph") && items.contains("@id") &&
+                items.contains("@index"))
+              err(s"term '$term': @graph takes @id or @index, not both")
             items.toSet
           }.getOrElse(Set.empty)
           if (reverse && containers.exists(c => c != "@set" && c != "@index"))
@@ -305,10 +313,30 @@ object JsonLd {
 
     obj.fieldNames.forEachRemaining { k =>
       if (!k.startsWith("@")) createTerm(k)
-      else if (!Set("@base", "@vocab", "@language", "@version").contains(k))
+      else if (!Set("@base", "@vocab", "@language", "@version",
+          "@propagate").contains(k))
         err(s"unsupported context keyword $k")
     }
-    Ctx(base, vocab, lang, defs.toMap) // previous = None: propagating
+    val propagate = Option(obj.get("@propagate")).map { p =>
+      if (!p.isBoolean) err("@propagate must be a boolean")
+      p.asBoolean
+    }
+    val result = Ctx(base, vocab, lang, defs.toMap)
+    // @propagate: false (json-ld11 §4.1.9): the context applies to the
+    // CURRENT node object only — nested node objects revert to the
+    // active context, via the same previous-pointer mechanism as the
+    // type-scoped non-propagation default
+    if (propagate.contains(false))
+      result.copy(previous = Some(active.copy(previous = None)))
+    else result
+  }
+
+  /** Does a scoped-context VALUE explicitly declare `@propagate: true`?
+    * (Overrides the type-scoped non-propagation default, §4.1.9.) */
+  private def declaresPropagate(sc: JsonNode): Boolean = sc match {
+    case o: ObjectNode =>
+      Option(o.get("@propagate")).exists(p => p.isBoolean && p.asBoolean)
+    case _ => false
   }
 
   /** IRI expansion (json-ld11-api §5.2): keyword pass-through, term
@@ -638,8 +666,12 @@ object JsonLd {
     }
     val ctx = rawTypes.sorted.foldLeft(ctx0) { (c, t) =>
       c.terms.get(t).flatMap(_.scoped) match {
-        case Some(sc) => processContext(c, sc, c.base)
-          .copy(previous = Some(ctx0.copy(previous = None)))
+        case Some(sc) =>
+          val applied = processContext(c, sc, c.base)
+          // a type-scoped context declaring @propagate: true stays in
+          // effect for nested node objects (§4.1.9 override)
+          if (declaresPropagate(sc)) applied.copy(previous = None)
+          else applied.copy(previous = Some(ctx0.copy(previous = None)))
         case None => c
       }
     }
@@ -771,6 +803,38 @@ object JsonLd {
               st.emit(id, p, lit, g)
             }
           }
+        } else if (td.container.contains("@graph")) {
+          // graph containers (json-ld11 §4.9): each value becomes the
+          // CONTENT of a named graph; the property relates the node to
+          // the graph's name — a fresh blank node, or the map key
+          // under @container [@graph, @id] ("@none" → fresh bnode);
+          // [@graph, @index] keys are indexes and drop in to-RDF
+          if (td.reverse)
+            err(s"reverse property $orig cannot take a graph container")
+          def graphOf(gname: RdfTerm, item: JsonNode): Unit = {
+            st.emit(id, p, gname, g)
+            termOf(item, vctx, td.copy(container = Set.empty), st,
+              Some(gname))
+          }
+          if (td.container.contains("@id")) {
+            if (!v.isObject) err(s"$orig: a graph-id map must be an object")
+            v.fields.forEachRemaining { e =>
+              val gname: RdfTerm =
+                if (e.getKey == "@none") st.fresh()
+                else {
+                  val i = expandIri(vctx, e.getKey, vocabMode = false,
+                    docRel = true)
+                  if (i == null) st.fresh()
+                  else if (i.startsWith("_:")) st.bnode(i)
+                  else Iri(i)
+                }
+              asArray(e.getValue).foreach(graphOf(gname, _))
+            }
+          } else if (td.container.contains("@index")) {
+            if (!v.isObject) err(s"$orig: a graph-index map must be an object")
+            v.fields.forEachRemaining(e =>
+              asArray(e.getValue).foreach(graphOf(st.fresh(), _)))
+          } else asArray(v).foreach(graphOf(st.fresh(), _))
         } else if (td.container.contains("@index")) {
           if (!v.isObject) err(s"$orig: an index map must be an object")
           v.fields.forEachRemaining(e => asArray(e.getValue).foreach(one))

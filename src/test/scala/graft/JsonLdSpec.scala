@@ -340,9 +340,31 @@ class JsonLdSpec extends SparkSpec {
       Lit.plain("child"))))
   }
 
-  test("@container @graph stays a loud error") {
-    intercept[JsonLdParseException](triples(
+  test("@container @graph: each value lands in a fresh named graph the " +
+      "property points at (r13 — closes the last container gap)") {
+    val got = quads(
       s"""{"@context": {"m": {"@id": "${EX}m", "@container": "@graph"}},
+           "@id": "${EX}s",
+           "m": {"@id": "${EX}n", "${EX}p": "in-graph"}}""")
+    val gname = got.collectFirst {
+      case (s, p, o, _) if s == Iri(EX + "s") && p == Iri(EX + "m") => o
+    }.getOrElse(fail(s"no membership triple in $got"))
+    assert(gname.isInstanceOf[Blank], "simple @graph container names are fresh bnodes")
+    assert(got.contains(
+      (Iri(EX + "n"), Iri(EX + "p"), Lit.plain("in-graph"), Some(gname))))
+    // a graph-id map: the key names the graph
+    val got2 = quads(
+      s"""{"@context": {"m": {"@id": "${EX}m",
+             "@container": ["@graph", "@id"]}},
+           "@id": "${EX}s",
+           "m": {"${EX}g1": {"@id": "${EX}n", "${EX}p": "keyed"}}}""")
+    assert(got2.contains((Iri(EX + "s"), Iri(EX + "m"), Iri(EX + "g1"), None)))
+    assert(got2.contains(
+      (Iri(EX + "n"), Iri(EX + "p"), Lit.plain("keyed"), Some(Iri(EX + "g1")))))
+    // @graph combines only with @id/@index/@set
+    intercept[JsonLdParseException](triples(
+      s"""{"@context": {"m": {"@id": "${EX}m",
+             "@container": ["@graph", "@language"]}},
            "@id": "${EX}s", "m": {}}"""))
   }
 
