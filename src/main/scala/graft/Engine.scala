@@ -343,7 +343,11 @@ class Engine(initial: RdfGraph) {
       case Some(iri) => termCol(Iri(iri))
       case None => F.lit(null).cast(Terms.termType)
     }
-    val relabeled = t.where(graphCond(from)).withColumn("g", toTerm)
+    var relabeled = t.where(graphCond(from)).withColumn("g", toTerm)
+    // keep the GraphStore partition helper consistent with the new g
+    if (t.columns.contains(Terms.GPART_COL))
+      relabeled = relabeled.withColumn(
+        Terms.GPART_COL, Terms.gPartition(F.col("g")))
     var keep = t
     if (dropTo) keep = keep.where(!graphCond(to))
     if (dropFrom) keep = keep.where(!graphCond(from))

@@ -97,9 +97,13 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   /** Insert triples (set semantics). Incoming triples without a `g`
     * column land in a quad store's DEFAULT graph (g null). */
   def insert(newTriples: DataFrame): RdfGraph = {
+    // the GraphStore partition helper (__g) describes the on-disk
+    // layout only — a merged frame no longer matches it, so it drops
+    val base = triples.drop(Terms.GPART_COL)
+    val incoming = newTriples.drop(Terms.GPART_COL)
     val merged =
-      if (!isQuads) triples.unionByName(newTriples).dropDuplicates("s", "p", "o")
-      else triples.unionByName(newTriples, allowMissingColumns = true)
+      if (!isQuads) base.unionByName(incoming).dropDuplicates("s", "p", "o")
+      else base.unionByName(incoming, allowMissingColumns = true)
         .dropDuplicates("s", "p", "o", "g")
     copy(triples = merged,
       predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,

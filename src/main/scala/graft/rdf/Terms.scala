@@ -322,6 +322,17 @@ object Terms {
   def isBlank(c: Column): Column = kind(c) === KIND_BLANK
   def isLiteral(c: Column): Column = kind(c) === KIND_LIT
 
+  /** Partition-encoding of a graph-name term column (the GraphStore
+    * quad layout's `__g` partition value, shared with the compiler's
+    * scan pruning): default graph → "d", IRI graph → "i:"+iri, blank
+    * graph name → "b:"+label. A plain string so it can be a parquet
+    * partition column and a pushable partition filter. */
+  val GPART_COL = "__g"
+  val GPART_DEFAULT = "d"
+  def gPartition(g: Column): Column =
+    F.when(g.isNull, GPART_DEFAULT).otherwise(F.concat(
+      F.when(kind(g) === KIND_BLANK, "b:").otherwise("i:"), value(g)))
+
   /** True when the term is a literal with a numeric xsd datatype. */
   def isNumeric(c: Column): Column =
     isLiteral(c) && dt(c).isin(XSD.numeric.toSeq.map(F.lit): _*)

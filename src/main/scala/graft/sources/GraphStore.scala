@@ -30,11 +30,21 @@ object GraphStore {
     * writing one giant file. The within-partition sort on subject then
     * gives parquet row-group min/max stats that skip on subject lookups. */
   def save(g: RdfGraph, path: String, mode: String = "overwrite"): Unit = {
-    g.triples
-      .withColumn(PRED_COL, F.col("p.value"))
-      .repartitionByRange(F.col(PRED_COL), F.col("s.value"))
-      .sortWithinPartitions(F.col(PRED_COL), F.col("s.value"))
-      .write.mode(mode).partitionBy(PRED_COL).parquet(path)
+    // a QUAD store additionally partitions by graph (outermost): a
+    // GRAPH <g> scan then prunes to one graph directory's predicate
+    // subdirectories — graph selectivity becomes file skipping too
+    val quads = g.isQuads
+    val partCols =
+      if (quads) Seq(Terms.GPART_COL, PRED_COL) else Seq(PRED_COL)
+    val withParts0 = g.triples.withColumn(PRED_COL, F.col("p.value"))
+    val withParts =
+      if (quads) withParts0.withColumn(
+        Terms.GPART_COL, Terms.gPartition(F.col("g")))
+      else withParts0
+    withParts
+      .repartitionByRange(partCols.map(F.col) :+ F.col("s.value"): _*)
+      .sortWithinPartitions(partCols.map(F.col) :+ F.col("s.value"): _*)
+      .write.mode(mode).partitionBy(partCols: _*).parquet(path)
     val json = g.prefixes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\": \"" + esc(v) + "\""
     }.mkString("{", ", ", "}")
@@ -66,9 +76,13 @@ object GraphStore {
     // a saved QUAD store keeps its graph column — dropping it here
     // would silently merge every named graph into the default graph
     // (the compiler bypasses the vertical index for quad stores, so
-    // keeping `g` costs the index nothing)
+    // keeping `g` costs the index nothing). The `__g` PARTITION column
+    // rides along too: the compiler mirrors its graph-scope conditions
+    // onto it, so a GRAPH <g> scan prunes to one graph directory.
     val cols = Seq("s", "p", "o") ++
-      (if (df.columns.contains("g")) Seq("g") else Nil)
+      (if (df.columns.contains("g")) Seq("g") else Nil) ++
+      (if (df.columns.contains(Terms.GPART_COL)) Seq(Terms.GPART_COL)
+       else Nil)
     RdfGraph(df.select(cols.map(F.col): _*),
       RdfGraph.defaultPrefixes ++ readPrefixes(path),
       predIndex = new LazyPredIndex(df),

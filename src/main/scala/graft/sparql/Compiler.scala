@@ -36,6 +36,20 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   // and the vertical/star fast paths stay on.
 
   private val hasQuads = graph.columns.contains("g")
+  /** The GraphStore quad layout's graph PARTITION column, when loaded
+    * from disk: graph-scope conditions are mirrored onto it so a
+    * GRAPH <g> / FROM / FROM NAMED scan prunes whole graph directories
+    * (PartitionFilters), not just rows. */
+  private val hasGPart = graph.columns.contains(Terms.GPART_COL)
+  private def gpart: Column = F.col(Terms.GPART_COL)
+  private def partDefault: Column =
+    if (hasGPart) gpart === Terms.GPART_DEFAULT else F.lit(true)
+  private def partIs(iri: String): Column =
+    if (hasGPart) gpart === ("i:" + iri) else F.lit(true)
+  private def partIn(iris: Seq[String]): Column =
+    if (hasGPart) gpart.isin(iris.map("i:" + _): _*) else F.lit(true)
+  private def partNamed: Column =
+    if (hasGPart) gpart =!= Terms.GPART_DEFAULT else F.lit(true)
   /** Node of the enclosing GRAPH pattern, while compiling inside one. */
   private var activeGraph: Option[Node] = None
   /** FROM / FROM NAMED of the query being compiled (top level only). */
@@ -76,24 +90,28 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       else graph.limit(0)
     } else activeGraph match {
       case None if withDefault.isDefined && dataset.isEmpty =>
-        graph.where(F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
+        graph.where(partIs(withDefault.get) &&
+          F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
           F.col("g.value") === withDefault.get)
       case None =>
-        if (dataset.isEmpty) graph.where(F.col("g").isNull)
+        if (dataset.isEmpty) graph.where(partDefault && F.col("g").isNull)
         else if (dataset.defaults.isEmpty) graph.limit(0)
-        else graph.where(F.col("g").isNotNull &&
+        else graph.where(partIn(dataset.defaults) &&
+          F.col("g").isNotNull &&
           F.col("g.kind") === KIND_IRI &&
           F.col("g.value").isin(dataset.defaults.map(F.lit(_)): _*))
       case Some(TermNode(Iri(iri))) =>
         if (!dataset.isEmpty && !dataset.named.contains(iri)) graph.limit(0)
-        else graph.where(F.col("g").isNotNull &&
+        else graph.where(partIs(iri) &&
+          F.col("g").isNotNull &&
           F.col("g.kind") === KIND_IRI && F.col("g.value") === iri)
       case Some(TermNode(_)) => graph.limit(0) // graph names are IRIs
       case Some(VarNode(_)) =>
-        val named = graph.where(F.col("g").isNotNull)
+        val named = graph.where(partNamed && F.col("g").isNotNull)
         if (dataset.isEmpty) named
         else if (dataset.named.isEmpty) graph.limit(0)
-        else named.where(F.col("g.kind") === KIND_IRI &&
+        else named.where(partIn(dataset.named) &&
+          F.col("g.kind") === KIND_IRI &&
           F.col("g.value").isin(dataset.named.map(F.lit(_)): _*))
     }
 

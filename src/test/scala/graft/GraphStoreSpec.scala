@@ -60,8 +60,8 @@ class GraphStoreSpec extends SparkSpec {
     graft.sources.NQuads.write(loaded, nqDir)
     val back = graft.sources.NQuads.read(spark, nqDir)
     assert(back.isQuads)
-    assert(back.triples.except(loaded.triples).isEmpty &&
-      loaded.triples.except(back.triples).isEmpty)
+    assert(back.triples.except(loaded.triples.drop("__g")).isEmpty &&
+      loaded.triples.drop("__g").except(back.triples).isEmpty)
     val e2 = Engine.fromGraph(back.withPrefix("ex", ex))
     assert(e2.select(
         "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
@@ -70,6 +70,48 @@ class GraphStoreSpec extends SparkSpec {
     // last term before the dot, no graph label follows
     val nq = spark.read.text(nqDir).collect().map(_.getString(0))
     assert(nq.exists(_.endsWith("\"graph one\" .")), nq.mkString("\n"))
+  }
+
+  test("GRAPH <g> scans on a loaded quad store prune graph partitions") {
+    import graft.rdf._
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val quads = RdfGraph.fromQuads(spark, Seq(
+      (iri("d1"), iri("p"), Lit.plain("default"), None),
+      (iri("a"), iri("p"), Lit.plain("one"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.plain("two"), Some(iri("g2"))),
+      (iri("c"), iri("p"), Lit.plain("three"), Some(iri("g3")))),
+      Map("ex" -> ex))
+    val out = Files.createTempDirectory("graft-qprune").toFile.getAbsolutePath
+    GraphStore.save(quads, out)
+    // layout: one __g directory per graph, predicate dirs inside
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.count(_.startsWith("__g=")) == 4, dirs.mkString(", "))
+    val e = Engine.fromGraph(GraphStore.load(spark, out))
+    // a named-graph scan must prune to that graph's directory
+    val df = e.selectRaw(
+      "SELECT ?s ?o WHERE { GRAPH ex:g2 { ?s ex:p ?o } }")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__g"),
+      s"expected a __g partition filter:\n$plan")
+    assert(df.count() == 1)
+    // default-graph scans prune to the default directory the same way
+    val dflt = e.selectRaw("SELECT ?s WHERE { ?s ex:p ?o }")
+    val dplan = dflt.queryExecution.executedPlan.toString
+    assert(dplan.contains("PartitionFilters") && dplan.contains("__g"),
+      s"expected a __g partition filter on the default graph:\n$dplan")
+    assert(dflt.count() == 1)
+    // FROM NAMED restriction prunes to the listed graphs
+    val named = e.selectRaw(
+      """SELECT ?g ?s FROM NAMED <http://example.org/g1>
+         WHERE { GRAPH ?g { ?s ex:p ?o } }""")
+    assert(named.count() == 1)
+    // updates drop the layout helper but keep results right
+    e.update("PREFIX ex: <http://example.org/> " +
+      "INSERT DATA { GRAPH ex:g2 { ex:z ex:p 'four' } }")
+    assert(e.select(
+      "SELECT ?s WHERE { GRAPH ex:g2 { ?s ex:p ?o } }").count() == 2)
   }
 
   test("queries over the loaded graph match the direct graph") {
