@@ -1625,7 +1625,7 @@ object SparkEntry {
       // property and determinism): per-doc binaries sharing a long
       // doc_id%50 body with distinct tails near-dup within their group
       val body = F.repeat(F.concat(F.lit("blob "), F.col("doc_id") % 50,
-        F.lit(" shared content that chunks into several pieces. ")), 40)
+        F.lit(" shared content that chunks into several pieces. ")), 15)
       val blobs = read(s, dir, "documents")
         .select(F.col("doc_id"),
           F.encode(F.concat(body, F.lit("tail "), F.col("doc_id")), "UTF-8")
@@ -2638,6 +2638,73 @@ object SparkEntry {
              AS tok
            FROM documents) t
          GROUP BY tok HAVING COUNT(*) >= 100""",
+    "q_cdc_dedup" ->
+      // FastCDC restated (avgBits=7: min 32, avg 128, max 512): the
+      // rolling gear hash's low byte is an 8-lag weighted window sum;
+      // hard candidates h8==0 (mask 255), easy h8%64==0 (mask 63); a
+      // recursive CTE walks the boundaries (next cut = first hard
+      // candidate in [s+32, s+128), else first easy in [s+128, s+512),
+      // else the 512 hard cut); chunk substrings stand in for FNV
+      // hashes; exact all-pairs Jaccard >= 0.4
+      (s"WITH RECURSIVE gear(b, g8) AS (VALUES ${
+        graft.expressions.CdcChunks.gearLow8.zipWithIndex
+          .map { case (g, b) => s"($b, $g)" }.mkString(", ")})," + """
+         docs AS (SELECT doc_id,
+             repeat('blob ' || CAST(doc_id % 50 AS VARCHAR) ||
+               ' shared content that chunks into several pieces. ', 15)
+               || 'tail ' || CAST(doc_id AS VARCHAR) AS txt
+           FROM documents),
+         lens AS (SELECT doc_id, CAST(length(txt) AS BIGINT) AS n FROM docs),
+         bytes AS (SELECT doc_id, i, unicode(substr(txt, CAST(i + 1 AS
+             INTEGER), 1)) AS b
+           FROM docs, unnest(range(0, CAST(length(txt) AS BIGINT))) AS r(i)),
+         roll AS (SELECT doc_id, i,
+             (coalesce(lag(g8, 7) OVER w, 0) * 128
+              + coalesce(lag(g8, 6) OVER w, 0) * 64
+              + coalesce(lag(g8, 5) OVER w, 0) * 32
+              + coalesce(lag(g8, 4) OVER w, 0) * 16
+              + coalesce(lag(g8, 3) OVER w, 0) * 8
+              + coalesce(lag(g8, 2) OVER w, 0) * 4
+              + coalesce(lag(g8, 1) OVER w, 0) * 2 + g8) % 256 AS h8
+           FROM (SELECT bytes.doc_id, i, g8 FROM bytes JOIN gear USING (b))
+           WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         cands AS (SELECT doc_id, i, h8 = 0 AS hard FROM roll
+           WHERE h8 % 64 = 0),
+         starts(doc_id, s) AS (
+           SELECT doc_id, CAST(0 AS BIGINT) FROM docs
+           UNION ALL
+           SELECT st.doc_id, COALESCE(
+               (SELECT MIN(r1.i) + 1 FROM cands r1
+                WHERE r1.doc_id = st.doc_id AND r1.hard
+                  AND r1.i >= st.s + 32 AND r1.i < LEAST(lens.n, st.s + 128)),
+               (SELECT MIN(r2.i) + 1 FROM cands r2
+                WHERE r2.doc_id = st.doc_id
+                  AND r2.i >= LEAST(lens.n, st.s + 128)
+                  AND r2.i < LEAST(lens.n, st.s + 512)),
+               LEAST(lens.n, st.s + 512))
+           FROM starts st JOIN lens ON st.doc_id = lens.doc_id
+           WHERE st.s < lens.n),
+         chunks AS (SELECT doc_id, s, cut FROM (
+             SELECT starts.doc_id, s,
+               lead(s) OVER (PARTITION BY starts.doc_id ORDER BY s) AS cut, n
+             FROM starts JOIN lens ON starts.doc_id = lens.doc_id)
+           WHERE s < n),
+         sets AS (SELECT DISTINCT chunks.doc_id,
+             substr(txt, CAST(s + 1 AS INTEGER), CAST(cut - s AS INTEGER))
+               AS chunk
+           FROM chunks JOIN docs ON chunks.doc_id = docs.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
+         inters AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS iv
+           FROM sets a JOIN sets b ON a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2,
+           CAST(iv AS DOUBLE) / (CAST(s1.sz + s2.sz AS DOUBLE)
+             - CAST(iv AS DOUBLE)) AS jaccard
+         FROM inters JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+         WHERE CAST(iv AS DOUBLE) / (CAST(s1.sz + s2.sz AS DOUBLE)
+             - CAST(iv AS DOUBLE)) >= 0.4"""),
     "q_knn_ivf" ->
       // full IVF restatement (promoted from rows-only in r13): the
       // deterministic integer k-means fit (kmeansCtesFor — corpus is

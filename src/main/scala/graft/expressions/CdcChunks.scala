@@ -61,6 +61,12 @@ object CdcChunks {
     StructField("length", IntegerType, nullable = false),
     StructField("hash", LongType, nullable = false)))
 
+  /** Low 8 bits of each gear entry — all a boundary decision at
+    * avgBits ≤ 7 can see (mask ≤ 255, and 2^k ≡ 0 mod 256 for k ≥ 8,
+    * so the rolling hash's low byte is an 8-byte sliding window).
+    * Exposed for the SQL-oracle restatement of the chunker. */
+  def gearLow8: Seq[Int] = Gear.map(g => (g & 0xffL).toInt).toSeq
+
   /** Deterministic gear table: splitmix64 over indexes 0..255. */
   private val Gear: Array[Long] = {
     val t = new Array[Long](256)
