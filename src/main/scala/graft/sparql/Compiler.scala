@@ -431,13 +431,38 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * disjoint. Internal marker columns (__unitN) never join. Shared vars
     * whose BOTH sides carry the same native-key companion join on the
     * 8-byte long; the right side's (equal) term struct is dropped. */
-  private def joinBindings(l: DataFrame, r: DataFrame): DataFrame = {
-    val shared = sharedVars(l, r)
-    if (shared.isEmpty) l.crossJoin(r)
+  private def joinBindings(l: DataFrame, r: DataFrame): DataFrame =
+    joinBindings(l, r, Long.MaxValue, Long.MaxValue)
+
+  /** [[joinBindings]] with row estimates: build-side steering (see
+    * [[steerSides]]) applies when both sides' sizes are known. */
+  private def joinBindings(l0: DataFrame, r0: DataFrame, estL: Long,
+      estR: Long): DataFrame = {
+    val shared = sharedVars(l0, r0)
+    if (shared.isEmpty) l0.crossJoin(r0)
     else {
+      val (l, r) = steerSides(l0, estL, r0, estR)
       val (keys, dropRight) = nativeJoinKeys(l, r, shared)
       l.join(r.drop(dropRight: _*), keys, "inner")
     }
+  }
+
+  /** Build-side steering shared by BGP and path-chain joins (the r12
+    * sf1 outlier: Catalyst broadcast a 6M-row fact scan because the
+    * narrow projection's BYTE estimate slipped under the threshold).
+    * The smaller-estimated side: ≤ [[BroadcastRowBound]] rows →
+    * explicit broadcast; bigger, with the other side also known-big →
+    * shuffle_hash (parallel per-partition build, no driver-built
+    * relation, no sort — the 100×-safe plan). Unknown estimates leave
+    * Catalyst's choice untouched. */
+  private def steerSides(l0: DataFrame, estL: Long, r0: DataFrame,
+      estR: Long): (DataFrame, DataFrame) = {
+    def one(df: DataFrame, est: Long, other: Long): DataFrame =
+      if (est == Long.MaxValue || est > other) df
+      else if (est <= BroadcastRowBound) F.broadcast(df)
+      else if (other != Long.MaxValue) df.hint("shuffle_hash")
+      else df
+    (one(l0, estL, estR), one(r0, estR, estL))
   }
 
   /** Join-key plan for shared vars: vars with a common companion on both
@@ -737,18 +762,33 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         }
       }
     }
+    // row estimate a pattern's scan is KNOWN to have: only the fully
+    // var-endpoint constant-predicate shape, where the predicate count
+    // is exact — bound-subject/object patterns are (much) smaller than
+    // their predicate count, so their estimate stays unknown and the
+    // steering never denies them a broadcast
+    def steerEst(tp: TriplePattern): Long = tp match {
+      case TriplePattern(VarNode(_), VerbNode(TermNode(Iri(p))), VarNode(_)) =>
+        predEstimate(p)
+      case _ => Long.MaxValue
+    }
     val rest = patternOrder(ts.zipWithIndex.collect {
       case (tp, i) if !covered(i) => tp
-    }).map(compileTriple)
-    val parts = starDfs.toSeq ++ rest
+    }).map(tp => (compileTriple(tp), steerEst(tp)))
+    val parts = starDfs.toSeq.map(df => (df, Long.MaxValue)) ++ rest
     // greedy connected-join: always join the next relation that shares a
-    // variable with the accumulated bindings; cross-join only when forced
+    // variable with the accumulated bindings; cross-join only when forced.
+    // The accumulated estimate follows the FK-chain rule (many-to-one
+    // hops don't multiply): max of the joined inputs, unknown-poisoning.
     val remaining = mutable.ArrayBuffer(parts: _*)
-    var acc = remaining.remove(0)
+    var (acc, accEst) = remaining.remove(0)
     while (remaining.nonEmpty) {
-      val i = remaining.indexWhere(r => sharedVars(acc, r).nonEmpty)
-      val next = remaining.remove(if (i >= 0) i else 0)
-      acc = joinBindings(acc, next)
+      val i = remaining.indexWhere(r => sharedVars(acc, r._1).nonEmpty)
+      val (next, nextEst) = remaining.remove(if (i >= 0) i else 0)
+      acc = joinBindings(acc, next, accEst, nextEst)
+      accEst =
+        if (accEst == Long.MaxValue || nextEst == Long.MaxValue) Long.MaxValue
+        else math.max(accEst, nextEst)
     }
     acc
   }
@@ -1137,19 +1177,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   private def joinSeqSegments(l0: DataFrame, estL: Long, r1: DataFrame,
       estR: Long): DataFrame = {
-    // Build-side steering from the predicate statistics (Catalyst only
-    // sees byte estimates, which a narrow projection of a huge fact
-    // table fools): genuinely small side → explicit broadcast; both
-    // sides big → shuffle_hash on the smaller (parallel per-partition
-    // build, no driver-built broadcast, no sort-merge sort), which is
-    // also the plan that survives a 100× scale-up. No stats → no hint.
-    val haveStats = math.min(estL, estR) != Long.MaxValue
-    def steer(df: DataFrame, est: Long, otherEst: Long): DataFrame =
-      if (!haveStats || est > otherEst) df
-      else if (est <= BroadcastRowBound) F.broadcast(df)
-      else df.hint("shuffle_hash")
-    val l = steer(l0, estL, estR)
-    val r0 = steer(r1, estR, estL)
+    // build-side steering from the predicate statistics — see steerSides
+    val (l, r0) = steerSides(l0, estL, r1, estR)
     val r = r0.select(r0("ps").as("mid") +: r0("po").as("po2") +:
       (nkOf(r0, "ps").map(c => r0(c).as(nkRename(c, "mid"))).toSeq ++
         nkOf(r0, "po").map(c => r0(c).as(nkRename(c, "po2"))).toSeq): _*)

@@ -133,6 +133,33 @@ class JoinOrderSpec extends SparkSpec {
     assert(e.select(q).collect().length === 3)
   }
 
+  test("BGP build-side steering mirrors the path policy") {
+    val sb = new StringBuilder(s"@prefix : <$ex> .\n")
+    for (i <- 0 until 10) sb.append(s":s$i :hopA :m$i .\n")
+    for (i <- 0 until 10) sb.append(s":m$i :hopB :t$i .\n")
+    for (i <- 0 until 3) sb.append(s":t$i :hopC :u$i .\n")
+    val e = Engine.fromGraph(Engine.inline(sb.toString).graph.copy(
+      predCounts = Map(ex + "hopA" -> 6000000L, ex + "hopB" -> 1500000L,
+        ex + "hopC" -> 150000L)))
+    // two known-big sides → shuffled hash join, never a broadcast-built
+    // fact side; a known-small side → explicit broadcast
+    val big = e.explain(
+      s"PREFIX : <$ex> SELECT ?x ?y { ?x :hopA ?m . ?m :hopB ?y }")
+    assert(big.contains("ShuffledHashJoin"), big)
+    val small = e.explain(
+      s"PREFIX : <$ex> SELECT ?m ?z { ?m :hopB ?y . ?y :hopC ?z }")
+    assert(small.contains("BroadcastHashJoin"), small)
+    // bound-subject patterns keep an UNKNOWN estimate — steering stays
+    // hands-off (no forced shuffle_hash; Catalyst's own choice stands,
+    // which for a stats-less RDD-backed store is a sort-merge join)
+    val bound = e.explain(
+      s"PREFIX : <$ex> SELECT ?m ?y { :s1 :hopA ?m . ?m :hopB ?y }")
+    assert(!bound.contains("ShuffledHashJoin"), bound)
+    assert(e.select(
+      s"PREFIX : <$ex> SELECT ?x ?z { ?x :hopA/:hopB ?m . ?m :hopC ?z }")
+      .count() === 3)
+  }
+
   test("stats are dropped on UPDATE (they describe the pre-update state)") {
     val e = Engine.inline(s"@prefix : <$ex> .\n:x :p :y .")
     assert(e.graph.predCounts.nonEmpty)
