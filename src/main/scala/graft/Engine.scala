@@ -357,7 +357,8 @@ class Engine(initial: RdfGraph) {
 
   private def applyUpdate(op: UpdateOp): Unit = op match {
     case InsertData(qs) =>
-      graph = graph.insert(groundQuads(qs, "INSERT DATA"))
+      graph = graph.insert(groundQuads(qs, "INSERT DATA",
+        freshBnodes = true))
     case DeleteData(qs) =>
       rejectDeleteBnodes(qs.map(_.t), "DELETE DATA")
       graph = graph.delete(groundQuads(qs, "DELETE DATA"))
@@ -438,8 +439,22 @@ class Engine(initial: RdfGraph) {
         .copy(prefixes = loaded.prefixes ++ graph.prefixes)
   }
 
-  private def groundQuads(qs: Seq[Quad], opName: String): DataFrame = {
+  /** Monotonic per-request id for INSERT DATA blank nodes (§3.1.1:
+    * bnodes in QuadData are FRESH per request, sharing labels only
+    * within it). */
+  private val dataBnodeReq = new java.util.concurrent.atomic.AtomicLong
+
+  private def groundQuads(qs: Seq[Quad], opName: String,
+      freshBnodes: Boolean = false): DataFrame = {
     if (qs.exists(_.g.isDefined)) requireQuadStore(s"$opName with GRAPH")
+    val fresh = scala.collection.mutable.Map[String, Blank]()
+    lazy val reqId = dataBnodeReq.incrementAndGet()
+    def ground(n: Node): RdfTerm = n match {
+      case TermNode(t) => t
+      case VarNode(v) if freshBnodes && v.startsWith("_:") =>
+        fresh.getOrElseUpdate(v, Blank(s"ud${reqId}_${v.substring(2)}"))
+      case _ => throw new GraftException(s"$opName requires ground triples")
+    }
     val quads = qs.map { q =>
       val g = q.g match {
         case None => None
@@ -447,8 +462,8 @@ class Engine(initial: RdfGraph) {
         case Some(other) => throw new GraftException(
           s"$opName requires a ground GRAPH name, got $other")
       }
-      (q.t.s, q.t.p, q.t.o) match {
-        case (TermNode(s), VerbNode(TermNode(p)), TermNode(o)) => (s, p, o, g)
+      q.t.p match {
+        case VerbNode(TermNode(p)) => (ground(q.t.s), p, ground(q.t.o), g)
         case _ => throw new GraftException(s"$opName requires ground triples")
       }
     }
