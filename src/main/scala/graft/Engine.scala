@@ -494,11 +494,17 @@ class Engine(initial: RdfGraph) {
       withGraph: Option[String]): DataFrame = {
     val rowId = "__row"
     val withId = bindings.withColumn(rowId, F.monotonically_increasing_id())
+    // template bnodes are fresh per SOLUTION (the row id) and per
+    // EXECUTION (the request id) — without the latter, re-running one
+    // Modify would mint the same labels and set semantics would
+    // swallow the new nodes
+    val reqId = dataBnodeReq.incrementAndGet()
     def inst(n: Node): Column = n match {
       case TermNode(t) => termCol(t)
       case VarNode(v) if v.startsWith("_:") =>
         F.struct(F.lit(KIND_BLANK).cast(ByteType).as("kind"),
-          F.concat(F.lit(v.substring(2) + "_"), F.col(rowId)).as("value"),
+          F.concat(F.lit(s"r${reqId}_${v.substring(2)}_"),
+            F.col(rowId)).as("value"),
           nullStr.as("dt"), nullStr.as("lang"))
       case VarNode(v) if withId.columns.contains(v) => F.col(v)
       case VarNode(_) => F.lit(null).cast(Terms.termType)
