@@ -395,12 +395,26 @@ class Engine(initial: RdfGraph) {
       copyLike(from, to, silent, dropTo = true, dropFrom = true)
     case CopyGraph(from, to, silent) =>
       copyLike(from, to, silent, dropTo = true, dropFrom = false)
-    case Load(url, intoGraph) =>
-      // LOAD <doc> [INTO GRAPH <g>] (gastrodon/__init__.py:905-907).
-      // N-Triples (.nt/.nt.gz) reads distributed; Turtle and RDF/XML
-      // parse driver-side (same split as the standalone sources).
-      // Only local documents (file:// or a bare path) are supported —
-      // remote schemes fail with a clear error, not an opaque IO one.
+    case Load(url, intoGraph, silent) =>
+      // LOAD [SILENT] <doc> [INTO GRAPH <g>]
+      // (gastrodon/__init__.py:905-907). N-Triples (.nt/.nt.gz) reads
+      // distributed; Turtle and RDF/XML parse driver-side (same split
+      // as the standalone sources). Only local documents (file:// or a
+      // bare path) are supported — remote schemes fail with a clear
+      // error, not an opaque IO one. SILENT (§3.1.4) turns retrieval/
+      // parse failures into a no-op; the triples-only-store capability
+      // error stays loud (a store-shape problem, not a document one).
+      if (intoGraph.isDefined) requireQuadStore("LOAD … INTO GRAPH")
+      try applyLoad(url, intoGraph)
+      catch {
+        case _: Exception if silent => () // §3.1.4: failures become no-ops
+        case e: GraftException => throw e
+        case e: Exception => throw new GraftException(
+          s"LOAD failed for <$url>: ${e.getMessage}", e)
+      }
+  }
+
+  private def applyLoad(url: String, intoGraph: Option[String]): Unit = {
       val scheme = url.takeWhile(c => c.isLetter || c == '+').toLowerCase
       if (url.contains("://") && scheme != "file")
         throw new GraftException(
@@ -430,8 +444,8 @@ class Engine(initial: RdfGraph) {
             ".jsonld/.json)")
       val placed = intoGraph match {
         case Some(g) =>
-          // honor the target: the document's triples land in <g>
-          requireQuadStore("LOAD … INTO GRAPH")
+          // honor the target (the quad-store guard already ran, outside
+          // the SILENT net): the document's triples land in <g>
           loaded.triples.withColumn("g", termCol(Iri(g)))
         case None => loaded.triples
       }

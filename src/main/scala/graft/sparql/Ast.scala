@@ -196,11 +196,15 @@ object Ast {
   final case class CopyGraph(from: Option[String], to: Option[String],
       silent: Boolean) extends UpdateOp
 
-  /** LOAD <url> [INTO GRAPH <g>] — the parsed document merges into the
-    * target graph: the default graph when no INTO, the named graph on a
-    * quad store (a triple-only store raises a loud error rather than
-    * misfiling — promote with RdfGraph.asQuadStore). */
-  final case class Load(url: String, intoGraph: Option[String]) extends UpdateOp
+  /** LOAD [SILENT] <url> [INTO GRAPH <g>] — the parsed document merges
+    * into the target graph: the default graph when no INTO, the named
+    * graph on a quad store (a triple-only store raises a loud error
+    * rather than misfiling — promote with RdfGraph.asQuadStore). SILENT
+    * turns retrieval/parse failures into a no-op (§3.1.4); it does NOT
+    * silence the triple-store capability error, which is a store-shape
+    * problem, not a document one. */
+  final case class Load(url: String, intoGraph: Option[String],
+      silent: Boolean = false) extends UpdateOp
 
   final case class ParsedUpdate(prologue: Prologue, ops: Seq[UpdateOp])
 

@@ -681,9 +681,9 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
     kw("COPY") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
       case s ~ f ~ t => CopyGraph(f, t, s.isDefined)
     } |
-    kw("LOAD") ~> opt(kw("SILENT")) ~> iri ~
+    kw("LOAD") ~> opt(kw("SILENT")) ~ iri ~
       opt(kw("INTO") ~> kw("GRAPH") ~> iri) ^^ {
-      case url ~ g => Load(url, g)
+      case s ~ url ~ g => Load(url, g, s.isDefined)
     } |
     modify
 

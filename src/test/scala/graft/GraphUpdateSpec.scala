@@ -285,6 +285,20 @@ class GraphUpdateSpec extends SparkSpec {
       .getMessage.contains("asQuadStore"))
   }
 
+  test("LOAD SILENT turns a missing/unparsable document into a no-op; " +
+      "the triples-only capability error stays loud") {
+    val e = quadEngine()
+    e.update("LOAD SILENT <file:///no/such/file.ttl>")
+    e.update("LOAD SILENT <file:///no/such/file.ttl> INTO GRAPH <http://example.com/g1>")
+    assert(dump(e) == pre)
+    intercept[GraftException](e.update("LOAD <file:///no/such/file.ttl>"))
+    // store-shape error is NOT a document failure — SILENT must not eat it
+    val t = Engine.inline(s"<${EX}s> <${EX}p> 'x' .")
+    assert(intercept[GraftException](t.update(
+      s"LOAD SILENT <file:///no/such/file.ttl> INTO GRAPH <${EX}g>"))
+      .getMessage.contains("asQuadStore"))
+  }
+
   // ------------------------------------------------ sequences + quads
 
   test("op sequences interleave graph management and quad templates") {
