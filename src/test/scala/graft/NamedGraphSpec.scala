@@ -108,6 +108,25 @@ class NamedGraphSpec extends SparkSpec {
     assert(e.select("SELECT ?s WHERE { ?s ?p ?o }").count() == 1)
   }
 
+  test("DESCRIBE/peel and decollect range over the DEFAULT graph on a " +
+      "quad store (named graphs stay behind GRAPH queries)") {
+    // DESCRIBE g1 must return its default-graph label triple only —
+    // not the named graph g1's content
+    val d = quadEngine.describe(s"DESCRIBE <${ex}g1>")
+    assert(!d.isQuads)
+    val got = d.triples.collect().map(r =>
+      (r.getStruct(0).getString(1), r.getStruct(2).getString(1))).toSet
+    assert(got == Set((ex + "g1", "graph one")), got)
+    // an rdf:Seq probed by decollect sees default-graph members only
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val e = Engine.fromGraph(RdfGraph.fromQuads(spark, Seq(
+      (iri("seq"), Iri(rdfNs + "type"), Iri(rdfNs + "Seq"), None),
+      (iri("seq"), Iri(rdfNs + "_1"), Lit.plain("first"), None),
+      (iri("seq"), Iri(rdfNs + "_2"), Lit.plain("phantom"),
+        Some(iri("g1"))))))
+    assert(e.decollect(iri("seq")) == Seq("first"))
+  }
+
   test("UPDATE on a quad store: inserts and deletes hit the default graph only") {
     val e = Engine.fromGraph(RdfGraph.fromQuads(spark,
       Seq(
