@@ -769,7 +769,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     // steering never denies them a broadcast
     def steerEst(tp: TriplePattern): Long = tp match {
       case TriplePattern(VarNode(_), VerbNode(TermNode(Iri(p))), VarNode(_)) =>
-        predEstimate(p)
+        predRowEstimate(p)
       case _ => Long.MaxValue
     }
     val rest = patternOrder(ts.zipWithIndex.collect {
@@ -838,6 +838,14 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     * consistent relative signal across relations of one store) of the
     * vertical-index relation, else unknown. Driver-side only; cached
     * so repeated compiles of one pattern shape cost one analysis. */
+  /** ROW estimate for build-side steering: exact predicate counts
+    * only. The byte-based fallback below is a fine RELATIVE ordering
+    * signal but must never be compared against a row bound — a 5 MB
+    * relation would read as "5 million rows" and get a shuffle_hash
+    * hint where its broadcast was free. */
+  private def predRowEstimate(p: String): Long =
+    rdfGraph.predCounts.getOrElse(p, Long.MaxValue)
+
   private def predEstimate(p: String): Long =
     rdfGraph.predCounts.getOrElse(p,
       estCache.getOrElseUpdate(p, rdfGraph.predIndex.get(p) match {
@@ -1112,14 +1120,20 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         case PInv(q) => linkEst(q)
         case _ => Long.MaxValue
       }
+      def linkRows(p: Path): Long = p match {
+        case PLink(i) => predRowEstimate(i)
+        case PInv(q) => linkRows(q)
+        case _ => Long.MaxValue
+      }
       val links = flatten(pseq)
       // per-segment: (frame, order estimate = min link, row estimate).
-      // The ORDER estimate (min) drives the merge sequence; the ROW
-      // estimate sizes the join build side: a raw link's rows are its
-      // exact predicate count, a merged FK-chain segment's rows are
-      // bounded by the larger input (many-to-one hops don't multiply).
+      // The ORDER estimate (min; bytes acceptable — relative) drives
+      // the merge sequence; the ROW estimate (exact counts only) sizes
+      // the join build side: a raw link's rows are its predicate
+      // count, a merged FK-chain segment's rows are bounded by the
+      // larger input (many-to-one hops don't multiply).
       val segs = mutable.ArrayBuffer(
-        links.map(l => (pathEdges(l), linkEst(l), linkEst(l))): _*)
+        links.map(l => (pathEdges(l), linkEst(l), linkRows(l))): _*)
       while (segs.length > 1) {
         val j = (0 until segs.length - 1).minBy { i =>
           (math.min(segs(i)._2, segs(i + 1)._2), i)
@@ -1127,7 +1141,9 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         val (lSeg, rSeg) = (segs(j), segs(j + 1))
         val merged = joinSeqSegments(lSeg._1, lSeg._3, rSeg._1, rSeg._3)
         segs(j) = (merged, math.min(lSeg._2, rSeg._2),
-          math.max(lSeg._3, rSeg._3))
+          if (lSeg._3 == Long.MaxValue || rSeg._3 == Long.MaxValue)
+            Long.MaxValue
+          else math.max(lSeg._3, rSeg._3))
         segs.remove(j + 1)
       }
       segs.head._1
