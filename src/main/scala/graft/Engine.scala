@@ -286,12 +286,22 @@ class Engine(initial: RdfGraph) {
   private def graphExists(iri: String): Boolean =
     graph.isQuads && !graph.triples.where(namedG(iri)).isEmpty
 
+  /** Mirror a graph condition onto the GraphStore partition column when
+    * the store carries one — existence probes and management ops then
+    * prune to the graph's directory instead of scanning the store. */
+  private def withGPart(cond: Column, part: Column): Column =
+    if (graph.triples.columns.contains(Terms.GPART_COL)) part && cond
+    else cond
+
   private def namedG(iri: String): Column =
-    F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
-      F.col("g.value") === iri
+    withGPart(
+      F.col("g").isNotNull && F.col("g.kind") === KIND_IRI &&
+        F.col("g.value") === iri,
+      F.col(Terms.GPART_COL) === ("i:" + iri))
 
   private def graphCond(g: Option[String]): Column = g match {
-    case None => F.col("g").isNull
+    case None => withGPart(F.col("g").isNull,
+      F.col(Terms.GPART_COL) === Terms.GPART_DEFAULT)
     case Some(iri) => namedG(iri)
   }
 
