@@ -372,6 +372,7 @@ class Engine(initial: RdfGraph) {
     case DeleteData(qs) =>
       rejectDeleteBnodes(qs.map(_.t), "DELETE DATA")
       graph = graph.delete(groundQuads(qs, "DELETE DATA"))
+    case DeleteWhere(tmpl) if tmpl.isEmpty => // zero-quad template: no-op
     case DeleteWhere(tmpl) =>
       rejectDeleteBnodes(tmpl.map(_.t), "DELETE WHERE")
       if (tmpl.exists(_.g.isDefined)) requireQuadStore("DELETE WHERE { GRAPH … }")

@@ -299,6 +299,15 @@ class GraphUpdateSpec extends SparkSpec {
       .getMessage.contains("asQuadStore"))
   }
 
+  test("empty templates are no-ops: DELETE WHERE { }, INSERT { } WHERE") {
+    val e = quadEngine()
+    e.update("DELETE WHERE { }")
+    e.update("DELETE WHERE { GRAPH <http://example.com/g1> { } }")
+    e.update(s"INSERT { } WHERE { ?s <${EX}p> ?o }")
+    e.update("INSERT DATA { }")
+    assert(dump(e) == pre)
+  }
+
   // ------------------------------------------------ sequences + quads
 
   test("op sequences interleave graph management and quad templates") {
