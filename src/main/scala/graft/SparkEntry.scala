@@ -709,12 +709,17 @@ object SparkEntry {
       TextAnalysis.shuffleShards(read(s, dir, "documents")
           .select("doc_id"), "doc_id", numShards = 7, seed = 5)),
     "q_pack" -> ((s, dir) =>
-      // greedy per-partition sequence packing into 512-token bins
+      // greedy per-partition sequence packing into 512-token bins.
+      // Full oracle since r13: partitions pinned to 8 so the Murmur3
+      // partition assignment is environment-independent — the oracle
+      // replays pmod(murmur3_32(doc_id, seed 42), 8) in mod-2^32
+      // arithmetic and the per-partition greedy fold as a recursive CTE
       graft.pipeline.Packing.packSequences(
         read(s, dir, "documents").select(F.col("doc_id"),
           TextAnalysis.tokenCount(F.col("text")).cast(LongType).as("n_tokens")),
-        "doc_id", "n_tokens", maxTokens = 512)
-        .select(F.col("seq_id"), F.size(F.col("doc_ids")).as("n_docs"),
+        "doc_id", "n_tokens", maxTokens = 512, partitions = 8)
+        .select(F.col("seq_id"),
+          F.size(F.col("doc_ids")).cast(LongType).as("n_docs"),
           F.col("total_tokens"))),
     "q_line_dedup" -> ((s, dir) => {
       // CCNet-style corpus-wide line dedup: synthesized multi-line docs
@@ -2522,6 +2527,82 @@ object SparkEntry {
          SELECT c.event_id, c.user_id, p.purchase_value
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_pack" ->
+      // promoted from rows-only in r13: Spark's repartition(8, id) is
+      // pmod(murmur3_x86_32(doc_id, seed 42), 8) — restated here in
+      // mod-2^32 arithmetic (HUGEINT products, xor/shift via // ) —
+      // and the per-partition id-ordered greedy next-fit fold is a
+      // recursive CTE over row positions; seq_id = part*2^32 + bin
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n
+           FROM documents),
+         mm0 AS (SELECT doc_id, n, doc_id % 4294967296 AS lo,
+                   doc_id // 4294967296 AS hi FROM toks),
+         mm1 AS (SELECT *, CAST((CAST(lo AS HUGEINT) * 3432918353)
+                   % 4294967296 AS BIGINT) AS a1 FROM mm0),
+         mm2 AS (SELECT *, ((a1 * 32768) % 4294967296) + (a1 // 131072)
+                   AS r1 FROM mm1),
+         mm3 AS (SELECT *, CAST((CAST(r1 AS HUGEINT) * 461845907)
+                   % 4294967296 AS BIGINT) AS k1 FROM mm2),
+         mm4 AS (SELECT *, xor(CAST(42 AS BIGINT), k1) AS x1 FROM mm3),
+         mm5 AS (SELECT *, ((x1 * 8192) % 4294967296) + (x1 // 524288)
+                   AS rr1 FROM mm4),
+         mm6 AS (SELECT *, CAST((CAST(rr1 AS HUGEINT) * 5 + 3864292196)
+                   % 4294967296 AS BIGINT) AS h1 FROM mm5),
+         mm7 AS (SELECT *, CAST((CAST(hi AS HUGEINT) * 3432918353)
+                   % 4294967296 AS BIGINT) AS a2 FROM mm6),
+         mm8 AS (SELECT *, ((a2 * 32768) % 4294967296) + (a2 // 131072)
+                   AS r2 FROM mm7),
+         mm9 AS (SELECT *, CAST((CAST(r2 AS HUGEINT) * 461845907)
+                   % 4294967296 AS BIGINT) AS k2 FROM mm8),
+         mma AS (SELECT *, xor(h1, k2) AS x2 FROM mm9),
+         mmb AS (SELECT *, ((x2 * 8192) % 4294967296) + (x2 // 524288)
+                   AS rr2 FROM mma),
+         mmc AS (SELECT *, CAST((CAST(rr2 AS HUGEINT) * 5 + 3864292196)
+                   % 4294967296 AS BIGINT) AS h2 FROM mmb),
+         mmd AS (SELECT *, xor(h2, CAST(8 AS BIGINT)) AS f1 FROM mmc),
+         mme AS (SELECT *, xor(f1, f1 // 65536) AS f2 FROM mmd),
+         mmf AS (SELECT *, CAST((CAST(f2 AS HUGEINT) * 2246822507)
+                   % 4294967296 AS BIGINT) AS f3 FROM mme),
+         mmg AS (SELECT *, xor(f3, f3 // 8192) AS f4 FROM mmf),
+         mmh AS (SELECT *, CAST((CAST(f4 AS HUGEINT) * 3266489909)
+                   % 4294967296 AS BIGINT) AS f5 FROM mmg),
+         mmi AS (SELECT *, xor(f5, f5 // 65536) AS f6 FROM mmh),
+         parts AS (SELECT doc_id, n,
+                     ((CASE WHEN f6 >= 2147483648 THEN f6 - 4294967296
+                        ELSE f6 END % 8) + 8) % 8 AS part
+                   FROM mmi),
+         docs AS (SELECT doc_id, n, part, row_number() OVER
+                    (PARTITION BY part ORDER BY doc_id) AS i FROM parts),
+         walk(part, i, open_bin, t, c, doc_id, n, doc_bin) AS (
+           SELECT DISTINCT part, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM docs
+           UNION ALL
+           SELECT d.part, d.i,
+             (w.open_bin + CASE WHEN w.t + d.n > 512 AND w.c > 0
+                THEN 1 ELSE 0 END)
+               + CASE WHEN (CASE WHEN w.t + d.n > 512 AND w.c > 0
+                   THEN d.n ELSE w.t + d.n END) >= 512
+                 THEN 1 ELSE 0 END,
+             CASE WHEN (CASE WHEN w.t + d.n > 512 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) >= 512 THEN 0
+               ELSE (CASE WHEN w.t + d.n > 512 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) END,
+             CASE WHEN (CASE WHEN w.t + d.n > 512 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) >= 512 THEN 0
+               ELSE (CASE WHEN w.t + d.n > 512 AND w.c > 0
+                 THEN 1 ELSE w.c + 1 END) END,
+             d.doc_id, d.n,
+             w.open_bin + CASE WHEN w.t + d.n > 512 AND w.c > 0
+               THEN 1 ELSE 0 END
+           FROM walk w JOIN docs d ON d.part = w.part AND d.i = w.i + 1)
+         SELECT part * 4294967296 + doc_bin AS seq_id,
+                COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+         FROM walk WHERE i > 0
+         GROUP BY 1""",
     "q_text_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
