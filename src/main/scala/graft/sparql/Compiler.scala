@@ -450,16 +450,22 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
   /** Build-side steering shared by BGP and path-chain joins (the r12
     * sf1 outlier: Catalyst broadcast a 6M-row fact scan because the
     * narrow projection's BYTE estimate slipped under the threshold).
-    * The smaller-estimated side: ≤ [[BroadcastRowBound]] rows →
-    * explicit broadcast; bigger, with the other side also known-big →
-    * shuffle_hash (parallel per-partition build, no driver-built
-    * relation, no sort — the 100×-safe plan). Unknown estimates leave
-    * Catalyst's choice untouched. */
+    * Hints fire only when the statistics say Catalyst could get it
+    * wrong: a known-SMALL side joining a known-BIG one → explicit
+    * broadcast of the small side; both sides known-big → shuffle_hash
+    * on the smaller (parallel per-partition build, no driver-built
+    * relation, no sort — the 100×-safe plan). Everything else —
+    * unknown estimates, and small-small joins where Catalyst's own
+    * choice (including a pre-bucketed zero-exchange join) is already
+    * right — stays unhinted. */
   private def steerSides(l0: DataFrame, estL: Long, r0: DataFrame,
       estR: Long): (DataFrame, DataFrame) = {
     def one(df: DataFrame, est: Long, other: Long): DataFrame =
       if (est == Long.MaxValue || est > other) df
-      else if (est <= BroadcastRowBound) F.broadcast(df)
+      else if (est <= BroadcastRowBound)
+        if (other > BroadcastRowBound && other != Long.MaxValue)
+          F.broadcast(df)
+        else df
       else if (other != Long.MaxValue) df.hint("shuffle_hash")
       else df
     (one(l0, estL, estR), one(r0, estR, estL))
