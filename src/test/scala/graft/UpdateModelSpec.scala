@@ -1,0 +1,153 @@
+package graft
+
+import graft.rdf._
+import scala.util.Random
+
+/** Model-based check of the UPDATE surface: random op sequences
+  * (INSERT/DELETE DATA with GRAPH blocks, CLEAR/DROP/CREATE,
+  * ADD/MOVE/COPY, SILENT variants) run against BOTH the engine and a
+  * ~40-line in-memory reference model of SPARQL 1.1 Update §3
+  * semantics; dataset states must match after every op. Catches the
+  * class of bugs example-based tests miss — op interactions,
+  * default-graph vs named-graph aliasing, error-then-no-change
+  * contracts — across 3 seeded runs × 40 ops. */
+class UpdateModelSpec extends SparkSpec {
+
+  private val EX = "http://example.com/"
+
+  /** Reference model: graph name (None = default) → triple set. A
+    * named graph exists iff it has a triple (the engine's documented
+    * posture). Ops raise on the same conditions the engine must. */
+  private final class Model {
+    var state: Map[Option[String], Set[(String, String, String)]] =
+      Map(None -> Set.empty)
+    private def get(g: Option[String]) = state.getOrElse(g, Set.empty)
+    private def exists(g: String) = get(Some(g)).nonEmpty
+    private def put(g: Option[String],
+        ts: Set[(String, String, String)]): Unit =
+      state = if (ts.isEmpty && g.isDefined) state - g
+      else state + (g -> ts)
+
+    def insert(g: Option[String], t: (String, String, String)): Unit =
+      put(g, get(g) + t)
+    def delete(g: Option[String], t: (String, String, String)): Unit =
+      put(g, get(g) - t)
+    def clear(target: Option[Option[String]], silent: Boolean): Unit =
+      target match {
+        case None => // ALL
+          state = Map(None -> Set.empty)
+        case Some(None) => put(None, Set.empty)
+        case Some(Some(g)) =>
+          if (!exists(g) && !silent) sys.error("no such graph")
+          put(Some(g), Set.empty)
+      }
+    def clearNamed(): Unit = state = Map(None -> get(None))
+    def create(g: String, silent: Boolean): Unit =
+      if (exists(g) && !silent) sys.error("exists")
+    def copyLike(from: Option[String], to: Option[String],
+        silent: Boolean, dropTo: Boolean, dropFrom: Boolean): Unit = {
+      if (from == to) return
+      from match {
+        case Some(g) if !exists(g) =>
+          if (!silent) sys.error("no such graph"); return
+        case _ => ()
+      }
+      val src = get(from)
+      val dst = if (dropTo) src else get(to) ++ src
+      put(to, dst)
+      if (dropFrom) put(from, Set.empty)
+    }
+    def dataset: Set[(String, String, String, Option[String])] =
+      state.toSeq.flatMap { case (g, ts) =>
+        ts.map(t => (t._1, t._2, t._3, g))
+      }.toSet
+  }
+
+  private def engineDataset(e: Engine)
+      : Set[(String, String, String, Option[String])] =
+    e.graph.triples.collect().toSet.map { r: org.apache.spark.sql.Row =>
+      (r.getStruct(0).getString(1), r.getStruct(1).getString(1),
+        r.getStruct(2).getString(1),
+        if (r.isNullAt(3)) None else Some(r.getStruct(3).getString(1)))
+    }
+
+  for (seed <- Seq(11, 23, 47)) {
+    test(s"random op sequences match the reference model (seed $seed)") {
+      val rnd = new Random(seed)
+      val graphs = Seq(s"${EX}g1", s"${EX}g2", s"${EX}g3")
+      def someGraph() = graphs(rnd.nextInt(graphs.length))
+      def gRef(): Option[String] =
+        if (rnd.nextInt(4) == 0) None else Some(someGraph())
+      def triple() = (s"${EX}s${rnd.nextInt(4)}", s"${EX}p",
+        s"v${rnd.nextInt(4)}")
+      def gSql(g: Option[String]) =
+        g.map(x => s"GRAPH <$x>").getOrElse("DEFAULT")
+
+      val model = new Model
+      val e = Engine.fromGraph(
+        RdfGraph.fromQuads(spark, Seq.empty, Map("ex" -> EX)))
+      var applied = 0
+      for (step <- 1 to 40) {
+        val silent = rnd.nextBoolean()
+        val sil = if (silent) "SILENT " else ""
+        val (sql, modelOp): (String, () => Unit) = rnd.nextInt(7) match {
+          case 0 =>
+            val (g, t) = (gRef(), triple())
+            val block = s"<${t._1}> <${t._2}> '${t._3}'"
+            (s"INSERT DATA { ${g.map(x => s"GRAPH <$x> { $block }")
+              .getOrElse(block)} }",
+              () => model.insert(g, t))
+          case 1 =>
+            val (g, t) = (gRef(), triple())
+            val block = s"<${t._1}> <${t._2}> '${t._3}'"
+            (s"DELETE DATA { ${g.map(x => s"GRAPH <$x> { $block }")
+              .getOrElse(block)} }",
+              () => model.delete(g, t))
+          case 2 =>
+            rnd.nextInt(3) match {
+              case 0 =>
+                val g = someGraph()
+                (s"CLEAR $sil GRAPH <$g>",
+                  () => model.clear(Some(Some(g)), silent))
+              case 1 => (s"CLEAR ${sil}DEFAULT",
+                () => model.clear(Some(None), silent))
+              case 2 => (s"CLEAR ${sil}NAMED", () => model.clearNamed())
+            }
+          case 3 =>
+            val g = someGraph()
+            (s"DROP $sil GRAPH <$g>",
+              () => model.clear(Some(Some(g)), silent))
+          case 4 =>
+            val g = someGraph()
+            (s"CREATE $sil GRAPH <$g>", () => model.create(g, silent))
+          case 5 =>
+            val (f, t) = (gRef(), gRef())
+            (s"ADD $sil ${gSql(f)} TO ${gSql(t)}",
+              () => model.copyLike(f, t, silent,
+                dropTo = false, dropFrom = false))
+          case 6 =>
+            val (f, t) = (gRef(), gRef())
+            val mv = rnd.nextBoolean()
+            (s"${if (mv) "MOVE" else "COPY"} $sil ${gSql(f)} TO ${gSql(t)}",
+              () => model.copyLike(f, t, silent,
+                dropTo = true, dropFrom = mv))
+        }
+        val engineErr =
+          try { e.update(sql); false }
+          catch { case _: GraftException => true }
+        val modelErr =
+          try { modelOp(); false }
+          catch { case _: RuntimeException => true }
+        assert(engineErr == modelErr,
+          s"step $step: error disagreement on `$sql` " +
+            s"(engine=$engineErr model=$modelErr)")
+        if (!engineErr) applied += 1
+        // an erroring op must leave the store unchanged — compare
+        // either way
+        assert(engineDataset(e) == model.dataset,
+          s"step $step: state diverged after `$sql`")
+      }
+      assert(applied > 10, s"too few ops applied ($applied) — generator bug?")
+    }
+  }
+}
