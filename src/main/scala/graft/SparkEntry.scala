@@ -388,6 +388,75 @@ object SparkEntry {
       graft.rdf.Canon.canonicalLines(graft.rdf.RdfGraph(t, Map.empty))
         .select(F.col("line"))
     }),
+    "q_rdfs_closure" -> ((s, dir) => {
+      // ρdf RDFS materialization end-to-end (Reasoner.rdfsClosure):
+      // a 5-deep class chain over the region dim, nation subclasses, a
+      // property chain with domain/range, and customer instance data.
+      // The engine runs the real schema-sized fixpoints + broadcast
+      // rule joins; DuckDB restates every derived triple as range
+      // joins over the region index set (chain closure ≡ b < a pairs).
+      val region = read(s, dir, "region")
+      def ir(prefix: String, k: Column) =
+        Terms.iri(F.concat(F.lit(prefix), k.cast("string")))
+      val subC = Terms.iri(RDFS.subClassOf)
+      val subP = Terms.iri(RDFS.subPropertyOf)
+      val chainC = region.where(F.col("r_regionkey") > 0).select(
+        ir("urn:graft:c/R", F.col("r_regionkey")).as("s"), subC.as("p"),
+        ir("urn:graft:c/R", F.col("r_regionkey") - 1).as("o"))
+      val natC = read(s, dir, "nation").select(
+        ir("urn:graft:c/N", F.col("n_nationkey")).as("s"), subC.as("p"),
+        ir("urn:graft:c/R", F.col("n_regionkey")).as("o"))
+      val chainP = region.where(F.col("r_regionkey") > 0).select(
+        ir("urn:graft:p/P", F.col("r_regionkey")).as("s"), subP.as("p"),
+        ir("urn:graft:p/P", F.col("r_regionkey") - 1).as("o"))
+      val domRng = region.where(F.col("r_regionkey") === 2).select(
+          Terms.iri("urn:graft:p/P2").as("s"),
+          Terms.iri(RDFS.domain).as("p"),
+          Terms.iri("urn:graft:c/Dom").as("o"))
+        .unionByName(region.where(F.col("r_regionkey") === 3).select(
+          Terms.iri("urn:graft:p/P3").as("s"),
+          Terms.iri(RDFS.range).as("p"),
+          Terms.iri("urn:graft:c/Rng").as("o")))
+      val customer = read(s, dir, "customer")
+      val inst = customer.select(
+        ir("urn:graft:e/c", F.col("c_custkey")).as("s"),
+        ir("urn:graft:p/P", F.col("c_custkey") % 5).as("p"),
+        ir("urn:graft:e/n", F.col("c_nationkey")).as("o"))
+      val types = customer.select(
+        ir("urn:graft:e/c", F.col("c_custkey")).as("s"),
+        Terms.iri(RDF.typ).as("p"),
+        ir("urn:graft:c/N", F.col("c_nationkey")).as("o"))
+      val g = RdfGraph(chainC.unionByName(natC).unionByName(chainP)
+        .unionByName(domRng).unionByName(inst).unionByName(types), Map.empty)
+      Reasoner.rdfsClosure(g).triples.select(
+        F.col("s.value").as("s"), F.col("p.value").as("p"),
+        F.col("o.value").as("o"))
+    }),
+    "q_sameas_smush" -> ((s, dir) => {
+      // owl:sameAs smushing (Reasoner.smushSameAs): customers alias in
+      // blocks of four (k → k - k%4), so components close under the
+      // engine's min-label doubling and every subject/object rewrites
+      // to the component's lexicographically least IRI — including the
+      // 'e/10' < 'e/8' string-order corner. DuckDB restates components
+      // by block arithmetic and the rewrite as two alias joins.
+      val customer = read(s, dir, "customer")
+      def e(k: Column) =
+        Terms.iri(F.concat(F.lit("urn:graft:e/"), k.cast("string")))
+      val sameAs = customer.where(F.col("c_custkey") % 4 =!= 0).select(
+        e(F.col("c_custkey")).as("s"), Terms.iri(OWL.sameAs).as("p"),
+        e(F.col("c_custkey") - F.col("c_custkey") % 4).as("o"))
+      val knows = customer.select(e(F.col("c_custkey")).as("s"),
+        Terms.iri("urn:graft:p/knows").as("p"),
+        e(F.col("c_custkey") * 7 % 997).as("o"))
+      val names = customer.select(e(F.col("c_custkey")).as("s"),
+        Terms.iri("urn:graft:p/name").as("p"),
+        Terms.plainLit(F.col("c_name")).as("o"))
+      val g = RdfGraph(sameAs.unionByName(knows).unionByName(names),
+        Map.empty)
+      Reasoner.smushSameAs(g).triples.select(
+        F.col("s.value").as("s"), F.col("p.value").as("p"),
+        F.col("o.value").as("o"))
+    }),
     "q_lang_dir" -> ((s, dir) => {
       // SPARQL 1.2 directional language strings as data: region names
       // tagged @en--ltr (even keys) / @ar--rtl (odd), queried through
@@ -2410,6 +2479,94 @@ object SparkEntry {
       """SELECT '<urn:graft:region/' || CAST(r_regionkey AS VARCHAR)
                 || '> <urn:graft:p/name> "' || r_name || '" .' AS line
          FROM region""",
+    "q_rdfs_closure" ->
+      // the ρdf closure restated in closed form: transitive chains over
+      // the region index set are exactly the b < a pairs, rule 7 is a
+      // range join on j <= ck%5, rules 2/3/9 are the arithmetic their
+      // schema implies
+      """WITH rk AS (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region),
+         cu AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+                       CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+         na AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                       CAST(n_regionkey AS BIGINT) AS rg FROM nation),
+         all_t AS (
+           SELECT 'urn:graft:c/R' || CAST(a.k AS VARCHAR) AS s,
+                  'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p,
+                  'urn:graft:c/R' || CAST(b.k AS VARCHAR) AS o
+           FROM rk a JOIN rk b ON b.k < a.k
+           UNION ALL
+           SELECT 'urn:graft:c/N' || CAST(n.nk AS VARCHAR),
+                  'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                  'urn:graft:c/R' || CAST(j.k AS VARCHAR)
+           FROM na n JOIN rk j ON j.k <= n.rg
+           UNION ALL
+           SELECT 'urn:graft:p/P' || CAST(a.k AS VARCHAR),
+                  'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                  'urn:graft:p/P' || CAST(b.k AS VARCHAR)
+           FROM rk a JOIN rk b ON b.k < a.k
+           UNION ALL
+           SELECT 'urn:graft:p/P2',
+                  'http://www.w3.org/2000/01/rdf-schema#domain',
+                  'urn:graft:c/Dom'
+           UNION ALL
+           SELECT 'urn:graft:p/P3',
+                  'http://www.w3.org/2000/01/rdf-schema#range',
+                  'urn:graft:c/Rng'
+           UNION ALL
+           SELECT 'urn:graft:e/c' || CAST(c.ck AS VARCHAR),
+                  'urn:graft:p/P' || CAST(j.k AS VARCHAR),
+                  'urn:graft:e/n' || CAST(c.nk AS VARCHAR)
+           FROM cu c JOIN rk j ON j.k <= c.ck % 5
+           UNION ALL
+           SELECT 'urn:graft:e/c' || CAST(ck AS VARCHAR),
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                  'urn:graft:c/N' || CAST(nk AS VARCHAR) FROM cu
+           UNION ALL
+           SELECT 'urn:graft:e/c' || CAST(ck AS VARCHAR),
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                  'urn:graft:c/Dom' FROM cu WHERE ck % 5 >= 2
+           UNION ALL
+           SELECT DISTINCT 'urn:graft:e/n' || CAST(nk AS VARCHAR),
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                  'urn:graft:c/Rng' FROM cu WHERE ck % 5 >= 3
+           UNION ALL
+           SELECT 'urn:graft:e/c' || CAST(c.ck AS VARCHAR),
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                  'urn:graft:c/R' || CAST(j.k AS VARCHAR)
+           FROM cu c JOIN na n ON c.nk = n.nk JOIN rk j ON j.k <= n.rg)
+         SELECT DISTINCT s, p, o FROM all_t""",
+    "q_sameas_smush" ->
+      // components are the blocks {4m..4m+3} the edge construction
+      // implies (k aliases k - k%4); the canonical member is the MIN
+      // IRI STRING of the block — the 'e/10' < 'e/8' lexicographic
+      // order, exactly the engine's term-struct least
+      """WITH nodes AS (
+           SELECT DISTINCT key FROM (
+             SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+             WHERE c_custkey % 4 <> 0
+             UNION ALL
+             SELECT CAST(c_custkey - c_custkey % 4 AS BIGINT) FROM customer
+             WHERE c_custkey % 4 <> 0)),
+         canon AS (
+           SELECT key // 4 AS blk,
+                  min('urn:graft:e/' || CAST(key AS VARCHAR)) AS c
+           FROM nodes GROUP BY 1),
+         alias AS (
+           SELECT 'urn:graft:e/' || CAST(n.key AS VARCHAR) AS node, c.c AS cn
+           FROM nodes n JOIN canon c ON n.key // 4 = c.blk
+           WHERE 'urn:graft:e/' || CAST(n.key AS VARCHAR) <> c.c),
+         data AS (
+           SELECT 'urn:graft:e/' || CAST(c_custkey AS VARCHAR) AS s,
+                  'urn:graft:p/knows' AS p,
+                  'urn:graft:e/' || CAST((c_custkey * 7) % 997 AS VARCHAR) AS o
+           FROM customer
+           UNION ALL
+           SELECT 'urn:graft:e/' || CAST(c_custkey AS VARCHAR),
+                  'urn:graft:p/name', c_name FROM customer)
+         SELECT DISTINCT coalesce(a1.cn, d.s) AS s, d.p AS p,
+                coalesce(a2.cn, d.o) AS o
+         FROM data d LEFT JOIN alias a1 ON d.s = a1.node
+                     LEFT JOIN alias a2 ON d.o = a2.node""",
     "q_lang_dir" ->
       """SELECT r_name AS rname,
                 CASE WHEN r_regionkey % 2 = 0 THEN 'en' ELSE 'ar' END AS lang,

@@ -130,7 +130,15 @@ object RDFS {
   val label = ns + "label"
   val member = ns + "member"
   val subClassOf = ns + "subClassOf"
+  val subPropertyOf = ns + "subPropertyOf"
+  val domain = ns + "domain"
+  val range = ns + "range"
   val ContainerMembershipProperty = ns + "ContainerMembershipProperty"
+}
+
+object OWL {
+  val ns = "http://www.w3.org/2002/07/owl#"
+  val sameAs = ns + "sameAs"
 }
 
 object Terms {

@@ -724,6 +724,37 @@ object Drive {
       println("--- GRAPH template on a triples-only store errors loudly: " + err2)
     }
 
+    {
+      println("=== r13: RDFS closure + owl:sameAs smushing (Reasoner)")
+      val g = Engine.inline(
+        """
+          @prefix : <http://example.com/> .
+          @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          @prefix owl: <http://www.w3.org/2002/07/owl#> .
+          :Borough rdfs:subClassOf :Region . :Region rdfs:subClassOf :Place .
+          :borough rdfs:subPropertyOf :partOf .
+          :partOf rdfs:domain :Place ; rdfs:range :Place .
+          :Manhattan a :Borough . :NYC :borough :Manhattan .
+          :Manhattan owl:sameAs :New_York_County .
+          :New_York_County :pop 1628706 .
+        """).graph
+      val closed = graft.rdf.Reasoner.rdfsClosure(g)
+      val e2 = Engine.fromGraph(closed)
+      e2.bindNamespace("", "http://example.com/")
+      println("--- rdf:type after closure (expect Borough+Region+Place for " +
+        "Manhattan, Place for NYC via domain-through-subproperty):")
+      e2.select(
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?s ?c { ?s rdf:type ?c } ORDER BY ?s ?c""").show(false)
+      val smushed = Engine.fromGraph(graft.rdf.Reasoner.smushSameAs(closed))
+      smushed.bindNamespace("", "http://example.com/")
+      println("--- after smushing (County facts fold into :Manhattan, " +
+        "sameAs gone):")
+      smushed.select(
+        """PREFIX ex: <http://example.com/>
+           SELECT ?p ?o { ex:Manhattan ?p ?o } ORDER BY ?p ?o""").show(false)
+    }
+
     spark.stop()
   }
 }
