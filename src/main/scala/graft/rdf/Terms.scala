@@ -360,12 +360,35 @@ object Terms {
 
   def termNe(a: Column, b: Column): Column = !termEq(a, b)
 
-  def termLt(a: Column, b: Column): Column =
-    F.when(isNumeric(a) && isNumeric(b), numValue(a) < numValue(b))
-      .otherwise(value(a) < value(b))
-  def termLe(a: Column, b: Column): Column =
-    F.when(isNumeric(a) && isNumeric(b), numValue(a) <= numValue(b))
-      .otherwise(value(a) <= value(b))
+  /** SPARQL `<`/`<=` per the §17.3 operator mapping: defined ONLY for
+    * numeric pairs (by value), string pairs (simple/xsd:string,
+    * fn:compare codepoint order), boolean pairs (false < true), and
+    * dateTime/date pairs (timeline order — lexical compare would get
+    * mixed-offset dateTimes wrong). Every other combination — IRIs,
+    * blanks, lang-tagged strings, mixed datatypes — is a TYPE ERROR
+    * (null), so FILTER drops the row; the §15.1 total order is for
+    * ORDER BY only ([[orderKeys]]), never for `<`. */
+  private def ltKind(c: Column): Column =
+    F.when(isNumeric(c), 1)
+      .when(isLiteral(c) && dt(c) === XSD.string, 2)
+      .when(isLiteral(c) && dt(c) === XSD.boolean, 3)
+      .when(isLiteral(c) && dt(c) === XSD.dateTime, 4)
+      .when(isLiteral(c) && dt(c) === XSD.date, 5)
+      .otherwise(0)
+  private def termOrd(op: (Column, Column) => Column)(
+      a: Column, b: Column): Column = {
+    val k = ltKind(a)
+    F.when(k =!= ltKind(b), F.lit(null).cast(BooleanType))
+      .when(k === 1, op(numValue(a), numValue(b)))
+      .when(k === 2, op(value(a), value(b)))
+      .when(k === 3, op(value(a) === "true", value(b) === "true"))
+      .when(k === 4, op(value(a).cast(TimestampType),
+        value(b).cast(TimestampType)))
+      .when(k === 5, op(value(a).cast(DateType), value(b).cast(DateType)))
+      .otherwise(F.lit(null).cast(BooleanType))
+  }
+  def termLt(a: Column, b: Column): Column = termOrd(_ < _)(a, b)
+  def termLe(a: Column, b: Column): Column = termOrd(_ <= _)(a, b)
   def termGt(a: Column, b: Column): Column = termLt(b, a)
   def termGe(a: Column, b: Column): Column = termLe(b, a)
 
