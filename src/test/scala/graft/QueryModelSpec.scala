@@ -69,6 +69,23 @@ class QueryModelSpec extends SparkSpec {
   private case class Union(l: Pat, r: Pat) extends Pat
   private case class Minus(l: Pat, r: Pat) extends Pat
   private case class Filter(p: Pat, c: Cond) extends Pat
+  /** VALUES as an inline data leaf; None = UNDEF. */
+  private case class Values(vs: Seq[String], rows: Seq[Seq[Option[Term]]])
+      extends Pat
+  /** BIND(?a + k AS ?v) at group end; error → v stays unbound. */
+  private case class Bind(p: Pat, v: String, a: Node, k: Long) extends Pat
+
+  private def varsOf(p: Pat): Set[String] = p match {
+    case Bgp(tps) => tps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect {
+      case V(x) => x }.toSet
+    case Join(l, r) => varsOf(l) ++ varsOf(r)
+    case Opt(l, r) => varsOf(l) ++ varsOf(r)
+    case Union(l, r) => varsOf(l) ++ varsOf(r)
+    case Minus(l, _) => varsOf(l) // right side never binds outward
+    case Filter(q, _) => varsOf(q)
+    case Values(vs, _) => vs.toSet
+    case Bind(q, v, _, _) => varsOf(q) + v
+  }
 
   // ------------------------------------------------- reference eval
 
@@ -138,6 +155,19 @@ class QueryModelSpec extends SparkSpec {
         a.keySet.intersect(b.keySet).nonEmpty && compatible(a, b)))
     case Filter(q, c) =>
       eval(q).filter(mu => evalCond(c, mu).contains(true))
+    case Values(vs, rows) =>
+      rows.map(r => vs.zip(r).collect { case (v, Some(t)) => v -> t }.toMap)
+    case Bind(q, v, a, k) =>
+      eval(q).map { mu =>
+        val arg = a match {
+          case C(t) => Some(t)
+          case V(x) => mu.get(x)
+        }
+        arg match {
+          case Some(N(n)) => mu + (v -> N(n + k))
+          case _ => mu // type error: the variable stays unbound
+        }
+      }
   }
 
   // ------------------------------------------------------ rendering
@@ -163,6 +193,15 @@ class QueryModelSpec extends SparkSpec {
     case Union(l, r) => s"{ ${patSparql(l)} } UNION { ${patSparql(r)} }"
     case Minus(l, r) => s"{ ${patSparql(l)} } MINUS { ${patSparql(r)} }"
     case Filter(q, c) => s"{ ${patSparql(q)} FILTER (${condSparql(c)}) }"
+    case Values(vs, rows) =>
+      val head = vs.map("?" + _).mkString(" ")
+      val body = rows.map(_.map {
+        case Some(t) => nodeSparql(C(t))
+        case None => "UNDEF"
+      }.mkString("( ", " ", " )")).mkString(" ")
+      s"VALUES ( $head ) { $body }"
+    case Bind(q, v, a, k) =>
+      s"{ ${patSparql(q)} BIND (${nodeSparql(a)} + $k AS ?$v) }"
   }
 
   // ------------------------------------------------------ generator
@@ -191,15 +230,33 @@ class QueryModelSpec extends SparkSpec {
     case 3 => IsBound(V(vars(rnd.nextInt(vars.length))), positive = false)
   }
 
+  private def genValues(rnd: Random): Values = {
+    val vs = rnd.shuffle(vars).take(1 + rnd.nextInt(2))
+    val rows = Seq.fill(2 + rnd.nextInt(2))(vs.map(_ =>
+      if (rnd.nextInt(5) == 0) None
+      else Some(consts(rnd.nextInt(consts.length)))))
+    Values(vs, rows)
+  }
+
+  private def genLeaf(rnd: Random): Pat =
+    if (rnd.nextInt(5) == 0) genValues(rnd)
+    else Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
+
   private def genPat(rnd: Random, depth: Int): Pat =
-    if (depth == 0) Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
-    else rnd.nextInt(6) match {
-      case 0 => Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
+    if (depth == 0) genLeaf(rnd)
+    else rnd.nextInt(7) match {
+      case 0 => genLeaf(rnd)
       case 1 => Join(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
       case 2 => Opt(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
       case 3 => Union(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
       case 4 => Minus(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
       case 5 => Filter(genPat(rnd, depth - 1), genCond(rnd))
+      case 6 =>
+        val p = genPat(rnd, depth - 1)
+        val free = vars.filterNot(varsOf(p))
+        if (free.isEmpty) p
+        else Bind(p, free(rnd.nextInt(free.length)),
+          genNode(rnd, allowConst = false), 1 + rnd.nextInt(3))
     }
 
   // ------------------------------------------------------ the check
