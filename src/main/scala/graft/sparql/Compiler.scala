@@ -244,8 +244,78 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case GraphPat(g, p) =>
       val prev = activeGraph
       activeGraph = Some(g)
-      try compile(p) finally activeGraph = prev
+      try {
+        if (graphEnforced(g, p)) compile(p)
+        else compileGraphRare(g, p)
+      } finally activeGraph = prev
     case Service(ep, p, silent) => compileService(ep, p, silent)
+  }
+
+  /** True when every solution of `p` under a GRAPH scope necessarily
+    * flowed through a triple scan (which enforces membership in the
+    * active graph and, for a variable graph name, binds it). When this
+    * holds, compiling under `activeGraph` alone implements §18.5.1's
+    * per-named-graph union exactly — the overwhelmingly common case.
+    * When it does NOT hold (scan-less leaves like VALUES / BIND-only
+    * groups, subselects, nested GRAPH), rows could bypass the graph
+    * constraint and [[compileGraphRare]] must enforce the algebra. */
+  private def graphEnforced(g: Node, p: GraphPattern): Boolean = p match {
+    case Bgp(ts) => ts.nonEmpty
+    case Join(l, r) => graphEnforced(g, l) || graphEnforced(g, r)
+    case LeftJoin(l, _, _) => graphEnforced(g, l)
+    case Minus(l, _) => graphEnforced(g, l)
+    case Union(l, r) => graphEnforced(g, l) && graphEnforced(g, r)
+    case Filter(q, _) => graphEnforced(g, q)
+    case Extend(q, v2, _) => (g match {
+      case VarNode(v) => v != v2
+      case _ => true
+    }) && graphEnforced(g, q)
+    case _ => false // TableData, Unit0, SubSelect, GraphPat, Service
+  }
+
+  /** §18.5.1 Graph(term, P) for patterns whose solutions can bypass the
+    * scan-level graph constraint. Constant graph name: P evaluates
+    * against that graph only if it IS a graph name of the (scoped)
+    * dataset — the REC makes `GRAPH <absent> { VALUES … }` EMPTY, not
+    * the VALUES rows. Variable graph name: the union over the scoped
+    * named graphs of P evaluated per graph, the variable bound to each
+    * name in turn — compiled as one branch per name (names enumerated
+    * from the store, capped: a graph variable unbound by any scan is a
+    * degenerate shape, and an uncapped per-name union would explode
+    * the plan on a many-graph store). */
+  private val GraphUnionMax = 64
+  private def compileGraphRare(g: Node, p: GraphPattern): DataFrame = {
+    // scanBase under the current activeGraph already encodes the
+    // FROM NAMED restriction and the quad/triple store distinction
+    g match {
+      case TermNode(_) =>
+        val df = compile(p)
+        if (scanBase.isEmpty) df.limit(0) else df
+      case VarNode(v) =>
+        val nameRows = scanBase.select(F.col("g")).distinct()
+          .limit(GraphUnionMax + 1).collect()
+        if (nameRows.length > GraphUnionMax)
+          throw new IllegalArgumentException(
+            s"GRAPH ?$v over a pattern no triple scan ties to the graph " +
+              s"(VALUES/BIND-only or subquery) ranges over every named " +
+              s"graph; this store has more than $GraphUnionMax — add a " +
+              "triple pattern inside the GRAPH group")
+        val names = nameRows.toSeq.map(r => termOfRow(r.getStruct(0)))
+        val prev = activeGraph
+        val branches = names.map { nm =>
+          activeGraph = Some(TermNode(nm))
+          val df = try compile(p) finally activeGraph = prev
+          if (df.columns.contains(v))
+            df.where(F.col(v).isNull || F.col(v) === termCol(nm))
+              .withColumn(v, termCol(nm))
+          else df.withColumn(v, termCol(nm))
+        }
+        branches.reduceOption(_.unionByName(_)).getOrElse {
+          // no named graphs in scope: empty, with ?g in the schema
+          compile(p).limit(0).withColumn(v,
+            F.lit(null).cast(Terms.termType))
+        }
+    }
   }
 
   /** SERVICE federation: render the sub-pattern back to query text

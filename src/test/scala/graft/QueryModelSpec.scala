@@ -74,6 +74,9 @@ class QueryModelSpec extends SparkSpec {
       extends Pat
   /** BIND(?a + k AS ?v) at group end; error → v stays unbound. */
   private case class Bind(p: Pat, v: String, a: Node, k: Long) extends Pat
+  /** GRAPH ?g { P } / GRAPH <iri> { P } (§13.3): P evaluates against
+    * each named graph, the name binds/filters through `g`. */
+  private case class GraphPat(g: Node, p: Pat) extends Pat
 
   private def varsOf(p: Pat): Set[String] = p match {
     case Bgp(tps) => tps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect {
@@ -85,13 +88,17 @@ class QueryModelSpec extends SparkSpec {
     case Filter(q, _) => varsOf(q)
     case Values(vs, _) => vs.toSet
     case Bind(q, v, _, _) => varsOf(q) + v
+    case GraphPat(g, q) => varsOf(q) ++ (g match {
+      case V(x) => Set(x); case _ => Set.empty[String] })
   }
 
   // ------------------------------------------------- reference eval
 
   private type Mu = Map[String, Term]
+  private type Quad = (Term, Term, Term, Option[Term])
 
-  private def matchTp(tp: TP, mu: Mu): Seq[Mu] = {
+  private def matchTp(tp: TP, mu: Mu,
+      triples: Seq[(Term, Term, Term)]): Seq[Mu] = {
     def bind(n: Node, t: Term, m: Mu): Option[Mu] = n match {
       case C(c) => if (c == t) Some(m) else None
       case V(x) => m.get(x) match {
@@ -99,7 +106,7 @@ class QueryModelSpec extends SparkSpec {
         case None => Some(m + (x -> t))
       }
     }
-    db.flatMap { case (s, p, o) =>
+    triples.flatMap { case (s, p, o) =>
       for {
         m1 <- bind(tp.s, s, mu)
         m2 <- bind(tp.p, p, m1)
@@ -136,38 +143,57 @@ class QueryModelSpec extends SparkSpec {
     }
   }
 
-  private def eval(p: Pat): Seq[Mu] = p match {
-    case Bgp(tps) =>
-      tps.foldLeft(Seq(Map.empty: Mu))((mus, tp) => mus.flatMap(matchTp(tp, _)))
-    case Join(l, r) =>
-      val (ls, rs) = (eval(l), eval(r))
-      for (a <- ls; b <- rs if compatible(a, b)) yield a ++ b
-    case Opt(l, r) =>
-      val (ls, rs) = (eval(l), eval(r))
-      ls.flatMap { a =>
-        val ext = rs.filter(compatible(a, _)).map(a ++ _)
-        if (ext.nonEmpty) ext else Seq(a)
-      }
-    case Union(l, r) => eval(l) ++ eval(r)
-    case Minus(l, r) =>
-      val rs = eval(r)
-      eval(l).filter(a => !rs.exists(b =>
-        a.keySet.intersect(b.keySet).nonEmpty && compatible(a, b)))
-    case Filter(q, c) =>
-      eval(q).filter(mu => evalCond(c, mu).contains(true))
-    case Values(vs, rows) =>
-      rows.map(r => vs.zip(r).collect { case (v, Some(t)) => v -> t }.toMap)
-    case Bind(q, v, a, k) =>
-      eval(q).map { mu =>
-        val arg = a match {
-          case C(t) => Some(t)
-          case V(x) => mu.get(x)
+  /** §18.5 evaluation over a quad dataset with an active graph (None =
+    * default graph). GRAPH re-scopes the active graph per §13.3. */
+  private def eval(p: Pat, ag: Option[Term], quads: Seq[Quad]): Seq[Mu] = {
+    def ev(p: Pat, ag: Option[Term]): Seq[Mu] = p match {
+      case Bgp(tps) =>
+        val triples = quads.collect { case (s, pr, o, g) if g == ag => (s, pr, o) }
+        tps.foldLeft(Seq(Map.empty: Mu))((mus, tp) =>
+          mus.flatMap(matchTp(tp, _, triples)))
+      case Join(l, r) =>
+        val (ls, rs) = (ev(l, ag), ev(r, ag))
+        for (a <- ls; b <- rs if compatible(a, b)) yield a ++ b
+      case Opt(l, r) =>
+        val (ls, rs) = (ev(l, ag), ev(r, ag))
+        ls.flatMap { a =>
+          val ext = rs.filter(compatible(a, _)).map(a ++ _)
+          if (ext.nonEmpty) ext else Seq(a)
         }
-        arg match {
-          case Some(N(n)) => mu + (v -> N(n + k))
-          case _ => mu // type error: the variable stays unbound
+      case Union(l, r) => ev(l, ag) ++ ev(r, ag)
+      case Minus(l, r) =>
+        val rs = ev(r, ag)
+        ev(l, ag).filter(a => !rs.exists(b =>
+          a.keySet.intersect(b.keySet).nonEmpty && compatible(a, b)))
+      case Filter(q, c) =>
+        ev(q, ag).filter(mu => evalCond(c, mu).contains(true))
+      case Values(vs, rows) =>
+        rows.map(r => vs.zip(r).collect { case (v, Some(t)) => v -> t }.toMap)
+      case Bind(q, v, a, k) =>
+        ev(q, ag).map { mu =>
+          val arg = a match {
+            case C(t) => Some(t)
+            case V(x) => mu.get(x)
+          }
+          arg match {
+            case Some(N(n)) => mu + (v -> N(n + k))
+            case _ => mu // type error: the variable stays unbound
+          }
         }
-      }
+      case GraphPat(gn, q) =>
+        val named = quads.flatMap(_._4).distinct
+        named.flatMap { n =>
+          val inner = ev(q, Some(n))
+          gn match {
+            case C(t) => if (t == n) inner else Seq.empty
+            case V(x) => inner.flatMap(mu => mu.get(x) match {
+              case Some(b) => if (b == n) Seq(mu) else Seq.empty
+              case None => Seq(mu + (x -> n))
+            })
+          }
+        }
+    }
+    ev(p, ag)
   }
 
   // ------------------------------------------------------ rendering
@@ -202,6 +228,7 @@ class QueryModelSpec extends SparkSpec {
       s"VALUES ( $head ) { $body }"
     case Bind(q, v, a, k) =>
       s"{ ${patSparql(q)} BIND (${nodeSparql(a)} + $k AS ?$v) }"
+    case GraphPat(g, q) => s"GRAPH ${nodeSparql(g)} { ${patSparql(q)} }"
   }
 
   // ------------------------------------------------------ generator
@@ -242,21 +269,27 @@ class QueryModelSpec extends SparkSpec {
     if (rnd.nextInt(5) == 0) genValues(rnd)
     else Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
 
-  private def genPat(rnd: Random, depth: Int): Pat =
+  private def genPat(rnd: Random, depth: Int, graphs: Boolean = false): Pat =
     if (depth == 0) genLeaf(rnd)
-    else rnd.nextInt(7) match {
+    else rnd.nextInt(if (graphs) 8 else 7) match {
       case 0 => genLeaf(rnd)
-      case 1 => Join(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
-      case 2 => Opt(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
-      case 3 => Union(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
-      case 4 => Minus(genPat(rnd, depth - 1), genPat(rnd, depth - 1))
-      case 5 => Filter(genPat(rnd, depth - 1), genCond(rnd))
+      case 1 => Join(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
+      case 2 => Opt(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
+      case 3 => Union(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
+      case 4 => Minus(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
+      case 5 => Filter(genPat(rnd, depth - 1, graphs), genCond(rnd))
       case 6 =>
-        val p = genPat(rnd, depth - 1)
+        val p = genPat(rnd, depth - 1, graphs)
         val free = vars.filterNot(varsOf(p))
         if (free.isEmpty) p
         else Bind(p, free(rnd.nextInt(free.length)),
           genNode(rnd, allowConst = false), 1 + rnd.nextInt(3))
+      case 7 =>
+        // GRAPH name: a shared var 2/3 (joins against node positions),
+        // a constant 1/3 — incl. g3, which is NOT in the dataset
+        val gn = if (rnd.nextInt(3) == 0)
+          C(e("g" + (1 + rnd.nextInt(3)))) else V(vars(rnd.nextInt(vars.length)))
+        GraphPat(gn, genPat(rnd, depth - 1, graphs))
     }
 
   // ------------------------------------------------------ the check
@@ -283,26 +316,68 @@ class QueryModelSpec extends SparkSpec {
       }
     }
 
+  private def runRandomQueries(seed: Int, eng: Engine, quads: Seq[Quad],
+      graphs: Boolean): Unit = {
+    val rnd = new Random(seed)
+    var nonEmpty = 0
+    for (qn <- 1 to 50) {
+      val pat = genPat(rnd, 1 + rnd.nextInt(2), graphs)
+      val distinct = rnd.nextInt(5) == 0
+      val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
+      val sparql =
+        s"$sel ${vars.map("?" + _).mkString(" ")} WHERE { ${patSparql(pat)} }"
+      val want = projectModel(eval(pat, None, quads), distinct)
+        .map(_.mkString("|")).sorted
+      val got = engineRows(eng, sparql).map(_.mkString("|")).sorted
+      assert(got == want,
+        s"query $qn diverged:\n$sparql\nengine=${got.take(8)}… " +
+          s"(${got.size} rows)\nmodel =${want.take(8)}… (${want.size} rows)")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 10, s"only $nonEmpty non-empty results — generator bug?")
+  }
+
   for (seed <- Seq(7, 19, 31)) {
     test(s"random algebra trees match the reference evaluation (seed $seed)") {
-      val rnd = new Random(seed)
-      val eng = Engine.inline(turtle)
-      var nonEmpty = 0
-      for (qn <- 1 to 50) {
-        val pat = genPat(rnd, 1 + rnd.nextInt(2))
-        val distinct = rnd.nextInt(5) == 0
-        val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
-        val sparql =
-          s"$sel ${vars.map("?" + _).mkString(" ")} WHERE { ${patSparql(pat)} }"
-        val want = projectModel(eval(pat), distinct)
-          .map(_.mkString("|")).sorted
-        val got = engineRows(eng, sparql).map(_.mkString("|")).sorted
-        assert(got == want,
-          s"query $qn diverged:\n$sparql\nengine=${got.take(8)}… " +
-            s"(${got.size} rows)\nmodel =${want.take(8)}… (${want.size} rows)")
-        if (want.nonEmpty) nonEmpty += 1
-      }
-      assert(nonEmpty > 10, s"only $nonEmpty non-empty results — generator bug?")
+      runRandomQueries(seed, Engine.inline(turtle),
+        db.map { case (s, p, o) => (s, p, o, None) }, graphs = false)
+    }
+  }
+
+  // ------------------------------------------- named-graph (quad) side
+
+  /** Quad dataset: default graph keeps the p-cycle; g1 holds q labels,
+    * g2 holds r ranks plus one p edge; g1's own NAME appears as a
+    * subject in the default graph so GRAPH ?v joins against node
+    * positions; g3 is referenced by queries but absent. */
+  private val quadDb: Seq[Quad] = {
+    val g1 = Some(e("g1")): Option[Term]
+    val g2 = Some(e("g2")): Option[Term]
+    Seq[Quad](
+      (e("a1"), e("p"), e("a2"), None), (e("a2"), e("p"), e("a3"), None),
+      (e("a3"), e("p"), e("a1"), None), (e("b1"), e("p"), e("a1"), None),
+      (e("g1"), e("r"), N(7), None),
+      (e("a1"), e("q"), S("x"), g1), (e("a2"), e("q"), S("y"), g1),
+      (e("a3"), e("q"), S("x"), g1), (e("b1"), e("q"), S("z"), g1),
+      (e("a1"), e("r"), N(1), g2), (e("a2"), e("r"), N(2), g2),
+      (e("a3"), e("r"), N(3), g2), (e("b1"), e("r"), N(2), g2),
+      (e("a2"), e("p"), e("b1"), g2), (e("a1"), e("q"), S("x"), g2))
+  }
+
+  private def quadEngine: Engine = {
+    def rt(t: Term): rdf.RdfTerm = t match {
+      case I(v) => rdf.Iri(v)
+      case S(v) => rdf.Lit.plain(v)
+      case N(v) => rdf.Lit.typed(v.toString, XSD.integer)
+    }
+    Engine.fromGraph(rdf.RdfGraph.fromQuads(spark,
+      quadDb.map { case (s, p, o, g) =>
+        (rt(s), rt(p), rt(o), g.map(rt)) }, Map("ex" -> EX)))
+  }
+
+  for (seed <- Seq(13, 29)) {
+    test(s"random GRAPH algebra trees match the reference evaluation (seed $seed)") {
+      runRandomQueries(seed, quadEngine, quadDb, graphs = true)
     }
   }
 }
