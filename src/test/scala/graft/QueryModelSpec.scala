@@ -61,6 +61,10 @@ class QueryModelSpec extends SparkSpec {
   private case class Less(a: Node, b: Node) extends Cond
   private case class TermEq(a: V, b: Node) extends Cond
   private case class IsBound(v: V, positive: Boolean) extends Cond
+  /** FILTER [NOT] EXISTS { P } — §18.6 substitution semantics: the
+    * current row's bindings substitute into P, which then evaluates
+    * under the CURRENT active graph. */
+  private case class CondExists(p: Pat, positive: Boolean) extends Cond
 
   private sealed trait Pat
   private case class Bgp(tps: Seq[TP]) extends Pat
@@ -77,6 +81,11 @@ class QueryModelSpec extends SparkSpec {
   /** GRAPH ?g { P } / GRAPH <iri> { P } (§13.3): P evaluates against
     * each named graph, the name binds/filters through `g`. */
   private case class GraphPat(g: Node, p: Pat) extends Pat
+  /** { SELECT [DISTINCT] ?a ?b WHERE { P } } — projection drops the
+    * other vars (bottom-up evaluation, multiplicity preserved unless
+    * DISTINCT). */
+  private case class SubSel(vs: Seq[String], p: Pat, distinct: Boolean)
+      extends Pat
 
   private def varsOf(p: Pat): Set[String] = p match {
     case Bgp(tps) => tps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect {
@@ -90,6 +99,7 @@ class QueryModelSpec extends SparkSpec {
     case Bind(q, v, _, _) => varsOf(q) + v
     case GraphPat(g, q) => varsOf(q) ++ (g match {
       case V(x) => Set(x); case _ => Set.empty[String] })
+    case SubSel(vs, q, _) => varsOf(q).intersect(vs.toSet)
   }
 
   // ------------------------------------------------- reference eval
@@ -118,34 +128,50 @@ class QueryModelSpec extends SparkSpec {
   private def compatible(a: Mu, b: Mu): Boolean =
     a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
 
-  /** SPARQL 1.1 §17 expression evaluation: Some(bool) or None = error. */
-  private def evalCond(c: Cond, mu: Mu): Option[Boolean] = {
-    def term(n: Node): Option[Term] = n match {
-      case C(t) => Some(t)
-      case V(x) => mu.get(x) // None = unbound = error in an expression
+  /** Substitute bound variables by constants (§18.6 EXISTS). */
+  private def substitute(p: Pat, mu: Mu): Pat = {
+    def sn(n: Node): Node = n match {
+      case V(x) if mu.contains(x) => C(mu(x))
+      case other => other
     }
-    c match {
-      case IsBound(v, pos) => Some(mu.contains(v.name) == pos)
-      case Less(a, b) => (term(a), term(b)) match {
-        case (Some(N(x)), Some(N(y))) => Some(x < y)
-        case (Some(S(x)), Some(S(y))) => Some(x < y) // fn:compare
-        case _ => None // unbound, IRI, or mixed-type '<' is a type error
-      }
-      case TermEq(a, b) => (term(a), term(b)) match {
-        case (Some(x), Some(y)) if x == y => Some(true)
-        case (Some(N(_)), Some(N(_))) => Some(false) // value-distinct
-        case (Some(S(_)), Some(S(_))) => Some(false)
-        case (Some(N(_)), Some(S(_))) => None // RDFterm-equal type error
-        case (Some(S(_)), Some(N(_))) => None
-        case (Some(_), Some(_)) => Some(false) // IRI vs anything unequal
-        case _ => None
-      }
+    p match {
+      case Bgp(tps) => Bgp(tps.map(tp => TP(sn(tp.s), sn(tp.p), sn(tp.o))))
+      case other =>
+        // generator keeps EXISTS patterns to BGPs; anything else would
+        // need the (contested) general substitution rules
+        sys.error(s"unexpected EXISTS pattern shape: $other")
     }
   }
 
   /** §18.5 evaluation over a quad dataset with an active graph (None =
     * default graph). GRAPH re-scopes the active graph per §13.3. */
   private def eval(p: Pat, ag: Option[Term], quads: Seq[Quad]): Seq[Mu] = {
+    /** §17 expression evaluation: Some(bool) or None = error. */
+    def evalCond(c: Cond, mu: Mu, ag: Option[Term]): Option[Boolean] = {
+      def term(n: Node): Option[Term] = n match {
+        case C(t) => Some(t)
+        case V(x) => mu.get(x) // None = unbound = error in an expression
+      }
+      c match {
+        case IsBound(v, pos) => Some(mu.contains(v.name) == pos)
+        case Less(a, b) => (term(a), term(b)) match {
+          case (Some(N(x)), Some(N(y))) => Some(x < y)
+          case (Some(S(x)), Some(S(y))) => Some(x < y) // fn:compare
+          case _ => None // unbound, IRI, or mixed-type '<' is a type error
+        }
+        case TermEq(a, b) => (term(a), term(b)) match {
+          case (Some(x), Some(y)) if x == y => Some(true)
+          case (Some(N(_)), Some(N(_))) => Some(false) // value-distinct
+          case (Some(S(_)), Some(S(_))) => Some(false)
+          case (Some(N(_)), Some(S(_))) => None // RDFterm-equal type error
+          case (Some(S(_)), Some(N(_))) => None
+          case (Some(_), Some(_)) => Some(false) // IRI vs anything unequal
+          case _ => None
+        }
+        case CondExists(q, pos) =>
+          Some(ev(substitute(q, mu), ag).nonEmpty == pos)
+      }
+    }
     def ev(p: Pat, ag: Option[Term]): Seq[Mu] = p match {
       case Bgp(tps) =>
         val triples = quads.collect { case (s, pr, o, g) if g == ag => (s, pr, o) }
@@ -166,7 +192,7 @@ class QueryModelSpec extends SparkSpec {
         ev(l, ag).filter(a => !rs.exists(b =>
           a.keySet.intersect(b.keySet).nonEmpty && compatible(a, b)))
       case Filter(q, c) =>
-        ev(q, ag).filter(mu => evalCond(c, mu).contains(true))
+        ev(q, ag).filter(mu => evalCond(c, mu, ag).contains(true))
       case Values(vs, rows) =>
         rows.map(r => vs.zip(r).collect { case (v, Some(t)) => v -> t }.toMap)
       case Bind(q, v, a, k) =>
@@ -192,6 +218,9 @@ class QueryModelSpec extends SparkSpec {
             })
           }
         }
+      case SubSel(vs, q, d) =>
+        val rows = ev(q, ag).map(_.view.filterKeys(vs.toSet).toMap)
+        if (d) rows.distinct else rows
     }
     ev(p, ag)
   }
@@ -209,6 +238,8 @@ class QueryModelSpec extends SparkSpec {
     case TermEq(a, b) => s"${nodeSparql(a)} = ${nodeSparql(b)}"
     case IsBound(v, true) => s"BOUND(${nodeSparql(v)})"
     case IsBound(v, false) => s"!BOUND(${nodeSparql(v)})"
+    case CondExists(p, true) => s"EXISTS { ${patSparql(p)} }"
+    case CondExists(p, false) => s"NOT EXISTS { ${patSparql(p)} }"
   }
   private def patSparql(p: Pat): String = p match {
     case Bgp(tps) => tps.map(tp =>
@@ -229,6 +260,9 @@ class QueryModelSpec extends SparkSpec {
     case Bind(q, v, a, k) =>
       s"{ ${patSparql(q)} BIND (${nodeSparql(a)} + $k AS ?$v) }"
     case GraphPat(g, q) => s"GRAPH ${nodeSparql(g)} { ${patSparql(q)} }"
+    case SubSel(vs, q, d) =>
+      val dk = if (d) "DISTINCT " else ""
+      s"{ SELECT $dk${vs.map("?" + _).mkString(" ")} WHERE { ${patSparql(q)} } }"
   }
 
   // ------------------------------------------------------ generator
@@ -248,13 +282,15 @@ class QueryModelSpec extends SparkSpec {
     else C(e(preds(rnd.nextInt(preds.length)))),
     genNode(rnd, allowConst = true))
 
-  private def genCond(rnd: Random): Cond = rnd.nextInt(4) match {
+  private def genCond(rnd: Random): Cond = rnd.nextInt(6) match {
     case 0 => Less(V(vars(rnd.nextInt(vars.length))),
       genNode(rnd, allowConst = true))
     case 1 => TermEq(V(vars(rnd.nextInt(vars.length))),
       genNode(rnd, allowConst = true))
     case 2 => IsBound(V(vars(rnd.nextInt(vars.length))), positive = true)
     case 3 => IsBound(V(vars(rnd.nextInt(vars.length))), positive = false)
+    case k =>
+      CondExists(Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd))), k == 4)
   }
 
   private def genValues(rnd: Random): Values = {
@@ -271,7 +307,7 @@ class QueryModelSpec extends SparkSpec {
 
   private def genPat(rnd: Random, depth: Int, graphs: Boolean = false): Pat =
     if (depth == 0) genLeaf(rnd)
-    else rnd.nextInt(if (graphs) 8 else 7) match {
+    else rnd.nextInt(if (graphs) 9 else 8) match {
       case 0 => genLeaf(rnd)
       case 1 => Join(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
       case 2 => Opt(genPat(rnd, depth - 1, graphs), genPat(rnd, depth - 1, graphs))
@@ -285,6 +321,9 @@ class QueryModelSpec extends SparkSpec {
         else Bind(p, free(rnd.nextInt(free.length)),
           genNode(rnd, allowConst = false), 1 + rnd.nextInt(3))
       case 7 =>
+        SubSel(rnd.shuffle(vars).take(1 + rnd.nextInt(2)),
+          genPat(rnd, depth - 1, graphs), rnd.nextInt(4) == 0)
+      case 8 =>
         // GRAPH name: a shared var 2/3 (joins against node positions),
         // a constant 1/3 — incl. g3, which is NOT in the dataset
         val gn = if (rnd.nextInt(3) == 0)
