@@ -291,30 +291,42 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case TermNode(_) =>
         val df = compile(p)
         if (scanBase.isEmpty) df.limit(0) else df
-      case VarNode(v) =>
-        val nameRows = scanBase.select(F.col("g")).distinct()
-          .limit(GraphUnionMax + 1).collect()
-        if (nameRows.length > GraphUnionMax)
-          throw new IllegalArgumentException(
-            s"GRAPH ?$v over a pattern no triple scan ties to the graph " +
-              s"(VALUES/BIND-only or subquery) ranges over every named " +
-              s"graph; this store has more than $GraphUnionMax — add a " +
-              "triple pattern inside the GRAPH group")
-        val names = nameRows.toSeq.map(r => termOfRow(r.getStruct(0)))
-        val prev = activeGraph
-        val branches = names.map { nm =>
-          activeGraph = Some(TermNode(nm))
-          val df = try compile(p) finally activeGraph = prev
-          if (df.columns.contains(v))
-            df.where(F.col(v).isNull || F.col(v) === termCol(nm))
-              .withColumn(v, termCol(nm))
-          else df.withColumn(v, termCol(nm))
-        }
-        branches.reduceOption(_.unionByName(_)).getOrElse {
-          // no named graphs in scope: empty, with ?g in the schema
-          compile(p).limit(0).withColumn(v,
-            F.lit(null).cast(Terms.termType))
-        }
+      case VarNode(v) => perGraphUnion(v, () => compile(p))
+    }
+  }
+
+  /** One compiled branch per named graph of the current (variable)
+    * GRAPH scope, the graph variable pinned to each name — §18.5.1's
+    * union, for shapes the scan-level constraint can't carry (see
+    * callers). `body` runs with `activeGraph` set to each constant
+    * name in turn; names are enumerated from the FROM NAMED-scoped
+    * store and capped (per-name plans on a many-graph store would
+    * explode — these shapes want a scan-anchored rewrite instead). */
+  private def perGraphUnion(v: String, body: () => DataFrame): DataFrame = {
+    val nameRows = scanBase.select(F.col("g")).distinct()
+      .limit(GraphUnionMax + 1).collect()
+    if (nameRows.length > GraphUnionMax)
+      throw new IllegalArgumentException(
+        s"GRAPH ?$v here needs one evaluation per named graph " +
+          s"(scan-less group or property path); this store has more " +
+          s"than $GraphUnionMax named graphs — name the graph or " +
+          "anchor the group with a plain triple pattern")
+    val names = nameRows.toSeq.map(r => termOfRow(r.getStruct(0)))
+    val prev = activeGraph
+    val branches = names.map { nm =>
+      activeGraph = Some(TermNode(nm))
+      val df = try body() finally activeGraph = prev
+      if (df.columns.contains(v))
+        df.where(F.col(v).isNull || F.col(v) === termCol(nm))
+          .withColumn(v, termCol(nm))
+      else df.withColumn(v, termCol(nm))
+    }
+    branches.reduceOption(_.unionByName(_)).getOrElse {
+      // no named graphs in scope: empty, with the right schema — body
+      // compiles against a graph name that cannot exist
+      activeGraph = Some(TermNode(Iri("urn:graft:absent-graph")))
+      val df = try body() finally activeGraph = prev
+      df.withColumn(v, F.lit(null).cast(Terms.termType)).limit(0)
     }
   }
 
@@ -456,7 +468,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case SelectAll => maybeUnbound(q.where)
       case SelectVars(items) => items.collect {
         case i if (i.expr match {
-          case ExVar(v) => maybeUnbound(q.where)(v)
+          // a projected var the WHERE never mentions is legal SPARQL
+          // and ALWAYS unbound — without the in-scope check the outer
+          // join would equi-join on its null column and drop every row
+          case ExVar(v) =>
+            maybeUnbound(q.where)(v) || !inScopeVars(q.where)(v)
           case _ => true // computed/aggregate projections may be null
         }) => i.name
       }.toSet
@@ -1312,13 +1328,14 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
 
   private def compilePathTriple(s: Node, path0: Path, o: Node): DataFrame = {
     // Inside GRAPH <iri> every edge scan is already scope-filtered, so
-    // paths compose soundly. Inside GRAPH ?var a multi-hop path would
-    // need per-graph edge composition (each solution's hops confined to
-    // ONE graph) — not expressible as a single pre-filtered edge set.
+    // paths compose soundly. Inside GRAPH ?var a multi-hop path needs
+    // per-graph edge composition (each solution's hops confined to ONE
+    // graph) — not expressible as a single pre-filtered edge set, so it
+    // compiles as the per-named-graph union, the variable pinned per
+    // branch (capped; see perGraphUnion).
     activeGraph match {
-      case Some(VarNode(v)) => throw new UnsupportedOperationException(
-        s"property path inside GRAPH ?$v (variable graph scope); " +
-          "name the graph or join GRAPH ?g { ... } patterns instead")
+      case Some(VarNode(v)) =>
+        return perGraphUnion(v, () => compilePathTriple(s, path0, o))
       case _ =>
     }
     val path = normalizePath(path0)

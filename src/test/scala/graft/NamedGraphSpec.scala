@@ -142,12 +142,17 @@ class NamedGraphSpec extends SparkSpec {
     assert(e.select("SELECT ?o WHERE { GRAPH ex:g1 { ?s ex:p ?o } }").count() == 1)
   }
 
-  test("property path inside GRAPH ?var is rejected with a clear error") {
-    val err = intercept[GraftException] {
-      quadEngine.select(
-        "SELECT ?g ?x WHERE { GRAPH ?g { ex:alice ex:knows+ ?x } }").collect()
-    }
-    assert(err.getMessage.contains("GRAPH ?g"))
+  test("property path inside GRAPH ?var evaluates per named graph") {
+    // hops confined to ONE graph per solution, the variable bound to it
+    // (compiled as the per-name union — perGraphUnion)
+    val rows = quadEngine.select(
+      "SELECT ?g ?x WHERE { GRAPH ?g { ex:alice ex:knows+ ?x } }")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("ex:g1", "ex:bob")))
+    // a path anchored at a node of ANOTHER graph finds nothing there
+    val none = quadEngine.select(
+      "SELECT ?g ?x WHERE { GRAPH ?g { ex:carol ex:knows+ ?x } }").collect()
+    assert(none.isEmpty)
     // constant graph scope composes fine with paths
     val ok = quadEngine.select(
       "SELECT ?x WHERE { GRAPH ex:g1 { ex:alice ex:knows+ ?x } }")

@@ -87,6 +87,19 @@ class QueryModelSpec extends SparkSpec {
   private case class SubSel(vs: Seq[String], p: Pat, distinct: Boolean)
       extends Pat
 
+  /** Property-path expressions (§18.4): seq/alt/inv keep bag
+    * multiplicities; the closures (?, *, +) are SET-semantics ALP with
+    * zero-length pairs ranging over the ACTIVE graph's nodes. */
+  private sealed trait PathE
+  private case class PLink(p: Term) extends PathE
+  private case class PInv(p: PathE) extends PathE
+  private case class PSeq(a: PathE, b: PathE) extends PathE
+  private case class PAlt(a: PathE, b: PathE) extends PathE
+  private case class PNeg(ps: Set[Term]) extends PathE
+  private case class PMod(p: PathE, mod: Char) extends PathE // ? * +
+  /** One path triple pattern as a leaf. */
+  private case class PathPat(s: Node, path: PathE, o: Node) extends Pat
+
   private def varsOf(p: Pat): Set[String] = p match {
     case Bgp(tps) => tps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect {
       case V(x) => x }.toSet
@@ -100,6 +113,7 @@ class QueryModelSpec extends SparkSpec {
     case GraphPat(g, q) => varsOf(q) ++ (g match {
       case V(x) => Set(x); case _ => Set.empty[String] })
     case SubSel(vs, q, _) => varsOf(q).intersect(vs.toSet)
+    case PathPat(s, _, o) => Seq(s, o).collect { case V(x) => x }.toSet
   }
 
   // ------------------------------------------------- reference eval
@@ -221,8 +235,58 @@ class QueryModelSpec extends SparkSpec {
       case SubSel(vs, q, d) =>
         val rows = ev(q, ag).map(_.view.filterKeys(vs.toSet).toMap)
         if (d) rows.distinct else rows
+      case PathPat(s, path, o) =>
+        val triples = quads.collect { case (x, pr, y, g) if g == ag => (x, pr, y) }
+        def bind(n: Node, t: Term, m: Mu): Option[Mu] = n match {
+          case C(c) => if (c == t) Some(m) else None
+          case V(x) => m.get(x) match {
+            case Some(b) => if (b == t) Some(m) else None
+            case None => Some(m + (x -> t))
+          }
+        }
+        evalPath(path, triples).flatMap { case (a, b) =>
+          bind(s, a, Map.empty).flatMap(bind(o, b, _))
+        }
     }
     ev(p, ag)
+  }
+
+  /** §18.4 path evaluation over one graph's triples: seq/alt/inv are
+    * bag-composed from the triple set; ?, *, + are DISTINCT pair sets
+    * (ALP), zero-length pairs over the graph's nodes (every term in
+    * subject or object position, literals included). */
+  private def evalPath(p: PathE,
+      triples: Seq[(Term, Term, Term)]): Seq[(Term, Term)] = p match {
+    case PLink(pr) => triples.collect { case (s, x, o) if x == pr => (s, o) }
+    case PInv(q) => evalPath(q, triples).map(_.swap)
+    case PSeq(a, b) =>
+      val (ea, eb) = (evalPath(a, triples), evalPath(b, triples))
+      for ((x, y1) <- ea; (y2, z) <- eb if y1 == y2) yield (x, z)
+    case PAlt(a, b) => evalPath(a, triples) ++ evalPath(b, triples)
+    case PNeg(ps) =>
+      triples.collect { case (s, x, o) if !ps.contains(x) => (s, o) }
+    case PMod(q, mod) =>
+      val edges = evalPath(q, triples).distinct
+      val nodes = triples.flatMap(t => Seq(t._1, t._3)).distinct
+      def reach(from: Term): Seq[Term] = {
+        var seen = Set(from)
+        var frontier = Seq(from)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(f =>
+            edges.collect { case (a, b) if a == f && !seen.contains(b) => b })
+            .distinct
+          seen ++= next
+          frontier = next
+        }
+        seen.toSeq
+      }
+      mod match {
+        case '?' => (nodes.map(n => (n, n)) ++ edges).distinct
+        case '*' => nodes.flatMap(n => reach(n).map((n, _))).distinct
+        case '+' => nodes.flatMap(n =>
+          edges.collect { case (a, b) if a == n => b }.distinct
+            .flatMap(m => reach(m)).distinct.map((n, _))).distinct
+      }
   }
 
   // ------------------------------------------------------ rendering
@@ -263,6 +327,19 @@ class QueryModelSpec extends SparkSpec {
     case SubSel(vs, q, d) =>
       val dk = if (d) "DISTINCT " else ""
       s"{ SELECT $dk${vs.map("?" + _).mkString(" ")} WHERE { ${patSparql(q)} } }"
+    case PathPat(s, path, o) =>
+      s"${nodeSparql(s)} ${pathSparql(path)} ${nodeSparql(o)} ."
+  }
+
+  private def pathSparql(p: PathE): String = p match {
+    case PLink(I(v)) => s"<$v>"
+    case PLink(t) => sys.error(s"non-IRI path link: $t")
+    case PInv(q) => s"^(${pathSparql(q)})"
+    case PSeq(a, b) => s"(${pathSparql(a)}/${pathSparql(b)})"
+    case PAlt(a, b) => s"(${pathSparql(a)}|${pathSparql(b)})"
+    case PNeg(ps) => ps.toSeq.collect { case I(v) => s"<$v>" }
+      .sorted.mkString("!(", "|", ")")
+    case PMod(q, m) => s"(${pathSparql(q)})$m"
   }
 
   // ------------------------------------------------------ generator
@@ -301,9 +378,33 @@ class QueryModelSpec extends SparkSpec {
     Values(vs, rows)
   }
 
-  private def genLeaf(rnd: Random): Pat =
-    if (rnd.nextInt(5) == 0) genValues(rnd)
-    else Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
+  private def genSimplePath(rnd: Random): PathE = rnd.nextInt(4) match {
+    case 0 | 1 => PLink(e(preds(rnd.nextInt(preds.length))))
+    case 2 => PInv(PLink(e(preds(rnd.nextInt(preds.length)))))
+    case 3 => PAlt(PLink(e(preds(rnd.nextInt(preds.length)))),
+      PLink(e(preds(rnd.nextInt(preds.length)))))
+  }
+
+  private def genPath(rnd: Random, depth: Int): PathE =
+    if (depth == 0) rnd.nextInt(6) match {
+      case 0 | 1 | 2 => PLink(e(preds(rnd.nextInt(preds.length))))
+      case 3 => PInv(PLink(e(preds(rnd.nextInt(preds.length)))))
+      case 4 => PNeg(Set.fill(1 + rnd.nextInt(2))(
+        e(preds(rnd.nextInt(preds.length)))))
+      case 5 => PMod(genSimplePath(rnd), "?*+".charAt(rnd.nextInt(3)))
+    } else rnd.nextInt(4) match {
+      case 0 => PSeq(genPath(rnd, depth - 1), genPath(rnd, depth - 1))
+      case 1 => PAlt(genPath(rnd, depth - 1), genPath(rnd, depth - 1))
+      case 2 => PMod(genSimplePath(rnd), "?*+".charAt(rnd.nextInt(3)))
+      case 3 => genPath(rnd, 0)
+    }
+
+  private def genLeaf(rnd: Random): Pat = rnd.nextInt(10) match {
+    case 0 | 1 => genValues(rnd)
+    case 2 | 3 => PathPat(genNode(rnd, allowConst = true),
+      genPath(rnd, 1 + rnd.nextInt(1)), genNode(rnd, allowConst = true))
+    case _ => Bgp(Seq.fill(1 + rnd.nextInt(2))(genTp(rnd)))
+  }
 
   private def genPat(rnd: Random, depth: Int, graphs: Boolean = false): Pat =
     if (depth == 0) genLeaf(rnd)
