@@ -628,9 +628,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         if (unsafe(v)) l(v).isNull || r2(ren(v)).isNull || l(v) === r2(ren(v))
         else l(v) === r2(ren(v))
       }.reduceOption(_ && _).getOrElse(F.lit(true))
-      // filter env: right vars resolve to renamed right cols, else left
+      // filter env over the MERGED mapping (§18.2.2.5: the LeftJoin
+      // condition sees both sides): a shared maybe-unbound var takes
+      // whichever side bound it, a safe shared var is equal on both
       val fEnv = new ExprCompiler(v =>
-        if (ren.contains(v)) Some(r2(ren(v)))
+        if (shared.contains(v))
+          Some(if (unsafe(v)) F.coalesce(l(v), r2(ren(v))) else l(v))
+        else if (ren.contains(v)) Some(r2(ren(v)))
         else if (l.columns.contains(v)) Some(l(v))
         else None)
       val cond = filters.map(fEnv.bool).foldLeft(eqCond)(_ && _)
@@ -668,8 +672,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       if (unsafe(v)) l(v).isNull || r2(ren(v)).isNull || l(v) === r2(ren(v))
       else l(v) === r2(ren(v))
     }.reduceOption(_ && _).getOrElse(F.lit(true))
+    // merged-mapping env, same rule as leftJoin's
     val fEnv = new ExprCompiler(v =>
-      if (ren.contains(v)) Some(r2(ren(v)))
+      if (shared.contains(v))
+        Some(if (unsafe(v)) F.coalesce(l(v), r2(ren(v))) else l(v))
+      else if (ren.contains(v)) Some(r2(ren(v)))
       else if (l.columns.contains(v)) Some(l(v))
       else None)
     val cond = plainF.map(fEnv.bool).foldLeft(eqCond)(_ && _)

@@ -70,6 +70,11 @@ class QueryModelSpec extends SparkSpec {
   private case class Bgp(tps: Seq[TP]) extends Pat
   private case class Join(l: Pat, r: Pat) extends Pat
   private case class Opt(l: Pat, r: Pat) extends Pat
+  /** `{ L } OPTIONAL { R FILTER(c) }` with the filter at the OPTIONAL
+    * group's top level — §18.2.2.5 translates it to LeftJoin(L, R, c):
+    * c evaluates over the MERGED mapping (it sees L's bindings), unlike
+    * a filter in a nested group. */
+  private case class OptF(l: Pat, r: Pat, c: Cond) extends Pat
   private case class Union(l: Pat, r: Pat) extends Pat
   private case class Minus(l: Pat, r: Pat) extends Pat
   private case class Filter(p: Pat, c: Cond) extends Pat
@@ -105,6 +110,7 @@ class QueryModelSpec extends SparkSpec {
       case V(x) => x }.toSet
     case Join(l, r) => varsOf(l) ++ varsOf(r)
     case Opt(l, r) => varsOf(l) ++ varsOf(r)
+    case OptF(l, r, _) => varsOf(l) ++ varsOf(r)
     case Union(l, r) => varsOf(l) ++ varsOf(r)
     case Minus(l, _) => varsOf(l) // right side never binds outward
     case Filter(q, _) => varsOf(q)
@@ -198,6 +204,15 @@ class QueryModelSpec extends SparkSpec {
         val (ls, rs) = (ev(l, ag), ev(r, ag))
         ls.flatMap { a =>
           val ext = rs.filter(compatible(a, _)).map(a ++ _)
+          if (ext.nonEmpty) ext else Seq(a)
+        }
+      case OptF(l, r, c) =>
+        // LeftJoin(L, R, c): extensions must satisfy c over the merge;
+        // a row keeps its bare form only when NO extension does
+        val (ls, rs) = (ev(l, ag), ev(r, ag))
+        ls.flatMap { a =>
+          val ext = rs.filter(compatible(a, _)).map(a ++ _)
+            .filter(m => evalCond(c, m, ag).contains(true))
           if (ext.nonEmpty) ext else Seq(a)
         }
       case Union(l, r) => ev(l, ag) ++ ev(r, ag)
@@ -311,6 +326,8 @@ class QueryModelSpec extends SparkSpec {
       .mkString(" ")
     case Join(l, r) => s"{ ${patSparql(l)} } { ${patSparql(r)} }"
     case Opt(l, r) => s"{ ${patSparql(l)} } OPTIONAL { ${patSparql(r)} }"
+    case OptF(l, r, c) =>
+      s"{ ${patSparql(l)} } OPTIONAL { ${patSparql(r)} FILTER (${condSparql(c)}) }"
     case Union(l, r) => s"{ ${patSparql(l)} } UNION { ${patSparql(r)} }"
     case Minus(l, r) => s"{ ${patSparql(l)} } MINUS { ${patSparql(r)} }"
     case Filter(q, c) => s"{ ${patSparql(q)} FILTER (${condSparql(c)}) }"
@@ -422,8 +439,11 @@ class QueryModelSpec extends SparkSpec {
         else Bind(p, free(rnd.nextInt(free.length)),
           genNode(rnd, allowConst = false), 1 + rnd.nextInt(3))
       case 7 =>
-        SubSel(rnd.shuffle(vars).take(1 + rnd.nextInt(2)),
-          genPat(rnd, depth - 1, graphs), rnd.nextInt(4) == 0)
+        if (rnd.nextBoolean())
+          SubSel(rnd.shuffle(vars).take(1 + rnd.nextInt(2)),
+            genPat(rnd, depth - 1, graphs), rnd.nextInt(4) == 0)
+        else OptF(genPat(rnd, depth - 1, graphs),
+          genPat(rnd, depth - 1, graphs), genCond(rnd))
       case 8 =>
         // GRAPH name: a shared var 2/3 (joins against node positions),
         // a constant 1/3 — incl. g3, which is NOT in the dataset
