@@ -1774,8 +1774,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val keyCols: Seq[Column] = groupKeys.flatMap {
         // a group var's companion joins the grouping keys (it determines
         // the var, so the groups are unchanged) and thereby survives the
-        // aggregate for downstream native joins
-        case (GroupVar(v), _) => df(v) +: nkOf(df, v).map(df(_)).toSeq
+        // aggregate for downstream native joins. Grouping by a var the
+        // pattern never binds is legal SPARQL: one group, key unbound.
+        case (GroupVar(v), _) =>
+          (if (df.columns.contains(v)) df(v)
+           else F.lit(null).cast(Terms.termType).as(v)) +:
+            nkOf(df, v).map(df(_)).toSeq
         case (GroupExpr(e, _), n) => Seq(preEc.term(e).as(n))
       }
       val aggCols = aggMap.map { case (a, name) => preEc.agg(a).as(name) }.toSeq

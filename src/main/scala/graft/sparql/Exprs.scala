@@ -375,16 +375,20 @@ final class ExprCompiler(env: String => Option[Column]) {
         }
         intTerm(c)
       case "SUM" =>
-        // §18.5.1 Sum via op:numeric-add: a non-numeric, unbound, or
-        // invalid-lexical element makes the WHOLE group error (variable
-        // left unbound for that group); the empty group sums to 0.
-        // Type promotion: all-integral → xsd:integer, integral+decimal
-        // → xsd:decimal (exact decimal arithmetic), any double/float →
-        // xsd:double.
+        // §18.5.1 Sum via op:numeric-add over the multiset with
+        // EVALUATION ERRORS REMOVED (SPARQL 1.2 §18.5.1.2 makes the
+        // removal explicit; it is also what makes COUNT(?x) skip
+        // unbound): an unbound element simply drops out, while a BOUND
+        // non-numeric or invalid-lexical value makes op:numeric-add —
+        // and so the whole group — error (variable left unbound); the
+        // empty remainder sums to 0. Type promotion: all-integral →
+        // xsd:integer, integral+decimal → xsd:decimal (exact decimal
+        // arithmetic), any double/float → xsd:double.
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
         val isDec = dt(t) === F.lit(XSD.decimal)
         val err = F.max(F.when(
-          t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
+          t.isNotNull && (!isNumeric(t) || numValue(t).isNull), 1)
+          .otherwise(0))
         val anyDbl = F.max(
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
         val anyDec = F.max(F.when(isDec, 1).otherwise(0))
@@ -415,13 +419,15 @@ final class ExprCompiler(env: String => Option[Column]) {
         }
       case "AVG" =>
         // §18.5.1.5 Avg(M) = "0"^^xsd:integer when Card(M) = 0 (like
-        // SUM/COUNT); a non-numeric input is an error (unbound);
-        // integral/decimal inputs produce an exact xsd:decimal,
-        // doubles a double.
+        // SUM/COUNT); unbound elements are REMOVED (error-removal, as
+        // in SUM above); a BOUND non-numeric input is an error
+        // (unbound); integral/decimal inputs produce an exact
+        // xsd:decimal, doubles a double.
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
         val isDec = dt(t) === F.lit(XSD.decimal)
         val err = F.max(F.when(
-          t.isNull || !isNumeric(t) || numValue(t).isNull, 1).otherwise(0))
+          t.isNotNull && (!isNumeric(t) || numValue(t).isNull), 1)
+          .otherwise(0))
         val anyDbl = F.max(
           F.when(isNumeric(t) && !integral && !isDec, 1).otherwise(0))
         // DISTINCT: Avg(Distinct M) = Sum(Distinct M)/Card(Distinct M)
@@ -444,17 +450,50 @@ final class ExprCompiler(env: String => Option[Column]) {
           .when(anyDbl === 1, dblTerm(avgDbl))
           .otherwise(decTerm(sumDec / n))
       case "MIN" | "MAX" =>
+        // §18.5.1.7/8: Min/Max order with the `<` OPERATOR, so they are
+        // defined exactly on its comparability lanes (numeric, string,
+        // boolean, dateTime/date — the Terms.termLt classes): unbound
+        // elements drop out (error removal), an empty remainder or any
+        // bound value outside one shared lane is a type error → the
+        // variable stays unbound. The old lexical fallback compared
+        // IRIs/mixed types by string and returned an xsd:string literal
+        // of an IRI's text — both wrong.
         val isMin = a.fn == "MIN"
         val integral = dt(t).isin(XSD.integral.toSeq.map(F.lit): _*)
         def pick(c: Column) = if (isMin) F.min(c) else F.max(c)
+        val lane =
+          F.when(t.isNull, F.lit(null).cast(IntegerType))
+            .when(isNumeric(t) && numValue(t).isNotNull, 1)
+            .when(isLiteral(t) && dt(t) === XSD.string, 2)
+            .when(isLiteral(t) && dt(t) === XSD.boolean, 3)
+            .when(isLiteral(t) && dt(t) === XSD.dateTime &&
+              value(t).cast(TimestampType).isNotNull, 4)
+            .when(isLiteral(t) && dt(t) === XSD.date &&
+              value(t).cast(DateType).isNotNull, 5)
+            .otherwise(0)
+        val loLane = F.min(lane) // aggregates skip null (unbound) rows
+        val hiLane = F.max(lane)
         val numL = pick(F.when(integral, value(t).cast(LongType)))
         val numD = pick(F.when(isNumeric(t), numValue(t)))
         val anyNonInt = F.max(F.when(isNumeric(t) && !integral, 1).otherwise(0))
-        val s = pick(F.when(!isNumeric(t) && t.isNotNull, value(t)))
-        F.when(anyNonInt === 0 && numL.isNotNull, intTerm(numL))
-          .when(numD.isNotNull, dblTerm(numD))
-          .when(s.isNotNull, strTerm(s))
-          .otherwise(F.lit(null).cast(Terms.termType))
+        val strLex = pick(F.when(lane === 2, value(t)))
+        val boolLex = pick(F.when(lane === 3, value(t))) // "false" < "true"
+        // timeline order with a deterministic lexical tie-break (equal
+        // instants under different offsets), original lexical returned
+        val dtLex = pick(F.when(lane === 4, F.struct(
+          value(t).cast(TimestampType).as("k"), value(t).as("lex"))))
+          .getField("lex")
+        val dLex = pick(F.when(lane === 5, F.struct(
+          value(t).cast(DateType).as("k"), value(t).as("lex"))))
+          .getField("lex")
+        F.when(loLane.isNull || loLane =!= hiLane || loLane === 0,
+            F.lit(null).cast(Terms.termType))
+          .when(loLane === 1 && anyNonInt === 0, intTerm(numL))
+          .when(loLane === 1, dblTerm(numD))
+          .when(loLane === 2, strTerm(strLex))
+          .when(loLane === 3, mkLit(boolLex, XSD.boolean))
+          .when(loLane === 4, mkLit(dtLex, XSD.dateTime))
+          .otherwise(mkLit(dLex, XSD.date))
       case "SAMPLE" => F.first(t, ignoreNulls = true)
       case "GROUP_CONCAT" =>
         val sep = a.separator.getOrElse(" ")

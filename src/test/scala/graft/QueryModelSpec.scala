@@ -540,4 +540,111 @@ class QueryModelSpec extends SparkSpec {
       runRandomQueries(seed, quadEngine, quadDb, graphs = true)
     }
   }
+
+  // --------------------------------------------------- aggregates arm
+
+  /** §18.5.1 aggregation: group eval(P) by the key var's value (the
+    * unbound key is its own group), aggregate with ListEval semantics —
+    * rows where the target var is unbound drop out of the multiset
+    * (error evaluations), a non-numeric BOUND value makes SUM error →
+    * the result var stays unbound, Sum({}) = 0, Min/Max({}) = error. */
+  private sealed trait AggKind
+  private case object ACountStar extends AggKind
+  private case class ACount(v: String, distinct: Boolean) extends AggKind
+  private case class ASum(v: String) extends AggKind
+  private case class AMin(v: String) extends AggKind
+  private case class AMax(v: String) extends AggKind
+
+  private def aggModel(kind: AggKind, rows: Seq[Mu]): Option[Term] =
+    kind match {
+      case ACountStar => Some(N(rows.size))
+      case ACount(v, d) =>
+        val vals = rows.flatMap(_.get(v))
+        Some(N((if (d) vals.distinct else vals).size))
+      case ASum(v) =>
+        val vals = rows.flatMap(_.get(v))
+        if (vals.forall(_.isInstanceOf[N]))
+          Some(N(vals.collect { case N(n) => n }.sum))
+        else None // op:numeric-add type error → unbound
+      case AMin(v) => minMax(rows.flatMap(_.get(v)), max = false)
+      case AMax(v) => minMax(rows.flatMap(_.get(v)), max = true)
+    }
+
+  /** Min/Max over the bound values: empty → error; a mix that `<`
+    * cannot compare (IRI anywhere, or int vs string) → error. */
+  private def minMax(vals: Seq[Term], max: Boolean): Option[Term] =
+    if (vals.isEmpty) None
+    else if (vals.forall(_.isInstanceOf[N])) {
+      val ns = vals.collect { case N(n) => n }
+      Some(N(if (max) ns.max else ns.min))
+    } else if (vals.forall(_.isInstanceOf[S])) {
+      val ss = vals.collect { case S(s) => s }
+      Some(S(if (max) ss.max else ss.min))
+    } else None
+
+  private def aggSparql(kind: AggKind, alias: String): String = kind match {
+    case ACountStar => s"(COUNT(*) AS ?$alias)"
+    case ACount(v, d) =>
+      s"(COUNT(${if (d) "DISTINCT " else ""}?$v) AS ?$alias)"
+    case ASum(v) => s"(SUM(?$v) AS ?$alias)"
+    case AMin(v) => s"(MIN(?$v) AS ?$alias)"
+    case AMax(v) => s"(MAX(?$v) AS ?$alias)"
+  }
+
+  private def genAgg(rnd: Random): AggKind = rnd.nextInt(6) match {
+    case 0 => ACountStar
+    case 1 => ACount(vars(rnd.nextInt(vars.length)), distinct = false)
+    case 2 => ACount(vars(rnd.nextInt(vars.length)), distinct = true)
+    case 3 => ASum(vars(rnd.nextInt(vars.length)))
+    case 4 => AMin(vars(rnd.nextInt(vars.length)))
+    case 5 => AMax(vars(rnd.nextInt(vars.length)))
+  }
+
+  for (seed <- Seq(17, 41)) {
+    test(s"random aggregate queries match the reference evaluation (seed $seed)") {
+      val rnd = new Random(seed)
+      val eng = Engine.inline(turtle)
+      val quads = db.map { case (s, p, o) => (s, p, o, None) }
+      var nonEmpty = 0
+      for (qn <- 1 to 40) {
+        val pat = genPat(rnd, 1 + rnd.nextInt(2))
+        val key = vars(rnd.nextInt(vars.length))
+        val aggs = Seq.fill(1 + rnd.nextInt(2))(genAgg(rnd))
+          .zipWithIndex.map { case (a, i) => (a, s"a$i") }
+        val havingMin = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(2))
+          else None
+        val sparql = s"SELECT ?$key ${aggs.map { case (a, al) =>
+          aggSparql(a, al) }.mkString(" ")} " +
+          s"WHERE { ${patSparql(pat)} } GROUP BY ?$key" +
+          havingMin.map(m => s" HAVING (COUNT(*) >= $m)").getOrElse("")
+        val groups = eval(pat, None, quads).groupBy(_.get(key))
+          .filter { case (_, rows) => havingMin.forall(rows.size >= _) }
+        val want = groups.toSeq.map { case (k, rows) =>
+          (k.map(_.key).getOrElse("∅") +:
+            aggs.map { case (a, _) =>
+              aggModel(a, rows).map(_.key).getOrElse("∅") }).mkString("|")
+        }.sorted
+        val got = eng.selectRaw(sparql).collect().toSeq.map { r =>
+          (key +: aggs.map(_._2)).map { c =>
+            val i = r.fieldIndex(c)
+            if (r.isNullAt(i)) "∅"
+            else {
+              val t = r.getStruct(i)
+              (t.getByte(0).toInt, t.getString(1), t.getString(2)) match {
+                case (0, value, _) => s"<$value>"
+                case (2, value, XSD.integer) => s"#${value.toLong}"
+                case (2, value, _) => s""""$value""""
+                case (k2, value, _) => s"?$k2:$value"
+              }
+            }
+          }.mkString("|")
+        }.sorted
+        assert(got == want,
+          s"aggregate query $qn diverged:\n$sparql\nengine=${got.take(6)}… " +
+            s"(${got.size} rows)\nmodel =${want.take(6)}… (${want.size} rows)")
+        if (want.nonEmpty) nonEmpty += 1
+      }
+      assert(nonEmpty > 10, s"only $nonEmpty non-empty results — generator bug?")
+    }
+  }
 }
