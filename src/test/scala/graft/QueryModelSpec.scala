@@ -497,7 +497,7 @@ class QueryModelSpec extends SparkSpec {
     assert(nonEmpty > 10, s"only $nonEmpty non-empty results — generator bug?")
   }
 
-  for (seed <- Seq(7, 19, 31)) {
+  for (seed <- Seq(7, 19, 31, 43, 59)) {
     test(s"random algebra trees match the reference evaluation (seed $seed)") {
       runRandomQueries(seed, Engine.inline(turtle),
         db.map { case (s, p, o) => (s, p, o, None) }, graphs = false)
@@ -535,7 +535,7 @@ class QueryModelSpec extends SparkSpec {
         (rt(s), rt(p), rt(o), g.map(rt)) }, Map("ex" -> EX)))
   }
 
-  for (seed <- Seq(13, 29)) {
+  for (seed <- Seq(13, 29, 53)) {
     test(s"random GRAPH algebra trees match the reference evaluation (seed $seed)") {
       runRandomQueries(seed, quadEngine, quadDb, graphs = true)
     }
@@ -600,7 +600,7 @@ class QueryModelSpec extends SparkSpec {
     case 5 => AMax(vars(rnd.nextInt(vars.length)))
   }
 
-  for (seed <- Seq(17, 41)) {
+  for (seed <- Seq(17, 41, 67)) {
     test(s"random aggregate queries match the reference evaluation (seed $seed)") {
       val rnd = new Random(seed)
       val eng = Engine.inline(turtle)
