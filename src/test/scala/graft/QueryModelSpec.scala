@@ -600,6 +600,65 @@ class QueryModelSpec extends SparkSpec {
     case 5 => AMax(vars(rnd.nextInt(vars.length)))
   }
 
+  // ---------------------------------------------------- CONSTRUCT arm
+
+  for (seed <- Seq(23, 37)) {
+    test(s"random CONSTRUCT templates match the reference evaluation (seed $seed)") {
+      val rnd = new Random(seed)
+      val eng = Engine.inline(turtle)
+      val quads = db.map { case (s, p, o) => (s, p, o, None) }
+      var nonEmpty = 0
+      for (qn <- 1 to 30) {
+        val pat = genPat(rnd, 1 + rnd.nextInt(2))
+        // template triples: vars from the pool plus constants. The
+        // GRAMMAR forbids literal constants in subject/predicate
+        // slots, but VARS there can bind to literals — instantiation
+        // must SKIP those triples silently (§16.2)
+        def iriConst() = C(e(Seq("a1", "a2", "b1", "fresh")(rnd.nextInt(4))))
+        val tmpl = Seq.fill(1 + rnd.nextInt(2))(TP(
+          if (rnd.nextInt(4) == 0) iriConst()
+          else V(vars(rnd.nextInt(vars.length))),
+          if (rnd.nextInt(4) == 0) V(vars(rnd.nextInt(vars.length)))
+          else C(e(preds(rnd.nextInt(preds.length)))),
+          genNode(rnd, allowConst = true)))
+        val sparql = s"CONSTRUCT { ${tmpl.map(tp =>
+          s"${nodeSparql(tp.s)} ${nodeSparql(tp.p)} ${nodeSparql(tp.o)} .")
+          .mkString(" ")} } WHERE { ${patSparql(pat)} }"
+        def inst(n: Node, mu: Mu): Option[Term] = n match {
+          case C(t) => Some(t)
+          case V(x) => mu.get(x) // unbound → triple skipped
+        }
+        val want = eval(pat, None, quads).flatMap { mu =>
+          tmpl.flatMap { tp =>
+            for {
+              s <- inst(tp.s, mu) if !s.isInstanceOf[S] && !s.isInstanceOf[N]
+              p <- inst(tp.p, mu) if p.isInstanceOf[I]
+              o <- inst(tp.o, mu)
+            } yield (s.key, p.key, o.key)
+          }
+        }.toSet
+        val got = eng.construct(sparql).triples.collect().toSet.map {
+          r: org.apache.spark.sql.Row =>
+            def k(i: Int): String = {
+              val t = r.getStruct(i)
+              (t.getByte(0).toInt, t.getString(1), t.getString(2)) match {
+                case (0, value, _) => s"<$value>"
+                case (2, value, XSD.integer) => s"#${value.toLong}"
+                case (2, value, _) => s""""$value""""
+                case (kk, value, _) => s"?$kk:$value"
+              }
+            }
+            (k(0), k(1), k(2))
+        }
+        assert(got == want,
+          s"construct $qn diverged:\n$sparql\nengine=${got.take(5)} " +
+            s"(${got.size})\nmodel =${want.take(5)} (${want.size})")
+        if (want.nonEmpty) nonEmpty += 1
+      }
+      assert(nonEmpty > 5, s"only $nonEmpty non-empty results — generator bug?")
+    }
+  }
+
   for (seed <- Seq(17, 41, 67)) {
     test(s"random aggregate queries match the reference evaluation (seed $seed)") {
       val rnd = new Random(seed)
