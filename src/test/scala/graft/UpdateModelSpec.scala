@@ -61,6 +61,41 @@ class UpdateModelSpec extends SparkSpec {
       state.toSeq.flatMap { case (g, ts) =>
         ts.map(t => (t._1, t._2, t._3, g))
       }.toSet
+
+    /** Modify (§3.1.3): WHERE = one pattern `?s/const <p> ?o/const`
+      * under a graph scope (default / GRAPH <g> / GRAPH ?gv); both
+      * templates instantiate per solution against the PRE-state, then
+      * deletes apply before inserts. */
+    def modify(sC: Option[String], oC: Option[String],
+        whereG: Either[Option[String], Unit], // Left(g) | Right(?gv)
+        del: Option[Either[Option[String], Unit]],
+        ins: Option[Either[Option[String], Unit]],
+        insO: String): Unit = {
+      def matches(g: Option[String]): Seq[(String, String)] =
+        get(g).toSeq.collect {
+          case (s, p, o) if p == s"${EX}p" &&
+            sC.forall(_ == s) && oC.forall(_ == o) => (s, o)
+        }
+      // solutions: (s, o, bound graph name when WHERE used ?gv)
+      val sols: Seq[(String, String, Option[String])] = whereG match {
+        case Left(g) => matches(g).map { case (s, o) => (s, o, None) }
+        case Right(_) => state.keys.toSeq.flatten.flatMap(g =>
+          matches(Some(g)).map { case (s, o) => (s, o, Some(g)) })
+      }
+      def target(t: Either[Option[String], Unit],
+          gv: Option[String]): Option[Option[String]] = t match {
+        case Left(g) => Some(g)
+        case Right(_) => gv.map(Some(_)) // ?gv unbound → quad skipped
+      }
+      val dels = del.toSeq.flatMap(t => sols.flatMap { case (s, o, gv) =>
+        target(t, gv).map(g => (g, (s, s"${EX}p", o)))
+      })
+      val inss = ins.toSeq.flatMap(t => sols.flatMap { case (s, _, gv) =>
+        target(t, gv).map(g => (g, (s, s"${EX}p", insO)))
+      })
+      dels.foreach { case (g, t) => delete(g, t) }
+      inss.foreach { case (g, t) => insert(g, t) }
+    }
   }
 
   private def engineDataset(e: Engine)
@@ -90,7 +125,7 @@ class UpdateModelSpec extends SparkSpec {
       for (step <- 1 to 40) {
         val silent = rnd.nextBoolean()
         val sil = if (silent) "SILENT " else ""
-        val (sql, modelOp): (String, () => Unit) = rnd.nextInt(7) match {
+        val (sql, modelOp): (String, () => Unit) = rnd.nextInt(8) match {
           case 0 =>
             val (g, t) = (gRef(), triple())
             val block = s"<${t._1}> <${t._2}> '${t._3}'"
@@ -131,6 +166,39 @@ class UpdateModelSpec extends SparkSpec {
             (s"${if (mv) "MOVE" else "COPY"} $sil ${gSql(f)} TO ${gSql(t)}",
               () => model.copyLike(f, t, silent,
                 dropTo = true, dropFrom = mv))
+          case 7 =>
+            // DELETE/INSERT WHERE with graph-scoped patterns and
+            // graph-targeted templates (incl. a VARIABLE graph slot)
+            val sC = if (rnd.nextBoolean()) Some(s"${EX}s${rnd.nextInt(4)}")
+              else None
+            val oC = if (rnd.nextInt(3) == 0) Some(s"v${rnd.nextInt(4)}")
+              else None
+            val useGv = rnd.nextInt(3) == 0
+            val whereG: Either[Option[String], Unit] =
+              if (useGv) Right(()) else Left(gRef())
+            def tmplTarget(): Either[Option[String], Unit] =
+              if (useGv && rnd.nextBoolean()) Right(()) else Left(gRef())
+            val del = if (rnd.nextBoolean()) Some(tmplTarget()) else None
+            val ins = if (del.isEmpty || rnd.nextBoolean())
+              Some(tmplTarget()) else None
+            val insO = s"v${rnd.nextInt(4)}"
+            def slotS = sC.map(s => s"<$s>").getOrElse("?s")
+            def slotO = oC.map(o => s"'$o'").getOrElse("?o")
+            def wrap(t: Either[Option[String], Unit], body: String) =
+              t match {
+                case Left(None) => body
+                case Left(Some(g)) => s"GRAPH <$g> { $body }"
+                case Right(_) => s"GRAPH ?gv { $body }"
+              }
+            val delPart = del.map(t =>
+              s"DELETE { ${wrap(t, s"$slotS <${EX}p> $slotO")} } ")
+              .getOrElse("")
+            val insPart = ins.map(t =>
+              s"INSERT { ${wrap(t, s"$slotS <${EX}p> '$insO'")} } ")
+              .getOrElse("")
+            (s"$delPart${insPart}WHERE { ${wrap(whereG,
+              s"$slotS <${EX}p> $slotO")} }",
+              () => model.modify(sC, oC, whereG, del, ins, insO))
         }
         val engineErr =
           try { e.update(sql); false }
