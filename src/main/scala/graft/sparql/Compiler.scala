@@ -52,6 +52,21 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     if (hasGPart) gpart =!= Terms.GPART_DEFAULT else F.lit(true)
   /** Node of the enclosing GRAPH pattern, while compiling inside one. */
   private var activeGraph: Option[Node] = None
+  /** Set during a [[perGraphUnion]] branch: the GRAPH variable to bind
+    * on every scan while `activeGraph` is pinned to one constant name.
+    * Keeps the rare path's semantics identical to the fast path's
+    * scan-binding: the graph variable is VISIBLE inside the group (it
+    * co-binds with other uses on scans — the Jena/Virtuoso consensus
+    * behavior; the REC's formal definition joins the variable after
+    * the group, which no major engine implements for filters). */
+  private var graphVarPin: Option[String] = None
+  private def withGraphPin(df: DataFrame): DataFrame =
+    (graphVarPin, activeGraph) match {
+      case (Some(v), Some(TermNode(t))) =>
+        if (df.columns.contains(v)) df.where(F.col(v) === termCol(t))
+        else df.withColumn(v, termCol(t))
+      case _ => df
+    }
   /** FROM / FROM NAMED of the query being compiled (top level only). */
   private var dataset: DatasetClause = DatasetClause.empty
   /** UPDATE `WITH <g>` default-graph override: default-graph scans read
@@ -243,11 +258,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     case SubSelect(q) => compileSelect(q, keepCompanions = true)
     case GraphPat(g, p) =>
       val prev = activeGraph
+      val prevPin = graphVarPin
       activeGraph = Some(g)
+      graphVarPin = None // a nested GRAPH re-scopes; the outer pin ends
       try {
         if (graphEnforced(g, p)) compile(p)
         else compileGraphRare(g, p)
-      } finally activeGraph = prev
+      } finally { activeGraph = prev; graphVarPin = prevPin }
     case Service(ep, p, silent) => compileService(ep, p, silent)
   }
 
@@ -313,9 +330,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           "anchor the group with a plain triple pattern")
     val names = nameRows.toSeq.map(r => termOfRow(r.getStruct(0)))
     val prev = activeGraph
+    val prevPin = graphVarPin
     val branches = names.map { nm =>
       activeGraph = Some(TermNode(nm))
-      val df = try body() finally activeGraph = prev
+      graphVarPin = Some(v) // scans bind ?v = nm, like the fast path
+      val df = try body() finally {
+        activeGraph = prev; graphVarPin = prevPin
+      }
       if (df.columns.contains(v))
         df.where(F.col(v).isNull || F.col(v) === termCol(nm))
           .withColumn(v, termCol(nm))
@@ -1070,8 +1091,8 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         Seq(F.lit(null).cast(Terms.termType).as(v))
       case _ => Nil
     })
-    if (proj.isEmpty) df.limit(1).select(F.lit(1).as(syn("ask")))
-    else df.select(proj: _*)
+    if (proj.isEmpty) withGraphPin(df.limit(1).select(F.lit(1).as(syn("ask"))))
+    else withGraphPin(df.select(proj: _*))
   }
 
   private def compileTriple(tp: TriplePattern): DataFrame = {
@@ -1346,8 +1367,27 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       case _ =>
     }
     val path = normalizePath(path0)
-    val pairs: DataFrame = path match {
-      case PZeroOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = true)
+    // §18.4: a zero-length pair for a CONSTANT endpoint exists
+    // unconditionally (ALP starts at the term, in or out of the graph)
+    // — but §18.5.1's Graph(iri, P) is EMPTY when iri names no graph in
+    // the dataset, so under a constant GRAPH scope the zero row must
+    // not outlive a nonexistent (or dataset-excluded) graph: gate it on
+    // one row of the scoped store, lazily (a broadcast 1-row semi).
+    def gateZero(df: DataFrame): DataFrame = activeGraph match {
+      case Some(TermNode(_)) =>
+        df.join(F.broadcast(scanBase.limit(1).select(F.lit(1).as("__gz"))),
+          F.lit(true), "left_semi")
+      case _ => df
+    }
+    // Endpoint-sensitive pair frames: §18.4's translation keeps the
+    // TP's OWN endpoints on every ALT branch (unlike SEQ, which mints
+    // fresh middle variables), so a closure branch adjacent to a
+    // constant endpoint must contribute that endpoint's unconditional
+    // zero-length pair — falling to pathEdges' node-based zero would
+    // lose `<x> (p|q*) ?y`'s (x,x) when x is not a node of the graph.
+    def pairsOf(p: Path): DataFrame = p match {
+      case PZeroOrMore(inner) =>
+        gateZero(closure(pathEdges(inner), s, o, includeZero = true))
       case POneOrMore(inner) => closure(pathEdges(inner), s, o, includeZero = false)
       case PZeroOrOne(inner) =>
         val one0 = pathEdges(inner)
@@ -1359,10 +1399,13 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
             spark.range(1).select(termCol(t).as("ps"), termCol(t).as("po"))
           case _ => graphNodes.select(F.col("n").as("ps"), F.col("n").as("po"))
         }
-        one.union(zero).distinct()
+        gateZero(one.union(zero).distinct())
+      case PAlt(a, b) =>
+        pairsOf(a).select("ps", "po").unionByName(pairsOf(b).select("ps", "po"))
       case other => pathEdges(other)
     }
-    bindEndpoints(pairs, s, o)
+    val pairs = pairsOf(path)
+    withGraphPin(bindEndpoints(pairs, s, o))
   }
 
   /** Bind path-pair endpoints to the pattern's s/o nodes. Non-transitive
