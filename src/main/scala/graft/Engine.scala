@@ -67,8 +67,21 @@ class Engine(initial: RdfGraph) {
 
   private def parse(sparql: String): ParsedQuery =
     parseCache.computeIfAbsent(sparql, { q =>
-      try new Parser(graph.prefixes).parseQuery(q)
-      catch { case e: SparqlParseException => throw GraftException.fromParse(q, e) }
+      val parsed =
+        try new Parser(graph.prefixes).parseQuery(q)
+        catch { case e: SparqlParseException => throw GraftException.fromParse(q, e) }
+      // grammar-note/scope well-formedness (Validate scaladoc): a
+      // failed validation throws BEFORE the cache is populated
+      try parsed.query match {
+        case s: SelectQuery => Validate.select(s)
+        case c: ConstructQuery => Validate.construct(c.template, c.where)
+        case a: AskQuery => Validate.where(a.where)
+        case d: DescribeQuery => d.where.foreach(Validate.where)
+      } catch {
+        case e: GraftException =>
+          throw new GraftException(s"${e.getMessage}\nIn query:\n$q", e)
+      }
+      parsed
     })
 
   private def compiler = new Compiler(graph, spark)

@@ -342,7 +342,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
           .withColumn(v, termCol(nm))
       else df.withColumn(v, termCol(nm))
     }
-    branches.reduceOption(_.unionByName(_)).getOrElse {
+    // branches compile the same pattern, so columns align positionally,
+    // but SYNTHETIC names (__askN, __gkeyN) carry per-branch counters —
+    // rename to the first branch's schema before the union
+    branches.reduceOption((a, b) => a.union(b.toDF(a.columns: _*)))
+      .getOrElse {
       // no named graphs in scope: empty, with the right schema — body
       // compiles against a graph name that cannot exist
       activeGraph = Some(TermNode(Iri("urn:graft:absent-graph")))
@@ -1812,6 +1816,16 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
               " (SPARQL 1.1 §18.2.4.4: use GROUP BY or wrap in" +
               " SAMPLE/an aggregate)")
           allowed += i.name
+        }
+        // the same restriction governs HAVING and ORDER BY: outside an
+        // aggregate they may reference only group keys / aliases
+        (having ++ orderExprs.map(_._1)).foreach { e =>
+          val bad = exprVars(e) -- allowed
+          if (bad.nonEmpty) throw new graft.GraftException(
+            "variable" + (if (bad.size > 1) "s " else " ") +
+              bad.toSeq.sorted.map("?" + _).mkString(", ") +
+              " used in HAVING/ORDER BY of an aggregate query without" +
+              " being grouped (SPARQL 1.1 §18.2.4.4)")
         }
       }
       val keyCols: Seq[Column] = groupKeys.flatMap {

@@ -34,9 +34,13 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def declaredPrefixes: Map[String, String] = prefixes
   protected def kwPub(s: String): Parser[String] = kw(s)
   private var bnodeCounter = 0
+  /** Anonymous-blank variable: '!' cannot occur in a BLANK_NODE_LABEL,
+    * so a minted name can never collide with a user label like `_:b1`
+    * (which would silently co-bind the two). Render re-legalizes the
+    * name when a pattern ships to a remote SERVICE. */
   private def freshBnodeVar(): VarNode = {
     bnodeCounter += 1
-    VarNode(s"_:b$bnodeCounter")
+    VarNode(s"_:!$bnodeCounter")
   }
 
   // ---------------------------------------------------------------- tokens
@@ -91,7 +95,11 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
           case 'U' =>
             sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
             i += 8
-          case other => sb += other
+          case other =>
+            // ECHAR is closed (tbnrf"'\) — '\q' is a grammar error,
+            // not a literal 'q' (SPARQL §19.8 / Turtle §6.4)
+            throw new graft.GraftException(
+              s"invalid string escape sequence \\$other")
         }
         i += 2
       } else { sb += c; i += 1 }

@@ -94,7 +94,10 @@ object Render {
   }
 
   def node(n: Node): String = n match {
-    case VarNode(v) if v.startsWith("_:") => v // anonymous blank: keep label
+    // minted anonymous blanks carry '!' (collision-proof in-engine,
+    // illegal on the wire) — re-legalize for the remote
+    case VarNode(v) if v.startsWith("_:!") => "_:ga" + v.substring(3)
+    case VarNode(v) if v.startsWith("_:") => v // user blank: keep label
     case VarNode(v) => s"?$v"
     case TermNode(t) => term(t)
     case QuotedNode(s, p, o) => s"<< ${node(s)} ${node(p)} ${node(o)} >>"

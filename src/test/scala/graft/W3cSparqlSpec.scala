@@ -48,7 +48,7 @@ class W3cSparqlSpec extends SparkSpec {
 
   private val categories =
     Seq("algebra", "negation", "aggregates", "property-path",
-      "functions", "bindings", "exists", "graph")
+      "functions", "bindings", "exists", "graph", "syntax")
 
   // ------------------------------------------------------------ loading
 
@@ -80,10 +80,12 @@ class W3cSparqlSpec extends SparkSpec {
     }
   }
 
-  /** `result`/`data` are empty for NegativeSyntaxTest11 entries, whose
-    * mf:action is the query IRI itself (the upstream convention). */
+  /** `result`/`data` are empty for (Positive|Negative)SyntaxTest11
+    * entries, whose mf:action is the query IRI itself (the upstream
+    * convention). */
   private case class W3cTest(name: String, query: String, data: String,
-      result: String, negativeSyntax: Boolean)
+      result: String, negativeSyntax: Boolean,
+      positiveSyntax: Boolean = false)
 
   private def loadManifest(cat: String): Seq[W3cTest] = {
     val g = new MiniGraph(Turtle.parseTriples(res(cat, "manifest.ttl")))
@@ -101,15 +103,18 @@ class W3cSparqlSpec extends SparkSpec {
       }
       val negative = g.obj(e, RDFNS + "type")
         .contains(Iri(MF + "NegativeSyntaxTest11"))
+      val positive = g.obj(e, RDFNS + "type")
+        .contains(Iri(MF + "PositiveSyntaxTest11"))
       val action = g.obj(e, MF + "action").getOrElse(
         sys.error(s"$cat/$name: no mf:action"))
       def fileOf(t: Option[RdfTerm], what: String): String = t match {
         case Some(Iri(rel)) => rel // relative IRI = sibling resource name
         case other => sys.error(s"$cat/$name: bad $what ref: $other")
       }
-      if (negative)
+      if (negative || positive)
         W3cTest(name, query = fileOf(Some(action), "mf:action"),
-          data = "", result = "", negativeSyntax = true)
+          data = "", result = "", negativeSyntax = negative,
+          positiveSyntax = positive)
       else
         W3cTest(name,
           query = fileOf(g.obj(action, QT + "query"), "qt:query"),
@@ -285,6 +290,10 @@ class W3cSparqlSpec extends SparkSpec {
         assert(thrown.isInstanceOf[GraftException] ||
           thrown.isInstanceOf[graft.sparql.SparqlParseException],
           s"${t.query}: expected a parse/compile rejection, got $thrown")
+      } else if (t.positiveSyntax) {
+        // the query must parse and compile (grammar coverage — the
+        // plan is never executed)
+        Engine.inline("").selectRaw(queryText)
       } else {
       // .trig data carries named graphs; .ttl is the default graph only
       val engine =
