@@ -20,6 +20,24 @@ object NTriples {
     var pos = pos0
     while (pos < s.length && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t')) pos += 1
     s.charAt(pos) match {
+      case '<' if pos + 1 < s.length && s.charAt(pos + 1) == '<' =>
+        // RDF 1.2 quoted triple `<< s p o >>` as a TERM (N-Triples-star)
+        val (qs, p1) = parseTerm(s, pos + 2)
+        val (qp, p2) = parseTerm(s, p1)
+        val (qo, p3) = parseTerm(s, p2)
+        var end = p3
+        while (end < s.length && Character.isWhitespace(s.charAt(end))) end += 1
+        require(end + 1 < s.length && s.charAt(end) == '>' &&
+          s.charAt(end + 1) == '>', s"unterminated quoted triple: $s")
+        def term(r: Row): RdfTerm = r.getByte(0) match {
+          case Terms.KIND_IRI => Iri(r.getString(1))
+          case Terms.KIND_BLANK => Blank(r.getString(1))
+          case Terms.KIND_TRIPLE => Terms.unpackString(r.getString(1))
+          case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+        }
+        val packed = Terms.packString(
+          QuotedTriple(term(qs), term(qp), term(qo)))
+        (Row(Terms.KIND_TRIPLE, packed, null, null), end + 2)
       case '<' =>
         val end = s.indexOf('>', pos)
         (Row(Terms.KIND_IRI, s.substring(pos + 1, end), null, null), end + 1)
@@ -85,6 +103,7 @@ object NTriples {
     kind match {
       case Terms.KIND_IRI => s"<$v>"
       case Terms.KIND_BLANK => s"_:$v"
+      case Terms.KIND_TRIPLE => Terms.unpackString(v).n3()
       case _ => Lit(v, dt, lang).n3()
     }
 

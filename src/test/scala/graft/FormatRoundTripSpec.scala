@@ -1,0 +1,133 @@
+package graft
+
+import graft.rdf._
+import scala.util.Random
+
+/** Randomized cross-format round trips: seeded random graphs built
+  * from HOSTILE term pools (escape-heavy literals, unicode IRIs,
+  * language/direction tags, datatyped literals, blank nodes, quoted
+  * triples, named graphs) go through every serializer → parser pair
+  * and must come back RDFC-isomorphic. Complements the per-format
+  * fixpoint specs: those use curated fixtures, this explores the
+  * combinatorial space of term shapes the serializers must escape
+  * correctly. Formats skip only what their data model cannot carry
+  * (documented per case below). */
+class FormatRoundTripSpec extends SparkSpec {
+
+  private val rnd = new Random(271)
+
+  // ---------------------------------------------------- term pools
+
+  private val iris: Seq[Iri] = Seq(
+    Iri("http://example.com/a"),
+    Iri("http://example.com/path/with#frag"),
+    Iri("urn:uuid:6e8bc430-9c3a-11d9-9669-0800200c9a66"),
+    Iri("http://example.com/unicode/中文"),
+    Iri("http://example.com/q?x=1&y=2"),
+    Iri("http://example.com/~user/%20esc"))
+
+  private val preds: Seq[Iri] = Seq(
+    Iri("http://example.com/p"), Iri("http://example.com/q"),
+    Iri("http://example.com/ns#r"))
+
+  private val hostileLex: Seq[String] = Seq(
+    "plain", "with \"quotes\"", "line\nbreak", "tab\there",
+    "back\\slash", "très tôt", "你好",
+    "ends with space ", "'single' and \"double\"",
+    "a\rb", "", "<not-a-tag> & entity")
+
+  private def randLit(): Lit = rnd.nextInt(6) match {
+    case 0 => Lit.plain(hostileLex(rnd.nextInt(hostileLex.length)))
+    case 1 => Lit.tagged(hostileLex(rnd.nextInt(hostileLex.length)),
+      Seq("en", "en-US", "de")(rnd.nextInt(3)))
+    case 2 => Lit.typed(rnd.nextInt(1000).toString, XSD.integer)
+    case 3 => Lit.typed(s"${rnd.nextInt(100)}.5", XSD.decimal)
+    case 4 => Lit.typed(if (rnd.nextBoolean()) "true" else "false",
+      XSD.boolean)
+    case 5 => Lit.typed(hostileLex(rnd.nextInt(hostileLex.length)),
+      "http://example.com/customType")
+  }
+
+  private def randNode(bnodes: Boolean): RdfTerm =
+    if (bnodes && rnd.nextInt(4) == 0) Blank("n" + rnd.nextInt(5))
+    else iris(rnd.nextInt(iris.length))
+
+  private def randTriples(n: Int, bnodes: Boolean,
+      quoted: Boolean): Seq[(RdfTerm, RdfTerm, RdfTerm)] =
+    Seq.fill(n) {
+      val s = randNode(bnodes)
+      val p = preds(rnd.nextInt(preds.length))
+      val o = rnd.nextInt(3) match {
+        case 0 => randNode(bnodes)
+        case 1 => randLit()
+        case 2 if quoted && rnd.nextInt(3) == 0 =>
+          QuotedTriple(randNode(bnodes), preds(rnd.nextInt(preds.length)),
+            randLit())
+        case _ => randLit()
+      }
+      (s, p, o)
+    }.distinct
+
+  private def graphOf(ts: Seq[(RdfTerm, RdfTerm, RdfTerm)]): RdfGraph =
+    RdfGraph.fromTriples(spark, ts, Map("ex" -> "http://example.com/"))
+
+  private def quadGraphOf(n: Int): RdfGraph = {
+    val names = Seq(None, Some(Iri("http://example.com/g1")),
+      Some(Iri("http://example.com/g2")), Some(Blank("gb")))
+    RdfGraph.fromQuads(spark,
+      randTriples(n, bnodes = true, quoted = false).map { case (s, p, o) =>
+        (s, p, o, names(rnd.nextInt(names.length)))
+      }, Map.empty)
+  }
+
+  private def check(label: String, g: RdfGraph, back: RdfGraph): Unit =
+    assert(g.isomorphic(back),
+      s"$label round trip lost isomorphism:\n--- original:\n" +
+        g.canonicalNQuads() + "--- reparsed:\n" + back.canonicalNQuads())
+
+  // ------------------------------------------------------- the runs
+
+  for (round <- 1 to 3) {
+    test(s"Turtle round-trips a random hostile graph (round $round)") {
+      // Turtle carries everything incl. quoted triples
+      val g = graphOf(randTriples(30, bnodes = true, quoted = true))
+      check("turtle", g,
+        graft.sources.Turtle.parse(graft.sources.Turtle.serialize(g), spark))
+    }
+
+    test(s"TriG round-trips a random hostile quad store (round $round)") {
+      val g = quadGraphOf(30)
+      check("trig", g,
+        graft.sources.Trig.parse(graft.sources.Trig.serialize(g), spark))
+    }
+
+    test(s"JSON-LD round-trips a random hostile quad store (round $round)") {
+      // JSON-LD has no quoted triples; named graphs (incl. a blank
+      // graph name) and everything else must survive
+      val g = quadGraphOf(30)
+      check("jsonld", g,
+        graft.sources.JsonLd.parse(graft.sources.JsonLd.serialize(g), spark))
+    }
+
+    test(s"RDF/XML round-trips a random hostile graph (round $round)") {
+      // RDF/XML: triples only, no quoted triples (no syntax exists)
+      val g = graphOf(randTriples(30, bnodes = true, quoted = false))
+      check("rdfxml", g,
+        graft.sources.RdfXml.parse(graft.sources.RdfXml.serialize(g), spark))
+    }
+
+    test(s"N-Triples file round-trips a random hostile graph (round $round)") {
+      val g = graphOf(randTriples(30, bnodes = true, quoted = true))
+      val dir = java.nio.file.Files.createTempDirectory("graft_nt").toString
+      graft.sources.NTriples.write(g, s"$dir/g.nt")
+      check("ntriples", g, graft.sources.NTriples.read(spark, s"$dir/g.nt"))
+    }
+
+    test(s"N-Quads file round-trips a random hostile quad store (round $round)") {
+      val g = quadGraphOf(30)
+      val dir = java.nio.file.Files.createTempDirectory("graft_nq").toString
+      graft.sources.NQuads.write(g, s"$dir/g.nq")
+      check("nquads", g, graft.sources.NQuads.read(spark, s"$dir/g.nq"))
+    }
+  }
+}
