@@ -348,4 +348,73 @@ object Canon {
     }
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Parallel Merkle content address — a DIFFERENT address space from
+    * [[distributedHash]]/`datasetHash` (which byte-match
+    * `sha256(canonical document)` and are therefore a serial fold by
+    * construction). Here every canonical line is routed to one of
+    * `fanout` segments by the first 12 bits of its own SHA-256 —
+    * segmentation is decided by CONTENT, never by physical partition
+    * boundaries (Spark's range partitioner samples with a
+    * lineage-dependent seed, so part-file boundaries are NOT
+    * reproducible across runs; content buckets are). Each segment
+    * digests its sorted lines independently in parallel, and the root
+    * is the SHA-256 of the ordered `bucket:digest` list. Deterministic
+    * under any repartitioning and under blank-node relabeling (the
+    * lines are RDFC-1.0 canonical), and computable from a written
+    * [[writeCanonical]] directory via [[merkleHashOfLines]] over
+    * `spark.read.text(path)` — same lines, same root. `fanout` is part
+    * of the address space: the same store hashed at a different fanout
+    * yields a different (equally valid) root, so fix it per catalog.
+    * At 100 TB the serial fold is the bottleneck (5.65× at 10× in the
+    * r13 rehearsal); this path's only serial work is hashing ≤`fanout`
+    * digest lines on the driver. */
+  def merkleHash(g: RdfGraph, fanout: Int = 4096,
+      maxSteps: Long = 1000000L): String =
+    merkleHashOfLines(canonicalLines(g, maxSteps), fanout)
+
+  /** [[merkleHash]] over an existing `line` column — e.g. the text
+    * frame read back from a [[writeCanonical]] directory, letting a
+    * catalog verify a stored canonical document without re-canonizing
+    * the graph. */
+  def merkleHashOfLines(lines: org.apache.spark.sql.DataFrame,
+      fanout: Int = 4096): String = {
+    require(fanout >= 1 && fanout <= 4096,
+      s"fanout must be in [1, 4096], got $fanout")
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val segDigests = lines
+      .select((F.conv(F.substring(F.sha2(F.col("line"), 256), 1, 3), 16, 10)
+        .cast("int") % fanout).as("bucket"), F.col("line"))
+      .repartition(F.col("bucket"))
+      .sortWithinPartitions("bucket", "line")
+      .toDF("_1", "_2").as[(Int, String)]
+      .mapPartitions { it =>
+        // fold each contiguous bucket run into one streaming digest —
+        // O(1) memory per task regardless of segment size
+        val out = Seq.newBuilder[(Int, String)]
+        var cur = -1
+        var md: java.security.MessageDigest = null
+        def flush(): Unit = if (md != null)
+          out += ((cur, md.digest().map("%02x".format(_)).mkString))
+        it.foreach { case (b, line) =>
+          if (b != cur) {
+            flush(); cur = b
+            md = java.security.MessageDigest.getInstance("SHA-256")
+          }
+          // name the charset inside the task: Charset isn't serializable
+          md.update(line.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          md.update('\n'.toByte)
+        }
+        flush()
+        out.result().iterator
+      }
+      .collect()
+      .sortBy(_._1)
+    val root = java.security.MessageDigest.getInstance("SHA-256")
+    segDigests.foreach { case (b, d) => root.update(s"$b:$d\n".getBytes(utf8)) }
+    root.digest().map("%02x".format(_)).mkString
+  }
 }

@@ -212,6 +212,15 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     * O(1) driver memory, only the blank-node component collects. */
   def datasetHashDistributed(): String = Canon.distributedHash(this)
 
+  /** Parallel Merkle content address ([[Canon.merkleHash]]) — a
+    * different address space from [[datasetHash]] (not byte-equal to
+    * `sha256(canonical document)`), but fully parallel: per-segment
+    * digests run distributed, only ≤`fanout` digest lines fold on the
+    * driver. Stable under relabeling, reordering, and repartitioning;
+    * the address to use when the store is too big for the serial
+    * whole-document fold. */
+  def merkleHash(fanout: Int = 4096): String = Canon.merkleHash(this, fanout)
+
   /** All IRIs appearing in any position (all_uri,
     * gastrodon/__init__.py:821-834) — including graph names on a quad
     * store. */

@@ -187,7 +187,7 @@ object JsonLd {
     }
     Option(obj.get("@language")).foreach { l =>
       if (l.isNull) lang = None
-      else if (l.isTextual) lang = Some(l.asText.toLowerCase)
+      else if (l.isTextual) lang = Some(l.asText)
       else err("@language in a context must be a string or null")
     }
     Option(obj.get("@version")).foreach { v =>
@@ -267,7 +267,7 @@ object JsonLd {
           }
           val lng = Option(o.get("@language")).map { l =>
             if (l.isNull) None
-            else if (l.isTextual) Some(l.asText.toLowerCase)
+            else if (l.isTextual) Some(l.asText)
             else err(s"term '$term': @language must be a string or null")
           }
           val containers: Set[String] = Option(o.get("@container")).map { c =>
@@ -483,7 +483,7 @@ object JsonLd {
       dt match {
         case Some(d) => Lit.typed(n.asText, d)
         case None => lang match {
-          case Some(l) => Lit.tagged(n.asText, l.toLowerCase)
+          case Some(l) => Lit.tagged(n.asText, l)
           case None => Lit.plain(n.asText)
         }
       }
@@ -549,7 +549,7 @@ object JsonLd {
     }
     Some(lang match {
       case Some(l) =>
-        Lit.tagged(v.asText, l.toLowerCase + dir.map("--" + _).getOrElse(""))
+        Lit.tagged(v.asText, l + dir.map("--" + _).getOrElse(""))
       case None => nativeLit(v, tpe, None)
     })
   }
@@ -798,7 +798,7 @@ object JsonLd {
             asArray(e.getValue).foreach { s =>
               if (!s.isTextual) err(s"$orig: language-map values are strings")
               val lit = if (lang == "@none") Lit.plain(s.asText)
-                else Lit.tagged(s.asText, lang.toLowerCase)
+                else Lit.tagged(s.asText, lang)
               if (td.reverse) err(s"reverse property $orig cannot take literals")
               st.emit(id, p, lit, g)
             }

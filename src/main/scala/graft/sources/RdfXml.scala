@@ -198,10 +198,18 @@ object RdfXml {
     }
     s.flatMap {
       case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      // XML 1.0 §2.11: a conforming parser normalizes literal \r (and
+      // \r\n) in content to \n — a raw \r would silently corrupt the
+      // literal on reparse. Character-reference it so it survives.
+      case '\r' => "&#xD;"
       case c => c.toString
     }
   }
-  private def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+  // §3.3.3 attribute-value normalization additionally folds literal
+  // \t and \n to spaces, so those must be character-referenced too.
+  private def escAttr(s: String): String =
+    esc(s).replace("\"", "&quot;")
+      .replace("\n", "&#xA;").replace("\t", "&#x9;")
 
   /** Longest NCName suffix split of a predicate IRI. */
   private[sources] def splitPredicate(iri: String): (String, String) = {
@@ -557,9 +565,14 @@ object RdfXml {
     val sb = new StringBuilder
     def esc(s: String): String = s.flatMap {
       case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '\r' => "&#xD;" // survives §2.11 line-end normalization
       case c => c.toString
     }
-    def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+    // char-reference \n/\t so §3.3.3 attribute normalization can't
+    // fold them to spaces when the literal's XML is reparsed
+    def escAttr(s: String): String =
+      esc(s).replace("\"", "&quot;")
+        .replace("\n", "&#xA;").replace("\t", "&#x9;")
     var depth = 1
     var ev = r.next()
     while (depth > 0) {

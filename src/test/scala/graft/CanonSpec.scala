@@ -249,6 +249,45 @@ class CanonSpec extends SparkSpec {
     assert(dupd.datasetHashDistributed() == ground.datasetHash())
   }
 
+  test("merkleHash: deterministic under repartitioning + relabeling, " +
+      "recomputable from the written canonical document") {
+    val mixed = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1")))))
+    val h = mixed.merkleHash()
+    // physical layout must not move the address: content buckets, not
+    // partition boundaries, decide the segments
+    val shuffled = mixed.copy(triples = mixed.triples.repartition(7))
+    assert(shuffled.merkleHash() == h)
+    val coalesced = mixed.copy(triples = mixed.triples.coalesce(1))
+    assert(coalesced.merkleHash() == h)
+    // blank-node relabeling must not move it either (RDFC lines)
+    val relabeled = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("zz"), iri("p"), Blank("qq"), None),
+      (Blank("qq"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1")))))
+    assert(relabeled.merkleHash() == h)
+    // write → read-back → merkleHashOfLines gives the same root, so a
+    // catalog can verify a stored canonical document without the graph
+    val dir = java.nio.file.Files.createTempDirectory("graft_merkle").toString
+    Canon.writeCanonical(mixed, s"$dir/canon")
+    assert(Canon.merkleHashOfLines(
+      spark.read.text(s"$dir/canon").toDF("line")) == h)
+    // fanout is part of the address space; a one-quad delta moves it
+    assert(mixed.merkleHash(fanout = 16) != h)
+    val delta = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "FR"), Some(iri("g1")))))
+    assert(delta.merkleHash() != h)
+    // and it is a DIFFERENT address space from the document hash
+    assert(h != mixed.datasetHash())
+  }
+
   test("RdfGraph.diff: exclusive rows each side, null-safe on graph names") {
     val a = RdfGraph.fromQuads(spark, Seq(
       (iri("s1"), iri("p"), Lit.plain("shared"), None),

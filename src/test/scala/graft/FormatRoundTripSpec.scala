@@ -85,6 +85,54 @@ class FormatRoundTripSpec extends SparkSpec {
       s"$label round trip lost isomorphism:\n--- original:\n" +
         g.canonicalNQuads() + "--- reparsed:\n" + back.canonicalNQuads())
 
+  // ------------------------------------- deterministic pinned corners
+
+  test("JSON-LD preserves language-tag case (en-US stays en-US)") {
+    // JSON-LD 1.1 made tag lowercasing a MAY; this engine's policy is
+    // case-preservation in every reader (tags compare case-insensitively
+    // only where SPARQL says so, i.e. langMatches)
+    val g = graphOf(Seq(
+      (iris.head, preds.head, Lit.tagged("Hi", "en-US")),
+      (iris.head, preds(1), Lit.tagged("مرحبا", "AR--rtl"))))
+    val back =
+      graft.sources.JsonLd.parse(graft.sources.JsonLd.serialize(g), spark)
+    check("jsonld-langcase", g, back)
+    assert(back.canonicalNQuads().contains("@en-US"),
+      "language-tag case was not preserved through JSON-LD")
+  }
+
+  test("RDF/XML round-trips \\r and attribute-hostile whitespace") {
+    // \r in text content must be emitted as &#xD; (XML 1.0 §2.11
+    // line-end normalization folds a raw \r to \n on any reparse)
+    val g = graphOf(Seq(
+      (iris.head, preds.head, Lit.tagged("a\rb", "en-US")),
+      (iris.head, preds(1), Lit.typed("x\r\ny\tz",
+        "http://example.com/customType")),
+      (iris.head, preds(2), Lit.plain("trailing\r"))))
+    check("rdfxml-cr", g,
+      graft.sources.RdfXml.parse(graft.sources.RdfXml.serialize(g), spark))
+  }
+
+  test("RDF/XML XMLLiteral keeps attribute whitespace as char refs") {
+    // §3.3.3 attribute-value normalization folds raw \t/\n to spaces:
+    // the captured XMLLiteral lexical form must char-reference them so
+    // reparsing the literal's XML cannot corrupt it
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example.com/">
+        |  <rdf:Description rdf:about="http://example.com/s">
+        |    <ex:p rdf:parseType="Literal"><e a="x&#x9;y&#xA;z&#xD;w">t&#xD;u</e></ex:p>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val g = graft.sources.RdfXml.parse(doc, spark)
+    val nq = g.canonicalNQuads()
+    assert(nq.contains("&#x9;") && nq.contains("&#xA;") && nq.contains("&#xD;"),
+      s"XMLLiteral lexical form lost whitespace char refs:\n$nq")
+    check("rdfxml-xmlliteral", g,
+      graft.sources.RdfXml.parse(graft.sources.RdfXml.serialize(g), spark))
+  }
+
   // ------------------------------------------------------- the runs
 
   for (round <- 1 to 3) {

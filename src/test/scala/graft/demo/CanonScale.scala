@@ -17,7 +17,7 @@ import graft.rdf.{Canon, RdfGraph, Terms}
 object CanonScale {
   def main(args: Array[String]): Unit = {
     val sf1Dir = args.headOption.getOrElse("/tmp/sf1")
-    val outJson = args.lift(1).getOrElse("/root/repo/BENCH_sf1_r13_canon.json")
+    val outJson = args.lift(1).getOrElse("/root/repo/BENCH_sf1_r14_canon.json")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -53,7 +53,7 @@ object CanonScale {
     }
 
     def rehearse(dir: String, tag: String)
-        : (Long, Double, Double, Double, Double) = {
+        : (Long, Double, Double, Double, Double, Double) = {
       val g = graphOf(dir)
       val n = g.triples.count()
       // best-of-2 per op (shared-box noise)
@@ -64,6 +64,9 @@ object CanonScale {
       // r13: the streamed content address (sorted-fold SHA-256 —
       // O(1) driver memory, no materialization)
       val hashT = Seq.fill(2)(time(g.datasetHashDistributed())).min
+      // r14: the parallel Merkle address — per-segment digests run
+      // distributed; only the <=4096 digest lines fold on the driver
+      val merkleT = Seq.fill(2)(time(g.merkleHash())).min
       // large-vs-large diff, broadcast off → shuffle anti-joins
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val a = graphOf(dir, maxQty = 48)
@@ -75,18 +78,20 @@ object CanonScale {
       }).min
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
       println(f"[canon-scale] $tag triples=$n canon_count=$canonCount%.2f " +
-        f"canon_write=$canonWrite%.2f hash=$hashT%.2f diff=$diffT%.2f")
-      (n, canonCount, canonWrite, hashT, diffT)
+        f"canon_write=$canonWrite%.2f hash=$hashT%.2f merkle=$merkleT%.2f " +
+        f"diff=$diffT%.2f")
+      (n, canonCount, canonWrite, hashT, merkleT, diffT)
     }
 
-    val (n01, c01, w01, h01, d01) = rehearse("/root/testdata/sf0.1", "sf01")
-    val (n1, c1, w1, h1, d1) = rehearse(sf1Dir, "sf1")
+    val (n01, c01, w01, h01, m01, d01) =
+      rehearse("/root/testdata/sf0.1", "sf01")
+    val (n1, c1, w1, h1, m1, d1) = rehearse(sf1Dir, "sf1")
     val json =
       f"""{
-         |  "note": "canonical N-Quads (columnar ground path: count, globally-sorted write, streamed sorted-fold datasetHashDistributed) and large-vs-large graph diff (shuffle anti-joins, broadcast disabled) over a 2-triples-per-lineitem-row ground graph, best-of-2, local[32]",
-         |  "sf01": {"triples": $n01, "canon_count_sec": $c01%.3f, "canon_write_sec": $w01%.3f, "dataset_hash_sec": $h01%.3f, "diff_sec": $d01%.3f},
-         |  "sf1":  {"triples": $n1, "canon_count_sec": $c1%.3f, "canon_write_sec": $w1%.3f, "dataset_hash_sec": $h1%.3f, "diff_sec": $d1%.3f},
-         |  "ratio_10x": {"canon_count": ${c1 / c01}%.2f, "canon_write": ${w1 / w01}%.2f, "dataset_hash": ${h1 / h01}%.2f, "diff": ${d1 / d01}%.2f}
+         |  "note": "canonical N-Quads (columnar ground path: count, globally-sorted write, streamed sorted-fold datasetHashDistributed, parallel merkleHash) and large-vs-large graph diff (shuffle anti-joins, broadcast disabled) over a 2-triples-per-lineitem-row ground graph, best-of-2, local[32]",
+         |  "sf01": {"triples": $n01, "canon_count_sec": $c01%.3f, "canon_write_sec": $w01%.3f, "dataset_hash_sec": $h01%.3f, "merkle_hash_sec": $m01%.3f, "diff_sec": $d01%.3f},
+         |  "sf1":  {"triples": $n1, "canon_count_sec": $c1%.3f, "canon_write_sec": $w1%.3f, "dataset_hash_sec": $h1%.3f, "merkle_hash_sec": $m1%.3f, "diff_sec": $d1%.3f},
+         |  "ratio_10x": {"canon_count": ${c1 / c01}%.2f, "canon_write": ${w1 / w01}%.2f, "dataset_hash": ${h1 / h01}%.2f, "merkle_hash": ${m1 / m01}%.2f, "diff": ${d1 / d01}%.2f}
          |}
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
