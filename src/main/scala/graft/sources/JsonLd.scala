@@ -1121,10 +1121,15 @@ object JsonLd {
     * default graph's nodes. */
   def serialize(g: RdfGraph): String = {
     val nf = JsonNodeFactory.instance
-    val prefixes = g.prefixes.toSeq.sortBy(-_._2.length)
+    // JSON-LD forbids the empty string as a context term, so a Turtle
+    // default-namespace binding (prefix "") cannot ride along — drop it
+    // from both the emitted context and the compaction table (IRIs in
+    // that namespace serialize expanded)
+    val named = g.prefixes.filter(_._1.nonEmpty)
+    val prefixes = named.toSeq.sortBy(-_._2.length)
     val doc = nf.objectNode()
     val ctx = doc.putObject("@context")
-    g.prefixes.toSeq.sortBy(_._1).foreach { case (p, ns) => ctx.put(p, ns) }
+    named.toSeq.sortBy(_._1).foreach { case (p, ns) => ctx.put(p, ns) }
     val graphArr = doc.putArray("@graph")
 
     def nodesInto(arr: ArrayNode, rows: Seq[org.apache.spark.sql.Row]): Unit =

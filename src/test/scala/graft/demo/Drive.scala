@@ -755,6 +755,31 @@ object Drive {
            SELECT ?p ?o { ex:Manhattan ?p ?o } ORDER BY ?p ?o""").show(false)
     }
 
+    println("=== r14: language-tag case survives JSON-LD; \\r survives RDF/XML:")
+    locally {
+      val e = Engine.inline(
+        """@prefix : <http://example.com/> .
+          :s :label "Hello"@en-US ; :note "line1\r\nline2" .
+        """)
+      val viaJsonLd = graft.sources.JsonLd.parse(
+        graft.sources.JsonLd.serialize(e.graph), spark)
+      val viaRdfXml = graft.sources.RdfXml.parse(
+        graft.sources.RdfXml.serialize(e.graph), spark)
+      println("--- original canonical:\n" + e.graph.canonicalNQuads())
+      println("--- via JSON-LD isomorphic: " + e.graph.isomorphic(viaJsonLd))
+      println("--- via RDF/XML isomorphic: " + e.graph.isomorphic(viaRdfXml))
+      Engine.fromGraph(viaJsonLd).select(
+        """SELECT ?l (LANG(?v) AS ?tag)
+             (langMatches(LANG(?v), "EN-us") AS ?matches) {
+             ?s <http://example.com/label> ?v BIND(STR(?v) AS ?l)
+           }""").show(false)
+      println("--- merkleHash (parallel address): " + e.graph.merkleHash())
+      println("--- merkleHash after repartition(5): " +
+        e.graph.copy(triples = e.graph.triples.repartition(5)).merkleHash())
+      println("--- datasetHash (document address, different space): " +
+        e.graph.datasetHash())
+    }
+
     spark.stop()
   }
 }
