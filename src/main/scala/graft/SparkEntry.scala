@@ -1003,10 +1003,17 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.8)
     }),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashGroups(read(s, dir, "documents"), "doc_id", "text")),
+      // md5 token hashing (promoted from rows-only in r14): each
+      // token's 64 bits are its md5 prefix, so DuckDB can replay the
+      // whole bit-vote; SimHashSpec pins md5==xxh64 banding behavior
+      Dedup.simhashGroups(read(s, dir, "documents"), "doc_id", "text",
+        md5Tokens = true)),
     "q_simhash_near" -> ((s, dir) =>
+      // exhaustive truth is exact here: 4-band pigeonhole recall is
+      // complete for hamming <= 3 and no band bucket nears the 256 cap
+      // on this corpus (max 28), so banded == brute all-pairs
       Dedup.simhashNearDupPairs(read(s, dir, "documents"), "doc_id", "text",
-        maxBits = 3)),
+        maxBits = 3, md5Tokens = true)),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, k = 3)),
@@ -4218,6 +4225,57 @@ object SparkEntry {
          FROM g a JOIN g b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.grams, b.grams)) /
            CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
+    "q_dedup_simhash" ->
+      // full simhash restatement (promoted from rows-only in r14): the
+      // engine's md5 token mode makes each token's 64 bits
+      // ('0x' || substr(md5(tok),1,16))::UBIGINT, so the oracle replays
+      // the whole per-bit sign vote and reinterprets the unsigned sum
+      // as the engine's signed long
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         hs AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+           FROM toks),
+         votes AS (SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hs CROSS JOIN (SELECT unnest(range(64)) AS b)
+           GROUP BY doc_id, b),
+         sh AS (SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+                 ELSE 0::HUGEINT END) AS u
+           FROM votes GROUP BY doc_id),
+         s AS (SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+             AS simhash FROM sh)
+         SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+         FROM s GROUP BY simhash""",
+    "q_simhash_near" ->
+      // exhaustive all-pairs truth (promoted from rows-only in r14):
+      // 4-band pigeonhole recall is COMPLETE for hamming <= 3, and no
+      // band bucket on this corpus nears the 256 cap (max 28), so the
+      // engine's banded self-join provably equals brute force here
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         hs AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+           FROM toks),
+         votes AS (SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hs CROSS JOIN (SELECT unnest(range(64)) AS b)
+           GROUP BY doc_id, b),
+         sh AS (SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+                 ELSE 0::HUGEINT END) AS u
+           FROM votes GROUP BY doc_id),
+         s AS (SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+             AS simhash FROM sh)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "q_dedup_minhash" ->
       // the SAME exhaustive truth as q_dedup_ngram: every true pair on
       // this corpus has jaccard ≥ 0.9, where 8-band×4-row banding recall

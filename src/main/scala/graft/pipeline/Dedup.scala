@@ -457,12 +457,21 @@ object Dedup {
     * expression (a tight JVM loop inside whole-stage codegen — the
     * functions-composed form below allocates two 64-element arrays per
     * TOKEN). Both forms produce identical hashes (PipelineSpec pins it). */
-  def simhash(text: Column): Column =
+  def simhash(text: Column): Column = simhash(text, md5Tokens = false)
+
+  /** [[simhash]] with a choice of token hash: xxhash64 (default — the
+    * fast production path) or md5-prefix (`md5Tokens = true` — each
+    * token's 64 bits are the first 8 bytes of its md5, i.e.
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT` in DuckDB/ANSI
+    * terms). The md5 mode exists so a SQL oracle can restate the full
+    * simhash; bit distributions and banding behavior are equivalent. */
+  def simhash(text: Column, md5Tokens: Boolean): Column =
     // child is a bare split (codegen'd); the expression skips the empty
     // slots itself, so no filter-HOF (CodegenFallback) enters the plan
     graft.expressions.ColumnBridge.column(
       graft.expressions.SimHash64(
-        graft.expressions.ColumnBridge.expression(F.split(text, " "))))
+        graft.expressions.ColumnBridge.expression(F.split(text, " ")),
+        md5Tokens))
 
   /** The `functions._`-composed reference form of [[simhash]] — kept for
     * the native-vs-composed parity test. */
@@ -489,8 +498,10 @@ object Dedup {
   /** SimHash dedup groups: rows with IDENTICAL simhash — the cheap exact
     * bucket. Near-dups that differ in a few bits need the banded variant
     * [[simhashNearDupPairs]]. */
-  def simhashGroups(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(F.col(id).as("rid"), simhash(F.col(text)).as("simhash"))
+  def simhashGroups(df: DataFrame, id: String, text: String,
+      md5Tokens: Boolean = false): DataFrame =
+    df.select(F.col(id).as("rid"),
+        simhash(F.col(text), md5Tokens).as("simhash"))
       .groupBy("simhash")
       .agg(F.count(F.lit(1)).as("n"), F.min("rid").as("keep_id"))
 
@@ -504,9 +515,11 @@ object Dedup {
     * buckets get coarser). `maxBucket` caps degenerate buckets like the
     * MinHash path. */
   def simhashNearDupPairs(df: DataFrame, id: String, text: String,
-      maxBits: Int = 3, maxBucket: Int = 256): DataFrame =
+      maxBits: Int = 3, maxBucket: Int = 256,
+      md5Tokens: Boolean = false): DataFrame =
     hammingNearDupPairs(
-      df.select(F.col(id).as("rid"), simhash(F.col(text)).as("sh")),
+      df.select(F.col(id).as("rid"),
+        simhash(F.col(text), md5Tokens).as("sh")),
       maxBits, maxBucket)
 
   /** Perceptual near-duplicate IMAGE pairs: 64-bit aHash/dHash

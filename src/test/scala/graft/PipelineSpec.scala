@@ -126,6 +126,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("md5 token mode: oracle-exact bit votes, same banding contract") {
+    import spark.implicits._
+    // the md5 mode exists so a SQL oracle can replay the simhash: each
+    // token's 64 bits must be EXACTLY the big-endian first 8 bytes of
+    // its md5 — pin the whole hash against an independent in-test
+    // re-computation of the bit votes
+    val docs2 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "completely different words here"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    def refSimhash(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        var h = 0L
+        (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xffL))
+        (0 until 64).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val got = docs2.select(F.col("doc_id"),
+        Dedup.simhash(F.col("text"), md5Tokens = true).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "completely different words here")).foreach { case (id, t) =>
+      assert(got(id) == refSimhash(t), s"doc $id md5-simhash mismatch")
+    }
+    assert(got(1L) == got(4L)) // identical text, identical hash
+    // banding contract holds identically in md5 mode: banded == brute
+    val words = (1 to 120).map(i => s"w$i")
+    val docs3 = ((1 to 40).map { i =>
+      (i.toLong, words.updated(i % words.size, s"CHANGED$i").mkString(" "))
+    } :+ (0L, words.mkString(" "))).toDF("doc_id", "text")
+    val hashes = docs3
+      .select(F.col("doc_id"),
+        Dedup.simhash(F.col("text"), md5Tokens = true).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashNearDupPairs(docs3, "doc_id", "text",
+        maxBits = 3, md5Tokens = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == expected)
+    // and the two modes are different hash families (same contract,
+    // different bits) — the production default stays xxh64
+    val xxh = docs3.select(Dedup.simhash(F.col("text")).as("sh"))
+      .collect().map(_.getLong(0)).toSet
+    assert(xxh != hashes.values.toSet)
+  }
+
   test("derived band count keeps recall complete for wider Hamming radii") {
     import spark.implicits._
     // maxBits = 6 ⇒ 7 bands of 9-10 bits; pigeonhole still guarantees
