@@ -44,7 +44,9 @@ import graft.rdf._
   *    overrides both ways (§4.1.9).
   *  - `@nest` keys (and aliases): purely syntactic grouping, entries
   *    expand onto the parent node; term-definition `@nest` members are
-  *    not supported.
+  *    validated (must expand to `@nest`) and otherwise inert here —
+  *    they only steer grouping during compaction, which this engine's
+  *    serializer does not perform with user contexts.
   *  - remote context REFERENCES resolve against a caller-supplied
   *    OFFLINE map of pre-fetched documents (`contexts` parameter);
   *    an unmapped reference fails loudly — the engine itself never
@@ -232,8 +234,19 @@ object JsonLd {
           val o = v.asInstanceOf[ObjectNode]
           o.fieldNames.forEachRemaining { k =>
             if (!Set("@id", "@type", "@language", "@container", "@reverse",
-                "@prefix", "@context").contains(k))
+                "@prefix", "@context", "@nest").contains(k))
               err(s"unsupported key '$k' in the definition of term '$term'")
+          }
+          // term-definition @nest (json-ld11 §9.15.1): names the nest key
+          // the term is grouped under when COMPACTING; expansion (toRdf,
+          // this reader) is unchanged, but the value must be valid —
+          // "@nest" itself or a term that expands to @nest
+          Option(o.get("@nest")).foreach { nv =>
+            if (!nv.isTextual) err(s"term '$term': @nest must be a string")
+            val nx = nv.asText
+            if (nx != "@nest" &&
+                expandWithLocal(nx, vocabMode = true) != "@nest")
+              err(s"term '$term': @nest value '$nx' must expand to @nest")
           }
           val reverse = o.has("@reverse")
           val idNode = if (reverse) o.get("@reverse") else o.get("@id")
