@@ -146,6 +146,49 @@ object Reasoner {
     g.insert(derived)
   }
 
+  /** [[rdfsClosure]] iterated to a fixpoint (or `rounds`, whichever
+    * first) — the completeness knob for the one corner a single
+    * stratified pass documents as out of contract: ontologies whose
+    * SCHEMA is itself derived, e.g. a property declared
+    * `⊑ rdfs:subPropertyOf` (so pass 1 derives new `subPropertyOf`
+    * edges that only feed rule 7 on pass 2). Each pass is the full
+    * WebPIE-shaped closure above; growth is monotone under set
+    * semantics, so an unchanged default-graph count IS the fixpoint.
+    * Most ontologies converge on pass 1 (the default single-pass call)
+    * and pay one extra count here; `rounds` caps runaway schemas the
+    * way the inner fixpoints cap at 64 doublings. Loud error if the
+    * cap is hit still growing — silent under-derivation is the failure
+    * mode this knob exists to remove. */
+  def rdfsClosure(g: RdfGraph, rounds: Int): RdfGraph = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = g.spark
+    var cur = rdfsClosure(g)
+    var prevCount = defaultTriples(cur).count()
+    var i = 1
+    var fixed = false
+    while (!fixed && i < rounds) {
+      // checkpoint between passes: each pass stacks ~6 joins of plan,
+      // and the next pass re-reads the whole frame many times
+      val snap0 = cur.triples.localCheckpoint(true)
+      val snap = spark.createDataFrame(snap0.rdd, snap0.schema)
+      val next = rdfsClosure(cur.copy(triples = snap))
+      val nextCount = defaultTriples(next).count()
+      fixed = nextCount == prevCount
+      cur = next
+      prevCount = nextCount
+      i += 1
+    }
+    if (!fixed && i == rounds && rounds > 1) {
+      // one more count-only probe so a capped run can't silently
+      // under-derive: if the last pass still grew, say so
+      val probe = defaultTriples(rdfsClosure(cur)).count()
+      if (probe != prevCount) throw new IllegalArgumentException(
+        s"rdfsClosure did not reach a fixpoint within $rounds rounds " +
+          s"(still deriving new triples; raise rounds)")
+    }
+    cur
+  }
+
   /** Canonicalization map of the owl:sameAs components of `g`'s
     * default graph: one row per non-canonical node, (node term →
     * canonical term), where the canonical representative is the

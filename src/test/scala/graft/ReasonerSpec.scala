@@ -92,6 +92,40 @@ class ReasonerSpec extends SparkSpec {
     assert(closed.contains(t(i("x"), typ, i("B"))), "then rdfs9")
   }
 
+  test("rounds knob closes subPropertyOf-of-subPropertyOf schemas") {
+    // the documented out-of-contract corner for one pass: :mySub is a
+    // SUB-PROPERTY-DECLARING property, so pass 1 derives the hierarchy
+    // edge (:a sp :b) and only pass 2 can lift instance triples over it
+    val g = graph(
+      (i("mySub"), sp, sp),
+      (i("a"), i("mySub"), i("b")),
+      (i("x"), i("a"), i("y")))
+    val onePass = tripleSet(Reasoner.rdfsClosure(g))
+    assert(onePass.contains(t(i("a"), sp, i("b"))),
+      "pass 1 derives the schema edge")
+    assert(!onePass.contains(t(i("x"), i("b"), i("y"))),
+      "one pass documents this as underived")
+    val fixed = tripleSet(Reasoner.rdfsClosure(g, rounds = 3))
+    assert(fixed.contains(t(i("x"), i("b"), i("y"))),
+      "the rounds knob closes it")
+    // fixpoint: another full pass adds nothing
+    assert(tripleSet(Reasoner.rdfsClosure(
+      Reasoner.rdfsClosure(g, rounds = 3))) == fixed)
+    // a deliberately-too-low cap on a still-growing schema errors loudly
+    // instead of silently under-deriving: chain two levels deep
+    val deep = graph(
+      (i("metaSub"), sp, sp),
+      (i("mySub2"), i("metaSub"), sp),
+      (i("a2"), i("mySub2"), i("b2")),
+      (i("x2"), i("a2"), i("y2")))
+    val err = intercept[IllegalArgumentException](
+      Reasoner.rdfsClosure(deep, rounds = 2))
+    assert(err.getMessage.contains("fixpoint"))
+    // and enough rounds close the same ontology
+    assert(tripleSet(Reasoner.rdfsClosure(deep, rounds = 4))
+      .contains(t(i("x2"), i("b2"), i("y2"))))
+  }
+
   test("closure is idempotent and keeps the input") {
     val g = graph(
       (i("A"), sc, i("B")), (i("p"), sp, i("q")),
