@@ -527,8 +527,14 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
       case v ~ vals => TableData(Seq(v), vals.map(Seq(_)))
     } |
     ("(" ~> rep(varName) <~ ")") ~
-      ("{" ~> rep("(" ~> rep(dataValue) <~ ")") <~ "}") ^^ {
-      case vars ~ rows => TableData(vars, rows)
+      ("{" ~> rep("(" ~> rep(dataValue) <~ ")") <~ "}") >> {
+      // §10.2.2: every data block row carries exactly one value per
+      // variable — a ragged row is a grammar-level error
+      case vars ~ rows => rows.find(_.length != vars.length) match {
+        case Some(bad) => err(s"VALUES row (${bad.length} values) does " +
+          s"not match the variable list (${vars.length} variables)")
+        case None => success(TableData(vars, rows))
+      }
     }
   }
 

@@ -30,7 +30,40 @@ object Validate {
 
   def select(q: SelectQuery): Unit = {
     projection(q)
+    // no nested aggregates anywhere an aggregate may appear: §18.5.1
+    // evaluates one aggregation step per group — SUM(COUNT(?x)) has no
+    // defined value
+    q.projection match {
+      case SelectVars(items) => items.foreach(i => noNestedAgg(i.expr))
+      case SelectAll => ()
+    }
+    q.mods.having.foreach(noNestedAgg(_))
+    q.mods.orderBy.foreach { case (e, _) => noNestedAgg(e) }
+    q.mods.groupBy.foreach {
+      case GroupExpr(e, _) => noNestedAgg(e)
+      case GroupVar(_) => ()
+    }
     pattern(q.where)
+  }
+
+  /** Rejects an aggregate WITHIN an aggregate's argument (at any
+    * depth); plain expressions over several aggregates are fine. */
+  private def noNestedAgg(e: Expr, inAgg: Boolean = false): Unit = e match {
+    case ExAgg(fn, _, arg, _) =>
+      if (inAgg) err(s"aggregate $fn nested inside another aggregate " +
+        "(one aggregation step per group — §18.5.1)")
+      arg.foreach(noNestedAgg(_, inAgg = true))
+    case ExExists(_, _) => () // validated by checkExpr/pattern
+    case ExOr(l, r) => noNestedAgg(l, inAgg); noNestedAgg(r, inAgg)
+    case ExAnd(l, r) => noNestedAgg(l, inAgg); noNestedAgg(r, inAgg)
+    case ExNot(x) => noNestedAgg(x, inAgg)
+    case ExCmp(_, l, r) => noNestedAgg(l, inAgg); noNestedAgg(r, inAgg)
+    case ExArith(_, l, r) => noNestedAgg(l, inAgg); noNestedAgg(r, inAgg)
+    case ExNegNum(x) => noNestedAgg(x, inAgg)
+    case ExIn(x, list, _) =>
+      noNestedAgg(x, inAgg); list.foreach(noNestedAgg(_, inAgg))
+    case ExCall(_, args) => args.foreach(noNestedAgg(_, inAgg))
+    case _ => ()
   }
 
   def construct(template: Seq[TriplePattern], where: GraphPattern): Unit =

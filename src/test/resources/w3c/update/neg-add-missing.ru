@@ -1,0 +1,1 @@
+ADD GRAPH <http://example/no-such> TO GRAPH <http://example/g1>

@@ -291,9 +291,17 @@ class W3cSparqlSpec extends SparkSpec {
           thrown.isInstanceOf[graft.sparql.SparqlParseException],
           s"${t.query}: expected a parse/compile rejection, got $thrown")
       } else if (t.positiveSyntax) {
-        // the query must parse and compile (grammar coverage — the
-        // plan is never executed)
-        Engine.inline("").selectRaw(queryText)
+        // the query must parse and compile, whatever its form (the
+        // empty store makes any execution trivial)
+        val form = "(?i)\\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\\b".r
+          .findFirstIn(queryText).map(_.toUpperCase).getOrElse("SELECT")
+        val e = Engine.inline("")
+        form match {
+          case "CONSTRUCT" => e.construct(queryText)
+          case "ASK" => e.ask(queryText)
+          case "DESCRIBE" => e.describe(queryText)
+          case _ => e.selectRaw(queryText)
+        }
       } else {
       // .trig data carries named graphs; .ttl is the default graph only
       val engine =
