@@ -168,7 +168,8 @@ class JsonLdSpec extends SparkSpec {
       (Iri(EX + "s"), Iri(EX + "plain"), Lit.plain("NoTag")),
       (Iri(EX + "s"), Iri(EX + "typed"),
         Lit("2024-01-01", XSD.ns + "date", null)),
-      (Iri(EX + "s"), Iri(EX + "tagged"), Lit.tagged("Hi", "en-us"))))
+      // r14 policy: language tags are case-PRESERVED in every reader
+      (Iri(EX + "s"), Iri(EX + "tagged"), Lit.tagged("Hi", "EN-US"))))
   }
 
   test("@value with both @type and @language is an error") {
