@@ -1936,7 +1936,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val all = parts.reduce(_ union _)
     all
       .where(F.col("s").isNotNull && F.col("p").isNotNull && F.col("o").isNotNull)
-      .where(F.col("s.kind") =!= KIND_LIT) // no literal subjects
+      // §16.2: instantiations that are not valid RDF triples are
+      // discarded, not errors — a literal subject, or a variable in
+      // predicate position that binds to anything but an IRI
+      .where(F.col("s.kind") =!= KIND_LIT)
+      .where(F.col("p.kind") === KIND_IRI)
       .dropDuplicates("s", "p", "o")
   }
 

@@ -462,7 +462,14 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   private sealed trait GgpElem
   private case class ETriples(ts: Seq[TriplePattern]) extends GgpElem
   private case class EFilter(e: Expr) extends GgpElem
-  private case class EOptional(p: GraphPattern) extends GgpElem
+  /** OPTIONAL group + its OWN top-level filters (hoisted to the
+    * LeftJoin condition per §18.2.2.5). Filters inside a NESTED group
+    * of the optional pattern are NOT top-level: they evaluate under
+    * the inner group's scope and never see the left side's bindings —
+    * matching on the folded Filter(...) root could not tell the two
+    * apart (a singleton nested group folds to the same shape). */
+  private case class EOptional(p: GraphPattern, topFilters: Seq[Expr])
+      extends GgpElem
   private case class EMinus(p: GraphPattern) extends GgpElem
   private case class EUnionGroup(p: GraphPattern) extends GgpElem
   private case class EBind(v: String, e: Expr) extends GgpElem
@@ -472,7 +479,11 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def groupGraphPatternSub: Parser[GraphPattern] = rep(ggpElem <~ opt(".")) ^^ fold
 
   private def ggpElem: Parser[GgpElem] =
-    kw("OPTIONAL") ~> groupGraphPattern ^^ EOptional.apply |
+    kw("OPTIONAL") ~> "{" ~> (
+      subSelect ^^ (p => EOptional(p, Nil)) |
+      rep(ggpElem <~ opt(".")) ^^ { elems =>
+        val (g, fs) = foldParts(elems); EOptional(g, fs)
+      }) <~ "}" |
     kw("MINUS") ~> groupGraphPattern ^^ EMinus.apply |
     kw("FILTER") ~> constraint ^^ EFilter.apply |
     kw("BIND") ~> "(" ~> expression ~ (kw("AS") ~> varName) <~ ")" ^^ {
@@ -499,15 +510,19 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
   def constraint: Parser[Expr] = bracketted | builtInCall | existsExpr | iriOrFunction
 
   private def fold(elems: Seq[GgpElem]): GraphPattern = {
+    val (g, filters) = foldParts(elems)
+    if (filters.nonEmpty) Filter(g, filters) else g
+  }
+
+  /** Group fold, top-level filters returned separately (the OPTIONAL
+    * rule needs them BEFORE they wrap the group). */
+  private def foldParts(elems: Seq[GgpElem]): (GraphPattern, Seq[Expr]) = {
     var g: GraphPattern = Unit0
     var filters = Vector.empty[Expr]
     def join(r: GraphPattern): Unit = g = if (g == Unit0) r else Join(g, r)
     elems.foreach {
       case ETriples(ts) => join(Bgp(ts))
-      case EOptional(p) => p match {
-        case Filter(inner, fs) => g = LeftJoin(g, inner, fs)
-        case _ => g = LeftJoin(g, p, Nil)
-      }
+      case EOptional(p, fs) => g = LeftJoin(g, p, fs)
       case EMinus(p) => g = Minus(g, p)
       case EUnionGroup(p) => join(p)
       case EBind(v, e) => g = Extend(g, v, e)
@@ -515,7 +530,7 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
       case ESub(p) => join(p)
       case EFilter(e) => filters :+= e
     }
-    if (filters.nonEmpty) Filter(g, filters) else g
+    (g, filters)
   }
 
   def inlineData: Parser[TableData] = {

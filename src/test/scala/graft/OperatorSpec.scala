@@ -167,6 +167,23 @@ class OperatorSpec extends SparkSpec {
     assert(g.size == 6)
   }
 
+  test("CONSTRUCT discards invalid instantiations (§16.2)") {
+    // a variable in predicate position that binds to a literal, and a
+    // variable in subject position that binds to a literal, are not
+    // valid RDF triples — skipped, not errors (found by QueryModelSpec
+    // fuzzing, pinned here)
+    val e = Engine.inline(
+      """@prefix : <http://example.com/> .
+        :s :p "lit" . :s :q :o .
+      """)
+    val g = e.construct(
+      """PREFIX : <http://example.com/>
+         CONSTRUCT { :a ?o :b . ?o :p2 :c . :d :p3 ?o } WHERE { :s ?p ?o }""")
+    // ?o ∈ { "lit", :o }: predicate slot keeps only :o; subject slot
+    // keeps only :o; object slot keeps both
+    assert(g.size == 4, Engine.fromGraph(g).ttl())
+  }
+
   test("INSERT WHERE forward chaining is idempotent (rule_1 shape)") {
     // Inference_Over_RDF_Containers.ipynb:451-459, 823-833
     val e = fresh()

@@ -544,7 +544,15 @@ class QueryModelSpec extends SparkSpec {
     assert(nonEmpty > 10, s"only $nonEmpty non-empty results — generator bug?")
   }
 
-  for (seed <- Seq(7, 19, 31, 43, 59)) {
+
+  /** Extra fuzz seeds from the environment (comma-separated ints) —
+    * lets a deep one-off run widen every arm without editing the
+    * pinned seed lists. */
+  private val extraSeeds: Seq[Int] =
+    sys.env.get("GRAFT_MODEL_SEEDS_EXTRA").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
+
+  for (seed <- Seq(7, 19, 31, 43, 59) ++ extraSeeds) {
     test(s"random algebra trees match the reference evaluation (seed $seed)") {
       runRandomQueries(seed, Engine.inline(turtle),
         db.map { case (s, p, o) => (s, p, o, None) }, graphs = false)
@@ -582,7 +590,7 @@ class QueryModelSpec extends SparkSpec {
         (rt(s), rt(p), rt(o), g.map(rt)) }, Map("ex" -> EX)))
   }
 
-  for (seed <- Seq(13, 29, 53)) {
+  for (seed <- Seq(13, 29, 53) ++ extraSeeds.map(_ + 1000)) {
     test(s"random GRAPH algebra trees match the reference evaluation (seed $seed)") {
       runRandomQueries(seed, quadEngine, quadDb, graphs = true)
     }
@@ -649,7 +657,12 @@ class QueryModelSpec extends SparkSpec {
 
   // ---------------------------------------------------- CONSTRUCT arm
 
-  for (seed <- Seq(23, 37)) {
+  for (seed <- Seq(23, 37) ++ extraSeeds.map(_ + 2000)) {
+    // the non-empty sanity floor guards against a degenerate generator;
+    // it is calibrated on the PINNED seeds (env-extra fuzz seeds only
+    // check engine==model — a seed whose random templates mostly
+    // instantiate to invalid/discarded triples is fine)
+    val nonEmptyFloor = if (Seq(23, 37).contains(seed)) 5 else 0
     test(s"random CONSTRUCT templates match the reference evaluation (seed $seed)") {
       val rnd = new Random(seed)
       val eng = Engine.inline(turtle)
@@ -702,11 +715,12 @@ class QueryModelSpec extends SparkSpec {
             s"(${got.size})\nmodel =${want.take(5)} (${want.size})")
         if (want.nonEmpty) nonEmpty += 1
       }
-      assert(nonEmpty > 5, s"only $nonEmpty non-empty results — generator bug?")
+      assert(nonEmpty > nonEmptyFloor,
+        s"only $nonEmpty non-empty results — generator bug?")
     }
   }
 
-  for (seed <- Seq(17, 41, 67)) {
+  for (seed <- Seq(17, 41, 67) ++ extraSeeds.map(_ + 3000)) {
     test(s"random aggregate queries match the reference evaluation (seed $seed)") {
       val rnd = new Random(seed)
       val eng = Engine.inline(turtle)

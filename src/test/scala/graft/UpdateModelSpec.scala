@@ -106,7 +106,12 @@ class UpdateModelSpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getStruct(3).getString(1)))
     }
 
-  for (seed <- Seq(11, 23, 47)) {
+
+  private val extraSeeds: Seq[Int] =
+    sys.env.get("GRAFT_MODEL_SEEDS_EXTRA").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
+
+  for (seed <- Seq(11, 23, 47) ++ extraSeeds) {
     test(s"random op sequences match the reference model (seed $seed)") {
       val rnd = new Random(seed)
       val graphs = Seq(s"${EX}g1", s"${EX}g2", s"${EX}g3")
