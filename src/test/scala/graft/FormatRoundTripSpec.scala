@@ -135,7 +135,13 @@ class FormatRoundTripSpec extends SparkSpec {
 
   // ------------------------------------------------------- the runs
 
-  for (round <- 1 to 3) {
+  /** Extra rounds from the environment — a deep one-off fuzz runs many
+    * more random graphs through every serializer pair without editing
+    * the pinned 3-round default. */
+  private val rounds: Int =
+    sys.env.get("GRAFT_ROUNDTRIP_ROUNDS").map(_.toInt).getOrElse(3)
+
+  for (round <- 1 to rounds) {
     test(s"Turtle round-trips a random hostile graph (round $round)") {
       // Turtle carries everything incl. quoted triples
       val g = graphOf(randTriples(30, bnodes = true, quoted = true))
