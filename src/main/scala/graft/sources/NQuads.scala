@@ -40,9 +40,22 @@ object NQuads {
       "g", Terms.termType, nullable = true))
 
   /** Read .nq / .nq.gz into a QUAD store (g null = default graph). */
-  def read(spark: SparkSession, path: String): RdfGraph = {
+  /** Strict/lenient line contract, same as [[NTriples.parseLineChecked]]. */
+  def parseLineChecked(line: String, lenient: Boolean): Option[Row] =
+    try parseLine(line)
+    catch {
+      case e if scala.util.control.NonFatal(e) =>
+        if (lenient) None
+        else throw new graft.GraftException(
+          s"malformed N-Quads line: $line", e)
+    }
+
+  /** Read .nq / .nq.gz. Strict by default — a malformed line fails the
+    * read naming the line; `lenient = true` skips malformed lines. */
+  def read(spark: SparkSession, path: String,
+      lenient: Boolean = false): RdfGraph = {
     val lines = spark.read.textFile(path)
-    val rows = lines.rdd.flatMap(parseLine)
+    val rows = lines.rdd.flatMap(parseLineChecked(_, lenient))
     val df = spark.createDataFrame(rows, quadType)
       .dropDuplicates("s", "p", "o", "g")
     RdfGraph(df, RdfGraph.defaultPrefixes)

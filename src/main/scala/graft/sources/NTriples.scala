@@ -90,10 +90,29 @@ object NTriples {
     }
   }
 
-  /** Read .nt / .nt.gz into a triples DataFrame. */
-  def read(spark: SparkSession, path: String): RdfGraph = {
+  /** [[parseLine]] with the documented failure contract: a malformed
+    * line raises ONE exception type naming the line (strict — the
+    * default, so corrupt data cannot silently vanish), or is dropped
+    * when `lenient` (crawl-scale ingest where a bad line must not kill
+    * a 1000-executor job). The hand-rolled [[parseTerm]] fails fast
+    * with whatever low-level error the corruption hits first; this
+    * wrapper is the boundary that turns that into policy. */
+  def parseLineChecked(line: String, lenient: Boolean): Option[Row] =
+    try parseLine(line)
+    catch {
+      case e if scala.util.control.NonFatal(e) =>
+        if (lenient) None
+        else throw new graft.GraftException(
+          s"malformed N-Triples line: $line", e)
+    }
+
+  /** Read .nt / .nt.gz into a triples DataFrame. Strict by default —
+    * a malformed line fails the read with the offending line in the
+    * message; `lenient = true` skips malformed lines instead. */
+  def read(spark: SparkSession, path: String,
+      lenient: Boolean = false): RdfGraph = {
     val lines = spark.read.textFile(path)
-    val rows = lines.rdd.flatMap(parseLine)
+    val rows = lines.rdd.flatMap(parseLineChecked(_, lenient))
     val df = spark.createDataFrame(rows, Terms.tripleType)
       .dropDuplicates("s", "p", "o")
     RdfGraph(df, RdfGraph.defaultPrefixes)

@@ -76,10 +76,13 @@ object RdfXml {
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.IS_REPLACING_ENTITY_REFERENCES, true)
     f.setProperty(XMLInputFactory.IS_COALESCING, true)
-    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
     val st = new State(base)
     val prefixes = scala.collection.mutable.Map[String, String]()
+    // the reader's CONSTRUCTION already parses the XML declaration, so
+    // it sits inside the same rejection wrapper as the event loop
+    var r: XMLStreamReader = null
     try {
+      r = f.createXMLStreamReader(new java.io.StringReader(xml))
       // document element: rdf:RDF wrapping node elements, or a single
       // bare node element (REC production 7.2.8 allows either)
       var ev = r.next()
@@ -100,7 +103,24 @@ object RdfXml {
           e = r.next()
         }
       } else nodeElement(r, st, base, "")
-    } finally r.close()
+    } catch {
+      // malformed XML surfaces as the StAX implementation's own
+      // exception type — wrap it so a caller sees ONE documented
+      // rejection for "not RDF/XML", whatever the corruption
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new RdfXmlParseException(
+          s"not well-formed XML: ${e.getMessage}")
+      case e: RuntimeException
+          if e.getCause.isInstanceOf[javax.xml.stream.XMLStreamException] =>
+        // Woodstox reports errors from LAZY text access as an unchecked
+        // wrapper (WstxLazyException) around the real stream exception
+        throw new RdfXmlParseException(
+          s"not well-formed XML: ${e.getCause.getMessage}")
+      case e: java.util.NoSuchElementException =>
+        // reader exhausted mid-document (truncated input)
+        throw new RdfXmlParseException(
+          s"unexpected end of document: ${e.getMessage}")
+    } finally if (r != null) r.close()
     (st.out.toSeq, prefixes.toMap)
   }
 

@@ -90,9 +90,13 @@ class Parser(initialPrefixes: Map[String, String] = Map.empty,
           case 'b' => sb += '\b'; case 'f' => sb += '\f'
           case '"' => sb += '"'; case '\'' => sb += '\''; case '\\' => sb += '\\'
           case 'u' =>
+            if (i + 6 > s.length) throw new graft.GraftException(
+              "truncated \\u escape (needs 4 hex digits)")
             sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 4
           case 'U' =>
+            if (i + 10 > s.length) throw new graft.GraftException(
+              "truncated \\U escape (needs 8 hex digits)")
             sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
             i += 8
           case other =>

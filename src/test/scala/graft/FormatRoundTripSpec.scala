@@ -133,6 +133,24 @@ class FormatRoundTripSpec extends SparkSpec {
       graft.sources.RdfXml.parse(graft.sources.RdfXml.serialize(g), spark))
   }
 
+  test("N-Triples read: strict names the malformed line; lenient skips it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntbad").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/bad.nt"),
+      "<http://e/s> <http://e/p> \"ok\" .\n" +
+        "<http://e/s> <http://e/p> \"unterminated .\n" + // no closing quote
+        "<http://e/s2> <http://e/p> \"ok2\" .\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.NTriples.read(spark, s"$dir/bad.nt").triples.count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[GraftException] &&
+      c.getMessage.contains("unterminated")),
+      s"strict read must surface the documented error naming the line: $e")
+    val g = graft.sources.NTriples.read(spark, s"$dir/bad.nt", lenient = true)
+    assert(g.size == 2, "lenient read keeps exactly the well-formed lines")
+  }
+
   // ------------------------------------------------------- the runs
 
   /** Extra rounds from the environment — a deep one-off fuzz runs many
