@@ -188,7 +188,14 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
     // results documents never need DTDs; disabling closes the XXE hole
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.createXMLStreamReader(in, "UTF-8")
+    // construction already parses the XML declaration — same
+    // documented-IOException contract as the event loop in next()
+    try f.createXMLStreamReader(in, "UTF-8")
+    catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new java.io.IOException(
+          s"malformed results XML: ${e.getMessage}")
+    }
   }
   private var done = false
   private var current: InternalRow = _
@@ -270,7 +277,7 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
     }
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean = try {
     if (done) return false
     val byVar = scala.collection.mutable.HashMap[String, InternalRow]()
     var inResult = false
@@ -296,6 +303,21 @@ private[sources] class XmlResultDecoder(in: InputStream, vars: Array[String])
     }
     done = true
     false
+  } catch {
+    // a malformed response surfaces as the StAX implementation's own
+    // exception family (incl. Woodstox's unchecked lazy wrapper, and
+    // NoSuchElement on a truncated stream) — fold them into the
+    // decoders' one documented failure type so a bad endpoint reply
+    // cannot kill an executor task with an implementation artifact
+    case e: javax.xml.stream.XMLStreamException =>
+      throw new java.io.IOException(s"malformed results XML: ${e.getMessage}")
+    case e: RuntimeException
+        if e.getCause.isInstanceOf[javax.xml.stream.XMLStreamException] =>
+      throw new java.io.IOException(
+        s"malformed results XML: ${e.getCause.getMessage}")
+    case e: java.util.NoSuchElementException =>
+      throw new java.io.IOException(
+        s"truncated results XML: ${e.getMessage}")
   }
 
   override def get(): InternalRow = current
@@ -329,8 +351,20 @@ private[sources] class TsvResultDecoder(in: InputStream, vars: Array[String])
     var i = 0
     while (i < fields.length && i < header.length) {
       val f = fields(i).trim
-      if (f.nonEmpty)
-        byVar(header(i)) = ResultDecoders.row(TsvTerm.parse(f))
+      if (f.nonEmpty) {
+        // a malformed term field folds into the decoders' one
+        // documented failure type, whatever low-level error the
+        // corruption hits first inside the Turtle-term scanner
+        val t =
+          try TsvTerm.parse(f)
+          catch {
+            case e: java.io.IOException => throw e
+            case e if scala.util.control.NonFatal(e) =>
+              throw new java.io.IOException(
+                s"cannot parse TSV term '$f': ${e.getMessage}")
+          }
+        byVar(header(i)) = ResultDecoders.row(t)
+      }
       i += 1
     }
     current = InternalRow.fromSeq(vars.toSeq.map(v => byVar.getOrElse(v, null)))
