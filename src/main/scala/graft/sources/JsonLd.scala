@@ -756,14 +756,33 @@ object JsonLd {
       }
     }
 
+    def keyOf(item: JsonNode, kw: String): Boolean =
+      item.isObject && {
+        var has = false
+        item.fieldNames.forEachRemaining(k =>
+          if (expandIri(ctx, k, vocabMode = true, docRel = false) == kw)
+            has = true)
+        has
+      }
     for ((_, _, v) <- byExpanded.getOrElse("@graph", Nil)) {
       // a node that carries @id + @graph names a graph; a bare @graph
       // (the document-level wrapper) stays in the active graph
       val target = if (byExpanded.contains("@id")) Some(id) else g
-      asArray(v).foreach(item => termOf(item, ctx, TermDef(null), st, target))
+      asArray(v).foreach { item =>
+        // free-floating LIST objects drop in toRdf (expansion removes
+        // value/list objects with no enclosing property) — without the
+        // skip their rdf:first/rest scaffolding would leak; bare
+        // scalars and value objects already yield no triples here
+        if (!keyOf(item, "@list")) termOf(item, ctx, TermDef(null), st, target)
+      }
     }
     for ((_, _, v) <- byExpanded.getOrElse("@included", Nil))
-      asArray(v).foreach(item => termOf(item, ctx, TermDef(null), st, g))
+      asArray(v).foreach { item =>
+        // §4.7: @included carries NODE objects only
+        if (!item.isObject || keyOf(item, "@value") || keyOf(item, "@list"))
+          err("@included entries must be node objects")
+        termOf(item, ctx, TermDef(null), st, g)
+      }
 
     def processProp(orig: String, expanded: String, v: JsonNode): Unit = {
       if (expanded == "@nest") {
