@@ -36,6 +36,13 @@ case class CmsAgg(
     child: Expression,
     depth: Int,
     width: Int,
+    /** true (default): the md5 recipe above — one SQL oracle can
+      * regenerate every counter. false: xxhash64 over the same
+      * `tok || '#' || d` seeding (bit-identical to
+      * `xxhash64(concat(tok, '#', d))` in Spark SQL) — ~an order of
+      * magnitude cheaper per row for 100 TB production scans; the
+      * prefilter's no-false-negative exactness is hash-agnostic. */
+    md5Buckets: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -63,7 +70,7 @@ case class CmsAgg(
       val tok = v.asInstanceOf[UTF8String]
       var d = 0
       while (d < depth) {
-        b(d * width + CmsAgg.bucket(tok, d, width)) += 1L
+        b(d * width + CmsAgg.bucket(tok, d, width, md5Buckets)) += 1L
         d += 1
       }
     }
@@ -111,7 +118,20 @@ object CmsAgg {
   /** Row-`d` bucket of one token: top 60 bits of `md5(tok || '#' || d)`
     * as a non-negative long, mod width — bit-identical to
     * `conv(substr(md5(concat(tok, '#', d)), 1, 15), 16, 10) % width`. */
-  def bucket(tok: UTF8String, d: Int, width: Int): Int = {
+  def bucket(tok: UTF8String, d: Int, width: Int,
+      md5Buckets: Boolean = true): Int = {
+    if (!md5Buckets) {
+      // xxhash64(concat(tok, '#', d)) with Spark's default seed, then a
+      // non-negative mod — matches the column-side probe bit-for-bit
+      val suffix = ("#" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bytes = new Array[Byte](tok.numBytes + suffix.length)
+      tok.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      System.arraycopy(suffix, 0, bytes, tok.numBytes, suffix.length)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+      return (((h % width) + width) % width).toInt
+    }
     val dig = md5.get()
     dig.reset()
     dig.update(tok.getBytes)

@@ -32,9 +32,9 @@ object Sketches {
     * `width` at the default few-K for a prefilter (error ≤ 2n/width
     * with probability 1 − 2^−depth). */
   def cmsSketch(df: DataFrame, col: String, depth: Int = 4,
-      width: Int = 4096): Array[Long] = {
+      width: Int = 4096, md5Buckets: Boolean = true): Array[Long] = {
     val sketch = ColumnBridge.column(
-      CmsAgg(ColumnBridge.expression(F.col(col)), depth, width)
+      CmsAgg(ColumnBridge.expression(F.col(col)), depth, width, md5Buckets)
         .toAggregateExpression())
     df.agg(sketch.as("m")).head().getSeq[Long](0).toArray
   }
@@ -45,14 +45,18 @@ object Sketches {
     * (restatable in SQL: `conv(substr(md5(tok || '#' || d), 1, 15),
     * 16, 10) % width`). Never under the true count. */
   def cmsEstimate(tok: Column, sketch: Array[Long], depth: Int = 4,
-      width: Int = 4096): Column = {
+      width: Int = 4096, md5Buckets: Boolean = true): Column = {
     require(sketch.length == depth * width,
       s"sketch length ${sketch.length} != depth*width ${depth * width}")
     val lit = F.typedlit(sketch.toSeq)
     val rows = (0 until depth).map { d =>
-      val bucket = F.conv(F.substring(
-        F.md5(F.concat(tok, F.lit("#" + d))), 1, 15), 16, 10)
-        .cast(LongType) % width
+      val bucket =
+        if (md5Buckets)
+          F.conv(F.substring(
+            F.md5(F.concat(tok, F.lit("#" + d))), 1, 15), 16, 10)
+            .cast(LongType) % width
+        else // the fast production recipe — must match CmsAgg.bucket
+          F.pmod(F.xxhash64(F.concat(tok, F.lit("#" + d))), F.lit(width.toLong))
       F.element_at(lit, (F.lit(d * width) + bucket + 1).cast(IntegerType))
     }
     if (rows.length == 1) rows.head else F.least(rows: _*)
@@ -65,11 +69,12 @@ object Sketches {
     * the whole corpus. Returns (item, cnt), exact and deterministic:
     * identical to `GROUP BY item HAVING count(*) >= minCount`. */
   def heavyHitters(df: DataFrame, col: String, minCount: Long,
-      depth: Int = 4, width: Int = 4096): DataFrame = {
+      depth: Int = 4, width: Int = 4096,
+      md5Buckets: Boolean = true): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val sk = cmsSketch(df, col, depth, width)
+    val sk = cmsSketch(df, col, depth, width, md5Buckets)
     df.where(F.col(col).isNotNull &&
-        cmsEstimate(F.col(col), sk, depth, width) >= minCount)
+        cmsEstimate(F.col(col), sk, depth, width, md5Buckets) >= minCount)
       .groupBy(F.col(col).as("item"))
       .agg(F.count(F.lit(1)).as("cnt"))
       .where(F.col("cnt") >= minCount)

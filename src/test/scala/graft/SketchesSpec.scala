@@ -62,6 +62,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("xxhash64 bucket mode: same exact answer, probe matches the agg") {
+    // the fast production recipe (md5Buckets = false): exactness is
+    // hash-agnostic — CMS never under-counts in either mode — so the
+    // prefiltered result equals GROUP BY ... HAVING identically
+    val df = corpus.toDF("tok")
+    for (threshold <- Seq(2L, 64L, 300L)) {
+      val got = Sketches.heavyHitters(df, "tok", threshold,
+          md5Buckets = false)
+        .as[(String, Long)].collect().toMap
+      val want = corpus.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= threshold).toMap
+      assert(got === want, s"xx mode threshold=$threshold")
+    }
+    // and the column-side probe regenerates the aggregate's buckets:
+    // estimates never under-count the true frequency
+    val sk = Sketches.cmsSketch(df, "tok", md5Buckets = false)
+    val est = df.groupBy("tok").count()
+      .withColumn("est",
+        Sketches.cmsEstimate(F.col("tok"), sk, md5Buckets = false))
+      .where(F.col("est") < F.col("count"))
+    assert(est.isEmpty, "xx-mode estimate under-counted")
+  }
+
   test("null tokens contribute nothing and never surface") {
     val df = (corpus.map(Option(_)) ++ Seq.fill(50)(None)).toDF("tok")
     val sk = Sketches.cmsSketch(df, "tok")
