@@ -743,6 +743,96 @@ object SparkEntry {
           F.col("st.dup_line_char_frac").as("dup_line_char_frac"),
           F.col("top_bigram_frac"))
     }),
+    "q_c4_filter" -> ((s, dir) => {
+      // C4 line+page rules; doc_id arithmetic plants every rule's
+      // trigger: a javascript line, an unpunctuated line, a short line,
+      // lorem-ipsum pages (%7), code pages (%11), and a third kept
+      // sentence only on even ids (odd ids fail the 3-line floor)
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.col("text"), F.lit("."),
+          F.lit("\nShort line."),
+          F.lit("\nThis line mentions javascript and cookies."),
+          F.lit("\nNo terminal punctuation here at all"),
+          F.when(F.col("doc_id") % 7 === 0,
+            F.lit("\nLorem ipsum dolor sit amet, consectetur."))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 11 === 0,
+            F.lit("\nvar f = function() { return 1; };"))
+            .otherwise(F.lit("")),
+          F.lit("\nThis second valid sentence has enough words."),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.lit("\nA third fully valid sentence appears here!"))
+            .otherwise(F.lit(""))).as("text"))
+      TextAnalysis.c4Filter(docs, "doc_id", "text")
+    }),
+    "q_gopher_quality" -> ((s, dir) => {
+      // Gopher Table-A1 gate; the planted tails push different docs over
+      // different thresholds (symbol ratio %5, bullet lines %4, ellipsis
+      // lines %6) while short base docs fail word-count/alpha on their own
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.col("text"),
+          F.lit(" the data pipeline should be made of filters that have teeth with care."),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.lit(" ### ### ### ### ### ### ### ###")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 4 === 0,
+            F.lit("\n• bullet one\n• bullet two\n• bullet three\n• bullet four"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 6 === 0,
+            F.lit("\nto be continued...\nand more..."))
+            .otherwise(F.lit(""))).as("text"))
+      docs.select(F.col("doc_id"),
+          TextAnalysis.gopherQuality(F.col("text")).as("g"))
+        .select(F.col("doc_id"), F.col("g.n_words").as("n_words"),
+          F.col("g.mean_word_len").as("mean_word_len"),
+          F.col("g.symbol_word_ratio").as("symbol_word_ratio"),
+          F.col("g.bullet_line_frac").as("bullet_line_frac"),
+          F.col("g.ellipsis_line_frac").as("ellipsis_line_frac"),
+          F.col("g.alpha_word_frac").as("alpha_word_frac"),
+          F.col("g.stopword_hits").as("stopword_hits"),
+          F.col("g.passes").as("passes"))
+    }),
+    "q_gopher_repetition" -> ((s, dir) => {
+      // Table-A1 repetition gates; plants trip different rules per doc:
+      // %3 a duplicated 9-word sentence (dup 5..9-grams), %5 n-gram spam
+      // (top 2/3/4), %4 duplicated lines, %6 duplicated paragraphs
+      val rep = "the quick brown fox jumps over the lazy dog"
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.lit(s" $rep and then $rep")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.lit(" data data data data data data")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 4 === 0,
+            F.lit("\nrepeat me\nrepeat me")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 6 === 0,
+            F.lit("\n\nsecond paragraph text\n\nsecond paragraph text"))
+            .otherwise(F.lit(""))).as("text"))
+      docs.select(F.col("doc_id"),
+          TextAnalysis.gopherRepetition(F.col("text")).as("g"))
+        .select("doc_id", "g.*")
+    }),
+    "q_c4_span_dedup" -> ((s, dir) => {
+      // every doc carries the same 3-line footer (the global first
+      // occurrence keeps it); %7 docs also repeat a 3-line block twice,
+      // making overlapping spans (footer|block boundaries) duplicated
+      // across exactly the %7 docs — the oracle replays §2.2 verbatim
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.lit("doc "), F.col("doc_id"), F.lit(" opening line"),
+          F.lit("\nshared footer alpha\nshared footer beta" +
+            "\nshared footer gamma"),
+          F.when(F.col("doc_id") % 7 === 0,
+            F.concat(F.lit("\nblock one\nblock two\nblock three\nmid "),
+              F.col("doc_id"),
+              F.lit("\nblock one\nblock two\nblock three")))
+            .otherwise(F.lit("")),
+          F.lit("\ndoc "), F.col("doc_id"), F.lit(" closing line"))
+          .as("text"))
+      TextAnalysis.dedupSpans(docs, "doc_id", "text")
+    }),
     "q_quantize" -> ((s, dir) => {
       // int8 storage quantization: exact integer checksums + the scale
       val qv = Similarity.quantizeInt8(F.col("embedding"))
@@ -3274,6 +3364,140 @@ object SparkEntry {
              AS hamming
          FROM codes, q WHERE vec_id <> 0
          ORDER BY hamming, vec_id LIMIT 20""",
+    "q_gopher_repetition" ->
+      // the same staged recipe: per-n gram lists, sorted-run top counts
+      // (ties to the smallest gram), duplicated-gram coverage windows,
+      // O(L²) unit stats on the short line/paragraph lists; every frac
+      // is one division rounded to 6 dp before thresholding
+      """WITH d AS (SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ' the quick brown fox jumps over the lazy dog and then the quick brown fox jumps over the lazy dog'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' data data data data data data'
+               ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN
+               chr(10) || 'repeat me' || chr(10) || 'repeat me'
+               ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0 THEN
+               chr(10) || chr(10) || 'second paragraph text' ||
+               chr(10) || chr(10) || 'second paragraph text'
+               ELSE '' END AS text
+           FROM documents),
+         b AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lns,
+             list_filter(string_split(text, chr(10) || chr(10)), p -> p <> '') AS prs
+           FROM d),
+         g AS (SELECT doc_id, text, w, lns, prs,
+             CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) ELSE []::VARCHAR[] END AS g2,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3,
+             CASE WHEN len(w) >= 4 THEN list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')) ELSE []::VARCHAR[] END AS g4,
+             CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) ELSE []::VARCHAR[] END AS g5,
+             CASE WHEN len(w) >= 6 THEN list_transform(range(1, len(w) - 4), i -> array_to_string(w[i:i+5], ' ')) ELSE []::VARCHAR[] END AS g6,
+             CASE WHEN len(w) >= 7 THEN list_transform(range(1, len(w) - 5), i -> array_to_string(w[i:i+6], ' ')) ELSE []::VARCHAR[] END AS g7,
+             CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) ELSE []::VARCHAR[] END AS g8,
+             CASE WHEN len(w) >= 9 THEN list_transform(range(1, len(w) - 7), i -> array_to_string(w[i:i+8], ' ')) ELSE []::VARCHAR[] END AS g9,
+             CASE WHEN len(w) >= 10 THEN list_transform(range(1, len(w) - 8), i -> array_to_string(w[i:i+9], ' ')) ELSE []::VARCHAR[] END AS g10
+           FROM b),
+         s AS (SELECT *, list_sort(g2) AS s2, list_sort(g3) AS s3,
+             list_sort(g4) AS s4, list_sort(g5) AS s5, list_sort(g6) AS s6,
+             list_sort(g7) AS s7, list_sort(g8) AS s8, list_sort(g9) AS s9,
+             list_sort(g10) AS s10
+           FROM g),
+         st AS (SELECT *,
+             list_filter(range(1, len(s2) + 1), i -> i = 1 OR s2[i] <> s2[i-1]) AS st2,
+             list_filter(range(1, len(s3) + 1), i -> i = 1 OR s3[i] <> s3[i-1]) AS st3,
+             list_filter(range(1, len(s4) + 1), i -> i = 1 OR s4[i] <> s4[i-1]) AS st4,
+             list_distinct(list_filter(list_transform(range(1, len(s5)), i -> CASE WHEN s5[i] = s5[i+1] THEN s5[i] END), x -> x IS NOT NULL)) AS d5,
+             list_distinct(list_filter(list_transform(range(1, len(s6)), i -> CASE WHEN s6[i] = s6[i+1] THEN s6[i] END), x -> x IS NOT NULL)) AS d6,
+             list_distinct(list_filter(list_transform(range(1, len(s7)), i -> CASE WHEN s7[i] = s7[i+1] THEN s7[i] END), x -> x IS NOT NULL)) AS d7,
+             list_distinct(list_filter(list_transform(range(1, len(s8)), i -> CASE WHEN s8[i] = s8[i+1] THEN s8[i] END), x -> x IS NOT NULL)) AS d8,
+             list_distinct(list_filter(list_transform(range(1, len(s9)), i -> CASE WHEN s9[i] = s9[i+1] THEN s9[i] END), x -> x IS NOT NULL)) AS d9,
+             list_distinct(list_filter(list_transform(range(1, len(s10)), i -> CASE WHEN s10[i] = s10[i+1] THEN s10[i] END), x -> x IS NOT NULL)) AS d10
+           FROM s),
+         cn AS (SELECT *,
+             list_transform(range(1, len(st2) + 1), k -> CASE WHEN k < len(st2) THEN st2[k+1] - st2[k] ELSE len(s2) + 1 - st2[k] END) AS cn2,
+             list_transform(range(1, len(st3) + 1), k -> CASE WHEN k < len(st3) THEN st3[k+1] - st3[k] ELSE len(s3) + 1 - st3[k] END) AS cn3,
+             list_transform(range(1, len(st4) + 1), k -> CASE WHEN k < len(st4) THEN st4[k+1] - st4[k] ELSE len(s4) + 1 - st4[k] END) AS cn4,
+             list_transform(g5, x -> list_contains(d5, x)) AS f5,
+             list_transform(g6, x -> list_contains(d6, x)) AS f6,
+             list_transform(g7, x -> list_contains(d7, x)) AS f7,
+             list_transform(g8, x -> list_contains(d8, x)) AS f8,
+             list_transform(g9, x -> list_contains(d9, x)) AS f9,
+             list_transform(g10, x -> list_contains(d10, x)) AS f10
+           FROM st),
+         cv AS (SELECT doc_id, text, w, lns, prs,
+             CASE WHEN len(s2) > 0 AND length(text) > 0 THEN round(list_max(cn2) * length(list_aggregate(list_filter(list_transform(range(1, len(st2) + 1), k -> CASE WHEN cn2[k] = list_max(cn2) THEN s2[st2[k]] END), x -> x IS NOT NULL), 'min')) / CAST(length(text) AS DOUBLE), 6) ELSE 0.0 END AS top_2gram_char_frac,
+             CASE WHEN len(s3) > 0 AND length(text) > 0 THEN round(list_max(cn3) * length(list_aggregate(list_filter(list_transform(range(1, len(st3) + 1), k -> CASE WHEN cn3[k] = list_max(cn3) THEN s3[st3[k]] END), x -> x IS NOT NULL), 'min')) / CAST(length(text) AS DOUBLE), 6) ELSE 0.0 END AS top_3gram_char_frac,
+             CASE WHEN len(s4) > 0 AND length(text) > 0 THEN round(list_max(cn4) * length(list_aggregate(list_filter(list_transform(range(1, len(st4) + 1), k -> CASE WHEN cn4[k] = list_max(cn4) THEN s4[st4[k]] END), x -> x IS NOT NULL), 'min')) / CAST(length(text) AS DOUBLE), 6) ELSE 0.0 END AS top_4gram_char_frac,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 4) >= greatest(j - 4, 1) THEN len(list_filter(f5[greatest(j - 4, 1):least(j, len(w) - 4)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c5,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 5) >= greatest(j - 5, 1) THEN len(list_filter(f6[greatest(j - 5, 1):least(j, len(w) - 5)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c6,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 6) >= greatest(j - 6, 1) THEN len(list_filter(f7[greatest(j - 6, 1):least(j, len(w) - 6)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c7,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 7) >= greatest(j - 7, 1) THEN len(list_filter(f8[greatest(j - 7, 1):least(j, len(w) - 7)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c8,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 8) >= greatest(j - 8, 1) THEN len(list_filter(f9[greatest(j - 8, 1):least(j, len(w) - 8)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c9,
+             CASE WHEN len(w) > 0 THEN list_transform(range(1, len(w) + 1), j -> CASE WHEN least(j, len(w) - 9) >= greatest(j - 9, 1) THEN len(list_filter(f10[greatest(j - 9, 1):least(j, len(w) - 9)], x -> x)) > 0 ELSE false END) ELSE []::BOOLEAN[] END AS c10
+           FROM cn),
+         stat AS (SELECT doc_id,
+             CASE WHEN len(lns) > 0 THEN round(len(list_filter(lns, u -> len(list_filter(lns, v -> v = u)) > 1)) / CAST(len(lns) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN coalesce(list_sum(list_transform(lns, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(lns, u -> CASE WHEN len(list_filter(lns, v -> v = u)) > 1 THEN length(u) ELSE 0 END)), 0) / CAST(list_sum(list_transform(lns, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_char_frac,
+             CASE WHEN len(prs) > 0 THEN round(len(list_filter(prs, u -> len(list_filter(prs, v -> v = u)) > 1)) / CAST(len(prs) AS DOUBLE), 6) ELSE 0.0 END AS dup_para_frac,
+             CASE WHEN coalesce(list_sum(list_transform(prs, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(prs, u -> CASE WHEN len(list_filter(prs, v -> v = u)) > 1 THEN length(u) ELSE 0 END)), 0) / CAST(list_sum(list_transform(prs, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_para_char_frac,
+             top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c5[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_5gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c6[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_6gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c7[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_7gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c8[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_8gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c9[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_9gram_char_frac,
+             CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(range(1, len(w) + 1), j -> CASE WHEN c10[j] THEN length(w[j]) ELSE 0 END)), 0) / CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_10gram_char_frac
+           FROM cv)
+         SELECT *,
+           (dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
+             AND dup_line_char_frac <= 0.2 AND dup_para_char_frac <= 0.2
+             AND top_2gram_char_frac <= 0.2 AND top_3gram_char_frac <= 0.18
+             AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+             AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+             AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+             AND dup_10gram_char_frac <= 0.1) AS passes
+         FROM stat""",
+    "q_c4_span_dedup" ->
+      // §2.2 replayed row-wise: window rank per span string, losers'
+      // three line indexes dropped, documents rebuilt in line order
+      """WITH d AS (SELECT doc_id,
+             'doc ' || doc_id || ' opening line' ||
+             chr(10) || 'shared footer alpha' || chr(10) ||
+             'shared footer beta' || chr(10) || 'shared footer gamma' ||
+             CASE WHEN doc_id % 7 = 0 THEN
+               chr(10) || 'block one' || chr(10) || 'block two' ||
+               chr(10) || 'block three' || chr(10) || 'mid ' || doc_id ||
+               chr(10) || 'block one' || chr(10) || 'block two' ||
+               chr(10) || 'block three'
+               ELSE '' END ||
+             chr(10) || 'doc ' || doc_id || ' closing line' AS text
+           FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM d),
+         sp AS (SELECT doc_id, i - 1 AS sidx,
+             array_to_string(lns[i:i+2], chr(10)) AS span
+           FROM l, unnest(range(1, len(lns) - 1)) AS r(i)),
+         rk AS (SELECT doc_id, sidx,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, sidx) AS rn,
+             count(*) OVER (PARTITION BY span) AS cnt
+           FROM sp),
+         dropped AS (SELECT DISTINCT doc_id, sidx + k.k AS idx
+           FROM rk, unnest([0, 1, 2]) AS k(k) WHERE cnt > 1 AND rn > 1),
+         lines AS (SELECT doc_id, i - 1 AS idx, lns[i] AS line
+           FROM l, unnest(range(1, len(lns) + 1)) AS r(i)),
+         kept AS (SELECT ln.doc_id, ln.idx, ln.line FROM lines ln
+           LEFT JOIN dropped dr ON ln.doc_id = dr.doc_id AND ln.idx = dr.idx
+           WHERE dr.doc_id IS NULL),
+         reb AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+             count(*) AS nkept
+           FROM kept GROUP BY doc_id)
+         SELECT l.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           CAST(len(l.lns) - coalesce(reb.nkept, 0) AS BIGINT)
+             AS n_dropped_lines
+         FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id""",
     "q_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
              list_max(list_transform(embedding,
@@ -3335,6 +3559,91 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY hk % 7 ORDER BY hk, doc_id)
                   - 1 AS pos
          FROM h""",
+    "q_c4_filter" ->
+      // same doc_id-planted construction, same three line rules and
+      // three page rules; RE2's `$` = end-of-text matches Java's here
+      // (the trimmed lines carry no trailing newline)
+      """WITH d AS (SELECT doc_id,
+             text || '.' || chr(10) || 'Short line.' || chr(10) ||
+             'This line mentions javascript and cookies.' || chr(10) ||
+             'No terminal punctuation here at all' ||
+             CASE WHEN doc_id % 7 = 0
+               THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur.'
+               ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN chr(10) || 'var f = function() { return 1; };'
+               ELSE '' END ||
+             chr(10) || 'This second valid sentence has enough words.' ||
+             CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'A third fully valid sentence appears here!'
+               ELSE '' END AS text
+           FROM documents),
+         k AS (SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 5
+               AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+           FROM d)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines
+         FROM k
+         WHERE NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{') AND len(kept) >= 3""",
+    "q_gopher_quality" ->
+      // every statistic is an integer ratio divided once then rounded,
+      // and the verdict thresholds the ROUNDED values — bit-identical
+      """WITH d AS (SELECT doc_id,
+             text || ' the data pipeline should be made of filters that have teeth with care.' ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' ### ### ### ### ### ### ### ###' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+               THEN chr(10) || '• bullet one' || chr(10) || '• bullet two' ||
+                    chr(10) || '• bullet three' || chr(10) || '• bullet four'
+               ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0
+               THEN chr(10) || 'to be continued...' || chr(10) || 'and more...'
+               ELSE '' END AS text
+           FROM documents),
+         t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+           FROM d),
+         s AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_sum(list_transform(toks, x -> length(x)))
+                 / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(regexp_extract_all(text, '#|\.\.\.|…'))
+                 / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(lines) > 0 THEN
+               round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•*-]')))
+                 / CAST(len(lines) AS DOUBLE), 6) ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(lines) > 0 THEN
+               round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                 / CAST(len(lines) AS DOUBLE), 6) ELSE 0.0 END AS ellipsis_line_frac,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                 / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS alpha_word_frac,
+             CAST(CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with') THEN 1 ELSE 0 END
+               AS BIGINT) AS stopword_hits
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+             AND stopword_hits >= 2) AS passes
+         FROM s""",
     "q_repetition" ->
       // integer-sum ratios with single divisions → bit-identical doubles
       """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0

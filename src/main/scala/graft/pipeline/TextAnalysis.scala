@@ -467,6 +467,320 @@ object TextAnalysis {
       .otherwise(0.0), 6)
   }
 
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2 — the rules behind
+    * the public C4 corpus): a line survives iff, after trimming, it
+    * ends in a terminal punctuation mark (`.` `!` `?` `"`), has at
+    * least five whitespace words, and does not mention "javascript"
+    * (case-insensitive — the cookie/JS-warning boilerplate rule).
+    * Returns the surviving lines in document order. Narrow column
+    * recipe — one split + one filter lambda, no explode, no shuffle. */
+  def c4KeptLines(text: Column): Column =
+    F.filter(F.split(text, "\n"), l => {
+      val t = F.trim(l)
+      t.rlike("[.!?\"]$") &&
+        F.size(F.filter(F.split(t, " "), w => F.length(w) > 0)) >= 5 &&
+        !F.lower(t).contains("javascript")
+    })
+
+  /** C4 page filter over [[c4KeptLines]]: a document survives iff it
+    * keeps at least `minLines` lines (the paper's three-sentence floor,
+    * with surviving lines as the sentence proxy — C4's kept lines are
+    * sentence-terminated by construction of the line rule), does not
+    * contain "lorem ipsum" (case-insensitive), and contains no curly
+    * brace (the code-page rule). The paper's dirty-word page rule is
+    * out of scope by choice — no wordlist ships with this library;
+    * compose a blocklist join upstream if one is needed. Returns
+    * (id, clean_text, n_kept_lines) for survivors only.
+    *
+    * Scale: a pure narrow filter+projection inside the scan stage — at
+    * 100 TB this is the first pass a crawl corpus runs, and it never
+    * shuffles; Parquet row-group pruning and whole-stage codegen both
+    * apply. */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+      minLines: Int = 3): DataFrame = {
+    val t = F.col(textCol)
+    val kept = c4KeptLines(t)
+    df.where(!F.lower(t).contains("lorem ipsum") &&
+        !t.contains("{") && F.size(kept) >= minLines)
+      .select(F.col(idCol),
+        F.array_join(kept, "\n").as("clean_text"),
+        F.size(kept).cast(LongType).as("n_kept_lines"))
+  }
+
+  /** Gopher stop words (Rae et al. 2021 Table A1): a quality document
+    * contains at least two of them. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    * Table A1): every per-document statistic the paper thresholds, the
+    * per-rule verdicts folded into one overall gate. Word = non-empty
+    * whitespace token; line = non-blank `\n` segment. The rules:
+    * 50 ≤ words ≤ 100,000; 3 ≤ mean word length ≤ 10; symbol-to-word
+    * ratio (`#`, `…`, `...`) ≤ 0.1; ≤ 90% of lines start with a bullet
+    * (`•`, `*`, `-`); ≤ 30% of lines end with an ellipsis; ≥ 80% of
+    * words contain an alphabetic character; ≥ 2 distinct
+    * [[gopherStopwords]] appear. Fractions are single integer-ratio
+    * divisions rounded to 6 dp BEFORE thresholding, so a SQL oracle
+    * reproduces both the statistics and the verdict bit-exactly.
+    * Returns a struct (n_words, mean_word_len, symbol_word_ratio,
+    * bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    * stopword_hits, passes).
+    *
+    * Scale: narrow, codegen'd builtins only (array folds + eight
+    * array_contains probes over the token array) — the gate runs
+    * inside the scan stage with no shuffle at any corpus size. */
+  def gopherQuality(text: Column): Column = {
+    val words = tokens(text)
+    val nWords = F.size(words).cast(LongType)
+    val meanWordLen = F.when(nWords > 0,
+      F.round(F.aggregate(words, F.lit(0L), (a, w) => a + F.length(w))
+        .cast(DoubleType) / nWords.cast(DoubleType), 6)).otherwise(0.0)
+    val symbols = F.size(
+      F.regexp_extract_all(text, F.lit("#|\\.\\.\\.|…"), F.lit(0)))
+    val symbolRatio = F.when(nWords > 0,
+      F.round(symbols.cast(DoubleType) / nWords.cast(DoubleType), 6))
+      .otherwise(0.0)
+    val lines = F.filter(F.split(text, "\n"), l => F.length(F.trim(l)) > 0)
+    val nLines = F.size(lines)
+    val bulletFrac = F.when(nLines > 0, F.round(
+      F.size(F.filter(lines, l => F.ltrim(l).rlike("^[•*-]")))
+        .cast(DoubleType) / nLines.cast(DoubleType), 6)).otherwise(0.0)
+    val ellipsisFrac = F.when(nLines > 0, F.round(
+      F.size(F.filter(lines, l => F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast(DoubleType) / nLines.cast(DoubleType), 6)).otherwise(0.0)
+    val alphaFrac = F.when(nWords > 0, F.round(
+      F.size(F.filter(words, w => w.rlike("[A-Za-z]")))
+        .cast(DoubleType) / nWords.cast(DoubleType), 6)).otherwise(0.0)
+    val lowered = F.transform(words, w => F.lower(w))
+    val stopHits = gopherStopwords
+      .map(sw => F.when(F.array_contains(lowered, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val passes = nWords >= 50L && nWords <= 100000L &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2L
+    F.struct(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"), passes.as("passes"))
+  }
+
+  /** Word n-grams as single-space-joined strings, in document order
+    * (empty array when the document has fewer than n words). */
+  private def wordNgrams(words: Column, n: Int): Column =
+    F.when(F.size(words) >= n,
+      F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
+      .otherwise(F.array().cast(ArrayType(StringType)))
+
+  /** Gopher "top n-gram" statistic (Rae et al. 2021 Table A1): the
+    * share of the document's characters taken by occurrences of its
+    * single most frequent word n-gram — `count · length(gram) /
+    * length(text)`, ties broken toward the lexicographically smallest
+    * gram, 0.0 for documents shorter than n words. Overlapping
+    * occurrences each count, so a degenerate doc ("data data data …")
+    * can score above 1.0 — harmless for the ≤ 0.2-style gates this
+    * feeds. One sort + one fold over the gram array; narrow, no
+    * shuffle. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val grams = wordNgrams(tokens(text), n)
+    val sorted = F.array_sort(grams)
+    // ascending scan: a strictly-longer run replaces (prev, run, best,
+    // bestStr); ties keep the earlier = lexicographically smaller gram
+    val best = F.aggregate(sorted,
+      F.struct(F.lit("").as("prev"), F.lit(0L).as("run"),
+        F.lit(0L).as("best"), F.lit("").as("bestStr")),
+      (st, g) => {
+        val run = F.when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(F.lit(1L))
+        val better = run > st.getField("best")
+        F.struct(g.as("prev"), run.as("run"),
+          F.when(better, run).otherwise(st.getField("best")).as("best"),
+          F.when(better, g).otherwise(st.getField("bestStr")).as("bestStr"))
+      })
+    F.round(F.when(F.size(grams) > 0 && F.length(text) > 0,
+      (best.getField("best") *
+        F.length(best.getField("bestStr")).cast(LongType)).cast(DoubleType) /
+        F.length(text).cast(DoubleType)).otherwise(0.0), 6)
+  }
+
+  /** Gopher "duplicate n-gram" statistic (Rae et al. 2021 Table A1):
+    * the fraction of word characters covered by n-grams that occur
+    * more than once in the document. A word position is covered when
+    * ANY duplicated n-gram spans it (overlaps counted once — coverage,
+    * not occurrence-sum), the paper's intent made exact; denominator =
+    * total word characters (whitespace excluded so the statistic is
+    * layout-independent). Narrow array recipe, no shuffle. */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val words = tokens(text)
+    val grams = wordNgrams(words, n)
+    // PERF SHAPE: lambda-internal references re-evaluate per element in
+    // Spark HOFs (only HOF *arguments* evaluate once), so everything
+    // heavy — the sort, the neighbor compare, the interval union — is
+    // built argument-to-argument; no lambda closes over a sort.
+    // Pair each gram with its 1-based start and sort by (gram, pos):
+    // equal grams become neighbors, one slice-compare marks duplicates.
+    val pairs = F.array_sort(F.zip_with(grams,
+      F.when(F.size(grams) > 0, F.sequence(F.lit(1), F.size(grams)))
+        .otherwise(F.array().cast(ArrayType(IntegerType))),
+      (g, i) => F.struct(g.as("g"), i.as("i"))))
+    val m = F.size(pairs)
+    val same = F.zip_with(
+      F.slice(pairs, F.lit(2), F.greatest(m - 1, F.lit(0))),
+      F.slice(pairs, F.lit(1), F.greatest(m - 1, F.lit(0))),
+      (a, b) => a.getField("g") === b.getField("g"))
+    val fFalse = F.array(F.lit(false))
+    val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
+      (a, b) => a || b)
+    // covered word positions = the union of [i, i+n-1] over duplicated
+    // occurrences (overlaps collapse in the distinct — coverage, not
+    // occurrence-sum)
+    val covered = F.array_distinct(F.flatten(F.zip_with(inDup, pairs,
+      (f, p) => F.when(f,
+          F.sequence(p.getField("i"), p.getField("i") + (n - 1)))
+        .otherwise(F.array().cast(ArrayType(IntegerType))))))
+    val wordLens = F.transform(words, w => F.length(w).cast(LongType))
+    val dupChars = F.aggregate(covered, F.lit(0L),
+      (acc, pos) => acc + F.element_at(wordLens, pos))
+    val totChars = F.aggregate(words, F.lit(0L),
+      (a, wd) => a + F.length(wd).cast(LongType))
+    F.round(F.when(totChars > 0,
+      dupChars.cast(DoubleType) / totChars.cast(DoubleType))
+      .otherwise(0.0), 6)
+  }
+
+  /** The complete Gopher repetition ruleset (Rae et al. 2021 Table A1),
+    * complementing [[gopherQuality]]'s document-statistic rules: a
+    * document passes iff its duplicate line / paragraph fractions are
+    * ≤ 0.30, duplicate line / paragraph CHARACTER fractions ≤ 0.20
+    * (line = non-empty `\n` segment, paragraph = non-empty `\n\n`
+    * segment, duplication by exact string equality), its top 2/3/4-gram
+    * character fractions are ≤ 0.20/0.18/0.16 ([[topNgramCharFrac]]),
+    * and its duplicate 5..10-gram character fractions are ≤
+    * 0.15/0.14/0.13/0.12/0.11/0.10 ([[dupNgramCharFrac]]). Every
+    * fraction is one integer-ratio division rounded to 6 dp BEFORE
+    * thresholding, so a SQL oracle reproduces statistics and verdict
+    * bit-exactly. Returns a struct of all 13 statistics plus `passes`.
+    *
+    * Scale: like [[gopherQuality]] this is a narrow all-builtin column
+    * recipe (sorts and folds over per-document arrays) — it runs inside
+    * the scan stage with no shuffle at any corpus size; cost is
+    * O(words · 6) per document for the coverage windows. */
+  def gopherRepetition(text: Column): Column = {
+    def unitStats(units: Column): (Column, Column) = {
+      val sorted = F.array_sort(units)
+      val n = F.size(sorted)
+      val same = F.zip_with(
+        F.slice(sorted, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        F.slice(sorted, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        (a, b) => a === b)
+      val fFalse = F.array(F.lit(false))
+      val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
+        (a, b) => a || b)
+      val dupUnits = F.aggregate(inDup, F.lit(0L),
+        (acc, x) => acc + F.when(x, 1L).otherwise(0L))
+      val dupChars = F.aggregate(
+        F.zip_with(inDup, sorted,
+          (f, l) => F.when(f, F.length(l).cast(LongType)).otherwise(F.lit(0L))),
+        F.lit(0L), (acc, x) => acc + x)
+      val totChars = F.aggregate(sorted, F.lit(0L),
+        (acc, l) => acc + F.length(l).cast(LongType))
+      (F.round(F.when(n > 0, dupUnits.cast(DoubleType) / n.cast(DoubleType))
+          .otherwise(0.0), 6),
+        F.round(F.when(totChars > 0,
+          dupChars.cast(DoubleType) / totChars.cast(DoubleType))
+          .otherwise(0.0), 6))
+    }
+    val lines = F.filter(F.split(text, "\n"), l => F.length(l) > 0)
+    val paras = F.filter(F.split(text, "\n\n"), p => F.length(p) > 0)
+    val (dupLineFrac, dupLineCharFrac) = unitStats(lines)
+    val (dupParaFrac, dupParaCharFrac) = unitStats(paras)
+    val top2 = topNgramCharFrac(text, 2)
+    val top3 = topNgramCharFrac(text, 3)
+    val top4 = topNgramCharFrac(text, 4)
+    val dup = (5 to 10).map(n => n -> dupNgramCharFrac(text, n)).toMap
+    val passes = dupLineFrac <= 0.3 && dupParaFrac <= 0.3 &&
+      dupLineCharFrac <= 0.2 && dupParaCharFrac <= 0.2 &&
+      top2 <= 0.2 && top3 <= 0.18 && top4 <= 0.16 &&
+      dup(5) <= 0.15 && dup(6) <= 0.14 && dup(7) <= 0.13 &&
+      dup(8) <= 0.12 && dup(9) <= 0.11 && dup(10) <= 0.1
+    F.struct(
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"),
+      dupParaFrac.as("dup_para_frac"),
+      dupParaCharFrac.as("dup_para_char_frac"),
+      top2.as("top_2gram_char_frac"),
+      top3.as("top_3gram_char_frac"),
+      top4.as("top_4gram_char_frac"),
+      dup(5).as("dup_5gram_char_frac"),
+      dup(6).as("dup_6gram_char_frac"),
+      dup(7).as("dup_7gram_char_frac"),
+      dup(8).as("dup_8gram_char_frac"),
+      dup(9).as("dup_9gram_char_frac"),
+      dup(10).as("dup_10gram_char_frac"),
+      passes.as("passes"))
+  }
+
+  /** C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once in the data set"), generalized to n consecutive
+    * LINES as the sentence proxy (C4's kept lines are
+    * sentence-terminated by construction — run [[c4Filter]] first).
+    * For every window of n consecutive lines, the corpus-wide first
+    * occurrence — ordered by (id, start index) — keeps its lines;
+    * every other occurrence has its n lines deleted. A line survives
+    * iff NO losing span covers it. Documents are rebuilt from their
+    * surviving lines in original order; returns
+    * (id, clean_text, n_dropped_lines) for every input document.
+    *
+    * Scale shape: spans explode narrowly from the scan; the
+    * first-occurrence aggregate groups on `md5(span)` — a fixed 32-byte
+    * shuffle key instead of the span text, with map-side combine, so
+    * the hottest span costs one record per map task — and the
+    * winners-join reuses that key's partitioning (sort-merge under
+    * AQE). Dropped line indexes explode from losers only. No O(n²)
+    * pair join, no driver state. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    val arr = F.split(F.col(textCol), "\n")
+    val spans = df.select(F.col(idCol).as("__id"),
+        F.posexplode(F.when(F.size(arr) >= n,
+          F.transform(F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            i => F.array_join(F.slice(arr, i, F.lit(n)), "\n")))
+          .otherwise(F.array().cast(ArrayType(StringType))))
+          .as(Seq("__sidx", "__span")))
+      .select(F.col("__id"), F.col("__sidx"), F.md5(F.col("__span")).as("__key"))
+    val firsts = spans.groupBy(F.col("__key").as("__k"))
+      .agg(F.min(F.struct(F.col("__id"), F.col("__sidx"))).as("__first"),
+        F.count(F.lit(1)).as("__occ"))
+      .where(F.col("__occ") > 1)
+    val losers = spans.join(firsts, F.col("__key") === F.col("__k"))
+      .where(F.struct(F.col("__id"), F.col("__sidx")) =!= F.col("__first"))
+    val dropped = losers.select(F.col("__id"),
+        F.explode(F.sequence(F.col("__sidx"), F.col("__sidx") + (n - 1)))
+          .as("__didx"))
+      .distinct()
+    val lines = df.select(F.col(idCol).as("__id"),
+      F.posexplode(arr).as(Seq("__idx", "__line")))
+    val kept = lines.join(dropped,
+      lines("__id") === dropped("__id") && F.col("__idx") === F.col("__didx"),
+      "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(F.array_join(F.transform(F.array_sort(
+          F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),
+          s => s.getField("__line")), "\n").as("__clean"),
+        F.count(F.lit(1)).as("__nkept"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
+      .select(df(idCol),
+        F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"),
+        (F.size(arr).cast(LongType) -
+          F.coalesce(F.col("__nkept"), F.lit(0L))).as("n_dropped_lines"))
+  }
+
   /** Split each document into overlapping token-window chunks (training
     * context-window prep): chunk i covers tokens
     * [i*stride, i*stride + size). Every token is covered; the final

@@ -32,6 +32,226 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) == "x\ny" && out(2L) == "")
   }
 
+  // ------------------------------------------------------------ c4Filter
+
+  test("c4Filter: line rules — terminal punct, 5 words, javascript") {
+    val docs = Seq(
+      (1L, "This first sentence is long enough to keep.\n" + // kept
+        "Too short.\n" +                                     // < 5 words
+        "This line has no terminal punctuation at all\n" +   // no punct
+        "Please enable javascript to view this content.\n" + // javascript
+        "A second proper sentence closes with a bang!\n" +   // kept (!)
+        "He said \"the quote rule also terminates lines\"")  // kept (")
+    ).toDF("id", "text")
+    val out = TextAnalysis.c4Filter(docs, "id", "text")
+      .select("id", "clean_text", "n_kept_lines")
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 1)
+    assert(out.head._3 == 3L)
+    assert(out.head._2 ==
+      "This first sentence is long enough to keep.\n" +
+      "A second proper sentence closes with a bang!\n" +
+      "He said \"the quote rule also terminates lines\"")
+  }
+
+  test("c4Filter: page rules — lorem ipsum, curly brace, 3-line floor") {
+    val good = "One valid sentence stands right here.\n" +
+      "Two valid sentences stand right here.\n" +
+      "Three valid sentences stand right here."
+    val docs = Seq(
+      (1L, good),
+      (2L, good + "\nLorem Ipsum dolor sit amet text included."), // dropped
+      (3L, good + "\nif (x) { return; }"),                        // dropped
+      (4L, "Only two sentences survive in this document.\n" +
+        "The second one is also long enough here.")               // < 3 kept
+    ).toDF("id", "text")
+    val kept = TextAnalysis.c4Filter(docs, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  // -------------------------------------------------------- gopherQuality
+
+  /** Independent driver-side recomputation of the Gopher Table-A1
+    * statistics (same word = space token / line = non-blank definitions
+    * as the column recipe, written from the paper, not from the code). */
+  private def gopherRef(text: String):
+      (Long, Double, Double, Double, Double, Double, Long, Boolean) = {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = text.split(" ", -1).filter(_.nonEmpty)
+    val n = words.length.toLong
+    val meanLen = if (n > 0) r6(words.map(_.length.toLong).sum.toDouble / n) else 0.0
+    val sym = "#|\\.\\.\\.|…".r.findAllIn(text).size
+    val symR = if (n > 0) r6(sym.toDouble / n) else 0.0
+    val lines = text.split("\n", -1).filter(_.trim.nonEmpty)
+    val nl = lines.length
+    val bullet = if (nl > 0) r6(lines.count(l =>
+      "^[•*-]".r.findFirstIn(l.replaceAll("^ +", "")).isDefined).toDouble / nl)
+      else 0.0
+    val ell = if (nl > 0) r6(lines.count(l =>
+      "(\\.\\.\\.|…)$".r.findFirstIn(l.replaceAll(" +$", "")).isDefined)
+      .toDouble / nl) else 0.0
+    val alpha = if (n > 0) r6(words.count(_.exists(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / n) else 0.0
+    val hits = TextAnalysis.gopherStopwords
+      .count(sw => words.map(_.toLowerCase).contains(sw)).toLong
+    val passes = n >= 50 && n <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+      symR <= 0.1 && bullet <= 0.9 && ell <= 0.3 && alpha >= 0.8 && hits >= 2
+    (n, meanLen, symR, bullet, ell, alpha, hits, passes)
+  }
+
+  test("gopherQuality matches an independent recomputation on crafted docs") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that have quality with teeth."
+    val docs = Seq(
+      1L -> "the quick brown fox jumps #\n• bullet line here\nto be continued ...",
+      2L -> base,                                            // clean: passes
+      3L -> (base + "\n" + (1 to 20).map(i => s"• item $i").mkString("\n")),
+      4L -> (base + " " + (1 to 20).map(_ => "#").mkString(" ")),
+      5L -> (base + "\n" + (1 to 9).map(_ => "trailing off ...").mkString("\n")),
+      6L -> "", 7L -> "   \n  \n ")
+    val got = docs.toDF("id", "text")
+      .select(F.col("id"), TextAnalysis.gopherQuality(F.col("text")).as("g"))
+      .select("id", "g.n_words", "g.mean_word_len", "g.symbol_word_ratio",
+        "g.bullet_line_frac", "g.ellipsis_line_frac", "g.alpha_word_frac",
+        "g.stopword_hits", "g.passes")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8,
+        r._9)).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == gopherRef(text), s"doc $id")
+    // and the rule variety actually fires: 2 passes, the others fail
+    assert(got(2L)._8)
+    assert(Seq(1L, 3L, 4L, 5L, 6L).forall(id => !got(id)._8))
+  }
+
+  // ----------------------------------------------------- gopherRepetition
+
+  /** Independent driver-side recomputation of the Gopher Table-A1
+    * repetition statistics (written from the paper's definitions and
+    * this library's documented tie/coverage choices, not from the
+    * column recipe). */
+  private def gopherRepRef(text: String): Seq[Double] = {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def unitStats(units: Seq[String]): (Double, Double) = {
+      val counts = units.groupBy(identity).map { case (k, v) => k -> v.size }
+      val dup = units.filter(u => counts(u) > 1)
+      (if (units.nonEmpty) r6(dup.size.toDouble / units.size) else 0.0,
+        if (units.map(_.length).sum > 0)
+          r6(dup.map(_.length.toLong).sum.toDouble / units.map(_.length.toLong).sum)
+        else 0.0)
+    }
+    val words = text.split(" ", -1).filter(_.nonEmpty)
+    def grams(n: Int): Seq[String] =
+      if (words.length >= n) words.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq.empty
+    def top(n: Int): Double = {
+      val g = grams(n)
+      if (g.isEmpty || text.isEmpty) 0.0
+      else {
+        val counts = g.groupBy(identity).map { case (k, v) => k -> v.size }
+        val best = counts.values.max
+        val str = counts.filter(_._2 == best).keys.min
+        r6(best.toLong * str.length.toDouble / text.length)
+      }
+    }
+    def dupN(n: Int): Double = {
+      val g = grams(n)
+      val counts = g.groupBy(identity).map { case (k, v) => k -> v.size }
+      val tot = words.map(_.length.toLong).sum
+      if (tot == 0) 0.0
+      else {
+        val covered = words.indices.filter(j =>
+          (math.max(0, j - n + 1) to math.min(j, words.length - n))
+            .exists(i => i >= 0 && i < g.length && counts(g(i)) > 1))
+        r6(covered.map(words(_).length.toLong).sum.toDouble / tot)
+      }
+    }
+    val (dlf, dlcf) = unitStats(text.split("\n", -1).filter(_.nonEmpty).toSeq)
+    val (dpf, dpcf) = unitStats(text.split("\n\n", -1).filter(_.nonEmpty).toSeq)
+    Seq(dlf, dlcf, dpf, dpcf, top(2), top(3), top(4),
+      dupN(5), dupN(6), dupN(7), dupN(8), dupN(9), dupN(10))
+  }
+
+  test("gopherRepetition matches an independent recomputation") {
+    val rep9 = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      // all-distinct words, long enough that even the count-1 top grams
+      // stay under their char-fraction thresholds
+      1L -> (1 to 80).map(i => s"w$i").mkString(" "),
+      2L -> (rep9 + " and then " + rep9 + " again closes it"), // dup 5..9-gram
+      3L -> "data data data data data data and some other words", // top n-gram
+      4L -> "alpha beta\nrepeat me\nrepeat me\ngamma delta",      // dup lines
+      5L -> ("first paragraph here\n\nsecond paragraph text\n\n" +
+        "second paragraph text"),                                 // dup paras
+      6L -> "", 7L -> "one two")
+    val got = docs.toDF("id", "text")
+      .select(F.col("id"),
+        TextAnalysis.gopherRepetition(F.col("text")).as("g"))
+      .select("id", "g.*")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 13).map(i => r.getDouble(i)).toSeq).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == gopherRepRef(text), s"doc $id")
+    // and the planted shapes actually trip their rules
+    val byId = docs.toDF("id", "text")
+      .select(F.col("id"),
+        TextAnalysis.gopherRepetition(F.col("text")).getField("passes"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(byId(1L) && byId(6L))
+    // 7L: a 2-word doc's single 2-gram covers ALL its characters — the
+    // top-gram statistic counts the most frequent gram even at count 1
+    assert(Seq(2L, 3L, 4L, 5L, 7L).forall(id => !byId(id)))
+  }
+
+  test("gopherRepetition top-gram tie breaks to the smallest gram") {
+    // "b b" and "a a" both occur twice; the smaller string wins
+    val text = "b b x b b y a a z a a"
+    val top2 = Seq(text).toDF("text")
+      .select(TextAnalysis.topNgramCharFrac(F.col("text"), 2))
+      .as[Double].collect().head
+    // count 2 · len("a a")=3 / len(text)=21
+    assert(top2 == BigDecimal(2.0 * 3 / 21)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ---------------------------------------------------------- dedupSpans
+
+  test("dedupSpans: corpus-wide first span occurrence wins, losers drop") {
+    val footer = "shared footer one\nshared footer two\nshared footer three"
+    val docs = Seq(
+      (3L, s"unique c line\n$footer"),
+      (1L, s"unique a line\n$footer\nunique a tail"),
+      (2L, s"unique b line\n$footer"))
+    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1 (smallest id) keeps the footer; docs 2 and 3 lose its 3 lines
+    assert(out(1L) == (s"unique a line\n$footer\nunique a tail", 0L))
+    assert(out(2L) == ("unique b line", 3L))
+    assert(out(3L) == ("unique c line", 3L))
+  }
+
+  test("dedupSpans: within-document repetition keeps the first occurrence") {
+    val block = "block line x\nblock line y\nblock line z"
+    val docs = Seq((1L, s"head\n$block\nmid\n$block\ntail"))
+    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, String, Long)].collect().head
+    assert(out._2 == s"head\n$block\nmid\ntail" && out._3 == 3L)
+  }
+
+  test("dedupSpans: short docs have no spans and pass through; ties by position") {
+    val docs = Seq(
+      (1L, "just\ntwo"),                  // < 3 lines: no spans
+      (2L, "a\nb\nc\na\nb\nc"))           // overlapping self-dup
+    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("just\ntwo", 0L))
+    // spans: (a b c)@0 dup of @3 -> drop 3,4,5; (b c a)@1, (c a b)@2 unique
+    assert(out(2L) == ("a\nb\nc", 3L))
+  }
+
   // ------------------------------------------------------ canonicalizeUrl
 
   private def canon(u: String): String =

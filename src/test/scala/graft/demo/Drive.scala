@@ -780,6 +780,36 @@ object Drive {
         e.graph.datasetHash())
     }
 
+    println("=== r14: C4 + Gopher filter family over a toy corpus:")
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      import graft.pipeline.TextAnalysis
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "This page is a fine piece of writing that survives the gates.\n" +
+          "Please enable javascript to continue reading this page.\n" +
+          "A second well formed sentence keeps the page alive.\n" +
+          "And a third proper sentence closes the argument here."),
+        (2L, "data data data data data data data data data data"),
+        (3L, "short page")).toDF("id", "text")
+      println("--- c4Filter keeps:")
+      TextAnalysis.c4Filter(docs, "id", "text").show(false)
+      println("--- gopherQuality + gopherRepetition verdicts:")
+      docs.select(F.col("id"),
+        TextAnalysis.gopherQuality(F.col("text")).getField("passes")
+          .as("quality_ok"),
+        TextAnalysis.gopherRepetition(F.col("text")).getField("passes")
+          .as("repetition_ok"),
+        TextAnalysis.gopherRepetition(F.col("text"))
+          .getField("top_2gram_char_frac").as("top2")).show(false)
+      println("--- dedupSpans (3-line span, corpus-wide first keeps):")
+      val spanDocs = Seq(
+        (1L, "a unique head\ncommon one\ncommon two\ncommon three"),
+        (2L, "b unique head\ncommon one\ncommon two\ncommon three"))
+        .toDF("id", "text")
+      TextAnalysis.dedupSpans(spanDocs, "id", "text").show(false)
+    }
+
     spark.stop()
   }
 }
