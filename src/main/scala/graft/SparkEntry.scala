@@ -814,6 +814,27 @@ object SparkEntry {
           TextAnalysis.gopherRepetition(F.col("text")).as("g"))
         .select("doc_id", "g.*")
     }),
+    "q_fineweb_quality" -> ((s, dir) => {
+      // FineWeb §3.6 gates; plants trip one rule each: %2 a burst of
+      // short lines, %3 a duplicated boilerplate line, %5 enough
+      // unpunctuated filler to sink the punctuation floor
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.col("text"), F.lit("."),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.lit("\nA1.\nB2!\nC3?\nD4.")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.lit("\nThis duplicated boilerplate line is long enough." +
+              "\nThis duplicated boilerplate line is long enough."))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.lit((1 to 9).map(i =>
+              s"\nunpunctuated filler line number $i with some padding")
+              .mkString)).otherwise(F.lit(""))).as("text"))
+      docs.select(F.col("doc_id"),
+          TextAnalysis.finewebQuality(F.col("text")).as("g"))
+        .select("doc_id", "g.*")
+    }),
     "q_c4_span_dedup" -> ((s, dir) => {
       // every doc carries the same 3-line footer (the global first
       // occurrence keeps it); %7 docs also repeat a 3-line block twice,
@@ -3460,6 +3481,44 @@ object SparkEntry {
              AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
              AND dup_10gram_char_frac <= 0.1) AS passes
          FROM stat""",
+    "q_fineweb_quality" ->
+      // line fractions are single divisions rounded to 6 dp before
+      // thresholding; the duplicated-line char fraction matches the
+      // q_gopher_repetition definition
+      """WITH d AS (SELECT doc_id,
+             text || '.' ||
+             CASE WHEN doc_id % 2 = 0 THEN
+               chr(10) || 'A1.' || chr(10) || 'B2!' || chr(10) || 'C3?' ||
+               chr(10) || 'D4.'
+               ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               chr(10) || 'This duplicated boilerplate line is long enough.' ||
+               chr(10) || 'This duplicated boilerplate line is long enough.'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               chr(10) || 'unpunctuated filler line number 1 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 2 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 3 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 4 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 5 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 6 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 7 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 8 with some padding' ||
+               chr(10) || 'unpunctuated filler line number 9 with some padding'
+               ELSE '' END AS text
+           FROM documents),
+         b AS (SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lns
+           FROM d),
+         s AS (SELECT doc_id,
+             CASE WHEN len(lns) > 0 THEN round(len(list_filter(lns, l -> regexp_matches(rtrim(l), '[.''"!?]$'))) / CAST(len(lns) AS DOUBLE), 6) ELSE 0.0 END AS line_punct_frac,
+             CASE WHEN len(lns) > 0 THEN round(len(list_filter(lns, l -> length(l) < 30)) / CAST(len(lns) AS DOUBLE), 6) ELSE 0.0 END AS short_line_frac,
+             CASE WHEN coalesce(list_sum(list_transform(lns, x -> length(x))), 0) > 0 THEN round(coalesce(list_sum(list_transform(lns, u -> CASE WHEN len(list_filter(lns, v -> v = u)) > 1 THEN length(u) ELSE 0 END)), 0) / CAST(list_sum(list_transform(lns, x -> length(x))) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_char_frac
+           FROM b)
+         SELECT doc_id, line_punct_frac, short_line_frac, dup_line_char_frac,
+           (line_punct_frac >= 0.12 AND short_line_frac <= 0.67
+             AND dup_line_char_frac <= 0.1) AS passes
+         FROM s""",
     "q_c4_span_dedup" ->
       // §2.2 replayed row-wise: window rank per span string, losers'
       // three line indexes dropped, documents rebuilt in line order

@@ -724,6 +724,57 @@ object TextAnalysis {
       passes.as("passes"))
   }
 
+  /** The FineWeb custom filters (Penedo et al. 2024 §3.6 — the three
+    * rules the dataset added beyond C4's and Gopher's): a document
+    * passes iff the fraction of its lines ending in terminal
+    * punctuation (`.` `'` `"` `!` `?` after trimming) is ≥ 0.12, the
+    * fraction of lines shorter than 30 characters is ≤ 0.67, and the
+    * fraction of line characters sitting in duplicated lines (same
+    * definition as [[gopherRepetition]]'s `dup_line_char_frac`) is
+    * ≤ 0.1. Line = non-empty `\n` segment; each fraction is one
+    * integer-ratio division rounded to 6 dp BEFORE thresholding, so a
+    * SQL oracle reproduces statistics and verdict bit-exactly. Returns
+    * a struct (line_punct_frac, short_line_frac, dup_line_char_frac,
+    * passes). Empty documents (no lines) score 0.0 everywhere and fail
+    * the punctuation floor.
+    *
+    * Scale: a narrow all-builtin column recipe over the per-document
+    * line array — runs inside the scan stage, no shuffle. */
+  def finewebQuality(text: Column): Column = {
+    val lines = F.filter(F.split(text, "\n"), l => F.length(l) > 0)
+    val n = F.size(lines)
+    val punct = F.size(F.filter(lines,
+      l => F.rtrim(l).rlike("[.'\"!?]$")))
+    val short = F.size(F.filter(lines, l => F.length(l) < 30))
+    val punctFrac = F.round(F.when(n > 0,
+      punct.cast(DoubleType) / n.cast(DoubleType)).otherwise(0.0), 6)
+    val shortFrac = F.round(F.when(n > 0,
+      short.cast(DoubleType) / n.cast(DoubleType)).otherwise(0.0), 6)
+    // duplicated-line char fraction: sorted-neighbor marking, args-only
+    val sorted = F.array_sort(lines)
+    val same = F.zip_with(
+      F.slice(sorted, F.lit(2), F.greatest(n - 1, F.lit(0))),
+      F.slice(sorted, F.lit(1), F.greatest(n - 1, F.lit(0))),
+      (a, b) => a === b)
+    val fFalse = F.array(F.lit(false))
+    val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
+      (a, b) => a || b)
+    val dupChars = F.aggregate(
+      F.zip_with(inDup, sorted,
+        (f, l) => F.when(f, F.length(l).cast(LongType)).otherwise(F.lit(0L))),
+      F.lit(0L), (acc, x) => acc + x)
+    val totChars = F.aggregate(sorted, F.lit(0L),
+      (acc, l) => acc + F.length(l).cast(LongType))
+    val dupFrac = F.round(F.when(totChars > 0,
+      dupChars.cast(DoubleType) / totChars.cast(DoubleType))
+      .otherwise(0.0), 6)
+    val passes = punctFrac >= 0.12 && shortFrac <= 0.67 && dupFrac <= 0.1
+    F.struct(punctFrac.as("line_punct_frac"),
+      shortFrac.as("short_line_frac"),
+      dupFrac.as("dup_line_char_frac"),
+      passes.as("passes"))
+  }
+
   /** C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2:
     * "we discarded all but one of any three-sentence span occurring
     * more than once in the data set"), generalized to n consecutive

@@ -217,6 +217,51 @@ class CorpusOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ------------------------------------------------------ finewebQuality
+
+  test("finewebQuality: each rule trips on its planted shape") {
+    val docs = Seq(
+      1L -> ("Good line one is long enough to pass easily.\n" +
+        "Good line two is also long enough to pass."),
+      2L -> ("One fine long sentence ends with a period here.\n" +
+        "A1.\nB2!\nC3?\nD4."),                               // short lines
+      3L -> ("This duplicated boilerplate line is long enough.\n" +
+        "This duplicated boilerplate line is long enough.\n" +
+        "A different long closing line also ends properly."), // dup chars
+      4L -> (("Only this very first line terminates with punctuation." +:
+        (1 to 9).map(i =>
+          s"unpunctuated filler line number $i with some padding"))
+        .mkString("\n")),                                     // punct floor
+      5L -> "")
+    val got = docs.toDF("id", "text")
+      .select(F.col("id"),
+        TextAnalysis.finewebQuality(F.col("text")).as("g"))
+      .select("id", "g.*")
+      .as[(Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == (1.0, 0.0, 0.0, true))
+    assert(got(2L) == (1.0, 0.8, 0.0, false))           // 4/5 short
+    val lines3 = docs.toMap.apply(3L).split("\n")
+    val dup3 = BigDecimal(2.0 * lines3(0).length /
+        lines3.map(_.length).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == (1.0, 0.0, dup3, false))          // 2 dup lines' chars
+    assert(got(4L) == (0.1, 0.0, 0.0, false))           // 1/10 < 0.12
+    assert(got(5L) == (0.0, 0.0, 0.0, false))           // empty: no lines
+  }
+
+  test("finewebQuality: apostrophe and quote count as terminal punctuation") {
+    val got = Seq(
+      1L -> "He finished with a quoted phrase like \"this\"",
+      2L -> "And this line trails off with an apostrophe'",
+      3L -> "But a colon is not terminal punctuation here:")
+      .toDF("id", "text")
+      .select(F.col("id"), TextAnalysis.finewebQuality(F.col("text"))
+        .getField("line_punct_frac"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0 && got(3L) == 0.0)
+  }
+
   // ---------------------------------------------------------- dedupSpans
 
   test("dedupSpans: corpus-wide first span occurrence wins, losers drop") {

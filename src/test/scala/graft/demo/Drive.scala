@@ -794,14 +794,16 @@ object Drive {
         (3L, "short page")).toDF("id", "text")
       println("--- c4Filter keeps:")
       TextAnalysis.c4Filter(docs, "id", "text").show(false)
-      println("--- gopherQuality + gopherRepetition verdicts:")
+      println("--- gopherQuality + gopherRepetition + finewebQuality verdicts:")
       docs.select(F.col("id"),
         TextAnalysis.gopherQuality(F.col("text")).getField("passes")
           .as("quality_ok"),
         TextAnalysis.gopherRepetition(F.col("text")).getField("passes")
           .as("repetition_ok"),
         TextAnalysis.gopherRepetition(F.col("text"))
-          .getField("top_2gram_char_frac").as("top2")).show(false)
+          .getField("top_2gram_char_frac").as("top2"),
+        TextAnalysis.finewebQuality(F.col("text")).getField("passes")
+          .as("fineweb_ok")).show(false)
       println("--- dedupSpans (3-line span, corpus-wide first keeps):")
       val spanDocs = Seq(
         (1L, "a unique head\ncommon one\ncommon two\ncommon three"),
