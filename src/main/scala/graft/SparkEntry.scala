@@ -852,7 +852,7 @@ object SparkEntry {
             .otherwise(F.lit("")),
           F.lit("\ndoc "), F.col("doc_id"), F.lit(" closing line"))
           .as("text"))
-      TextAnalysis.dedupSpans(docs, "doc_id", "text")
+      TextAnalysis.c4SpanDedup(docs, "doc_id", "text")
     }),
     "q_quantize" -> ((s, dir) => {
       // int8 storage quantization: exact integer checksums + the scale

@@ -786,6 +786,9 @@ object TextAnalysis {
     * iff NO losing span covers it. Documents are rebuilt from their
     * surviving lines in original order; returns
     * (id, clean_text, n_dropped_lines) for every input document.
+    * (The token-window exact-substring variant of Lee et al. 2022 —
+    * cutting at token rather than line granularity — is
+    * [[Dedup.dedupSpans]].)
     *
     * Scale shape: spans explode narrowly from the scan; the
     * first-occurrence aggregate groups on `md5(span)` — a fixed 32-byte
@@ -794,7 +797,7 @@ object TextAnalysis {
     * winners-join reuses that key's partitioning (sort-merge under
     * AQE). Dropped line indexes explode from losers only. No O(n²)
     * pair join, no driver state. */
-  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+  def c4SpanDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"span length must be positive, got $n")
     val arr = F.split(F.col(textCol), "\n")

@@ -262,15 +262,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == 1.0 && got(2L) == 1.0 && got(3L) == 0.0)
   }
 
-  // ---------------------------------------------------------- dedupSpans
+  // --------------------------------------------------------- c4SpanDedup
 
-  test("dedupSpans: corpus-wide first span occurrence wins, losers drop") {
+  test("c4SpanDedup: corpus-wide first span occurrence wins, losers drop") {
     val footer = "shared footer one\nshared footer two\nshared footer three"
     val docs = Seq(
       (3L, s"unique c line\n$footer"),
       (1L, s"unique a line\n$footer\nunique a tail"),
       (2L, s"unique b line\n$footer"))
-    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+    val out = TextAnalysis.c4SpanDedup(docs.toDF("id", "text"), "id", "text")
       .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     // doc 1 (smallest id) keeps the footer; docs 2 and 3 lose its 3 lines
     assert(out(1L) == (s"unique a line\n$footer\nunique a tail", 0L))
@@ -278,19 +278,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ("unique c line", 3L))
   }
 
-  test("dedupSpans: within-document repetition keeps the first occurrence") {
+  test("c4SpanDedup: within-document repetition keeps the first occurrence") {
     val block = "block line x\nblock line y\nblock line z"
     val docs = Seq((1L, s"head\n$block\nmid\n$block\ntail"))
-    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+    val out = TextAnalysis.c4SpanDedup(docs.toDF("id", "text"), "id", "text")
       .as[(Long, String, Long)].collect().head
     assert(out._2 == s"head\n$block\nmid\ntail" && out._3 == 3L)
   }
 
-  test("dedupSpans: short docs have no spans and pass through; ties by position") {
+  test("c4SpanDedup: short docs have no spans and pass through; ties by position") {
     val docs = Seq(
       (1L, "just\ntwo"),                  // < 3 lines: no spans
       (2L, "a\nb\nc\na\nb\nc"))           // overlapping self-dup
-    val out = TextAnalysis.dedupSpans(docs.toDF("id", "text"), "id", "text")
+    val out = TextAnalysis.c4SpanDedup(docs.toDF("id", "text"), "id", "text")
       .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(out(1L) == ("just\ntwo", 0L))
     // spans: (a b c)@0 dup of @3 -> drop 3,4,5; (b c a)@1, (c a b)@2 unique

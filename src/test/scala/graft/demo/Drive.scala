@@ -809,7 +809,7 @@ object Drive {
         (1L, "a unique head\ncommon one\ncommon two\ncommon three"),
         (2L, "b unique head\ncommon one\ncommon two\ncommon three"))
         .toDF("id", "text")
-      TextAnalysis.dedupSpans(spanDocs, "id", "text").show(false)
+      TextAnalysis.c4SpanDedup(spanDocs, "id", "text").show(false)
     }
 
     spark.stop()
