@@ -32,7 +32,10 @@ object BenchSf1 {
     // near-dup beyond minhash
     "q_dedup_ngram", "q_span_dedup", "q_semantic_dedup", "q_contamination",
     // text analysis
-    "q_tfidf", "q_quality_score", "q_lang_id", "q_curate")
+    "q_tfidf", "q_quality_score", "q_lang_id", "q_curate",
+    // published filter rulesets + C4 line-span dedup (r14)
+    "q_c4_filter", "q_gopher_quality", "q_gopher_repetition",
+    "q_fineweb_quality", "q_c4_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = args.headOption.getOrElse("/tmp/sf1")
