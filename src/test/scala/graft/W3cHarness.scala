@@ -160,6 +160,7 @@ trait W3cHarness { this: org.scalatest.Assertions =>
     r.getByte(0) match {
       case Terms.KIND_IRI => Iri(r.getString(1))
       case Terms.KIND_BLANK => Blank(r.getString(1))
+      case Terms.KIND_TRIPLE => Terms.unpackString(r.getString(1))
       case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
     }
 

@@ -41,7 +41,8 @@ class W3cSparqlSpec extends SparkSpec with W3cHarness {
 
   private val categories =
     Seq("algebra", "negation", "aggregates", "property-path",
-      "functions", "bindings", "exists", "graph", "syntax")
+      "functions", "bindings", "exists", "graph", "syntax",
+      "sparql-star")
 
   for (cat <- categories; t <- loadManifest(cat)) {
     test(s"w3c/$cat: ${t.name}") {
