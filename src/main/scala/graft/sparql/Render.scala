@@ -18,6 +18,29 @@ object Render {
 
   def pattern(p: GraphPattern): String = s"{ ${body(p)} }"
 
+  /** A pattern whose flat rendering would expose GROUP-LEVEL FILTERs
+    * to the parent group must be braced when embedded beside other
+    * operands: per §18.2.2.2 a group's filters apply to the WHOLE
+    * group regardless of textual position, so flattening `Filter(l, c)
+    * OPTIONAL { r }` into one group widens c's scope to include r's
+    * bindings on reparse (found by ServiceModelSpec's differential
+    * fuzz: a left-side `BOUND(?x)` leaked across its OPTIONAL). Only
+    * Filter, Join, and Extend render flat; everything else emits a
+    * self-contained form. Bracing is otherwise semantics-neutral here:
+    * an AST operand was a distinct group (or a BGP, which shares no
+    * blank-node labels across operands in any legal source). */
+  private def carriesFilters(p: GraphPattern): Boolean = p match {
+    case Filter(_, _) => true
+    case Join(l, r) => carriesFilters(l) || carriesFilters(r)
+    case Extend(q, _, _) => carriesFilters(q)
+    case _ => false
+  }
+
+  private def operand(p: GraphPattern): String = {
+    val b = body(p)
+    if (carriesFilters(p) && b.nonEmpty) s"{ $b }" else b
+  }
+
   private def body(p: GraphPattern): String = p match {
     case Unit0 => ""
     case Bgp(ts) => ts.map(triple).mkString(" . ")
@@ -27,12 +50,12 @@ object Render {
     // wire. The grammar allows '.' after any group-level element, so
     // the separator is safe whatever the operands are.
     case Join(l, r) =>
-      val (a, b) = (body(l), body(r))
+      val (a, b) = (operand(l), operand(r))
       if (a.isEmpty) b else if (b.isEmpty) a else s"$a . $b"
     case LeftJoin(l, r, filters) =>
       val fs = filters.map(f => s" FILTER(${expr(f)})").mkString
-      s"${body(l)} OPTIONAL { ${body(r)}$fs }"
-    case Minus(l, r) => s"${body(l)} MINUS { ${body(r)} }"
+      s"${operand(l)} OPTIONAL { ${body(r)}$fs }"
+    case Minus(l, r) => s"${operand(l)} MINUS { ${body(r)} }"
     case Union(l, r) => s"{ ${body(l)} } UNION { ${body(r)} }"
     case Filter(q, exprs) =>
       body(q) + exprs.map(e => s" FILTER(${expr(e)})").mkString

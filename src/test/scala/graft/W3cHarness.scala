@@ -154,6 +154,48 @@ trait W3cHarness { this: org.scalatest.Assertions =>
     }
   }
 
+  // ------------------------------------------------- live SPARQL endpoint
+
+  /** A live SPARQL-protocol endpoint over `dataTtl`: parses the POSTed
+    * form body, evaluates the decoded query on an inline engine, and
+    * answers results-JSON (HTTP 500 on any evaluation error, which is
+    * what a conforming client must treat as service failure). Used by
+    * the SERVICE suites so the rendered sub-query, bound-join VALUES
+    * injection, and executor-side decode run over the real wire. */
+  protected def startEndpoint(dataTtl: String)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : (com.sun.net.httpserver.HttpServer, String) = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val query = body.split("&").collectFirst {
+        case p if p.startsWith("query=") =>
+          java.net.URLDecoder.decode(p.substring("query=".length), "UTF-8")
+      }.getOrElse("")
+      val answer =
+        try Right(graft.sources.SparqlResults.json(
+          Engine.inline(dataTtl).selectRaw(query)))
+        catch { case e: Exception => Left(e.toString) }
+      answer match {
+        case Right(json) =>
+          val out = json.getBytes(UTF_8)
+          ex.getResponseHeaders.add("Content-Type",
+            "application/sparql-results+json")
+          ex.sendResponseHeaders(200, out.length)
+          ex.getResponseBody.write(out)
+        case Left(err) =>
+          val out = err.getBytes(UTF_8)
+          ex.sendResponseHeaders(500, out.length)
+          ex.getResponseBody.write(out)
+      }
+      ex.close()
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/sparql")
+  }
+
   // ------------------------------------------------------------- running
 
   protected def rowTerm(r: Row): RdfTerm =

@@ -1,12 +1,6 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets.UTF_8
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-
 import graft.rdf._
-import graft.sources.SparqlResults
 
 /** Manifest-driven SERVICE (SPARQL 1.1 Federated Query) conformance
   * suite, after the upstream `w3c/rdf-tests` `sparql11-fed` layout:
@@ -31,39 +25,6 @@ import graft.sources.SparqlResults
 class W3cServiceSpec extends SparkSpec with W3cHarness {
 
   private val DeadEndpoint = "http://dead.invalid/sparql"
-
-  /** A live SPARQL-protocol endpoint over `dataTtl`: parses the POSTed
-    * form body, evaluates the decoded query on an inline engine, and
-    * answers results-JSON (HTTP 500 on any evaluation error, which is
-    * what a conforming client must treat as service failure). */
-  private def startEndpoint(dataTtl: String): (HttpServer, String) = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/sparql", (ex: HttpExchange) => {
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val query = body.split("&").collectFirst {
-        case p if p.startsWith("query=") =>
-          java.net.URLDecoder.decode(p.substring("query=".length), "UTF-8")
-      }.getOrElse("")
-      val answer =
-        try Right(SparqlResults.json(Engine.inline(dataTtl).selectRaw(query)))
-        catch { case e: Exception => Left(e.toString) }
-      answer match {
-        case Right(json) =>
-          val out = json.getBytes(UTF_8)
-          ex.getResponseHeaders.add("Content-Type",
-            "application/sparql-results+json")
-          ex.sendResponseHeaders(200, out.length)
-          ex.getResponseBody.write(out)
-        case Left(err) =>
-          val out = err.getBytes(UTF_8)
-          ex.sendResponseHeaders(500, out.length)
-          ex.getResponseBody.write(out)
-      }
-      ex.close()
-    })
-    server.start()
-    (server, s"http://127.0.0.1:${server.getAddress.getPort}/sparql")
-  }
 
   for (t <- loadManifest("service")) {
     test(s"w3c/service: ${t.name}") {

@@ -780,6 +780,50 @@ object Drive {
         e.graph.datasetHash())
     }
 
+    println("=== r14: SERVICE federation over a live endpoint, incl. the")
+    println("    filter-scope shape the renderer used to flatten:")
+    locally {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val remoteData =
+        """@prefix : <http://example.com/> .
+          :Manhattan :onIsland true . :Brooklyn :onIsland true .
+        """
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val q = body.split("&").collectFirst {
+          case p if p.startsWith("query=") =>
+            java.net.URLDecoder.decode(p.substring(6), "UTF-8")
+        }.getOrElse("")
+        val json = graft.sources.SparqlResults.json(
+          Engine.inline(remoteData).selectRaw(q)).getBytes(UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          "application/sparql-results+json")
+        ex.sendResponseHeaders(200, json.length)
+        ex.getResponseBody.write(json); ex.close()
+      })
+      server.start()
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+      try {
+        println("--- local pop join remote onIsland (bound-join injection):")
+        engine.select(
+          s"""SELECT ?b ?pop {
+               ?b :pop ?pop .
+               SERVICE <$url> { ?b :onIsland true }
+             } ORDER BY DESC(?pop)""").show(false)
+        println("--- a left-group FILTER must NOT see the OPTIONAL's bindings")
+        println("    (renderer braces the filtered group on the wire; 0 rows):")
+        engine.select(
+          s"""SELECT ?b ?i {
+               SERVICE <$url> {
+                 { ?b :onIsland true . FILTER(BOUND(?other)) }
+                 OPTIONAL { ?other :onIsland ?i }
+               }
+             }""").show(false)
+      } finally server.stop(0)
+    }
+
     println("=== r14: C4 + Gopher filter family over a toy corpus:")
     locally {
       import org.apache.spark.sql.{functions => F}
