@@ -54,7 +54,7 @@ class ServiceModelSpec extends SparkSpec with W3cHarness {
 
   private def pat(rnd: Random, depth: Int): String =
     if (depth <= 0) tp(rnd)
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(10) match {
       case 0 => s"{ ${pat(rnd, depth - 1)} } OPTIONAL { ${pat(rnd, depth - 1)} }"
       case 1 => s"{ ${pat(rnd, depth - 1)} } UNION { ${pat(rnd, depth - 1)} }"
       case 2 => s"${pat(rnd, depth - 1)} FILTER(BOUND(${pick(rnd, vs)}))"
@@ -62,6 +62,10 @@ class ServiceModelSpec extends SparkSpec with W3cHarness {
         s"VALUES ${pick(rnd, vs)} { ${term(rnd)} ${term(rnd)} } ${pat(rnd, depth - 1)}"
       case 4 => pathTp(rnd)
       case 5 => s"{ SELECT DISTINCT ?v0 ?v1 WHERE { ${pat(rnd, depth - 1)} } }"
+      case 6 => s"{ ${pat(rnd, depth - 1)} } MINUS { ${pat(rnd, depth - 1)} }"
+      case 7 =>
+        // fresh target var per depth level: always §18.2.1-legal
+        s"${pat(rnd, depth - 1)} BIND(${1 + rnd.nextInt(9)} AS ?b$depth)"
       case _ => s"${tp(rnd)} ${pat(rnd, depth - 1)}"
     }
 
