@@ -94,25 +94,86 @@ class ReasonerModelSpec extends SparkSpec {
     sys.env.get("GRAFT_MODEL_SEEDS_EXTRA").toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
 
+  // --------------------------------------------------------- smushSameAs
+
+  /** Naive smush model: undirected components over the owl:sameAs
+    * edges, canonical representative = the component's minimum IRI
+    * (plain string order — the same order struct-min gives all-IRI
+    * components), subjects and objects rewritten, predicates and
+    * literals untouched, sameAs triples dropped, set semantics. */
+  private def naiveSmush(start: Set[T]): Set[T] = {
+    val SAME = Iri(OWL.sameAs)
+    val edges = start.collect { case (a, SAME, b) => (a, b) }
+    val parent = scala.collection.mutable.Map[RdfTerm, RdfTerm]()
+    def find(x: RdfTerm): RdfTerm =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val repr = parent.keys.toSeq.groupBy(find).flatMap { case (_, members) =>
+      val c = members.minBy { case Iri(v) => v; case t => t.n3() }
+      members.map(_ -> c)
+    }
+    def r(x: RdfTerm): RdfTerm = repr.getOrElse(x, x)
+    start.collect { case (s, p, o) if p != SAME => (r(s), p, r(o)) }
+  }
+
+  private def genSmushGraph(rnd: Random): Set[T] = {
+    val inds = Seq("i1", "i2", "i3", "i4", "i5").map(e)
+    val props = Seq("p", "q").map(e)
+    val out = scala.collection.mutable.Set[T]()
+    for (_ <- 0 until rnd.nextInt(4))
+      out += ((inds(rnd.nextInt(5)), Iri(OWL.sameAs), inds(rnd.nextInt(5))))
+    for (_ <- 0 until 3 + rnd.nextInt(5)) {
+      val o: RdfTerm =
+        if (rnd.nextInt(4) == 0) Lit("L" + rnd.nextInt(3), XSD.string, null)
+        else inds(rnd.nextInt(5))
+      out += ((inds(rnd.nextInt(5)), props(rnd.nextInt(2)), o))
+    }
+    out.toSet
+  }
+
+  for (seed <- Seq(5, 13, 71) ++ extraSeeds) {
+    test(s"smushSameAs equals the naive union-find rewrite (seed $seed)") {
+      val rnd = new Random(seed)
+      for (round <- 0 until 4) {
+        val start = genSmushGraph(rnd)
+        val want = naiveSmush(start)
+        val got = collectTriples(
+          Reasoner.smushSameAs(Engine.inline(toTurtle(start)).graph))
+        assert(got == want,
+          s"seed $seed round $round:\n" +
+            s"missing: ${(want -- got).mkString("; ")}\n" +
+            s"extra: ${(got -- want).mkString("; ")}\n" +
+            s"input:\n${toTurtle(start)}")
+      }
+    }
+  }
+
+  private def collectTriples(g: RdfGraph): Set[T] =
+    g.triples.collect().map { r =>
+      def t(i: Int): RdfTerm = {
+        val st = r.getStruct(i)
+        st.getByte(0) match {
+          case Terms.KIND_IRI => Iri(st.getString(1))
+          case Terms.KIND_BLANK => Blank(st.getString(1))
+          case _ => Lit(st.getString(1), st.getString(2), st.getString(3))
+        }
+      }
+      (t(0), t(1), t(2))
+    }.toSet
+
   for (seed <- Seq(3, 17, 29, 41) ++ extraSeeds) {
     test(s"rdfsClosure fixpoint equals the naive rule fixpoint (seed $seed)") {
       val rnd = new Random(seed)
       for (round <- 0 until 3) {
         val start = genGraph(rnd)
         val want = naiveClosure(start)
-        val closed = Reasoner.rdfsClosure(
-          Engine.inline(toTurtle(start)).graph, rounds = 8)
-        val got = closed.triples.collect().map { r =>
-          def t(i: Int): RdfTerm = {
-            val st = r.getStruct(i)
-            st.getByte(0) match {
-              case Terms.KIND_IRI => Iri(st.getString(1))
-              case Terms.KIND_BLANK => Blank(st.getString(1))
-              case _ => Lit(st.getString(1), st.getString(2), st.getString(3))
-            }
-          }
-          (t(0), t(1), t(2))
-        }.toSet
+        val got = collectTriples(Reasoner.rdfsClosure(
+          Engine.inline(toTurtle(start)).graph, rounds = 8))
         assert(got == want,
           s"seed $seed round $round:\n" +
             s"missing: ${(want -- got).map(x => x.toString).mkString("; ")}\n" +
