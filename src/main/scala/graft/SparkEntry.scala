@@ -814,6 +814,18 @@ object SparkEntry {
           TextAnalysis.gopherRepetition(F.col("text")).as("g"))
         .select("doc_id", "g.*")
     }),
+    "q_sentences" -> ((s, dir) => {
+      // segmentation variety: terminator runs, quotes after the punct,
+      // an unterminated tail, and (on %4) ellipses
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.lit(". Second sentence here! \"A quoted end.\" trailing tail"),
+          F.when(F.col("doc_id") % 4 === 0,
+            F.lit(" More... and more?")).otherwise(F.lit(""))).as("text"))
+      docs.select(F.col("doc_id"),
+        F.posexplode(TextAnalysis.sentences(F.col("text")))
+          .as(Seq("pos", "sentence")))
+    }),
     "q_fineweb_quality" -> ((s, dir) => {
       // FineWeb §3.6 gates; plants trip one rule each: %2 a burst of
       // short lines, %3 a duplicated boilerplate line, %5 enough
@@ -3481,6 +3493,19 @@ object SparkEntry {
              AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
              AND dup_10gram_char_frac <= 0.1) AS passes
          FROM stat""",
+    "q_sentences" ->
+      // the identical RE2 rule; pos is 0-based like posexplode
+      """WITH d AS (SELECT doc_id,
+             text || '. Second sentence here! "A quoted end." trailing tail'
+                  || CASE WHEN doc_id % 4 = 0 THEN ' More... and more?'
+                     ELSE '' END AS text
+           FROM documents),
+         s AS (SELECT doc_id, list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+'),
+             x -> trim(x)), x -> x <> '') AS ss
+           FROM d)
+         SELECT doc_id, CAST(r.i - 1 AS INT) AS pos, ss[r.i] AS sentence
+         FROM s, unnest(range(1, len(ss) + 1)) AS r(i)""",
     "q_fineweb_quality" ->
       // line fractions are single divisions rounded to 6 dp before
       // thresholding; the duplicated-line char fraction matches the

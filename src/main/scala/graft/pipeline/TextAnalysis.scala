@@ -724,6 +724,25 @@ object TextAnalysis {
       passes.as("passes"))
   }
 
+  /** Deterministic rule-based sentence segmentation: sentences are
+    * maximal runs ending at `[.!?]+` plus any closing quotes/brackets,
+    * with an unterminated tail kept as a final sentence; each sentence
+    * is trimmed and empties are dropped. The rule is deliberately in
+    * the RE2-compatible regex subset (no lookaround), so SQL oracles
+    * and sibling engines reproduce the segmentation byte-exactly —
+    * this is a curation-pipeline unit boundary (span dedup, chunking,
+    * per-sentence quality), not a linguistics segmenter: abbreviations
+    * like "Dr." split, and a chunk must BEGIN with a non-terminator
+    * (a leading run of bare terminators is dropped) — both by design
+    * of the deterministic contract. Narrow, codegen'd, no shuffle. */
+  def sentences(text: Column): Column =
+    F.filter(
+      F.transform(
+        F.regexp_extract_all(text,
+          F.lit("""[^.!?]+[.!?]+["')\]]*|[^.!?]+"""), F.lit(0)),
+        s => F.trim(s)),
+      s => F.length(s) > 0)
+
   /** The FineWeb custom filters (Penedo et al. 2024 §3.6 — the three
     * rules the dataset added beyond C4's and Gopher's): a document
     * passes iff the fraction of its lines ending in terminal

@@ -217,6 +217,23 @@ class CorpusOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ----------------------------------------------------------- sentences
+
+  test("sentences: terminators, attached quotes, tails, degenerate runs") {
+    def seg(text: String): Seq[String] =
+      Seq(text).toDF("t").select(TextAnalysis.sentences(F.col("t")))
+        .as[Seq[String]].collect().head
+    assert(seg("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
+    assert(seg("He said \"stop\". Then left.") ==
+      Seq("He said \"stop\".", "Then left."))
+    assert(seg("\"A quoted end.\" Next") == Seq("\"A quoted end.\"", "Next"))
+    assert(seg("Wait... what?") == Seq("Wait...", "what?"))
+    assert(seg("no terminator at all") == Seq("no terminator at all"))
+    assert(seg("") == Seq.empty)
+    assert(seg("...") == Seq.empty)            // documented: no non-terminator lead
+    assert(seg("...but then text.") == Seq("but then text."))
+  }
+
   // ------------------------------------------------------ finewebQuality
 
   test("finewebQuality: each rule trips on its planted shape") {
