@@ -826,6 +826,22 @@ object SparkEntry {
         F.posexplode(TextAnalysis.sentences(F.col("text")))
           .as(Seq("pos", "sentence")))
     }),
+    "q_c4_sentence_dedup" -> ((s, dir) => {
+      // sentence-granular span dedup, the paper's unit: every doc ends
+      // in the same 3-sentence footer (global first keeps it); %6 docs
+      // repeat it again after a unique bridge sentence
+      val footer = " Shared footer sentence alpha." +
+        " Shared footer sentence beta! Shared footer sentence gamma?"
+      val docs = read(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(
+          F.lit("Doc "), F.col("doc_id"), F.lit(" opens with its own line."),
+          F.lit(footer),
+          F.when(F.col("doc_id") % 6 === 0,
+            F.concat(F.lit(" Bridge "), F.col("doc_id"), F.lit("."),
+              F.lit(footer))).otherwise(F.lit("")),
+          F.lit(" Doc "), F.col("doc_id"), F.lit(" closes.")).as("text"))
+      TextAnalysis.c4SpanDedupSentences(docs, "doc_id", "text")
+    }),
     "q_fineweb_quality" -> ((s, dir) => {
       // FineWeb §3.6 gates; plants trip one rule each: %2 a burst of
       // short lines, %3 a duplicated boilerplate line, %5 enough
@@ -3506,6 +3522,44 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, CAST(r.i - 1 AS INT) AS pos, ss[r.i] AS sentence
          FROM s, unnest(range(1, len(ss) + 1)) AS r(i)""",
+    "q_c4_sentence_dedup" ->
+      // the q_c4_span_dedup replay over SENTENCE units (the shared
+      // RE2 segmentation rule) with single-space rejoin
+      """WITH d AS (SELECT doc_id,
+             'Doc ' || doc_id || ' opens with its own line.' ||
+             ' Shared footer sentence alpha. Shared footer sentence beta! Shared footer sentence gamma?' ||
+             CASE WHEN doc_id % 6 = 0 THEN
+               ' Bridge ' || doc_id || '.' ||
+               ' Shared footer sentence alpha. Shared footer sentence beta! Shared footer sentence gamma?'
+               ELSE '' END ||
+             ' Doc ' || doc_id || ' closes.' AS text
+           FROM documents),
+         l AS (SELECT doc_id, list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+'),
+             x -> trim(x)), x -> x <> '') AS lns
+           FROM d),
+         sp AS (SELECT doc_id, i - 1 AS sidx,
+             array_to_string(lns[i:i+2], ' ') AS span
+           FROM l, unnest(range(1, len(lns) - 1)) AS r(i)),
+         rk AS (SELECT doc_id, sidx,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, sidx) AS rn,
+             count(*) OVER (PARTITION BY span) AS cnt
+           FROM sp),
+         dropped AS (SELECT DISTINCT doc_id, sidx + k.k AS idx
+           FROM rk, unnest([0, 1, 2]) AS k(k) WHERE cnt > 1 AND rn > 1),
+         lines AS (SELECT doc_id, i - 1 AS idx, lns[i] AS line
+           FROM l, unnest(range(1, len(lns) + 1)) AS r(i)),
+         kept AS (SELECT ln.doc_id, ln.idx, ln.line FROM lines ln
+           LEFT JOIN dropped dr ON ln.doc_id = dr.doc_id AND ln.idx = dr.idx
+           WHERE dr.doc_id IS NULL),
+         reb AS (SELECT doc_id,
+             string_agg(line, ' ' ORDER BY idx) AS clean_text,
+             count(*) AS nkept
+           FROM kept GROUP BY doc_id)
+         SELECT l.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           CAST(len(l.lns) - coalesce(reb.nkept, 0) AS BIGINT)
+             AS n_dropped_units
+         FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id""",
     "q_fineweb_quality" ->
       // line fractions are single divisions rounded to 6 dp before
       // thresholding; the duplicated-line char fraction matches the
@@ -3580,7 +3634,7 @@ object SparkEntry {
            FROM kept GROUP BY doc_id)
          SELECT l.doc_id, coalesce(reb.clean_text, '') AS clean_text,
            CAST(len(l.lns) - coalesce(reb.nkept, 0) AS BIGINT)
-             AS n_dropped_lines
+             AS n_dropped_units
          FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id""",
     "q_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -804,7 +804,8 @@ object TextAnalysis {
     * every other occurrence has its n lines deleted. A line survives
     * iff NO losing span covers it. Documents are rebuilt from their
     * surviving lines in original order; returns
-    * (id, clean_text, n_dropped_lines) for every input document.
+    * (id, clean_text, n_dropped_units) for every input document
+    * (units = lines here, sentences in [[c4SpanDedupSentences]]).
     * (The token-window exact-substring variant of Lee et al. 2022 —
     * cutting at token rather than line granularity — is
     * [[Dedup.dedupSpans]].)
@@ -817,13 +818,27 @@ object TextAnalysis {
     * AQE). Dropped line indexes explode from losers only. No O(n²)
     * pair join, no driver state. */
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    spanDedupBy(df, idCol, textCol, n,
+      F.split(F.col(textCol), "\n"), "\n")
+
+  /** [[c4SpanDedup]] at SENTENCE granularity — the paper's actual unit
+    * ("any three-sentence span"): units come from [[sentences]] and
+    * surviving sentences rejoin with single spaces (like the public C4
+    * pipeline, rebuilt text is whitespace-normalized at the sentence
+    * seams). Same corpus-wide first-occurrence-wins semantics and the
+    * same scale shape. */
+  def c4SpanDedupSentences(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    spanDedupBy(df, idCol, textCol, n, sentences(F.col(textCol)), " ")
+
+  private def spanDedupBy(df: DataFrame, idCol: String, textCol: String,
+      n: Int, arr: Column, sep: String): DataFrame = {
     require(n >= 1, s"span length must be positive, got $n")
-    val arr = F.split(F.col(textCol), "\n")
     val spans = df.select(F.col(idCol).as("__id"),
         F.posexplode(F.when(F.size(arr) >= n,
           F.transform(F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-            i => F.array_join(F.slice(arr, i, F.lit(n)), "\n")))
+            i => F.array_join(F.slice(arr, i, F.lit(n)), sep)))
           .otherwise(F.array().cast(ArrayType(StringType))))
           .as(Seq("__sidx", "__span")))
       .select(F.col("__id"), F.col("__sidx"), F.md5(F.col("__span")).as("__key"))
@@ -845,13 +860,13 @@ object TextAnalysis {
     val rebuilt = kept.groupBy("__id")
       .agg(F.array_join(F.transform(F.array_sort(
           F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),
-          s => s.getField("__line")), "\n").as("__clean"),
+          s => s.getField("__line")), sep).as("__clean"),
         F.count(F.lit(1)).as("__nkept"))
     df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
       .select(df(idCol),
         F.coalesce(F.col("__clean"), F.lit("")).as("clean_text"),
         (F.size(arr).cast(LongType) -
-          F.coalesce(F.col("__nkept"), F.lit(0L))).as("n_dropped_lines"))
+          F.coalesce(F.col("__nkept"), F.lit(0L))).as("n_dropped_units"))
   }
 
   /** Split each document into overlapping token-window chunks (training
