@@ -848,12 +848,20 @@ object Drive {
           .getField("top_2gram_char_frac").as("top2"),
         TextAnalysis.finewebQuality(F.col("text")).getField("passes")
           .as("fineweb_ok")).show(false)
-      println("--- dedupSpans (3-line span, corpus-wide first keeps):")
+      println("--- c4SpanDedup (3-line span, corpus-wide first keeps):")
       val spanDocs = Seq(
         (1L, "a unique head\ncommon one\ncommon two\ncommon three"),
         (2L, "b unique head\ncommon one\ncommon two\ncommon three"))
         .toDF("id", "text")
       TextAnalysis.c4SpanDedup(spanDocs, "id", "text").show(false)
+      println("--- sentences() + sentence-granular span dedup:")
+      val sentDocs = Seq(
+        (1L, "Opening one. Shared alpha. Shared beta! Shared gamma? End one."),
+        (2L, "Opening two. Shared alpha. Shared beta! Shared gamma? End two."))
+        .toDF("id", "text")
+      sentDocs.select(F.col("id"),
+        TextAnalysis.sentences(F.col("text")).as("sentences")).show(false)
+      TextAnalysis.c4SpanDedupSentences(sentDocs, "id", "text").show(false)
     }
 
     spark.stop()
