@@ -131,7 +131,11 @@ object SparqlResults {
   private def xstr(s: String): String = s.flatMap {
     case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
     case '"' => "&quot;"
-    case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+    // XML §2.11 line-end normalization folds a raw \r (or \r\n) to \n
+    // on ANY conforming reparse — only a char ref survives (the same
+    // fix RdfXml.esc needed; found again here by ResultsRoundTripSpec)
+    case '\r' => "&#xD;"
+    case c if c < ' ' && c != '\t' && c != '\n' =>
       // XML 1.0 cannot carry these at all (not even as &#x..;) — failing
       // beats silently emitting a document every parser rejects; the
       // JSON and TSV forms \u-escape the same data losslessly
@@ -186,17 +190,33 @@ object SparqlResults {
   private def xmlTerm(r: Row): String = r.getByte(0) match {
     case Terms.KIND_IRI => s"<uri>${xstr(r.getString(1))}</uri>"
     case Terms.KIND_BLANK => s"<bnode>${xstr(r.getString(1))}</bnode>"
-    case Terms.KIND_TRIPLE => // XML REC predates RDF-star; Turtle-star text
-      s"<literal>${xstr(Terms.unpackString(r.getString(1)).n3())}</literal>"
+    case Terms.KIND_TRIPLE => // SPARQL 1.2 results-XML triple extension
+      xmlTermOf(Terms.unpackString(r.getString(1)))
     case _ =>
       val dt = if (r.isNullAt(2)) null else r.getString(2)
       val lang = if (r.isNullAt(3)) null else r.getString(3)
-      val attrs =
-        if (lang != null) s""" xml:lang="${xstr(lang)}""""
-        else if (dt != null && dt != XSD.string)
-          s""" datatype="${xstr(dt)}""""
-        else ""
-      s"<literal$attrs>${xstr(r.getString(1))}</literal>"
+      s"<literal${xmlLitAttrs(dt, lang)}>${xstr(r.getString(1))}</literal>"
+  }
+
+  private def xmlLitAttrs(dt: String, lang: String): String =
+    if (lang != null) s""" xml:lang="${xstr(lang)}""""
+    else if (dt != null && dt != XSD.string) s""" datatype="${xstr(dt)}""""
+    else ""
+
+  /** [[xmlTerm]] over a decoded RdfTerm (quoted-triple components) —
+    * `<triple><subject>…</subject><predicate>…</predicate>
+    * <object>…</object></triple>`, the extension the XML decoder
+    * already reads; the old Turtle-star-text degrade came back as a
+    * plain literal (found by ResultsRoundTripSpec). */
+  private def xmlTermOf(t: graft.rdf.RdfTerm): String = t match {
+    case graft.rdf.Iri(v) => s"<uri>${xstr(v)}</uri>"
+    case graft.rdf.Blank(l) => s"<bnode>${xstr(l)}</bnode>"
+    case graft.rdf.Lit(lex, dt, lang) =>
+      s"<literal${xmlLitAttrs(dt, lang)}>${xstr(lex)}</literal>"
+    case graft.rdf.QuotedTriple(s, p, o) =>
+      s"<triple><subject>${xmlTermOf(s)}</subject>" +
+        s"<predicate>${xmlTermOf(p)}</predicate>" +
+        s"<object>${xmlTermOf(o)}</object></triple>"
   }
 
   private def xmlResult(names: Seq[String], row: Row): String =

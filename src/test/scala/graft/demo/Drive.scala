@@ -824,6 +824,40 @@ object Drive {
       } finally server.stop(0)
     }
 
+    println("=== r14: results-XML wire round trip (char-ref'd \\r and the")
+    println("    SPARQL 1.2 <triple> extension survive a reparse):")
+    locally {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val e = Engine.inline(
+        """@prefix : <http://example.com/> .
+          << :s :p 1 >> :conf "hi\rthere" .
+        """)
+      val res = e.selectRaw(
+        "SELECT ?t ?c { ?t <http://example.com/conf> ?c }")
+      val doc = graft.sources.SparqlResults.xml(res)
+      println("--- emitted XML: " + doc.replace("\r", "\\r"))
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val out = doc.getBytes(UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          "application/sparql-results+xml")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out); ex.close()
+      })
+      server.start()
+      try {
+        val back = spark.read.format("sparql")
+          .option("url",
+            s"http://127.0.0.1:${server.getAddress.getPort}/sparql")
+          .option("query", "SELECT * { ?s ?p ?o }")
+          .option("vars", "t,c").load()
+        println("--- decoded rows equal the original: " +
+          (back.collect().toSeq.sortBy(_.toString) ==
+            res.collect().toSeq.sortBy(_.toString)))
+      } finally server.stop(0)
+    }
+
     println("=== r14: C4 + Gopher filter family over a toy corpus:")
     locally {
       import org.apache.spark.sql.{functions => F}
