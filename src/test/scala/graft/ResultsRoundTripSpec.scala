@@ -137,5 +137,53 @@ class ResultsRoundTripSpec extends SparkSpec {
       withServer(partFiles(s"$dir/t"),
         "text/tab-separated-values")(url => checkBack("tsv", df, url))
     }
+
+    test(s"results-CSV decodes as the documented lossy projection (round $round)") {
+      val df = randFrame(quoted = false)
+      val dir = java.nio.file.Files.createTempDirectory("rescsv").toString
+      SparqlResults.writeCsv(df.coalesce(1), s"$dir/c")
+      withServer(partFiles(s"$dir/c"), "text/csv") { url =>
+        val got = sortedRows(readVia(url))
+        val want = df.collect().toSeq.map { row =>
+          Row(vars.indices.map { i =>
+            val cell = if (row.isNullAt(i)) None
+              else Some(termOfStruct(row.getStruct(i)))
+            csvProjection(cell).map(structOf).orNull
+          }: _*)
+        }.sortBy(_.toString)
+        assert(got == want,
+          s"csv lossy projection differs:\nwant: ${want.mkString("\n      ")}\n" +
+            s"got:  ${got.mkString("\n      ")}")
+      }
+    }
+  }
+
+  // --------------------------------------- the CSV contract, independent
+
+  private def termOfStruct(r: Row): RdfTerm = r.getByte(0) match {
+    case Terms.KIND_IRI => Iri(r.getString(1))
+    case Terms.KIND_BLANK => Blank(r.getString(1))
+    case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+  }
+
+  private val iriShape = "^[A-Za-z][A-Za-z0-9+.-]*:[^\\s]*$".r
+
+  /** The REC's documented lossy CSV projection, written independently:
+    * the writer emits bare lexical forms (`_:label` for bnodes, empty
+    * for unbound), the reader classifies by shape — `_:` prefix →
+    * blank, absolute-IRI shape → IRI, empty → unbound, anything else →
+    * plain xsd:string literal. */
+  private def csvProjection(cell: Option[RdfTerm]): Option[RdfTerm] = {
+    val s = cell match {
+      case None => ""
+      case Some(Blank(l)) => "_:" + l
+      case Some(Iri(v)) => v
+      case Some(Lit(lex, _, _)) => lex
+      case Some(q) => sys.error(s"not in the CSV pool: $q")
+    }
+    if (s.isEmpty) None
+    else if (s.startsWith("_:")) Some(Blank(s.substring(2)))
+    else if (iriShape.matches(s)) Some(Iri(s))
+    else Some(Lit(s, XSD.string, null))
   }
 }
