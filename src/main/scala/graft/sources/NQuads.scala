@@ -27,10 +27,15 @@ object NQuads {
       var i = p3
       while (i < t.length &&
         (t.charAt(i) == ' ' || t.charAt(i) == '\t')) i += 1
-      val g =
-        if (i < t.length && t.charAt(i) != '.')
-          NTriples.parseTerm(t, i)._1
-        else null
+      val (g, after) =
+        if (i < t.length && t.charAt(i) != '.') {
+          val (gt, p4) = NTriples.parseTerm(t, i)
+          require(gt.getByte(0) == graft.rdf.Terms.KIND_IRI ||
+            gt.getByte(0) == graft.rdf.Terms.KIND_BLANK,
+            s"graph label must be an IRI or blank node: $t")
+          (gt, p4)
+        } else (null, i)
+      NTriples.requireStatement(t, s, p, after)
       Some(Row(s, p, o, g))
     }
   }

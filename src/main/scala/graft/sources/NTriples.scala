@@ -14,6 +14,64 @@ import graft.rdf._
   */
 object NTriples {
 
+  /** Scan an IRIREF body from the '<' at `lt` to its '>': unescapes UCHAR
+    * (`\uXXXX` / `\UXXXXXXXX` — the only escapes the IRIREF production
+    * allows) and rejects the characters the grammar excludes from IRIs
+    * (controls, space, and `<"{}|^` + backtick + backslash), plus relative
+    * IRIs — N-Triples admits absolute IRIs only (RDF 1.1 N-Triples §2.1).
+    * One pass, no regex: this sits on the per-line 100 TB ingest path.
+    * Returns (iri, posAfterGt). */
+  private def readIriRef(s: String, lt: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = lt + 1
+    var closed = false
+    while (i < s.length && !closed) {
+      s.charAt(i) match {
+        case '>' => closed = true; i += 1
+        case '\\' =>
+          require(i + 1 < s.length, s"unterminated IRI escape: $s")
+          s.charAt(i + 1) match {
+            case 'u' => sb.appendAll(Character.toChars(hex(s, i + 2, 4))); i += 6
+            case 'U' => sb.appendAll(Character.toChars(hex(s, i + 2, 8))); i += 10
+            case c => sys.error(s"IRIs allow only \\u/\\U escapes, got \\$c")
+          }
+        case c if c <= ' ' || "<\"{}|^`".indexOf(c) >= 0 =>
+          sys.error(s"character '$c' (0x${c.toInt.toHexString}) is not allowed raw in an IRI")
+        case c => sb += c; i += 1
+      }
+    }
+    require(closed, s"unterminated IRI starting at col $lt")
+    val iri = sb.toString
+    val colon = iri.indexOf(':')
+    require(colon > 0 && iri.charAt(0).isLetter &&
+      iri.substring(1, colon).forall(c => c.isLetterOrDigit ||
+        c == '+' || c == '-' || c == '.'),
+      s"N-Triples IRIs must be absolute: <$iri>")
+    (iri, i)
+  }
+
+  private def hex(s: String, from: Int, n: Int): Int = {
+    require(from + n <= s.length, "truncated \\u escape")
+    var v = 0
+    var i = from
+    while (i < from + n) {
+      val d = Character.digit(s.charAt(i), 16)
+      require(d >= 0, s"bad \\u escape digit '${s.charAt(i)}'")
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
+  /** LANGTAG / RDF 1.2 LANG_DIR shape: `[a-zA-Z]+('-'[a-zA-Z0-9]+)*`
+    * with an optional `--ltr` / `--rtl` base-direction suffix. */
+  private val LangTag =
+    "[a-zA-Z]+(?:-[a-zA-Z0-9]+)*(?:--(?:ltr|rtl))?".r
+
+  private def isBnodeChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.' ||
+      c == '·'
+
   /** Parse one N-Triples term starting at `pos`; returns (term, nextPos).
     * Hand-rolled for per-line speed (no regex backtracking). */
   private[sources] def parseTerm(s: String, pos0: Int): (Row, Int) = {
@@ -39,12 +97,21 @@ object NTriples {
           QuotedTriple(term(qs), term(qp), term(qo)))
         (Row(Terms.KIND_TRIPLE, packed, null, null), end + 2)
       case '<' =>
-        val end = s.indexOf('>', pos)
-        (Row(Terms.KIND_IRI, s.substring(pos + 1, end), null, null), end + 1)
+        val (iri, end) = readIriRef(s, pos)
+        (Row(Terms.KIND_IRI, iri, null, null), end)
       case '_' =>
+        require(pos + 1 < s.length && s.charAt(pos + 1) == ':',
+          s"'_' must start a blank-node label (_:...): $s")
         var end = pos + 2
-        while (end < s.length && !Character.isWhitespace(s.charAt(end))) end += 1
-        (Row(Terms.KIND_BLANK, s.substring(pos + 2, end), null, null), end)
+        while (end < s.length && isBnodeChar(s.charAt(end))) end += 1
+        // labels may contain INTERNAL dots but never end with one —
+        // a trailing '.' is the statement terminator (`_:b.` = _:b + DOT)
+        while (end > pos + 2 && s.charAt(end - 1) == '.') end -= 1
+        require(end > pos + 2, s"empty blank-node label: $s")
+        val label = s.substring(pos + 2, end)
+        require(label.charAt(0).isLetterOrDigit || label.charAt(0) == '_',
+          s"blank-node label must start with a letter, digit, or '_': _:$label")
+        (Row(Terms.KIND_BLANK, label, null, null), end)
       case '"' =>
         var i = pos + 1
         val sb = new StringBuilder
@@ -52,13 +119,14 @@ object NTriples {
           if (s.charAt(i) == '\\') {
             s.charAt(i + 1) match {
               case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+              case 'b' => sb += '\b'; case 'f' => sb += '\f'; case '\'' => sb += '\''
               case '"' => sb += '"'; case '\\' => sb += '\\'
-              case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              case 'u' => sb += hex(s, i + 2, 4).toChar
                 i += 4
               case 'U' =>
-                sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+                sb.appendAll(Character.toChars(hex(s, i + 2, 8)))
                 i += 8
-              case c => sb += c
+              case c => sys.error(s"'\\$c' is not an N-Triples string escape")
             }
             i += 2
           } else { sb += s.charAt(i); i += 1 }
@@ -67,14 +135,19 @@ object NTriples {
         var next = i + 1
         if (next < s.length && s.charAt(next) == '@') {
           var end = next + 1
-          while (end < s.length && !Character.isWhitespace(s.charAt(end))) end += 1
+          while (end < s.length && { val c = s.charAt(end)
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9') || c == '-' }) end += 1
           val tag = s.substring(next + 1, end)
+          require(LangTag.matches(tag), s"ill-formed language tag @$tag")
           // N-Triples 1.2: `--ltr`/`--rtl` suffix → rdf:dirLangString
           val dt = if (tag.contains("--")) RDF.dirLangString else RDF.langString
           (Row(Terms.KIND_LIT, lex, dt, tag), end)
         } else if (next + 1 < s.length && s.charAt(next) == '^' && s.charAt(next + 1) == '^') {
-          val dtEnd = s.indexOf('>', next + 3)
-          (Row(Terms.KIND_LIT, lex, s.substring(next + 3, dtEnd), null), dtEnd + 1)
+          require(next + 2 < s.length && s.charAt(next + 2) == '<',
+            s"'^^' must be followed by a datatype IRI: $s")
+          val (dt, dtEnd) = readIriRef(s, next + 2)
+          (Row(Terms.KIND_LIT, lex, dt, null), dtEnd)
         } else (Row(Terms.KIND_LIT, lex, XSD.string, null), next)
     }
   }
@@ -85,9 +158,33 @@ object NTriples {
     else {
       val (s, p1) = parseTerm(t, 0)
       val (p, p2) = parseTerm(t, p1)
-      val (o, _) = parseTerm(t, p2)
+      val (o, p3) = parseTerm(t, p2)
+      requireStatement(t, s, p, p3)
       Some(Row(s, p, o))
     }
+  }
+
+  /** Statement-level grammar checks, shared with [[NQuads]]: the subject
+    * is an IRI, blank node, or (N-Triples 1.2) quoted triple — never a
+    * literal; the predicate is an IRI; and the statement ends with '.'
+    * followed by nothing but whitespace or a comment. The terminator
+    * check is what rejects a fourth term (a quad in a .nt file), a
+    * missing dot, and trailing garbage — without it, corrupt data
+    * truncates silently. */
+  private[sources] def requireStatement(t: String, s: Row, p: Row,
+      after: Int): Unit = {
+    require(s.getByte(0) != Terms.KIND_LIT, s"literal subject: $t")
+    require(p.getByte(0) == Terms.KIND_IRI, s"predicate must be an IRI: $t")
+    var i = after
+    while (i < t.length && (t.charAt(i) == ' ' || t.charAt(i) == '\t')) i += 1
+    require(i < t.length && t.charAt(i) == '.',
+      if (i < t.length) s"expected the terminating '.' after the object, " +
+        s"found '${t.charAt(i)}' (extra term?): $t"
+      else s"statement must end with '.': $t")
+    i += 1
+    while (i < t.length && (t.charAt(i) == ' ' || t.charAt(i) == '\t')) i += 1
+    require(i >= t.length || t.charAt(i) == '#',
+      s"trailing content after '.': $t")
   }
 
   /** [[parseLine]] with the documented failure contract: a malformed

@@ -56,7 +56,8 @@ class W3cRdfSyntaxSpec extends SparkSpec {
   private val RDFT = "http://www.w3.org/ns/rdftest#"
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  private val categories = Seq("turtle", "trig", "rdfxml", "jsonld")
+  private val categories =
+    Seq("turtle", "trig", "rdfxml", "jsonld", "ntriples", "nquads")
 
   // ------------------------------------------------------------ loading
 
@@ -208,6 +209,19 @@ class W3cRdfSyntaxSpec extends SparkSpec {
         graft.sources.RdfXml
           .parseTriples(doc, s"http://graft.invalid/tests/rdfxml/$action")
           .map { case (s, p, o) => Seq(s, p, o) }
+      case "ntriples" =>
+        // STRICT line contract — the grammar boundary under test
+        doc.linesIterator
+          .flatMap(NTriples.parseLineChecked(_, lenient = false))
+          .map(r => Seq(rowTerm(r.getStruct(0)), rowTerm(r.getStruct(1)),
+            rowTerm(r.getStruct(2)))).toSeq
+      case "nquads" =>
+        doc.linesIterator
+          .flatMap(NQuads.parseLineChecked(_, lenient = false))
+          .map(r => Seq(rowTerm(r.getStruct(0)), rowTerm(r.getStruct(1)),
+            rowTerm(r.getStruct(2))) :+
+            (if (r.isNullAt(3)) Iri("") else rowTerm(r.getStruct(3))))
+          .toSeq
       case _ =>
         Turtle.parseTriples(doc).map { case (s, p, o) => Seq(s, p, o) }
     }
@@ -229,7 +243,8 @@ class W3cRdfSyntaxSpec extends SparkSpec {
         case k if k.endsWith("Eval") =>
           val got = parseOf(cat, doc, t.action)
           val want =
-            if (cat == "trig" || cat == "jsonld") loadNq(res(cat, t.result))
+            if (cat == "trig" || cat == "jsonld" || cat == "nquads")
+              loadNq(res(cat, t.result))
             else loadNt(res(cat, t.result))
           assert(isomorphic(want, got),
             s"${t.action}: graphs differ\nexpected:${render(want)}\n" +

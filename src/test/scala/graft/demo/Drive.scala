@@ -898,6 +898,31 @@ object Drive {
       TextAnalysis.c4SpanDedupSentences(sentDocs, "id", "text").show(false)
     }
 
+    println("=== r14: strict N-Triples/N-Quads grammar (the distributed ingest boundary):")
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ntdrive")
+      val good = dir.resolve("good.nt")
+      // UCHAR escapes in an IRI (the DBpedia-dump shape), a tight dot
+      // after a LANGTAG, and a tight dot after a bnode label
+      java.nio.file.Files.writeString(good,
+        "<http://example.com/datatype/C\\u00F3rdoba> <http://example.com/label> \"C\\u00F3rdoba\"@en.\n" +
+          "<http://example.com/s> <http://example.com/knows> _:b.\n")
+      val g = sources.NTriples.read(spark, good.toString)
+      println("--- UCHAR-escaped IRI unescapes; @en. / _:b. terminate correctly:")
+      Engine.fromGraph(g).select(
+        "SELECT ?s ?p ?o { ?s ?p ?o } ORDER BY ?p").show(false)
+      val bad = dir.resolve("bad.nt")
+      java.nio.file.Files.writeString(bad,
+        "<http://example.com/s> <http://example.com/p> <http://example.com/o> <http://example.com/g> .\n" +
+          "<http://example.com/s> <http://example.com/p> \"ok\" .\n")
+      println("--- strict read rejects a quad in a .nt file (policy boundary):")
+      try { sources.NTriples.read(spark, bad.toString).size; println("BUG: accepted") }
+      catch { case e: Throwable =>
+        println("rejected: " + String.valueOf(e.getMessage).linesIterator.next()) }
+      println("--- lenient read skips it: " +
+        sources.NTriples.read(spark, bad.toString, lenient = true).size + " triple(s)")
+    }
+
     spark.stop()
   }
 }
