@@ -60,10 +60,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("term n3 round-trips through the N-Triples line parser") {
-    for (_ <- 1 to 50) {
-      val (s, p, o) = (iri(), iri(), term())
+    // EXACT term equality, not just parse success — and the object pool
+    // includes the hostile shapes the strict grammar must still accept:
+    // escape-heavy lexicals, astral-plane chars, dir-lang tags, datatypes,
+    // internal-dot bnode labels, and quoted triples
+    def rowToTerm(r: org.apache.spark.sql.Row): RdfTerm =
+      r.getByte(0) match {
+        case Terms.KIND_IRI => Iri(r.getString(1))
+        case Terms.KIND_BLANK => Blank(r.getString(1))
+        case Terms.KIND_TRIPLE => Terms.unpackString(r.getString(1))
+        case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+      }
+    val hostile: Seq[RdfTerm] = Seq(
+      Lit.plain("tab\there \"q\" back\\slash\nnl \b bs \f ff \r cr"),
+      Lit.plain("astral 🐉 and 中文"),
+      Lit.tagged("mixed CASE tag", "en-US"),
+      Lit.tagged("ش", "ar--rtl"),
+      Lit.typed("2020-01-01", XSD.date),
+      Blank("label.with.dots-and_underscores"),
+      QuotedTriple(Iri("http://example.com/s"), Iri("http://example.com/p"),
+        Lit.plain("nested \"lit\"")))
+    for (i <- 0 until 50) {
+      val (s, p) = (iri(), iri())
+      val o = if (i < hostile.size) hostile(i) else term()
       val line = s"${s.n3()} ${p.n3()} ${o.n3()} ."
-      assert(sources.NTriples.parseLine(line).isDefined, s"unparseable: $line")
+      val parsed = sources.NTriples.parseLine(line)
+      assert(parsed.isDefined, s"unparseable: $line")
+      val r = parsed.get
+      val got = (rowToTerm(r.getStruct(0)), rowToTerm(r.getStruct(1)),
+        rowToTerm(r.getStruct(2)))
+      assert(got == ((s, p, o)), s"round-trip changed terms: $line -> $got")
     }
   }
 
