@@ -55,6 +55,19 @@ object NQuads {
           s"malformed N-Quads line: $line", e)
     }
 
+  /** Structured-Streaming N-Quads ingest — the named-graph twin of
+    * [[NTriples.readStream]], with the same strict/lenient line
+    * contract and the same no-dedup caveat (bound set semantics
+    * downstream with a watermark, or merge per micro-batch via
+    * `foreachBatch`). */
+  def readStream(spark: SparkSession, path: String,
+      lenient: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rowEnc = org.apache.spark.sql.Encoders.row(quadType)
+    spark.readStream.text(path).as[String]
+      .flatMap(parseLineChecked(_, lenient))(rowEnc)
+  }
+
   /** Read .nq / .nq.gz. Strict by default — a malformed line fails the
     * read naming the line; `lenient = true` skips malformed lines. */
   def read(spark: SparkSession, path: String,

@@ -203,6 +203,27 @@ object NTriples {
           s"malformed N-Triples line: $line", e)
     }
 
+  /** Structured-Streaming N-Triples ingest: watches `path` (a directory
+    * that new .nt / .nt.gz files land in — the shape of a continuously
+    * arriving crawl export) and yields an UNBOUNDED streaming triples
+    * DataFrame with the same strict/lenient line contract as [[read]]:
+    * strict fails the stream naming the malformed line, lenient drops it.
+    * Same 100 TB posture as the batch reader — a line-parallel narrow
+    * map, no shuffle, no driver involvement per micro-batch.
+    *
+    * Unlike [[read]] this does NOT dedup (set semantics over an unbounded
+    * stream would grow state forever): bound it downstream with
+    * `withWatermark(...).dropDuplicatesWithinWatermark(...)` keyed on
+    * (s, p, o), or merge into a graph store per micro-batch with
+    * `foreachBatch`. */
+  def readStream(spark: SparkSession, path: String,
+      lenient: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rowEnc = org.apache.spark.sql.Encoders.row(Terms.tripleType)
+    spark.readStream.text(path).as[String]
+      .flatMap(parseLineChecked(_, lenient))(rowEnc)
+  }
+
   /** Read .nt / .nt.gz into a triples DataFrame. Strict by default —
     * a malformed line fails the read with the offending line in the
     * message; `lenient = true` skips malformed lines instead. */

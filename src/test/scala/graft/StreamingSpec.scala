@@ -184,4 +184,66 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("streaming"))
   }
+
+  test("N-Triples streaming ingest: incremental files, strict grammar, no dedup") {
+    val dir = Files.createTempDirectory("graft-ntstream").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.nt"),
+      "<http://e.com/C\\u00F3rdoba> <http://e.com/p> \"x\"@en.\n" +
+        "<http://e.com/s> <http://e.com/p> _:b.\n")
+    val q = sources.NTriples.readStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ntstream").start()
+    q.processAllAvailable()
+    assert(spark.table("ntstream").count() == 2)
+    // a later-landing file appends; a repeated line is NOT deduped — the
+    // streaming contract leaves set semantics to a downstream watermark
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.nt"),
+      "<http://e.com/s2> <http://e.com/p> \"y\" .\n" +
+        "<http://e.com/s> <http://e.com/p> _:b.\n")
+    q.processAllAvailable()
+    val rows = spark.table("ntstream").collect()
+    q.stop()
+    assert(rows.length == 4)
+    // UCHAR in the IRI unescaped on the streaming path too
+    assert(rows.exists(_.getStruct(0).getString(1) == "http://e.com/Córdoba"))
+  }
+
+  test("strict streaming ingest fails the query on a malformed line; lenient skips") {
+    val dir = Files.createTempDirectory("graft-ntbad").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "bad.nt"),
+      "<http://e.com/s> <http://e.com/p> \"ok\" .\n" +
+        "<http://e.com/s> <http://e.com/p> <http://e.com/o> extra .\n")
+    val strict = sources.NTriples.readStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ntstrict").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+      if (strict.exception.isDefined) throw strict.exception.get
+    }
+    assert(e.toString.contains("malformed") || e.getCause != null)
+    strict.stop()
+    val lenient = sources.NTriples.readStream(spark, dir, lenient = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ntlenient").start()
+    lenient.processAllAvailable()
+    lenient.stop()
+    assert(spark.table("ntlenient").count() == 1)
+  }
+
+  test("N-Quads streaming ingest: graph labels arrive, default graph is null") {
+    val dir = Files.createTempDirectory("graft-nqstream").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.nq"),
+      "<http://e.com/s> <http://e.com/p> \"default\" .\n" +
+        "<http://e.com/s> <http://e.com/p> \"named\" <http://e.com/g1> .\n")
+    val q = sources.NQuads.readStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nqstream").start()
+    q.processAllAvailable()
+    val rows = spark.table("nqstream").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.count(_.isNullAt(3)) == 1)
+    assert(rows.exists(r => !r.isNullAt(3) &&
+      r.getStruct(3).getString(1) == "http://e.com/g1"))
+  }
 }

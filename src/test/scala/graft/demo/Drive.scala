@@ -921,6 +921,20 @@ object Drive {
         println("rejected: " + String.valueOf(e.getMessage).linesIterator.next()) }
       println("--- lenient read skips it: " +
         sources.NTriples.read(spark, bad.toString, lenient = true).size + " triple(s)")
+
+      println("--- streaming ingest: new .nt files landing in a directory:")
+      val landing = java.nio.file.Files.createTempDirectory("graft-ntland")
+      java.nio.file.Files.writeString(landing.resolve("batch1.nt"),
+        "<http://example.com/s> <http://example.com/p> \"first batch\" .\n")
+      val q = sources.NTriples.readStream(spark, landing.toString)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("drive_ntstream").start()
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(landing.resolve("batch2.nt"),
+        "<http://example.com/s2> <http://example.com/p> \"landed later\"@en.\n")
+      q.processAllAvailable()
+      q.stop()
+      spark.table("drive_ntstream").show(false)
     }
 
     spark.stop()
