@@ -1148,9 +1148,9 @@ object SparkEntry {
       Dedup.simhashGroups(read(s, dir, "documents"), "doc_id", "text",
         md5Tokens = true)),
     "q_simhash_near" -> ((s, dir) =>
-      // exhaustive truth is exact here: 4-band pigeonhole recall is
-      // complete for hamming <= 3 and no band bucket nears the 256 cap
-      // on this corpus (max 28), so banded == brute all-pairs
+      // the oracle replays the banded join INCLUDING the bucket cap, so
+      // it stays exact at any scale (at sf0.1 a band bucket holds 291
+      // members — over the 256 cap, where a brute oracle over-counts)
       Dedup.simhashNearDupPairs(read(s, dir, "documents"), "doc_id", "text",
         maxBits = 3, md5Tokens = true)),
     "q_dedup_ngram" -> ((s, dir) =>
@@ -4698,10 +4698,14 @@ object SparkEntry {
          SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS keep_id
          FROM s GROUP BY simhash""",
     "q_simhash_near" ->
-      // exhaustive all-pairs truth (promoted from rows-only in r14):
-      // 4-band pigeonhole recall is COMPLETE for hamming <= 3, and no
-      // band bucket on this corpus nears the 256 cap (max 28), so the
-      // engine's banded self-join provably equals brute force here
+      // FULL restatement of the banded self-join INCLUDING the 256-per-
+      // bucket cap (row_number by ascending id replays the engine's
+      // smallest-ids-kept bounded buffer), so the oracle is exact at ANY
+      // corpus scale — at sf0.1 one band bucket holds 291 members and a
+      // brute all-pairs oracle over-counts by the capped tail (found by
+      // the 10x-scale verify gate). Recall-completeness where the cap
+      // does not bind stays pinned by PipelineSpec's banded==brute case;
+      // the cap semantics themselves by its engineered-overflow case.
       """WITH toks AS (SELECT doc_id,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
            FROM documents),
@@ -4718,11 +4722,20 @@ object SparkEntry {
            FROM votes GROUP BY doc_id),
          s AS (SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
-             AS simhash FROM sh)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
+             AS simhash FROM sh),
+         bb AS (SELECT doc_id, simhash, band,
+             (simhash >> (band * 16)) & 65535 AS bits
+           FROM s CROSS JOIN (SELECT unnest(range(4)) AS band)),
+         kept AS (SELECT doc_id, simhash, band, bits,
+             row_number() OVER (PARTITION BY band, bits
+               ORDER BY doc_id) AS rn
+           FROM bb)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+         FROM kept a JOIN kept b
+           ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         WHERE a.rn <= 256 AND b.rn <= 256
+           AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "q_dedup_minhash" ->
       // the SAME exhaustive truth as q_dedup_ngram: every true pair on
       // this corpus has jaccard ≥ 0.9, where 8-band×4-row banding recall

@@ -180,6 +180,27 @@ class PipelineSpec extends SparkSpec {
     assert(xxh != hashes.values.toSet)
   }
 
+  test("bucket cap semantics: overflow keeps the smallest ids, pinned exactly") {
+    import spark.implicits._
+    // 300 identical docs → identical simhash → every band bucket holds
+    // all 300 members, over the 256 cap. The bounded buffer keeps the
+    // SMALLEST ids per bucket, so the pair set is exactly C(256,2) over
+    // ids 1..256 — the same semantics the q_simhash_near oracle replays
+    // with row_number() <= cap (at sf0.1 a real band bucket holds 291
+    // members, where a brute all-pairs oracle over-counts; found by the
+    // 10x-scale verify gate this round).
+    val docs = (1 to 300).map(i => (i.toLong, "alpha beta gamma common text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBits = 3, maxBucket = 256, md5Tokens = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (for { a <- 1L to 256L; b <- a + 1 to 256L } yield (a, b)).toSet
+    assert(pairs == expected,
+      s"cap must keep ids 1..256: got ${pairs.size} pairs, " +
+        s"max id ${pairs.map(p => math.max(p._1, p._2)).max}")
+  }
+
   test("derived band count keeps recall complete for wider Hamming radii") {
     import spark.implicits._
     // maxBits = 6 ⇒ 7 bands of 9-10 bits; pigeonhole still guarantees
