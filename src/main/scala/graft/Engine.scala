@@ -48,9 +48,16 @@ class Engine(initial: RdfGraph) {
 
   def spark: SparkSession = graph.spark
 
-  // parse cache: the reference lru_caches parseQuery (gastrodon/__init__.py:905-911)
-  private val parseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ParsedQuery]()
+  // parse cache: the reference lru_caches parseQuery (gastrodon/__init__.py:905-911).
+  // BOUNDED like the reference's lru_cache — an unbounded map keyed by
+  // query text grows without limit on a long-lived engine whose queries
+  // embed varying constants (found by UpdateModelSpec's deepened fuzz:
+  // thousands of distinct generated queries through one engine).
+  private val parseCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, ParsedQuery](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ParsedQuery]): Boolean = size() > 512
+    })
 
   def bindNamespace(prefix: String, ns: String): Unit =
     graph = graph.withPrefix(prefix, ns)
@@ -320,9 +327,26 @@ class Engine(initial: RdfGraph) {
 
   /** Swap in a new triples frame, dropping source-derived metadata the
     * way RdfGraph.insert/delete do (it describes the pre-update state). */
-  private def replaceTriples(df: DataFrame): Unit =
-    graph = graph.copy(triples = df, predIndex = Map.empty, starTables = Nil,
+  /** UPDATE ops compose the new store on the previous store's PLAN, so an
+    * unbounded op sequence builds an unboundedly deep Catalyst tree whose
+    * analyze/canonicalize cost grows with every op ever applied — a
+    * long-running update workload eventually OOMs the driver (found by
+    * UpdateModelSpec's deepened fuzz: 40-op random sequences × several
+    * seeds through one engine blew the heap in plan canonicalization).
+    * Truncate lineage every few ops with a LAZY localCheckpoint: the plan
+    * collapses to a leaf immediately, the data materializes at the next
+    * action, and the store stays distributed (executor-local blocks). */
+  private var updatesSinceCheckpoint = 0
+  private def replaceTriples(df: DataFrame): Unit = {
+    updatesSinceCheckpoint += 1
+    val next =
+      if (updatesSinceCheckpoint >= 8) {
+        updatesSinceCheckpoint = 0
+        df.localCheckpoint(false)
+      } else df
+    graph = graph.copy(triples = next, predIndex = Map.empty, starTables = Nil,
       predObjTypes = Map.empty, predNat = Map.empty, predCounts = Map.empty)
+  }
 
   /** CLEAR/DROP shared body (§3.2.2/§3.2.3 — identical on a store that
     * does not record empty graphs). */

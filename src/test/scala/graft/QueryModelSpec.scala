@@ -668,14 +668,22 @@ class QueryModelSpec extends SparkSpec {
       val eng = Engine.inline(turtle)
       val quads = db.map { case (s, p, o) => (s, p, o, None) }
       var nonEmpty = 0
-      for (qn <- 1 to 30) {
-        val pat = genPat(rnd, 1 + rnd.nextInt(2))
+      // qn 0 is a DETERMINISTIC echo query (always productive on this
+      // dataset, consumes no randomness so the pinned seeds' streams are
+      // unchanged): a seed whose 30 random shapes all evaluate empty —
+      // seed 2404 did exactly that — must still exercise one productive
+      // template end-to-end before the coverage assert below
+      for (qn <- 0 to 30) {
+        val pat =
+          if (qn == 0) Bgp(Seq(TP(V("v0"), C(e("p")), V("v1"))))
+          else genPat(rnd, 1 + rnd.nextInt(2))
         // template triples: vars from the pool plus constants. The
         // GRAMMAR forbids literal constants in subject/predicate
         // slots, but VARS there can bind to literals — instantiation
         // must SKIP those triples silently (§16.2)
         def iriConst() = C(e(Seq("a1", "a2", "b1", "fresh")(rnd.nextInt(4))))
-        val tmpl = Seq.fill(1 + rnd.nextInt(2))(TP(
+        val tmpl = if (qn == 0) Seq(TP(V("v0"), C(e("p")), V("v1")))
+        else Seq.fill(1 + rnd.nextInt(2))(TP(
           if (rnd.nextInt(4) == 0) iriConst()
           else V(vars(rnd.nextInt(vars.length))),
           if (rnd.nextInt(4) == 0) V(vars(rnd.nextInt(vars.length)))
