@@ -111,6 +111,64 @@ class DedupModelSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------- prefix-filter (PPJoin) replay
+
+  for (seed <- Seq(11, 43) ++ extraSeeds.map(_ + 5000)) {
+    test(s"ngram prefix-filter pipeline == in-memory replay (seed $seed)") {
+      val rnd = new Random(seed)
+      val corpus = genCorpus(rnd)
+      val df = corpus.toDF("doc_id", "text")
+      val (cap, threshold) = (6, 0.5)
+
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+          threshold = threshold, k = 3, maxDocsPerShingle = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+
+      val shingles = df.select(F.col("doc_id"),
+          Dedup.shingleHashes(F.col("text"), 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+      // replay: global df (singletons tie at 1), rarest-first prefix of
+      // n - ceil(t*n) + 1 elements per doc, df-capped postings keeping
+      // the smallest ids, pairs within postings, exact-jaccard verify —
+      // the same double arithmetic for the prefix length as the engine
+      val dfreq = shingles.values.flatten.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val postings = scala.collection.mutable.Map.empty[Long, List[Long]]
+      for ((rid, sh) <- shingles; if sh.nonEmpty) {
+        val n = sh.size
+        val prefixLen = (n - math.ceil(threshold * n) + 1).toInt
+        val prefix = sh.toSeq
+          .sortBy(k => (if (dfreq(k) >= 2) dfreq(k) else 1L, k))
+          .take(prefixLen)
+        prefix.foreach(k => postings(k) = rid :: postings.getOrElse(k, Nil))
+      }
+      val candidates = postings.values.flatMap { members =>
+        val kept = members.sorted.take(cap)
+        for (i <- kept.indices; j <- i + 1 until kept.size)
+          yield (kept(i), kept(j))
+      }.toSet
+      val want = candidates.flatMap { case (a, b) =>
+        val (sa, sb) = (shingles(a), shingles(b))
+        val inter = (sa & sb).size.toDouble
+        val union = sa.size + sb.size - inter
+        val j = if (union > 0) inter / union else 0.0
+        if (j >= threshold) Some((a, b) -> j) else None
+      }.toMap
+
+      assert(got.keySet == want.keySet,
+        s"pair sets differ (seed $seed):\nengine-only=${got.keySet -- want.keySet}" +
+          s"\nmodel-only=${want.keySet -- got.keySet}")
+      for ((p, j) <- want)
+        assert(math.abs(got(p) - j) < 1e-12, s"jaccard differs at $p: ${got(p)} vs $j")
+      // the duplicate blob overflows at least one posting list, so the
+      // df-cap path genuinely executes
+      assert(postings.values.exists(_.size > cap),
+        "generator must overflow at least one posting list")
+    }
+  }
+
   // --------------------------------------------- hamming banded replay
 
   for (seed <- Seq(7, 29) ++ extraSeeds.map(_ + 9000)) {
