@@ -89,6 +89,69 @@ object GraphStore {
       predCounts = readStats(path))
   }
 
+  /** Continuous N-Triples ingest INTO a persisted store: watches
+    * `landingDir` for new .nt / .nt.gz files ([[NTriples.readStream]])
+    * and per micro-batch appends the batch's NEW triples — batch-internal
+    * dedup plus one anti-join against the current store, so re-delivered
+    * lines keep set semantics — into the predicate-partitioned parquet
+    * at `storePath`. The predicate-count sidecar is merged per batch, so
+    * the BGP join-order heuristic keeps seeing fresh cardinalities.
+    *
+    * Trigger is AvailableNow: one call processes every file that has
+    * landed and stops — with `checkpointDir` set, the next call resumes
+    * AFTER the already-processed files, which is the cron-shaped
+    * continuous-ingest loop (run it from a scheduler as often as data
+    * lands). The merge itself is batch-idempotent: replaying a batch
+    * adds nothing, so a retried micro-batch cannot duplicate triples.
+    *
+    * Scale: the anti-join probes the store's parquet with the SMALL
+    * batch broadcast (AQE picks the broadcast side), and the append
+    * writes only the batch's predicate directories. */
+  def startNtIngest(spark: SparkSession, landingDir: String,
+      storePath: String, queryName: String, lenient: Boolean = false,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = NTriples.readStream(spark, landingDir, lenient)
+    val writer = stream.writeStream
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeTriplesBatch(batch, storePath)
+      }
+    checkpointDir.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
+  /** One micro-batch of the ingest merge (triples-only stores). */
+  private def mergeTriplesBatch(batch0: DataFrame, path: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.dropDuplicates("s", "p", "o")
+    val storeExists = Files.exists(Paths.get(path, PREFIX_FILE))
+    val fresh =
+      (if (storeExists)
+         batch.join(spark.read.parquet(path).select("s", "p", "o"),
+           Seq("s", "p", "o"), "left_anti")
+       else batch).localCheckpoint(true) // count + write read it twice
+    val perPred = fresh.groupBy(F.col("p.value")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (perPred.nonEmpty) {
+      fresh.withColumn(PRED_COL, F.col("p.value"))
+        .write.mode("append").partitionBy(PRED_COL).parquet(path)
+      val merged = (readStats(path).toSeq ++ perPred)
+        .groupBy(_._1).map { case (p, ns) => p -> ns.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      Files.writeString(Paths.get(path, STATS_FILE),
+        merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }
+          .mkString("{", ", ", "}"))
+      if (!storeExists) {
+        val json = RdfGraph.defaultPrefixes.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }
+          .mkString("{", ", ", "}")
+        Files.writeString(Paths.get(path, PREFIX_FILE), json)
+      }
+    }
+  }
+
   /** On-demand vertical index over the predicate-partitioned layout.
     * `get` needs NO predicate listing: a lookup of a predicate with no
     * partition directory prunes to an empty scan, which IS that

@@ -203,4 +203,38 @@ class GraphStoreSpec extends SparkSpec {
       s"expected a pruned partition scan in:\n$scan")
     assert(df.count() == 25)
   }
+
+  test("streaming N-Triples ingest merges into the store with set semantics") {
+    val landing = Files.createTempDirectory("graft-ingest-land").toString
+    val store = Files.createTempDirectory("graft-ingest").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "a.nt"),
+      "<http://e.com/s1> <http://e.com/knows> <http://e.com/s2> .\n" +
+        "<http://e.com/C\\u00F3rdoba> <http://e.com/label> \"x\"@en-US .\n")
+    val q1 = GraphStore.startNtIngest(spark, landing, store, "ntingest1",
+      checkpointDir = Some(ckpt))
+    q1.awaitTermination()
+    val g1 = GraphStore.load(spark, store)
+    assert(g1.size == 2)
+    // a later run over the same checkpoint sees only the NEW file; its
+    // duplicate line is anti-joined away, its new line appends
+    Files.writeString(java.nio.file.Paths.get(landing, "b.nt"),
+      "<http://e.com/s1> <http://e.com/knows> <http://e.com/s2> .\n" +
+        "<http://e.com/s2> <http://e.com/knows> <http://e.com/s3> .\n")
+    val q2 = GraphStore.startNtIngest(spark, landing, store, "ntingest2",
+      checkpointDir = Some(ckpt))
+    q2.awaitTermination()
+    val g2 = GraphStore.load(spark, store)
+    assert(g2.size == 3, s"expected 3 after merge, got ${g2.size}")
+    // the merged store queries through the engine; stats sidecar merged
+    val e = Engine.fromGraph(g2.withPrefix("ec", "http://e.com/"))
+    assert(e.select("PREFIX ec: <http://e.com/> SELECT ?a ?b { ?a ec:knows ?b }")
+      .count() == 2)
+    assert(g2.predCounts.get("http://e.com/knows").contains(2L))
+    assert(g2.predCounts.get("http://e.com/label").contains(1L))
+    // UCHAR unescaped on the way in
+    assert(e.select(
+      "SELECT ?o { <http://e.com/Córdoba> <http://e.com/label> ?o }")
+      .count() == 1)
+  }
 }
