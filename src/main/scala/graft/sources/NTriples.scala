@@ -79,8 +79,13 @@ object NTriples {
     while (pos < s.length && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t')) pos += 1
     s.charAt(pos) match {
       case '<' if pos + 1 < s.length && s.charAt(pos + 1) == '<' =>
-        // RDF 1.2 quoted triple `<< s p o >>` as a TERM (N-Triples-star)
+        // RDF 1.2 quoted triple `<< s p o >>` as a TERM (N-Triples-star).
+        // The quoted grammar mirrors the statement grammar: subject is
+        // IRI / bnode / nested quote (never a literal), predicate an IRI
+        // (QuotedTriple's constructor enforces the latter).
         val (qs, p1) = parseTerm(s, pos + 2)
+        require(qs.getByte(0) != Terms.KIND_LIT,
+          s"a quoted triple cannot have a literal subject: $s")
         val (qp, p2) = parseTerm(s, p1)
         val (qo, p3) = parseTerm(s, p2)
         var end = p3
