@@ -568,11 +568,22 @@ object TextAnalysis {
 
   /** Word n-grams as single-space-joined strings, in document order
     * (empty array when the document has fewer than n words). */
+  // gram i = words[i..i+n-1] joined with " ", built as n-1 zip_withs
+  // over SHIFTED SLICES of the word array. The obvious recipe —
+  // transform(sequence(1, G), i => array_join(slice(words, i, n))) —
+  // closes over `words` inside the lambda, and per the PERF SHAPE rule
+  // below that re-evaluates the whole tokenize per element: O(W·len)
+  // per document, the straggler CorpusOpsSpec's 50k-word case pins.
+  // Here every slice is a HOF *argument* (evaluated once) and the
+  // lambdas touch only their own elements: O(n·W).
   private def wordNgrams(words: Column, n: Int): Column =
-    F.when(F.size(words) >= n,
-      F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
-      .otherwise(F.array().cast(ArrayType(StringType)))
+    F.when(F.size(words) >= n, {
+      val g = F.size(words) - (n - 1)
+      (1 until n).foldLeft(F.slice(words, F.lit(1), g)) { (acc, j) =>
+        F.zip_with(acc, F.slice(words, F.lit(1 + j), g),
+          (a, b) => F.concat(a, F.lit(" "), b))
+      }
+    }).otherwise(F.array().cast(ArrayType(StringType)))
 
   /** Gopher "top n-gram" statistic (Rae et al. 2021 Table A1): the
     * share of the document's characters taken by occurrences of its
@@ -635,19 +646,39 @@ object TextAnalysis {
     val fFalse = F.array(F.lit(false))
     val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
       (a, b) => a || b)
-    // covered word positions = the union of [i, i+n-1] over duplicated
-    // occurrences (overlaps collapse in the distinct — coverage, not
-    // occurrence-sum)
-    val covered = F.array_distinct(F.flatten(F.zip_with(inDup, pairs,
-      (f, p) => F.when(f,
-          F.sequence(p.getField("i"), p.getField("i") + (n - 1)))
-        .otherwise(F.array().cast(ArrayType(IntegerType))))))
-    val wordLens = F.transform(words, w => F.length(w).cast(LongType))
-    val dupChars = F.aggregate(covered, F.lit(0L),
-      (acc, pos) => acc + F.element_at(wordLens, pos))
+    // scatter the duplicate flags back to START-POSITION order: every
+    // gram position 1..m appears exactly once in `pairs`, so sorting
+    // (i, flag) structs by i puts the flag for start k at index k
+    val startFlags = F.transform(
+      F.array_sort(F.zip_with(pairs, inDup,
+        (p, f) => F.struct(p.getField("i").as("i"), f.as("f")))),
+      x => x.getField("f"))
+    // word position k is covered iff a duplicated gram STARTS in
+    // [k-n+1, k]: OR of n right-shifts of the start flags. n ≤ 10 in
+    // the Gopher family, so coverage is n linear zip_withs — NOT a
+    // per-position lookup inside a fold, which (per the PERF SHAPE rule
+    // above) would re-evaluate a whole-document transform per element
+    // and turn one pathological 100k-word document into an O(W²)
+    // single-thread straggler
+    val w = F.size(words)
+    val padded = F.concat(startFlags,
+      F.array_repeat(F.lit(false), n - 1)) // length W once grams exist
+    val coveredFlags = (1 until n).foldLeft(padded) { (acc, j) =>
+      F.zip_with(acc,
+        F.slice(F.concat(F.array_repeat(F.lit(false), j), padded),
+          F.lit(1), w),
+        (a, b) => a || b)
+    }
+    // one zipped pass charges each covered position its word length;
+    // both arrays are HOF *arguments*, so each evaluates exactly once
+    val wordLens = F.transform(words, wd => F.length(wd).cast(LongType))
+    val dupChars = F.aggregate(
+      F.zip_with(coveredFlags, wordLens,
+        (f, l) => F.when(f, l).otherwise(F.lit(0L))),
+      F.lit(0L), (a, x) => a + x)
     val totChars = F.aggregate(words, F.lit(0L),
       (a, wd) => a + F.length(wd).cast(LongType))
-    F.round(F.when(totChars > 0,
+    F.round(F.when(m > 0 && totChars > 0,
       dupChars.cast(DoubleType) / totChars.cast(DoubleType))
       .otherwise(0.0), 6)
   }
@@ -665,64 +696,20 @@ object TextAnalysis {
     * thresholding, so a SQL oracle reproduces statistics and verdict
     * bit-exactly. Returns a struct of all 13 statistics plus `passes`.
     *
-    * Scale: like [[gopherQuality]] this is a narrow all-builtin column
-    * recipe (sorts and folds over per-document arrays) — it runs inside
-    * the scan stage with no shuffle at any corpus size; cost is
-    * O(words · 6) per document for the coverage windows. */
-  def gopherRepetition(text: Column): Column = {
-    def unitStats(units: Column): (Column, Column) = {
-      val sorted = F.array_sort(units)
-      val n = F.size(sorted)
-      val same = F.zip_with(
-        F.slice(sorted, F.lit(2), F.greatest(n - 1, F.lit(0))),
-        F.slice(sorted, F.lit(1), F.greatest(n - 1, F.lit(0))),
-        (a, b) => a === b)
-      val fFalse = F.array(F.lit(false))
-      val inDup = F.zip_with(F.concat(fFalse, same), F.concat(same, fFalse),
-        (a, b) => a || b)
-      val dupUnits = F.aggregate(inDup, F.lit(0L),
-        (acc, x) => acc + F.when(x, 1L).otherwise(0L))
-      val dupChars = F.aggregate(
-        F.zip_with(inDup, sorted,
-          (f, l) => F.when(f, F.length(l).cast(LongType)).otherwise(F.lit(0L))),
-        F.lit(0L), (acc, x) => acc + x)
-      val totChars = F.aggregate(sorted, F.lit(0L),
-        (acc, l) => acc + F.length(l).cast(LongType))
-      (F.round(F.when(n > 0, dupUnits.cast(DoubleType) / n.cast(DoubleType))
-          .otherwise(0.0), 6),
-        F.round(F.when(totChars > 0,
-          dupChars.cast(DoubleType) / totChars.cast(DoubleType))
-          .otherwise(0.0), 6))
-    }
-    val lines = F.filter(F.split(text, "\n"), l => F.length(l) > 0)
-    val paras = F.filter(F.split(text, "\n\n"), p => F.length(p) > 0)
-    val (dupLineFrac, dupLineCharFrac) = unitStats(lines)
-    val (dupParaFrac, dupParaCharFrac) = unitStats(paras)
-    val top2 = topNgramCharFrac(text, 2)
-    val top3 = topNgramCharFrac(text, 3)
-    val top4 = topNgramCharFrac(text, 4)
-    val dup = (5 to 10).map(n => n -> dupNgramCharFrac(text, n)).toMap
-    val passes = dupLineFrac <= 0.3 && dupParaFrac <= 0.3 &&
-      dupLineCharFrac <= 0.2 && dupParaCharFrac <= 0.2 &&
-      top2 <= 0.2 && top3 <= 0.18 && top4 <= 0.16 &&
-      dup(5) <= 0.15 && dup(6) <= 0.14 && dup(7) <= 0.13 &&
-      dup(8) <= 0.12 && dup(9) <= 0.11 && dup(10) <= 0.1
-    F.struct(
-      dupLineFrac.as("dup_line_frac"),
-      dupLineCharFrac.as("dup_line_char_frac"),
-      dupParaFrac.as("dup_para_frac"),
-      dupParaCharFrac.as("dup_para_char_frac"),
-      top2.as("top_2gram_char_frac"),
-      top3.as("top_3gram_char_frac"),
-      top4.as("top_4gram_char_frac"),
-      dup(5).as("dup_5gram_char_frac"),
-      dup(6).as("dup_6gram_char_frac"),
-      dup(7).as("dup_7gram_char_frac"),
-      dup(8).as("dup_8gram_char_frac"),
-      dup(9).as("dup_9gram_char_frac"),
-      dup(10).as("dup_10gram_char_frac"),
-      passes.as("passes"))
-  }
+    * Scale: a native Catalyst expression
+    * ([[graft.expressions.GopherRepetition]]) — one imperative
+    * O(words · n) pass per document inside the scan stage, no shuffle
+    * at any corpus size. The column-DSL recipe this replaced needed
+    * every heavy intermediate (gram sort, neighbor compare, coverage
+    * mask) many times, and Catalyst inlines each reference with HOFs
+    * evaluating interpreted — minutes on one 50k-word pathological
+    * document (the r14 straggler finding; CorpusOpsSpec pins the
+    * bound). [[topNgramCharFrac]] / [[dupNgramCharFrac]] remain the
+    * per-statistic column recipes. */
+  def gopherRepetition(text: Column): Column =
+    graft.expressions.ColumnBridge.column(
+      graft.expressions.GopherRepetition(
+        graft.expressions.ColumnBridge.expression(text)))
 
   /** Deterministic rule-based sentence segmentation: sentences are
     * maximal runs ending at `[.!?]+` plus any closing quotes/brackets,

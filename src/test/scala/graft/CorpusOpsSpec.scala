@@ -217,6 +217,27 @@ class CorpusOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("gopherRepetition is bounded on a 50k-word highly-duplicated doc") {
+    // The straggler case from the r14 audit: a pathological document
+    // where every 5..10-gram is duplicated, so coverage ≈ W for every
+    // n. A recipe that looks positions up inside a fold re-evaluates a
+    // whole-document transform per element — O(W²) per n, ~1.5·10¹⁰
+    // element evaluations here, hours on one executor thread. The
+    // argument-to-argument coverage recipe is O(n·W log W); the bound
+    // is loose (box noise) but the quadratic shape misses it by orders
+    // of magnitude.
+    val text = Array.tabulate(50000)(i => s"tok${i % 37}").mkString(" ")
+    val t0 = System.nanoTime()
+    val row = Seq(text).toDF("text")
+      .select(TextAnalysis.gopherRepetition(F.col("text")).as("g"))
+      .select("g.*").collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    // period 37 → every 5..10-gram occurs ~1350×: full char coverage
+    assert(row.getDouble(7) == 1.0 && row.getDouble(12) == 1.0, row)
+    assert(secs < 60.0,
+      f"gopherRepetition took $secs%.1f s on the straggler document")
+  }
+
   // ----------------------------------------------------------- sentences
 
   test("sentences: terminators, attached quotes, tails, degenerate runs") {
