@@ -31,8 +31,12 @@ object NTriples {
         case '\\' =>
           require(i + 1 < s.length, s"unterminated IRI escape: $s")
           s.charAt(i + 1) match {
-            case 'u' => sb.appendAll(Character.toChars(hex(s, i + 2, 4))); i += 6
-            case 'U' => sb.appendAll(Character.toChars(hex(s, i + 2, 8))); i += 10
+            case 'u' =>
+              sb.appendAll(Character.toChars(checkedIriCp(hex(s, i + 2, 4), s)))
+              i += 6
+            case 'U' =>
+              sb.appendAll(Character.toChars(checkedIriCp(hex(s, i + 2, 8), s)))
+              i += 10
             case c => sys.error(s"IRIs allow only \\u/\\U escapes, got \\$c")
           }
         case c if c <= ' ' || "<\"{}|^`".indexOf(c) >= 0 =>
@@ -48,6 +52,18 @@ object NTriples {
         c == '+' || c == '-' || c == '.'),
       s"N-Triples IRIs must be absolute: <$iri>")
     (iri, i)
+  }
+
+  /** The IRIREF exclusion set applies to the DECODED code point too: a
+    * UCHAR escape cannot smuggle in a space, a '>', a backslash, … that
+    * the grammar forbids raw (REC N-Triples §2.1 — IRIREF excludes
+    * #x00-#x20 and `<>"{}|^\`` plus '\' in either form). And since
+    * [[fmt]] writes IRIs raw, accepting ` ` here would emit an IRI
+    * the reader itself rejects — a broken round trip. */
+  private def checkedIriCp(cp: Int, line: String): Int = {
+    require(cp > 0x20 && "<>\"{}|^`\\".indexOf(cp) < 0,
+      s"escaped code point 0x${cp.toHexString} is excluded from IRIs: $line")
+    cp
   }
 
   private def hex(s: String, from: Int, n: Int): Int = {
