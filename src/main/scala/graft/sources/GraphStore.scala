@@ -45,10 +45,7 @@ object GraphStore {
       .repartitionByRange(partCols.map(F.col) :+ F.col("s.value"): _*)
       .sortWithinPartitions(partCols.map(F.col) :+ F.col("s.value"): _*)
       .write.mode(mode).partitionBy(partCols: _*).parquet(path)
-    val json = g.prefixes.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + esc(k) + "\": \"" + esc(v) + "\""
-    }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(path, PREFIX_FILE), json)
+    writePrefixes(path, g.prefixes)
     // predicate-cardinality sidecar: one aggregate over data we just
     // wrote anyway; `load` feeds it to the BGP join-order heuristic
     // without running any job. Driver memory is |predicates|, the same
@@ -102,22 +99,47 @@ object GraphStore {
     * AFTER the already-processed files, which is the cron-shaped
     * continuous-ingest loop (run it from a scheduler as often as data
     * lands). The merge itself is batch-idempotent: replaying a batch
-    * adds nothing, so a retried micro-batch cannot duplicate triples.
+    * adds nothing, so a retried micro-batch cannot duplicate triples —
+    * the existence probe keys on committed PARTITION DATA, never on the
+    * sidecars written after it, so the guarantee survives a crash
+    * anywhere between the parquet commit and the sidecar writes.
     *
-    * Scale: the anti-join probes the store's parquet with the SMALL
-    * batch broadcast (AQE picks the broadcast side), and the append
-    * writes only the batch's predicate directories. */
+    * Scale: Spark builds (and, under the threshold, broadcasts) the
+    * RIGHT side of a `left_anti` join — the STORE side — so the probe
+    * is pruned to the partitions whose predicates appear in the batch
+    * before it ever reaches the join. Per-batch merge cost is bounded
+    * by the touched predicate directories' data plus the batch itself,
+    * not by total store size, and the append writes only those same
+    * directories. */
   def startNtIngest(spark: SparkSession, landingDir: String,
       storePath: String, queryName: String, lenient: Boolean = false,
       checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startIngest(NTriples.readStream(spark, landingDir, lenient),
+      queryName, checkpointDir)(mergeTriplesBatch(_, storePath))
+
+  /** Continuous N-Quads ingest into a persisted QUAD store — the
+    * named-graph twin of [[startNtIngest]] ([[NQuads.readStream]] over
+    * `landingDir`, merging into the `__g`-outer / `__pred`-inner
+    * partition layout [[save]] writes). Same checkpoint/AvailableNow
+    * contract, same batch-idempotent set semantics — the anti-join
+    * treats the default graph (g NULL) as its own graph via null-safe
+    * equality — and the probe prunes on BOTH partition levels: only
+    * the (graph, predicate) directories the batch touches are read. */
+  def startNqIngest(spark: SparkSession, landingDir: String,
+      storePath: String, queryName: String, lenient: Boolean = false,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startIngest(NQuads.readStream(spark, landingDir, lenient),
+      queryName, checkpointDir)(mergeQuadsBatch(_, storePath))
+
+  private def startIngest(stream: DataFrame, queryName: String,
+      checkpointDir: Option[String])(merge: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val stream = NTriples.readStream(spark, landingDir, lenient)
     val writer = stream.writeStream
       .queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeTriplesBatch(batch, storePath)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => merge(batch) }
     checkpointDir.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
   }
@@ -125,31 +147,117 @@ object GraphStore {
   /** One micro-batch of the ingest merge (triples-only stores). */
   private def mergeTriplesBatch(batch0: DataFrame, path: String): Unit = {
     val spark = batch0.sparkSession
-    val batch = batch0.dropDuplicates("s", "p", "o")
-    val storeExists = Files.exists(Paths.get(path, PREFIX_FILE))
+    // dedup within the batch, then pin it: the driver collects its
+    // predicate set and the frame feeds the anti-join afterwards
+    val batch = batch0.dropDuplicates("s", "p", "o").localCheckpoint(true)
+    val preds = batch.select(F.col("p.value")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (preds.isEmpty) return // empty batch: nothing to merge
     val fresh =
-      (if (storeExists)
-         batch.join(spark.read.parquet(path).select("s", "p", "o"),
-           Seq("s", "p", "o"), "left_anti")
+      (if (storeHasData(path))
+         batch.join(prunedProbe(spark, path, preds), Seq("s", "p", "o"),
+           "left_anti")
        else batch).localCheckpoint(true) // count + write read it twice
-    val perPred = fresh.groupBy(F.col("p.value")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    if (perPred.nonEmpty) {
+    if (fresh.count() > 0)
       fresh.withColumn(PRED_COL, F.col("p.value"))
         .write.mode("append").partitionBy(PRED_COL).parquet(path)
-      val merged = (readStats(path).toSeq ++ perPred)
-        .groupBy(_._1).map { case (p, ns) => p -> ns.map(_._2).sum }
-        .toSeq.sortBy(_._1)
-      Files.writeString(Paths.get(path, STATS_FILE),
-        merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }
-          .mkString("{", ", ", "}"))
-      if (!storeExists) {
-        val json = RdfGraph.defaultPrefixes.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }
-          .mkString("{", ", ", "}")
-        Files.writeString(Paths.get(path, PREFIX_FILE), json)
-      }
+    finishMerge(spark, path, preds)
+  }
+
+  /** One micro-batch of the quad-store ingest merge. */
+  private def mergeQuadsBatch(batch0: DataFrame, path: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch =
+      batch0.dropDuplicates("s", "p", "o", "g").localCheckpoint(true)
+    // both partition levels the batch touches, collected in one pass
+    val keys = batch.select(F.col("p.value"),
+        Terms.gPartition(F.col("g"))).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    if (keys.isEmpty) return
+    val preds = keys.map(_._1).distinct.toSeq
+    val gparts = keys.map(_._2).distinct.toSeq
+    val fresh =
+      (if (storeHasData(path))
+         // g is NULL for the default graph: the join must treat NULL as
+         // a key value (<=>), or every default-graph line re-appends
+         batch.as("b").join(
+           prunedProbe(spark, path, preds, Some(gparts)).as("st"),
+           F.col("b.s") === F.col("st.s") &&
+             F.col("b.p") === F.col("st.p") &&
+             F.col("b.o") === F.col("st.o") &&
+             F.col("b.g") <=> F.col("st.g"),
+           "left_anti")
+       else batch).localCheckpoint(true)
+    if (fresh.count() > 0)
+      fresh.withColumn(Terms.GPART_COL, Terms.gPartition(F.col("g")))
+        .withColumn(PRED_COL, F.col("p.value"))
+        .write.mode("append")
+        .partitionBy(Terms.GPART_COL, PRED_COL).parquet(path)
+    finishMerge(spark, path, preds)
+  }
+
+  /** TRUE only when the store holds committed partition data. The
+    * sidecars are written AFTER the parquet commit, so probing one of
+    * them (as this path once did) let a crash in between replay the
+    * first batch WITHOUT the anti-join — duplicating every triple. A
+    * partition directory exists iff a write committed, so this probe
+    * is crash-safe on both sides of that window. */
+  private def storeHasData(path: String): Boolean = {
+    val d = Paths.get(path)
+    Files.isDirectory(d) && {
+      val s = Files.list(d)
+      try s.anyMatch { p =>
+        val n = p.getFileName.toString
+        n.startsWith(PRED_COL + "=") ||
+          n.startsWith(Terms.GPART_COL + "=")
+      } finally s.close()
     }
+  }
+
+  /** The store-side probe for one ingest batch: the persisted parquet
+    * PRUNED to the batch's touched partitions — predicate directories
+    * always, graph directories too on a quad store. These are partition
+    * filters (file skipping), so the anti-join's build side scales with
+    * the touched partitions, not the store. */
+  private[graft] def prunedProbe(spark: SparkSession, path: String,
+      preds: Seq[String], gparts: Option[Seq[String]] = None)
+      : DataFrame = {
+    val byPred = spark.read.parquet(path)
+      .where(F.col(PRED_COL).isin(preds: _*))
+    gparts match {
+      case Some(gs) =>
+        byPred.where(F.col(Terms.GPART_COL).isin(gs: _*))
+          .select("s", "p", "o", "g")
+      case None => byPred.select("s", "p", "o")
+    }
+  }
+
+  /** Post-append sidecar maintenance, shared by both merge paths. The
+    * stats for the touched predicates are recomputed FROM THE STORE
+    * (partition-pruned scan), never merged incrementally from batch
+    * counts: a replayed batch then heals a sidecar a crash left stale
+    * instead of undercounting it forever. */
+  private def finishMerge(spark: SparkSession, path: String,
+      preds: Seq[String]): Unit = {
+    if (!storeHasData(path)) return // batch held no new rows, no store yet
+    val touched = spark.read.parquet(path)
+      .where(F.col(PRED_COL).isin(preds: _*))
+      .groupBy(F.col("p.value")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = (readStats(path) ++ touched).toSeq.sortBy(_._1)
+    Files.writeString(Paths.get(path, STATS_FILE),
+      merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }
+        .mkString("{", ", ", "}"))
+    if (!Files.exists(Paths.get(path, PREFIX_FILE)))
+      writePrefixes(path, RdfGraph.defaultPrefixes)
+  }
+
+  private def writePrefixes(path: String,
+      prefixes: Map[String, String]): Unit = {
+    val json = prefixes.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + esc(k) + "\": \"" + esc(v) + "\""
+    }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(path, PREFIX_FILE), json)
   }
 
   /** On-demand vertical index over the predicate-partitioned layout.

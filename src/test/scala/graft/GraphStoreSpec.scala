@@ -237,4 +237,108 @@ class GraphStoreSpec extends SparkSpec {
       "SELECT ?o { <http://e.com/Córdoba> <http://e.com/label> ?o }")
       .count() == 1)
   }
+
+  test("the ingest anti-join probe is pruned to the batch's predicates") {
+    // the store holds predicates the batch does NOT touch; the probe
+    // must partition-prune to the touched ones — per-batch merge cost
+    // scales with the touched directories, not the store (at 100 TB an
+    // unpruned probe makes every ingest tick a full-store scan)
+    val out = Files.createTempDirectory("graft-probe").toFile.getAbsolutePath
+    GraphStore.save(Tables.graph(spark, dir, "region", "nation"), out)
+    val probe = GraphStore.prunedProbe(spark, out,
+      Seq("urn:graft:p/n_name"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__pred"),
+      s"expected a __pred partition filter on the ingest probe:\n$plan")
+    // the pruned probe reads exactly the touched predicate's rows
+    assert(probe.count() == 25)
+    // quad stores prune BOTH partition levels
+    import graft.rdf._
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val qout = Files.createTempDirectory("graft-probeq").toFile.getAbsolutePath
+    GraphStore.save(RdfGraph.fromQuads(spark, Seq(
+      (iri("a"), iri("p"), Lit.plain("one"), Some(iri("g1"))),
+      (iri("b"), iri("q"), Lit.plain("two"), Some(iri("g2"))),
+      (iri("c"), iri("p"), Lit.plain("three"), None)), Map("ex" -> ex)),
+      qout)
+    val qprobe = GraphStore.prunedProbe(spark, qout,
+      Seq(ex + "p"), Some(Seq("i:" + ex + "g1")))
+    val qplan = qprobe.queryExecution.executedPlan.toString
+    assert(qplan.contains("PartitionFilters") && qplan.contains("__pred")
+      && qplan.contains("__g"),
+      s"expected __g AND __pred partition filters on the quad probe:\n$qplan")
+    assert(qprobe.count() == 1)
+  }
+
+  test("a crash between parquet commit and sidecar writes cannot duplicate") {
+    // the ADVICE r14 window: first batch's parquet committed, process
+    // died before the prefix/stats sidecars were written, checkpoint
+    // never advanced → the whole batch replays. The existence probe
+    // keys on partition DATA (not the last-written sidecar), so the
+    // replay anti-joins and appends nothing.
+    val landing = Files.createTempDirectory("graft-crash-land").toString
+    val store = Files.createTempDirectory("graft-crash").toString + "/store"
+    Files.writeString(java.nio.file.Paths.get(landing, "a.nt"),
+      "<http://e.com/s1> <http://e.com/p> <http://e.com/o1> .\n" +
+        "<http://e.com/s2> <http://e.com/p> <http://e.com/o2> .\n")
+    // first delivery, fresh checkpoint
+    GraphStore.startNtIngest(spark, landing, store, "crash1",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-crash-ck1").toString))
+      .awaitTermination()
+    // simulate the crash: data committed, sidecars lost
+    Files.deleteIfExists(java.nio.file.Paths.get(store, "_prefixes.json"))
+    Files.deleteIfExists(java.nio.file.Paths.get(store, "_stats.json"))
+    // replay: a NEW checkpoint redelivers the same file from scratch
+    GraphStore.startNtIngest(spark, landing, store, "crash2",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-crash-ck2").toString))
+      .awaitTermination()
+    val g = GraphStore.load(spark, store)
+    assert(g.size == 2, s"replay duplicated triples: ${g.size}")
+    // and the replay HEALED the sidecars the crash destroyed
+    assert(g.predCounts.get("http://e.com/p").contains(2L))
+    assert(g.prefixes.nonEmpty)
+  }
+
+  test("streaming N-Quads ingest merges named graphs with set semantics") {
+    val landing = Files.createTempDirectory("graft-nq-land").toString
+    val store = Files.createTempDirectory("graft-nq-store").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-nq-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "a.nq"),
+      "<http://e.com/s1> <http://e.com/knows> <http://e.com/s2> <http://e.com/g1> .\n" +
+        "<http://e.com/s1> <http://e.com/label> \"default graph\" .\n")
+    GraphStore.startNqIngest(spark, landing, store, "nqingest1",
+      checkpointDir = Some(ckpt)).awaitTermination()
+    val g1 = GraphStore.load(spark, store)
+    assert(g1.isQuads && g1.size == 2)
+    // second delivery: one duplicate quad, one NEW graph, one duplicate
+    // of the default-graph line (NULL g must anti-join via <=>)
+    Files.writeString(java.nio.file.Paths.get(landing, "b.nq"),
+      "<http://e.com/s1> <http://e.com/knows> <http://e.com/s2> <http://e.com/g1> .\n" +
+        "<http://e.com/s1> <http://e.com/label> \"default graph\" .\n" +
+        "<http://e.com/s3> <http://e.com/knows> <http://e.com/s4> <http://e.com/g2> .\n")
+    GraphStore.startNqIngest(spark, landing, store, "nqingest2",
+      checkpointDir = Some(ckpt)).awaitTermination()
+    val g2 = GraphStore.load(spark, store)
+    assert(g2.size == 3, s"expected 3 after quad merge, got ${g2.size}")
+    val e = Engine.fromGraph(g2.withPrefix("ec", "http://e.com/"))
+    // the new graph appeared, the replayed lines added nothing
+    assert(e.select("PREFIX ec: <http://e.com/> " +
+        "SELECT ?g ?s { GRAPH ?g { ?s ec:knows ?o } } ORDER BY ?g")
+      .collect().map(_.getString(0)).toSeq == Seq("ec:g1", "ec:g2"))
+    assert(e.select(
+      "SELECT ?o { <http://e.com/s1> <http://e.com/label> ?o }").count() == 1)
+    // the layout is the quad layout: graph dirs outside, predicates in
+    val dirs = new java.io.File(store).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("__g=")).sorted
+    assert(dirs.length == 3, dirs.mkString(", ")) // d, i:g1, i:g2
+    // full replay from a fresh checkpoint (both files) adds nothing
+    GraphStore.startNqIngest(spark, landing, store, "nqingest3",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-nq-ckpt2").toString))
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 3)
+  }
 }

@@ -956,6 +956,30 @@ object Drive {
       Engine.fromGraph(merged).select(
         "SELECT ?a ?b { ?a <http://example.com/knows> ?b } ORDER BY ?a")
         .show(false)
+
+      println("--- quad-store continuous ingest (.nq landing dir, named graphs):")
+      val land3 = java.nio.file.Files.createTempDirectory("graft-nqland")
+      val qstore = java.nio.file.Files.createTempDirectory("graft-nqstore")
+        .toString + "/store"
+      val qckpt = java.nio.file.Files.createTempDirectory("graft-nqckpt")
+      java.nio.file.Files.writeString(land3.resolve("a.nq"),
+        "<http://example.com/s1> <http://example.com/p> \"default graph\" .\n" +
+          "<http://example.com/s1> <http://example.com/p> \"in g1\" <http://example.com/g1> .\n")
+      sources.GraphStore.startNqIngest(spark, land3.toString, qstore,
+        "drive_nq1", checkpointDir = Some(qckpt.toString)).awaitTermination()
+      java.nio.file.Files.writeString(land3.resolve("b.nq"),
+        "<http://example.com/s1> <http://example.com/p> \"in g1\" <http://example.com/g1> .\n" +
+          "<http://example.com/s2> <http://example.com/p> \"in g2\" <http://example.com/g2> .\n")
+      sources.GraphStore.startNqIngest(spark, land3.toString, qstore,
+        "drive_nq2", checkpointDir = Some(qckpt.toString)).awaitTermination()
+      val qmerged = sources.GraphStore.load(spark, qstore)
+      println(s"quad store after two runs (replayed quad anti-joined away): " +
+        s"${qmerged.size} quads across graph dirs " +
+        new java.io.File(qstore).listFiles.map(_.getName)
+          .filter(_.startsWith("__g=")).sorted.mkString("[", ", ", "]"))
+      Engine.fromGraph(qmerged).select(
+        "SELECT ?g ?o { GRAPH ?g { ?s <http://example.com/p> ?o } } ORDER BY ?g")
+        .show(false)
     }
 
     spark.stop()
