@@ -333,20 +333,44 @@ class Engine(initial: RdfGraph) {
     * long-running update workload eventually OOMs the driver (found by
     * UpdateModelSpec's deepened fuzz: 40-op random sequences × several
     * seeds through one engine blew the heap in plan canonicalization).
-    * Truncate lineage every few ops with a LAZY localCheckpoint: the plan
+    * Truncate lineage every few ops with a LAZY checkpoint: the plan
     * collapses to a leaf immediately, the data materializes at the next
-    * action, and the store stays distributed (executor-local blocks). */
+    * action, and the store stays distributed.
+    *
+    * FAULT-TOLERANCE TRADEOFF: `localCheckpoint` stores executor-LOCAL
+    * blocks and discards the lineage that could rebuild them — if an
+    * executor is lost afterwards (dynamic allocation, spot/preemptible
+    * nodes, decommission), the truncated store is unrecoverable and
+    * every later query fails. For a long-lived update workload on such
+    * a cluster, set `SparkContext.setCheckpointDir` to reliable storage
+    * (HDFS/S3): this path then uses a RELIABLE checkpoint — the blocks
+    * land in the checkpoint dir and survive any executor loss. Sessions
+    * without a checkpoint dir (a fixed-executor box, notebooks, tests)
+    * keep the cheaper local path. */
   private var updatesSinceCheckpoint = 0
-  private def replaceTriples(df: DataFrame): Unit = {
+  /** Install the post-op store. EVERY update path funnels through here
+    * (r14's truncation hung off replaceTriples only, so a long run of
+    * plain INSERT DATA / DELETE DATA / Modify ops — the most common
+    * update workload — still grew an unbounded plan; found while
+    * pinning the reliable-checkpoint upgrade). */
+  private def setGraph(g2: RdfGraph): Unit = {
     updatesSinceCheckpoint += 1
-    val next =
+    graph =
       if (updatesSinceCheckpoint >= 8) {
         updatesSinceCheckpoint = 0
-        df.localCheckpoint(false)
-      } else df
-    graph = graph.copy(triples = next, predIndex = Map.empty, starTables = Nil,
-      predObjTypes = Map.empty, predNat = Map.empty, predCounts = Map.empty)
+        val truncated =
+          if (spark.sparkContext.getCheckpointDir.isDefined)
+            g2.triples.checkpoint(false)
+          else g2.triples.localCheckpoint(false)
+        g2.copy(triples = truncated, predIndex = Map.empty,
+          starTables = Nil, predObjTypes = Map.empty, predNat = Map.empty,
+          predCounts = Map.empty)
+      } else g2
   }
+  private def replaceTriples(df: DataFrame): Unit =
+    setGraph(graph.copy(triples = df, predIndex = Map.empty,
+      starTables = Nil, predObjTypes = Map.empty, predNat = Map.empty,
+      predCounts = Map.empty))
 
   /** CLEAR/DROP shared body (§3.2.2/§3.2.3 — identical on a store that
     * does not record empty graphs). */
@@ -404,17 +428,17 @@ class Engine(initial: RdfGraph) {
 
   private def applyUpdate(op: UpdateOp): Unit = op match {
     case InsertData(qs) =>
-      graph = graph.insert(groundQuads(qs, "INSERT DATA",
-        freshBnodes = true))
+      setGraph(graph.insert(groundQuads(qs, "INSERT DATA",
+        freshBnodes = true)))
     case DeleteData(qs) =>
       rejectDeleteBnodes(qs.map(_.t), "DELETE DATA")
-      graph = graph.delete(groundQuads(qs, "DELETE DATA"))
+      setGraph(graph.delete(groundQuads(qs, "DELETE DATA")))
     case DeleteWhere(tmpl) if tmpl.isEmpty => // zero-quad template: no-op
     case DeleteWhere(tmpl) =>
       rejectDeleteBnodes(tmpl.map(_.t), "DELETE WHERE")
       if (tmpl.exists(_.g.isDefined)) requireQuadStore("DELETE WHERE { GRAPH … }")
       val inst = instantiate(tmpl, compiler.compile(quadsPattern(tmpl)), None)
-      graph = graph.delete(inst)
+      setGraph(graph.delete(inst))
     case Modify(del, ins, where, withG, using) =>
       rejectDeleteBnodes(del.map(_.t), "a DELETE template")
       if (withG.isDefined) requireQuadStore("WITH <g>")
@@ -428,7 +452,7 @@ class Engine(initial: RdfGraph) {
       var g = graph
       delT.foreach(d => g = g.delete(d))
       insT.foreach(i => g = g.insert(i))
-      graph = g
+      setGraph(g)
     case Clear(target, silent) => clearGraphs(target, silent)
     case Drop(target, silent) => clearGraphs(target, silent)
     case Create(iri, silent) =>
@@ -497,8 +521,8 @@ class Engine(initial: RdfGraph) {
           loaded.triples.withColumn("g", termCol(Iri(g)))
         case None => loaded.triples
       }
-      graph = graph.insert(placed)
-        .copy(prefixes = loaded.prefixes ++ graph.prefixes)
+      setGraph(graph.insert(placed)
+        .copy(prefixes = loaded.prefixes ++ graph.prefixes))
   }
 
   /** Monotonic per-request id for INSERT DATA blank nodes (§3.1.1:

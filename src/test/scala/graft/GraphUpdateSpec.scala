@@ -323,4 +323,34 @@ class GraphUpdateSpec extends SparkSpec {
       (EX + "work", "s2", "worked"),
       (EX + "g2", "s3", "in-g2")))
   }
+
+  test("a session checkpoint dir upgrades lineage truncation to RELIABLE") {
+    // replaceTriples truncates UPDATE lineage every 8 ops. Without a
+    // checkpoint dir that is a localCheckpoint (executor-local blocks —
+    // lost executors lose the store); WITH one, the truncation must go
+    // through a reliable checkpoint whose blocks live in the dir and
+    // survive executor loss. Pinned by observing the checkpoint files.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upd-ck")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty) // suite default: local path
+    sc.setCheckpointDir(ckpt.toString)
+    try {
+      val e = quadEngine()
+      for (i <- 1 to 10) // crosses the 8-op truncation boundary
+        e.update(s"INSERT DATA { <${EX}u$i> <${EX}p> 'v$i' }")
+      assert(e.select("SELECT ?s { ?s <http://example.com/p> ?o }")
+        .count() == 11) // 1 default-graph seed + 10 inserted
+      // the truncation really was reliable: rdd checkpoint data on disk
+      def rddFiles(d: java.io.File): Boolean =
+        d.isDirectory && d.listFiles.exists(f =>
+          f.getName.startsWith("rdd-") || rddFiles(f))
+      assert(rddFiles(ckpt.toFile),
+        s"no reliable checkpoint data under $ckpt")
+    } finally {
+      // Option(null) → None: later suites on the shared session keep
+      // the default local-checkpoint path
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }
