@@ -367,8 +367,21 @@ object Canon {
     * of the address space: the same store hashed at a different fanout
     * yields a different (equally valid) root, so fix it per catalog.
     * At 100 TB the serial fold is the bottleneck (5.65× at 10× in the
-    * r13 rehearsal); this path's only serial work is hashing ≤`fanout`
-    * digest lines on the driver. */
+    * r13 rehearsal); this path's only serial work is hashing ≤4096
+    * digest lines on the driver.
+    *
+    * SIZING: each segment streams its lines through ONE SHA-256, so
+    * per-task work is corpus_bytes / fanout — at the default 4096 a
+    * 100 TB canonical store means ~25 GB through a single digest per
+    * task. Pick `fanout ≈ corpus_bytes / 256 MB` for healthy segments;
+    * fanouts past 4096 (up to 4096² = 16.7M) switch to a TWO-LEVEL
+    * tree — leaf segments digest in parallel as before, then ≤4096
+    * parent nodes (4096 consecutive buckets each) digest their
+    * children's `bucket:digest` lists distributed, and only the parent
+    * digests reach the driver. Fanouts ≤ 4096 keep the r14 single-level
+    * derivation (first 12 bits of the line hash), so existing catalog
+    * roots are unchanged; wider fanouts bucket on the first 24 bits —
+    * a different fanout is a different address either way. */
   def merkleHash(g: RdfGraph, fanout: Int = 4096,
       maxSteps: Long = 1000000L): String =
     merkleHashOfLines(canonicalLines(g, maxSteps), fanout)
@@ -379,13 +392,19 @@ object Canon {
     * the graph. */
   def merkleHashOfLines(lines: org.apache.spark.sql.DataFrame,
       fanout: Int = 4096): String = {
-    require(fanout >= 1 && fanout <= 4096,
-      s"fanout must be in [1, 4096], got $fanout")
+    require(fanout >= 1 && fanout <= 4096 * 4096,
+      s"fanout must be in [1, ${4096 * 4096}], got $fanout")
     val spark = lines.sparkSession
     import spark.implicits._
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // ≤4096 buckets fit in 12 hash bits (3 hex chars) — the r14
+    // derivation, kept so existing catalog roots are stable; wider
+    // fanouts draw 24 bits. A fanout is an address space, so the two
+    // derivations never have to agree.
+    val hexChars = if (fanout <= 4096) 3 else 6
     val segDigests = lines
-      .select((F.conv(F.substring(F.sha2(F.col("line"), 256), 1, 3), 16, 10)
+      .select((F.conv(
+          F.substring(F.sha2(F.col("line"), 256), 1, hexChars), 16, 10)
         .cast("int") % fanout).as("bucket"), F.col("line"))
       .repartition(F.col("bucket"))
       .sortWithinPartitions("bucket", "line")
@@ -411,10 +430,24 @@ object Canon {
         flush()
         out.result().iterator
       }
-      .collect()
-      .sortBy(_._1)
+    val rootLines: Array[(Int, String)] =
+      if (fanout <= 4096) segDigests.collect().sortBy(_._1)
+      else
+        // two-level tree: 4096 consecutive leaf buckets per parent
+        // node, each parent's child list digested DISTRIBUTED — the
+        // driver serializes ≤4096 parent digests, never `fanout` lines
+        segDigests.groupByKey(_._1 / 4096)
+          .mapGroups { (parent, it) =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            it.toSeq.sortBy(_._1).foreach { case (b, d) =>
+              md.update(s"$b:$d\n".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+            (parent, md.digest().map("%02x".format(_)).mkString)
+          }
+          .collect().sortBy(_._1)
     val root = java.security.MessageDigest.getInstance("SHA-256")
-    segDigests.foreach { case (b, d) => root.update(s"$b:$d\n".getBytes(utf8)) }
+    rootLines.foreach { case (b, d) => root.update(s"$b:$d\n".getBytes(utf8)) }
     root.digest().map("%02x".format(_)).mkString
   }
 }

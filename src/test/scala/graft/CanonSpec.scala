@@ -288,6 +288,42 @@ class CanonSpec extends SparkSpec {
     assert(h != mixed.datasetHash())
   }
 
+  test("merkleHash two-level tree: fanouts past 4096 stay deterministic") {
+    // past 4096 the root goes through the two-level segment tree (leaf
+    // buckets on 24 hash bits, ≤4096 parents digested distributed) —
+    // the 100 TB escape hatch from ~25 GB/segment at the default fanout
+    val g = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "fr"), Some(iri("g1")))))
+    val wide = g.merkleHash(fanout = 65536)
+    // deterministic: recompute, and under a different physical layout
+    assert(g.merkleHash(fanout = 65536) == wide)
+    assert(g.copy(triples = g.triples.repartition(5))
+      .merkleHash(fanout = 65536) == wide)
+    // a different fanout is a different address — both across the
+    // 4096 boundary and between two wide fanouts
+    assert(wide != g.merkleHash())
+    assert(wide != g.merkleHash(fanout = 65537))
+    // a one-quad delta moves the wide root too
+    val delta = RdfGraph.fromQuads(spark, Seq(
+      (Iri(EX + "a"), iri("p"), Lit.plain("x"), None),
+      (Blank("n"), iri("p"), Blank("m"), None),
+      (Blank("m"), iri("q"), Lit.plain("y"), Some(iri("g1"))),
+      (iri("b"), iri("p"), Lit.tagged("é", "FR"), Some(iri("g1")))))
+    assert(delta.merkleHash(fanout = 65536) != wide)
+    // recomputable from the written canonical document at any fanout
+    val dir = java.nio.file.Files.createTempDirectory("graft_merkle2").toString
+    Canon.writeCanonical(g, s"$dir/canon")
+    assert(Canon.merkleHashOfLines(
+      spark.read.text(s"$dir/canon").toDF("line"), fanout = 65536) == wide)
+    // the ceiling is enforced
+    intercept[IllegalArgumentException] {
+      g.merkleHash(fanout = 4096 * 4096 + 1)
+    }
+  }
+
   test("RdfGraph.diff: exclusive rows each side, null-safe on graph names") {
     val a = RdfGraph.fromQuads(spark, Seq(
       (iri("s1"), iri("p"), Lit.plain("shared"), None),
