@@ -668,10 +668,13 @@ object SparkEntry {
     "q_bpe" -> ((s, dir) => {
       // corpus-trained BPE: fit 100 merges on the documents themselves
       // (one distributed word-count aggregate + vocabulary-sized driver
-      // loop), then exact subword counts per doc. Rows-only by design
-      // (SQL cannot re-run the merge loop); BpeSpec pins the trainer
-      // against hand-computed merges and a local reference, and the
-      // greedy rank-order apply semantics
+      // loop), then exact subword counts per doc. PROMOTED from
+      // rows-only in r15: the oracle replays the merge-learning loop as
+      // a recursive CTE over the vocabulary (symbols as \x01-delimited
+      // strings, one merge per round via replace()) and the greedy
+      // lowest-rank apply as a second recursion — see oracleSql for the
+      // full restatement; BpeSpec still pins the trainer against
+      // hand-computed merges and a local reference
       val docs = read(s, dir, "documents")
       val model = graft.pipeline.Bpe.train(docs, "text", numMerges = 100)
       docs.select(F.col("doc_id"),
@@ -2958,6 +2961,72 @@ object SparkEntry {
          SELECT doc_id, text FROM inc
          WHERE text IS NULL OR text NOT IN
            (SELECT text FROM seen WHERE text IS NOT NULL)""",
+    "q_bpe" ->
+      // FULL replay of the BPE trainer + greedy apply (promoted from
+      // rows-only in r15). Training: the vocabulary's words become
+      // \x01-delimited symbol strings ('ab' → ^Aa^A^Ab^A — the wrap
+      // makes multi-char symbol boundaries unambiguous) and each
+      // recursion round picks the (SUM(count) DESC, left, right) best
+      // adjacent pair over the working table, merging it everywhere
+      // with one left-to-right non-overlapping replace() — exactly the
+      // trainer's scan; the recursion ends at 100 merges or when no
+      // pair remains (the corpus' 31-word vocabulary exhausts at 89).
+      // Apply: a second recursion replays BpeEncode's greedy
+      // lowest-rank loop per word (merging every occurrence of the
+      // lowest-ranked present pair; new pairs always rank later, so
+      // batching occurrences is order-safe), and each document sums
+      // its words' final symbol counts. ASCII corpus ⇒ DuckDB's
+      // binary-UTF8 tie order equals the trainer's UTF-16 order, and
+      // chr(1) can never appear in a word.
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         vocab AS (SELECT w, COUNT(*)::BIGINT AS c
+           FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w
+           ORDER BY c DESC, w LIMIT 65536),
+         seed AS (SELECT w, c, chr(1) || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]),
+             chr(1) || chr(1)) || chr(1) AS s
+           FROM vocab),
+         train(round, w, c, s, ml, mr) AS (
+           SELECT 0, w, c, s, NULL::VARCHAR, NULL::VARCHAR FROM seed
+           UNION ALL
+           SELECT t.round + 1, t.w, t.c,
+             replace(t.s, chr(1)||b.pl||chr(1)||chr(1)||b.pr||chr(1),
+                          chr(1)||b.pl||b.pr||chr(1)),
+             b.pl, b.pr
+           FROM train t, (
+             SELECT syms[i] AS pl, syms[i+1] AS pr, SUM(c2) AS cnt
+             FROM (SELECT c AS c2,
+                     string_split(s[2:len(s)-1], chr(1)||chr(1)) AS syms
+                   FROM train),
+                  UNNEST(range(1, len(syms))) AS u(i)
+             GROUP BY 1, 2 ORDER BY cnt DESC, pl, pr LIMIT 1) b
+           WHERE t.round < 100),
+         merges AS (SELECT DISTINCT round - 1 AS rank, ml AS l, mr AS r
+           FROM train WHERE ml IS NOT NULL),
+         apply_(step, w, s) AS (
+           SELECT 0, w, s FROM seed
+           UNION ALL
+           SELECT a.step + 1, a.w,
+             replace(a.s, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
+                          chr(1)||b.l||b.r||chr(1))
+           FROM apply_ a JOIN LATERAL (
+             SELECT m.l, m.r FROM merges m
+             WHERE contains(a.s, chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1))
+             ORDER BY m.rank LIMIT 1) b ON true
+           WHERE a.step < 20),
+         fin AS (SELECT w,
+             len(string_split(s[2:len(s)-1], chr(1)||chr(1)))::BIGINT AS n
+           FROM (SELECT w, s, row_number() OVER (
+                   PARTITION BY w ORDER BY step DESC) AS rn FROM apply_)
+           WHERE rn = 1),
+         counts AS (SELECT doc_id, SUM(f.n) AS n
+           FROM (SELECT doc_id, unnest(toks) AS w FROM toks) d
+           JOIN fin f USING (w) GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(c.n, 0)::BIGINT AS n_bpe_tokens
+         FROM toks t LEFT JOIN counts c USING (doc_id)""",
     "q_redact_pii" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
@@ -4776,11 +4845,21 @@ object SparkEntry {
          WHERE len(list_intersect(a.grams, b.grams)) /
            CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8""",
     "q_dedup_groups" ->
-      // connected components of the exact pair graph by transitive
-      // closure (the corpus' duplicate clusters are tiny, so the
-      // recursive closure is cheap for the oracle; the engine computes
-      // the same components by distributed label propagation)
-      """WITH RECURSIVE t AS (SELECT doc_id,
+      // connected components of the exact pair graph by POINTER
+      // DOUBLING: e0 carries the symmetric edges plus self-loops, and
+      // each chained CTE squares the relation (x.b = y.a), so eK holds
+      // 2^K-hop reachability — 8 rounds reach 256 hops, astronomically
+      // above any duplicate-cluster diameter (near-dup clusters are
+      // near-cliques; the engine's distributed components use the same
+      // doubling). The r14 oracle's row-recursive `reach` CTE walked
+      // one hop per iteration over the whole accumulated closure and
+      // exceeded 40 min at sf0.1; this restatement is O(log n) rounds
+      // of small hash joins (MATERIALIZED pins each level — DuckDB
+      // otherwise inlines CTEs, re-evaluating the quadratic pair scan
+      // 2^8 times), leaving the all-pairs jaccard scan itself as the
+      // oracle's only sf0.1-scale cost (~20 min, inside the sweep's
+      // 2400 s heavy-oracle rerun budget).
+      """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
          g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
@@ -4788,15 +4867,23 @@ object SparkEntry {
                     i -> array_to_string(toks[i:i+2], ' ')))
              ELSE [array_to_string(toks, ' ')] END AS grams
            FROM t),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         pairs AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE len(list_intersect(a.grams, b.grams)) /
              CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.8),
-         e AS (SELECT id1 AS a, id2 AS b FROM pairs
-               UNION ALL SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM e
-               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT a AS rid, least(a, MIN(b)) AS grp FROM reach GROUP BY a""",
+         e0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs
+               UNION SELECT id1, id1 FROM pairs
+               UNION SELECT id2, id2 FROM pairs),
+         e1 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e0 x JOIN e0 y ON x.b = y.a),
+         e2 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e1 x JOIN e1 y ON x.b = y.a),
+         e3 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e2 x JOIN e2 y ON x.b = y.a),
+         e4 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e3 x JOIN e3 y ON x.b = y.a),
+         e5 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e4 x JOIN e4 y ON x.b = y.a),
+         e6 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e5 x JOIN e5 y ON x.b = y.a),
+         e7 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e6 x JOIN e6 y ON x.b = y.a),
+         e8 AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM e7 x JOIN e7 y ON x.b = y.a)
+         SELECT a AS rid, MIN(b) AS grp FROM e8 GROUP BY a""",
     "q_video_meta" ->
       // the avih fields are synthesized from these same formulas; 25 fps
       // (40000 µs/frame) → duration_ms = frames · 40
