@@ -154,10 +154,10 @@ object GraphStore {
       .collect().map(_.getString(0)).toSeq
     if (preds.isEmpty) return // empty batch: nothing to merge
     val fresh =
-      (if (storeHasData(path))
-         batch.join(prunedProbe(spark, path, preds), Seq("s", "p", "o"),
-           "left_anti")
-       else batch).localCheckpoint(true) // count + write read it twice
+      prunedProbe(spark, path, preds)
+        .map(probe => batch.join(probe, Seq("s", "p", "o"), "left_anti"))
+        .getOrElse(batch) // no touched directory yet: all rows are new
+        .localCheckpoint(true) // count + write read it twice
     if (fresh.count() > 0)
       fresh.withColumn(PRED_COL, F.col("p.value"))
         .write.mode("append").partitionBy(PRED_COL).parquet(path)
@@ -177,17 +177,17 @@ object GraphStore {
     val preds = keys.map(_._1).distinct.toSeq
     val gparts = keys.map(_._2).distinct.toSeq
     val fresh =
-      (if (storeHasData(path))
-         // g is NULL for the default graph: the join must treat NULL as
-         // a key value (<=>), or every default-graph line re-appends
-         batch.as("b").join(
-           prunedProbe(spark, path, preds, Some(gparts)).as("st"),
-           F.col("b.s") === F.col("st.s") &&
-             F.col("b.p") === F.col("st.p") &&
-             F.col("b.o") === F.col("st.o") &&
-             F.col("b.g") <=> F.col("st.g"),
-           "left_anti")
-       else batch).localCheckpoint(true)
+      prunedProbe(spark, path, preds, Some(gparts))
+        // g is NULL for the default graph: the join must treat NULL as
+        // a key value (<=>), or every default-graph line re-appends
+        .map(probe => batch.as("b").join(probe.as("st"),
+          F.col("b.s") === F.col("st.s") &&
+            F.col("b.p") === F.col("st.p") &&
+            F.col("b.o") === F.col("st.o") &&
+            F.col("b.g") <=> F.col("st.g"),
+          "left_anti"))
+        .getOrElse(batch)
+        .localCheckpoint(true)
     if (fresh.count() > 0)
       fresh.withColumn(Terms.GPART_COL, Terms.gPartition(F.col("g")))
         .withColumn(PRED_COL, F.col("p.value"))
@@ -202,48 +202,84 @@ object GraphStore {
     * first batch WITHOUT the anti-join — duplicating every triple. A
     * partition directory exists iff a write committed, so this probe
     * is crash-safe on both sides of that window. */
-  private def storeHasData(path: String): Boolean = {
-    val d = Paths.get(path)
-    Files.isDirectory(d) && {
-      val s = Files.list(d)
-      try s.anyMatch { p =>
-        val n = p.getFileName.toString
-        n.startsWith(PRED_COL + "=") ||
-          n.startsWith(Terms.GPART_COL + "=")
-      } finally s.close()
+  private def storeHasData(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith(PRED_COL + "=") || n.startsWith(Terms.GPART_COL + "=")
     }
   }
 
-  /** The store-side probe for one ingest batch: the persisted parquet
-    * PRUNED to the batch's touched partitions — predicate directories
-    * always, graph directories too on a quad store. These are partition
-    * filters (file skipping), so the anti-join's build side scales with
-    * the touched partitions, not the store. */
+  /** The store-side probe for one ingest batch: ONLY the touched
+    * partition directories are handed to the reader (basePath keeps
+    * the partition columns), so per-batch cost — including the FILE
+    * LISTING, which `read.parquet(root)` pays over the whole store
+    * even when the scan prunes — stays proportional to the batch's
+    * predicates (× its graphs on a quad store). None = no touched
+    * directory exists yet, so every batch row is new. The first
+    * IngestRehearsal draft pruned the scan but not the listing, and a
+    * 10× store with identical touched partitions still cost 2.3×. */
   private[graft] def prunedProbe(spark: SparkSession, path: String,
       preds: Seq[String], gparts: Option[Seq[String]] = None)
-      : DataFrame = {
-    val byPred = spark.read.parquet(path)
-      .where(F.col(PRED_COL).isin(preds: _*))
-    gparts match {
-      case Some(gs) =>
-        byPred.where(F.col(Terms.GPART_COL).isin(gs: _*))
-          .select("s", "p", "o", "g")
-      case None => byPred.select("s", "p", "o")
+      : Option[DataFrame] = {
+    val quad = gparts.isDefined
+    val dirs = gparts match {
+      case Some(gs) => for (g <- gs; p <- preds)
+        yield s"${Terms.GPART_COL}=${escDir(g)}/$PRED_COL=${escDir(p)}"
+      case None => preds.map(p => s"$PRED_COL=${escDir(p)}")
+    }
+    readDirs(spark, path, dirs).map { df =>
+      if (quad) df.select("s", "p", "o", "g") else df.select("s", "p", "o")
     }
   }
+
+  /** Read exactly `dirs` (store-relative partition directories),
+    * skipping ones that don't exist. */
+  private def readDirs(spark: SparkSession, path: String,
+      dirs: Seq[String]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = dirs
+      .map(d => new org.apache.hadoop.fs.Path(root, d))
+      .filter(fs.exists(_))
+      .map(_.toString)
+    if (existing.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(existing: _*))
+  }
+
+  /** Spark's partition-directory name escaping (the inverse of what
+    * `partitionBy` writes — `urn:p/x` → `urn%3Ap%2Fx`). */
+  private def escDir(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
 
   /** Post-append sidecar maintenance, shared by both merge paths. The
     * stats for the touched predicates are recomputed FROM THE STORE
-    * (partition-pruned scan), never merged incrementally from batch
-    * counts: a replayed batch then heals a sidecar a crash left stale
-    * instead of undercounting it forever. */
+    * (reading only those predicates' directories — one glob per
+    * predicate on a quad store, where a predicate spans graph dirs),
+    * never merged incrementally from batch counts: a replayed batch
+    * then heals a sidecar a crash left stale instead of undercounting
+    * it forever. */
   private def finishMerge(spark: SparkSession, path: String,
       preds: Seq[String]): Unit = {
-    if (!storeHasData(path)) return // batch held no new rows, no store yet
-    val touched = spark.read.parquet(path)
-      .where(F.col(PRED_COL).isin(preds: _*))
-      .groupBy(F.col("p.value")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (!storeHasData(spark, path)) return // batch empty, no store yet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val quads = fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith(Terms.GPART_COL + "="))
+    val dirs: Seq[String] =
+      if (!quads) preds.map(p => s"$PRED_COL=${escDir(p)}")
+      else preds.flatMap { p =>
+        fs.globStatus(new org.apache.hadoop.fs.Path(root,
+            s"${Terms.GPART_COL}=*/$PRED_COL=${escDir(p)}"))
+          .map(st => s"${st.getPath.getParent.getName}/${st.getPath.getName}")
+      }
+    val touched = readDirs(spark, path, dirs) match {
+      case None => Map.empty[String, Long]
+      case Some(df) => df.groupBy(F.col("p.value")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val merged = (readStats(path) ++ touched).toSeq.sortBy(_._1)
     Files.writeString(Paths.get(path, STATS_FILE),
       merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }

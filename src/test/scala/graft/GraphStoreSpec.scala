@@ -238,20 +238,27 @@ class GraphStoreSpec extends SparkSpec {
       .count() == 1)
   }
 
-  test("the ingest anti-join probe is pruned to the batch's predicates") {
+  test("the ingest anti-join probe reads ONLY the batch's directories") {
     // the store holds predicates the batch does NOT touch; the probe
-    // must partition-prune to the touched ones — per-batch merge cost
-    // scales with the touched directories, not the store (at 100 TB an
-    // unpruned probe makes every ingest tick a full-store scan)
+    // must read only the touched partition directories — per-batch
+    // merge cost (scan AND file listing; read.parquet(root) pays the
+    // listing over the whole store even when the scan prunes) scales
+    // with the batch, not the store
     val out = Files.createTempDirectory("graft-probe").toFile.getAbsolutePath
     GraphStore.save(Tables.graph(spark, dir, "region", "nation"), out)
     val probe = GraphStore.prunedProbe(spark, out,
-      Seq("urn:graft:p/n_name"))
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__pred"),
-      s"expected a __pred partition filter on the ingest probe:\n$plan")
-    // the pruned probe reads exactly the touched predicate's rows
+      Seq("urn:graft:p/n_name")).get
+    // inputFiles URI-encodes the (already dir-escaped) names once more;
+    // one decode recovers the partition-dir form
+    def dec(f: String) = java.net.URLDecoder.decode(f, "UTF-8")
+    val files = probe.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => dec(f).contains("__pred=urn%3Agraft%3Ap%2Fn_name")),
+      s"probe must list only the touched predicate dir:\n${files.toSeq}")
+    // and reads exactly the touched predicate's rows
     assert(probe.count() == 25)
+    // a batch of only-new predicates has no probe at all
+    assert(GraphStore.prunedProbe(spark, out, Seq("urn:none")).isEmpty)
     // quad stores prune BOTH partition levels
     import graft.rdf._
     val ex = "http://example.org/"
@@ -263,11 +270,12 @@ class GraphStoreSpec extends SparkSpec {
       (iri("c"), iri("p"), Lit.plain("three"), None)), Map("ex" -> ex)),
       qout)
     val qprobe = GraphStore.prunedProbe(spark, qout,
-      Seq(ex + "p"), Some(Seq("i:" + ex + "g1")))
-    val qplan = qprobe.queryExecution.executedPlan.toString
-    assert(qplan.contains("PartitionFilters") && qplan.contains("__pred")
-      && qplan.contains("__g"),
-      s"expected __g AND __pred partition filters on the quad probe:\n$qplan")
+      Seq(ex + "p"), Some(Seq("i:" + ex + "g1"))).get
+    val qfiles = qprobe.inputFiles
+    assert(qfiles.nonEmpty && qfiles.forall(f =>
+        dec(f).contains("__pred=http%3A%2F%2Fexample.org%2Fp") &&
+          dec(f).contains("__g=i%3Ahttp%3A%2F%2Fexample.org%2Fg1")),
+      s"quad probe must list only the touched (graph, predicate) dir:\n${qfiles.toSeq}")
     assert(qprobe.count() == 1)
   }
 
