@@ -2338,18 +2338,19 @@ object SparkEntry {
         "ivs", "ive", Seq("iv_id"), bucket = 64L)
     }),
     "q_training_prep" -> ((s, dir) => {
-      // the END-TO-END flagship: curate → sampled-BPE tokenizer →
+      // the END-TO-END flagship: curate → corpus-BPE tokenizer →
       // exact subword counts → fixed-budget packing → deterministic
-      // shard deal. Rows-only by design (greedy packing is a
-      // sequential fold, not SQL-expressible); TrainingDataSpec pins
-      // token conservation, partitioning-independent determinism, the
+      // shard deal. packPartitions is explicit so the packing layout
+      // is part of the query's contract (the conf-default layout
+      // changes with the session's parallelism — not oracle-safe);
+      // TrainingDataSpec pins token conservation, determinism, the
       // budget contract, and the shard-deal shape
       val p = graft.pipeline.TrainingData.prepare(
         read(s, dir, "documents"), "doc_id", "text",
         minQuality = 0.0, langs = Seq("en", "de"),
         chunkSize = 64, chunkStride = 64, numMerges = 32,
         bpeSampleFraction = 1.0, maxTokens = 256, numShards = 8,
-        seed = 7L)
+        seed = 7L, packPartitions = 8)
       p.shards.select(F.col("shard"), F.col("pos"), F.col("seq_id"),
         F.size(F.col("chunk_keys")).as("n_chunks"), F.col("total_tokens"))
     }),
@@ -2879,7 +2880,7 @@ object SparkEntry {
                      ((CASE WHEN f6 >= 2147483648 THEN f6 - 4294967296
                         ELSE f6 END % 8) + 8) % 8 AS part
                    FROM mmi),
-         docs AS (SELECT doc_id, n, part, row_number() OVER
+         docs AS MATERIALIZED (SELECT doc_id, n, part, row_number() OVER
                     (PARTITION BY part ORDER BY doc_id) AS i FROM parts),
          walk(part, i, open_bin, t, c, doc_id, n, doc_bin) AS (
            SELECT DISTINCT part, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
@@ -2909,6 +2910,151 @@ object SparkEntry {
                 COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
          FROM walk WHERE i > 0
          GROUP BY 1""",
+    "q_training_prep" ->
+      // FULL replay of the end-to-end flagship (promoted from rows-only
+      // in r15): curate (lang gate en/de; the 0.0 quality gate is
+      // vacuous; md5 keep-min-id dedup) -> stride-64 chunking ->
+      // 32-merge BPE trained on the curated corpus (the q_bpe
+      // recursion) -> greedy lowest-rank apply summed per chunk ->
+      // murmur3(chunk_key) mod 8 packing partitions with the 256-token
+      // greedy next-fit walk (the q_pack recursion) -> md5 shard deal,
+      // seed 7. MATERIALIZED pins fin/rows_ so the walk recursion does
+      // not re-evaluate the whole upstream pipeline per iteration
+      // (75 s -> 1 s at sf0.01). normalize=true is an identity on this
+      // single-space ASCII corpus, so the oracle omits it; the hash
+      // compare would catch any drift.
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','pas','une','pour','avec','dans'))) AS s_fr,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','los','las','es','no','una','para','con','por'))) AS s_es
+           FROM t),
+         l AS (SELECT doc_id, CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM s),
+         gated AS (SELECT t.doc_id, t.text, t.toks
+           FROM t JOIN l USING (doc_id)
+           WHERE l.lang_pred IN ('en', 'de')),
+         dd AS (SELECT doc_id, toks FROM (
+             SELECT g.*, row_number() OVER
+               (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM gated g) WHERE rn = 1),
+         chunks AS (SELECT doc_id,
+             CAST(i - 1 AS BIGINT) AS chunk_id,
+             toks[(i-1)*64+1 : (i-1)*64+64] AS ctoks
+           FROM (SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 64 THEN 1
+                        ELSE ((len(toks) - 64 + 63) // 64) + 1 END AS n_chunks
+                 FROM dd),
+                UNNEST(range(1, n_chunks + 1)) AS u(i)),
+         vocab AS (SELECT w, COUNT(*)::BIGINT AS c
+           FROM (SELECT unnest(toks) AS w FROM dd) GROUP BY w
+           ORDER BY c DESC, w LIMIT 65536),
+         seed_ AS (SELECT w, c, chr(1) || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]),
+             chr(1) || chr(1)) || chr(1) AS sym
+           FROM vocab),
+         train(round, w, c, sym, ml, mr) AS (
+           SELECT 0, w, c, sym, NULL::VARCHAR, NULL::VARCHAR FROM seed_
+           UNION ALL
+           SELECT tr.round + 1, tr.w, tr.c,
+             replace(tr.sym, chr(1)||b.pl||chr(1)||chr(1)||b.pr||chr(1),
+                          chr(1)||b.pl||b.pr||chr(1)),
+             b.pl, b.pr
+           FROM train tr, (
+             SELECT syms[i] AS pl, syms[i+1] AS pr, SUM(c2) AS cnt
+             FROM (SELECT c AS c2,
+                     string_split(sym[2:len(sym)-1], chr(1)||chr(1)) AS syms
+                   FROM train),
+                  UNNEST(range(1, len(syms))) AS u(i)
+             GROUP BY 1, 2 ORDER BY cnt DESC, pl, pr LIMIT 1) b
+           WHERE tr.round < 32),
+         merges AS (SELECT DISTINCT round - 1 AS rank, ml AS ml, mr AS mr
+           FROM train WHERE ml IS NOT NULL),
+         apply_(step, w, sym) AS (
+           SELECT 0, w, sym FROM seed_
+           UNION ALL
+           SELECT a.step + 1, a.w,
+             replace(a.sym, chr(1)||b.ml||chr(1)||chr(1)||b.mr||chr(1),
+                          chr(1)||b.ml||b.mr||chr(1))
+           FROM apply_ a JOIN LATERAL (
+             SELECT m.ml, m.mr FROM merges m
+             WHERE contains(a.sym, chr(1)||m.ml||chr(1)||chr(1)||m.mr||chr(1))
+             ORDER BY m.rank LIMIT 1) b ON true
+           WHERE a.step < 20),
+         fin AS MATERIALIZED (SELECT w,
+             len(string_split(sym[2:len(sym)-1], chr(1)||chr(1)))::BIGINT AS n
+           FROM (SELECT w, sym, row_number() OVER (
+                   PARTITION BY w ORDER BY step DESC) AS rn FROM apply_)
+           WHERE rn = 1),
+         cw AS (SELECT doc_id * 1048576 + chunk_id AS ck, unnest(ctoks) AS w
+           FROM chunks),
+         csum AS (SELECT ck, SUM(f.n) AS n FROM cw JOIN fin f USING (w) GROUP BY ck),
+         counted AS (SELECT c.doc_id * 1048576 + c.chunk_id AS ck,
+             COALESCE(m.n, 0)::BIGINT AS n
+           FROM chunks c LEFT JOIN csum m ON m.ck = c.doc_id * 1048576 + c.chunk_id),
+         mm0 AS (SELECT ck, n, ck % 4294967296 AS lo, ck // 4294967296 AS hi FROM counted),
+         mm1 AS (SELECT *, CAST((CAST(lo AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS a1 FROM mm0),
+         mm2 AS (SELECT *, ((a1 * 32768) % 4294967296) + (a1 // 131072) AS r1 FROM mm1),
+         mm3 AS (SELECT *, CAST((CAST(r1 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k1 FROM mm2),
+         mm4 AS (SELECT *, xor(CAST(42 AS BIGINT), k1) AS x1 FROM mm3),
+         mm5 AS (SELECT *, ((x1 * 8192) % 4294967296) + (x1 // 524288) AS rr1 FROM mm4),
+         mm6 AS (SELECT *, CAST((CAST(rr1 AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h1 FROM mm5),
+         mm7 AS (SELECT *, CAST((CAST(hi AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS a2 FROM mm6),
+         mm8 AS (SELECT *, ((a2 * 32768) % 4294967296) + (a2 // 131072) AS r2 FROM mm7),
+         mm9 AS (SELECT *, CAST((CAST(r2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k2 FROM mm8),
+         mma AS (SELECT *, xor(h1, k2) AS x2 FROM mm9),
+         mmb AS (SELECT *, ((x2 * 8192) % 4294967296) + (x2 // 524288) AS rr2 FROM mma),
+         mmc AS (SELECT *, CAST((CAST(rr2 AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h2 FROM mmb),
+         mmd AS (SELECT *, xor(h2, CAST(8 AS BIGINT)) AS f1 FROM mmc),
+         mme AS (SELECT *, xor(f1, f1 // 65536) AS f2 FROM mmd),
+         mmf AS (SELECT *, CAST((CAST(f2 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f3 FROM mme),
+         mmg AS (SELECT *, xor(f3, f3 // 8192) AS f4 FROM mmf),
+         mmh AS (SELECT *, CAST((CAST(f4 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f5 FROM mmg),
+         mmi AS (SELECT *, xor(f5, f5 // 65536) AS f6 FROM mmh),
+         parts AS (SELECT ck, n,
+             ((CASE WHEN f6 >= 2147483648 THEN f6 - 4294967296 ELSE f6 END % 8) + 8) % 8 AS part
+           FROM mmi),
+         rows_ AS MATERIALIZED (SELECT ck, n, part, row_number() OVER
+             (PARTITION BY part ORDER BY ck) AS i FROM parts),
+         walk(part, i, open_bin, t, c, ck, n, bin) AS (
+           SELECT DISTINCT part, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM rows_
+           UNION ALL
+           SELECT d.part, d.i,
+             (w.open_bin + CASE WHEN w.t + d.n > 256 AND w.c > 0 THEN 1 ELSE 0 END)
+               + CASE WHEN (CASE WHEN w.t + d.n > 256 AND w.c > 0
+                   THEN d.n ELSE w.t + d.n END) >= 256 THEN 1 ELSE 0 END,
+             CASE WHEN (CASE WHEN w.t + d.n > 256 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) >= 256 THEN 0
+               ELSE (CASE WHEN w.t + d.n > 256 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) END,
+             CASE WHEN (CASE WHEN w.t + d.n > 256 AND w.c > 0
+                 THEN d.n ELSE w.t + d.n END) >= 256 THEN 0
+               ELSE (CASE WHEN w.t + d.n > 256 AND w.c > 0
+                 THEN 1 ELSE w.c + 1 END) END,
+             d.ck, d.n,
+             w.open_bin + CASE WHEN w.t + d.n > 256 AND w.c > 0 THEN 1 ELSE 0 END
+           FROM walk w JOIN rows_ d ON d.part = w.part AND d.i = w.i + 1),
+         seqs AS (SELECT part * 4294967296 + bin AS seq_id,
+             COUNT(*)::INTEGER AS n_chunks, CAST(SUM(n) AS BIGINT) AS total_tokens
+           FROM walk WHERE i > 0 GROUP BY 1),
+         dealt AS (SELECT seq_id, n_chunks, total_tokens,
+             CAST(('0x' || substr(md5('7:' || CAST(seq_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM seqs)
+         SELECT CAST(h % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, seq_id) - 1 AS BIGINT) AS pos,
+           seq_id, n_chunks, total_tokens
+         FROM dealt""",
     "q_text_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -60,14 +60,16 @@ object TrainingData {
       bpeSampleFraction: Double = 0.1,
       maxTokens: Long = 2048,
       numShards: Int = 64,
-      seed: Long = 0L): Prepared = {
+      seed: Long = 0L,
+      packPartitions: Int = 0): Prepared = {
     val chunks = Curation.curate(docs, id, text,
       minQuality = minQuality, langs = langs, benchmark = benchmark,
       chunkSize = chunkSize, chunkStride = chunkStride,
       htmlInput = htmlInput, normalize = normalize,
       nearDupJaccard = nearDupJaccard)
     prepareFromChunks(chunks, id, "chunk_id", "chunk_text",
-      numMerges, bpeSampleFraction, maxTokens, numShards, seed)
+      numMerges, bpeSampleFraction, maxTokens, numShards, seed,
+      packPartitions)
   }
 
   /** The post-curation half: tokenize, pack, and shuffle existing
@@ -75,7 +77,8 @@ object TrainingData {
   def prepareFromChunks(chunks: DataFrame, id: String, chunkId: String,
       text: String, numMerges: Int = 256,
       bpeSampleFraction: Double = 0.1, maxTokens: Long = 2048,
-      numShards: Int = 64, seed: Long = 0L): Prepared = {
+      numShards: Int = 64, seed: Long = 0L,
+      packPartitions: Int = 0): Prepared = {
     require(bpeSampleFraction > 0 && bpeSampleFraction <= 1,
       s"bpeSampleFraction must be in (0, 1], got $bpeSampleFraction")
     // the chain reads `chunks` twice (tokenizer aggregate + the count
@@ -103,8 +106,12 @@ object TrainingData {
           "domain (string/UUID ids: map them to longs first)")))
     val counted = pinned.select(chunkKey.as("chunk_key"),
       Bpe.tokenCount(F.col(text), model).cast(LongType).as("n_bpe_tokens"))
+    // an explicit packPartitions makes the packing layout part of the
+    // caller's contract (reproducible across sessions AND restatable
+    // by a SQL oracle); 0 keeps the session's shuffle parallelism
     val packed = Packing.packSequences(
-      counted, "chunk_key", "n_bpe_tokens", maxTokens)
+      counted, "chunk_key", "n_bpe_tokens", maxTokens,
+      partitions = packPartitions)
     val shards = TextAnalysis.shuffleShards(
         packed.withColumnRenamed("doc_ids", "chunk_keys"),
         "seq_id", numShards, seed)
