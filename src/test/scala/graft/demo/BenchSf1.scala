@@ -142,7 +142,7 @@ object BenchSf1 {
       r01.filter(_._3.isEmpty).map(_._2.min).sum
     val json =
       s"""{
-  "note": "Round-12 scale rehearsal over the FULL current surface: the 12 headline queries plus ${extraQueries.length} newer-family queries (crawl/link-graph, sketches, retrieval, RDF-star, events, near-dup, text). sf1 = 10x key-shifted replication of sf0.1 (graft.demo.MakeSf1). best-of-3 with medians, local[32], AQE + skew-join enabled, same JVM settings as the driver bench. Skew rehearsal: 20M-row Zipf-skewed fact (~24% of rows on one key) shuffle-joined (broadcast disabled) to a 100k dim, AQE skew-join on vs off, best of 2.",
+  "note": "QUIET-BOX scale rehearsal (standing protocol since r15: nothing else runs on the box — no concurrent sbt, tests, or fuzz jobs — one artifact carries BOTH best-of-3 totals and medians; any scale claim cites only artifacts produced this way) over the FULL current surface: the 12 headline queries plus ${extraQueries.length} newer-family queries (crawl/link-graph, sketches, retrieval, RDF-star, events, near-dup, text). sf1 = 10x key-shifted replication of sf0.1 (graft.demo.MakeSf1). best-of-3 with medians, local[32], AQE + skew-join enabled, same JVM settings as the driver bench. Skew rehearsal: 20M-row Zipf-skewed fact (~24% of rows on one key) shuffle-joined (broadcast disabled) to a 100k dim, AQE skew-join on vs off, best of 2.",
   "sf0_1":${block(r01, "/root/testdata/sf0.1")},
   "sf1":${block(r1, sf1Dir)},
   "scaling": "10x data -> ${f"$totalRatio%.2f"}x total; worst query ${worst._1} ${f"${worst._2}%.2f"}x",
