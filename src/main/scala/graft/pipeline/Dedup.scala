@@ -82,13 +82,21 @@ object Dedup {
     fresh.unionByName(survivors)
   }
 
-  /** k-word shingles of a text column (distinct). */
+  /** k-word shingles of a text column (distinct). PERF SHAPE: the
+    * windows are k-1 zip_withs over shifted slices — slicing the token
+    * array inside a per-element lambda re-evaluates the whole tokenize
+    * per shingle (O(tokens²) on one pathological document; the same
+    * capture the r15 straggler audit removed from wordNgrams — and the
+    * hazard [[shingleHashesComposed]]'s comment already warned about). */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = TextAnalysis.tokens(text)
+    val g = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    val joined = (1 until k).foldLeft(F.slice(t, F.lit(1), g)) { (acc, j) =>
+      F.zip_with(acc, F.slice(t, F.lit(1 + j), g),
+        (a, b) => F.concat(a, F.lit(" "), b))
+    }
     F.array_distinct(
-      F.when(F.size(t) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(t) - k),
-          i => F.array_join(F.slice(t, i + 1, F.lit(k)), " ")))
+      F.when(F.size(t) >= k, joined)
         .otherwise(F.array(F.array_join(t, " "))))
   }
 

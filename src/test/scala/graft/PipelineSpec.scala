@@ -355,6 +355,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("string shingles match a driver reference (shift-zip recipe)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val texts = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))(s"w${rnd.nextInt(12)}")
+        .mkString("  "))
+    } ++ Seq((0L, ""), (-1L, "a b"))
+    def ref(text: String, k: Int): Seq[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      (if (t.length >= k) t.sliding(k).map(_.mkString(" ")).toSeq
+       else Seq(t.mkString(" "))).distinct
+    }
+    for (k <- Seq(1, 3, 5)) {
+      val got = texts.toDF("id", "text")
+        .select(F.col("id"), Dedup.shingles(F.col("text"), k).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      for ((id, text) <- texts)
+        assert(got(id) == ref(text, k), s"k=$k doc $id")
+    }
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val qv = Similarity.quantizeInt8(F.col("embedding"))
     val checked = emb.select(F.col("embedding").as("v"), qv.as("qv"))
