@@ -822,10 +822,18 @@ object TextAnalysis {
   private def spanDedupBy(df: DataFrame, idCol: String, textCol: String,
       n: Int, arr: Column, sep: String): DataFrame = {
     require(n >= 1, s"span length must be positive, got $n")
-    val spans = df.select(F.col(idCol).as("__id"),
-        F.posexplode(F.when(F.size(arr) >= n,
-          F.transform(F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-            i => F.array_join(F.slice(arr, i, F.lit(n)), sep)))
+    // PERF SHAPE: bind the unit array to an ATTRIBUTE below the
+    // Generate before any lambda slices it — slicing `arr` (a split /
+    // sentence-segmentation expression) inside the per-span lambda
+    // re-evaluates it per span, O(units · text) on one pathological
+    // document (the r15 straggler-audit class). A Project under
+    // Generate is not collapsed, so `__arr` stays a row-field access.
+    val bound = df.select(F.col(idCol).as("__id"), arr.as("__arr"))
+    val barr = F.col("__arr")
+    val spans = bound.select(F.col("__id"),
+        F.posexplode(F.when(F.size(barr) >= n,
+          F.transform(F.sequence(F.lit(1), F.size(barr) - (n - 1)),
+            i => F.array_join(F.slice(barr, i, F.lit(n)), sep)))
           .otherwise(F.array().cast(ArrayType(StringType))))
           .as(Seq("__sidx", "__span")))
       .select(F.col("__id"), F.col("__sidx"), F.md5(F.col("__span")).as("__key"))
@@ -839,8 +847,8 @@ object TextAnalysis {
         F.explode(F.sequence(F.col("__sidx"), F.col("__sidx") + (n - 1)))
           .as("__didx"))
       .distinct()
-    val lines = df.select(F.col(idCol).as("__id"),
-      F.posexplode(arr).as(Seq("__idx", "__line")))
+    val lines = bound.select(F.col("__id"),
+      F.posexplode(barr).as(Seq("__idx", "__line")))
     val kept = lines.join(dropped,
       lines("__id") === dropped("__id") && F.col("__idx") === F.col("__didx"),
       "left_anti")
@@ -914,13 +922,18 @@ object TextAnalysis {
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val t = tokens(F.col(textCol))
+    // PERF SHAPE: tokenize ONCE into an attribute below the Generate —
+    // slicing the tokenize expression inside the per-chunk lambda
+    // re-splits the whole document per chunk, O(chunks · text) on one
+    // pathological long document (the r15 straggler-audit class)
+    val bound = df.select(F.col(idCol), tokens(F.col(textCol)).as("__toks"))
+    val t = F.col("__toks")
     val n = F.size(t)
     // Column `/` is double division; operands are positive here, so the
     // int cast truncates = floor → ceil((n-size)/stride) + 1 chunks
     val nChunks = F.when(n <= size, F.lit(1))
       .otherwise(((n - size + (stride - 1)) / stride).cast(IntegerType) + 1)
-    df.select(F.col(idCol),
+    bound.select(F.col(idCol),
         F.posexplode(F.transform(F.sequence(F.lit(0), nChunks - 1),
           i => F.slice(t, i * stride + 1, F.lit(size)))).as(Seq("chunk_id", "toks")))
       .select(F.col(idCol), F.col("chunk_id"),

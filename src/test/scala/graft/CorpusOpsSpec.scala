@@ -238,6 +238,35 @@ class CorpusOpsSpec extends SparkSpec {
       f"gopherRepetition took $secs%.1f s on the straggler document")
   }
 
+  test("c4SpanDedup is bounded on a 50k-line highly-duplicated doc") {
+    // straggler-audit class: the span builder must slice a BOUND
+    // attribute, not the split expression — the capture re-splits the
+    // whole document per span, O(lines · text) ≈ 10¹⁰ chars here
+    val text = Array.tabulate(50000)(i => s"line ${i % 7} text").mkString("\n")
+    val t0 = System.nanoTime()
+    val row = TextAnalysis.c4SpanDedup(
+        Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .select("clean_text", "n_dropped_units").as[(String, Long)]
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 7 distinct lines, every later repetition's spans are duplicates:
+    // only a prefix survives
+    assert(row._2 > 49000, s"expected most lines dropped, got ${row._2}")
+    assert(secs < 60.0, f"c4SpanDedup took $secs%.1f s on the straggler doc")
+  }
+
+  test("chunk is bounded on a 200k-token doc") {
+    // same class: chunk slices must read the bound token attribute —
+    // the capture re-tokenizes the 1.4 MB document per chunk
+    val text = Array.tabulate(200000)(i => s"t${i % 31}").mkString(" ")
+    val t0 = System.nanoTime()
+    val n = TextAnalysis.chunk(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", 64, 64).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 3125, s"expected 3125 chunks, got $n")
+    assert(secs < 60.0, f"chunk took $secs%.1f s on the 200k-token doc")
+  }
+
   // ----------------------------------------------------------- sentences
 
   test("sentences: terminators, attached quotes, tails, degenerate runs") {
