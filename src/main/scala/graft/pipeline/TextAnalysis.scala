@@ -843,14 +843,16 @@ object TextAnalysis {
       .where(F.col("__occ") > 1)
     val losers = spans.join(firsts, F.col("__key") === F.col("__k"))
       .where(F.struct(F.col("__id"), F.col("__sidx")) =!= F.col("__first"))
-    val dropped = losers.select(F.col("__id"),
+    // the probe side renames __id so the anti-join against the (now
+    // shared-lineage) line exploder needs no self-join disambiguation
+    val dropped = losers.select(F.col("__id").as("__did"),
         F.explode(F.sequence(F.col("__sidx"), F.col("__sidx") + (n - 1)))
           .as("__didx"))
       .distinct()
     val lines = bound.select(F.col("__id"),
       F.posexplode(barr).as(Seq("__idx", "__line")))
     val kept = lines.join(dropped,
-      lines("__id") === dropped("__id") && F.col("__idx") === F.col("__didx"),
+      F.col("__id") === F.col("__did") && F.col("__idx") === F.col("__didx"),
       "left_anti")
     val rebuilt = kept.groupBy("__id")
       .agg(F.array_join(F.transform(F.array_sort(
