@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.rdf.{RdfGraph, Terms}
 
@@ -45,7 +44,7 @@ object GraphStore {
       .repartitionByRange(partCols.map(F.col) :+ F.col("s.value"): _*)
       .sortWithinPartitions(partCols.map(F.col) :+ F.col("s.value"): _*)
       .write.mode(mode).partitionBy(partCols: _*).parquet(path)
-    writePrefixes(path, g.prefixes)
+    writePrefixes(g.triples.sparkSession, path, g.prefixes)
     // predicate-cardinality sidecar: one aggregate over data we just
     // wrote anyway; `load` feeds it to the BGP join-order heuristic
     // without running any job. Driver memory is |predicates|, the same
@@ -55,7 +54,7 @@ object GraphStore {
     val statsJson = counts.map { case (p, n) =>
       "\"" + esc(p) + "\": " + n
     }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(path, STATS_FILE), statsJson)
+    writeSidecar(g.triples.sparkSession, path, STATS_FILE, statsJson)
   }
 
   /** Load a saved graph. The vertical index maps every predicate to a
@@ -81,9 +80,9 @@ object GraphStore {
       (if (df.columns.contains(Terms.GPART_COL)) Seq(Terms.GPART_COL)
        else Nil)
     RdfGraph(df.select(cols.map(F.col): _*),
-      RdfGraph.defaultPrefixes ++ readPrefixes(path),
+      RdfGraph.defaultPrefixes ++ readPrefixes(spark, path),
       predIndex = new LazyPredIndex(df),
-      predCounts = readStats(path))
+      predCounts = readStats(spark, path))
   }
 
   /** Continuous N-Triples ingest INTO a persisted store: watches
@@ -280,20 +279,46 @@ object GraphStore {
       case Some(df) => df.groupBy(F.col("p.value")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-    val merged = (readStats(path) ++ touched).toSeq.sortBy(_._1)
-    Files.writeString(Paths.get(path, STATS_FILE),
+    val merged = (readStats(spark, path) ++ touched).toSeq.sortBy(_._1)
+    writeSidecar(spark, path, STATS_FILE,
       merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }
         .mkString("{", ", ", "}"))
-    if (!Files.exists(Paths.get(path, PREFIX_FILE)))
-      writePrefixes(path, RdfGraph.defaultPrefixes)
+    if (readSidecar(spark, path, PREFIX_FILE).isEmpty)
+      writePrefixes(spark, path, RdfGraph.defaultPrefixes)
   }
 
-  private def writePrefixes(path: String,
+  private def writePrefixes(spark: SparkSession, path: String,
       prefixes: Map[String, String]): Unit = {
     val json = prefixes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\": \"" + esc(v) + "\""
     }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(path, PREFIX_FILE), json)
+    writeSidecar(spark, path, PREFIX_FILE, json)
+  }
+
+  // Sidecar IO goes through the store path's Hadoop FileSystem, never
+  // java.nio — a 100 TB store lives on HDFS/S3, and the parquet data
+  // already travels that API. Local paths resolve to RawLocalFileSystem,
+  // so single-box behavior is unchanged.
+  private def writeSidecar(spark: SparkSession, path: String,
+      name: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** On-demand vertical index over the predicate-partitioned layout.
@@ -326,10 +351,12 @@ object GraphStore {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def readPrefixes(path: String): Map[String, String] = {
-    val f = Paths.get(path, PREFIX_FILE)
-    if (!Files.exists(f)) return Map.empty
-    val text = Files.readString(f).trim.stripPrefix("{").stripSuffix("}")
+  private def readPrefixes(spark: SparkSession,
+      path: String): Map[String, String] = {
+    val text = readSidecar(spark, path, PREFIX_FILE) match {
+      case None => return Map.empty
+      case Some(t) => t.trim.stripPrefix("{").stripSuffix("}")
+    }
     // sidecar is written by `save` above — flat string map, no nesting
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     entry.findAllMatchIn(text).map { m =>
@@ -343,10 +370,12 @@ object GraphStore {
   /** Predicate counts from the `_stats.json` sidecar; empty for stores
     * written before the sidecar existed (the heuristic degrades to the
     * static constant-shape score). */
-  private def readStats(path: String): Map[String, Long] = {
-    val f = Paths.get(path, STATS_FILE)
-    if (!Files.exists(f)) return Map.empty
-    val text = Files.readString(f).trim.stripPrefix("{").stripSuffix("}")
+  private def readStats(spark: SparkSession,
+      path: String): Map[String, Long] = {
+    val text = readSidecar(spark, path, STATS_FILE) match {
+      case None => return Map.empty
+      case Some(t) => t.trim.stripPrefix("{").stripSuffix("}")
+    }
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
     entry.findAllMatchIn(text).map { m =>
       unesc(m.group(1)) -> m.group(2).toLong
