@@ -346,8 +346,21 @@ class Engine(initial: RdfGraph) {
     * (HDFS/S3): this path then uses a RELIABLE checkpoint — the blocks
     * land in the checkpoint dir and survive any executor loss. Sessions
     * without a checkpoint dir (a fixed-executor box, notebooks, tests)
-    * keep the cheaper local path. */
+    * keep the cheaper local path.
+    *
+    * CHECKPOINT LIFECYCLE: Spark never deletes reliable checkpoint
+    * files on its own (`spark.cleaner.referenceTracking.cleanCheckpoints`
+    * defaults to false), so the exact workload the reliable path
+    * targets — a long update session on a large store — would grow
+    * O(ops/8) full store copies until the filesystem filled. The
+    * reliable path therefore checkpoints EAGERLY and deletes the
+    * previous truncation's directory once the new one is durable:
+    * O(1) live checkpoint dirs per engine. One consequence to know
+    * about: an un-executed lazy frame captured from a query ≥8 updates
+    * ago may reference the deleted copy — materialize results you
+    * intend to keep across many updates. */
   private var updatesSinceCheckpoint = 0
+  private var prevCheckpointFile: Option[String] = None
   /** Install the post-op store. EVERY update path funnels through here
     * (r14's truncation hung off replaceTriples only, so a long run of
     * plain INSERT DATA / DELETE DATA / Modify ops — the most common
@@ -359,9 +372,25 @@ class Engine(initial: RdfGraph) {
       if (updatesSinceCheckpoint >= 8) {
         updatesSinceCheckpoint = 0
         val truncated =
-          if (spark.sparkContext.getCheckpointDir.isDefined)
-            g2.triples.checkpoint(false)
-          else g2.triples.localCheckpoint(false)
+          if (spark.sparkContext.getCheckpointDir.isDefined) {
+            // eager: the new copy must be durable BEFORE the previous
+            // one is deleted, or a crash in between loses the store
+            val t = g2.triples.checkpoint(true)
+            val newFile = t.queryExecution.logical match {
+              case l: org.apache.spark.sql.execution.LogicalRDD =>
+                l.rdd.getCheckpointFile
+              case _ => None
+            }
+            prevCheckpointFile.filterNot(newFile.contains).foreach { p =>
+              scala.util.Try { // best effort — growth, not correctness
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(hp, true)
+              }
+            }
+            prevCheckpointFile = newFile
+            t
+          } else g2.triples.localCheckpoint(false)
         g2.copy(triples = truncated, predIndex = Map.empty,
           starTables = Nil, predObjTypes = Map.empty, predNat = Map.empty,
           predCounts = Map.empty)

@@ -2988,7 +2988,7 @@ object SparkEntry {
              SELECT m.ml, m.mr FROM merges m
              WHERE contains(a.sym, chr(1)||m.ml||chr(1)||chr(1)||m.mr||chr(1))
              ORDER BY m.rank LIMIT 1) b ON true
-           WHERE a.step < 20),
+           WHERE a.step < 32),
          fin AS MATERIALIZED (SELECT w,
              len(string_split(sym[2:len(sym)-1], chr(1)||chr(1)))::BIGINT AS n
            FROM (SELECT w, sym, row_number() OVER (
@@ -3162,7 +3162,7 @@ object SparkEntry {
              SELECT m.l, m.r FROM merges m
              WHERE contains(a.s, chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1))
              ORDER BY m.rank LIMIT 1) b ON true
-           WHERE a.step < 20),
+           WHERE a.step < 100),
          fin AS (SELECT w,
              len(string_split(s[2:len(s)-1], chr(1)||chr(1)))::BIGINT AS n
            FROM (SELECT w, s, row_number() OVER (

@@ -269,8 +269,11 @@ class GraphStoreSpec extends SparkSpec {
       (iri("b"), iri("q"), Lit.plain("two"), Some(iri("g2"))),
       (iri("c"), iri("p"), Lit.plain("three"), None)), Map("ex" -> ex)),
       qout)
+    // quad keys are the EXACT touched (graph-partition, predicate)
+    // pairs — never a gparts × preds cross product (ADVICE r15: the
+    // cross product listed directories no batch row could match)
     val qprobe = GraphStore.prunedProbe(spark, qout,
-      Seq(ex + "p"), Some(Seq("i:" + ex + "g1"))).get
+      Seq("i:" + ex + "g1 " + ex + "p")).get
     val qfiles = qprobe.inputFiles
     assert(qfiles.nonEmpty && qfiles.forall(f =>
         dec(f).contains("__pred=http%3A%2F%2Fexample.org%2Fp") &&
@@ -348,5 +351,143 @@ class GraphStoreSpec extends SparkSpec {
         Files.createTempDirectory("graft-nq-ckpt2").toString))
       .awaitTermination()
     assert(GraphStore.load(spark, store).size == 3)
+  }
+
+  test("mismatched ingest flavor fails fast instead of corrupting the store") {
+    // ADVICE r15: an N-Quads ingest into a triples-layout store found
+    // none of its probed directories, treated every row as new, and
+    // appended a second partition scheme Spark's discovery then chokes
+    // on. Both directions must fail before writing anything.
+    import graft.rdf._
+    val tstore = Files.createTempDirectory("graft-mm-t").toString + "/s"
+    GraphStore.save(RdfGraph.fromTriples(spark, Seq(
+      (Iri("urn:a"): RdfTerm, Iri("urn:p"): RdfTerm, Iri("urn:b"): RdfTerm))),
+      tstore)
+    val land1 = Files.createTempDirectory("graft-mm-l1").toString
+    Files.writeString(java.nio.file.Paths.get(land1, "a.nq"),
+      "<urn:c> <urn:p> <urn:d> <urn:g1> .\n")
+    val ex1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      GraphStore.startNqIngest(spark, land1, tstore, "mm1").awaitTermination()
+    }
+    assert(ex1.getMessage.contains("triples-layout"), ex1.getMessage)
+    val g1 = GraphStore.load(spark, tstore) // store intact, still loads
+    assert(!g1.isQuads && g1.size == 1)
+
+    val qstore = Files.createTempDirectory("graft-mm-q").toString + "/s"
+    GraphStore.save(RdfGraph.fromQuads(spark, Seq(
+      (Iri("urn:a"), Iri("urn:p"), Iri("urn:b"), Some(Iri("urn:g")))),
+      Map.empty), qstore)
+    val land2 = Files.createTempDirectory("graft-mm-l2").toString
+    Files.writeString(java.nio.file.Paths.get(land2, "a.nt"),
+      "<urn:c> <urn:p> <urn:d> .\n")
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      GraphStore.startNtIngest(spark, land2, qstore, "mm2").awaitTermination()
+    }
+    assert(ex2.getMessage.contains("quad-layout"), ex2.getMessage)
+    val g2 = GraphStore.load(spark, qstore)
+    assert(g2.isQuads && g2.size == 1)
+  }
+
+  test("bloom sidecars: fresh-data batches merge without reading the store") {
+    import graft.rdf._
+    // one hot directory (20k rows): without the bloom prefilter every
+    // batch touching it anti-joins against its full extension — the
+    // rdf:type-at-100TB access pattern the sidecar exists to kill
+    val hot = (0 until 20000).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/hot"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))
+    val store = Files.createTempDirectory("graft-bloom").toString + "/store"
+    GraphStore.save(RdfGraph.fromTriples(spark, hot), store)
+    val hotDir = new java.io.File(store, "__pred=urn%3Ap%2Fhot")
+    assert(new java.io.File(hotDir, "_bloom.bin").isFile,
+      s"save must write the bloom sidecar: ${hotDir.list.toSeq}")
+    // a batch of 100 NEW rows on the hot predicate: the bloom excludes
+    // (almost) all of them, and the ~fpp stragglers' subject range —
+    // above every stored subject, the append-mostly shape — prunes the
+    // probe's subject-sorted row groups, so the merge must not read
+    // the 20k-row extension either way
+    val land1 = Files.createTempDirectory("graft-bloom-l1").toString
+    Files.writeString(java.nio.file.Paths.get(land1, "new.nt"),
+      (0 until 100).map(i =>
+        s"<urn:s/zz$i> <urn:p/hot> <urn:o/x$i> .").mkString("\n"))
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraphStore.startNtIngest(spark, land1, store, "bloomfresh")
+        .awaitTermination()
+      Thread.sleep(1000) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead < 5000,
+      s"fresh batch read $recordsRead source records — the bloom " +
+        "prefilter must keep the 20k-row store extension unread")
+    assert(GraphStore.load(spark, store).size == 20100)
+    // replaying the same file (fresh checkpoint) adds nothing: the
+    // blooms were updated BEFORE the append, so the redelivered rows
+    // route through the anti-join and die there
+    GraphStore.startNtIngest(spark, land1, store, "bloomreplay",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-bloom-ck").toString))
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 20100)
+    // heal: a deleted bloom degrades to the plain anti-join for one
+    // batch and is rebuilt from the committed data afterwards
+    assert(new java.io.File(hotDir, "_bloom.bin").delete())
+    val land2 = Files.createTempDirectory("graft-bloom-l2").toString
+    Files.writeString(java.nio.file.Paths.get(land2, "more.nt"),
+      (0 until 50).map(i =>
+        s"<urn:s/zzz$i> <urn:p/hot> <urn:o/y$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, land2, store, "bloomheal")
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 20150)
+    assert(new java.io.File(hotDir, "_bloom.bin").isFile,
+      "the merge must rebuild a missing bloom from the committed data")
+  }
+
+  test("compact rewrites sliver files without changing contents") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-compact").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-compact-ck").toString
+    val landing = Files.createTempDirectory("graft-compact-l").toString
+    // six ingest ticks, each appending one sliver file to the same dir
+    for (tick <- 0 until 6) {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$tick.nt"),
+        (0 until 200).map(i =>
+          s"<urn:s/${tick * 1000 + i}> <urn:p/a> <urn:o/${tick * 1000 + i}> .")
+          .mkString("\n"))
+      GraphStore.startNtIngest(spark, landing, store, s"ct$tick",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    val dir = new java.io.File(store, "__pred=urn%3Ap%2Fa")
+    def partFiles() = dir.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = partFiles()
+    assert(before >= 6, s"expected sliver accumulation, got $before files")
+    val g0 = GraphStore.load(spark, store)
+    val h0 = g0.merkleHash()
+    assert(g0.size == 1200)
+    val done = GraphStore.compact(spark, store)
+    assert(done == 1, s"compacted $done directories")
+    val after = partFiles()
+    assert(after < before, s"$before files -> $after")
+    // identical content (order-independent canonical hash) and the
+    // bloom sidecar carried across the swap
+    assert(new java.io.File(dir, "_bloom.bin").isFile)
+    assert(GraphStore.load(spark, store).merkleHash() == h0)
+    // the ingest checkpoint resumes cleanly after a compaction: only
+    // the new file is processed, set semantics hold
+    Files.writeString(java.nio.file.Paths.get(landing, "t9.nt"),
+      "<urn:s/0> <urn:p/a> <urn:o/0> .\n" + // duplicate of tick 0
+        "<urn:s/9000> <urn:p/a> <urn:o/9000> .\n")
+    GraphStore.startNtIngest(spark, landing, store, "ct9",
+      checkpointDir = Some(ckpt)).awaitTermination()
+    assert(GraphStore.load(spark, store).size == 1201)
+    // idempotent on an already-compacted store (below minFiles)
+    assert(GraphStore.compact(spark, store) == 0)
   }
 }

@@ -353,4 +353,33 @@ class GraphUpdateSpec extends SparkSpec {
       assert(sc.getCheckpointDir.isEmpty)
     }
   }
+
+  test("reliable truncation keeps O(1) checkpoint dirs, not O(ops/8)") {
+    // ADVICE r15: Spark never deletes reliable checkpoint files on its
+    // own (cleanCheckpoints defaults false), so a long update session
+    // accumulated one full store copy per truncation until the
+    // filesystem filled. setGraph now checkpoints eagerly and deletes
+    // the previous truncation's directory — a 24-op run (3 truncation
+    // boundaries) must leave exactly one rdd-* directory, and the
+    // surviving copy must be the live one.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ck-o1")
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt.toString)
+    try {
+      val e = quadEngine()
+      for (i <- 1 to 24)
+        e.update(s"INSERT DATA { <${EX}c$i> <${EX}p> 'v$i' }")
+      def rddDirs(d: java.io.File): Seq[java.io.File] =
+        if (!d.isDirectory) Nil
+        else if (d.getName.startsWith("rdd-")) Seq(d)
+        else d.listFiles.toSeq.flatMap(rddDirs)
+      val dirs = rddDirs(ckpt.toFile)
+      assert(dirs.length == 1,
+        s"expected exactly one live checkpoint, found ${dirs.mkString(", ")}")
+      assert(e.select(s"SELECT ?s { ?s <${EX}p> ?o }").count() == 25)
+    } finally {
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }

@@ -980,6 +980,29 @@ object Drive {
       Engine.fromGraph(qmerged).select(
         "SELECT ?g ?o { GRAPH ?g { ?s <http://example.com/p> ?o } } ORDER BY ?g")
         .show(false)
+
+      println("--- bloom prefilter + compaction (r16 ingest hardening):")
+      val knowsDir =
+        new java.io.File(store, "__pred=http%3A%2F%2Fexample.com%2Fknows")
+      println(s"bloom sidecar after ingest: " +
+        new java.io.File(knowsDir, "_bloom.bin").isFile)
+      // a few more ticks to accumulate sliver files, then compact
+      for (t <- 0 until 4) {
+        java.nio.file.Files.writeString(land2.resolve(s"c$t.nt"),
+          s"<http://example.com/x$t> <http://example.com/knows> <http://example.com/y$t> .\n")
+        sources.GraphStore.startNtIngest(spark, land2.toString, store,
+          s"drive_ingest_c$t", checkpointDir = Some(ckpt.toString))
+          .awaitTermination()
+      }
+      def files() = knowsDir.listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val nBefore = files()
+      val compacted = sources.GraphStore.compact(spark, store)
+      println(s"compact: $nBefore part files -> ${files()} " +
+        s"($compacted dir rewritten); store still answers:")
+      Engine.fromGraph(sources.GraphStore.load(spark, store)).select(
+        "SELECT (COUNT(*) AS ?n) { ?a <http://example.com/knows> ?b }")
+        .show(false)
     }
 
     spark.stop()
