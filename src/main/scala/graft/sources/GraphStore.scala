@@ -35,6 +35,16 @@ object GraphStore {
   /** Floor for a directory bloom's expected-item sizing (≈5 KB of
     * bits): below this the sidecar overhead dominates the filter. */
   private val BLOOM_MIN_EXPECTED = 4096L
+  /** Ceiling (~38 MB of bits at 1% fpp): each merge reads and rewrites
+    * the touched blooms, so sidecar size is per-batch cost and must not
+    * track a hot directory's extension forever. Past the cap the bloom
+    * saturates and its false-positive rate degrades GRADUALLY — extra
+    * rows just take the anti-join path, where the subject-range
+    * row-group pruning (sorted files) still bounds the read. */
+  private val BLOOM_MAX_EXPECTED = 1L << 25
+
+  private def bloomSize(rows: Long): Long =
+    (2 * rows).max(BLOOM_MIN_EXPECTED).min(BLOOM_MAX_EXPECTED)
 
   /** Write the graph predicate-partitioned. One RANGE shuffle on
     * (predicate, subject): consecutive subjects of one predicate stay
@@ -78,8 +88,7 @@ object GraphStore {
       "\"" + esc(p) + "\": " + n
     }.mkString("{", ", ", "}")
     writeSidecar(spark, path, STATS_FILE, statsJson)
-    val expected = keyed.map { case (k, n) =>
-      k -> (2 * n).max(BLOOM_MIN_EXPECTED) }.toMap
+    val expected = keyed.map { case (k, n) => k -> bloomSize(n) }.toMap
     rebuildBlooms(spark, path, back, quads, expected)
   }
 
@@ -408,13 +417,19 @@ object GraphStore {
     writeSidecar(spark, path, STATS_FILE,
       merged.map { case (p, n) => "\"" + esc(p) + "\": " + n }
         .mkString("{", ", ", "}"))
+    // (re)build: absent bloom, or saturated AND still below the cap —
+    // a capped bloom must never re-trigger a full-directory read every
+    // batch; it stays capped and degrades gradually instead
     val rebuild = dirs.filter { d =>
-      dirCounts(d) > readBloomExpected(spark, path, d).getOrElse(0L)
+      readBloomExpected(spark, path, d) match {
+        case None => dirCounts(d) > 0
+        case Some(e) => dirCounts(d) > e && e < BLOOM_MAX_EXPECTED
+      }
     }
     if (rebuild.nonEmpty)
       readDirs(spark, path, rebuild).foreach { rows =>
         val expected = rebuild.map { d =>
-          dirKey(d) -> (2 * dirCounts(d)).max(BLOOM_MIN_EXPECTED)
+          dirKey(d) -> bloomSize(dirCounts(d))
         }.toMap
         rebuildBlooms(spark, path, rows, quads, expected)
       }
