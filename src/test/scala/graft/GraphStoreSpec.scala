@@ -490,4 +490,47 @@ class GraphStoreSpec extends SparkSpec {
     // idempotent on an already-compacted store (below minFiles)
     assert(GraphStore.compact(spark, store) == 0)
   }
+
+  test("compact handles the two-level quad layout") {
+    val store = Files.createTempDirectory("graft-qcompact").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft-qcompact-ck").toString
+    val landing = Files.createTempDirectory("graft-qcompact-l").toString
+    for (tick <- 0 until 5) {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$tick.nq"),
+        (0 until 100).map { i =>
+          val id = tick * 1000 + i
+          s"<urn:s/$id> <urn:p/a> <urn:o/$id> " +
+            (if (i % 2 == 0) s"<urn:g/${i % 3}> ." else ".")
+        }.mkString("\n"))
+      GraphStore.startNqIngest(spark, landing, store, s"qct$tick",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    val g0 = GraphStore.load(spark, store)
+    assert(g0.isQuads && g0.size == 500)
+    val h0 = g0.merkleHash()
+    // the default-graph leaf accumulated one sliver per tick
+    val leaf = new java.io.File(store, "__g=d/__pred=urn%3Ap%2Fa")
+    val before = leaf.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(before >= 5, s"expected slivers in the quad leaf, got $before")
+    // every (graph, predicate) leaf with >= 4 files rewrites; the
+    // named-graph leaves (fewer rows per tick, same tick count) too
+    val done = GraphStore.compact(spark, store)
+    assert(done >= 1, s"compacted $done quad leaves")
+    assert(leaf.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) < before)
+    val g1 = GraphStore.load(spark, store)
+    assert(g1.isQuads && g1.merkleHash() == h0)
+    // named-graph scoping intact after the swap
+    val e = Engine.fromGraph(g1)
+    assert(e.select(
+      "SELECT ?s { GRAPH <urn:g/0> { ?s <urn:p/a> ?o } }").count() > 0)
+    // and ingest resumes on the same checkpoint
+    Files.writeString(java.nio.file.Paths.get(landing, "t9.nq"),
+      "<urn:s/z> <urn:p/a> <urn:o/z> <urn:g/0> .\n")
+    GraphStore.startNqIngest(spark, landing, store, "qct9",
+      checkpointDir = Some(ckpt)).awaitTermination()
+    assert(GraphStore.load(spark, store).size == 501)
+  }
 }
