@@ -146,12 +146,21 @@ object GraphStore {
     * subject range so the subject-sorted files prune at the row-group
     * level. A steady stream of fresh data therefore merges without
     * reading the store at all — per-batch cost is flat in every
-    * predicate's extension, including rdf:type-shaped hot ones. */
+    * predicate's extension, including rdf:type-shaped hot ones.
+    *
+    * `sourceOptions` forwards Spark file-source knobs to the landing
+    * directory reader: set `maxFilesPerTrigger` to bound one
+    * micro-batch (bulk backfills otherwise arrive as ONE giant batch),
+    * and `cleanSource=delete` (or `archive` + `sourceArchiveDir`) so
+    * the landing directory — re-listed every trigger — doesn't grow
+    * without bound across months of ticks. */
   def startNtIngest(spark: SparkSession, landingDir: String,
       storePath: String, queryName: String, lenient: Boolean = false,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      sourceOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    startIngest(NTriples.readStream(spark, landingDir, lenient),
+    startIngest(
+      NTriples.readStream(spark, landingDir, lenient, sourceOptions),
       queryName, checkpointDir)(mergeBatch(_, storePath, quads = false))
 
   /** Continuous N-Quads ingest into a persisted QUAD store — the
@@ -165,9 +174,11 @@ object GraphStore {
     * duplicate are read. */
   def startNqIngest(spark: SparkSession, landingDir: String,
       storePath: String, queryName: String, lenient: Boolean = false,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      sourceOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    startIngest(NQuads.readStream(spark, landingDir, lenient),
+    startIngest(
+      NQuads.readStream(spark, landingDir, lenient, sourceOptions),
       queryName, checkpointDir)(mergeBatch(_, storePath, quads = true))
 
   private def startIngest(stream: DataFrame, queryName: String,

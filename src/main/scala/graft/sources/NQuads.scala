@@ -61,10 +61,14 @@ object NQuads {
     * downstream with a watermark, or merge per micro-batch via
     * `foreachBatch`). */
   def readStream(spark: SparkSession, path: String,
-      lenient: Boolean = false): org.apache.spark.sql.DataFrame = {
+      lenient: Boolean = false,
+      sourceOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val rowEnc = org.apache.spark.sql.Encoders.row(quadType)
-    spark.readStream.text(path).as[String]
+    // see NTriples.readStream: file-source knobs for long-running
+    // ingest (maxFilesPerTrigger batch sizing, cleanSource lifecycle)
+    spark.readStream.options(sourceOptions).text(path).as[String]
       .flatMap(parseLineChecked(_, lenient))(rowEnc)
   }
 

@@ -238,10 +238,17 @@ object NTriples {
     * (s, p, o), or merge into a graph store per micro-batch with
     * `foreachBatch`. */
   def readStream(spark: SparkSession, path: String,
-      lenient: Boolean = false): org.apache.spark.sql.DataFrame = {
+      lenient: Boolean = false,
+      sourceOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val rowEnc = org.apache.spark.sql.Encoders.row(Terms.tripleType)
-    spark.readStream.text(path).as[String]
+    // sourceOptions forwards Spark file-source knobs the long-running
+    // ingest loop needs: maxFilesPerTrigger bounds one micro-batch's
+    // size (and with it the merge's memory), cleanSource=delete/archive
+    // keeps the landing directory — which the source re-LISTS every
+    // trigger — from growing without bound over months of ticks
+    spark.readStream.options(sourceOptions).text(path).as[String]
       .flatMap(parseLineChecked(_, lenient))(rowEnc)
   }
 

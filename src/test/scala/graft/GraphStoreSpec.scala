@@ -491,6 +491,45 @@ class GraphStoreSpec extends SparkSpec {
     assert(GraphStore.compact(spark, store) == 0)
   }
 
+  test("sourceOptions: maxFilesPerTrigger splits batches with set " +
+      "semantics held across them; cleanSource empties the landing dir") {
+    val landing = Files.createTempDirectory("graft-srcopt").toString
+    val store = Files.createTempDirectory("graft-srcopt-s").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft-srcopt-ck").toString
+    // three landed files; f2 replays f1's line — with one file per
+    // micro-batch the duplicate arrives in a LATER batch, so the
+    // cross-batch route (bloom -> anti-join) is what dedups it
+    Files.writeString(java.nio.file.Paths.get(landing, "f1.nt"),
+      "<urn:a> <urn:p> <urn:x> .\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "f2.nt"),
+      "<urn:a> <urn:p> <urn:x> .\n<urn:b> <urn:p> <urn:y> .\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "f3.nt"),
+      "<urn:c> <urn:p> <urn:z> .\n")
+    GraphStore.startNtIngest(spark, landing, store, "srcopt1",
+      checkpointDir = Some(ckpt),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1",
+        "cleanSource" -> "delete")).awaitTermination()
+    assert(GraphStore.load(spark, store).size == 3)
+    // cleanSource=delete removes a batch's files when a LATER batch
+    // commits, so after the 3-batch run only the newest file can
+    // remain — the landing dir stays O(1), not O(ticks). A later
+    // data-bearing tick then cleans that tail too (and becomes the
+    // new tail itself).
+    def landed() = new java.io.File(landing).listFiles.count(_.isFile)
+    assert(landed() <= 1, s"cleanSource left ${landed()} landing files")
+    Files.writeString(java.nio.file.Paths.get(landing, "f4.nt"),
+      "<urn:d> <urn:p> <urn:w> .\n")
+    GraphStore.startNtIngest(spark, landing, store, "srcopt2",
+      checkpointDir = Some(ckpt),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1",
+        "cleanSource" -> "delete")).awaitTermination()
+    val left = new java.io.File(landing).listFiles
+      .filter(_.isFile).map(_.getName)
+    assert(!left.contains("f3.nt"),
+      s"the earlier tail must be cleaned by the next tick: ${left.toSeq}")
+    assert(GraphStore.load(spark, store).size == 4) // f4 merged once
+  }
+
   test("compact handles the two-level quad layout") {
     val store = Files.createTempDirectory("graft-qcompact").toString + "/s"
     val ckpt = Files.createTempDirectory("graft-qcompact-ck").toString
