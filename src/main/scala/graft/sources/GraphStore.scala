@@ -481,7 +481,14 @@ object GraphStore {
     * unaffected. Crash-safe: a crash mid-swap leaves the directory's
     * previous content under a hidden `.compact-old-*` name, and the
     * next call restores it before doing anything else. Returns the
-    * number of directories rewritten. */
+    * number of directories rewritten.
+    *
+    * Each qualifying directory is rewritten WHOLE (that is what makes
+    * the two-rename swap atomic without a manifest/transaction log);
+    * on a store whose hot directory has grown to terabytes, raise
+    * `minFiles` and run compaction less often — the cost is one
+    * read+write of the directories rewritten, and a directory below
+    * `minFiles` files is never touched. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20, minFiles: Int = 4): Int = {
     val quads = storeLayout(spark, path) match {
