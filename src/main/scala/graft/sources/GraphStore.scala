@@ -739,9 +739,21 @@ object GraphStore {
   }
 
   /** Test seam: the store-side probe for one batch's touched directory
-    * keys ((gpart NUL) pred — see [[bloomKey]]); the specs pin that
+    * keys ((gpart SP) pred — see [[bloomKey]]); the specs pin that
     * only those directories are listed. */
   private[graft] def prunedProbe(spark: SparkSession, path: String,
       keys: Seq[String]): Option[DataFrame] =
     readDirs(spark, path, keys.map(keyDir))
+
+  /** Test seam: merge `rows`' hashes into one directory's bloom
+    * WITHOUT appending the rows — reproduces the exact state a crash
+    * between the bloom write and the parquet append leaves behind, so
+    * the spec can pin that phantom entries never lose data. */
+  private[graft] def poisonBloomForTest(spark: SparkSession,
+      path: String, dir: String, rows: DataFrame): Unit = {
+    val (expected, bloom) = readBloom(spark, path, dir).get
+    rows.select(rowHash(quads = false).as("h"))
+      .collect().foreach(r => bloom.putLong(r.getLong(0)))
+    writeBloom(spark, path, dir, expected, bloom)
+  }
 }

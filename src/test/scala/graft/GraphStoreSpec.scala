@@ -491,6 +491,44 @@ class GraphStoreSpec extends SparkSpec {
     assert(GraphStore.compact(spark, store) == 0)
   }
 
+  test("phantom bloom entries (crash between bloom write and append) " +
+      "cannot lose rows") {
+    // the merge's durability order writes fresh hashes into the blooms
+    // BEFORE the parquet append; a crash in between leaves the bloom
+    // claiming rows the store does not hold. On redelivery those rows
+    // must route through the anti-join (maybe-duplicate), miss, and
+    // append — phantom entries cost a probe, never data.
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-phantom").toString + "/s"
+    GraphStore.save(RdfGraph.fromTriples(spark, (0 until 100).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))), store)
+    // simulate the crash window: poison the bloom with EVERY hash the
+    // upcoming batch will carry (a superset of any real phantom state)
+    // by pre-merging the batch rows into the sidecar without appending
+    val dir = "__pred=urn%3Ap%2Fa"
+    val batchRows = (0 until 50).map(i =>
+      (Iri(s"urn:s/new$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/new$i"): RdfTerm))
+    GraphStore.poisonBloomForTest(spark, store, dir,
+      RdfGraph.fromTriples(spark, batchRows).triples)
+    // deliver the batch: every row is a phantom (bloom says maybe,
+    // store says absent) — all 50 must land exactly once
+    val landing = Files.createTempDirectory("graft-phantom-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "a.nt"),
+      (0 until 50).map(i =>
+        s"<urn:s/new$i> <urn:p/a> <urn:o/new$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, landing, store, "phantom1")
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 150)
+    // and a replay still adds nothing
+    GraphStore.startNtIngest(spark, landing, store, "phantom2",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-phantom-ck").toString))
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 150)
+  }
+
   test("sourceOptions: maxFilesPerTrigger splits batches with set " +
       "semantics held across them; cleanSource empties the landing dir") {
     val landing = Files.createTempDirectory("graft-srcopt").toString
