@@ -716,11 +716,16 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters via the Count-Min prefilter (sketch fold →
       // estimate-gated exact count): identical to GROUP BY … HAVING,
-      // which is precisely what the oracle states
+      // which is precisely what the oracle states. The result is exact
+      // under EITHER bucket recipe (CMS never under-counts), so this
+      // uses the codegen'd xxhash64 production path — only q_cms,
+      // which dumps the counter matrix itself, pays the
+      // DuckDB-reproducible md5 recipe
       val toks = read(s, dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).as("tok"))
         .where(F.col("tok") =!= "")
-      graft.pipeline.Sketches.heavyHitters(toks, "tok", minCount = 100L)
+      graft.pipeline.Sketches.heavyHitters(toks, "tok", minCount = 100L,
+        md5Buckets = false)
     }),
     "q_boilerplate" -> ((s, dir) => {
       // a synthesized footer on every doc is corpus-hot → stripped; the
