@@ -353,14 +353,17 @@ class Engine(initial: RdfGraph) {
     * defaults to false), so the exact workload the reliable path
     * targets — a long update session on a large store — would grow
     * O(ops/8) full store copies until the filesystem filled. The
-    * reliable path therefore checkpoints EAGERLY and deletes the
-    * previous truncation's directory once the new one is durable:
-    * O(1) live checkpoint dirs per engine. One consequence to know
-    * about: an un-executed lazy frame captured from a query ≥8 updates
-    * ago may reference the deleted copy — materialize results you
-    * intend to keep across many updates. */
+    * reliable path therefore checkpoints EAGERLY and retains the TWO
+    * newest truncations, deleting the generation before them once the
+    * new copy is durable: O(1) live checkpoint dirs per engine, with a
+    * one-generation grace window (ADVICE r16 — unconditionally deleting
+    * the immediately-previous copy silently broke any un-executed lazy
+    * frame a caller captured from a query ≥8 updates earlier). A frame
+    * held across ≥16 further updates can still reference a deleted
+    * copy — materialize results you intend to keep that long. */
   private var updatesSinceCheckpoint = 0
-  private var prevCheckpointFile: Option[String] = None
+  /** Reliable-truncation files still on disk, newest first (≤2). */
+  private var liveCheckpointFiles: List[String] = Nil
   /** Install the post-op store. EVERY update path funnels through here
     * (r14's truncation hung off replaceTriples only, so a long run of
     * plain INSERT DATA / DELETE DATA / Modify ops — the most common
@@ -381,14 +384,16 @@ class Engine(initial: RdfGraph) {
                 l.rdd.getCheckpointFile
               case _ => None
             }
-            prevCheckpointFile.filterNot(newFile.contains).foreach { p =>
+            val (retain, drop) = (newFile.toList :::
+              liveCheckpointFiles.filterNot(newFile.contains)).splitAt(2)
+            drop.foreach { p =>
               scala.util.Try { // best effort — growth, not correctness
                 val hp = new org.apache.hadoop.fs.Path(p)
                 hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
                   .delete(hp, true)
               }
             }
-            prevCheckpointFile = newFile
+            liveCheckpointFiles = retain
             t
           } else g2.triples.localCheckpoint(false)
         g2.copy(triples = truncated, predIndex = Map.empty,

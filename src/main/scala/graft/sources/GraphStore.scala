@@ -24,6 +24,20 @@ import graft.rdf.{RdfGraph, Terms}
   * anti-join read entirely — without it, every batch touching a
   * Zipf-hot predicate like rdf:type re-reads that predicate's full
   * multi-TB extension).
+  *
+  * SINGLE-WRITER CONTRACT: at most one writer — one ingest query, one
+  * [[compact]], one appending [[save]] — may mutate a store at a time;
+  * the bloom/append/stats durability order is per-writer and two
+  * interleaved writers could re-append each other's in-flight rows. The
+  * contract is guarded by a best-effort `_lock` sidecar: each writer
+  * create-exclusively claims it for the duration of its mutation (an
+  * ingest query claims per micro-batch — the actual mutation window)
+  * and a second writer fails fast with a [[GraftException]] naming the
+  * holder. A crash mid-mutation leaves the lock behind ON PURPOSE: the
+  * store then refuses writes until an operator looks and reclaims with
+  * [[breakLock]] (the crash-healing in [[healCompact]]/[[mergeBatch]]
+  * makes the reclaim safe). Create-exclusive is atomic on HDFS and
+  * local filesystems; on S3-like stores it is advisory only.
   */
 object GraphStore {
 
@@ -31,6 +45,13 @@ object GraphStore {
   private val PREFIX_FILE = "_prefixes.json"
   private val STATS_FILE = "_stats.json"
   private val BLOOM_FILE = "_bloom.bin"
+  private val LOCK_FILE = "_lock"
+  /** Manifest inside a `.compact-tmp-*` directory naming the full-size
+    * files [[compact]] carries across the swap BY RENAME (bin-packing):
+    * healing restores exactly these names to wherever the originals
+    * belong, which is what makes file-level carry crash-safe without a
+    * transaction log. */
+  private val CARRIED_FILE = "_carried.txt"
   private val BLOOM_FPP = 0.01
   /** Floor for a directory bloom's expected-item sizing (≈5 KB of
     * bits): below this the sidecar overhead dominates the filter. */
@@ -54,43 +75,98 @@ object GraphStore {
     * row share demands instead of hash-landing in one straggler task
     * writing one giant file. The within-partition sort on subject then
     * gives parquet row-group min/max stats that skip on subject lookups. */
-  def save(g: RdfGraph, path: String, mode: String = "overwrite"): Unit = {
+  def save(g: RdfGraph, path: String, mode: String = "overwrite"): Unit =
+    saveImpl(g, path, mode, crashBeforeSidecars = false)
+
+  private def saveImpl(g: RdfGraph, path: String, mode: String,
+      crashBeforeSidecars: Boolean): Unit = {
     // a QUAD store additionally partitions by graph (outermost): a
     // GRAPH <g> scan then prunes to one graph directory's predicate
     // subdirectories — graph selectivity becomes file skipping too
     val quads = g.isQuads
-    val partCols =
-      if (quads) Seq(Terms.GPART_COL, PRED_COL) else Seq(PRED_COL)
-    val withParts0 = g.triples.withColumn(PRED_COL, F.col("p.value"))
-    val withParts =
-      if (quads) withParts0.withColumn(
-        Terms.GPART_COL, Terms.gPartition(F.col("g")))
-      else withParts0
-    withParts
-      .repartitionByRange(partCols.map(F.col) :+ F.col("s.value"): _*)
-      .sortWithinPartitions(partCols.map(F.col) :+ F.col("s.value"): _*)
-      .write.mode(mode).partitionBy(partCols: _*).parquet(path)
-    writePrefixes(g.triples.sparkSession, path, g.prefixes)
     val spark = g.triples.sparkSession
-    // per-DIRECTORY counts in one aggregate over the committed data
-    // (so `mode=append` on an existing store counts the union, not
-    // just this write): the predicate-cardinality sidecar feeds the
-    // BGP join-order heuristic without running any job at `load`,
-    // and the same counts size the per-directory membership blooms.
-    val back = spark.read.parquet(path)
-      .select(Seq("s", "p", "o") ++ (if (quads) Seq("g") else Nil)
-        map F.col: _*)
-    val keyed = back.groupBy(bloomKey(quads).as("k")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val counts = keyed.groupBy(kv => predOfKey(kv._1))
-      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
-    val statsJson = counts.map { case (p, n) =>
-      "\"" + esc(p) + "\": " + n
-    }.mkString("{", ", ", "}")
-    writeSidecar(spark, path, STATS_FILE, statsJson)
-    val expected = keyed.map { case (k, n) => k -> bloomSize(n) }.toMap
-    rebuildBlooms(spark, path, back, quads, expected)
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val appending = mode.equalsIgnoreCase("append") &&
+      storeLayout(spark, path).isDefined
+    if (appending) acquireLock(fs, root, s"save(append) into $path")
+    try {
+      if (appending) {
+        healCompact(spark, fs, root) // never append into a mid-swap dir
+        // ADVICE r16: an append must not commit data whose hashes are
+        // missing from existing blooms — a crash between the commit and
+        // the rebuild would leave blooms that pass a later redelivery
+        // as definitely-new, permanently duplicating rows. Deleting the
+        // blooms FIRST degrades safely (absent bloom → anti-join path)
+        // and the post-commit rebuild below restores them.
+        deleteAllBlooms(fs, root)
+      }
+      val partCols =
+        if (quads) Seq(Terms.GPART_COL, PRED_COL) else Seq(PRED_COL)
+      val withParts0 = g.triples.withColumn(PRED_COL, F.col("p.value"))
+      val withParts =
+        if (quads) withParts0.withColumn(
+          Terms.GPART_COL, Terms.gPartition(F.col("g")))
+        else withParts0
+      withParts
+        .repartitionByRange(partCols.map(F.col) :+ F.col("s.value"): _*)
+        .sortWithinPartitions(partCols.map(F.col) :+ F.col("s.value"): _*)
+        .write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      if (crashBeforeSidecars) return // test seam: die after the commit
+      writePrefixes(spark, path, g.prefixes)
+      // per-DIRECTORY counts from parquet FOOTERS — zero data pages
+      // (r16 ran a full groupBy-count read here, so a save cost one
+      // write plus TWO reads of the just-written store): the counts
+      // cover the committed files, so `mode=append` on an existing
+      // store counts the union; the predicate-cardinality sidecar
+      // feeds the BGP join-order heuristic without running any job at
+      // `load`, and the same counts size the per-directory membership
+      // blooms. The single remaining data read is the bloom build.
+      val dirCounts = leafDirs(fs, root, quads)
+        .map(d => d -> dirRowCount(fs, conf, new Path(root, d))).toMap
+      writeStatsSidecar(spark, path,
+        dirCounts.groupBy { case (d, _) => predOfKey(dirKey(d)) }
+          .view.mapValues(_.values.sum).toMap)
+      val expected = dirCounts.map { case (d, n) =>
+        dirKey(d) -> bloomSize(n)
+      }
+      val back = spark.read.parquet(path)
+        .select(Seq("s", "p", "o") ++ (if (quads) Seq("g") else Nil)
+          map F.col: _*)
+      rebuildBlooms(spark, path, back, quads, expected)
+    } finally if (appending) releaseLock(fs, root)
   }
+
+  /** Every leaf partition directory of the store, store-relative.
+    * Compaction markers (leading dot) and sidecars are excluded. */
+  private def leafDirs(fs: FileSystem, root: Path,
+      quads: Boolean): Seq[String] =
+    if (!quads) fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(PRED_COL + "="))
+    else fs.globStatus(new Path(root,
+        s"${Terms.GPART_COL}=*/$PRED_COL=*")).toSeq
+      .map(st => s"${st.getPath.getParent.getName}/${st.getPath.getName}")
+
+  private def writeStatsSidecar(spark: SparkSession, path: String,
+      counts: Map[String, Long]): Unit =
+    writeSidecar(spark, path, STATS_FILE,
+      counts.toSeq.sortBy(_._1).map { case (p, n) =>
+        "\"" + esc(p) + "\": " + n
+      }.mkString("{", ", ", "}"))
+
+  private def deleteAllBlooms(fs: FileSystem, root: Path): Unit =
+    for (pat <- Seq(s"*/$BLOOM_FILE", s"*/*/$BLOOM_FILE");
+         st <- fs.globStatus(new Path(root, pat)))
+      fs.delete(st.getPath, false)
+
+  /** Test seam: [[save]] `mode=append`, dying right after the parquet
+    * commit — before the stats/bloom sidecar rebuild. Pins the ADVICE
+    * r16 ordering: the touched blooms were deleted BEFORE the commit,
+    * so a redelivery after this crash anti-joins instead of trusting a
+    * bloom that never saw the appended rows. */
+  private[graft] def appendCrashForTest(g: RdfGraph, path: String): Unit =
+    saveImpl(g, path, "append", crashBeforeSidecars = true)
 
   /** Load a saved graph. The vertical index maps every predicate to a
     * partition-pruned (s, o) scan; the full triple view stays available
@@ -103,6 +179,15 @@ object GraphStore {
     * query. Each predicate's pruned scan is built (and cached) on first
     * lookup instead. */
   def load(spark: SparkSession, path: String): RdfGraph = {
+    // a query must never see a mid-swap directory (ADVICE r16): restore
+    // anything a crashed compaction left half-moved before the reader
+    // lists partitions. Best-effort — on a read-only filesystem there
+    // is nothing to heal that this process could have broken.
+    scala.util.Try {
+      val root = new Path(path)
+      healCompact(spark, root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), root)
+    }
     val df = spark.read.parquet(path)
     // a saved QUAD store keeps its graph column — dropping it here
     // would silently merge every named graph into the default graph
@@ -153,15 +238,27 @@ object GraphStore {
     * micro-batch (bulk backfills otherwise arrive as ONE giant batch),
     * and `cleanSource=delete` (or `archive` + `sourceArchiveDir`) so
     * the landing directory — re-listed every trigger — doesn't grow
-    * without bound across months of ticks. */
+    * without bound across months of ticks.
+    *
+    * `compactWhenFilesExceed` makes the stream self-maintaining: after
+    * each batch's merge, any directory the batch touched whose data
+    * file count crossed the threshold is compacted in place (the
+    * bin-packing [[compact]] path, under the batch's own `_lock`) —
+    * without it, months of micro-batches leave thousands of sliver
+    * files per hot directory and per-tick cost drifts upward until an
+    * operator remembers to schedule [[compact]] (SOAK_r16: medians
+    * 1.97→4.85 s over ~100 unmaintained ticks). */
   def startNtIngest(spark: SparkSession, landingDir: String,
       storePath: String, queryName: String, lenient: Boolean = false,
       checkpointDir: Option[String] = None,
-      sourceOptions: Map[String, String] = Map.empty)
+      sourceOptions: Map[String, String] = Map.empty,
+      compactWhenFilesExceed: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     startIngest(
       NTriples.readStream(spark, landingDir, lenient, sourceOptions),
-      queryName, checkpointDir)(mergeBatch(_, storePath, quads = false))
+      queryName, checkpointDir)(
+      mergeBatch(_, storePath, quads = false, queryName,
+        compactWhenFilesExceed))
 
   /** Continuous N-Quads ingest into a persisted QUAD store — the
     * named-graph twin of [[startNtIngest]] ([[NQuads.readStream]] over
@@ -175,11 +272,14 @@ object GraphStore {
   def startNqIngest(spark: SparkSession, landingDir: String,
       storePath: String, queryName: String, lenient: Boolean = false,
       checkpointDir: Option[String] = None,
-      sourceOptions: Map[String, String] = Map.empty)
+      sourceOptions: Map[String, String] = Map.empty,
+      compactWhenFilesExceed: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     startIngest(
       NQuads.readStream(spark, landingDir, lenient, sourceOptions),
-      queryName, checkpointDir)(mergeBatch(_, storePath, quads = true))
+      queryName, checkpointDir)(
+      mergeBatch(_, storePath, quads = true, queryName,
+        compactWhenFilesExceed))
 
   private def startIngest(stream: DataFrame, queryName: String,
       checkpointDir: Option[String])(merge: DataFrame => Unit)
@@ -245,8 +345,24 @@ object GraphStore {
     *      committed data — so a replayed batch heals whatever a crash
     *      destroyed. */
   private def mergeBatch(batch0: DataFrame, path: String,
-      quads: Boolean): Unit = {
+      quads: Boolean, queryName: String,
+      compactWhenFilesExceed: Option[Int]): Unit = {
     val spark = batch0.sparkSession
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    // single-writer guard for the whole mutation window (see the object
+    // scaladoc): held per micro-batch, so a crashed tick leaves the
+    // lock exactly when it may have died mid-mutation
+    acquireLock(fs, root, s"ingest query $queryName")
+    try mergeBatchLocked(spark, batch0, path, root, conf, fs, quads,
+      compactWhenFilesExceed)
+    finally releaseLock(fs, root)
+  }
+
+  private def mergeBatchLocked(spark: SparkSession, batch0: DataFrame,
+      path: String, root: Path, conf: Configuration, fs: FileSystem,
+      quads: Boolean, compactWhenFilesExceed: Option[Int]): Unit = {
     requireLayout(spark, path, quads)
     val dedupCols = if (quads) Seq("s", "p", "o", "g") else Seq("s", "p", "o")
     // dedup within the batch, then pin it: several driver-side passes
@@ -255,8 +371,15 @@ object GraphStore {
     val keys = batch.select(bloomKey(quads).as("k")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (keys.isEmpty) return // empty batch: nothing to merge
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a restarted ingest must never probe a directory a crashed
+    // compaction left mid-swap — fs.exists would see no directory,
+    // treat every row as new, and the next heal would then have two
+    // generations to reconcile (ADVICE r16). Two exists calls per
+    // touched key: per-batch cost stays flat in the store size.
+    keys.foreach { k =>
+      val leaf = new Path(root, keyDir(k))
+      healOne(spark, fs, leaf.getParent, leaf.getName)
+    }
     val existing = keys.filter(k => fs.exists(new Path(root, keyDir(k)))).toSet
     // the membership blooms of the touched directories that have one
     // (absent on a not-yet-migrated dir → every row of that key is a
@@ -328,6 +451,18 @@ object GraphStore {
       else out.write.mode("append").partitionBy(PRED_COL).parquet(path)
     }
     finishMerge(spark, path, keys.map(predOfKey).distinct)
+    // self-maintenance: bin-pack any touched directory whose sliver
+    // count crossed the operator's threshold (runs under this batch's
+    // lock; content and blooms are unchanged by construction, so the
+    // stats just written stay exact)
+    compactWhenFilesExceed.foreach { threshold =>
+      for (k <- keys) {
+        val leaf = new Path(root, keyDir(k))
+        if (fs.exists(leaf) && dataFiles(fs, leaf).length > threshold)
+          compactDir(spark, path, fs, conf, keyDir(k), quads,
+            targetBytes = DEFAULT_TARGET_BYTES, minSmallFiles = 2)
+      }
+    }
   }
 
   /** Fail fast when the ingest flavor doesn't match the store's layout
@@ -356,12 +491,19 @@ object GraphStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) None
     else {
-      val names = fs.listStatus(root).map(_.getPath.getName)
+      // a directory a crashed compaction left under a marker name still
+      // witnesses the layout — without the strip, a store whose only
+      // predicate directory is mid-swap would look empty and let a
+      // mismatched ingest flavor through
+      val names = fs.listStatus(root).map(st => stripMarker(st.getPath.getName))
       if (names.exists(_.startsWith(Terms.GPART_COL + "="))) Some(true)
       else if (names.exists(_.startsWith(PRED_COL + "="))) Some(false)
       else None
     }
   }
+
+  private def stripMarker(name: String): String =
+    name.stripPrefix(".compact-old-").stripPrefix(".compact-tmp-")
 
   /** Read exactly `dirs` (store-relative partition directories),
     * skipping ones that don't exist. `basePath` keeps the partition
@@ -448,49 +590,99 @@ object GraphStore {
       writePrefixes(spark, path, RdfGraph.defaultPrefixes)
   }
 
+  /** The data files of one leaf directory (sidecars and markers have a
+    * `_`/`.` prefix). */
+  private def dataFiles(fs: FileSystem, dir: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Committed parquet part files are immutable (their unique names are
+    * never rewritten in place), so a footer's record count is cacheable
+    * by (path, length) for the file's lifetime. Without the cache every
+    * ingest tick re-opened EVERY touched-directory file's footer
+    * sequentially on the driver — the O(files) component SOAK_r16
+    * showed drifting per-tick medians 1.97→4.85 s as the hot directory
+    * grew between compactions. With it, a tick reads footers only for
+    * the files it just wrote. LRU-capped: ~2^20 entries bounds driver
+    * memory at tens of MB; eviction only costs a re-read. */
+  private val footerCountCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), java.lang.Long](
+          1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), java.lang.Long])
+            : Boolean = size() > (1 << 20)
+      })
+
+  private def fileRowCount(conf: Configuration,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val key = (st.getPath.toString, st.getLen)
+    val cached = footerCountCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf))
+      val n = try r.getRecordCount finally r.close()
+      footerCountCache.put(key, n)
+      n
+    }
+  }
+
   /** Exact row count of one partition directory from parquet footers —
     * no data pages are read (r15 this was a full re-read of the touched
     * directories' DATA per batch, the stats step scaling with directory
-    * size). */
+    * size), and cached footers (see [[footerCountCache]]) make it
+    * O(new files) per call. Uncached footers are read in parallel —
+    * the per-file open is driver-side remote IO, not CPU. */
   private def dirRowCount(fs: FileSystem, conf: Configuration,
-      dir: Path): Long =
-    fs.listStatus(dir).iterator
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map { st =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+      dir: Path): Long = {
+    import scala.collection.parallel.CollectionConverters._
+    dataFiles(fs, dir).par.map(fileRowCount(conf, _)).sum
+  }
 
-  /** Rewrite each (graph,) predicate directory's accumulated sliver
+  private val DEFAULT_TARGET_BYTES = 128L << 20
+
+  /** Bin-pack each (graph,) predicate directory's accumulated sliver
     * files — continuous ingest appends a few files per micro-batch, so
     * a long-running stream leaves thousands — into `targetBytes`-sized
-    * subject-sorted files. Contents are untouched (same rows, same
-    * subject sort, so row-group min/max stats keep skipping); only the
-    * file layout changes. Per directory: read → one range shuffle on
-    * subject into ⌈bytes/target⌉ partitions → write to a hidden temp
-    * directory → two renames swap it in (the bloom sidecar is copied
-    * across — the row set is identical, so it stays exact).
+    * subject-sorted files. Contents are untouched (same rows; each
+    * surviving file keeps an internal subject sort, so row-group
+    * min/max stats keep skipping); only the file layout changes.
     *
-    * Run it BETWEEN ingest ticks (AvailableNow returns between calls);
-    * it never touches the stream's checkpoint, so ingest resumes
-    * unaffected. Crash-safe: a crash mid-swap leaves the directory's
-    * previous content under a hidden `.compact-old-*` name, and the
-    * next call restores it before doing anything else. Returns the
-    * number of directories rewritten.
+    * INCREMENTAL: only files below `targetBytes / 2` are read and
+    * rewritten; files already at target size are carried across the
+    * swap BY RENAME, so a compaction cycle costs one read+write of the
+    * SLIVER bytes, not the directory's full history — on a hot
+    * directory holding terabytes of previously-compacted files plus a
+    * month of slivers, the terabytes move as renames (r16 rewrote the
+    * whole directory every cycle, forcing operators to choose between
+    * sliver drift and repeated full rewrites). Per directory: read the
+    * sub-target files → one range shuffle on subject into
+    * ⌈sliverBytes/target⌉ partitions → write to a hidden temp
+    * directory, record the carried full-size file names in a manifest
+    * (`_carried.txt`), rename them in, copy the bloom sidecar (the row
+    * set is identical, so it stays exact) → two renames swap the temp
+    * in.
     *
-    * Each qualifying directory is rewritten WHOLE (that is what makes
-    * the two-rename swap atomic without a manifest/transaction log);
-    * on a store whose hot directory has grown to terabytes, raise
-    * `minFiles` and run compaction less often — the cost is one
-    * read+write of the directories rewritten, and a directory below
-    * `minFiles` files is never touched. */
+    * Run it BETWEEN ingest ticks (AvailableNow returns between calls) —
+    * or let the stream do it itself via `compactWhenFilesExceed` on
+    * [[startNtIngest]]/[[startNqIngest]]; it never touches the stream's
+    * checkpoint, so ingest resumes unaffected. Crash-safe: every
+    * half-state is repaired by [[healCompact]]/[[healOne]], which runs
+    * at the next [[compact]], [[load]], appending [[save]], and — for
+    * the batch's own directories — every ingest micro-batch; the
+    * carried-file manifest is what lets healing put renamed files back
+    * without a transaction log. Takes the store `_lock` (see the object
+    * scaladoc). Returns the number of directories rewritten.
+    *
+    * A directory with fewer than `minFiles` sub-target files is left
+    * alone — merging one or two slivers is not worth a swap. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20, minFiles: Int = 4): Int = {
+      targetBytes: Long = DEFAULT_TARGET_BYTES, minFiles: Int = 4): Int = {
     val quads = storeLayout(spark, path) match {
       case None => return 0
       case Some(q) => q
@@ -498,65 +690,252 @@ object GraphStore {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
-    healCompact(fs, root)
-    val leaves: Seq[Path] =
-      if (!quads) fs.listStatus(root).map(_.getPath).toSeq
-        .filter(_.getName.startsWith(PRED_COL + "="))
-      else fs.globStatus(new Path(root,
-        s"${Terms.GPART_COL}=*/$PRED_COL=*")).map(_.getPath).toSeq
-    var done = 0
-    for (dir <- leaves) {
-      val files = fs.listStatus(dir).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      val bytes = files.map(_.getLen).sum
-      if (files.length >= minFiles && bytes > 0) {
-        val rel = if (quads) s"${dir.getParent.getName}/${dir.getName}"
-          else dir.getName
-        val nParts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val dataCols = Seq("s", "p", "o") ++ (if (quads) Seq("g") else Nil)
-        val tmp = new Path(dir.getParent, ".compact-tmp-" + dir.getName)
-        fs.delete(tmp, true) // stale temp from an older crash
-        readDirs(spark, path, Seq(rel)).get
-          .select(dataCols.map(F.col): _*)
-          .repartitionByRange(nParts, F.col("s.value"))
-          .sortWithinPartitions(F.col("s.value"))
-          .write.parquet(tmp.toString)
-        // the bloom sidecar describes the same row set: carry it over
-        val bloom = new Path(dir, BLOOM_FILE)
-        if (fs.exists(bloom))
-          org.apache.hadoop.fs.FileUtil.copy(fs, bloom,
-            fs, new Path(tmp, BLOOM_FILE), false, conf)
-        val old = new Path(dir.getParent, ".compact-old-" + dir.getName)
-        fs.delete(old, true)
-        if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
-          throw new GraftException(s"compact: atomic swap failed for $dir")
-        fs.delete(old, true)
-        done += 1
-      }
-    }
-    done
+    acquireLock(fs, root, "compact")
+    try {
+      healCompact(spark, fs, root)
+      var done = 0
+      for (rel <- leafDirs(fs, root, quads))
+        if (compactDir(spark, path, fs, conf, rel, quads, targetBytes,
+          minSmallFiles = minFiles)) done += 1
+      done
+    } finally releaseLock(fs, root)
   }
 
-  /** Restore any directory a crashed [[compact]] left mid-swap: a
-    * `.compact-old-X` sibling with no live `X` means the crash hit
-    * between the two renames — the old content is intact, put it back.
-    * A `.compact-old-X` WITH a live `X` means the swap completed and
-    * only the cleanup was lost. Temp dirs are deleted either way. */
-  private def healCompact(fs: FileSystem, root: Path): Unit = {
+  /** One directory of [[compact]]'s loop; `crashAt` is the test seam
+    * (0 = run to completion; 1 = die after the temp directory is fully
+    * built, carried files already renamed in; 2 = die between the two
+    * swap renames — the ADVICE r16 window). Returns whether the
+    * directory was rewritten. */
+  private def compactDir(spark: SparkSession, path: String,
+      fs: FileSystem, conf: Configuration, rel: String, quads: Boolean,
+      targetBytes: Long, minSmallFiles: Int, crashAt: Int = 0): Boolean = {
+    val root = new Path(path)
+    val dir = new Path(root, rel)
+    val files = dataFiles(fs, dir)
+    // bin-packing split: a file at half the target or more gains little
+    // from merging (at most a 2× file-count reduction for a full
+    // rewrite of its bytes) — carry it; everything smaller is a sliver
+    val (big, small) = files.partition(_.getLen >= targetBytes / 2)
+    val smallBytes = small.map(_.getLen).sum
+    if (small.length < minSmallFiles || smallBytes == 0) return false
+    val nParts =
+      math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val dataCols = Seq("s", "p", "o") ++ (if (quads) Seq("g") else Nil)
+    val tmp = new Path(dir.getParent, ".compact-tmp-" + dir.getName)
+    fs.delete(tmp, true) // stale temp from an older, already-healed crash
+    spark.read.parquet(small.map(_.getPath.toString): _*)
+      .select(dataCols.map(F.col): _*)
+      .repartitionByRange(nParts, F.col("s.value"))
+      .sortWithinPartitions(F.col("s.value"))
+      .write.parquet(tmp.toString)
+    if (big.nonEmpty) {
+      // manifest FIRST, then the renames: healing restores exactly the
+      // listed names that made it into tmp, wherever the crash hit
+      writeTextFile(fs, new Path(tmp, CARRIED_FILE),
+        big.map(_.getPath.getName).mkString("\n"))
+      for (st <- big)
+        if (!fs.rename(st.getPath, new Path(tmp, st.getPath.getName)))
+          throw new GraftException(s"compact: carry rename failed for ${st.getPath}")
+    }
+    // the bloom sidecar describes the same row set: carry it over
+    val bloom = new Path(dir, BLOOM_FILE)
+    if (fs.exists(bloom))
+      org.apache.hadoop.fs.FileUtil.copy(fs, bloom,
+        fs, new Path(tmp, BLOOM_FILE), false, conf)
+    if (crashAt == 1) return true
+    val old = new Path(dir.getParent, ".compact-old-" + dir.getName)
+    fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new GraftException(s"compact: atomic swap failed for $dir")
+    if (crashAt == 2) return true
+    if (!fs.rename(tmp, dir))
+      throw new GraftException(s"compact: atomic swap failed for $dir")
+    fs.delete(old, true)
+    true
+  }
+
+  /** Test seam: run one directory's compaction but "crash" at `phase`
+    * (see [[compactDir]]'s `crashAt`) — the store is left in exactly
+    * the half-state a real crash leaves, including the carried-file
+    * split, so specs can pin that healing loses nothing. The `_lock` a
+    * real crash would also leave is deliberately NOT taken: the specs
+    * exercise the post-`breakLock` repair path. */
+  private[graft] def crashCompactForTest(spark: SparkSession,
+      path: String, rel: String, phase: Int,
+      targetBytes: Long = DEFAULT_TARGET_BYTES): Boolean = {
+    val quads = storeLayout(spark, path).get
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    // every real compaction path heals before touching a directory
+    // (compactDir's stale-tmp delete assumes it); the seam must too
+    val leaf = new Path(root, rel)
+    healOne(spark, fs, leaf.getParent, leaf.getName)
+    compactDir(spark, path, fs, conf, rel, quads,
+      targetBytes, minSmallFiles = 1, crashAt = phase)
+  }
+
+  /** Repair every directory a crashed [[compact]] left half-moved.
+    * The marker pair distinguishes the states (ADVICE r16 — the old
+    * heal deleted `.compact-old-X` whenever a live `X` existed, which
+    * destroyed data if an interim writer had recreated `X` mid-swap):
+    *
+    *  - `.compact-old-X` AND `.compact-tmp-X`: the crash hit between
+    *    the two swap renames — tmp only survives when the tmp→X rename
+    *    never ran, so OLD (plus the carried files inside tmp) is the
+    *    authoritative content and is NEVER deleted. Carried files are
+    *    renamed back into old per tmp's manifest; if a live `X` exists
+    *    (an interim writer recreated it), its rows are set-merged into
+    *    old and old's bloom is dropped (absent degrades safe; rebuilt
+    *    on the next touch); then old is renamed back to `X`.
+    *  - `.compact-old-X` only, live `X` present: the swap completed
+    *    (tmp became `X`) and only the cleanup was lost — old holds no
+    *    unique data and is deleted.
+    *  - `.compact-tmp-X` only: the crash hit before the swap began —
+    *    `X` is intact except for carried files already renamed into
+    *    tmp; those are restored per the manifest and tmp (whose merged
+    *    files duplicate `X`'s slivers) is deleted. */
+  private def healCompact(spark: SparkSession, fs: FileSystem,
+      root: Path): Unit = {
+    if (!fs.exists(root)) return
     val parents = root +: fs.listStatus(root)
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(Terms.GPART_COL + "="))
       .map(_.getPath).toSeq
     for (parent <- parents; st <- fs.listStatus(parent)) {
       val n = st.getPath.getName
-      if (n.startsWith(".compact-old-")) {
-        val live = new Path(parent, n.stripPrefix(".compact-old-"))
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
-        else fs.delete(st.getPath, true)
-      } else if (n.startsWith(".compact-tmp-")) fs.delete(st.getPath, true)
+      if (n.startsWith(".compact-old-") || n.startsWith(".compact-tmp-"))
+        healOne(spark, fs, parent, stripMarker(n))
     }
+  }
+
+  /** [[healCompact]] for one directory (idempotent; no-op when no
+    * marker exists — two `exists` calls, which is why [[mergeBatch]]
+    * can afford it per touched key per batch). */
+  private def healOne(spark: SparkSession, fs: FileSystem,
+      parent: Path, name: String): Unit = {
+    val live = new Path(parent, name)
+    val old = new Path(parent, ".compact-old-" + name)
+    val tmp = new Path(parent, ".compact-tmp-" + name)
+    val hasOld = fs.exists(old)
+    val hasTmp = fs.exists(tmp)
+    if (hasOld && hasTmp) {
+      restoreCarried(fs, tmp, old)
+      if (fs.exists(live)) {
+        mergeInterimRows(spark, fs, live, old)
+        fs.delete(live, true)
+        // old's bloom predates the interim rows; absent is safe, stale
+        // is not (a redelivery would pass as definitely-new)
+        fs.delete(new Path(old, BLOOM_FILE), false)
+      }
+      if (!fs.rename(old, live))
+        throw new GraftException(s"heal: restore rename failed for $live")
+      fs.delete(tmp, true)
+    } else if (hasOld) {
+      if (!fs.exists(live)) fs.rename(old, live) // defensive; see scaladoc
+      else fs.delete(old, true) // swap completed, only cleanup was lost
+    } else if (hasTmp) {
+      restoreCarried(fs, tmp, live)
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Rename the files listed in `tmp`'s carried manifest back into
+    * `dest` (skipping any already there — healing may have been
+    * interrupted and re-run). */
+  private def restoreCarried(fs: FileSystem, tmp: Path,
+      dest: Path): Unit = {
+    val mf = new Path(tmp, CARRIED_FILE)
+    if (!fs.exists(mf)) return
+    for (name <- readTextFile(fs, mf).split('\n') if name.nonEmpty) {
+      val src = new Path(tmp, name)
+      if (fs.exists(src)) {
+        if (!fs.exists(dest)) fs.mkdirs(dest)
+        val d = new Path(dest, name)
+        if (!fs.exists(d) && !fs.rename(src, d))
+          throw new GraftException(s"heal: carried-file restore failed for $src")
+      }
+    }
+  }
+
+  /** Set-merge an interim writer's rows (a directory recreated while
+    * the original sat mid-swap under `.compact-old-*`) into the
+    * restored content: the interim writer saw no directory and no
+    * bloom, so it appended EVERY row as new — some may duplicate rows
+    * `dest` already holds. Heal-time only; cost is one read of both
+    * generations plus a write of the genuinely fresh rows. */
+  private def mergeInterimRows(spark: SparkSession, fs: FileSystem,
+      interim: Path, dest: Path): Unit = {
+    val interimFiles = dataFiles(fs, interim).map(_.getPath.toString)
+    if (interimFiles.isEmpty) return
+    val destFiles = dataFiles(fs, dest).map(_.getPath.toString)
+    val in = spark.read.parquet(interimFiles: _*)
+    // the store's canonical file column order, so the appended files
+    // read uniformly with their siblings
+    val cols = Seq("s", "p", "o") ++
+      (if (in.columns.contains("g")) Seq("g") else Nil)
+    val inC = in.select(cols.map(F.col): _*)
+    val fresh =
+      if (destFiles.isEmpty) inC
+      else inC.except(
+        spark.read.parquet(destFiles: _*).select(cols.map(F.col): _*))
+    fresh.write.mode("append").parquet(dest.toString)
+  }
+
+  // ---- single-writer lock -----------------------------------------------
+
+  /** Claim the store's `_lock` create-exclusively or fail loudly (see
+    * the object scaladoc for the contract). The payload names the
+    * holder and the acquisition time so the failure message — and an
+    * operator deciding whether [[breakLock]] is safe — can tell a live
+    * writer from a crashed one. */
+  private def acquireLock(fs: FileSystem, root: Path,
+      owner: String): Unit = {
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val p = new Path(root, LOCK_FILE)
+    val payload = s"""{"owner": "${esc(owner)}",""" +
+      s""" "acquired_ms": ${System.currentTimeMillis()}}"""
+    try {
+      val out = fs.create(p, false) // create-exclusive: the claim itself
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: java.io.IOException =>
+        val held = scala.util.Try(readTextFile(fs, p))
+          .getOrElse("<unreadable>")
+        throw new GraftException(
+          s"graph store at $root is locked by another writer: $held — " +
+            "the store has a single-writer contract (one ingest query, " +
+            "compact, or appending save at a time); if the holder " +
+            "crashed, inspect and reclaim with GraphStore.breakLock")
+    }
+  }
+
+  private def releaseLock(fs: FileSystem, root: Path): Unit =
+    fs.delete(new Path(root, LOCK_FILE), false)
+
+  /** Reclaim a `_lock` a crashed writer left behind. Returns whether a
+    * lock existed. Only break a lock whose holder is known dead — the
+    * healing paths make the subsequent repair safe, but two LIVE
+    * writers interleaving is exactly what the lock exists to prevent. */
+  def breakLock(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, LOCK_FILE), false)
+  }
+
+  private def writeTextFile(fs: FileSystem, p: Path,
+      text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   // ---- membership blooms ------------------------------------------------
@@ -693,6 +1072,9 @@ object GraphStore {
         df.where(F.col(PRED_COL) === p2).select(F.col("s"), F.col("o")))
 
     override def get(p: String): Option[DataFrame] = Some(scan(p))
+    /** Always true BY DESIGN, not an oversight: every predicate has a
+      * (possibly empty) pruned extension, so membership never needs a
+      * partition listing — see the class scaladoc. */
     override def contains(p: String): Boolean = true
     override def iterator: Iterator[(String, DataFrame)] =
       df.select(PRED_COL).distinct().collect().iterator

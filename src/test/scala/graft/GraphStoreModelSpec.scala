@@ -7,14 +7,17 @@ import graft.sources.GraphStore
 /** Random differential net for the continuous-ingest surface: seeded
   * random tick sequences — fresh rows, within-batch duplicates,
   * replays of earlier rows, hot/cold predicate mixes, interleaved
-  * [[GraphStore.compact]] calls, simulated crashes (sidecar deletions),
-  * and full fresh-checkpoint replays — against an in-memory SET model.
-  * After every sequence the store's exact content must equal the
-  * model, and the stats sidecar must equal the model's per-predicate
-  * counts. This exercises the interactions no single pin covers: a
-  * bloom built before a compaction filtering a replay after it, a
-  * crash-deleted bloom healing mid-sequence, duplicates arriving in
-  * later ticks than their originals.
+  * [[GraphStore.compact]] calls, simulated crashes (sidecar deletions
+  * AND compactions killed mid-flight at either crash window, via the
+  * [[GraphStore.crashCompactForTest]] seam), and full fresh-checkpoint
+  * replays — against an in-memory SET model. After every sequence the
+  * store's exact content must equal the model, and the stats sidecar
+  * must equal the model's per-predicate counts. This exercises the
+  * interactions no single pin covers: a bloom built before a
+  * compaction filtering a replay after it, a crash-deleted bloom
+  * healing mid-sequence, duplicates arriving in later ticks than their
+  * originals, an ingest batch landing on a directory a crashed
+  * compaction left mid-swap.
   *
   * Deepen with GRAFT_MODEL_SEEDS_EXTRA (comma-separated extra seeds)
   * and GRAFT_FUZZ_ROUNDS (ticks per sequence, default 12). */
@@ -24,7 +27,7 @@ class GraphStoreModelSpec extends SparkSpec {
     sys.env.get("GRAFT_MODEL_SEEDS_EXTRA").toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty).map(_.trim.toInt)
   private def ticks: Int =
-    sys.env.get("GRAFT_FUZZ_ROUNDS").map(_.toInt.min(60).max(6))
+    sys.env.get("GRAFT_FUZZ_ROUNDS").map(_.toInt.min(240).max(6))
       .getOrElse(12)
 
   private def run(seed: Int, quads: Boolean): Unit = {
@@ -78,6 +81,20 @@ class GraphStoreModelSpec extends SparkSpec {
           .forEach(p => Files.delete(p))
         finally walk.close()
       }
+      if (rnd.nextInt(6) == 0) { // crash simulation: compaction killed
+        // mid-flight — phase 1 (temp built, carried files renamed in)
+        // or phase 2 (between the swap renames); subsequent ticks,
+        // compactions, and loads must heal it losslessly
+        val leaves = liveLeafDirs(store)
+        if (leaves.nonEmpty) {
+          val rel = leaves(rnd.nextInt(leaves.size))
+          // a small target forces a carried/merged mix when file sizes
+          // straddle it; a large one makes everything merged
+          val target = if (rnd.nextBoolean()) 1L << 14 else 1L << 20
+          GraphStore.crashCompactForTest(spark, store, rel,
+            phase = 1 + rnd.nextInt(2), targetBytes = target)
+        }
+      }
     }
     // a full replay from a FRESH checkpoint (every file redelivered,
     // against whatever bloom/compaction state the sequence left) must
@@ -112,6 +129,23 @@ class GraphStoreModelSpec extends SparkSpec {
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(g.predCounts == wantCounts,
       s"seed $seed quads=$quads: stats ${g.predCounts} != $wantCounts")
+  }
+
+  /** The store's live leaf partition directories (markers excluded),
+    * store-relative — the candidates a crash-injected compaction can
+    * target. */
+  private def liveLeafDirs(store: String): Vector[String] = {
+    val root = new java.io.File(store)
+    if (!root.isDirectory) return Vector.empty
+    val top = root.listFiles.filter(_.isDirectory).toVector
+    top.flatMap { d =>
+      if (d.getName.startsWith("__pred=")) Vector(d.getName)
+      else if (d.getName.startsWith("__g="))
+        d.listFiles.filter(f => f.isDirectory &&
+          f.getName.startsWith("__pred="))
+          .map(f => s"${d.getName}/${f.getName}").toVector
+      else Vector.empty
+    }
   }
 
   private def seeds: Seq[Int] = Seq(13, 20260816) ++ extraSeeds

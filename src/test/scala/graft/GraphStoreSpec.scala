@@ -491,6 +491,348 @@ class GraphStoreSpec extends SparkSpec {
     assert(GraphStore.compact(spark, store) == 0)
   }
 
+  test("compact is incremental: full-size files carry across the swap " +
+      "by rename, never rewritten") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-binpack").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-binpack-ck").toString
+    val landing = Files.createTempDirectory("graft-binpack-l").toString
+    def tick(t: Int): Unit = {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$t.nt"),
+        (0 until 300).map(i =>
+          s"<urn:s/${t * 1000 + i}> <urn:p/a> <urn:o/${t * 1000 + i}> .")
+          .mkString("\n"))
+      GraphStore.startNtIngest(spark, landing, store, s"bp$t",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    for (t <- 0 until 6) tick(t)
+    assert(GraphStore.compact(spark, store) == 1)
+    val dir = new java.io.File(store, "__pred=urn%3Ap%2Fa")
+    def parts() = dir.listFiles.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val merged = parts()
+    assert(merged.length == 1, s"expected one merged file, got ${merged.length}")
+    val (mName, mLen, mTime) =
+      (merged(0).getName, merged(0).length, merged(0).lastModified)
+    // five more sliver ticks land beside the merged file
+    for (t <- 10 until 15) tick(t)
+    val h0 = GraphStore.load(spark, store).merkleHash()
+    assert(parts().length >= 6) // a tick can append more than one part
+
+    // pick the target so the merged file counts as full-size (≥ half)
+    // and the slivers do not: the merged file must cross the swap BY
+    // RENAME — same name, same length, same mtime — while only the
+    // sliver bytes are read and rewritten
+    val slivers = parts().filter(_.getName != mName)
+    assert(slivers.forall(_.length < mLen),
+      s"test setup: slivers must be smaller than the merged file")
+    assert(GraphStore.compact(spark, store, targetBytes = 2 * mLen) == 1)
+    val after = parts()
+    assert(after.length == 2, s"expected carried + one new merged file: ${
+      after.map(_.getName).toSeq}")
+    val carried = after.find(_.getName == mName)
+    assert(carried.isDefined, "the full-size file must keep its identity")
+    assert(carried.get.length == mLen && carried.get.lastModified == mTime,
+      "the full-size file was rewritten — bin-packing must carry it untouched")
+    assert(GraphStore.load(spark, store).merkleHash() == h0)
+    assert(new java.io.File(dir, "_bloom.bin").isFile)
+    // no markers left behind
+    assert(!new java.io.File(store).list.exists(_.startsWith(".compact-")))
+  }
+
+  test("a compaction crash BEFORE the swap heals losslessly " +
+      "(carried files restored from the temp dir)") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-crash1").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-crash1-ck").toString
+    val landing = Files.createTempDirectory("graft-crash1-l").toString
+    for (t <- 0 until 5) {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$t.nt"),
+        (0 until 200).map(i =>
+          s"<urn:s/${t * 1000 + i}> <urn:p/a> <urn:o/${t * 1000 + i}> .")
+          .mkString("\n"))
+      GraphStore.startNtIngest(spark, landing, store, s"c1$t",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    val rel = "__pred=urn%3Ap%2Fa"
+    // one full compaction first: its merged file is the full-size file
+    // the crashed bin-packing pass below will have carried into tmp
+    assert(GraphStore.compact(spark, store) == 1)
+    val dir = new java.io.File(store, rel)
+    def parts() = dir.listFiles.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val mLen = parts()(0).length
+    for (t <- 10 until 13) {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$t.nt"),
+        (0 until 200).map(i =>
+          s"<urn:s/${t * 1000 + i}> <urn:p/a> <urn:o/${t * 1000 + i}> .")
+          .mkString("\n"))
+      GraphStore.startNtIngest(spark, landing, store, s"c1$t",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    val h0 = GraphStore.load(spark, store).merkleHash()
+    val layout0 = parts().map(f => (f.getName, f.length)).toSet
+    assert(GraphStore.crashCompactForTest(spark, store, rel, phase = 1,
+      targetBytes = 2 * mLen))
+    assert(new java.io.File(store).list.exists(_.startsWith(".compact-tmp-")))
+    // the carried full-size file is mid-move: gone from the live dir
+    assert(!parts().map(f => (f.getName, f.length)).toSet.contains(
+      layout0.maxBy(_._2)))
+    // healing runs at the next compact(); with default minFiles the
+    // restored directory (3 slivers) is then left alone — the store
+    // must come back byte-identical, original file layout included
+    GraphStore.compact(spark, store, targetBytes = 2 * mLen)
+    assert(!new java.io.File(store).list.exists(_.startsWith(".compact-")))
+    assert(parts().map(f => (f.getName, f.length)).toSet == layout0)
+    val g = GraphStore.load(spark, store)
+    assert(g.merkleHash() == h0 && g.size == 1600)
+  }
+
+  test("a compaction crash BETWEEN the swap renames heals at load() — " +
+      "queries never see the mid-swap hole") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-crash2").toString + "/store"
+    GraphStore.save(RdfGraph.fromTriples(spark, (0 until 500).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))), store)
+    val h0 = GraphStore.load(spark, store).merkleHash()
+    val rel = "__pred=urn%3Ap%2Fa"
+    // force slivers first so there is something to merge
+    val landing = Files.createTempDirectory("graft-crash2-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "x.nt"),
+      (0 until 50).map(i =>
+        s"<urn:s/x$i> <urn:p/a> <urn:o/x$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, landing, store, "c2x")
+      .awaitTermination()
+    val h1 = GraphStore.load(spark, store).merkleHash()
+    assert(GraphStore.crashCompactForTest(spark, store, rel, phase = 2))
+    // the live directory is GONE (mid-swap), old+tmp markers remain
+    assert(!new java.io.File(store, rel).exists)
+    assert(new java.io.File(store, ".compact-old-" + rel).isDirectory)
+    val g = GraphStore.load(spark, store) // load must heal before reading
+    assert(g.merkleHash() == h1 && g.size == 550)
+    assert(!new java.io.File(store).list.exists(_.startsWith(".compact-")))
+  }
+
+  test("ADVICE r16: an interim writer recreating a mid-swap directory " +
+      "loses nothing — heal set-merges both generations") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-interim").toString + "/store"
+    GraphStore.save(RdfGraph.fromTriples(spark, (0 until 300).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))), store)
+    // slivers so the crash seam has something to compact
+    val landing = Files.createTempDirectory("graft-interim-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "x.nt"),
+      (0 until 40).map(i =>
+        s"<urn:s/x$i> <urn:p/a> <urn:o/x$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, landing, store, "int0")
+      .awaitTermination()
+    val rel = "__pred=urn%3Ap%2Fa"
+    assert(GraphStore.crashCompactForTest(spark, store, rel, phase = 2))
+    // simulate an r16-vintage writer that bypassed healing: it saw no
+    // directory, treated everything as new, and recreated the dir with
+    // one DUPLICATE of a stored row plus two fresh rows
+    val interim = RdfGraph.fromTriples(spark, Seq(
+      (Iri("urn:s/0"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri("urn:o/0"): RdfTerm), // duplicates a stored row
+      (Iri("urn:s/f1"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri("urn:o/f1"): RdfTerm),
+      (Iri("urn:s/f2"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri("urn:o/f2"): RdfTerm)))
+    interim.triples.select("s", "p", "o")
+      .write.parquet(new java.io.File(store, rel).getAbsolutePath)
+    // the old heal deleted .compact-old-* here (live dir exists →
+    // "swap completed"), permanently destroying the 340 original rows;
+    // the fixed heal recognizes the surviving tmp, restores old, and
+    // set-merges the interim rows
+    GraphStore.compact(spark, store)
+    val g = GraphStore.load(spark, store)
+    assert(g.size == 342,
+      s"expected 300 + 40 + 2 fresh interim rows exactly once, got ${g.size}")
+    assert(!new java.io.File(store).list.exists(_.startsWith(".compact-")))
+    // and a redelivery of the interim rows adds nothing (bloom was
+    // dropped during heal; the anti-join path carries set semantics)
+    val landing2 = Files.createTempDirectory("graft-interim-l2").toString
+    Files.writeString(java.nio.file.Paths.get(landing2, "y.nt"),
+      "<urn:s/f1> <urn:p/a> <urn:o/f1> .\n<urn:s/f3> <urn:p/a> <urn:o/f3> .\n")
+    GraphStore.startNtIngest(spark, landing2, store, "int1")
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 343)
+  }
+
+  test("a restarted ingest heals its own mid-swap directories before " +
+      "probing (scoped per-key heal)") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-scoped").toString + "/store"
+    GraphStore.save(RdfGraph.fromTriples(spark, (0 until 200).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))), store)
+    val landing0 = Files.createTempDirectory("graft-scoped-l0").toString
+    Files.writeString(java.nio.file.Paths.get(landing0, "x.nt"),
+      (0 until 30).map(i =>
+        s"<urn:s/x$i> <urn:p/a> <urn:o/x$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, landing0, store, "sc0")
+      .awaitTermination()
+    assert(GraphStore.crashCompactForTest(spark, store,
+      "__pred=urn%3Ap%2Fa", phase = 2))
+    // the restarted stream's first batch touches the crashed key: the
+    // per-key heal must restore it BEFORE the existence probe, so the
+    // redelivered row anti-joins instead of re-appending into a freshly
+    // recreated directory
+    val landing = Files.createTempDirectory("graft-scoped-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "y.nt"),
+      "<urn:s/0> <urn:p/a> <urn:o/0> .\n" + // duplicate of a stored row
+        "<urn:s/n1> <urn:p/a> <urn:o/n1> .\n")
+    GraphStore.startNtIngest(spark, landing, store, "sc1")
+      .awaitTermination()
+    val g = GraphStore.load(spark, store)
+    assert(g.size == 231, s"expected 200+30+1, got ${g.size}")
+    assert(!new java.io.File(store).list.exists(_.startsWith(".compact-")))
+  }
+
+  test("single-writer lock: a held _lock fails writers fast; breakLock " +
+      "reclaims a crashed holder's lock") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-lock").toString + "/store"
+    GraphStore.save(RdfGraph.fromTriples(spark, Seq(
+      (Iri("urn:a"): RdfTerm, Iri("urn:p"): RdfTerm,
+        Iri("urn:b"): RdfTerm))), store)
+    Files.writeString(java.nio.file.Paths.get(store, "_lock"),
+      """{"owner": "ingest query other-process", "acquired_ms": 0}""")
+    val landing = Files.createTempDirectory("graft-lock-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "a.nt"),
+      "<urn:c> <urn:p> <urn:d> .\n")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      GraphStore.startNtIngest(spark, landing, store, "lk1")
+        .awaitTermination()
+    }
+    assert(ex.getMessage.contains("locked by another writer") &&
+      ex.getMessage.contains("other-process"), ex.getMessage)
+    val ex2 = intercept[GraftException] { GraphStore.compact(spark, store) }
+    assert(ex2.getMessage.contains("locked by another writer"))
+    // the store itself is untouched and readable
+    assert(GraphStore.load(spark, store).size == 1)
+    // reclaim (the "holder" is our simulated crashed process) and retry
+    assert(GraphStore.breakLock(spark, store))
+    GraphStore.startNtIngest(spark, landing, store, "lk2",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-lock-ck").toString))
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 2)
+    // the successful writer released its lock on the way out
+    assert(!new java.io.File(store, "_lock").exists)
+  }
+
+  test("compactWhenFilesExceed keeps the hot directory's file count " +
+      "bounded with no operator-scheduled compaction") {
+    val store = Files.createTempDirectory("graft-auto").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-auto-ck").toString
+    val landing = Files.createTempDirectory("graft-auto-l").toString
+    val dir = new java.io.File(store, "__pred=urn%3Ap%2Fa")
+    def files() = if (!dir.isDirectory) 0 else dir.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    var maxSeen = 0
+    for (t <- 0 until 14) {
+      Files.writeString(java.nio.file.Paths.get(landing, s"t$t.nt"),
+        (0 until 100).map(i =>
+          s"<urn:s/${t * 1000 + i}> <urn:p/a> <urn:o/${t * 1000 + i}> .")
+          .mkString("\n"))
+      GraphStore.startNtIngest(spark, landing, store, s"auto$t",
+        checkpointDir = Some(ckpt),
+        compactWhenFilesExceed = Some(3)).awaitTermination()
+      maxSeen = maxSeen.max(files())
+    }
+    // a batch can append a couple of files at once, so the bound is
+    // threshold + batch-files, not threshold + 1; without the knob the
+    // 14 ticks leave ≥14 files
+    assert(maxSeen <= 6,
+      s"auto-compaction must bound the sliver count, saw $maxSeen files")
+    val g = GraphStore.load(spark, store)
+    assert(g.size == 1400)
+    assert(g.predCounts.get("urn:p/a").contains(1400L))
+    // replay everything from a fresh checkpoint: set semantics survive
+    // the interleaved auto-compactions
+    GraphStore.startNtIngest(spark, landing, store, "autoreplay",
+      checkpointDir = Some(
+        Files.createTempDirectory("graft-auto-ck2").toString),
+      compactWhenFilesExceed = Some(3)).awaitTermination()
+    assert(GraphStore.load(spark, store).size == 1400)
+  }
+
+  test("save runs ONE post-write data pass (footer-derived stats, " +
+      "single bloom read)") {
+    import graft.rdf._
+    val n = 4000
+    // in-memory source: the write itself reads no file input, so the
+    // listener's recordsRead isolates the post-write passes — r16 paid
+    // 2n (a groupBy-count read plus the bloom read), the footer path
+    // pays n
+    val g = RdfGraph.fromTriples(spark, (0 until n).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri(s"urn:p/p${i % 3}"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm)))
+    val out = Files.createTempDirectory("graft-onepass").toString + "/store"
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraphStore.save(g, out)
+      Thread.sleep(800) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead <= (n * 1.5).toLong,
+      s"save read $recordsRead records post-write — the stats must come " +
+        "from parquet footers, leaving one data pass for the blooms")
+    // and the footer-derived sidecars are the exact ones
+    val loaded = GraphStore.load(spark, out)
+    assert(loaded.predCounts == Map("urn:p/p0" -> 1334L,
+      "urn:p/p1" -> 1333L, "urn:p/p2" -> 1333L))
+    // blooms landed too: a fresh-data merge must stay store-read-free
+    for (p <- 0 until 3)
+      assert(new java.io.File(out,
+        s"__pred=urn%3Ap%2Fp$p/_bloom.bin").isFile)
+  }
+
+  test("ADVICE r16: save(append) deletes touched blooms BEFORE the " +
+      "commit, so a crash before the rebuild cannot cause redelivery " +
+      "duplicates") {
+    import graft.rdf._
+    val store = Files.createTempDirectory("graft-appcrash").toString + "/s"
+    GraphStore.save(RdfGraph.fromTriples(spark, (0 until 100).map(i =>
+      (Iri(s"urn:s/$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+        Iri(s"urn:o/$i"): RdfTerm))), store)
+    val dir = new java.io.File(store, "__pred=urn%3Ap%2Fa")
+    assert(new java.io.File(dir, "_bloom.bin").isFile)
+    // append 50 rows but "crash" right after the parquet commit —
+    // before any sidecar/bloom maintenance ran
+    GraphStore.appendCrashForTest(RdfGraph.fromTriples(spark,
+      (0 until 50).map(i =>
+        (Iri(s"urn:s/a$i"): RdfTerm, Iri("urn:p/a"): RdfTerm,
+          Iri(s"urn:o/a$i"): RdfTerm))), store)
+    assert(GraphStore.load(spark, store).size == 150)
+    // the pre-commit delete ran: no bloom claims knowledge of the
+    // appended rows (a stale r16-ordering bloom would pass them as
+    // definitely-new below and duplicate them permanently)
+    assert(!new java.io.File(dir, "_bloom.bin").exists,
+      "append must delete the touched blooms before committing data")
+    // redeliver the appended rows through ingest: set semantics hold
+    val landing = Files.createTempDirectory("graft-appcrash-l").toString
+    Files.writeString(java.nio.file.Paths.get(landing, "r.nt"),
+      (0 until 50).map(i =>
+        s"<urn:s/a$i> <urn:p/a> <urn:o/a$i> .").mkString("\n"))
+    GraphStore.startNtIngest(spark, landing, store, "apc1")
+      .awaitTermination()
+    assert(GraphStore.load(spark, store).size == 150,
+      "redelivery after the append crash must add nothing")
+    // and the merge healed the bloom from committed data
+    assert(new java.io.File(dir, "_bloom.bin").isFile)
+  }
+
   test("phantom bloom entries (crash between bloom write and append) " +
       "cannot lose rows") {
     // the merge's durability order writes fresh hashes into the blooms

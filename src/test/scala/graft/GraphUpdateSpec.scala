@@ -354,28 +354,42 @@ class GraphUpdateSpec extends SparkSpec {
     }
   }
 
-  test("reliable truncation keeps O(1) checkpoint dirs, not O(ops/8)") {
+  test("reliable truncation keeps O(1) checkpoint dirs, not O(ops/8), " +
+      "with a one-generation grace window") {
     // ADVICE r15: Spark never deletes reliable checkpoint files on its
     // own (cleanCheckpoints defaults false), so a long update session
     // accumulated one full store copy per truncation until the
-    // filesystem filled. setGraph now checkpoints eagerly and deletes
-    // the previous truncation's directory — a 24-op run (3 truncation
-    // boundaries) must leave exactly one rdd-* directory, and the
-    // surviving copy must be the live one.
+    // filesystem filled. setGraph checkpoints eagerly and retains the
+    // TWO newest truncations (ADVICE r16: deleting the immediately
+    // previous copy silently broke lazy frames captured ≥8 updates
+    // earlier) — a 24-op run (3 truncation boundaries) must leave
+    // exactly two rdd-* directories, the live copy must be queryable,
+    // and a lazy frame captured one generation back must still
+    // materialize.
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ck-o1")
     val sc = spark.sparkContext
     sc.setCheckpointDir(ckpt.toString)
     try {
       val e = quadEngine()
-      for (i <- 1 to 24)
+      for (i <- 1 to 8)
+        e.update(s"INSERT DATA { <${EX}c$i> <${EX}p> 'v$i' }")
+      // captured right after the op-8 truncation: its plan references
+      // that generation's checkpoint files
+      val held = e.select(s"SELECT ?s { ?s <${EX}p> ?o }")
+      for (i <- 9 to 16)
+        e.update(s"INSERT DATA { <${EX}c$i> <${EX}p> 'v$i' }")
+      // one generation later the op-8 copy is still on disk: the held
+      // frame materializes instead of FileNotFoundException
+      assert(held.count() == 9) // 1 default-graph seed + 8 inserted
+      for (i <- 17 to 24)
         e.update(s"INSERT DATA { <${EX}c$i> <${EX}p> 'v$i' }")
       def rddDirs(d: java.io.File): Seq[java.io.File] =
         if (!d.isDirectory) Nil
         else if (d.getName.startsWith("rdd-")) Seq(d)
         else d.listFiles.toSeq.flatMap(rddDirs)
       val dirs = rddDirs(ckpt.toFile)
-      assert(dirs.length == 1,
-        s"expected exactly one live checkpoint, found ${dirs.mkString(", ")}")
+      assert(dirs.length == 2,
+        s"expected the two newest checkpoint generations, found ${dirs.mkString(", ")}")
       assert(e.select(s"SELECT ?s { ?s <${EX}p> ?o }").count() == 25)
     } finally {
       sc.setCheckpointDir(null)
