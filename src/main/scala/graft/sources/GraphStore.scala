@@ -823,10 +823,13 @@ object GraphStore {
       restoreCarried(fs, tmp, old)
       if (fs.exists(live)) {
         mergeInterimRows(spark, fs, live, old)
-        fs.delete(live, true)
         // old's bloom predates the interim rows; absent is safe, stale
-        // is not (a redelivery would pass as definitely-new)
+        // is not (a redelivery would pass as definitely-new). Deleted
+        // BEFORE the interim dir: a crash between the two re-runs the
+        // idempotent merge, whereas the reverse order could leave the
+        // stale bloom behind with no interim dir to re-trigger it.
         fs.delete(new Path(old, BLOOM_FILE), false)
+        fs.delete(live, true)
       }
       if (!fs.rename(old, live))
         throw new GraftException(s"heal: restore rename failed for $live")

@@ -8,20 +8,24 @@ import graft.sources.GraphStore
   * sliver-file accumulation bites — every tick appends a few files per
   * touched directory, and per-tick cost picks up an O(files) component
   * (the probe's listing when a duplicate shows up, the footer-stats
-  * sum every tick). 200 AvailableNow ticks into one store, with
-  * [[GraphStore.compact]] run between ticks at the 100 and 150 marks;
-  * the artifact records per-tick wall times in 25-tick windows plus
-  * the hot directory's file count before/after each compaction. Flat
-  * windows after the compactions are the "done" criterion — without
-  * compaction the later windows drift upward with the file count.
+  * sum every tick). 200 AvailableNow ticks into one store; in the
+  * default mode [[GraphStore.compact]] runs between ticks at the 100
+  * and 150 marks, in `auto` mode NO compact is ever scheduled — the
+  * stream maintains itself via `compactWhenFilesExceed`. The artifact
+  * records per-tick wall times in 25-tick windows plus the hot
+  * directory's file count before/after each compaction. Flat windows
+  * (without any operator-scheduled compact in auto mode) are the
+  * "done" criterion — r16's unmaintained windows drifted upward with
+  * the file count.
   *
-  * Usage: Test/runMain graft.demo.IngestSoak [outJson] [nTicks]
+  * Usage: Test/runMain graft.demo.IngestSoak [outJson] [nTicks] [auto]
   */
 object IngestSoak {
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("/root/repo/SOAK_r16.json")
     val nTicks = args.lift(1).map(_.toInt).getOrElse(200)
+    val auto = args.lift(2).contains("auto")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -55,9 +59,11 @@ object IngestSoak {
       Files.writeString(java.nio.file.Paths.get(landing, s"t$t.nt"), lines)
       val t0 = System.nanoTime()
       GraphStore.startNtIngest(spark, landing, store, s"soak$t",
-        checkpointDir = Some(ckpt)).awaitTermination()
+        checkpointDir = Some(ckpt),
+        compactWhenFilesExceed = if (auto) Some(24) else None)
+        .awaitTermination()
       tickSec(t) = (System.nanoTime() - t0) / 1e9
-      if (t == nTicks / 2 || t == (3 * nTicks) / 4) {
+      if (!auto && (t == nTicks / 2 || t == (3 * nTicks) / 4)) {
         val before = hotFiles()
         val c0 = System.nanoTime()
         val done = GraphStore.compact(spark, store)
@@ -76,10 +82,19 @@ object IngestSoak {
         s""""median_sec": ${s(s.length / 2)}, "max_sec": ${s.last}}"""
     }.mkString("[", ", ", "]")
     val total = GraphStore.load(spark, store).size
-    val json = s"""{"ticks": $nTicks, "rows_ingested": $total, """ +
+    val note =
+      if (auto) "AvailableNow ticks, 1000 fresh rows each (800 hot); NO " +
+        "operator-scheduled compact — compactWhenFilesExceed=24 " +
+        "self-maintains; flat window medians = the stream needs no " +
+        "external compaction cadence"
+      else "AvailableNow ticks, 1000 fresh rows each (800 hot); compact " +
+        "between ticks at the 1/2 and 3/4 marks; flat window medians " +
+        "after compaction = sliver growth contained"
+    val json = s"""{"ticks": $nTicks, "mode": "${
+        if (auto) "auto" else "manual"}", "rows_ingested": $total, """ +
       s""""final_hot_files": ${hotFiles()}, """ +
       s""""windows": $windows, "compactions": [$compactions], """ +
-      s""""note": "200 AvailableNow ticks, 1000 fresh rows each (800 hot); compact between ticks at the 1/2 and 3/4 marks; flat window medians after compaction = sliver growth contained"}"""
+      s""""note": "$note"}"""
     Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
