@@ -31,8 +31,22 @@ object Display {
   case object DBool extends Decision
   case object DTs extends Decision
   case object DDate extends Decision
-  /** QName-shortened IRIs / blank labels / lexical forms as strings. */
+  /** QName-shortened IRIs / blank labels / lexical forms as strings,
+    * for a column PROVEN to carry no quoted-triple terms (the static
+    * TypeInfer path over schema-typed sources, or a sniff whose exact
+    * quoted-presence aggregate came back false). Omitting the dead
+    * RDF-star rendering branch matters: [[Terms.quotedN3]] expands to a
+    * multi-thousand-node Catalyst tree PER COLUMN (each packed field is
+    * a replace∘replace∘element_at∘split chain repeated across six CASE
+    * arms × three positions), and analysis/optimization of that dead
+    * tree cost ~0.1-0.2 s per query at bench scale (r17 §1 measurement:
+    * select vs selectRaw). Rows that somehow were quoted anyway would
+    * display as the raw packed value instead of `<< … >>` — which is why
+    * the decision is only made on proof, never as a default. */
   case object DStr extends Decision
+  /** Same rendering as [[DStr]] plus the quoted-triple (RDF-star)
+    * branch — for columns that may contain quoted terms. */
+  case object DStrQ extends Decision
   /** Inference-only marker: signature not statically derivable — forces
     * the sniffing fallback (sparql.TypeInfer). Never reaches displayCol. */
   private[graft] case object DUnknown extends Decision
@@ -64,8 +78,12 @@ object Display {
     hit.getOrElse(uri)
   }
 
-  /** Decision from a column's sniffed `kind:dt` signature set. */
-  private def displayDecision(sigs: Seq[String]): Decision = {
+  /** Decision from a column's sniffed `kind:dt` signature set.
+    * `mayQuote` comes from the EXACT per-column quoted-presence
+    * aggregate, never from `sigs` — the signature set is capped at
+    * [[SIG_CAP]] distinct values, so absence of a "3:" entry there
+    * would not be proof. */
+  private def displayDecision(sigs: Seq[String], mayQuote: Boolean): Decision = {
     val dts = sigs.filter(_.startsWith("2:")).map(_.substring(2))
     val allLit = sigs.nonEmpty && sigs.forall(_.startsWith("2:"))
     if (allLit && dts.forall(XSD.integral)) DLong
@@ -73,6 +91,7 @@ object Display {
     else if (allLit && dts.forall(_ == XSD.boolean)) DBool
     else if (allLit && dts.forall(_ == XSD.dateTime)) DTs
     else if (allLit && dts.forall(_ == XSD.date)) DDate
+    else if (mayQuote) DStrQ
     else DStr
   }
 
@@ -86,7 +105,11 @@ object Display {
     // timestamps would break oracle comparison
     case DTs => value(c).cast(TimestampNTZType)
     case DDate => value(c).cast(DateType)
-    case _ => // strings / IRIs / mixed (and defensive DUnknown) → display string
+    case DStr => // strings / IRIs / mixed, PROVEN quoted-free (see DStr doc)
+      F.when(isIri(c), shortenExpr(value(c), prefixes))
+        .when(Terms.isBlank(c), F.concat(F.lit("_:"), value(c)))
+        .otherwise(value(c))
+    case _ => // DStrQ (and defensive DUnknown): full branch incl RDF-star
       F.when(isIri(c), shortenExpr(value(c), prefixes))
         .when(Terms.isBlank(c), F.concat(F.lit("_:"), value(c)))
         .when(Terms.isQuoted(c), Terms.quotedN3(c))
@@ -101,7 +124,9 @@ object Display {
     val cols = bindings.columns.toSeq
     if (cols.isEmpty) return bindings
     bindings.select(cols.map { n =>
-      displayCol(F.col(n), decisions.getOrElse(n, DStr), prefixes).as(n)
+      // fallback for a column WITHOUT a decision stays quoted-capable:
+      // absence of a decision is not proof of quoted-freeness
+      displayCol(F.col(n), decisions.getOrElse(n, DStrQ), prefixes).as(n)
     }: _*)
   }
 
@@ -119,10 +144,18 @@ object Display {
         F.concat(kind(c).cast(StringType), F.lit(":"),
           F.coalesce(dt(c), F.lit(""))))), 1, SIG_CAP).as(n)
     }
-    val sigRow = bindings.agg(sigAggs.head, sigAggs.tail: _*).collect()(0)
+    // exact quoted-presence per column, same single pass: the capped
+    // signature set cannot prove absence (see displayDecision)
+    val quoteAggs = cols.map { n =>
+      F.coalesce(F.max(F.coalesce(Terms.isQuoted(F.col(n)), F.lit(false))),
+        F.lit(false)).as(s"__q_$n") // outer coalesce: zero-row max is null
+    }
+    val sigRow = bindings.agg((sigAggs ++ quoteAggs).head,
+      (sigAggs ++ quoteAggs).tail: _*).collect()(0)
     val out = cols.zipWithIndex.map { case (n, i) =>
       val sigs = sigRow.getSeq[String](i)
-      displayCol(F.col(n), displayDecision(sigs), prefixes).as(n)
+      val mayQuote = sigRow.getBoolean(cols.length + i)
+      displayCol(F.col(n), displayDecision(sigs, mayQuote), prefixes).as(n)
     }
     bindings.select(out: _*)
   }

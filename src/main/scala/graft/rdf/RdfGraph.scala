@@ -68,7 +68,15 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
     /** Predicate IRI → exact set of object types (see PredObjType). Only
       * populated by schema-typed sources (Tables direct mapping), where
       * subjects are guaranteed to be IRIs. Dropped on UPDATE — an INSERT
-      * may introduce objects the schema didn't promise. */
+      * may introduce objects the schema didn't promise.
+      *
+      * INVARIANT a populating source must honor: non-empty predObjTypes
+      * asserts the graph's terms are exactly IRIs, blank nodes and
+      * literals as described — NO quoted-triple (RDF-star) terms. The
+      * static display path relies on it to omit the (large) RDF-star
+      * rendering branch; a star-capable source must leave this empty so
+      * queries take the sniffing path, whose quoted-presence check is
+      * exact. */
     predObjTypes: Map[String, Set[PredObjType]] = Map.empty,
     /** Native-key metadata for predIndex relations (see PredNat). Only
       * predicates whose relation carries `__sk`/`__ok` columns appear.

@@ -24,7 +24,8 @@ import Ast._
   */
 object TypeInfer {
 
-  import Display.{Decision, DLong, DDouble, DBool, DTs, DDate, DStr, DUnknown}
+  import Display.{Decision, DLong, DDouble, DBool, DTs, DDate, DStr, DStrQ,
+    DUnknown}
 
   private val U: Set[Decision] = Set(DUnknown)
 
@@ -42,6 +43,10 @@ object TypeInfer {
     case Iri(_) => DStr
     case Blank(_) => DStr
     case Lit(_, dt, _) => dtDecision(dt)
+    // a quoted-triple constant (VALUES/BIND in a 1.2 query) needs the
+    // RDF-star rendering branch; DStrQ ∪ DStr is non-singleton, so any
+    // mixed column falls back to the exact data-driven sniff
+    case QuotedTriple(_, _, _) => DStrQ
   }
 
   private def objType(o: PredObjType): Decision = o match {
