@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // eager COUNT(*) pushdown through inner equi-joins (guide §2.3
+    // "aggregate before you shuffle") — see the rule's scaladoc
+    ext.injectOptimizerRule(_ => graft.optimizer.EagerCountPushdown)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info(classOf[SimHash64], "simhash64",
         "simhash64(tokens) - 64-bit SimHash of a token array"),

@@ -47,7 +47,10 @@ object R17Jobs {
     })
     val fn = graft.SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm
+    val cgTime = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
     for (r <- 1 to reps) {
+      val cg0 = (cgTime.getCount, cgTime.getSnapshot.getValues.sum)
       jobs.synchronized(jobs.clear())
       val t0n = System.nanoTime(); val t0 = System.currentTimeMillis()
       val df = fn(spark, sfDir)
@@ -56,7 +59,8 @@ object R17Jobs {
       val t2 = System.currentTimeMillis()
       Thread.sleep(100)
       println(f"== $name rep $r: build=${t1 - t0}ms total=${t2 - t0}ms " +
-        f"(wall ${(System.nanoTime() - t0n) / 1e6 - 100}%.0f ms incl sleep-adj)")
+        f"(wall ${(System.nanoTime() - t0n) / 1e6 - 100}%.0f ms incl sleep-adj) " +
+        f"codegenCompiles=${cgTime.getCount - cg0._1}")
       var prevEnd = t1
       jobs.synchronized(jobs.values.toSeq).sortBy(_.submit).foreach { j =>
         println(f"   gap=${j.submit - prevEnd}%4d ms | job ${j.id}%3d " +
@@ -65,6 +69,12 @@ object R17Jobs {
         prevEnd = j.end
       }
       println(f"   tail gap=${t2 - prevEnd} ms (last job end → action done)")
+    }
+    if (sys.env.contains("GRAFT_RULE_TIME")) {
+      org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      val df = fn(spark, sfDir); df.count()
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+        .linesIterator.take(25).mkString("\n"))
     }
     spark.stop()
   }
