@@ -73,9 +73,29 @@ object R17PathSeq {
         F.col("l_orderkey") === F.col("o_orderkey"))
         .groupBy("po2").agg(F.sum("c0").as("cnt"))
     }
+    def e(): DataFrame = {
+      val oc = or.select(F.col("o_orderkey"), F.col("o_custkey"))
+        .join(F.broadcast(cu.select(F.col("c_custkey"),
+          struct(F.col("c_name")).as("po2"))),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select("o_orderkey", "po2")
+      val j = li.select("l_orderkey").join(F.broadcast(oc),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      val g = j.groupBy(
+          F.col("po2.kind").as("__k"), F.col("po2.value").as("__v"),
+          F.col("po2.dt").as("__d"), F.col("po2.lang").as("__l"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+      g.select(F.when(F.col("__k").isNull && F.col("__v").isNull &&
+          F.col("__d").isNull && F.col("__l").isNull,
+          F.lit(null).cast(g.schema("__k").dataType)).otherwise(F.col("__k"))
+          .as("dead"), // placeholder so the shape matches; real rebuild below
+        F.struct(F.col("__k").as("kind"), F.col("__v").as("value"),
+          F.col("__d").as("dt"), F.col("__l").as("lang")).as("po2"),
+        F.col("cnt")).drop("dead")
+    }
     for ((nm, f) <- Seq[(String, () => DataFrame)](
         ("A-current", a _), ("B-rawkey", b _), ("C-repart", c _),
-        ("D-eager", d _))) {
+        ("D-eager", d _), ("E-fields", e _))) {
       f().count() // warm codegen
       val t = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
