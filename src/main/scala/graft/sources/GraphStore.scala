@@ -391,11 +391,13 @@ object GraphStore {
     val existingB = spark.sparkContext.broadcast(existing)
     val hashed = batch.withColumn("__h", rowHash(quads))
     // the split: a row whose directory doesn't exist, or whose bloom
-    // definitely excludes its hash, is NEW without any store read
-    val mightExist = F.udf((k: String, h: Long) =>
-      existingB.value.contains(k) &&
-        bloomsB.value.get(k).forall(_.mightContainLong(h)))
-      .apply(bloomKey(quads), F.col("__h"))
+    // definitely excludes its hash, is NEW without any store read —
+    // one codegen'd expression per row, not an interpreted UDF
+    val mightExist = graft.expressions.ColumnBridge.column(
+      graft.expressions.IngestBloomProbe(
+        graft.expressions.ColumnBridge.expression(bloomKey(quads)),
+        graft.expressions.ColumnBridge.expression(F.col("__h")),
+        existingB, bloomsB))
     val maybe = hashed.where(mightExist)
     val defNew = hashed.where(!mightExist)
     // probe ONLY the directories with at least one maybe-duplicate row;

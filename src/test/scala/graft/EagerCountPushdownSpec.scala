@@ -24,8 +24,10 @@ class EagerCountPushdownSpec extends SparkSpec {
       .groupBy("name").agg(F.count(F.lit(1)).as("cnt"))
   }
 
-  private def firedIn(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.toString.contains("__graft_c0")
+  private def firedIn(df: DataFrame): Boolean = {
+    val s = df.queryExecution.optimizedPlan.toString
+    s.contains("__graft_c0") || s.contains("__graft_a")
+  }
 
   test("fires under a shuffle hint; results identical to the broadcast plan") {
     val rewritten = grouped(withHint = true)
@@ -56,19 +58,112 @@ class EagerCountPushdownSpec extends SparkSpec {
       Seq(21L, 31L, 31L))
   }
 
-  test("does not fire for non-count aggregates or outer joins") {
-    val sums = fact.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
-      .groupBy("name").agg(F.count(F.lit(1)).as("cnt"), F.max("payload").as("m"))
-    assert(!firedIn(sums), "a MAX over the pushed side must block the rewrite")
+  test("does not fire for outer joins or non-decomposable aggregates") {
     val outer = fact.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"),
       "left_outer").groupBy("name").agg(F.count(F.lit(1)).as("cnt"))
     assert(!firedIn(outer), "outer joins must not be rewritten")
+    val avg = fact.withColumn("v", F.length(F.col("payload")))
+      .join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
+      .groupBy("name").agg(F.avg("v").as("a"))
+    assert(!firedIn(avg), "AVG does not decompose and must block the rewrite")
+    val distinctSum = fact.withColumn("v", F.length(F.col("payload")))
+      .join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
+      .groupBy("name").agg(F.sum_distinct(F.col("v")).as("s"))
+    assert(!firedIn(distinctSum), "DISTINCT aggregates must block the rewrite")
   }
 
-  test("does not fire when group keys come from the counted side") {
+  test("SUM/MIN/MAX over the pushed side decompose; results exact under " +
+    "duplicate keys and NULLs") {
+    // v is NULL for one fk=2 row: per-key SUM/MIN/MAX must ignore it the
+    // way the undecomposed aggregate ignores the raw NULL
+    val f = Seq((1L, Some(10)), (1L, Some(3)), (2L, None), (2L, Some(7)),
+      (2L, Some(5)), (4L, Some(100)))
+      .toDF("fk", "v").select(F.col("fk"), F.col("v").cast("int").as("v"))
+    def agg(withHint: Boolean): DataFrame = {
+      val d = if (withHint) dim.hint("shuffle_hash") else dim
+      f.join(d, F.col("fk") === F.col("k")).groupBy("name")
+        .agg(F.sum("v").as("s"), F.min("v").as("mn"), F.max("v").as("mx"),
+          F.count(F.lit(1)).as("cnt"))
+    }
+    val rewritten = agg(withHint = true)
+    assert(firedIn(rewritten), "pushed SUM/MIN/MAX should fire")
+    val got = rewritten.orderBy("name").collect().toSeq
+    val want = agg(withHint = false).orderBy("name").collect().toSeq
+    assert(!firedIn(agg(withHint = false)))
+    assert(got === want)
+    // dim key 2 appears twice: group b and b2 each see fk=2's rows once
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getLong(4))) ===
+      Seq(("a", 13L, 3, 10, 2L), ("b", 12L, 5, 7, 3L), ("b2", 12L, 5, 7, 3L)))
+  }
+
+  test("all-NULL pushed key sums to NULL, not 0") {
+    val f = Seq((1L, null.asInstanceOf[java.lang.Integer]),
+      (1L, null.asInstanceOf[java.lang.Integer])).toDF("fk", "v")
+    val df = f.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
+      .groupBy("name").agg(F.sum("v").as("s"))
+    assert(firedIn(df))
+    val rows = df.collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "a" && rows(0).isNullAt(1))
+  }
+
+  test("decimal SUM is not pushed (two-level decimal sums widen the type)") {
+    val f = Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("2.25")))
+      .toDF("fk", "v")
+    val df = f.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
+      .groupBy("name").agg(F.sum("v").as("s"))
+    assert(!firedIn(df), "decimal SUM must not decompose")
+  }
+
+  test("MIN/MAX over the KEPT side pass through when a count pushes") {
+    def agg(withHint: Boolean): DataFrame = {
+      val d = if (withHint) dim.hint("shuffle_hash") else dim
+      fact.join(d, F.col("fk") === F.col("k")).groupBy("name")
+        .agg(F.count(F.lit(1)).as("cnt"), F.max("name").as("m"))
+    }
+    val rewritten = agg(withHint = true)
+    assert(firedIn(rewritten),
+      "a keep-side MAX must not block the count pushdown")
+    assert(rewritten.orderBy("name").collect().toSeq ===
+      agg(withHint = false).orderBy("name").collect().toSeq)
+  }
+
+  test("keep-side-only MIN/MAX (nothing to push) does not fire") {
     val df = fact.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
-      .groupBy("payload").agg(F.count(F.lit(1)).as("cnt"))
-    assert(!firedIn(df))
+      .groupBy("name").agg(F.max("name").as("m"))
+    assert(!firedIn(df),
+      "with no pushed aggregate the rewrite gains nothing and must not fire")
+  }
+
+  test("autoBroadcastJoinThreshold=-1 arms the gate without hints") {
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = fact.join(dim, F.col("fk") === F.col("k"))
+        .groupBy("name").agg(F.count(F.lit(1)).as("cnt"))
+      assert(firedIn(df),
+        "-1 disables broadcast, so every equi-join shuffles and the rule " +
+          "must fire (ADVICE r17)")
+      assert(df.orderBy("name").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("a", 2L), ("b", 3L), ("b2", 3L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("group keys on the fact side flip the push to the dim side") {
+    // grouping by a fact column forbids pre-aggregating the fact side,
+    // but the DIM side still contributes only its join key, so the
+    // widened rule pushes the per-key count THERE (r17 blocked this arm
+    // because only the keep side's hint armed the gate)
+    def agg(withHint: Boolean): DataFrame = {
+      val d = if (withHint) dim.hint("shuffle_hash") else dim
+      fact.join(d, F.col("fk") === F.col("k"))
+        .groupBy("payload").agg(F.count(F.lit(1)).as("cnt"))
+    }
+    val rewritten = agg(withHint = true)
+    assert(firedIn(rewritten), "expected the dim-side count push")
+    assert(rewritten.orderBy("payload").collect().toSeq ===
+      agg(withHint = false).orderBy("payload").collect().toSeq)
   }
 
   test("SPARQL grouped count through a forced-shuffle join stays exact") {
@@ -86,7 +181,12 @@ class EagerCountPushdownSpec extends SparkSpec {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val after = e.select(q).collect().map(r => (r.getString(0), r.getLong(1)))
+      val df = e.select(q)
+      assert(firedIn(df),
+        "with broadcast disabled the compiled SPARQL count-over-join " +
+          "must carry the pushed per-key count (ADVICE r17: this test " +
+          "used to pass vacuously)")
+      val after = df.collect().map(r => (r.getString(0), r.getLong(1)))
       assert(after === before)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
