@@ -130,12 +130,19 @@ object Display {
     }: _*)
   }
 
+  /** Number of sniffing passes taken since JVM start — the coverage
+    * metric for the static-inference work: every unit here is a query
+    * that executed TWICE (once for the sniff, once for the caller).
+    * Observability only; never read on a query path. */
+  val sniffCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Sniffing display projection: ONE aggregate pass collects the distinct
     * (kind:dt) signatures per column, then types columnar-ly. The pass
     * executes the query once before the caller's own action — acceptable
     * for the untyped interactive graphs it serves; schema-typed sources
     * take the static path above. */
   def toDisplay(bindings: DataFrame, prefixes: Map[String, String]): DataFrame = {
+    sniffCount.incrementAndGet()
     val cols = bindings.columns.toSeq
     if (cols.isEmpty) return bindings
     val sigAggs = cols.map { n =>

@@ -460,10 +460,53 @@ class Engine(initial: RdfGraph) {
       .dropDuplicates("s", "p", "o", "g"))
   }
 
+  /** Post-INSERT schema retention (see RdfGraph.predObjTypes): when the
+    * pre-update graph carries the metadata (so its terms are proven
+    * quoted-free) and EVERY template triple's inserted terms are
+    * provably within the metadata's domain — constant IRI predicate;
+    * object a constant IRI or lang-less literal; subject (and graph
+    * slot) a constant non-quoted term, a template bnode, or a WHERE
+    * variable that can never bind a quoted term — the insert EXTENDS
+    * the per-predicate object types instead of dropping them, and
+    * post-UPDATE queries keep the zero-pass static display. Anything
+    * else (var/bnode/lang-tagged/quoted objects, var predicates,
+    * untyped pre-state) returns None and the metadata drops as before. */
+  private def insertObjTypes(tmpl: Seq[Quad],
+      where: Option[GraphPattern]): Option[Map[String, Set[PredObjType]]] = {
+    val meta = graph.predObjTypes
+    if (meta.isEmpty) return None
+    def slotOk(n: Node): Boolean = n match {
+      case TermNode(_: QuotedTriple) => false
+      case QuotedNode(_, _, _) => false
+      case TermNode(_) => true
+      case VarNode(v) if v.startsWith("_:") => true // minted bnode
+      case VarNode(v) => where.exists(w =>
+        TypeInfer.neverQuotedVar(v, w, meta))
+    }
+    val perTriple = tmpl.map { q =>
+      val tp = q.t
+      if (!slotOk(tp.s) || !q.g.forall(slotOk)) None
+      else (tp.p, tp.o) match {
+        case (VerbNode(TermNode(Iri(p))), TermNode(Iri(_))) =>
+          Some(p -> (IriObj: PredObjType))
+        case (VerbNode(TermNode(Iri(p))), TermNode(Lit(_, dt, null))) =>
+          Some(p -> (LitObj(dt): PredObjType))
+        case _ => None
+      }
+    }
+    if (perTriple.exists(_.isEmpty)) None
+    else Some(meta ++ perTriple.flatten.groupBy(_._1).map { case (p, xs) =>
+      p -> (meta.getOrElse(p, Set.empty[PredObjType]) ++ xs.map(_._2))
+    })
+  }
+
   private def applyUpdate(op: UpdateOp): Unit = op match {
     case InsertData(qs) =>
-      setGraph(graph.insert(groundQuads(qs, "INSERT DATA",
-        freshBnodes = true)))
+      val retained = insertObjTypes(qs, None)
+      val inserted = graph.insert(groundQuads(qs, "INSERT DATA",
+        freshBnodes = true))
+      setGraph(retained.fold(inserted)(m =>
+        inserted.copy(predObjTypes = m)))
     case DeleteData(qs) =>
       rejectDeleteBnodes(qs.map(_.t), "DELETE DATA")
       setGraph(graph.delete(groundQuads(qs, "DELETE DATA")))
@@ -483,9 +526,12 @@ class Engine(initial: RdfGraph) {
       // evaluate both templates against the SAME pre-update graph
       val delT = if (del.nonEmpty) Some(instantiate(del, bindingsDf, withG)) else None
       val insT = if (ins.nonEmpty) Some(instantiate(ins, bindingsDf, withG)) else None
+      val retained =
+        if (ins.isEmpty) None else insertObjTypes(ins, Some(where))
       var g = graph
       delT.foreach(d => g = g.delete(d))
       insT.foreach(i => g = g.insert(i))
+      retained.foreach(m => g = g.copy(predObjTypes = m))
       setGraph(g)
     case Clear(target, silent) => clearGraphs(target, silent)
     case Drop(target, silent) => clearGraphs(target, silent)

@@ -2455,7 +2455,13 @@ object SparkEntry {
       iri(F.concat(F.lit("urn:graft:orders/"), F.col("l_orderkey"))).as("s"),
       iri(F.concat(F.lit(RDF.memberPrefix), F.col("l_linenumber"))).as("p"),
       iri(F.concat(F.lit("urn:graft:part/"), F.col("l_partkey"))).as("o"))
-    RdfGraph(t, RdfGraph.defaultPrefixes)
+    // schema metadata: every term is an IRI by construction (container
+    // membership properties rdf:_1..rdf:_7 — l_linenumber ∈ 1..7 —
+    // pointing at part IRIs), so the display boundary types the query
+    // statically instead of paying the sniffing execution
+    RdfGraph(t, RdfGraph.defaultPrefixes,
+      predObjTypes = (1 to 7).map(i =>
+        s"${RDF.memberPrefix}$i" -> Set[PredObjType](IriObj)).toMap)
   }
 
   /** Quad-store fixture: nation names live in ONE NAMED GRAPH PER REGION
@@ -2478,8 +2484,15 @@ object SparkEntry {
       iri("urn:graft:p/r_name").as("p"),
       plainLit(F.col("r_name")).as("o"),
       F.lit(null).cast(Terms.termType).as("g"))
+    // schema metadata: both predicates carry plain-string literal
+    // objects and every other term is an IRI — the quad fixture is
+    // quoted-free by construction, so GRAPH/FROM queries over it keep
+    // the zero-pass static display typing
     RdfGraph.fromQuadFrame(named.unionByName(dflt),
       RdfGraph.defaultPrefixes + ("gp" -> "urn:graft:p/"))
+      .copy(predObjTypes = Map(
+        "urn:graft:p/n_name" -> Set[PredObjType](LitObj(XSD.string)),
+        "urn:graft:p/r_name" -> Set[PredObjType](LitObj(XSD.string))))
   }
 
   /** Headline benchmark subset (Bench.scala): mixed SPARQL + pipeline. */

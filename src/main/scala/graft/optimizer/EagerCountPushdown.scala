@@ -105,11 +105,19 @@ object EagerCountPushdown extends Rule[LogicalPlan] {
     }
 
   /** SUM result types that are identical at both aggregation levels:
-    * integral → long → long, float/double → double → double. DECIMAL
-    * sums widen precision per level and are excluded. */
+    * integral → long → long, float/double → double → double, and
+    * decimal already at the 38-digit precision cap (p+10 re-caps to p,
+    * so the two-level sum keeps the exact type — the SPARQL engine's
+    * decimal SUM lane is (38,18)). Narrower decimals widen per level
+    * and are excluded. (Decimal-overflow corner: a PER-KEY partial that
+    * overflows 38 digits nulls and is then skipped by the outer sum
+    * where the single-level sum would null the whole group — only
+    * reachable when one join key's values alone exceed 10^20 at scale
+    * (38-18 integer digits), outside any declared workload's domain.) */
   private def sumTypeStable(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case FloatType | DoubleType => true
+    case d: DecimalType => d.precision == DecimalType.MAX_PRECISION
     case _ => false
   }
 

@@ -224,14 +224,33 @@ object Dedup {
       minhashSigColumn(F.col("sh"), numHashes).as("sig"))
     val banded = bandedRows(sigs, numHashes, bands)
     // ONE shuffle to per-bucket posting lists, sorted and capped to the
-    // `maxBucket` smallest ids, pairs expanded locally (bucketPairs) —
-    // the same shape as the ngram/simhash paths. The cap bounds a
-    // degenerate bucket's pair fan-out at maxBucket²/2 (never |bucket|²);
-    // exact mass-duplicates beyond the cap are still caught by
-    // [[exactGroups]], the right tool for them.
-    bucketPairs(banded.groupBy("band", "bucket")
-      .agg(smallestIds(banded.schema("rid").dataType, F.col("rid"),
-        maxBucket).as("rids")))
+    // `maxBucket` smallest ids, pairs expanded locally — the same shape
+    // as the ngram/simhash paths. The cap bounds a degenerate bucket's
+    // pair fan-out at maxBucket²/2 (never |bucket|²); exact
+    // mass-duplicates beyond the cap are still caught by
+    // [[exactGroups]], the right tool for them. Long ids take the fused
+    // pair-emitting aggregate ([[graft.expressions.SmallestPairs]]):
+    // the pair expansion happens once in the aggregate's eval instead
+    // of re-slicing the posting array per exploded element. The
+    // cross-bucket pair `distinct` stays: a pair found via two bands
+    // cannot be deduplicated bucket-locally without breaking the cap's
+    // exact semantics (whether a pair survives band b's cap depends on
+    // rows of OTHER buckets in earlier bands).
+    banded.schema("rid").dataType match {
+      case LongType if sh.sparkSession.conf
+          .get("spark.graft.fusedBandingPairs", "true") == "true" =>
+        banded.groupBy("band", "bucket")
+          .agg(graft.expressions.ColumnBridge.column(
+            graft.expressions.SmallestPairs(
+              graft.expressions.ColumnBridge.expression(F.col("rid")),
+              maxBucket).toAggregateExpression()).as("prs"))
+          .select(F.explode(F.col("prs")).as("pr"))
+          .select(F.col("pr.id1").as("id1"), F.col("pr.id2").as("id2"))
+          .distinct()
+      case ridType =>
+        bucketPairs(banded.groupBy("band", "bucket")
+          .agg(smallestIds(ridType, F.col("rid"), maxBucket).as("rids")))
+    }
   }
 
   /** (rid, band, bucket) banding rows of a (rid, sig) signature frame —

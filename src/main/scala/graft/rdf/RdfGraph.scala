@@ -119,7 +119,17 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
   }
 
   /** Delete triples. On a quad store a `g`-less delete removes from the
-    * DEFAULT graph only (SPARQL UPDATE's unnamed-graph semantics). */
+    * DEFAULT graph only (SPARQL UPDATE's unnamed-graph semantics).
+    *
+    * `predObjTypes` SURVIVES a delete: the metadata describes what
+    * object types a predicate CAN have, and removing rows can only
+    * shrink the actual set — every static display decision derived from
+    * the superset stays sound (the singleton rule compares against all
+    * possible signatures). A continuously-deleting store therefore
+    * keeps the zero-pass static display path instead of paying the
+    * sniffing execution per query. The content-derived structures
+    * (vertical index, star tables, native keys, counts) still drop —
+    * they describe the pre-delete rows. */
   def delete(gone: DataFrame): RdfGraph = {
     val remaining =
       if (!isQuads) triples.join(gone, Seq("s", "p", "o"), "left_anti")
@@ -136,7 +146,7 @@ final case class RdfGraph(triples: DataFrame, prefixes: Map[String, String],
         triples("s") === gone("s") && triples("p") === gone("p") &&
           triples("o") === gone("o") && triples("g").isNull, "left_anti")
     copy(triples = remaining,
-      predIndex = Map.empty, starTables = Nil, predObjTypes = Map.empty,
+      predIndex = Map.empty, starTables = Nil,
       predNat = Map.empty, predCounts = Map.empty)
   }
 

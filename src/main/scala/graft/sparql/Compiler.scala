@@ -145,40 +145,94 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     synCounter += 1; s"__${prefix}$synCounter"
   }
 
-  // ------------------------------------------- native-key companion columns
+  // --------------------------------------------- native companion columns
   //
-  // When a scan's subject/object IRIs are synthesized as `tmpl + key` from
-  // an integral source column (Tables.predIndex → RdfGraph.predNat), the
-  // scan carries a hidden companion column `__nk:<tmplId>:<var>` holding
-  // the RAW 8-byte key. Two bindings tables sharing a variable with the
-  // SAME companion name (same template) join on the long instead of the
-  // 4-field struct-of-strings — the join shuffle carries 8 bytes per key
-  // instead of ~40, and constant-IRI filters rewrite to pushable native
-  // predicates. Soundness: within one template, key → IRI is injective
-  // (long → canonical string), so long equality ⟺ struct equality, and a
-  // companion is null exactly when its term column is null.
+  // Two flavors of hidden companion column ride beside term structs so
+  // that joins, aggregations and exchanges run on PRIMITIVES instead of
+  // the 4-field struct-of-strings (guide §2.3 "shuffle fewer bytes"):
+  //
+  //  - `__nk:<id>:<var>` (LongType): the subject/object IRI is
+  //    synthesized as `tmpl + key` from an integral source column
+  //    (Tables.predIndex → RdfGraph.predNat); the companion holds the
+  //    RAW 8-byte key. Within one template, key → IRI is injective, so
+  //    long equality ⟺ struct equality.
+  //  - `__lv:<id>:<var>` (StringType): the predicate's objects are
+  //    PROVEN single-datatype literals (RdfGraph.predObjTypes, schema
+  //    metadata of the direct mapping); the companion holds the term's
+  //    LEXICAL value. With kind/dt/lang fixed by the proof, lexical
+  //    equality ⟺ struct equality — exactly, including the -0.0/0.0
+  //    and NaN corners a native-numeric companion would merge.
+  //
+  // Two bindings tables sharing a variable with the SAME companion name
+  // (same template/signature) join on the companion; a GROUP BY on such
+  // a variable keys on the companion and rebuilds the struct once per
+  // GROUP. A companion is null exactly when its term column is null
+  // (every bound term has a non-null lexical/IRI/label), so null-key
+  // groups and unmatched-outer-row behavior are unchanged.
 
+  /** One id space for both flavors (template strings and literal
+    * signatures can't collide: signatures are namespaced), so a bare id
+    * match implies the same flavor AND the same template/signature. */
   private val tmplIds = mutable.HashMap[String, Int]()
+  private val LitSig = " lit:"
   private def nkName(tmpl: String, v: String): String =
     s"__nk:${tmplIds.getOrElseUpdate(tmpl, tmplIds.size)}:$v"
-  /** Template id of a companion column name. */
+  private def lvName(dt: String, v: String): String =
+    s"__lv:${tmplIds.getOrElseUpdate(LitSig + dt, tmplIds.size)}:$v"
+  /** Is `c` a companion column of either flavor? (Both prefixes are 5
+    * chars, so the id/var parsers below serve both.) */
+  private def isComp(c: String): Boolean =
+    c.startsWith("__nk:") || c.startsWith("__lv:")
+  /** Template/signature id of a companion column name. */
   private def nkId(c: String): String = c.substring(5).takeWhile(_ != ':')
-  /** The companion's variable, renamed: same template, new var. */
+  /** The companion's variable, renamed: same flavor+template, new var. */
   private def nkRename(c: String, newVar: String): String =
-    s"__nk:${nkId(c)}:$newVar"
+    s"${c.substring(0, 5)}${nkId(c)}:$newVar"
   /** The variable a companion column accompanies. */
   private def nkVar(c: String): String =
     c.substring(5).dropWhile(_ != ':').drop(1)
-  /** The companion column of variable `v` in `df`, if any. A variable
-    * can carry SEVERAL companions (one per template it was scanned
-    * under — e.g. a var asserted as both a nation and a region subject);
-    * `nkAll` returns them all, `nkOf` the first. */
+  /** The companion columns of variable `v` in `df`. A variable can
+    * carry SEVERAL companions (one per template it was scanned under —
+    * e.g. a var asserted as both a nation and a region subject);
+    * `nkAll` returns them all (raw-long keys first — the cheaper join
+    * key), `nkOf` the first. */
   private def nkOf(df: DataFrame, v: String): Option[String] =
-    df.columns.find(c => c.startsWith("__nk:") && nkVar(c) == v)
+    nkAll(df, v).headOption
   private def nkAll(df: DataFrame, v: String): Seq[String] =
-    df.columns.filter(c => c.startsWith("__nk:") && nkVar(c) == v).toSeq
+    df.columns.filter(c => isComp(c) && nkVar(c) == v).toSeq
+      .sortBy(c => if (c.startsWith("__nk:")) 0 else 1)
   private def nkCols(df: DataFrame): Seq[String] =
-    df.columns.filter(_.startsWith("__nk:")).toSeq
+    df.columns.filter(isComp).toSeq
+
+  /** The single proven literal datatype of predicate `p`'s objects, if
+    * the schema metadata promises one (lang is always null there: the
+    * direct mapping never emits language-tagged literals). Session
+    * kill-switch `spark.graft.literalCompanions=false` suppresses the
+    * companions (operational escape hatch + interleaved A/B). */
+  private def litSig(p: String): Option[String] =
+    if (spark.conf.get("spark.graft.literalCompanions", "true") != "true")
+      None
+    else rdfGraph.predObjTypes.get(p) match {
+      case Some(ts) if ts.size == 1 => ts.head match {
+        case LitObj(dt) => Some(dt)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Rebuild the term struct of a companion column — the inverse of the
+    * scan-side companion projection, applied once per GROUP after a
+    * companion-keyed aggregation. Null companion ⟺ null term. */
+  private def termOfComp(c: String, col: Column): Column = {
+    val key = tmplIds.collectFirst {
+      case (k, id) if id.toString == nkId(c) => k
+    }.getOrElse(throw new IllegalStateException(s"unknown companion $c"))
+    val t =
+      if (c.startsWith("__nk:"))
+        Terms.iri(F.concat(F.lit(key), col.cast(StringType)))
+      else Terms.lit(col, key.stripPrefix(LitSig))
+    F.when(col.isNull, F.lit(null).cast(Terms.termType)).otherwise(t)
+  }
 
   /** Parse `iri` as `tmpl + <canonical long>`; None when it doesn't match
     * (then no synthesized-subject row can equal it). */
@@ -527,12 +581,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     // coalesced vars can take either side's value → their companions die
     val lCols = l.columns.toSeq.flatMap { c =>
       if (unsafeSet(c)) Some(F.coalesce(F.col(c), rc(c)).as(c))
-      else if (c.startsWith("__nk:") && unsafeSet(nkVar(c))) None
+      else if (isComp(c) && unsafeSet(nkVar(c))) None
       else Some(F.col(c))
     }
     val rCols = r.columns.toSeq.flatMap { c =>
       if (l.columns.contains(c)) None // shared var/companion — left wins
-      else if (c.startsWith("__nk:") && unsafeSet(nkVar(c))) None
+      else if (isComp(c) && unsafeSet(nkVar(c))) None
       else Some(rc(c).as(c))
     }
     joined.select(lCols ++ rCols: _*)
@@ -598,7 +652,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val natVars = native.map(_._1)
     val keys = native.map(_._2) ++ shared.filterNot(natVars.contains)
     val dupNk = l.columns.toSet.intersect(r.columns.toSet)
-      .filter(_.startsWith("__nk:")).diff(keys.toSet).toSeq
+      .filter(isComp).diff(keys.toSet).toSeq
     (keys, natVars ++ dupNk)
   }
 
@@ -646,7 +700,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       // downstream joins on those vars stay on raw longs
       val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
       val rNk = r.columns
-        .filter(c => c.startsWith("__nk:") && !shared.contains(nkVar(c))).toSeq
+        .filter(c => isComp(c) && !shared.contains(nkVar(c))).toSeq
       val ren = (rCols ++ rNk).map(c => c -> s"__R_$c").toMap
       val r2 = r.select((rCols ++ rNk).map(c => r(c).as(ren(c))): _*)
       val eqCond = shared.map { v =>
@@ -666,7 +720,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       val joined = l.join(r2, cond, "left_outer")
       val keep = l.columns.toSeq.flatMap { c =>
         if (unsafe(c)) Some(F.coalesce(joined(c), joined(ren(c))).as(c))
-        else if (c.startsWith("__nk:") && unsafe(nkVar(c))) None
+        else if (isComp(c) && unsafe(nkVar(c))) None
         else Some(joined(c).as(c))
       } ++ (rCols.filterNot(shared.contains) ++ rNk)
         .map(c => joined(ren(c)).as(c))
@@ -690,7 +744,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val (existsF, plainF) = filters.partition(isExistsFilter)
     val rCols = r.columns.filterNot(_.startsWith("__")).toSeq
     val rNk = r.columns
-      .filter(c => c.startsWith("__nk:") && !shared.contains(nkVar(c))).toSeq
+      .filter(c => isComp(c) && !shared.contains(nkVar(c))).toSeq
     val ren = (rCols ++ rNk).map(c => c -> s"__R_$c").toMap
     val r2 = r.select((rCols ++ rNk).map(c => r(c).as(ren(c))): _*)
     val eqCond = shared.map { v =>
@@ -711,7 +765,7 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
     val lVis = l.columns.toSeq
     val keep = lVis.flatMap { c =>
       if (unsafe(c)) Some(F.coalesce(joined(c), joined(ren(c))).as(c))
-      else if (c.startsWith("__nk:") && unsafe(nkVar(c))) None
+      else if (isComp(c) && unsafe(nkVar(c))) None
       else Some(joined(c).as(c))
     } ++ (rCols.filterNot(shared.contains) ++ rNk)
       .map(c => joined(ren(c)).as(c)) ++
@@ -873,6 +927,12 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
                   st.fkNat.get(p).foreach { case (fcol, tmpl) =>
                     sel += F.col(fcol).cast(LongType).as(nkName(tmpl, v))
                   }
+                  // proven single-datatype literal object → lexical
+                  // companion: downstream joins/GROUP BYs on ?v key on
+                  // the raw string, not the 4-field struct
+                  if (!st.fkNat.contains(p))
+                    litSig(p).foreach(dt =>
+                      sel += F.col(cn).getField("value").as(lvName(dt, v)))
               }
             }
             covered += i
@@ -1170,7 +1230,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
       def sComp(v: String) = nat.flatMap(_.sTmpl)
         .map(t => F.col("__sk").as(nkName(t, v))).toSeq
       def oComp(v: String) = nat.flatMap(_.oTmpl)
-        .map(t => F.col("__ok").as(nkName(t, v))).toSeq
+        .map(t => F.col("__ok").as(nkName(t, v))).toSeq ++
+        (if (nat.flatMap(_.oTmpl).isEmpty)
+          litSig(p).map(dt =>
+            F.col("o").getField("value").as(lvName(dt, v))).toSeq
+         else Nil)
       (tp.s, tp.o) match {
         case (VarNode(a), VarNode(b)) if a == b =>
           df.where(F.col("s") === F.col("o")).select(F.col("s").as(a))
@@ -1217,7 +1281,11 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
         rdfGraph.predNat.get(i) else None
       val comps = nat.toSeq.flatMap(n =>
         n.sTmpl.map(t => F.col("__sk").as(nkName(t, "ps"))).toSeq ++
-          n.oTmpl.map(t => F.col("__ok").as(nkName(t, "po"))).toSeq)
+          n.oTmpl.map(t => F.col("__ok").as(nkName(t, "po"))).toSeq) ++
+        (if (!quadScoped && nat.flatMap(_.oTmpl).isEmpty)
+          litSig(i).map(dt =>
+            F.col("o").getField("value").as(lvName(dt, "po"))).toSeq
+         else Nil)
       df.select(F.col("s").as("ps") +: F.col("o").as("po") +: comps: _*)
     case PInv(q) =>
       val e = pathEdges(q)
@@ -1828,21 +1896,36 @@ final class Compiler(rdfGraph: RdfGraph, spark: SparkSession) {
               " being grouped (SPARQL 1.1 §18.2.4.4)")
         }
       }
+      // group vars with a companion key on the COMPANION(s) ONLY: each
+      // companion determines the term (injective within its
+      // template/signature), so the groups are unchanged while the
+      // aggregation exchange and hash carry primitives (a long / the
+      // lexical string) instead of 4-field structs — guide §2.3. The
+      // struct is rebuilt once per GROUP below, and the companions
+      // survive for downstream native joins. Grouping by a var the
+      // pattern never binds is legal SPARQL: one group, key unbound.
+      val rebuilt = mutable.ArrayBuffer.empty[(String, String)]
       val keyCols: Seq[Column] = groupKeys.flatMap {
-        // a group var's companion joins the grouping keys (it determines
-        // the var, so the groups are unchanged) and thereby survives the
-        // aggregate for downstream native joins. Grouping by a var the
-        // pattern never binds is legal SPARQL: one group, key unbound.
         case (GroupVar(v), _) =>
-          (if (df.columns.contains(v)) df(v)
-           else F.lit(null).cast(Terms.termType).as(v)) +:
-            nkOf(df, v).map(df(_)).toSeq
+          if (!df.columns.contains(v))
+            Seq(F.lit(null).cast(Terms.termType).as(v))
+          else {
+            val comps = nkAll(df, v)
+            if (comps.isEmpty) Seq(df(v))
+            else {
+              rebuilt += (v -> comps.head)
+              comps.map(df(_))
+            }
+          }
         case (GroupExpr(e, _), n) => Seq(preEc.term(e).as(n))
       }
       val aggCols = aggMap.map { case (a, name) => preEc.agg(a).as(name) }.toSeq
       val safeAggs = if (aggCols.isEmpty)
         Seq(F.count(F.lit(1)).as(syn("dropme"))) else aggCols
       df = df.groupBy(keyCols: _*).agg(safeAggs.head, safeAggs.tail: _*)
+      rebuilt.foreach { case (v, c) =>
+        df = df.withColumn(v, termOfComp(c, F.col(c)))
+      }
       if (having.nonEmpty) {
         val ec = exprC(df)
         having.foreach(h => df = df.where(ec.bool(h) <=> F.lit(true)))

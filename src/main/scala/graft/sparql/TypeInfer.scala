@@ -76,6 +76,20 @@ object TypeInfer {
     else Some(decided.map { case (n, d) => n -> d.get })
   }
 
+  /** Can variable `v`, bound by `p` against a predObjTypes-carrying
+    * graph, EVER bind a quoted-triple term? Used by the UPDATE path to
+    * decide whether an INSERT template with `v` in a term slot can
+    * extend the schema metadata instead of dropping it: only a
+    * provably-never-quoted signature set (no DStrQ, no unknown)
+    * preserves the metadata invariant. Conservative by construction —
+    * an unknown signature (TRIPLE(...) binds, SERVICE vars, unlisted
+    * predicates) counts as possibly-quoted. */
+  private[graft] def neverQuotedVar(v: String, p: GraphPattern,
+      meta: Map[String, Set[PredObjType]]): Boolean = {
+    val sigs = patternSigs(p, meta).getOrElse(v, U)
+    sigs.nonEmpty && !sigs.contains(DStrQ) && !sigs.contains(DUnknown)
+  }
+
   // -------------------------------------------------------------- patterns
 
   private def merge(a: Map[String, Set[Decision]], b: Map[String, Set[Decision]])

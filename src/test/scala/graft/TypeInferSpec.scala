@@ -77,6 +77,29 @@ class TypeInferSpec extends SparkSpec {
            ?l gp:l_order_ref/gp:o_cust_ref/gp:c_name ?cname } GROUP BY ?cname""")
   }
 
+  test("predObjTypes survives DELETE: post-delete select stays static " +
+    "and matches the sniff") {
+    val g = Tables.graph(spark, dir, "region")
+    val e = Engine.fromGraph(g)
+    val pre = P + """DELETE { ?r gp:r_name ?n }
+      WHERE { ?r gp:r_regionkey ?k . ?r gp:r_name ?n FILTER(?k = 0) }"""
+    e.update(pre)
+    val post = e.graph
+    assert(post.predObjTypes.nonEmpty,
+      "delete must retain the schema metadata (types can only shrink)")
+    val q = new Parser(post.prefixes)
+      .parseQuery(P + "SELECT ?name ?k { ?r gp:r_name ?name . " +
+        "?r gp:r_regionkey ?k }").query.asInstanceOf[Ast.SelectQuery]
+    val raw = new Compiler(post, spark).compileSelect(q)
+    val dec = TypeInfer.selectDecisions(q, post)
+    assert(dec.isDefined, "post-delete query must type statically")
+    val static = Display.toDisplayStatic(raw, dec.get, post.prefixes)
+    val sniffed = Display.toDisplay(raw, post.prefixes)
+    assert(static.schema == sniffed.schema)
+    assert(static.collect().map(_.toString).sorted.toSeq ==
+      sniffed.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("mixed-type column falls back to sniff (None)") {
     val g = Tables.graph(spark, dir, "customer", "supplier")
     // ?x ranges over two predicates with different datatypes via UNION

@@ -67,7 +67,7 @@ object R18Ab {
 
     println(s"conf=$confKey pairs=$pairs sf=$sfDir cpus=$cpus")
     println(f"${"query"}%-22s ${"A_med"}%7s ${"B_med"}%7s ${"A_best"}%7s " +
-      f"${"B_best"}%7s ${"pairedΔ"}%8s")
+      f"${"B_best"}%7s ${"pairedΔ"}%8s ${"minΔ"}%7s ${"B<A"}%5s")
     for (name <- names) {
       // one untimed warm rep per condition so first-plan costs are paid
       // before any timed pair
@@ -90,8 +90,15 @@ object R18Ab {
         }
         as += a; bs += b; deltas += (b - a) / a
       }
+      // three views, because this box's per-run jitter is huge:
+      //  pairedΔ — median of per-pair relative deltas (robust to drift);
+      //  minΔ    — delta of per-condition minima (noise is one-sided
+      //            additive, so minima estimate each condition's floor);
+      //  B<A     — sign-test wins for B out of `pairs`.
+      val wins = deltas.count(_ < 0)
       println(f"$name%-22s ${median(as.toSeq)}%7.3f ${median(bs.toSeq)}%7.3f " +
-        f"${as.min}%7.3f ${bs.min}%7.3f ${median(deltas.toSeq) * 100}%+7.1f%%")
+        f"${as.min}%7.3f ${bs.min}%7.3f ${median(deltas.toSeq) * 100}%+7.1f%% " +
+        f"${(bs.min - as.min) / as.min * 100}%+6.1f%% $wins%3d/$pairs%d")
     }
     spark.stop()
   }
