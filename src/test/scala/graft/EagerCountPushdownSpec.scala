@@ -107,12 +107,27 @@ class EagerCountPushdownSpec extends SparkSpec {
     assert(rows.length === 1 && rows(0).getString(0) === "a" && rows(0).isNullAt(1))
   }
 
-  test("decimal SUM is not pushed (two-level decimal sums widen the type)") {
-    val f = Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("2.25")))
-      .toDF("fk", "v")
-    val df = f.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
+  test("narrow decimal SUM is not pushed (two-level sums widen its type); " +
+    "max-precision decimal IS pushed exactly") {
+    // decimal(12,2): SUM widens to (22,2) per level → excluded
+    val narrow = Seq((1L, "1.50"), (2L, "2.25")).toDF("fk", "v")
+      .select(F.col("fk"), F.col("v").cast("decimal(12,2)").as("v"))
+    val nd = narrow.join(dim.hint("shuffle_hash"), F.col("fk") === F.col("k"))
       .groupBy("name").agg(F.sum("v").as("s"))
-    assert(!firedIn(df), "decimal SUM must not decompose")
+    assert(!firedIn(nd), "narrow decimal SUM must not decompose")
+    // decimal(38,18) (the SPARQL engine's decimal lane): p+10 re-caps to
+    // 38, the type is stable at both levels → pushes, results exact
+    def wide(withHint: Boolean): DataFrame = {
+      val d = if (withHint) dim.hint("shuffle_hash") else dim
+      Seq((1L, BigDecimal("1.50")), (1L, BigDecimal("2.25")),
+        (2L, BigDecimal("7.00"))).toDF("fk", "v")
+        .join(d, F.col("fk") === F.col("k"))
+        .groupBy("name").agg(F.sum("v").as("s"))
+    }
+    val wd = wide(withHint = true)
+    assert(firedIn(wd), "decimal(38,18) SUM should decompose")
+    assert(wd.orderBy("name").collect().toSeq ===
+      wide(withHint = false).orderBy("name").collect().toSeq)
   }
 
   test("MIN/MAX over the KEPT side pass through when a count pushes") {

@@ -5,7 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 /** Regenerates the sf1 scale-rehearsal dataset: a 10× key-shifted
   * replication of sf0.1 (each copy shifts every key/FK column by
   * c·10⁸, so joins stay copy-local and every distribution scales
-  * uniformly). Usage: Test/runMain graft.demo.MakeSf1 [outDir]. */
+  * uniformly). Usage: Test/runMain graft.demo.MakeSf1 [outDir] [parts].
+  *
+  * `parts` (default: the 10 copies' natural partitioning) splits every
+  * table into that many files — the c8-vs-c32 scaling sweep needs ≥32
+  * splits per scan or the core-count ratio is capped by the file count
+  * (row groups are the split floor; guide §6). */
 object MakeSf1 {
   private val shiftCols: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"),
@@ -36,8 +41,12 @@ object MakeSf1 {
           df.withColumn(k, F.col(k) + F.lit(c * 100000000L))
         }
       }
-      copies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      val all = copies.reduce(_ unionByName _)
+      val parted = args.drop(1).headOption match {
+        case Some(n) => all.repartition(n.toInt)
+        case None => all
+      }
+      parted.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[sf1] $table written")
     }
     spark.stop()
